@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession factory: one place for the engine's session-level
+  * tuning so Verify / Bench / tests agree.
+  *
+  *  - shuffle partitions sized to the local core count (32-way local mode;
+  *    a real cluster deployment would size to 2-3× total cores — the
+  *    operators themselves are partition-count agnostic);
+  *  - AQE on (runtime coalescing, skew-join splitting, dynamic broadcast);
+  *  - UTC session timezone (oracle parity);
+  *  - nanosAsLong: the driver's `events` table is TIMESTAMP(NANOS) parquet,
+  *    which Spark 4 only reads as a long (converted in Tables.load).
+  */
+object GraftSession {
+
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def build(appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

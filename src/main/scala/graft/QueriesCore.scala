@@ -1,0 +1,424 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Engine-vs-oracle determinism helpers. */
+private[graft] object OracleSafe {
+  import org.apache.spark.sql.types.DecimalType
+  /** Exact, order-independent money sum: per-term cast to DECIMAL(18,4)
+    * (same digits in any engine), exact decimal sum, then back to double.
+    * A raw double sum depends on partition order and can land on a .xx5
+    * rounding boundary differently per engine.
+    */
+  def sumMoney(c: Column): Column =
+    round(sum(c.cast(DecimalType(18, 4))).cast("double"), 2)
+  def sumMoneySql(e: String): String =
+    s"round(CAST(sum(CAST($e AS DECIMAL(18,4))) AS DOUBLE), 2)"
+}
+
+/** Core-fidelity query catalog (SURVEY.md §2): every reference operator as a
+  * Spark query over the driver's testdata plus a matching DuckDB oracle.
+  *
+  * Oracle-portability rules used throughout (see tools/check.py):
+  *  - rows are given a deterministic ORDER BY on both sides;
+  *  - double aggregates are rounded (sum order differs across engines);
+  *  - regex stays in the Java∩RE2 subset; DuckDB regexp_replace gets 'g';
+  *  - DuckDB casts mirror Spark result types (year() is int in Spark,
+  *    bigint in DuckDB, etc.); DuckDB dayofweek is Sunday=0 vs Spark's 1.
+  */
+object QueriesCore {
+
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // ---- SCD2 supplier-dimension fixture shared by q11/q12/q32 --------------
+
+  private[graft] val supplierDimCols = Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+  private[graft] val supplierCfg = Scd2Config(
+    keys = Seq("s_suppkey"), attrs = Seq("s_name", "s_nationkey", "s_acctbal"))
+
+  private def supplierStaged(s: DataFrame): DataFrame =
+    DimOps.stageDimension(s, supplierDimCols)
+
+  /** Deterministic "week 2" snapshot: some rows changed, some removed, some
+    * brand new — exercises every SCD2 leg.
+    */
+  private def supplierSnapshot2(s: DataFrame): DataFrame = {
+    val kept = s.where(col("s_suppkey") % 7 =!= 4)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        when(col("s_suppkey") % 3 === 0, col("s_acctbal") * 2)
+          .otherwise(col("s_acctbal")).as("s_acctbal"))
+    val fresh = s.where(col("s_suppkey") % 5 === 0)
+      .select((col("s_suppkey") + 1000).as("s_suppkey"),
+        concat(lit("NEW_"), col("s_name")).as("s_name"),
+        col("s_nationkey"), col("s_acctbal"))
+    kept.unionByName(fresh)
+  }
+
+  private def supplierMerged(spark: SparkSession, dir: String): DataFrame = {
+    val s = t(spark, dir, "supplier")
+    val target = Scd2.initialLoad(supplierStaged(s), supplierCfg, to_date(lit("2025-12-01")))
+    Scd2.merge(target, supplierStaged(supplierSnapshot2(s)), supplierCfg,
+      to_date(lit("2026-02-01")))
+  }
+
+  private val supplierHashSql =
+    "sha256(concat_ws('||', CAST(s_suppkey AS VARCHAR), s_name, " +
+      "CAST(s_nationkey AS VARCHAR), CAST(s_acctbal AS VARCHAR)))"
+
+  /** Shared oracle CTE: the merged SCD2 supplier dimension. */
+  private[graft] val supplierMergedCte = s"""
+    snap1 AS (SELECT DISTINCT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier),
+    h1 AS (SELECT *, $supplierHashSql AS row_hash FROM snap1),
+    target AS (
+      SELECT CAST(row_number() OVER (ORDER BY s_suppkey) AS BIGINT) AS id, s_suppkey,
+             s_name, s_nationkey, s_acctbal, row_hash,
+             DATE '2025-12-01' AS record_start_date, DATE '9999-12-31' AS record_end_date
+      FROM h1),
+    snap2raw AS (
+      SELECT s_suppkey, s_name, s_nationkey,
+             CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal * 2 ELSE s_acctbal END AS s_acctbal
+      FROM supplier WHERE s_suppkey % 7 <> 4
+      UNION ALL
+      SELECT s_suppkey + 1000, 'NEW_' || s_name, s_nationkey, s_acctbal
+      FROM supplier WHERE s_suppkey % 5 = 0),
+    snap2 AS (SELECT DISTINCT * FROM snap2raw),
+    h2 AS (SELECT *, $supplierHashSql AS row_hash FROM snap2),
+    active AS (SELECT * FROM target WHERE record_end_date = DATE '9999-12-31'),
+    unchanged AS (
+      SELECT t.* FROM active t LEFT JOIN h2 b ON t.s_suppkey = b.s_suppkey
+      WHERE b.row_hash IS NULL OR t.row_hash = b.row_hash),
+    closed AS (
+      SELECT t.id, t.s_suppkey, t.s_name, t.s_nationkey, t.s_acctbal, t.row_hash,
+             t.record_start_date, DATE '2026-01-31' AS record_end_date
+      FROM active t JOIN h2 b ON t.s_suppkey = b.s_suppkey
+      WHERE t.row_hash <> b.row_hash),
+    needs AS (
+      SELECT b.* FROM h2 b LEFT JOIN active t ON t.s_suppkey = b.s_suppkey
+      WHERE t.id IS NULL OR t.row_hash <> b.row_hash),
+    maxid AS (SELECT max(id) AS m FROM target),
+    newv AS (
+      SELECT CAST(m + row_number() OVER (ORDER BY s_suppkey) AS BIGINT) AS id, s_suppkey,
+             s_name, s_nationkey, s_acctbal, row_hash,
+             DATE '2026-02-01' AS record_start_date, DATE '9999-12-31' AS record_end_date
+      FROM needs, maxid),
+    merged AS (
+      SELECT * FROM unchanged UNION ALL SELECT * FROM closed UNION ALL SELECT * FROM newv)"""
+
+  // ---- the catalog --------------------------------------------------------
+
+  val all: Seq[Q] = Seq(
+
+    // A1 — distinct projection (dimension extraction)
+    Q("q01_distinct_dim",
+      (s, d) => t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment")).distinct()
+        .orderBy(col("c_nationkey"), col("c_mktsegment")),
+      Some("""SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+              ORDER BY c_nationkey, c_mktsegment""")),
+
+    // A1 + P8 — staged dimension with sha256 row fingerprint
+    Q("q02_row_hash",
+      (s, d) => DimOps.stageDimension(t(s, d, "supplier"), Seq("s_name", "s_nationkey"))
+        .orderBy(col("s_name")),
+      Some("""SELECT s_name, s_nationkey,
+               sha256(concat_ws('||', s_name, CAST(s_nationkey AS VARCHAR))) AS row_hash
+              FROM (SELECT DISTINCT s_name, s_nationkey FROM supplier)
+              ORDER BY s_name""")),
+
+    // P1/P2 — null-fill defaults (nulls synthesized, then filled)
+    Q("q03_null_defaults",
+      (s, d) => {
+        val c = t(s, d, "customer").select(
+          col("c_custkey"),
+          when(col("c_mktsegment") === "BUILDING", lit(null)).otherwise(col("c_mktsegment"))
+            .as("segment"),
+          when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("acctbal"))
+        CleanOps.fillTextDefaults(
+          CleanOps.fillNumericDefaults(c, Seq("acctbal")), Seq("segment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+               coalesce(CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END,
+                        'Unknown') AS segment,
+               coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, -1.0) AS acctbal
+              FROM customer ORDER BY c_custkey""")),
+
+    // P3 + P5 — tag strip then conditional truncation
+    Q("q04_clean_text",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        CleanOps.limitLength(CleanOps.stripAllTags(col("text")), 120).as("cleaned"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+               CASE WHEN length(regexp_replace(text, '<[^>]*>', '', 'g')) > 120
+                    THEN substring(regexp_replace(text, '<[^>]*>', '', 'g'), 1, 120)
+                    ELSE regexp_replace(text, '<[^>]*>', '', 'g') END AS cleaned
+              FROM documents ORDER BY doc_id""")),
+
+    // P6 + P13 — field mapping then snake_case normalization
+    Q("q05_snake_case",
+      (s, d) => CleanOps.snakeCaseColumns(CleanOps.mapColumns(t(s, d, "customer"),
+          Seq("c_custkey" -> "CustKey", "c_name" -> "CustName", "c_mktsegment" -> "MarketSegment")))
+        .orderBy(col("cust_key")),
+      Some("""SELECT c_custkey AS cust_key, c_name AS cust_name, c_mktsegment AS market_segment
+              FROM customer ORDER BY cust_key""")),
+
+    // A4 + P7 — fact grain with literal quantity/stock_date
+    Q("q06_fact_grain",
+      (s, d) => DimOps.factGrain(t(s, d, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey"), to_date(lit("2026-01-05")))
+        .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
+      Some("""SELECT l_orderkey, l_partkey, l_suppkey, 1 AS quantity,
+               DATE '2026-01-05' AS stock_date
+              FROM lineitem ORDER BY l_orderkey, l_partkey, l_suppkey""")),
+
+    // P9 — currency-string price parse
+    Q("q07_price_parse",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        CleanOps.parsePrice(
+          concat(lit("€"), col("o_totalprice").cast("string"), lit(" EUR"))).as("price"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+               CAST(regexp_replace('€' || CAST(o_totalprice AS VARCHAR) || ' EUR',
+                                   '[^0-9.]', '', 'g') AS DOUBLE) AS price
+              FROM orders ORDER BY o_orderkey""")),
+
+    // P12 — digit extraction and sum (higher-order functions)
+    Q("q08_digit_sum",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"), CleanOps.digitSum(col("text")).as("digit_sum"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+               CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '([0-9])', 1),
+                                                     x -> CAST(x AS INT))), 0) AS INT) AS digit_sum
+              FROM documents ORDER BY doc_id""")),
+
+    // P10 — admin-hierarchy split with parenthetical strip
+    Q("q09_admin_split",
+      (s, d) => {
+        val n = t(s, d, "nation"); val r = t(s, d, "region")
+        n.join(r, n("n_regionkey") === r("r_regionkey"))
+          .select(col("n_nationkey"),
+            concat_ws(", ", col("r_name"), concat(col("n_name"), lit(" (zone)"))).as("loc"))
+          .select(col("n_nationkey"),
+            CleanOps.adminField(col("loc"), 1).as("country"),
+            CleanOps.adminField(col("loc"), 2).as("district"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey,
+               trim(regexp_replace(string_split(r_name || ', ' || n_name || ' (zone)', ',')[1],
+                                   '\(.*\)', '', 'g')) AS country,
+               trim(regexp_replace(string_split(r_name || ', ' || n_name || ' (zone)', ',')[2],
+                                   '\(.*\)', '', 'g')) AS district
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+              ORDER BY n_nationkey""")),
+
+    // W2/W3 + §2.7 — generated 30-year calendar dimension
+    Q("q10_date_dim",
+      (s, _) => DateDim.build(s),
+      Some("""SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_id,
+               strftime(d, '%Y-%m-%d') AS date_str,
+               CAST(year(d) AS INT) AS year,
+               CAST(week(d) AS INT) AS week,
+               CAST(dayofyear(d) AS INT) AS day_of_year,
+               CAST(month(d) AS INT) AS month,
+               CAST(quarter(d) AS INT) AS quarter,
+               monthname(d) AS month_name,
+               dayname(d) AS day_name,
+               CAST(dayofweek(d) + 1 AS INT) AS weekday,
+               (dayofweek(d) + 1) IN (1, 7) AS is_weekend,
+               d = last_day(d) AS is_month_end
+              FROM (SELECT CAST(ts AS DATE) AS d
+                    FROM range(DATE '2018-01-01', DATE '2018-01-01' + INTERVAL 10951 DAY,
+                               INTERVAL 1 DAY) t(ts))
+              ORDER BY date_id""")),
+
+    // W1 — initial SCD2 load with deterministic surrogate keys
+    Q("q11_scd2_init",
+      (s, d) => Scd2.initialLoad(supplierStaged(t(s, d, "supplier")), supplierCfg,
+          to_date(lit("2026-01-01"))).orderBy(col("id")),
+      Some(s"""WITH snap AS (SELECT DISTINCT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier),
+               h AS (SELECT *, $supplierHashSql AS row_hash FROM snap)
+              SELECT CAST(row_number() OVER (ORDER BY s_suppkey) AS BIGINT) AS id, s_suppkey,
+                     s_name, s_nationkey, s_acctbal, row_hash,
+                     DATE '2026-01-01' AS record_start_date,
+                     DATE '9999-12-31' AS record_end_date
+              FROM h ORDER BY id""")),
+
+    // J1 + J2 + union — the full SCD2 merge rewrite
+    Q("q12_scd2_merge",
+      (s, d) => supplierMerged(s, d).orderBy(col("id")),
+      Some(s"""WITH $supplierMergedCte
+              SELECT * FROM merged ORDER BY id""")),
+
+    // J3 — surrogate-key lookup fact population (broadcast left joins)
+    Q("q13_fact_load",
+      (s, d) => {
+        val fact = t(s, d, "lineitem").select(
+          col("l_orderkey").as("orderkey"), col("l_linenumber"), col("l_quantity"),
+          FactLoad.dateId(col("l_shipdate")).as("date_id"))
+        val lookups = Seq(
+          FactLoad.DimLookup(t(s, d, "orders")
+            .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("custkey")),
+            Seq("orderkey"), "custkey"),
+          FactLoad.DimLookup(t(s, d, "customer")
+            .select(col("c_custkey").as("custkey"), col("c_nationkey").as("nationkey")),
+            Seq("custkey"), "nationkey"),
+          FactLoad.DimLookup(t(s, d, "nation")
+            .select(col("n_nationkey").as("nationkey"), col("n_regionkey").as("regionkey")),
+            Seq("nationkey"), "regionkey"),
+          FactLoad.DimLookup(t(s, d, "region")
+            .select(col("r_regionkey").as("regionkey"), col("r_name").as("region_name")),
+            Seq("regionkey"), "region_name"))
+        FactLoad.resolveKeys(fact, lookups,
+          Seq("orderkey", "l_linenumber", "l_quantity", "date_id"))
+          .orderBy(col("orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey AS orderkey, l_linenumber, l_quantity,
+               CAST(strftime(l_shipdate, '%Y%m%d') AS INT) AS date_id,
+               o_custkey AS custkey, c_nationkey AS nationkey, n_regionkey AS regionkey,
+               r_name AS region_name
+              FROM lineitem
+              LEFT JOIN orders ON l_orderkey = o_orderkey
+              LEFT JOIN customer ON o_custkey = c_custkey
+              LEFT JOIN nation ON c_nationkey = n_nationkey
+              LEFT JOIN region ON n_regionkey = r_regionkey
+              ORDER BY orderkey, l_linenumber""")),
+
+    // A3 — duplicate-grain DQ check
+    Q("q14_dq_duplicates",
+      (s, d) => Quality.duplicateGroups(t(s, d, "customer"),
+          Seq("c_nationkey", "c_mktsegment"))
+        .withColumnRenamed("count", "n_rows")
+        .orderBy(col("c_nationkey"), col("c_mktsegment")),
+      Some("""SELECT c_nationkey, c_mktsegment, count(*) AS n_rows FROM customer
+              GROUP BY c_nationkey, c_mktsegment HAVING count(*) > 1
+              ORDER BY c_nationkey, c_mktsegment""")),
+
+    // A2 — row-count assertions over every table
+    Q("q15_dq_counts",
+      (s, d) => Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .map(n => t(s, d, n).agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), col("n")))
+        .reduce(_ unionByName _)
+        .orderBy(col("tbl")),
+      Some("""SELECT 'customer' AS tbl, count(*) AS n FROM customer
+              UNION ALL SELECT 'orders', count(*) FROM orders
+              UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+              UNION ALL SELECT 'supplier', count(*) FROM supplier
+              UNION ALL SELECT 'nation', count(*) FROM nation
+              UNION ALL SELECT 'region', count(*) FROM region
+              ORDER BY tbl""")),
+
+    // window ranking — top-3 orders per customer
+    Q("q16_topk_window",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rnk", row_number().over(w).cast("int"))
+          .where(col("rnk") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+          .orderBy(col("o_custkey"), col("rnk"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       CAST(row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+                FROM orders) WHERE rnk <= 3
+              ORDER BY o_custkey, rnk""")),
+
+    // S2 — time-partition derivation + ISO-week pruning filter
+    Q("q17_week_partition",
+      (s, d) => PathTemplate.withTimePartitions(t(s, d, "events"), col("ts"))
+        .where(PathTemplate.weekFilter(java.time.LocalDate.parse("2024-01-10")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), OracleSafe.sumMoney(col("value")).as("total"))
+        .orderBy(col("event_type")),
+      Some(s"""SELECT event_type, count(*) AS n,
+                ${OracleSafe.sumMoneySql("value")} AS total
+              FROM events WHERE year(ts) = 2024 AND week(ts) = 2
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // streaming-equivalent batch: tumbling 1-hour windowed aggregation
+    Q("q18_events_hourly",
+      (s, d) => t(s, d, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), OracleSafe.sumMoney(col("value")).as("total"))
+        .orderBy(col("hour_start"), col("event_type")),
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type, count(*) AS n, ${OracleSafe.sumMoneySql("value")} AS total
+              FROM events GROUP BY hour_start, event_type
+              ORDER BY hour_start, event_type""")),
+
+    // flagship — weekly stock star rollup (J3 + A4 shape over TPC-H-ish tables)
+    Q("q19_flagship",
+      (s, d) => flagship(s, d),
+      Some(s"""SELECT r_name AS region, CAST(year(l_shipdate) AS INT) AS yr,
+               CAST(week(l_shipdate) AS INT) AS wk,
+               round(sum(l_quantity), 2) AS sum_qty,
+               ${OracleSafe.sumMoneySql("l_extendedprice * (1 - l_discount)")} AS revenue,
+               count(*) AS n
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // as-of (interval) join over SCD2 validity ranges
+    Q("q32_asof_scd2",
+      (s, d) => {
+        val merged = supplierMerged(s, d)
+        val probes = t(s, d, "supplier").select(col("s_suppkey")).distinct()
+          .withColumn("probe_date", explode(array(
+            to_date(lit("2025-12-15")), to_date(lit("2026-02-15")))))
+        AsOf.joinValidInterval(probes, merged, Seq("s_suppkey"),
+          col("probe_date"), col("record_start_date"), col("record_end_date"))
+          .select(col("s_suppkey"), col("probe_date"), col("id"), col("s_acctbal"))
+          .orderBy(col("s_suppkey"), col("probe_date"))
+      },
+      Some(s"""WITH $supplierMergedCte,
+               probes AS (
+                 SELECT s_suppkey, d AS probe_date
+                 FROM (SELECT DISTINCT s_suppkey FROM supplier),
+                      (VALUES (DATE '2025-12-15'), (DATE '2026-02-15')) v(d))
+              SELECT p.s_suppkey, p.probe_date, m.id, m.s_acctbal
+              FROM probes p LEFT JOIN merged m
+                ON m.s_suppkey = p.s_suppkey
+               AND p.probe_date BETWEEN m.record_start_date AND m.record_end_date
+              ORDER BY p.s_suppkey, p.probe_date"""))
+  )
+
+  /** The flagship star rollup, also used by `SparkEntry.entry`. Dimensions
+    * are broadcast — the fact table never shuffles before the aggregate.
+    */
+  def flagship(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+    val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+    // orders/customer scale with the fact → leave their join strategy to
+    // Catalyst/AQE (shuffle join at 100 TB, auto-broadcast at bench SF);
+    // nation/region are genuinely tiny → force broadcast.
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name").as("region"),
+        year(li("l_shipdate")).as("yr"), weekofyear(li("l_shipdate")).as("wk"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        OracleSafe.sumMoney(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("region"), col("yr"), col("wk"))
+  }
+}

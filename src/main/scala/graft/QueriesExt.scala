@@ -1,0 +1,345 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext._
+import graft.QueriesCore.Q
+
+/** Extension query catalog (SURVEY.md §7.6): dedup, similarity search, text
+  * analysis, multimodal plumbing — each with a DuckDB oracle mirroring the
+  * exact arithmetic (md5-based hashing, double casts before math, rounded
+  * float aggregates, deterministic tie-breaks).
+  */
+object QueriesExt {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // ---- shared DuckDB fragments -------------------------------------------
+
+  /** tokens: lowercase alnum runs, empties dropped (mirrors TextAnalysis.tokens). */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** 3-word shingles over `toks` (mirrors TextAnalysis.shingles). */
+  private def shinglesSql(toks: String): String =
+    s"""CASE WHEN len($toks) >= 3
+         THEN list_transform(range(0, len($toks) - 2),
+                             i -> array_to_string(($toks)[i+1:i+3], ' '))
+         ELSE [array_to_string($toks, ' ')] END"""
+
+  /** Perturbed near-duplicate corpus: each doc plus an 80%-prefix copy. */
+  private val corpusCte = """corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))
+      FROM documents)"""
+
+  private def perturbedCorpus(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("text")).unionByName(
+      df.select((col("doc_id") + 100000).as("doc_id"),
+        col("text").substr(lit(1), floor(length(col("text")) * 0.8).cast("int")).as("text")))
+
+  // ---- the catalog --------------------------------------------------------
+
+  val all: Seq[Q] = Seq(
+
+    // exact dedup — fingerprint groupBy, canonical id = min
+    Q("q20_dedup_exact",
+      (s, d) => Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("keep_id")),
+      Some(s"""WITH f AS (
+                 SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp FROM documents)
+               SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
+               FROM f GROUP BY fp ORDER BY keep_id""")),
+
+    // text quality scoring — per-row signals, no shuffle
+    Q("q21_text_quality",
+      (s, d) => t(s, d, "documents").select(
+        (col("doc_id") +: TextAnalysis.qualityColumns(col("text"))): _*)
+        .orderBy(col("doc_id")),
+      Some {
+        val toks = toksSql
+        val nWords = s"len($toks)"
+        val nChars = "length(text)"
+        val nPunct = "len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n]'))"
+        val stop = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        val nStop = s"len(list_filter($toks, x -> list_contains($stop, x)))"
+        s"""SELECT doc_id,
+             CAST($nChars AS INT) AS len_chars,
+             CAST($nWords AS INT) AS n_words,
+             round(CAST($nChars AS DOUBLE) / CAST(greatest($nWords, 1) AS DOUBLE), 4)
+               AS chars_per_word,
+             round(CAST($nPunct AS DOUBLE) / CAST(greatest($nChars, 1) AS DOUBLE), 4)
+               AS punct_ratio,
+             round(CAST($nStop AS DOUBLE) / CAST(greatest($nWords, 1) AS DOUBLE), 4)
+               AS stopword_ratio,
+             ($nWords >= 5 AND $nChars >= 30 AND
+              CAST($nPunct AS DOUBLE) / CAST(greatest($nChars, 1) AS DOUBLE) < 0.2) AS keep
+            FROM documents ORDER BY doc_id"""
+      }),
+
+    // token counting — whitespace and BPE-ish
+    Q("q22_token_counts",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
+        TextAnalysis.tokenCountBpeish(col("text")).as("n_bpeish"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+                CAST(len($toksSql) AS INT) AS n_ws,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]'))
+                     AS INT) AS n_bpeish
+               FROM documents ORDER BY doc_id""")),
+
+    // language ID — stopword-hit scoring, first-max tie-break
+    Q("q23_lang_id",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id")),
+      Some {
+        val scoreExprs = TextAnalysis.langStopwords.map { case (lang, words) =>
+          val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          lang -> s"len(list_filter($toksSql, x -> list_contains($arr, x)))"
+        }
+        val scoreCols = scoreExprs.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+        val maxExpr = scoreExprs.map(e => s"s_${e._1}").mkString("greatest(", ", ", ")")
+        val caseArms = scoreExprs.map { case (l, _) =>
+          s"WHEN s_$l = m AND m > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""WITH sc AS (SELECT doc_id, lang, $scoreCols FROM documents),
+             mx AS (SELECT *, $maxExpr AS m FROM sc)
+            SELECT doc_id, lang, CASE $caseArms ELSE 'und' END AS lang_pred
+            FROM mx ORDER BY doc_id"""
+      }),
+
+    // MinHash signatures + LSH band keys
+    Q("q24_minhash_sig",
+      (s, d) => {
+        val sig = Dedup.minhashSignature(col("text"), 3, 12)
+        val bandCols = Dedup.bandKeys(sig, 4, 3).map { case (i, k) => k.as(s"band$i") }
+        t(s, d, "documents")
+          .select((col("doc_id") +: concat_ws(",", sig).as("sig") +: bandCols): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sh = shinglesSql(toksSql)
+        val mins = (0 until 12).map(j =>
+          s"list_min(list_transform(sh, s -> md5('$j:' || s))) AS m$j").mkString(", ")
+        val sigStr = (0 until 12).map(j => s"m$j").mkString(" || ',' || ")
+        val bands = (0 until 4).map { i =>
+          val parts = (0 until 3).map(r => s"m${i * 3 + r}").mkString(" || '|' || ")
+          s"md5($parts) AS band$i"
+        }.mkString(", ")
+        s"""WITH sh AS (SELECT doc_id, list_distinct($sh) AS sh FROM documents),
+             sig AS (SELECT doc_id, $mins FROM sh)
+            SELECT doc_id, $sigStr AS sig, $bands FROM sig ORDER BY doc_id"""
+      }),
+
+    // MinHash-LSH near-dup pairs, Jaccard-verified, on the perturbed corpus
+    Q("q25_minhash_pairs",
+      (s, d) => Dedup.minhashDupPairs(perturbedCorpus(t(s, d, "documents")),
+          "doc_id", "text", shingleK = 3, numHashes = 12, bands = 4, threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b")),
+      Some {
+        val sh = shinglesSql(toksSql)
+        val mins = (0 until 12).map(j =>
+          s"list_min(list_transform(sh, s -> md5('$j:' || s))) AS m$j").mkString(", ")
+        val bandRows = (0 until 4).map { i =>
+          val parts = (0 until 3).map(r => s"m${i * 3 + r}").mkString(" || '|' || ")
+          s"SELECT id, $i AS band, md5($parts) AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        val inter = "len(list_filter(ta.sh, x -> list_contains(tb.sh, x)))"
+        s"""WITH $corpusCte,
+             t AS (SELECT doc_id AS id, list_distinct($sh) AS sh FROM corpus),
+             sig AS (SELECT id, $mins FROM t),
+             banded AS ($bandRows),
+             cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                      FROM banded a JOIN banded b
+                        ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+            SELECT c.id_a, c.id_b,
+                   round(CAST($inter AS DOUBLE) /
+                         CAST(len(ta.sh) + len(tb.sh) - $inter AS DOUBLE), 6) AS jaccard
+            FROM cand c JOIN t ta ON ta.id = c.id_a JOIN t tb ON tb.id = c.id_b
+            WHERE round(CAST($inter AS DOUBLE) /
+                        CAST(len(ta.sh) + len(tb.sh) - $inter AS DOUBLE), 6) >= 0.35
+            ORDER BY id_a, id_b"""
+      }),
+
+    // SimHash per document
+    Q("q26_simhash",
+      (s, d) => Dedup.simhash(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(simhashSql("documents") + " ORDER BY doc_id")),
+
+    // SimHash near-dup pairs on the perturbed corpus
+    Q("q27_simhash_pairs",
+      (s, d) => Dedup.simhashDupPairs(
+          Dedup.simhash(perturbedCorpus(t(s, d, "documents")), "doc_id", "text"),
+          "doc_id", maxDist = 3)
+        .orderBy(col("id_a"), col("id_b")),
+      Some {
+        val simhashCorpus = simhashSql("corpus")
+        s"""WITH $corpusCte,
+             sim AS ($simhashCorpus),
+             a AS (SELECT doc_id AS id_a, simhash AS h_a,
+                          CAST(floor(CAST(simhash AS DOUBLE) / 256) AS INT) AS blk FROM sim),
+             b AS (SELECT doc_id AS id_b, simhash AS h_b,
+                          CAST(floor(CAST(simhash AS DOUBLE) / 256) AS INT) AS blk FROM sim)
+            SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS dist
+            FROM a JOIN b USING (blk)
+            WHERE id_a < id_b AND bit_count(xor(h_a, h_b)) <= 3
+            ORDER BY id_a, id_b"""
+      }),
+
+    // brute-force cosine top-k (exact ANN baseline)
+    Q("q28_ann_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(
+          e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding", k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+                          WHERE vec_id % 25 = 0),
+               c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+               sc AS (SELECT q_id, c_id, ${cosSql("q_vec", "c_vec")} AS cos
+                      FROM c, q WHERE q_id <> c_id),
+               r AS (SELECT q_id, c_id, cos,
+                            CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, c_id) AS INT) AS rnk
+                     FROM sc)
+              SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 5
+              ORDER BY q_id, rnk""")),
+
+    // LSH-bucketed ANN top-k (the scale path; same hyperplane constants on
+    // both sides)
+    Q("q29_ann_lsh",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.lshTopK(
+          e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding",
+          k = 5, numPlanes = 6, dim = 64)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some {
+        val planes = Similarity.hyperplanes(6, 64)
+        val bucket = planes.zipWithIndex.map { case (p, j) =>
+          val arr = p.mkString("[", ", ", "]")
+          val dot = s"list_sum(list_transform(range(1, 65), " +
+            s"i -> CAST(v[i] AS DOUBLE) * (CAST($arr AS DOUBLE[]))[i]))"
+          s"CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END"
+        }.mkString("CAST(", " + ", " AS INT)")
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+             bk AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+             q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM bk WHERE vec_id % 25 = 0),
+             c AS (SELECT vec_id AS c_id, v AS c_vec, bucket FROM bk),
+             sc AS (SELECT q_id, c_id, ${cosSql("q_vec", "c_vec")} AS cos
+                    FROM c JOIN q USING (bucket) WHERE q_id <> c_id),
+             r AS (SELECT q_id, c_id, cos,
+                          CAST(row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, c_id) AS INT) AS rnk
+                   FROM sc)
+            SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 5
+            ORDER BY q_id, rnk"""
+      }),
+
+    // embedding-cosine near-dup pairs within coarse (label) blocks
+    Q("q33_cosine_pairs",
+      (s, d) => Similarity.cosineDupPairs(t(s, d, "embeddings"),
+          "vec_id", "embedding", "label", threshold = 0.25)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH a AS (SELECT label AS blk, vec_id AS id_a, embedding AS v_a
+                          FROM embeddings),
+               b AS (SELECT label AS blk, vec_id AS id_b, embedding AS v_b
+                          FROM embeddings)
+              SELECT id_a, id_b, ${cosSql("v_a", "v_b")} AS cos
+              FROM a JOIN b USING (blk)
+              WHERE id_a < id_b AND ${cosSql("v_a", "v_b")} >= 0.25
+              ORDER BY id_a, id_b""")),
+
+    // multimodal: binary payload metadata + deterministic decode stub
+    Q("q30_media_meta",
+      (s, d) => {
+        val media = t(s, d, "documents").select(
+          col("doc_id").as("media_id"),
+          when(col("doc_id") % 3 === 0, "png")
+            .when(col("doc_id") % 3 === 1, "jpg").otherwise("wav").as("format"),
+          col("text").cast("binary").as("payload"))
+        media.select(
+          (Seq(col("media_id"), col("format"),
+            Multimodal.byteLen(col("payload")).as("byte_len"),
+            Multimodal.checksum(col("payload")).as("checksum")) ++
+            Multimodal.fakeDims(col("payload"))): _*)
+          .orderBy(col("media_id"))
+      },
+      Some {
+        // VARCHAR hashing on the DuckDB side — same UTF-8 bytes as Spark's
+        // cast-to-binary (DuckDB 1.0 has no sha256(BLOB)).
+        val h = "md5(text)"
+        def hexVal(pos: Int) =
+          s"(CASE WHEN ascii(substring($h, ${pos + 1}, 1)) <= 57 " +
+            s"THEN ascii(substring($h, ${pos + 1}, 1)) - 48 " +
+            s"ELSE ascii(substring($h, ${pos + 1}, 1)) - 87 END)"
+        val v = s"(${hexVal(0)} * 4096 + ${hexVal(1)} * 256 + ${hexVal(2)} * 16 + ${hexVal(3)})"
+        s"""SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'png'
+                  WHEN doc_id % 3 = 1 THEN 'jpg' ELSE 'wav' END AS format,
+             CAST(octet_length(encode(text)) AS INT) AS byte_len,
+             sha256(text) AS checksum,
+             CAST(16 + $v % 1024 AS INT) AS width,
+             CAST(16 + CAST(floor(CAST($v AS DOUBLE) / 1024) AS INT) % 64 AS INT) AS height,
+             CAST(1 + $v % 3 AS INT) AS channels
+            FROM documents ORDER BY media_id"""
+      }),
+
+    // multimodal: frame/slice sampling plumbing (explode + offset math)
+    Q("q31_media_slices",
+      (s, d) => Multimodal.sampleSlices(
+          t(s, d, "documents").select(col("doc_id").as("media_id"), col("text").as("payload")),
+          "media_id", "payload", n = 4)
+        .orderBy(col("media_id"), col("slice_idx")),
+      Some("""SELECT media_id, CAST(i AS INT) AS slice_idx,
+               CAST(floor(i * len / 4.0) AS INT) AS "offset",
+               md5(substring(payload, CAST(floor(i * len / 4.0) AS INT) + 1,
+                             greatest(1, CAST(floor(len / 4.0) AS INT)))) AS slice_hash
+              FROM (SELECT doc_id AS media_id, text AS payload, length(text) AS len
+                    FROM documents WHERE length(text) > 0),
+                   range(0, 4) u(i)
+              ORDER BY media_id, slice_idx"""))
+  )
+
+  /** Shared SimHash-per-doc SQL over a relation named `rel` (doc_id, text). */
+  private def simhashSql(rel: String): String = {
+    def hexVal(pos: Int) =
+      s"(CASE WHEN ascii(substring(h, ${pos + 1}, 1)) <= 57 " +
+        s"THEN ascii(substring(h, ${pos + 1}, 1)) - 48 " +
+        s"ELSE ascii(substring(h, ${pos + 1}, 1)) - 87 END)"
+    val contribs = (0 until 16).map { bit =>
+      val v = hexVal(bit / 4)
+      val div = (1 << (3 - bit % 4)).toDouble
+      s"(CAST(floor(CAST($v AS DOUBLE) / $div) AS INT) % 2) * 2 - 1 AS c$bit"
+    }.mkString(", ")
+    val sums = (0 until 16).map(i => s"sum(c$i) AS s$i").mkString(", ")
+    val bits = (0 until 16).map(i =>
+      s"CASE WHEN s$i > 0 THEN ${1 << (15 - i)} ELSE 0 END").mkString(" + ")
+    s"""SELECT doc_id, CAST($bits AS INT) AS simhash FROM (
+          SELECT doc_id, $sums FROM (
+            SELECT doc_id, $contribs FROM (
+              SELECT doc_id, md5(tok) AS h FROM (
+                SELECT doc_id, unnest($toksSql) AS tok FROM $rel)))
+          GROUP BY doc_id)"""
+  }
+
+  /** Shared cosine SQL: double-cast element math, rounded to 6 dp. */
+  private def cosSql(a: String, b: String): String = {
+    def dotSql(x: String, y: String) =
+      s"list_sum(list_transform(range(1, 65), " +
+        s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+  }
+}

@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §7.6):
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design:
+  *  - exact dedup is one hash-groupBy (map-side partial combine; the shuffle
+  *    carries one row per distinct fingerprint);
+  *  - MinHash-LSH never compares all pairs: signatures are per-row (no
+  *    shuffle), candidate generation is an equi-join on (band, bandKey) —
+  *    i.e. a shuffle keyed on the LSH bucket, linear in corpus size — and
+  *    only bucket-mates are verified with exact Jaccard;
+  *  - SimHash is explode + groupBy(doc) — integer sums, associative, so the
+  *    partial aggregation keeps shuffle volume at one row per doc.
+  *
+  * Hashing uses md5 hex (lexicographic min ≡ min-hash) — portable to the
+  * DuckDB oracle, unlike murmur (`hash()` differs across engines).
+  */
+object Dedup {
+
+  /** Exact dedup: canonical (minimum) doc id and group size per normalized-
+    * text fingerprint. Rows with n_dups > 1 are duplicate groups.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Keep one row per exact fingerprint (the minimum id wins). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signature: for seed j, min over shingles of md5("j:" || shingle).
+    * k-word shingles, `numHashes` independent permutations approximated by
+    * seeded md5. Returns array<string> of length numHashes.
+    */
+  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
+    val sh = array_distinct(TextAnalysis.shingles(text, shingleK))
+    val mins = (0 until numHashes).map { j =>
+      array_min(transform(sh, s => md5(concat(lit(s"$j:"), s))))
+    }
+    array(mins: _*)
+  }
+
+  /** LSH band keys: `bands` bands of `rowsPerBand` signature positions; the
+    * band key is the md5 of the concatenated slice. Returns
+    * array<struct<band:int, key:string>> ready to explode.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Seq[(Int, Column)] =
+    (0 until bands).map { i =>
+      i -> md5(concat_ws("|", slice(sig, i * rowsPerBand + 1, rowsPerBand)))
+    }
+
+  /** MinHash-LSH candidate pairs verified by exact shingle Jaccard.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    *
+    * The bucket join shuffles on (band, key) — corpus-linear; the pairwise
+    * Jaccard only runs on bucket-mates. Duplicate candidates from multiple
+    * agreeing bands are collapsed with `distinct` *before* verification.
+    */
+  def minhashDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextAnalysis.shingles(col(textCol), shingleK)).as("sh"),
+      minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
+
+    val banded = sh.select(
+      col("id"), col("sh"),
+      explode(array(bandKeys(col("sig"), bands, rowsPerBand).map { case (i, k) =>
+        struct(lit(i).as("band"), k.as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    val inter = size(filter(col("sh_a"), x => array_contains(col("sh_b"), x)))
+    val union = size(col("sh_a")) + size(col("sh_b")) - inter
+    cand
+      .withColumn("jaccard", round(inter.cast("double") / union.cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 16-bit SimHash per document: explode tokens, per-token ±1 contribution
+    * per bit (from the token's md5), integer-sum per doc, sign → bit.
+    * Integer sums are exact and order-independent — oracle-safe.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    // hex value of md5 char at `pos` (0-based) via ascii arithmetic —
+    // portable to the oracle ('0'..'9' → 48..57, 'a'..'f' → 97..102).
+    def hexVal(pos: Int): Column = {
+      val a = ascii(substring(col("h"), pos + 1, 1))
+      when(a <= 57, a - 48).otherwise(a - 87)
+    }
+    val contribs = (0 until 16).map { bit =>
+      val v = hexVal(bit / 4)
+      val b = floor(v.cast("double") / lit((1 << (3 - bit % 4)).toDouble)).cast("int") % 2
+      (b * 2 - 1).as(s"c$bit")
+    }
+    val summed = tok.select((col(idCol) +: contribs): _*)
+      .groupBy(col(idCol))
+      .agg(sum(col("c0")).as("s0"), (1 until 16).map(i => sum(col(s"c$i")).as(s"s$i")): _*)
+    val bits = (0 until 16).map { i =>
+      when(col(s"s$i") > 0, lit(1 << (15 - i))).otherwise(lit(0))
+    }
+    summed.select(col(idCol), bits.reduce(_ + _).cast("int").as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxDist. Pairs are blocked
+    * by a coarse prefix (high byte) to avoid the full cross join; a 64-bit
+    * production variant would block on rotated halves (multi-probe).
+    */
+  def simhashDupPairs(sim: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+    val a = sim.select(col(idCol).as("id_a"), col("simhash").as("h_a"))
+      .withColumn("blk", floor(col("h_a") / 256).cast("int"))
+    val b = sim.select(col(idCol).as("id_b"), col("simhash").as("h_b"))
+      .withColumn("blk", floor(col("h_b") / 256).cast("int"))
+    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+      .withColumn("dist", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+  }
+}

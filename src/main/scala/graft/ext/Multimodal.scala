@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §7.6): image/audio/video payloads
+  * travel as opaque `binary` columns with typed metadata; decode / feature
+  * extraction runs batched per partition.
+  *
+  * The decode itself is STUBBED (no media libraries in this container) with
+  * a deterministic fake derived from the payload's md5 — the Spark-side
+  * contract (schema, binary column, per-partition batching, partition
+  * sizing) is real and tested. Swap `decodeBatch` for a JNI/FFI call to an
+  * actual codec in production; the operator shape (mapPartitions with
+  * buffered batches, never per-row library init) is the scale-relevant part.
+  */
+object Multimodal {
+
+  /** Typed media row: payload + envelope metadata. */
+  final case class MediaRow(media_id: Long, format: String, payload: Array[Byte])
+
+  /** Extracted features (decode stub output). */
+  final case class MediaFeatures(
+      media_id: Long, format: String, byte_len: Long, checksum: String,
+      width: Int, height: Int, channels: Int)
+
+  /** Column-level metadata that needs no decoding — runs fully codegen'd. */
+  def byteLen(payload: Column): Column = octet_length(payload)
+  def checksum(payload: Column): Column = sha2(payload, 256)
+
+  /** Deterministic fake "decoded" dimensions from the checksum — the stub
+    * the tests pin down. hexVal via ascii arithmetic (oracle-portable).
+    */
+  def fakeDims(payload: Column): Seq[Column] = {
+    val h = md5(payload)
+    def hexVal(pos: Int): Column = {
+      val a = ascii(substring(h, pos + 1, 1))
+      when(a <= 57, a - 48).otherwise(a - 87)
+    }
+    val v = hexVal(0) * 4096 + hexVal(1) * 256 + hexVal(2) * 16 + hexVal(3)
+    Seq(
+      (lit(16) + (v % 1024)).cast("int").as("width"),
+      (lit(16) + floor(v.cast("double") / 1024d).cast("int") % 64).cast("int").as("height"),
+      (lit(1) + (v % 3)).cast("int").as("channels"))
+  }
+
+  /** Batched per-partition decode stub. Mirrors the production shape: one
+    * decoder init per partition, rows processed in buffered batches (the
+    * Arrow-batch analogue), emitting a typed feature row per media row.
+    */
+  def decodeFeatures(media: Dataset[MediaRow], batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // production: init codec handle here, once per partition
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(r.payload).map("%02x".format(_)).mkString
+          def hexVal(c: Char): Int = if (c <= '9') c - '0' else c - 'a' + 10
+          val v = hexVal(md(0)) * 4096 + hexVal(md(1)) * 256 + hexVal(md(2)) * 16 + hexVal(md(3))
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(r.payload).map("%02x".format(_)).mkString
+          MediaFeatures(r.media_id, r.format, r.payload.length.toLong, sha,
+            16 + v % 1024, 16 + (v / 1024) % 64, 1 + v % 3)
+        }
+      }
+    }
+  }
+
+  /** Frame-sampling plumbing for video-like payloads: emit `n` (offset,
+    * sliceHash) rows per payload — the Spark-side shape of per-frame
+    * extraction (generator/explode, not per-row UDF calls).
+    */
+  def sampleSlices(df: DataFrame, idCol: String, payloadCol: String, n: Int): DataFrame = {
+    val len = octet_length(col(payloadCol))
+    val idx = explode(sequence(lit(0), lit(n - 1))).as("slice_idx")
+    df.select(col(idCol), col(payloadCol), len.as("len"))
+      .where(col("len") > 0)
+      .select(col(idCol), col(payloadCol), col("len"), idx)
+      .withColumn("offset", floor(col("slice_idx") * col("len") / n).cast("int"))
+      .withColumn("slice_hash",
+        md5(col(payloadCol).substr(col("offset") + 1,
+          greatest(lit(1), floor(col("len").cast("double") / n).cast("int")))))
+      .select(col(idCol), col("slice_idx").cast("int").as("slice_idx"),
+        col("offset"), col("slice_hash"))
+  }
+}

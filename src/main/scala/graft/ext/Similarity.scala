@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §7.6): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH bucketed variant as the scale path.
+  *
+  * Scale design: the query set is broadcast (it is small relative to the
+  * corpus), so brute-force is a single corpus scan — no shuffle until the
+  * per-query top-k window, which is keyed on query id (cardinality = |Q|).
+  * The LSH variant buckets both sides on a signature of sign bits, so each
+  * corpus row is compared only against bucket-mates: the cross product
+  * shrinks from |Q|·|C| to Σ_buckets |Q_b|·|C_b|. Hyperplanes are
+  * deterministic (seeded) so plans — and the DuckDB oracle — reproduce.
+  *
+  * All float math is cast to double *before* any arithmetic and summed
+  * left-to-right (higher-order `aggregate`), mirroring the oracle SQL, then
+  * rounded to 6 dp so engine-order differences cannot flip a rank.
+  */
+object Similarity {
+
+  /** Left-to-right dot product over two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity rounded to 6 dp (rank-stable across engines). */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Exact brute-force top-k: for each row of `queries`, the k most cosine-
+    * similar rows of `corpus` (excluding self-matches on id equality).
+    * Deterministic tie-break on corpus id.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("q_vec"), col("c_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `numPlanes` × `dim` values in
+    * [-1, 1), from a fixed-seed generator. Same constants are interpolated
+    * into the oracle SQL.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(math.rint((rnd.nextDouble() * 2 - 1) * 1e6) / 1e6))
+  }
+
+  /** Sign-bit LSH bucket id for a vector: bit j = 1 iff dot(v, plane_j) > 0. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val planeArr = array(p.map(lit): _*)
+      when(dot(vec, planeArr) > 0, lit(1 << j)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _).cast("int")
+  }
+
+  /** LSH-bucketed ANN top-k: candidates share a bucket with the query.
+    * Recall < 1 by construction (that is the trade); the bucket join keys
+    * the shuffle on the bucket id.
+    */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("q_vec"), col("c_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within coarse blocks (IVF-style:
+    * `blockCol` plays the role of the coarse quantizer cell — here the
+    * pretrained cluster label; at 100 TB this is k-means assignments).
+    */
+  def cosineDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, n-gram language ID and
+  * document fingerprinting (SURVEY.md §7.6).
+  *
+  * Everything is built from codegen'd built-ins / higher-order functions —
+  * no UDFs — so a 100 TB corpus runs these as a single whole-stage-codegen
+  * scan with no shuffle (all operators are per-row).
+  *
+  * Formulations are deliberately portable to ANSI-ish SQL (the DuckDB
+  * oracle): Java-regex-only features (lookahead, \p classes) are avoided.
+  */
+object TextAnalysis {
+
+  /** Lowercase word tokens; empty tokens from leading/trailing separators
+    * are removed (split produces them; RE2/Java agree on the core pattern).
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, digit runs, and single punctuation
+    * marks each count as one token (a cheap proxy for subword tokenizers).
+    */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
+
+  /** Quality signals: char length, word count, mean word length, punctuation
+    * ratio, stopword ratio, and a boolean keep-flag. All double arithmetic
+    * is written identically in the oracle SQL so IEEE results match bit-for-
+    * bit before rounding.
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with")
+
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nWords = size(toks)
+    val nChars = length(text)
+    val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9 \\t\\n]"), lit(0)))
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    Seq(
+      nChars.as("len_chars"),
+      nWords.as("n_words"),
+      round(nChars.cast("double") / greatest(nWords, lit(1)).cast("double"), 4).as("chars_per_word"),
+      round(nPunct.cast("double") / greatest(nChars, lit(1)).cast("double"), 4).as("punct_ratio"),
+      round(nStop.cast("double") / greatest(nWords, lit(1)).cast("double"), 4).as("stopword_ratio"),
+      (nWords >= 5 && nChars >= 30 &&
+        (nPunct.cast("double") / greatest(nChars, lit(1)).cast("double")) < 0.2).as("keep"))
+  }
+
+  def withQuality(df: DataFrame, textCol: String): DataFrame =
+    df.select((df.columns.map(col) ++ qualityColumns(col(textCol))).toIndexedSeq: _*)
+
+  /** Language-ID by stopword-hit counting per language; the winner is the
+    * first language (in `langOrder`) achieving the max score. Deterministic,
+    * oracle-portable; a real pipeline would swap in a trained n-gram model —
+    * the *shape* (per-row scoring, no shuffle) is the point at scale.
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une", "est", "que"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai", "you", "ren"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    langStopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(lit): _*)))
+    }
+  }
+
+  /** First language reaching the maximum score (ties → langOrder order). */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized, lowercased,
+    * alphanumeric-only text. Two documents differing only in punctuation /
+    * casing / spacing collide — the standard "exact-ish" dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** k-word shingles of the token stream (used by MinHash and winnowing). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Canonical source contracts (SURVEY.md §1).
+  *
+  * The reference infers JSON schemas per weekly batch (el_to_parquet.py:221)
+  * and is exposed to type drift; the engine pins an explicit contract and
+  * keeps inference only as a compatibility mode.
+  *
+  * `Listing` mirrors the scraper record (reference
+  * crawler/go/common/listing.go:23-46): numerics arrive stringly-typed and
+  * are cast after cleaning.
+  */
+object Schemas {
+
+  /** The 14-column shared source contract the reference projects to
+    * (el_to_parquet.py:225-229).
+    */
+  val listingContractColumns: Seq[String] = Seq(
+    "Broker", "ContractNumber", "Title", "Description", "Price",
+    "Bedrooms", "Bathrooms", "AreaNet", "Latitude", "Longitude",
+    "Country", "County", "Parish", "Ammenities")
+
+  val listing: StructType = StructType(Seq(
+    StructField("Broker", StringType),
+    StructField("ContractNumber", StringType),
+    StructField("Title", StringType),
+    StructField("Description", StringType),
+    StructField("PriceCurrencyFormated", StringType),
+    StructField("Price", StringType),
+    StructField("Bedrooms", StringType),
+    StructField("Bathrooms", StringType),
+    StructField("AreaNet", StringType),
+    StructField("Latitude", StringType),
+    StructField("Longitude", StringType),
+    StructField("Country", StringType),
+    StructField("District", StringType),
+    StructField("County", StringType),
+    StructField("Parish", StringType),
+    StructField("City", StringType),
+    StructField("Ammenities", ArrayType(StringType)),
+    StructField("CrawledAt", TimestampType)))
+
+  /** Paged API envelope (reference crawler/go/common/listing.go:11-21):
+    * only `Properties` survives into analytics — flatten with
+    * `explode($"Properties")`.
+    */
+  val listingEnvelope: StructType = StructType(Seq(
+    StructField("Page", LongType),
+    StructField("PageCount", LongType),
+    StructField("Properties", ArrayType(listing))))
+}

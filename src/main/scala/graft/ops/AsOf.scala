@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** As-of / validity-interval join (SURVEY.md §2.4 note, §7.6): resolve, for
+  * each probe row, the dimension version whose SCD2 interval contains the
+  * probe date. The reference's SCD2 intervals carry exactly this latent
+  * semantics; the engine exposes it as a first-class operator.
+  *
+  * Plan shape: equi keys + range predicate. Catalyst executes this as a hash
+  * or sort-merge join on the equi keys with the range condition as a post-
+  * filter — per-key version counts are tiny (SCD2 history), so the filtered
+  * build side stays small. For a keyless pure range join at 100 TB, bucket
+  * both sides by coarse time bands first (`bandedRangeJoin`).
+  */
+object AsOf {
+
+  /** probes ⟕ dim on keys ∧ probe ∈ [start, end]. */
+  def joinValidInterval(
+      probes: DataFrame, dim: DataFrame, keys: Seq[String],
+      probeDate: Column, start: Column, end: Column): DataFrame = {
+    val p = probes.alias("p")
+    val m = dim.alias("m")
+    val keyCond = keys.map(k => col(s"p.$k") === col(s"m.$k")).reduce(_ && _)
+    val dimCols = dim.columns.filterNot(keys.contains).map(c => col(s"m.$c"))
+    p.join(m, keyCond && probeDate.between(start, end), "left")
+      .select(probes.columns.map(c => col(s"p.$c")) ++ dimCols: _*)
+  }
+
+  /** Scale path for keyless/low-selectivity range joins: band both sides by
+    * a coarse interval bucket, equi-join on the band, then apply the exact
+    * range predicate. Intervals spanning multiple bands are exploded on the
+    * build side; `bandWidthDays` trades replication against selectivity.
+    */
+  def bandedRangeJoin(
+      probes: DataFrame, probeDate: Column,
+      intervals: DataFrame, start: Column, end: Column,
+      bandWidthDays: Int): DataFrame = {
+    val p = probes.withColumn("__band",
+      floor(unix_date(probeDate.cast("date")) / bandWidthDays).cast("long"))
+    val i = intervals.withColumn("__band",
+      explode(sequence(
+        floor(unix_date(start.cast("date")) / bandWidthDays).cast("long"),
+        floor(unix_date(end.cast("date")) / bandWidthDays).cast("long"))))
+    p.join(i, Seq("__band")).where(probeDate.between(start, end)).drop("__band")
+  }
+}

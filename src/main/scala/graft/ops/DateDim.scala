@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Generated calendar dimension (SURVEY.md §2.6 W2/W3 + §2.7; reference
+  * sql_queries_presentation.py:55-89 — which contains a typo (`ekse`) that
+  * would fail; we implement the documented intent).
+  *
+  * Scale notes: `spark.range` is a parallel, shuffle-free source; every
+  * attribute is a pure date function so the whole dimension is one
+  * whole-stage-codegen pass. The final global sort matches the reference's
+  * `order by 1`; at 30 years × 365 days the table is ~11 K rows — broadcast
+  * material for any fact join.
+  */
+object DateDim {
+
+  /** 30 years of consecutive dates from `start` (reference default
+    * 2018-01-01, generate_series(0, 30*365)).
+    */
+  def build(spark: SparkSession, start: String = "2018-01-01", days: Int = 30 * 365): DataFrame = {
+    val d = date_add(to_date(lit(start)), col("id").cast("int"))
+    spark.range(0, days + 1L)
+      .select(
+        date_format(d, "yyyyMMdd").cast("int").as("date_id"),
+        date_format(d, "yyyy-MM-dd").as("date_str"),
+        year(d).as("year"),
+        weekofyear(d).as("week"),            // ISO week, matches Redshift WEEK
+        dayofyear(d).as("day_of_year"),
+        month(d).as("month"),
+        quarter(d).as("quarter"),
+        date_format(d, "MMMM").as("month_name"),
+        date_format(d, "EEEE").as("day_name"),
+        dayofweek(d).as("weekday"),          // 1 = Sunday, as Redshift 'D'
+        dayofweek(d).isin(1, 7).as("is_weekend"),
+        (d === last_day(d)).as("is_month_end"))
+      .orderBy(col("date_id"))
+  }
+}

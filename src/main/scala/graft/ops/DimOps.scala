@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dimension-staging operators (SURVEY.md §2.3: A1, A4 + P7/P8 composites).
+  *
+  * Reference behavior: each staging dimension is a DISTINCT projection of the
+  * cleaned base data plus a sha256 row hash used downstream for cheap SCD2
+  * change detection (reference scripts/el_to_parquet.py:177-197).
+  *
+  * Scale notes: `distinct` compiles to a partial+final HashAggregate — the
+  * map-side partial combine means the shuffle carries only unique rows per
+  * partition. The hash is computed once here so every later SCD2/delta join
+  * compares one 64-char column instead of N attribute columns.
+  */
+object DimOps {
+
+  /** A1 + P8 — distinct projection over `cols`, with a `row_hash` fingerprint
+    * of the business attributes.
+    */
+  def stageDimension(df: DataFrame, cols: Seq[String], hashCol: String = "row_hash"): DataFrame = {
+    val projected = df.select(cols.map(col): _*).distinct()
+    projected.withColumn(hashCol, CleanOps.rowHash(cols.map(col)))
+  }
+
+  /** A4 + P7 — fact grain: one stock row per source record with unit
+    * quantity and the run's stock date (reference el_to_parquet.py:195-197).
+    */
+  def factGrain(df: DataFrame, cols: Seq[String], stockDate: Column): DataFrame =
+    df.select(cols.map(col): _*)
+      .withColumn("quantity", lit(1))
+      .withColumn("stock_date", stockDate)
+}

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fact population: surrogate-key lookup via chained equi left joins
+  * (SURVEY.md §2.4 J3; reference
+  * plugins/helpers/sql_queries_presentation.py:105-140).
+  *
+  * Fixes a reference bug: dimension lookups are restricted to ACTIVE SCD2
+  * rows (the reference joins all versions and duplicates fact rows after any
+  * dimension change — SURVEY.md §5.2).
+  *
+  * Scale notes: every dimension side is wrapped in `broadcast()` — dims are
+  * orders of magnitude smaller than facts, so the fact never shuffles; the
+  * whole lookup is a chain of broadcast-hash joins over a single pass of the
+  * fact. `date_id` is derived, not joined (the date dimension is generated,
+  * so its key is a pure function of the date).
+  */
+object FactLoad {
+
+  /** One dimension lookup: (dim, join keys, surrogate id column to bring). */
+  final case class DimLookup(dim: DataFrame, keys: Seq[String], idCol: String)
+
+  /** yyyyMMdd integer date key (reference sql_queries_presentation.py:119). */
+  def dateId(c: Column): Column = date_format(c, "yyyyMMdd").cast("int")
+
+  /** Resolve surrogate keys for `fact` against each dimension via broadcast
+    * left joins, keeping `keep` fact columns plus each dim's id column.
+    */
+  def resolveKeys(fact: DataFrame, lookups: Seq[DimLookup], keep: Seq[String]): DataFrame = {
+    val joined = lookups.foldLeft(fact) { case (f, DimLookup(dim, keys, idCol)) =>
+      f.join(broadcast(dim.select((keys :+ idCol).map(col): _*)), keys, "left")
+    }
+    joined.select((keep ++ lookups.map(_.idCol)).map(col): _*)
+  }
+
+  /** Restrict an SCD2 dimension to its active rows before lookup. */
+  def activeOnly(dim: DataFrame, cfg: Scd2Config): DataFrame =
+    dim.where(col(cfg.endCol) === to_date(lit(cfg.sentinel)))
+}

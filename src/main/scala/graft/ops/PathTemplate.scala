@@ -1,0 +1,37 @@
+package graft.ops
+
+import java.time.LocalDate
+import java.time.temporal.IsoFields
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-partition handling (SURVEY.md §2.1 S2; reference resolves
+  * `/{year}/{month}/{week}/` path templates from the execution date —
+  * el_to_parquet.py:296-306, s3.go:80-90).
+  *
+  * The engine upgrades path templating to real partition columns: writers
+  * use `partitionBy("year","month","week")` and readers filter on those
+  * columns, so Catalyst partition pruning replaces manual path pruning.
+  * `resolve` is kept as a compatibility helper for path-layout sources.
+  */
+object PathTemplate {
+
+  /** ISO-week path resolution, byte-compatible with the reference layout. */
+  def resolve(template: String, date: LocalDate): String =
+    template
+      .replace("{year}", date.get(IsoFields.WEEK_BASED_YEAR).toString)
+      .replace("{month}", date.getMonthValue.toString)
+      .replace("{week}", date.get(IsoFields.WEEK_OF_WEEK_BASED_YEAR).toString)
+
+  /** Derive the partition columns from a timestamp/date column. */
+  def withTimePartitions(df: DataFrame, ts: Column): DataFrame =
+    df.withColumn("year", year(ts))
+      .withColumn("month", month(ts))
+      .withColumn("week", weekofyear(ts))
+
+  /** Reader-side pruning predicate for one ISO week. */
+  def weekFilter(date: LocalDate): Column =
+    col("year") === date.get(IsoFields.WEEK_BASED_YEAR) &&
+      col("week") === date.get(IsoFields.WEEK_OF_WEEK_BASED_YEAR)
+}

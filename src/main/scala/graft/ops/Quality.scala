@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Runtime data-quality assertions (SURVEY.md §2.3 A2/A3; reference
+  * plugins/operators/data_quality_count_operator.py and
+  * data_quality_dimension_operator.py).
+  *
+  * Each check has a DataFrame form (composable / oracle-checkable) and an
+  * asserting form used by the pipeline (fail-fast, like the reference's
+  * Airflow operators).
+  */
+object Quality {
+
+  final case class QualityException(msg: String) extends RuntimeException(msg)
+
+  /** A2 — non-empty-table assertion. */
+  def requireNonEmpty(df: DataFrame, what: String): Unit =
+    if (df.isEmpty) throw QualityException(s"quality check failed: $what is empty")
+
+  /** A3 — SCD2 invariant: at most one active row per business key.
+    * (Reference checks the wrong sentinel — SURVEY.md §5.2; fixed here.)
+    */
+  def requireUniqueActive(target: DataFrame, cfg: Scd2Config): Unit = {
+    val dups = Scd2.duplicateActiveKeys(target, cfg)
+    if (!dups.isEmpty)
+      throw QualityException(
+        s"quality check failed: duplicate active SCD2 rows for keys ${cfg.keys.mkString(",")}")
+  }
+
+  /** Generic duplicate-grain check as a DataFrame (groups violating
+    * uniqueness of `keys`).
+    */
+  def duplicateGroups(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).count().where(col("count") > 1)
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SCD-type-2 merge as a batch rewrite (SURVEY.md §2.4 J1/J2, §2.6 W1, §7.4).
+  *
+  * The reference performs SCD2 with two generated Redshift statements
+  * (reference plugins/operators/dimension_operator.py:13-64): an UPDATE that
+  * closes changed active rows and an INSERT that adds new versions. Parquet
+  * has no UPDATE, so the merge is re-expressed as a full-table rewrite:
+  *
+  *   newTarget = history ∪ unchangedActive ∪ closedChanged ∪ newVersions
+  *
+  * Change detection compares the precomputed sha256 `row_hash` (one column,
+  * not N). Surrogate ids are deterministic: existing rows keep their id; new
+  * versions get `maxExistingId + row_number()` ordered by business key
+  * (dense, stable across reruns — `monotonically_increasing_id` is neither).
+  *
+  * Scale notes: `base` and `target` join on the business keys; dimensions are
+  * small relative to facts, so Catalyst picks broadcast-hash joins (AQE
+  * converts at runtime otherwise). The only single-partition step is the
+  * `row_number` over new versions — bounded by the delta size, not the
+  * dimension size; for very large deltas use
+  * `SurrogateKeys.withPartitionedIds`. The merge is idempotent: re-running on
+  * unchanged input produces a byte-identical table (hash equality ⇒ both
+  * legs empty).
+  */
+final case class Scd2Config(
+    keys: Seq[String],
+    attrs: Seq[String],
+    idCol: String = "id",
+    hashCol: String = "row_hash",
+    startCol: String = "record_start_date",
+    endCol: String = "record_end_date",
+    sentinel: String = "9999-12-31")
+
+object Scd2 {
+
+  /** Stamp a staged dimension as an initial SCD2 target (first load). */
+  def initialLoad(base: DataFrame, cfg: Scd2Config, runDate: Column): DataFrame = {
+    val w = Window.orderBy(cfg.keys.map(col): _*)
+    base
+      .withColumn(cfg.idCol, row_number().over(w).cast("long"))
+      .withColumn(cfg.startCol, runDate.cast("date"))
+      .withColumn(cfg.endCol, to_date(lit(cfg.sentinel)))
+      .select(outputCols(cfg).map(col): _*)
+  }
+
+  /** J1 + J2 + union — the SCD2 merge rewrite. `target` is the current
+    * dimension table, `base` the freshly staged snapshot (keys ++ attrs ++
+    * hash). Returns the complete next version of the dimension.
+    */
+  def merge(target: DataFrame, base: DataFrame, cfg: Scd2Config, runDate: Column): DataFrame = {
+    val keyCols = cfg.keys
+    val sentinelD = to_date(lit(cfg.sentinel))
+
+    val t = target.alias("t")
+    val b = base.alias("b")
+    val active  = t.where(col(s"t.${cfg.endCol}") === sentinelD)
+    val history = target.where(col(cfg.endCol) =!= sentinelD)
+
+    val joinCond = keyCols.map(k => col(s"t.$k") === col(s"b.$k")).reduce(_ && _)
+
+    // Active rows joined to this run's snapshot; null b-side ⇒ key absent.
+    val activeXbase = active.join(b, joinCond, "left")
+    val changed = col(s"b.${cfg.hashCol}").isNotNull &&
+      col(s"t.${cfg.hashCol}") =!= col(s"b.${cfg.hashCol}")
+
+    val unchangedActive = activeXbase.where(!coalesce(changed, lit(false)))
+      .select(outputCols(cfg).map(c => col(s"t.$c")): _*)
+    val closedChanged = activeXbase.where(changed)
+      .select((outputCols(cfg).filterNot(_ == cfg.endCol).map(c => col(s"t.$c")) :+
+        date_sub(runDate.cast("date"), 1).as(cfg.endCol)): _*)
+
+    // Insert leg: brand-new keys ∪ changed keys, as fresh active versions.
+    val bXactive = b.join(active, joinCond, "left")
+    val needsVersion = bXactive.where(
+      col(s"t.${cfg.idCol}").isNull || col(s"t.${cfg.hashCol}") =!= col(s"b.${cfg.hashCol}"))
+      .select((keyCols ++ cfg.attrs :+ cfg.hashCol).map(c => col(s"b.$c")): _*)
+
+    // Deterministic dense ids: maxExistingId + row_number ordered by key.
+    // max(id) rides along as a broadcast one-row cross join — keeps the merge
+    // a single lazy plan (and SQL-expressible for the oracle).
+    val maxId = target.agg(coalesce(max(col(cfg.idCol)), lit(0L)).as("__max_id"))
+    val w = Window.orderBy(keyCols.map(col): _*)
+    val newVersions = needsVersion
+      .crossJoin(broadcast(maxId))
+      .withColumn(cfg.idCol, (col("__max_id") + row_number().over(w)).cast("long"))
+      .withColumn(cfg.startCol, runDate.cast("date"))
+      .withColumn(cfg.endCol, sentinelD)
+      .select(outputCols(cfg).map(col): _*)
+
+    history.select(outputCols(cfg).map(col): _*)
+      .unionByName(unchangedActive)
+      .unionByName(closedChanged)
+      .unionByName(newVersions)
+  }
+
+  /** A3 (corrected sentinel — reference DQ checks '99990101' while writing
+    * '99991231'; we check what we write): business keys with more than one
+    * active row. Must be empty after any merge.
+    */
+  def duplicateActiveKeys(target: DataFrame, cfg: Scd2Config): DataFrame =
+    target.where(col(cfg.endCol) === to_date(lit(cfg.sentinel)))
+      .groupBy(cfg.keys.map(col): _*)
+      .count()
+      .where(col("count") > 1)
+
+  def outputCols(cfg: Scd2Config): Seq[String] =
+    (cfg.idCol +: (cfg.keys ++ cfg.attrs)) ++ Seq(cfg.hashCol, cfg.startCol, cfg.endCol)
+}

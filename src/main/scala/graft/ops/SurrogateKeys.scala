@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic surrogate-key assignment (SURVEY.md §2.6 W1; reference
+  * `bigint identity(0,1)` on every dimension —
+  * sql_queries_presentation.py:11,34,45,94).
+  *
+  * Contract: ids are dense (1..n), start at `offset + 1`, and are a pure
+  * function of the business-key ordering — stable across reruns on the same
+  * input. `monotonically_increasing_id` is rejected: not dense, partition-
+  * layout-dependent.
+  */
+object SurrogateKeys {
+
+  /** Dense ids over a global ordering. Single-partition window — use only
+    * for dimension-sized data (the reference's identity columns are all on
+    * dimensions or delta-sized inserts).
+    */
+  def withIds(df: DataFrame, idCol: String, orderBy: Seq[String], offset: Long = 0L): DataFrame = {
+    val w = Window.orderBy(orderBy.map(col): _*)
+    df.withColumn(idCol, (row_number().over(w) + lit(offset)).cast("long"))
+  }
+
+  /** Scale path for fact-sized data: two-phase dense ids without a global
+    * sort. Phase 1 counts rows per sort-partition; phase 2 offsets each
+    * partition's local row_number by the running total of preceding
+    * partitions. The per-partition counts are tiny (numPartitions rows) and
+    * broadcast. Ordering is by (`partitionExpr`, `orderBy`) — callers pick a
+    * partition expression that respects their global order (e.g. a
+    * range-partitioned prefix of the business key).
+    */
+  def withPartitionedIds(
+      df: DataFrame, idCol: String, partitionExpr: Column, orderBy: Seq[String],
+      offset: Long = 0L): DataFrame = {
+    val withPart = df.withColumn("__pid", partitionExpr)
+    val counts = withPart.groupBy(col("__pid")).count()
+      .withColumn("__base",
+        coalesce(
+          sum(col("count")).over(
+            Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__base"))
+    val w = Window.partitionBy(col("__pid")).orderBy(orderBy.map(col): _*)
+    withPart.join(broadcast(counts), "__pid")
+      .withColumn(idCol, (row_number().over(w) + col("__base") + lit(offset)).cast("long"))
+      .drop("__pid", "__base")
+  }
+}

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local pre-validation mimicking the driver's DuckDB oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+
+Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB against views
+over <sfDir>/*.parquet, loads the Spark result parquet from
+<verifyOutDir>/<name>/, sorts columns by name and rows by value, and
+compares cell-by-cell. Exit code 1 if any query mismatches.
+"""
+import json
+import sys
+import glob
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    failures = 0
+    for name in sorted(oracles):
+        if only and name not in only:
+            continue
+        sql = oracles[name]
+        try:
+            oracle = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {str(e)[:300]}")
+            failures += 1
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            failures += 1
+            continue
+        spark = con.execute(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        o = oracle.reindex(sorted(oracle.columns), axis=1)
+        s = spark.reindex(sorted(spark.columns), axis=1)
+        if list(o.columns) != list(s.columns):
+            print(f"FAIL {name}: columns oracle={list(o.columns)} "
+                  f"spark={list(s.columns)}")
+            failures += 1
+            continue
+        if len(o) != len(s):
+            print(f"FAIL {name}: rows oracle={len(o)} spark={len(s)}")
+            failures += 1
+            continue
+        o = o.sort_values(by=list(o.columns), ignore_index=True)
+        s = s.sort_values(by=list(s.columns), ignore_index=True)
+        mismatch = None
+        for c in o.columns:
+            oc, sc = o[c], s[c].astype(o[c].dtype, errors="ignore") \
+                if o[c].dtype != s[c].dtype else s[c]
+            try:
+                eq = (oc == sc) | (oc.isna() & sc.isna())
+            except Exception:
+                eq = oc.astype(str) == sc.astype(str)
+            if not eq.all():
+                i = int((~eq).idxmax())
+                mismatch = (c, i, oc[i], sc[i])
+                break
+        if mismatch:
+            c, i, ov, sv = mismatch
+            print(f"FAIL {name}: col {c} row {i}: oracle={ov!r} spark={sv!r}")
+            failures += 1
+        else:
+            print(f"ok   {name}: {len(o)} rows x {len(o.columns)} cols")
+    if failures:
+        print(f"{failures} FAILURES")
+        sys.exit(1)
+    print("all green")
+
+
+if __name__ == "__main__":
+    main()

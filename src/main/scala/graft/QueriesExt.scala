@@ -118,10 +118,11 @@ object QueriesExt {
     // MinHash signatures + LSH band keys
     Q("q24_minhash_sig",
       (s, d) => {
-        val sig = Dedup.minhashSignature(col("text"), 3, 12)
-        val bandCols = Dedup.bandKeys(sig, 4, 3).map { case (i, k) => k.as(s"band$i") }
-        t(s, d, "documents")
-          .select((col("doc_id") +: concat_ws(",", sig).as("sig") +: bandCols): _*)
+        val sh = Dedup.shingleSets(t(s, d, "documents"), "doc_id", "text", 3)
+        val sig = Dedup.minhashSignatureTable(sh, 12)
+        val bandCols = Dedup.bandKeys(col("sig"), 4, 3).map { case (i, k) => k.as(s"band$i") }
+        sig.select((col("id").as("doc_id") +: concat_ws(",", col("sig")).as("sig")
+            +: bandCols): _*)
           .orderBy(col("doc_id"))
       },
       Some {

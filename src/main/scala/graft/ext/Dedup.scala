@@ -55,42 +55,65 @@ object Dedup {
       i -> md5(concat_ws("|", slice(sig, i * rowsPerBand + 1, rowsPerBand)))
     }
 
+  /** Distinct k-shingle sets: (id, sh). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.shingles(col(textCol), shingleK)).as("sh"))
+
+  /** MinHash signatures via explode → per-seed md5 → groupBy(min).
+    *
+    * This shape computes each md5 exactly once (numHashes per exploded
+    * shingle row) and aggregates with map-side partial min — unlike the
+    * column-expression form, which Catalyst's CollapseProject happily
+    * inlines into every downstream use (measured 20× blowup on the LSH band
+    * keys). Shuffle volume: one row per doc. Returns (id, sig array<string>).
+    */
+  def minhashSignatureTable(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val exploded = shingles.select(col("id"), explode(col("sh")).as("s"))
+    val hashed = exploded.select(
+      (col("id") +: (0 until numHashes).map(j =>
+        md5(concat(lit(s"$j:"), col("s"))).as(s"h$j"))): _*)
+    hashed.groupBy(col("id"))
+      .agg(min(col("h0")).as("m0"),
+        (1 until numHashes).map(j => min(col(s"h$j")).as(s"m$j")): _*)
+      .select(col("id"),
+        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
   /** MinHash-LSH candidate pairs verified by exact shingle Jaccard.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     *
-    * The bucket join shuffles on (band, key) — corpus-linear; the pairwise
-    * Jaccard only runs on bucket-mates. Duplicate candidates from multiple
-    * agreeing bands are collapsed with `distinct` *before* verification.
+    * The bucket join carries only (id, band, key) — corpus-linear shuffle;
+    * shingle sets are joined back (by id) solely for the bucket-mates that
+    * survive `distinct`. The pairwise Jaccard never sees non-candidates.
     */
   def minhashDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
       threshold: Double = 0.6): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = df.select(
-      col(idCol).as("id"),
-      array_distinct(TextAnalysis.shingles(col(textCol), shingleK)).as("sh"),
-      minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
+    val sh = shingleSets(df, idCol, textCol, shingleK)
+    val sig = minhashSignatureTable(sh, numHashes)
 
-    val banded = sh.select(
-      col("id"), col("sh"),
+    val banded = sig.select(
+      col("id"),
       explode(array(bandKeys(col("sig"), bands, rowsPerBand).map { case (i, k) =>
         struct(lit(i).as("band"), k.as("key"))
       }: _*)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    val cand = a.join(b,
+    val cand = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    val withSets = cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     val inter = size(filter(col("sh_a"), x => array_contains(col("sh_b"), x)))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
-    cand
+    withSets
       .withColumn("jaccard", round(inter.cast("double") / union.cast("double"), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -39,14 +39,23 @@ object Similarity {
     * similar rows of `corpus` (excluding self-matches on id equality).
     * Deterministic tie-break on corpus id.
     */
+  /** cos from a precomputed-norm pair — numerically identical to `cosine`
+    * (same sqrt/dot doubles), but each side's norm is evaluated once per row
+    * instead of once per pair.
+    */
+  private def cosPrenormed: Column =
+    round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6)
+
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), cosine(col("q_vec"), col("c_vec")).as("cos"))
+      .select(col("q_id"), col("c_id"), cosPrenormed.as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -80,12 +89,12 @@ object Similarity {
       k: Int, numPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      norm(col(vecCol)).as("q_norm"), lshBucket(col(vecCol), planes).as("bucket"))
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      norm(col(vecCol)).as("c_norm"), lshBucket(col(vecCol), planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), cosine(col("q_vec"), col("c_vec")).as("cos"))
+      .select(col("q_id"), col("c_id"), cosPrenormed.as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -99,10 +108,12 @@ object Similarity {
   def cosineDupPairs(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
+      col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
     a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", cosPrenormed)
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.CleanOps
+
+class CleanOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("snakeCase handles CamelCase, acronyms, digits; idempotent") {
+    assert(CleanOps.snakeCase("PriceCurrencyFormated") == "price_currency_formated")
+    assert(CleanOps.snakeCase("AreaNet") == "area_net")
+    assert(CleanOps.snakeCase("HTMLBody") == "html_body")
+    assert(CleanOps.snakeCase("Price2Go") == "price2_go")
+    val once = CleanOps.snakeCase("ContractNumber")
+    assert(CleanOps.snakeCase(once) == once)
+  }
+
+  test("limitLength truncates only beyond the boundary (250 exact stays)") {
+    val df = Seq("a" * 249, "b" * 250, "c" * 251).toDF("t")
+      .select(length(CleanOps.limitLength($"t", 250)).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(249, 250, 250))
+  }
+
+  test("rowHash: concat_ws skips nulls (reference-faithful collision)") {
+    val df = Seq(("a", Option.empty[String]), (null.asInstanceOf[String], Some("a")))
+      .toDF("x", "y")
+    val hashes = df.select(CleanOps.rowHash(Seq($"x", $"y")).as("h")).as[String].collect()
+    assert(hashes(0) == hashes(1), "reference semantics: null-skip collides")
+    val safe = df.select(CleanOps.rowHashNullSafe(Seq($"x", $"y")).as("h")).as[String].collect()
+    assert(safe(0) != safe(1), "null-safe variant distinguishes")
+  }
+
+  test("parsePrice strips currency and grouping") {
+    val df = Seq("€ 1,234.56", "$999", "1 250 000.5 EUR").toDF("p")
+      .select(CleanOps.parsePrice($"p").as("v"))
+    assert(df.as[Double].collect().toSeq == Seq(1234.56, 999.0, 1250000.5))
+  }
+
+  test("digitSum sums digit values, 0 when none") {
+    val df = Seq("2 Box Fechada 3", "no digits", "99").toDF("t")
+      .select(CleanOps.digitSum($"t").as("v"))
+    assert(df.as[Int].collect().toSeq == Seq(5, 0, 18))
+  }
+
+  test("adminField splits, trims, strips parentheticals") {
+    val df = Seq("Portugal, Lisboa (distrito), Cascais").toDF("loc")
+      .select(CleanOps.adminField($"loc", 2).as("v"))
+    assert(df.as[String].head() == "Lisboa")
+  }
+
+  test("stripAllTags removes tags; keep-anchors variant preserves <a>") {
+    val df = Seq("<p>Hello <a href=x>link</a> <b>world</b></p>").toDF("t")
+    assert(df.select(CleanOps.stripAllTags($"t")).as[String].head() == "Hello link world")
+    assert(df.select(CleanOps.stripHtmlKeepAnchors($"t")).as[String].head() ==
+      "Hello <a href=x>link</a> world")
+  }
+
+  test("fill defaults: numeric -1, text Unknown") {
+    val df = Seq((Some(1.0), Some("x")), (None, None))
+      .toDF("n", "t")
+    val filled = CleanOps.fillTextDefaults(CleanOps.fillNumericDefaults(df, Seq("n")), Seq("t"))
+    assert(filled.collect().toSeq == Seq(Row(1.0, "x"), Row(-1.0, "Unknown")))
+  }
+}

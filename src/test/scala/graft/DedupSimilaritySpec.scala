@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The quick brown fox jumps over the lazy dog!"), // exact-ish dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat and then runs away"),
+    (4L, "completely different content about spark engines and shuffles"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exact dedup keeps the minimum id per fingerprint group") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+      .where($"n_dups" > 1).collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("keep_id") == 1L)
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash pairs finds the planted near-dup and not the distinct doc") {
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical text -> identical hash; near text -> small hamming") {
+    val sim = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sim(1L) == sim(2L), "same tokens, same simhash")
+    assert(Integer.bitCount(sim(1L) ^ sim(3L)) <= 8, "near text, near hash")
+    assert(!sim.contains(5L), "empty text yields no tokens, no simhash row")
+  }
+
+  test("bruteForceTopK: self excluded, identical vector found at rank 1 cos 1") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)), (4L, Array(0.9f, 0.1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs.where($"vec_id" === 1), vecs,
+      "vec_id", "embedding", k = 2).collect()
+    assert(top.forall(_.getAs[Long]("c_id") != 1L))
+    val r1 = top.find(_.getAs[Int]("rank") == 1).get
+    assert(r1.getAs[Long]("c_id") == 2L && r1.getAs[Double]("cos") == 1.0)
+  }
+
+  test("lshTopK: identical vectors land in the same bucket and are found") {
+    val vecs = Seq(
+      (1L, Array.fill(64)(0.5f)), (2L, Array.fill(64)(0.5f)),
+      (3L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.lshTopK(vecs.where($"vec_id" === 1), vecs,
+      "vec_id", "embedding", k = 1, numPlanes = 6, dim = 64).collect()
+    assert(top.length == 1 && top.head.getAs[Long]("c_id") == 2L)
+  }
+}

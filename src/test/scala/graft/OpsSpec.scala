@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+import graft.ext.Multimodal
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("DateDim: leap day, ISO week boundary, month end, weekday") {
+    val dd = DateDim.build(spark).where(
+      col("date_str").isin("2020-02-29", "2021-01-01", "2018-12-31", "2024-03-31"))
+      .collect().map(r => r.getAs[String]("date_str") -> r).toMap
+    val leap = dd("2020-02-29")
+    assert(leap.getAs[Int]("day_of_year") == 60 && leap.getAs[Boolean]("is_month_end"))
+    // 2021-01-01 is a Friday in ISO week 53 of 2020
+    val ny = dd("2021-01-01")
+    assert(ny.getAs[Int]("week") == 53 && ny.getAs[String]("day_name") == "Friday")
+    // 2018-12-31 (Monday) belongs to ISO week 1 of 2019
+    assert(dd("2018-12-31").getAs[Int]("week") == 1)
+    assert(dd("2024-03-31").getAs[Boolean]("is_weekend"))
+  }
+
+  test("SurrogateKeys.withIds: dense, ordered, offset") {
+    val ids = SurrogateKeys.withIds(Seq("c", "a", "b").toDF("k"), "id", Seq("k"), offset = 10)
+      .orderBy("k").select("id").as[Long].collect()
+    assert(ids.toSeq == Seq(11L, 12L, 13L))
+  }
+
+  test("SurrogateKeys.withPartitionedIds matches global ordering without global sort") {
+    val df = (1 to 100).map(i => (i % 10, i)).toDF("p", "v")
+    val ids = SurrogateKeys.withPartitionedIds(df, "id", col("p"), Seq("v"))
+      .orderBy("p", "v").select("id").as[Long].collect()
+    assert(ids.toSeq == (1L to 100L).toSeq)
+  }
+
+  test("PathTemplate resolves ISO year/week and builds pruning filter") {
+    val d = java.time.LocalDate.parse("2024-01-10")
+    assert(PathTemplate.resolve("s3://b/{year}/{month}/{week}/", d) == "s3://b/2024/1/2/")
+    // 2018-12-31: ISO year 2019 week 1 — template must use ISO year
+    val boundary = java.time.LocalDate.parse("2018-12-31")
+    assert(PathTemplate.resolve("{year}-{week}", boundary) == "2019-1")
+    val rows = Seq("2024-01-10", "2024-01-20").map(java.sql.Date.valueOf).toDF("d")
+    val filtered = PathTemplate.withTimePartitions(rows, col("d"))
+      .where(PathTemplate.weekFilter(d))
+    assert(filtered.count() == 1)
+  }
+
+  test("Quality assertions fail on empty input and duplicate active keys") {
+    intercept[Quality.QualityException] {
+      Quality.requireNonEmpty(Seq.empty[Int].toDF("x"), "t")
+    }
+    Quality.requireNonEmpty(Seq(1).toDF("x"), "t")
+  }
+
+  test("FactLoad.resolveKeys resolves chained lookups; dateId formats") {
+    val fact = Seq((1L, "2024-03-05")).toDF("k", "ds")
+      .select($"k", to_date($"ds").as("d"))
+    val dim = Seq((1L, 7L)).toDF("k", "other")
+    val out = FactLoad.resolveKeys(fact.withColumn("date_id", FactLoad.dateId($"d")),
+      Seq(FactLoad.DimLookup(dim, Seq("k"), "other")), Seq("k", "date_id"))
+    val r = out.collect().head
+    assert(r.getAs[Int]("date_id") == 20240305 && r.getAs[Long]("other") == 7L)
+  }
+
+  test("AsOf.joinValidInterval picks the version containing the probe date") {
+    val dim = Seq(
+      (1L, "v1", "2026-01-01", "2026-01-31"),
+      (1L, "v2", "2026-02-01", "9999-12-31")).toDF("k", "v", "s", "e")
+      .select($"k", $"v", to_date($"s").as("s"), to_date($"e").as("e"))
+    val probes = Seq((1L, "2026-01-15"), (1L, "2026-03-01")).toDF("k", "p")
+      .select($"k", to_date($"p").as("p"))
+    val out = AsOf.joinValidInterval(probes, dim, Seq("k"), col("p"), col("s"), col("e"))
+      .orderBy("p").select("v").as[String].collect()
+    assert(out.toSeq == Seq("v1", "v2"))
+  }
+
+  test("Multimodal: mapPartitions decode stub agrees with the column stub") {
+    implicit val s = spark
+    val media = Seq(
+      Multimodal.MediaRow(1L, "png", "hello world".getBytes("UTF-8")),
+      Multimodal.MediaRow(2L, "wav", Array[Byte](0, 1, 2, 3)))
+      .toDS()
+    val typed = Multimodal.decodeFeatures(media).collect().map(f => f.media_id -> f).toMap
+    val cols = media.toDF().select(
+      (Seq(col("media_id"), Multimodal.byteLen(col("payload")).as("byte_len"),
+        Multimodal.checksum(col("payload")).as("checksum")) ++
+        Multimodal.fakeDims(col("payload"))): _*)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(typed(id).byte_len == cols(id).getAs[Int]("byte_len").toLong)
+      assert(typed(id).checksum == cols(id).getAs[String]("checksum"))
+      assert(typed(id).width == cols(id).getAs[Int]("width"))
+      assert(typed(id).height == cols(id).getAs[Int]("height"))
+      assert(typed(id).channels == cols(id).getAs[Int]("channels"))
+    }
+  }
+
+  test("Multimodal.sampleSlices emits n offsets with hashes") {
+    val df = Seq((1L, "abcdefgh")).toDF("media_id", "payload")
+    val out = Multimodal.sampleSlices(df, "media_id", "payload", 4)
+      .orderBy("slice_idx").collect()
+    assert(out.map(_.getAs[Int]("offset")).toSeq == Seq(0, 2, 4, 6))
+    assert(out.map(_.getAs[String]("slice_hash")).distinct.length == 4)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DimOps, Scd2, Scd2Config}
+
+class Scd2Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val cfg = Scd2Config(keys = Seq("k"), attrs = Seq("v"))
+
+  def stage(rows: Seq[(String, String)]): DataFrame =
+    DimOps.stageDimension(rows.toDF("k", "v"), Seq("k", "v"))
+
+  def mergeSeq(snapshots: Seq[Seq[(String, String)]]): DataFrame = {
+    val dates = (1 to snapshots.size).map(i => f"2026-01-$i%02d")
+    val init = Scd2.initialLoad(stage(snapshots.head), cfg, to_date(lit(dates.head)))
+    snapshots.tail.zip(dates.tail).foldLeft(init) { case (target, (snap, date)) =>
+      Scd2.merge(target, stage(snap), cfg, to_date(lit(date)))
+    }
+  }
+
+  test("merge closes changed, inserts new version, keeps unchanged and absent") {
+    val out = mergeSeq(Seq(
+      Seq("a" -> "1", "b" -> "2", "c" -> "3"),
+      Seq("a" -> "1", "b" -> "9", "d" -> "4"))) // b changed, c absent, d new
+      .select("id", "k", "v", "record_start_date", "record_end_date")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDate(3).toString, r.getDate(4).toString)).toSet
+    assert(out == Set(
+      (1L, "a", "1", "2026-01-01", "9999-12-31"),
+      (2L, "b", "2", "2026-01-01", "2026-01-01"),   // closed at runDate-1
+      (3L, "c", "3", "2026-01-01", "9999-12-31"),   // absent keys stay active
+      (4L, "b", "9", "2026-01-02", "9999-12-31"),
+      (5L, "d", "4", "2026-01-02", "9999-12-31")))
+  }
+
+  test("re-merging an identical snapshot is a no-op (idempotence)") {
+    val s1 = Seq("a" -> "1", "b" -> "2")
+    val once = mergeSeq(Seq(s1, s1))
+    val init = Scd2.initialLoad(stage(s1), cfg, to_date(lit("2026-01-01")))
+    assert(once.collect().toSet == init.collect().toSet)
+  }
+
+  test("property: one active row per key, non-overlapping intervals, dense ids") {
+    val rnd = new scala.util.Random(42)
+    val keys = Seq("a", "b", "c", "d", "e")
+    for (trial <- 1 to 8) {
+      val snaps = Seq.fill(3)(
+        keys.filter(_ => rnd.nextBoolean())
+          .map(k => k -> (1 + rnd.nextInt(3)).toString))
+        .filter(_.nonEmpty)
+      if (snaps.nonEmpty) {
+        val out = mergeSeq(snaps)
+        // exactly one active row per key ever seen
+        val active = out.where($"record_end_date" === to_date(lit("9999-12-31")))
+          .groupBy("k").count().where($"count" =!= 1).count()
+        assert(active == 0, s"trial $trial snaps $snaps")
+        // intervals per key don't overlap: start of next > end of previous
+        val rows = out.select("k", "record_start_date", "record_end_date")
+          .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getDate(2).toLocalDate))
+        rows.groupBy(_._1).values.foreach { vs =>
+          val sorted = vs.toSeq.sortBy(_._2.toEpochDay)
+          sorted.sliding(2).foreach {
+            case Seq((_, _, e1), (_, s2, _)) => assert(e1.isBefore(s2))
+            case _ =>
+          }
+        }
+        // ids are dense 1..n
+        val ids = out.select("id").as[Long].collect().sorted
+        assert(ids.toSeq == (1L to ids.length).toSeq, s"trial $trial")
+      }
+    }
+  }
+
+  test("duplicateActiveKeys flags a corrupted dimension") {
+    val good = Scd2.initialLoad(stage(Seq("a" -> "1")), cfg, to_date(lit("2026-01-01")))
+    assert(Scd2.duplicateActiveKeys(good, cfg).isEmpty)
+    val bad = good.unionByName(good.withColumn("id", lit(99L)))
+    assert(!Scd2.duplicateActiveKeys(bad, cfg).isEmpty)
+  }
+}

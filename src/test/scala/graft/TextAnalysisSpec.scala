@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("tokens lowercases, splits on non-alnum, drops empties") {
+    val out = Seq("Hello, World!  42x").toDF("text")
+      .select(TextAnalysis.tokens($"text").as("t")).as[Seq[String]].head()
+    assert(out == Seq("hello", "world", "42x"))
+  }
+
+  test("shingles: k-grams when enough tokens, whole text otherwise, empty text") {
+    def sh(s: String) = Seq(s).toDF("text")
+      .select(TextAnalysis.shingles($"text", 3).as("s")).as[Seq[String]].head()
+    assert(sh("a b c d") == Seq("a b c", "b c d"))
+    assert(sh("a b") == Seq("a b"))
+    assert(sh("") == Seq(""))
+  }
+
+  test("fingerprint collapses case/punctuation/spacing variants") {
+    val fps = Seq("Hello,   World!", "hello world", "HELLO-WORLD", "hello words")
+      .toDF("text").select(TextAnalysis.fingerprint($"text").as("f")).as[String].collect()
+    assert(fps(0) == fps(1) && fps(1) == fps(2))
+    assert(fps(3) != fps(0))
+  }
+
+  test("langId picks max-scoring language, first wins ties, und when no hits") {
+    def lid(s: String) = Seq(s).toDF("text")
+      .select(TextAnalysis.langId($"text").as("l")).as[String].head()
+    assert(lid("the cat and the dog is here") == "en")
+    assert(lid("der hund und die katze ist nicht da") == "de")
+    assert(lid("xyzzy qwerty") == "und")
+  }
+
+  test("quality columns: counts and keep flag") {
+    val row = Seq("The quick brown fox jumps over the lazy dog today")
+      .toDF("text")
+      .select((col("text") +: TextAnalysis.qualityColumns($"text")): _*)
+      .collect().head
+    assert(row.getAs[Int]("n_words") == 10)
+    assert(row.getAs[Boolean]("keep"))
+    val spam = Seq("!!! ??? ***").toDF("text")
+      .select(TextAnalysis.qualityColumns($"text"): _*).collect().head
+    assert(!spam.getAs[Boolean]("keep"))
+  }
+
+  test("token counts: bpe-ish splits letter runs, digits, punctuation") {
+    val row = Seq("don't stop 123 now!").toDF("text").select(
+      TextAnalysis.tokenCountWs($"text").as("ws"),
+      TextAnalysis.tokenCountBpeish($"text").as("bpe")).collect().head
+    // ws tokens: don, t, stop, 123, now -> 5
+    assert(row.getAs[Int]("ws") == 5)
+    // bpe-ish: don ' t stop 123 now ! -> 7
+    assert(row.getAs[Int]("bpe") == 7)
+  }
+}

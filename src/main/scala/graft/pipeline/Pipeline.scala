@@ -1,0 +1,164 @@
+package graft.pipeline
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.model.Schemas
+import graft.ops._
+
+/** The end-to-end pipeline: the reference's whole Airflow DAG (scrape-side
+  * excluded) collapsed into one lazily-composed Spark job —
+  * Ingest → Clean → StageDims → Scd2Merge×3 → FactLoad → DQ
+  * (SURVEY.md §3.2). Each stage is a pure DataFrame function; node
+  * boundaries exist only at shuffles.
+  *
+  * Scale notes: the cleaned base is persisted once and feeds all four
+  * staging branches (the reference caches at the same point —
+  * el_to_parquet.py:324; Spark does not share subplans across actions, so
+  * this is a deliberate engine feature). Writes are idempotent overwrites.
+  * Dimension merges broadcast the delta; the fact load is a chain of
+  * broadcast joins against active dimension rows.
+  */
+object Pipeline {
+
+  final case class Config(
+      warehouseDir: String,
+      runDate: LocalDate,
+      truncateAt: Int = 250)
+
+  /** The snake_cased 14-column staging contract. */
+  val contractCols: Seq[String] = Schemas.listingContractColumns.map(CleanOps.snakeCase)
+
+  val numericCols = Seq("price", "bedrooms", "bathrooms", "area_net", "latitude", "longitude")
+  val textCols = Seq("broker", "contract_number", "title", "description",
+    "country", "county", "parish")
+
+  val brokerCfg = Scd2Config(keys = Seq("broker"), attrs = Seq())
+  val geographyCfg = Scd2Config(keys = Seq("country", "county", "parish"), attrs = Seq())
+  val assetCfg = Scd2Config(
+    keys = Seq("contract_number"),
+    attrs = Seq("title", "description", "price", "bedrooms", "bathrooms", "area_net",
+      "latitude", "longitude"))
+
+  /** S1 — read a listings JSON feed against the pinned contract schema. */
+  def readListings(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.listing).json(path)
+
+  /** Envelope variant: `{Page, PageCount, Properties: [...]}` → one row per
+    * listing (explode, the Spark-native UNNEST).
+    */
+  def flattenEnvelope(envelope: DataFrame): DataFrame =
+    envelope.select(explode(col("Properties")).as("p")).select(col("p.*"))
+
+  /** Clean: rename (P4), select contract (S3), snake_case (P6), HTML strip
+    * (P3), truncation (P5), numeric casts, null defaults (P1/P2).
+    */
+  def clean(listings: DataFrame, truncateAt: Int = 250): DataFrame = {
+    val renamed = listings
+      .drop("Price")
+      .withColumnRenamed("PriceCurrencyFormated", "Price")
+    val contract = renamed.select(Schemas.listingContractColumns.map(col): _*)
+    val snake = CleanOps.snakeCaseColumns(contract)
+    val stripped = snake
+      .withColumn("description", CleanOps.limitLength(
+        CleanOps.stripHtmlKeepAnchors(col("description")), truncateAt))
+      .withColumn("title", CleanOps.limitLength(col("title"), truncateAt))
+      .withColumn("price", CleanOps.parsePrice(col("price")))
+      .withColumn("bedrooms", expr("try_cast(bedrooms AS double)"))
+      .withColumn("bathrooms", expr("try_cast(bathrooms AS double)"))
+      .withColumn("area_net", expr("try_cast(area_net AS double)"))
+      .withColumn("latitude", expr("try_cast(latitude AS double)"))
+      .withColumn("longitude", expr("try_cast(longitude AS double)"))
+    CleanOps.fillTextDefaults(
+      CleanOps.fillNumericDefaults(stripped, numericCols), textCols)
+  }
+
+  /** One run: stage the four datasets, merge the three SCD2 dimensions,
+    * load the fact, run DQ. Returns the loaded fact.
+    */
+  def run(spark: SparkSession, listings: DataFrame, cfg: Config): DataFrame = {
+    val runDate = to_date(lit(cfg.runDate.toString))
+    val base = clean(listings, cfg.truncateAt).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // staging (A1 + P8 per dimension, A4 for the fact grain)
+      val stgBroker = DimOps.stageDimension(base, Seq("broker"))
+      val stgGeo = DimOps.stageDimension(base, Seq("country", "county", "parish"))
+      val stgAsset = DimOps.stageDimension(base,
+        assetCfg.keys ++ assetCfg.attrs)
+      val stgFact = DimOps.factGrain(base,
+        Seq("contract_number", "broker", "country", "county", "parish"), runDate)
+      Seq("dim_broker" -> stgBroker, "dim_geography" -> stgGeo,
+        "dim_asset" -> stgAsset, "fact_stock" -> stgFact).foreach { case (n, df) =>
+        df.write.mode(SaveMode.Overwrite).parquet(s"${cfg.warehouseDir}/staging/$n")
+      }
+
+      // SCD2 merges (J1+J2+union rewrite; temp-then-swap via overwrite of a
+      // separate presentation path keeps staging reads and writes disjoint)
+      val dims = Seq(
+        ("dim_broker", stgBroker, brokerCfg),
+        ("dim_geography", stgGeo, geographyCfg),
+        ("dim_asset", stgAsset, assetCfg))
+      // temp-then-swap (SURVEY.md §7.4): the merge reads the current table,
+      // writes the next version to `<path>.tmp`, validates the SCD2
+      // invariant on the written files, then atomically renames. Never
+      // overwrites a path it is still reading.
+      dims.foreach { case (name, staged, dimCfg) =>
+        val path = s"${cfg.warehouseDir}/presentation/$name"
+        val tmp = s"$path.tmp"
+        val target =
+          if (tableExists(spark, path)) spark.read.parquet(path)
+          else Scd2.initialLoad(staged.limit(0), dimCfg, runDate)
+        Scd2.merge(target, staged, dimCfg, runDate)
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+        Quality.requireUniqueActive(spark.read.parquet(tmp), dimCfg)
+        swap(spark, tmp, path)
+      }
+
+      // fact load: active-only dims, broadcast lookups, derived date key
+      val broker = FactLoad.activeOnly(
+        spark.read.parquet(s"${cfg.warehouseDir}/presentation/dim_broker"), brokerCfg)
+        .select(col("broker"), col("id").as("broker_id"))
+      val geo = FactLoad.activeOnly(
+        spark.read.parquet(s"${cfg.warehouseDir}/presentation/dim_geography"), geographyCfg)
+        .select(col("country"), col("county"), col("parish"), col("id").as("geography_id"))
+      val asset = FactLoad.activeOnly(
+        spark.read.parquet(s"${cfg.warehouseDir}/presentation/dim_asset"), assetCfg)
+        .select(col("contract_number"), col("id").as("asset_id"))
+      val fact = FactLoad.resolveKeys(
+        stgFact.withColumn("date_id", FactLoad.dateId(col("stock_date"))),
+        Seq(
+          FactLoad.DimLookup(asset, Seq("contract_number"), "asset_id"),
+          FactLoad.DimLookup(broker, Seq("broker"), "broker_id"),
+          FactLoad.DimLookup(geo, Seq("country", "county", "parish"), "geography_id")),
+        Seq("quantity", "stock_date", "date_id"))
+      Quality.requireNonEmpty(fact, "fact_stock")
+      // weekly-partitioned fact with dynamic partition overwrite: a rerun of
+      // the same run date replaces exactly its own partition (idempotent
+      // backfill, reference README "Backfill" semantics), other weeks
+      // untouched.
+      fact.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date_id")
+        .parquet(s"${cfg.warehouseDir}/presentation/fact_stock")
+      spark.read.parquet(s"${cfg.warehouseDir}/presentation/fact_stock")
+    } finally base.unpersist()
+  }
+
+  private def swap(spark: SparkSession, tmp: String, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(t, p)
+  }
+
+  private def tableExists(spark: SparkSession, path: String): Boolean = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(hadoopPath) && fs.listStatus(hadoopPath).nonEmpty
+  }
+}

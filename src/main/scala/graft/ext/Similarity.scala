@@ -22,8 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right dot product over two float-array columns, in double. */
+  /** Left-to-right dot product over two vector columns, in double.
+    * Backed by the native codegen expression; `dotHof` is the composable
+    * built-in form with identical numerics (kept for differential tests).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dotNative(a, b)
+
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native vector kernels for the ANN operators.
+  *
+  * The composable form — `aggregate(zip_with(a, b, (x, y) => x*y), 0d, +)` —
+  * materializes an intermediate product array per pair and walks it with
+  * interpreted lambda calls; in the brute-force/LSH scoring loop that is the
+  * entire runtime. `DotProductArr` generates a fused primitive loop inside
+  * whole-stage codegen instead.
+  *
+  * Numeric contract (oracle parity): elements are widened to double and
+  * accumulated strictly left-to-right from 0.0 — bit-identical to the
+  * higher-order form it replaces. Null semantics also match: null array,
+  * mismatched lengths, or any null element → null (zip_with pads with null
+  * and `+` propagates it).
+  */
+case class DotProductArr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = elemType(e) == FloatType || elemType(e) == DoubleType
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects array<float|double>, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val aFloat = elemType(left) == FloatType
+    val bFloat = elemType(right) == FloatType
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val bGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductArr =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Fused dot product as a Column (codegen'd; see DotProductArr). */
+  def dotNative(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductArr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

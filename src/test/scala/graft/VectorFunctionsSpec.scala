@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Similarity
+import graft.functions.VectorFunctions
+
+class VectorFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("native dot is bit-identical to the higher-order form") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      VectorFunctions.dotNative($"a", $"b").as("native"),
+      Similarity.dotHof($"a", $"b").as("hof")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("null semantics: null array, length mismatch, null element") {
+    val df = Seq(
+      (Some(Seq(Some(1f), Some(2f))), Some(Seq(Some(3f), Some(4f)))),  // 11.0
+      (None, Some(Seq(Some(1f)))),                                      // null array
+      (Some(Seq(Some(1f))), Some(Seq(Some(1f), Some(2f)))),             // length mismatch
+      (Some(Seq(Some(1f), None)), Some(Seq(Some(1f), Some(2f)))))       // null element
+      .toDF("a", "b")
+    val out = df.select(VectorFunctions.dotNative($"a", $"b").as("d")).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0) && out(3).isNullAt(0))
+    // and the HOF form agrees on every case
+    val hof = df.select(Similarity.dotHof($"a", $"b").as("d")).collect()
+    (out zip hof).foreach { case (n, h) =>
+      assert(n.isNullAt(0) == h.isNullAt(0))
+      if (!n.isNullAt(0)) assert(n.getDouble(0) == h.getDouble(0))
+    }
+  }
+
+  test("mixed float/double arrays (LSH hyperplanes) work") {
+    val df = Seq((Array(1f, 2f), Array(0.5, 0.25))).toDF("a", "b")
+    assert(df.select(VectorFunctions.dotNative($"a", $"b")).as[Double].head() == 1.0)
+  }
+}

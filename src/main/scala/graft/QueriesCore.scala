@@ -9,14 +9,16 @@ import graft.ops._
 private[graft] object OracleSafe {
   import org.apache.spark.sql.types.DecimalType
   /** Exact, order-independent money sum: per-term cast to DECIMAL(18,4)
-    * (same digits in any engine), exact decimal sum, then back to double.
-    * A raw double sum depends on partition order and can land on a .xx5
-    * rounding boundary differently per engine.
+    * (same digits in any engine), exact decimal sum, rounded while still
+    * decimal, then to double. A raw double sum depends on partition order;
+    * and rounding a *double* diverges on exact .xx5 ties (Spark rounds the
+    * shortest string repr half-up, DuckDB rounds the scaled binary value) —
+    * decimal rounding is half-away-from-zero in both engines.
     */
   def sumMoney(c: Column): Column =
-    round(sum(c.cast(DecimalType(18, 4))).cast("double"), 2)
+    round(sum(c.cast(DecimalType(18, 4))), 2).cast("double")
   def sumMoneySql(e: String): String =
-    s"round(CAST(sum(CAST($e AS DECIMAL(18,4))) AS DOUBLE), 2)"
+    s"CAST(round(sum(CAST($e AS DECIMAL(18,4))), 2) AS DOUBLE)"
 }
 
 /** Core-fidelity query catalog (SURVEY.md §2): every reference operator as a

@@ -47,4 +47,19 @@ class VectorFunctionsSpec extends AnyFunSuite {
     val df = Seq((Array(1f, 2f), Array(0.5, 0.25))).toDF("a", "b")
     assert(df.select(VectorFunctions.dotNative($"a", $"b")).as[Double].head() == 1.0)
   }
+
+  test("graft_dot is callable from SQL once registered") {
+    // getOrCreate would return the shared session and skip withExtensions,
+    // so register through the same builder the extension injects
+    // (GraftSession-based mains exercise the withExtensions wiring itself).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => graft.functions.DotProductArr(exprs.head, exprs(1)),
+      "built-in")
+    val out = spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .collect().head.getDouble(0)
+    assert(out == 11.0)
+  }
 }

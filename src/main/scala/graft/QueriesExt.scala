@@ -22,11 +22,11 @@ object QueriesExt {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
-  /** 3-word shingles over `toks` (mirrors TextAnalysis.shingles). */
-  private def shinglesSql(toks: String): String =
-    s"""CASE WHEN len($toks) >= 3
-         THEN list_transform(range(0, len($toks) - 2),
-                             i -> array_to_string(($toks)[i+1:i+3], ' '))
+  /** k-word shingles over `toks` (mirrors TextAnalysis.shingles). */
+  private def shinglesSql(toks: String, k: Int = 3): String =
+    s"""CASE WHEN len($toks) >= $k
+         THEN list_transform(range(0, len($toks) - ${k - 1}),
+                             i -> array_to_string(($toks)[i+1:i+$k], ' '))
          ELSE [array_to_string($toks, ' ')] END"""
 
   /** Perturbed near-duplicate corpus: each doc plus an 80%-prefix copy. */
@@ -262,6 +262,105 @@ object QueriesExt {
               FROM a JOIN b USING (blk)
               WHERE id_a < id_b AND ${cosSql("v_a", "v_b")} >= 0.25
               ORDER BY id_a, id_b""")),
+
+    // skew-salted join: result must equal the plain equi-join
+    Q("q34_salted_join",
+      (s, d) => {
+        val large = t(s, d, "lineitem")
+          .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+        val small = t(s, d, "supplier")
+          .select(col("s_suppkey").as("suppkey"), col("s_name"))
+        graft.ops.Skew.saltedJoin(large, small, Seq("suppkey"), buckets = 8)
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .orderBy(col("s_name"))
+      },
+      Some("""SELECT s_name, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY s_name ORDER BY s_name""")),
+
+    // blocked word-bigram Jaccard pairs on a deterministic subset
+    Q("q35_jaccard_pairs",
+      (s, d) => Dedup.ngramJaccardPairs(
+          t(s, d, "documents").where(col("doc_id") % 5 === 0),
+          "doc_id", "text", "source", n = 2, threshold = 0.06)
+        .orderBy(col("id_a"), col("id_b")),
+      Some {
+        val sh2 = shinglesSql(toksSql, 2)
+        val inter = "len(list_filter(a.g, x -> list_contains(b.g, x)))"
+        s"""WITH sub AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+             g AS (SELECT source AS blk, doc_id AS id, list_distinct($sh2) AS g FROM sub)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(CAST($inter AS DOUBLE) /
+                         CAST(len(a.g) + len(b.g) - $inter AS DOUBLE), 6) AS jaccard
+            FROM g a JOIN g b ON a.blk = b.blk AND a.id < b.id
+            WHERE round(CAST($inter AS DOUBLE) /
+                        CAST(len(a.g) + len(b.g) - $inter AS DOUBLE), 6) >= 0.06
+            ORDER BY id_a, id_b"""
+      }),
+
+    // per-cell embedding centroids (vector aggregate, exploded layout)
+    Q("q36_centroids",
+      (s, d) => Similarity.centroids(t(s, d, "embeddings"), "label", "embedding")
+        .orderBy(col("blk"), col("pos")),
+      Some("""SELECT label AS blk, CAST(i - 1 AS INT) AS pos,
+               round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+              FROM embeddings, range(1, 65) r(i)
+              GROUP BY blk, pos ORDER BY blk, pos""")),
+
+    // IVF-style ANN: nearest-centroid probe, search within probed cells
+    Q("q37_ann_ivf",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.ivfTopK(e.where(col("vec_id") % 25 === 0), e,
+          "vec_id", "embedding", "label", k = 3, nprobe = 2)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH cent AS (
+                 SELECT blk, list(v ORDER BY pos) AS centroid FROM (
+                   SELECT label AS blk, i - 1 AS pos,
+                          round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+                   FROM embeddings, range(1, 65) r(i) GROUP BY 1, 2)
+                 GROUP BY blk),
+               q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+                     WHERE vec_id % 25 = 0),
+               assign AS (
+                 SELECT q_id, q_vec, blk,
+                        row_number() OVER (PARTITION BY q_id
+                             ORDER BY c_cos DESC, blk) AS pr
+                 FROM (SELECT q_id, q_vec, blk,
+                              ${cosSql("q_vec", "centroid")} AS c_cos
+                       FROM q, cent)),
+               probes AS (SELECT q_id, q_vec, blk FROM assign WHERE pr <= 2),
+               c AS (SELECT label AS blk, vec_id AS c_id, embedding AS c_vec
+                     FROM embeddings),
+               sc AS (SELECT q_id, c_id, ${cosSql("q_vec", "c_vec")} AS cos
+                      FROM c JOIN probes USING (blk) WHERE q_id <> c_id),
+               r AS (SELECT q_id, c_id, cos,
+                            CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, c_id) AS INT) AS rnk
+                     FROM sc)
+              SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 3
+              ORDER BY q_id, rnk""")),
+
+    // winnowing fingerprints (rolling-hash family), exploded to rows
+    Q("q38_winnow",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowFingerprints(col("text"), 3, 4)).as("fp"))
+        .orderBy(col("doc_id"), col("fp")),
+      Some {
+        val sh = shinglesSql(toksSql, 3)
+        s"""WITH t AS (SELECT doc_id, $sh AS sh FROM documents),
+             h AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS h FROM t),
+             wm AS (SELECT doc_id,
+                           list_distinct(list_transform(
+                             range(1, greatest(len(h) - 3, 1) + 1),
+                             i -> list_min(h[i:i+3]))) AS fps
+                    FROM h)
+            SELECT doc_id, unnest(fps) AS fp FROM wm ORDER BY doc_id, fp"""
+      }),
 
     // multimodal: binary payload metadata + deterministic decode stub
     Q("q30_media_meta",

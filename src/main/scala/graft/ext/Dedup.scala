@@ -119,6 +119,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Blocked pairwise n-gram Jaccard: distinct word n-gram sets, pairs
+    * generated only within `blockCol` groups (at 100 TB the block is an LSH
+    * bucket or cluster cell — see `minhashDupPairs` for the candidate-
+    * generation path that avoids quadratic work entirely).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val grams = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("g"))
+    val a = grams.select(col("blk"), col("id").as("id_a"), col("g").as("g_a"))
+    val b = grams.select(col("blk"), col("id").as("id_b"), col("g").as("g_b"))
+    val inter = size(filter(col("g_a"), x => array_contains(col("g_b"), x)))
+    val union = size(col("g_a")) + size(col("g_b")) - inter
+    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(inter.cast("double") / union.cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** 16-bit SimHash per document: explode tokens, per-token ±1 contribution
     * per bit (from the token's md5), integer-sum per doc, sign → bit.
     * Integer sums are exact and order-independent — oracle-safe.

@@ -107,6 +107,55 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rank").cast("int").as("rank"))
   }
 
+  /** Per-cell centroids as (blk, pos, v) rows: posexplode → groupBy(cell,
+    * dim) → avg, rounded to 6 dp so downstream assignment is deterministic
+    * across engines/partition orders. One shuffle keyed on (cell, dim) with
+    * map-side partial aggregation — corpus-linear.
+    */
+  def centroids(df: DataFrame, blockCol: String, vecCol: String): DataFrame =
+    df.select(col(blockCol).as("blk"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("blk"), col("pos"))
+      .agg(round(avg(col("v")), 6).as("v"))
+
+  /** Centroids reassembled to vectors: (blk, centroid array<double>). */
+  def centroidVectors(df: DataFrame, blockCol: String, vecCol: String): DataFrame =
+    centroids(df, blockCol, vecCol)
+      .groupBy(col("blk"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("centroid"))
+
+  /** IVF-style ANN: assign each query to its `nprobe` nearest cells by
+    * centroid cosine, then search only those cells' rows. The coarse
+    * quantizer shrinks the scored set from |C| to |C|·nprobe/cells; at
+    * 100 TB the cells come from k-means and the per-cell lists are
+    * bucketed/co-located so the probe is a pruned partition read.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cents = centroidVectors(corpus, blockCol, vecCol)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val wAssign = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("blk"))
+    val assigned = q.crossJoin(broadcast(cents))
+      .withColumn("c_cos", round(
+        dot(col("q_vec"), col("centroid")) /
+          (col("q_norm") * norm(col("centroid"))), 6))
+      .withColumn("probe_rank", row_number().over(wAssign))
+      .where(col("probe_rank") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("blk"))
+    val c = corpus.select(col(blockCol).as("blk"), col(idCol).as("c_id"),
+      col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
+    val scored = c.join(broadcast(assigned), Seq("blk"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosPrenormed.as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rank").cast("int").as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within coarse blocks (IVF-style:
     * `blockCol` plays the role of the coarse quantizer cell — here the
     * pretrained cluster label; at 100 TB this is k-means assignments).

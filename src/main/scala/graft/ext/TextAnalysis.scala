@@ -103,16 +103,40 @@ object TextAnalysis {
     * row — the zip_with form evaluates the token array O(k) times per row.
     * Produces the same values in the same order.
     */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
+  def shingles(text: Column, k: Int): Column =
+    kgrams(tokens(text), k, " ")
+
+  /** k-grams over any string-array column, joined with `sep`. */
+  def kgrams(toks: Column, k: Int, sep: String): Column = {
     val zipped = (1 until k).foldLeft(toks) { (acc, j) =>
       // slice length size-j >= 1 is guaranteed under the size >= k branch;
       // zip_with pads the shorter side with null, so the trailing j
-      // incomplete shingles become null and are filtered out.
+      // incomplete grams become null and are filtered out.
       zip_with(acc, slice(toks, lit(j + 1), size(toks) - j),
-        (a, b) => concat(a, lit(" "), b))
+        (a, b) => concat(a, lit(sep), b))
     }
     when(size(toks) >= k, filter(zipped, s => s.isNotNull))
-      .otherwise(array(concat_ws(" ", toks)))
+      .otherwise(array(concat_ws(sep, toks)))
+  }
+
+  /** Sliding-window reduction over an array column without per-element
+    * re-evaluation of the input (the zip_with trick again): entry i of the
+    * result is f over arr[i..i+w-1]; incomplete tail windows are dropped.
+    */
+  def slidingReduce(arr: Column, w: Int, f: (Column, Column) => Column): Column = {
+    val folded = (1 until w).foldLeft(arr) { (acc, j) =>
+      zip_with(acc, slice(arr, lit(j + 1), greatest(size(arr) - j, lit(1))), f)
+    }
+    slice(folded, lit(1), greatest(size(arr) - (w - 1), lit(1)))
+  }
+
+  /** Winnowing document fingerprints (rolling-hash family): hash every
+    * ordered k-word shingle, take the min hash of each w-wide window, keep
+    * the distinct mins. Robust to local edits: an edit only perturbs the
+    * windows that overlap it. Per-row, shuffle-free.
+    */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val hashes = transform(shingles(text, k), s => md5(s))
+    array_distinct(slidingReduce(hashes, w, (a, b) => least(a, b)))
   }
 }

@@ -1,0 +1,30 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table helpers: pre-shuffle data once at write time so repeated
+  * joins/aggregations on the bucket key run with NO exchange (SURVEY.md §4).
+  *
+  * At 100 TB this is the difference between shuffling the fact table on
+  * every run and shuffling it once at ingest: two tables bucketed on the
+  * same key with the same bucket count sort-merge-join without any
+  * Exchange in the plan (verified by BucketingSpec).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed managed table (overwrite). */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String, numBuckets: Int,
+      sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    sortCol.fold(w)(s => w.sortBy(s)).saveAsTable(table)
+  }
+
+  /** Join two tables bucketed on the join key — plans with zero shuffle. */
+  def bucketedJoin(
+      spark: SparkSession, leftTable: String, rightTable: String,
+      key: String, joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+}

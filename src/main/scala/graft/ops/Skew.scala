@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities (SURVEY.md §4 scale notes).
+  *
+  * AQE's skew-join splitting handles most runtime skew; explicit salting
+  * remains the tool when one join key dominates so heavily that even split
+  * partitions bottleneck a single executor (the classic hot-key fact join).
+  *
+  * `saltedJoin` is semantics-preserving: the skewed (large) side gets a
+  * random salt in [0, buckets); the small side is replicated `buckets`
+  * times; joining on (key, salt) spreads the hot key over `buckets`
+  * partitions. Result equals the plain equi-join row-for-row.
+  */
+object Skew {
+
+  /** Equi-join `large ⋈ small` on `keys`, with the large side salted across
+    * `buckets` partitions. Use when a handful of keys carry most rows.
+    */
+  def saltedJoin(
+      large: DataFrame, small: DataFrame, keys: Seq[String],
+      buckets: Int, joinType: String = "inner"): DataFrame = {
+    val salted = large.withColumn("__salt",
+      (rand(seed = 42) * buckets).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Top-N heaviest keys with their share — the diagnostic that decides
+    * whether salting is worth it (one cheap aggregate).
+    */
+  def keySkewProfile(df: DataFrame, keys: Seq[String], topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(keys.map(col): _*).count()
+    val total = df.count().toDouble
+    counts.withColumn("share", round(col("count") / total, 4))
+      .orderBy(col("count").desc)
+      .limit(topN)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Similarity, TextAnalysis}
+import graft.ops.{Bucketing, Skew}
+
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain equi-join result") {
+    val large = (1 to 1000).map(i => (i % 7, i)).toDF("k", "v")
+    val small = Seq((0, "a"), (1, "b"), (3, "c")).toDF("k", "name")
+    val plain = large.join(small, Seq("k")).collect().toSet
+    val salted = Skew.saltedJoin(large, small, Seq("k"), buckets = 4).collect().toSet
+    assert(salted == plain && plain.nonEmpty)
+    // left join variant keeps unmatched rows once
+    val plainLeft = large.join(small, Seq("k"), "left").count()
+    assert(Skew.saltedJoin(large, small, Seq("k"), 4, "left").count() == plainLeft)
+  }
+
+  test("keySkewProfile surfaces the hot key") {
+    val df = ((1 to 90).map(_ => "hot") ++ (1 to 10).map(i => s"k$i")).toDF("k")
+    val top = Skew.keySkewProfile(df, Seq("k"), 1).collect().head
+    assert(top.getAs[String]("k") == "hot" && top.getAs[Double]("share") == 0.9)
+  }
+
+  test("bucketed join on the bucket key plans with zero shuffle") {
+    // spark.sql.warehouse.dir is static — bucketed tables land in the
+    // default ./spark-warehouse (gitignored). Clear catalog entries AND
+    // leftover files from previous JVMs (the in-memory catalog forgets
+    // tables across runs but their directories survive).
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rmrf(new java.io.File(s"spark-warehouse/$t"))
+    }
+    val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+    Bucketing.writeBucketed(a, "bkt_a", "k", 4, sortCol = Some("k"))
+    Bucketing.writeBucketed(b, "bkt_b", "k", 4, sortCol = Some("k"))
+    val joined = Bucketing.bucketedJoin(spark, "bkt_a", "bkt_b", "k")
+    assert(joined.count() == 500)
+    val plan = joined.queryExecution.executedPlan
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e } ++
+      (plan match {
+        case a: AdaptiveSparkPlanExec =>
+          a.executedPlan.collect { case e: ShuffleExchangeExec => e }
+        case _ => Seq()
+      })
+    assert(shuffles.isEmpty, s"expected no shuffle, got:\n$plan")
+  }
+
+  test("winnow fingerprints: local edit preserves most fingerprints") {
+    val base = "the quick brown fox jumps over the lazy dog and then the " +
+      "quick cat walks under the tall tree near the old red barn today"
+    val edited = base.replace("lazy", "sleepy")
+    val fps = Seq((1L, base), (2L, edited)).toDF("id", "text")
+      .select($"id", TextAnalysis.winnowFingerprints($"text", 3, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val overlap = fps(1L).intersect(fps(2L)).size.toDouble / fps(1L).size
+    assert(overlap > 0.5, s"overlap $overlap")
+    // identical text -> identical fingerprint set
+    val again = Seq((3L, base)).toDF("id", "text")
+      .select(TextAnalysis.winnowFingerprints($"text", 3, 4)).as[Seq[String]].head().toSet
+    assert(again == fps(1L))
+  }
+
+  test("centroids + ivfTopK: query lands in its own cell's neighbors") {
+    val rnd = new scala.util.Random(5)
+    // two well-separated cells
+    def vec(center: Float) = Array.tabulate(8)(i => center + rnd.nextFloat() * 0.1f)
+    val rows = (1L to 20L).map(i =>
+      (i, if (i <= 10) 0 else 1, vec(if (i <= 10) 1f else -1f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val cents = Similarity.centroidVectors(df, "label", "embedding").collect()
+    assert(cents.length == 2)
+    val top = Similarity.ivfTopK(df.where($"vec_id" === 1), df,
+      "vec_id", "embedding", "label", k = 3, nprobe = 1).collect()
+    assert(top.length == 3)
+    assert(top.forall(_.getAs[Long]("c_id") <= 10), "neighbors from the same cell")
+  }
+}

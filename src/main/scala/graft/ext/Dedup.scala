@@ -111,7 +111,9 @@ object Dedup {
     val withSets = cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-    val inter = size(filter(col("sh_a"), x => array_contains(col("sh_b"), x)))
+    // native hash-based intersection — same count as filter+contains on
+    // distinct sets, without O(|a|*|b|) interpreted lambda calls
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
     withSets
       .withColumn("jaccard", round(inter.cast("double") / union.cast("double"), 6))
@@ -131,7 +133,7 @@ object Dedup {
       array_distinct(TextAnalysis.shingles(col(textCol), n)).as("g"))
     val a = grams.select(col("blk"), col("id").as("id_a"), col("g").as("g_a"))
     val b = grams.select(col("blk"), col("id").as("id_b"), col("g").as("g_b"))
-    val inter = size(filter(col("g_a"), x => array_contains(col("g_b"), x)))
+    val inter = size(array_intersect(col("g_a"), col("g_b")))
     val union = size(col("g_a")) + size(col("g_b")) - inter
     a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
       .withColumn("jaccard", round(inter.cast("double") / union.cast("double"), 6))

@@ -379,6 +379,59 @@ object QueriesCore {
               JOIN region ON n_regionkey = r_regionkey
               GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
+    // multi-column distinct counting (expand + two-phase aggregate)
+    Q("q39_distinct_stats",
+      (s, d) => t(s, d, "orders")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          countDistinct(col("o_orderstatus"), col("o_orderpriority")).as("n_status_prio"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT count(DISTINCT o_custkey) AS n_cust,
+               count(DISTINCT o_orderpriority) AS n_prio,
+               count(DISTINCT (o_orderstatus, o_orderpriority)) AS n_status_prio,
+               count(*) AS n_rows
+              FROM orders""")),
+
+    // rollup with subtotal rows (group keys coalesced to sentinels so both
+    // engines order identically)
+    Q("q40_rollup",
+      (s, d) => {
+        val joined = t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        joined.rollup(col("c_mktsegment"), year(col("o_orderdate")).as("yr"))
+          .agg(count(lit(1)).as("n"), OracleSafe.sumMoney(col("o_totalprice")).as("total"))
+          .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+            coalesce(col("yr"), lit(-1)).as("yr"), col("n"), col("total"))
+          .orderBy(col("segment"), col("yr"))
+      },
+      Some(s"""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+                coalesce(CAST(year(o_orderdate) AS INT), -1) AS yr,
+                count(*) AS n, ${OracleSafe.sumMoneySql("o_totalprice")} AS total
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY ROLLUP (c_mktsegment, year(o_orderdate))
+               ORDER BY segment, yr""")),
+
+    // pivot: one column per event type (mirrored as conditional aggregates)
+    Q("q41_pivot",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        t(s, d, "events")
+          .groupBy((col("user_id") % 100).as("user_bucket"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .na.fill(0L, types)
+          .orderBy(col("user_bucket")),
+      },
+      Some {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val arms = types.map(t =>
+          s"""CAST(coalesce(sum(CASE WHEN event_type = '$t' THEN 1 END), 0) AS BIGINT) AS "$t"""")
+          .mkString(", ")
+        s"""SELECT user_id % 100 AS user_bucket, $arms
+            FROM events GROUP BY user_bucket ORDER BY user_bucket"""
+      }),
+
     // as-of (interval) join over SCD2 validity ranges
     Q("q32_asof_scd2",
       (s, d) => {

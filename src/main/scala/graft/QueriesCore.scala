@@ -421,7 +421,7 @@ object QueriesCore {
           .pivot("event_type", types)
           .agg(count(lit(1)))
           .na.fill(0L, types)
-          .orderBy(col("user_bucket")),
+          .orderBy(col("user_bucket"))
       },
       Some {
         val types = Seq("click", "error", "purchase", "signup", "view")

@@ -432,6 +432,49 @@ object QueriesCore {
             FROM events GROUP BY user_bucket ORDER BY user_bucket"""
       }),
 
+    // gap-based sessionization: lag + running sum of session starts
+    Q("q42_sessionize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gapMicros = 30L * 60 * 1000000
+        val flagged = t(s, d, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("new_session",
+            when(col("us") - lag(col("us"), 1).over(byUser) > gapMicros, 1)
+              .when(lag(col("us"), 1).over(byUser).isNull, 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum(col("new_session")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+        flagged.groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+            OracleSafe.sumMoney(col("value")).as("total"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some(s"""WITH f AS (
+                 SELECT user_id, event_id, value, epoch_us(ts) AS us,
+                        CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w
+                                  > 1800000000 THEN 1
+                             WHEN lag(epoch_us(ts), 1) OVER w IS NULL THEN 1
+                             ELSE 0 END AS new_session
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id)),
+               sess AS (
+                 SELECT user_id, value, us,
+                        CAST(sum(new_session) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+                          AS INT) AS session_id
+                 FROM f)
+              SELECT user_id, session_id, count(*) AS n_events,
+                     min(us) AS start_us, max(us) AS end_us,
+                     ${OracleSafe.sumMoneySql("value")} AS total
+              FROM sess GROUP BY user_id, session_id
+              ORDER BY user_id, session_id""")),
+
     // as-of (interval) join over SCD2 validity ranges
     Q("q32_asof_scd2",
       (s, d) => {

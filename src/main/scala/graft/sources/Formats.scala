@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink format helpers (SURVEY.md §2.1). The engine's contract-first
+  * stance: every reader takes an explicit schema — inference is a
+  * compatibility mode only (the reference's inferred JSON reads are exposed
+  * to week-over-week type drift, SURVEY.md §7.4).
+  */
+object Formats {
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Inference-compat mode, mirroring the reference's read (one extra pass). */
+  def readJsonlInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("inferSchema", "true").json(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  /** Weekly-partitioned parquet layout (upgrades the reference's path
+    * templating to engine-level partition pruning, SURVEY.md §1.4).
+    */
+  def writeTimePartitioned(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy("year", "month", "week")
+      .parquet(path)
+}

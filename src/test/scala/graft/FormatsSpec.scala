@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.PathTemplate
+import graft.sources.Formats
+
+class FormatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("csv / orc round-trips preserve data under an explicit schema") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "name", "v")
+    val dir = Files.createTempDirectory("fmt").toString
+    Formats.writeCsv(df, s"$dir/csv")
+    Formats.writeOrc(df, s"$dir/orc")
+    val csvBack = Formats.readCsv(spark, s"$dir/csv",
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, name STRING, v DOUBLE"))
+    assert(csvBack.collect().toSet == df.collect().toSet)
+    assert(Formats.readOrc(spark, s"$dir/orc").collect().toSet == df.collect().toSet)
+  }
+
+  test("time-partitioned write enables partition pruning on week filters") {
+    val dir = Files.createTempDirectory("fmt_part").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    Formats.writeTimePartitioned(
+      PathTemplate.withTimePartitions(events, col("ts")), dir)
+    val pruned = spark.read.parquet(dir)
+      .where(PathTemplate.weekFilter(java.time.LocalDate.parse("2024-01-10")))
+    // only week-2 files are read: partition filters reach the scan
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() > 0 && pruned.count() < events.count())
+    assert(scan.contains("PartitionFilters") || !scan.contains("year=2024/month=1/week=1"))
+    // the pruned count equals the predicate applied in-memory
+    val expected = PathTemplate.withTimePartitions(events, col("ts"))
+      .where(PathTemplate.weekFilter(java.time.LocalDate.parse("2024-01-10"))).count()
+    assert(pruned.count() == expected)
+  }
+}

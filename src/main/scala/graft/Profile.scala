@@ -1,0 +1,18 @@
+package graft
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build("plans")
+    val d = "/root/testdata/sf0.1"
+    val out = new StringBuilder
+    Seq("q19_flagship", "q13_fact_load", "q12_scd2_merge", "q25_minhash_pairs",
+        "q28_ann_topk", "q37_ann_ivf", "q42_sessionize").foreach { q =>
+      out.append(s"===== $q =====\n")
+      out.append(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
+      out.append("\n")
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/plans.txt"), out.toString)
+    println("WROTE /tmp/plans.txt")
+    spark.stop()
+  }
+}

@@ -346,9 +346,8 @@ object QueriesExt {
 
     // winnowing fingerprints (rolling-hash family), exploded to rows
     Q("q38_winnow",
-      (s, d) => t(s, d, "documents")
-        .select(col("doc_id"),
-          explode(TextAnalysis.winnowFingerprints(col("text"), 3, 4)).as("fp"))
+      (s, d) => TextAnalysis.winnowTable(t(s, d, "documents"), "doc_id", "text", 3, 4)
+        .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("fp")),
       Some {
         val sh = shinglesSql(toksSql, 3)

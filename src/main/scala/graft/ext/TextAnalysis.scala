@@ -139,4 +139,28 @@ object TextAnalysis {
     val hashes = transform(shingles(text, k), s => md5(s))
     array_distinct(slidingReduce(hashes, w, (a, b) => least(a, b)))
   }
+
+  /** Table form of winnowing for corpus-scale runs: explode the hashed
+    * shingle stream once and take window minima with an analytic window —
+    * each shingle is tokenized and hashed exactly once (the Column form
+    * re-evaluates its input per top-level reference), at the cost of one
+    * shuffle keyed on the document id. Returns distinct (id, fp) rows,
+    * identical to exploding `winnowFingerprints`.
+    */
+  def winnowTable(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = df
+      .select(col(idCol).as("id"), posexplode(transform(shingles(col(textCol), k),
+        s => md5(s))).as(Seq("pos", "h")))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    val cnt = Window.partitionBy(col("id"))
+    exploded
+      .withColumn("fp", min(col("h")).over(win))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .where(col("pos") <= greatest(col("n") - w, lit(0)))
+      .select(col("id"), col("fp"))
+      .distinct()
+  }
 }

@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.TextAnalysis
+
+/** winnowTable must emit exactly the rows of the exploded Column form. */
+class WinnowEquivSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("table and column winnowing agree on real documents") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val colForm = docs.select(col("doc_id").as("id"),
+      explode(TextAnalysis.winnowFingerprints(col("text"), 3, 4)).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val tblForm = TextAnalysis.winnowTable(docs, "doc_id", "text", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tblForm == colForm && colForm.nonEmpty)
+  }
+}

@@ -147,6 +147,36 @@ object Pipeline {
     } finally base.unpersist()
   }
 
+  /** Streaming variant of the whole pipeline: the file source watches the
+    * feed directory and every micro-batch runs the full
+    * Clean → Stage → Scd2 → FactLoad → DQ sequence via foreachBatch (the
+    * batch operators are reused verbatim — no parallel code path). With
+    * `maxFilesPerTrigger = 1`, one dropped feed file ≡ one reference weekly
+    * run; the run date is the batch's max crawl date. State (the SCD2
+    * tables) lives in the warehouse exactly as in batch mode, so batch
+    * backfills and the stream can interleave.
+    */
+  def runStream(spark: SparkSession, feedDir: String, warehouseDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.{max => sqlMax, to_date, col}
+    spark.readStream
+      .schema(Schemas.listing)
+      .option("maxFilesPerTrigger", 1)
+      .json(feedDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val runDate = batch
+            .agg(sqlMax(to_date(col("CrawledAt"))).as("d"))
+            .collect()(0).getDate(0).toLocalDate
+          run(spark, batch, Config(warehouseDir, runDate))
+          ()
+        }
+      }
+      .start()
+  }
+
   private def swap(spark: SparkSession, tmp: String, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val t = new org.apache.hadoop.fs.Path(tmp)

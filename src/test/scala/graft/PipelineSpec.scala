@@ -103,4 +103,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$wh/presentation/dim_asset").collect().toSet == before)
     assert(fact.where($"date_id" === 20260119).count() == 2)
   }
+
+  test("streaming variant: weekly feed files drive the same SCD2 pipeline") {
+    val feed = Files.createTempDirectory("stream_feed").toString
+    val swh = Files.createTempDirectory("stream_wh").toString
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+    def drop(name: String, rows: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$feed/$name"),
+        rows.mkString("\n").getBytes("UTF-8"))
+
+    def listingAt(broker: String, contract: String, price: String, date: String): String =
+      listing(broker, contract, price, "Cascais")
+        .replace("2026-01-05T10:00:00.000Z", s"${date}T10:00:00.000Z")
+
+    val q = Pipeline.runStream(spark, feed, swh, ckpt)
+    try {
+      drop("week1.json", Seq(
+        listingAt("era", "s1", "€ 100,000", "2026-01-05"),
+        listingAt("era", "s2", "€ 200,000", "2026-01-05")))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$swh/presentation/dim_asset").count() == 2)
+
+      drop("week2.json", Seq(
+        listingAt("era", "s1", "€ 150,000", "2026-01-12"),
+        listingAt("era", "s2", "€ 200,000", "2026-01-12")))
+      q.processAllAvailable()
+      val asset = spark.read.parquet(s"$swh/presentation/dim_asset")
+      assert(asset.count() == 3, "price change created a new SCD2 version")
+      val s1 = asset.where($"contract_number" === "s1").orderBy("record_start_date").collect()
+      assert(s1.length == 2 &&
+        s1(1).getAs[Double]("price") == 150000.0 &&
+        s1(0).getAs[java.sql.Date]("record_end_date").toString == "2026-01-11")
+      val fact = spark.read.parquet(s"$swh/presentation/fact_stock")
+      assert(fact.groupBy("date_id").count().count() == 2)
+    } finally q.stop()
+  }
 }

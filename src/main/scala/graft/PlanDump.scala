@@ -1,5 +1,5 @@
 package graft
-object Profile {
+object PlanDump {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build("plans")
     val d = "/root/testdata/sf0.1"

@@ -92,8 +92,13 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
       threshold: Double = 0.6): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // Both tables are referenced from two sides of self/back joins and
+    // Spark does not share subplans across join inputs (no exchange reuse
+    // after AQE re-planning) — cache them; they are one row per document.
     val sh = shingleSets(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatureTable(sh, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig.select(
       col("id"),

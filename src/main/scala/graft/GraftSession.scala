@@ -27,7 +27,8 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // NB driver heap cannot be set here: in local mode the driver JVM is
+      // already running at getOrCreate — size it via sbt -mem / JAVA_OPTS.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -120,10 +120,18 @@ object Dedup {
     // distinct sets, without O(|a|*|b|) interpreted lambda calls
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
-    withSets
+    val result = withSets
       .withColumn("jaccard", round(inter.cast("double") / union.cast("double"), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Materialize eagerly, then release the pinned intermediates — repeated
+    // invocations in one session must not accumulate cache entries. The
+    // returned frame is backed by checkpoint blocks (one row per surviving
+    // pair), which the ContextCleaner drops once the frame is unreferenced.
+    val out = result.localCheckpoint(true)
+    sh.unpersist()
+    sig.unpersist()
+    out
   }
 
   /** Blocked pairwise n-gram Jaccard: distinct word n-gram sets, pairs

@@ -17,21 +17,36 @@ import org.apache.spark.sql.functions._
   */
 object PathTemplate {
 
-  /** ISO-week path resolution, byte-compatible with the reference layout. */
+  /** Path resolution, byte-compatible with the reference layout: calendar
+    * year/month (el_to_parquet.py:298 uses date.year) + ISO week number.
+    */
   def resolve(template: String, date: LocalDate): String =
     template
-      .replace("{year}", date.get(IsoFields.WEEK_BASED_YEAR).toString)
+      .replace("{year}", date.getYear.toString)
       .replace("{month}", date.getMonthValue.toString)
       .replace("{week}", date.get(IsoFields.WEEK_OF_WEEK_BASED_YEAR).toString)
 
-  /** Derive the partition columns from a timestamp/date column. */
+  /** Derive the partition columns from a timestamp/date column: calendar
+    * year/month + ISO week — the same (year, week) encoding `weekFilter`
+    * probes, so reader pruning always selects exactly the rows the writer
+    * stamped. NB (year, week) is the *reference's* layout; at an ISO
+    * boundary (Dec 29–Jan 3) a single ISO week spans two calendar-year
+    * partitions and a one-week filter reads both row groups of that week's
+    * days split across them — consistent on both sides, just not aligned to
+    * ISO week-years.
+    */
   def withTimePartitions(df: DataFrame, ts: Column): DataFrame =
     df.withColumn("year", year(ts))
       .withColumn("month", month(ts))
       .withColumn("week", weekofyear(ts))
 
-  /** Reader-side pruning predicate for one ISO week. */
+  /** Reader-side pruning predicate matching `withTimePartitions`' stamping:
+    * calendar year + ISO week of `date`. For boundary weeks whose days span
+    * two calendar years this selects the days of that ISO week falling in
+    * `date`'s calendar year — the same subset a path-template read of the
+    * reference layout returns.
+    */
   def weekFilter(date: LocalDate): Column =
-    col("year") === date.get(IsoFields.WEEK_BASED_YEAR) &&
+    col("year") === date.getYear &&
       col("week") === date.get(IsoFields.WEEK_OF_WEEK_BASED_YEAR)
 }

@@ -177,13 +177,30 @@ object Pipeline {
       .start()
   }
 
+  /** Swap `tmp` into `path` with the old table renamed aside first: the
+    * non-recoverable window of delete-then-rename (crash after delete → no
+    * table at all) is narrowed to a pair of metadata renames; a crash
+    * between them leaves `<path>.old` on disk to restore from. A concurrent
+    * reader can still observe `path` briefly missing between the two
+    * renames — directory renames are not transactional on a filesystem; a
+    * format with a metadata layer (e.g. a table catalog pointer) is the
+    * real fix at warehouse scale.
+    */
   private def swap(spark: SparkSession, tmp: String, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val t = new org.apache.hadoop.fs.Path(tmp)
     val p = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
     val fs = p.getFileSystem(conf)
-    if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(t, p)
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadPrev = fs.exists(p)
+    if (hadPrev) fs.rename(p, old)
+    if (!fs.rename(t, p)) {
+      // restore the previous table rather than leaving nothing in place
+      if (hadPrev) fs.rename(old, p)
+      throw new java.io.IOException(s"swap: rename $tmp -> $path failed")
+    }
+    if (hadPrev) fs.delete(old, true)
   }
 
   private def tableExists(spark: SparkSession, path: String): Boolean = {

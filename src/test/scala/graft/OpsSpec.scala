@@ -40,9 +40,16 @@ class OpsSpec extends AnyFunSuite {
   test("PathTemplate resolves ISO year/week and builds pruning filter") {
     val d = java.time.LocalDate.parse("2024-01-10")
     assert(PathTemplate.resolve("s3://b/{year}/{month}/{week}/", d) == "s3://b/2024/1/2/")
-    // 2018-12-31: ISO year 2019 week 1 — template must use ISO year
+    // 2018-12-31: calendar year 2018, ISO week 1 — the reference layout
+    // ({year} from date.year, el_to_parquet.py:298) splits boundary weeks
+    // across calendar-year partitions; writer and reader agree on it.
     val boundary = java.time.LocalDate.parse("2018-12-31")
-    assert(PathTemplate.resolve("{year}-{week}", boundary) == "2019-1")
+    assert(PathTemplate.resolve("{year}-{week}", boundary) == "2018-1")
+    // writer stamping and reader filter agree at the boundary too
+    val boundaryRows = Seq("2018-12-31").map(java.sql.Date.valueOf).toDF("d")
+    val boundaryHit = PathTemplate.withTimePartitions(boundaryRows, col("d"))
+      .where(PathTemplate.weekFilter(boundary))
+    assert(boundaryHit.count() == 1)
     val rows = Seq("2024-01-10", "2024-01-20").map(java.sql.Date.valueOf).toDF("d")
     val filtered = PathTemplate.withTimePartitions(rows, col("d"))
       .where(PathTemplate.weekFilter(d))

@@ -10,16 +10,23 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional comma-separated subset filter (dev loop: time one query
+    // without paying for the whole catalog).
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+    val selected = SparkEntry.queries.filter {
+      case (n, _) => only.forall(_.contains(n))
+    }
     val spark = GraftSession.build("graft-bench")
     // Warm-up every query shape at the smallest SF: whole-stage codegen
     // classes and their C2-compiled loops are plan-shape-dependent, not
     // data-dependent, so this removes one-time JIT cost from the measured
     // numbers — the steady-state a long-running cluster job actually sees.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.values.foreach { fn =>
+    selected.values.foreach { fn =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -483,7 +483,8 @@ object QueriesCore {
           .withColumn("probe_date", explode(array(
             to_date(lit("2025-12-15")), to_date(lit("2026-02-15")))))
         AsOf.joinValidInterval(probes, merged, Seq("s_suppkey"),
-          col("probe_date"), col("record_start_date"), col("record_end_date"))
+          col("probe_date"), col("record_start_date"), col("record_end_date"),
+          broadcastDim = true)
           .select(col("s_suppkey"), col("probe_date"), col("id"), col("s_acctbal"))
           .orderBy(col("s_suppkey"), col("probe_date"))
       },

@@ -37,6 +37,19 @@ object QueriesExt {
              substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))
       FROM documents)"""
 
+  /** Per-shingle Carter-Wegman inputs: a/b from the md5's two 32-bit
+    * halves (mirrors Dedup.minhashSignatureTable).
+    */
+  private val minhashAbSql =
+    """list_transform(sh, s -> {
+         'a': CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT),
+         'b': CAST(('0x' || substring(md5(s), 9, 8)) AS BIGINT)}) AS ab"""
+
+  /** Signature mins m0..m11 over the ab list: (a + j*b) mod P. */
+  private val minhashMinsSql = (0 until 12).map(j =>
+    s"list_min(list_transform(ab, x -> (x.a + $j * x.b) % ${Dedup.MinhashPrime})) AS m$j")
+    .mkString(", ")
+
   private def perturbedCorpus(df: DataFrame): DataFrame =
     df.select(col("doc_id"), col("text")).unionByName(
       df.select((col("doc_id") + 100000).as("doc_id"),
@@ -115,27 +128,29 @@ object QueriesExt {
             FROM mx ORDER BY doc_id"""
       }),
 
-    // MinHash signatures + LSH band keys
+    // MinHash signatures + LSH band keys (Carter-Wegman family: one md5 per
+    // shingle → two 32-bit values → hash j = (a + j*b) mod P, P prime)
     Q("q24_minhash_sig",
       (s, d) => {
         val sh = Dedup.shingleSets(t(s, d, "documents"), "doc_id", "text", 3)
         val sig = Dedup.minhashSignatureTable(sh, 12)
         val bandCols = Dedup.bandKeys(col("sig"), 4, 3).map { case (i, k) => k.as(s"band$i") }
-        sig.select((col("id").as("doc_id") +: concat_ws(",", col("sig")).as("sig")
+        sig.select((col("id").as("doc_id")
+            +: concat_ws(",", transform(col("sig"), x => x.cast("string"))).as("sig")
             +: bandCols): _*)
           .orderBy(col("doc_id"))
       },
       Some {
         val sh = shinglesSql(toksSql)
-        val mins = (0 until 12).map(j =>
-          s"list_min(list_transform(sh, s -> md5('$j:' || s))) AS m$j").mkString(", ")
-        val sigStr = (0 until 12).map(j => s"m$j").mkString(" || ',' || ")
+        val sigStr = (0 until 12).map(j => s"CAST(m$j AS VARCHAR)").mkString(" || ',' || ")
         val bands = (0 until 4).map { i =>
-          val parts = (0 until 3).map(r => s"m${i * 3 + r}").mkString(" || '|' || ")
+          val parts = (0 until 3).map(r => s"CAST(m${i * 3 + r} AS VARCHAR)")
+            .mkString(" || '|' || ")
           s"md5($parts) AS band$i"
         }.mkString(", ")
         s"""WITH sh AS (SELECT doc_id, list_distinct($sh) AS sh FROM documents),
-             sig AS (SELECT doc_id, $mins FROM sh)
+             ab AS (SELECT doc_id, $minhashAbSql FROM sh),
+             sig AS (SELECT doc_id, $minhashMinsSql FROM ab)
             SELECT doc_id, $sigStr AS sig, $bands FROM sig ORDER BY doc_id"""
       }),
 
@@ -146,16 +161,16 @@ object QueriesExt {
         .orderBy(col("id_a"), col("id_b")),
       Some {
         val sh = shinglesSql(toksSql)
-        val mins = (0 until 12).map(j =>
-          s"list_min(list_transform(sh, s -> md5('$j:' || s))) AS m$j").mkString(", ")
         val bandRows = (0 until 4).map { i =>
-          val parts = (0 until 3).map(r => s"m${i * 3 + r}").mkString(" || '|' || ")
+          val parts = (0 until 3).map(r => s"CAST(m${i * 3 + r} AS VARCHAR)")
+            .mkString(" || '|' || ")
           s"SELECT id, $i AS band, md5($parts) AS key FROM sig"
         }.mkString(" UNION ALL ")
         val inter = "len(list_filter(ta.sh, x -> list_contains(tb.sh, x)))"
         s"""WITH $corpusCte,
              t AS (SELECT doc_id AS id, list_distinct($sh) AS sh FROM corpus),
-             sig AS (SELECT id, $mins FROM t),
+             ab AS (SELECT id, $minhashAbSql FROM t),
+             sig AS (SELECT id, $minhashMinsSql FROM ab),
              banded AS ($bandRows),
              cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
                       FROM banded a JOIN banded b

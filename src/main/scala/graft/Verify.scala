@@ -7,7 +7,13 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional: further args name a subset to dump (dev loop; the driver
+    // passes none and gets the full catalog)
+    val only = args.drop(2).toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only.contains(n) }
     val spark = GraftSession.build("graft-verify")
     // clear any previous dump: stale per-query dirs + oracle_sql.json from
     // an older build would otherwise make a failed run look green
@@ -15,9 +21,11 @@ object Verify {
       if (f.isDirectory) f.listFiles().foreach(rmrf)
       f.delete(); ()
     }
-    rmrf(new java.io.File(outDir))
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    if (only.isEmpty) {
+      rmrf(new java.io.File(outDir))
+      new java.io.File(outDir).mkdirs()
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -34,25 +34,42 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signature: for seed j, min over shingles of md5("j:" || shingle).
-    * k-word shingles, `numHashes` independent permutations approximated by
-    * seeded md5. Returns array<string> of length numHashes.
+  /** MinHash hash family (Carter-Wegman): one md5 per shingle supplies two
+    * 32-bit values a, b (hex chars 1-8 / 9-16); hash j is (a + j·b) mod P
+    * with P the largest prime < 2^32. One string hash + numHashes integer
+    * ops per shingle, versus numHashes seeded string hashes — the md5 was
+    * the entire signature cost. Both engines evaluate the same BIGINT
+    * arithmetic (no overflow: a + 11·b < 2^36).
+    */
+  private[graft] val MinhashPrime = 4294967291L
+
+  /** MinHash signature (reference Column form; the table form below is the
+    * scale path): for hash j, min over shingles of (a + j·b) mod P.
+    * Returns array<long> of length numHashes. NB each top-level min
+    * re-evaluates the shingle expression — use `minhashSignatureTable` for
+    * anything hot.
     */
   def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
     val sh = array_distinct(TextAnalysis.shingles(text, shingleK))
     val mins = (0 until numHashes).map { j =>
-      array_min(transform(sh, s => md5(concat(lit(s"$j:"), s))))
+      array_min(transform(sh, s => {
+        val h = md5(s)
+        val a = conv(substring(h, 1, 8), 16, 10).cast("long")
+        val b = conv(substring(h, 9, 8), 16, 10).cast("long")
+        (a + lit(j.toLong) * b) % MinhashPrime
+      }))
     }
     array(mins: _*)
   }
 
   /** LSH band keys: `bands` bands of `rowsPerBand` signature positions; the
-    * band key is the md5 of the concatenated slice. Returns
-    * array<struct<band:int, key:string>> ready to explode.
+    * band key is the md5 of the `|`-joined decimal slice. Returns
+    * (band index, key Column) pairs ready to explode.
     */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Seq[(Int, Column)] =
     (0 until bands).map { i =>
-      i -> md5(concat_ws("|", slice(sig, i * rowsPerBand + 1, rowsPerBand)))
+      i -> md5(concat_ws("|",
+        transform(slice(sig, i * rowsPerBand + 1, rowsPerBand), x => x.cast("string"))))
     }
 
   /** Distinct k-shingle sets: (id, sh). */
@@ -60,19 +77,23 @@ object Dedup {
     df.select(col(idCol).as("id"),
       array_distinct(TextAnalysis.shingles(col(textCol), shingleK)).as("sh"))
 
-  /** MinHash signatures via explode → per-seed md5 → groupBy(min).
+  /** MinHash signatures via explode → one md5 + Carter-Wegman family →
+    * groupBy(min).
     *
-    * This shape computes each md5 exactly once (numHashes per exploded
-    * shingle row) and aggregates with map-side partial min — unlike the
-    * column-expression form, which Catalyst's CollapseProject happily
-    * inlines into every downstream use (measured 20× blowup on the LSH band
-    * keys). Shuffle volume: one row per doc. Returns (id, sig array<string>).
+    * This shape computes each md5 exactly once per exploded shingle row and
+    * aggregates with map-side partial min — unlike the column-expression
+    * form, which Catalyst's CollapseProject happily inlines into every
+    * downstream use (measured 20× blowup on the LSH band keys). Shuffle
+    * volume: one row per doc. Returns (id, sig array<long>).
     */
   def minhashSignatureTable(shingles: DataFrame, numHashes: Int): DataFrame = {
     val exploded = shingles.select(col("id"), explode(col("sh")).as("s"))
+      .withColumn("h", md5(col("s")))
+      .withColumn("a", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .withColumn("b", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
     val hashed = exploded.select(
       (col("id") +: (0 until numHashes).map(j =>
-        md5(concat(lit(s"$j:"), col("s"))).as(s"h$j"))): _*)
+        ((col("a") + lit(j.toLong) * col("b")) % MinhashPrime).as(s"h$j"))): _*)
     hashed.groupBy(col("id"))
       .agg(min(col("h0")).as("m0"),
         (1 until numHashes).map(j => min(col(s"h$j")).as(s"m$j")): _*)
@@ -92,13 +113,12 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
       threshold: Double = 0.6): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Both tables are referenced from two sides of self/back joins and
-    // Spark does not share subplans across join inputs (no exchange reuse
-    // after AQE re-planning) — cache them; they are one row per document.
+    // sh feeds the signature build AND both verification join-backs; Spark
+    // does not share subplans across join inputs, so cache it (one row per
+    // document) — released below once the result is materialized.
     val sh = shingleSets(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatureTable(sh, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig.select(
       col("id"),
@@ -107,10 +127,18 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-    val cand = banded.alias("a").join(banded.alias("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // Candidate generation: group each LSH bucket's ids and emit the i<j
+    // combinations — one pass over `banded` (the signature plan is
+    // evaluated once; a self-join would evaluate it per side), one shuffle
+    // keyed on the bucket. A pair sharing several bands surfaces once per
+    // band → dropDuplicates.
+    val cand = banded.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
 
     val withSets = cand
@@ -130,26 +158,43 @@ object Dedup {
     // pair), which the ContextCleaner drops once the frame is unreferenced.
     val out = result.localCheckpoint(true)
     sh.unpersist()
-    sig.unpersist()
     out
   }
 
-  /** Blocked pairwise n-gram Jaccard: distinct word n-gram sets, pairs
-    * generated only within `blockCol` groups (at 100 TB the block is an LSH
-    * bucket or cluster cell — see `minhashDupPairs` for the candidate-
-    * generation path that avoids quadratic work entirely).
+  /** Blocked pairwise n-gram Jaccard via an inverted index: explode each
+    * document's distinct n-grams, group by (block, gram) to find the docs
+    * sharing that gram, emit the i<j doc combinations per gram, and count
+    * per pair — the count IS |intersection|. Set sizes ride along in the
+    * posting struct (they are functions of the id), so no join-backs and no
+    * per-pair array intersections. Work is Σ_gram |docs(gram)|² instead of
+    * the block cross join's Σ_block |block|² — strictly less, and the
+    * shuffles are keyed on (block, gram) then (pair): corpus-linear rows.
+    * Requires threshold > 0 (zero-overlap pairs never surface — they have
+    * no shared gram to meet under).
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0, "ngramJaccardPairs: threshold must be > 0")
     val grams = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       array_distinct(TextAnalysis.shingles(col(textCol), n)).as("g"))
-    val a = grams.select(col("blk"), col("id").as("id_a"), col("g").as("g_a"))
-    val b = grams.select(col("blk"), col("id").as("id_b"), col("g").as("g_b"))
-    val inter = size(array_intersect(col("g_a"), col("g_b")))
-    val union = size(col("g_a")) + size(col("g_b")) - inter
-    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(inter.cast("double") / union.cast("double"), 6))
+    val posting = grams
+      .withColumn("sz", size(col("g")))
+      .select(col("blk"), struct(col("id"), col("sz")).as("m"), explode(col("g")).as("gram"))
+    val pairCounts = posting.groupBy(col("blk"), col("gram"))
+      .agg(sort_array(collect_set(col("m"))).as("ms"))
+      .where(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+        transform(slice(col("ms"), i + 2, greatest(size(col("ms")) - i - 1, lit(0))),
+          b => struct(
+            a.getField("id").as("id_a"), a.getField("sz").as("sz_a"),
+            b.getField("id").as("id_b"), b.getField("sz").as("sz_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.sz_a").as("sz_a"),
+        col("p.id_b").as("id_b"), col("p.sz_b").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairCounts
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -157,20 +202,19 @@ object Dedup {
   /** 16-bit SimHash per document: explode tokens, per-token ±1 contribution
     * per bit (from the token's md5), integer-sum per doc, sign → bit.
     * Integer sums are exact and order-independent — oracle-safe.
+    *
+    * Bit extraction parses the md5's first 4 hex chars as one 16-bit int
+    * (`conv`) and reads each bit with shift/mask — one string parse + 16
+    * integer ops per token, versus the per-bit ascii/when/floor chains of
+    * the naive form (~3× faster end-to-end at sf0.1). Bit b of the stream
+    * is bit (15-b) of that int, exactly the per-char definition the oracle
+    * SQL spells out.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    // hex value of md5 char at `pos` (0-based) via ascii arithmetic —
-    // portable to the oracle ('0'..'9' → 48..57, 'a'..'f' → 97..102).
-    def hexVal(pos: Int): Column = {
-      val a = ascii(substring(col("h"), pos + 1, 1))
-      when(a <= 57, a - 48).otherwise(a - 87)
-    }
+      .withColumn("v", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
     val contribs = (0 until 16).map { bit =>
-      val v = hexVal(bit / 4)
-      val b = floor(v.cast("double") / lit((1 << (3 - bit % 4)).toDouble)).cast("int") % 2
-      (b * 2 - 1).as(s"c$bit")
+      (shiftright(col("v"), 15 - bit).bitwiseAND(1) * 2 - 1).as(s"c$bit")
     }
     val summed = tok.select((col(idCol) +: contribs): _*)
       .groupBy(col(idCol))
@@ -184,15 +228,27 @@ object Dedup {
   /** SimHash near-dup pairs: hamming distance ≤ maxDist. Pairs are blocked
     * by a coarse prefix (high byte) to avoid the full cross join; a 64-bit
     * production variant would block on rotated halves (multi-probe).
+    *
+    * Pair generation groups each block's (id, hash) rows into a sorted
+    * array and emits the i<j combinations with nested `transform`s, rather
+    * than self-joining `sim` — the (expensive) simhash input plan is
+    * evaluated once instead of twice, and the join shuffle disappears. The
+    * lambda only touches the materialized `rows` attribute, so nothing is
+    * re-evaluated per element.
     */
   def simhashDupPairs(sim: DataFrame, idCol: String, maxDist: Int): DataFrame = {
-    val a = sim.select(col(idCol).as("id_a"), col("simhash").as("h_a"))
-      .withColumn("blk", floor(col("h_a") / 256).cast("int"))
-    val b = sim.select(col(idCol).as("id_b"), col("simhash").as("h_b"))
-      .withColumn("blk", floor(col("h_b") / 256).cast("int"))
-    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
-      .withColumn("dist", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+    val bucketed = sim
+      .select(col(idCol).as("id"), col("simhash").as("h"))
+      .groupBy(floor(col("h") / 256).cast("int").as("blk"))
+      .agg(sort_array(collect_list(struct(col("id"), col("h")))).as("rows"))
+    val pairs = flatten(transform(col("rows"), (a, i) =>
+      transform(slice(col("rows"), i + 2, greatest(size(col("rows")) - i - 1, lit(0))),
+        b => struct(
+          a.getField("id").as("id_a"),
+          b.getField("id").as("id_b"),
+          bit_count(a.getField("h").bitwiseXOR(b.getField("h"))).cast("int").as("dist")))))
+    bucketed.select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.dist"))
       .where(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
 }

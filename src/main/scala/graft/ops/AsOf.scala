@@ -16,12 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** probes ⟕ dim on keys ∧ probe ∈ [start, end]. */
+  /** probes ⟕ dim on keys ∧ probe ∈ [start, end]. SCD2 dimensions are
+    * orders of magnitude smaller than their probes (facts) — set
+    * `broadcastDim` to pin a broadcast-hash plan and keep the probe side
+    * shuffle-free; leave it false when the dimension genuinely scales.
+    */
   def joinValidInterval(
       probes: DataFrame, dim: DataFrame, keys: Seq[String],
-      probeDate: Column, start: Column, end: Column): DataFrame = {
+      probeDate: Column, start: Column, end: Column,
+      broadcastDim: Boolean = false): DataFrame = {
     val p = probes.alias("p")
-    val m = dim.alias("m")
+    val aliased = dim.alias("m")
+    val m = if (broadcastDim) broadcast(aliased) else aliased
     val keyCond = keys.map(k => col(s"p.$k") === col(s"m.$k")).reduce(_ && _)
     val dimCols = dim.columns.filterNot(keys.contains).map(c => col(s"m.$c"))
     p.join(m, keyCond && probeDate.between(start, end), "left")

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext._
+import graft.ops.AsOf
+import graft.QueriesCore.Q
+
+/** Round-2 catalog additions: duplicate-cluster connected components, group
+  * quantiles, TF-IDF, anti joins, cube/grouping-id subtotals, event-stream
+  * as-of joins, two-phase distinct aggregation, and sketch-based approximate
+  * stats. Same oracle discipline as QueriesCore/QueriesExt.
+  */
+object QueriesAnalytics {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  val all: Seq[Q] = Seq(
+
+    // connected components over the MinHash near-dup pairs: every corpus doc
+    // labeled with the min reachable id; dedup keeps doc_id == cluster_id
+    Q("q43_dup_clusters",
+      (s, d) => {
+        val corpus = QueriesExt.perturbedCorpus(t(s, d, "documents"))
+        val pairs = Dedup.minhashDupPairs(corpus, "doc_id", "text",
+          shingleK = 3, numHashes = 12, bands = 4, threshold = 0.35)
+        Dedup.dupClusters(corpus.select(col("doc_id")), "doc_id", pairs)
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH RECURSIVE ${QueriesExt.minhashPairsCtes},
+             edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                       UNION ALL
+                       SELECT id_b, id_a FROM pairs),
+             reach(src, dst) AS (
+               SELECT a, b FROM edges
+               UNION
+               SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+             lbl AS (SELECT src AS id, least(src, min(dst)) AS cluster
+                     FROM reach GROUP BY src)
+            SELECT c.doc_id, coalesce(l.cluster, c.doc_id) AS cluster_id
+            FROM corpus c LEFT JOIN lbl l ON l.id = c.doc_id
+            ORDER BY doc_id""")),
+
+    // exact grouped quantiles (linear interpolation, matching quantile_cont)
+    Q("q44_group_quantiles",
+      (s, d) => {
+        val pcts = expr(
+          "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))")
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(element_at(pcts, 1), 4).as("p25"),
+            round(element_at(pcts, 2), 4).as("p50"),
+            round(element_at(pcts, 3), 4).as("p75"),
+            round(element_at(pcts, 4), 4).as("p95"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+                round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+                round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // per-document top-3 TF-IDF terms
+    Q("q45_tfidf",
+      (s, d) => TextAnalysis.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("rank")),
+      Some {
+        val toks =
+          "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+             tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+             n AS (SELECT count(*) AS n_docs FROM documents),
+             scored AS (
+               SELECT tf.doc_id, tf.term,
+                      round(CAST(tf.tf AS DOUBLE) *
+                            (ln(CAST(n.n_docs + 1 AS DOUBLE) /
+                                CAST(dfreq.dfreq + 1 AS DOUBLE)) + 1.0), 6) AS tfidf
+               FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+             ranked AS (
+               SELECT doc_id, term, tfidf,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term ASC) AS rank
+               FROM scored)
+            SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
+            FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
+      }),
+
+    // anti join: lapsed customers — no order since the cutoff (filter is
+    // pushed below the join build side, so the anti join probes a small set)
+    Q("q46_anti_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders")
+            .where(col("o_orderdate") >= to_timestamp(lit("2000-06-01"))),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name, c_nationkey
+              FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+              ORDER BY c_custkey""")),
+
+    // cube subtotals with grouping_id (generalizes q40's rollup)
+    Q("q47_cube",
+      (s, d) => t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          OracleSafe.sumMoney(col("l_extendedprice")).as("total"))
+        .select(col("gid").cast("int").as("gid"), col("l_returnflag"),
+          col("l_linestatus"), col("n"), col("total"))
+        .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus")),
+      Some(s"""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+                 l_returnflag, l_linestatus, count(*) AS n,
+                 ${OracleSafe.sumMoneySql("l_extendedprice")} AS total
+               FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+               ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // as-of join on the event stream: each purchase picks up the most recent
+    // prior (or simultaneous) view by the same user
+    Q("q48_asof_event",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val views = ev.where(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts").as("view_ts"))
+          .agg(max(col("value")).as("view_value"))
+        AsOf.asofBackward(purchases, views, Seq("user_id"),
+            "ts", "view_ts", Seq("view_value"))
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            col("view_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                         WHERE event_type = 'purchase'),
+                   v AS (SELECT user_id, ts AS view_ts, max(value) AS view_value
+                         FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+              SELECT p.event_id, p.user_id, p.ts, p.value, v.view_value
+              FROM p ASOF LEFT JOIN v
+                ON p.user_id = v.user_id AND p.ts >= v.view_ts
+              ORDER BY event_id""")),
+
+    // two-phase exact distinct: pre-aggregate on (type, user) so the final
+    // per-type shuffle carries one row per distinct pair — the skew-proof
+    // expansion of COUNT(DISTINCT) that scales to hot keys
+    Q("q49_distinct_twophase",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("n_events"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+                count(*) AS n_events
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // sketch-based approximate stats (HLL distinct + quantile sketch): no
+    // DuckDB oracle — sketch estimates are engine-specific; the driver's
+    // rows-only check applies. Exactness is NOT the contract here; bounded
+    // memory at unbounded cardinality is.
+    Q("q50_approx_stats",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          round(percentile_approx(col("value"), lit(0.5), lit(10000)), 4)
+            .as("approx_median"))
+        .orderBy(col("event_type")),
+      None)
+  )
+}

@@ -50,7 +50,35 @@ object QueriesExt {
     s"list_min(list_transform(ab, x -> (x.a + $j * x.b) % ${Dedup.MinhashPrime})) AS m$j")
     .mkString(", ")
 
-  private def perturbedCorpus(df: DataFrame): DataFrame =
+  /** CTE chain ending in `pairs` = the q25 MinHash-LSH near-dup pairs on the
+    * perturbed corpus (threshold 0.35) — shared with q43's clustering.
+    */
+  private[graft] val minhashPairsCtes: String = {
+    val sh = shinglesSql(toksSql)
+    val bandRows = (0 until 4).map { i =>
+      val parts = (0 until 3).map(r => s"CAST(m${i * 3 + r} AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"SELECT id, $i AS band, md5($parts) AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    val inter = "len(list_filter(ta.sh, x -> list_contains(tb.sh, x)))"
+    s"""$corpusCte,
+       t AS (SELECT doc_id AS id, list_distinct($sh) AS sh FROM corpus),
+       ab AS (SELECT id, $minhashAbSql FROM t),
+       sig AS (SELECT id, $minhashMinsSql FROM ab),
+       banded AS ($bandRows),
+       cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+       pairs AS (
+         SELECT c.id_a, c.id_b,
+                round(CAST($inter AS DOUBLE) /
+                      CAST(len(ta.sh) + len(tb.sh) - $inter AS DOUBLE), 6) AS jaccard
+         FROM cand c JOIN t ta ON ta.id = c.id_a JOIN t tb ON tb.id = c.id_b
+         WHERE round(CAST($inter AS DOUBLE) /
+                     CAST(len(ta.sh) + len(tb.sh) - $inter AS DOUBLE), 6) >= 0.35)"""
+  }
+
+  private[graft] def perturbedCorpus(df: DataFrame): DataFrame =
     df.select(col("doc_id"), col("text")).unionByName(
       df.select((col("doc_id") + 100000).as("doc_id"),
         col("text").substr(lit(1), floor(length(col("text")) * 0.8).cast("int")).as("text")))
@@ -159,30 +187,9 @@ object QueriesExt {
       (s, d) => Dedup.minhashDupPairs(perturbedCorpus(t(s, d, "documents")),
           "doc_id", "text", shingleK = 3, numHashes = 12, bands = 4, threshold = 0.35)
         .orderBy(col("id_a"), col("id_b")),
-      Some {
-        val sh = shinglesSql(toksSql)
-        val bandRows = (0 until 4).map { i =>
-          val parts = (0 until 3).map(r => s"CAST(m${i * 3 + r} AS VARCHAR)")
-            .mkString(" || '|' || ")
-          s"SELECT id, $i AS band, md5($parts) AS key FROM sig"
-        }.mkString(" UNION ALL ")
-        val inter = "len(list_filter(ta.sh, x -> list_contains(tb.sh, x)))"
-        s"""WITH $corpusCte,
-             t AS (SELECT doc_id AS id, list_distinct($sh) AS sh FROM corpus),
-             ab AS (SELECT id, $minhashAbSql FROM t),
-             sig AS (SELECT id, $minhashMinsSql FROM ab),
-             banded AS ($bandRows),
-             cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                      FROM banded a JOIN banded b
-                        ON a.band = b.band AND a.key = b.key AND a.id < b.id)
-            SELECT c.id_a, c.id_b,
-                   round(CAST($inter AS DOUBLE) /
-                         CAST(len(ta.sh) + len(tb.sh) - $inter AS DOUBLE), 6) AS jaccard
-            FROM cand c JOIN t ta ON ta.id = c.id_a JOIN t tb ON tb.id = c.id_b
-            WHERE round(CAST($inter AS DOUBLE) /
-                        CAST(len(ta.sh) + len(tb.sh) - $inter AS DOUBLE), 6) >= 0.35
-            ORDER BY id_a, id_b"""
-      }),
+      Some(
+        s"""WITH $minhashPairsCtes
+            SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""")),
 
     // SimHash per document
     Q("q26_simhash",

@@ -34,6 +34,61 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Connected components over a near-dup pair list: every vertex's label
+    * converges to the smallest id reachable through the pair graph — the
+    * canonical representative of its duplicate cluster (dedup keeps rows
+    * where id == cluster_id).
+    *
+    * Min-label propagation with a pointer-jumping step (label := label of
+    * label) per round, so convergence is O(log diameter) rounds, not
+    * O(diameter). Each round is two equi-joins plus a min-aggregate over
+    * (vertex, label) rows — corpus-linear — and is localCheckpoint'ed to
+    * truncate lineage (an iterative plan otherwise grows until the
+    * optimizer chokes). Convergence is detected from the label sum, which
+    * is strictly monotone decreasing until fixpoint: one cheap scalar agg
+    * per round instead of a change-count join.
+    */
+  def dupClusters(vertices: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    // Bidirectional edges plus a self-loop per vertex, so one join+min-agg
+    // computes min(label(self), label(neighbors)) — no per-round union of
+    // the label table with itself (which also trips Catalyst's Union
+    // constraint rewrite when both branches share attribute ids).
+    val bidir = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionByName(pairs
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+    val edges = bidir
+      .unionByName(vertices.select(
+        col(idCol).cast("long").as("src"), col(idCol).cast("long").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lbl"))
+      .localCheckpoint(true)
+    def lblSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+    var prevSum = lblSum(labels)
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val merged = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("id")).agg(min(col("lbl")).as("lbl"))
+      // pointer jump: labels are themselves vertex ids, so each vertex can
+      // adopt its label's label — halves remaining propagation distance
+      val next = merged.alias("v")
+        .join(merged.alias("m"), col("v.lbl") === col("m.id"))
+        .select(col("v.id").as("id"), col("m.lbl").as("lbl"))
+        .localCheckpoint(true)
+      val s = lblSum(next)
+      done = s == prevSum
+      prevSum = s
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+  }
+
   /** MinHash hash family (Carter-Wegman): one md5 per shingle supplies two
     * 32-bit values a, b (hex chars 1-8 / 9-16); hash j is (a + j·b) mod P
     * with P the largest prime < 2^32. One string hash + numHashes integer

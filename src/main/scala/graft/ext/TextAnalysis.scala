@@ -140,6 +140,33 @@ object TextAnalysis {
     array_distinct(slidingReduce(hashes, w, (a, b) => least(a, b)))
   }
 
+  /** Per-document top-k TF-IDF terms: token explode → (doc, term) counts →
+    * document frequencies → smoothed idf = ln((N+1)/(df+1)) + 1, score =
+    * tf·idf, rank per doc by (score desc, term asc).
+    *
+    * Plan shape: two hash aggregates (both with map-side partial combine)
+    * plus one term-keyed join and one window keyed on the doc id; the
+    * corpus size N rides along as a one-row broadcast cross join, never a
+    * driver-side collect. Scores are rounded to 6 decimals BEFORE ranking
+    * so the ordering is reproducible across engines (ln differs in the last
+    * ulp across libms).
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf").cast("double") *
+        (log((col("n_docs") + 1).cast("double") / (col("dfreq") + 1).cast("double"))
+          + 1.0), 6))
+    val w = Window.partitionBy(col("id")).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tfidf"))
+  }
+
   /** Table form of winnowing for corpus-scale runs: explode the hashed
     * shingle stream once and take window minima with an analytic window —
     * each shingle is tokenized and hashed exactly once (the Column form

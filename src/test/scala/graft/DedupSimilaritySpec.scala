@@ -41,6 +41,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!sim.contains(5L), "empty text yields no tokens, no simhash row")
   }
 
+  test("dupClusters labels every vertex with the min reachable id") {
+    // components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {4,9}, singletons 5, 6
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (4L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(vertices, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      4L -> 4L, 9L -> 4L, 5L -> 5L, 6L -> 6L))
+  }
+
+  test("dupClusters converges on a long chain (pointer jumping)") {
+    val n = 33
+    val vertices = (1 to n).map(_.toLong).toDF("doc_id")
+    val chain = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(vertices, "doc_id", chain, maxIter = 10)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got.toSeq == Seq(1L), "all chain vertices collapse to label 1")
+  }
+
   test("bruteForceTopK: self excluded, identical vector found at rank 1 cos 1") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),

@@ -85,6 +85,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("v1", "v2"))
   }
 
+  test("AsOf.asofBackward carries the latest right row at or before each left ts") {
+    val left = Seq((10L, 1L, "2026-01-05"), (11L, 1L, "2026-01-02"),
+      (12L, 2L, "2026-01-03"), (13L, 3L, "2026-01-03"))
+      .toDF("event_id", "k", "ts").select($"event_id", $"k", to_date($"ts").as("ts"))
+    val right = Seq((1L, "2026-01-02", 1.0), (1L, "2026-01-04", 2.0),
+      (2L, "2026-01-09", 9.0))
+      .toDF("k", "rts", "v").select($"k", to_date($"rts").as("rts"), $"v")
+    val out = AsOf.asofBackward(left, right, Seq("k"), "ts", "rts", Seq("v"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("v")).map(_.doubleValue)).toMap
+    assert(out(10L).contains(2.0), "latest prior row wins")
+    assert(out(11L).contains(1.0), "equal timestamps match (inclusive)")
+    assert(out(12L).isEmpty, "right row strictly after -> no match")
+    assert(out(13L).isEmpty, "key absent on the right -> no match")
+  }
+
   test("Multimodal: mapPartitions decode stub agrees with the column stub") {
     implicit val s = spark
     val media = Seq(

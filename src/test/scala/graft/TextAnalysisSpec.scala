@@ -50,6 +50,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!spam.getAs[Boolean]("keep"))
   }
 
+  test("tfidfTopTerms ranks rare terms above ubiquitous ones") {
+    // "common" appears in all 3 docs (min idf); "rare" only in doc 1
+    val docs = Seq(
+      (1L, "common rare rare"),
+      (2L, "common other"),
+      (3L, "common thing")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .where($"id" === 1L).orderBy($"rank").collect()
+    assert(top.head.getAs[String]("term") == "rare")
+    assert(top(1).getAs[String]("term") == "common")
+    assert(top.head.getAs[Double]("tfidf") > top(1).getAs[Double]("tfidf"))
+  }
+
   test("token counts: bpe-ish splits letter runs, digits, punctuation") {
     val row = Seq("don't stop 123 now!").toDF("text").select(
       TextAnalysis.tokenCountWs($"text").as("ws"),

@@ -176,6 +176,83 @@ object QueriesAnalytics {
           round(percentile_approx(col("value"), lit(0.5), lit(10000)), 4)
             .as("approx_median"))
         .orderBy(col("event_type")),
-      None)
+      None),
+
+    // set operations: customers ordering in both years (INTERSECT) and in
+    // 1997 only (EXCEPT), tagged and unioned
+    Q("q51_setops",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        def cohort(yr: Int) = o.where(year(col("o_orderdate")) === yr)
+          .select(col("o_custkey").as("c")).distinct()
+        val both = cohort(1997).intersect(cohort(1998))
+          .select(lit("both").as("cohort"), col("c"))
+        val only97 = cohort(1997).except(cohort(1998))
+          .select(lit("only_1997").as("cohort"), col("c"))
+        both.unionByName(only97).orderBy(col("cohort"), col("c"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT o_custkey AS c FROM orders
+                         WHERE year(o_orderdate) = 1997),
+                   b AS (SELECT DISTINCT o_custkey AS c FROM orders
+                         WHERE year(o_orderdate) = 1998)
+              SELECT 'both' AS cohort, c FROM (SELECT c FROM a INTERSECT SELECT c FROM b)
+              UNION ALL
+              SELECT 'only_1997', c FROM (SELECT c FROM a EXCEPT SELECT c FROM b)
+              ORDER BY cohort, c""")),
+
+    // ordered string aggregation: sorted distinct market segments per nation
+    Q("q52_string_agg",
+      (s, d) => t(s, d, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",")
+          .as("segments"))
+        .orderBy(col("c_nationkey")),
+      Some("""SELECT c_nationkey,
+                string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+                  AS segments
+              FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // window frames: 7-row trailing moving average per user (decimal
+    // accumulation — sliding-frame double sums differ across engines)
+    Q("q53_moving_avg",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+          .rowsBetween(-6, Window.currentRow)
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(avg(col("value").cast("decimal(18,6)")).over(w), 4)
+              .cast("double").as("ma7"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, ts,
+                CAST(round(avg(CAST(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+                  AS ma7
+              FROM events ORDER BY event_id""")),
+
+    // ranking family: quartile, percent_rank, cume_dist per nation by
+    // account balance (custkey tie-break keeps ranks deterministic)
+    Q("q54_rank_family",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, d, "customer")
+          .select(col("c_nationkey"), col("c_custkey"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy(col("c_nationkey"), col("c_custkey"))
+      },
+      Some("""SELECT c_nationkey, c_custkey,
+                ntile(4) OVER w AS quartile,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume
+              FROM customer
+              WINDOW w AS (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey)
+              ORDER BY c_nationkey, c_custkey"""))
   )
 }

@@ -89,6 +89,20 @@ object Dedup {
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
   }
 
+  /** End-to-end near-dedup: MinHash-LSH pairs → connected components → keep
+    * the canonical (minimum-id) document of every cluster. Returns the
+    * surviving rows of `df` with their original columns. Composes the three
+    * scale-safe stages; see each for its plan shape.
+    */
+  def nearDedup(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    val pairs = minhashDupPairs(df, idCol, textCol, shingleK, numHashes, bands, threshold)
+    val labels = dupClusters(df.select(col(idCol)), idCol, pairs)
+    df.join(labels.where(col(idCol) === col("cluster_id")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** MinHash hash family (Carter-Wegman): one md5 per shingle supplies two
     * 32-bit values a, b (hex chars 1-8 / 9-16); hash j is (a + j·b) mod P
     * with P the largest prime < 2^32. One string hash + numHashes integer

@@ -51,6 +51,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
       4L -> 4L, 9L -> 4L, 5L -> 5L, 6L -> 6L))
   }
 
+  test("nearDedup keeps the canonical doc of each near-dup cluster") {
+    val kept = Dedup.nearDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    // 1-2 are near-dups (min id 1 survives); 3, 4, 5 are singletons
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
   test("dupClusters converges on a long chain (pointer jumping)") {
     val n = 33
     val vertices = (1 to n).map(_.toLong).toDF("doc_id")

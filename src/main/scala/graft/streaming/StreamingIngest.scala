@@ -49,6 +49,59 @@ object StreamingIngest {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  final case class SessionState(start_us: Long, last_us: Long, n: Int, total: Double)
+  final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Int, total_value: Double)
+
+  /** Gap-based event-time sessionization with `flatMapGroupsWithState`:
+    * events more than `gapMinutes` apart start a new session; a session
+    * closes inline when a later event arrives past the gap, or via
+    * event-time timeout once the watermark passes last_event + gap. State
+    * per user is one open session — bounded regardless of stream length.
+    *
+    * Events are sorted within each trigger batch; across triggers the
+    * operator assumes per-key non-decreasing arrival (the usual log-shipping
+    * contract) — an event older than the open session's last timestamp
+    * extends that session rather than rewriting history, the same
+    * out-of-order bound every incremental sessionizer has under a watermark.
+    */
+  def sessionized(events: Dataset[Event], spark: SparkSession,
+      gapMinutes: Int = 30, watermark: String = "2 hours"): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    def micros(ts: java.sql.Timestamp): Long = {
+      val i = ts.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.start_us, s.last_us, s.n, s.total))
+          } else {
+            val sorted = evs.map(e => (micros(e.ts), e.value)).toSeq.sortBy(_._1)
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption.orNull
+            sorted.foreach { case (us, v) =>
+              if (cur == null) cur = SessionState(us, us, 1, v)
+              else if (us - cur.last_us > gapUs) {
+                closed ::= ClosedSession(uid, cur.start_us, cur.last_us, cur.n, cur.total)
+                cur = SessionState(us, us, 1, v)
+              } else cur = SessionState(cur.start_us, math.max(us, cur.last_us),
+                cur.n + 1, cur.total + v)
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.last_us / 1000L + gapMinutes * 60000L)
+            closed.reverse.iterator
+          }
+      }
+  }
+
   /** Custom stateful operator: per-user running session aggregate with
     * processing-time timeout — the `mapGroupsWithState` shape for state the
     * built-in windows can't express.

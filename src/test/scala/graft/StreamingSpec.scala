@@ -46,6 +46,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization matches the batch lag/sum sessions") {
+    // single file + single trigger so per-key arrival order is the time
+    // order (the operator's documented cross-trigger contract)
+    val dir = java.nio.file.Files.createTempDirectory("events_sess").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val events = StreamingIngest.eventsStream(spark, dir, maxFilesPerTrigger = 64)
+      .as[StreamingIngest.Event]
+    val q = StreamingIngest.sessionized(events, spark)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val closed = spark.table("sess_out")
+      assert(closed.count() > 0, "inline closures must fire within the batch")
+      // batch reference: q42-style sessions (30-min gap) on the same events
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000
+      val batch = Tables.events(spark, "/root/testdata/sf0.001")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("new_session",
+          when(col("us") - lag(col("us"), 1).over(byUser) > gapUs, 1)
+            .when(lag(col("us"), 1).over(byUser).isNull, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+          count(lit(1)).as("n_events"))
+      // every closed streamed session exists in the batch result exactly
+      val matched = closed.join(batch,
+        Seq("user_id", "start_us", "end_us", "n_events"), "left_semi")
+      assert(matched.count() == closed.count(),
+        "each streamed session must match a batch session")
+    } finally q.stop()
+  }
+
   test("stateful per-user totals via mapGroupsWithState") {
     val events = StreamingIngest.eventsStream(spark, srcDir)
       .as[StreamingIngest.Event]

@@ -5,7 +5,8 @@ object PlanDump {
     val d = "/root/testdata/sf0.1"
     val out = new StringBuilder
     Seq("q19_flagship", "q13_fact_load", "q12_scd2_merge", "q25_minhash_pairs",
-        "q28_ann_topk", "q37_ann_ivf", "q42_sessionize").foreach { q =>
+        "q28_ann_topk", "q37_ann_ivf", "q42_sessionize",
+        "q45_tfidf", "q46_anti_join", "q48_asof_event").foreach { q =>
       out.append(s"===== $q =====\n")
       out.append(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))

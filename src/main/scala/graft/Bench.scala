@@ -13,7 +13,7 @@ object Bench {
     // Optional comma-separated subset filter (dev loop: time one query
     // without paying for the whole catalog).
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
     val selected = SparkEntry.queries.filter {
       case (n, _) => only.forall(_.contains(n))
     }

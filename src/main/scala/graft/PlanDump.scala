@@ -4,7 +4,10 @@ object PlanDump {
     val spark = GraftSession.build("plans")
     val d = "/root/testdata/sf0.1"
     val out = new StringBuilder
-    Seq("q19_flagship", "q13_fact_load", "q12_scd2_merge", "q25_minhash_pairs",
+    // NB q25/q43 are omitted: they localCheckpoint internally, so their
+    // "plan" is an opaque Scan ExistingRDD (and explaining them would run
+    // the full job). q27 shows the grouped-bucket pair-generation shape.
+    Seq("q19_flagship", "q13_fact_load", "q12_scd2_merge", "q27_simhash_pairs",
         "q28_ann_topk", "q37_ann_ivf", "q42_sessionize",
         "q45_tfidf", "q46_anti_join", "q48_asof_event").foreach { q =>
       out.append(s"===== $q =====\n")

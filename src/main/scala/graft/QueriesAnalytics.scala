@@ -152,13 +152,15 @@ object QueriesAnalytics {
 
     // two-phase exact distinct: pre-aggregate on (type, user) so the final
     // per-type shuffle carries one row per distinct pair — the skew-proof
-    // expansion of COUNT(DISTINCT) that scales to hot keys
+    // expansion of COUNT(DISTINCT) that scales to hot keys. count(user_id)
+    // (not count(*)) in phase two: a NULL user forms a phase-one group too,
+    // but COUNT(DISTINCT user_id) semantics exclude it.
     Q("q49_distinct_twophase",
       (s, d) => t(s, d, "events")
         .groupBy(col("event_type"), col("user_id"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("n_events"))
+        .agg(count(col("user_id")).as("n_users"), sum(col("cnt")).as("n_events"))
         .orderBy(col("event_type")),
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
                 count(*) AS n_events
@@ -213,11 +215,14 @@ object QueriesAnalytics {
               FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
     // window frames: 7-row trailing moving average per user (decimal
-    // accumulation — sliding-frame double sums differ across engines)
+    // accumulation — sliding-frame double sums differ across engines;
+    // event_id tie-break — ROWS frame membership at equal ts must not
+    // depend on engine-internal sort order)
     Q("q53_moving_avg",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
           .rowsBetween(-6, Window.currentRow)
         t(s, d, "events")
           .select(col("event_id"), col("user_id"), col("ts"),
@@ -227,7 +232,7 @@ object QueriesAnalytics {
       },
       Some("""SELECT event_id, user_id, ts,
                 CAST(round(avg(CAST(value AS DECIMAL(18,6)))
-                  OVER (PARTITION BY user_id ORDER BY ts
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
                   AS ma7
               FROM events ORDER BY event_id""")),

@@ -71,15 +71,22 @@ object Dedup {
     var done = false
     var i = 0
     while (!done && i < maxIter) {
+      // checkpoint BEFORE the self-join below: both jump sides then read the
+      // materialized rows instead of re-running the join+aggregate twice
+      // (Spark shares no subplans across join inputs)
       val merged = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
       // pointer jump: labels are themselves vertex ids, so each vertex can
-      // adopt its label's label — halves remaining propagation distance
+      // adopt its label's label — halves remaining propagation distance.
+      // Lazy: it is evaluated inside the next round's merged (or the final
+      // select), always downstream of this round's checkpoint.
       val next = merged.alias("v")
         .join(merged.alias("m"), col("v.lbl") === col("m.id"))
         .select(col("v.id").as("id"), col("m.lbl").as("lbl"))
-        .localCheckpoint(true)
-      val s = lblSum(next)
+      // pre-jump sum is monotone too and stabilizes exactly at the fixpoint
+      // (merged unchanged ⇒ jump is the identity)
+      val s = lblSum(merged)
       done = s == prevSum
       prevSum = s
       labels = next
@@ -170,6 +177,24 @@ object Dedup {
         array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
   }
 
+  /** Emit the i<j element pairs of a sorted-array column with bounded
+    * per-row memory: `posexplode` anchors one output row per element, and
+    * each row's pair array covers only that element's tail — O(group) per
+    * row instead of the O(group²) single-row array an all-pairs flatten
+    * would materialize before exploding (at 100 TB a hot bucket OOMs the
+    * executor under the flatten form; this form streams). `make(a, b)`
+    * builds the emitted struct from the anchor and one tail mate. Returns
+    * a single struct column `p`.
+    */
+  private def tailPairs(grouped: DataFrame, arrCol: String,
+      make: (Column, Column) => Column): DataFrame =
+    grouped
+      .select(col(arrCol), posexplode(col(arrCol)).as(Seq("_i", "_a")))
+      .select(explode(transform(
+        slice(col(arrCol), col("_i") + lit(2),
+          greatest(size(col(arrCol)) - col("_i") - 1, lit(0))),
+        b => make(col("_a"), b))).as("p"))
+
   /** MinHash-LSH candidate pairs verified by exact shingle Jaccard.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     *
@@ -201,12 +226,11 @@ object Dedup {
     // evaluated once; a self-join would evaluate it per side), one shuffle
     // keyed on the bucket. A pair sharing several bands surfaces once per
     // band → dropDuplicates.
-    val cand = banded.groupBy(col("band"), col("key"))
+    val buckets = banded.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+    val cand = tailPairs(buckets, "ids",
+        (a, b) => struct(a.as("id_a"), b.as("id_b")))
       .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
 
@@ -250,14 +274,13 @@ object Dedup {
     val posting = grams
       .withColumn("sz", size(col("g")))
       .select(col("blk"), struct(col("id"), col("sz")).as("m"), explode(col("g")).as("gram"))
-    val pairCounts = posting.groupBy(col("blk"), col("gram"))
+    val postingSets = posting.groupBy(col("blk"), col("gram"))
       .agg(sort_array(collect_set(col("m"))).as("ms"))
       .where(size(col("ms")) > 1)
-      .select(explode(flatten(transform(col("ms"), (a, i) =>
-        transform(slice(col("ms"), i + 2, greatest(size(col("ms")) - i - 1, lit(0))),
-          b => struct(
-            a.getField("id").as("id_a"), a.getField("sz").as("sz_a"),
-            b.getField("id").as("id_b"), b.getField("sz").as("sz_b")))))).as("p"))
+    val pairCounts = tailPairs(postingSets, "ms",
+        (a, b) => struct(
+          a.getField("id").as("id_a"), a.getField("sz").as("sz_a"),
+          b.getField("id").as("id_b"), b.getField("sz").as("sz_b")))
       .groupBy(col("p.id_a").as("id_a"), col("p.sz_a").as("sz_a"),
         col("p.id_b").as("id_b"), col("p.sz_b").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
@@ -299,24 +322,22 @@ object Dedup {
     * production variant would block on rotated halves (multi-probe).
     *
     * Pair generation groups each block's (id, hash) rows into a sorted
-    * array and emits the i<j combinations with nested `transform`s, rather
-    * than self-joining `sim` — the (expensive) simhash input plan is
-    * evaluated once instead of twice, and the join shuffle disappears. The
-    * lambda only touches the materialized `rows` attribute, so nothing is
-    * re-evaluated per element.
+    * array and emits the i<j combinations via `tailPairs`, rather than
+    * self-joining `sim` — the (expensive) simhash input plan is evaluated
+    * once instead of twice, the join shuffle disappears, and per-row memory
+    * stays O(block), never O(block²).
     */
   def simhashDupPairs(sim: DataFrame, idCol: String, maxDist: Int): DataFrame = {
     val bucketed = sim
       .select(col(idCol).as("id"), col("simhash").as("h"))
       .groupBy(floor(col("h") / 256).cast("int").as("blk"))
       .agg(sort_array(collect_list(struct(col("id"), col("h")))).as("rows"))
-    val pairs = flatten(transform(col("rows"), (a, i) =>
-      transform(slice(col("rows"), i + 2, greatest(size(col("rows")) - i - 1, lit(0))),
-        b => struct(
+      .where(size(col("rows")) > 1)
+    tailPairs(bucketed, "rows",
+        (a, b) => struct(
           a.getField("id").as("id_a"),
           b.getField("id").as("id_b"),
-          bit_count(a.getField("h").bitwiseXOR(b.getField("h"))).cast("int").as("dist")))))
-    bucketed.select(explode(pairs).as("p"))
+          bit_count(a.getField("h").bitwiseXOR(b.getField("h"))).cast("int").as("dist")))
       .select(col("p.id_a"), col("p.id_b"), col("p.dist"))
       .where(col("dist") <= maxDist)
   }

@@ -54,21 +54,32 @@ object AsOf {
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val passthrough = left.columns.toSeq.filterNot(keys.contains)
+    // The whole right payload travels as ONE struct (non-null on every right
+    // row, even when all its fields are null): last(_, ignoreNulls) then
+    // carries the most recent right ROW — never a stale older value for a
+    // null field, never fields mixed from different right rows.
+    val payloadStruct = struct(payload.map(col): _*)
+    val nullStruct = lit(null).cast(
+      org.apache.spark.sql.types.StructType(payload.map(p => right.schema(p))))
     val lNorm = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("_ts"), lit(1).as("_side")) ++
-        passthrough.map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
-    val rNorm = right.select(
-      keys.map(col) ++ Seq(col(rightTs).as("_ts"), lit(0).as("_side")) ++
-        passthrough.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
+        passthrough.map(col) :+ nullStruct.as("_r"): _*)
+    // join semantics: a NULL key never matches — drop right rows with null
+    // keys instead of letting the window partition null-group them together
+    val rNorm = right
+      .where(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(col(rightTs).as("_ts"), lit(0).as("_side")) ++
+          passthrough.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          payloadStruct.as("_r"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(lNorm.unionByName(rNorm)) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    carried.where(col("_side") === 1).drop("_ts", "_side")
+    lNorm.unionByName(rNorm)
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select((keys.map(col) ++ passthrough.map(col) ++
+        payload.map(p => col(s"_r.$p").as(p))): _*)
   }
 
   /** Scale path for keyless/low-selectivity range joins: band both sides by

@@ -194,10 +194,18 @@ object Pipeline {
     val fs = p.getFileSystem(conf)
     if (fs.exists(old)) fs.delete(old, true)
     val hadPrev = fs.exists(p)
-    if (hadPrev) fs.rename(p, old)
+    // Hadoop rename reports failure by returning false. If moving the live
+    // table aside fails, STOP — with `p` still present, rename(t, p) would
+    // silently move tmp INTO the live directory (move-into-existing-dir
+    // semantics) and corrupt the table while appearing to succeed.
+    if (hadPrev && !fs.rename(p, old))
+      throw new java.io.IOException(s"swap: rename $path -> $old failed")
     if (!fs.rename(t, p)) {
       // restore the previous table rather than leaving nothing in place
-      if (hadPrev) fs.rename(old, p)
+      if (hadPrev && !fs.rename(old, p))
+        throw new java.io.IOException(
+          s"swap: promote failed AND restore $old -> $path failed; " +
+            "previous table preserved at " + old)
       throw new java.io.IOException(s"swap: rename $tmp -> $path failed")
     }
     if (hadPrev) fs.delete(old, true)

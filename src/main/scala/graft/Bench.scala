@@ -18,6 +18,16 @@ object Bench {
       case (n, _) => only.forall(_.contains(n))
     }
     val spark = GraftSession.build("graft-bench")
+    // Drop one query's residue before the next measurement: cached frames,
+    // localCheckpoint blocks (eager LSH/clustering queries leave them in the
+    // block manager until GC), then a GC so the ContextCleaner releases the
+    // freed blocks. Without this, checkpoint blocks from the warm-up taxed
+    // every early measured query by a uniform ~2 s (BENCH_r02 drift).
+    def cleanup(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+    }
     // Warm-up every query shape at the smallest SF: whole-stage codegen
     // classes and their C2-compiled loops are plan-shape-dependent, not
     // data-dependent, so this removes one-time JIT cost from the measured
@@ -26,10 +36,20 @@ object Bench {
     selected.values.foreach { fn =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    cleanup()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A query that crashes at the bench SF must not hide inside a normal-
+      // looking time: record its elapsed time NEGATED as an explicit
+      // failure sentinel.
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+          false
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      cleanup() // untimed: this query's residue must not bill the next one
+      name -> (if (ok) dt else -dt)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

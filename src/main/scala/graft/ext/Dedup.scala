@@ -41,59 +41,77 @@ object Dedup {
     *
     * Min-label propagation with a pointer-jumping step (label := label of
     * label) per round, so convergence is O(log diameter) rounds, not
-    * O(diameter). Each round is two equi-joins plus a min-aggregate over
-    * (vertex, label) rows — corpus-linear — and is localCheckpoint'ed to
-    * truncate lineage (an iterative plan otherwise grows until the
-    * optimizer chokes). Convergence is detected from the label sum, which
-    * is strictly monotone decreasing until fixpoint: one cheap scalar agg
-    * per round instead of a change-count join.
+    * O(diameter). Each round is ONE Spark job: an equi-join plus a
+    * min-aggregate over (vertex, label) rows, materialized by
+    * localCheckpoint to truncate lineage (an iterative plan otherwise grows
+    * until the optimizer chokes).
+    *
+    * Scale/latency design:
+    *  - only vertices incident to at least one pair iterate; every other
+    *    vertex is a singleton cluster by construction and joins back in at
+    *    the end — the iterated frames are O(|pairs|), not O(corpus) (at
+    *    100 TB the pair graph is orders of magnitude smaller than the
+    *    corpus);
+    *  - convergence is detected inside the same job that produces the
+    *    round's labels: the self-loop edge carries each vertex's previous
+    *    label into its own group (`prev`), and a pass-through map counts
+    *    `lbl != prev` rows into an accumulator while the checkpoint
+    *    materializes. No second action per round. A task retry can only
+    *    re-add positive counts — it can never turn a genuine zero into
+    *    nonzero — so `changed == 0` is a retry-safe fixpoint test;
+    *  - on the converged round the pointer jump is the identity, so the
+    *    final self-join is skipped entirely.
     */
   def dupClusters(vertices: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    // Bidirectional edges plus a self-loop per vertex, so one join+min-agg
-    // computes min(label(self), label(neighbors)) — no per-round union of
-    // the label table with itself (which also trips Catalyst's Union
-    // constraint rewrite when both branches share attribute ids).
+    val spark = vertices.sparkSession
+    import spark.implicits._
     val bidir = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(pairs
         .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+    val touched = bidir.select(col("src").as("id")).distinct()
+    // Bidirectional edges plus a self-loop per touched vertex, so one
+    // join+min-agg computes min(label(self), label(neighbors)) — no
+    // per-round union of the label table with itself (which also trips
+    // Catalyst's Union constraint rewrite when both branches share
+    // attribute ids). The self-loop doubles as the `prev` carrier below.
     val edges = bidir
-      .unionByName(vertices.select(
-        col(idCol).cast("long").as("src"), col(idCol).cast("long").as("dst")))
+      .unionByName(touched.select(col("id").as("src"), col("id").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = vertices
-      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lbl"))
-      .localCheckpoint(true)
-    def lblSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
-    var prevSum = lblSum(labels)
+    var labels = touched.select(col("id"), col("id").as("lbl")).localCheckpoint(true)
     var done = false
     var i = 0
     while (!done && i < maxIter) {
-      // checkpoint BEFORE the self-join below: both jump sides then read the
-      // materialized rows instead of re-running the join+aggregate twice
-      // (Spark shares no subplans across join inputs)
+      val changed = spark.sparkContext.longAccumulator("graft.dupClusters.changed")
       val merged = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(edges("src").as("id")).agg(min(col("lbl")).as("lbl"))
+        .groupBy(edges("src").as("id"))
+        .agg(min(col("lbl")).as("lbl"),
+          // the self-loop row is the only group member with dst == src, so
+          // this min is exactly the vertex's own previous label
+          min(when(edges("dst") === edges("src"), col("lbl"))).as("prev"))
+      val counted = merged
+        .select(col("id"), col("lbl"), (col("lbl") =!= col("prev")).as("chg"))
+        .as[(Long, Long, Boolean)]
+        .map { case (id, lbl, chg) => if (chg) changed.add(1L); (id, lbl) }
+        .toDF("id", "lbl")
         .localCheckpoint(true)
-      // pointer jump: labels are themselves vertex ids, so each vertex can
-      // adopt its label's label — halves remaining propagation distance.
-      // Lazy: it is evaluated inside the next round's merged (or the final
-      // select), always downstream of this round's checkpoint.
-      val next = merged.alias("v")
-        .join(merged.alias("m"), col("v.lbl") === col("m.id"))
-        .select(col("v.id").as("id"), col("m.lbl").as("lbl"))
-      // pre-jump sum is monotone too and stabilizes exactly at the fixpoint
-      // (merged unchanged ⇒ jump is the identity)
-      val s = lblSum(merged)
-      done = s == prevSum
-      prevSum = s
-      labels = next
+      done = changed.value == 0L
+      labels =
+        if (done) counted // fixpoint: the jump below would be the identity
+        else counted.alias("v")
+          // pointer jump: labels are themselves vertex ids, so each vertex
+          // adopts its label's label — halves remaining propagation
+          // distance. Lazy: evaluated inside the next round's single job,
+          // both sides reading this round's checkpointed rows.
+          .join(counted.alias("m"), col("v.lbl") === col("m.id"))
+          .select(col("v.id").as("id"), col("m.lbl").as("lbl"))
       i += 1
     }
     edges.unpersist()
-    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+    vertices.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("lbl"), col("id")).as("cluster_id"))
   }
 
   /** End-to-end near-dedup: MinHash-LSH pairs → connected components → keep

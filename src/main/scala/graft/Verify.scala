@@ -24,6 +24,16 @@ object Verify {
     if (only.isEmpty) {
       rmrf(new java.io.File(outDir))
       new java.io.File(outDir).mkdirs()
+    } else {
+      // Subset mode rewrites only the selected per-query dirs (parquet
+      // overwrite handles those) but leaves the rest of a previous dump in
+      // place — drop a marker so a later check over this directory can't
+      // silently pass stale results off as this build's. A subsequent full
+      // run rmrf's the directory, marker included.
+      new java.io.File(outDir).mkdirs()
+      Files.writeString(Paths.get(s"$outDir/_PARTIAL_DUMP"),
+        s"subset dump of: ${only.toSeq.sorted.mkString(", ")}\n" +
+          "other query dirs may be stale; oracle_sql.json below is full+current\n")
     }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

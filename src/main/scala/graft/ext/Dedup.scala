@@ -219,11 +219,22 @@ object Dedup {
     * The bucket join carries only (id, band, key) — corpus-linear shuffle;
     * shingle sets are joined back (by id) solely for the bucket-mates that
     * survive `distinct`. The pairwise Jaccard never sees non-candidates.
+    *
+    * EAGER by default: with `eager = true` (the default) merely
+    * constructing the returned DataFrame runs the entire LSH job and
+    * materializes the result as localCheckpoint blocks — that is what lets
+    * the pinned shingle cache be released before returning, so repeated
+    * invocations in one session don't accumulate cache entries. Callers
+    * that only want to build or inspect the plan (conditional pipelines,
+    * explain tooling) must pass `eager = false`; they get the lazy plan and
+    * the shingle cache stays pinned until the caller materializes and
+    * releases it (`sh` is registered in the session's cache manager, so
+    * `spark.catalog.clearCache()` reclaims it).
     */
   def minhashDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6, eager: Boolean = true): DataFrame = {
     val rowsPerBand = numHashes / bands
     // sh feeds the signature build AND both verification join-backs; Spark
     // does not share subplans across join inputs, so cache it (one row per
@@ -267,9 +278,11 @@ object Dedup {
     // invocations in one session must not accumulate cache entries. The
     // returned frame is backed by checkpoint blocks (one row per surviving
     // pair), which the ContextCleaner drops once the frame is unreferenced.
-    val out = result.localCheckpoint(true)
-    sh.unpersist()
-    out
+    if (eager) {
+      val out = result.localCheckpoint(true)
+      sh.unpersist()
+      out
+    } else result
   }
 
   /** Blocked pairwise n-gram Jaccard via an inverted index: explode each
@@ -339,24 +352,30 @@ object Dedup {
     * by a coarse prefix (high byte) to avoid the full cross join; a 64-bit
     * production variant would block on rotated halves (multi-probe).
     *
-    * Pair generation groups each block's (id, hash) rows into a sorted
-    * array and emits the i<j combinations via `tailPairs`, rather than
-    * self-joining `sim` — the (expensive) simhash input plan is evaluated
-    * once instead of twice, the join shuffle disappears, and per-row memory
-    * stays O(block), never O(block²).
+    * Pair generation materializes the (id, hash, block) rows ONCE as
+    * localCheckpoint blocks — ~16 bytes/doc, corpus-linear — and
+    * equi-self-joins them on the block key: the (expensive) simhash input
+    * plan is still evaluated exactly once, per-row memory is O(1), and a
+    * hot block streams through the join instead of materializing
+    * O(block)-sized array rows (a collect_list form's per-row memory grows
+    * linearly with corpus size — an executor OOM at 100 TB; the join form
+    * has no such bound to violate). EAGER: constructing the result runs
+    * the simhash job (same caveat as `minhashDupPairs`); pass
+    * `eager = false` for a plan-only frame (the input plan is then
+    * evaluated once per join side).
     */
-  def simhashDupPairs(sim: DataFrame, idCol: String, maxDist: Int): DataFrame = {
-    val bucketed = sim
-      .select(col(idCol).as("id"), col("simhash").as("h"))
-      .groupBy(floor(col("h") / 256).cast("int").as("blk"))
-      .agg(sort_array(collect_list(struct(col("id"), col("h")))).as("rows"))
-      .where(size(col("rows")) > 1)
-    tailPairs(bucketed, "rows",
-        (a, b) => struct(
-          a.getField("id").as("id_a"),
-          b.getField("id").as("id_b"),
-          bit_count(a.getField("h").bitwiseXOR(b.getField("h"))).cast("int").as("dist")))
-      .select(col("p.id_a"), col("p.id_b"), col("p.dist"))
+  def simhashDupPairs(sim: DataFrame, idCol: String, maxDist: Int,
+      eager: Boolean = true): DataFrame = {
+    val hashed = sim
+      .select(col(idCol).as("id"), col("simhash").as("h"),
+        floor(col("simhash") / 256).cast("int").as("blk"))
+    val s = if (eager) hashed.localCheckpoint(true) else hashed
+    val a = s.select(col("blk"), col("id").as("id_a"), col("h").as("h_a"))
+    val b = s.select(col("blk"), col("id").as("id_b"), col("h").as("h_b"))
+    a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int").as("dist"))
       .where(col("dist") <= maxDist)
   }
 }

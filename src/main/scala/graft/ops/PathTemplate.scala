@@ -17,8 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object PathTemplate {
 
-  /** Path resolution, byte-compatible with the reference layout: calendar
-    * year/month (el_to_parquet.py:298 uses date.year) + ISO week number.
+  /** Path resolution, byte-compatible with the reference's parquet/EL-layer
+    * layout: calendar year/month (el_to_parquet.py:298 uses date.year) +
+    * ISO week number.
+    *
+    * NB this targets the EL layer only. The reference's active Go crawler
+    * derives {year} from `time.ISOWeek()` — the ISO week-based year
+    * (crawler/go/common/s3.go GenerateBucketName) — so for Dec 29–31
+    * boundary dates the crawler's raw-JSON path can sit under the NEXT
+    * year's directory. Resolving templates against crawler-written raw
+    * paths would need an ISO-year variant; none is provided because the
+    * engine ingests from the EL layout (and the two layouts agree on every
+    * date outside the 3-day ISO boundary).
     */
   def resolve(template: String, date: LocalDate): String =
     template

@@ -192,7 +192,16 @@ object Pipeline {
     val p = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     val fs = p.getFileSystem(conf)
-    if (fs.exists(old)) fs.delete(old, true)
+    // A leftover <path>.old means a previous swap died mid-flight. If the
+    // live path is missing, that .old is the ONLY copy of the table (crash
+    // landed between the two renames) — restore it instead of destroying
+    // the recovery copy; only delete .old when the live path exists.
+    if (fs.exists(old)) {
+      if (!fs.exists(p)) {
+        if (!fs.rename(old, p))
+          throw new java.io.IOException(s"swap: recovery rename $old -> $path failed")
+      } else fs.delete(old, true)
+    }
     val hadPrev = fs.exists(p)
     // Hadoop rename reports failure by returning false. If moving the live
     // table aside fails, STOP — with `p` still present, rename(t, p) would

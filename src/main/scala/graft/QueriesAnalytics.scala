@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext._
-import graft.ops.AsOf
+import graft.ops.{AsOf, CleanOps, SurrogateKeys}
 import graft.QueriesCore.Q
 
 /** Round-2 catalog additions: duplicate-cluster connected components, group
@@ -16,6 +16,16 @@ object QueriesAnalytics {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
+
+  /** q55 fixture prefix: one of each scrubbed codepoint (\\u-escaped so
+    * every char is reviewable), shared verbatim by both engines.
+    */
+  private val scrubMarks =
+    "\u201Cq\u201D \u2018s\u2019 \u2022 item\u00A0x \u2764\uFE0F "
+
+  /** tokens: lowercase alnum runs, empties dropped (mirrors TextAnalysis.tokens). */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
   val all: Seq[Q] = Seq(
 
@@ -258,6 +268,66 @@ object QueriesAnalytics {
               FROM customer
               WINDOW w AS (PARTITION BY c_nationkey
                            ORDER BY c_acctbal DESC, c_custkey)
-              ORDER BY c_nationkey, c_custkey"""))
+              ORDER BY c_nationkey, c_custkey""")),
+
+    // P11 — unicode scrub: smart quotes / bullet / emoji / nbsp removed
+    // (marks are prepended so every row exercises every scrubbed codepoint)
+    Q("q55_unicode_scrub",
+      (s, d) => t(s, d, "documents").select(
+          col("doc_id"),
+          CleanOps.scrubUnicode(concat(lit(scrubMarks), substring(col("text"), 1, 60)))
+            .as("scrubbed"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+                regexp_replace('$scrubMarks' || substring(text, 1, 60),
+                               '${CleanOps.scrubPattern}', '', 'g') AS scrubbed
+              FROM documents ORDER BY doc_id""")),
+
+    // P14 + S1 envelope — array accumulation surviving an envelope
+    // round-trip: docs are packed into the reference's paged-API shape
+    // (Page/PageCount/Properties), flattened back with flattenEnvelope,
+    // and each doc's amenity array is merged with a literal batch
+    // (array_union = dedup append). Sorted before joining so set equality
+    // is what is compared.
+    Q("q56_amenities_envelope",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("source"),
+          slice(TextAnalysis.tokens(col("text")), 1, 3).as("amen"))
+        val env = docs.groupBy(col("source"))
+          .agg(collect_list(struct(col("doc_id"), col("amen"))).as("Properties"))
+          .select(lit(1).as("Page"), lit(1).as("PageCount"), col("Properties"))
+        graft.pipeline.Pipeline.flattenEnvelope(env)
+          .select(col("doc_id"),
+            CleanOps.arrayMerge(col("amen"), array(lit("pool"), lit("garage")))
+              .as("amen"))
+          .select(col("doc_id"), size(col("amen")).as("n_amen"),
+            array_join(sort_array(col("amen")), ",").as("amen_str"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH docs AS (
+                 SELECT doc_id, list_slice($toksSql, 1, 3) AS amen FROM documents),
+               merged AS (
+                 SELECT doc_id,
+                        list_distinct(list_concat(amen, ['pool', 'garage'])) AS amen
+                 FROM docs)
+              SELECT doc_id, CAST(len(amen) AS INT) AS n_amen,
+                     array_to_string(list_sort(amen), ',') AS amen_str
+              FROM merged ORDER BY doc_id""")),
+
+    // W1 scale path — two-phase dense surrogate ids on a fact-sized frame:
+    // the caller-supplied partition prefix respects (l_orderkey,
+    // l_linenumber) order, so the two-phase ids must equal the global
+    // row_number the oracle computes.
+    Q("q57_partitioned_ids",
+      (s, d) => SurrogateKeys.withPartitionedIds(
+          t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber")),
+          "id", floor(col("l_orderkey") / 1024), Seq("l_orderkey", "l_linenumber"))
+        .select(col("id"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("id")),
+      Some("""SELECT CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+                       AS BIGINT) AS id,
+                l_orderkey, l_linenumber
+              FROM lineitem ORDER BY id"""))
   )
 }

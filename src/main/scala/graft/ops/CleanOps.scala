@@ -78,9 +78,21 @@ object CleanOps {
   def adminField(c: Column, pos: Int): Column =
     trim(regexp_replace(element_at(split(c, ","), pos), "\\(.*\\)", ""))
 
-  /** P11 — unicode scrub: remove smart quotes and other non-ASCII marks. */
+  /** P11 — unicode scrub: remove smart quotes and other non-ASCII marks.
+    *
+    * Reference set (crawler/python/assets/items.py:7-8, applied to
+    * name/summary/description at :16-18): left/right double quote
+    * U+201C/U+201D, heavy black heart U+2764, variation selector-16 U+FE0F
+    * (the reference writes `"\\2764"` — a Python octal-escape typo for
+    * `"\\u2764"`; we implement the documented intent). The engine extends
+    * the set with the matching single quotes U+2018/U+2019, bullet U+2022,
+    * and no-break space U+00A0 — the same scrape-artifact family. Spelled
+    * in `\\u` escapes so reviewers can see every codepoint.
+    */
+  val scrubPattern: String =
+    "[\u2018\u2019\u201C\u201D\u2022\u2764\uFE0F\u00A0]"
   def scrubUnicode(c: Column): Column =
-    regexp_replace(c, "[‘’“”• ]", "")
+    regexp_replace(c, scrubPattern, "")
 
   /** P12 — extract every digit in a string and sum the digit values.
     * Higher-order functions only: stays codegen-friendly, no UDF.
@@ -98,4 +110,26 @@ object CleanOps {
   /** P4/P7 composite used by the staging pipeline: rename + literal columns. */
   def withLiteral(df: DataFrame, name: String, value: Column): DataFrame =
     df.withColumn(name, value)
+
+  /** P14 — amenities array accumulation (reference accumulates `li` texts
+    * into `Ammenities []string`, crawler/go/common/listing.go:48-52 and
+    * pt_century21.go:157-171).
+    *
+    * `arrayAppend` is the reference-faithful accumulate: plain
+    * concatenation, duplicates and order preserved, null-safe on either
+    * side (a null array behaves as empty — Go append on a nil slice).
+    * `arrayMerge` is the dedup variant (`array_union` set semantics).
+    * `collectArray` is the row-wise form: one sorted deduped array per
+    * group (sorted so the result is deterministic under any partitioning).
+    */
+  def arrayAppend(arr: Column, items: Column): Column =
+    when(arr.isNull, items).when(items.isNull, arr).otherwise(concat(arr, items))
+  def arrayMerge(arr: Column, items: Column): Column =
+    when(arr.isNull, array_distinct(items))
+      .when(items.isNull, array_distinct(arr))
+      .otherwise(array_union(arr, items))
+  def collectArray(df: DataFrame, keys: Seq[String], valueCol: String,
+      as: String = "items"): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_set(col(valueCol))).as(as))
 }

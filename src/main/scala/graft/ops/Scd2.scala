@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SCD-type-2 merge as a batch rewrite (SURVEY.md §2.4 J1/J2, §2.6 W1, §7.4).
@@ -38,15 +37,15 @@ final case class Scd2Config(
 
 object Scd2 {
 
-  /** Stamp a staged dimension as an initial SCD2 target (first load). */
-  def initialLoad(base: DataFrame, cfg: Scd2Config, runDate: Column): DataFrame = {
-    val w = Window.orderBy(cfg.keys.map(col): _*)
-    base
-      .withColumn(cfg.idCol, row_number().over(w).cast("long"))
+  /** Stamp a staged dimension as an initial SCD2 target (first load).
+    * Ids via the range-partitioned two-phase path — identical values to a
+    * global `row_number() OVER (ORDER BY keys)`, no single-partition sort.
+    */
+  def initialLoad(base: DataFrame, cfg: Scd2Config, runDate: Column): DataFrame =
+    SurrogateKeys.withOrderedIds(base, cfg.idCol, cfg.keys)
       .withColumn(cfg.startCol, runDate.cast("date"))
       .withColumn(cfg.endCol, to_date(lit(cfg.sentinel)))
       .select(outputCols(cfg).map(col): _*)
-  }
 
   /** J1 + J2 + union — the SCD2 merge rewrite. `target` is the current
     * dimension table, `base` the freshly staged snapshot (keys ++ attrs ++
@@ -82,12 +81,14 @@ object Scd2 {
 
     // Deterministic dense ids: maxExistingId + row_number ordered by key.
     // max(id) rides along as a broadcast one-row cross join — keeps the merge
-    // a single lazy plan (and SQL-expressible for the oracle).
+    // a single lazy plan (and SQL-expressible for the oracle). The
+    // row_number itself comes from the range-partitioned two-phase path, so
+    // a fact-sized delta never funnels through one partition (and the
+    // partition-less WindowExec WARN is gone for every delta size).
     val maxId = target.agg(coalesce(max(col(cfg.idCol)), lit(0L)).as("__max_id"))
-    val w = Window.orderBy(keyCols.map(col): _*)
-    val newVersions = needsVersion
+    val newVersions = SurrogateKeys.withOrderedIds(needsVersion, "__rn", keyCols)
       .crossJoin(broadcast(maxId))
-      .withColumn(cfg.idCol, (col("__max_id") + row_number().over(w)).cast("long"))
+      .withColumn(cfg.idCol, (col("__max_id") + col("__rn")).cast("long"))
       .withColumn(cfg.startCol, runDate.cast("date"))
       .withColumn(cfg.endCol, sentinelD)
       .select(outputCols(cfg).map(col): _*)

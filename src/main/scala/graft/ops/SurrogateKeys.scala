@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   * function of the business-key ordering — stable across reruns on the same
   * input. `monotonically_increasing_id` is rejected: not dense, partition-
   * layout-dependent.
+  *
+  * Three paths, same contract:
+  *  - `withIds` — one global-sort window; simplest plan, single-partition
+  *    sort, fine for dimension-sized frames only;
+  *  - `withPartitionedIds` — caller supplies an order-respecting partition
+  *    expression (e.g. a numeric range prefix of the key); two-phase, no
+  *    global sort;
+  *  - `withOrderedIds` — derives the partition automatically via
+  *    `repartitionByRange` on the ordering keys; the default scale path
+  *    (used by the SCD2 merge).
   */
 object SurrogateKeys {
 
@@ -23,6 +33,18 @@ object SurrogateKeys {
     val w = Window.orderBy(orderBy.map(col): _*)
     df.withColumn(idCol, (row_number().over(w) + lit(offset)).cast("long"))
   }
+
+  /** Running total of rows in all preceding partitions: (__pid, count) →
+    * (__pid, __base). A broadcast non-equi self-join over ≤ numPartitions
+    * rows — deliberately NOT a partition-less `Window.orderBy`, which would
+    * re-introduce the single-partition WindowExec (and its WARN) this
+    * module exists to avoid.
+    */
+  private def cumulativeBases(counts: DataFrame): DataFrame =
+    counts.alias("a")
+      .join(broadcast(counts.alias("b")), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.count")), lit(0L)).as("__base"))
 
   /** Scale path for fact-sized data: two-phase dense ids without a global
     * sort. Phase 1 counts rows per sort-partition; phase 2 offsets each
@@ -37,14 +59,36 @@ object SurrogateKeys {
       offset: Long = 0L): DataFrame = {
     val withPart = df.withColumn("__pid", partitionExpr)
     val counts = withPart.groupBy(col("__pid")).count()
-      .withColumn("__base",
-        coalesce(
-          sum(col("count")).over(
-            Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("__pid"), col("__base"))
     val w = Window.partitionBy(col("__pid")).orderBy(orderBy.map(col): _*)
-    withPart.join(broadcast(counts), "__pid")
+    withPart.join(broadcast(cumulativeBases(counts)), "__pid")
+      .withColumn(idCol, (row_number().over(w) + col("__base") + lit(offset)).cast("long"))
+      .drop("__pid", "__base")
+  }
+
+  /** Dense ids over a global ordering WITHOUT a single-partition sort and
+    * WITHOUT the caller inventing a partition expression:
+    * `repartitionByRange` on the ordering columns makes the physical
+    * partition index monotone in the ordering, so
+    * (`spark_partition_id()`, local row_number) reproduces the exact global
+    * row_number once each partition's base offset is added.
+    *
+    * Determinism: the assigned ids equal `row_number() OVER (ORDER BY
+    * orderBy)` for ANY range boundaries — boundaries only move rows between
+    * partitions, never change the global (partition index, within-partition
+    * order) ordering — so the result is a pure function of the data when
+    * the ordering is unique. Rows that compare equal on all `orderBy`
+    * columns land in the same range partition, leaving their relative order
+    * engine-chosen — the same caveat the global-window form has. The two
+    * consumers of the ranged frame (counts + ids) resolve to identical
+    * exchanges, which Spark's ReuseExchange serves from one sampling pass.
+    */
+  def withOrderedIds(df: DataFrame, idCol: String, orderBy: Seq[String],
+      offset: Long = 0L): DataFrame = {
+    val parted = df.repartitionByRange(orderBy.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val counts = parted.groupBy(col("__pid")).count()
+    val w = Window.partitionBy(col("__pid")).orderBy(orderBy.map(col): _*)
+    parted.join(broadcast(cumulativeBases(counts)), "__pid")
       .withColumn(idCol, (row_number().over(w) + col("__base") + lit(offset)).cast("long"))
       .drop("__pid", "__base")
   }

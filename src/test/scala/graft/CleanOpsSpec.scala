@@ -59,6 +59,33 @@ class CleanOpsSpec extends AnyFunSuite {
       "Hello <a href=x>link</a> world")
   }
 
+  test("scrubUnicode removes each scrubbed codepoint, keeps ASCII intact") {
+    val dirty = "a\u201Cb\u201Dc\u2018d\u2019e\u2022f\u2764\uFE0Fg\u00A0h 'i' \"j\""
+    val got = Seq(dirty).toDF("t").select(CleanOps.scrubUnicode($"t")).as[String].head()
+    assert(got == "abcdefgh 'i' \"j\"",
+      "smart quotes, bullet, heart+VS16, nbsp removed; ASCII quotes/spaces kept")
+  }
+
+  test("arrayAppend keeps duplicates/order; arrayMerge dedups; null-safe") {
+    val df = Seq(
+      (1, Seq("pool", "gym"), Seq("gym", "spa")),
+      (2, null.asInstanceOf[Seq[String]], Seq("spa", "spa"))).toDF("id", "a", "b")
+    val rows = df.select($"id",
+        CleanOps.arrayAppend($"a", $"b").as("app"),
+        CleanOps.arrayMerge($"a", $"b").as("mrg"))
+      .orderBy($"id").as[(Int, Seq[String], Seq[String])].collect()
+    assert(rows(0)._2 == Seq("pool", "gym", "gym", "spa"), "faithful append keeps dup")
+    assert(rows(0)._3 == Seq("pool", "gym", "spa"), "merge dedups, first-occurrence order")
+    assert(rows(1)._2 == Seq("spa", "spa") && rows(1)._3 == Seq("spa"), "null array = empty")
+  }
+
+  test("collectArray: one sorted deduped array per group") {
+    val df = Seq((1, "b"), (1, "a"), (1, "b"), (2, "z")).toDF("k", "v")
+    val got = CleanOps.collectArray(df, Seq("k"), "v").orderBy($"k")
+      .as[(Int, Seq[String])].collect()
+    assert(got.toSeq == Seq((1, Seq("a", "b")), (2, Seq("z"))))
+  }
+
   test("fill defaults: numeric -1, text Unknown") {
     val df = Seq((Some(1.0), Some("x")), (None, None))
       .toDF("n", "t")

@@ -37,6 +37,40 @@ class OpsSpec extends AnyFunSuite {
     assert(ids.toSeq == (1L to 100L).toSeq)
   }
 
+  test("SurrogateKeys.withOrderedIds equals the global row_number (twice, shuffled input)") {
+    // 20k rows, scrambled input order, keys unique: the range-partitioned
+    // two-phase path must reproduce row_number() OVER (ORDER BY k) exactly,
+    // on repeated evaluation (the counts side and the ids side must see the
+    // same range boundaries).
+    val df = (1 to 20000).map(i => ((i * 7919) % 20011, i)).toDF("salt", "k")
+      .repartition(16).select(col("k"))
+    (1 to 2).foreach { _ =>
+      val bad = SurrogateKeys.withOrderedIds(df, "id", Seq("k"), offset = 5)
+        .where(col("id") =!= col("k") + 5).count()
+      assert(bad == 0L, "every id must equal its key's global rank + offset")
+    }
+  }
+
+  test("approx sketches stay within documented error of exact stats (q50 self-check)") {
+    // No DuckDB oracle is possible for engine-specific sketches, so q50 is
+    // self-checked: HLL++ distinct within 3*rsd (default rsd=0.05), KLL
+    // median within the value range spanned by the exact p45..p55 band.
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val exact = ev.agg(
+      countDistinct(col("user_id")).as("n"),
+      expr("percentile(value, 0.45)").as("p45"),
+      expr("percentile(value, 0.55)").as("p55")).head
+    val approx = ev.agg(
+      approx_count_distinct(col("user_id")).as("n"),
+      percentile_approx(col("value"), lit(0.5), lit(10000)).as("med")).head
+    val (nExact, nApprox) = (exact.getLong(0), approx.getLong(0))
+    assert(math.abs(nApprox - nExact).toDouble / nExact <= 0.15,
+      s"approx_count_distinct $nApprox vs exact $nExact exceeds 3*rsd")
+    val med = approx.getDouble(1)
+    assert(med >= exact.getDouble(1) && med <= exact.getDouble(2),
+      s"approx median $med outside exact p45..p55 band")
+  }
+
   test("PathTemplate resolves ISO year/week and builds pruning filter") {
     val d = java.time.LocalDate.parse("2024-01-10")
     assert(PathTemplate.resolve("s3://b/{year}/{month}/{week}/", d) == "s3://b/2024/1/2/")

@@ -147,6 +147,111 @@ object Pipeline {
     } finally base.unpersist()
   }
 
+  /** S8 — catalog-backed variant of `run`: `CREATE DATABASE IF NOT EXISTS`
+    * plus managed tables (`saveAsTable`) replace raw warehouse paths
+    * (reference staging/presentation schema DDL —
+    * plugins/helpers/sql_queries_staging.py:10-12,
+    * sql_queries_presentation.py:4-6), and dimension promotion is a
+    * POINTER swap: each presentation dimension is a view over one of two
+    * alternating backing tables (`<dim>__a` / `<dim>__b`); the merge writes
+    * the inactive side, validates it, then `CREATE OR REPLACE VIEW` — one
+    * atomic catalog operation — flips the pointer and the old side is
+    * dropped. A crash at ANY point leaves the view resolving to a complete
+    * table (the old one until the flip, the new one after), which closes
+    * the brief-missing-path window `swap` documents for the path-based
+    * warehouse. The session catalog owns table locations under
+    * spark.sql.warehouse.dir; production would back it with a metastore —
+    * engine code identical.
+    */
+  def runCatalog(spark: SparkSession, listings: DataFrame, cfg: Config,
+      stagingDb: String = "staging", presDb: String = "presentation"): DataFrame = {
+    val runDate = to_date(lit(cfg.runDate.toString))
+    Seq(stagingDb, presDb).foreach(db =>
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`"))
+    val base = clean(listings, cfg.truncateAt).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stgBroker = DimOps.stageDimension(base, Seq("broker"))
+      val stgGeo = DimOps.stageDimension(base, Seq("country", "county", "parish"))
+      val stgAsset = DimOps.stageDimension(base, assetCfg.keys ++ assetCfg.attrs)
+      val stgFact = DimOps.factGrain(base,
+        Seq("contract_number", "broker", "country", "county", "parish"), runDate)
+      Seq("dim_broker" -> stgBroker, "dim_geography" -> stgGeo,
+        "dim_asset" -> stgAsset, "fact_stock" -> stgFact).foreach { case (n, df) =>
+        df.write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(s"`$stagingDb`.`$n`")
+      }
+
+      Seq(
+        ("dim_broker", stgBroker, brokerCfg),
+        ("dim_geography", stgGeo, geographyCfg),
+        ("dim_asset", stgAsset, assetCfg)).foreach { case (name, staged, dimCfg) =>
+        val live = s"`$presDb`.`$name`"
+        val cur = viewBacking(spark, presDb, name)
+        val next = if (cur.contains(s"${name}__a")) s"${name}__b" else s"${name}__a"
+        val target = cur.map(_ => spark.table(live))
+          .getOrElse(Scd2.initialLoad(staged.limit(0), dimCfg, runDate))
+        // reads resolve through the view to the CURRENT side; the write
+        // targets the other side — never the table being read
+        Scd2.merge(target, staged, dimCfg, runDate)
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(s"`$presDb`.`$next`")
+        Quality.requireUniqueActive(spark.table(s"`$presDb`.`$next`"), dimCfg)
+        spark.sql(
+          s"CREATE OR REPLACE VIEW $live AS SELECT * FROM `$presDb`.`$next`")
+        cur.filter(_ != next).foreach(c =>
+          spark.sql(s"DROP TABLE IF EXISTS `$presDb`.`$c`"))
+      }
+
+      val broker = FactLoad.activeOnly(spark.table(s"`$presDb`.`dim_broker`"), brokerCfg)
+        .select(col("broker"), col("id").as("broker_id"))
+      val geo = FactLoad.activeOnly(spark.table(s"`$presDb`.`dim_geography`"), geographyCfg)
+        .select(col("country"), col("county"), col("parish"), col("id").as("geography_id"))
+      val asset = FactLoad.activeOnly(spark.table(s"`$presDb`.`dim_asset`"), assetCfg)
+        .select(col("contract_number"), col("id").as("asset_id"))
+      val fact = FactLoad.resolveKeys(
+        stgFact.withColumn("date_id", FactLoad.dateId(col("stock_date"))),
+        Seq(
+          FactLoad.DimLookup(asset, Seq("contract_number"), "asset_id"),
+          FactLoad.DimLookup(broker, Seq("broker"), "broker_id"),
+          FactLoad.DimLookup(geo, Seq("country", "county", "parish"), "geography_id")),
+        Seq("quantity", "stock_date", "date_id"))
+      Quality.requireNonEmpty(fact, "fact_stock")
+      val factTable = s"`$presDb`.`fact_stock`"
+      if (!spark.catalog.tableExists(factTable))
+        fact.write.mode(SaveMode.Overwrite).format("parquet")
+          .partitionBy("date_id").saveAsTable(factTable)
+      else {
+        // dynamic partition overwrite: a rerun replaces exactly its own
+        // date_id partition (idempotent backfill), other weeks untouched.
+        // insertInto is position-based — order columns to the table schema —
+        // and ignores writer-level options, so the mode is a session conf
+        // (restored afterwards).
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "dynamic")
+        try fact.select(spark.table(factTable).columns.map(col).toIndexedSeq: _*)
+          .write.mode(SaveMode.Overwrite)
+          .insertInto(factTable)
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+      spark.table(factTable)
+    } finally base.unpersist()
+  }
+
+  /** The backing table the presentation view currently points at, read from
+    * the analyzed plan (survives session restarts, unlike driver-side
+    * bookkeeping). None when the view does not exist yet.
+    */
+  private def viewBacking(spark: SparkSession, db: String, name: String): Option[String] =
+    if (!spark.catalog.tableExists(s"`$db`.`$name`")) None
+    else spark.table(s"`$db`.`$name`").queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.catalogTable.map(_.identifier.table)
+    }.flatten.headOption
+
   /** Streaming variant of the whole pipeline: the file source watches the
     * feed directory and every micro-batch runs the full
     * Clean → Stage → Scd2 → FactLoad → DQ sequence via foreachBatch (the

@@ -104,6 +104,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(fact.where($"date_id" === 20260119).count() == 2)
   }
 
+  test("catalog-backed warehouse: databases, tables, atomic view-pointer swap") {
+    def week(rows: Seq[String], date: String): org.apache.spark.sql.DataFrame = {
+      val dir = Files.createTempDirectory("cat_feed").toString
+      Files.write(java.nio.file.Paths.get(s"$dir/listings.json"),
+        rows.mkString("\n").getBytes("UTF-8"))
+      Pipeline.runCatalog(spark, Pipeline.readListings(spark, dir),
+        Pipeline.Config("unused", LocalDate.parse(date)),
+        stagingDb = "staging", presDb = "presentation")
+    }
+    week(Seq(
+      listing("era", "k1", "€ 100,000", "Cascais"),
+      listing("c21", "k2", "€ 300,000", "Sintra")), "2026-01-05")
+    assert(spark.catalog.databaseExists("staging") &&
+      spark.catalog.databaseExists("presentation"))
+    assert(spark.table("staging.dim_asset").count() == 2)
+    assert(spark.table("presentation.dim_asset").count() == 2)
+
+    // week 2: k1's price changes -> new SCD2 version via the OTHER backing
+    // table; the view pointer flips and the old side is dropped
+    week(Seq(
+      listing("era", "k1", "€ 150,000", "Cascais"),
+      listing("c21", "k2", "€ 300,000", "Sintra")), "2026-01-12")
+    val asset = spark.table("presentation.dim_asset")
+    assert(asset.count() == 3, "price change created a new version")
+    val k1 = asset.where($"contract_number" === "k1").orderBy("record_start_date").collect()
+    assert(k1.length == 2 && k1(1).getAs[Double]("price") == 150000.0 &&
+      k1(0).getAs[java.sql.Date]("record_end_date").toString == "2026-01-11")
+    // exactly one backing side survives the promote
+    val sides = Seq("dim_asset__a", "dim_asset__b")
+      .count(t => spark.catalog.tableExists(s"presentation.$t"))
+    assert(sides == 1, "old backing table dropped after the pointer flip")
+
+    // fact partitions: one per week; rerun of week 2 is idempotent
+    val fact = week(Seq(
+      listing("era", "k1", "€ 150,000", "Cascais"),
+      listing("c21", "k2", "€ 300,000", "Sintra")), "2026-01-12")
+    assert(spark.table("presentation.dim_asset").count() == 3, "rerun added no versions")
+    val byWeek = fact.groupBy("date_id").count()
+      .collect().map(r => r.getAs[Int]("date_id") -> r.getLong(1)).toMap
+    assert(byWeek == Map(20260105 -> 2L, 20260112 -> 2L))
+  }
+
   test("streaming variant: weekly feed files drive the same SCD2 pipeline") {
     val feed = Files.createTempDirectory("stream_feed").toString
     val swh = Files.createTempDirectory("stream_wh").toString

@@ -12,6 +12,10 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // catalog-backed pipeline tests create databases/tables: keep the
+      // managed-table root out of the repo working tree
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_sql_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

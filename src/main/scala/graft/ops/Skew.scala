@@ -30,11 +30,15 @@ object Skew {
   }
 
   /** Top-N heaviest keys with their share — the diagnostic that decides
-    * whether salting is worth it (one cheap aggregate).
+    * whether salting is worth it. ONE scan of `df`: the per-key counts are
+    * materialized once (localCheckpoint — this is an eager profiling call,
+    * not a lazy operator) and the grand total is a cheap aggregate over
+    * those counts, instead of a second full-input `df.count()` pass.
     */
   def keySkewProfile(df: DataFrame, keys: Seq[String], topN: Int = 10): DataFrame = {
-    val counts = df.groupBy(keys.map(col): _*).count()
-    val total = df.count().toDouble
+    val counts = df.groupBy(keys.map(col): _*).count().localCheckpoint(true)
+    val total = counts.agg(coalesce(sum(col("count")), lit(0L)))
+      .head.getLong(0).toDouble
     counts.withColumn("share", round(col("count") / total, 4))
       .orderBy(col("count").desc)
       .limit(topN)

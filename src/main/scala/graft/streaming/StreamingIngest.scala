@@ -102,21 +102,40 @@ object StreamingIngest {
       }
   }
 
-  /** Custom stateful operator: per-user running session aggregate with
-    * processing-time timeout — the `mapGroupsWithState` shape for state the
-    * built-in windows can't express.
+  /** Custom stateful operator: per-user running totals — the
+    * `mapGroupsWithState` shape for state the built-in windows can't
+    * express.
+    *
+    * State sizing: the default `ttl = None` keeps one state entry per user
+    * forever — correct for true lifetime totals, but state then grows with
+    * user cardinality; only use it when that is known to fit executor
+    * memory. Passing a `ttl` bounds live state to the users ACTIVE inside
+    * the TTL horizon: an idle user's state times out (processing-time
+    * timeout), emits its final totals, and is reclaimed. NB with a TTL the
+    * engine schedules timeout-check batches continuously, so drive the
+    * query with a real trigger (`processAllAvailable` alone can block).
     */
-  def userTotals(events: Dataset[Event], spark: SparkSession): Dataset[SessionOut] = {
+  def userTotals(events: Dataset[Event], spark: SparkSession,
+      ttl: Option[String] = None): Dataset[SessionOut] = {
     import spark.implicits._
+    val timeoutKind =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[(Int, Double), SessionOut](
-        GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[(Int, Double), SessionOut](timeoutKind) {
         case (uid, evs, state: GroupState[(Int, Double)]) =>
-          val (n0, v0) = state.getOption.getOrElse((0, 0.0))
-          var n = n0; var v = v0
-          evs.foreach { e => n += 1; v += e.value }
-          state.update((n, v))
-          SessionOut(uid, n, v)
+          if (state.hasTimedOut) {
+            val (n, v) = state.get
+            state.remove()
+            SessionOut(uid, n, v)
+          } else {
+            val (n0, v0) = state.getOption.getOrElse((0, 0.0))
+            var n = n0; var v = v0
+            evs.foreach { e => n += 1; v += e.value }
+            state.update((n, v))
+            ttl.foreach(state.setTimeoutDuration)
+            SessionOut(uid, n, v)
+          }
       }
   }
 }

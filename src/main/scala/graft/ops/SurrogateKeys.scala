@@ -35,16 +35,23 @@ object SurrogateKeys {
   }
 
   /** Running total of rows in all preceding partitions: (__pid, count) →
-    * (__pid, __base). A broadcast non-equi self-join over ≤ numPartitions
-    * rows — deliberately NOT a partition-less `Window.orderBy`, which would
-    * re-introduce the single-partition WindowExec (and its WARN) this
-    * module exists to avoid.
+    * (__pid, __base). `counts` is ≤ numPartitions rows, so one windowed
+    * running sum over it is trivially cheap; the constant partition key
+    * keeps the window spec non-empty (identical semantics to a global
+    * ordered window, without the "No Partition Defined" WindowExec path)
+    * while evaluating `counts` exactly once — a self-join form would
+    * re-evaluate the entire upstream plan once per join side.
     */
-  private def cumulativeBases(counts: DataFrame): DataFrame =
-    counts.alias("a")
-      .join(broadcast(counts.alias("b")), col("b.__pid") < col("a.__pid"), "left")
-      .groupBy(col("a.__pid").as("__pid"))
-      .agg(coalesce(sum(col("b.count")), lit(0L)).as("__base"))
+  private def cumulativeBases(counts: DataFrame): DataFrame = {
+    // pmod(__pid, 1) is always 0 but NOT foldable — a literal here gets
+    // constant-folded into an empty partition spec, which is exactly the
+    // partition-less WindowExec being avoided
+    val w = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("__base", coalesce(sum(col("count")).over(w), lit(0L)))
+      .select(col("__pid"), col("__base"))
+  }
 
   /** Scale path for fact-sized data: two-phase dense ids without a global
     * sort. Phase 1 counts rows per sort-partition; phase 2 offsets each

@@ -1,21 +1,53 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** SparkSessionExtensions entry point: registers graft's native functions
-  * into the SQL function registry, so `SELECT graft_dot(a, b)` works from
-  * plain SQL as well as the Column API.
+import graft.ext.TextAnalysis
+import graft.ops.CleanOps
+
+/** SparkSessionExtensions entry point: registers graft's functions into the
+  * SQL function registry, so `SELECT graft_dot(a, b)` works from plain SQL
+  * as well as the Column API.
+  *
+  * `graft_dot` is a native codegen Expression; the rest are COMPOSITE
+  * builders — each expands at parse time into the same Catalyst built-in
+  * tree the Column-API operator produces, so SQL callers get identical
+  * semantics, codegen, and pushdown for free (no UDF layer, no extra
+  * expression classes to maintain).
   *
   * Wire with `SparkSession.builder().withExtensions(new GraftExtensions)`
   * or `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Register a composite function: Column-level combinator → Expression
+    * builder (Column ↔ Expression via the classic bridge).
+    */
+  private def composite(e: SparkSessionExtensions, name: String,
+      arity: Int, build: Seq[Column] => Column): Unit =
+    e.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == arity, s"$name expects $arity argument(s)")
+        org.apache.spark.sql.graft.ColumnBridge.expressionNow(
+          build(exprs.map(org.apache.spark.sql.graft.ColumnBridge.column)))
+      }))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductArr].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProductArr(exprs.head, exprs(1))))
+    composite(e, "graft_digit_sum", 1, cs => CleanOps.digitSum(cs.head))
+    composite(e, "graft_scrub_unicode", 1, cs => CleanOps.scrubUnicode(cs.head))
+    composite(e, "graft_parse_price", 1, cs => CleanOps.parsePrice(cs.head))
+    composite(e, "graft_strip_tags", 1, cs => CleanOps.stripAllTags(cs.head))
+    composite(e, "graft_fingerprint", 1, cs => TextAnalysis.fingerprint(cs.head))
+    composite(e, "graft_lang_id", 1, cs => TextAnalysis.langId(cs.head))
+    composite(e, "graft_token_count", 1, cs => TextAnalysis.tokenCountWs(cs.head))
+    composite(e, "graft_row_hash", 2, cs => CleanOps.rowHash(cs))
   }
 }

@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** Eager Column→Expression conversion: the lazy `ExpressionUtils` wrapper
+    * stays a `ColumnNodeExpression` (Unevaluable) when returned from a SQL
+    * function-registry builder, because nothing in that path forces node
+    * conversion. Converting the node up front yields a real Catalyst tree
+    * (possibly with UnresolvedFunction leaves) that the analyzer then
+    * resolves like any parsed SQL.
+    */
+  def expressionNow(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -51,6 +51,20 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("withOrderedIds: empty frame, duplicate keys, single row") {
+    val empty = Seq.empty[Int].toDF("k")
+    assert(SurrogateKeys.withOrderedIds(empty, "id", Seq("k")).count() == 0L)
+    val one = SurrogateKeys.withOrderedIds(Seq(42).toDF("k"), "id", Seq("k"))
+      .select("id").as[Long].collect()
+    assert(one.toSeq == Seq(1L))
+    // duplicate keys: ids still dense 1..n and non-decreasing in the key
+    val dup = SurrogateKeys.withOrderedIds(
+      Seq(3, 1, 2, 1, 3, 1).toDF("k"), "id", Seq("k"))
+      .orderBy("id").select("k", "id").as[(Int, Long)].collect()
+    assert(dup.map(_._2).toSeq == (1L to 6L).toSeq, "dense ids")
+    assert(dup.map(_._1).toSeq == dup.map(_._1).toSeq.sorted, "key-ordered")
+  }
+
   test("approx sketches stay within documented error of exact stats (q50 self-check)") {
     // No DuckDB oracle is possible for engine-specific sketches, so q50 is
     // self-checked: HLL++ distinct within 3*rsd (default rsd=0.05), KLL

@@ -62,4 +62,24 @@ class VectorFunctionsSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(out == 11.0)
   }
+
+  test("SQL registry: composite graft_* functions equal their Column forms") {
+    import graft.ops.CleanOps
+    import graft.ext.TextAnalysis
+    Seq(("2 Box Fechada 3", "\u201Csmart\u201D the and of price \u20AC 1,234.56"))
+      .toDF("a", "b").createOrReplaceTempView("gfx")
+    val sql = spark.sql(
+      """SELECT graft_digit_sum(a) AS ds, graft_scrub_unicode(b) AS sc,
+                graft_parse_price(b) AS pp, graft_fingerprint(b) AS fp,
+                graft_lang_id(b) AS lid, graft_token_count(b) AS tc,
+                graft_row_hash(a, b) AS rh
+           FROM gfx""").collect().head
+    val api = spark.table("gfx").select(
+      CleanOps.digitSum($"a"), CleanOps.scrubUnicode($"b"),
+      CleanOps.parsePrice($"b"), TextAnalysis.fingerprint($"b"),
+      TextAnalysis.langId($"b"), TextAnalysis.tokenCountWs($"b"),
+      CleanOps.rowHash(Seq($"a", $"b"))).collect().head
+    assert(sql.toSeq == api.toSeq)
+    assert(sql.getAs[Int]("ds") == 5 && sql.getAs[String]("lid") == "en")
+  }
 }

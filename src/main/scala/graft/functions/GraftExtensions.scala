@@ -31,7 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(name),
       new ExpressionInfo(classOf[GraftExtensions].getName, name),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == arity, s"$name expects $arity argument(s)")
+        require(if (arity < 0) exprs.nonEmpty else exprs.length == arity,
+          s"$name expects ${if (arity < 0) "at least one" else arity.toString} argument(s)")
         org.apache.spark.sql.graft.ColumnBridge.expressionNow(
           build(exprs.map(org.apache.spark.sql.graft.ColumnBridge.column)))
       }))
@@ -48,6 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     composite(e, "graft_fingerprint", 1, cs => TextAnalysis.fingerprint(cs.head))
     composite(e, "graft_lang_id", 1, cs => TextAnalysis.langId(cs.head))
     composite(e, "graft_token_count", 1, cs => TextAnalysis.tokenCountWs(cs.head))
-    composite(e, "graft_row_hash", 2, cs => CleanOps.rowHash(cs))
+    // variadic: row hash over any projection, like the Column form
+    composite(e, "graft_row_hash", -1, cs => CleanOps.rowHash(cs))
   }
 }

@@ -328,6 +328,42 @@ object QueriesAnalytics {
       Some("""SELECT CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber)
                        AS BIGINT) AS id,
                 l_orderkey, l_linenumber
-              FROM lineitem ORDER BY id"""))
+              FROM lineitem ORDER BY id""")),
+
+    // quality-aware near-dedup: the longest member of each near-dup cluster
+    // survives (the full doc beats its 80%-prefix copy — deterministic);
+    // same pair/cluster stages as q43, plus one small window per cluster
+    Q("q58_near_dedup_best",
+      (s, d) => {
+        val corpus = QueriesExt.perturbedCorpus(t(s, d, "documents"))
+        Dedup.nearDedupBest(corpus, "doc_id", "text",
+            rankBy = Seq(TextAnalysis.tokenCountWs(col("text")).desc),
+            shingleK = 3, numHashes = 12, bands = 4, threshold = 0.35)
+          .select(col("doc_id"),
+            TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH RECURSIVE ${QueriesExt.minhashPairsCtes},
+             edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                       UNION ALL
+                       SELECT id_b, id_a FROM pairs),
+             reach(src, dst) AS (
+               SELECT a, b FROM edges
+               UNION
+               SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+             lbl AS (SELECT src AS id, least(src, min(dst)) AS cluster
+                     FROM reach GROUP BY src),
+             labeled AS (
+               SELECT c.doc_id, coalesce(l.cluster, c.doc_id) AS cluster_id,
+                      len($toksSql) AS n_tokens
+               FROM corpus c LEFT JOIN lbl l ON l.id = c.doc_id),
+             ranked AS (
+               SELECT doc_id, n_tokens,
+                      row_number() OVER (PARTITION BY cluster_id
+                                         ORDER BY n_tokens DESC, doc_id) AS rk
+               FROM labeled)
+            SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens
+            FROM ranked WHERE rk = 1 ORDER BY doc_id"""))
   )
 }

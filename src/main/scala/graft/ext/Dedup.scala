@@ -128,6 +128,32 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** Quality-aware near-dedup: keep the BEST document of every near-dup
+    * cluster by an explicit preference order (`rankBy`, descending-first
+    * columns supplied by the caller; `idCol` ascending breaks ties
+    * deterministically) — what a training-data pipeline actually wants:
+    * the longest / highest-quality member survives, not the smallest id.
+    *
+    * Plan shape: the pair/cluster stages are the same scale-safe ones as
+    * `nearDedup`; the final selection is one window keyed on `cluster_id`
+    * (clusters are near-dup groups — small by construction, so the window
+    * partitions are tiny even at 100 TB).
+    */
+  def nearDedupBest(df: DataFrame, idCol: String, textCol: String,
+      rankBy: Seq[Column],
+      shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashDupPairs(df, idCol, textCol, shingleK, numHashes, bands, threshold)
+    val labels = dupClusters(df.select(col(idCol)), idCol, pairs)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(rankBy :+ col(idCol).asc: _*)
+    df.join(labels, Seq(idCol))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .drop("__rk", "cluster_id")
+  }
+
   /** MinHash hash family (Carter-Wegman): one md5 per shingle supplies two
     * 32-bit values a, b (hex chars 1-8 / 9-16); hash j is (a + j·b) mod P
     * with P the largest prime < 2^32. One string hash + numHashes integer

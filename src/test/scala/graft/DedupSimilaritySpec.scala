@@ -58,6 +58,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
   }
 
+  test("nearDedupBest keeps the highest-ranked member, not the min id") {
+    import graft.ext.TextAnalysis
+    // doc 2 (longer than near-dup doc 1) must win its cluster even though
+    // doc 1 has the smaller id; singletons survive untouched
+    val docs2 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely different content about spark engines and shuffles"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.nearDedupBest(docs2, "doc_id", "text",
+        rankBy = Seq(TextAnalysis.tokenCountWs($"text").desc), threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 4L))
+  }
+
   test("dupClusters converges on a long chain (pointer jumping)") {
     val n = 33
     val vertices = (1 to n).map(_.toLong).toDF("doc_id")

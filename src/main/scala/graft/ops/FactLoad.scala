@@ -19,8 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object FactLoad {
 
-  /** One dimension lookup: (dim, join keys, surrogate id column to bring). */
-  final case class DimLookup(dim: DataFrame, keys: Seq[String], idCol: String)
+  /** One dimension lookup: (dim, join keys, surrogate id column to bring).
+    * `hint = false` drops the forced broadcast for a dimension known to
+    * have outgrown executor memory: the join strategy then falls to
+    * Catalyst/AQE (auto-broadcast under the threshold, shuffle join above
+    * it) instead of an unconditional broadcast that would OOM at 1000×.
+    */
+  final case class DimLookup(dim: DataFrame, keys: Seq[String], idCol: String,
+      hint: Boolean = true)
 
   /** yyyyMMdd integer date key (reference sql_queries_presentation.py:119). */
   def dateId(c: Column): Column = date_format(c, "yyyyMMdd").cast("int")
@@ -29,8 +35,9 @@ object FactLoad {
     * left joins, keeping `keep` fact columns plus each dim's id column.
     */
   def resolveKeys(fact: DataFrame, lookups: Seq[DimLookup], keep: Seq[String]): DataFrame = {
-    val joined = lookups.foldLeft(fact) { case (f, DimLookup(dim, keys, idCol)) =>
-      f.join(broadcast(dim.select((keys :+ idCol).map(col): _*)), keys, "left")
+    val joined = lookups.foldLeft(fact) { case (f, DimLookup(dim, keys, idCol, hint)) =>
+      val side = dim.select((keys :+ idCol).map(col): _*)
+      f.join(if (hint) broadcast(side) else side, keys, "left")
     }
     joined.select((keep ++ lookups.map(_.idCol)).map(col): _*)
   }

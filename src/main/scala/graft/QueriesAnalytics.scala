@@ -364,6 +364,47 @@ object QueriesAnalytics {
                                          ORDER BY n_tokens DESC, doc_id) AS rk
                FROM labeled)
             SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens
-            FROM ranked WHERE rk = 1 ORDER BY doc_id"""))
+            FROM ranked WHERE rk = 1 ORDER BY doc_id""")),
+
+    // PII + repetition signals (C4/Gopher-style pre-training filters) over
+    // a synthesized suffix so every row exercises every pattern; both
+    // engines evaluate the identical regex automaton on identical text
+    Q("q59_pii_repetition",
+      (s, d) => {
+        val suffix = " contact a.b@test.com or https://ex.com/p?q=1 call " +
+          "+351 912 345 678\nrepeat line\nrepeat line"
+        val txt = concat(substring(col("text"), 1, 80), lit(suffix),
+          when(col("doc_id") % 2 === 0, lit(" second@ex.org")).otherwise(lit("")))
+        t(s, d, "documents").select(
+          (col("doc_id") +: (TextAnalysis.piiSignals(txt) ++
+            TextAnalysis.repetitionSignals(txt) :+
+            TextAnalysis.redactPii(txt).as("redacted"))): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sfx = "' contact a.b@test.com or https://ex.com/p?q=1 call " +
+          "+351 912 345 678' || chr(10) || 'repeat line' || chr(10) || 'repeat line'"
+        val txt = s"substring(text, 1, 80) || $sfx || " +
+          "(CASE WHEN doc_id % 2 = 0 THEN ' second@ex.org' ELSE '' END)"
+        val email = TextAnalysis.emailPattern
+        val url = TextAnalysis.urlPattern
+        val phone = TextAnalysis.phonePattern
+        val lines = s"list_filter(string_split(t, chr(10)), x -> x <> '')"
+        val toks = "list_filter(string_split_regex(lower(t), '[^a-z0-9]+'), x -> x <> '')"
+        def dup(arr: String) =
+          s"round(1.0 - CAST(len(list_distinct($arr)) AS DOUBLE) / " +
+            s"CAST(greatest(len($arr), 1) AS DOUBLE), 4)"
+        s"""WITH c AS (SELECT doc_id, $txt AS t FROM documents)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(t, '$email')) AS INT) AS n_emails,
+              CAST(len(regexp_extract_all(t, '$url')) AS INT) AS n_urls,
+              CAST(len(regexp_extract_all(t, '$phone')) AS INT) AS n_phones,
+              CAST(len($lines) AS INT) AS n_lines,
+              ${dup(lines)} AS dup_line_ratio,
+              ${dup(toks)} AS dup_token_ratio,
+              regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+                             '$url', '<URL>', 'g') AS redacted
+            FROM c ORDER BY doc_id"""
+      })
   )
 }

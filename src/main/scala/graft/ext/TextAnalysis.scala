@@ -94,6 +94,40 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
+  /** PII-ish signals + masking (the C4-style pre-training filter family):
+    * count email-, URL-, and phone-shaped spans, and mask email/URL spans
+    * with placeholder tokens. Patterns stay in the Java∩RE2 subset (no
+    * lookarounds) so the DuckDB oracle evaluates the identical automaton.
+    * Heuristics by design — a production pipeline swaps in stricter
+    * patterns; the per-row, shuffle-free SHAPE is the point at scale.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^ \\n]+"
+  val phonePattern = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+  def piiSignals(text: Column): Seq[Column] = Seq(
+    size(regexp_extract_all(text, lit(emailPattern), lit(0))).as("n_emails"),
+    size(regexp_extract_all(text, lit(urlPattern), lit(0))).as("n_urls"),
+    size(regexp_extract_all(text, lit(phonePattern), lit(0))).as("n_phones"))
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
+      urlPattern, "<URL>")
+
+  /** Repetition signals (Gopher-style quality filters): duplicate-line and
+    * duplicate-token fractions. High values flag boilerplate / listing spam
+    * — standard pre-training drop criteria. Per-row, shuffle-free.
+    */
+  def repetitionSignals(text: Column): Seq[Column] = {
+    val lines = filter(split(text, "\n"), l => l =!= "")
+    val toks = tokens(text)
+    def dupRatio(arr: Column) =
+      round(lit(1.0) - size(array_distinct(arr)).cast("double") /
+        greatest(size(arr), lit(1)).cast("double"), 4)
+    Seq(
+      size(lines).as("n_lines"),
+      dupRatio(lines).as("dup_line_ratio"),
+      dupRatio(toks).as("dup_token_ratio"))
+  }
+
   /** k-word shingles of the token stream (used by MinHash and winnowing).
     *
     * Built with `zip_with` over shifted slices rather than

@@ -72,4 +72,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     // bpe-ish: don ' t stop 123 now ! -> 7
     assert(row.getAs[Int]("bpe") == 7)
   }
+
+  test("pii signals count and redact; repetition ratios flag boilerplate") {
+    val txt = "mail me: a.b@x.org or c@d.io see https://e.com/f?g=1 " +
+      "call +1 (415) 555-0100\nsame line\nsame line\nother"
+    val df = Seq(txt).toDF("t")
+    val row = df.select(
+      (TextAnalysis.piiSignals($"t") ++ TextAnalysis.repetitionSignals($"t") :+
+        TextAnalysis.redactPii($"t").as("red")): _*).collect().head
+    assert(row.getAs[Int]("n_emails") == 2)
+    assert(row.getAs[Int]("n_urls") == 1)
+    assert(row.getAs[Int]("n_phones") == 1)
+    assert(row.getAs[Int]("n_lines") == 4)
+    assert(row.getAs[Double]("dup_line_ratio") == 0.25, "4 lines, 3 distinct")
+    val red = row.getAs[String]("red")
+    assert(red.contains("<EMAIL>") && red.contains("<URL>") &&
+      !red.contains("a.b@x.org") && !red.contains("https://"))
+  }
 }

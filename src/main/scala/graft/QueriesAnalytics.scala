@@ -405,6 +405,26 @@ object QueriesAnalytics {
               regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
                              '$url', '<URL>', 'g') AS redacted
             FROM c ORDER BY doc_id"""
+      }),
+
+    // deterministic stratified sampling (dataset mixing): per-source keep
+    // rates as a pure function of md5(salt || id) — reproducible across
+    // runs/partitionings/engines, unlike rand(seed)
+    Q("q60_strata_sample",
+      (s, d) => Sampling.sampleByStrata(t(s, d, "documents"),
+          "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1, "src3" -> 0.25),
+          salt = "graft")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+      Some {
+        val bucket = "CAST(('0x' || substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        s"""SELECT doc_id, source FROM documents
+            WHERE CAST($bucket AS DOUBLE) <
+              (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                           WHEN 'src2' THEN 0.1 WHEN 'src3' THEN 0.25
+                           ELSE 0.0 END) * 4294967296.0
+            ORDER BY doc_id"""
       })
   )
 }

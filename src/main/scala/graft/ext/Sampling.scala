@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for dataset curation and mixing (SURVEY.md §7.6
+  * extension surface).
+  *
+  * `rand(seed)` is partition-dependent: a repartition, a scale-up, or a
+  * recompute after executor loss changes which rows survive. Content-hash
+  * sampling fixes a row's fate as a pure function of its id — reproducible
+  * across runs, engines, partitionings, and data growth (new rows never
+  * change old rows' outcomes), which is what makes ablations and dataset
+  * mixing auditable. Same md5-prefix arithmetic the MinHash family uses,
+  * so the DuckDB oracle computes identical buckets.
+  *
+  * Scale: per-row expression, no shuffle, pushed into the scan where the
+  * source supports filter pushdown on derived expressions (otherwise it
+  * runs in the first codegen stage).
+  */
+object Sampling {
+
+  /** Uniform bucket on [0, 2^32): first 8 hex chars of md5(salt || id). */
+  def hashBucket(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  private val Buckets = 4294967296.0 // 2^32
+
+  /** Keep each row iff its hash bucket falls under `rate` (0.0–1.0). */
+  def deterministicSample(df: DataFrame, idCol: String, rate: Double,
+      salt: String = "graft"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    df.where(hashBucket(col(idCol), salt) < lit((rate * Buckets).toLong))
+  }
+
+  /** Per-stratum keep rates — dataset mixing weights. Strata absent from
+    * `rates` default to 0.0 (dropped), so the map IS the mixture recipe.
+    */
+  def sampleByStrata(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], salt: String = "graft"): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0), "rates must be in [0,1]")
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (stratum, r)) =>
+        when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.where(hashBucket(col(idCol), salt).cast("double") < rateCol * Buckets)
+  }
+}

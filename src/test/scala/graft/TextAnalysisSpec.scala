@@ -89,4 +89,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(red.contains("<EMAIL>") && red.contains("<URL>") &&
       !red.contains("a.b@x.org") && !red.contains("https://"))
   }
+
+  test("deterministic sampling: stable across repartition, rate-proportional") {
+    import graft.ext.Sampling
+    val df = (1 to 4000).map(i => (i.toLong, s"src${i % 2}")).toDF("id", "src")
+    val a = Sampling.deterministicSample(df, "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.deterministicSample(df.repartition(13), "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "fate is a pure function of the id, not the layout")
+    assert(math.abs(a.size / 4000.0 - 0.3) < 0.03, s"~30% kept, got ${a.size}")
+    // nested property: a lower rate selects a SUBSET of a higher rate
+    val c = Sampling.deterministicSample(df, "id", 0.1)
+      .select("id").as[Long].collect().toSet
+    assert(c.subsetOf(a), "buckets nest: rate 0.1 sample is inside rate 0.3")
+    // strata: absent stratum drops entirely
+    val kept = Sampling.sampleByStrata(df, "id", "src", Map("src0" -> 1.0))
+      .select("src").distinct().as[String].collect().toSeq
+    assert(kept == Seq("src0"))
+  }
 }

@@ -425,6 +425,27 @@ object QueriesAnalytics {
                            WHEN 'src2' THEN 0.1 WHEN 'src3' THEN 0.25
                            ELSE 0.0 END) * 4294967296.0
             ORDER BY doc_id"""
+      }),
+
+    // token-length histogram (sequence-packing stats): width_bucket over
+    // per-doc token counts — the curation view that sizes packing batches
+    Q("q61_length_histogram",
+      (s, d) => t(s, d, "documents")
+        .select(TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+        .select((least(floor(col("n_tokens") / 10.0), lit(8.0)) + 1)
+            .cast("long").as("bucket"), col("n_tokens"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy(col("bucket")),
+      Some {
+        val toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+        s"""WITH n AS (SELECT CAST(len($toks) AS INT) AS n_tokens FROM documents)
+            SELECT CAST(least(floor(n_tokens / 10.0), 8.0) + 1 AS BIGINT) AS bucket,
+                   count(*) AS n_docs,
+                   min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+            FROM n GROUP BY bucket ORDER BY bucket"""
       })
   )
 }

@@ -446,6 +446,22 @@ object QueriesAnalytics {
                    count(*) AS n_docs,
                    min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
             FROM n GROUP BY bucket ORDER BY bucket"""
+      }),
+
+    // deterministic train/val/test assignment: consecutive hash-bucket
+    // ranges; a doc's split survives reruns, repartitions, and data growth
+    Q("q62_split_assign",
+      (s, d) => Sampling.assignSplit(t(s, d, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "graft")
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id")),
+      Some {
+        val bucket = "CAST(CAST(('0x' || substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)"
+        s"""SELECT doc_id,
+              CASE WHEN $bucket < 0.8 * 4294967296.0 THEN 'train'
+                   WHEN $bucket < 0.9 * 4294967296.0 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id"""
       })
   )
 }

@@ -34,6 +34,29 @@ object Sampling {
     df.where(hashBucket(col(idCol), salt) < lit((rate * Buckets).toLong))
   }
 
+  /** Deterministic split assignment (train/val/test): consecutive hash-
+    * bucket ranges sized by `weights` (insertion order; must sum to ≤ 1.0 —
+    * any remainder falls into the LAST split, so weights summing to 1.0
+    * partition exactly). Same auditability properties as
+    * `deterministicSample`: a row's split never changes under reruns,
+    * repartitions, or data growth, and is independent of every other row —
+    * no global shuffle, no count pass, no rand().
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)], salt: String = "graft",
+      as: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum <= 1.0 + 1e-9,
+      "split weights must sum to at most 1.0")
+    val b = hashBucket(col(idCol), salt).cast("double")
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    // ascending cut points; the first matching range wins, remainder → last
+    val splitCol = weights.map(_._1).zip(cuts).dropRight(1)
+      .foldRight(lit(weights.last._1): Column) { case ((name, cut), acc) =>
+        when(b < cut * Buckets, lit(name)).otherwise(acc)
+      }
+    df.withColumn(as, splitCol)
+  }
+
   /** Per-stratum keep rates — dataset mixing weights. Strata absent from
     * `rates` default to 0.0 (dropped), so the map IS the mixture recipe.
     */

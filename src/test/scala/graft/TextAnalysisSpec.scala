@@ -108,4 +108,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select("src").distinct().as[String].collect().toSeq
     assert(kept == Seq("src0"))
   }
+
+  test("assignSplit: exhaustive, stable, weight-proportional") {
+    import graft.ext.Sampling
+    val df = (1 to 5000).map(_.toLong).toDF("id")
+    val splits = Sampling.assignSplit(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = splits.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"), "every split populated")
+    assert(counts.values.sum == 5000L, "exhaustive partition")
+    assert(math.abs(counts("train") / 5000.0 - 0.8) < 0.03)
+    // stability: same assignment under a different layout
+    val again = Sampling.assignSplit(df.repartition(17), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+    // a row in 'val' stays out of 'train' when weights shift the tail only:
+    // the train range [0, 0.8) is a prefix, so shrinking later splits never
+    // moves a train row
+    val shifted = Sampling.assignSplit(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.2))
+      .where($"split" === "train").count()
+    assert(shifted == counts("train"), "prefix ranges are stable under re-weighting the tail")
+  }
 }

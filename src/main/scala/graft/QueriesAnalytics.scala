@@ -462,6 +462,31 @@ object QueriesAnalytics {
                    WHEN $bucket < 0.9 * 4294967296.0 THEN 'val'
                    ELSE 'test' END AS split
             FROM documents ORDER BY doc_id"""
+      }),
+
+    // benchmark decontamination: drop train docs sharing any 5-gram with
+    // the "eval suite" (a deterministic corpus subset); the subset's own
+    // members are guaranteed contaminated, near-dups likewise
+    Q("q63_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.decontaminate(docs, docs.where(col("doc_id") % 17 === 0),
+            "doc_id", "text", n = 5, minHits = 1)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sh5 = s"""CASE WHEN len($toksSql) >= 5
+             THEN list_transform(range(0, len($toksSql) - 4),
+                                 i -> array_to_string(($toksSql)[i+1:i+5], ' '))
+             ELSE [array_to_string($toksSql, ' ')] END"""
+        s"""WITH trg AS (SELECT doc_id, unnest(list_distinct($sh5)) AS g FROM documents),
+             teg AS (SELECT DISTINCT unnest(list_distinct($sh5)) AS g
+                     FROM documents WHERE doc_id % 17 = 0),
+             hit AS (SELECT DISTINCT doc_id FROM trg JOIN teg USING (g))
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN hit h USING (doc_id)
+            WHERE h.doc_id IS NULL ORDER BY d.doc_id"""
       })
   )
 }

@@ -154,6 +154,36 @@ object Dedup {
       .drop("__rk", "cluster_id")
   }
 
+  /** Benchmark decontamination: train documents sharing at least `minHits`
+    * distinct word n-grams with ANY eval-set document. The standard
+    * eval-leakage guard for pre-training corpora (exact n-gram overlap —
+    * the GPT-3/PaLM-style criterion).
+    *
+    * Plan shape: both sides explode to distinct (id, gram) rows; the join
+    * is keyed on the gram — corpus-linear shuffle on the train side, and
+    * the eval side (distinct grams of a benchmark suite — tiny relative to
+    * the corpus) broadcasts under AQE. No pairwise comparisons anywhere.
+    */
+  def contaminatedIds(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, n: Int = 8, minHits: Int = 1): DataFrame = {
+    val trainGrams = train.select(col(idCol).as("id"),
+      explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("g"))
+    val evalGrams = eval_.select(
+      explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("g"))
+      .distinct()
+    trainGrams.join(evalGrams, "g")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("hits")) // grams are distinct per side ⇒ count = distinct overlaps
+      .where(col("hits") >= minHits)
+      .select(col("id").as(idCol))
+  }
+
+  /** Drop contaminated train documents (anti join on `contaminatedIds`). */
+  def decontaminate(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, n: Int = 8, minHits: Int = 1): DataFrame =
+    train.join(contaminatedIds(train, eval_, idCol, textCol, n, minHits),
+      Seq(idCol), "left_anti")
+
   /** MinHash hash family (Carter-Wegman): one md5 per shingle supplies two
     * 32-bit values a, b (hex chars 1-8 / 9-16); hash j is (a + j·b) mod P
     * with P the largest prime < 2^32. One string hash + numHashes integer

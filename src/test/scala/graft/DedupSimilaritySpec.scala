@@ -103,4 +103,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "vec_id", "embedding", k = 1, numPlanes = 6, dim = 64).collect()
     assert(top.length == 1 && top.head.getAs[Long]("c_id") == 2L)
   }
+
+  test("decontaminate drops n-gram overlap with the eval set, keeps clean docs") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),          // contains eval 4-gram
+      (2L, "totally unrelated content with no overlap at all"),
+      (3L, "beta gamma delta epsilon trailing words here")) // shares the 4-gram too
+      .toDF("doc_id", "text")
+    val eval_ = Seq((100L, "xx beta gamma delta epsilon yy")).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(train, eval_, "doc_id", "text", n = 4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L))
+    // minHits raises the bar: each doc shares exactly ONE 4-gram with the
+    // eval set, so a threshold of 3 keeps everything
+    val keptStrict = Dedup.decontaminate(train, eval_, "doc_id", "text",
+        n = 4, minHits = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptStrict.toSeq == Seq(1L, 2L, 3L))
+  }
 }

@@ -487,6 +487,28 @@ object QueriesAnalytics {
             SELECT d.doc_id FROM documents d
             LEFT JOIN hit h USING (doc_id)
             WHERE h.doc_id IS NULL ORDER BY d.doc_id"""
-      })
+      }),
+
+    // context chunking: overlapping 24-token windows (stride 16); hashes
+    // pin the exact chunk text on both engines
+    Q("q64_chunking",
+      (s, d) => TextAnalysis.chunkByTokens(t(s, d, "documents"),
+          "doc_id", "text", maxTokens = 24, overlap = 8)
+        .withColumnRenamed("id", "doc_id")
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+               n AS (SELECT doc_id, t,
+                            greatest(CAST(ceil(CAST(len(t) - 24 AS DOUBLE) / 16)
+                                       AS INT) + 1, 1) AS n_chunks
+                     FROM t),
+               c AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                            t[i * 16 + 1 : i * 16 + 24] AS chunk
+                     FROM n, unnest(range(0, n_chunks)) u(i))
+              SELECT doc_id, chunk_idx,
+                     CAST(len(chunk) AS INT) AS n_chunk_tokens,
+                     md5(array_to_string(chunk, ' ')) AS chunk_hash
+              FROM c ORDER BY doc_id, chunk_idx"""))
   )
 }

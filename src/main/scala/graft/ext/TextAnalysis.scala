@@ -112,6 +112,36 @@ object TextAnalysis {
     regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
       urlPattern, "<URL>")
 
+  /** Context chunking: split each document's token stream into overlapping
+    * windows of at most `maxTokens` tokens (stride = maxTokens − overlap) —
+    * the pre-training step that turns documents into model-sized contexts.
+    * Chunk count = 1 + max(0, ceil((n − maxTokens) / stride)); a document
+    * shorter than one window yields exactly one (possibly empty) chunk, so
+    * no text is ever dropped. Returns (id, chunk_idx, n_chunk_tokens,
+    * chunk_text) rows.
+    *
+    * Per-row explode — corpus-linear output (≈ n/stride rows per doc), no
+    * shuffle; the token array is built once per row and sliced per chunk.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens: $overlap / $maxTokens")
+    val stride = maxTokens - overlap
+    val nChunks = greatest(
+      ceil((size(col("__t")) - lit(maxTokens)).cast("double") / stride)
+        .cast("int") + 1,
+      lit(1))
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+      .select(col("id"), col("__t"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("__t"), i * stride + 1, lit(maxTokens))))
+          .as(Seq("chunk_idx", "__c")))
+      .select(col("id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        size(col("__c")).as("n_chunk_tokens"),
+        concat_ws(" ", col("__c")).as("chunk_text"))
+  }
+
   /** Repetition signals (Gopher-style quality filters): duplicate-line and
     * duplicate-token fractions. High values flag boilerplate / listing spam
     * — standard pre-training drop criteria. Per-row, shuffle-free.

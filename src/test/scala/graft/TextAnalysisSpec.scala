@@ -132,4 +132,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       .where($"split" === "train").count()
     assert(shifted == counts("train"), "prefix ranges are stable under re-weighting the tail")
   }
+
+  test("chunkByTokens: stride windows, full coverage, short docs one chunk") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, "")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkByTokens(df, "doc_id", "text",
+        maxTokens = 4, overlap = 1)
+      .orderBy($"id", $"chunk_idx")
+      .as[(Long, Int, Int, String)].collect()
+    val d1 = chunks.filter(_._1 == 1L)
+    // stride 3: starts 0,3,6 -> three 4-token windows covering w1..w10
+    assert(d1.map(_._3).toSeq == Seq(4, 4, 4))
+    assert(d1.head._4 == "w1 w2 w3 w4" && d1(1)._4 == "w4 w5 w6 w7")
+    assert(d1.last._4 == "w7 w8 w9 w10", "tail window reaches the last token")
+    assert(chunks.filter(_._1 == 2L).map(_._4).toSeq == Seq("only three tokens"))
+    assert(chunks.filter(_._1 == 3L).map(_._3).toSeq == Seq(0), "empty doc, one empty chunk")
+  }
 }

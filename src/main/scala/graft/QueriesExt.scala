@@ -431,7 +431,71 @@ object QueriesExt {
               FROM (SELECT doc_id AS media_id, text AS payload, length(text) AS len
                     FROM documents WHERE length(text) > 0),
                    range(0, 4) u(i)
-              ORDER BY media_id, slice_idx"""))
+              ORDER BY media_id, slice_idx""")),
+
+    // measured ANN quality: recall@5 of the LSH scale path against the
+    // exact brute-force baseline, single-probe vs multi-probe(1) — the
+    // knob that decides bucket fan-out before trusting the path on a real
+    // corpus
+    Q("q65_ann_recall",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.where(col("vec_id") % 25 === 0)
+        val bf = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+          .select(col("q_id"), col("c_id"))
+        def recallOf(probe: Int, as: String) = {
+          val lsh = Similarity.lshTopK(q, e, "vec_id", "embedding",
+              k = 5, numPlanes = 6, dim = 64, multiProbe = probe)
+            .select(col("q_id"), col("c_id"))
+          bf.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+            .join(bf.join(lsh, Seq("q_id", "c_id"))
+                .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits")),
+              Seq("q_id"), "left")
+            .select(col("q_id"),
+              round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+                col("n_exact").cast("double"), 4).as(as))
+        }
+        recallOf(0, "recall_p0").join(recallOf(1, "recall_p1"), Seq("q_id"))
+          .orderBy(col("q_id"))
+      },
+      Some {
+        val planes = Similarity.hyperplanes(6, 64)
+        val bucket = planes.zipWithIndex.map { case (pl, j) =>
+          val arr = pl.mkString("[", ", ", "]")
+          val dot = s"list_sum(list_transform(range(1, 65), " +
+            s"i -> CAST(v[i] AS DOUBLE) * (CAST($arr AS DOUBLE[]))[i]))"
+          s"CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END"
+        }.mkString("CAST(", " + ", " AS INT)")
+        def lshCte(name: String, dist: Int) =
+          s"""$name AS (SELECT q_id, c_id FROM (
+                SELECT q.q_id, c.c_id,
+                       row_number() OVER (PARTITION BY q.q_id
+                         ORDER BY ${cosSql("q.q_vec", "c.c_vec")} DESC, c.c_id) AS rnk
+                FROM c JOIN q ON bit_count(xor(c.bucket, q.bucket)) <= $dist
+                WHERE q.q_id <> c.c_id)
+              WHERE rnk <= 5)"""
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+             bk AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+             q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM bk
+                   WHERE vec_id % 25 = 0),
+             c AS (SELECT vec_id AS c_id, v AS c_vec, bucket FROM bk),
+             bf AS (SELECT q_id, c_id FROM (
+                      SELECT q.q_id, c.c_id,
+                             row_number() OVER (PARTITION BY q.q_id
+                               ORDER BY ${cosSql("q.q_vec", "c.c_vec")} DESC, c.c_id) AS rnk
+                      FROM q, c WHERE q.q_id <> c.c_id)
+                    WHERE rnk <= 5),
+             ${lshCte("lsh0", 0)},
+             ${lshCte("lsh1", 1)},
+             exact AS (SELECT q_id, count(*) AS n_exact FROM bf GROUP BY q_id),
+             h0 AS (SELECT q_id, count(*) AS n FROM bf JOIN lsh0 USING (q_id, c_id) GROUP BY q_id),
+             h1 AS (SELECT q_id, count(*) AS n FROM bf JOIN lsh1 USING (q_id, c_id) GROUP BY q_id)
+            SELECT e.q_id,
+                   round(CAST(coalesce(h0.n, 0) AS DOUBLE) / CAST(e.n_exact AS DOUBLE), 4) AS recall_p0,
+                   round(CAST(coalesce(h1.n, 0) AS DOUBLE) / CAST(e.n_exact AS DOUBLE), 4) AS recall_p1
+            FROM exact e LEFT JOIN h0 USING (q_id) LEFT JOIN h1 USING (q_id)
+            ORDER BY q_id"""
+      })
   )
 
   /** Shared SimHash-per-doc SQL over a relation named `rel` (doc_id, text). */

@@ -89,18 +89,41 @@ object Similarity {
   /** LSH-bucketed ANN top-k: candidates share a bucket with the query.
     * Recall < 1 by construction (that is the trade); the bucket join keys
     * the shuffle on the bucket id.
+    *
+    * `multiProbe` widens each QUERY to every bucket within that Hamming
+    * distance of its own (standard multi-probe LSH): distance 1 probes
+    * `numPlanes` extra buckets, recovering neighbors that fell just across
+    * one hyperplane, at proportional candidate cost. Only the (small,
+    * broadcast) query side fans out — the corpus is never replicated.
+    * q65_ann_recall measures the recall-vs-cost knob against the exact
+    * baseline.
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, numPlanes: Int, dim: Int): DataFrame = {
+      k: Int, numPlanes: Int, dim: Int, multiProbe: Int = 0): DataFrame = {
+    require(multiProbe >= 0 && multiProbe <= 2, "multiProbe supports 0..2")
     val planes = hyperplanes(numPlanes, dim)
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+    val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"), lshBucket(col(vecCol), planes).as("bucket"))
+    val q =
+      if (multiProbe == 0) q0
+      else {
+        val flips: Seq[Int] = 0 +: (
+          (0 until numPlanes).map(1 << _) ++
+            (if (multiProbe >= 2)
+              for (i <- 0 until numPlanes; j <- i + 1 until numPlanes)
+                yield (1 << i) | (1 << j)
+            else Seq.empty))
+        q0.withColumn("bucket",
+          explode(array(flips.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+      }
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
       norm(col(vecCol)).as("c_norm"), lshBucket(col(vecCol), planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), cosPrenormed.as("cos"))
+      // a candidate found via several probes must score once
+      .dropDuplicates("q_id", "c_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

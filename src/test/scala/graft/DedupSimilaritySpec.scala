@@ -104,6 +104,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(top.length == 1 && top.head.getAs[Long]("c_id") == 2L)
   }
 
+  test("multi-probe LSH finds at least what single-probe finds") {
+    val rnd = new scala.util.Random(3)
+    val vecs = (1L to 300L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" <= 10)
+    def found(probe: Int) = Similarity.lshTopK(q, vecs, "vec_id", "embedding",
+        k = 5, numPlanes = 6, dim = 64, multiProbe = probe)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val p0 = found(0); val p1 = found(1)
+    // probe-1 scores a superset of candidates; with rank<=k the kept set
+    // can only grow or re-rank upward, so every probe-0 q gets >= as many
+    assert(p1.size >= p0.size, s"multi-probe found ${p1.size} < ${p0.size}")
+    assert(p1.groupBy(_._1).size >= p0.groupBy(_._1).size)
+  }
+
   test("decontaminate drops n-gram overlap with the eval set, keeps clean docs") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),          // contains eval 4-gram

@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed training-data curation pipeline — the end-to-end workflow
+  * the individual operators exist for:
+  *
+  *   quality filter → near-dedup (keep best) → benchmark decontamination →
+  *   deterministic split assignment → context chunking
+  *
+  * Each stage is the already-oracle-checked operator (q21, q58, q63, q62,
+  * q64); this object only composes them, so the composition inherits their
+  * scale properties: per-row filters, bucketed pair generation, gram-keyed
+  * decontamination joins, hash-bucket splits, per-row chunk explode. No
+  * stage adds a shuffle beyond its own documented ones; every intermediate
+  * is a plain DataFrame, so the whole pipeline remains lazily composed and
+  * restartable from any materialized step.
+  */
+object Curation {
+
+  final case class Config(
+      shingleK: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      dedupThreshold: Double = 0.6,
+      evalGramN: Int = 8,
+      evalMinHits: Int = 1,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      maxTokens: Int = 2048,
+      overlap: Int = 0,
+      salt: String = "graft")
+
+  /** Run the full curation flow over `docs` (idCol, textCol). `eval_` is
+    * the benchmark suite to decontaminate against (pass an empty frame to
+    * skip). Returns chunk rows (id, chunk_idx, n_chunk_tokens, chunk_text,
+    * split) — the model-ready output. Quality keep-flag and dedup ranking
+    * both come from `TextAnalysis.qualityColumns`.
+    */
+  def run(docs: DataFrame, eval_ : DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    // 1. quality gate: per-row signals, keep-flag filter
+    val scored = TextAnalysis.withQuality(docs, textCol)
+    val kept = scored.where(col("keep"))
+    // 2. near-dedup keeping the highest-quality member (longest, then id)
+    val deduped = Dedup.nearDedupBest(kept, idCol, textCol,
+      rankBy = Seq(col("n_words").desc),
+      shingleK = cfg.shingleK, numHashes = cfg.numHashes,
+      bands = cfg.bands, threshold = cfg.dedupThreshold)
+    // 3. eval-leakage guard
+    val clean = Dedup.decontaminate(deduped, eval_, idCol, textCol,
+      n = cfg.evalGramN, minHits = cfg.evalMinHits)
+    // 4. reproducible split assignment
+    val split = Sampling.assignSplit(clean, idCol, cfg.splits, cfg.salt)
+    // 5. model-sized contexts, split label carried through
+    TextAnalysis.chunkByTokens(split, idCol, textCol, cfg.maxTokens, cfg.overlap)
+      .join(split.select(col(idCol).as("id"), col("split")), Seq("id"))
+  }
+}

@@ -136,4 +136,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted
     assert(keptStrict.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("Curation.run composes filter -> dedup -> decontaminate -> split -> chunk") {
+    import graft.ext.Curation
+    val base = "the quick brown fox jumps over the lazy dog and keeps running onward"
+    val corpus = Seq(
+      (1L, base + " every single day"),               // survives
+      (2L, base),                                     // near-dup of 1, shorter -> dropped
+      (3L, "tiny"),                                   // fails quality gate
+      (4L, "benchmark question about spark shuffles appears here verbatim now ok"),
+      (5L, "an entirely different long document about warehouse engines and plans"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq((9L, "xx benchmark question about spark shuffles appears here verbatim now yy"))
+      .toDF("doc_id", "text")
+    val out = Curation.run(corpus, eval_, "doc_id", "text",
+      Curation.Config(dedupThreshold = 0.5, evalGramN = 5,
+        splits = Seq("train" -> 0.9, "val" -> 0.1), maxTokens = 8, overlap = 2))
+    val byDoc = out.groupBy("id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.keySet == Set(1L, 5L),
+      s"near-dup 2, low-quality 3, contaminated 4 all removed: $byDoc")
+    // chunking: doc 1 has 16 tokens, windows of 8 stride 6 -> 3 chunks
+    assert(byDoc(1L) == 3L)
+    val splits = out.select("split").distinct().as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "val")), "labels from the configured splits")
+    // chunk token accounting: no chunk exceeds maxTokens, none empty here
+    val sizes = out.select("n_chunk_tokens").as[Int].collect()
+    assert(sizes.forall(n => n > 0 && n <= 8))
+  }
 }

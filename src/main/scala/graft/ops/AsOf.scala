@@ -31,7 +31,7 @@ object AsOf {
     val keyCond = keys.map(k => col(s"p.$k") === col(s"m.$k")).reduce(_ && _)
     val dimCols = dim.columns.filterNot(keys.contains).map(c => col(s"m.$c"))
     p.join(m, keyCond && probeDate.between(start, end), "left")
-      .select(probes.columns.map(c => col(s"p.$c")) ++ dimCols: _*)
+      .select((probes.columns.map(c => col(s"p.$c")) ++ dimCols).toIndexedSeq: _*)
   }
 
   /** Backward as-of join: for each left row, the most recent right row with

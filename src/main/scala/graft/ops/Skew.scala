@@ -38,7 +38,7 @@ object Skew {
   def keySkewProfile(df: DataFrame, keys: Seq[String], topN: Int = 10): DataFrame = {
     val counts = df.groupBy(keys.map(col): _*).count().localCheckpoint(true)
     val total = counts.agg(coalesce(sum(col("count")), lit(0L)))
-      .head.getLong(0).toDouble
+      .head().getLong(0).toDouble
     counts.withColumn("share", round(col("count") / total, 4))
       .orderBy(col("count").desc)
       .limit(topN)

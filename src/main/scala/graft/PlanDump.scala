@@ -10,7 +10,8 @@ object PlanDump {
     // SCD2 merge also uses.
     Seq("q19_flagship", "q13_fact_load", "q12_scd2_merge", "q57_partitioned_ids",
         "q28_ann_topk", "q37_ann_ivf", "q42_sessionize",
-        "q45_tfidf", "q46_anti_join", "q48_asof_event", "q56_amenities_envelope").foreach { q =>
+        "q45_tfidf", "q46_anti_join", "q48_asof_event", "q56_amenities_envelope",
+        "q63_decontaminate", "q64_chunking").foreach { q =>
       out.append(s"===== $q =====\n")
       out.append(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))

@@ -39,9 +39,6 @@ object Bench {
     cleanup()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // A query that crashes at the bench SF must not hide inside a normal-
-      // looking time: record its elapsed time NEGATED as an explicit
-      // failure sentinel.
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case t: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
@@ -49,12 +46,17 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       cleanup() // untimed: this query's residue must not bill the next one
-      name -> (if (ok) dt else -dt)
+      (name, dt, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Failures ride in their own field — a consumer that sorts/averages the
+    // timings must never silently ingest a failure sentinel; the timing of
+    // a failed query stays its (positive) elapsed-until-crash seconds.
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

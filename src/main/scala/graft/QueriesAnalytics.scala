@@ -176,19 +176,36 @@ object QueriesAnalytics {
                 count(*) AS n_events
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
-    // sketch-based approximate stats (HLL distinct + quantile sketch): no
-    // DuckDB oracle — sketch estimates are engine-specific; the driver's
-    // rows-only check applies. Exactness is NOT the contract here; bounded
-    // memory at unbounded cardinality is.
+    // sketch-based approximate stats (HLL distinct + quantile sketch).
+    // Sketch ESTIMATES are engine-specific and can never hash-match an
+    // oracle — so the query emits the documented error-bound CHECKS as
+    // booleans instead, computed Spark-side against Spark-exact values in
+    // the same aggregate: HLL++ distinct within 3*rsd (default rsd=0.05) of
+    // the exact count, KLL median inside the exact p45..p55 value band. The
+    // oracle returns literal trues (plus the exact distinct count, which IS
+    // portable), turning the former rows-only check into a full
+    // rows+schema+hash gate. Exactness is not the sketch contract; bounded
+    // memory at unbounded cardinality is — the exact legs here exist only
+    // to judge the sketches.
     Q("q50_approx_stats",
       (s, d) => t(s, d, "events")
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          round(percentile_approx(col("value"), lit(0.5), lit(10000)), 4)
-            .as("approx_median"))
+          countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id")).as("__au"),
+          expr("percentile(value, 0.45D)").as("__p45"),
+          expr("percentile(value, 0.55D)").as("__p55"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("__am"))
+        .select(
+          col("event_type"), col("n_users"),
+          (abs(col("__au") - col("n_users")).cast("double")
+            <= lit(3 * 0.05) * col("n_users").cast("double")).as("hll_within_3rsd"),
+          (col("__am") >= col("__p45") && col("__am") <= col("__p55"))
+            .as("kll_in_band"))
         .orderBy(col("event_type")),
-      None),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+                true AS hll_within_3rsd, true AS kll_in_band
+              FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // set operations: customers ordering in both years (INTERSECT) and in
     // 1997 only (EXCEPT), tagged and unioned

@@ -32,10 +32,13 @@ object Curation {
       salt: String = "graft")
 
   /** Run the full curation flow over `docs` (idCol, textCol). `eval_` is
-    * the benchmark suite to decontaminate against (pass an empty frame to
-    * skip). Returns chunk rows (id, chunk_idx, n_chunk_tokens, chunk_text,
-    * split) — the model-ready output. Quality keep-flag and dedup ranking
-    * both come from `TextAnalysis.qualityColumns`.
+    * the benchmark suite to decontaminate against; a frame WITHOUT a
+    * `textCol` column (e.g. `spark.emptyDataFrame`) skips the stage — the
+    * check is on the schema, not `isEmpty`, so skipping costs nothing and
+    * an empty-but-typed eval frame still exercises the join. Returns chunk
+    * rows (id, chunk_idx, n_chunk_tokens, chunk_text, split) — the
+    * model-ready output. Quality keep-flag and dedup ranking both come from
+    * `TextAnalysis.qualityColumns`.
     */
   def run(docs: DataFrame, eval_ : DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
@@ -47,13 +50,18 @@ object Curation {
       rankBy = Seq(col("n_words").desc),
       shingleK = cfg.shingleK, numHashes = cfg.numHashes,
       bands = cfg.bands, threshold = cfg.dedupThreshold)
-    // 3. eval-leakage guard
-    val clean = Dedup.decontaminate(deduped, eval_, idCol, textCol,
-      n = cfg.evalGramN, minHits = cfg.evalMinHits)
+    // 3. eval-leakage guard (skipped when eval_ carries no text column)
+    val clean =
+      if (!eval_.columns.contains(textCol)) deduped
+      else Dedup.decontaminate(deduped, eval_, idCol, textCol,
+        n = cfg.evalGramN, minHits = cfg.evalMinHits)
     // 4. reproducible split assignment
     val split = Sampling.assignSplit(clean, idCol, cfg.splits, cfg.salt)
-    // 5. model-sized contexts, split label carried through
-    TextAnalysis.chunkByTokens(split, idCol, textCol, cfg.maxTokens, cfg.overlap)
-      .join(split.select(col(idCol).as("id"), col("split")), Seq("id"))
+    // 5. model-sized contexts; the split label rides through the chunk
+    //    explode instead of a join-back by id — a join-back would evaluate
+    //    the entire quality→dedup→decontaminate subtree a second time (the
+    //    decontamination join is the expensive stage at corpus scale)
+    TextAnalysis.chunkByTokens(split, idCol, textCol, cfg.maxTokens,
+      cfg.overlap, carry = Seq("split"))
   }
 }

@@ -122,9 +122,14 @@ object TextAnalysis {
     *
     * Per-row explode — corpus-linear output (≈ n/stride rows per doc), no
     * shuffle; the token array is built once per row and sliced per chunk.
+    *
+    * `carry` columns pass through unchanged onto every chunk row (e.g. a
+    * split label) — carrying them here is free per-row plumbing, where a
+    * join-back by id would re-evaluate the caller's entire upstream plan a
+    * second time.
     */
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
-      maxTokens: Int, overlap: Int = 0): DataFrame = {
+      maxTokens: Int, overlap: Int = 0, carry: Seq[String] = Nil): DataFrame = {
     require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
       s"need 0 <= overlap < maxTokens: $overlap / $maxTokens")
     val stride = maxTokens - overlap
@@ -132,14 +137,15 @@ object TextAnalysis {
       ceil((size(col("__t")) - lit(maxTokens)).cast("double") / stride)
         .cast("int") + 1,
       lit(1))
-    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
-      .select(col("id"), col("__t"),
+    val carryCols = carry.map(col)
+    df.select(col(idCol).as("id") +: tokens(col(textCol)).as("__t") +: carryCols: _*)
+      .select(col("id") +: col("__t") +:
         posexplode(transform(sequence(lit(0), nChunks - 1),
           i => slice(col("__t"), i * stride + 1, lit(maxTokens))))
-          .as(Seq("chunk_idx", "__c")))
-      .select(col("id"), col("chunk_idx").cast("int").as("chunk_idx"),
-        size(col("__c")).as("n_chunk_tokens"),
-        concat_ws(" ", col("__c")).as("chunk_text"))
+          .as(Seq("chunk_idx", "__c")) +: carryCols: _*)
+      .select(col("id") +: col("chunk_idx").cast("int").as("chunk_idx") +:
+        size(col("__c")).as("n_chunk_tokens") +:
+        concat_ws(" ", col("__c")).as("chunk_text") +: carryCols: _*)
   }
 
   /** Repetition signals (Gopher-style quality filters): duplicate-line and

@@ -87,19 +87,35 @@ object SurrogateKeys {
     * columns land in the same range partition, leaving their relative order
     * engine-chosen — the same caveat the global-window form has.
     *
-    * The counts side and the ids side evaluate the ranged frame
-    * independently (column pruning makes their exchanges distinct subtrees,
-    * so ReuseExchange does not deduplicate them), which means both
-    * evaluations MUST derive the same boundaries. They do: range-boundary
-    * sampling is seeded per input-partition index over identical input
-    * splits, so it is deterministic across the two evaluations. Validated
-    * by the PropertySpec global-rank law over scrambled multisets and the
-    * OpsSpec repeated-run check.
+    * The counts side and the ids side both read the ranged frame; column
+    * pruning makes their exchanges distinct subtrees, so ReuseExchange does
+    * NOT deduplicate them — left unmaterialized they would evaluate the
+    * input twice, and range-boundary sampling is only deterministic across
+    * the two evaluations when the INPUT is (seeded reservoir sampling is a
+    * pure function of per-partition row order, which joins and aggregates
+    * upstream do not fix). Exactly the inputs the SCD2 merge feeds this
+    * path. So by default (`materialize = true`) the ranged frame is
+    * persisted and forced ONCE before either side reads it: both phases see
+    * the same partition layout, ids stay dense, and the input plan — the
+    * expensive part — runs a single time (the q12 plan shows one supplier
+    * scan per leg). `persist` rather than `localCheckpoint`: lineage
+    * survives, so losing a cached block on a real cluster recomputes
+    * through the already-planned exchange (fixed boundaries) instead of
+    * failing the job; the ContextCleaner unpersists when the frame is
+    * unreferenced. Pass `materialize = false` only for plan-only
+    * inspection or provably deterministic scan inputs.
     */
   def withOrderedIds(df: DataFrame, idCol: String, orderBy: Seq[String],
-      offset: Long = 0L): DataFrame = {
-    val parted = df.repartitionByRange(orderBy.map(col): _*)
+      offset: Long = 0L, materialize: Boolean = true): DataFrame = {
+    val ranged = df.repartitionByRange(orderBy.map(col): _*)
       .withColumn("__pid", spark_partition_id())
+    val parted =
+      if (!materialize) ranged
+      else {
+        val p = ranged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // force the single evaluation both phases will read
+        p
+      }
     val counts = parted.groupBy(col("__pid")).count()
     val w = Window.partitionBy(col("__pid")).orderBy(orderBy.map(col): _*)
     parted.join(broadcast(cumulativeBases(counts)), "__pid")

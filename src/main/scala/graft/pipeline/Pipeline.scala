@@ -244,13 +244,26 @@ object Pipeline {
   /** The backing table the presentation view currently points at, read from
     * the analyzed plan (survives session restarts, unlike driver-side
     * bookkeeping). None when the view does not exist yet.
+    *
+    * If the view EXISTS but its backing table cannot be resolved (a v2
+    * catalog, a future plan-shape change), this throws instead of returning
+    * None: a None here would make `runCatalog` treat a populated dimension
+    * as a first load — silently discarding its SCD2 history — and write
+    * `__a`, potentially the very table the live view reads, violating the
+    * never-write-the-read-side invariant.
     */
   private def viewBacking(spark: SparkSession, db: String, name: String): Option[String] =
     if (!spark.catalog.tableExists(s"`$db`.`$name`")) None
     else spark.table(s"`$db`.`$name`").queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         r.catalogTable.map(_.identifier.table)
-    }.flatten.headOption
+    }.flatten.headOption match {
+      case some @ Some(_) => some
+      case None => throw new IllegalStateException(
+        s"runCatalog: view `$db`.`$name` exists but its backing table could " +
+          "not be resolved from the analyzed plan; refusing to fall back to " +
+          "first-load semantics (would discard SCD2 history)")
+    }
 
   /** Streaming variant of the whole pipeline: the file source watches the
     * feed directory and every micro-batch runs the full
@@ -323,6 +336,26 @@ object Pipeline {
       throw new java.io.IOException(s"swap: rename $tmp -> $path failed")
     }
     if (hadPrev) fs.delete(old, true)
+  }
+
+  /** S6 — delete committer bookkeeping artifacts left in a written table
+    * directory (`_SUCCESS`, `_committed_*`, `_started_*`), the reference's
+    * post-write cleanup (scripts/el_to_parquet.py:119-144 deletes the same
+    * objects after its parquet dump). Under a proper cloud committer these
+    * files never bother readers, but a warehouse read by non-Spark tools —
+    * or written with magic committers off — wants them gone. Driver-side
+    * metadata-only FS calls (one listStatus + one delete per artifact); the
+    * data files are never touched. Returns the number of artifacts removed.
+    */
+  def cleanCommitterArtifacts(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).iterator.filter { st =>
+      val n = st.getPath.getName
+      st.isFile &&
+        (n == "_SUCCESS" || n.startsWith("_committed_") || n.startsWith("_started_"))
+    }.count(st => fs.delete(st.getPath, false))
   }
 
   private def tableExists(spark: SparkSession, path: String): Boolean = {

@@ -164,4 +164,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val sizes = out.select("n_chunk_tokens").as[Int].collect()
     assert(sizes.forall(n => n > 0 && n <= 8))
   }
+
+  test("Curation.run skips decontamination when eval frame has no text column") {
+    import graft.ext.Curation
+    val base = "the quick brown fox jumps over the lazy dog and keeps running onward"
+    val corpus = Seq(
+      (1L, base + " every single day"),
+      (4L, "benchmark question about spark shuffles appears here verbatim now ok"))
+      .toDF("doc_id", "text")
+    // schema check, not isEmpty: emptyDataFrame (no columns) must skip the
+    // stage instead of failing analysis inside the shingle build
+    val out = Curation.run(corpus, spark.emptyDataFrame, "doc_id", "text",
+      Curation.Config(maxTokens = 8, overlap = 2,
+        splits = Seq("train" -> 1.0)))
+    val ids = out.select("id").distinct().as[Long].collect().toSet
+    assert(ids == Set(1L, 4L), s"no doc dropped without an eval suite: $ids")
+    assert(out.columns.contains("split"))
+  }
 }

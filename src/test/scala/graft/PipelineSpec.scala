@@ -132,6 +132,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(tagOf(live) == "v3" && !F.exists(Paths.get(s"$live.old")))
   }
 
+  test("cleanCommitterArtifacts removes bookkeeping files, keeps data (S6)") {
+    val dir = Files.createTempDirectory("graft_s6").toString
+    Seq((1, "a"), (2, "b")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    // plant the artifacts the reference's post-write cleanup targets
+    // (_SUCCESS is usually already there from the committer)
+    Seq("_SUCCESS", "_committed_123", "_started_123").foreach { n =>
+      Files.write(java.nio.file.Paths.get(s"$dir/$n"), Array.empty[Byte])
+    }
+    val removed = Pipeline.cleanCommitterArtifacts(spark, dir)
+    assert(removed == 3, s"expected 3 artifacts removed, got $removed")
+    val left = new java.io.File(dir).list().toSet
+    assert(!left.exists(n => n == "_SUCCESS" || n.startsWith("_committed_")
+      || n.startsWith("_started_")), s"artifacts survived: $left")
+    // the table still reads intact, and a missing path is a quiet no-op
+    assert(spark.read.parquet(dir).count() == 2)
+    assert(Pipeline.cleanCommitterArtifacts(spark, s"$dir/__nope__") == 0)
+  }
+
   test("entry smoke: flagship returns rows on sf0.001 (driver contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

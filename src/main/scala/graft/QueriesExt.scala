@@ -217,6 +217,36 @@ object QueriesExt {
             ORDER BY id_a, id_b"""
       }),
 
+    // 64-bit SimHash near-dup pairs with banded blocking — the scale path
+    // (q27's 16-bit/256-block form is kept as the compat query). The corpus
+    // pairs each doc with a one-token-appended copy, so true near-dups sit
+    // a few bits apart. The oracle is the full BRUTE-FORCE cross join:
+    // banded blocking is pigeonhole-EXACT for dist <= 3, so any pair the
+    // blocking missed would hash-mismatch — the oracle checks completeness,
+    // not just agreement with the same blocking.
+    Q("q66_simhash64_pairs",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+          docs.select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" zz")).as("text")))
+        Dedup.simhash64DupPairs(
+            Dedup.simhash64(corpus, "doc_id", "text"), "doc_id", maxDist = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val dist = "bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))"
+        s"""WITH corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 100000, text || ' zz' FROM documents),
+             sim AS (${simhash64Sql("corpus")})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST($dist AS INT) AS dist
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE $dist <= 3
+            ORDER BY id_a, id_b"""
+      }),
+
     // brute-force cosine top-k (exact ANN baseline)
     Q("q28_ann_topk",
       (s, d) => {
@@ -515,6 +545,36 @@ object QueriesExt {
     s"""SELECT doc_id, CAST($bits AS INT) AS simhash FROM (
           SELECT doc_id, $sums FROM (
             SELECT doc_id, $contribs FROM (
+              SELECT doc_id, md5(tok) AS h FROM (
+                SELECT doc_id, unnest($toksSql) AS tok FROM $rel)))
+          GROUP BY doc_id)"""
+  }
+
+  /** 64-bit SimHash SQL over a relation named `rel` (doc_id, text): same
+    * per-hex-char bit extraction as `simhashSql`, extended to md5 chars
+    * 1-16, emitting the two 32-bit halves (hi, lo) as BIGINT — mirrors
+    * `Dedup.simhash64`.
+    */
+  private def simhash64Sql(rel: String): String = {
+    def hexVal(pos: Int) =
+      s"(CASE WHEN ascii(substring(h, ${pos + 1}, 1)) <= 57 " +
+        s"THEN ascii(substring(h, ${pos + 1}, 1)) - 48 " +
+        s"ELSE ascii(substring(h, ${pos + 1}, 1)) - 87 END)"
+    def contribs(tag: String, off: Int) = (0 until 32).map { bit =>
+      val v = hexVal(off + bit / 4)
+      val div = (1 << (3 - bit % 4)).toDouble
+      s"(CAST(floor(CAST($v AS DOUBLE) / $div) AS INT) % 2) * 2 - 1 AS $tag$bit"
+    }
+    val allContribs = (contribs("ch", 0) ++ contribs("cl", 8)).mkString(", ")
+    val sums = ((0 until 32).map(i => s"sum(ch$i) AS sh$i") ++
+      (0 until 32).map(i => s"sum(cl$i) AS sl$i")).mkString(", ")
+    def assemble(tag: String) = (0 until 32).map(i =>
+      s"CASE WHEN $tag$i > 0 THEN CAST(${1L << (31 - i)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST(${assemble("sh")} AS BIGINT) AS hi,
+               CAST(${assemble("sl")} AS BIGINT) AS lo FROM (
+          SELECT doc_id, $sums FROM (
+            SELECT doc_id, $allContribs FROM (
               SELECT doc_id, md5(tok) AS h FROM (
                 SELECT doc_id, unnest($toksSql) AS tok FROM $rel)))
           GROUP BY doc_id)"""

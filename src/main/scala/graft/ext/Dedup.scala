@@ -404,9 +404,97 @@ object Dedup {
     summed.select(col(idCol), bits.reduce(_ + _).cast("int").as("simhash"))
   }
 
+  /** 64-bit SimHash per document, carried as two 32-bit halves in LONG
+    * columns (`sim_hi`, `sim_lo`) rather than one 64-bit value: every
+    * downstream operation is bitwise (band extraction, XOR popcount), the
+    * halves stay non-negative — no sign juggling in either engine, no
+    * ANSI-mode overflow on reassembly — and the DuckDB oracle evaluates the
+    * identical integer arithmetic. Same explode → ±1-per-bit → integer-sum
+    * shape as the 16-bit `simhash` (exact, order-independent, one shuffle
+    * row per doc); the token's md5 supplies hex chars 1-8 (hi) and 9-16
+    * (lo).
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .withColumn("vh", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .withColumn("vl", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
+    def contribs(v: String, tag: String) = (0 until 32).map { bit =>
+      (shiftright(col(v), 31 - bit).bitwiseAND(1) * 2 - 1).as(s"$tag$bit")
+    }
+    val summed = tok
+      .select(col(idCol) +: (contribs("vh", "ch") ++ contribs("vl", "cl")): _*)
+      .groupBy(col(idCol))
+      .agg(sum(col("ch0")).as("sh0"),
+        ((1 until 32).map(i => sum(col(s"ch$i")).as(s"sh$i")) ++
+          (0 until 32).map(i => sum(col(s"cl$i")).as(s"sl$i"))): _*)
+    // distinct powers of two — plain addition cannot overflow a long here
+    def assemble(tag: String) = (0 until 32).map { i =>
+      when(col(s"$tag$i") > 0, lit(1L << (31 - i))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    summed.select(col(idCol),
+      assemble("sh").cast("long").as("sim_hi"),
+      assemble("sl").cast("long").as("sim_lo"))
+  }
+
+  /** 64-bit SimHash near-dup pairs via banded blocking — the scale path the
+    * 16-bit `simhashDupPairs` is not: its 256 fixed blocks degenerate to an
+    * O(n²/256) self-join at corpus scale, while here the hash is split into
+    * four 16-bit bands and candidates must agree EXACTLY on at least one
+    * band. Block count grows with the corpus (up to 4·2¹⁶ distinct
+    * (band, key) cells for random-ish hashes — and further growth costs
+    * nothing, the key space is the data's), so block self-join work stays
+    * near-linear; and by pigeonhole the blocking is EXACT for
+    * `maxDist` ≤ 3 (a pair differing in ≤ 3 bits cannot differ in all 4
+    * bands), so unlike the 16-bit variant no qualifying pair is ever
+    * missed — the q66 oracle is a brute-force cross join for exactly that
+    * reason.
+    *
+    * Same plan discipline as the 16-bit form: the (id, hi, lo) rows are
+    * materialized ONCE as localCheckpoint blocks (~24 bytes/doc), each side
+    * of the band join explodes 4 rows/doc from those blocks, and hot bands
+    * stream through the equi-join with O(1) per-row memory. A pair sharing
+    * several bands surfaces once per band → dropDuplicates. EAGER caveat as
+    * elsewhere: `eager = false` returns the lazy plan (input then evaluates
+    * once per join side).
+    */
+  def simhash64DupPairs(sim: DataFrame, idCol: String, maxDist: Int = 3,
+      eager: Boolean = true): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"banded blocking over 4 bands is exact only for maxDist <= 3: $maxDist")
+    val hashed = sim.select(col(idCol).as("id"), col("sim_hi").as("hi"), col("sim_lo").as("lo"))
+    val s = if (eager) hashed.localCheckpoint(true) else hashed
+    def banded(as: String*) = simhash64Bands(s)
+      .select(col("band"), col("key"),
+        col("id").as(as(0)), col("hi").as(as(1)), col("lo").as(as(2)))
+    banded("id_a", "h_a", "l_a").join(banded("id_b", "h_b", "l_b"), Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("h_a").bitwiseXOR(col("h_b"))) +
+          bit_count(col("l_a").bitwiseXOR(col("l_b")))).cast("int").as("dist"))
+      .where(col("dist") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** The four 16-bit band keys of a (id, hi, lo) SimHash frame — the
+    * blocking cells `simhash64DupPairs` self-joins on. Exposed for the
+    * ScaleOpsSpec block-distribution bound.
+    */
+  private[graft] def simhash64Bands(s: DataFrame): DataFrame = s
+    .select(posexplode(array(
+      struct(lit(0).as("band"), shiftright(col("hi"), 16).bitwiseAND(0xFFFFL).as("key")),
+      struct(lit(1).as("band"), col("hi").bitwiseAND(0xFFFFL).as("key")),
+      struct(lit(2).as("band"), shiftright(col("lo"), 16).bitwiseAND(0xFFFFL).as("key")),
+      struct(lit(3).as("band"), col("lo").bitwiseAND(0xFFFFL).as("key")))).as(Seq("__i", "bk")),
+      col("id"), col("hi"), col("lo"))
+    .select(col("bk.band").as("band"), col("bk.key").as("key"),
+      col("id"), col("hi"), col("lo"))
+
   /** SimHash near-dup pairs: hamming distance ≤ maxDist. Pairs are blocked
-    * by a coarse prefix (high byte) to avoid the full cross join; a 64-bit
-    * production variant would block on rotated halves (multi-probe).
+    * by a coarse prefix (high byte) to avoid the full cross join — compat
+    * form, kept for q27; its 256 fixed blocks do NOT scale (the block
+    * self-join is O(n²/256) at corpus size) — `simhash64DupPairs` above is
+    * the production path.
     *
     * Pair generation materializes the (id, hash, block) rows ONCE as
     * localCheckpoint blocks — ~16 bytes/doc, corpus-linear — and

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.{Similarity, TextAnalysis}
+import graft.ext.{Dedup, Similarity, TextAnalysis}
 import graft.ops.{Bucketing, Skew}
 
 class ScaleOpsSpec extends AnyFunSuite {
@@ -71,6 +71,52 @@ class ScaleOpsSpec extends AnyFunSuite {
     val again = Seq((3L, base)).toDF("id", "text")
       .select(TextAnalysis.winnowFingerprints($"text", 3, 4)).as[Seq[String]].head().toSet
     assert(again == fps(1L))
+  }
+
+  test("simhash64DupPairs equals brute force (banded blocking is complete)") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val docs = ((1L to 20L).map(i => (i, base + s" unique$i filler$i more$i")) ++
+      // planted near-dups: one appended token off their originals
+      Seq((101L, base + " unique1 filler1 more1 zz"),
+        (105L, base + " unique5 filler5 more5 zz")))
+      .toDF("doc_id", "text")
+    val sim = Dedup.simhash64(docs, "doc_id", "text").localCheckpoint(true)
+    val blocked = Dedup.simhash64DupPairs(sim, "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = sim.select($"doc_id".as("id_a"), $"sim_hi".as("ha"), $"sim_lo".as("la"))
+    val b = sim.select($"doc_id".as("id_b"), $"sim_hi".as("hb"), $"sim_lo".as("lb"))
+    val brute = a.crossJoin(b).where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        (bit_count($"ha".bitwiseXOR($"hb")) +
+          bit_count($"la".bitwiseXOR($"lb"))).cast("int").as("dist"))
+      .where($"dist" <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked == brute, s"blocked=$blocked brute=$brute")
+    // the planted near-dups are actually caught
+    assert(brute.exists { case (x, y, _) => x == 1L && y == 101L })
+  }
+
+  test("simhash64 banded blocking spreads a corpus beyond fixed block counts") {
+    // 400 pairwise-unrelated docs (disjoint random token sets). The 16-bit
+    // scheme's floor(h/256) blocking caps out at 256 blocks no matter the
+    // corpus — O(n²/256) join work; the 64-bit band keys must instead give
+    // ~4n near-singleton cells, i.e. block count grows WITH the corpus and
+    // the per-cell join stays near-linear.
+    val rnd = new scala.util.Random(7)
+    def tok() = "t" + rnd.alphanumeric.take(8).mkString
+    val docs = (1L to 400L).map(i => (i, Seq.fill(12)(tok()).mkString(" ")))
+      .toDF("doc_id", "text")
+    val sim = Dedup.simhash64(docs, "doc_id", "text")
+      .select($"doc_id".as("id"), $"sim_hi".as("hi"), $"sim_lo".as("lo"))
+    val cells = Dedup.simhash64Bands(sim)
+      .groupBy($"band", $"key").count()
+      .agg(count(lit(1)).as("n_cells"), max($"count").as("max_cell"))
+      .collect().head
+    val (nCells, maxCell) = (cells.getLong(0), cells.getLong(1))
+    assert(nCells > 1200, s"only $nCells distinct (band,key) cells for 1600 rows")
+    assert(maxCell <= 5, s"hot cell of $maxCell docs in an unrelated corpus")
   }
 
   test("centroids + ivfTopK: query lands in its own cell's neighbors") {

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** Throwaway config sweep for the q65 multi-table LSH recall target —
+  * deleted once the config is pinned.
+  */
+object ScratchAnn {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build("graft-scratch-ann")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val e = Tables.load(spark, dir, "embeddings")
+    println(s"corpus=${e.count()}")
+    val q = e.where(col("vec_id") % 25 === 0)
+    val nQ = q.count()
+    val bf = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+      .select(col("q_id"), col("c_id")).cache()
+    val total = bf.count()
+    for ((tables, probes, planes) <- Seq(
+        (1, 0, 6), (1, 1, 6), (2, 1, 6), (4, 0, 6), (4, 1, 6),
+        (6, 1, 6), (8, 1, 6), (8, 2, 6), (4, 1, 8), (8, 1, 8))) {
+      val lsh = Similarity.lshTopKTables(q, e, "vec_id", "embedding",
+        k = 5, numPlanes = planes, dim = 64, tables = tables, multiProbe = probes)
+        .select(col("q_id"), col("c_id")).cache()
+      val hits = bf.join(lsh, Seq("q_id", "c_id")).count()
+      // candidate cost proxy: scored pairs per query (before top-k the
+      // dedup'd candidate set is what drives compute)
+      val cand = Similarity.lshTopKTables(q, e, "vec_id", "embedding",
+        k = Int.MaxValue, numPlanes = planes, dim = 64, tables = tables,
+        multiProbe = probes).count()
+      println(f"CONFIG tables=$tables probes=$probes planes=$planes " +
+        f"recall=${hits.toDouble / total}%.3f candPerQuery=${cand.toDouble / nQ}%.1f")
+      lsh.unpersist()
+    }
+    spark.stop()
+  }
+}

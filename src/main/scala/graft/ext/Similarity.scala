@@ -68,6 +68,16 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rank").cast("int").as("rank"))
   }
 
+  /** Multi-probe bucket flip masks: the identity probe, every 1-bit flip
+    * (distance-1 probes), and for `multiProbe` ≥ 2 every 2-bit flip.
+    */
+  private def probeFlips(numPlanes: Int, multiProbe: Int): Seq[Int] =
+    0 +: ((0 until numPlanes).map(1 << _) ++
+      (if (multiProbe >= 2)
+        for (i <- 0 until numPlanes; j <- i + 1 until numPlanes)
+          yield (1 << i) | (1 << j)
+      else Seq.empty))
+
   /** Deterministic pseudo-random hyperplanes: `numPlanes` × `dim` values in
     * [-1, 1), from a fixed-seed generator. Same constants are interpolated
     * into the oracle SQL.
@@ -107,16 +117,9 @@ object Similarity {
       norm(col(vecCol)).as("q_norm"), lshBucket(col(vecCol), planes).as("bucket"))
     val q =
       if (multiProbe == 0) q0
-      else {
-        val flips: Seq[Int] = 0 +: (
-          (0 until numPlanes).map(1 << _) ++
-            (if (multiProbe >= 2)
-              for (i <- 0 until numPlanes; j <- i + 1 until numPlanes)
-                yield (1 << i) | (1 << j)
-            else Seq.empty))
-        q0.withColumn("bucket",
-          explode(array(flips.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
-      }
+      else q0.withColumn("bucket", explode(array(
+        probeFlips(numPlanes, multiProbe).map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)))
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
       norm(col(vecCol)).as("c_norm"), lshBucket(col(vecCol), planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
@@ -124,6 +127,57 @@ object Similarity {
       .select(col("q_id"), col("c_id"), cosPrenormed.as("cos"))
       // a candidate found via several probes must score once
       .dropDuplicates("q_id", "c_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Multi-table LSH ANN top-k: `tables` independent sign-bit hash tables
+    * (hyperplane sets seeded `seed + t`, so table 0 equals the single-table
+    * `lshTopK` planes), candidates unioned across tables, each surviving
+    * (query, candidate) pair deduplicated and scored ONCE. OR-ing L
+    * independent tables is the standard recall lever when one table's
+    * buckets are too fine: a true neighbor is missed only if it falls
+    * across a hyperplane in EVERY table, so miss probability decays
+    * geometrically in L while candidate cost grows only linearly.
+    *
+    * Scale shape: the corpus is scanned once and emits exactly `tables`
+    * (tbl, bucket) rows per vector — the L-table index, a constant factor
+    * like any inverted index, never per-query or per-probe replication; the
+    * (small) query side alone fans out on tables × probes and broadcasts.
+    * The join is keyed on (tbl, bucket), so each corpus row meets only its
+    * bucket-mates within each table. q65 measures the recall-vs-cost curve
+    * of (tables, probes) configs against the exact baseline.
+    */
+  def lshTopKTables(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, numPlanes: Int, dim: Int, tables: Int, multiProbe: Int = 0,
+      seed: Long = 42L): DataFrame = {
+    require(tables >= 1, s"need at least one hash table: $tables")
+    require(multiProbe >= 0 && multiProbe <= 2, "multiProbe supports 0..2")
+    val planeSets = (0 until tables).map(t => hyperplanes(numPlanes, dim, seed + t))
+    def withBuckets(df: DataFrame, id: String, vec: String, nrm: String) = {
+      val tb = array(planeSets.zipWithIndex.map { case (p, t) =>
+        struct(lit(t).as("tbl"), lshBucket(col(vec), p).as("bucket"))
+      }: _*)
+      df.select(col(idCol).as(id), col(vecCol).as(vec), norm(col(vecCol)).as(nrm))
+        .select(col(id), col(vec), col(nrm), explode(tb).as("tb"))
+        .select(col(id), col(vec), col(nrm),
+          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    }
+    val c = withBuckets(corpus, "c_id", "c_vec", "c_norm")
+    val q0 = withBuckets(queries, "q_id", "q_vec", "q_norm")
+    val q =
+      if (multiProbe == 0) q0
+      else q0.withColumn("bucket", explode(array(
+        probeFlips(numPlanes, multiProbe).map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)))
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .where(col("q_id") =!= col("c_id"))
+      // a candidate found via several tables/probes must score once
+      .dropDuplicates("q_id", "c_id")
+      .select(col("q_id"), col("c_id"), cosPrenormed.as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

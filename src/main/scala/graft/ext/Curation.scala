@@ -32,16 +32,23 @@ object Curation {
       salt: String = "graft")
 
   /** Run the full curation flow over `docs` (idCol, textCol). `eval_` is
-    * the benchmark suite to decontaminate against; a frame WITHOUT a
-    * `textCol` column (e.g. `spark.emptyDataFrame`) skips the stage — the
-    * check is on the schema, not `isEmpty`, so skipping costs nothing and
-    * an empty-but-typed eval frame still exercises the join. Returns chunk
-    * rows (id, chunk_idx, n_chunk_tokens, chunk_text, split) — the
-    * model-ready output. Quality keep-flag and dedup ranking both come from
+    * the benchmark suite to decontaminate against; ONLY the documented
+    * sentinel — a zero-column frame, i.e. `spark.emptyDataFrame` — skips
+    * the stage. A non-empty schema MISSING `textCol` is a hard error, not a
+    * skip: a safety stage that silently disables itself on a column-name
+    * typo would hand back an output that merely looks decontaminated (an
+    * empty-but-typed eval frame still exercises the join and keeps
+    * everything, which is the honest no-op). Returns chunk rows (id,
+    * chunk_idx, n_chunk_tokens, chunk_text, split) — the model-ready
+    * output. Quality keep-flag and dedup ranking both come from
     * `TextAnalysis.qualityColumns`.
     */
   def run(docs: DataFrame, eval_ : DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
+    require(eval_.columns.isEmpty || eval_.columns.contains(textCol),
+      s"eval frame has columns ${eval_.columns.mkString("[", ", ", "]")} but " +
+        s"no '$textCol' — pass spark.emptyDataFrame to skip decontamination " +
+        "explicitly, or rename the eval text column")
     // 1. quality gate: per-row signals, keep-flag filter
     val scored = TextAnalysis.withQuality(docs, textCol)
     val kept = scored.where(col("keep"))
@@ -50,9 +57,10 @@ object Curation {
       rankBy = Seq(col("n_words").desc),
       shingleK = cfg.shingleK, numHashes = cfg.numHashes,
       bands = cfg.bands, threshold = cfg.dedupThreshold)
-    // 3. eval-leakage guard (skipped when eval_ carries no text column)
+    // 3. eval-leakage guard (skipped only on the zero-column sentinel,
+    //    validated above)
     val clean =
-      if (!eval_.columns.contains(textCol)) deduped
+      if (eval_.columns.isEmpty) deduped
       else Dedup.decontaminate(deduped, eval_, idCol, textCol,
         n = cfg.evalGramN, minHits = cfg.evalMinHits)
     // 4. reproducible split assignment

@@ -172,13 +172,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (1L, base + " every single day"),
       (4L, "benchmark question about spark shuffles appears here verbatim now ok"))
       .toDF("doc_id", "text")
-    // schema check, not isEmpty: emptyDataFrame (no columns) must skip the
-    // stage instead of failing analysis inside the shingle build
+    // only the zero-column sentinel skips the stage: emptyDataFrame must
+    // pass through instead of failing analysis inside the shingle build
     val out = Curation.run(corpus, spark.emptyDataFrame, "doc_id", "text",
       Curation.Config(maxTokens = 8, overlap = 2,
         splits = Seq("train" -> 1.0)))
     val ids = out.select("id").distinct().as[Long].collect().toSet
     assert(ids == Set(1L, 4L), s"no doc dropped without an eval suite: $ids")
     assert(out.columns.contains("split"))
+  }
+
+  test("Curation.run rejects a non-empty eval frame missing the text column") {
+    import graft.ext.Curation
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    // a real eval suite whose text lives under another name must be a hard
+    // error, not a silent skip of the safety stage
+    val evalWrongCol = Seq((9L, "benchmark question text")).toDF("doc_id", "question")
+    val err = intercept[IllegalArgumentException] {
+      Curation.run(corpus, evalWrongCol, "doc_id", "text")
+    }
+    assert(err.getMessage.contains("question") && err.getMessage.contains("text"))
   }
 }

@@ -119,6 +119,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(p1.groupBy(_._1).size >= p0.groupBy(_._1).size)
   }
 
+  test("lshTopKTables with one table reproduces lshTopK exactly") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 200L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" <= 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id", "cos", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // table 0's plane set is seeded seed + 0, i.e. the default planes
+    val single = rows(Similarity.lshTopK(q, vecs, "vec_id", "embedding",
+      k = 5, numPlanes = 6, dim = 64, multiProbe = 1))
+    val tabled = rows(Similarity.lshTopKTables(q, vecs, "vec_id", "embedding",
+      k = 5, numPlanes = 6, dim = 64, tables = 1, multiProbe = 1))
+    assert(tabled == single)
+  }
+
+  test("lshTopKTables: recall against brute force is monotone in tables") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 300L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" <= 12)
+    val bf = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    def hits(tables: Int) = {
+      val lsh = Similarity.lshTopKTables(q, vecs, "vec_id", "embedding",
+          k = 5, numPlanes = 6, dim = 64, tables = tables, multiProbe = 1)
+        .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+      (bf intersect lsh).size
+    }
+    // more tables = a candidate superset; a true top-k neighbor present in
+    // the candidates always survives the per-query cut (at most k-1 other
+    // corpus rows can outrank it), so hits can only grow
+    val h1 = hits(1); val h4 = hits(4)
+    assert(h4 >= h1, s"recall dropped with more tables: $h4 < $h1")
+    assert(h4 > 0, "4 tables with probes must find at least one true neighbor")
+  }
+
   test("decontaminate drops n-gram overlap with the eval set, keeps clean docs") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),          // contains eval 4-gram

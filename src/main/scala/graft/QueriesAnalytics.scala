@@ -526,6 +526,89 @@ object QueriesAnalytics {
               SELECT doc_id, chunk_idx,
                      CAST(len(chunk) AS INT) AS n_chunk_tokens,
                      md5(array_to_string(chunk, ' ')) AS chunk_hash
-              FROM c ORDER BY doc_id, chunk_idx"""))
+              FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // the flagship LLM-pipeline query: the COMPOSED curation flow
+    // (quality -> near-dedup-best -> decontaminate -> split -> chunk) as one
+    // oracle-checked unit — each stage is individually oracled (q21, q58,
+    // q63, q62, q64); this pins the composition itself (stage order, what
+    // each stage feeds the next, the carry of the split label through the
+    // chunk explode) against one DuckDB CTE chain over the same corpus
+    Q("q67_curation_pipeline",
+      (s, d) => {
+        val corpus = QueriesExt.perturbedCorpus(t(s, d, "documents"))
+        val eval_ = t(s, d, "documents").where(col("doc_id") % 17 === 0)
+          .select(col("doc_id"), col("text"))
+        Curation.run(corpus, eval_, "doc_id", "text",
+          Curation.Config(shingleK = 3, numHashes = 12, bands = 4,
+            dedupThreshold = 0.35, evalGramN = 5, evalMinHits = 1,
+            splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            maxTokens = 24, overlap = 8, salt = "graft"))
+          .select(col("id").as("doc_id"), col("chunk_idx"),
+            col("n_chunk_tokens"), md5(col("chunk_text")).as("chunk_hash"),
+            col("split"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some {
+        val nPunct = "len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n]'))"
+        val sh5 = s"""CASE WHEN len($toksSql) >= 5
+             THEN list_transform(range(0, len($toksSql) - 4),
+                                 i -> array_to_string(($toksSql)[i+1:i+5], ' '))
+             ELSE [array_to_string($toksSql, ' ')] END"""
+        val bucket = "CAST(CAST(('0x' || substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)"
+        s"""WITH RECURSIVE corpus AS (
+               SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 100000,
+                      substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))
+               FROM documents),
+             scored AS (
+               SELECT doc_id, text, len($toksSql) AS n_words,
+                      (len($toksSql) >= 5 AND length(text) >= 30 AND
+                       CAST($nPunct AS DOUBLE) /
+                         CAST(greatest(length(text), 1) AS DOUBLE) < 0.2) AS keep
+               FROM corpus),
+             kept AS (SELECT doc_id, text, n_words FROM scored WHERE keep),
+             ${QueriesExt.minhashPairsCtesOver("kept")},
+             edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                       UNION ALL
+                       SELECT id_b, id_a FROM pairs),
+             reach(src, dst) AS (
+               SELECT a, b FROM edges
+               UNION
+               SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+             lbl AS (SELECT src AS id, least(src, min(dst)) AS cluster
+                     FROM reach GROUP BY src),
+             ranked AS (
+               SELECT k.doc_id, k.text,
+                      row_number() OVER (
+                        PARTITION BY coalesce(l.cluster, k.doc_id)
+                        ORDER BY k.n_words DESC, k.doc_id) AS rk
+               FROM kept k LEFT JOIN lbl l ON l.id = k.doc_id),
+             best AS (SELECT doc_id, text FROM ranked WHERE rk = 1),
+             trg AS (SELECT doc_id, unnest(list_distinct($sh5)) AS g FROM best),
+             teg AS (SELECT DISTINCT unnest(list_distinct($sh5)) AS g
+                     FROM documents WHERE doc_id % 17 = 0),
+             hit AS (SELECT DISTINCT doc_id FROM trg JOIN teg USING (g)),
+             clean AS (SELECT b.doc_id, b.text FROM best b
+                       LEFT JOIN hit h USING (doc_id) WHERE h.doc_id IS NULL),
+             sp AS (SELECT doc_id, text,
+                           CASE WHEN $bucket < 0.8 * 4294967296.0 THEN 'train'
+                                WHEN $bucket < 0.9 * 4294967296.0 THEN 'val'
+                                ELSE 'test' END AS split
+                    FROM clean),
+             tk AS (SELECT doc_id, split, $toksSql AS t FROM sp),
+             n AS (SELECT doc_id, split, t,
+                          greatest(CAST(ceil(CAST(len(t) - 24 AS DOUBLE) / 16)
+                                     AS INT) + 1, 1) AS n_chunks
+                   FROM tk),
+             c AS (SELECT doc_id, split, CAST(i AS INT) AS chunk_idx,
+                          t[i * 16 + 1 : i * 16 + 24] AS chunk
+                   FROM n, unnest(range(0, n_chunks)) u(i))
+            SELECT doc_id, chunk_idx,
+                   CAST(len(chunk) AS INT) AS n_chunk_tokens,
+                   md5(array_to_string(chunk, ' ')) AS chunk_hash, split
+            FROM c ORDER BY doc_id, chunk_idx"""
+      })
   )
 }

@@ -50,10 +50,12 @@ object QueriesExt {
     s"list_min(list_transform(ab, x -> (x.a + $j * x.b) % ${Dedup.MinhashPrime})) AS m$j")
     .mkString(", ")
 
-  /** CTE chain ending in `pairs` = the q25 MinHash-LSH near-dup pairs on the
-    * perturbed corpus (threshold 0.35) — shared with q43's clustering.
+  /** CTE chain ending in `pairs` = the MinHash-LSH near-dup pairs
+    * (threshold 0.35, k=3, 12 hashes / 4 bands) over any (doc_id, text)
+    * relation `rel` — shared by q25/q43/q58 (over the perturbed corpus) and
+    * q67 (over the quality-kept corpus).
     */
-  private[graft] val minhashPairsCtes: String = {
+  private[graft] def minhashPairsCtesOver(rel: String): String = {
     val sh = shinglesSql(toksSql)
     val bandRows = (0 until 4).map { i =>
       val parts = (0 until 3).map(r => s"CAST(m${i * 3 + r} AS VARCHAR)")
@@ -61,8 +63,7 @@ object QueriesExt {
       s"SELECT id, $i AS band, md5($parts) AS key FROM sig"
     }.mkString(" UNION ALL ")
     val inter = "len(list_filter(ta.sh, x -> list_contains(tb.sh, x)))"
-    s"""$corpusCte,
-       t AS (SELECT doc_id AS id, list_distinct($sh) AS sh FROM corpus),
+    s"""t AS (SELECT doc_id AS id, list_distinct($sh) AS sh FROM $rel),
        ab AS (SELECT id, $minhashAbSql FROM t),
        sig AS (SELECT id, $minhashMinsSql FROM ab),
        banded AS ($bandRows),
@@ -77,6 +78,10 @@ object QueriesExt {
          WHERE round(CAST($inter AS DOUBLE) /
                      CAST(len(ta.sh) + len(tb.sh) - $inter AS DOUBLE), 6) >= 0.35)"""
   }
+
+  /** The q25/q43/q58 form: pairs over the perturbed corpus. */
+  private[graft] val minhashPairsCtes: String =
+    s"$corpusCte,\n${minhashPairsCtesOver("corpus")}"
 
   private[graft] def perturbedCorpus(df: DataFrame): DataFrame =
     df.select(col("doc_id"), col("text")).unionByName(

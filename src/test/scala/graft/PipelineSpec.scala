@@ -250,6 +250,84 @@ class PipelineSpec extends AnyFunSuite {
     graft.ops.Quality.requireUniqueActive(w2, Pipeline.assetCfg)
   }
 
+  test("backfill replay: 10 simulated weeks match a golden SCD2 computation") {
+    // The reference's documented simulation (README.md:173): a 10-week
+    // weekly evolution where each week retrieves a sample of the universe
+    // (new and removed assets) plus price fluctuations. Replay it through
+    // Pipeline.run and check the resulting SCD2 history depth, version
+    // intervals, and per-week fact counts against an independent
+    // driver-side golden computation of the same feed functions.
+    val whBf = Files.createTempDirectory("graft_wh_bf").toString
+    val nContracts = 240
+    val weeks = 1 to 10
+    def weekDate(w: Int): LocalDate = LocalDate.parse("2026-01-05").plusWeeks(w - 1)
+    // deterministic 80% presence and sporadic price fluctuation — pure
+    // functions of (contract, week) so the golden model sees the same feed
+    def present(i: Int, w: Int): Boolean = (i * 31 + w * 17) % 5 != 0
+    def price(i: Int, w: Int): Int =
+      1000 + i + (if ((i + w) % 4 == 0) 7 * w else 0)
+
+    weeks.foreach { w =>
+      val rows = (1 to nContracts).filter(present(_, w)).map(i =>
+        listing(s"b${i % 10}", s"bf$i", s"€ ${price(i, w)}", s"county${i % 20}"))
+      val dir = Files.createTempDirectory(s"feed_bf$w").toString
+      Files.write(java.nio.file.Paths.get(s"$dir/l.json"),
+        rows.mkString("\n").getBytes("UTF-8"))
+      Pipeline.run(spark, Pipeline.readListings(spark, dir),
+        Pipeline.Config(whBf, weekDate(w)))
+    }
+
+    // golden: versions arise exactly when a contract is PRESENT and its
+    // price differs from its last recorded version; absence never closes a
+    // version (delisted assets stay active — the reference's semantics)
+    val golden: Map[String, List[(LocalDate, Int)]] =
+      (1 to nContracts).map { i =>
+        var last: Option[Int] = None
+        var vs = List.empty[(LocalDate, Int)]
+        weeks.foreach { w =>
+          if (present(i, w) && !last.contains(price(i, w))) {
+            vs :+= (weekDate(w), price(i, w)); last = Some(price(i, w))
+          }
+        }
+        s"bf$i" -> vs
+      }.toMap
+
+    val asset = spark.read.parquet(s"$whBf/presentation/dim_asset")
+      .select($"contract_number", $"price",
+        $"record_start_date".cast("string").as("start"),
+        $"record_end_date".cast("string").as("end"))
+      .collect()
+      .groupBy(_.getString(0))
+
+    assert(asset.keySet == golden.filter(_._2.nonEmpty).keySet)
+    golden.filter(_._2.nonEmpty).foreach { case (c, vs) =>
+      val got = asset(c).map(r =>
+        (r.getString(2), r.getString(3), r.getDouble(1).toInt)).sortBy(_._1)
+      // history depth: one row per golden version
+      assert(got.length == vs.length,
+        s"$c: expected ${vs.length} versions, got ${got.length}: ${got.toSeq}")
+      // version intervals: starts at the observed change weeks, each closed
+      // the day before its successor opens, last one open-ended
+      val expected = vs.zip(vs.drop(1).map(_._1.minusDays(1).toString) :+ "9999-12-31")
+        .map { case ((start, p), end) => (start.toString, end, p) }
+      assert(got.toSeq == expected, s"$c: ${got.toSeq} != $expected")
+    }
+
+    // fact counts: one stock row per present contract per week
+    val factCounts = spark.read.parquet(s"$whBf/presentation/fact_stock")
+      .groupBy("date_id").count()
+      .collect().map(r => r.getAs[Int]("date_id") -> r.getLong(1)).toMap
+    val expectedCounts = weeks.map { w =>
+      val d = weekDate(w)
+      d.getYear * 10000 + d.getMonthValue * 100 + d.getDayOfMonth ->
+        (1 to nContracts).count(present(_, w)).toLong
+    }.toMap
+    assert(factCounts == expectedCounts)
+
+    graft.ops.Quality.requireUniqueActive(
+      spark.read.parquet(s"$whBf/presentation/dim_asset"), Pipeline.assetCfg)
+  }
+
   test("streaming variant: weekly feed files drive the same SCD2 pipeline") {
     val feed = Files.createTempDirectory("stream_feed").toString
     val swh = Files.createTempDirectory("stream_wh").toString

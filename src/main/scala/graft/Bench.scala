@@ -55,7 +55,10 @@ object Bench {
     // a failed query stays its (positive) elapsed-until-crash seconds.
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // headline total aggregates SUCCESSFUL runs only — a crash's
+    // elapsed-until-failure must not pollute cross-round total comparisons
+    // (per-query times for failures stay in the map, flagged by `failed`)
+    val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

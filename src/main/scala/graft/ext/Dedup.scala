@@ -143,9 +143,21 @@ object Dedup {
       rankBy: Seq[Column],
       shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
       threshold: Double = 0.6): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pairs = minhashDupPairs(df, idCol, textCol, shingleK, numHashes, bands, threshold)
-    val labels = dupClusters(df.select(col(idCol)), idCol, pairs)
+    nearDedupBestWithLabels(df, idCol,
+      dupClusters(df.select(col(idCol)), idCol, pairs), rankBy)
+  }
+
+  /** `nearDedupBest` from PRECOMPUTED cluster labels ((idCol, cluster_id),
+    * e.g. a prior `dupClusters` run): callers that already materialized the
+    * pair/cluster stages — a pipeline that clusters once and both labels
+    * and dedups, or a saved clustering reapplied under a new ranking — skip
+    * straight to the (cheap) per-cluster window instead of recomputing
+    * LSH + connected components end-to-end.
+    */
+  def nearDedupBestWithLabels(df: DataFrame, idCol: String,
+      labels: DataFrame, rankBy: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(rankBy :+ col(idCol).asc: _*)
     df.join(labels, Seq(idCol))

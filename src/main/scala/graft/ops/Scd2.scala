@@ -33,7 +33,14 @@ final case class Scd2Config(
     hashCol: String = "row_hash",
     startCol: String = "record_start_date",
     endCol: String = "record_end_date",
-    sentinel: String = "9999-12-31")
+    sentinel: String = "9999-12-31",
+    // Forwarded to SurrogateKeys.withOrderedIds: the default persists and
+    // forces the ranged id input once so both id phases read one evaluation
+    // (required when the staged snapshot comes through joins/aggregates —
+    // their per-partition row order is engine-chosen). Callers whose staged
+    // input is provably deterministic (a plain scan + projection) may turn
+    // it off to skip the persist + force job per merge leg.
+    materializeIds: Boolean = true)
 
 object Scd2 {
 
@@ -42,7 +49,8 @@ object Scd2 {
     * global `row_number() OVER (ORDER BY keys)`, no single-partition sort.
     */
   def initialLoad(base: DataFrame, cfg: Scd2Config, runDate: Column): DataFrame =
-    SurrogateKeys.withOrderedIds(base, cfg.idCol, cfg.keys)
+    SurrogateKeys.withOrderedIds(base, cfg.idCol, cfg.keys,
+        materialize = cfg.materializeIds)
       .withColumn(cfg.startCol, runDate.cast("date"))
       .withColumn(cfg.endCol, to_date(lit(cfg.sentinel)))
       .select(outputCols(cfg).map(col): _*)
@@ -86,7 +94,8 @@ object Scd2 {
     // a fact-sized delta never funnels through one partition (and the
     // partition-less WindowExec WARN is gone for every delta size).
     val maxId = target.agg(coalesce(max(col(cfg.idCol)), lit(0L)).as("__max_id"))
-    val newVersions = SurrogateKeys.withOrderedIds(needsVersion, "__rn", keyCols)
+    val newVersions = SurrogateKeys.withOrderedIds(needsVersion, "__rn", keyCols,
+        materialize = cfg.materializeIds)
       .crossJoin(broadcast(maxId))
       .withColumn(cfg.idCol, (col("__max_id") + col("__rn")).cast("long"))
       .withColumn(cfg.startCol, runDate.cast("date"))

@@ -285,10 +285,22 @@ object Pipeline {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // The batch operators persist intermediates (the SCD2 merge's id
+          // assignment forces its ranged input once per leg). In batch mode
+          // the driver exits and the ContextCleaner reclaims them; a stream
+          // runs the flow every micro-batch on one long-lived driver, so
+          // without an explicit release the cached blocks of EVERY past
+          // batch linger until a driver GC happens to collect their frames.
+          // Snapshot-diff keeps the release scoped to this batch's blocks —
+          // caches owned by the surrounding session survive.
+          val preexisting = spark.sparkContext.getPersistentRDDs.keySet
           val runDate = batch
             .agg(sqlMax(to_date(col("CrawledAt"))).as("d"))
             .collect()(0).getDate(0).toLocalDate
           run(spark, batch, Config(warehouseDir, runDate))
+          spark.sparkContext.getPersistentRDDs
+            .filterNot { case (id, _) => preexisting.contains(id) }
+            .values.foreach(_.unpersist(false))
           ()
         }
       }

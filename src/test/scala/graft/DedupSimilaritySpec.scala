@@ -73,6 +73,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(2L, 4L))
   }
 
+  test("nearDedupBestWithLabels reuses a prior clustering, same survivors") {
+    import graft.ext.TextAnalysis
+    val docs2 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely different content about spark engines and shuffles"))
+      .toDF("doc_id", "text")
+    val rank = Seq(TextAnalysis.tokenCountWs($"text").desc)
+    val endToEnd = Dedup.nearDedupBest(docs2, "doc_id", "text",
+        rankBy = rank, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    val pairs = Dedup.minhashDupPairs(docs2, "doc_id", "text", threshold = 0.5)
+    val labels = Dedup.dupClusters(docs2.select($"doc_id"), "doc_id", pairs)
+    val reused = Dedup.nearDedupBestWithLabels(docs2, "doc_id", labels, rank)
+      .select("doc_id").as[Long].collect().sorted
+    assert(reused.toSeq == endToEnd.toSeq && reused.toSeq == Seq(2L, 4L))
+  }
+
   test("dupClusters converges on a long chain (pointer jumping)") {
     val n = 33
     val vertices = (1 to n).map(_.toLong).toDF("doc_id")

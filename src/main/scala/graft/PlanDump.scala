@@ -4,14 +4,16 @@ object PlanDump {
     val spark = GraftSession.build("plans")
     val d = "/root/testdata/sf0.1"
     val out = new StringBuilder
-    // NB q25/q27/q43 are omitted: they localCheckpoint internally, so their
-    // "plan" is an opaque Scan ExistingRDD (and explaining them would run
-    // the full job). q57 shows the two-phase range-partitioned id shape the
-    // SCD2 merge also uses.
+    // NB q25/q27/q43/q66/q67 are omitted: they localCheckpoint internally,
+    // so their "plan" is an opaque Scan ExistingRDD (and explaining them
+    // would run the full job). q57 shows the two-phase range-partitioned id
+    // shape the SCD2 merge also uses; q65 shows the multi-table LSH index
+    // join (corpus side = constant tables-per-row explode, query side
+    // broadcast).
     Seq("q19_flagship", "q13_fact_load", "q12_scd2_merge", "q57_partitioned_ids",
         "q28_ann_topk", "q37_ann_ivf", "q42_sessionize",
         "q45_tfidf", "q46_anti_join", "q48_asof_event", "q56_amenities_envelope",
-        "q63_decontaminate", "q64_chunking").foreach { q =>
+        "q63_decontaminate", "q64_chunking", "q65_ann_recall").foreach { q =>
       out.append(s"===== $q =====\n")
       out.append(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))

@@ -431,22 +431,42 @@ object Dedup {
       .withColumn("h", md5(col("tok")))
       .withColumn("vh", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
       .withColumn("vl", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
-    def contribs(v: String, tag: String) = (0 until 32).map { bit =>
-      (shiftright(col(v), 31 - bit).bitwiseAND(1) * 2 - 1).as(s"$tag$bit")
+    // Vertical PACKED bit counters: ±1 sums per bit are equivalent to
+    // ones-counts (sum_b = 2·ones_b − n, so sum_b > 0 ⟺ 2·ones_b > n), and
+    // ones-counts fit 3-per-long in 20-bit lanes — the per-doc aggregate
+    // carries 22 packed longs + one count instead of 64 separate sums
+    // (~3× narrower hash-agg state and update loop; same single shuffle row
+    // per doc). Lanes are disjoint so per-token lane packing is plain
+    // addition, and a lane cannot overflow below 2^20 tokens per document —
+    // docs at or past that cap (≈4 MB of text; chunk first) get NULL
+    // halves, which drop out of the band join instead of silently hashing
+    // wrong.
+    val LaneBits = 20
+    val LanesPerCol = 3
+    val nCols = (32 + LanesPerCol - 1) / LanesPerCol // 11 per half
+    def packed(v: String, tag: String) = (0 until nCols).map { j =>
+      (0 until LanesPerCol).flatMap { l =>
+        val bit = j * LanesPerCol + l
+        if (bit >= 32) None
+        else Some(shiftleft(shiftright(col(v), 31 - bit).bitwiseAND(1), l * LaneBits))
+      }.reduce(_ + _).as(s"$tag$j")
     }
     val summed = tok
-      .select(col(idCol) +: (contribs("vh", "ch") ++ contribs("vl", "cl")): _*)
+      .select(col(idCol) +: (packed("vh", "ph") ++ packed("vl", "pl")): _*)
       .groupBy(col(idCol))
-      .agg(sum(col("ch0")).as("sh0"),
-        ((1 until 32).map(i => sum(col(s"ch$i")).as(s"sh$i")) ++
-          (0 until 32).map(i => sum(col(s"cl$i")).as(s"sl$i"))): _*)
+      .agg(count(lit(1)).as("__n"),
+        ((0 until nCols).map(j => sum(col(s"ph$j")).as(s"sh$j")) ++
+          (0 until nCols).map(j => sum(col(s"pl$j")).as(s"sl$j"))): _*)
     // distinct powers of two — plain addition cannot overflow a long here
-    def assemble(tag: String) = (0 until 32).map { i =>
-      when(col(s"$tag$i") > 0, lit(1L << (31 - i))).otherwise(lit(0L))
+    def assemble(tag: String) = (0 until 32).map { bit =>
+      val ones = shiftright(col(s"$tag${bit / LanesPerCol}"),
+        (bit % LanesPerCol) * LaneBits).bitwiseAND((1L << LaneBits) - 1)
+      when(ones * 2 > col("__n"), lit(1L << (31 - bit))).otherwise(lit(0L))
     }.reduce(_ + _)
+    val guard = col("__n") < (1L << LaneBits)
     summed.select(col(idCol),
-      assemble("sh").cast("long").as("sim_hi"),
-      assemble("sl").cast("long").as("sim_lo"))
+      when(guard, assemble("sh")).cast("long").as("sim_hi"),
+      when(guard, assemble("sl")).cast("long").as("sim_lo"))
   }
 
   /** 64-bit SimHash near-dup pairs via banded blocking — the scale path the

@@ -98,6 +98,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(brute.exists { case (x, y, _) => x == 1L && y == 101L })
   }
 
+  test("simhash64 nulls out documents at the packed-counter token cap") {
+    // the 20-bit lanes count at most 2^20 - 1 tokens per doc; a doc AT the
+    // cap must surface as NULL halves (dropping out of the band join), not
+    // as a silently corrupted hash
+    val big = Array.fill(1 << 20)("tok").mkString(" ")
+    val df = Seq(
+      (1L, "a normal document with several distinct words in it"),
+      (2L, big)).toDF("doc_id", "text")
+    val got = Dedup.simhash64(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.isNullAt(1), r.isNullAt(2)))).toMap
+    assert(got(1L) == ((false, false)))
+    assert(got(2L) == ((true, true)))
+  }
+
   test("simhash64 banded blocking spreads a corpus beyond fixed block counts") {
     // 400 pairwise-unrelated docs (disjoint random token sets). The 16-bit
     // scheme's floor(h/256) blocking caps out at 256 blocks no matter the

@@ -609,6 +609,112 @@ object QueriesAnalytics {
                    CAST(len(chunk) AS INT) AS n_chunk_tokens,
                    md5(array_to_string(chunk, ' ')) AS chunk_hash, split
             FROM c ORDER BY doc_id, chunk_idx"""
-      })
+      }),
+
+    // paragraph-level dedup (Dolma/RefinedWeb-style sub-document pass):
+    // each distinct 12-token paragraph survives only at its first corpus
+    // occurrence; the perturbed corpus guarantees cross-document repeats
+    // (a prefix copy shares every aligned paragraph with its original)
+    Q("q68_paragraph_dedup",
+      (s, d) => {
+        val corpus = QueriesExt.perturbedCorpus(t(s, d, "documents"))
+        val paras = TextAnalysis.chunkByTokens(corpus, "doc_id", "text",
+            maxTokens = 12, overlap = 0)
+          .select(col("id"), col("chunk_idx").as("idx"),
+            col("chunk_text").as("para"))
+        Dedup.paragraphDedup(paras, "id", "idx", "para")
+          .select(col("id").as("doc_id"), col("n_paras"), col("n_kept"),
+            md5(col("text_clean")).as("clean_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH corpus AS (
+                 SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 100000,
+                        substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))
+                 FROM documents),
+               t AS (SELECT doc_id, $toksSql AS t FROM corpus),
+               n AS (SELECT doc_id, t,
+                            greatest(CAST(ceil(CAST(len(t) - 12 AS DOUBLE) / 12)
+                                       AS INT) + 1, 1) AS n_chunks
+                     FROM t),
+               p AS (SELECT doc_id, CAST(i AS INT) AS idx,
+                            array_to_string(t[i * 12 + 1 : i * 12 + 12], ' ') AS para
+                     FROM n, unnest(range(0, n_chunks)) u(i)),
+               m AS (SELECT doc_id, idx, para,
+                            row_number() OVER (PARTITION BY md5(para)
+                                               ORDER BY doc_id, idx) AS rk
+                     FROM p)
+              SELECT doc_id,
+                     CAST(count(*) AS INT) AS n_paras,
+                     CAST(count(*) FILTER (WHERE rk = 1) AS INT) AS n_kept,
+                     md5(coalesce(string_agg(para, chr(10) ORDER BY idx)
+                                    FILTER (WHERE rk = 1), '')) AS clean_hash
+              FROM m GROUP BY doc_id ORDER BY doc_id""")),
+
+    // C4-style line filter: keep lines ending in terminal punctuation with
+    // >= 5 words; lines are synthesized 12-token chunks, every 3rd closed
+    // with a period — entirely per-row on both engines (no shuffle)
+    Q("q69_c4_line_filter",
+      (s, d) => {
+        val withToks = t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+        val nChunks = greatest(
+          ceil((size(col("__t")) - lit(12)).cast("double") / 12).cast("int") + 1,
+          lit(1))
+        val lineArr = transform(sequence(lit(0), nChunks - 1), i =>
+          concat(concat_ws(" ", slice(col("__t"), i * 12 + 1, lit(12))),
+            when(i % 3 === 0, lit(".")).otherwise(lit(""))))
+        withToks
+          .select(col("doc_id"), concat_ws("\n", lineArr).as("synth"))
+          .select(col("doc_id") +:
+            TextAnalysis.c4FilterLines(col("synth"), minWords = 5): _*)
+          .select(col("doc_id"), col("n_kept_lines"),
+            md5(col("text_clean")).as("clean_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val lineToks =
+          "list_filter(string_split_regex(lower(l), '[^a-z0-9]+'), x -> x <> '')"
+        s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+             n AS (SELECT doc_id, t,
+                          greatest(CAST(ceil(CAST(len(t) - 12 AS DOUBLE) / 12)
+                                     AS INT) + 1, 1) AS n_chunks
+                   FROM t),
+             s AS (SELECT doc_id,
+                          list_transform(range(0, n_chunks),
+                            i -> array_to_string(t[i * 12 + 1 : i * 12 + 12], ' ') ||
+                                 (CASE WHEN i % 3 = 0 THEN '.' ELSE '' END)) AS lines
+                   FROM n),
+             k AS (SELECT doc_id,
+                          list_filter(lines,
+                            l -> regexp_matches(l, '[.!?"]$$') AND
+                                 len($lineToks) >= 5) AS kept
+                   FROM s)
+            SELECT doc_id, CAST(len(kept) AS INT) AS n_kept_lines,
+                   md5(array_to_string(kept, chr(10))) AS clean_hash
+            FROM k ORDER BY doc_id"""
+      }),
+
+    // budget-capped selection: highest-token documents first until a fixed
+    // token budget fills — the two-phase cumulative sum (no global sort)
+    Q("q70_budget_select",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+        Sampling.selectByBudget(docs, "n_tokens",
+            Seq(col("n_tokens").desc, col("doc_id").asc), budget = 20000L)
+          .select(col("doc_id"), col("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH n AS (SELECT doc_id, CAST(len($toksSql) AS INT) AS n_tokens
+                          FROM documents),
+               c AS (SELECT doc_id, n_tokens,
+                            sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              AS cum
+                     FROM n)
+              SELECT doc_id, n_tokens FROM c WHERE cum <= 20000
+              ORDER BY doc_id"""))
   )
 }

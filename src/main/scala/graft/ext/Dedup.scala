@@ -166,6 +166,43 @@ object Dedup {
       .drop("__rk", "cluster_id")
   }
 
+  /** Paragraph-level dedup (the Dolma/RefinedWeb-style sub-document pass):
+    * across the whole corpus, each distinct paragraph survives only at its
+    * FIRST occurrence — the minimum (doc, position) — and every other copy
+    * is dropped; documents are rebuilt from their surviving paragraphs in
+    * order. Catches boilerplate (headers, footers, license blocks) that
+    * document-level dedup never sees because the surrounding text differs.
+    *
+    * Input is pre-split (id, idx, para) rows — pair with
+    * `TextAnalysis.chunkByTokens` or a `split(text, sep)` explode. Returns
+    * (id, n_paras, n_kept, text_clean) with paragraphs rejoined by `sep`.
+    *
+    * Plan shape, corpus-linear throughout: one groupBy on the paragraph
+    * fingerprint (map-side combine; shuffle = 1 row per DISTINCT
+    * paragraph), one fp-keyed join back (the canonical side is 1 row/fp;
+    * a hot fingerprint — a very common paragraph — bounds the join fan-out
+    * by its own occurrence count), one final groupBy(id) rebuild. No
+    * pairwise work anywhere.
+    */
+  def paragraphDedup(paras: DataFrame, idCol: String, idxCol: String,
+      paraCol: String, sep: String = "\n"): DataFrame = {
+    val p = paras.select(col(idCol).as("id"), col(idxCol).as("idx"),
+      col(paraCol).as("para"), md5(col(paraCol)).as("fp"))
+    val firstSeen = p.groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("idx"))).as("m"))
+    val marked = p.join(firstSeen, Seq("fp"))
+      .withColumn("keep",
+        col("id") === col("m.id") && col("idx") === col("m.idx"))
+    marked.groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_paras"),
+        sum(when(col("keep"), 1).otherwise(0)).cast("int").as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("idx"), col("para"))))),
+          s => s.getField("para"))).as("text_clean"))
+      .select(col("id").as(idCol), col("n_paras"), col("n_kept"), col("text_clean"))
+  }
+
   /** Benchmark decontamination: train documents sharing at least `minHits`
     * distinct word n-grams with ANY eval-set document. The standard
     * eval-leakage guard for pre-training corpora (exact n-gram overlap —

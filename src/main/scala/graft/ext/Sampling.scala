@@ -57,6 +57,44 @@ object Sampling {
     df.withColumn(as, splitCol)
   }
 
+  /** Budget-capped selection: walk the rows in `rankBy` order (highest
+    * priority first — e.g. quality score descending) and keep each row
+    * while the running total of `weightCol` (e.g. its token count) stays
+    * within `budget` — "take the best documents until the token budget is
+    * full", the standard way a curation pipeline sizes a training mix.
+    *
+    * Scale shape — the same two-phase trick as the surrogate-key path, a
+    * cumulative sum with NO single-partition sort: `repartitionByRange` on
+    * the ranking makes the partition index monotone in rank; per-partition
+    * weight totals (one tiny row each) turn into running bases via one
+    * window over ≤ numPartitions rows; each row's global cumulative weight
+    * is its partition base plus a local windowed sum. The ranged frame is
+    * persisted and forced once so both phases read the same evaluation
+    * (`rankBy` should make the order unique — include an id tiebreak).
+    */
+  def selectByBudget(df: DataFrame, weightCol: String, rankBy: Seq[Column],
+      budget: Long): DataFrame = {
+    val ranged = df.repartitionByRange(rankBy: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranged.count() // force the single evaluation both phases read
+    val bases = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      ranged.groupBy(col("__pid")).agg(sum(col(weightCol)).as("__w"))
+        .withColumn("__base", coalesce(sum(col("__w")).over(w), lit(0L)))
+        .select(col("__pid"), col("__base"))
+    }
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(rankBy: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ranged.join(broadcast(bases), "__pid")
+      .withColumn("__cum", col("__base") + sum(col(weightCol)).over(local))
+      .where(col("__cum") <= budget)
+      .drop("__pid", "__base", "__cum")
+  }
+
   /** Per-stratum keep rates — dataset mixing weights. Strata absent from
     * `rates` default to 0.0 (dropped), so the map IS the mixture recipe.
     */

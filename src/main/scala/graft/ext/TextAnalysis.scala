@@ -148,6 +148,28 @@ object TextAnalysis {
         concat_ws(" ", col("__c")).as("chunk_text") +: carryCols: _*)
   }
 
+  /** C4-style line filtering: a line survives iff it ends in terminal
+    * punctuation and carries at least `minWords` word tokens — the
+    * boilerplate rule that strips nav menus, cookie banners, and list
+    * fragments before document-level quality scoring. Pure per-row
+    * higher-order functions (split → filter → rejoin): no shuffle, stays
+    * inside one whole-stage-codegen span at any corpus size. The predicate
+    * stays in the Java∩RE2 subset so the DuckDB oracle evaluates the
+    * identical automaton.
+    */
+  val terminalPunctPattern = "[.!?\"]$"
+
+  def c4KeepLine(line: Column, minWords: Int): Column =
+    line.rlike(terminalPunctPattern) && size(tokens(line)) >= minWords
+
+  /** (kept-line count, cleaned text) over `sep`-separated lines. */
+  def c4FilterLines(text: Column, minWords: Int, sep: String = "\n"): Seq[Column] = {
+    val kept = filter(split(text, java.util.regex.Pattern.quote(sep)),
+      l => c4KeepLine(l, minWords))
+    Seq(size(kept).as("n_kept_lines"),
+      concat_ws(sep, kept).as("text_clean"))
+  }
+
   /** Repetition signals (Gopher-style quality filters): duplicate-line and
     * duplicate-token fractions. High values flag boilerplate / listing spam
     * — standard pre-training drop criteria. Per-row, shuffle-free.

@@ -137,6 +137,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(p1.groupBy(_._1).size >= p0.groupBy(_._1).size)
   }
 
+  test("paragraphDedup keeps each paragraph's first occurrence only") {
+    // doc 1 owns paragraphs A, B; doc 2 repeats A (boilerplate) plus its
+    // own C; doc 3 is entirely copies -> zero kept, empty rebuilt text
+    val paras = Seq(
+      (1L, 0, "shared header boilerplate"), (1L, 1, "unique body one"),
+      (2L, 0, "shared header boilerplate"), (2L, 1, "unique body two"),
+      (3L, 0, "shared header boilerplate"), (3L, 1, "unique body one"))
+      .toDF("id", "idx", "para")
+    val got = Dedup.paragraphDedup(paras, "id", "idx", "para")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2, 2, "shared header boilerplate\nunique body one")))
+    assert(got(2L) == ((2, 1, "unique body two")))
+    assert(got(3L) == ((2, 0, "")))
+  }
+
+  test("selectByBudget fills the budget in rank order, deterministically") {
+    import graft.ext.Sampling
+    val docs = Seq((1L, 50), (2L, 40), (3L, 30), (4L, 20), (5L, 10))
+      .toDF("doc_id", "n_tokens")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.selectByBudget(df, "n_tokens",
+          Seq($"n_tokens".desc, $"doc_id".asc), budget = 100L)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    // 50 + 40 = 90 fits; adding 30 would hit 120 > 100 -> stop at doc 2;
+    // later smaller docs do NOT backfill (rank order is the contract)
+    assert(run(docs) == Seq(1L, 2L))
+    // layout-independent: same survivors from a repartitioned input
+    assert(run(docs.repartition(7)) == Seq(1L, 2L))
+  }
+
   test("lshTopKTables with one table reproduces lshTopK exactly") {
     val rnd = new scala.util.Random(7)
     val vecs = (1L to 200L).map(i =>

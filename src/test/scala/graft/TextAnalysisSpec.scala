@@ -150,4 +150,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(chunks.filter(_._1 == 2L).map(_._4).toSeq == Seq("only three tokens"))
     assert(chunks.filter(_._1 == 3L).map(_._3).toSeq == Seq(0), "empty doc, one empty chunk")
   }
+
+  test("c4FilterLines keeps punctuated lines with enough words") {
+    val text = Seq(
+      "this line has five words here.",     // kept
+      "Home | About | Contact",             // no terminal punct -> dropped
+      "short one.",                          // punct but < 5 words -> dropped
+      "does this one survive the filter?",  // kept (question mark)
+      "trailing banner text no punct")      // dropped
+      .mkString("\n")
+    val got = Seq((1L, text)).toDF("doc_id", "text")
+      .select($"doc_id" +: TextAnalysis.c4FilterLines($"text", minWords = 5): _*)
+      .as[(Long, Int, String)].head()
+    assert(got._2 == 2)
+    assert(got._3 ==
+      "this line has five words here.\ndoes this one survive the filter?")
+  }
 }

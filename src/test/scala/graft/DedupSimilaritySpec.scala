@@ -168,6 +168,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(run(docs.repartition(7)) == Seq(1L, 2L))
   }
 
+  test("paragraphDedup invariants on a random corpus (coverage, no double-keep)") {
+    val rnd = new scala.util.Random(13)
+    val pool = (1 to 40).map(i => s"paragraph pool entry number $i")
+    val paras = (1L to 100L).flatMap { id =>
+      (0 until 1 + rnd.nextInt(6)).map(idx => (id, idx, pool(rnd.nextInt(pool.size))))
+    }.toDF("id", "idx", "para")
+    val out = Dedup.paragraphDedup(paras, "id", "idx", "para").collect()
+    val distinctParas = paras.select("para").distinct().count()
+    // every distinct paragraph survives exactly once, somewhere
+    assert(out.map(_.getAs[Int]("n_kept").toLong).sum == distinctParas)
+    // no doc keeps more than it had; totals add up
+    assert(out.forall(r => r.getAs[Int]("n_kept") <= r.getAs[Int]("n_paras")))
+    assert(out.map(_.getAs[Int]("n_paras").toLong).sum == paras.count())
+  }
+
+  test("selectByBudget equals the driver-side prefix computation") {
+    import graft.ext.Sampling
+    val rnd = new scala.util.Random(17)
+    val rows = (1L to 300L).map(i => (i, 1 + rnd.nextInt(50)))
+    val expected = rows.sortBy { case (id, w) => (-w, id) }
+      .scanLeft((0L, 0L)) { case ((_, cum), (id, w)) => (id, cum + w) }
+      .drop(1).takeWhile(_._2 <= 2000L).map(_._1).sorted
+    val got = Sampling.selectByBudget(rows.toDF("doc_id", "w"), "w",
+        Seq($"w".desc, $"doc_id".asc), budget = 2000L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == expected)
+  }
+
   test("lshTopKTables with one table reproduces lshTopK exactly") {
     val rnd = new scala.util.Random(7)
     val vecs = (1L to 200L).map(i =>

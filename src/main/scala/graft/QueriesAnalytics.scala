@@ -715,6 +715,29 @@ object QueriesAnalytics {
                               AS cum
                      FROM n)
               SELECT doc_id, n_tokens FROM c WHERE cum <= 20000
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // statistical quality scoring: corpus-trained add-one bigram LM, each
+    // doc scored by mean bigram log-probability (per-bigram log-probs are
+    // rounded then DECIMAL-summed, so the mean is summation-order-free)
+    Q("q71_bigram_lm",
+      (s, d) => TextAnalysis.bigramLmScores(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+               bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                      FROM tk, unnest(range(1, len(t))) u(i)
+                      WHERE len(t) >= 2),
+               cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+               cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+               v AS (SELECT count(DISTINCT tok) AS v
+                     FROM (SELECT unnest(t) AS tok FROM tk)),
+               sc AS (SELECT doc_id,
+                             CAST(round(ln(CAST(cb + 1 AS DOUBLE) /
+                                           CAST(cu + v AS DOUBLE)), 6)
+                                  AS DECIMAL(28,8)) AS lp
+                      FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1), v)
+              SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+                     round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS lm_score
+              FROM sc GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

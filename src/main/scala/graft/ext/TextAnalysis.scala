@@ -259,6 +259,47 @@ object TextAnalysis {
       .select(col("id"), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** Corpus-trained bigram language-model scoring — the CCNet-style
+    * STATISTICAL quality signal that complements the rule-based filters:
+    * train add-one-smoothed bigram probabilities on the corpus itself,
+    * then score each document by its mean bigram log-probability
+    * p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V). Low scores flag gibberish /
+    * boilerplate whose word transitions the corpus never sees; a real
+    * deployment swaps the training side for a curated reference corpus —
+    * the plan shape is what matters. Returns (id, n_bigrams, lm_score);
+    * documents with fewer than two tokens carry no signal and are absent.
+    *
+    * Scale shape: bigram explode (corpus-linear), two count aggregates
+    * (map-side combine; the count tables are vocabulary-sized, far
+    * sublinear in the corpus), gram-keyed join-backs (the "model lookup"),
+    * vocabulary size rides as a 1-row broadcast. Per-bigram log-probs are
+    * rounded then summed as DECIMAL, so the per-doc mean is independent of
+    * partition order and engine summation order.
+    */
+  def bigramLmScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toksDf = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+    val pairs = toksDf.where(size(col("__t")) >= 2)
+      .select(col("id"),
+        explode(zip_with(col("__t"), slice(col("__t"), lit(2), size(col("__t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .where(col("w2").isNotNull) // zip_with pads the shorter slice
+    val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cu = pairs.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val v = toksDf.select(explode(col("__t")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val scored = pairs
+      .join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("id"),
+        round(log((col("cb") + 1).cast("double") / (col("cu") + col("v")).cast("double")), 6)
+          .cast("decimal(28,8)").as("lp"))
+    scored.groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 4).as("lm_score"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("lm_score"))
+  }
+
   /** Table form of winnowing for corpus-scale runs: explode the hashed
     * shingle stream once and take window minima with an analytic window —
     * each shingle is tokenized and hashed exactly once (the Column form

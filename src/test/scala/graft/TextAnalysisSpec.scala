@@ -151,6 +151,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(chunks.filter(_._1 == 3L).map(_._3).toSeq == Seq(0), "empty doc, one empty chunk")
   }
 
+  test("bigramLmScores: corpus-frequent transitions outscore one-off gibberish") {
+    val common = "the quick brown fox jumps over the lazy dog"
+    val docs = ((1L to 9L).map(i => (i, common)) :+
+      ((10L, "zq xv qqk wjw pf zzt"))).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScores(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val byId = got.map(r => r._1 -> r._3).toMap
+    // transitions seen 9x in training beat transitions seen once
+    assert(byId(1L) > byId(10L))
+    // identical documents score identically; bigram counts are n_tokens - 1
+    assert(byId(1L) == byId(2L))
+    assert(got.find(_._1 == 10L).get._2 == 5)
+  }
+
   test("c4FilterLines keeps punctuated lines with enough words") {
     val text = Seq(
       "this line has five words here.",     // kept

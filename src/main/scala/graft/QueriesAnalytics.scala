@@ -738,6 +738,41 @@ object QueriesAnalytics {
                       FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1), v)
               SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
                      round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS lm_score
-              FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+              FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // URL-domain provenance stats + blocklist filter (RefinedWeb-style):
+    // deterministic synthesized URLs (the corpus has none), then per-domain
+    // doc frequencies and the post-blocklist survivor count riding along
+    Q("q72_domain_stats",
+      (s, d) => {
+        val synth = concat(col("text"),
+          lit(" see https://site"), col("doc_id") % 7,
+          lit(".example.com/p/"), col("doc_id"),
+          lit(" and http://cdn"), col("doc_id") % 3, lit(".net/x"))
+        val docs = t(s, d, "documents").select(col("doc_id"), synth.as("text"))
+        val blocked = Seq("site3.example.com", "cdn1.net")
+        val counts = TextAnalysis.domainDocCounts(docs, "doc_id", "text")
+        val survivors = TextAnalysis.dropBlockedDomains(docs, "text", blocked)
+          .agg(count(lit(1)).as("n_docs"))
+          .select(lit("__kept_after_blocklist__").as("domain"), col("n_docs"))
+        counts.unionByName(survivors).orderBy(col("domain"))
+      },
+      Some {
+        val synth = "text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR) || " +
+          "'.example.com/p/' || CAST(doc_id AS VARCHAR) || " +
+          "' and http://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.net/x'"
+        val domains = s"list_distinct(list_transform(" +
+          s"regexp_extract_all(t, '${TextAnalysis.urlPattern}'), " +
+          s"u -> regexp_extract(u, 'https?://([^/ ]+)', 1)))"
+        s"""WITH c AS (SELECT doc_id, $synth AS t FROM documents),
+             d AS (SELECT doc_id, unnest($domains) AS domain FROM c),
+             counts AS (SELECT domain, count(*) AS n_docs FROM d GROUP BY domain),
+             kept AS (SELECT '__kept_after_blocklist__' AS domain, count(*) AS n_docs
+                      FROM c WHERE len(list_filter($domains,
+                        x -> list_contains(['site3.example.com', 'cdn1.net'], x))) = 0)
+            SELECT domain, n_docs FROM counts
+            UNION ALL SELECT domain, n_docs FROM kept
+            ORDER BY domain"""
+      })
   )
 }

@@ -259,6 +259,30 @@ object TextAnalysis {
       .select(col("id"), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** URL host extraction + domain-level curation (the RefinedWeb-style
+    * provenance filters): `urlDomains` pulls the host of every URL-shaped
+    * span (per-row, codegen'd regex); `domainDocCounts` is the per-domain
+    * document frequency view a curation run eyeballs before writing its
+    * blocklist; `dropBlockedDomains` removes documents citing any blocked
+    * host — per-row with the blocklist inlined as a literal array (for a
+    * blocklist too large to inline, switch to an exploded left-anti join
+    * on the domain — same corpus-linear shape as decontamination).
+    */
+  def urlDomains(text: Column): Column =
+    array_distinct(transform(
+      regexp_extract_all(text, lit(urlPattern), lit(0)),
+      u => regexp_extract(u, "https?://([^/ \\n]+)", 1)))
+
+  def domainDocCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(urlDomains(col(textCol))).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  def dropBlockedDomains(df: DataFrame, textCol: String,
+      blocked: Seq[String]): DataFrame =
+    df.where(!exists(urlDomains(col(textCol)),
+      d => d.isin(blocked.map(b => b: Any): _*)))
+
   /** Corpus-trained bigram language-model scoring — the CCNet-style
     * STATISTICAL quality signal that complements the rule-based filters:
     * train add-one-smoothed bigram probabilities on the corpus itself,

@@ -151,6 +151,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(chunks.filter(_._1 == 3L).map(_._3).toSeq == Seq(0), "empty doc, one empty chunk")
   }
 
+  test("urlDomains extracts hosts; dropBlockedDomains removes citing docs") {
+    val docs = Seq(
+      (1L, "read https://good.org/a and https://spam.example/x now"),
+      (2L, "only https://good.org/b here"),
+      (3L, "no urls at all")).toDF("doc_id", "text")
+    val domains = docs.select($"doc_id",
+        TextAnalysis.urlDomains($"text").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(domains(1L) == Set("good.org", "spam.example"))
+    assert(domains(3L) == Set.empty)
+    val kept = TextAnalysis.dropBlockedDomains(docs, "text", Seq("spam.example"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L), "doc 1 cites the blocked domain")
+  }
+
   test("bigramLmScores: corpus-frequent transitions outscore one-off gibberish") {
     val common = "the quick brown fox jumps over the lazy dog"
     val docs = ((1L to 9L).map(i => (i, common)) :+

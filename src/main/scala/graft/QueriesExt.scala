@@ -365,6 +365,41 @@ object QueriesExt {
               FROM embeddings, range(1, 65) r(i)
               GROUP BY blk, pos ORDER BY blk, pos""")),
 
+    // learned IVF cells: deterministic Lloyd's k-means (k=8, 2 iterations,
+    // init = the 8 smallest ids' vectors) — closes the "cells come from
+    // k-means" leg of the IVF path; the oracle replays both iterations
+    Q("q73_kmeans_cells",
+      (s, d) => Similarity.kmeansCentroids(t(s, d, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 2)
+        .orderBy(col("cell"), col("pos")),
+      Some {
+        def assignCte(centsRel: String, tag: String) =
+          s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                          FROM $centsRel GROUP BY cell),
+              ${tag}a AS (SELECT vec_id, embedding FROM embeddings),
+              ${tag}s AS (SELECT a.vec_id, a.embedding, v.cell,
+                                 ${cosSql("a.embedding", "v.centroid")} AS cos
+                          FROM ${tag}a a, ${tag}v v),
+              ${tag}r AS (SELECT vec_id, embedding, cell,
+                                 row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cell) AS rk
+                          FROM ${tag}s),
+              ${tag}c AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                                 round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+                          FROM ${tag}r, range(1, 65) u(i)
+                          WHERE rk = 1 GROUP BY cell, pos)"""
+        s"""WITH i0 AS (SELECT vec_id, embedding,
+                          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                            AS cell
+                        FROM embeddings ORDER BY vec_id LIMIT 8),
+             c0 AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                           round(CAST(embedding[i] AS DOUBLE), 6) AS v
+                    FROM i0, range(1, 65) u(i)),
+             ${assignCte("c0", "x")},
+             ${assignCte("xc", "y")}
+            SELECT cell, pos, v FROM yc ORDER BY cell, pos"""
+      }),
+
     // IVF-style ANN: nearest-centroid probe, search within probed cells
     Q("q37_ann_ivf",
       (s, d) => {

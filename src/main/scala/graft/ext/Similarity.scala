@@ -201,6 +201,70 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
         s => s.getField("v")).as("centroid"))
 
+  /** Distributed k-means (Lloyd's) for learning IVF cells when the corpus
+    * carries no natural blocking column — closes the "cells come from
+    * k-means" leg of `ivfTopK`. Deterministic end to end, so the DuckDB
+    * oracle replays it: init = the vectors of the `k` smallest ids;
+    * assignment = max cosine (rounded to 6 dp, ties to the smaller cell id)
+    * against the BROADCAST centroid table (k rows); recompute = the same
+    * (cell, pos)-keyed partial-avg aggregate `centroids` uses, rounded to
+    * 6 dp so iteration outputs are engine-identical. Each iteration is one
+    * corpus scan + one corpus-linear shuffle keyed on (cell, pos) — no
+    * collects, nothing driver-side but the loop counter; `iters` is
+    * typically small (coarse quantizers converge fast and exactness is not
+    * the point).
+    *
+    * Returns (cell, pos, v) centroid rows; pair with `assignCells` to
+    * stamp the corpus, then `ivfTopK` over the learned blocking.
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1: $k / $iters")
+    import org.apache.spark.sql.expressions.Window
+    val vecs = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    // init: the k smallest ids. orderBy+limit plans as a distributed
+    // partial top-k (TakeOrdered) — only the k survivors meet the window,
+    // whose pmod partition key avoids the partition-less WindowExec path.
+    val wInit = Window.partitionBy(pmod(col("vid"), lit(1))).orderBy(col("vid"))
+    var cents = vecs.orderBy(col("vid")).limit(k)
+      .withColumn("__r", row_number().over(wInit))
+      .select((col("__r") - 1).cast("int").as("cell"),
+        posexplode(col("vec")).as(Seq("pos", "v")))
+      .select(col("cell"), col("pos"), round(col("v").cast("double"), 6).as("v"))
+    (1 to iters).foreach { _ =>
+      val cvecs = cents.groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("centroid"))
+      val assigned = vecs.crossJoin(broadcast(cvecs))
+        .select(col("vid"), col("vec"), col("cell"),
+          cosine(col("vec"), col("centroid")).as("cos"))
+        .groupBy(col("vid"))
+        .agg(max_by(col("cell"), struct(col("cos"), -col("cell"))).as("cell"),
+          first(col("vec")).as("vec"))
+      cents = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("v")), 6).as("v"))
+    }
+    cents
+  }
+
+  /** Stamp each vector with its nearest learned cell (max cosine, rounded
+    * 6 dp, ties to the smaller cell id) — the corpus-side companion of
+    * `kmeansCentroids`; the centroid table broadcasts.
+    */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
+    val cvecs = cents.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("centroid"))
+    val assigned = df.select(col(idCol), col(vecCol)).crossJoin(broadcast(cvecs))
+      .withColumn("__cos", cosine(col(vecCol), col("centroid")))
+      .groupBy(col(idCol))
+      .agg(max_by(col("cell"), struct(col("__cos"), -col("cell"))).as("cell"))
+    df.join(assigned, Seq(idCol))
+  }
+
   /** IVF-style ANN: assign each query to its `nprobe` nearest cells by
     * centroid cosine, then search only those cells' rows. The coarse
     * quantizer shrinks the scored set from |C| to |C|·nprobe/cells; at

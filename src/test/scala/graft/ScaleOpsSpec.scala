@@ -133,6 +133,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(maxCell <= 5, s"hot cell of $maxCell docs in an unrelated corpus")
   }
 
+  test("kmeansCentroids + assignCells recover well-separated clusters") {
+    val rnd = new scala.util.Random(5)
+    def vec(center: Float) = Array.tabulate(8)(_ => center + rnd.nextFloat() * 0.1f)
+    // odd ids near +1, even ids near -1 — so the deterministic init (the
+    // two smallest ids) seeds one centroid in each cluster
+    val df = (1L to 20L).map(i =>
+      (i, vec(if (i % 2 == 1) 1f else -1f))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 2, iters = 3)
+    val assigned = Similarity.assignCells(df, "vec_id", "embedding", cents)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1))
+    val groups = assigned.groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).toSet }
+    assert(groups.keySet == Set(0, 1))
+    assert(groups(0) == (1L to 20L by 2).toSet, "odd ids share id 1's cell")
+    assert(groups(1) == (2L to 20L by 2).toSet, "even ids share id 2's cell")
+  }
+
   test("centroids + ivfTopK: query lands in its own cell's neighbors") {
     val rnd = new scala.util.Random(5)
     // two well-separated cells

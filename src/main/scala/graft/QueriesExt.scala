@@ -400,6 +400,70 @@ object QueriesExt {
             SELECT cell, pos, v FROM yc ORDER BY cell, pos"""
       }),
 
+    // the learned-cell ANN end to end: k-means cells (q73) stamp the
+    // corpus, then the IVF probe runs over the LEARNED blocking instead of
+    // the pretrained label column — the full 100 TB story in one gated
+    // query (train quantizer → index → probe)
+    Q("q74_ann_ivf_learned",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 8, iters = 2)
+        val stamped = Similarity.assignCells(e, "vec_id", "embedding", cents)
+        Similarity.ivfTopK(e.where(col("vec_id") % 25 === 0), stamped,
+            "vec_id", "embedding", "cell", k = 3, nprobe = 2)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some {
+        def assignCte(centsRel: String, tag: String) =
+          s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                          FROM $centsRel GROUP BY cell),
+              ${tag}s AS (SELECT a.vec_id, a.embedding, v.cell,
+                                 ${cosSql("a.embedding", "v.centroid")} AS cos
+                          FROM (SELECT vec_id, embedding FROM embeddings) a, ${tag}v v),
+              ${tag}r AS (SELECT vec_id, embedding, cell,
+                                 row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cell) AS rk
+                          FROM ${tag}s),
+              ${tag}c AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                                 round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+                          FROM ${tag}r, range(1, 65) u(i)
+                          WHERE rk = 1 GROUP BY cell, pos)"""
+        s"""WITH i0 AS (SELECT vec_id, embedding,
+                          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                            AS cell
+                        FROM embeddings ORDER BY vec_id LIMIT 8),
+             c0 AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                           round(CAST(embedding[i] AS DOUBLE), 6) AS v
+                    FROM i0, range(1, 65) u(i)),
+             ${assignCte("c0", "x")},
+             ${assignCte("xc", "y")},
+             ${assignCte("yc", "z")},
+             cent AS (SELECT cell AS blk, list(v ORDER BY pos) AS centroid
+                      FROM zc GROUP BY cell),
+             q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+                   WHERE vec_id % 25 = 0),
+             assign AS (
+               SELECT q_id, q_vec, blk,
+                      row_number() OVER (PARTITION BY q_id
+                           ORDER BY c_cos DESC, blk) AS pr
+               FROM (SELECT q_id, q_vec, blk,
+                            ${cosSql("q_vec", "centroid")} AS c_cos
+                     FROM q, cent)),
+             probes AS (SELECT q_id, q_vec, blk FROM assign WHERE pr <= 2),
+             c AS (SELECT cell AS blk, vec_id AS c_id, embedding AS c_vec
+                   FROM zr WHERE rk = 1),
+             sc AS (SELECT q_id, c_id, ${cosSql("q_vec", "c_vec")} AS cos
+                    FROM c JOIN probes USING (blk) WHERE q_id <> c_id),
+             r AS (SELECT q_id, c_id, cos,
+                          CAST(row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, c_id) AS INT) AS rnk
+                   FROM sc)
+            SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 3
+            ORDER BY q_id, rnk"""
+      }),
+
     // IVF-style ANN: nearest-centroid probe, search within probed cells
     Q("q37_ann_ivf",
       (s, d) => {

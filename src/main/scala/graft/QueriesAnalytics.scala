@@ -773,6 +773,122 @@ object QueriesAnalytics {
             SELECT domain, n_docs FROM counts
             UNION ALL SELECT domain, n_docs FROM kept
             ORDER BY domain"""
+      }),
+
+    // sequence packing: concatenate the corpus in doc order and cut every
+    // 256 tokens; each doc is stamped with the training sequence holding
+    // its first token and its offset there — the layout step between
+    // curation and the trainer, via the two-phase cumulative sum (no
+    // single-partition sort at any corpus size)
+    Q("q76_pack_sequences",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+        Sampling.packSequences(docs, "n_tokens", Seq(col("doc_id").asc),
+            seqLen = 256L)
+          .select(col("doc_id"), col("n_tokens"), col("seq_id"), col("seq_off"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+                          FROM documents),
+               w AS (SELECT doc_id, n_tokens,
+                            CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                              0) AS BIGINT) AS strt
+                     FROM d)
+              SELECT doc_id, n_tokens,
+                     CAST(floor(strt / 256) AS BIGINT) AS seq_id,
+                     CAST(strt % 256 AS BIGINT) AS seq_off
+              FROM w ORDER BY doc_id""")),
+
+    // per-domain cap (domain balancing): at most 20 docs per source, chosen
+    // by deterministic hash rank — the two-phase sharded cap must equal the
+    // oracle's single exact window
+    Q("q77_domain_cap",
+      (s, d) => Sampling.capPerGroup(t(s, d, "documents"), "source", "doc_id",
+          n = 20, salt = "graft", shards = 16)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+      Some("""WITH h AS (SELECT doc_id, source,
+                     CAST(('0x' || substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) AS hb
+                   FROM documents),
+              r AS (SELECT doc_id, source,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY hb, doc_id) AS rk
+                    FROM h)
+             SELECT doc_id, source FROM r WHERE rk <= 20 ORDER BY doc_id""")),
+
+    // PageRank power iteration (3 steps, d = 0.85) over the bipartite
+    // customer -> supplier order graph; suppliers are all dangling, so the
+    // uniform redistribution leg is exercised every step
+    Q("q78_pagerank",
+      (s, d) => {
+        val edges = t(s, d, "orders").join(t(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+        Graph.pageRank(edges, "src", "dst", iters = 3)
+          .orderBy(col("node"))
+      },
+      Some {
+        def iterCtes(i: Int, prev: String) =
+          s"""c$i AS (SELECT e.dst AS node, sum(r.rank / od.odeg) AS inflow
+                      FROM e JOIN $prev r ON r.node = e.src
+                             JOIN od ON od.src = e.src
+                      GROUP BY e.dst),
+              d$i AS (SELECT coalesce(sum(rank), 0) AS dang FROM $prev
+                      WHERE node NOT IN (SELECT src FROM od)),
+              r$i AS (SELECT nd.node,
+                             round((1 - 0.85) / nn.n + 0.85 *
+                               (coalesce(c.inflow, 0) + d.dang / nn.n), 9) AS rank
+                      FROM nd LEFT JOIN c$i c ON c.node = nd.node, nn, d$i d)"""
+        s"""WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                              CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+                       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+             nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+             od AS (SELECT src, CAST(count(*) AS DOUBLE) AS odeg
+                    FROM e GROUP BY src),
+             r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nd, nn),
+             ${iterCtes(1, "r0")},
+             ${iterCtes(2, "r1")},
+             ${iterCtes(3, "r2")}
+            SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"""
+      }),
+
+    // Z-order layout: Morton-interleaved (l_partkey, l_suppkey) buckets;
+    // the per-zbucket min/max spans ARE the data-skipping statistics a
+    // clustered write would put in its file footers
+    Q("q79_zorder",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        graft.ops.Layout.zValue(li, Seq("l_partkey", "l_suppkey"), bits = 8)
+          .groupBy(shiftright(col("zval"), 8).as("zbucket"))
+          .agg(count(lit(1)).as("cnt"),
+            min(col("l_partkey")).as("mn_part"), max(col("l_partkey")).as("mx_part"),
+            min(col("l_suppkey")).as("mn_supp"), max(col("l_suppkey")).as("mx_supp"))
+          .orderBy(col("zbucket"))
+      },
+      Some {
+        val inter = (0 until 8).flatMap(j => Seq(
+          s"((b0 // ${1L << j}) % 2) * ${1L << (2 * j)}",
+          s"((b1 // ${1L << j}) % 2) * ${1L << (2 * j + 1)}")).mkString(" + ")
+        s"""WITH b AS (SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+                              min(l_suppkey) AS mns, max(l_suppkey) AS mxs
+                       FROM lineitem),
+             z AS (SELECT l_partkey, l_suppkey,
+                          CAST(floor(CAST(l_partkey - mnp AS DOUBLE) * 256 /
+                               CAST(mxp - mnp + 1 AS DOUBLE)) AS BIGINT) AS b0,
+                          CAST(floor(CAST(l_suppkey - mns AS DOUBLE) * 256 /
+                               CAST(mxs - mns + 1 AS DOUBLE)) AS BIGINT) AS b1
+                   FROM lineitem, b),
+             zz AS (SELECT l_partkey, l_suppkey, CAST($inter AS BIGINT) AS zval
+                    FROM z)
+            SELECT zval // 256 AS zbucket, count(*) AS cnt,
+                   min(l_partkey) AS mn_part, max(l_partkey) AS mx_part,
+                   min(l_suppkey) AS mn_supp, max(l_suppkey) AS mx_supp
+            FROM zz GROUP BY 1 ORDER BY 1"""
       })
   )
 }

@@ -657,6 +657,54 @@ object QueriesExt {
             FROM exact e LEFT JOIN h0 USING (q_id) LEFT JOIN h1 USING (q_id)
                  LEFT JOIN ht USING (q_id)
             ORDER BY q_id"""
+      }),
+
+    // SemDeDup: semantic dedup over the learned k-means cells — train the
+    // quantizer (q73), stamp the corpus, drop every vector with a
+    // smaller-id cell-mate at cosine >= tau. The survivors keep their cell:
+    // the clustering doubles as the IVF index for the deduped corpus.
+    Q("q75_semdedup",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 8, iters = 2)
+        Similarity.semDedup(e, "vec_id", "embedding", cents, tau = 0.25)
+          .select(col("vec_id"), col("cell"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        def assignCte(centsRel: String, tag: String) =
+          s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                          FROM $centsRel GROUP BY cell),
+              ${tag}s AS (SELECT a.vec_id, a.embedding, v.cell,
+                                 ${cosSql("a.embedding", "v.centroid")} AS cos
+                          FROM (SELECT vec_id, embedding FROM embeddings) a, ${tag}v v),
+              ${tag}r AS (SELECT vec_id, embedding, cell,
+                                 row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cell) AS rk
+                          FROM ${tag}s),
+              ${tag}c AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                                 round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+                          FROM ${tag}r, range(1, 65) u(i)
+                          WHERE rk = 1 GROUP BY cell, pos)"""
+        s"""WITH i0 AS (SELECT vec_id, embedding,
+                          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                            AS cell
+                        FROM embeddings ORDER BY vec_id LIMIT 8),
+             c0 AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                           round(CAST(embedding[i] AS DOUBLE), 6) AS v
+                    FROM i0, range(1, 65) u(i)),
+             ${assignCte("c0", "x")},
+             ${assignCte("xc", "y")},
+             ${assignCte("yc", "z")},
+             st AS (SELECT vec_id, embedding, cell FROM zr WHERE rk = 1),
+             losers AS (SELECT DISTINCT b.vec_id
+                        FROM st a JOIN st b
+                          ON a.cell = b.cell AND a.vec_id < b.vec_id
+                        WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.25)
+            SELECT s.vec_id, s.cell FROM st s
+            WHERE s.vec_id NOT IN (SELECT vec_id FROM losers)
+            ORDER BY s.vec_id"""
       })
   )
 

@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge lists (SURVEY.md §7.6 extension
+  * surface). Connected components live in [[Dedup.dupClusters]]; this holds
+  * the weighted-propagation family — PageRank-style power iteration, the
+  * standard ranking pass a crawl-derived corpus runs over its link graph to
+  * weight documents by authority (the provenance-quality signal next to
+  * the per-domain stats of q72).
+  *
+  * Scale shape: each iteration is ONE shuffle keyed on the destination node
+  * (edge-carried contributions, map-side partial sums) plus two one-row
+  * aggregates (node count, dangling mass) that ride as broadcast cross
+  * joins — no collects, no driver-side state but the loop counter, and the
+  * edge list is never replicated. `iters` is fixed and small, so the whole
+  * computation is a single lazy plan the oracle replays by unrolling.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank with dangling-mass redistribution.
+    *
+    * `edges` rows are directed (src → dst); duplicates are collapsed.
+    * rank₀ = 1/N for every node (sources ∪ destinations); each step
+    *
+    *   rank'(v) = (1−d)/N + d·(Σ_{u→v} rank(u)/outdeg(u) + dangling/N)
+    *
+    * where `dangling` is the rank mass sitting on nodes with no out-edges
+    * (redistributed uniformly, the standard correction — rank sums to 1
+    * every iteration). Per-iteration ranks round to 9 dp and the final
+    * output to 6 dp, so partial-sum orderings can never flip a comparison
+    * against the unrolled-SQL oracle.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"need iters >= 1: $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1): $damping")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("__n"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("__odeg"))
+
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
+    (1 to iters).foreach { _ =>
+      val inflow = e
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), (col("rank") / col("__odeg")).as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__inflow"))
+      val dangling = ranks
+        .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
+      ranks = nodes
+        .join(inflow, Seq("node"), "left")
+        .crossJoin(broadcast(nRow)).crossJoin(broadcast(dangling))
+        .select(col("node"), round(
+          lit(1.0 - damping) / col("__n") + lit(damping) *
+            (coalesce(col("__inflow"), lit(0.0)) + col("__dang") / col("__n")),
+          9).as("rank"))
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+}

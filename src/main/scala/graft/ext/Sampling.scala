@@ -95,6 +95,80 @@ object Sampling {
       .drop("__pid", "__base", "__cum")
   }
 
+  /** Sequence packing — the layout step between chunking and the trainer:
+    * walk the chunks in `rankBy` order, concatenate their token counts, and
+    * cut the stream every `seqLen` tokens. Each chunk is stamped with the
+    * training sequence containing its FIRST token (`seq_id`) and its token
+    * offset inside that sequence (`seq_off`); a chunk whose tokens straddle
+    * a cut belongs to the sequence it starts in (offset packing — the
+    * reader splits at the boundary). Deterministic given a unique ordering
+    * (include an id tiebreak in `rankBy`).
+    *
+    * Scale shape: the same two-phase cumulative sum as `selectByBudget` —
+    * `repartitionByRange` on the ordering, per-partition token totals
+    * (≤ numPartitions rows) windowed into running bases, local windowed
+    * sums inside each partition. No single-partition sort at any size; the
+    * ranged frame is persisted and forced once so both phases read one
+    * evaluation.
+    */
+  def packSequences(df: DataFrame, weightCol: String, rankBy: Seq[Column],
+      seqLen: Long): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be positive: $seqLen")
+    val ranged = df.repartitionByRange(rankBy: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranged.count() // force the single evaluation both phases read
+    val bases = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      ranged.groupBy(col("__pid")).agg(sum(col(weightCol)).as("__w"))
+        .withColumn("__base", coalesce(sum(col("__w")).over(w), lit(0L)))
+        .select(col("__pid"), col("__base"))
+    }
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(rankBy: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    ranged.join(broadcast(bases), "__pid")
+      .withColumn("__start",
+        col("__base") + coalesce(sum(col(weightCol)).over(local), lit(0L)))
+      .withColumn("seq_id", floor(col("__start") / seqLen).cast("long"))
+      .withColumn("seq_off", (col("__start") % seqLen).cast("long"))
+      .drop("__pid", "__base", "__start")
+  }
+
+  /** Per-group cap — domain balancing: keep at most `n` rows of each group
+    * (e.g. each URL domain or source), chosen by deterministic hash rank so
+    * the survivors are a uniform, rerun-stable sample of the group.
+    *
+    * Scale shape — a hot group (one domain with 10⁹ pages) would make a
+    * single `row_number` window partition the straggler, so the cap runs in
+    * two phases: rows first spread over `shards` salt shards per group
+    * (bounded partitions) where each shard keeps its local top-`n` by hash
+    * rank, then the ≤ shards·n survivors per group — now tiny — meet the
+    * exact per-group window. Both phases rank by (hashBucket, id), so the
+    * composition selects exactly the group-wide n smallest hash ranks:
+    * identical output to the naive single window, shuffle bounded at
+    * n·shards rows per group on the second hop.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, n: Int,
+      salt: String = "graft", shards: Int = 16): DataFrame = {
+    require(n >= 1 && shards >= 1, s"need n >= 1, shards >= 1: $n / $shards")
+    import org.apache.spark.sql.expressions.Window
+    val rank = hashBucket(col(idCol), salt)
+    val wShard = Window
+      .partitionBy(col(groupCol), pmod(col("__hb"), lit(shards)))
+      .orderBy(col("__hb"), col(idCol))
+    val wGroup = Window.partitionBy(col(groupCol))
+      .orderBy(col("__hb"), col(idCol))
+    df.withColumn("__hb", rank)
+      .withColumn("__sr", row_number().over(wShard))
+      .where(col("__sr") <= n)
+      .withColumn("__gr", row_number().over(wGroup))
+      .where(col("__gr") <= n)
+      .drop("__hb", "__sr", "__gr")
+  }
+
   /** Per-stratum keep rates — dataset mixing weights. Strata absent from
     * `rates` default to 0.0 (dropped), so the map IS the mixture recipe.
     */

@@ -297,6 +297,30 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rank").cast("int").as("rank"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with a coarse quantizer, then
+    * inside each cluster drop every vector that has a near-identical
+    * cell-mate (cosine ≥ `tau`) with a smaller id — the deterministic
+    * greedy form of "keep one representative per ε-group". Comparisons
+    * never leave a cell, so the pair volume is Σ_cells |cell|² with
+    * k-means-balanced cells — corpus-linear for fixed cell size — instead
+    * of the all-pairs |C|²; the survivors keep their learned `cell` for
+    * downstream reuse (the cluster assignment IS the IVF index).
+    *
+    * `cents` is a (cell, pos, v) centroid table from `kmeansCentroids` (or
+    * `centroids` over a natural blocking). Assignment broadcasts the k-row
+    * centroid table; the within-cell pair join shuffles each row once keyed
+    * on its cell; the final step is a broadcast-able anti-join on the
+    * (small) loser set. No stage holds more than one cell's pairs.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, tau: Double): DataFrame = {
+    val stamped = assignCells(df, idCol, vecCol, cents)
+    val losers = cosineDupPairs(stamped, idCol, vecCol, "cell", tau)
+      .select(col("id_b").as(idCol)).distinct()
+    stamped.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs within coarse blocks (IVF-style:
     * `blockCol` plays the role of the coarse quantizer cell — here the
     * pretrained cluster label; at 100 TB this is k-means assignments).

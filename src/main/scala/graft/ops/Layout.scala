@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout for scan pruning (SURVEY.md §7.6 scale
+  * surface): Z-order (Morton) clustering, the technique behind
+  * Delta/Iceberg `OPTIMIZE ZORDER BY` — interleave the bits of several
+  * columns' rank buckets into one key, then range-partition and sort the
+  * data by that key, so rows close in ANY of the dimensions land in few
+  * files and min/max statistics prune scans filtered on any subset of the
+  * columns (a single-column sort only prunes its leading column).
+  *
+  * Bucketing is equi-width from the global (min, max) of each column — one
+  * distributed aggregate whose single row rides as a broadcast cross join,
+  * the same shape as the SCD2 max-id lookup. That keeps the z-value a pure
+  * function of (row, bounds): deterministic, oracle-replayable, and cheap
+  * (no quantile sketch pass; skewed columns trade bucket balance for
+  * determinism — acceptable for layout, which only needs locality, not
+  * equal-sized buckets).
+  *
+  * Arithmetic note: bucket = floor((v − min)·2^bits / (max − min + 1)) in
+  * DOUBLE — exact while (range)·2^bits < 2^53, far beyond any key column;
+  * identical IEEE ops in the DuckDB oracle.
+  */
+object Layout {
+
+  private def bucketCol(v: Column, mn: Column, mx: Column, bits: Int): Column =
+    floor((v - mn).cast("double") * (1L << bits) / (mx - mn + lit(1L)).cast("double"))
+      .cast("long")
+
+  /** One-row global bounds frame: (__min_c, __max_c) per column. */
+  def bounds(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Morton interleave of the columns' bucket bits, lowest bit first:
+    * z = Σ_j Σ_i bit_j(bucket_i) << (j·n + i). With `bits` per column and n
+    * columns the key spans n·bits bits — keep n·bits ≤ 62.
+    */
+  def zValue(df: DataFrame, cols: Seq[String], bits: Int,
+      as: String = "zval"): DataFrame = {
+    require(cols.size >= 2, s"z-order needs at least 2 columns: $cols")
+    require(bits >= 1 && cols.size * bits <= 62,
+      s"need 1 <= bits and ${cols.size} * bits <= 62: $bits")
+    val n = cols.size
+    val stamped = df.crossJoin(broadcast(bounds(df, cols)))
+    val buckets = cols.map(c =>
+      bucketCol(col(c), col(s"__min_$c"), col(s"__max_$c"), bits))
+    val z = (for (j <- 0 until bits; i <- 0 until n) yield
+      shiftright(buckets(i), j).bitwiseAND(lit(1L)) * lit(1L << (j * n + i)))
+      .reduce(_ + _)
+    stamped.withColumn(as, z.cast("long"))
+      .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+  }
+
+  /** The layout operator: stamp z-values, range-partition on them, sort
+    * within partitions — every output file covers one tight z-range, so its
+    * per-column min/max spans shrink and a filter on ANY of `cols` prunes.
+    * Write with partition-file statistics enabled and the scan side gets
+    * the skipping for free.
+    */
+  def clusterByZOrder(df: DataFrame, cols: Seq[String], bits: Int = 8): DataFrame = {
+    val z = zValue(df, cols, bits)
+    z.repartitionByRange(col("zval")).sortWithinPartitions(col("zval"))
+  }
+}

@@ -308,4 +308,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("question") && err.getMessage.contains("text"))
   }
+
+  test("semDedup drops near-identical cell-mates, keeps the smallest id") {
+    import graft.ext.Sampling
+    val v1 = Array.fill(64)(0.5f); val v2 = Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)
+    val v3 = Array.tabulate(64)(i => if (i < 32) 1f else 0f)
+    val vecs = Seq(
+      (1L, v1), (2L, v1.map(_ * 1.1f)), // scaled copy: cosine 1.0 with v1
+      (3L, v2), (4L, v2.clone()),       // exact copy
+      (5L, v3))                          // singleton
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 2, iters = 1)
+    val kept = Similarity.semDedup(vecs, "vec_id", "embedding", cents, tau = 0.999)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // cosine is scale-invariant, so a scaled copy always shares its
+    // original's cell and gets caught; survivors are the min ids + singleton
+    assert(kept == Seq(1L, 3L, 5L), s"got $kept")
+  }
+
+  test("packSequences equals the driver-side offset computation, any layout") {
+    import graft.ext.Sampling
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 200L).map(i => (i, 1L + rnd.nextInt(40)))
+    val starts = rows.scanLeft((0L, 0L)) { case ((_, cum), (id, w)) => (id, cum + w) }
+      .sliding(2).map { case Seq((_, prev), (id, _)) => id -> prev }.toMap
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packSequences(df, "w", Seq($"doc_id".asc), seqLen = 100L)
+        .select("doc_id", "seq_id", "seq_off")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = rows.map { case (id, _) =>
+      (id, starts(id) / 100L, starts(id) % 100L) }.toSet
+    val df = rows.toDF("doc_id", "w")
+    assert(run(df) == expected)
+    assert(run(df.repartition(13)) == expected, "layout-independent")
+  }
+
+  test("capPerGroup: sharded two-phase cap equals the exact single window") {
+    import graft.ext.Sampling
+    import java.security.MessageDigest
+    def hb(id: Long): Long = {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(s"graft$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val rnd = new scala.util.Random(31)
+    // one hot group (500 rows) + several small ones
+    val rows = (1L to 500L).map(i => (i, "hot")) ++
+      (501L to 560L).map(i => (i, s"g${rnd.nextInt(6)}"))
+    val expected = rows.groupBy(_._2).flatMap { case (_, g) =>
+      g.map(_._1).sortBy(id => (hb(id), id)).take(7) }.toSet
+    val df = rows.toDF("doc_id", "source")
+    def run(shards: Int) =
+      Sampling.capPerGroup(df, "source", "doc_id", n = 7, shards = shards)
+        .select("doc_id").as[Long].collect().toSet
+    assert(run(16) == expected, "two-phase matches driver-side exact top-n")
+    assert(run(1) == expected, "degenerate single shard agrees")
+  }
 }

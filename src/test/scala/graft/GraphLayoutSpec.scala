@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Graph
+import graft.ops.Layout
+
+class GraphLayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("pageRank: hand-computed two-node graph with a dangling sink") {
+    // A -> B; B dangles. r0 = (.5, .5).
+    // iter1: inflow(B) = .5; dangling = .5 (B's mass)
+    //   rank(A) = .15/2 + .85 * (0  + .25) = .2875
+    //   rank(B) = .15/2 + .85 * (.5 + .25) = .7125
+    val got = Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"),
+        "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.2875, 2L -> 0.7125), s"got $got")
+  }
+
+  test("pageRank matches a driver-side power iteration on a random graph") {
+    val rnd = new scala.util.Random(41)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .distinct
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    def rnd9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (1 to 3).foreach { _ =>
+      val inflow = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / outdeg(s) }.sum).toMap
+      val dang = nodes.filterNot(outdeg.contains).map(rank).sum
+      rank = nodes.map(v => v -> rnd9(
+        0.15 / n + 0.85 * (inflow.getOrElse(v, 0.0) + dang / n))).toMap
+    }
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = rank.map { case (k, v) =>
+      k -> BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    assert(got == expected)
+    // mass conservation: dangling redistribution keeps Σrank = 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-4)
+  }
+
+  test("zValue interleaves bucket bits (exact grid, identity bucketing)") {
+    // a full 16x16 grid with bits=4: range = 16, so bucket == value and the
+    // z-value is the exact Morton code of (x, y)
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val got = Layout.zValue(grid, Seq("x", "y"), bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def morton(x: Long, y: Long): Long =
+      (0 until 4).map(j => (((x >> j) & 1L) << (2 * j)) | (((y >> j) & 1L) << (2 * j + 1))).sum
+    assert(got.forall { case ((x, y), z) => z == morton(x, y) })
+    assert(got.values.toSet.size == 256, "Morton code is a bijection on the grid")
+  }
+
+  test("z-order layout tightens per-bucket spans on BOTH dimensions") {
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def avgSpan(df: org.apache.spark.sql.DataFrame, bucket: org.apache.spark.sql.Column) =
+      df.groupBy(bucket.as("b"))
+        .agg(((max($"x") - min($"x")) + (max($"y") - min($"y"))).as("span"))
+        .agg(avg($"span")).head().getDouble(0)
+    val z = Layout.zValue(grid, Seq("x", "y"), bits = 6)
+    // 64 z-buckets of 64 rows each vs 64 single-column-sort buckets of equal
+    // size: the x-sorted layout has perfect x spans but worst-case y spans;
+    // z-order bounds both, so the combined span must be far smaller
+    val zSpan = avgSpan(z, shiftright($"zval", 6))
+    val xSpan = avgSpan(grid, floor($"x" / 1)) // x-sorted: bucket = x value
+    assert(zSpan < xSpan / 4,
+      s"z-order combined span $zSpan should beat single-column $xSpan by 4x+")
+    // the layout operator range-partitions on zval (pruning-friendly files)
+    val plan = Layout.clusterByZOrder(grid, Seq("x", "y"), bits = 6)
+      .queryExecution.toString
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
+      s"expected range partitioning on zval in:\n$plan")
+  }
+}

@@ -857,6 +857,124 @@ object QueriesAnalytics {
             SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"""
       }),
 
+    // temperature-based mixture sampling (alpha = 0.5, target 200): the
+    // skewed lang distribution (en 4x fr) gets rebalanced — low-resource
+    // languages keep a higher per-row rate; the draw is the deterministic
+    // hash bucket, so DuckDB replays it exactly
+    Q("q80_temperature_mix",
+      (s, d) => Sampling.sampleByTemperature(t(s, d, "documents"),
+          "doc_id", "lang", alpha = 0.5, target = 200L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some("""WITH cn AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+              ws AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.5)) AS wsum FROM cn),
+              rt AS (SELECT lang, least(1.0, pow(CAST(n AS DOUBLE), 0.5) / wsum
+                              * 200 / CAST(n AS DOUBLE)) AS rate
+                     FROM cn, ws)
+             SELECT d.doc_id, d.lang
+             FROM documents d JOIN rt USING (lang)
+             WHERE CAST(('0x' || substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) < rate * 4294967296.0
+             ORDER BY doc_id""")),
+
+    // the extended flagship: all eight curation stages composed and
+    // hash-gated end to end — quality -> near-dedup-best -> decontaminate
+    // -> per-source cap -> token budget -> split -> chunk -> pack
+    Q("q81_curation_full",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val eval_ = docs.where(col("doc_id") % 17 === 0)
+          .select(col("doc_id"), col("text"))
+        Curation.run(docs, eval_, "doc_id", "text",
+          Curation.Config(shingleK = 3, numHashes = 12, bands = 4,
+            dedupThreshold = 0.35, evalGramN = 5, evalMinHits = 1,
+            splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            maxTokens = 24, overlap = 0, salt = "graft",
+            capPerSource = Some(15), tokenBudget = Some(6000L),
+            packLen = Some(64L)))
+          .select(col("id").as("doc_id"), col("chunk_idx"),
+            col("n_chunk_tokens"), md5(col("chunk_text")).as("chunk_hash"),
+            col("split"), col("seq_id"), col("seq_off"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some {
+        val nPunct = "len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n]'))"
+        val sh5 = s"""CASE WHEN len($toksSql) >= 5
+             THEN list_transform(range(0, len($toksSql) - 4),
+                                 i -> array_to_string(($toksSql)[i+1:i+5], ' '))
+             ELSE [array_to_string($toksSql, ' ')] END"""
+        val bucket = "CAST(CAST(('0x' || substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)"
+        s"""WITH RECURSIVE
+             scored AS (
+               SELECT doc_id, source, text, len($toksSql) AS n_words,
+                      (len($toksSql) >= 5 AND length(text) >= 30 AND
+                       CAST($nPunct AS DOUBLE) /
+                         CAST(greatest(length(text), 1) AS DOUBLE) < 0.2) AS keep
+               FROM documents),
+             kept AS (SELECT doc_id, source, text, n_words FROM scored WHERE keep),
+             ${QueriesExt.minhashPairsCtesOver("kept")},
+             edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                       UNION ALL
+                       SELECT id_b, id_a FROM pairs),
+             reach(src, dst) AS (
+               SELECT a, b FROM edges
+               UNION
+               SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+             lbl AS (SELECT src AS id, least(src, min(dst)) AS cluster
+                     FROM reach GROUP BY src),
+             ranked AS (
+               SELECT k.doc_id, k.source, k.text, k.n_words,
+                      row_number() OVER (
+                        PARTITION BY coalesce(l.cluster, k.doc_id)
+                        ORDER BY k.n_words DESC, k.doc_id) AS rk
+               FROM kept k LEFT JOIN lbl l ON l.id = k.doc_id),
+             best AS (SELECT doc_id, source, text, n_words FROM ranked WHERE rk = 1),
+             trg AS (SELECT doc_id, unnest(list_distinct($sh5)) AS g FROM best),
+             teg AS (SELECT DISTINCT unnest(list_distinct($sh5)) AS g
+                     FROM documents WHERE doc_id % 17 = 0),
+             hit AS (SELECT DISTINCT doc_id FROM trg JOIN teg USING (g)),
+             clean AS (SELECT b.doc_id, b.source, b.text, b.n_words FROM best b
+                       LEFT JOIN hit h USING (doc_id) WHERE h.doc_id IS NULL),
+             cw AS (SELECT *, CAST(('0x' || substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) AS hb
+                    FROM clean),
+             capped AS (SELECT doc_id, source, text, n_words FROM (
+                          SELECT *, row_number() OVER (PARTITION BY source
+                                      ORDER BY hb, doc_id) AS crk
+                          FROM cw)
+                        WHERE crk <= 15),
+             bud AS (SELECT *, CAST(sum(n_words) OVER (ORDER BY n_words DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS cum
+                     FROM capped),
+             budk AS (SELECT doc_id, text FROM bud WHERE cum <= 6000),
+             sp AS (SELECT doc_id, text,
+                           CASE WHEN $bucket < 0.8 * 4294967296.0 THEN 'train'
+                                WHEN $bucket < 0.9 * 4294967296.0 THEN 'val'
+                                ELSE 'test' END AS split
+                    FROM budk),
+             tk AS (SELECT doc_id, split, $toksSql AS t FROM sp),
+             n AS (SELECT doc_id, split, t,
+                          greatest(CAST(ceil(CAST(len(t) - 24 AS DOUBLE) / 24)
+                                     AS INT) + 1, 1) AS n_chunks
+                   FROM tk),
+             c AS (SELECT doc_id, split, CAST(i AS INT) AS chunk_idx,
+                          t[i * 24 + 1 : i * 24 + 24] AS chunk
+                   FROM n, unnest(range(0, n_chunks)) u(i)),
+             pk AS (SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS n_chunk_tokens,
+                           md5(array_to_string(chunk, ' ')) AS chunk_hash, split
+                    FROM c),
+             st AS (SELECT *, CAST(coalesce(sum(n_chunk_tokens) OVER (
+                           ORDER BY doc_id, chunk_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS BIGINT) AS strt
+                    FROM pk)
+            SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_hash, split,
+                   CAST(floor(strt / 64) AS BIGINT) AS seq_id,
+                   CAST(strt % 64 AS BIGINT) AS seq_off
+            FROM st ORDER BY doc_id, chunk_idx"""
+      }),
+
     // Z-order layout: Morton-interleaved (l_partkey, l_suppkey) buckets;
     // the per-zbucket min/max spans ARE the data-skipping statistics a
     // clustered write would put in its file footers

@@ -29,7 +29,15 @@ object Curation {
       splits: Seq[(String, Double)] = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
       maxTokens: Int = 2048,
       overlap: Int = 0,
-      salt: String = "graft")
+      salt: String = "graft",
+      // Optional post-decontamination stages (None = stage skipped, the
+      // original five-stage flow): per-source cap (domain balancing),
+      // token-budget selection by quality rank, and sequence packing of
+      // the final chunks.
+      sourceCol: String = "source",
+      capPerSource: Option[Int] = None,
+      tokenBudget: Option[Long] = None,
+      packLen: Option[Long] = None)
 
   /** Run the full curation flow over `docs` (idCol, textCol). `eval_` is
     * the benchmark suite to decontaminate against; ONLY the documented
@@ -63,13 +71,27 @@ object Curation {
       if (eval_.columns.isEmpty) deduped
       else Dedup.decontaminate(deduped, eval_, idCol, textCol,
         n = cfg.evalGramN, minHits = cfg.evalMinHits)
-    // 4. reproducible split assignment
-    val split = Sampling.assignSplit(clean, idCol, cfg.splits, cfg.salt)
-    // 5. model-sized contexts; the split label rides through the chunk
+    // 4. optional domain balancing: deterministic per-source cap (the
+    //    sharded two-phase form — a hot source never meets one window)
+    val capped = cfg.capPerSource.fold(clean)(n =>
+      Sampling.capPerGroup(clean, cfg.sourceCol, idCol, n, cfg.salt))
+    // 5. optional token budget: best documents first (n_words from the
+    //    quality stage), until the mix is full
+    val budgeted = cfg.tokenBudget.fold(capped)(b =>
+      Sampling.selectByBudget(capped, "n_words",
+        Seq(col("n_words").desc, col(idCol).asc), b))
+    // 6. reproducible split assignment
+    val split = Sampling.assignSplit(budgeted, idCol, cfg.splits, cfg.salt)
+    // 7. model-sized contexts; the split label rides through the chunk
     //    explode instead of a join-back by id — a join-back would evaluate
     //    the entire quality→dedup→decontaminate subtree a second time (the
     //    decontamination join is the expensive stage at corpus scale)
-    TextAnalysis.chunkByTokens(split, idCol, textCol, cfg.maxTokens,
-      cfg.overlap, carry = Seq("split"))
+    val chunks = TextAnalysis.chunkByTokens(split, idCol, textCol,
+      cfg.maxTokens, cfg.overlap, carry = Seq("split"))
+    // 8. optional sequence packing: stamp each chunk with its training
+    //    sequence and offset (two-phase cumulative sum, no global sort)
+    cfg.packLen.fold(chunks)(l =>
+      Sampling.packSequences(chunks, "n_chunk_tokens",
+        Seq(col("id").asc, col("chunk_idx").asc), l))
   }
 }

@@ -95,6 +95,35 @@ object Sampling {
       .drop("__pid", "__base", "__cum")
   }
 
+  /** Temperature-based mixture sampling — the multi-source balancing rule
+    * LLM data recipes use: stratum s gets mixture share ∝ n_s^alpha, so
+    * alpha = 1 reproduces natural proportions and alpha → 0 approaches
+    * uniform-over-strata (low-resource strata are upsampled relative to
+    * their natural share). Per-row keep rate is
+    * min(1, (n_s^alpha / Σ_t n_t^alpha) · target / n_s); rows keep or drop
+    * by the same content-hash bucket the other samplers use, so the draw
+    * is deterministic, layout-independent, and rerun-stable.
+    *
+    * Scale: one stratum-keyed count aggregate (strata-sized output), the
+    * weight total as a one-row broadcast, the per-stratum rates broadcast
+    * back — the corpus itself is touched by exactly one scan + filter.
+    */
+  def sampleByTemperature(df: DataFrame, idCol: String, stratumCol: String,
+      alpha: Double, target: Long, salt: String = "graft"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    require(target >= 1, s"target must be positive: $target")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val wsum = counts.agg(
+      sum(pow(col("__n").cast("double"), lit(alpha))).as("__wsum"))
+    val rates = counts.crossJoin(broadcast(wsum))
+      .select(col(stratumCol), least(lit(1.0),
+        pow(col("__n").cast("double"), lit(alpha)) / col("__wsum") *
+          lit(target.toDouble) / col("__n").cast("double")).as("__rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .where(hashBucket(col(idCol), salt).cast("double") < col("__rate") * Buckets)
+      .drop("__rate")
+  }
+
   /** Sequence packing — the layout step between chunking and the trainer:
     * walk the chunks in `rankBy` order, concatenate their token counts, and
     * cut the stream every `seqLen` tokens. Each chunk is stamped with the

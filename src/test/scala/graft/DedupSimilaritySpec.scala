@@ -344,14 +344,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(run(df.repartition(13)) == expected, "layout-independent")
   }
 
+  private def graftHashBucket(id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft$id".getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
   test("capPerGroup: sharded two-phase cap equals the exact single window") {
     import graft.ext.Sampling
-    import java.security.MessageDigest
-    def hb(id: Long): Long = {
-      val d = MessageDigest.getInstance("MD5")
-        .digest(s"graft$id".getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
-    }
+    def hb(id: Long): Long = graftHashBucket(id)
     val rnd = new scala.util.Random(31)
     // one hot group (500 rows) + several small ones
     val rows = (1L to 500L).map(i => (i, "hot")) ++
@@ -364,5 +365,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
         .select("doc_id").as[Long].collect().toSet
     assert(run(16) == expected, "two-phase matches driver-side exact top-n")
     assert(run(1) == expected, "degenerate single shard agrees")
+  }
+
+  test("sampleByTemperature upsamples low-resource strata, deterministically") {
+    import graft.ext.Sampling
+    val rows = (1L to 400L).map(i => (i, if (i <= 320) "big" else "small"))
+    val df = rows.toDF("doc_id", "lang")
+    val (alpha, target) = (0.5, 200.0)
+    val wsum = math.pow(320, alpha) + math.pow(80, alpha)
+    def rate(n: Long) = math.min(1.0, math.pow(n.toDouble, alpha) / wsum * target / n)
+    // alpha < 1 gives the small stratum a strictly higher per-row rate
+    assert(rate(80) > rate(320))
+    val expected = rows.collect { case (id, l)
+      if graftHashBucket(id).toDouble <
+        rate(if (l == "big") 320L else 80L) * math.pow(2, 32) => id }.toSet
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.sampleByTemperature(d, "doc_id", "lang", alpha, target.toLong)
+        .select("doc_id").as[Long].collect().toSet
+    assert(run(df) == expected, "matches driver-side rate computation")
+    assert(run(df.repartition(9)) == expected, "layout-independent")
+    // alpha = 1 degenerates to one uniform rate: expected share ~ target/N
+    val natural = Sampling.sampleByTemperature(df, "doc_id", "lang", 1.0, 200L)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(natural("big").toDouble / natural("small") > 2.5,
+      s"natural proportions preserved at alpha=1: $natural")
   }
 }

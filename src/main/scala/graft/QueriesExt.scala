@@ -705,6 +705,65 @@ object QueriesExt {
             SELECT s.vec_id, s.cell FROM st s
             WHERE s.vec_id NOT IN (SELECT vec_id FROM losers)
             ORDER BY s.vec_id"""
+      }),
+
+    // incremental dedup: a new batch (fresh docs + prefix copies of old
+    // ones) against the persisted signature index of the existing corpus —
+    // only pairs touching the batch emerge; similarity is the MinHash
+    // estimator since old text is never re-read
+    Q("q82_incremental_dedup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val old = docs.where(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("text"))
+        val batch = docs.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(docs.where(col("doc_id") % 10 === 1)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              expr("substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))")
+                .as("text")))
+        def sigs(df: org.apache.spark.sql.DataFrame) =
+          Dedup.minhashSignatureTable(Dedup.shingleSets(df, "doc_id", "text", 3), 12)
+        Dedup.incrementalDupPairs(sigs(batch), sigs(old),
+            numHashes = 12, bands = 4, estThreshold = 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val sh = shinglesSql(toksSql)
+        def bandSql(rel: String) = (0 until 4).map { i =>
+          val parts = (0 until 3).map(r => s"CAST(m${i * 3 + r} AS VARCHAR)")
+            .mkString(" || '|' || ")
+          s"SELECT id, $i AS band, md5($parts) AS key FROM $rel"
+        }.mkString(" UNION ALL ")
+        val agreeSum = (0 until 12)
+          .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH oldrel AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+             newrel AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+                        UNION ALL
+                        SELECT doc_id + 100000,
+                               substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))
+                        FROM documents WHERE doc_id % 10 = 1),
+             ot AS (SELECT doc_id AS id, list_distinct($sh) AS sh FROM oldrel),
+             oab AS (SELECT id, $minhashAbSql FROM ot),
+             osig AS (SELECT id, $minhashMinsSql FROM oab),
+             nt AS (SELECT doc_id AS id, list_distinct($sh) AS sh FROM newrel),
+             nab AS (SELECT id, $minhashAbSql FROM nt),
+             nsig AS (SELECT id, $minhashMinsSql FROM nab),
+             obnd AS (${bandSql("osig")}),
+             nbnd AS (${bandSql("nsig")}),
+             allbnd AS (SELECT * FROM obnd UNION ALL SELECT * FROM nbnd),
+             cand AS (SELECT DISTINCT least(n.id, a.id) AS id_a,
+                             greatest(n.id, a.id) AS id_b
+                      FROM nbnd n JOIN allbnd a
+                        ON n.band = a.band AND n.key = a.key AND n.id <> a.id),
+             sigs AS (SELECT *, FALSE AS is_new FROM osig
+                      UNION ALL SELECT *, TRUE AS is_new FROM nsig)
+            SELECT c.id_a, c.id_b,
+                   round(CAST($agreeSum AS DOUBLE) / 12, 6) AS est_jaccard,
+                   (a.is_new AND b.is_new) AS both_new
+            FROM cand c JOIN sigs a ON a.id = c.id_a JOIN sigs b ON b.id = c.id_b
+            WHERE round(CAST($agreeSum AS DOUBLE) / 12, 6) >= 0.5
+            ORDER BY id_a, id_b"""
       })
   )
 

@@ -300,6 +300,62 @@ object Dedup {
         array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
   }
 
+  /** Incremental near-dup pairs against a persisted signature index — the
+    * production shape for a GROWING corpus: the already-ingested documents
+    * are represented only by their (id, sig) MinHash signatures (the q24
+    * artifact, ~100 B/doc — the text never needs re-reading), and each new
+    * batch is banded and joined against (index ∪ batch) band keys. Only
+    * pairs touching the batch can emerge, so per-batch cost is
+    * |batch| × bucket-mates — old×old work is never redone, which is what
+    * makes continuous ingestion O(batch), not O(corpus).
+    *
+    * Because the old shingle sets are gone, similarity is the standard
+    * MinHash estimator — the fraction of agreeing signature positions
+    * (granularity 1/numHashes; E[est] = true Jaccard). Returns
+    * (id_a, id_b, est_jaccard, both_new) with id_a < id_b and
+    * est_jaccard ≥ `estThreshold`; `both_new = false` marks a batch doc
+    * duplicating the existing corpus. Feed the id_b/new side into an
+    * anti-join to admit only novel batch documents, and append the batch
+    * signatures to the index for the next increment.
+    *
+    * Scale shape: band join keyed on (band, key) carrying only ids; the
+    * two signature lookups join back by id; `dropDuplicates` bounds
+    * multi-band re-finds. The batch side is typically broadcastable.
+    */
+  def incrementalDupPairs(batchSigs: DataFrame, indexSigs: DataFrame,
+      numHashes: Int = 12, bands: Int = 4,
+      estThreshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def banded(sigs: DataFrame) = sigs.select(
+      col("id"),
+      explode(array(bandKeys(col("sig"), bands, rowsPerBand).map { case (i, k) =>
+        struct(lit(i).as("band"), k.as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val sigsAll = indexSigs.select(col("id"), col("sig"), lit(false).as("is_new"))
+      .unionByName(batchSigs.select(col("id"), col("sig"), lit(true).as("is_new")))
+    val cand = banded(batchSigs)
+      .withColumnRenamed("id", "qid")
+      .join(banded(sigsAll.select(col("id"), col("sig"))), Seq("band", "key"))
+      .where(col("qid") =!= col("id"))
+      .select(least(col("qid"), col("id")).as("id_a"),
+        greatest(col("qid"), col("id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val agree = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+      lit(0), (acc, v) => acc + v)
+    cand
+      .join(sigsAll.select(col("id").as("id_a"), col("sig").as("sig_a"),
+        col("is_new").as("new_a")), Seq("id_a"))
+      .join(sigsAll.select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("is_new").as("new_b")), Seq("id_b"))
+      .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 6))
+      .where(col("est_jaccard") >= estThreshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        (col("new_a") && col("new_b")).as("both_new"))
+  }
+
   /** Emit the i<j element pairs of a sorted-array column with bounded
     * per-row memory: `posexplode` anchors one output row per element, and
     * each row's pair array covers only that element's tail — O(group) per

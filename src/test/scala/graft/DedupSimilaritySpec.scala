@@ -367,6 +367,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(run(1) == expected, "degenerate single shard agrees")
   }
 
+  test("incrementalDupPairs: batch-only pairs, matches the full-run subset") {
+    val old_ = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "spark engines shuffle partitions across the cluster nodes"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (7L, "the quick brown fox jumps over the lazy dog"), // exact copy of 3
+      (8L, "completely novel content nothing like the others here"),
+      (9L, "completely novel content nothing like the others here"), // copy of 8
+      (10L, "another fresh document with its own unique words entirely"))
+      .toDF("doc_id", "text")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatureTable(Dedup.shingleSets(df, "doc_id", "text", 3), 12)
+    val inc = Dedup.incrementalDupPairs(sigs(batch), sigs(old_),
+        numHashes = 12, bands = 4, estThreshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(inc.toSet == Set((3L, 7L, 1.0, false), (8L, 9L, 1.0, true)), s"got ${inc.toSet}")
+    assert(inc.forall { case (a, b, _, _) => a > 4L || b > 4L },
+      "no old-times-old pair can appear")
+    // the incremental result equals the batch-touching subset of a full run
+    val full = Dedup.incrementalDupPairs(sigs(old_.unionByName(batch)),
+        sigs(old_).limit(0), numHashes = 12, bands = 4, estThreshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a >= 7L || b >= 7L }.toSet
+    assert(full == inc.map { case (a, b, e, _) => (a, b, e) }.toSet)
+  }
+
   test("sampleByTemperature upsamples low-resource strata, deterministically") {
     import graft.ext.Sampling
     val rows = (1L to 400L).map(i => (i, if (i <= 320) "big" else "small"))

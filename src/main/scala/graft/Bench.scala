@@ -48,7 +48,17 @@ object Bench {
       cleanup() // untimed: this query's residue must not bill the next one
       (name, dt, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // Compact form: every BENCH_r{1..4}.json came back `parsed: null`
+    // because the harness keeps only the final ~2000 chars of output and
+    // the full-name, full-precision map (~2.4 KB at 82 queries) overflowed
+    // it — the line's head was cut off and never parsed. Keys shrink to the
+    // unique qNN prefix and values to milliseconds; at 100+ queries the
+    // line stays ~1.5 KB, inside the capture window with sbt's trailing
+    // status line included.
+    val qs = results
+      .map { case (k, v, _) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(v * 1000) / 1000)
+      }
       .mkString("{", ",", "}")
     // Failures ride in their own field — a consumer that sorts/averages the
     // timings must never silently ingest a failure sentinel; the timing of
@@ -58,7 +68,7 @@ object Bench {
     // headline total aggregates SUCCESSFUL runs only — a crash's
     // elapsed-until-failure must not pollute cross-round total comparisons
     // (per-query times for failures stay in the map, flagged by `failed`)
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = math.rint(results.collect { case (_, v, true) => v }.sum * 1000) / 1000
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1007,6 +1007,110 @@ object QueriesAnalytics {
                    min(l_partkey) AS mn_part, max(l_partkey) AS mx_part,
                    min(l_suppkey) AS mn_supp, max(l_suppkey) AS mx_supp
             FROM zz GROUP BY 1 ORDER BY 1"""
-      })
+      }),
+
+    // corpus-level boilerplate removal: synthesized lines (12-token chunks
+    // plus an injected universal header and an every-other-doc footer); any
+    // normalized line present in >= 6 distinct docs is dropped everywhere
+    Q("q83_boilerplate_lines",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val chunks = TextAnalysis.chunkByTokens(docs, "doc_id", "text",
+            maxTokens = 12, overlap = 0)
+          .select(col("id"), (col("chunk_idx") + 2).as("idx"),
+            col("chunk_text").as("line"))
+        val header = docs.select(col("doc_id").as("id"), lit(0).as("idx"),
+          lit("Subscribe to our newsletter for updates").as("line"))
+        val footer = docs.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("id"), lit(1).as("idx"),
+            lit("All Rights Reserved").as("line"))
+        Dedup.dropFrequentLines(header.union(footer).union(chunks),
+            "id", "idx", "line", minDocs = 6)
+          .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+            md5(col("text_clean")).as("clean_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+               n AS (SELECT doc_id, t,
+                            greatest(CAST(ceil(CAST(len(t) - 12 AS DOUBLE) / 12)
+                                       AS INT) + 1, 1) AS n_chunks
+                     FROM t),
+               chunks AS (SELECT doc_id, CAST(i AS INT) + 2 AS idx,
+                                 array_to_string(t[i * 12 + 1 : i * 12 + 12], ' ') AS line
+                          FROM n, unnest(range(0, n_chunks)) u(i)),
+               lines AS (
+                 SELECT doc_id, 0 AS idx,
+                        'Subscribe to our newsletter for updates' AS line
+                 FROM documents
+                 UNION ALL
+                 SELECT doc_id, 1, 'All Rights Reserved'
+                 FROM documents WHERE doc_id % 2 = 0
+                 UNION ALL
+                 SELECT * FROM chunks),
+               freq AS (SELECT md5(lower(trim(line))) AS fp,
+                               count(DISTINCT doc_id) AS n_docs
+                        FROM lines GROUP BY 1),
+               m AS (SELECT l.doc_id, l.idx, l.line, f.n_docs < 6 AS keep
+                     FROM lines l
+                     JOIN freq f ON md5(lower(trim(l.line))) = f.fp)
+              SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+                     CAST(count(*) FILTER (WHERE keep) AS INT) AS n_kept,
+                     md5(coalesce(string_agg(line, chr(10) ORDER BY idx)
+                                    FILTER (WHERE keep), '')) AS clean_hash
+              FROM m GROUP BY doc_id ORDER BY doc_id""")),
+
+    // sparse TF-IDF cosine pairs via inverted-index join: the truncated
+    // copies planted by the perturbed corpus surface as high-cosine pairs;
+    // exact decimal accumulation makes the score replayable bit-for-bit
+    Q("q84_tfidf_cosine_pairs",
+      (s, d) => TextAnalysis.tfidfCosinePairs(
+          QueriesExt.perturbedCorpus(t(s, d, "documents")),
+          "doc_id", "text", topK = 12, maxDf = 100L, threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH corpus AS (
+                 SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 100000,
+                        substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))
+                 FROM documents),
+               tok AS (SELECT doc_id AS id, unnest($toksSql) AS term FROM corpus),
+               tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+               dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1
+                         HAVING count(*) <= 100),
+               n AS (SELECT count(*) AS n_docs FROM corpus),
+               scored AS (
+                 SELECT tf.id, tf.term,
+                        round(CAST(tf.tf AS DOUBLE) *
+                              (ln(CAST(n.n_docs + 1 AS DOUBLE) /
+                                  CAST(dfreq.dfreq + 1 AS DOUBLE)) + 1.0), 6) AS w
+                 FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+               top AS (SELECT id, term, CAST(w AS DECIMAL(18,6)) AS w
+                       FROM (SELECT *, row_number() OVER (PARTITION BY id
+                                         ORDER BY w DESC, term ASC) AS rk
+                             FROM scored)
+                       WHERE rk <= 12),
+               norms AS (SELECT id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm
+                         FROM top GROUP BY id),
+               unit AS (SELECT t.id, t.term,
+                               CAST(round(CAST(t.w AS DOUBLE) / nrm, 6)
+                                    AS DECIMAL(18,6)) AS u
+                        FROM top t JOIN norms USING (id))
+              SELECT a.id AS id_a, b.id AS id_b,
+                     round(CAST(sum(a.u * b.u) AS DOUBLE), 6) AS cos
+              FROM unit a JOIN unit b ON a.term = b.term AND a.id < b.id
+              GROUP BY 1, 2
+              HAVING round(CAST(sum(a.u * b.u) AS DOUBLE), 6) >= 0.3
+              ORDER BY id_a, id_b""")),
+
+    // deterministic training-order shuffle: position = rank of md5(salt|id),
+    // assigned by the two-phase ranged-id path (no global sort)
+    Q("q86_train_shuffle",
+      (s, d) => Sampling.shuffleDeterministic(t(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+                     row_number() OVER (
+                       ORDER BY md5('graft|' || CAST(doc_id AS VARCHAR))) AS shuffle_pos
+              FROM documents ORDER BY doc_id"""))
   )
 }

@@ -764,7 +764,29 @@ object QueriesExt {
             FROM cand c JOIN sigs a ON a.id = c.id_a JOIN sigs b ON b.id = c.id_b
             WHERE round(CAST($agreeSum AS DOUBLE) / 12, 6) >= 0.5
             ORDER BY id_a, id_b"""
-      })
+      }),
+
+    // semantic decontamination: train vectors too close (cosine >= 0.25) to
+    // any eval vector — the embedding-space complement of the q63 n-gram
+    // guard; the eval side broadcasts, the corpus is read by one scan
+    Q("q85_semantic_decon",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.semanticContaminatedIds(
+            emb.where(col("vec_id") % 23 =!= 0),
+            emb.where(col("vec_id") % 23 === 0),
+            "vec_id", "embedding", threshold = 0.25)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH ev AS (SELECT embedding AS v_e FROM embeddings
+                           WHERE vec_id % 23 = 0),
+                    tr AS (SELECT vec_id, embedding AS v_t FROM embeddings
+                           WHERE vec_id % 23 <> 0)
+               SELECT vec_id, max(${cosSql("v_t", "v_e")}) AS max_cos
+               FROM tr CROSS JOIN ev
+               GROUP BY vec_id
+               HAVING max(${cosSql("v_t", "v_e")}) >= 0.25
+               ORDER BY vec_id"""))
   )
 
   /** Shared SimHash-per-doc SQL over a relation named `rel` (doc_id, text). */

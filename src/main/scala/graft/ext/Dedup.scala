@@ -203,6 +203,52 @@ object Dedup {
       .select(col("id").as(idCol), col("n_paras"), col("n_kept"), col("text_clean"))
   }
 
+  /** Corpus-level boilerplate removal (the C4/CCNet line-frequency rule): a
+    * line whose normalized form (lower + trim) appears in at least `minDocs`
+    * DISTINCT documents is boilerplate — cookie banners, nav menus, "all
+    * rights reserved" — and is dropped from EVERY document; rare lines stay.
+    * Complements [[paragraphDedup]]: that keeps the first occurrence of a
+    * duplicated paragraph, this removes high-frequency lines everywhere.
+    *
+    * Output mirrors [[paragraphDedup]]: one row per document with the line
+    * counts and the rebuilt text (kept lines in original order).
+    *
+    * Plan shape: one distinct over (fp, doc) then a fp-keyed count (1 row
+    * per distinct line on the shuffle), one fp-keyed join back (fan-out for
+    * a hot line is bounded by its own occurrence count), one groupBy(id)
+    * rebuild at O(doc lines) per group. No pairwise work anywhere — the
+    * whole pipeline is corpus-linear, the same bound at 100 TB.
+    */
+  def dropFrequentLines(lines: DataFrame, idCol: String, idxCol: String,
+      lineCol: String, minDocs: Int, sep: String = "\n"): DataFrame = {
+    val l = lines.select(col(idCol).as("id"), col(idxCol).as("idx"),
+      col(lineCol).as("line"), md5(lower(trim(col(lineCol)))).as("fp"))
+    val freq = l.select(col("fp"), col("id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+    val marked = l.join(freq, Seq("fp"))
+      .withColumn("keep", col("n_docs") < minDocs)
+    marked.groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_lines"),
+        sum(when(col("keep"), 1).otherwise(0)).cast("int").as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("idx"), col("line"))))),
+          s => s.getField("line"))).as("text_clean"))
+      .select(col("id").as(idCol), col("n_lines"), col("n_kept"), col("text_clean"))
+  }
+
+  /** Document-level form of [[dropFrequentLines]]: splits `textCol` on
+    * `sep`, drops corpus-frequent lines, rebuilds. Line order within a
+    * document is the original position (posexplode index).
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int, sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .select(col(idCol), col("pos").as("idx"), col("col").as("line"))
+    dropFrequentLines(lines, idCol, "idx", "line", minDocs, sep)
+  }
+
   /** Benchmark decontamination: train documents sharing at least `minHits`
     * distinct word n-grams with ANY eval-set document. The standard
     * eval-leakage guard for pre-training corpora (exact n-gram overlap —

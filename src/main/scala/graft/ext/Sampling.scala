@@ -210,4 +210,23 @@ object Sampling {
     }
     df.where(hashBucket(col(idCol), salt).cast("double") < rateCol * Buckets)
   }
+
+  /** Deterministic global training-order shuffle: a row's position is the
+    * rank of md5(salt|id) — a seeded pseudo-random permutation that is a
+    * pure function of the ids (layout-independent, rerun-stable), which is
+    * what a resumable multi-epoch training run needs from its data order.
+    * One salt per epoch re-deals the permutation.
+    *
+    * Positions are dense 1..n and assigned WITHOUT a global sort: the
+    * two-phase ranged-id path (`SurrogateKeys.withOrderedIds`) range-
+    * partitions on the hash rank and offsets per-partition row numbers by
+    * broadcast partition bases — the same shape that scales the SCD2
+    * surrogate keys to fact size.
+    */
+  def shuffleDeterministic(df: DataFrame, idCol: String,
+      salt: String = "graft", posCol: String = "shuffle_pos"): DataFrame =
+    graft.ops.SurrogateKeys.withOrderedIds(
+      df.withColumn("__rk", md5(concat_ws("|", lit(salt), col(idCol)))),
+      posCol, Seq("__rk"))
+      .drop("__rk")
 }

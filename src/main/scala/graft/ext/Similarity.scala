@@ -337,4 +337,38 @@ object Similarity {
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Semantic decontamination — the embedding-space complement of the
+    * n-gram guard (`Dedup.contaminatedIds`): a train vector whose cosine to
+    * ANY eval vector reaches `threshold` is contaminated (paraphrased
+    * benchmark leakage that exact n-gram overlap misses). Returns the
+    * contaminated ids with their max eval similarity.
+    *
+    * Plan shape: the eval side is benchmark-sized, so it broadcasts; the
+    * train corpus is read by ONE scan, never shuffled — per train row the
+    * work is |eval| fused dot products followed by a map-side max. At
+    * 100 TB the cost is exactly one pass over the corpus times the
+    * (constant) eval size; there is no pairwise blow-up to block against.
+    */
+  def semanticContaminatedIds(train: DataFrame, eval_ : DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val tr = train.select(col(idCol).as("id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val ev = eval_.select(col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
+    tr.crossJoin(broadcast(ev))
+      .select(col("id"), cosPrenormed.as("cos"))
+      .groupBy(col("id")).agg(max(col("cos")).as("max_cos"))
+      .where(col("max_cos") >= threshold)
+      .select(col("id").as(idCol), col("max_cos"))
+  }
+
+  /** Drop semantically contaminated train rows (anti-join on
+    * [[semanticContaminatedIds]]).
+    */
+  def semanticDecontaminate(train: DataFrame, eval_ : DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame =
+    train.join(
+      semanticContaminatedIds(train, eval_, idCol, vecCol, threshold)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

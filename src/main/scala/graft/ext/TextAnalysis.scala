@@ -259,6 +259,54 @@ object TextAnalysis {
       .select(col("id"), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** Sparse TF-IDF cosine similarity join — content-based near-duplicate
+    * pairs when only text (no embeddings) is available. Each document is
+    * reduced to its `topK` TF-IDF terms (same smoothed-idf formula as
+    * [[tfidfTopTerms]]), L2-normalized; pair similarity is the dot product
+    * of the sparse vectors, computed by an inverted-index (term-keyed)
+    * self-join — partial products stream through a (id_a, id_b)-keyed sum,
+    * never a doc×doc comparison.
+    *
+    * Scale levers: `maxDf` drops corpus-frequent terms BEFORE the join, so
+    * every posting list is ≤ maxDf rows and pair work is bounded by
+    * Σ_term df² ≤ maxDf · Σ_term df (corpus-linear for fixed maxDf) — a
+    * stop word can never drive the join quadratic; `topK` caps each doc's
+    * contribution to any posting list at one row.
+    *
+    * Determinism (the oracle replays this bit-for-bit): weights are rounded
+    * to 6 dp at each stage, and both the norm and the pair dot accumulate
+    * DECIMAL(18,6) products — exact, order-independent sums — with the
+    * final cosine rounded from the exact decimal.
+    */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 12, maxDf: Long = 100L, threshold: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+      .where(col("dfreq") <= maxDf)
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", round(col("tf").cast("double") *
+        (log((col("n_docs") + 1).cast("double") / (col("dfreq") + 1).cast("double"))
+          + 1.0), 6))
+    val wTop = Window.partitionBy(col("id")).orderBy(col("w").desc, col("term").asc)
+    val top = scored.withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= topK)
+      .select(col("id"), col("term"), col("w").cast("decimal(18,6)").as("w"))
+    val norms = top.groupBy(col("id"))
+      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+    val unit = top.join(norms, "id")
+      .select(col("id"), col("term"),
+        round(col("w").cast("double") / col("nrm"), 6).cast("decimal(18,6)").as("u"))
+    unit.as("a").join(unit.as("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(round(sum(col("a.u") * col("b.u")).cast("double"), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** URL host extraction + domain-level curation (the RefinedWeb-style
     * provenance filters): `urlDomains` pulls the host of every URL-shaped
     * span (per-row, codegen'd regex); `domainDocCounts` is the per-domain

@@ -419,4 +419,75 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(natural("big").toDouble / natural("small") > 2.5,
       s"natural proportions preserved at alpha=1: $natural")
   }
+
+  test("dropFrequentLines removes corpus-frequent lines, keeps rare, rebuilds order") {
+    // "BOILER" appears (case-varied) in 3 of 4 docs; each unique line in 1
+    val lines = Seq(
+      (1L, 0, "boiler plate"), (1L, 1, "unique to one"),
+      (2L, 0, "Boiler Plate"), (2L, 1, "second doc body"),
+      (3L, 0, "BOILER PLATE"), (3L, 1, "third doc body"), (3L, 2, "boiler plate"),
+      (4L, 0, "no shared content here")).toDF("doc_id", "idx", "line")
+    val out = Dedup.dropFrequentLines(lines, "doc_id", "idx", "line", minDocs = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_lines"), r.getAs[Int]("n_kept"),
+          r.getAs[String]("text_clean"))).toMap
+    assert(out(1L) == ((2, 1, "unique to one")))
+    assert(out(2L) == ((2, 1, "second doc body")))
+    // doc 3 cites the boilerplate twice — both occurrences go
+    assert(out(3L) == ((3, 1, "third doc body")))
+    assert(out(4L) == ((1, 1, "no shared content here")))
+    // below the threshold nothing is boilerplate
+    val loose = Dedup.dropFrequentLines(lines, "doc_id", "idx", "line", minDocs = 4)
+      .agg(sum($"n_kept")).head().getLong(0)
+    assert(loose == 8L)
+  }
+
+  test("removeBoilerplate splits on the separator and preserves line order") {
+    val docs = Seq(
+      (1L, "keep me first\nshared footer\nkeep me last"),
+      (2L, "other body\nshared footer"),
+      (3L, "third body\nShared Footer")).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_clean"))
+      .toMap
+    assert(out(1L) == "keep me first\nkeep me last", "order preserved around removal")
+    assert(out(2L) == "other body")
+    assert(out(3L) == "third body")
+  }
+
+  test("semanticContaminatedIds flags near-eval vectors; decontaminate drops them") {
+    val e1 = Array(1.0f, 0.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f, 0.0f)
+    val train = Seq(
+      (1L, Array(0.99f, 0.1f, 0.0f)), // close to e1
+      (2L, Array(0.0f, 0.0f, 1.0f)),  // orthogonal to both
+      (3L, Array(0.0f, 2.0f, 0.0f))   // scaled copy of e2 — cosine 1
+    ).toDF("vec_id", "embedding")
+    val eval_ = Seq((100L, e1), (101L, e2)).toDF("vec_id", "embedding")
+    val flagged = Similarity.semanticContaminatedIds(train, eval_,
+        "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("max_cos"))
+      .toMap
+    assert(flagged.keySet == Set(1L, 3L))
+    assert(flagged(3L) == 1.0, "scale-invariant: cosine of a scaled copy is 1")
+    val kept = Similarity.semanticDecontaminate(train, eval_,
+        "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+  }
+
+  test("shuffleDeterministic: dense permutation, layout-independent, salt re-deals") {
+    import graft.ext.Sampling
+    val df = (1L to 97L).toDF("doc_id")
+    def run(d: org.apache.spark.sql.DataFrame, salt: String) =
+      Sampling.shuffleDeterministic(d, "doc_id", salt)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_pos"))
+        .toMap
+    val base = run(df, "graft")
+    assert(base.values.toSeq.sorted == (1L to 97L), "positions are a dense permutation")
+    assert(run(df.repartition(13), "graft") == base, "pure function of the ids")
+    val redealt = run(df, "epoch2")
+    assert(redealt != base, "a new salt re-deals the order")
+    assert(redealt.values.toSeq.sorted == (1L to 97L))
+  }
 }

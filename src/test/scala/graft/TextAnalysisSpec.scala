@@ -195,4 +195,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got._3 ==
       "this line has five words here.\ndoes this one survive the filter?")
   }
+
+  test("tfidfCosinePairs: identical docs score 1, disjoint none, maxDf drops stop terms") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta"),
+      (4L, "iota kappa lambda mu")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.tfidfCosinePairs(docs, "doc_id", "text",
+        topK = 10, maxDf = 10L, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cos")))
+    // equal weights on 4 shared terms: u_i = 1/2 exactly, dot = 1.0 exactly
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+    // the only shared term exceeds maxDf, so no pair survives
+    val withStop = Seq(
+      (1L, "corpus alpha beta"),
+      (2L, "corpus gamma delta"),
+      (3L, "corpus epsilon zeta")).toDF("doc_id", "text")
+    val p2 = TextAnalysis.tfidfCosinePairs(withStop, "doc_id", "text",
+        topK = 10, maxDf = 2L, threshold = 0.01).collect()
+    assert(p2.isEmpty)
+  }
 }

@@ -95,4 +95,55 @@ class StreamingSpec extends AnyFunSuite {
       assert(total == 1000L)
     } finally q.stop()
   }
+
+  test("nearDupStream: streaming pairs equal the batch operator run stepwise") {
+    import graft.ext.Dedup
+    val base = java.nio.file.Files.createTempDirectory("neardup_stream")
+    val (docsDir, indexDir, pairsDir, ckDir) =
+      (s"$base/docs", s"$base/index", s"$base/pairs", s"$base/ck")
+    // batch 1: a within-batch near-dup pair (1, 2); batch 2: doc 11 dups
+    // doc 1 across batches, doc 12 is novel
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely unrelated text about distributed query engines"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again"),
+      (12L, "novel second-batch content that matches nothing else at all"))
+      .toDF("doc_id", "text")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatureTable(Dedup.shingleSets(df, "doc_id", "text", 3), 12)
+    new java.io.File(docsDir).mkdirs()
+    b1.coalesce(1).write.mode("append").parquet(docsDir)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(docsDir)
+    val q = StreamingIngest.nearDupStream(stream, indexDir, pairsDir, ckDir)
+    def pairSet() = spark.read.parquet(pairsDir)
+      .select("id_a", "id_b", "est_jaccard", "both_new")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+    try {
+      q.processAllAvailable()
+      val expected1 = Dedup.incrementalDupPairs(sigs(b1), sigs(b1).limit(0))
+        .select("id_a", "id_b", "est_jaccard", "both_new")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .toSet
+      assert(pairSet() == expected1, "batch 1: within-batch pairs only")
+      assert(expected1.map(p => (p._1, p._2)) == Set((1L, 2L)))
+      b2.coalesce(1).write.mode("append").parquet(docsDir)
+      q.processAllAvailable()
+      val expected2 = Dedup.incrementalDupPairs(sigs(b2), sigs(b1))
+        .select("id_a", "id_b", "est_jaccard", "both_new")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .toSet
+      assert(pairSet() == expected1 ++ expected2, "batch 2 adds cross-batch pairs")
+      // the cross-batch dup is marked as touching the existing corpus
+      assert(expected2.exists(p => (p._1, p._2) == (1L, 11L) && !p._4))
+      // the index now carries every signature, partitioned by batch
+      val idx = spark.read.parquet(indexDir)
+      assert(idx.select("id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 11L, 12L))
+    } finally q.stop()
+  }
 }

@@ -1111,6 +1111,37 @@ object QueriesAnalytics {
       Some("""SELECT doc_id,
                      row_number() OVER (
                        ORDER BY md5('graft|' || CAST(doc_id AS VARCHAR))) AS shuffle_pos
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // interval x interval overlap join (banded, exactly-once emission):
+    // same-customer order pairs whose 30-day activity windows overlap —
+    // the keyed two-interval-set case bandedRangeJoin (point probes) and
+    // joinValidInterval (SCD2 validity) don't cover
+    Q("q87_interval_overlap",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        def side(sfx: String) = o.select(col("o_custkey"),
+          col("o_orderkey").as(s"okey_$sfx"),
+          col("o_orderdate").cast("date").as(s"start_$sfx"),
+          date_add(col("o_orderdate"), 30).as(s"end_$sfx"))
+        AsOf.intervalOverlapJoin(side("a"), side("b"), Seq("o_custkey"),
+            "start_a", "end_a", "start_b", "end_b", bandWidthDays = 45)
+          .where(col("okey_a") < col("okey_b"))
+          .select(col("o_custkey"), col("okey_a"), col("okey_b"),
+            datediff(least(col("end_a"), col("end_b")),
+              greatest(col("start_a"), col("start_b"))).cast("int").as("overlap_days"))
+          .orderBy(col("o_custkey"), col("okey_a"), col("okey_b"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+                                CAST(o_orderdate AS DATE) AS s,
+                                CAST(o_orderdate AS DATE) + 30 AS e FROM orders)
+              SELECT a.o_custkey, a.o_orderkey AS okey_a, b.o_orderkey AS okey_b,
+                     CAST(date_diff('day', greatest(a.s, b.s), least(a.e, b.e))
+                          AS INT) AS overlap_days
+              FROM o a JOIN o b
+                ON a.o_custkey = b.o_custkey
+               AND a.o_orderkey < b.o_orderkey
+               AND a.s <= b.e AND b.s <= a.e
+              ORDER BY 1, 2, 3"""))
   )
 }

@@ -99,4 +99,38 @@ object AsOf {
         floor(unix_date(end.cast("date")) / bandWidthDays).cast("long"))))
     p.join(i, Seq("__band")).where(probeDate.between(start, end)).drop("__band")
   }
+
+  /** Interval × interval overlap join, banded. Both sides explode their
+    * interval onto coarse `bandWidthDays` bands and equi-join on
+    * (`keys`, band); the exact overlap predicate then filters band-mates.
+    *
+    * A pair overlapping several bands would be emitted once per shared band
+    * — instead of a (costly, shuffling) dropDuplicates, each pair is kept
+    * only in its CANONICAL band, the one containing the overlap region's
+    * start `greatest(lStart, rStart)` (both intervals contain that day by
+    * definition of overlap, so both sides exploded it): exactly-once
+    * emission for free.
+    *
+    * Scale: replication per row is its interval length / bandWidth (pick
+    * the width near the typical interval length); the join is a keyed
+    * equi-join — no range-predicate nested loop, no cross product. Sides
+    * must use disjoint column names for the interval bounds (rename before
+    * calling, as the SCD2 ops do).
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bandWidthDays: Int): DataFrame = {
+    def bands(s: String, e: String) =
+      explode(sequence(
+        floor(unix_date(col(s).cast("date")) / bandWidthDays).cast("long"),
+        floor(unix_date(col(e).cast("date")) / bandWidthDays).cast("long")))
+    val l = left.withColumn("__band", bands(lStart, lEnd))
+    val r = right.withColumn("__band", bands(rStart, rEnd))
+    l.join(r, keys :+ "__band")
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .where(col("__band") ===
+        floor(unix_date(greatest(col(lStart), col(rStart)).cast("date")) /
+          bandWidthDays).cast("long"))
+      .drop("__band")
+  }
 }

@@ -177,4 +177,33 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Int]("offset")).toSeq == Seq(0, 2, 4, 6))
     assert(out.map(_.getAs[String]("slice_hash")).distinct.length == 4)
   }
+
+  test("AsOf.intervalOverlapJoin: exactly-once across bands, equals naive join") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // long intervals deliberately span several 7-day bands; (1,10) overlap
+    // across a band boundary, (2,20) meet only inside one band, (3,30) miss
+    val left = Seq(
+      (1L, 100L, d("2026-01-01"), d("2026-02-15")),
+      (2L, 101L, d("2026-03-01"), d("2026-03-03")),
+      (3L, 102L, d("2026-05-01"), d("2026-05-10"))
+    ).toDF("k", "lid", "ls", "le")
+    val right = Seq(
+      (1L, 200L, d("2026-02-10"), d("2026-03-20")),
+      (2L, 201L, d("2026-03-02"), d("2026-03-04")),
+      (3L, 202L, d("2026-06-01"), d("2026-06-05")),
+      (1L, 203L, d("2026-01-05"), d("2026-01-06"))
+    ).toDF("k", "rid", "rs", "re")
+    val got = AsOf.intervalOverlapJoin(left, right, Seq("k"),
+        "ls", "le", "rs", "re", bandWidthDays = 7)
+      .select("k", "lid", "rid").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val naive = left.join(right, Seq("k"))
+      .where($"ls" <= $"re" && $"rs" <= $"le")
+      .select("k", "lid", "rid").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.sorted == naive.sorted, "banded result equals the naive range join")
+    assert(got.length == got.distinct.length, "each overlapping pair emitted once")
+    assert(got.toSet == Set((1L, 100L, 200L), (1L, 100L, 203L), (2L, 101L, 201L)))
+  }
 }

@@ -13,11 +13,15 @@ object PlanDump {
     // q76 is omitted like q70: packSequences forces its ranged frame, so
     // the visible plan is the post-cache two-phase window (q57 shows the
     // same shape lazily).
+    // q86 omitted like q70/q76: shuffleDeterministic forces its ranged
+    // frame (q57 shows the same two-phase shape lazily).
     Seq("q19_flagship", "q13_fact_load", "q12_scd2_merge", "q57_partitioned_ids",
         "q28_ann_topk", "q37_ann_ivf", "q42_sessionize",
         "q45_tfidf", "q46_anti_join", "q48_asof_event", "q56_amenities_envelope",
         "q63_decontaminate", "q64_chunking", "q65_ann_recall",
-        "q75_semdedup", "q77_domain_cap", "q78_pagerank", "q79_zorder").foreach { q =>
+        "q75_semdedup", "q77_domain_cap", "q78_pagerank", "q79_zorder",
+        "q83_boilerplate_lines", "q84_tfidf_cosine_pairs", "q85_semantic_decon",
+        "q87_interval_overlap").foreach { q =>
       out.append(s"===== $q =====\n")
       out.append(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))

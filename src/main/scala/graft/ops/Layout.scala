@@ -66,4 +66,33 @@ object Layout {
     val z = zValue(df, cols, bits)
     z.repartitionByRange(col("zval")).sortWithinPartitions(col("zval"))
   }
+
+  /** Training-shard writer — the write leg of the curation pipeline: given
+    * a frame carrying a dense global position (`orderCol`, e.g.
+    * `Sampling.shuffleDeterministic`'s shuffle_pos or a packed seq_id),
+    * materialize it as `numShards` parquet shard directories where shard k
+    * holds the k-th contiguous position range and every file is internally
+    * sorted by position. A training loader then streams shard files
+    * sequentially with zero read-time shuffling, and because the position
+    * is a pure function of (salt, id) the whole layout is rerun-stable.
+    *
+    * Plan shape: one count aggregate rides as a 1-row broadcast (the SCD2
+    * max-id trick), shard assignment is per-row arithmetic, and the only
+    * exchange is the hash repartition on the shard id — each task writes
+    * its shard's files pre-sorted via sortWithinPartitions, so no global
+    * sort appears at any size.
+    */
+  def writeShards(df: DataFrame, orderCol: String, numShards: Int,
+      path: String): Unit = {
+    require(numShards >= 1, s"numShards must be positive: $numShards")
+    val n = df.agg(count(lit(1)).as("__n"))
+    df.crossJoin(broadcast(n))
+      .withColumn("shard",
+        floor((col(orderCol) - 1).cast("double") * numShards / col("__n"))
+          .cast("int"))
+      .drop("__n")
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(orderCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
 }

@@ -80,4 +80,36 @@ class GraphLayoutSpec extends AnyFunSuite {
     assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
       s"expected range partitioning on zval in:\n$plan")
   }
+
+  test("writeShards: contiguous balanced shards, files internally position-sorted") {
+    import graft.ext.Sampling
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    val docs = (1L to 103L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val ordered = Sampling.shuffleDeterministic(docs, "doc_id")
+    Layout.writeShards(ordered, "shuffle_pos", numShards = 4, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 103L)
+    // shard k holds the k-th contiguous position range, sizes within 1
+    val ranges = back.groupBy("shard")
+      .agg(min("shuffle_pos").as("mn"), max("shuffle_pos").as("mx"),
+        count(lit(1)).as("n"))
+      .orderBy("shard").collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("mn"),
+        r.getAs[Long]("mx"), r.getAs[Long]("n")))
+    assert(ranges.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(ranges.head._2 == 1L && ranges.last._3 == 103L)
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 == a._3 + 1, s"shards must tile the position space: $a -> $b")
+    }
+    assert(ranges.map(_._4).max - ranges.map(_._4).min <= 1, "balanced within 1")
+    // row order INSIDE each parquet file is the position order
+    val files = new java.io.File(out).listFiles.filter(_.getName.startsWith("shard="))
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val pos = spark.read.parquet(f.toString)
+        .select("shuffle_pos").as[Long].collect().toSeq
+      assert(pos == pos.sorted, s"file ${f.getName} not position-sorted")
+    }
+  }
 }

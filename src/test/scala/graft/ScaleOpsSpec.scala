@@ -163,4 +163,48 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(top.length == 3)
     assert(top.forall(_.getAs[Long]("c_id") <= 10), "neighbors from the same cell")
   }
+
+  test("round-5 pair generators plan as equi-joins — no cartesian work") {
+    import org.apache.spark.sql.execution.SimpleMode
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(SimpleMode)
+    def bnlj(p: String): Int = p.split("BroadcastNestedLoopJoin", -1).length - 1
+
+    val docs = (1L to 40L)
+      .map(i => (i, s"alpha beta gamma term$i shared${i % 5} content"))
+      .toDF("doc_id", "text")
+
+    // q83 shape: frequency count + join-back — pure equi-joins
+    val lines = docs.select($"doc_id", lit(0).as("idx"), $"text".as("line"))
+    val p83 = plan(Dedup.dropFrequentLines(lines, "doc_id", "idx", "line", 3))
+    assert(!p83.contains("CartesianProduct") && bnlj(p83) == 0)
+
+    // q84 shape: the pair join itself is term-keyed (hash/merge equi-join);
+    // the nested-loops in the plan are only the 1-row corpus-size broadcast,
+    // replicated through the self-join's subtrees
+    val p84 = plan(TextAnalysis.tfidfCosinePairs(docs, "doc_id", "text"))
+    assert(!p84.contains("CartesianProduct"))
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[term".r
+      .findFirstIn(p84).isDefined, s"pair join must be keyed on the term:\n$p84")
+
+    // q85 shape: the ONLY nested-loop is the broadcast eval side
+    val vecs = (1L to 30L).map(i =>
+      (i, Array(i.toFloat, (i % 3).toFloat, 1.0f))).toDF("vec_id", "embedding")
+    val p85 = plan(Similarity.semanticContaminatedIds(
+      vecs.where($"vec_id" % 5 =!= 0), vecs.where($"vec_id" % 5 === 0),
+      "vec_id", "embedding", 0.9))
+    assert(!p85.contains("CartesianProduct"))
+    assert(bnlj(p85) == 1, s"expected only the broadcast eval side:\n$p85")
+
+    // q87 shape: banded overlap join is a pure (keys, band) equi-join
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val a = Seq((1L, 1L, d("2026-01-01"), d("2026-01-20")))
+      .toDF("k", "lid", "ls", "le")
+    val b = Seq((1L, 2L, d("2026-01-10"), d("2026-02-01")))
+      .toDF("k", "rid", "rs", "re")
+    val p87 = plan(graft.ops.AsOf.intervalOverlapJoin(
+      a, b, Seq("k"), "ls", "le", "rs", "re", 7))
+    assert(!p87.contains("CartesianProduct") && bnlj(p87) == 0,
+      s"overlap join must stay an equi-join:\n$p87")
+  }
 }

@@ -174,6 +174,33 @@ object StreamingIngest {
       .start()
   }
 
+  /** Maintenance for [[nearDupStream]]'s signature index: per-batch appends
+    * accumulate one directory partition per trigger, and the index read
+    * cost grows with partition count. Compaction rewrites the index as ONE
+    * partition keeping the LATEST signature per id (a re-ingested doc keeps
+    * its newest), then swaps it in with the Pipeline's crash-safe
+    * temp-then-swap — the stream can keep appending afterwards because
+    * post-compaction batch ids stay above the compacted epoch's `-1`.
+    *
+    * Run it between triggers (or from a separate maintenance job against a
+    * paused stream); the id-keyed window partitions on the doc id, so no
+    * single task ever sees more than one id's re-ingestion history.
+    * Returns the compacted row count.
+    */
+  def compactSignatureIndex(spark: SparkSession, indexDir: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = spark.read.parquet(indexDir)
+    val w = Window.partitionBy(col("id")).orderBy(col("batch_id").desc)
+    val tmp = s"$indexDir.compact.tmp"
+    idx.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .drop("__rk")
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    graft.pipeline.Pipeline.swap(spark, tmp, indexDir)
+    spark.read.parquet(indexDir).count()
+  }
+
   def userTotals(events: Dataset[Event], spark: SparkSession,
       ttl: Option[String] = None): Dataset[SessionOut] = {
     import spark.implicits._

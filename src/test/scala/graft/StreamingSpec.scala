@@ -144,6 +144,27 @@ class StreamingSpec extends AnyFunSuite {
       val idx = spark.read.parquet(indexDir)
       assert(idx.select("id").as[Long].collect().sorted.toSeq ==
         Seq(1L, 2L, 3L, 11L, 12L))
+      // compaction collapses the per-batch partitions to one, keeps every
+      // id, and the stream keeps working against the compacted index
+      val n = StreamingIngest.compactSignatureIndex(spark, indexDir)
+      assert(n == 5L)
+      val compacted = spark.read.parquet(indexDir)
+      assert(compacted.select("batch_id").distinct().as[Long].collect().toSeq ==
+        Seq(-1L))
+      assert(compacted.select("id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 11L, 12L))
+      val b3 = Seq(
+        (21L, "the quick brown fox jumps over the lazy dog again and again"))
+        .toDF("doc_id", "text")
+      b3.coalesce(1).write.mode("append").parquet(docsDir)
+      q.processAllAvailable()
+      val expected3 = Dedup.incrementalDupPairs(sigs(b3), sigs(b1.union(b2)))
+        .select("id_a", "id_b", "est_jaccard", "both_new")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .toSet
+      assert(pairSet() == expected1 ++ expected2 ++ expected3,
+        "post-compaction batches still see the whole corpus")
+      assert(expected3.map(p => (p._1, p._2)) == Set((1L, 21L), (2L, 21L), (11L, 21L)))
     } finally q.stop()
   }
 }

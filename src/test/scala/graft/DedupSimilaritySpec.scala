@@ -442,6 +442,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(loose == 8L)
   }
 
+  test("dropFrequentLines matches a driver-side computation on a random corpus") {
+    val rnd = new scala.util.Random(11)
+    val pool = (1 to 8).map(i => s"Line number $i")
+    val fixture = (1L to 40L).flatMap { doc =>
+      (0 until (1 + rnd.nextInt(6))).map(idx =>
+        (doc, idx, pool(rnd.nextInt(pool.size))))
+    }
+    val lines = fixture.toDF("doc_id", "idx", "line")
+    for (minDocs <- Seq(2, 10, 100)) {
+      val freq = fixture.groupBy(_._3.toLowerCase.trim)
+        .view.mapValues(_.map(_._1).distinct.size).toMap
+      val expected = fixture.groupBy(_._1).map { case (doc, ls) =>
+        val kept = ls.sortBy(_._2).filter(l => freq(l._3.toLowerCase.trim) < minDocs)
+        doc -> ((ls.size, kept.size, kept.map(_._3).mkString("\n")))
+      }
+      val got = Dedup.dropFrequentLines(lines, "doc_id", "idx", "line", minDocs)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Int]("n_lines"), r.getAs[Int]("n_kept"),
+            r.getAs[String]("text_clean")))).toMap
+      assert(got == expected, s"minDocs=$minDocs")
+    }
+  }
+
   test("removeBoilerplate splits on the separator and preserves line order") {
     val docs = Seq(
       (1L, "keep me first\nshared footer\nkeep me last"),

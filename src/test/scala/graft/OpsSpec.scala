@@ -206,4 +206,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got.length == got.distinct.length, "each overlapping pair emitted once")
     assert(got.toSet == Set((1L, 100L, 200L), (1L, 100L, 203L), (2L, 101L, 201L)))
   }
+
+  test("intervalOverlapJoin equals the naive join on random intervals, any band width") {
+    val rnd = new scala.util.Random(7)
+    def day(n: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2026, 1, 1).plusDays(n.toLong))
+    def mk(idBase: Long) = (1 to 120).map { i =>
+      val s = rnd.nextInt(300)
+      (rnd.nextInt(5).toLong, idBase + i, day(s), day(s + rnd.nextInt(60)))
+    }
+    val left = mk(0L).toDF("k", "lid", "ls", "le")
+    val right = mk(1000L).toDF("k", "rid", "rs", "re")
+    val naive = left.join(right, Seq("k"))
+      .where($"ls" <= $"re" && $"rs" <= $"le")
+      .select("k", "lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(naive.nonEmpty)
+    for (w <- Seq(1, 7, 31, 365)) {
+      val got = AsOf.intervalOverlapJoin(left, right, Seq("k"),
+          "ls", "le", "rs", "re", w)
+        .select("k", "lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got.sorted == naive, s"band width $w must not change the result")
+      assert(got.distinct.length == got.length, s"exactly-once at width $w")
+    }
+  }
 }

@@ -51,5 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     composite(e, "graft_token_count", 1, cs => TextAnalysis.tokenCountWs(cs.head))
     // variadic: row hash over any projection, like the Column form
     composite(e, "graft_row_hash", -1, cs => CleanOps.rowHash(cs))
+    composite(e, "graft_cosine", 2,
+      cs => graft.ext.Similarity.cosine(cs.head, cs(1)))
+    composite(e, "graft_url_domains", 1, cs => TextAnalysis.urlDomains(cs.head))
+    composite(e, "graft_winnow", 1,
+      cs => TextAnalysis.winnowFingerprints(cs.head))
+    composite(e, "graft_c4_keep_line", 1,
+      cs => TextAnalysis.c4KeepLine(cs.head, minWords = 5))
   }
 }

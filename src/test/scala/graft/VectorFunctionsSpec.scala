@@ -82,4 +82,31 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(sql.toSeq == api.toSeq)
     assert(sql.getAs[Int]("ds") == 5 && sql.getAs[String]("lid") == "en")
   }
+
+  test("SQL registry: round-5 composites equal their Column forms") {
+    import graft.ext.{Similarity, TextAnalysis}
+    Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 1.0f, 2.0f),
+        "see https://example.org/a and http://b.net/x.",
+        "this line has five words here."))
+      .toDF("u", "v", "t", "l").createOrReplaceTempView("gfx5")
+    val sql = spark.sql(
+      """SELECT graft_cosine(u, v) AS cos, graft_url_domains(t) AS doms,
+                graft_winnow(t) AS wf, graft_c4_keep_line(l) AS keep
+           FROM gfx5""").collect().head
+    val api = spark.table("gfx5").select(
+      Similarity.cosine($"u", $"v"), TextAnalysis.urlDomains($"t"),
+      TextAnalysis.winnowFingerprints($"t"),
+      TextAnalysis.c4KeepLine($"l", minWords = 5)).collect().head
+    assert(sql.toSeq.map {
+      case s: Seq[_] => s.toList
+      case x => x
+    } == api.toSeq.map {
+      case s: Seq[_] => s.toList
+      case x => x
+    })
+    // (1,2,2)·(2,1,2) / (3 · 3) = 8/9, rounded to 6 dp
+    assert(sql.getAs[Double]("cos") == 0.888889)
+    assert(sql.getAs[Seq[String]]("doms").toSet == Set("example.org", "b.net"))
+    assert(sql.getAs[Boolean]("keep"))
+  }
 }

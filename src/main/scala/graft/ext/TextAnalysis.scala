@@ -331,6 +331,23 @@ object TextAnalysis {
     df.where(!exists(urlDomains(col(textCol)),
       d => d.isin(blocked.map(b => b: Any): _*)))
 
+  /** Table-blocklist form of [[dropBlockedDomains]] — for a blocklist too
+    * large to inline as a literal (UHRS-scale domain lists run to millions
+    * of rows): explode each document's distinct cited domains, semi-join
+    * against the blocklist on the domain, anti-join the hit ids back out.
+    * Same corpus-linear shape as decontamination: one row per (doc,
+    * distinct domain) on the shuffle, and the blocklist side broadcasts
+    * while it fits. `blocklist` must carry a `domain` column.
+    */
+  def dropBlockedDomainsTable(df: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame): DataFrame = {
+    val hits = df
+      .select(col(idCol), explode(urlDomains(col(textCol))).as("domain"))
+      .join(blocklist.select(col("domain")).distinct(), Seq("domain"), "left_semi")
+      .select(col(idCol)).distinct()
+    df.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** Corpus-trained bigram language-model scoring — the CCNet-style
     * STATISTICAL quality signal that complements the rule-based filters:
     * train add-one-smoothed bigram probabilities on the corpus itself,

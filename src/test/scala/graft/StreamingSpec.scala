@@ -167,4 +167,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(expected3.map(p => (p._1, p._2)) == Set((1L, 21L), (2L, 21L), (11L, 21L)))
     } finally q.stop()
   }
+
+  test("per-row curation ops run unchanged on a stream (batch ≡ streaming)") {
+    import graft.ext.TextAnalysis
+    // the quality/PII/chunk-prep operators are pure per-row Column trees, so
+    // the SAME code path serves batch and streaming — no parallel operator
+    // set to maintain; this pins that claim
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream").toString
+    val docs = Seq(
+      (1L, "A solid paragraph with enough words to pass the gate."),
+      (2L, "short"),
+      (3L, "Contact me at jane@example.com or 555-123-4567 today please."))
+      .toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.withQuality(df, "text")
+        .withColumn("redacted", TextAnalysis.redactPii(col("text")))
+    val q = curate(spark.readStream.schema("doc_id BIGINT, text STRING").parquet(dir))
+      .writeStream.format("memory").queryName("curate_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("curate_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq.toList).toMap
+      val batch = curate(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.toSeq.toList).toMap
+      assert(streamed == batch)
+      val redacted = spark.table("curate_out").where($"doc_id" === 3L)
+        .select("redacted").as[String].head()
+      assert(!redacted.contains("jane@example.com") && redacted.contains("<EMAIL>"),
+        s"PII redacted in-stream: $redacted")
+    } finally q.stop()
+  }
 }

@@ -164,6 +164,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     val kept = TextAnalysis.dropBlockedDomains(docs, "text", Seq("spam.example"))
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(2L, 3L), "doc 1 cites the blocked domain")
+    // the table-blocklist form gives the same survivors
+    val bl = Seq("spam.example").toDF("domain")
+    val keptT = TextAnalysis.dropBlockedDomainsTable(docs, "doc_id", "text", bl)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptT.toSeq == Seq(2L, 3L), "table form ≡ literal form")
+    val keptNone = TextAnalysis.dropBlockedDomainsTable(docs, "doc_id", "text",
+      spark.emptyDataFrame.select(lit("").as("domain")).limit(0))
+    assert(keptNone.count() == 3L, "empty blocklist keeps everything")
   }
 
   test("bigramLmScores: corpus-frequent transitions outscore one-off gibberish") {

@@ -1142,6 +1142,43 @@ object QueriesAnalytics {
                 ON a.o_custkey = b.o_custkey
                AND a.o_orderkey < b.o_orderkey
                AND a.s <= b.e AND b.s <= a.e
-              ORDER BY 1, 2, 3"""))
+              ORDER BY 1, 2, 3""")),
+
+    // auto-blocklist by citation frequency: domains cited by >= 20% of the
+    // corpus are spam-scale (the tracker planted on every 4th doc crosses
+    // the line, the 7-way site rotation stays under it); the filter is the
+    // table-blocklist anti-join — the million-row-blocklist path
+    Q("q88_auto_blocklist",
+      (s, d) => {
+        val synth = concat(col("text"),
+          lit(" via https://site"), col("doc_id") % 7, lit(".example.com/p"),
+          when(col("doc_id") % 4 === 0,
+            lit(" https://tracker.ads.example/pix")).otherwise(lit("")))
+        val docs = t(s, d, "documents").select(col("doc_id"), synth.as("text"))
+        val total = docs.agg(count(lit(1)).as("n_total"))
+        val blocklist = TextAnalysis.domainDocCounts(docs, "doc_id", "text")
+          .crossJoin(broadcast(total))
+          .where(col("n_docs") >= col("n_total") * 0.2)
+          .select(col("domain"))
+        TextAnalysis.dropBlockedDomainsTable(docs, "doc_id", "text", blocklist)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val synth = "text || ' via https://site' || CAST(doc_id % 7 AS VARCHAR) || " +
+          "'.example.com/p' || CASE WHEN doc_id % 4 = 0 " +
+          "THEN ' https://tracker.ads.example/pix' ELSE '' END"
+        val domains = s"list_distinct(list_transform(" +
+          s"regexp_extract_all(t, '${TextAnalysis.urlPattern}'), " +
+          s"u -> regexp_extract(u, 'https?://([^/ ]+)', 1)))"
+        s"""WITH c AS (SELECT doc_id, $synth AS t FROM documents),
+             d AS (SELECT doc_id, unnest($domains) AS domain FROM c),
+             counts AS (SELECT domain, count(*) AS n_docs FROM d GROUP BY domain),
+             tot AS (SELECT count(*) AS n_total FROM c),
+             bl AS (SELECT domain FROM counts, tot WHERE n_docs >= n_total * 0.2),
+             hit AS (SELECT DISTINCT doc_id FROM d JOIN bl USING (domain))
+            SELECT c.doc_id FROM c LEFT JOIN hit h USING (doc_id)
+            WHERE h.doc_id IS NULL ORDER BY doc_id"""
+      })
   )
 }

@@ -1179,6 +1179,39 @@ object QueriesAnalytics {
              hit AS (SELECT DISTINCT doc_id FROM d JOIN bl USING (domain))
             SELECT c.doc_id FROM c LEFT JOIN hit h USING (doc_id)
             WHERE h.doc_id IS NULL ORDER BY doc_id"""
-      })
+      }),
+
+    // vocabulary encoding: corpus-derived top-500 vocab (freq desc, term
+    // asc), every doc mapped to its ordered id sequence with OOV -> 0 —
+    // the last hop before training; both engines rank, limit, and encode
+    // identically
+    Q("q89_vocab_encode",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val vocab = TextAnalysis.buildVocab(docs, "doc_id", "text", size = 500)
+        TextAnalysis.encodeWithVocab(docs, "doc_id", "text", vocab)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+               p AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                            tk[CAST(i AS INT) + 1] AS term
+                     FROM t, unnest(range(0, len(tk))) u(i)),
+               tf AS (SELECT term, count(*) AS c FROM p GROUP BY term),
+               vocab AS (SELECT term,
+                                CAST(row_number() OVER (ORDER BY c DESC, term)
+                                     AS BIGINT) AS tid
+                         FROM tf ORDER BY c DESC, term LIMIT 500),
+               enc AS (SELECT p.doc_id, p.pos, coalesce(v.tid, 0) AS tid
+                       FROM p LEFT JOIN vocab v USING (term)),
+               agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+                              CAST(count(*) FILTER (WHERE tid = 0) AS INT) AS n_unk,
+                              md5(string_agg(CAST(tid AS VARCHAR), ','
+                                             ORDER BY pos)) AS ids_hash
+                       FROM enc GROUP BY doc_id)
+              SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+                     coalesce(a.n_unk, 0) AS n_unk,
+                     coalesce(a.ids_hash, md5('')) AS ids_hash
+              FROM documents d LEFT JOIN agg a USING (doc_id)
+              ORDER BY doc_id"""))
   )
 }

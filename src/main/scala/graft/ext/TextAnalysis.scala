@@ -307,6 +307,55 @@ object TextAnalysis {
       .where(col("cos") >= threshold)
   }
 
+  /** Corpus-derived vocabulary: the top `size` terms ranked by
+    * (frequency desc, term asc), ids 1..size. The ranking window runs on
+    * the CANDIDATE table (vocabulary-sized after the count aggregate's
+    * map-side combine), and the final id stamp happens after a `limit` —
+    * the only single-partition step touches ≤ `size` rows by construction,
+    * never the corpus.
+    */
+  def buildVocab(df: DataFrame, idCol: String, textCol: String,
+      size: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc)
+      .limit(size)
+    counts
+      .withColumn("tid", row_number()
+        .over(Window.orderBy(col("c").desc, col("term").asc)).cast("long"))
+      .select(col("term"), col("tid"))
+  }
+
+  /** Vocabulary encoding — the last hop before training: map each token to
+    * its vocab id (OOV → `unkId`), emitting one row per document with the
+    * token/UNK counts and the ordered id sequence (hashed for compact
+    * comparison; swap the hash for the raw array in production).
+    *
+    * Plan shape: position-preserving token explode (corpus-linear), a
+    * broadcast-able left join against the vocabulary (vocab tables are
+    * row-bounded by construction), and a per-doc rebuild grouped on the
+    * doc id — the paragraph-dedup rebuild shape. Documents with no tokens
+    * survive with an empty sequence (posexplode_outer).
+    */
+  def encodeWithVocab(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, unkId: Long = 0L): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode_outer(tokens(col(textCol))).as(Seq("pos", "term")))
+    val enc = toks.join(broadcast(vocab), Seq("term"), "left")
+      .select(col("id"), col("pos"),
+        when(col("pos").isNotNull, coalesce(col("tid"), lit(unkId))).as("tid"))
+    enc.groupBy(col("id"))
+      .agg(count(col("pos")).cast("int").as("n_tokens"),
+        sum(when(col("tid") === unkId, 1).otherwise(0)).cast("int").as("n_unk"),
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(when(col("pos").isNotNull,
+            struct(col("pos"), col("tid"))))),
+          s => s.getField("tid").cast("string")))).as("ids_hash"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_unk"), col("ids_hash"))
+  }
+
   /** URL host extraction + domain-level curation (the RefinedWeb-style
     * provenance filters): `urlDomains` pulls the host of every URL-shaped
     * span (per-row, codegen'd regex); `domainDocCounts` is the per-domain

@@ -204,6 +204,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       "this line has five words here.\ndoes this one survive the filter?")
   }
 
+  test("buildVocab ranks by frequency then term; encodeWithVocab maps OOV to unk") {
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "apple banana banana durian"),
+      (3L, "")).toDF("doc_id", "text")
+    // counts: apple 3, banana 3, cherry 1, durian 1 → tie-break on term
+    val vocab = TextAnalysis.buildVocab(docs, "doc_id", "text", size = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab == Map("apple" -> 1L, "banana" -> 2L, "cherry" -> 3L))
+    val enc = TextAnalysis.encodeWithVocab(docs, "doc_id", "text",
+        TextAnalysis.buildVocab(docs, "doc_id", "text", 3))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_unk"),
+          r.getAs[String]("ids_hash")))).toMap
+    // doc 1: 1,1,2,3 — no unknowns; doc 2: durian is OOV → id 0
+    assert(enc(1L) == ((4, 0, md5Hex("1,1,2,3"))))
+    assert(enc(2L) == ((4, 1, md5Hex("1,2,2,0"))))
+    assert(enc(3L) == ((0, 0, md5Hex(""))), "empty doc survives with empty sequence")
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   test("tfidfCosinePairs: identical docs score 1, disjoint none, maxDf drops stop terms") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),

@@ -21,7 +21,8 @@ object PlanDump {
         "q63_decontaminate", "q64_chunking", "q65_ann_recall",
         "q75_semdedup", "q77_domain_cap", "q78_pagerank", "q79_zorder",
         "q83_boilerplate_lines", "q84_tfidf_cosine_pairs", "q85_semantic_decon",
-        "q87_interval_overlap").foreach { q =>
+        "q87_interval_overlap", "q88_auto_blocklist", "q89_vocab_encode")
+      .foreach { q =>
       out.append(s"===== $q =====\n")
       out.append(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))

@@ -1212,6 +1212,46 @@ object QueriesAnalytics {
                      coalesce(a.n_unk, 0) AS n_unk,
                      coalesce(a.ids_hash, md5('')) AS ids_hash
               FROM documents d LEFT JOIN agg a USING (doc_id)
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // feature-hashed 64-dim TF vectors: model-free dense embeddings from
+    // raw text (md5 slot + sign, exact integer slot sums, L2-normalized) —
+    // the bridge that lets the k-means/SemDeDup/ANN stack run on corpora
+    // with no embedding column
+    // NB the comparable form scales components to integers (×1e6): a raw
+    // double→string cast goes scientific below 1e-3 on the JVM but not in
+    // DuckDB, so the string forms would diverge even with equal values
+    Q("q90_hashed_vectors",
+      (s, d) => TextAnalysis.hashedTfVectors(t(s, d, "documents"),
+          "doc_id", "text", dim = 64)
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("vec"),
+            x => round(x * 1e6).cast("long").cast("string"))).as("vec_q"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH p AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+               h AS (SELECT doc_id, md5(term) AS h FROM p),
+               sl AS (SELECT doc_id,
+                             CAST(CAST(('0x' || substring(h, 1, 8)) AS BIGINT) % 64
+                                  AS INT) AS slot,
+                             CASE WHEN CAST(('0x' || substring(h, 9, 1)) AS BIGINT)
+                                       % 2 = 0
+                                  THEN 1 ELSE -1 END AS sgn
+                      FROM h),
+               s AS (SELECT doc_id, slot, sum(sgn) AS v FROM sl GROUP BY 1, 2),
+               g AS (SELECT d.doc_id, CAST(i AS INT) AS i,
+                            CAST(coalesce(s.v, 0) AS DOUBLE) AS v
+                     FROM (SELECT doc_id FROM documents) d
+                     CROSS JOIN range(0, 64) r(i)
+                     LEFT JOIN s ON s.doc_id = d.doc_id AND s.slot = CAST(i AS INT)),
+               n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM g GROUP BY doc_id)
+              SELECT g.doc_id,
+                     array_to_string(
+                       list(CAST(round((CASE WHEN nrm > 0
+                                             THEN round(v / nrm, 6)
+                                             ELSE 0.0 END) * 1000000)
+                                 AS BIGINT)
+                            ORDER BY i), ',') AS vec_q
+              FROM g JOIN n USING (doc_id)
+              GROUP BY g.doc_id ORDER BY g.doc_id"""))
   )
 }

@@ -307,6 +307,49 @@ object TextAnalysis {
       .where(col("cos") >= threshold)
   }
 
+  /** Feature-hashed dense TF vectors (the hashing trick, Weinberger et al.
+    * 2009): term → slot md5₁(term) mod `dim` with sign ± from a second
+    * hash bit, value = Σ sign per slot, L2-normalized. Turns arbitrary
+    * text into fixed-dimension dense vectors WITHOUT a trained model, so
+    * the whole embedding stack — k-means cells, SemDeDup, IVF/LSH ANN,
+    * cosine dup pairs — runs on plain text corpora too.
+    *
+    * Plan shape: token explode (corpus-linear) → (id, slot)-keyed integer
+    * sum (map-side combine; exact, order-independent) → per-doc
+    * densification from a slot map (one row per doc, O(dim) work).
+    * Normalization divides by the row's own L2 norm (6-dp rounded), with
+    * all-zero rows (token-less docs) kept as zero vectors — filter those
+    * out (`exists(vec, _ =!= 0)`) before cosine-based downstream ops: a
+    * zero norm divides by zero under ANSI mode.
+    */
+  def hashedTfVectors(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim out of range: $dim")
+    val toks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val hashed = toks.withColumn("h", md5(col("term")))
+      .select(col("id"),
+        (conv(substring(col("h"), 1, 8), 16, 10).cast("long") % dim)
+          .cast("int").as("slot"),
+        when(conv(substring(col("h"), 9, 1), 16, 10).cast("long") % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)).as("sgn"))
+    val slots = hashed.groupBy(col("id"), col("slot"))
+      .agg(sum(col("sgn")).as("v"))
+    val dense = slots.groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("v")))).as("m"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i.cast("int")), lit(0L))
+            .cast("double")).as("raw"))
+    val nrm = sqrt(aggregate(col("raw"), lit(0.0), (acc, x) => acc + x * x))
+    // token-less docs never reach `slots`; re-attach them as zero vectors
+    df.select(col(idCol).as("id")).join(dense, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(
+          when(nrm > 0, transform(col("raw"), x => round(x / nrm, 6))),
+          transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0)))
+          .as("vec"))
+  }
+
   /** Corpus-derived vocabulary: the top `size` terms ranked by
     * (frequency desc, term asc), ids 1..size. The ranking window runs on
     * the CANDIDATE table (vocabulary-sized after the count aggregate's

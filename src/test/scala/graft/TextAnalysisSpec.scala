@@ -204,6 +204,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       "this line has five words here.\ndoes this one survive the filter?")
   }
 
+  test("hashedTfVectors: unit norm, deterministic, feeds the embedding stack") {
+    import graft.ext.Similarity
+    val docs = Seq(
+      (1L, "spark engine shuffles partitions and joins"),
+      (2L, "spark engine shuffles partitions and joins"), // identical text
+      (3L, "completely different cooking recipe with butter and flour"),
+      (4L, "")).toDF("doc_id", "text")
+    val vecs = TextAnalysis.hashedTfVectors(docs, "doc_id", "text", dim = 16)
+    val m = vecs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Double](1)).toMap
+    assert(m(1L) == m(2L), "same text → same vector")
+    assert(m(1L) != m(3L))
+    assert(m(4L).forall(_ == 0.0), "token-less doc → zero vector")
+    assert(math.abs(math.sqrt(m(1L).map(x => x * x).sum) - 1.0) < 1e-4, "unit norm")
+    // the embedding-dedup stack consumes them directly (zero vectors
+    // filtered first — no cosine is defined for them, and ANSI mode makes
+    // the division fail loudly rather than silently): the exact copy is
+    // the only cosine-1 pair
+    val nonZero = vecs.where(exists($"vec", x => x =!= 0.0))
+    val pairs = Similarity.cosineDupPairs(
+        nonZero.withColumn("blk", lit(0)), "doc_id", "vec", "blk", threshold = 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("buildVocab ranks by frequency then term; encodeWithVocab maps OOV to unk") {
     val docs = Seq(
       (1L, "apple apple banana cherry"),

@@ -786,7 +786,85 @@ object QueriesExt {
                FROM tr CROSS JOIN ev
                GROUP BY vec_id
                HAVING max(${cosSql("v_t", "v_e")}) >= 0.25
-               ORDER BY vec_id"""))
+               ORDER BY vec_id""")),
+
+    // text-only SemDeDup, end to end: feature-hashed 64-dim TF vectors
+    // (no embedding column anywhere) → learned k-means cells → within-cell
+    // cosine prune; the oracle replays hashing, both Lloyd iterations, the
+    // final stamp, and the prune — the whole chain is hash-gated
+    Q("q91_text_semdedup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // checkpoint: k-means init + 2 Lloyd assigns + the final stamp +
+        // both prune-join sides all read this frame — unlike q75's parquet
+        // base, re-deriving the hashed vectors per reference would explode
+        // + shuffle the corpus ~7x (measured 21 s -> 3 s at sf0.1)
+        val vecs = graft.ext.TextAnalysis
+          .hashedTfVectors(docs, "doc_id", "text", dim = 64)
+          .where(exists(col("vec"), x => x =!= 0.0))
+          .localCheckpoint(true)
+        // cents is k x dim rows; forcing it once keeps the stamp and both
+        // prune-join sides from re-running the whole Lloyd chain
+        val cents = Similarity.kmeansCentroids(vecs, "doc_id", "vec",
+          k = 16, iters = 2).localCheckpoint(true)
+        Similarity.semDedup(vecs, "doc_id", "vec", cents, tau = 0.85)
+          .select(col("doc_id"), col("cell"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def assignCte(centsRel: String, tag: String) =
+          s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                          FROM $centsRel GROUP BY cell),
+              ${tag}s AS (SELECT a.vec_id, a.embedding, v.cell,
+                                 ${cosSql("a.embedding", "v.centroid")} AS cos
+                          FROM (SELECT vec_id, embedding FROM hv) a, ${tag}v v),
+              ${tag}r AS (SELECT vec_id, embedding, cell,
+                                 row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cell) AS rk
+                          FROM ${tag}s),
+              ${tag}c AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                                 round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+                          FROM ${tag}r, range(1, 65) u(i)
+                          WHERE rk = 1 GROUP BY cell, pos)"""
+        s"""WITH p AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+             hh AS (SELECT doc_id, md5(term) AS h FROM p),
+             sl AS (SELECT doc_id,
+                           CAST(CAST(('0x' || substring(h, 1, 8)) AS BIGINT) % 64
+                                AS INT) AS slot,
+                           CASE WHEN CAST(('0x' || substring(h, 9, 1)) AS BIGINT)
+                                     % 2 = 0
+                                THEN 1 ELSE -1 END AS sgn
+                    FROM hh),
+             sm AS (SELECT doc_id, slot, sum(sgn) AS v FROM sl GROUP BY 1, 2),
+             g AS (SELECT d.doc_id, CAST(i AS INT) AS i,
+                          CAST(coalesce(sm.v, 0) AS DOUBLE) AS v
+                   FROM (SELECT doc_id FROM documents) d
+                   CROSS JOIN range(0, 64) r(i)
+                   LEFT JOIN sm ON sm.doc_id = d.doc_id AND sm.slot = CAST(i AS INT)),
+             nn AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM g GROUP BY doc_id),
+             hv AS (SELECT g.doc_id AS vec_id,
+                           list(round(v / nrm, 6) ORDER BY i) AS embedding
+                    FROM g JOIN nn USING (doc_id) WHERE nrm > 0
+                    GROUP BY g.doc_id),
+             i0 AS (SELECT vec_id, embedding,
+                           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                             AS cell
+                    FROM hv ORDER BY vec_id LIMIT 16),
+             c0 AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                           round(CAST(embedding[i] AS DOUBLE), 6) AS v
+                    FROM i0, range(1, 65) u(i)),
+             ${assignCte("c0", "x")},
+             ${assignCte("xc", "y")},
+             ${assignCte("yc", "z")},
+             st AS (SELECT vec_id, embedding, cell FROM zr WHERE rk = 1),
+             losers AS (SELECT DISTINCT b.vec_id
+                        FROM st a JOIN st b
+                          ON a.cell = b.cell AND a.vec_id < b.vec_id
+                        WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.85)
+            SELECT s.vec_id AS doc_id, s.cell FROM st s
+            WHERE s.vec_id NOT IN (SELECT vec_id FROM losers)
+            ORDER BY doc_id"""
+      })
   )
 
   /** Shared SimHash-per-doc SQL over a relation named `rel` (doc_id, text). */

@@ -1252,6 +1252,70 @@ object QueriesAnalytics {
                                  AS BIGINT)
                             ORDER BY i), ',') AS vec_q
               FROM g JOIN n USING (doc_id)
-              GROUP BY g.doc_id ORDER BY g.doc_id"""))
+              GROUP BY g.doc_id ORDER BY g.doc_id""")),
+
+    // within-doc line dedup: an injected banner opens AND closes every doc
+    // (plus any natural chunk repeats); only the first occurrence survives —
+    // the intra-document C4 rule, local to each doc
+    Q("q92_line_dedup_in_doc",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val chunks = TextAnalysis.chunkByTokens(docs, "doc_id", "text",
+            maxTokens = 12, overlap = 0)
+          .select(col("id"), (col("chunk_idx") + 1).as("idx"),
+            col("chunk_text").as("line"))
+        val opener = docs.select(col("doc_id").as("id"), lit(0).as("idx"),
+          lit("All Rights Reserved").as("line"))
+        val closer = docs.select(col("doc_id").as("id"), lit(1000000).as("idx"),
+          lit("All Rights Reserved").as("line"))
+        Dedup.dedupLinesInDoc(opener.union(chunks).union(closer),
+            "id", "idx", "line")
+          .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+            md5(col("text_clean")).as("clean_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+               n AS (SELECT doc_id, t,
+                            greatest(CAST(ceil(CAST(len(t) - 12 AS DOUBLE) / 12)
+                                       AS INT) + 1, 1) AS n_chunks
+                     FROM t),
+               chunks AS (SELECT doc_id, CAST(i AS INT) + 1 AS idx,
+                                 array_to_string(t[i * 12 + 1 : i * 12 + 12], ' ') AS line
+                          FROM n, unnest(range(0, n_chunks)) u(i)),
+               lines AS (
+                 SELECT doc_id, 0 AS idx, 'All Rights Reserved' AS line
+                 FROM documents
+                 UNION ALL SELECT * FROM chunks
+                 UNION ALL
+                 SELECT doc_id, 1000000, 'All Rights Reserved' FROM documents),
+               m AS (SELECT doc_id, idx, line,
+                            row_number() OVER (PARTITION BY doc_id, md5(line)
+                                               ORDER BY idx) AS rk
+                     FROM lines)
+              SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+                     CAST(count(*) FILTER (WHERE rk = 1) AS INT) AS n_kept,
+                     md5(coalesce(string_agg(line, chr(10) ORDER BY idx)
+                                    FILTER (WHERE rk = 1), '')) AS clean_hash
+              FROM m GROUP BY doc_id ORDER BY doc_id""")),
+
+    // per-language length-outlier filter: exact [p05, p95] token-count
+    // bounds per lang (group-sized bounds table broadcasts back); both
+    // engines interpolate quantiles identically (q44 precedent)
+    Q("q93_length_outliers",
+      (s, d) => TextAnalysis.dropLengthOutliers(
+          t(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
+          "doc_id", "text", "lang", loQ = 0.05, hiQ = 0.95)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_toks"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH d AS (SELECT doc_id, lang, CAST(len($toksSql) AS INT) AS n_toks
+                          FROM documents),
+               b AS (SELECT lang, quantile_cont(n_toks, 0.05) AS lo,
+                            quantile_cont(n_toks, 0.95) AS hi
+                     FROM d GROUP BY lang)
+              SELECT doc_id, lang, n_toks
+              FROM d JOIN b USING (lang)
+              WHERE n_toks >= lo AND n_toks <= hi
+              ORDER BY doc_id"""))
   )
 }

@@ -237,6 +237,34 @@ object Dedup {
       .select(col("id").as(idCol), col("n_lines"), col("n_kept"), col("text_clean"))
   }
 
+  /** WITHIN-document line dedup (the C4 intra-doc rule): a line repeated
+    * inside one document keeps only its first occurrence; other documents
+    * are irrelevant. Completes the line-dedup triad — [[paragraphDedup]]
+    * keeps first occurrences ACROSS documents, [[dropFrequentLines]] drops
+    * corpus-frequent lines everywhere, this one is purely local.
+    *
+    * Plan shape: one window keyed on (doc, line-fp) — partition size is a
+    * single line's repetition count inside one document, so no skew is
+    * possible — then the standard per-doc rebuild. Corpus-linear, and the
+    * only shuffle keys on the doc id.
+    */
+  def dedupLinesInDoc(lines: DataFrame, idCol: String, idxCol: String,
+      lineCol: String, sep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = lines.select(col(idCol).as("id"), col(idxCol).as("idx"),
+      col(lineCol).as("line"), md5(col(lineCol)).as("fp"))
+    val w = Window.partitionBy(col("id"), col("fp")).orderBy(col("idx"))
+    val marked = l.withColumn("keep", row_number().over(w) === 1)
+    marked.groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_lines"),
+        sum(when(col("keep"), 1).otherwise(0)).cast("int").as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("idx"), col("line"))))),
+          s => s.getField("line"))).as("text_clean"))
+      .select(col("id").as(idCol), col("n_lines"), col("n_kept"), col("text_clean"))
+  }
+
   /** Document-level form of [[dropFrequentLines]]: splits `textCol` on
     * `sep`, drops corpus-frequent lines, rebuilds. Line order within a
     * document is the original position (posexplode index).

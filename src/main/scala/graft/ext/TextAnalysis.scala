@@ -307,6 +307,30 @@ object TextAnalysis {
       .where(col("cos") >= threshold)
   }
 
+  /** Length-outlier filter: drop documents whose token count falls outside
+    * their OWN group's [loQ, hiQ] quantiles (per language / per source —
+    * a 10-token English doc and a 10-token code doc are different things).
+    * Standard curation step between quality scoring and mixing.
+    *
+    * Exact group percentiles: the aggregate's state is one count per
+    * DISTINCT token length in the group — bounded by the longest document,
+    * not the corpus — and the resulting bounds table is group-cardinality-
+    * sized, broadcast back for the filter scan. Swap in approx_percentile
+    * only if the value domain were unbounded (it is not here).
+    */
+  def dropLengthOutliers(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    require(0.0 <= loQ && loQ <= hiQ && hiQ <= 1.0, s"bad quantiles: $loQ, $hiQ")
+    val counted = df.withColumn("__n_toks", tokenCountWs(col(textCol)))
+    val bounds = counted.groupBy(col(groupCol))
+      .agg(expr(s"percentile(__n_toks, array(${loQ}D, ${hiQ}D))").as("__p"))
+      .select(col(groupCol), element_at(col("__p"), 1).as("__lo"),
+        element_at(col("__p"), 2).as("__hi"))
+    counted.join(broadcast(bounds), Seq(groupCol))
+      .where(col("__n_toks") >= col("__lo") && col("__n_toks") <= col("__hi"))
+      .drop("__n_toks", "__lo", "__hi")
+  }
+
   /** Feature-hashed dense TF vectors (the hashing trick, Weinberger et al.
     * 2009): term → slot md5₁(term) mod `dim` with sign ± from a second
     * hash bit, value = Σ sign per slot, L2-normalized. Turns arbitrary

@@ -465,6 +465,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("dedupLinesInDoc: repeats collapse within a doc, cross-doc copies untouched") {
+    val lines = Seq(
+      (1L, 0, "banner"), (1L, 1, "body one"), (1L, 2, "banner"), (1L, 3, "body two"),
+      (2L, 0, "banner"), (2L, 1, "other body")).toDF("doc_id", "idx", "line")
+    val out = Dedup.dedupLinesInDoc(lines, "doc_id", "idx", "line")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_lines"), r.getAs[Int]("n_kept"),
+          r.getAs[String]("text_clean")))).toMap
+    // doc 1 loses only its SECOND banner; doc 2's banner is a first occurrence
+    assert(out(1L) == ((4, 3, "banner\nbody one\nbody two")))
+    assert(out(2L) == ((2, 2, "banner\nother body")))
+  }
+
   test("removeBoilerplate splits on the separator and preserves line order") {
     val docs = Seq(
       (1L, "keep me first\nshared footer\nkeep me last"),

@@ -204,6 +204,21 @@ class TextAnalysisSpec extends AnyFunSuite {
       "this line has five words here.\ndoes this one survive the filter?")
   }
 
+  test("dropLengthOutliers trims per group, so a long doc in a long group stays") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val short = (1L to 20L).map(i => (i, "short", words(10)))
+    val shortOut = Seq((21L, "short", words(500)))          // outlier in its group
+    val long_ = (31L to 50L).map(i => (i, "long", words(500)))
+    val df = (short ++ shortOut ++ long_).toDF("doc_id", "grp", "text")
+    val kept = TextAnalysis.dropLengthOutliers(df, "doc_id", "text", "grp",
+        loQ = 0.05, hiQ = 0.95)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(21L), "500 words is an outlier among the short group")
+    assert((31L to 50L).forall(kept.contains),
+      "500 words is NORMAL for the long group — bounds are group-relative")
+    assert((1L to 20L).forall(kept.contains))
+  }
+
   test("hashedTfVectors: unit norm, deterministic, feeds the embedding stack") {
     import graft.ext.Similarity
     val docs = Seq(

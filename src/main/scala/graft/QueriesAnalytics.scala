@@ -1316,6 +1316,34 @@ object QueriesAnalytics {
               SELECT doc_id, lang, n_toks
               FROM d JOIN b USING (lang)
               WHERE n_toks >= lo AND n_toks <= hi
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // weekly retention cohorts over the event stream: users grouped by
+    // their first active week, counted per week-offset — two keyed aggs
+    // and one join, the classic product-analytics matrix
+    Q("q95_retention_cohorts",
+      (s, d) => {
+        val weeks = t(s, d, "events")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("wk"))
+          .distinct()
+        val cohort = weeks.groupBy(col("user_id"))
+          .agg(min(col("wk")).as("cohort_wk"))
+        weeks.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"),
+            (datediff(col("wk"), col("cohort_wk")) / 7).cast("int")
+              .as("weeks_since"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_wk"), col("weeks_since"))
+      },
+      Some("""WITH w AS (SELECT DISTINCT user_id,
+                                CAST(date_trunc('week', ts) AS DATE) AS wk
+                         FROM events),
+               c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY user_id)
+              SELECT cohort_wk,
+                     CAST(date_diff('day', cohort_wk, wk) // 7 AS INT) AS weeks_since,
+                     count(*) AS n_users
+              FROM w JOIN c USING (user_id)
+              GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -864,6 +864,27 @@ object QueriesExt {
             SELECT s.vec_id AS doc_id, s.cell FROM st s
             WHERE s.vec_id NOT IN (SELECT vec_id FROM losers)
             ORDER BY doc_id"""
+      }),
+
+    // n-gram novelty: fraction of a doc's distinct trigrams first owned by
+    // the doc itself — the planted truncated copies (doc_id + 100000) score
+    // near 0 because the originals own their grams
+    Q("q94_novelty",
+      (s, d) => TextAnalysis.noveltyScores(
+          perturbedCorpus(t(s, d, "documents")), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id")),
+      Some {
+        val sh = shinglesSql(toksSql)
+        s"""WITH $corpusCte,
+             gr AS (SELECT doc_id AS id, unnest(list_distinct($sh)) AS g
+                    FROM corpus),
+             fo AS (SELECT g, min(id) AS first_id FROM gr GROUP BY g)
+            SELECT gr.id AS doc_id, CAST(count(*) AS INT) AS n_grams,
+                   CAST(count(*) FILTER (WHERE first_id = id) AS INT) AS n_novel,
+                   round(CAST(count(*) FILTER (WHERE first_id = id) AS DOUBLE) /
+                         count(*), 6) AS novelty
+            FROM gr JOIN fo USING (g)
+            GROUP BY gr.id ORDER BY doc_id"""
       })
   )
 

@@ -307,6 +307,32 @@ object TextAnalysis {
       .where(col("cos") >= threshold)
   }
 
+  /** N-gram novelty scoring — the data-valuation signal: a document's
+    * novelty is the fraction of its distinct word n-grams whose FIRST
+    * owner (minimum doc id) is the document itself. A verbatim copy of
+    * earlier content scores 0; fully fresh content scores 1; ordering by
+    * novelty is the standard greedy proxy for marginal data value.
+    *
+    * Plan shape: distinct (doc, gram) explode → gram-keyed min (1 row per
+    * distinct gram on the shuffle) → gram join-back → per-doc counts.
+    * Identical bounds to decontamination: corpus-linear, no pairwise work,
+    * hot-gram join fan-out capped by that gram's own occurrence count.
+    */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("g"))
+    val firstOwner = grams.groupBy(col("g")).agg(min(col("id")).as("first_id"))
+    grams.join(firstOwner, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_grams"),
+        sum(when(col("first_id") === col("id"), 1).otherwise(0))
+          .cast("int").as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+      .select(col("id").as(idCol), col("n_grams"), col("n_novel"), col("novelty"))
+  }
+
   /** Length-outlier filter: drop documents whose token count falls outside
     * their OWN group's [loQ, hiQ] quantiles (per language / per source —
     * a 10-token English doc and a 10-token code doc are different things).

@@ -204,6 +204,18 @@ class TextAnalysisSpec extends AnyFunSuite {
       "this line has five words here.\ndoes this one survive the filter?")
   }
 
+  test("noveltyScores: originals own their grams, verbatim copies score 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // copy of 1 → novelty 0
+      (3L, "totally different words over here now")).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScores(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty"))
+      .toMap
+    assert(out(1L) == 1.0 && out(3L) == 1.0)
+    assert(out(2L) == 0.0, "every gram of the copy is first-owned by doc 1")
+  }
+
   test("dropLengthOutliers trims per group, so a long doc in a long group stays") {
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
     val short = (1L to 20L).map(i => (i, "short", words(10)))

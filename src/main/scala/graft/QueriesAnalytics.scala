@@ -1344,6 +1344,74 @@ object QueriesAnalytics {
                      CAST(date_diff('day', cohort_wk, wk) // 7 AS INT) AS weeks_since,
                      count(*) AS n_users
               FROM w JOIN c USING (user_id)
-              GROUP BY 1, 2 ORDER BY 1, 2"""))
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ordered funnel over the event stream: first view, first click AFTER
+    // that view, first purchase AFTER that click — per-user keyed joins
+    // (AQE broadcasts the shrinking stage tables), 1-row summary
+    Q("q96_funnel",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_type"))
+        val v = ev.where(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val c = ev.where(col("event_type") === "click").join(v, "user_id")
+          .where(col("ts") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+          .where(col("ts") > col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                         WHERE event_type = 'view' GROUP BY user_id),
+               c AS (SELECT e.user_id, min(e.ts) AS t_click
+                     FROM events e JOIN v USING (user_id)
+                     WHERE e.event_type = 'click' AND e.ts > v.t_view
+                     GROUP BY e.user_id),
+               p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+                     FROM events e JOIN c USING (user_id)
+                     WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                     GROUP BY e.user_id)
+              SELECT (SELECT count(*) FROM v) AS n_view,
+                     (SELECT count(*) FROM c) AS n_click,
+                     (SELECT count(*) FROM p) AS n_purchase""")),
+
+    // the dedup report a curation run publishes: corpus size, distinct
+    // fingerprint groups, docs sitting in duplicate groups, the biggest
+    // group, and the retention ratio — one aggregation over exact groups
+    // (every third doc gets a planted verbatim copy)
+    Q("q97_dedup_report",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.select(col("doc_id"), col("text"))
+          .unionByName(docs.where(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+        Dedup.exactGroups(corpus, "doc_id", "text")
+          .agg(sum(col("n_dups")).cast("long").as("n_docs"),
+            count(lit(1)).as("n_groups"),
+            sum(when(col("n_dups") > 1, col("n_dups")).otherwise(0L))
+              .cast("long").as("n_dup_docs"),
+            max(col("n_dups")).cast("long").as("max_group"),
+            round(count(lit(1)).cast("double") /
+              sum(col("n_dups")).cast("double"), 6).as("keep_ratio"))
+      },
+      Some(s"""WITH corpus AS (
+                 SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 200000, text FROM documents WHERE doc_id % 3 = 0),
+               f AS (SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp
+                     FROM corpus),
+               g AS (SELECT fp, count(*) AS n_dups FROM f GROUP BY fp)
+              SELECT CAST(sum(n_dups) AS BIGINT) AS n_docs,
+                     count(*) AS n_groups,
+                     CAST(sum(CASE WHEN n_dups > 1 THEN n_dups ELSE 0 END)
+                          AS BIGINT) AS n_dup_docs,
+                     CAST(max(n_dups) AS BIGINT) AS max_group,
+                     round(CAST(count(*) AS DOUBLE) /
+                           CAST(sum(n_dups) AS DOUBLE), 6) AS keep_ratio
+              FROM g"""))
   )
 }

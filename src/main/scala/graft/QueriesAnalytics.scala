@@ -1412,6 +1412,95 @@ object QueriesAnalytics {
                      CAST(max(n_dups) AS BIGINT) AS max_group,
                      round(CAST(count(*) AS DOUBLE) /
                            CAST(sum(n_dups) AS DOUBLE), 6) AS keep_ratio
-              FROM g"""))
+              FROM g""")),
+
+    // per-source quality rollup: keep rates and mean signals by source;
+    // ratio means accumulate in DECIMAL (exact, order-independent) and
+    // only the final division returns to double
+    Q("q99_source_quality",
+      (s, d) => {
+        val scored = t(s, d, "documents").select(
+          (col("source") +: TextAnalysis.qualityColumns(col("text"))): _*)
+        scored.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_keep"),
+            round(sum(when(col("keep"), 1).otherwise(0)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("keep_rate"),
+            round(sum(col("n_words").cast("long")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("mean_words"),
+            round(sum(col("punct_ratio").cast("decimal(18,4)")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("mean_punct"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val toks = toksSql
+        val nWords = s"len($toks)"
+        val nChars = "length(text)"
+        val nPunct = "len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n]'))"
+        s"""WITH q AS (SELECT source,
+                              CAST($nWords AS INT) AS n_words,
+                              round(CAST($nPunct AS DOUBLE) /
+                                    CAST(greatest($nChars, 1) AS DOUBLE), 4)
+                                AS punct_ratio,
+                              ($nWords >= 5 AND $nChars >= 30 AND
+                               CAST($nPunct AS DOUBLE) /
+                                 CAST(greatest($nChars, 1) AS DOUBLE) < 0.2)
+                                AS keep
+                       FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_keep,
+                   round(CAST(count(*) FILTER (WHERE keep) AS DOUBLE) /
+                         CAST(count(*) AS DOUBLE), 6) AS keep_rate,
+                   round(CAST(sum(n_words) AS DOUBLE) /
+                         CAST(count(*) AS DOUBLE), 6) AS mean_words,
+                   round(CAST(sum(CAST(punct_ratio AS DECIMAL(18,4))) AS DOUBLE) /
+                         CAST(count(*) AS DOUBLE), 6) AS mean_punct
+            FROM q GROUP BY source ORDER BY source"""
+      }),
+
+    // the corpus card: one row per source with size, exact-dup ratio, and
+    // language entropy — entropy terms round to 9 dp then sum in DECIMAL,
+    // so the Σ -p·ln(p) is order-independent and engine-exact
+    Q("q100_corpus_card",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val base = docs.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct"))
+        val langTerms = docs.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("c"))
+          .join(docs.groupBy(col("source")).agg(count(lit(1)).as("n")), "source")
+          .select(col("source"),
+            round(-(col("c") / col("n")) * log(col("c") / col("n")), 9)
+              .cast("decimal(18,9)").as("term"))
+        val entropy = langTerms.groupBy(col("source"))
+          .agg(round(sum(col("term")).cast("double"), 6).as("lang_entropy"))
+        base.join(entropy, "source")
+          .select(col("source"), col("n_docs"), col("n_distinct"),
+            round(col("n_distinct").cast("double") /
+              col("n_docs").cast("double"), 6).as("distinct_ratio"),
+            col("lang_entropy"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH base AS (SELECT source, count(*) AS n_docs,
+                                   count(DISTINCT md5(text)) AS n_distinct
+                            FROM documents GROUP BY source),
+               lc AS (SELECT source, lang, count(*) AS c
+                      FROM documents GROUP BY source, lang),
+               tot AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+               terms AS (SELECT lc.source,
+                                CAST(round(-(CAST(c AS DOUBLE) / n) *
+                                           ln(CAST(c AS DOUBLE) / n), 9)
+                                     AS DECIMAL(18,9)) AS term
+                         FROM lc JOIN tot USING (source)),
+               ent AS (SELECT source, round(CAST(sum(term) AS DOUBLE), 6)
+                                AS lang_entropy
+                       FROM terms GROUP BY source)
+              SELECT source, n_docs, n_distinct,
+                     round(CAST(n_distinct AS DOUBLE) /
+                           CAST(n_docs AS DOUBLE), 6) AS distinct_ratio,
+                     lang_entropy
+              FROM base JOIN ent USING (source)
+              ORDER BY source"""))
   )
 }

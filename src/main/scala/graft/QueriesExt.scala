@@ -885,6 +885,23 @@ object QueriesExt {
                          count(*), 6) AS novelty
             FROM gr JOIN fo USING (g)
             GROUP BY gr.id ORDER BY doc_id"""
+      }),
+
+    // corpus heavy hitters: the 50 most frequent word bigrams with a
+    // deterministic tie-break — the boilerplate-discovery view a curation
+    // run eyeballs before writing line filters; one partial-combined count
+    // plus a distributed top-k (TakeOrdered), never a global sort
+    Q("q98_top_ngrams",
+      (s, d) => t(s, d, "documents")
+        .select(explode(TextAnalysis.shingles(col("text"), 2)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("g").asc)
+        .limit(50),
+      Some {
+        val sh2 = shinglesSql(toksSql, 2)
+        s"""WITH g AS (SELECT unnest($sh2) AS g FROM documents)
+            SELECT g, count(*) AS n FROM g GROUP BY g
+            ORDER BY n DESC, g LIMIT 50"""
       })
   )
 

@@ -902,7 +902,24 @@ object QueriesExt {
         s"""WITH g AS (SELECT unnest($sh2) AS g FROM documents)
             SELECT g, count(*) AS n FROM g GROUP BY g
             ORDER BY n DESC, g LIMIT 50"""
-      })
+      }),
+
+    // Unicode NFC normalization (native codegen Expression): a decomposed
+    // marker (e + combining acute) is appended to every doc, then both
+    // engines canonically compose before hashing — visually identical
+    // strings fingerprint identically
+    Q("q101_nfc_normalize",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(graft.functions.VectorFunctions.nfcNative(
+            concat(col("text"), lit(" cafe\u0301")))).as("nfc_hash"),
+          (graft.functions.VectorFunctions.nfcNative(lit("e\u0301"))
+            === lit("\u00e9")).as("composed"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+                      md5(nfc_normalize(text || ' cafe' || chr(769))) AS nfc_hash,
+                      nfc_normalize('e' || chr(769)) = chr(233) AS composed
+               FROM documents ORDER BY doc_id"""))
   )
 
   /** Shared SimHash-per-doc SQL over a relation named `rel` (doc_id, text). */

@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductArr].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProductArr(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NormalizeNFC].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => NormalizeNFC(exprs.head)))
     composite(e, "graft_digit_sum", 1, cs => CleanOps.digitSum(cs.head))
     composite(e, "graft_scrub_unicode", 1, cs => CleanOps.scrubUnicode(cs.head))
     composite(e, "graft_parse_price", 1, cs => CleanOps.parsePrice(cs.head))

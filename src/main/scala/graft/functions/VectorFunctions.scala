@@ -87,9 +87,46 @@ case class DotProductArr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unicode NFC normalization as a native codegen Expression — canonical
+  * composition before fingerprinting/dedup so visually identical strings
+  * (precomposed é vs e + combining acute) hash identically. The JDK's
+  * `java.text.Normalizer` does the work; the generated code is a single
+  * static call inside whole-stage codegen, so the hot path pays no UDF
+  * serialization. DuckDB's `nfc_normalize` implements the same Unicode
+  * normalization form, which is what makes the oracle exact.
+  */
+case class NormalizeNFC(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc expects a string, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(input.toString,
+        java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), " +
+        "java.text.Normalizer.Form.NFC))")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeNFC =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Fused dot product as a Column (codegen'd; see DotProductArr). */
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductArr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Unicode NFC normalization as a Column (codegen'd; see NormalizeNFC). */
+  def nfcNative(c: Column): Column =
+    ColumnBridge.column(NormalizeNFC(ColumnBridge.expression(c)))
 }

@@ -109,4 +109,28 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(sql.getAs[Seq[String]]("doms").toSet == Set("example.org", "b.net"))
     assert(sql.getAs[Boolean]("keep"))
   }
+
+  test("NormalizeNFC composes decomposed sequences; null-safe; SQL-registered") {
+    import graft.functions.VectorFunctions.nfcNative
+    val df = Seq(
+      ("cafe\u0301", "caf\u00e9"),   // decomposed vs precomposed
+      ("plain ascii", "plain ascii")).toDF("raw", "expected")
+    val out = df.select(
+      (nfcNative($"raw") === $"expected").as("eq"),
+      nfcNative(lit(null).cast("string")).isNull.as("nullsafe")).collect()
+    assert(out.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+    // idempotent, and the SQL form is the same expression (temp-registered:
+    // the shared test session bypasses withExtensions, as with graft_dot)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc",
+      exprs => graft.functions.NormalizeNFC(exprs.head),
+      "built-in")
+    // NB Spark's chr() is byte-based (n % 256), so the combining mark rides
+    // in the literal itself rather than through chr(769)
+    val viaSql = spark.sql("SELECT graft_nfc('cafe\u0301') AS s")
+      .head().getString(0)
+    assert(viaSql == "caf\u00e9")
+    assert(spark.sql("SELECT graft_nfc(graft_nfc('cafe\u0301')) AS s")
+      .head().getString(0) == "caf\u00e9")
+  }
 }

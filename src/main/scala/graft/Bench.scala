@@ -18,6 +18,13 @@ object Bench {
       case (n, _) => only.forall(_.contains(n))
     }
     val spark = GraftSession.build("graft-bench")
+    // The harness parses the LAST ~2000 chars of combined output. Spark's
+    // shutdown path WARNs once per surviving localCheckpoint RDD ("lineage
+    // has been truncated…"), hundreds of lines that land AFTER the JSON and
+    // push it out of the capture window (BENCH_r05 came back parsed:null
+    // from exactly this). ERROR level silences them; real failures still
+    // surface through the `failed` field.
+    spark.sparkContext.setLogLevel("ERROR")
     // Drop one query's residue before the next measurement: cached frames,
     // localCheckpoint blocks (eager LSH/clustering queries leave them in the
     // block manager until GC), then a GC so the ContextCleaner releases the
@@ -55,6 +62,12 @@ object Bench {
     // unique qNN prefix and values to milliseconds; at 100+ queries the
     // line stays ~1.5 KB, inside the capture window with sbt's trailing
     // status line included.
+    // Compact keys truncate to the qNN prefix — guard that the truncation
+    // stays injective (two q102_* variants would otherwise emit duplicate
+    // JSON keys and most parsers would silently keep only one timing).
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    require(prefixes.distinct.size == prefixes.size,
+      s"non-unique qNN bench prefixes: ${prefixes.diff(prefixes.distinct).mkString(",")}")
     val qs = results
       .map { case (k, v, _) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(v * 1000) / 1000)
@@ -69,7 +82,13 @@ object Bench {
     // elapsed-until-failure must not pollute cross-round total comparisons
     // (per-query times for failures stay in the map, flagged by `failed`)
     val total = math.rint(results.collect { case (_, v, true) => v }.sum * 1000) / 1000
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
+    // Re-print after stop: anything the shutdown sequence writes (cleaner
+    // warnings, hook output) must not be the tail the harness captures.
+    println(line)
+    Console.out.flush()
   }
 }

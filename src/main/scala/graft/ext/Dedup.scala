@@ -350,20 +350,27 @@ object Dedup {
     df.select(col(idCol).as("id"),
       array_distinct(TextAnalysis.shingles(col(textCol), shingleK)).as("sh"))
 
-  /** MinHash signatures via explode → one md5 + Carter-Wegman family →
-    * groupBy(min).
+  /** MinHash signatures via explode → one native md5 digest + Carter-Wegman
+    * family → groupBy(min).
     *
-    * This shape computes each md5 exactly once per exploded shingle row and
-    * aggregates with map-side partial min — unlike the column-expression
-    * form, which Catalyst's CollapseProject happily inlines into every
-    * downstream use (measured 20× blowup on the LSH band keys). Shuffle
-    * volume: one row per doc. Returns (id, sig array<long>).
+    * The (a, b) seed pair comes from `MinhashAB`
+    * (`functions/VectorFunctions.scala`), a codegen Expression reading the
+    * two unsigned 32-bit halves straight from the md5 bytes — bit-identical
+    * to the `conv(substring(md5(s), …), 16, 10)` form it replaced (spec:
+    * VectorFunctionsSpec) but with zero hex-string materialization in the
+    * engine's hottest kernel. The chained-withColumn shape computes the
+    * digest exactly once per exploded shingle row (CollapseProject refuses
+    * to duplicate non-cheap expressions) and aggregates with map-side
+    * partial min — unlike the column-expression form, which Catalyst
+    * happily inlines into every downstream use (measured 20× blowup on the
+    * LSH band keys). Shuffle volume: one row per doc. Returns
+    * (id, sig array<long>).
     */
   def minhashSignatureTable(shingles: DataFrame, numHashes: Int): DataFrame = {
     val exploded = shingles.select(col("id"), explode(col("sh")).as("s"))
-      .withColumn("h", md5(col("s")))
-      .withColumn("a", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
-      .withColumn("b", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
+      .withColumn("ab", graft.functions.VectorFunctions.minhashAbNative(col("s")))
+      .withColumn("a", col("ab").getItem(0))
+      .withColumn("b", col("ab").getItem(1))
     val hashed = exploded.select(
       (col("id") +: (0 until numHashes).map(j =>
         ((col("a") + lit(j.toLong) * col("b")) % MinhashPrime).as(s"h$j"))): _*)
@@ -570,7 +577,10 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("v", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
+      // first 4 hex chars of the md5 = top 16 bits of the native a half
+      .withColumn("v", shiftright(
+        graft.functions.VectorFunctions.minhashAbNative(col("tok")).getItem(0),
+        16).cast("int"))
     val contribs = (0 until 16).map { bit =>
       (shiftright(col("v"), 15 - bit).bitwiseAND(1) * 2 - 1).as(s"c$bit")
     }
@@ -595,9 +605,9 @@ object Dedup {
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-      .withColumn("vh", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
-      .withColumn("vl", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
+      .withColumn("ab", graft.functions.VectorFunctions.minhashAbNative(col("tok")))
+      .withColumn("vh", col("ab").getItem(0))
+      .withColumn("vl", col("ab").getItem(1))
     // Vertical PACKED bit counters: ±1 sums per bit are equivalent to
     // ones-counts (sum_b = 2·ones_b − n, so sum_b > 0 ⟺ 2·ones_b > n), and
     // ones-counts fit 3-per-long in 20-bit lanes — the per-doc aggregate

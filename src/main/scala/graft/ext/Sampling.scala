@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform bucket on [0, 2^32): first 8 hex chars of md5(salt || id). */
+  /** Uniform bucket on [0, 2^32): first 8 hex chars of md5(salt || id),
+    * read natively from the digest bytes (MinhashAB's a half — bit-identical
+    * to the conv(substring(...), 16, 10) form).
+    */
   def hashBucket(id: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
-      .cast("long")
+    graft.functions.VectorFunctions
+      .minhashAbNative(concat(lit(salt), id.cast("string"))).getItem(0)
 
   private val Buckets = 4294967296.0 // 2^32
 

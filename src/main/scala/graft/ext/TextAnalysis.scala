@@ -376,11 +376,14 @@ object TextAnalysis {
       dim: Int = 64): DataFrame = {
     require(dim >= 2 && dim <= 4096, s"dim out of range: $dim")
     val toks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
-    val hashed = toks.withColumn("h", md5(col("term")))
+    // slot hash = md5 hex chars 1-8 (the native a half); the sign hash bit
+    // is hex char 9 = the high nibble of the b half (ab >> 28). Both are
+    // bit-identical to the conv(substring(...)) form they replaced.
+    val hashed = toks
+      .withColumn("ab", graft.functions.VectorFunctions.minhashAbNative(col("term")))
       .select(col("id"),
-        (conv(substring(col("h"), 1, 8), 16, 10).cast("long") % dim)
-          .cast("int").as("slot"),
-        when(conv(substring(col("h"), 9, 1), 16, 10).cast("long") % 2 === 0,
+        (col("ab").getItem(0) % dim).cast("int").as("slot"),
+        when(shiftright(col("ab").getItem(1), 28) % 2 === 0,
           lit(1L)).otherwise(lit(-1L)).as("sgn"))
     val slots = hashed.groupBy(col("id"), col("slot"))
       .agg(sum(col("sgn")).as("v"))

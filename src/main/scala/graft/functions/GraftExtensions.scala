@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NormalizeNFC].getName, "graft_nfc"),
       (exprs: Seq[Expression]) => NormalizeNFC(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_minhash_ab"),
+      new ExpressionInfo(classOf[MinhashAB].getName, "graft_minhash_ab"),
+      (exprs: Seq[Expression]) => MinhashAB(exprs.head)))
     composite(e, "graft_digit_sum", 1, cs => CleanOps.digitSum(cs.head))
     composite(e, "graft_scrub_unicode", 1, cs => CleanOps.scrubUnicode(cs.head))
     composite(e, "graft_parse_price", 1, cs => CleanOps.parsePrice(cs.head))

@@ -120,6 +120,64 @@ case class NormalizeNFC(child: Expression)
     copy(child = newChild)
 }
 
+/** MinHash seed pair straight from md5 bytes — the hottest kernel in the
+  * dedup/curation stack (under q24/q25/q43/q58/q63/q66/q67/q81/q82/q91).
+  *
+  * The composable form — `conv(substring(md5(s), 1, 8), 16, 10)` — first
+  * materializes a 32-char hex string per shingle, then re-parses two 8-char
+  * substrings back into longs: three string allocations and a radix parse
+  * where four byte reads suffice. This Expression digests the UTF-8 bytes
+  * once and emits `array(a, b)` where `a` is md5 bytes 0–3 and `b` bytes
+  * 4–7, each read big-endian as an UNSIGNED 32-bit value widened to long —
+  * exactly the number `conv(hex, 16, 10)` produces, so every downstream
+  * signature, band key, and oracle hash is bit-identical by construction
+  * (spec: VectorFunctionsSpec "minhash_ab ≡ md5/conv form").
+  *
+  * Null semantics match the composable form: null input → null (md5 and
+  * conv both propagate null).
+  */
+case class MinhashAB(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_ab expects a string, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val d = org.apache.commons.codec.digest.DigestUtils.md5(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      Array(MinhashAB.be32(d, 0), MinhashAB.be32(d, 4)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val d = ctx.freshName("md5")
+      s"""
+         |byte[] $d = org.apache.commons.codec.digest.DigestUtils.md5($c.getBytes());
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(new long[]{
+         |    graft.functions.MinhashAB.be32($d, 0),
+         |    graft.functions.MinhashAB.be32($d, 4)});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashAB =
+    copy(child = newChild)
+}
+
+object MinhashAB {
+  /** Big-endian unsigned 32-bit read widened to long (what conv(hex,16,10)
+    * yields for an 8-hex-char slice). Public + JVM-static for codegen.
+    */
+  def be32(d: Array[Byte], off: Int): Long =
+    ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+      ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
+}
+
 object VectorFunctions {
   /** Fused dot product as a Column (codegen'd; see DotProductArr). */
   def dotNative(a: Column, b: Column): Column =
@@ -129,4 +187,8 @@ object VectorFunctions {
   /** Unicode NFC normalization as a Column (codegen'd; see NormalizeNFC). */
   def nfcNative(c: Column): Column =
     ColumnBridge.column(NormalizeNFC(ColumnBridge.expression(c)))
+
+  /** MinHash (a, b) seed pair as a Column (codegen'd; see MinhashAB). */
+  def minhashAbNative(c: Column): Column =
+    ColumnBridge.column(MinhashAB(ColumnBridge.expression(c)))
 }

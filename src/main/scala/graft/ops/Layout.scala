@@ -90,6 +90,15 @@ object Layout {
       .withColumn("shard",
         floor((col(orderCol) - 1).cast("double") * numShards / col("__n"))
           .cast("int"))
+      // orderCol must be a dense 1-based position; a 0-based or sparse one
+      // would silently write an out-of-range partition directory (e.g.
+      // shard=-1) that the training loader never reads. Fail the job at the
+      // first bad row instead of corrupting the layout.
+      .withColumn("shard",
+        when(col("shard") >= 0 && col("shard") < numShards, col("shard"))
+          .otherwise(raise_error(concat(
+            lit(s"writeShards: $orderCol value "), col(orderCol).cast("string"),
+            lit(s" is outside the dense 1..count range (shard out of [0,$numShards))")))))
       .drop("__n")
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col(orderCol))

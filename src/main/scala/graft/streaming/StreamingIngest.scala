@@ -153,9 +153,20 @@ object StreamingIngest {
           try {
             val indexPath = new org.apache.hadoop.fs.Path(indexDir)
             val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            // Replay safety: foreachBatch is at-least-once, so a crash
+            // between the index write and the checkpoint commit replays this
+            // batch against an index that already contains its OWN
+            // signatures (same ids, is_new=false). The join-back would then
+            // see each pair id twice (index copy + batch copy) and emit
+            // duplicate pair rows with conflicting both_new flags — the
+            // replayed partition would differ from a clean run. Batch ids
+            // are monotonic and the compacted epoch is -1, so
+            // `batch_id < batchId` always reads exactly the pre-batch state.
             val index =
               if (fs.exists(indexPath))
-                spark.read.parquet(indexDir).select(col("id"), col("sig"))
+                spark.read.parquet(indexDir)
+                  .where(col("batch_id") < lit(batchId))
+                  .select(col("id"), col("sig"))
               else sigs.limit(0)
             Dedup.incrementalDupPairs(sigs, index, numHashes, bands, estThreshold)
               .withColumn("batch_id", lit(batchId))
@@ -183,9 +194,12 @@ object StreamingIngest {
     * post-compaction batch ids stay above the compacted epoch's `-1`.
     *
     * Run it between triggers (or from a separate maintenance job against a
-    * paused stream); the id-keyed window partitions on the doc id, so no
-    * single task ever sees more than one id's re-ingestion history.
-    * Returns the compacted row count.
+    * paused stream) — "paused" means no batch is in flight: folding a batch
+    * whose checkpoint has not committed into the `-1` epoch would put its
+    * signatures below every replay's `batch_id < batchId` read filter and
+    * break the replay-idempotence contract. The id-keyed window partitions
+    * on the doc id, so no single task ever sees more than one id's
+    * re-ingestion history. Returns the compacted row count.
     */
   def compactSignatureIndex(spark: SparkSession, indexDir: String): Long = {
     import org.apache.spark.sql.expressions.Window

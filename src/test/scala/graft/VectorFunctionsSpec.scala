@@ -110,6 +110,46 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(sql.getAs[Boolean]("keep"))
   }
 
+  test("minhash_ab ≡ md5/conv form (bit equality, incl. unicode + empty)") {
+    import graft.functions.VectorFunctions.minhashAbNative
+    val rnd = new scala.util.Random(13)
+    val strs = Seq("", "a", "the quick brown fox", "café € 你好",
+      "x" * 1000) ++ Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+    val df = strs.toDF("s")
+    val out = df.select(
+      minhashAbNative($"s").as("ab"),
+      conv(substring(md5($"s"), 1, 8), 16, 10).cast("long").as("a"),
+      conv(substring(md5($"s"), 9, 8), 16, 10).cast("long").as("b"),
+      // the two derived reads the engine uses elsewhere
+      conv(substring(md5($"s"), 1, 4), 16, 10).cast("long").as("top16"),
+      conv(substring(md5($"s"), 9, 1), 16, 10).cast("long").as("nib9")).collect()
+    out.foreach { r =>
+      val ab = r.getSeq[Long](0)
+      assert(ab(0) == r.getLong(1) && ab(1) == r.getLong(2))
+      assert((ab(0) >> 16) == r.getLong(3), "simhash 16-bit read")
+      assert((ab(1) >> 28) == r.getLong(4), "hashedTf sign-nibble read")
+    }
+    // null propagates, like md5/conv
+    assert(df.limit(1).select(
+      minhashAbNative(lit(null).cast("string")).isNull).head().getBoolean(0))
+    // interpreted eval path agrees with codegen
+    val e = graft.functions.MinhashAB(
+      org.apache.spark.sql.catalyst.expressions.Literal("interp check"))
+    val interp = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val gen = df.sparkSession.range(1)
+      .select(minhashAbNative(lit("interp check"))).head().getSeq[Long](0)
+    assert(interp.toSeq == gen)
+    // SQL registration (temp-registered like graft_dot; GraftExtensions
+    // injects the same Expression)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_ab",
+      exprs => graft.functions.MinhashAB(exprs.head),
+      "built-in")
+    assert(spark.sql("SELECT graft_minhash_ab('interp check') AS ab")
+      .head().getSeq[Long](0) == interp.toSeq)
+  }
+
   test("NormalizeNFC composes decomposed sequences; null-safe; SQL-registered") {
     import graft.functions.VectorFunctions.nfcNative
     val df = Seq(

@@ -52,20 +52,18 @@ object Dedup {
     *    the end — the iterated frames are O(|pairs|), not O(corpus) (at
     *    100 TB the pair graph is orders of magnitude smaller than the
     *    corpus);
-    *  - convergence is detected inside the same job that produces the
-    *    round's labels: the self-loop edge carries each vertex's previous
-    *    label into its own group (`prev`), and a pass-through map counts
-    *    `lbl != prev` rows into an accumulator while the checkpoint
-    *    materializes. No second action per round. A task retry can only
-    *    re-add positive counts — it can never turn a genuine zero into
-    *    nonzero — so `changed == 0` is a retry-safe fixpoint test;
+    *  - convergence detection stays Column-only: the self-loop edge carries
+    *    each vertex's previous label into its own group (`prev`), a `chg`
+    *    boolean rides the round's checkpoint, and the fixpoint test is an
+    *    `isEmpty` over the already-materialized blocks — a metadata-cheap
+    *    second action that keeps every round fully inside Tungsten (the
+    *    earlier accumulator variant paid a deser/ser boundary for a typed
+    *    pass-through map on every label row, every round);
     *  - on the converged round the pointer jump is the identity, so the
     *    final self-join is skipped entirely.
     */
   def dupClusters(vertices: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    val spark = vertices.sparkSession
-    import spark.implicits._
     val bidir = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(pairs
@@ -83,7 +81,6 @@ object Dedup {
     var done = false
     var i = 0
     while (!done && i < maxIter) {
-      val changed = spark.sparkContext.longAccumulator("graft.dupClusters.changed")
       val merged = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("id"))
         .agg(min(col("lbl")).as("lbl"),
@@ -92,19 +89,21 @@ object Dedup {
           min(when(edges("dst") === edges("src"), col("lbl"))).as("prev"))
       val counted = merged
         .select(col("id"), col("lbl"), (col("lbl") =!= col("prev")).as("chg"))
-        .as[(Long, Long, Boolean)]
-        .map { case (id, lbl, chg) => if (chg) changed.add(1L); (id, lbl) }
-        .toDF("id", "lbl")
         .localCheckpoint(true)
-      done = changed.value == 0L
+      // Fixpoint test over the checkpoint just materialized: reads cached
+      // blocks only (limit-1 scan), and — unlike an accumulator — is exact
+      // under task retries because it looks at the data, not at side
+      // effects observed while producing it.
+      done = counted.where(col("chg")).isEmpty
+      val lbls = counted.select(col("id"), col("lbl"))
       labels =
-        if (done) counted // fixpoint: the jump below would be the identity
-        else counted.alias("v")
+        if (done) lbls // fixpoint: the jump below would be the identity
+        else lbls.alias("v")
           // pointer jump: labels are themselves vertex ids, so each vertex
           // adopts its label's label — halves remaining propagation
           // distance. Lazy: evaluated inside the next round's single job,
           // both sides reading this round's checkpointed rows.
-          .join(counted.alias("m"), col("v.lbl") === col("m.id"))
+          .join(lbls.alias("m"), col("v.lbl") === col("m.id"))
           .select(col("v.id").as("id"), col("m.lbl").as("lbl"))
       i += 1
     }

@@ -314,25 +314,58 @@ object Similarity {
     * (small) loser set. No stage holds more than one cell's pairs.
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame, tau: Double): DataFrame = {
+      cents: DataFrame, tau: Double, maxCell: Int = DefaultMaxCell): DataFrame = {
     val stamped = assignCells(df, idCol, vecCol, cents)
-    val losers = cosineDupPairs(stamped, idCol, vecCol, "cell", tau)
+    val losers = cosineDupPairs(stamped, idCol, vecCol, "cell", tau, maxCell)
       .select(col("id_b").as(idCol)).distinct()
     stamped.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Hot-cell cap for the within-cell pair joins: the Σ|cell|² bound is
+    * corpus-linear only while the quantizer keeps cells balanced, so cells
+    * past this size are deterministically sub-split (see
+    * [[cosineDupPairs]]). Far above any healthy cell size (q91 measures a
+    * max cell of 626 at sf0.1 with ~4,900-row cells expected), so on
+    * non-degenerate corpora the guard never fires and results are
+    * bit-identical to the unguarded form.
+    */
+  val DefaultMaxCell: Int = 65536
+
   /** Embedding-cosine near-duplicate pairs within coarse blocks (IVF-style:
     * `blockCol` plays the role of the coarse quantizer cell — here the
     * pretrained cluster label; at 100 TB this is k-means assignments).
+    *
+    * Hot-cell guard: a degenerate corpus (mass collapsing onto one
+    * centroid — near-constant embeddings, a broken upstream encoder)
+    * silently turns the within-cell join into all-pairs. Cells larger than
+    * `maxCell` are therefore split into ⌈|cell|/maxCell⌉ sub-cells by a
+    * deterministic id hash, and pairs stay within a sub-cell: pair volume
+    * is bounded by |cell|·maxCell per cell (corpus-linear again), at the
+    * cost of missing cross-sub-cell matches ONLY inside oversized cells —
+    * where near-everything is mutually similar anyway, so the greedy
+    * dedup still removes ~the same mass. Cells at or under the cap — every
+    * healthy corpus — take the `otherwise(0)` branch and produce exactly
+    * the unguarded pairs (spec: ScaleOpsSpec "semDedup hot-cell guard").
+    * The size lookup is a cell-cardinality-sized broadcast.
     */
   def cosineDupPairs(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
-      threshold: Double): DataFrame = {
-    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
+      threshold: Double, maxCell: Int = DefaultMaxCell): DataFrame = {
+    require(maxCell >= 1, s"maxCell must be positive: $maxCell")
+    val sizes = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__cn"))
+    val guarded = df.join(broadcast(sizes), Seq(blockCol))
+      .withColumn("__sub",
+        when(col("__cn") > maxCell,
+          pmod(xxhash64(col(idCol)),
+            ceil(col("__cn") / lit(maxCell.toDouble)).cast("long")))
+          .otherwise(lit(0L)))
+    val a = guarded.select(col(blockCol).as("blk"), col("__sub").as("sub"),
+      col(idCol).as("id_a"),
       col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
-    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
+    val b = guarded.select(col(blockCol).as("blk"), col("__sub").as("sub"),
+      col(idCol).as("id_b"),
       col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
-    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+    a.join(b, Seq("blk", "sub")).where(col("id_a") < col("id_b"))
       .withColumn("cos", cosPrenormed)
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

@@ -207,4 +207,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!p87.contains("CartesianProduct") && bnlj(p87) == 0,
       s"overlap join must stay an equi-join:\n$p87")
   }
+
+  test("semDedup hot-cell guard bounds pair volume on a degenerate corpus") {
+    // 90%+ of the mass collapses onto one centroid: every vector is nearly
+    // identical, so k-means puts (almost) everything in one cell and the
+    // unguarded within-cell join is all-pairs.
+    val n = 1200
+    val degen = (1L to n.toLong).map { i =>
+      (i, Array(1.0f, (1e-4 * (i % 7)).toFloat, 1e-5f * (i % 3)))
+    }.toDF("vec_id", "embedding")
+    val unguarded = Similarity.cosineDupPairs(
+      degen.withColumn("cell", lit(0)), "vec_id", "embedding", "cell",
+      threshold = 0.0, maxCell = Int.MaxValue).count()
+    assert(unguarded == n.toLong * (n - 1) / 2, "degenerate corpus IS all-pairs")
+    val guarded = Similarity.cosineDupPairs(
+      degen.withColumn("cell", lit(0)), "vec_id", "embedding", "cell",
+      threshold = 0.0, maxCell = 100)
+    val gn = guarded.count()
+    // |cell| · maxCell bounds the guarded volume (12 sub-cells of ~100)
+    assert(gn <= n.toLong * 100, s"guard must bound pair volume, got $gn")
+    assert(gn >= n.toLong, "sub-cells must still produce within-cell pairs")
+    // end to end: semDedup under the guard still removes nearly all of the
+    // near-identical mass (one survivor per sub-cell at tau below the
+    // within-cell similarity floor)
+    val cents = Similarity.kmeansCentroids(degen, "vec_id", "embedding",
+      k = 2, iters = 1)
+    val kept = Similarity.semDedup(degen, "vec_id", "embedding", cents,
+      tau = 0.9, maxCell = 100).count()
+    assert(kept <= 30, s"guarded semDedup must still dedup the mass: kept $kept")
+    // and on a BALANCED corpus the guard path is a no-op: pair sets are
+    // identical with and without the cap
+    val balanced = (1L to 60L).map { i =>
+      (i, Array((i % 6).toFloat + 1f, 1.0f, 0.5f))
+    }.toDF("vec_id", "embedding").withColumn("cell", ($"vec_id" % 6).cast("int"))
+    def pairSet(cap: Int) = Similarity.cosineDupPairs(
+      balanced, "vec_id", "embedding", "cell", 0.5, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(Int.MaxValue) == pairSet(12) && pairSet(12).nonEmpty)
+  }
 }

@@ -919,8 +919,108 @@ object QueriesExt {
       Some(s"""SELECT doc_id,
                       md5(nfc_normalize(text || ' cafe' || chr(769))) AS nfc_hash,
                       nfc_normalize('e' || chr(769)) = chr(233) AS composed
-               FROM documents ORDER BY doc_id"""))
+               FROM documents ORDER BY doc_id""")),
+
+    // real subword tokenization: corpus-derived top-300 character-n-gram
+    // vocab (lengths 1-4), greedy longest-match encoding as a native
+    // codegen Expression — the DuckDB oracle replays the exact greedy walk
+    // with a recursive CTE whose per-step longest-match is a coalesce over
+    // the 4..1-char prefix lookups
+    Q("q102_subword_encode",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val vocab = TextAnalysis.buildSubwordVocab(docs, "text", size = 300)
+        TextAnalysis.encodeSubwords(docs, "doc_id", "text", vocab)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${subwordCtes(300)},
+               agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_subwords,
+                              CAST(count(*) FILTER (WHERE tid = 0) AS INT) AS n_unk,
+                              md5(string_agg(CAST(tid AS VARCHAR), ','
+                                             ORDER BY wpos, step)) AS ids_hash
+                       FROM enc WHERE step >= 1 GROUP BY doc_id)
+              SELECT d.doc_id, coalesce(a.n_subwords, 0) AS n_subwords,
+                     coalesce(a.n_unk, 0) AS n_unk,
+                     coalesce(a.ids_hash, md5('')) AS ids_hash
+              FROM documents d LEFT JOIN agg a USING (doc_id)
+              ORDER BY doc_id""")),
+
+    // sequence packing by REAL subword counts (the q76 shape with the
+    // tokenCountWs proxy swapped for q102's greedy-match token ids) — what
+    // a training shard actually wants: offsets in model tokens
+    Q("q103_pack_subword",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val vocab = TextAnalysis.buildSubwordVocab(docs, "text", size = 300)
+        val counts = TextAnalysis.encodeSubwords(docs, "doc_id", "text", vocab)
+          .select(col("doc_id"), col("n_subwords").cast("long").as("n_tokens"))
+        Sampling.packSequences(counts, "n_tokens", Seq(col("doc_id").asc),
+            seqLen = 512L)
+          .select(col("doc_id"), col("n_tokens"), col("seq_id"), col("seq_off"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${subwordCtes(300)},
+               agg AS (SELECT doc_id, count(*) AS n_subwords
+                       FROM enc WHERE step >= 1 GROUP BY doc_id),
+               d2 AS (SELECT d.doc_id,
+                             CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_tokens
+                      FROM documents d LEFT JOIN agg a USING (doc_id)),
+               w2 AS (SELECT doc_id, n_tokens,
+                             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                               0) AS BIGINT) AS strt
+                      FROM d2)
+              SELECT doc_id, n_tokens,
+                     CAST(floor(strt / 512) AS BIGINT) AS seq_id,
+                     CAST(strt % 512 AS BIGINT) AS seq_off
+              FROM w2 ORDER BY doc_id"""))
   )
+
+  /** Shared subword-encoder CTE chain (q102/q103): token table → word
+    * table → gram candidates (lengths 1..4 per occurrence) → top-`size`
+    * vocab (freq desc, gram asc) → the greedy longest-match walk as a
+    * recursive CTE. Each recursion step advances every in-flight word by
+    * ONE subword: the longest match is the first non-null of the 4/3/2/1-
+    * char prefix lookups (when fewer than 4 chars remain, the longer
+    * probes degrade to the same shorter prefix, so the coalesce still
+    * picks the longest true match, exactly like the Expression's
+    * shrinking-l loop). Seed rows carry step 0 / NULL tid and are filtered
+    * by the consumer.
+    */
+  private def subwordCtes(size: Int): String =
+    s"""tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        w AS (SELECT doc_id, CAST(i AS INT) AS wpos, tk[CAST(i AS INT) + 1] AS w
+              FROM tk, unnest(range(0, len(tk))) u(i)),
+        grams AS (SELECT substr(w.w, CAST(p AS INT), CAST(l AS INT)) AS term
+                  FROM w,
+                       unnest(range(1, len(w.w) + 1)) pp(p),
+                       unnest(range(1, 5)) ll(l)
+                  WHERE CAST(p AS INT) + CAST(l AS INT) - 1 <= len(w.w)),
+        vf AS (SELECT term, count(*) AS c FROM grams GROUP BY term),
+        vocab AS (SELECT term,
+                         CAST(row_number() OVER (ORDER BY c DESC, term)
+                              AS BIGINT) AS tid
+                  FROM vf ORDER BY c DESC, term LIMIT $size),
+        enc AS (
+          SELECT doc_id, wpos, w, 1 AS p, CAST(NULL AS BIGINT) AS tid, 0 AS step
+          FROM w
+          UNION ALL
+          SELECT e.doc_id, e.wpos, e.w,
+                 e.p + CASE WHEN v4.tid IS NOT NULL THEN 4
+                            WHEN v3.tid IS NOT NULL THEN 3
+                            WHEN v2.tid IS NOT NULL THEN 2
+                            ELSE 1 END,
+                 coalesce(v4.tid, v3.tid, v2.tid, v1.tid, 0),
+                 e.step + 1
+          FROM enc e
+          LEFT JOIN vocab v4 ON v4.term = substr(e.w, e.p, 4)
+          LEFT JOIN vocab v3 ON v4.tid IS NULL AND v3.term = substr(e.w, e.p, 3)
+          LEFT JOIN vocab v2 ON v4.tid IS NULL AND v3.tid IS NULL
+                                AND v2.term = substr(e.w, e.p, 2)
+          LEFT JOIN vocab v1 ON v4.tid IS NULL AND v3.tid IS NULL
+                                AND v2.tid IS NULL
+                                AND v1.term = substr(e.w, e.p, 1)
+          WHERE e.p <= len(e.w))"""
 
   /** Shared SimHash-per-doc SQL over a relation named `rel` (doc_id, text). */
   private def simhashSql(rel: String): String = {

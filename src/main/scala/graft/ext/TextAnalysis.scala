@@ -452,6 +452,70 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_tokens"), col("n_unk"), col("ids_hash"))
   }
 
+  /** Corpus-derived SUBWORD vocabulary for the greedy longest-match encoder
+    * (`encodeSubwords`): candidates are every character n-gram (lengths
+    * 1..`maxLen`) of every token occurrence, ranked by (frequency desc,
+    * gram asc), ids 1..`size`. Single characters compete with longer grams
+    * on frequency — frequent letters land in the vocab, so OOV subwords
+    * (id 0) are rare in practice but still well-defined.
+    *
+    * Scale shape: the gram explode is corpus-linear with a constant factor
+    * of ~(avg token length × maxLen); the count aggregate's map-side
+    * combine collapses it to the distinct-gram table before the shuffle,
+    * and — like `buildVocab` — the only single-partition step (the
+    * post-limit id stamp) touches ≤ `size` rows by construction.
+    */
+  def buildSubwordVocab(df: DataFrame, textCol: String, size: Int,
+      maxLen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(size >= 1 && maxLen >= 1, s"need size/maxLen >= 1: $size/$maxLen")
+    val grams = df.select(explode(tokens(col(textCol))).as("w"))
+      .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("p"))
+      .select(col("w"), col("p"), explode(sequence(lit(1),
+        least(lit(maxLen), length(col("w")) - col("p") + 1))).as("l"))
+      .select(col("w").substr(col("p"), col("l")).as("term"))
+    val counts = grams.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc)
+      .limit(size)
+    counts
+      .withColumn("tid", row_number()
+        .over(Window.orderBy(col("c").desc, col("term").asc)).cast("long"))
+      .select(col("term"), col("tid"))
+  }
+
+  /** Greedy longest-match subword encoding over a `buildSubwordVocab`
+    * table — real token ids for chunking/packing/budget selection, replacing
+    * the `tokenCountBpeish` regex proxy. Emits one row per document:
+    * (idCol, n_subwords, n_unk, ids_hash), the `encodeWithVocab` contract.
+    *
+    * The vocab DataFrame is collected into the expression — vocab tables
+    * are row-bounded by construction (≤ `size` rows, a model artifact, the
+    * literal-blocklist pattern), so this is a bounded driver fetch, not a
+    * corpus collect. Everything else is corpus-linear: a position-keyed
+    * token explode, the per-word greedy match inside whole-stage codegen
+    * (`functions.SubwordIds`), and one per-doc rebuild aggregate.
+    */
+  def encodeSubwords(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxLen: Int = 4, unkId: Long = 0L): DataFrame = {
+    val vmap = vocab.select(col("term"), col("tid")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val words = df.select(col(idCol).as("id"),
+      posexplode_outer(tokens(col(textCol))).as(Seq("wpos", "w")))
+    val enc = words.withColumn("ids",
+      graft.functions.VectorFunctions.subwordIdsNative(col("w"), vmap, maxLen, unkId))
+    enc.groupBy(col("id"))
+      .agg(
+        coalesce(sum(size(col("ids"))), lit(0)).cast("int").as("n_subwords"),
+        coalesce(sum(size(filter(col("ids"), t => t === unkId))), lit(0))
+          .cast("int").as("n_unk"),
+        md5(concat_ws(",", flatten(transform(
+          array_sort(collect_list(when(col("wpos").isNotNull,
+            struct(col("wpos"), col("ids"))))),
+          s => transform(s.getField("ids"), x => x.cast("string"))))))
+          .as("ids_hash"))
+      .select(col("id").as(idCol), col("n_subwords"), col("n_unk"), col("ids_hash"))
+  }
+
   /** URL host extraction + domain-level curation (the RefinedWeb-style
     * provenance filters): `urlDomains` pulls the host of every URL-shaped
     * span (per-row, codegen'd regex); `domainDocCounts` is the per-domain

@@ -169,6 +169,96 @@ case class MinhashAB(child: Expression)
     copy(child = newChild)
 }
 
+/** Greedy longest-match subword encoding — the WordPiece matching rule
+  * (Devlin et al. 2019) over a CORPUS-DERIVED subword vocabulary (see
+  * `TextAnalysis.buildSubwordVocab`): at each position take the longest
+  * vocab entry (≤ `maxLen` chars) matching the remaining word; emit its id
+  * and advance by its length, or emit `unkId` and advance one character.
+  * This replaces the `tokenCountBpeish` regex proxy with REAL token ids, so
+  * chunking / packing / budget selection can count model tokens.
+  *
+  * The vocabulary rides the expression as a reference object (codegen calls
+  * one static method against the prebuilt hash map) — vocab tables are
+  * row-bounded by construction (`buildSubwordVocab` limits to `size`), so
+  * the plan payload is model-artifact-sized, like a literal blocklist.
+  *
+  * Matching is code-point based (what DuckDB's `substr` counts), though the
+  * engine's `tokens()` alphabet is plain `[a-z0-9]` where Java chars and
+  * code points coincide. Null input → null.
+  */
+case class SubwordIds(child: Expression, vocab: Map[String, Long],
+    maxLen: Int, unkId: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
+      s"graft subword encode expects a string, got ${child.dataType}")
+    else if (maxLen < 1) TypeCheckResult.TypeCheckFailure(
+      s"maxLen must be positive: $maxLen")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val jmap: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (k, v) => m.put(k, java.lang.Long.valueOf(v)) }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SubwordIds.encode(input.toString, jmap, maxLen, unkId)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("subwordVocab", jmap, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SubwordIds.encode(" +
+        s"$c.toString(), $mapRef, $maxLen, ${unkId}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SubwordIds =
+    copy(child = newChild)
+}
+
+object SubwordIds {
+  /** Greedy longest-match over code points. Public + JVM-static for
+    * codegen; returns the id array (never empty for a non-empty word —
+    * every unmatched code point yields `unkId`).
+    */
+  def encode(word: String, vocab: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int, unkId: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    // char offset of each code point (so substring stays cheap + correct
+    // beyond the BMP; for the engine's [a-z0-9] tokens this is identity)
+    val nChars = word.length
+    var cp = 0
+    var i = 0
+    while (i < nChars) { i += Character.charCount(word.codePointAt(i)); cp += 1 }
+    val off = new Array[Int](cp + 1)
+    i = 0; cp = 0
+    while (i < nChars) {
+      off(cp) = i; i += Character.charCount(word.codePointAt(i)); cp += 1
+    }
+    off(cp) = nChars
+    val out = new java.util.ArrayList[java.lang.Long](cp)
+    var p = 0
+    while (p < cp) {
+      var l = math.min(maxLen, cp - p)
+      var hit: java.lang.Long = null
+      var hitLen = 0
+      while (l >= 1 && hit == null) {
+        val t = vocab.get(word.substring(off(p), off(p + l)))
+        if (t != null) { hit = t; hitLen = l }
+        l -= 1
+      }
+      if (hit != null) { out.add(hit); p += hitLen }
+      else { out.add(java.lang.Long.valueOf(unkId)); p += 1 }
+    }
+    val arr = new Array[Long](out.size)
+    i = 0
+    while (i < arr.length) { arr(i) = out.get(i).longValue(); i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+}
+
 object MinhashAB {
   /** Big-endian unsigned 32-bit read widened to long (what conv(hex,16,10)
     * yields for an 8-hex-char slice). Public + JVM-static for codegen.
@@ -191,4 +281,12 @@ object VectorFunctions {
   /** MinHash (a, b) seed pair as a Column (codegen'd; see MinhashAB). */
   def minhashAbNative(c: Column): Column =
     ColumnBridge.column(MinhashAB(ColumnBridge.expression(c)))
+
+  /** Greedy longest-match subword ids as a Column (codegen'd; see
+    * SubwordIds).
+    */
+  def subwordIdsNative(word: Column, vocab: Map[String, Long],
+      maxLen: Int = 4, unkId: Long = 0L): Column =
+    ColumnBridge.column(SubwordIds(ColumnBridge.expression(word),
+      vocab, maxLen, unkId))
 }

@@ -276,6 +276,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(enc(3L) == ((0, 0, md5Hex(""))), "empty doc survives with empty sequence")
   }
 
+  test("subword encoding: greedy longest match, OOV singles, empty doc") {
+    import graft.functions.VectorFunctions.subwordIdsNative
+    // hand vocab: longest-match must pick "aba" over "ab"+"a"
+    val vocab = Map("aba" -> 1L, "ab" -> 2L, "a" -> 3L, "b" -> 4L, "na" -> 5L)
+    val out = Seq("ababa", "banana", "axb", "zzz")
+      .toDF("w")
+      .select(subwordIdsNative($"w", vocab, maxLen = 4).as("ids"))
+      .collect().map(_.getSeq[Long](0).toList)
+    assert(out(0) == List(1L, 4L, 3L), "ababa → aba|b|a (greedy, not ab|ab|a)")
+    assert(out(1) == List(4L, 3L, 5L, 5L), "banana → b|a|na|na")
+    assert(out(2) == List(3L, 0L, 4L), "x is OOV → unk, advance one")
+    assert(out(3) == List(0L, 0L, 0L), "all-OOV word still totals its length")
+    // end to end on a corpus: n_subwords consistent, vocab drives n_unk to 0
+    // once every single char is in vocab
+    val docs = Seq((1L, "abab abab xyz"), (2L, "")).toDF("doc_id", "text")
+    val v = TextAnalysis.buildSubwordVocab(docs, "text", size = 50, maxLen = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "abab" occurs twice per doc-1 text; its 4-gram must be in a size-50 vocab
+    assert(v.contains("abab") && v.contains("x"))
+    val enc = TextAnalysis.encodeSubwords(docs, "doc_id", "text",
+        TextAnalysis.buildSubwordVocab(docs, "text", 50))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_subwords"), r.getAs[Int]("n_unk")))).toMap
+    assert(enc(1L) == ((3, 0)), "abab + abab + xyz each encode as one id")
+    assert(enc(2L) == ((0, 0)), "empty doc survives with empty sequence")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

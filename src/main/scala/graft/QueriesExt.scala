@@ -568,13 +568,15 @@ object QueriesExt {
               ORDER BY media_id, slice_idx""")),
 
     // measured ANN quality: recall@5 against the exact brute-force baseline
-    // for three configs of the LSH scale path — single table 1-probe
-    // (cheap, low recall), single table multi-probe, and the PINNED
-    // production config: 8 independent hyperplane tables OR-ed with 1-bit
-    // probes, which reaches recall@5 ≈ 0.87 on the synthetic embeddings
-    // (measured sweep; 1 table/1 probe sits at 0.21). Candidates are still
-    // generated per (table, bucket) — the corpus is never replicated per
-    // query, so the cost knob stays linear in tables × corpus
+    // for four configs of the LSH scale path — single table 1-probe (cheap,
+    // low recall), single table multi-probe, the 8-table config, and the
+    // PINNED production config: 12 independent hyperplane tables OR-ed with
+    // 1-bit probes, recall@5 = 0.965 at sf0.1 (RecallSweep matrix; 8 tables
+    // sit at 0.91, 1 table/1 probe at 0.21; 8 tables with 2-bit probes
+    // reach 1.00 at ~2x the candidate volume — the next knob up if a
+    // corpus needs it). Candidates are still generated per (table, bucket)
+    // — the corpus is never replicated per query, so the cost knob stays
+    // linear in tables × corpus
     Q("q65_ann_recall",
       (s, d) => {
         val e = t(s, d, "embeddings")
@@ -592,12 +594,13 @@ object QueriesExt {
         def probed(probe: Int, as: String) = recallCol(
           Similarity.lshTopK(q, e, "vec_id", "embedding",
             k = 5, numPlanes = 6, dim = 64, multiProbe = probe), as)
-        val tabled = recallCol(
+        def tabled(tables: Int, as: String) = recallCol(
           Similarity.lshTopKTables(q, e, "vec_id", "embedding",
-            k = 5, numPlanes = 6, dim = 64, tables = 8, multiProbe = 1),
-          "recall_t8")
+            k = 5, numPlanes = 6, dim = 64, tables = tables, multiProbe = 1),
+          as)
         probed(0, "recall_p0").join(probed(1, "recall_p1"), Seq("q_id"))
-          .join(tabled, Seq("q_id"))
+          .join(tabled(8, "recall_t8"), Seq("q_id"))
+          .join(tabled(12, "recall_t12"), Seq("q_id"))
           .orderBy(col("q_id"))
       },
       Some {
@@ -610,9 +613,9 @@ object QueriesExt {
           }.mkString("CAST(", " + ", " AS INT)")
         // table t's planes are seeded seed + t, so b0 is exactly the
         // single-table bucket the p0/p1 configs probe
-        val tableBuckets = (0 until 8).map(tt =>
+        val tableBuckets = (0 until 12).map(tt =>
           s"${bucketSql(Similarity.hyperplanes(6, 64, 42L + tt))} AS b$tt").mkString(", ")
-        val bCols = (0 until 8).map(tt => s"b$tt").mkString(", ")
+        val bCols = (0 until 12).map(tt => s"b$tt").mkString(", ")
         def lshCte(name: String, dist: Int) =
           s"""$name AS (SELECT q_id, c_id FROM (
                 SELECT q.q_id, c.c_id,
@@ -622,16 +625,17 @@ object QueriesExt {
                 WHERE q.q_id <> c.c_id)
               WHERE rnk <= 5)"""
         // OR over tables = union of the per-table candidate sets, scored once
-        val anyTable = (0 until 8)
-          .map(tt => s"bit_count(xor(c.b$tt, q.b$tt)) <= 1").mkString(" OR ")
-        val lshT =
-          s"""lsht AS (SELECT q_id, c_id FROM (
+        def lshTables(name: String, tables: Int) = {
+          val anyTable = (0 until tables)
+            .map(tt => s"bit_count(xor(c.b$tt, q.b$tt)) <= 1").mkString(" OR ")
+          s"""$name AS (SELECT q_id, c_id FROM (
                 SELECT q.q_id, c.c_id,
                        row_number() OVER (PARTITION BY q.q_id
                          ORDER BY ${cosSql("q.q_vec", "c.c_vec")} DESC, c.c_id) AS rnk
                 FROM c JOIN q ON ($anyTable)
                 WHERE q.q_id <> c.c_id)
               WHERE rnk <= 5)"""
+        }
         s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
              bk AS (SELECT vec_id, v, $tableBuckets FROM e),
              q AS (SELECT vec_id AS q_id, v AS q_vec, $bCols FROM bk
@@ -645,17 +649,20 @@ object QueriesExt {
                     WHERE rnk <= 5),
              ${lshCte("lsh0", 0)},
              ${lshCte("lsh1", 1)},
-             $lshT,
+             ${lshTables("lsht", 8)},
+             ${lshTables("lsht12", 12)},
              exact AS (SELECT q_id, count(*) AS n_exact FROM bf GROUP BY q_id),
              h0 AS (SELECT q_id, count(*) AS n FROM bf JOIN lsh0 USING (q_id, c_id) GROUP BY q_id),
              h1 AS (SELECT q_id, count(*) AS n FROM bf JOIN lsh1 USING (q_id, c_id) GROUP BY q_id),
-             ht AS (SELECT q_id, count(*) AS n FROM bf JOIN lsht USING (q_id, c_id) GROUP BY q_id)
+             ht AS (SELECT q_id, count(*) AS n FROM bf JOIN lsht USING (q_id, c_id) GROUP BY q_id),
+             ht12 AS (SELECT q_id, count(*) AS n FROM bf JOIN lsht12 USING (q_id, c_id) GROUP BY q_id)
             SELECT e.q_id,
                    round(CAST(coalesce(h0.n, 0) AS DOUBLE) / CAST(e.n_exact AS DOUBLE), 4) AS recall_p0,
                    round(CAST(coalesce(h1.n, 0) AS DOUBLE) / CAST(e.n_exact AS DOUBLE), 4) AS recall_p1,
-                   round(CAST(coalesce(ht.n, 0) AS DOUBLE) / CAST(e.n_exact AS DOUBLE), 4) AS recall_t8
+                   round(CAST(coalesce(ht.n, 0) AS DOUBLE) / CAST(e.n_exact AS DOUBLE), 4) AS recall_t8,
+                   round(CAST(coalesce(ht12.n, 0) AS DOUBLE) / CAST(e.n_exact AS DOUBLE), 4) AS recall_t12
             FROM exact e LEFT JOIN h0 USING (q_id) LEFT JOIN h1 USING (q_id)
-                 LEFT JOIN ht USING (q_id)
+                 LEFT JOIN ht USING (q_id) LEFT JOIN ht12 USING (q_id)
             ORDER BY q_id"""
       }),
 

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** One-off ANN recall sweep (VERDICT r5 #5): measures mean recall@5 of the
+  * multi-table LSH against the exact baseline across (tables, multiProbe,
+  * numPlanes) configs, to pick the pinned production config for q65.
+  * Run: `sbt "runMain graft.RecallSweep /root/testdata/sf0.1"`.
+  * Results recorded in docs/SCALE.md §ANN.
+  */
+object RecallSweep {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.build("graft-recall-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.where(col("vec_id") % 25 === 0)
+    val bf = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+      .select(col("q_id"), col("c_id"))
+      .persist()
+    val nQ = bf.select(col("q_id")).distinct().count()
+    println(s"queries=$nQ corpus=${e.count()}")
+
+    def meanRecall(lsh: DataFrame): Double = {
+      val hits = bf.join(lsh.select(col("q_id"), col("c_id")), Seq("q_id", "c_id"))
+        .count()
+      hits.toDouble / (nQ * 5)
+    }
+    val configs = Seq(
+      (8, 1, 6), (8, 2, 6), (12, 1, 6), (12, 2, 6), (16, 1, 6), (16, 2, 6),
+      (8, 1, 5), (8, 2, 5), (12, 2, 8), (16, 1, 8))
+    configs.foreach { case (tables, probe, planes) =>
+      val t0 = System.nanoTime()
+      val lsh = Similarity.lshTopKTables(q, e, "vec_id", "embedding",
+        k = 5, numPlanes = planes, dim = 64, tables = tables, multiProbe = probe)
+      // candidate volume = the scored pair count before top-k (cost proxy)
+      val r = meanRecall(lsh)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"tables=$tables%2d probe=$probe planes=$planes recall@5=$r%.4f wall=$dt%.1fs")
+    }
+    spark.stop()
+  }
+}

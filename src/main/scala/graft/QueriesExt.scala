@@ -980,7 +980,32 @@ object QueriesExt {
               SELECT doc_id, n_tokens,
                      CAST(floor(strt / 512) AS BIGINT) AS seq_id,
                      CAST(strt % 512 AS BIGINT) AS seq_off
-              FROM w2 ORDER BY doc_id"""))
+              FROM w2 ORDER BY doc_id""")),
+
+    // REAL image decode round-trip: each document synthesizes a PNG with
+    // dimensions derived from its id (a genuine encoded image), the
+    // engine decodes it with the JDK's ImageIO readers, and the oracle
+    // checks the decoded width/height/channels against the stored
+    // metadata the dimensions were derived from — the decode is no longer
+    // a stub, only the audio/video formats keep the md5 fake (q30)
+    Q("q104_media_decode",
+      (s, d) => {
+        import s.implicits._
+        val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            Multimodal.MediaRow(id, "png",
+              Multimodal.syntheticPng(
+                1 + (id % 40).toInt, 1 + (id % 25).toInt, id))
+          }
+        Multimodal.decodeImageFeatures(rows)(s).toDF()
+          .select(col("media_id"), col("width"), col("height"), col("channels"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+                     CAST(1 + doc_id % 40 AS INT) AS width,
+                     CAST(1 + doc_id % 25 AS INT) AS height,
+                     3 AS channels
+              FROM documents ORDER BY media_id"""))
   )
 
   /** Shared subword-encoder CTE chain (q102/q103): token table → word

@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * travel as opaque `binary` columns with typed metadata; decode / feature
   * extraction runs batched per partition.
   *
-  * The decode itself is STUBBED (no media libraries in this container) with
-  * a deterministic fake derived from the payload's md5 — the Spark-side
-  * contract (schema, binary column, per-partition batching, partition
-  * sizing) is real and tested. Swap `decodeBatch` for a JNI/FFI call to an
-  * actual codec in production; the operator shape (mapPartitions with
-  * buffered batches, never per-row library init) is the scale-relevant part.
+  * IMAGE decode is REAL: `decodeImageFeatures` runs the JDK's
+  * `javax.imageio` readers (PNG/BMP/JPEG/GIF ship with the JVM — no native
+  * codecs needed) inside the per-partition batch shape, and
+  * q104_media_decode round-trips a synthesized PNG per document against
+  * oracle-stored dimensions. The md5-derived `decodeFeatures` stub remains
+  * for formats the JVM cannot decode (audio/video) — for those the
+  * Spark-side contract (schema, binary column, per-partition batching) is
+  * the tested part, and production swaps in a JNI/FFI codec behind the same
+  * mapPartitions boundary (one library init per partition, never per row).
   */
 object Multimodal {
 
@@ -66,6 +69,60 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** REAL image decode via the JDK's ImageIO (PNG/BMP/JPEG/GIF readers are
+    * part of the JVM — pure-Java, no container codecs required): width and
+    * height come from the decoded raster, channels from its band count.
+    * Payloads no ImageIO reader accepts (corrupt bytes, audio/video
+    * formats) yield (-1, -1, -1) rather than failing the job — filter on
+    * `width >= 0` (or route those rows to a format-specific decoder).
+    *
+    * Same scale shape as the stub: mapPartitions is the codec boundary
+    * (stream + reader state per partition), rows processed in buffered
+    * batches.
+    */
+  def decodeImageFeatures(media: Dataset[MediaRow], batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(r.payload).map("%02x".format(_)).mkString
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null)
+            MediaFeatures(r.media_id, r.format, r.payload.length.toLong, sha,
+              -1, -1, -1)
+          else
+            MediaFeatures(r.media_id, r.format, r.payload.length.toLong, sha,
+              img.getWidth, img.getHeight, img.getRaster.getNumBands)
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic PNG (test/fixture generator for the decode
+    * path): `width`×`height`, 3-band BGR, pixel colors a pure function of
+    * (seed, x, y) — a REAL encoded image the ImageIO readers decode.
+    */
+  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dims: ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((seed + x * 31L + y * 17L) & 0xffffffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Frame-sampling plumbing for video-like payloads: emit `n` (offset,

@@ -170,6 +170,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Multimodal: REAL ImageIO decode recovers synthesized dimensions; " +
+      "undecodable payloads degrade to -1") {
+    implicit val s = spark
+    val png = Multimodal.syntheticPng(23, 7, seed = 99L)
+    // a genuine PNG: magic bytes + the JDK decodes it outside Spark too
+    assert((png(1) & 0xff).toChar == 'P' && (png(2) & 0xff).toChar == 'N')
+    val direct = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(direct.getWidth == 23 && direct.getHeight == 7)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "png", png),
+      Multimodal.MediaRow(2L, "png", Multimodal.syntheticPng(400, 3, 5L)),
+      Multimodal.MediaRow(3L, "wav", Array[Byte](0, 1, 2, 3))).toDS()
+    val out = Multimodal.decodeImageFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).width == 23 && out(1L).height == 7 && out(1L).channels == 3)
+    assert(out(2L).width == 400 && out(2L).height == 3)
+    assert(out(3L).width == -1 && out(3L).height == -1 && out(3L).channels == -1)
+    assert(out(1L).byte_len == png.length.toLong)
+  }
+
   test("Multimodal.sampleSlices emits n offsets with hashes") {
     val df = Seq((1L, "abcdefgh")).toDF("media_id", "payload")
     val out = Multimodal.sampleSlices(df, "media_id", "payload", 4)

@@ -140,49 +140,57 @@ object StreamingIngest {
   def nearDupStream(docs: DataFrame, indexDir: String, pairsDir: String,
       checkpointDir: String, shingleK: Int = 3, numHashes: Int = 12,
       bands: Int = 4, estThreshold: Double = 0.5)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.ext.Dedup
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val sigs = Dedup.minhashSignatureTable(
-              Dedup.shingleSets(batch, "doc_id", "text", shingleK), numHashes)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val indexPath = new org.apache.hadoop.fs.Path(indexDir)
-            val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            // Replay safety: foreachBatch is at-least-once, so a crash
-            // between the index write and the checkpoint commit replays this
-            // batch against an index that already contains its OWN
-            // signatures (same ids, is_new=false). The join-back would then
-            // see each pair id twice (index copy + batch copy) and emit
-            // duplicate pair rows with conflicting both_new flags — the
-            // replayed partition would differ from a clean run. Batch ids
-            // are monotonic and the compacted epoch is -1, so
-            // `batch_id < batchId` always reads exactly the pre-batch state.
-            val index =
-              if (fs.exists(indexPath))
-                spark.read.parquet(indexDir)
-                  .where(col("batch_id") < lit(batchId))
-                  .select(col("id"), col("sig"))
-              else sigs.limit(0)
-            Dedup.incrementalDupPairs(sigs, index, numHashes, bands, estThreshold)
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id")
-              .parquet(pairsDir)
-            sigs.withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id")
-              .parquet(indexDir)
-          } finally { sigs.unpersist(); () }
-        }
+        nearDupBatch(batch, batchId, indexDir, pairsDir,
+          shingleK, numHashes, bands, estThreshold)
       }
       .start()
+
+  /** One [[nearDupStream]] micro-batch — factored out so the replay/soak
+    * specs drive exactly the code the stream runs. Idempotent under
+    * at-least-once replay: the index read takes only `batch_id < batchId`
+    * rows (a crash between the index write and the checkpoint commit
+    * replays this batch against an index that already contains its OWN
+    * signatures — unfiltered, the join-back would see each pair id twice,
+    * index copy + batch copy, and emit duplicate pair rows with conflicting
+    * both_new flags). Batch ids are monotonic and the compacted epoch is
+    * -1, so the filter always reads exactly the pre-batch state; both sinks
+    * dynamic-overwrite their own batch_id partition.
+    */
+  def nearDupBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      pairsDir: String, shingleK: Int = 3, numHashes: Int = 12,
+      bands: Int = 4, estThreshold: Double = 0.5): Unit = {
+    import graft.ext.Dedup
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val sigs = Dedup.minhashSignatureTable(
+          Dedup.shingleSets(batch, "doc_id", "text", shingleK), numHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val index =
+          if (fs.exists(indexPath))
+            spark.read.parquet(indexDir)
+              .where(col("batch_id") < lit(batchId))
+              .select(col("id"), col("sig"))
+          else sigs.limit(0)
+        Dedup.incrementalDupPairs(sigs, index, numHashes, bands, estThreshold)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(pairsDir)
+        sigs.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(indexDir)
+      } finally { sigs.unpersist(); () }
+    }
   }
 
   /** Maintenance for [[nearDupStream]]'s signature index: per-batch appends

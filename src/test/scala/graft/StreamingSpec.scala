@@ -198,4 +198,91 @@ class StreamingSpec extends AnyFunSuite {
         s"PII redacted in-stream: $redacted")
     } finally q.stop()
   }
+
+  test("nearDup replay: re-running a committed batch rewrites identical output") {
+    // The at-least-once edge nearDupBatch must survive: a crash AFTER the
+    // index write but BEFORE the checkpoint commit replays the batch
+    // against an index that already contains its own signatures. The
+    // replayed partition must equal the clean run (same pairs, same
+    // both_new flags) and the index must not grow.
+    val base = java.nio.file.Files.createTempDirectory("neardup_replay")
+    val (indexDir, pairsDir) = (s"$base/index", s"$base/pairs")
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated text about distributed query engines"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again"),
+      (12L, "novel second-batch content that matches nothing else at all"))
+      .toDF("doc_id", "text")
+    StreamingIngest.nearDupBatch(b0, 0L, indexDir, pairsDir)
+    StreamingIngest.nearDupBatch(b1, 1L, indexDir, pairsDir)
+    def snapshot() = (
+      spark.read.parquet(pairsDir)
+        .collect().map(_.toSeq.toList).toSet,
+      spark.read.parquet(indexDir)
+        .select("id", "batch_id").collect().map(_.toSeq.toList).toSet)
+    val clean = snapshot()
+    assert(clean._1.nonEmpty && clean._2.map(_.head) ==
+      Set(1L, 2L, 11L, 12L).map(x => x: Any))
+    // replay batch 1: its signatures are already in the index
+    StreamingIngest.nearDupBatch(b1, 1L, indexDir, pairsDir)
+    assert(snapshot() == clean, "replayed batch must rewrite identical state")
+    // replay ALSO holds after compaction folded older batches to epoch -1
+    StreamingIngest.compactSignatureIndex(spark, indexDir)
+    val b2 = Seq(
+      (21L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    StreamingIngest.nearDupBatch(b2, 2L, indexDir, pairsDir)
+    val afterB2 = snapshot()
+    assert(afterB2._1.size > clean._1.size, "batch 2 found its cross-batch dups")
+    StreamingIngest.nearDupBatch(b2, 2L, indexDir, pairsDir)
+    assert(snapshot() == afterB2, "replay after compaction is still idempotent")
+  }
+
+  test("nearDup soak: flat per-batch latency, bounded files under compaction") {
+    // 40 micro-batches through the SAME method the stream's foreachBatch
+    // calls, compacting every 10 — per-batch cost must stay O(batch), not
+    // O(corpus), and the index file count must stay bounded instead of
+    // accumulating one directory per trigger.
+    val base = java.nio.file.Files.createTempDirectory("neardup_soak")
+    val (indexDir, pairsDir) = (s"$base/index", s"$base/pairs")
+    val nBatches = 40
+    val perBatch = 25
+    val times = (0 until nBatches).map { b =>
+      val docs = (0 until perBatch).map { i =>
+        val id = (b * perBatch + i).toLong
+        // every 5th doc duplicates a doc from an earlier batch
+        val text =
+          if (i % 5 == 0) s"recurring boilerplate banner number ${i / 5} repeated verbatim"
+          else s"unique content for document $id with enough words to shingle cleanly"
+        (id, text)
+      }.toDF("doc_id", "text")
+      val t0 = System.nanoTime()
+      StreamingIngest.nearDupBatch(docs, b.toLong, indexDir, pairsDir)
+      if (b % 10 == 9) StreamingIngest.compactSignatureIndex(spark, indexDir)
+      (System.nanoTime() - t0) / 1e9
+    }
+    // every ingested id is in the index exactly once
+    val idx = spark.read.parquet(indexDir)
+    assert(idx.count() == (nBatches * perBatch).toLong)
+    assert(idx.select("id").distinct().count() == (nBatches * perBatch).toLong)
+    // cross-batch dups were detected throughout (the recurring banners)
+    val pairs = spark.read.parquet(pairsDir)
+    assert(pairs.where(!col("both_new")).count() > 0)
+    // latency flat-ish: the last quarter must not blow past the first
+    // (generous 3x bound — JIT/GC noise, not a perf benchmark)
+    val q1 = times.slice(1, 11).sum / 10
+    val q4 = times.takeRight(10).sum / 10
+    assert(q4 <= q1 * 3.0, f"per-batch latency grew: first10=$q1%.2fs last10=$q4%.2fs")
+    // file count bounded: compaction keeps the index near one partition's
+    // worth of files, not nBatches directories
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    val files = parquetFiles(indexDir)
+    assert(files <= 64, s"index files must stay bounded under compaction: $files")
+  }
 }

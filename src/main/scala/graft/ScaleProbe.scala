@@ -1,0 +1,81 @@
+package graft
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+/** One-off scaling evidence for the composed flagships (VERDICT r5 #3):
+  * runs q66/q67/q81/q84/q91 at sf0.1 and at a synthesized 10× corpus,
+  * reporting wall time, TOTAL SHUFFLE RECORDS (the corpus-linearity
+  * witness), and output rows. Results recorded in docs/SCALE.md.
+  *
+  * The 10× corpus is 10 copies of the sf0.1 documents table with offset
+  * ids and every token suffixed with a per-copy tag: cross-copy tokens —
+  * hence shingles, n-grams, band keys, TF terms — NEVER collide, while
+  * within-copy duplicate structure (banners, near-dups, eval leakage) is
+  * preserved exactly, so true corpus-linear operators must show ~10×
+  * shuffle rows, not ~100×. The quality gate (n_words / n_chars /
+  * punct_ratio) is token-count-preserving under the suffix, so stage
+  * selectivities stay comparable.
+  *
+  * Run: `sbt "runMain graft.ScaleProbe"`.
+  */
+object ScaleProbe {
+
+  val Flagships = Seq("q66_simhash64_pairs", "q67_curation_pipeline",
+    "q81_curation_full", "q84_tfidf_cosine_pairs", "q91_text_semdedup")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = 10
+    val synthDir = "/tmp/graft_scale_synth"
+    val spark = GraftSession.build("graft-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(s"$synthDir/documents.parquet").exists()) {
+      val docs = Tables.documents(spark, baseDir)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      (0 until copies).map { k =>
+        docs.select(
+          (col("doc_id") + lit(k * maxId)).as("doc_id"),
+          regexp_replace(col("text"), "([a-z0-9]+)", s"$$1zq$k").as("text"),
+          col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars"))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$synthDir/documents.parquet")
+      println(s"synth corpus written: ${copies}x $baseDir documents")
+    }
+
+    val shuffleRecords = new LongAdder
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) shuffleRecords.add(m.shuffleWriteMetrics.recordsWritten)
+      }
+    })
+
+    def measure(name: String, dir: String): (Double, Long, Long) = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+      shuffleRecords.reset()
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // listener-bus drain before reading the adder
+      (dt, shuffleRecords.sum(), rows)
+    }
+
+    Flagships.foreach { q =>
+      val (t1, s1, r1) = measure(q, baseDir)
+      val (t10, s10, r10) = measure(q, synthDir)
+      println(f"$q%-24s sf0.1: ${t1}%6.1fs ${s1}%12d shuf $r1%9d rows | " +
+        f"10x: ${t10}%6.1fs ${s10}%12d shuf $r10%9d rows | " +
+        f"ratios t=${t10 / t1}%5.1f shuf=${s10.toDouble / math.max(s1, 1)}%5.1f " +
+        f"rows=${r10.toDouble / math.max(r1, 1)}%5.1f")
+    }
+    spark.stop()
+  }
+}

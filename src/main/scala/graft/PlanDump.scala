@@ -21,7 +21,12 @@ object PlanDump {
         "q63_decontaminate", "q64_chunking", "q65_ann_recall",
         "q75_semdedup", "q77_domain_cap", "q78_pagerank", "q79_zorder",
         "q83_boilerplate_lines", "q84_tfidf_cosine_pairs", "q85_semantic_decon",
-        "q87_interval_overlap", "q88_auto_blocklist", "q89_vocab_encode")
+        "q87_interval_overlap", "q88_auto_blocklist", "q89_vocab_encode",
+        // round 6: q102 shows the zero-join greedy subword encode (the
+        // vocab build collects ≤ size rows before the plan is formed),
+        // q104 the shuffle-free mapPartitions decode; q103 is omitted like
+        // q76 (packSequences forces its ranged frame)
+        "q102_subword_encode", "q104_media_decode")
       .foreach { q =>
       out.append(s"===== $q =====\n")
       out.append(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

@@ -1005,6 +1005,35 @@ object QueriesExt {
                      CAST(1 + doc_id % 40 AS INT) AS width,
                      CAST(1 + doc_id % 25 AS INT) AS height,
                      3 AS channels
+              FROM documents ORDER BY media_id""")),
+
+    // REAL audio decode round-trip (javax.sound.sampled — the JDK's WAV
+    // reader, the audio analogue of q104): each document synthesizes a
+    // PCM WAV whose rate/channels/frames derive from its id, the engine
+    // parses it back, and the oracle checks the decoded stream parameters
+    // plus the integer-floor duration — with this only video formats
+    // remain on the documented stub
+    Q("q105_audio_decode",
+      (s, d) => {
+        import s.implicits._
+        val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            Multimodal.MediaRow(id, "wav",
+              Multimodal.syntheticWav(
+                8000 + (id % 4).toInt * 4000, 1 + (id % 2).toInt,
+                500 + (id % 1000).toInt, id))
+          }
+        Multimodal.decodeAudioFeatures(rows)(s).toDF()
+          .select(col("media_id"), col("sample_rate"), col("channels"),
+            col("n_frames"), col("duration_ms"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+                     CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+                     CAST(1 + doc_id % 2 AS INT) AS channels,
+                     CAST(500 + doc_id % 1000 AS BIGINT) AS n_frames,
+                     CAST((500 + doc_id % 1000) * 1000
+                          // (8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_ms
               FROM documents ORDER BY media_id"""))
   )
 

@@ -125,6 +125,73 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Extracted audio features (real decode output). */
+  final case class AudioFeatures(
+      media_id: Long, format: String, byte_len: Long,
+      sample_rate: Int, channels: Int, n_frames: Long, duration_ms: Long)
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (the WAV/AIFF/AU
+    * readers ship with the JVM, like ImageIO's image readers): sample rate,
+    * channel count, and frame length come from the parsed audio stream;
+    * duration is integer milliseconds (frames·1000/rate, floor). Payloads
+    * no reader accepts degrade to -1 sentinels. Same mapPartitions codec
+    * boundary and batch shape as the image path — with this, only VIDEO
+    * formats remain on the documented md5 stub (no pure-JVM video decoder
+    * exists).
+    */
+  def decodeAudioFeatures(media: Dataset[MediaRow], batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            try {
+              val fmt = ais.getFormat
+              val frames = ais.getFrameLength
+              val rate = math.round(fmt.getSampleRate)
+              AudioFeatures(r.media_id, r.format, r.payload.length.toLong,
+                rate, fmt.getChannels, frames,
+                if (rate > 0 && frames >= 0) frames * 1000L / rate else -1L)
+            } finally ais.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException =>
+              AudioFeatures(r.media_id, r.format, r.payload.length.toLong,
+                -1, -1, -1L, -1L)
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic WAV (fixture generator for the audio decode
+    * path): 16-bit little-endian PCM, `nFrames` frames of `channels`
+    * channels at `sampleRate` Hz, samples a pure function of (seed, i) — a
+    * REAL RIFF/WAVE file the JDK reader parses.
+    */
+  def syntheticWav(sampleRate: Int, channels: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    require(sampleRate >= 1 && channels >= 1 && nFrames >= 0,
+      s"bad audio params: $sampleRate/$channels/$nFrames")
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val data = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < data.length) {
+      data(i) = ((seed + i * 31L) & 0xffL).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Frame-sampling plumbing for video-like payloads: emit `n` (offset,
     * sliceHash) rows per payload — the Spark-side shape of per-frame
     * extraction (generator/explode, not per-row UDF calls).

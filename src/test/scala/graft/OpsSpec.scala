@@ -190,6 +190,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L).byte_len == png.length.toLong)
   }
 
+  test("Multimodal: REAL WAV decode recovers stream parameters; " +
+      "non-audio payloads degrade to -1") {
+    implicit val s = spark
+    val wav = Multimodal.syntheticWav(16000, 2, 1234, seed = 7L)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF", "a genuine RIFF file")
+    val media = Seq(
+      Multimodal.MediaRow(1L, "wav", wav),
+      Multimodal.MediaRow(2L, "wav", Multimodal.syntheticWav(8000, 1, 999, 3L)),
+      Multimodal.MediaRow(3L, "png", "not audio at all".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.decodeAudioFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).sample_rate == 16000 && out(1L).channels == 2 &&
+      out(1L).n_frames == 1234L && out(1L).duration_ms == 1234L * 1000 / 16000)
+    assert(out(2L).sample_rate == 8000 && out(2L).channels == 1 &&
+      out(2L).n_frames == 999L)
+    assert(out(3L).sample_rate == -1 && out(3L).n_frames == -1L)
+  }
+
   test("Multimodal.sampleSlices emits n offsets with hashes") {
     val df = Seq((1L, "abcdefgh")).toDF("media_id", "payload")
     val out = Multimodal.sampleSlices(df, "media_id", "payload", 4)

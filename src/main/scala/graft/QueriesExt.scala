@@ -1034,8 +1034,97 @@ object QueriesExt {
                      CAST(500 + doc_id % 1000 AS BIGINT) AS n_frames,
                      CAST((500 + doc_id % 1000) * 1000
                           // (8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_ms
-              FROM documents ORDER BY media_id"""))
+              FROM documents ORDER BY media_id""")),
+
+    // REAL BPE merge-rule training (Sennrich et al. 2016) on the bounded
+    // distinct-word frequency table: 12 rounds of most-frequent-adjacent-
+    // pair merging, deterministic argmax (count desc, pair asc). The
+    // oracle unrolls training step for step (the q78 PageRank pattern) —
+    // both engines apply merges as the SAME boundary-safe left-to-right
+    // string replace, which IS BPE's greedy merge order
+    Q("q106_bpe_train",
+      (s, d) => TextAnalysis.bpeTrainRules(
+          t(s, d, "documents"), "text", merges = 12)
+        .orderBy(col("step")),
+      Some(s"""WITH ${bpeCtes(12)}
+              ${(1 to 12).map(i =>
+                s"SELECT $i AS step, x, y FROM r$i").mkString(" UNION ALL ")}
+              ORDER BY step""")),
+
+    // BPE encoding with the learned rules: every word folded through the
+    // 12 merges in training order (per-row replaces, zero shuffle), then
+    // split into subword tokens — real merge-based tokenization
+    // complementing q102's n-gram-vocab greedy matcher
+    Q("q107_bpe_encode",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val rules = TextAnalysis.bpeTrainRules(docs, "text", merges = 12)
+        TextAnalysis.bpeEncode(docs, "doc_id", "text", rules)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        // merge rules enter as 1-row cross joins (tN.x/tN.y plain columns);
+        // scalar subqueries inside the nested replace were re-evaluated
+        // per row and made the replay quadratic-feeling in practice
+        val applied = (1 to 12).foldLeft("seq0") { (acc, i) =>
+          s"replace($acc, ' ' || t$i.x || '  ' || t$i.y || ' ', " +
+            s"' ' || t$i.x || t$i.y || ' ')"
+        }
+        val ruleJoins = (1 to 12).map(i => s"r$i t$i").mkString(", ")
+        s"""WITH ${bpeCtes(12)},
+            wd AS (SELECT doc_id, CAST(i AS INT) AS wpos,
+                          regexp_replace(tk[CAST(i AS INT) + 1], '(.)', ' \\1 ', 'g') AS seq0
+                   FROM (SELECT doc_id, $toksSql AS tk FROM documents),
+                        unnest(range(0, len(tk))) u(i)),
+            enc AS (SELECT doc_id, wpos,
+                           string_split(trim($applied), '  ') AS toks
+                    FROM wd, $ruleJoins),
+            agg AS (SELECT doc_id,
+                           CAST(sum(len(toks)) AS INT) AS n_bpe_tokens,
+                           md5(string_agg(array_to_string(toks, ','), ','
+                                          ORDER BY wpos)) AS tokens_hash
+                    FROM enc GROUP BY doc_id)
+           SELECT d.doc_id, coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+                  coalesce(a.tokens_hash, md5('')) AS tokens_hash
+           FROM documents d LEFT JOIN agg a USING (doc_id)
+           ORDER BY doc_id"""
+      })
   )
+
+  /** Shared BPE-training CTE chain (q106/q107), unrolled per merge step
+    * like q78's PageRank oracle: s0 = the distinct-word table with each
+    * word's characters wrapped as ' c  h  a  r ' symbol strings; step i
+    * counts weighted adjacent pairs of s{i-1}, r$i is the deterministic
+    * argmax, s$i applies it as the boundary-safe left-to-right replace
+    * (identical semantics to Spark's `replace`).
+    */
+  private def bpeCtes(merges: Int): String = {
+    // every step CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
+    // r12's chain would otherwise re-expand s0..s11 (and each sN its own
+    // prefix) — combinatorial replay instead of 12 linear passes
+    val s0 =
+      s"""wc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM (
+                   SELECT unnest($toksSql) AS w FROM documents) GROUP BY w),
+          s0 AS MATERIALIZED (
+                 SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS seq, cnt
+                 FROM wc)"""
+    val steps = (1 to merges).map { i =>
+      s"""p$i AS MATERIALIZED (
+                  SELECT syms[CAST(j AS INT)] AS x,
+                         syms[CAST(j AS INT) + 1] AS y,
+                         sum(cnt) AS c
+                  FROM (SELECT string_split(trim(seq), '  ') AS syms, cnt
+                        FROM s${i - 1}),
+                       unnest(range(1, len(syms))) u(j)
+                  GROUP BY 1, 2),
+          r$i AS MATERIALIZED (SELECT x, y FROM p$i ORDER BY c DESC, x, y LIMIT 1),
+          s$i AS MATERIALIZED (
+                  SELECT replace(seq, ' ' || x || '  ' || y || ' ',
+                                 ' ' || x || y || ' ') AS seq, cnt
+                  FROM s${i - 1}, r$i)"""
+    }
+    (s0 +: steps).mkString(",\n")
+  }
 
   /** Shared subword-encoder CTE chain (q102/q103): token table → word
     * table → gram candidates (lengths 1..4 per occurrence) → top-`size`

@@ -516,6 +516,100 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_subwords"), col("n_unk"), col("ids_hash"))
   }
 
+  /** Distributed BPE merge-rule training (Sennrich et al. 2016) — the real
+    * subword-tokenizer learner, complementing the n-gram frequency vocab
+    * (`buildSubwordVocab`): `merges` rounds of (most frequent adjacent
+    * symbol pair → merged symbol), trained on the DISTINCT-WORD frequency
+    * table, which is vocabulary-bounded — the classic BPE optimization
+    * that makes training independent of corpus size after one token count.
+    *
+    * Symbol sequences travel as strings with every symbol wrapped in its
+    * own spaces (`"abc"` → `" a  b  c "`), so applying a merge is ONE
+    * non-overlapping left-to-right `replace(" x  y ", " xy ")` — exactly
+    * BPE's greedy merge order, with the space boundaries making false
+    * intra-symbol matches impossible (symbols are [a-z0-9] only). Spark
+    * and DuckDB share these replace semantics, which is what lets the
+    * oracle replay training step for step.
+    *
+    * Everything stays distributed and collect-free: each round is a
+    * split → adjacent-pair explode → weighted count → 1-row argmax
+    * (count desc, pair asc — deterministic), checkpointed and broadcast
+    * back into the replace; rounds iterate over the bounded word table
+    * only. Returns (step, x, y) merge rules, step 1..merges.
+    */
+  def bpeTrainRules(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1, s"need merges >= 1: $merges")
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var seqs = words
+      .select(regexp_replace(col("w"), "(.)", " $1 ").as("seq"), col("cnt"))
+      .localCheckpoint(true)
+    val rules = (1 to merges).map { step =>
+      val syms = split(trim(col("seq")), "  ")
+      // single-symbol words contribute no pairs (guard BEFORE sequence():
+      // Spark's sequence(1, 0) would count DOWN, and ANSI element_at past
+      // the array end is an error, not a null)
+      val pairs = seqs.where(size(syms) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(syms) - 1),
+          j => struct(element_at(syms, j).as("x"),
+            element_at(syms, (j + 1).cast("int")).as("y")))).as("pr"))
+        .groupBy(col("pr.x").as("x"), col("pr.y").as("y"))
+        .agg(sum(col("cnt")).as("c"))
+      val rule = pairs.orderBy(col("c").desc, col("x").asc, col("y").asc)
+        .limit(1)
+        .select(col("x"), col("y"))
+        .localCheckpoint(true)
+      seqs = seqs.crossJoin(broadcast(rule))
+        .select(replace(col("seq"),
+          concat(lit(" "), col("x"), lit("  "), col("y"), lit(" ")),
+          concat(lit(" "), col("x"), col("y"), lit(" "))).as("seq"),
+          col("cnt"))
+        .localCheckpoint(true)
+      rule.select(lit(step).as("step"), col("x"), col("y"))
+    }
+    // a corpus can exhaust its pairs before `merges` rounds (every word
+    // one symbol): later rules are empty 1-row-less frames; the truthful
+    // output simply carries fewer steps. The isEmpty probes read already-
+    // checkpointed 1-row frames (metadata-cheap).
+    val nonEmpty = rules.takeWhile(!_.isEmpty)
+    require(nonEmpty.nonEmpty, "bpeTrainRules: corpus has no adjacent pairs")
+    nonEmpty.reduce(_ unionByName _)
+  }
+
+  /** BPE encoding with learned `rules` ((step, x, y) from
+    * [[bpeTrainRules]]): each word's character sequence is folded through
+    * the merges IN TRAINING ORDER as literal left-to-right replaces inside
+    * ONE codegen projection — per-row, zero joins, zero shuffles — then
+    * split back into subword tokens. The rules table is collected (it is a
+    * model artifact bounded by the merge count, the `encodeSubwords` vocab
+    * pattern). Emits (idCol, n_bpe_tokens, tokens_hash) per document, the
+    * `encodeSubwords` contract with token strings in place of ids.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      rules: DataFrame): DataFrame = {
+    val ruleSeq = rules.orderBy(col("step"))
+      .select(col("x"), col("y")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val words = df.select(col(idCol).as("id"),
+      posexplode_outer(tokens(col(textCol))).as(Seq("wpos", "w")))
+    val seeded = words.withColumn("seq",
+      regexp_replace(col("w"), "(.)", " $1 "))
+    val merged = ruleSeq.foldLeft(seeded) { case (acc, (x, y)) =>
+      acc.withColumn("seq",
+        replace(col("seq"), lit(s" $x  $y "), lit(s" $x$y ")))
+    }
+    val toks = merged.withColumn("toks", split(trim(col("seq")), "  "))
+    toks.groupBy(col("id"))
+      .agg(
+        coalesce(sum(size(col("toks"))), lit(0)).cast("int").as("n_bpe_tokens"),
+        md5(concat_ws(",", flatten(transform(
+          array_sort(collect_list(when(col("wpos").isNotNull,
+            struct(col("wpos"), col("toks"))))),
+          s => s.getField("toks"))))).as("tokens_hash"))
+      .select(col("id").as(idCol), col("n_bpe_tokens"), col("tokens_hash"))
+  }
+
   /** URL host extraction + domain-level curation (the RefinedWeb-style
     * provenance filters): `urlDomains` pulls the host of every URL-shaped
     * span (per-row, codegen'd regex); `domainDocCounts` is the per-domain

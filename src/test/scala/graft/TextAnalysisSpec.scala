@@ -303,6 +303,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(enc(2L) == ((0, 0)), "empty doc survives with empty sequence")
   }
 
+  test("BPE: merge rules follow weighted pair frequency; encode applies " +
+      "them greedily in training order") {
+    // corpus: abab x3, ab x2, cd x1
+    //   step1 pairs: (a,b) = 2*3 + 1*2 = 8, (b,a) = 3, (c,d) = 1 → merge ab
+    //   step2 pairs: (ab,ab) = 3, (c,d) = 1               → merge abab
+    //   step3 pairs: (c,d) = 1                            → merge cd
+    val docs = Seq((1L, "abab abab abab ab ab cd")).toDF("doc_id", "text")
+    val rules = TextAnalysis.bpeTrainRules(docs, "text", merges = 3)
+      .orderBy($"step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toList
+    assert(rules == List((1, "a", "b"), (2, "ab", "ab"), (3, "c", "d")))
+    // greedy left-to-right application: "ababa" under merge (a,b) becomes
+    // ab|ab|a — and weighted argmax ties break on (x, y) ascending
+    val enc = TextAnalysis.bpeEncode(
+        Seq((1L, "abab ab cd ababa"), (2L, "")).toDF("doc_id", "text"),
+        "doc_id", "text",
+        TextAnalysis.bpeTrainRules(docs, "text", merges = 3))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_bpe_tokens"), r.getAs[String]("tokens_hash")))).toMap
+    // abab→[abab], ab→[ab], cd→[cd], ababa→[abab,a]
+    assert(enc(1L) == ((5, md5Hex("abab,ab,cd,abab,a"))))
+    assert(enc(2L) == ((0, md5Hex(""))), "empty doc survives")
+    // pair exhaustion: "ab" has ONE mergeable pair; asking for 3 merges
+    // yields exactly 1 rule (later rounds have no pairs left), and a corpus
+    // of single-char words (no adjacent pairs at all) is a hard error
+    val small = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrainRules(small, "text", merges = 3).count() == 1L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrainRules(
+        Seq((1L, "a b a")).toDF("doc_id", "text"), "text", merges = 5)
+    }
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

@@ -68,9 +68,11 @@ object Bench {
     val prefixes = results.map(_._1.takeWhile(_ != '_'))
     require(prefixes.distinct.size == prefixes.size,
       s"non-unique qNN bench prefixes: ${prefixes.diff(prefixes.distinct).mkString(",")}")
+    // 2-dp values: at 107 queries the line must stay comfortably inside
+    // the ~2000-char tail window (3-dp pushed it to ~1.8 KB)
     val qs = results
       .map { case (k, v, _) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(v * 1000) / 1000)
+        "\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(v * 100) / 100)
       }
       .mkString("{", ",", "}")
     // Failures ride in their own field — a consumer that sorts/averages the

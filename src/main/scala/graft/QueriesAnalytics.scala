@@ -27,6 +27,25 @@ object QueriesAnalytics {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** Shared bigram-LM CTE chain (q71/q108): add-one-smoothed bigram
+    * log-probs per doc occurrence, mirroring `TextAnalysis.bigramLmScores`
+    * (6-dp rounded, DECIMAL-summed downstream).
+    */
+  private val bigramLmCtes: String =
+    s"""tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+        bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+               FROM tk, unnest(range(1, len(t))) u(i)
+               WHERE len(t) >= 2),
+        cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+        v AS (SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(t) AS tok FROM tk)),
+        sc AS (SELECT doc_id,
+                      CAST(round(ln(CAST(cb + 1 AS DOUBLE) /
+                                    CAST(cu + v AS DOUBLE)), 6)
+                           AS DECIMAL(28,8)) AS lp
+               FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1), v)"""
+
   val all: Seq[Q] = Seq(
 
     // connected components over the MinHash near-dup pairs: every corpus doc
@@ -723,22 +742,36 @@ object QueriesAnalytics {
     Q("q71_bigram_lm",
       (s, d) => TextAnalysis.bigramLmScores(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id")),
-      Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
-               bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-                      FROM tk, unnest(range(1, len(t))) u(i)
-                      WHERE len(t) >= 2),
-               cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
-               cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
-               v AS (SELECT count(DISTINCT tok) AS v
-                     FROM (SELECT unnest(t) AS tok FROM tk)),
-               sc AS (SELECT doc_id,
-                             CAST(round(ln(CAST(cb + 1 AS DOUBLE) /
-                                           CAST(cu + v AS DOUBLE)), 6)
-                                  AS DECIMAL(28,8)) AS lp
-                      FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1), v)
+      Some(s"""WITH $bigramLmCtes
               SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
                      round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS lm_score
               FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // CCNet perplexity buckets: per-source head/middle/tail by bigram-LM
+    // score terciles — the stratification CCNet applies before sampling;
+    // tercile bounds are one exact-percentile agg per source broadcast
+    // back (quantile_cont ≡ Spark percentile, the q93 parity)
+    Q("q108_ppl_buckets",
+      (s, d) => TextAnalysis.pplBuckets(
+          t(s, d, "documents"), "doc_id", "text", "source")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $bigramLmCtes,
+               sdoc AS (SELECT doc_id,
+                               round(CAST(sum(lp) AS DOUBLE) / count(*), 4)
+                                 AS lm_score
+                        FROM sc GROUP BY doc_id),
+               j AS (SELECT d.doc_id, d.source, sdoc.lm_score
+                     FROM documents d JOIN sdoc USING (doc_id)),
+               b AS (SELECT source,
+                            quantile_cont(lm_score, 0.3333333333333333) AS p33,
+                            quantile_cont(lm_score, 0.6666666666666666) AS p66
+                     FROM j GROUP BY source)
+              SELECT j.doc_id, j.source, j.lm_score,
+                     CASE WHEN lm_score >= p66 THEN 'head'
+                          WHEN lm_score >= p33 THEN 'middle'
+                          ELSE 'tail' END AS bucket
+              FROM j JOIN b USING (source)
+              ORDER BY doc_id""")),
 
     // URL-domain provenance stats + blocklist filter (RefinedWeb-style):
     // deterministic synthesized URLs (the corpus has none), then per-domain

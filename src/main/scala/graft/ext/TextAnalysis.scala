@@ -692,6 +692,35 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_bigrams"), col("lm_score"))
   }
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): score every
+    * document with the corpus bigram LM, then label it head / middle /
+    * tail by its GROUP's lm_score terciles (higher mean log-prob = more
+    * fluent = head) — the bucketing CCNet uses to stratify web text by LM
+    * quality before sampling. Documents with fewer than two tokens carry
+    * no LM signal and are absent, like `bigramLmScores`.
+    *
+    * Scale shape: the LM legs are `bigramLmScores`' (vocabulary-sized
+    * count tables); the tercile bounds are ONE exact-percentile aggregate
+    * per group broadcast back (the q93 bounds pattern — no window ever
+    * sees the corpus). Exact `percentile` matches DuckDB's
+    * `quantile_cont` interpolation, which is what makes the oracle exact.
+    */
+  def pplBuckets(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val scores = bigramLmScores(df, idCol, textCol)
+    val scored = df.select(col(idCol), col(groupCol)).join(scores, Seq(idCol))
+    val bounds = scored.groupBy(col(groupCol))
+      .agg(expr("percentile(lm_score, array(0.3333333333333333D, 0.6666666666666666D))")
+        .as("__p"))
+      .select(col(groupCol), element_at(col("__p"), 1).as("__p33"),
+        element_at(col("__p"), 2).as("__p66"))
+    scored.join(broadcast(bounds), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("lm_score"),
+        when(col("lm_score") >= col("__p66"), lit("head"))
+          .when(col("lm_score") >= col("__p33"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Table form of winnowing for corpus-scale runs: explode the hashed
     * shingle stream once and take window minima with an analytic window —
     * each shingle is tokenized and hashed exactly once (the Column form

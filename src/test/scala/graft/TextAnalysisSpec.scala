@@ -303,6 +303,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(enc(2L) == ((0, 0)), "empty doc survives with empty sequence")
   }
 
+  test("pplBuckets: per-group terciles match a driver-side percentile") {
+    // two sources with distinct fluency mixes; scores come from the corpus
+    // bigram LM, buckets must agree with an independently computed tercile
+    val docs = (1L to 12L).map { i =>
+      val src = if (i <= 6) "a" else "b"
+      val text =
+        if (i % 3 == 0) "the cat sat on the mat and the cat sat again"
+        else if (i % 3 == 1) s"the cat sat on chair$i near window$i today"
+        else s"zx$i qv$i bn$i mm$i pp$i rr$i kk$i"
+      (i, src, text)
+    }.toDF("doc_id", "source", "text")
+    val out = TextAnalysis.pplBuckets(docs, "doc_id", "text", "source")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Double]("lm_score"), r.getAs[String]("bucket")))
+    assert(out.length == 12)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val scores = rows.map(_._3).sorted
+      def interp(q: Double): Double = {
+        val pos = q * (scores.length - 1)
+        val k = pos.toInt
+        val f = pos - k
+        if (k + 1 < scores.length) scores(k) * (1 - f) + scores(k + 1) * f
+        else scores(k)
+      }
+      val (p33, p66) = (interp(1.0 / 3), interp(2.0 / 3))
+      rows.foreach { case (id, _, s, b) =>
+        val expect = if (s >= p66) "head" else if (s >= p33) "middle" else "tail"
+        assert(b == expect, s"doc $id score $s: $b != $expect")
+      }
+      // the gibberish docs must not be head: their transitions are unique
+      assert(rows.filter(_._4 == "head").forall(_._3 >= p66))
+    }
+  }
+
   test("BPE: merge rules follow weighted pair frequency; encode applies " +
       "them greedily in training order") {
     // corpus: abab x3, ab x2, cd x1

@@ -610,6 +610,43 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_bpe_tokens"), col("tokens_hash"))
   }
 
+  /** Model-sized context chunking by REAL subword counts (the q64 shape
+    * with `tokenCountWs` swapped for the greedy-match encoder): words stay
+    * whole, and a word belongs to chunk ⌊(subwords before it)/maxTokens⌋ —
+    * the same deterministic prefix-sum rule `packSequences` uses, applied
+    * within the document. Emits (idCol, chunk_idx, n_chunk_tokens,
+    * chunk_hash); token-less documents produce no chunks.
+    *
+    * Scale shape: the per-word count is one codegen projection (vocab as
+    * plan reference object); the prefix sum is a WITHIN-DOC window keyed
+    * on the doc id — partition size is one document's words, the q92
+    * structurally-skew-free shape, never a corpus window.
+    */
+  def chunkBySubwords(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxTokens: Int, maxLen: Int = 4,
+      unkId: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxTokens >= 1, s"maxTokens must be positive: $maxTokens")
+    val vmap = vocab.select(col("term"), col("tid")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val words = df.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("wpos", "w")))
+      .withColumn("n", size(
+        graft.functions.VectorFunctions.subwordIdsNative(col("w"), vmap, maxLen, unkId))
+        .cast("long"))
+    val w = Window.partitionBy(col("id")).orderBy(col("wpos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunked = words.withColumn("__before", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("chunk_idx", floor(col("__before") / maxTokens))
+    chunked.groupBy(col("id"), col("chunk_idx"))
+      .agg(sum(col("n")).cast("int").as("n_chunk_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("wpos"), col("w")))),
+          s => s.getField("w")))).as("chunk_hash"))
+      .select(col("id").as(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("n_chunk_tokens"), col("chunk_hash"))
+  }
+
   /** URL host extraction + domain-level curation (the RefinedWeb-style
     * provenance filters): `urlDomains` pulls the host of every URL-shaped
     * span (per-row, codegen'd regex); `domainDocCounts` is the per-domain

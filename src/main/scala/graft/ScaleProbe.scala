@@ -28,6 +28,8 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // further args = query names to probe instead of the default flagships
+    val queries = if (args.length > 1) args.drop(1).toSeq else Flagships
     val copies = 10
     val synthDir = "/tmp/graft_scale_synth"
     val spark = GraftSession.build("graft-scale-probe")
@@ -68,7 +70,7 @@ object ScaleProbe {
       (dt, shuffleRecords.sum(), rows)
     }
 
-    Flagships.foreach { q =>
+    queries.foreach { q =>
       val (t1, s1, r1) = measure(q, baseDir)
       val (t10, s10, r10) = measure(q, synthDir)
       println(f"$q%-24s sf0.1: ${t1}%6.1fs ${s1}%12d shuf $r1%9d rows | " +

@@ -1534,6 +1534,90 @@ object QueriesAnalytics {
                            CAST(n_docs AS DOUBLE), 6) AS distinct_ratio,
                      lang_entropy
               FROM base JOIN ent USING (source)
-              ORDER BY source"""))
+              ORDER BY source""")),
+
+    // ingest-volume anomaly detection: per event_type, days whose event
+    // count exceeds mean + 3σ over that type's daily counts — the monitor
+    // a pipeline runs over its own arrival stream. σ is computed EXPLICITLY
+    // from integer Σx/Σx² with identically-spelled double arithmetic in
+    // both engines (library stddevs differ in summation order); the stats
+    // table is event-type-cardinality-sized and broadcasts back
+    Q("q110_event_anomaly",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val stats = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .where(col("n_days") >= 2)
+          .select(col("event_type"), col("n_days"),
+            (col("sx").cast("double") / col("n_days").cast("double")).as("mu"),
+            sqrt((col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double") /
+                  col("n_days").cast("double")) /
+              (col("n_days").cast("double") - 1)).as("sigma"))
+        daily.join(broadcast(stats), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(first(col("n_days")).cast("int").as("n_days"),
+            round(first(col("mu")), 6).as("mean_daily"),
+            round(first(col("sigma")), 6).as("sigma_daily"),
+            sum(when(col("x").cast("double") > col("mu") + lit(3d) * col("sigma"),
+              1).otherwise(0)).cast("int").as("n_anomalous_days"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                                    count(*) AS x
+                             FROM events GROUP BY event_type, day),
+               st AS (SELECT event_type, count(*) AS n_days, sum(x) AS sx,
+                             sum(x * x) AS sxx
+                      FROM daily GROUP BY event_type
+                      HAVING count(*) >= 2),
+               mu AS (SELECT event_type, n_days,
+                             CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS mu,
+                             sqrt((CAST(sxx AS DOUBLE) -
+                                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
+                                     CAST(n_days AS DOUBLE)) /
+                                  (CAST(n_days AS DOUBLE) - 1)) AS sigma
+                      FROM st)
+              SELECT d.event_type, CAST(m.n_days AS INT) AS n_days,
+                     round(m.mu, 6) AS mean_daily,
+                     round(m.sigma, 6) AS sigma_daily,
+                     CAST(count(*) FILTER (WHERE CAST(x AS DOUBLE) >
+                       m.mu + 3 * m.sigma) AS INT) AS n_anomalous_days
+              FROM daily d JOIN mu m USING (event_type)
+              GROUP BY d.event_type, m.n_days, m.mu, m.sigma
+              ORDER BY d.event_type""")),
+
+    // inter-event gap distribution per event_type (user-behavior latency
+    // profile): consecutive same-user gaps in integer MICROS (no division
+    // anywhere — Spark / is double, DuckDB / is float; integers sidestep
+    // both), exact median/p90 via the percentile ≡ quantile_cont parity.
+    // The lag window partitions on (user, type) — bounded per user
+    Q("q111_event_gaps",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        val gaps = t(s, d, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+          .where(col("gap_us").isNotNull)
+        gaps.groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("int").as("n_gaps"),
+            round(expr("percentile(gap_us, 0.5D)"), 4).as("median_gap_us"),
+            round(expr("percentile(gap_us, 0.9D)"), 4).as("p90_gap_us"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH g AS (SELECT event_type,
+                                epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+                                  PARTITION BY user_id, event_type
+                                  ORDER BY epoch_us(ts), event_id) AS gap_us
+                         FROM events),
+               f AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL)
+              SELECT event_type, CAST(count(*) AS INT) AS n_gaps,
+                     round(quantile_cont(gap_us, 0.5), 4) AS median_gap_us,
+                     round(quantile_cont(gap_us, 0.9), 4) AS p90_gap_us
+              FROM f GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -59,7 +59,7 @@ object Bench {
     // because the harness keeps only the final ~2000 chars of output and
     // the full-name, full-precision map (~2.4 KB at 82 queries) overflowed
     // it — the line's head was cut off and never parsed. Keys shrink to the
-    // unique qNN prefix and values to milliseconds; at 100+ queries the
+    // unique qNN prefix and values to 2-dp seconds; at 100+ queries the
     // line stays ~1.5 KB, inside the capture window with sbt's trailing
     // status line included.
     // Compact keys truncate to the qNN prefix — guard that the truncation
@@ -86,10 +86,19 @@ object Bench {
     val total = math.rint(results.collect { case (_, v, true) => v }.sum * 1000) / 1000
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // File artifact FIRST: stdout parsing has failed two rounds running
+    // (sbt appends its own `[success]` status line after everything we
+    // print, so the JSON can never be guaranteed to be the final stdout
+    // line). The file is the reliable channel; stdout stays for humans.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_result.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
     spark.stop()
     // Re-print after stop: anything the shutdown sequence writes (cleaner
     // warnings, hook output) must not be the tail the harness captures.
+    // Contract for stdout consumers: the line appears TWICE by design —
+    // take the LAST match only; never sum matching metric lines.
     println(line)
     Console.out.flush()
   }

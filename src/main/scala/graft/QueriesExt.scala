@@ -940,17 +940,7 @@ object QueriesExt {
         TextAnalysis.encodeSubwords(docs, "doc_id", "text", vocab)
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH RECURSIVE ${subwordCtes(300)},
-               agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_subwords,
-                              CAST(count(*) FILTER (WHERE tid = 0) AS INT) AS n_unk,
-                              md5(string_agg(CAST(tid AS VARCHAR), ','
-                                             ORDER BY wpos, step)) AS ids_hash
-                       FROM enc WHERE step >= 1 GROUP BY doc_id)
-              SELECT d.doc_id, coalesce(a.n_subwords, 0) AS n_subwords,
-                     coalesce(a.n_unk, 0) AS n_unk,
-                     coalesce(a.ids_hash, md5('')) AS ids_hash
-              FROM documents d LEFT JOIN agg a USING (doc_id)
-              ORDER BY doc_id""")),
+      Some(subwordEncodeSql(300, "n_subwords"))),
 
     // sequence packing by REAL subword counts (the q76 shape with the
     // tokenCountWs proxy swapped for q102's greedy-match token ids) — what
@@ -1117,8 +1107,131 @@ object QueriesExt {
                   coalesce(a.tokens_hash, md5('')) AS tokens_hash
            FROM documents d LEFT JOIN agg a USING (doc_id)
            ORDER BY doc_id"""
+      }),
+
+    // frozen tokenizer artifact (VERDICT r6 #1): train the q102 subword
+    // vocab, SAVE it as a parquet artifact, LOAD it back, and encode
+    // through the unified Tokenizer contract — the oracle is q102's exact
+    // replay (unified `n_tokens` alias), so a pass proves save→load→encode
+    // is bit-identical to train-in-query encoding
+    Q("q112_tokenizer_artifact",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val path = "/tmp/graft_tokenizer_q112"
+        Tokenizer.trainSubword(docs, "text", size = 300).save(path)
+        Tokenizer.load(s, path).encode(docs, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(subwordEncodeSql(300, "n_tokens"))),
+
+    // vocabulary-size-targeted BPE (Sennrich's stopping contract, VERDICT
+    // r6 #2): merge until |vocab| >= 30 symbols (alphabet is 24 here, so
+    // the stop fires mid-unroll), hard cap 12. The oracle unrolls all 12
+    // steps and emits rule i iff the step-(i-1) distinct-symbol count is
+    // still below the target — the same measured-not-assumed condition the
+    // engine checks before each round
+    Q("q113_bpe_vocab_stop",
+      (s, d) => TextAnalysis.bpeTrainToVocab(
+          t(s, d, "documents"), "text", vocabSize = 30, maxMerges = 12)
+        .orderBy(col("step")),
+      Some(s"""WITH ${bpeCtes(12)},
+               ${bpeVocabSizeCtes(12)}
+              ${(1 to 12).map(i =>
+                s"SELECT $i AS step, x, y FROM r$i, v${i - 1} WHERE v${i - 1}.nv < 30")
+                .mkString(" UNION ALL ")}
+              ORDER BY step""")),
+
+    // BPE-weighted sequence packing (VERDICT r6 #2): bpeEncodeIds' REAL
+    // token ids drive q103's packing shape — train 12 merges, induce the
+    // symbol-id vocab, encode every doc to ids (n_unk = 0 by construction
+    // on the training corpus), then range-exchange prefix-sum into 512-
+    // token training sequences. Exercises the full Tokenizer.Bpe path
+    Q("q114_pack_bpe",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val enc = Tokenizer.trainBpe(docs, "text", merges = 12)
+          .encode(docs, "doc_id", "text")
+          .withColumn("n_tokens", col("n_tokens").cast("long"))
+        Sampling.packSequences(enc, "n_tokens", Seq(col("doc_id").asc),
+            seqLen = 512L)
+          .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+            col("ids_hash"), col("seq_id"), col("seq_off"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val applied = (1 to 12).foldLeft("seq0") { (acc, i) =>
+          s"replace($acc, ' ' || t$i.x || '  ' || t$i.y || ' ', " +
+            s"' ' || t$i.x || t$i.y || ' ')"
+        }
+        val ruleJoins = (1 to 12).map(i => s"r$i t$i").mkString(", ")
+        s"""WITH ${bpeCtes(12)},
+            wd AS (SELECT doc_id, CAST(i AS INT) AS wpos,
+                          regexp_replace(tk[CAST(i AS INT) + 1], '(.)', ' \\1 ', 'g') AS seq0
+                   FROM (SELECT doc_id, $toksSql AS tk FROM documents),
+                        unnest(range(0, len(tk))) u(i)),
+            enc AS (SELECT doc_id, wpos,
+                           string_split(trim($applied), '  ') AS toks
+                    FROM wd, $ruleJoins),
+            vocab AS MATERIALIZED (
+              SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS tid
+              FROM (SELECT DISTINCT unnest(string_split(trim(seq), '  ')) AS sym
+                    FROM s12)),
+            tok AS (SELECT doc_id, wpos, CAST(j AS INT) AS j,
+                           toks[CAST(j AS INT) + 1] AS sym
+                    FROM enc, unnest(range(0, len(toks))) u(j)),
+            tid AS (SELECT t.doc_id, t.wpos, t.j, coalesce(v.tid, 0) AS tid
+                    FROM tok t LEFT JOIN vocab v ON v.sym = t.sym),
+            agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+                           CAST(count(*) FILTER (WHERE tid = 0) AS INT) AS n_unk,
+                           md5(string_agg(CAST(tid AS VARCHAR), ','
+                                          ORDER BY wpos, j)) AS ids_hash
+                    FROM tid GROUP BY doc_id),
+            d2 AS (SELECT d.doc_id,
+                          CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                          coalesce(a.n_unk, 0) AS n_unk,
+                          coalesce(a.ids_hash, md5('')) AS ids_hash
+                   FROM documents d LEFT JOIN agg a USING (doc_id)),
+            w2 AS (SELECT doc_id, n_tokens, n_unk, ids_hash,
+                          CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS BIGINT) AS strt
+                   FROM d2)
+           SELECT doc_id, n_tokens, n_unk, ids_hash,
+                  CAST(floor(strt / 512) AS BIGINT) AS seq_id,
+                  CAST(strt % 512 AS BIGINT) AS seq_off
+           FROM w2 ORDER BY doc_id"""
       })
   )
+
+  /** The q102 subword-encode oracle, alias-parameterized: q112 emits the
+    * SAME values through the unified `Tokenizer` contract, whose count
+    * column is `n_tokens` for every tokenizer kind (the driver compare
+    * hashes by column name, so the load-path query needs the SQL with the
+    * unified alias, not a second replay).
+    */
+  private def subwordEncodeSql(size: Int, countAlias: String): String =
+    s"""WITH RECURSIVE ${subwordCtes(size)},
+        agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_subwords,
+                       CAST(count(*) FILTER (WHERE tid = 0) AS INT) AS n_unk,
+                       md5(string_agg(CAST(tid AS VARCHAR), ','
+                                      ORDER BY wpos, step)) AS ids_hash
+                FROM enc WHERE step >= 1 GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(a.n_subwords, 0) AS $countAlias,
+              coalesce(a.n_unk, 0) AS n_unk,
+              coalesce(a.ids_hash, md5('')) AS ids_hash
+       FROM documents d LEFT JOIN agg a USING (doc_id)
+       ORDER BY doc_id"""
+
+  /** Per-step distinct-symbol counts over the [[bpeCtes]] chain — the
+    * size-stop condition's replay (q113): `v$i.nv` is |vocab| after step i,
+    * and rule i+1 is emitted iff nv < the target. MATERIALIZED for the same
+    * reason as the s-chain (each v$i must not re-expand its prefix).
+    */
+  private def bpeVocabSizeCtes(maxMerges: Int): String =
+    (0 until maxMerges).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT count(DISTINCT sym) AS nv FROM (
+            SELECT unnest(string_split(trim(seq), '  ')) AS sym FROM s$i))"""
+    }.mkString(",\n")
 
   /** Shared BPE-training CTE chain (q106/q107), unrolled per merge step
     * like q78's PageRank oracle: s0 = the distinct-word table with each

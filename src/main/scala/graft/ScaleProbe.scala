@@ -43,6 +43,13 @@ object ScaleProbe {
           (col("doc_id") + lit(k * maxId)).as("doc_id"),
           regexp_replace(col("text"), "([a-z0-9]+)", s"$$1zq$k").as("text"),
           col("lang"), col("source"),
+          // DELIBERATELY the ORIGINAL text's length (select expressions all
+          // read the input row, so this is pre-suffix): the suffix inflates
+          // chars but not tokens, and the probed gates read the STORED
+          // n_chars — keeping it original preserves the base run's
+          // char-stat selectivities, so shuffle ratios measure data growth,
+          // not gate drift. Stages recomputing length(text) would disagree
+          // with this column; none of the probed flagships do.
           length(col("text")).cast("long").as("n_chars"))
       }.reduce(_ unionByName _)
         .repartition(32)

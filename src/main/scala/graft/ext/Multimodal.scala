@@ -74,9 +74,12 @@ object Multimodal {
   /** REAL image decode via the JDK's ImageIO (PNG/BMP/JPEG/GIF readers are
     * part of the JVM — pure-Java, no container codecs required): width and
     * height come from the decoded raster, channels from its band count.
-    * Payloads no ImageIO reader accepts (corrupt bytes, audio/video
-    * formats) yield (-1, -1, -1) rather than failing the job — filter on
-    * `width >= 0` (or route those rows to a format-specific decoder).
+    * Undecodable payloads yield (-1, -1, -1) rather than failing the job —
+    * filter on `width >= 0` (or route those rows to a format-specific
+    * decoder). BOTH failure modes degrade: no reader claims the format
+    * (ImageIO.read returns null) AND a matched reader throwing on a
+    * corrupt/truncated body (valid PNG/JPEG signature, broken stream —
+    * IIOException/IOException, caught like the audio path's).
     *
     * Same scale shape as the stub: mapPartitions is the codec boundary
     * (stream + reader state per partition), rows processed in buffered
@@ -90,8 +93,10 @@ object Multimodal {
         batch.map { r =>
           val sha = java.security.MessageDigest.getInstance("SHA-256")
             .digest(r.payload).map("%02x".format(_)).mkString
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            catch { case _: java.io.IOException => null }
           if (img == null)
             MediaFeatures(r.media_id, r.format, r.payload.length.toLong, sha,
               -1, -1, -1)

@@ -352,7 +352,11 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
       threshold: Double, maxCell: Int = DefaultMaxCell): DataFrame = {
     require(maxCell >= 1, s"maxCell must be positive: $maxCell")
+    // materialized once: both self-join legs derive from `guarded`, so an
+    // un-checkpointed sizes frame would re-run the per-block count (and the
+    // scan under it) once per leg; the frame is cell-cardinality-sized
     val sizes = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__cn"))
+      .localCheckpoint(true)
     val guarded = df.join(broadcast(sizes), Seq(blockCol))
       .withColumn("__sub",
         when(col("__cn") > maxCell,

@@ -539,33 +539,10 @@ object TextAnalysis {
     */
   def bpeTrainRules(df: DataFrame, textCol: String, merges: Int): DataFrame = {
     require(merges >= 1, s"need merges >= 1: $merges")
-    val words = df.select(explode(tokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    var seqs = words
-      .select(regexp_replace(col("w"), "(.)", " $1 ").as("seq"), col("cnt"))
-      .localCheckpoint(true)
+    var seqs = bpeWordSeqs(df, textCol)
     val rules = (1 to merges).map { step =>
-      val syms = split(trim(col("seq")), "  ")
-      // single-symbol words contribute no pairs (guard BEFORE sequence():
-      // Spark's sequence(1, 0) would count DOWN, and ANSI element_at past
-      // the array end is an error, not a null)
-      val pairs = seqs.where(size(syms) >= 2)
-        .select(col("cnt"), explode(transform(
-          sequence(lit(1), size(syms) - 1),
-          j => struct(element_at(syms, j).as("x"),
-            element_at(syms, (j + 1).cast("int")).as("y")))).as("pr"))
-        .groupBy(col("pr.x").as("x"), col("pr.y").as("y"))
-        .agg(sum(col("cnt")).as("c"))
-      val rule = pairs.orderBy(col("c").desc, col("x").asc, col("y").asc)
-        .limit(1)
-        .select(col("x"), col("y"))
-        .localCheckpoint(true)
-      seqs = seqs.crossJoin(broadcast(rule))
-        .select(replace(col("seq"),
-          concat(lit(" "), col("x"), lit("  "), col("y"), lit(" ")),
-          concat(lit(" "), col("x"), col("y"), lit(" "))).as("seq"),
-          col("cnt"))
-        .localCheckpoint(true)
+      val rule = bpeBestPair(seqs)
+      seqs = bpeApplyRule(seqs, rule)
       rule.select(lit(step).as("step"), col("x"), col("y"))
     }
     // a corpus can exhaust its pairs before `merges` rounds (every word
@@ -575,6 +552,166 @@ object TextAnalysis {
     val nonEmpty = rules.takeWhile(!_.isEmpty)
     require(nonEmpty.nonEmpty, "bpeTrainRules: corpus has no adjacent pairs")
     nonEmpty.reduce(_ unionByName _)
+  }
+
+  /** The distinct-word frequency table as spaced symbol strings — BPE
+    * training state zero (each word's characters wrapped ' c  h  a  r ').
+    */
+  private def bpeWordSeqs(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), "(.)", " $1 ").as("seq"), col("cnt"))
+      .localCheckpoint(true)
+
+  /** One BPE training round's argmax: the most frequent adjacent symbol
+    * pair of `seqs`, weighted by word frequency, deterministic tiebreak
+    * (count desc, pair asc). 1-row (or empty, when no word has two
+    * symbols), eagerly checkpointed.
+    */
+  private def bpeBestPair(seqs: DataFrame): DataFrame = {
+    val syms = split(trim(col("seq")), "  ")
+    // single-symbol words contribute no pairs (guard BEFORE sequence():
+    // Spark's sequence(1, 0) would count DOWN, and ANSI element_at past
+    // the array end is an error, not a null)
+    seqs.where(size(syms) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(syms) - 1),
+        j => struct(element_at(syms, j).as("x"),
+          element_at(syms, (j + 1).cast("int")).as("y")))).as("pr"))
+      .groupBy(col("pr.x").as("x"), col("pr.y").as("y"))
+      .agg(sum(col("cnt")).as("c"))
+      .orderBy(col("c").desc, col("x").asc, col("y").asc)
+      .limit(1)
+      .select(col("x"), col("y"))
+      .localCheckpoint(true)
+  }
+
+  /** Apply one merge rule to the symbol strings: the boundary-safe
+    * left-to-right literal replace (BPE's greedy merge order; identical
+    * semantics in Spark and DuckDB `replace`).
+    */
+  private def bpeApplyRule(seqs: DataFrame, rule: DataFrame): DataFrame =
+    seqs.crossJoin(broadcast(rule))
+      .select(replace(col("seq"),
+        concat(lit(" "), col("x"), lit("  "), col("y"), lit(" ")),
+        concat(lit(" "), col("x"), col("y"), lit(" "))).as("seq"),
+        col("cnt"))
+      .localCheckpoint(true)
+
+  /** Vocabulary-size-targeted BPE training — Sennrich et al.'s actual
+    * stopping contract ("merge until |vocab| = N") where [[bpeTrainRules]]
+    * runs a fixed merge count: before each round the DISTINCT-SYMBOL count
+    * of the word table is measured, and rule `i` is learned iff that count
+    * is still below `vocabSize` (a merged symbol usually adds one entry,
+    * but merges can also coincide with an existing symbol or retire their
+    * inputs, so the count is measured, never assumed). `maxMerges` is the
+    * hard unroll cap that keeps the loop — and the oracle's step-for-step
+    * replay — statically bounded.
+    *
+    * Scale shape: identical to [[bpeTrainRules]] (every round touches the
+    * bounded word table only); the per-round vocab probe is one scalar
+    * aggregate over that table.
+    */
+  def bpeTrainToVocab(df: DataFrame, textCol: String, vocabSize: Int,
+      maxMerges: Int): DataFrame = {
+    require(vocabSize >= 1 && maxMerges >= 1,
+      s"need vocabSize/maxMerges >= 1: $vocabSize/$maxMerges")
+    var seqs = bpeWordSeqs(df, textCol)
+    val rules = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var step = 1
+    var stop = false
+    while (!stop && step <= maxMerges) {
+      val nv = seqs.select(explode(split(trim(col("seq")), "  ")).as("s"))
+        .agg(countDistinct(col("s"))).head().getLong(0)
+      if (nv >= vocabSize) stop = true
+      else {
+        val rule = bpeBestPair(seqs)
+        if (rule.isEmpty) stop = true
+        else {
+          seqs = bpeApplyRule(seqs, rule)
+          rules += rule.select(lit(step).as("step"), col("x"), col("y"))
+          step += 1
+        }
+      }
+    }
+    require(rules.nonEmpty,
+      s"bpeTrainToVocab: vocab already >= $vocabSize (or no pairs) before any merge")
+    rules.reduce(_ unionByName _)
+  }
+
+  /** The symbol vocabulary a trained rule set induces: every distinct
+    * symbol of the distinct-word table AFTER applying the merges, ids
+    * 1..N by symbol order (0 is reserved for unknowns). This is the
+    * id-assignment half of the frozen BPE artifact — [[bpeEncodeIds]]
+    * looks tokens up here. The single-partition id stamp touches only the
+    * vocabulary-sized distinct-symbol table (the `buildSubwordVocab`
+    * shape).
+    */
+  def bpeVocab(df: DataFrame, textCol: String, rules: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ruleSeq = rules.orderBy(col("step"))
+      .select(col("x"), col("y")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val seeded = df.select(explode(tokens(col(textCol))).as("w")).distinct()
+      .select(regexp_replace(col("w"), "(.)", " $1 ").as("seq"))
+    val merged = ruleSeq.foldLeft(seeded) { case (acc, (x, y)) =>
+      acc.select(replace(col("seq"), lit(s" $x  $y "), lit(s" $x$y ")).as("seq"))
+    }
+    merged.select(explode(split(trim(col("seq")), "  ")).as("term")).distinct()
+      .withColumn("tid",
+        row_number().over(Window.orderBy(col("term"))).cast("long"))
+  }
+
+  /** BPE encoding to REAL token ids — the contract that lets chunking /
+    * packing / budget selection run off BPE tokens the way they run off
+    * the n-gram vocab's: fold each word through the merges in training
+    * order (the [[bpeEncode]] per-row replace chain), then map every
+    * resulting symbol to its [[bpeVocab]] id. Emits (idCol, n_tokens,
+    * n_unk, ids_hash) per document — the `encodeSubwords` schema, which is
+    * what makes the two tokenizer families interchangeable behind
+    * [[Tokenizer]].
+    *
+    * Symbol→id lookup reuses the `SubwordIds` codegen kernel (O(1) hash
+    * probe per symbol): a trained-on symbol IS in the vocab, so greedy
+    * longest-match over the whole symbol returns exactly its id in one
+    * step; a symbol never seen in training (new alphabet at encode time)
+    * degrades gracefully by decomposing into known sub-symbols — the
+    * standard char-level BPE back-off — with id `unkId` for truly unknown
+    * characters. Rules and vocab are bounded model artifacts (the
+    * `encodeSubwords` collect pattern); the corpus pays one codegen
+    * projection and one per-doc rebuild aggregate.
+    */
+  def bpeEncodeIds(df: DataFrame, idCol: String, textCol: String,
+      rules: DataFrame, vocab: DataFrame, unkId: Long = 0L): DataFrame = {
+    val ruleSeq = rules.orderBy(col("step"))
+      .select(col("x"), col("y")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vmap = vocab.select(col("term"), col("tid")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxSym = if (vmap.isEmpty) 1 else vmap.keysIterator.map(_.length).max
+    val words = df.select(col(idCol).as("id"),
+      posexplode_outer(tokens(col(textCol))).as(Seq("wpos", "w")))
+    val seeded = words.withColumn("seq",
+      regexp_replace(col("w"), "(.)", " $1 "))
+    val merged = ruleSeq.foldLeft(seeded) { case (acc, (x, y)) =>
+      acc.withColumn("seq",
+        replace(col("seq"), lit(s" $x  $y "), lit(s" $x$y ")))
+    }
+    val enc = merged
+      .withColumn("ids", flatten(transform(split(trim(col("seq")), "  "),
+        s => graft.functions.VectorFunctions.subwordIdsNative(
+          s, vmap, maxSym, unkId))))
+    enc.groupBy(col("id"))
+      .agg(
+        coalesce(sum(size(col("ids"))), lit(0)).cast("int").as("n_tokens"),
+        coalesce(sum(size(filter(col("ids"), t => t === unkId))), lit(0))
+          .cast("int").as("n_unk"),
+        md5(concat_ws(",", flatten(transform(
+          array_sort(collect_list(when(col("wpos").isNotNull,
+            struct(col("wpos"), col("ids"))))),
+          s => transform(s.getField("ids"), x => x.cast("string"))))))
+          .as("ids_hash"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_unk"), col("ids_hash"))
   }
 
   /** BPE encoding with learned `rules` ((step, x, y) from

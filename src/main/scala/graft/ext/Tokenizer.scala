@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unified, persistable tokenizer artifact: both tokenizer families — the
+  * corpus-derived n-gram vocabulary with greedy longest-match encoding
+  * ([[TextAnalysis.buildSubwordVocab]] / [[TextAnalysis.encodeSubwords]])
+  * and learned BPE merge rules ([[TextAnalysis.bpeTrainRules]] /
+  * [[TextAnalysis.bpeEncodeIds]]) — behind ONE frozen-model contract:
+  *
+  * {{{
+  * val tok = Tokenizer.trainSubword(docs, "text", size = 300)   // once
+  * tok.save(path)                                               // offline
+  * val tok2 = Tokenizer.load(spark, path)                       // per job
+  * tok2.encode(corpus, "doc_id", "text")                        // any pass
+  * }}}
+  *
+  * `encode` emits (idCol, n_tokens, n_unk, ids_hash) for EVERY kind, so
+  * chunking, packing, and budget selection are tokenizer-agnostic: swap the
+  * artifact, not the pipeline. The artifact itself is plain parquet (a
+  * 1-row `meta` table plus the model tables) — versionable, diffable, and
+  * readable by any engine; its tables are bounded by construction (vocab ≤
+  * training `size` + alphabet, rules ≤ merge count), so loading is a
+  * broadcast-sized read, never a corpus read.
+  *
+  * Production stance (VERDICT r6 #1): training happens once, offline;
+  * every corpus pass tokenizes with the frozen artifact. Retraining inside
+  * a query (the q102/q103/q109 form) exists for oracle self-containment
+  * only — q112 pins save→load→encode ≡ train→encode bit-for-bit.
+  */
+object Tokenizer {
+
+  sealed trait Model {
+    /** Artifact discriminator persisted in `meta`: "subword" | "bpe". */
+    def kind: String
+
+    /** Tokenize: one row per input row — (idCol, n_tokens, n_unk,
+      * ids_hash), identical schema for every tokenizer kind.
+      */
+    def encode(df: DataFrame, idCol: String, textCol: String): DataFrame
+
+    /** Persist the frozen artifact at `path` (parquet; overwrite). */
+    def save(path: String): Unit
+  }
+
+  /** n-gram frequency vocab + greedy longest-match (q102's tokenizer). */
+  final case class Subword(vocab: DataFrame, maxLen: Int, unkId: Long)
+      extends Model {
+    val kind = "subword"
+
+    def encode(df: DataFrame, idCol: String, textCol: String): DataFrame =
+      TextAnalysis.encodeSubwords(df, idCol, textCol, vocab, maxLen, unkId)
+        .withColumnRenamed("n_subwords", "n_tokens")
+
+    def save(path: String): Unit = {
+      writeMeta(vocab.sparkSession, path, kind, maxLen, unkId)
+      vocab.select(col("term"), col("tid"))
+        .write.mode("overwrite").parquet(s"$path/vocab.parquet")
+    }
+  }
+
+  /** Learned BPE merges + induced symbol ids (q106/q107's tokenizer). */
+  final case class Bpe(rules: DataFrame, vocab: DataFrame, unkId: Long)
+      extends Model {
+    val kind = "bpe"
+
+    def encode(df: DataFrame, idCol: String, textCol: String): DataFrame =
+      TextAnalysis.bpeEncodeIds(df, idCol, textCol, rules, vocab, unkId)
+
+    def save(path: String): Unit = {
+      writeMeta(rules.sparkSession, path, kind, 0, unkId)
+      vocab.select(col("term"), col("tid"))
+        .write.mode("overwrite").parquet(s"$path/vocab.parquet")
+      rules.select(col("step"), col("x"), col("y"))
+        .write.mode("overwrite").parquet(s"$path/rules.parquet")
+    }
+  }
+
+  def trainSubword(df: DataFrame, textCol: String, size: Int,
+      maxLen: Int = 4, unkId: Long = 0L): Subword =
+    Subword(TextAnalysis.buildSubwordVocab(df, textCol, size, maxLen),
+      maxLen, unkId)
+
+  /** Fixed-merge-count BPE (the [[TextAnalysis.bpeTrainRules]] contract). */
+  def trainBpe(df: DataFrame, textCol: String, merges: Int,
+      unkId: Long = 0L): Bpe = {
+    val rules = TextAnalysis.bpeTrainRules(df, textCol, merges)
+    Bpe(rules, TextAnalysis.bpeVocab(df, textCol, rules), unkId)
+  }
+
+  /** Vocabulary-size-targeted BPE (Sennrich's stopping contract; see
+    * [[TextAnalysis.bpeTrainToVocab]]).
+    */
+  def trainBpeToVocab(df: DataFrame, textCol: String, vocabSize: Int,
+      maxMerges: Int, unkId: Long = 0L): Bpe = {
+    val rules = TextAnalysis.bpeTrainToVocab(df, textCol, vocabSize, maxMerges)
+    Bpe(rules, TextAnalysis.bpeVocab(df, textCol, rules), unkId)
+  }
+
+  /** Load a frozen artifact written by [[Model.save]]; dispatches on the
+    * persisted `kind`. The model tables are bounded reads (vocab / rules),
+    * never corpus-sized.
+    */
+  def load(spark: SparkSession, path: String): Model = {
+    val m = spark.read.parquet(s"$path/meta.parquet").head()
+    val kind = m.getAs[String]("kind")
+    val unkId = m.getAs[Long]("unk_id")
+    kind match {
+      case "subword" =>
+        Subword(spark.read.parquet(s"$path/vocab.parquet"),
+          m.getAs[Int]("max_len"), unkId)
+      case "bpe" =>
+        Bpe(spark.read.parquet(s"$path/rules.parquet"),
+          spark.read.parquet(s"$path/vocab.parquet"), unkId)
+      case other =>
+        throw new IllegalArgumentException(s"unknown tokenizer kind: $other")
+    }
+  }
+
+  private def writeMeta(spark: SparkSession, path: String, kind: String,
+      maxLen: Int, unkId: Long): Unit = {
+    import spark.implicits._
+    Seq((kind, maxLen, unkId)).toDF("kind", "max_len", "unk_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta.parquet")
+  }
+}

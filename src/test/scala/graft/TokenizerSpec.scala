@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{TextAnalysis, Tokenizer}
+
+/** The frozen-tokenizer contract (VERDICT r6 #1/#2): save→load→encode must
+  * be bit-identical to train→encode for BOTH tokenizer families, the
+  * vocab-size-targeted BPE trainer must stop exactly when the measured
+  * symbol count reaches the target, and BPE id encoding must agree with
+  * the symbol-level encoder.
+  */
+class TokenizerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat ate the rat"),
+    (3L, "low lower lowest newer newest"),
+    (4L, ""),
+    (5L, "cats eat rats and bats")).toDF("doc_id", "text")
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_tok").toString
+
+  private def encoded(m: Tokenizer.Model) =
+    m.encode(corpus, "doc_id", "text").orderBy($"doc_id").collect().toSeq
+
+  test("subword: save -> load -> encode is bit-identical to train -> encode") {
+    val trained = Tokenizer.trainSubword(corpus, "text", size = 40, maxLen = 3)
+    val path = tmp()
+    trained.save(path)
+    val loaded = Tokenizer.load(spark, path)
+    assert(loaded.kind == "subword")
+    assert(loaded.asInstanceOf[Tokenizer.Subword].maxLen == 3)
+    assert(encoded(loaded) == encoded(trained))
+  }
+
+  test("bpe: save -> load -> encode is bit-identical to train -> encode") {
+    val trained = Tokenizer.trainBpe(corpus, "text", merges = 6)
+    val path = tmp()
+    trained.save(path)
+    val loaded = Tokenizer.load(spark, path)
+    assert(loaded.kind == "bpe")
+    assert(encoded(loaded) == encoded(trained))
+  }
+
+  test("unified encode schema is identical across tokenizer kinds") {
+    val sub = Tokenizer.trainSubword(corpus, "text", size = 40)
+      .encode(corpus, "doc_id", "text")
+    val bpe = Tokenizer.trainBpe(corpus, "text", merges = 3)
+      .encode(corpus, "doc_id", "text")
+    assert(sub.columns.toSeq == Seq("doc_id", "n_tokens", "n_unk", "ids_hash"))
+    assert(bpe.columns.toSeq == Seq("doc_id", "n_tokens", "n_unk", "ids_hash"))
+  }
+
+  test("bpeTrainToVocab stops at the measured symbol-count target") {
+    // alphabet of this corpus
+    val alphabet = corpus
+      .select(explode(TextAnalysis.tokens($"text")).as("w"))
+      .select(explode(split($"w", "")).as("c"))
+      .where($"c" =!= "").distinct().count()
+    val target = alphabet.toInt + 3
+    val rules = TextAnalysis.bpeTrainToVocab(corpus, "text", target, 20)
+    val bpe = Tokenizer.Bpe(rules,
+      TextAnalysis.bpeVocab(corpus, "text", rules), 0L)
+    val vocabN = bpe.vocab.count()
+    // stopped exactly when the target was reached: final vocab >= target,
+    // and removing the last rule would leave it short
+    assert(vocabN >= target)
+    val butLast = rules.where($"step" < rules.agg(max($"step")).head().getInt(0))
+    val vocabPrev = TextAnalysis.bpeVocab(corpus, "text", butLast).count()
+    assert(vocabPrev < target)
+    // and the learned prefix is bpeTrainRules' (same greedy argmax path)
+    val nRules = rules.count().toInt
+    val fixed = TextAnalysis.bpeTrainRules(corpus, "text", nRules)
+    assert(rules.orderBy($"step").collect().toSeq ==
+      fixed.orderBy($"step").collect().toSeq)
+  }
+
+  test("bpeEncodeIds: zero unks on the training corpus, counts match bpeEncode") {
+    val rules = TextAnalysis.bpeTrainRules(corpus, "text", 6)
+    val vocab = TextAnalysis.bpeVocab(corpus, "text", rules)
+    val ids = TextAnalysis.bpeEncodeIds(corpus, "doc_id", "text", rules, vocab)
+      .orderBy($"doc_id").collect()
+    assert(ids.forall(_.getAs[Int]("n_unk") == 0))
+    val syms = TextAnalysis.bpeEncode(corpus, "doc_id", "text", rules)
+      .orderBy($"doc_id").collect()
+    assert(ids.map(_.getAs[Int]("n_tokens")).toSeq ==
+      syms.map(_.getAs[Int]("n_bpe_tokens")).toSeq)
+  }
+
+  test("bpeEncodeIds: unseen alphabet decomposes via known sub-symbols, unk for unknown chars") {
+    val rules = TextAnalysis.bpeTrainRules(corpus, "text", 2)
+    val vocab = TextAnalysis.bpeVocab(corpus, "text", rules)
+    // 'zq' never occurs in the training corpus: both chars unknown -> 2 unks;
+    // 'cat' is all known symbols -> 0 unks
+    val probe = Seq((1L, "zq cat")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncodeIds(probe, "doc_id", "text", rules, vocab)
+      .head()
+    assert(out.getAs[Int]("n_unk") == 2)
+    assert(out.getAs[Int]("n_tokens") >= 3)
+  }
+}

@@ -7,15 +7,18 @@ import org.apache.spark.sql.functions._
   * travel as opaque `binary` columns with typed metadata; decode / feature
   * extraction runs batched per partition.
   *
-  * IMAGE decode is REAL: `decodeImageFeatures` runs the JDK's
-  * `javax.imageio` readers (PNG/BMP/JPEG/GIF ship with the JVM — no native
-  * codecs needed) inside the per-partition batch shape, and
-  * q104_media_decode round-trips a synthesized PNG per document against
-  * oracle-stored dimensions. The md5-derived `decodeFeatures` stub remains
-  * for formats the JVM cannot decode (audio/video) — for those the
-  * Spark-side contract (schema, binary column, per-partition batching) is
-  * the tested part, and production swaps in a JNI/FFI codec behind the same
-  * mapPartitions boundary (one library init per partition, never per row).
+  * ALL THREE modalities decode for real: `decodeImageFeatures` runs the
+  * JDK's `javax.imageio` readers (q104), `decodeAudioFeatures` the JDK's
+  * `javax.sound.sampled` WAV/AIFF/AU readers (q105), and
+  * `decodeVideoFeatures` parses RIFF/AVI containers byte-by-byte — `avih`
+  * header dims/frame-count/frame-interval plus a REAL ImageIO decode of
+  * the first MJPEG frame (q115). The md5-derived `decodeFeatures` stub
+  * remains only as the generic-opaque-format fallback (q30/q31's
+  * contract): payloads whose codec genuinely isn't in the JVM (H.264 and
+  * friends) keep the Spark-side shape — schema, binary column,
+  * per-partition batching — and production swaps in a JNI/FFI codec behind
+  * the same mapPartitions boundary (one library init per partition, never
+  * per row).
   */
 object Multimodal {
 
@@ -31,8 +34,11 @@ object Multimodal {
   def byteLen(payload: Column): Column = octet_length(payload)
   def checksum(payload: Column): Column = sha2(payload, 256)
 
-  /** Deterministic fake "decoded" dimensions from the checksum — the stub
-    * the tests pin down. hexVal via ascii arithmetic (oracle-portable).
+  /** Deterministic fake "decoded" dimensions from the checksum — the
+    * generic-opaque-format FALLBACK (q30/q31's contract) for codecs the
+    * JVM genuinely lacks (H.264 etc.); images, WAV audio, and AVI video
+    * have REAL decoders below. hexVal via ascii arithmetic
+    * (oracle-portable).
     */
   def fakeDims(payload: Column): Seq[Column] = {
     val h = md5(payload)
@@ -195,6 +201,153 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** Extracted video features (real container parse + first-frame decode). */
+  final case class VideoFeatures(
+      media_id: Long, format: String, byte_len: Long,
+      width: Int, height: Int, n_frames: Long, usec_per_frame: Long,
+      frame_width: Int, frame_height: Int)
+
+  /** REAL video container parsing — pure JVM, no codec libraries: walks the
+    * RIFF/AVI chunk tree byte-by-byte (little-endian u32 sizes, word-
+    * aligned chunks, LIST recursion), reads dims / total frames / frame
+    * interval from the `avih` main header, and decodes the FIRST `00dc`
+    * MJPEG frame with the existing ImageIO path (MJPEG frames are plain
+    * JPEGs — the one video codec the JVM can actually decode).
+    * `frame_width/height` come from decoded pixels, so a pass proves the
+    * movi payload is genuine encoded video, not just a header walk.
+    * Non-AVI / truncated payloads degrade to -1 sentinels (the q104/q105
+    * contract); same mapPartitions codec boundary and batch shape.
+    *
+    * `usec_per_frame` stays in integer microseconds (division-free — the
+    * q111 lesson: engines disagree on division semantics, so hashable
+    * outputs avoid it; fps is the consumer's `1e6 / usec` display concern).
+    */
+  def decodeVideoFeatures(media: Dataset[MediaRow], batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          try {
+            val m = parseAvi(r.payload)
+            VideoFeatures(r.media_id, r.format, r.payload.length.toLong,
+              m.width, m.height, m.frames, m.usecPerFrame, m.frameW, m.frameH)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              VideoFeatures(r.media_id, r.format, r.payload.length.toLong,
+                -1, -1, -1L, -1L, -1, -1)
+          }
+        }
+      }
+    }
+  }
+
+  private final case class AviMeta(width: Int, height: Int, frames: Long,
+      usecPerFrame: Long, frameW: Int, frameH: Int)
+
+  /** RIFF/AVI walk: `RIFF <size> AVI ` then a chunk sequence where each
+    * chunk is `<fourcc> <le32 size> <data, padded to even>`; `LIST` chunks
+    * carry a type fourcc and nest. Reads `avih` (dwMicroSecPerFrame at +0,
+    * dwTotalFrames at +16, dwWidth/dwHeight at +32/+36) and the first
+    * `00dc`/`00db` frame chunk.
+    */
+  private def parseAvi(b: Array[Byte]): AviMeta = {
+    def u32(off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String = new String(b, off, 4, "US-ASCII")
+    require(b.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ",
+      "not a RIFF/AVI container")
+    var width = -1; var height = -1; var frames = -1L; var usec = -1L
+    var frameW = -1; var frameH = -1
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourcc(off)
+        val sz = u32(off + 4).toInt
+        val dataOff = off + 8
+        id match {
+          case "LIST" => walk(dataOff + 4, dataOff + sz)
+          case "avih" =>
+            usec = u32(dataOff)
+            frames = u32(dataOff + 16)
+            width = u32(dataOff + 32).toInt
+            height = u32(dataOff + 36).toInt
+          case "00dc" | "00db" if frameW < 0 && sz > 0 =>
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(b, dataOff, sz))
+              catch { case _: java.io.IOException => null }
+            if (img != null) { frameW = img.getWidth; frameH = img.getHeight }
+          case _ => ()
+        }
+        off = dataOff + sz + (sz & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, math.min(b.length.toLong, 8L + u32(4)).toInt)
+    require(width >= 0 && frames >= 0, "no avih header found")
+    AviMeta(width, height, frames, usec, frameW, frameH)
+  }
+
+  /** Deterministic synthetic MJPEG AVI (fixture generator for the video
+    * parse path): a genuine RIFF/AVI container — `hdrl` with a filled
+    * `avih`/`strh`/`strf`, a `movi` list of `nFrames` real JPEG frames
+    * (pixels a pure function of (seed, frame, x, y)) — that any
+    * standards-following AVI reader parses.
+    */
+  def syntheticAvi(width: Int, height: Int, nFrames: Int,
+      usecPerFrame: Long, seed: Long): Array[Byte] = {
+    require(width >= 1 && height >= 1 && nFrames >= 1 && usecPerFrame >= 1,
+      s"bad video params: ${width}x$height/$nFrames/$usecPerFrame")
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(data.length.toLong) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    def list(typ: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(typ) ++ payload)
+    def jpegFrame(i: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y, ((seed + i * 101L + x * 31L + y * 17L) & 0xffffffL).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // avih: dwMicroSecPerFrame, dwMaxBytesPerSec, dwPaddingGranularity,
+    // dwFlags, dwTotalFrames, dwInitialFrames, dwStreams,
+    // dwSuggestedBufferSize, dwWidth, dwHeight, dwReserved[4]
+    val avih = Array(usecPerFrame, 0L, 0L, 0L, nFrames.toLong, 0L, 1L, 0L,
+      width.toLong, height.toLong, 0L, 0L, 0L, 0L).flatMap(le32)
+    // strh: fccType, fccHandler, dwFlags, wPriority+wLanguage,
+    // dwInitialFrames, dwScale, dwRate, dwStart, dwLength,
+    // dwSuggestedBufferSize, dwQuality, dwSampleSize, rcFrame (2 words)
+    val strh = cc("vids") ++ cc("MJPG") ++
+      Array(0L, 0L, 0L, usecPerFrame, 1000000L, 0L, nFrames.toLong, 0L,
+        0xffffffffL, 0L, 0L, 0L).flatMap(le32)
+    // strf: BITMAPINFOHEADER (biSize..biClrImportant)
+    val strf = le32(40L) ++ le32(width.toLong) ++ le32(height.toLong) ++
+      Array[Byte](1, 0, 24, 0) ++ cc("MJPG") ++
+      le32(width.toLong * height.toLong * 3L) ++
+      Array(0L, 0L, 0L, 0L).flatMap(le32)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      (0 until nFrames).flatMap(i => chunk("00dc", jpegFrame(i))).toArray)
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le32(body.length.toLong) ++ body
   }
 
   /** Frame-sampling plumbing for video-like payloads: emit `n` (offset,

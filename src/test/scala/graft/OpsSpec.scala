@@ -208,6 +208,32 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L).sample_rate == -1 && out(3L).n_frames == -1L)
   }
 
+  test("Multimodal: REAL AVI parse recovers header metadata and decodes the " +
+      "first MJPEG frame; non-AVI payloads degrade to -1") {
+    implicit val s = spark
+    val avi = Multimodal.syntheticAvi(48, 20, nFrames = 3,
+      usecPerFrame = 40000L, seed = 11L)
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF" &&
+      new String(avi.slice(8, 12), "US-ASCII") == "AVI ", "a genuine RIFF/AVI")
+    val media = Seq(
+      Multimodal.MediaRow(1L, "avi", avi),
+      Multimodal.MediaRow(2L, "avi",
+        Multimodal.syntheticAvi(17, 9, 1, 100000L, 4L)),
+      // a valid RIFF that is NOT AVI (the WAV reader's container)
+      Multimodal.MediaRow(3L, "wav", Multimodal.syntheticWav(8000, 1, 10, 2L)),
+      Multimodal.MediaRow(4L, "avi", Array[Byte](1, 2, 3))).toDS()
+    val out = Multimodal.decodeVideoFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).width == 48 && out(1L).height == 20 &&
+      out(1L).n_frames == 3L && out(1L).usec_per_frame == 40000L)
+    // decoded-pixel dims prove the movi chunk carries real encoded frames
+    assert(out(1L).frame_width == 48 && out(1L).frame_height == 20)
+    assert(out(2L).width == 17 && out(2L).height == 9 &&
+      out(2L).frame_width == 17 && out(2L).frame_height == 9)
+    assert(out(3L).width == -1 && out(4L).width == -1)
+    assert(out(1L).byte_len == avi.length.toLong)
+  }
+
   test("Multimodal.sampleSlices emits n offsets with hashes") {
     val df = Seq((1L, "abcdefgh")).toDF("media_id", "payload")
     val out = Multimodal.sampleSlices(df, "media_id", "payload", 4)

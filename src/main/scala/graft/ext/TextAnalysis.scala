@@ -277,20 +277,48 @@ object TextAnalysis {
     * to 6 dp at each stage, and both the norm and the pair dot accumulate
     * DECIMAL(18,6) products — exact, order-independent sums — with the
     * final cosine rounded from the exact decimal.
+    *
+    * `refStats`: pass a frozen [[tfidfCorpusStats]] snapshot to PIN the idf
+    * (and the maxDf gate) to a reference corpus — pair emission over any
+    * fixed doc subset is then invariant as the scored corpus grows
+    * (TextAnalysisSpec proves it under salted growth). Default `None`
+    * keeps the self-trained idf, exactly as before.
     */
   def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
-      topK: Int = 12, maxDf: Long = 100L, threshold: Double = 0.3): DataFrame = {
+      topK: Int = 12, maxDf: Long = 100L, threshold: Double = 0.3,
+      refStats: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
-      .where(col("dfreq") <= maxDf)
-    val nDocs = df.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "term")
-      .crossJoin(broadcast(nDocs))
-      .withColumn("w", round(col("tf").cast("double") *
-        (log((col("n_docs") + 1).cast("double") / (col("dfreq") + 1).cast("double"))
-          + 1.0), 6))
+    val scored = refStats match {
+      case None =>
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+          .where(col("dfreq") <= maxDf)
+        val nDocs = df.agg(count(lit(1)).as("n_docs"))
+        tf.join(dfreq, "term")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("w", round(col("tf").cast("double") *
+            (log((col("n_docs") + 1).cast("double") / (col("dfreq") + 1).cast("double"))
+              + 1.0), 6))
+      case Some(stats) =>
+        // PINNED idf (a [[tfidfCorpusStats]] snapshot): weights — hence the
+        // emitted pair set over any fixed doc subset — are invariant as the
+        // scored corpus grows, which is what a production similarity
+        // threshold wants (the self-trained form's idf shifts with n_docs).
+        // Terms the reference corpus saw too often (dfreq > maxDf) drop,
+        // exactly like the self-trained gate; terms it never saw keep
+        // maximum idf via the same +1 smoothing (dfreq -> 0). The stats
+        // table is vocabulary-sized: broadcast, never a corpus join.
+        val nRef = stats.agg(max(col("n_docs")).as("n_docs"))
+        tf.join(broadcast(stats.select(col("term"), col("dfreq"))),
+            Seq("term"), "left")
+          .where(coalesce(col("dfreq"), lit(0L)) <= maxDf)
+          .crossJoin(broadcast(nRef))
+          .withColumn("w", round(col("tf").cast("double") *
+            (log((col("n_docs") + 1).cast("double") /
+              (coalesce(col("dfreq"), lit(0L)) + 1).cast("double"))
+              + 1.0), 6))
+    }
     val wTop = Window.partitionBy(col("id")).orderBy(col("w").desc, col("term").asc)
     val top = scored.withColumn("rk", row_number().over(wTop))
       .where(col("rk") <= topK)
@@ -305,6 +333,22 @@ object TextAnalysis {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(round(sum(col("a.u") * col("b.u")).cast("double"), 6).as("cos"))
       .where(col("cos") >= threshold)
+  }
+
+  /** Document-frequency snapshot for [[tfidfCosinePairs]]'s pinned-idf
+    * mode: (term, dfreq, n_docs) over a REFERENCE corpus — n_docs rides
+    * every row so the snapshot is one self-contained, persistable table
+    * (parquet it like the [[Tokenizer]] artifact; it is vocabulary-sized).
+    * Freeze it once, then score growing corpora against it: similarity
+    * thresholds stay calibrated because no weight ever moves with corpus
+    * size (VERDICT r6 #6 — q84's pair count is corpus-stat-dependent in
+    * the self-trained form).
+    */
+  def tfidfCorpusStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val dfreq = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    dfreq.crossJoin(broadcast(df.agg(count(lit(1)).as("n_docs"))))
   }
 
   /** N-gram novelty scoring — the data-valuation signal: a document's

@@ -396,4 +396,36 @@ class TextAnalysisSpec extends AnyFunSuite {
         topK = 10, maxDf = 2L, threshold = 0.01).collect()
     assert(p2.isEmpty)
   }
+
+  test("tfidfCosinePairs pinned idf: pair set over the base docs is invariant " +
+      "under salted corpus growth; self-stats reproduce the default") {
+    def pairSet(df: org.apache.spark.sql.DataFrame,
+        stats: Option[org.apache.spark.sql.DataFrame]) =
+      TextAnalysis.tfidfCosinePairs(df, "doc_id", "text",
+          topK = 10, maxDf = 100L, threshold = 0.2, refStats = stats)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Double]("cos"))).toSet
+    val base = Seq(
+      (1L, "alpha beta gamma delta shared topic words here"),
+      (2L, "alpha beta gamma delta other topic words here"),
+      (3L, "epsilon zeta eta theta unrelated content"),
+      (4L, "alpha beta unrelated filler text")).toDF("doc_id", "text")
+    val stats = TextAnalysis.tfidfCorpusStats(base, "doc_id", "text")
+      .localCheckpoint(true)
+    // explicit self-stats == the default self-trained form, bit-for-bit
+    assert(pairSet(base, Some(stats)) == pairSet(base, None))
+    // grow the corpus 5x with per-copy token salting (the ScaleProbe
+    // construction: cross-copy terms never collide)
+    val grown = (0 to 4).map { k =>
+      if (k == 0) base
+      else base.select(($"doc_id" + lit(k * 100L)).as("doc_id"),
+        regexp_replace($"text", "([a-z]+)", s"$$1zq$k").as("text"))
+    }.reduce(_ unionByName _)
+    val basePairsInGrown = pairSet(grown, Some(stats))
+      .filter(p => p._1 <= 4L && p._2 <= 4L)
+    // PINNED idf: the base docs' pairs — including cosines — are exactly
+    // the base-only run's, no matter how much corpus arrived around them
+    assert(basePairsInGrown == pairSet(base, Some(stats)))
+  }
 }

@@ -136,18 +136,47 @@ object StreamingIngest {
     *
     * `docs` is a streaming (doc_id, text) frame. Returns the started query;
     * read `pairsDir` for (id_a, id_b, est_jaccard, both_new, batch_id).
+    *
+    * `compactEvery` (0 = off) wires index maintenance into the stream
+    * itself: every N batches the PRE-batch partitions fold into the `-1`
+    * epoch ([[maybeAutoCompact]]) so the index read cost stays bounded
+    * instead of growing one directory per trigger — no separate
+    * maintenance job, no pause coordination (the current batch's partition
+    * is deliberately left out of the fold; see [[compactSignatureIndex]]'s
+    * replay note).
     */
   def nearDupStream(docs: DataFrame, indexDir: String, pairsDir: String,
       checkpointDir: String, shingleK: Int = 3, numHashes: Int = 12,
-      bands: Int = 4, estThreshold: Double = 0.5)
+      bands: Int = 4, estThreshold: Double = 0.5, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nearDupBatch(batch, batchId, indexDir, pairsDir,
           shingleK, numHashes, bands, estThreshold)
+        maybeAutoCompact(batch.sparkSession, indexDir, batchId, compactEvery)
       }
       .start()
+
+  /** The stream's compaction cadence — ONE decision point shared by the
+    * foreachBatch above and the soak spec (which drives exactly this
+    * method): every `compactEvery` batches, fold the partitions BELOW the
+    * just-committed batch into the `-1` epoch. The current batch's
+    * partition stays out of the fold, which is what makes in-stream
+    * compaction replay-safe: a crash between this fold and the checkpoint
+    * commit replays batch `batchId` against `batch_id < batchId` = exactly
+    * the folded pre-batch state, same as an un-compacted replay.
+    */
+  def maybeAutoCompact(spark: SparkSession, indexDir: String, batchId: Long,
+      compactEvery: Int): Unit =
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      val p = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        compactSignatureIndex(spark, indexDir, belowBatch = Some(batchId))
+        ()
+      }
+    }
 
   /** One [[nearDupStream]] micro-batch — factored out so the replay/soak
     * specs drive exactly the code the stream runs. Idempotent under
@@ -201,23 +230,39 @@ object StreamingIngest {
     * temp-then-swap — the stream can keep appending afterwards because
     * post-compaction batch ids stay above the compacted epoch's `-1`.
     *
-    * Run it between triggers (or from a separate maintenance job against a
-    * paused stream) — "paused" means no batch is in flight: folding a batch
-    * whose checkpoint has not committed into the `-1` epoch would put its
-    * signatures below every replay's `batch_id < batchId` read filter and
-    * break the replay-idempotence contract. The id-keyed window partitions
-    * on the doc id, so no single task ever sees more than one id's
-    * re-ingestion history. Returns the compacted row count.
+    * A FULL fold (`belowBatch = None`) must run between triggers (or from
+    * a separate maintenance job against a paused stream) — "paused" means
+    * no batch is in flight: folding a batch whose checkpoint has not
+    * committed into the `-1` epoch would put its signatures below every
+    * replay's `batch_id < batchId` read filter and break the
+    * replay-idempotence contract. Passing `belowBatch = Some(b)` instead
+    * folds only partitions with `batch_id < b` and keeps the rest intact —
+    * that is the IN-STREAM form ([[maybeAutoCompact]]): run right after
+    * batch `b` committed its writes, the fold touches exactly the state a
+    * replay of `b` would read, so replay safety is preserved without
+    * pausing anything. (An id re-ingested both below and at/above the cut
+    * keeps one row per side until a later fold unifies them — the same
+    * duplicate-id window per-batch appends already have between manual
+    * compactions.) The id-keyed window partitions on the doc id, so no
+    * single task ever sees more than one id's re-ingestion history.
+    * Returns the compacted row count.
     */
-  def compactSignatureIndex(spark: SparkSession, indexDir: String): Long = {
+  def compactSignatureIndex(spark: SparkSession, indexDir: String,
+      belowBatch: Option[Long] = None): Long = {
     import org.apache.spark.sql.expressions.Window
     val idx = spark.read.parquet(indexDir)
+    val (fold, keep) = belowBatch match {
+      case Some(b) =>
+        (idx.where(col("batch_id") < b), idx.where(col("batch_id") >= b))
+      case None => (idx, idx.limit(0))
+    }
     val w = Window.partitionBy(col("id")).orderBy(col("batch_id").desc)
     val tmp = s"$indexDir.compact.tmp"
-    idx.withColumn("__rk", row_number().over(w))
+    fold.withColumn("__rk", row_number().over(w))
       .where(col("__rk") === 1)
       .drop("__rk")
       .withColumn("batch_id", lit(-1L))
+      .unionByName(keep)
       .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     graft.pipeline.Pipeline.swap(spark, tmp, indexDir)
     spark.read.parquet(indexDir).count()

@@ -118,7 +118,10 @@ class StreamingSpec extends AnyFunSuite {
     b1.coalesce(1).write.mode("append").parquet(docsDir)
     val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", 1).parquet(docsDir)
-    val q = StreamingIngest.nearDupStream(stream, indexDir, pairsDir, ckDir)
+    // compactEvery=2: the stream maintains its own index (batch 2 folds
+    // the pre-batch partitions into the -1 epoch right after committing)
+    val q = StreamingIngest.nearDupStream(stream, indexDir, pairsDir, ckDir,
+      compactEvery = 2)
     def pairSet() = spark.read.parquet(pairsDir)
       .select("id_a", "id_b", "est_jaccard", "both_new")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
@@ -165,6 +168,14 @@ class StreamingSpec extends AnyFunSuite {
       assert(pairSet() == expected1 ++ expected2 ++ expected3,
         "post-compaction batches still see the whole corpus")
       assert(expected3.map(p => (p._1, p._2)) == Set((1L, 21L), (2L, 21L), (11L, 21L)))
+      // the batch-2 trigger ALSO auto-compacted (compactEvery=2): the index
+      // is the folded -1 epoch plus only the current batch's partition,
+      // with every id still present exactly once
+      val idxAuto = spark.read.parquet(indexDir)
+      assert(idxAuto.select("batch_id").distinct().as[Long].collect().toSet ==
+        Set(-1L, 2L))
+      assert(idxAuto.select("id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 11L, 12L, 21L))
     } finally q.stop()
   }
 
@@ -240,11 +251,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(snapshot() == afterB2, "replay after compaction is still idempotent")
   }
 
-  test("nearDup soak: flat per-batch latency, bounded files under compaction") {
-    // 40 micro-batches through the SAME method the stream's foreachBatch
-    // calls, compacting every 10 — per-batch cost must stay O(batch), not
-    // O(corpus), and the index file count must stay bounded instead of
-    // accumulating one directory per trigger.
+  test("nearDup soak: flat per-batch latency, bounded files under AUTOMATIC compaction") {
+    // 40 micro-batches through the SAME two methods the stream's
+    // foreachBatch calls — nearDupBatch + maybeAutoCompact(compactEvery=10)
+    // — so the soak exercises exactly the in-stream maintenance cadence.
+    // Per-batch cost (WITH its share of automatic compactions) must stay
+    // O(batch), not O(corpus), and the index file count must stay bounded
+    // instead of accumulating one directory per trigger.
     val base = java.nio.file.Files.createTempDirectory("neardup_soak")
     val (indexDir, pairsDir) = (s"$base/index", s"$base/pairs")
     val nBatches = 40
@@ -260,7 +273,7 @@ class StreamingSpec extends AnyFunSuite {
       }.toDF("doc_id", "text")
       val t0 = System.nanoTime()
       StreamingIngest.nearDupBatch(docs, b.toLong, indexDir, pairsDir)
-      if (b % 10 == 9) StreamingIngest.compactSignatureIndex(spark, indexDir)
+      StreamingIngest.maybeAutoCompact(spark, indexDir, b.toLong, 10)
       (System.nanoTime() - t0) / 1e9
     }
     // every ingested id is in the index exactly once

@@ -934,10 +934,18 @@ object TextAnalysis {
         element_at(col("__p"), 2).as("__p66"))
     scored.join(broadcast(bounds), Seq(groupCol))
       .select(col(idCol), col(groupCol), col("lm_score"),
-        when(col("lm_score") >= col("__p66"), lit("head"))
-          .when(col("lm_score") >= col("__p33"), lit("middle"))
-          .otherwise(lit("tail")).as("bucket"))
+        pplBucketLabel(col("lm_score"), col("__p33"), col("__p66")).as("bucket"))
   }
+
+  /** The head/middle/tail labeler of [[pplBuckets]] as a standalone per-row
+    * Column tree (higher mean log-prob = more fluent = head) — also the SQL
+    * surface `graft_ppl_bucket(score, p33, p66)`: once a bounds table is
+    * joined in, SQL callers bucket with exactly the operator's expression.
+    */
+  def pplBucketLabel(score: Column, p33: Column, p66: Column): Column =
+    when(score >= p66, lit("head"))
+      .when(score >= p33, lit("middle"))
+      .otherwise(lit("tail"))
 
   /** Table form of winnowing for corpus-scale runs: explode the hashed
     * shingle stream once and take window minima with an analytic window —

@@ -66,5 +66,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => TextAnalysis.winnowFingerprints(cs.head))
     composite(e, "graft_c4_keep_line", 1,
       cs => TextAnalysis.c4KeepLine(cs.head, minWords = 5))
+    composite(e, "graft_tokens", 1, cs => TextAnalysis.tokens(cs.head))
+    composite(e, "graft_ppl_bucket", 3,
+      cs => TextAnalysis.pplBucketLabel(cs.head, cs(1), cs(2)))
   }
+  // NOT registered, by design: the vocab/rules-carrying Expressions
+  // (`SubwordIds`, and the BPE merge fold built from them) close over a
+  // driver-side model artifact — a trained vocabulary map — that has no
+  // SQL literal form. SQL has no sound way to name a model object in a
+  // scalar call, so those stay Column-API-only (`VectorFunctions
+  // .subwordIdsNative`, `TextAnalysis.bpeEncodeIds`); the persistable
+  // artifact for SQL-side users is the `Tokenizer` parquet table itself,
+  // joined like any other relation.
 }

@@ -110,6 +110,34 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(sql.getAs[Boolean]("keep"))
   }
 
+  test("SQL registry: round-7 composites equal their Column forms; " +
+      "graft_ppl_bucket labels match pplBuckets' expression") {
+    import graft.ext.TextAnalysis
+    Seq(("The Quick, Brown FOX 42!", -4.2, -5.0, -3.0),
+        ("x", -2.5, -5.0, -3.0),
+        ("x", -6.1, -5.0, -3.0))
+      .toDF("t", "score", "p33", "p66").createOrReplaceTempView("gfx7")
+    val sql = spark.sql(
+      """SELECT graft_tokens(t) AS toks,
+                graft_ppl_bucket(score, p33, p66) AS bucket
+           FROM gfx7""").collect()
+    val api = spark.table("gfx7").select(
+      TextAnalysis.tokens($"t"),
+      TextAnalysis.pplBucketLabel($"score", $"p33", $"p66")).collect()
+    assert(sql.map(_.toSeq.map {
+      case s: Seq[_] => s.toList
+      case x => x
+    }).toSeq == api.map(_.toSeq.map {
+      case s: Seq[_] => s.toList
+      case x => x
+    }).toSeq)
+    assert(sql(0).getAs[scala.collection.Seq[String]]("toks").toList ==
+      List("the", "quick", "brown", "fox", "42"))
+    // -4.2 is between terciles, -2.5 above p66, -6.1 below p33
+    assert(sql.map(_.getAs[String]("bucket")).toSeq ==
+      Seq("middle", "head", "tail"))
+  }
+
   test("minhash_ab ≡ md5/conv form (bit equality, incl. unicode + empty)") {
     import graft.functions.VectorFunctions.minhashAbNative
     val rnd = new scala.util.Random(13)

@@ -26,7 +26,14 @@ object PlanDump {
         // vocab build collects ≤ size rows before the plan is formed),
         // q104 the shuffle-free mapPartitions decode; q103 is omitted like
         // q76 (packSequences forces its ranged frame)
-        "q102_subword_encode", "q104_media_decode")
+        "q102_subword_encode", "q104_media_decode",
+        // round 7: q112's plan is the point — identical to q102's encode
+        // WITHOUT any training subtree (the frozen artifact was loaded
+        // from parquet before the plan was formed); q115 is the zero-
+        // shuffle mapPartitions video parse; q113 is omitted like q43
+        // (per-round localCheckpoints), q114 like q76 (forced ranged
+        // frame)
+        "q112_tokenizer_artifact", "q115_video_meta")
       .foreach { q =>
       out.append(s"===== $q =====\n")
       out.append(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

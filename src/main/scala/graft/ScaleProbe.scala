@@ -5,21 +5,23 @@ import java.util.concurrent.atomic.LongAdder
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 
-/** One-off scaling evidence for the composed flagships (VERDICT r5 #3):
-  * runs q66/q67/q81/q84/q91 at sf0.1 and at a synthesized 10× corpus,
+/** Scaling evidence for the composed flagships (VERDICT r5 #3, r6 #4):
+  * runs each probed query at sf0.1 and at synthesized N× corpora
+  * (default 10×; `SPARK_GRAFT_SCALE_COPIES=10,100` adds the 100× leg),
   * reporting wall time, TOTAL SHUFFLE RECORDS (the corpus-linearity
   * witness), and output rows. Results recorded in docs/SCALE.md.
   *
-  * The 10× corpus is 10 copies of the sf0.1 documents table with offset
+  * An N× corpus is N copies of the sf0.1 documents table with offset
   * ids and every token suffixed with a per-copy tag: cross-copy tokens —
   * hence shingles, n-grams, band keys, TF terms — NEVER collide, while
   * within-copy duplicate structure (banners, near-dups, eval leakage) is
-  * preserved exactly, so true corpus-linear operators must show ~10×
-  * shuffle rows, not ~100×. The quality gate (n_words / n_chars /
+  * preserved exactly, so true corpus-linear operators must show ~N×
+  * shuffle rows, not ~N²×. The quality gate (n_words / n_chars /
   * punct_ratio) is token-count-preserving under the suffix, so stage
   * selectivities stay comparable.
   *
-  * Run: `sbt "runMain graft.ScaleProbe"`.
+  * Run: `sbt "runMain graft.ScaleProbe"` (optionally
+  * `graft.ScaleProbe <baseDir> <query...>`).
   */
 object ScaleProbe {
 
@@ -30,31 +32,37 @@ object ScaleProbe {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // further args = query names to probe instead of the default flagships
     val queries = if (args.length > 1) args.drop(1).toSeq else Flagships
-    val copies = 10
-    val synthDir = "/tmp/graft_scale_synth"
+    val copiesList = sys.env.get("SPARK_GRAFT_SCALE_COPIES")
+      .map(_.split(",").map(_.trim.toInt).toSeq.filter(_ > 1))
+      .getOrElse(Seq(10))
     val spark = GraftSession.build("graft-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if (!new java.io.File(s"$synthDir/documents.parquet").exists()) {
-      val docs = Tables.documents(spark, baseDir)
-      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
-      (0 until copies).map { k =>
-        docs.select(
-          (col("doc_id") + lit(k * maxId)).as("doc_id"),
-          regexp_replace(col("text"), "([a-z0-9]+)", s"$$1zq$k").as("text"),
-          col("lang"), col("source"),
-          // DELIBERATELY the ORIGINAL text's length (select expressions all
-          // read the input row, so this is pre-suffix): the suffix inflates
-          // chars but not tokens, and the probed gates read the STORED
-          // n_chars — keeping it original preserves the base run's
-          // char-stat selectivities, so shuffle ratios measure data growth,
-          // not gate drift. Stages recomputing length(text) would disagree
-          // with this column; none of the probed flagships do.
-          length(col("text")).cast("long").as("n_chars"))
-      }.reduce(_ unionByName _)
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$synthDir/documents.parquet")
-      println(s"synth corpus written: ${copies}x $baseDir documents")
+    def synthDir(copies: Int): String = {
+      val dir = s"/tmp/graft_scale_synth_${copies}x"
+      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+        val docs = Tables.documents(spark, baseDir)
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+        (0 until copies).map { k =>
+          docs.select(
+            (col("doc_id") + lit(k * maxId)).as("doc_id"),
+            regexp_replace(col("text"), "([a-z0-9]+)", s"$$1zq$k").as("text"),
+            col("lang"), col("source"),
+            // DELIBERATELY the ORIGINAL text's length (select expressions
+            // all read the input row, so this is pre-suffix): the suffix
+            // inflates chars but not tokens, and the probed gates read the
+            // STORED n_chars — keeping it original preserves the base
+            // run's char-stat selectivities, so shuffle ratios measure
+            // data growth, not gate drift. Stages recomputing length(text)
+            // would disagree with this column; none of the probed
+            // flagships do.
+            length(col("text")).cast("long").as("n_chars"))
+        }.reduce(_ unionByName _)
+          .repartition(math.max(32, copies / 2))
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        println(s"synth corpus written: ${copies}x $baseDir documents")
+      }
+      dir
     }
 
     val shuffleRecords = new LongAdder
@@ -77,13 +85,21 @@ object ScaleProbe {
       (dt, shuffleRecords.sum(), rows)
     }
 
+    val legs = ("1x", baseDir) +: copiesList.map(c => (s"${c}x", synthDir(c)))
     queries.foreach { q =>
-      val (t1, s1, r1) = measure(q, baseDir)
-      val (t10, s10, r10) = measure(q, synthDir)
-      println(f"$q%-24s sf0.1: ${t1}%6.1fs ${s1}%12d shuf $r1%9d rows | " +
-        f"10x: ${t10}%6.1fs ${s10}%12d shuf $r10%9d rows | " +
-        f"ratios t=${t10 / t1}%5.1f shuf=${s10.toDouble / math.max(s1, 1)}%5.1f " +
-        f"rows=${r10.toDouble / math.max(r1, 1)}%5.1f")
+      val results = legs.map { case (tag, dir) =>
+        val (t, s, r) = measure(q, dir)
+        println(f"$q%-24s $tag%5s: ${t}%7.1fs ${s}%12d shuf $r%9d rows")
+        (tag, t, s, r)
+      }
+      // consecutive-leg shuffle ratios are the linearity witness (1x->10x
+      // expects ~10, 10x->100x expects ~10 again)
+      results.sliding(2).foreach {
+        case Seq((tagA, _, sA, _), (tagB, _, sB, _)) =>
+          println(f"$q%-24s ratio $tagA->$tagB: " +
+            f"shuf=${sB.toDouble / math.max(sA, 1)}%6.2f")
+        case _ => ()
+      }
     }
     spark.stop()
   }

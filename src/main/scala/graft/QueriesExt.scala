@@ -1232,7 +1232,45 @@ object QueriesExt {
                      CAST(20000 + (doc_id % 5) * 20000 AS BIGINT) AS usec_per_frame,
                      CAST(16 + doc_id % 32 AS INT) AS frame_width,
                      CAST(16 + doc_id % 20 AS INT) AS frame_height
-              FROM documents ORDER BY media_id"""))
+              FROM documents ORDER BY media_id""")),
+
+    // BPE-driven chunking — completes the "BPE drives layout" pair with
+    // q114's packing: q109's within-doc prefix rule with the merge-fold
+    // token counter (q107's projection) in place of the greedy matcher
+    Q("q116_chunk_bpe",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val rules = TextAnalysis.bpeTrainRules(docs, "text", merges = 12)
+        TextAnalysis.chunkByBpe(docs, "doc_id", "text", rules, maxTokens = 128)
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some {
+        val applied = (1 to 12).foldLeft("seq0") { (acc, i) =>
+          s"replace($acc, ' ' || t$i.x || '  ' || t$i.y || ' ', " +
+            s"' ' || t$i.x || t$i.y || ' ')"
+        }
+        val ruleJoins = (1 to 12).map(i => s"r$i t$i").mkString(", ")
+        s"""WITH ${bpeCtes(12)},
+            wd AS (SELECT doc_id, CAST(i AS INT) AS wpos,
+                          tk[CAST(i AS INT) + 1] AS w,
+                          regexp_replace(tk[CAST(i AS INT) + 1], '(.)', ' \\1 ', 'g') AS seq0
+                   FROM (SELECT doc_id, $toksSql AS tk FROM documents),
+                        unnest(range(0, len(tk))) u(i)),
+            wn AS (SELECT doc_id, wpos, w,
+                          CAST(len(string_split(trim($applied), '  ')) AS BIGINT) AS n
+                   FROM wd, $ruleJoins),
+            cw AS (SELECT doc_id, wpos, w, n,
+                          CAST(coalesce(sum(n) OVER (PARTITION BY doc_id
+                            ORDER BY wpos ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS strt
+                   FROM wn)
+           SELECT doc_id,
+                  CAST(floor(strt / 128) AS INT) AS chunk_idx,
+                  CAST(sum(n) AS INT) AS n_chunk_tokens,
+                  md5(string_agg(w, ' ' ORDER BY wpos)) AS chunk_hash
+           FROM cw GROUP BY doc_id, floor(strt / 128)
+           ORDER BY doc_id, chunk_idx"""
+      })
   )
 
   /** The q102 subword-encode oracle, alias-parameterized: q112 emits the

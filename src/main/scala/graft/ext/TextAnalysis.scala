@@ -828,6 +828,47 @@ object TextAnalysis {
         col("n_chunk_tokens"), col("chunk_hash"))
   }
 
+  /** Model-sized context chunking by REAL BPE token counts — completes the
+    * "BPE drives layout" pair with the BPE-weighted packing: words stay
+    * whole, a word belongs to chunk ⌊(BPE tokens before it)/maxTokens⌋,
+    * exactly [[chunkBySubwords]]' prefix rule with the merge-fold counter
+    * in place of the greedy-match counter. Emits (idCol, chunk_idx,
+    * n_chunk_tokens, chunk_hash); token-less documents produce no chunks.
+    *
+    * Scale shape: the per-word count is the q107 projection (rule fold at
+    * plan-construction time, zero joins); the prefix sum is the WITHIN-DOC
+    * window (one document's words per partition, the q92 skew-free shape).
+    * No vocab needed — counts come straight from the folded symbol string.
+    */
+  def chunkByBpe(df: DataFrame, idCol: String, textCol: String,
+      rules: DataFrame, maxTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxTokens >= 1, s"maxTokens must be positive: $maxTokens")
+    val ruleSeq = rules.orderBy(col("step"))
+      .select(col("x"), col("y")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val words = df.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("wpos", "w")))
+      .withColumn("seq", regexp_replace(col("w"), "(.)", " $1 "))
+    val merged = ruleSeq.foldLeft(words) { case (acc, (x, y)) =>
+      acc.withColumn("seq",
+        replace(col("seq"), lit(s" $x  $y "), lit(s" $x$y ")))
+    }
+    val counted = merged
+      .withColumn("n", size(split(trim(col("seq")), "  ")).cast("long"))
+    val w = Window.partitionBy(col("id")).orderBy(col("wpos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counted.withColumn("__before", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("chunk_idx", floor(col("__before") / maxTokens))
+      .groupBy(col("id"), col("chunk_idx"))
+      .agg(sum(col("n")).cast("int").as("n_chunk_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("wpos"), col("w")))),
+          s => s.getField("w")))).as("chunk_hash"))
+      .select(col("id").as(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("n_chunk_tokens"), col("chunk_hash"))
+  }
+
   /** URL host extraction + domain-level curation (the RefinedWeb-style
     * provenance filters): `urlDomains` pulls the host of every URL-shaped
     * span (per-row, codegen'd regex); `domainDocCounts` is the per-domain

@@ -92,6 +92,29 @@ class TokenizerSpec extends AnyFunSuite {
       syms.map(_.getAs[Int]("n_bpe_tokens")).toSeq)
   }
 
+  test("chunkByBpe: chunk totals reconstruct each doc's BPE token count") {
+    val rules = TextAnalysis.bpeTrainRules(corpus, "text", 4)
+    val chunks = TextAnalysis.chunkByBpe(corpus, "doc_id", "text", rules,
+        maxTokens = 5)
+      .groupBy($"doc_id").agg(sum($"n_chunk_tokens").as("total"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("total")).toMap
+    val totals = TextAnalysis.bpeEncode(corpus, "doc_id", "text", rules)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_bpe_tokens").toLong)
+      .toMap
+    // token-less docs produce no chunks; every other doc's chunks sum back
+    assert(chunks == totals.filter(_._2 > 0))
+    // and no chunk starts at or past a maxTokens boundary's worth of slack:
+    // each doc's chunk count is ceil(total/5) at most (words stay whole so
+    // a chunk can overflow, but a NEW chunk only starts when the prefix
+    // crossed the boundary)
+    val perDoc = TextAnalysis.chunkByBpe(corpus, "doc_id", "text", rules, 5)
+      .groupBy($"doc_id").agg(countDistinct($"chunk_idx").as("nc"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nc")).toMap
+    perDoc.foreach { case (id, nc) =>
+      assert(nc <= (totals(id) + 4) / 5, s"doc $id: $nc chunks for ${totals(id)} tokens")
+    }
+  }
+
   test("bpeEncodeIds: unseen alphabet decomposes via known sub-symbols, unk for unknown chars") {
     val rules = TextAnalysis.bpeTrainRules(corpus, "text", 2)
     val vocab = TextAnalysis.bpeVocab(corpus, "text", rules)

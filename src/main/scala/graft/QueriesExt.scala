@@ -1270,8 +1270,147 @@ object QueriesExt {
                   md5(string_agg(w, ' ' ORDER BY wpos)) AS chunk_hash
            FROM cw GROUP BY doc_id, floor(strt / 128)
            ORDER BY doc_id, chunk_idx"""
-      })
+      }),
+
+    // int8 scalar quantization report (SQ8): per-vector scale, codes hash,
+    // saturation count and reconstruction error — the 4x-compression layer
+    // under q118's quantized ANN. Oracle replays the exact arithmetic
+    // (max|x|/127 scale in double, round-half-away codes, exact integer
+    // norms) element by element
+    Q("q117_vec_quantize",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.quantizeInt8(e, "vec_id", "embedding")
+          .withColumn("scale_r", round(col("scale"), 9))
+          .withColumn("n_sat",
+            size(filter(col("codes"), c => abs(c) === 127)).cast("int"))
+          .withColumn("mae",
+            round(
+              aggregate(
+                zip_with(col("__v"), col("codes"),
+                  (x, c) => abs(x - c * col("scale"))),
+                lit(0.0), (acc, v) => acc + v) / size(col("__v")), 6))
+          .withColumn("codes_hash",
+            md5(concat_ws(",", transform(col("codes"), _.cast("string")))))
+          .select(col("vec_id"), col("scale_r"), col("n_sat"), col("mae"),
+            col("codes_hash"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $quantCteSql
+              SELECT vec_id, round(scale, 9) AS scale_r,
+                     CAST(len(list_filter(codes, c -> abs(c) = 127)) AS INT) AS n_sat,
+                     round(list_sum(list_transform(range(1, 65),
+                             i -> abs(CAST(v[i] AS DOUBLE) - codes[i] * scale)))
+                           / len(v), 6) AS mae,
+                     md5(array_to_string(codes, ',')) AS codes_hash
+              FROM qcodes ORDER BY vec_id""")),
+
+    // quantized ANN with exact rescore: candidate generation ranks integer
+    // cosines over the int8 codes (scales cancel), overfetch 4x, then the
+    // float vectors rescore only the 20 candidates per query. Same query
+    // set as q28 — comparing the two results measures the quantization
+    // recall loss directly
+    Q("q118_ann_quantized",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.quantizedTopK(
+          e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding",
+          k = 5, overfetch = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH $quantCteSql,
+               cn AS (SELECT vec_id, v, codes,
+                             sqrt(CAST(list_sum(list_transform(codes, c -> c * c)) AS DOUBLE)) AS cnorm
+                      FROM qcodes),
+               q AS (SELECT vec_id AS q_id, v AS q_vec, codes AS q_codes, cnorm AS q_cn
+                     FROM cn WHERE vec_id % 25 = 0),
+               c AS (SELECT vec_id AS c_id, v AS c_vec, codes AS c_codes, cnorm AS c_cn
+                     FROM cn),
+               ap AS (SELECT q_id, c_id, q_vec, c_vec,
+                             CASE WHEN q_cn * c_cn = 0 THEN -2.0
+                                  ELSE CAST(list_sum(list_transform(range(1, 65),
+                                         i -> q_codes[i] * c_codes[i])) AS DOUBLE)
+                                       / (q_cn * c_cn) END AS acos_
+                      FROM q, c WHERE q_id <> c_id),
+               cand AS (SELECT q_id, c_id, q_vec, c_vec,
+                               row_number() OVER (PARTITION BY q_id
+                                 ORDER BY acos_ DESC, c_id) AS crk
+                        FROM ap),
+               ex AS (SELECT q_id, c_id, ${cosSql("q_vec", "c_vec")} AS cos
+                      FROM cand WHERE crk <= 20),
+               r AS (SELECT q_id, c_id, cos,
+                            CAST(row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, c_id) AS INT) AS rnk
+                     FROM ex)
+              SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 5
+              ORDER BY q_id, rnk""")),
+
+    // duplicated-substring spans (Lee et al.'s exact-substring-dedup
+    // signal over word 5-grams) on the perturbed corpus, whose 80%-prefix
+    // copies guarantee long shared spans: per doc, overlapping duplicated
+    // grams merge into maximal spans; coverage is the thresholdable score
+    Q("q119_dup_spans",
+      (s, d) => Dedup.dupSpans(
+          perturbedCorpus(t(s, d, "documents")), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $corpusCte,
+               tk AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+               p AS (SELECT doc_id, tk, CAST(u.i AS INT) AS pos
+                     FROM tk, unnest(range(0, CASE WHEN len(tk) >= 5
+                                                   THEN len(tk) - 4
+                                                   ELSE 0 END)) u(i)),
+               g AS (SELECT doc_id, pos,
+                            array_to_string(tk[pos + 1:pos + 5], ' ') AS g
+                     FROM p),
+               dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+               dp AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+               f AS (SELECT doc_id, pos,
+                            max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+                     FROM dp),
+               ns AS (SELECT doc_id, pos,
+                             CASE WHEN prev_end IS NULL OR pos > prev_end
+                                  THEN 1 ELSE 0 END AS new_span
+                      FROM f),
+               sp AS (SELECT doc_id, pos,
+                             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+                      FROM ns),
+               ps AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + 5 AS e,
+                             count(*) AS ng
+                      FROM sp GROUP BY doc_id, span_id),
+               pd AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+                             CAST(sum(e - s) AS INT) AS covered,
+                             CAST(sum(ng) AS INT) AS n_dup_grams
+                      FROM ps GROUP BY doc_id),
+               base AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens FROM tk)
+              SELECT b.doc_id, b.n_tokens,
+                     coalesce(n_spans, 0) AS n_spans,
+                     coalesce(covered, 0) AS covered,
+                     coalesce(n_dup_grams, 0) AS n_dup_grams,
+                     round(coalesce(covered, 0) / GREATEST(b.n_tokens, 1), 6) AS coverage
+              FROM base b LEFT JOIN pd USING (doc_id)
+              ORDER BY doc_id"""))
   )
+
+  /** Shared quantization CTE (q117/q118): `qcodes` = (vec_id, v, scale,
+    * codes) with the exact arithmetic of [[Similarity.quantizeInt8]] —
+    * double-cast elements, max|x|/127 scale, round-half-away int codes,
+    * zero vectors to all-zero codes.
+    */
+  private def quantCteSql =
+    """qscale AS (SELECT vec_id, embedding AS v,
+                         list_max(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+                  FROM embeddings),
+       qcodes AS (SELECT vec_id, v, scale,
+                         CASE WHEN scale = 0
+                              THEN list_transform(v, x -> 0)
+                              ELSE list_transform(v,
+                                     x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT))
+                         END AS codes
+                  FROM qscale)"""
 
   /** The q102 subword-encode oracle, alias-parameterized: q112 emits the
     * SAME values through the unified `Tokenizer` contract, whose count

@@ -730,4 +730,59 @@ object Dedup {
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int").as("dist"))
       .where(col("dist") <= maxDist)
   }
+
+  /** Duplicated-substring span report (the exact-substring-dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed over word n-grams): a token position is
+    * "duplicated" when some n-gram covering it occurs more than once in
+    * the corpus (cross-doc or repeated in-doc). Per document, overlapping/
+    * adjacent duplicated n-grams are merged into maximal spans, and the
+    * report carries span count, covered-token count, duplicated-gram count
+    * and the covered fraction of the document — the score a curation
+    * pipeline thresholds on (or feeds to a span-removal rewrite).
+    *
+    * Plan shape, corpus-linear end to end: positional n-gram explode (one
+    * row per token) → gram-keyed count with map-side partial aggregation
+    * (one shuffle row per DISTINCT gram) → join-back on gram (fan-out
+    * bounded by each gram's own occurrence count, exactly the
+    * decontamination/novelty bound) → per-document windows for the
+    * interval merge, partitioned on doc id and bounded by document length
+    * — never a corpus-wide window. No pairwise document work anywhere:
+    * unlike MinHash/SimHash this never materializes doc pairs at all.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("tk"))
+    val grams = toks.select(col("id"),
+      posexplode(TextAnalysis.kgrams(col("tk"), n, " ")).as(Seq("pos", "g")))
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1).select(col("g"))
+    val dupPos = grams.join(dup, Seq("g")).select(col("id"), col("pos"))
+    val wPrev = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = dupPos
+      .withColumn("prev_end", max(col("pos") + n).over(wPrev))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1)
+          .otherwise(0))
+      .withColumn("span_id", sum(col("new_span")).over(wRun))
+    val perSpan = spans.groupBy(col("id"), col("span_id"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + n).as("e"),
+        count(lit(1)).as("ng"))
+    val perDoc = perSpan.groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        sum(col("e") - col("s")).cast("int").as("covered"),
+        sum(col("ng")).cast("int").as("n_dup_grams"))
+    toks.select(col("id"), size(col("tk")).as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .na.fill(0, Seq("n_spans", "covered", "n_dup_grams"))
+      .withColumn("coverage",
+        round(col("covered") / greatest(col("n_tokens"), lit(1)), 6))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_spans"),
+        col("covered"), col("n_dup_grams"), col("coverage"))
+  }
 }

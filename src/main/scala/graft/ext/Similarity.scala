@@ -408,4 +408,82 @@ object Similarity {
       semanticContaminatedIds(train, eval_, idCol, vecCol, threshold)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  // ---- int8 scalar quantization (SQ8) ------------------------------------
+
+  /** Symmetric per-vector int8 quantization: `scale = max|x| / 127`,
+    * `codes[i] = round(x[i] / scale)` (HALF_UP == DuckDB's half-away-from-
+    * zero for the symmetric range), an all-zero vector quantizes to scale 0
+    * and all-zero codes. Output keeps the input columns and adds `__v` (the
+    * double-cast vector), `scale`, `codes` (int in [-127, 127]) and
+    * `cnorm` = ‖codes‖₂ (exact: integer products summed in double).
+    *
+    * Scale rationale: at 100 TB the embedding column dominates storage and
+    * scan I/O — SQ8 cuts the candidate-scan payload 4× (64 B codes + one
+    * double vs 256 B of floats per 64-dim vector) with zero shuffle: the
+    * whole transform is a per-row projection that inlines into the scan's
+    * codegen stage. Quantized cosine needs no dequantization — the scales
+    * cancel in `Σ(cq·cc) / (‖cq‖·‖cc‖)` — so candidate generation touches
+    * integers only, and the full-precision vector is read back for exactly
+    * the overfetched candidate set (see [[quantizedTopK]]).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val out = df
+      .withColumn("__v", transform(col(vecCol), x => x.cast("double")))
+      // array_max is hoisted to its own column: referencing it from inside
+      // the codes lambda would re-evaluate the max per element (the
+      // kgrams O(k²) lesson, TextAnalysis.scala)
+      .withColumn("scale",
+        array_max(transform(col("__v"), x => abs(x))) / lit(127.0))
+      .withColumn("codes",
+        when(col("scale") === lit(0.0), transform(col("__v"), _ => lit(0)))
+          .otherwise(
+            transform(col("__v"), x => round(x / col("scale")).cast("int"))))
+    out.withColumn("cnorm",
+      sqrt(aggregate(transform(col("codes"), c => (c * c).cast("double")),
+        lit(0.0), (acc, v) => acc + v)))
+  }
+
+  /** ANN top-k over int8-quantized vectors with exact rescoring: rank all
+    * corpus codes by quantized cosine (integer dot over codes — scales
+    * cancel, see [[quantizeInt8]]), keep the top `k·overfetch` candidates
+    * per query, rescore those with the full-precision cosine, and emit the
+    * exact top k. Deterministic tie-breaks on corpus id at BOTH stages so
+    * the DuckDB replay (q118) reproduces the candidate set bit-for-bit.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] (broadcast queries, one
+    * corpus scan, per-query windows) but the scan-side payload is the 4×
+    * smaller code array, and the float vectors are only consulted for
+    * |Q|·k·overfetch rows. Degenerate zero vectors get quantized cosine −2
+    * (sorted past every real candidate) rather than a 0/0.
+    */
+  def quantizedTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, overfetch: Int = 4): DataFrame = {
+    def prep(df: DataFrame, tag: String) =
+      quantizeInt8(df, idCol, vecCol).select(
+        col(idCol).as(s"${tag}_id"), col(vecCol).as(s"${tag}_vec"),
+        norm(col(vecCol)).as(s"${tag}_norm"),
+        col("codes").as(s"${tag}_codes"), col("cnorm").as(s"${tag}_cn"))
+    val q = prep(queries, "q")
+    val c = prep(corpus, "c")
+    val icos = when(col("q_cn") * col("c_cn") === lit(0.0), lit(-2.0))
+      .otherwise(
+        aggregate(
+          zip_with(col("q_codes"), col("c_codes"),
+            (a, b) => (a * b).cast("double")),
+          lit(0.0), (acc, v) => acc + v) / (col("q_cn") * col("c_cn")))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("__acos").desc, col("c_id"))
+    val cand = c.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("c_id"))
+      .withColumn("__acos", icos)
+      .withColumn("__arank", row_number().over(wA))
+      .where(col("__arank") <= k * overfetch)
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    cand.withColumn("cos", cosPrenormed)
+      .withColumn("rank", row_number().over(wE))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"),
+        col("rank").cast("int").as("rank"))
+  }
 }

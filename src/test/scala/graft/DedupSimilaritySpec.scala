@@ -526,4 +526,60 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(redealt != base, "a new salt re-deals the order")
     assert(redealt.values.toSeq.sorted == (1L to 97L))
   }
+
+  test("quantizeInt8: half-up codes, saturation at the max element, zero vector") {
+    // maxabs = 127 makes scale exactly 1.0, so codes are just round(x)
+    val vecs = Seq(
+      (1L, Array(127.0f, -3.3f, 64.5f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .select($"vec_id", $"scale", $"codes").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2).toList)).toMap
+    assert(got(1L) == ((1.0, List(127, -3, 65, 0))),
+      "round half away from zero: 64.5 -> 65, -3.3 -> -3")
+    assert(got(2L) == ((0.0, List(0, 0, 0, 0))), "zero vector: scale 0, codes 0")
+  }
+
+  test("quantizedTopK with full overfetch equals exact bruteForceTopK") {
+    // deterministic pseudo-random vectors, integer-derived (exact in float)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 31 + j * 17) % 13 - 6).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" % 10 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"c_id", $"cos", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    // overfetch covers the whole corpus -> the rescore IS the exact top-k
+    val quant = rows(Similarity.quantizedTopK(q, vecs, "vec_id", "embedding",
+      k = 3, overfetch = 40))
+    val brute = rows(Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", k = 3))
+    assert(quant.toSeq == brute.toSeq)
+    // tight overfetch still returns k exact-cosine-ranked rows per query
+    val tight = Similarity.quantizedTopK(q, vecs, "vec_id", "embedding",
+      k = 3, overfetch = 2)
+    val perQ = tight.groupBy($"q_id").count().select("count")
+      .as[Long].collect().toSet
+    assert(perQ == Set(3L))
+  }
+
+  test("dupSpans merges overlapping duplicated grams into maximal spans") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),                             // shares 8-run with 2
+      (2L, "x y a b c d e f g h zz ww"),
+      (3L, "p q r s t u v w"),                                 // fully novel
+      (4L, "a b c d e z1 z2 z3 z4 z5 z6 a b c d e"),           // in-doc repeat -> 2 spans
+      (5L, "")).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(corpus, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5))))
+      .toMap
+    // (n_tokens, n_spans, covered, n_dup_grams, coverage)
+    assert(got(1L) == ((10, 1, 8, 4, 0.8)), "grams at pos 0..3 merge to [0,8)")
+    assert(got(2L) == ((12, 1, 8, 4, 0.666667)), "grams at pos 2..5 merge to [2,10)")
+    assert(got(3L) == ((8, 0, 0, 0, 0.0)), "novel doc: zero spans")
+    assert(got(4L) == ((16, 2, 10, 2, 0.625)),
+      "repeat at pos 0 and 11: two disjoint spans")
+    assert(got(5L) == ((0, 0, 0, 0, 0.0)), "empty doc")
+  }
 }

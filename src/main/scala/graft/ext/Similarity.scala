@@ -452,27 +452,29 @@ object Similarity {
     * the DuckDB replay (q118) reproduces the candidate set bit-for-bit.
     *
     * Scale shape: identical to [[bruteForceTopK]] (broadcast queries, one
-    * corpus scan, per-query windows) but the scan-side payload is the 4×
-    * smaller code array, and the float vectors are only consulted for
+    * corpus scan, per-query windows) but the scan-side payload is the
+    * PACKED code column — `PackInt8` stores the 64 codes as 64 contiguous
+    * bytes (BinaryType), the real 4× compression — and the candidate dot is
+    * the fused `Int8DotPacked` byte loop (long accumulator, exact), so the
+    * scan reads no floats at all; the float vectors are only consulted for
     * |Q|·k·overfetch rows. Degenerate zero vectors get quantized cosine −2
     * (sorted past every real candidate) rather than a 0/0.
     */
   def quantizedTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, overfetch: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.{int8DotNative, packInt8Native}
     def prep(df: DataFrame, tag: String) =
       quantizeInt8(df, idCol, vecCol).select(
         col(idCol).as(s"${tag}_id"), col(vecCol).as(s"${tag}_vec"),
         norm(col(vecCol)).as(s"${tag}_norm"),
-        col("codes").as(s"${tag}_codes"), col("cnorm").as(s"${tag}_cn"))
+        packInt8Native(col("codes")).as(s"${tag}_codes"),
+        col("cnorm").as(s"${tag}_cn"))
     val q = prep(queries, "q")
     val c = prep(corpus, "c")
     val icos = when(col("q_cn") * col("c_cn") === lit(0.0), lit(-2.0))
-      .otherwise(
-        aggregate(
-          zip_with(col("q_codes"), col("c_codes"),
-            (a, b) => (a * b).cast("double")),
-          lit(0.0), (acc, v) => acc + v) / (col("q_cn") * col("c_cn")))
+      .otherwise(int8DotNative(col("q_codes"), col("c_codes")).cast("double")
+        / (col("q_cn") * col("c_cn")))
     val wA = Window.partitionBy(col("q_id")).orderBy(col("__acos").desc, col("c_id"))
     val cand = c.crossJoin(broadcast(q))
       .where(col("q_id") =!= col("c_id"))

@@ -50,6 +50,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash_ab"),
       new ExpressionInfo(classOf[MinhashAB].getName, "graft_minhash_ab"),
       (exprs: Seq[Expression]) => MinhashAB(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_pack_int8"),
+      new ExpressionInfo(classOf[PackInt8].getName, "graft_pack_int8"),
+      (exprs: Seq[Expression]) => PackInt8(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_int8_dot"),
+      new ExpressionInfo(classOf[Int8DotPacked].getName, "graft_int8_dot"),
+      (exprs: Seq[Expression]) => Int8DotPacked(exprs.head, exprs(1))))
     composite(e, "graft_digit_sum", 1, cs => CleanOps.digitSum(cs.head))
     composite(e, "graft_scrub_unicode", 1, cs => CleanOps.scrubUnicode(cs.head))
     composite(e, "graft_parse_price", 1, cs => CleanOps.parsePrice(cs.head))

@@ -268,6 +268,118 @@ object MinhashAB {
       ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
 }
 
+/** Int8 code packing: array<int> in [-128, 127] → BinaryType, one signed
+  * byte per element. This is the STORAGE form of the SQ8 codes
+  * (`Similarity.quantizeInt8`): a 64-dim code array held as array<int>
+  * costs 4 B/element plus array headers in both Tungsten rows and parquet;
+  * the packed form is 64 contiguous bytes that parquet stores as a single
+  * BYTE_ARRAY — the actual 4× compression the quantizer promises. Values
+  * outside byte range (impossible for round(x/scale) with scale = max/127,
+  * kept as a guard) saturate to ±127. Null array or null element → null.
+  */
+case class PackInt8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pack_int8 expects array<int>, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      out(i) = PackInt8.clamp(a.getInt(i))
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $a.numElements();
+         |final byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $out[$i] = graft.functions.PackInt8.clamp($a.getInt($i));
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $out; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PackInt8 =
+    copy(child = newChild)
+}
+
+object PackInt8 {
+  /** Saturating int → signed byte. Public + JVM-static for codegen. */
+  def clamp(v: Int): Byte =
+    (if (v > 127) 127 else if (v < -128) -128 else v).toByte
+}
+
+/** Fused signed-int8 dot product over two packed code columns
+  * (BinaryType): Σ aᵢ·bᵢ as a long, the integer-cosine numerator of the
+  * quantized ANN scan (`Similarity.quantizedTopK`). The hot loop is a
+  * per-byte multiply-accumulate over two contiguous byte[]s inside
+  * whole-stage codegen — no array headers, no per-element null checks
+  * (bytes cannot be null), no doubles until the final ratio. The long
+  * accumulator is exact for any realistic dimension (dim · 127² ≪ 2⁶³).
+  * Mismatched lengths → null (the array-dot contract).
+  */
+case class Int8DotPacked(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_int8_dot expects (binary, binary), got ${left.dataType}, ${right.dataType}")
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Array[Byte]]
+    val b = r.asInstanceOf[Array[Byte]]
+    if (a.length != b.length) return null
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += a(i).toLong * b(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |if ($a.length != $b.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $a.length; $i++) {
+         |    $s += ((long) $a[$i]) * $b[$i];
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8DotPacked =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Fused dot product as a Column (codegen'd; see DotProductArr). */
   def dotNative(a: Column, b: Column): Column =
@@ -289,4 +401,15 @@ object VectorFunctions {
       maxLen: Int = 4, unkId: Long = 0L): Column =
     ColumnBridge.column(SubwordIds(ColumnBridge.expression(word),
       vocab, maxLen, unkId))
+
+  /** Int8 code packing as a Column (codegen'd; see PackInt8). */
+  def packInt8Native(codes: Column): Column =
+    ColumnBridge.column(PackInt8(ColumnBridge.expression(codes)))
+
+  /** Packed signed-int8 dot product as a Column (codegen'd; see
+    * Int8DotPacked).
+    */
+  def int8DotNative(a: Column, b: Column): Column =
+    ColumnBridge.column(Int8DotPacked(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

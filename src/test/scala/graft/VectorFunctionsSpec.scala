@@ -201,4 +201,45 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_nfc(graft_nfc('cafe\u0301')) AS s")
       .head().getString(0) == "caf\u00e9")
   }
+
+  test("pack_int8 + int8_dot: packed dot \u2261 integer HOF dot; clamp; nulls; SQL") {
+    import graft.functions.VectorFunctions.{int8DotNative, packInt8Native}
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.fill(100)((
+      Array.fill(64)(rnd.nextInt(255) - 127),
+      Array.fill(64)(rnd.nextInt(255) - 127)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      int8DotNative(packInt8Native($"a"), packInt8Native($"b")).as("packed"),
+      aggregate(zip_with($"a", $"b", (x, y) => (x * y).cast("long")),
+        lit(0L), (acc, v) => acc + v).as("hof")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // saturation guard: out-of-byte-range ints clamp to \u00b1127/\u2212128
+    val clamped = Seq((Array(200, -300), Array(1, 1))).toDF("a", "b")
+      .select(int8DotNative(packInt8Native($"a"), packInt8Native($"b")))
+      .as[Long].head()
+    assert(clamped == 127L - 128L)
+    // null semantics: null array and length mismatch \u2192 null
+    val nulls = Seq((Some(Seq(1, 2)), None: Option[Seq[Int]]),
+      (Some(Seq(1)), Some(Seq(1, 2)))).toDF("a", "b")
+      .select(int8DotNative(packInt8Native($"a"), packInt8Native($"b")).as("d"))
+      .collect()
+    assert(nulls.forall(_.isNullAt(0)))
+    // interpreted eval agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val aLit = Literal(Array[Byte](1, -2, 3), org.apache.spark.sql.types.BinaryType)
+    val bLit = Literal(Array[Byte](4, 5, -6), org.apache.spark.sql.types.BinaryType)
+    val interp = graft.functions.Int8DotPacked(aLit, bLit).eval(null)
+    assert(interp == (4L - 10L - 18L))
+    // SQL registration path (same Expressions GraftExtensions injects)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pack_int8", exprs => graft.functions.PackInt8(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_int8_dot",
+      exprs => graft.functions.Int8DotPacked(exprs.head, exprs(1)), "built-in")
+    val viaSql = spark.sql(
+      "SELECT graft_int8_dot(graft_pack_int8(array(1, -2, 3)), " +
+        "graft_pack_int8(array(4, 5, -6))) AS d").head().getLong(0)
+    assert(viaSql == (4L - 10L - 18L))
+  }
 }

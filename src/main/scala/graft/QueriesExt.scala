@@ -1391,7 +1391,70 @@ object QueriesExt {
                      coalesce(n_dup_grams, 0) AS n_dup_grams,
                      round(coalesce(covered, 0) / GREATEST(b.n_tokens, 1), 6) AS coverage
               FROM base b LEFT JOIN pd USING (doc_id)
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // multinomial Naive Bayes model (GPT-3/CCNet-style model-based quality
+    // filtering, count-based so the classifier is exactly replayable):
+    // trained on the lang='en' pseudo-label; the model is one persistable
+    // vocabulary-sized table with class doc counts riding every row
+    Q("q120_nb_train",
+      (s, d) => TextAnalysis.nbModel(
+          t(s, d, "documents").withColumn("y", col("lang") === lit("en")),
+          "text", "y")
+        .orderBy(col("term")),
+      Some(s"""WITH toks AS (SELECT lang = 'en' AS y, unnest($toksSql) AS term
+                             FROM documents),
+               counts AS (SELECT term,
+                                 CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                                 CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+                          FROM toks GROUP BY term),
+               docs AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS docs_pos,
+                               CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS docs_neg
+                        FROM documents)
+              SELECT term, n_pos, n_neg, docs_pos, docs_neg
+              FROM counts, docs ORDER BY term""")),
+
+    // NB scoring over the full corpus: add-one-smoothed log-odds + label.
+    // Per-term tf.Δln rounded to 6 dp and summed as exact decimals (the
+    // q71 order-independence trick), prior folded in at the end
+    Q("q121_nb_score",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = TextAnalysis.nbModel(
+          docs.withColumn("y", col("lang") === lit("en")), "text", "y")
+        TextAnalysis.nbLogOdds(docs, "doc_id", "text", model)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT lang = 'en' AS y, unnest($toksSql) AS term
+                             FROM documents),
+               model AS (SELECT term,
+                                CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                                CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+                         FROM toks GROUP BY term),
+               sc AS (SELECT count(*) AS v, sum(n_pos) AS t_pos, sum(n_neg) AS t_neg,
+                             (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                              FROM documents) AS docs_pos,
+                             (SELECT CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                              FROM documents) AS docs_neg
+                      FROM model),
+               tf AS (SELECT doc_id, term, count(*) AS tf
+                      FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+                      GROUP BY doc_id, term),
+               ct AS (SELECT doc_id,
+                             CAST(round(CAST(tf AS DOUBLE) *
+                               (ln((coalesce(n_pos, 0) + 1) / CAST(t_pos + v AS DOUBLE))
+                                - ln((coalesce(n_neg, 0) + 1) / CAST(t_neg + v AS DOUBLE))), 6)
+                               AS DECIMAL(28,8)) AS c
+                      FROM tf LEFT JOIN model USING (term), sc),
+               s AS (SELECT doc_id, sum(c) AS s FROM ct GROUP BY doc_id),
+               fin AS (SELECT d.doc_id,
+                              round(CAST(coalesce(s.s, 0) AS DOUBLE)
+                                + round(ln(CAST(docs_pos AS DOUBLE))
+                                    - ln(CAST(docs_neg AS DOUBLE)), 6), 4) AS log_odds
+                       FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id, sc)
+              SELECT doc_id, log_odds,
+                     CASE WHEN log_odds > 0 THEN 'pos' ELSE 'neg' END AS pred
+              FROM fin ORDER BY doc_id"""))
   )
 
   /** Shared quantization CTE (q117/q118): `qcodes` = (vec_id, v, scale,

@@ -1011,4 +1011,89 @@ object TextAnalysis {
       .select(col("id"), col("fp"))
       .distinct()
   }
+
+  // ---- model-based quality filtering (multinomial Naive Bayes) -----------
+
+  /** Multinomial Naive Bayes model over word tokens — the count-based
+    * incarnation of GPT-3/CCNet-style model-based quality filtering: train
+    * on a labeled (or pseudo-labeled) seed set, score the whole corpus,
+    * threshold on the log-odds. A count model keeps the "classifier" an
+    * exactly-replayable relational artifact — no SGD nondeterminism — while
+    * behaving like the linear classifier the pipelines actually use (NB IS
+    * a linear model in log space).
+    *
+    * Output: one row per vocabulary term — (term, n_pos, n_neg) token
+    * counts per class — with the class doc counts (docs_pos, docs_neg)
+    * riding every row, so the model is one self-contained persistable
+    * table (the [[tfidfCorpusStats]] / [[graft.ext.Tokenizer]] artifact
+    * pattern: parquet it, reload it, score tomorrow's corpus against it).
+    *
+    * Scale shape: one explode + term-keyed count (map-side combine, one
+    * shuffle row per distinct term) + a broadcast 1-row doc-count
+    * aggregate. The model is vocabulary-sized.
+    */
+  def nbModel(df: DataFrame, textCol: String, labelCol: String): DataFrame = {
+    val y = col(labelCol).cast("boolean")
+    val counts = df.select(y.as("y"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("n_neg"))
+    val docs = df.agg(
+      sum(when(y, 1L).otherwise(0L)).as("docs_pos"),
+      sum(when(!y, 1L).otherwise(0L)).as("docs_neg"))
+    counts.crossJoin(broadcast(docs))
+  }
+
+  /** Score a corpus against a [[nbModel]] table: per document, the add-one-
+    * smoothed log-odds `Σ_w tf_w·[ln P(w|pos) − ln P(w|neg)] + ln P(pos) −
+    * ln P(neg)` and the thresholded label. Terms outside the model
+    * vocabulary take the smoothed zero count (coalesce 0 under the left
+    * join), so scoring degrades gracefully on drifted corpora.
+    *
+    * Oracle-exact summation: each term's log-ratio is rounded to 6 dp and
+    * cast to decimal BEFORE the per-document sum (the [[bigramLmScores]]
+    * trick) — decimal addition is exact and order-independent, so Spark's
+    * partial-aggregation order can never diverge from DuckDB's.
+    *
+    * Scale shape: corpus explode → (doc, term) counts (one shuffle row per
+    * distinct doc-term) → broadcast join against the vocabulary-sized
+    * model + 1-row scalars → per-doc sum. Corpus-linear; the model never
+    * shuffles.
+    */
+  def nbLogOdds(corpus: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val scalars = model.agg(
+      count(lit(1)).as("v"),
+      sum(col("n_pos")).as("t_pos"), sum(col("n_neg")).as("t_neg"),
+      max(col("docs_pos")).as("docs_pos"), max(col("docs_neg")).as("docs_neg"))
+    val tf = corpus
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf·Δln is computed in double THEN rounded and cast (a decimal×int
+    // multiply would hit engine-specific precision/scale inference); the
+    // rounded decimals sum exactly, order-independent
+    val contrib = tf
+      .join(broadcast(model.select(col("term"), col("n_pos"), col("n_neg"))),
+        Seq("term"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("id"),
+        round(
+          col("tf").cast("double") *
+            (log((coalesce(col("n_pos"), lit(0L)) + 1).cast("double") /
+              (col("t_pos") + col("v")).cast("double")) -
+              log((coalesce(col("n_neg"), lit(0L)) + 1).cast("double") /
+                (col("t_neg") + col("v")).cast("double"))), 6)
+          .cast("decimal(28,8)").as("c"))
+    corpus.select(col(idCol).as("id"))
+      .join(contrib.groupBy(col("id")).agg(sum(col("c")).as("s")),
+        Seq("id"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("id").as(idCol),
+        round(
+          coalesce(col("s"), lit(0)).cast("double") +
+            round(log(col("docs_pos").cast("double")) -
+              log(col("docs_neg").cast("double")), 6), 4).as("log_odds"))
+      .withColumn("pred",
+        when(col("log_odds") > 0, lit("pos")).otherwise(lit("neg")))
+  }
 }

@@ -428,4 +428,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the base-only run's, no matter how much corpus arrived around them
     assert(basePairsInGrown == pairSet(base, Some(stats)))
   }
+
+  test("nbModel/nbLogOdds: hand-computed log-odds, unseen-term smoothing, labels") {
+    val labeled = Seq(
+      (1L, "good good fine", true),
+      (2L, "bad awful", false),
+      (3L, "good bad", true)).toDF("doc_id", "text", "y")
+    val model = TextAnalysis.nbModel(labeled, "text", "y").localCheckpoint(true)
+    val m = model.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m == Map("good" -> ((3L, 0L)), "fine" -> ((1L, 0L)),
+      "bad" -> ((1L, 1L)), "awful" -> ((0L, 1L))))
+    // scalars: V=4, t_pos=5, t_neg=2, docs_pos=2, docs_neg=1
+    val scored = TextAnalysis.nbLogOdds(
+      Seq((10L, "good awful zzz"), (11L, "good good fine"), (12L, "bad awful"),
+        (13L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    // driver-side replay with the engine's exact rounding discipline
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def term(np: Long, nn: Long, tf: Long) = r6(
+      tf.toDouble * (math.log((np + 1).toDouble / 9.0) - math.log((nn + 1).toDouble / 6.0)))
+    val prior = r6(math.log(2.0) - math.log(1.0))
+    def lo(terms: Seq[(Long, Long, Long)]) =
+      BigDecimal(terms.map(t => term(t._1, t._2, t._3)).sum.toDouble + prior.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d10 = lo(Seq((3L, 0L, 1L), (0L, 1L, 1L), (0L, 0L, 1L))) // good awful zzz
+    assert(scored(10L)._1 == d10)
+    assert(scored(11L) == ((lo(Seq((3L, 0L, 2L), (1L, 0L, 1L))), "pos")),
+      "training-positive doc classifies pos")
+    assert(scored(12L)._2 == "neg", "training-negative doc classifies neg")
+    assert(scored(13L) == ((lo(Seq.empty), "pos")),
+      "empty doc scores exactly the prior")
+  }
 }

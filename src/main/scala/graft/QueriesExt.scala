@@ -1454,7 +1454,48 @@ object QueriesExt {
                        FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id, sc)
               SELECT doc_id, log_odds,
                      CASE WHEN log_odds > 0 THEN 'pos' ELSE 'neg' END AS pred
-              FROM fin ORDER BY doc_id"""))
+              FROM fin ORDER BY doc_id""")),
+
+    // span-removal rewrite (Lee et al. keep-one semantics): the corpus-
+    // global first occurrence of each duplicated 5-gram keeps its tokens,
+    // all other occurrences are stripped and the token stream rebuilt —
+    // q119's report operator turned into the actual dedup transform
+    Q("q122_remove_dup_spans",
+      (s, d) => Dedup.removeDupSpans(
+          perturbedCorpus(t(s, d, "documents")), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $corpusCte,
+               tk AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+               p AS (SELECT doc_id, tk, CAST(u.i AS INT) AS pos
+                     FROM tk, unnest(range(0, CASE WHEN len(tk) >= 5
+                                                   THEN len(tk) - 4
+                                                   ELSE 0 END)) u(i)),
+               g AS (SELECT doc_id, pos,
+                            array_to_string(tk[pos + 1:pos + 5], ' ') AS g
+                     FROM p),
+               own AS (SELECT g, count(*) AS cnt,
+                              min(doc_id * 1000000 + pos) AS own
+                       FROM g GROUP BY g),
+               rm AS (SELECT DISTINCT doc_id, CAST(u.i AS INT) AS p
+                      FROM g JOIN own USING (g),
+                           unnest(range(pos, pos + 5)) u(i)
+                      WHERE cnt > 1 AND doc_id * 1000000 + pos <> own),
+               words AS (SELECT doc_id, CAST(u.i AS INT) AS p,
+                                tk[CAST(u.i AS INT) + 1] AS w
+                         FROM tk, unnest(range(0, len(tk))) u(i)),
+               kept AS (SELECT w.doc_id, CAST(count(*) AS INT) AS n_kept,
+                               string_agg(w.w, ' ' ORDER BY w.p) AS text_clean
+                        FROM words w
+                        WHERE NOT EXISTS (SELECT 1 FROM rm
+                                          WHERE rm.doc_id = w.doc_id
+                                            AND rm.p = w.p)
+                        GROUP BY w.doc_id),
+               base AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens FROM tk)
+              SELECT b.doc_id, b.n_tokens,
+                     coalesce(n_kept, 0) AS n_kept,
+                     coalesce(text_clean, '') AS text_clean
+              FROM base b LEFT JOIN kept USING (doc_id)
+              ORDER BY doc_id"""))
   )
 
   /** Shared quantization CTE (q117/q118): `qcodes` = (vec_id, v, scale,

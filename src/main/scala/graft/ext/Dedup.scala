@@ -785,4 +785,49 @@ object Dedup {
       .select(col("id").as(idCol), col("n_tokens"), col("n_spans"),
         col("covered"), col("n_dup_grams"), col("coverage"))
   }
+
+  /** The span-REMOVAL rewrite completing [[dupSpans]] (Lee et al. keep-one
+    * semantics): for every duplicated n-gram the corpus-global FIRST
+    * occurrence (minimum (doc, pos)) keeps its tokens; every other
+    * occurrence's n token positions are removed, and each document's
+    * token stream is rebuilt without them. Output is the tokenized
+    * rewrite — (id, n_tokens, n_kept, text_clean) — the form a
+    * token-budgeted pipeline consumes directly.
+    *
+    * Plan shape: [[dupSpans]]' gram explode and gram-keyed aggregation
+    * (here arg-min as `min(id·10⁶ + pos)` — portable composite key, valid
+    * while documents stay under 10⁶ tokens) → join-back → position
+    * explode of the removed occurrences (n rows each, distinct) → an
+    * ANTI join against the corpus token stream → the standard
+    * array_sort(collect_list) per-doc rebuild (bounded by doc length).
+    * Corpus-linear: no doc pairs, no corpus-wide window; the only
+    * amplification is the constant n on removed occurrences.
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("tk"))
+    val grams = toks.select(col("id"),
+      posexplode(TextAnalysis.kgrams(col("tk"), n, " ")).as(Seq("pos", "g")))
+    val owners = grams.groupBy(col("g")).agg(
+      count(lit(1)).as("cnt"),
+      min(col("id") * lit(1000000L) + col("pos")).as("own"))
+    val rm = grams.join(owners.where(col("cnt") > 1), Seq("g"))
+      .where(col("id") * lit(1000000L) + col("pos") =!= col("own"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+    val words = toks.select(col("id"), posexplode(col("tk")).as(Seq("p", "w")))
+    val kept = words.join(rm, Seq("id", "p"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("w")))),
+          s => s.getField("w"))).as("text_clean"))
+    toks.select(col("id"), size(col("tk")).as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .na.fill(0, Seq("n_kept")).na.fill("", Seq("text_clean"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_kept"),
+        col("text_clean"))
+  }
 }

@@ -582,4 +582,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "repeat at pos 0 and 11: two disjoint spans")
     assert(got(5L) == ((0, 0, 0, 0, 0.0)), "empty doc")
   }
+
+  test("removeDupSpans keeps the corpus-global first occurrence, strips the rest") {
+    val corpus = Seq(
+      (1L, "a b c d e"),                       // owner of the shared gram
+      (2L, "q w a b c d e r t"),
+      (3L, "a b c d e"),                       // exact copy -> fully stripped
+      (4L, "a b c d e z a b c d e")).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(corpus, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got(1L) == ((5, 5, "a b c d e")), "first occurrence keeps its tokens")
+    assert(got(2L) == ((9, 4, "q w r t")), "interior occurrence stripped")
+    assert(got(3L) == ((5, 0, "")), "verbatim copy fully removed")
+    assert(got(4L) == ((11, 1, "z")), "both in-doc occurrences are non-owners")
+  }
 }

@@ -1495,7 +1495,79 @@ object QueriesExt {
                      coalesce(n_kept, 0) AS n_kept,
                      coalesce(text_clean, '') AS text_clean
               FROM base b LEFT JOIN kept USING (doc_id)
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // product quantization: 4 subspaces x 16 dims, 8-cell codebook each
+    // (the faiss memory layout — 4 codes replace 64 floats). Oracle runs
+    // the q73 k-means replay once per subspace and assigns final cells
+    Q("q123_pq_encode",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val books = Similarity.pqCodebooks(e, "vec_id", "embedding",
+          m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+        Similarity.pqEncode(e, "vec_id", "embedding", books,
+          m = 4, subDim = 16)
+          .orderBy(col("vec_id"), col("sub"))
+      },
+      Some(s"""WITH ${pqCtes(4, 16, 8)}
+              SELECT vec_id, sub, code FROM (
+                ${(0 until 4).map(j => s"SELECT * FROM s${j}code")
+                  .mkString(" UNION ALL ")})
+              ORDER BY vec_id, sub""")),
+
+    // ADC top-k over the PQ codes + exact rescore: per-query LUT of
+    // rounded sub-dots (decimal-exact sums, order-independent), top-20
+    // ADC candidates, float rescore to the exact top-5 — same query set
+    // as q28/q118 so the three ANN tiers are directly comparable
+    Q("q124_pq_ann",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val books = Similarity.pqCodebooks(e, "vec_id", "embedding",
+          m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+        Similarity.pqAdcTopK(
+          e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding",
+          books, m = 4, subDim = 16, k = 5, overfetch = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some {
+        val qsub = (0 until 4).map { j =>
+          s"SELECT q_id, $j AS sub, q_vec[${j * 16 + 1}:${(j + 1) * 16}] AS qv FROM qs"
+        }.mkString(" UNION ALL ")
+        s"""WITH ${pqCtes(4, 16, 8)},
+             books AS (${(0 until 4).map(j =>
+               s"SELECT $j AS sub, cell, centroid FROM s${j}fv")
+               .mkString(" UNION ALL ")}),
+             qs AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+                    WHERE vec_id % 25 = 0),
+             qsub AS ($qsub),
+             lut AS (SELECT q_id, q.sub, cell,
+                            CAST(round(${dotSqlN("qv", "centroid", 16)}, 6)
+                              AS DECIMAL(28,8)) AS ld
+                     FROM qsub q JOIN books ON q.sub = books.sub),
+             codes AS (SELECT vec_id AS c_id, sub, code AS cell FROM (
+                         ${(0 until 4).map(j => s"SELECT * FROM s${j}code")
+                           .mkString(" UNION ALL ")})),
+             adc AS (SELECT q_id, c_id, sum(ld) AS adc
+                     FROM codes JOIN lut USING (sub, cell)
+                     WHERE q_id <> c_id GROUP BY q_id, c_id),
+             cand AS (SELECT q_id, c_id,
+                             row_number() OVER (PARTITION BY q_id
+                               ORDER BY adc DESC, c_id) AS crk
+                      FROM adc),
+             ex AS (SELECT q_id, c_id,
+                           ${cosSql("qe.embedding", "ce.embedding")} AS cos
+                    FROM cand
+                    JOIN embeddings qe ON qe.vec_id = q_id
+                    JOIN embeddings ce ON ce.vec_id = c_id
+                    WHERE crk <= 20),
+             r AS (SELECT q_id, c_id, cos,
+                          CAST(row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, c_id) AS INT) AS rnk
+                   FROM ex)
+            SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 5
+            ORDER BY q_id, rnk"""
+      })
   )
 
   /** Shared quantization CTE (q117/q118): `qcodes` = (vec_id, v, scale,
@@ -1680,10 +1752,61 @@ object QueriesExt {
   }
 
   /** Shared cosine SQL: double-cast element math, rounded to 6 dp. */
-  private def cosSql(a: String, b: String): String = {
-    def dotSql(x: String, y: String) =
-      s"list_sum(list_transform(range(1, 65), " +
-        s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
-    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+  private def cosSql(a: String, b: String): String = cosSqlN(a, b, 64)
+
+  private def dotSqlN(x: String, y: String, dim: Int): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), " +
+      s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+
+  private def cosSqlN(a: String, b: String, dim: Int): String =
+    s"round(${dotSqlN(a, b, dim)} / " +
+      s"(sqrt(${dotSqlN(a, a, dim)}) * sqrt(${dotSqlN(b, b, dim)})), 6)"
+
+  /** Per-subspace k-means + final-assignment CTE chain for PQ (q123/q124):
+    * for each subspace j, the q73 replay (deterministic min-id init,
+    * rounded 6 dp centroids, two assign-update iterations) over the sliced
+    * sub-vectors, ending in `s{j}fv` (final codebook as (cell, centroid))
+    * and `s{j}code` (per-vector nearest final cell, ties to smaller cell —
+    * the assignCells contract).
+    */
+  private def pqCtes(m: Int, subDim: Int, k: Int): String = {
+    def assignKm(j: Int, tag: String, prevCents: String) =
+      s"""s$j${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                         FROM s$j$prevCents GROUP BY cell),
+          s$j${tag}s AS (SELECT e.vec_id, e.sv, v.cell,
+                                ${cosSqlN("e.sv", "v.centroid", subDim)} AS cos
+                         FROM s${j}e e, s$j${tag}v v),
+          s$j${tag}r AS (SELECT vec_id, sv, cell,
+                                row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rk
+                         FROM s$j${tag}s),
+          s$j${tag}c AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                                round(avg(CAST(sv[i] AS DOUBLE)), 6) AS v
+                         FROM s$j${tag}r, range(1, ${subDim + 1}) u(i)
+                         WHERE rk = 1 GROUP BY cell, pos)"""
+    (0 until m).map { j =>
+      val lo = j * subDim + 1
+      val hi = (j + 1) * subDim
+      s"""s${j}e AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
+          s${j}i0 AS (SELECT vec_id, sv,
+                             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+                      FROM s${j}e ORDER BY vec_id LIMIT $k),
+          s${j}c0 AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                             round(CAST(sv[i] AS DOUBLE), 6) AS v
+                      FROM s${j}i0, range(1, ${subDim + 1}) u(i)),
+          ${assignKm(j, "x", "c0")},
+          ${assignKm(j, "y", "xc")},
+          s${j}fv AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                      FROM s${j}yc GROUP BY cell),
+          s${j}fs AS (SELECT e.vec_id, v.cell,
+                             ${cosSqlN("e.sv", "v.centroid", subDim)} AS cos
+                      FROM s${j}e e, s${j}fv v),
+          s${j}fr AS (SELECT vec_id, cell,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cell) AS rk
+                      FROM s${j}fs),
+          s${j}code AS (SELECT vec_id, $j AS sub, cell AS code
+                        FROM s${j}fr WHERE rk = 1)"""
+    }.mkString(",\n")
   }
 }

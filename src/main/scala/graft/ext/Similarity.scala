@@ -488,4 +488,107 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"),
         col("rank").cast("int").as("rank"))
   }
+
+  // ---- product quantization (PQ / ADC) -----------------------------------
+
+  /** Product-quantization codebooks: the vector is split into `m`
+    * contiguous `subDim`-dim subspaces and each subspace gets its own
+    * [[kmeansCentroids]] codebook (same deterministic init, same rounded
+    * 6 dp centroid discipline — the oracle replays per subspace). Output:
+    * (sub, cell, pos, v), `m·k·subDim` rows — codebooks are tiny and
+    * broadcast everywhere downstream.
+    *
+    * Scale rationale: PQ is the faiss-standard memory layout for
+    * billion-vector ANN — m codes of log₂(k) bits replace the full vector
+    * (here 4 bytes vs 256: 64×), and ADC scoring needs only a per-query
+    * lookup table of m·k sub-dots. Training cost is m independent k-means
+    * runs, each a broadcast-centroid loop with one shuffle row per vector
+    * per iteration.
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, k: Int, iters: Int): DataFrame =
+    (0 until m).map { j =>
+      kmeansCentroids(
+        df.select(col(idCol),
+          slice(col(vecCol), j * subDim + 1, subDim).as("__sub")),
+        idCol, "__sub", k, iters)
+        .withColumn("sub", lit(j))
+    }.reduce(_ unionByName _)
+      .select(col("sub"), col("cell"), col("pos"), col("v"))
+
+  /** Assemble (sub, cell) → centroid vectors from a [[pqCodebooks]] table. */
+  private def pqCentroidVectors(books: DataFrame): DataFrame =
+    books.groupBy(col("sub"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("centroid"))
+
+  /** PQ-encode: each vector's `m` subspace codes — nearest codebook
+    * centroid per subspace (max cosine, rounded 6 dp, ties to the smaller
+    * cell — the [[assignCells]] contract). Output (id, sub, code), long
+    * format so the codes table is itself a relational artifact.
+    * One broadcast join + per-(vector, subspace) arg-max: corpus-linear,
+    * m rows per vector on the shuffle.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      books: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val subs = df.select(col(idCol).as("id"),
+      explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"),
+          slice(col(vecCol), j * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    subs.join(broadcast(pqCentroidVectors(books)), Seq("sub"))
+      .select(col("id"), col("sub"), col("cell"),
+        cosine(col("sv"), col("centroid")).as("cos"))
+      .groupBy(col("id"), col("sub"))
+      .agg(max_by(col("cell"), struct(col("cos"), -col("cell"))).as("code"))
+      .select(col("id").as(idCol), col("sub"), col("code"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes with exact
+    * rescoring: per query, a lookup table of rounded sub-dots against
+    * every (sub, cell) centroid — m·k entries, broadcast — scores each
+    * corpus vector as the DECIMAL-exact sum of its m looked-up entries
+    * (order-independent, so the replay can never diverge on float
+    * summation order), the top `k·overfetch` ADC candidates are rescored
+    * with the full-precision cosine, and the exact top k come out.
+    *
+    * Scale shape: the corpus contributes m code rows per vector (the 64×
+    * compressed representation — full vectors are read ONLY for the
+    * |Q|·k·overfetch rescore rows); the LUT join is a broadcast on
+    * (sub, code); the per-query windows are |Q|-keyed. Corpus-linear in
+    * both shuffle and scan, which is the point of PQ.
+    */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, books: DataFrame, m: Int, subDim: Int, k: Int,
+      overfetch: Int = 4): DataFrame = {
+    val cvecs = pqCentroidVectors(books)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val qsubs = q.select(col("q_id"),
+      explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"),
+          slice(col("q_vec"), j * subDim + 1, subDim).as("qv"))): _*)).as("e"))
+      .select(col("q_id"), col("e.sub").as("sub"), col("e.qv").as("qv"))
+    val lut = qsubs.join(broadcast(cvecs), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("cell"),
+        round(dot(col("qv"), col("centroid")), 6)
+          .cast("decimal(28,8)").as("ld"))
+    val codes = pqEncode(corpus, idCol, vecCol, books, m, subDim)
+      .select(col(idCol).as("c_id"), col("sub"), col("code").as("cell"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id")).agg(sum(col("ld")).as("adc"))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("c_id"))
+    val cand = adc.withColumn("__arank", row_number().over(wA))
+      .where(col("__arank") <= k * overfetch)
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    cand.join(c, Seq("c_id")).join(q, Seq("q_id"))
+      .withColumn("cos", cosPrenormed)
+      .withColumn("rank", row_number().over(wE))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"),
+        col("rank").cast("int").as("rank"))
+  }
 }

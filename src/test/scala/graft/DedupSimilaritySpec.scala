@@ -597,4 +597,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(3L) == ((5, 0, "")), "verbatim copy fully removed")
     assert(got(4L) == ((11, 1, "z")), "both in-doc occurrences are non-owners")
   }
+
+  test("PQ: m codes per vector; full-overfetch ADC + rescore ≡ bruteForceTopK") {
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 37 + j * 11) % 17 - 8).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+      m = 2, subDim = 4, k = 4, iters = 1).localCheckpoint(true)
+    assert(books.select("sub").distinct().count() == 2)
+    val codes = Similarity.pqEncode(vecs, "vec_id", "embedding", books,
+      m = 2, subDim = 4)
+    val byVec = codes.groupBy($"vec_id").count().select("count")
+      .as[Long].collect().toSet
+    assert(byVec == Set(2L), "exactly m codes per vector")
+    assert(codes.select(max($"code")).as[Int].head() <= 3, "codes in [0, k)")
+    val q = vecs.where($"vec_id" % 7 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"c_id", $"cos", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val adc = rows(Similarity.pqAdcTopK(q, vecs, "vec_id", "embedding",
+      books, m = 2, subDim = 4, k = 3, overfetch = 30))
+    val brute = rows(Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", k = 3))
+    assert(adc == brute, "overfetch spanning the corpus makes the rescore exact")
+  }
 }

@@ -1425,33 +1425,7 @@ object QueriesExt {
         TextAnalysis.nbLogOdds(docs, "doc_id", "text", model)
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH toks AS (SELECT lang = 'en' AS y, unnest($toksSql) AS term
-                             FROM documents),
-               model AS (SELECT term,
-                                CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-                                CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
-                         FROM toks GROUP BY term),
-               sc AS (SELECT count(*) AS v, sum(n_pos) AS t_pos, sum(n_neg) AS t_neg,
-                             (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
-                              FROM documents) AS docs_pos,
-                             (SELECT CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
-                              FROM documents) AS docs_neg
-                      FROM model),
-               tf AS (SELECT doc_id, term, count(*) AS tf
-                      FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
-                      GROUP BY doc_id, term),
-               ct AS (SELECT doc_id,
-                             CAST(round(CAST(tf AS DOUBLE) *
-                               (ln((coalesce(n_pos, 0) + 1) / CAST(t_pos + v AS DOUBLE))
-                                - ln((coalesce(n_neg, 0) + 1) / CAST(t_neg + v AS DOUBLE))), 6)
-                               AS DECIMAL(28,8)) AS c
-                      FROM tf LEFT JOIN model USING (term), sc),
-               s AS (SELECT doc_id, sum(c) AS s FROM ct GROUP BY doc_id),
-               fin AS (SELECT d.doc_id,
-                              round(CAST(coalesce(s.s, 0) AS DOUBLE)
-                                + round(ln(CAST(docs_pos AS DOUBLE))
-                                    - ln(CAST(docs_neg AS DOUBLE)), 6), 4) AS log_odds
-                       FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id, sc)
+      Some(s"""WITH $nbCtes
               SELECT doc_id, log_odds,
                      CASE WHEN log_odds > 0 THEN 'pos' ELSE 'neg' END AS pred
               FROM fin ORDER BY doc_id""")),
@@ -1465,37 +1439,9 @@ object QueriesExt {
           perturbedCorpus(t(s, d, "documents")), "doc_id", "text", n = 5)
         .orderBy(col("doc_id")),
       Some(s"""WITH $corpusCte,
-               tk AS (SELECT doc_id, $toksSql AS tk FROM corpus),
-               p AS (SELECT doc_id, tk, CAST(u.i AS INT) AS pos
-                     FROM tk, unnest(range(0, CASE WHEN len(tk) >= 5
-                                                   THEN len(tk) - 4
-                                                   ELSE 0 END)) u(i)),
-               g AS (SELECT doc_id, pos,
-                            array_to_string(tk[pos + 1:pos + 5], ' ') AS g
-                     FROM p),
-               own AS (SELECT g, count(*) AS cnt,
-                              min(doc_id * 1000000 + pos) AS own
-                       FROM g GROUP BY g),
-               rm AS (SELECT DISTINCT doc_id, CAST(u.i AS INT) AS p
-                      FROM g JOIN own USING (g),
-                           unnest(range(pos, pos + 5)) u(i)
-                      WHERE cnt > 1 AND doc_id * 1000000 + pos <> own),
-               words AS (SELECT doc_id, CAST(u.i AS INT) AS p,
-                                tk[CAST(u.i AS INT) + 1] AS w
-                         FROM tk, unnest(range(0, len(tk))) u(i)),
-               kept AS (SELECT w.doc_id, CAST(count(*) AS INT) AS n_kept,
-                               string_agg(w.w, ' ' ORDER BY w.p) AS text_clean
-                        FROM words w
-                        WHERE NOT EXISTS (SELECT 1 FROM rm
-                                          WHERE rm.doc_id = w.doc_id
-                                            AND rm.p = w.p)
-                        GROUP BY w.doc_id),
-               base AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens FROM tk)
-              SELECT b.doc_id, b.n_tokens,
-                     coalesce(n_kept, 0) AS n_kept,
-                     coalesce(text_clean, '') AS text_clean
-              FROM base b LEFT JOIN kept USING (doc_id)
-              ORDER BY doc_id""")),
+               ${dupSpanRemovalCtes("corpus")}
+              SELECT doc_id, n_tokens, n_kept, text_clean
+              FROM rw ORDER BY doc_id""")),
 
     // product quantization: 4 subspaces x 16 dims, 8-cell codebook each
     // (the faiss memory layout — 4 codes replace 64 floats). Oracle runs
@@ -1567,7 +1513,50 @@ object QueriesExt {
                    FROM ex)
             SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 5
             ORDER BY q_id, rnk"""
-      })
+      }),
+
+    // round-7 composite: model-based quality filter (NB log-odds > 0) ->
+    // dup-span removal on the kept corpus -> exact dedup of the REWRITTEN
+    // text -> token budget over remaining tokens. Every stage is a
+    // round-7 operator; the oracle chains their replays end to end
+    Q("q125_curation_v3",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = TextAnalysis.nbModel(
+          docs.withColumn("y", col("lang") === lit("en")), "text", "y")
+        val keepIds = TextAnalysis.nbLogOdds(docs, "doc_id", "text", model)
+          .where(col("log_odds") > 0).select(col("doc_id"))
+        val corpus = docs.join(keepIds, Seq("doc_id"), "left_semi")
+        val rewritten = Dedup.removeDupSpans(corpus, "doc_id", "text", n = 5)
+          .where(col("n_kept") >= 10)
+        val deduped = Dedup.exactDedup(rewritten, "doc_id", "text_clean")
+        Sampling.selectByBudget(
+            deduped.withColumn("w", col("n_kept").cast("long")), "w",
+            Seq(col("n_kept").desc, col("doc_id").asc), budget = 3000L)
+          .select(col("doc_id"), col("n_kept"),
+            md5(col("text_clean")).as("text_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $nbCtes,
+               corpus AS (SELECT d.doc_id, d.text
+                          FROM documents d JOIN fin USING (doc_id)
+                          WHERE fin.log_odds > 0),
+               ${dupSpanRemovalCtes("corpus")},
+               flt AS (SELECT doc_id, n_kept, text_clean FROM rw
+                       WHERE n_kept >= 10),
+               fp AS (SELECT doc_id, n_kept, text_clean,
+                             md5(text_clean) AS f
+                      FROM flt),
+               kp AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f),
+               dd AS (SELECT fp.doc_id, fp.n_kept, fp.text_clean
+                      FROM fp JOIN kp ON fp.f = kp.f AND fp.doc_id = kp.keep_id),
+               bud AS (SELECT doc_id, n_kept, text_clean,
+                              CAST(sum(n_kept) OVER (ORDER BY n_kept DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                                AS BIGINT) AS cum
+                       FROM dd)
+              SELECT doc_id, n_kept, md5(text_clean) AS text_hash
+              FROM bud WHERE cum <= 3000 ORDER BY doc_id"""))
   )
 
   /** Shared quantization CTE (q117/q118): `qcodes` = (vec_id, v, scale,
@@ -1752,6 +1741,76 @@ object QueriesExt {
   }
 
   /** Shared cosine SQL: double-cast element math, rounded to 6 dp. */
+  /** Naive-Bayes CTE chain (q120/q121/q125): trains the lang='en' model
+    * over `documents` and ends in `fin` = (doc_id, log_odds) for every
+    * document — the exact arithmetic of `TextAnalysis.nbModel` +
+    * `nbLogOdds` (rounded-decimal per-term sums).
+    */
+  private def nbCtes: String =
+    s"""toks AS (SELECT lang = 'en' AS y, unnest($toksSql) AS term
+                 FROM documents),
+        model AS (SELECT term,
+                         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                         CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+                  FROM toks GROUP BY term),
+        sc AS (SELECT count(*) AS v, sum(n_pos) AS t_pos, sum(n_neg) AS t_neg,
+                      (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                       FROM documents) AS docs_pos,
+                      (SELECT CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                       FROM documents) AS docs_neg
+               FROM model),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+               GROUP BY doc_id, term),
+        ct AS (SELECT doc_id,
+                      CAST(round(CAST(tf AS DOUBLE) *
+                        (ln((coalesce(n_pos, 0) + 1) / CAST(t_pos + v AS DOUBLE))
+                         - ln((coalesce(n_neg, 0) + 1) / CAST(t_neg + v AS DOUBLE))), 6)
+                        AS DECIMAL(28,8)) AS c
+               FROM tf LEFT JOIN model USING (term), sc),
+        s AS (SELECT doc_id, sum(c) AS s FROM ct GROUP BY doc_id),
+        fin AS (SELECT d.doc_id,
+                       round(CAST(coalesce(s.s, 0) AS DOUBLE)
+                         + round(ln(CAST(docs_pos AS DOUBLE))
+                             - ln(CAST(docs_neg AS DOUBLE)), 6), 4) AS log_odds
+                FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id, sc)"""
+
+  /** Dup-span-removal CTE chain (q122/q125) over any (doc_id, text)
+    * relation `rel`, ending in `rw` = (doc_id, n_tokens, n_kept,
+    * text_clean) — the exact replay of `Dedup.removeDupSpans(n = 5)`.
+    */
+  private def dupSpanRemovalCtes(rel: String): String =
+    s"""tk AS (SELECT doc_id, $toksSql AS tk FROM $rel),
+        p AS (SELECT doc_id, tk, CAST(u.i AS INT) AS pos
+              FROM tk, unnest(range(0, CASE WHEN len(tk) >= 5
+                                            THEN len(tk) - 4
+                                            ELSE 0 END)) u(i)),
+        g AS (SELECT doc_id, pos,
+                     array_to_string(tk[pos + 1:pos + 5], ' ') AS g
+              FROM p),
+        own AS (SELECT g, count(*) AS cnt,
+                       min(doc_id * 1000000 + pos) AS own
+                FROM g GROUP BY g),
+        rm AS (SELECT DISTINCT doc_id, CAST(u.i AS INT) AS p
+               FROM g JOIN own USING (g),
+                    unnest(range(pos, pos + 5)) u(i)
+               WHERE cnt > 1 AND doc_id * 1000000 + pos <> own),
+        words AS (SELECT doc_id, CAST(u.i AS INT) AS p,
+                         tk[CAST(u.i AS INT) + 1] AS w
+                  FROM tk, unnest(range(0, len(tk))) u(i)),
+        kept AS (SELECT w.doc_id, CAST(count(*) AS INT) AS n_kept,
+                        string_agg(w.w, ' ' ORDER BY w.p) AS text_clean
+                 FROM words w
+                 WHERE NOT EXISTS (SELECT 1 FROM rm
+                                   WHERE rm.doc_id = w.doc_id
+                                     AND rm.p = w.p)
+                 GROUP BY w.doc_id),
+        base AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens FROM tk),
+        rw AS (SELECT b.doc_id, b.n_tokens,
+                      coalesce(n_kept, 0) AS n_kept,
+                      coalesce(text_clean, '') AS text_clean
+               FROM base b LEFT JOIN kept USING (doc_id))"""
+
   private def cosSql(a: String, b: String): String = cosSqlN(a, b, 64)
 
   private def dotSqlN(x: String, y: String, dim: Int): String =

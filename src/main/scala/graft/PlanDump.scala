@@ -33,7 +33,17 @@ object PlanDump {
         // shuffle mapPartitions video parse; q113 is omitted like q43
         // (per-round localCheckpoints), q114 like q76 (forced ranged
         // frame)
-        "q112_tokenizer_artifact", "q115_video_meta")
+        "q112_tokenizer_artifact", "q115_video_meta",
+        // round 7b: q117 shows SQ8 as one shuffle-free projection; q118
+        // the packed-code candidate scan (Int8DotPacked inside the
+        // broadcast loop, floats only above the candidate filter); q119
+        // the gram-keyed span pipeline (per-DOC windows only); q121 the
+        // broadcast vocabulary-sized NB model under a corpus-linear agg;
+        // q126 candidate generation from the parquet ARTIFACT scan (no
+        // quantization subtree on the corpus side). q123/q124/q125/q127
+        // are omitted like q43 (localCheckpoint / artifact-write inside)
+        "q117_vec_quantize", "q118_ann_quantized", "q119_dup_spans",
+        "q121_nb_score", "q126_ann_index_artifact")
       .foreach { q =>
       out.append(s"===== $q =====\n")
       out.append(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

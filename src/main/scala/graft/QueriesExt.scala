@@ -1319,32 +1319,7 @@ object QueriesExt {
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("q_id"), col("rnk"))
       },
-      Some(s"""WITH $quantCteSql,
-               cn AS (SELECT vec_id, v, codes,
-                             sqrt(CAST(list_sum(list_transform(codes, c -> c * c)) AS DOUBLE)) AS cnorm
-                      FROM qcodes),
-               q AS (SELECT vec_id AS q_id, v AS q_vec, codes AS q_codes, cnorm AS q_cn
-                     FROM cn WHERE vec_id % 25 = 0),
-               c AS (SELECT vec_id AS c_id, v AS c_vec, codes AS c_codes, cnorm AS c_cn
-                     FROM cn),
-               ap AS (SELECT q_id, c_id, q_vec, c_vec,
-                             CASE WHEN q_cn * c_cn = 0 THEN -2.0
-                                  ELSE CAST(list_sum(list_transform(range(1, 65),
-                                         i -> q_codes[i] * c_codes[i])) AS DOUBLE)
-                                       / (q_cn * c_cn) END AS acos_
-                      FROM q, c WHERE q_id <> c_id),
-               cand AS (SELECT q_id, c_id, q_vec, c_vec,
-                               row_number() OVER (PARTITION BY q_id
-                                 ORDER BY acos_ DESC, c_id) AS crk
-                        FROM ap),
-               ex AS (SELECT q_id, c_id, ${cosSql("q_vec", "c_vec")} AS cos
-                      FROM cand WHERE crk <= 20),
-               r AS (SELECT q_id, c_id, cos,
-                            CAST(row_number() OVER (PARTITION BY q_id
-                              ORDER BY cos DESC, c_id) AS INT) AS rnk
-                     FROM ex)
-              SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 5
-              ORDER BY q_id, rnk""")),
+      Some(annQuantOracleSql)),
 
     // duplicated-substring spans (Lee et al.'s exact-substring-dedup
     // signal over word 5-grams) on the perturbed corpus, whose 80%-prefix
@@ -1476,44 +1451,7 @@ object QueriesExt {
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("q_id"), col("rnk"))
       },
-      Some {
-        val qsub = (0 until 4).map { j =>
-          s"SELECT q_id, $j AS sub, q_vec[${j * 16 + 1}:${(j + 1) * 16}] AS qv FROM qs"
-        }.mkString(" UNION ALL ")
-        s"""WITH ${pqCtes(4, 16, 8)},
-             books AS (${(0 until 4).map(j =>
-               s"SELECT $j AS sub, cell, centroid FROM s${j}fv")
-               .mkString(" UNION ALL ")}),
-             qs AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
-                    WHERE vec_id % 25 = 0),
-             qsub AS ($qsub),
-             lut AS (SELECT q_id, q.sub, cell,
-                            CAST(round(${dotSqlN("qv", "centroid", 16)}, 6)
-                              AS DECIMAL(28,8)) AS ld
-                     FROM qsub q JOIN books ON q.sub = books.sub),
-             codes AS (SELECT vec_id AS c_id, sub, code AS cell FROM (
-                         ${(0 until 4).map(j => s"SELECT * FROM s${j}code")
-                           .mkString(" UNION ALL ")})),
-             adc AS (SELECT q_id, c_id, sum(ld) AS adc
-                     FROM codes JOIN lut USING (sub, cell)
-                     WHERE q_id <> c_id GROUP BY q_id, c_id),
-             cand AS (SELECT q_id, c_id,
-                             row_number() OVER (PARTITION BY q_id
-                               ORDER BY adc DESC, c_id) AS crk
-                      FROM adc),
-             ex AS (SELECT q_id, c_id,
-                           ${cosSql("qe.embedding", "ce.embedding")} AS cos
-                    FROM cand
-                    JOIN embeddings qe ON qe.vec_id = q_id
-                    JOIN embeddings ce ON ce.vec_id = c_id
-                    WHERE crk <= 20),
-             r AS (SELECT q_id, c_id, cos,
-                          CAST(row_number() OVER (PARTITION BY q_id
-                            ORDER BY cos DESC, c_id) AS INT) AS rnk
-                   FROM ex)
-            SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 5
-            ORDER BY q_id, rnk"""
-      }),
+      Some(pqAnnOracleSql)),
 
     // round-7 composite: model-based quality filter (NB log-odds > 0) ->
     // dup-span removal on the kept corpus -> exact dedup of the REWRITTEN
@@ -1556,8 +1494,118 @@ object QueriesExt {
                                 AS BIGINT) AS cum
                        FROM dd)
               SELECT doc_id, n_kept, md5(text_clean) AS text_hash
-              FROM bud WHERE cum <= 3000 ORDER BY doc_id"""))
+              FROM bud WHERE cum <= 3000 ORDER BY doc_id""")),
+
+    // persisted SQ8 index artifact (the Tokenizer save/load contract for
+    // ANN): build + parquet the packed-code index, reload it, and serve
+    // the quantized scan from the RELOAD — candidates come from the
+    // artifact alone, the primary store is only read for rescore rows.
+    // Hash-matches q118's train-in-query form (same oracle)
+    Q("q126_ann_index_artifact",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val path = "/tmp/graft_sq8_index_q126"
+        Similarity.saveSq8Index(e, "vec_id", "embedding", path)
+        Similarity.quantizedTopKFromIndex(
+          Similarity.loadSq8Index(s, path),
+          e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding",
+          k = 5, overfetch = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(annQuantOracleSql)),
+
+    // persisted PQ codebook artifact: train the per-subspace codebooks,
+    // parquet them, reload, and run encode + ADC from the frozen books.
+    // Hash-matches q124's train-in-query form (same oracle)
+    Q("q127_pq_index_artifact",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val path = "/tmp/graft_pq_books_q127"
+        Similarity.pqCodebooks(e, "vec_id", "embedding",
+            m = 4, subDim = 16, k = 8, iters = 2)
+          .write.mode("overwrite").parquet(path)
+        Similarity.pqAdcTopK(
+          e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding",
+          s.read.parquet(path), m = 4, subDim = 16, k = 5, overfetch = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(pqAnnOracleSql))
   )
+
+  /** The SQ8 ANN replay (q118 and, artifact-loaded, q126): quantize, rank
+    * integer cosines, overfetch 20, rescore with float cosine.
+    */
+  private def annQuantOracleSql: String =
+    s"""WITH $quantCteSql,
+        cn AS (SELECT vec_id, v, codes,
+                      sqrt(CAST(list_sum(list_transform(codes, c -> c * c)) AS DOUBLE)) AS cnorm
+               FROM qcodes),
+        q AS (SELECT vec_id AS q_id, v AS q_vec, codes AS q_codes, cnorm AS q_cn
+              FROM cn WHERE vec_id % 25 = 0),
+        c AS (SELECT vec_id AS c_id, v AS c_vec, codes AS c_codes, cnorm AS c_cn
+              FROM cn),
+        ap AS (SELECT q_id, c_id, q_vec, c_vec,
+                      CASE WHEN q_cn * c_cn = 0 THEN -2.0
+                           ELSE CAST(list_sum(list_transform(range(1, 65),
+                                  i -> q_codes[i] * c_codes[i])) AS DOUBLE)
+                                / (q_cn * c_cn) END AS acos_
+               FROM q, c WHERE q_id <> c_id),
+        cand AS (SELECT q_id, c_id, q_vec, c_vec,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY acos_ DESC, c_id) AS crk
+                 FROM ap),
+        ex AS (SELECT q_id, c_id, ${cosSql("q_vec", "c_vec")} AS cos
+               FROM cand WHERE crk <= 20),
+        r AS (SELECT q_id, c_id, cos,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, c_id) AS INT) AS rnk
+              FROM ex)
+       SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 5
+       ORDER BY q_id, rnk"""
+
+  /** The PQ/ADC replay (q124 and, artifact-loaded, q127): per-subspace
+    * k-means, per-query LUT, decimal-exact ADC, rescore.
+    */
+  private def pqAnnOracleSql: String = {
+    val qsub = (0 until 4).map { j =>
+      s"SELECT q_id, $j AS sub, q_vec[${j * 16 + 1}:${(j + 1) * 16}] AS qv FROM qs"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${pqCtes(4, 16, 8)},
+         books AS (${(0 until 4).map(j =>
+           s"SELECT $j AS sub, cell, centroid FROM s${j}fv")
+           .mkString(" UNION ALL ")}),
+         qs AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+                WHERE vec_id % 25 = 0),
+         qsub AS ($qsub),
+         lut AS (SELECT q_id, q.sub, cell,
+                        CAST(round(${dotSqlN("qv", "centroid", 16)}, 6)
+                          AS DECIMAL(28,8)) AS ld
+                 FROM qsub q JOIN books ON q.sub = books.sub),
+         codes AS (SELECT vec_id AS c_id, sub, code AS cell FROM (
+                     ${(0 until 4).map(j => s"SELECT * FROM s${j}code")
+                       .mkString(" UNION ALL ")})),
+         adc AS (SELECT q_id, c_id, sum(ld) AS adc
+                 FROM codes JOIN lut USING (sub, cell)
+                 WHERE q_id <> c_id GROUP BY q_id, c_id),
+         cand AS (SELECT q_id, c_id,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY adc DESC, c_id) AS crk
+                  FROM adc),
+         ex AS (SELECT q_id, c_id,
+                       ${cosSql("qe.embedding", "ce.embedding")} AS cos
+                FROM cand
+                JOIN embeddings qe ON qe.vec_id = q_id
+                JOIN embeddings ce ON ce.vec_id = c_id
+                WHERE crk <= 20),
+         r AS (SELECT q_id, c_id, cos,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, c_id) AS INT) AS rnk
+               FROM ex)
+        SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 5
+        ORDER BY q_id, rnk"""
+  }
 
   /** Shared quantization CTE (q117/q118): `qcodes` = (vec_id, v, scale,
     * codes) with the exact arithmetic of [[Similarity.quantizeInt8]] —

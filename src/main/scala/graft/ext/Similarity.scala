@@ -314,62 +314,89 @@ object Similarity {
     * (small) loser set. No stage holds more than one cell's pairs.
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame, tau: Double, maxCell: Int = DefaultMaxCell): DataFrame = {
+      cents: DataFrame, tau: Double, maxCell: Int = DefaultMaxCell,
+      dim: Int = 64): DataFrame = {
     val stamped = assignCells(df, idCol, vecCol, cents)
-    val losers = cosineDupPairs(stamped, idCol, vecCol, "cell", tau, maxCell)
-      .select(col("id_b").as(idCol)).distinct()
+    val losers = cosineDupPairs(stamped, idCol, vecCol, "cell", tau, maxCell,
+      dim).select(col("id_b").as(idCol)).distinct()
     stamped.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Hot-cell cap for the within-cell pair joins: the Σ|cell|² bound is
     * corpus-linear only while the quantizer keeps cells balanced, so cells
     * past this size are deterministically sub-split (see
-    * [[cosineDupPairs]]). Far above any healthy cell size (q91 measures a
-    * max cell of 626 at sf0.1 with ~4,900-row cells expected), so on
-    * non-degenerate corpora the guard never fires and results are
-    * bit-identical to the unguarded form.
+    * [[cosineDupPairs]]). Above every healthy cell at test scale (q91
+    * measures a max cell of 626 at sf0.1), so oracle results are
+    * bit-identical to the unguarded form there — but LOW enough that a
+    * fixed-k quantizer over a grown corpus trips it long before the
+    * within-cell join goes quadratic: the round-7 100× ScaleProbe measured
+    * q91's ~63 K-row max cell doing 2 B unguarded pairs (948 s) under the
+    * old 65536 cap — the guard exists precisely for that run.
     */
-  val DefaultMaxCell: Int = 65536
+  val DefaultMaxCell: Int = 4096
 
   /** Embedding-cosine near-duplicate pairs within coarse blocks (IVF-style:
     * `blockCol` plays the role of the coarse quantizer cell — here the
     * pretrained cluster label; at 100 TB this is k-means assignments).
     *
-    * Hot-cell guard: a degenerate corpus (mass collapsing onto one
-    * centroid — near-constant embeddings, a broken upstream encoder)
-    * silently turns the within-cell join into all-pairs. Cells larger than
-    * `maxCell` are therefore split into ⌈|cell|/maxCell⌉ sub-cells by a
-    * deterministic id hash, and pairs stay within a sub-cell: pair volume
-    * is bounded by |cell|·maxCell per cell (corpus-linear again), at the
-    * cost of missing cross-sub-cell matches ONLY inside oversized cells —
-    * where near-everything is mutually similar anyway, so the greedy
-    * dedup still removes ~the same mass. Cells at or under the cap — every
-    * healthy corpus — take the `otherwise(0)` branch and produce exactly
-    * the unguarded pairs (spec: ScaleOpsSpec "semDedup hot-cell guard").
-    * The size lookup is a cell-cardinality-sized broadcast.
+    * Hot-cell guard, two levels (round 7 — the 100× ScaleProbe showed the
+    * old single-level id-hash split never firing under its 65536 cap while
+    * a ~63 K-row cell did 2 B unguarded pairs):
+    *
+    *  1. **LSH sub-split (geometry-aware).** A cell larger than `maxCell`
+    *     is split by the low bits of the vector's sign-bucket
+    *     ([[lshBucket]], fixed seeded hyperplanes — deterministic), using
+    *     ⌈log₂⌈|cell|/maxCell⌉⌉ bits. Unlike an id hash, near-identical
+    *     vectors agree on sign bits, so true near-dup pairs stay
+    *     comparable inside a hot cell; what the split severs is mostly
+    *     dissimilar mass that would not have passed `threshold` anyway.
+    *  2. **Id-hash cap (hard bound).** LSH buckets are data-dependent — on
+    *     a degenerate corpus (near-constant vectors) everything shares one
+    *     bucket — so any (cell, bucket) still above `maxCell` is further
+    *     split by the deterministic id hash. Pair volume is therefore
+    *     bounded by rows·maxCell regardless of geometry.
+    *
+    * Cells at or under the cap — every healthy corpus, and every oracle
+    * corpus — take the `otherwise(0)` branches on both levels and produce
+    * exactly the unguarded pairs (spec: ScaleOpsSpec). Both size lookups
+    * are (cell [, bucket])-cardinality-sized broadcasts. A `dim` mismatch
+    * with the actual vector width degrades harmlessly: the bucket dot
+    * yields null → bucket 0 → the id-hash level alone enforces the bound.
     */
   def cosineDupPairs(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
-      threshold: Double, maxCell: Int = DefaultMaxCell): DataFrame = {
+      threshold: Double, maxCell: Int = DefaultMaxCell,
+      dim: Int = 64): DataFrame = {
     require(maxCell >= 1, s"maxCell must be positive: $maxCell")
     // materialized once: both self-join legs derive from `guarded`, so an
     // un-checkpointed sizes frame would re-run the per-block count (and the
     // scan under it) once per leg; the frame is cell-cardinality-sized
     val sizes = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__cn"))
       .localCheckpoint(true)
-    val guarded = df.join(broadcast(sizes), Seq(blockCol))
-      .withColumn("__sub",
+    val planes = hyperplanes(16, dim)
+    val splitBits =
+      ceil(log(2.0, ceil(col("__cn") / lit(maxCell.toDouble)))).cast("int")
+    val bucketed = df.join(broadcast(sizes), Seq(blockCol))
+      .withColumn("__b",
         when(col("__cn") > maxCell,
+          coalesce(lshBucket(col(vecCol), planes), lit(0))
+            .bitwiseAND(pow(lit(2.0), splitBits).cast("int") - lit(1)))
+          .otherwise(lit(0)))
+    val sizes2 = bucketed.groupBy(col(blockCol), col("__b"))
+      .agg(count(lit(1)).as("__cnb")).localCheckpoint(true)
+    val guarded = bucketed.join(broadcast(sizes2), Seq(blockCol, "__b"))
+      .withColumn("__sub",
+        when(col("__cnb") > maxCell,
           pmod(xxhash64(col(idCol)),
-            ceil(col("__cn") / lit(maxCell.toDouble)).cast("long")))
+            ceil(col("__cnb") / lit(maxCell.toDouble)).cast("long")))
           .otherwise(lit(0L)))
-    val a = guarded.select(col(blockCol).as("blk"), col("__sub").as("sub"),
-      col(idCol).as("id_a"),
+    val a = guarded.select(col(blockCol).as("blk"), col("__b").as("bkt"),
+      col("__sub").as("sub"), col(idCol).as("id_a"),
       col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
-    val b = guarded.select(col(blockCol).as("blk"), col("__sub").as("sub"),
-      col(idCol).as("id_b"),
+    val b = guarded.select(col(blockCol).as("blk"), col("__b").as("bkt"),
+      col("__sub").as("sub"), col(idCol).as("id_b"),
       col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
-    a.join(b, Seq("blk", "sub")).where(col("id_a") < col("id_b"))
+    a.join(b, Seq("blk", "bkt", "sub")).where(col("id_a") < col("id_b"))
       .withColumn("cos", cosPrenormed)
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
@@ -462,16 +489,50 @@ object Similarity {
     */
   def quantizedTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, overfetch: Int = 4): DataFrame =
+    quantizedTopKFromIndex(sq8Index(corpus, idCol, vecCol), queries, corpus,
+      idCol, vecCol, k, overfetch)
+
+  /** The persistable SQ8 index relation: (id, scale, codes BINARY, cnorm)
+    * — the PACKED form of [[quantizeInt8]], 64 contiguous bytes per
+    * 64-dim vector in parquet. Build once, `.write.parquet` it (see
+    * [[saveSq8Index]]), and serve [[quantizedTopKFromIndex]] from the
+    * reload: the candidate scan never touches the primary vector store.
+    */
+  def sq8Index(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.packInt8Native
+    quantizeInt8(df, idCol, vecCol).select(col(idCol), col("scale"),
+      packInt8Native(col("codes")).as("codes"), col("cnorm"))
+  }
+
+  /** Persist the SQ8 index as a parquet artifact (the Tokenizer-artifact
+    * contract for ANN: freeze once, reload anywhere, byte-identical
+    * candidates).
+    */
+  def saveSq8Index(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit =
+    sq8Index(df, idCol, vecCol).write.mode("overwrite").parquet(path)
+
+  def loadSq8Index(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** [[quantizedTopK]] served from a prebuilt [[sq8Index]] relation: the
+    * candidate stage reads ONLY the index (packed codes + one double per
+    * vector); `corpus` — the primary store — is consulted by id for the
+    * |Q|·k·overfetch rescore rows alone, the access pattern a production
+    * split (compact index + cold vector store) actually has.
+    */
+  def quantizedTopKFromIndex(index: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, overfetch: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions.{int8DotNative, packInt8Native}
-    def prep(df: DataFrame, tag: String) =
-      quantizeInt8(df, idCol, vecCol).select(
-        col(idCol).as(s"${tag}_id"), col(vecCol).as(s"${tag}_vec"),
-        norm(col(vecCol)).as(s"${tag}_norm"),
-        packInt8Native(col("codes")).as(s"${tag}_codes"),
-        col("cnorm").as(s"${tag}_cn"))
-    val q = prep(queries, "q")
-    val c = prep(corpus, "c")
+    val q = quantizeInt8(queries, idCol, vecCol).select(
+      col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"),
+      packInt8Native(col("codes")).as("q_codes"), col("cnorm").as("q_cn"))
+    val c = index.select(col(idCol).as("c_id"), col("codes").as("c_codes"),
+      col("cnorm").as("c_cn"))
     val icos = when(col("q_cn") * col("c_cn") === lit(0.0), lit(-2.0))
       .otherwise(int8DotNative(col("q_codes"), col("c_codes")).cast("double")
         / (col("q_cn") * col("c_cn")))
@@ -481,8 +542,11 @@ object Similarity {
       .withColumn("__acos", icos)
       .withColumn("__arank", row_number().over(wA))
       .where(col("__arank") <= k * overfetch)
+    val cv = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
     val wE = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    cand.withColumn("cos", cosPrenormed)
+    cand.join(cv, Seq("c_id"))
+      .withColumn("cos", cosPrenormed)
       .withColumn("rank", row_number().over(wE))
       .where(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("cos"),

@@ -621,4 +621,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val brute = rows(Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", k = 3))
     assert(adc == brute, "overfetch spanning the corpus makes the rescore exact")
   }
+
+  test("sq8 index artifact: save -> load -> query ≡ in-memory quantizedTopK") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 31 + j * 17) % 13 - 6).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" % 10 === 0)
+    val path = "/tmp/graft_test_sq8_index"
+    Similarity.saveSq8Index(vecs, "vec_id", "embedding", path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"c_id", $"cos", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val fromArtifact = rows(Similarity.quantizedTopKFromIndex(
+      Similarity.loadSq8Index(spark, path), q, vecs, "vec_id", "embedding",
+      k = 3, overfetch = 2))
+    val inMemory = rows(Similarity.quantizedTopK(q, vecs, "vec_id", "embedding",
+      k = 3, overfetch = 2))
+    assert(fromArtifact == inMemory,
+      "the parquet round-trip changes nothing: candidates and ranks identical")
+  }
 }

@@ -245,4 +245,21 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairSet(Int.MaxValue) == pairSet(12) && pairSet(12).nonEmpty)
   }
+
+  test("hot-cell LSH level keeps within-cluster pairs an id split would sever") {
+    // one oversized cell holding TWO tight clusters on opposite sides of
+    // the origin: the sign-bucket split separates the clusters, not the
+    // pairs — every within-cluster pair survives the guard. An id-hash
+    // split (the old single-level guard) would scatter each cluster over
+    // sub-cells and sever ~half its pairs.
+    val a = (1L to 600L).map(i => (i, Array(1.0f, (1e-4 * (i % 5)).toFloat, 0f)))
+    val b = (601L to 1200L).map(i => (i, Array(-1.0f, (1e-4 * (i % 5)).toFloat, 0f)))
+    val df = (a ++ b).toDF("vec_id", "embedding").withColumn("cell", lit(0))
+    val pairs = Similarity.cosineDupPairs(df, "vec_id", "embedding", "cell",
+      threshold = 0.9, maxCell = 700, dim = 3)
+    // cell = 1200 > 700 fires level 1 (one sign bit); each bucket is 600
+    // <= 700 so level 2 stays off — ALL 2 * C(600,2) near-dup pairs remain
+    assert(pairs.count() == 2L * 600 * 599 / 2,
+      "sign-bucket split must preserve every within-cluster pair")
+  }
 }

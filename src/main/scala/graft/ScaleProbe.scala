@@ -73,13 +73,20 @@ object ScaleProbe {
       }
     })
 
+    // SPARK_GRAFT_SCALE_FULL=1 → materialize every output row/column via
+    // toRdd instead of count(): count() lets Catalyst ELIMINATE left joins
+    // whose right side is unique-keyed (q119/q121/q122 reduce to a bare
+    // scan under it — measured 2 shuffle rows for a pipeline that really
+    // shuffles millions), so report-shaped queries need the full run.
+    val full = sys.env.get("SPARK_GRAFT_SCALE_FULL").contains("1")
     def measure(name: String, dir: String): (Double, Long, Long) = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
       shuffleRecords.reset()
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(name)(spark, dir).count()
+      val df = SparkEntry.queries(name)(spark, dir)
+      val rows = if (full) df.queryExecution.toRdd.count() else df.count()
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1000) // listener-bus drain before reading the adder
       (dt, shuffleRecords.sum(), rows)

@@ -373,23 +373,33 @@ object Similarity {
     // scan under it) once per leg; the frame is cell-cardinality-sized
     val sizes = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__cn"))
       .localCheckpoint(true)
-    val planes = hyperplanes(16, dim)
-    val splitBits =
-      ceil(log(2.0, ceil(col("__cn") / lit(maxCell.toDouble)))).cast("int")
-    val bucketed = df.join(broadcast(sizes), Seq(blockCol))
-      .withColumn("__b",
-        when(col("__cn") > maxCell,
-          coalesce(lshBucket(col(vecCol), planes), lit(0))
-            .bitwiseAND(pow(lit(2.0), splitBits).cast("int") - lit(1)))
-          .otherwise(lit(0)))
-    val sizes2 = bucketed.groupBy(col(blockCol), col("__b"))
-      .agg(count(lit(1)).as("__cnb")).localCheckpoint(true)
-    val guarded = bucketed.join(broadcast(sizes2), Seq(blockCol, "__b"))
-      .withColumn("__sub",
-        when(col("__cnb") > maxCell,
-          pmod(xxhash64(col(idCol)),
-            ceil(col("__cnb") / lit(maxCell.toDouble)).cast("long")))
-          .otherwise(lit(0L)))
+    // driver-side peek at the MATERIALIZED cell-cardinality frame (a
+    // metadata-cheap isEmpty): when no cell is hot — every oracle corpus,
+    // every healthy corpus — skip both guard levels entirely, so the
+    // guard's extra aggregation/checkpoint costs nothing unless it fires
+    val anyHot = !sizes.where(col("__cn") > maxCell).isEmpty
+    val guarded = if (!anyHot) {
+      df.join(broadcast(sizes), Seq(blockCol))
+        .withColumn("__b", lit(0)).withColumn("__sub", lit(0L))
+    } else {
+      val planes = hyperplanes(16, dim)
+      val splitBits =
+        ceil(log(2.0, ceil(col("__cn") / lit(maxCell.toDouble)))).cast("int")
+      val bucketed = df.join(broadcast(sizes), Seq(blockCol))
+        .withColumn("__b",
+          when(col("__cn") > maxCell,
+            coalesce(lshBucket(col(vecCol), planes), lit(0))
+              .bitwiseAND(pow(lit(2.0), splitBits).cast("int") - lit(1)))
+            .otherwise(lit(0)))
+      val sizes2 = bucketed.groupBy(col(blockCol), col("__b"))
+        .agg(count(lit(1)).as("__cnb")).localCheckpoint(true)
+      bucketed.join(broadcast(sizes2), Seq(blockCol, "__b"))
+        .withColumn("__sub",
+          when(col("__cnb") > maxCell,
+            pmod(xxhash64(col(idCol)),
+              ceil(col("__cnb") / lit(maxCell.toDouble)).cast("long")))
+            .otherwise(lit(0L)))
+    }
     val a = guarded.select(col(blockCol).as("blk"), col("__b").as("bkt"),
       col("__sub").as("sub"), col(idCol).as("id_a"),
       col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))

@@ -1618,6 +1618,62 @@ object QueriesAnalytics {
               SELECT event_type, CAST(count(*) AS INT) AS n_gaps,
                      round(quantile_cont(gap_us, 0.5), 4) AS median_gap_us,
                      round(quantile_cont(gap_us, 0.9), 4) AS p90_gap_us
-              FROM f GROUP BY event_type ORDER BY event_type"""))
+              FROM f GROUP BY event_type ORDER BY event_type""")),
+
+    // interpolated Kneser-Ney bigram LM (the KenLM/CCNet smoothing family,
+    // upgrading q71's add-one): discounted bigram mass backs off to the
+    // CONTINUATION probability N1+(.w2)/N1+(..) — all counts, so the
+    // replay is element-exact; q71's rounded-decimal per-bigram logs keep
+    // the per-doc sum order-independent
+    Q("q128_kn_bigram",
+      (s, d) => TextAnalysis.knBigramScores(
+          t(s, d, "documents"), "doc_id", "text", discount = 0.75)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+               bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                      FROM tk, unnest(range(1, len(t))) u(i)
+                      WHERE len(t) >= 2),
+               cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+               cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+               n1 AS (SELECT w1, count(*) AS n1 FROM cb GROUP BY w1),
+               ncont AS (SELECT w2, count(*) AS ncont FROM cb GROUP BY w2),
+               ntot AS (SELECT count(*) AS ntot FROM cb),
+               sc AS (SELECT doc_id,
+                             CAST(round(ln(
+                               (greatest(cb - 0.75, 0.0) +
+                                0.75 * n1 * (ncont / CAST(ntot AS DOUBLE)))
+                               / CAST(cu AS DOUBLE)), 6)
+                               AS DECIMAL(28,8)) AS lp
+                      FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
+                              JOIN n1 USING (w1) JOIN ncont USING (w2), ntot)
+              SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+                     round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS kn_score
+              FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // length-bucketed batching (serving layout): sort by token length
+    // descending, cut into batches of 16, report per-batch padding waste.
+    // The engine's global ordering is the two-phase ranged-id path — the
+    // oracle's row_number() replays it exactly (ties break on doc_id)
+    Q("q129_len_batches",
+      (s, d) => Sampling.batchBySeqLen(
+          t(s, d, "documents")
+            .withColumn("n_tokens", size(TextAnalysis.tokens(col("text")))),
+          "doc_id", "n_tokens", batchSize = 16)
+        .orderBy(col("batch_id")),
+      Some(s"""WITH l AS (SELECT doc_id AS id,
+                                 CAST(len($toksSql) AS BIGINT) AS len
+                          FROM documents),
+               r AS (SELECT id, len,
+                            row_number() OVER (ORDER BY len DESC, id) AS rn
+                     FROM l),
+               b AS (SELECT CAST(floor((rn - 1) / 16.0) AS BIGINT) AS batch_id,
+                            id, len
+                     FROM r)
+              SELECT batch_id, CAST(count(*) AS INT) AS n_seqs,
+                     max(len) AS max_len, CAST(sum(len) AS BIGINT) AS sum_len,
+                     round(1.0 - CAST(sum(len) AS DOUBLE) /
+                       greatest(CAST(count(*) * max(len) AS DOUBLE), 1.0), 6)
+                       AS pad_frac
+              FROM b GROUP BY batch_id ORDER BY batch_id"""))
   )
 }

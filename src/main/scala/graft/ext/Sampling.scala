@@ -232,4 +232,36 @@ object Sampling {
       df.withColumn("__rk", md5(concat_ws("|", lit(salt), col(idCol)))),
       posCol, Seq("__rk"))
       .drop("__rk")
+
+  /** Length-bucketed batching (the inference/serving layout op): sort
+    * sequences by length descending, cut into fixed-size batches, and
+    * report each batch's padding waste — grouping like-length sequences is
+    * the standard way to minimize the `(max_len − len)` padding a batched
+    * forward pass pays. Returns one row per batch: (batch_id, n_seqs,
+    * max_len, sum_len, pad_frac).
+    *
+    * The global ordering uses the two-phase ranged-id path
+    * (`SurrogateKeys.withOrderedIds`) — range exchange + per-partition row
+    * numbers + broadcast bases — NEVER a single-partition window, so the
+    * sort scales to any corpus. Ties on length break by id, making batch
+    * assignment a pure function of the data (layout-independent, spec-
+    * pinned). The per-batch aggregate keys on batch_id.
+    */
+  def batchBySeqLen(df: DataFrame, idCol: String, lenCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be positive: $batchSize")
+    val ordered = df.select(col(idCol).as("id"), col(lenCol).cast("long").as("len"))
+      .withColumn("__neg", -col("len"))
+    graft.ops.SurrogateKeys.withOrderedIds(ordered, "__rn", Seq("__neg", "id"))
+      .withColumn("batch_id",
+        floor((col("__rn") - 1) / lit(batchSize)).cast("long"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).cast("int").as("n_seqs"),
+        max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"))
+      .withColumn("pad_frac",
+        round(lit(1.0) - col("sum_len").cast("double") /
+          greatest((col("n_seqs") * col("max_len")).cast("double"), lit(1.0)),
+          6))
+  }
 }

@@ -1012,6 +1012,53 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Interpolated Kneser-Ney bigram LM scores (Kneser & Ney 1995; the
+    * smoothing family KenLM — and therefore CCNet's quality LM — actually
+    * uses, upgrading [[bigramLmScores]]' add-one):
+    * `P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁·) + D·N₁₊(w₁·)/c(w₁·) · P_cont(w₂)`
+    * with the continuation probability `P_cont(w₂) = N₁₊(·w₂)/N₁₊(··)` —
+    * "how many contexts has w₂ completed", the insight that makes KN
+    * discount high-frequency-but-single-context words. Per document the
+    * score is the mean log-probability over its bigrams, the
+    * [[bigramLmScores]] contract.
+    *
+    * Everything is counts — bigram types and occurrences — so the DuckDB
+    * replay is element-exact; per-bigram logs take the q71 rounded-decimal
+    * discipline so the per-doc sum is order-independent. Scale shape is
+    * q71's exactly: vocabulary-sized count tables (cb/cu/n1/ncont), a
+    * broadcast 1-row type total, corpus-linear join-backs.
+    */
+  def knBigramScores(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1): $discount")
+    val toksDf = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+    val pairs = toksDf.where(size(col("__t")) >= 2)
+      .select(col("id"),
+        explode(zip_with(col("__t"), slice(col("__t"), lit(2), size(col("__t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .where(col("w2").isNotNull)
+    val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cu = pairs.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val n1 = cb.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val ncont = cb.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
+    val ntot = cb.agg(count(lit(1)).as("ntot"))
+    val scored = pairs
+      .join(cb, Seq("w1", "w2")).join(cu, Seq("w1")).join(n1, Seq("w1"))
+      .join(ncont, Seq("w2")).crossJoin(broadcast(ntot))
+      .select(col("id"),
+        round(log(
+          (greatest(col("cb") - lit(discount), lit(0.0)) +
+            lit(discount) * col("n1") *
+              (col("ncont").cast("double") / col("ntot").cast("double")))
+            / col("cu").cast("double")), 6)
+          .cast("decimal(28,8)").as("lp"))
+    scored.groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 4).as("kn_score"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("kn_score"))
+  }
+
   // ---- model-based quality filtering (multinomial Naive Bayes) -----------
 
   /** Multinomial Naive Bayes model over word tokens — the count-based

@@ -641,4 +641,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(fromArtifact == inMemory,
       "the parquet round-trip changes nothing: candidates and ranks identical")
   }
+
+  test("batchBySeqLen: length-sorted batches, exact padding, layout-independent") {
+    import graft.ext.Sampling
+    val rows = scala.util.Random.shuffle((1L to 10L).toList)
+      .map(i => (i, 11L - i)) // lens 10..1 in shuffled row order
+    val df = rows.toDF("doc_id", "n_tok")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.batchBySeqLen(d, "doc_id", "n_tok", batchSize = 4)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val got = run(df)
+    assert(got(0L) == ((4, 10L, 34L, 0.15)), "lens 10,9,8,7: pad 6/40")
+    assert(got(1L) == ((4, 6L, 18L, 0.25)), "lens 6,5,4,3: pad 6/24")
+    assert(got(2L) == ((2, 2L, 3L, 0.25)), "tail batch 2,1: pad 1/4")
+    assert(run(df.repartition(7)) == got, "pure function of the data")
+  }
 }

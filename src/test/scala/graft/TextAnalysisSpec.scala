@@ -461,4 +461,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scored(13L) == ((lo(Seq.empty), "pos")),
       "empty doc scores exactly the prior")
   }
+
+  test("knBigramScores: hand-computed Kneser-Ney probabilities") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // cb: (a,b)=3 (b,a)=1 (b,c)=1; cu: a=3 b=2; N1+(a.)=1 N1+(b.)=2;
+    // N1+(.b)=1 N1+(.a)=1 N1+(.c)=1; N1+(..)=3
+    val got = TextAnalysis.knBigramScores(docs, "doc_id", "text", discount = 0.75)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def p(cb: Long, cu: Long, n1: Long, ncont: Long) =
+      r6(math.log((math.max(cb - 0.75, 0.0) + 0.75 * n1 * (ncont / 3.0)) / cu))
+    val pBgivenA = p(3, 3, 1, 1) // 2.5/3
+    val pAgivenB = p(1, 2, 2, 1) // 0.375
+    val pCgivenB = p(1, 2, 2, 1) // 0.375
+    def mean(lps: Seq[BigDecimal]) =
+      BigDecimal(lps.sum.toDouble / lps.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3, mean(Seq(pBgivenA, pAgivenB, pBgivenA)))))
+    assert(got(2L) == ((2, mean(Seq(pBgivenA, pCgivenB)))))
+    // KN's point: a frequent bigram scores above the smoothed-backoff ones
+    assert(pBgivenA > pAgivenB)
+  }
 }

@@ -46,6 +46,29 @@ object QueriesAnalytics {
                            AS DECIMAL(28,8)) AS lp
                FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1), v)"""
 
+  /** Kneser-Ney bigram CTE chain (q128/q130), ending in `sc` = per-bigram
+    * rounded-decimal log-probs — the exact arithmetic of
+    * `TextAnalysis.knBigramScores(discount = 0.75)`.
+    */
+  private val knBigramCtes: String =
+    s"""tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+        bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+               FROM tk, unnest(range(1, len(t))) u(i)
+               WHERE len(t) >= 2),
+        cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+        n1 AS (SELECT w1, count(*) AS n1 FROM cb GROUP BY w1),
+        ncont AS (SELECT w2, count(*) AS ncont FROM cb GROUP BY w2),
+        ntot AS (SELECT count(*) AS ntot FROM cb),
+        sc AS (SELECT doc_id,
+                      CAST(round(ln(
+                        (greatest(cb - 0.75, 0.0) +
+                         0.75 * n1 * (ncont / CAST(ntot AS DOUBLE)))
+                        / CAST(cu AS DOUBLE)), 6)
+                        AS DECIMAL(28,8)) AS lp
+               FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
+                       JOIN n1 USING (w1) JOIN ncont USING (w2), ntot)"""
+
   val all: Seq[Q] = Seq(
 
     // connected components over the MinHash near-dup pairs: every corpus doc
@@ -1629,26 +1652,35 @@ object QueriesAnalytics {
       (s, d) => TextAnalysis.knBigramScores(
           t(s, d, "documents"), "doc_id", "text", discount = 0.75)
         .orderBy(col("doc_id")),
-      Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
-               bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-                      FROM tk, unnest(range(1, len(t))) u(i)
-                      WHERE len(t) >= 2),
-               cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
-               cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
-               n1 AS (SELECT w1, count(*) AS n1 FROM cb GROUP BY w1),
-               ncont AS (SELECT w2, count(*) AS ncont FROM cb GROUP BY w2),
-               ntot AS (SELECT count(*) AS ntot FROM cb),
-               sc AS (SELECT doc_id,
-                             CAST(round(ln(
-                               (greatest(cb - 0.75, 0.0) +
-                                0.75 * n1 * (ncont / CAST(ntot AS DOUBLE)))
-                               / CAST(cu AS DOUBLE)), 6)
-                               AS DECIMAL(28,8)) AS lp
-                      FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
-                              JOIN n1 USING (w1) JOIN ncont USING (w2), ntot)
+      Some(s"""WITH $knBigramCtes
               SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
                      round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS kn_score
               FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // CCNet buckets on the Kneser-Ney LM (q108's stratification with the
+    // smoothing family it presupposes): same tercile bounds pattern, the
+    // LM swapped via pplBuckets' scorer parameter
+    Q("q130_kn_ppl_buckets",
+      (s, d) => TextAnalysis.pplBuckets(
+          t(s, d, "documents"), "doc_id", "text", "source",
+          TextAnalysis.knBigramScores(_, _, _))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $knBigramCtes,
+               sdoc AS (SELECT doc_id,
+                               round(CAST(sum(lp) AS DOUBLE) / count(*), 4)
+                                 AS lm_score
+                        FROM sc GROUP BY doc_id),
+               j AS (SELECT d.doc_id, d.source, sdoc.lm_score
+                     FROM documents d JOIN sdoc USING (doc_id)),
+               b AS (SELECT source,
+                            quantile_cont(lm_score, 0.3333333333333333) AS p33,
+                            quantile_cont(lm_score, 0.6666666666666666) AS p66
+                     FROM j GROUP BY source)
+              SELECT j.doc_id, j.source, j.lm_score,
+                     CASE WHEN lm_score >= p66 THEN 'head'
+                          WHEN lm_score >= p33 THEN 'middle'
+                          ELSE 'tail' END AS bucket
+              FROM j JOIN b USING (source) ORDER BY doc_id""")),
 
     // length-bucketed batching (serving layout): sort by token length
     // descending, cut into batches of 16, report per-batch padding waste.

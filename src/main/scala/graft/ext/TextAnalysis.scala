@@ -964,9 +964,18 @@ object TextAnalysis {
     * sees the corpus). Exact `percentile` matches DuckDB's
     * `quantile_cont` interpolation, which is what makes the oracle exact.
     */
+  /** `scorer` picks the LM behind the buckets: the default add-one
+    * [[bigramLmScores]], or [[knBigramScores]] for the Kneser-Ney form
+    * CCNet actually presupposes (q130) — any (df, id, text) → (id, _,
+    * score) frame works; the score is taken positionally as the frame's
+    * third column so both LMs' differently-named score columns fit.
+    */
   def pplBuckets(df: DataFrame, idCol: String, textCol: String,
-      groupCol: String): DataFrame = {
-    val scores = bigramLmScores(df, idCol, textCol)
+      groupCol: String,
+      scorer: (DataFrame, String, String) => DataFrame = bigramLmScores(_, _, _))
+      : DataFrame = {
+    val raw = scorer(df, idCol, textCol)
+    val scores = raw.select(col(idCol), col(raw.columns(2)).as("lm_score"))
     val scored = df.select(col(idCol), col(groupCol)).join(scores, Seq(idCol))
     val bounds = scored.groupBy(col(groupCol))
       .agg(expr("percentile(lm_score, array(0.3333333333333333D, 0.6666666666666666D))")

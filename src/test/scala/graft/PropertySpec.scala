@@ -129,4 +129,40 @@ class PropertySpec extends AnyFunSuite {
         merged == (xs ++ ys).distinct
     }, minTests = 30)
   }
+
+  test("property: int8 quantization bounds — codes in [-127,127], " +
+    "per-element reconstruction error <= scale/2, packed dot exact") {
+    import graft.ext.Similarity
+    import graft.functions.VectorFunctions.{int8DotNative, packInt8Native}
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1e3f, 1e3f))
+    val samples = Gen.listOfN(120, vecGen).sample.get
+      .filter(_.exists(_ != 0f)).map(_.toArray)
+    val df = samples.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .select($"vec_id", $"scale", $"codes", $"__v").collect()
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val codes = r.getSeq[Int](2)
+      val v = r.getSeq[Double](3)
+      assert(codes.forall(c => c >= -127 && c <= 127), "code range")
+      (v zip codes).foreach { case (x, c) =>
+        assert(math.abs(x - c * scale) <= scale / 2 + 1e-9,
+          s"reconstruction within half a step: x=$x c=$c scale=$scale")
+      }
+    }
+    // packed integer dot == driver-side exact integer dot
+    val packedDots = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .select($"vec_id", packInt8Native($"codes").as("p"), $"codes")
+      .as("x").crossJoin(
+        Similarity.quantizeInt8(df.limit(3), "vec_id", "embedding")
+          .select(packInt8Native($"codes").as("q"), $"codes".as("qc")).as("y"))
+      .select(int8DotNative($"p", $"q").as("d"), $"codes", $"qc")
+      .collect()
+    packedDots.foreach { r =>
+      val expect = (r.getSeq[Int](1) zip r.getSeq[Int](2))
+        .map { case (a, b) => a.toLong * b }.sum
+      assert(r.getLong(0) == expect, "packed dot is the exact integer dot")
+    }
+  }
 }

@@ -1515,6 +1515,20 @@ object QueriesExt {
       },
       Some(annQuantOracleSql)),
 
+    // quantized exact-dup groups: vectors byte-identical after SQ8 —
+    // the cheap pre-index embedding dedup (catches re-encoded copies
+    // whose floats differ only in the last bits)
+    Q("q131_vec_dedup_groups",
+      (s, d) => Similarity.quantizedDupGroups(
+          t(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("keep_id")),
+      Some(s"""WITH $quantCteSql,
+               h AS (SELECT vec_id, md5(array_to_string(codes, ',')) AS codes_hash
+                     FROM qcodes)
+              SELECT min(vec_id) AS keep_id, CAST(count(*) AS INT) AS n_dups,
+                     codes_hash
+              FROM h GROUP BY codes_hash ORDER BY keep_id""")),
+
     // persisted PQ codebook artifact: train the per-subspace codebooks,
     // parquet them, reload, and run encode + ADC from the frozen books.
     // Hash-matches q124's train-in-query form (same oracle)

@@ -481,6 +481,25 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)))
   }
 
+  /** Quantized exact-duplicate groups: vectors whose SQ8 codes agree
+    * exactly — byte-identical after per-vector normalization — collapse to
+    * one group (canonical minimum id, group size, shared codes hash). The
+    * cheap pre-index dedup pass: embedding stores routinely carry re-
+    * encoded copies whose floats differ in the last bits; their codes do
+    * not. One hash-groupBy over the projection — same scale shape as
+    * `Dedup.exactGroups`, one shuffle row per distinct code pattern.
+    */
+  def quantizedDupGroups(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    quantizeInt8(df, idCol, vecCol)
+      .select(col(idCol),
+        md5(concat_ws(",", transform(col("codes"), _.cast("string"))))
+          .as("codes_hash"))
+      .groupBy(col("codes_hash"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).cast("int").as("n_dups"))
+      .select(col("keep_id"), col("n_dups"), col("codes_hash"))
+
   /** ANN top-k over int8-quantized vectors with exact rescoring: rank all
     * corpus codes by quantized cosine (integer dot over codes — scales
     * cancel, see [[quantizeInt8]]), keep the top `k·overfetch` candidates

@@ -642,6 +642,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "the parquet round-trip changes nothing: candidates and ranks identical")
   }
 
+  test("quantizedDupGroups collapses vectors identical after SQ8") {
+    val vecs = Seq(
+      (1L, Array(127.0f, -3.0f, 64.0f)),
+      (2L, Array(127.0f, -3.0f, 64.0f)),          // exact copy
+      (3L, Array(127.0f, -3.2f, 64.2f)),          // rounds to the same codes
+      (4L, Array(12.7f, -0.3f, 6.4f)),            // 1/10 scale -> SAME codes
+      (5L, Array(0.0f, 127.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizedDupGroups(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // codes are scale-normalized, so 4 (a scaled copy) joins 1/2/3
+    assert(got == Map(1L -> 4, 5L -> 1))
+  }
+
   test("batchBySeqLen: length-sorted batches, exact padding, layout-independent") {
     import graft.ext.Sampling
     val rows = scala.util.Random.shuffle((1L to 10L).toList)

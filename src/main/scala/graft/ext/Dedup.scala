@@ -755,8 +755,13 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("tk"))
+    // strict grams: a sub-n-token doc contributes NOTHING to the gram table
+    // (the kgrams whole-doc fallback would let two identical short docs
+    // "duplicate" each other with a span of width n > doc length —
+    // coverage > 1); the SQL contract emits zero grams for len < n.
     val grams = toks.select(col("id"),
-      posexplode(TextAnalysis.kgrams(col("tk"), n, " ")).as(Seq("pos", "g")))
+      posexplode(TextAnalysis.kgramsStrict(col("tk"), n, " "))
+        .as(Seq("pos", "g")))
     val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > 1).select(col("g"))
     val dupPos = grams.join(dup, Seq("g")).select(col("id"), col("pos"))
@@ -796,19 +801,38 @@ object Dedup {
     *
     * Plan shape: [[dupSpans]]' gram explode and gram-keyed aggregation
     * (here arg-min as `min(id·10⁶ + pos)` — portable composite key, valid
-    * while documents stay under 10⁶ tokens) → join-back → position
+    * while documents stay under 10⁶ tokens, ENFORCED by a per-row
+    * `raise_error` guard so an over-long document fails the job instead of
+    * silently mis-picking owners) → join-back → position
     * explode of the removed occurrences (n rows each, distinct) → an
     * ANTI join against the corpus token stream → the standard
     * array_sort(collect_list) per-doc rebuild (bounded by doc length).
     * Corpus-linear: no doc pairs, no corpus-wide window; the only
     * amplification is the constant n on removed occurrences.
     */
+  /** Token-count ceiling for [[removeDupSpans]]' composite owner key. */
+  val MaxSpanDocTokens: Int = 1000000
+
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame = {
+    // the composite arg-min key id·10⁶ + pos is only an order-embedding of
+    // (id, pos) while pos < 10⁶ — fail the job loudly at the first
+    // over-long document instead of silently mis-picking owners (the
+    // writeShards guard pattern)
     val toks = df.select(col(idCol).as("id"),
-      TextAnalysis.tokens(col(textCol)).as("tk"))
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .withColumn("tk",
+        when(size(col("tk")) < lit(MaxSpanDocTokens), col("tk"))
+          .otherwise(raise_error(concat(
+            lit("removeDupSpans: document "), col("id").cast("string"),
+            lit(s" has >= $MaxSpanDocTokens tokens — the id*1e6+pos " +
+              "composite owner key would mis-order; re-chunk the corpus " +
+              "first")))))
+    // strict grams — see dupSpans: sub-n-token docs must contribute zero
+    // grams, or a short doc could have n positions "removed"
     val grams = toks.select(col("id"),
-      posexplode(TextAnalysis.kgrams(col("tk"), n, " ")).as(Seq("pos", "g")))
+      posexplode(TextAnalysis.kgramsStrict(col("tk"), n, " "))
+        .as(Seq("pos", "g")))
     val owners = grams.groupBy(col("g")).agg(
       count(lit(1)).as("cnt"),
       min(col("id") * lit(1000000L) + col("pos")).as("own"))

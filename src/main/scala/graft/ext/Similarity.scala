@@ -368,24 +368,27 @@ object Similarity {
       threshold: Double, maxCell: Int = DefaultMaxCell,
       dim: Int = 64): DataFrame = {
     require(maxCell >= 1, s"maxCell must be positive: $maxCell")
-    // materialized once: both self-join legs derive from `guarded`, so an
-    // un-checkpointed sizes frame would re-run the per-block count (and the
-    // scan under it) once per leg; the frame is cell-cardinality-sized
+    // driver-side peek: one limit-1 job over the per-block count (Spark
+    // plans the filter+isEmpty as a partial-agg + take(1)). When no cell is
+    // hot — every oracle corpus, every healthy corpus — the COLD branch
+    // projects the two guard literals straight onto `df`: no sizes join, no
+    // checkpoint, nothing of the guard survives into the pair-join plan
+    // (round-8 fix: the r7 form eagerly checkpointed the sizes frame and
+    // joined it even when cold — +19% on the shared bench suite).
     val sizes = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__cn"))
-      .localCheckpoint(true)
-    // driver-side peek at the MATERIALIZED cell-cardinality frame (a
-    // metadata-cheap isEmpty): when no cell is hot — every oracle corpus,
-    // every healthy corpus — skip both guard levels entirely, so the
-    // guard's extra aggregation/checkpoint costs nothing unless it fires
     val anyHot = !sizes.where(col("__cn") > maxCell).isEmpty
     val guarded = if (!anyHot) {
-      df.join(broadcast(sizes), Seq(blockCol))
-        .withColumn("__b", lit(0)).withColumn("__sub", lit(0L))
+      df.withColumn("__b", lit(0)).withColumn("__sub", lit(0L))
     } else {
+      // hot path only: materialize the cell-cardinality frame once — both
+      // self-join legs derive from `guarded`, so an un-checkpointed sizes
+      // frame would re-run the per-block count (and the scan under it)
+      // once per leg
+      val sizesM = sizes.localCheckpoint(true)
       val planes = hyperplanes(16, dim)
       val splitBits =
         ceil(log(2.0, ceil(col("__cn") / lit(maxCell.toDouble)))).cast("int")
-      val bucketed = df.join(broadcast(sizes), Seq(blockCol))
+      val bucketed = df.join(broadcast(sizesM), Seq(blockCol))
         .withColumn("__b",
           when(col("__cn") > maxCell,
             coalesce(lshBucket(col(vecCol), planes), lit(0))

@@ -211,6 +211,24 @@ object TextAnalysis {
       .otherwise(array(concat_ws(sep, toks)))
   }
 
+  /** [[kgrams]] without the short-document fallback: a document with fewer
+    * than `k` tokens yields ZERO grams (an empty array), not one whole-doc
+    * pseudo-gram. MinHash/winnowing WANT the fallback (a short doc must
+    * still get a signature so verbatim short copies collide); positional
+    * n-gram operators (`Dedup.dupSpans`/`removeDupSpans`) must NOT — a
+    * pseudo-gram at pos 0 would mark a span of width `k` over a document
+    * shorter than `k` (coverage > 1, removal past the end), and the SQL
+    * contract (`range(0, len-k+1)`) emits nothing for such docs.
+    */
+  def kgramsStrict(toks: Column, k: Int, sep: String): Column = {
+    val zipped = (1 until k).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j + 1), size(toks) - j),
+        (a, b) => concat(a, lit(sep), b))
+    }
+    when(size(toks) >= k, filter(zipped, s => s.isNotNull))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Sliding-window reduction over an array column without per-element
     * re-evaluation of the input (the zip_with trick again): entry i of the
     * result is f over arr[i..i+w-1]; incomplete tail windows are dropped.

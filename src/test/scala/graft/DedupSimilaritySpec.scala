@@ -583,6 +583,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(5L) == ((0, 0, 0, 0, 0.0)), "empty doc")
   }
 
+  test("dupSpans/removeDupSpans: identical sub-n-token docs are NOT duplicates") {
+    // the kgrams whole-doc fallback would give both empty docs (and both
+    // "a b" docs) a colliding pseudo-gram: coverage 5.0 on a 0-token doc,
+    // n positions stripped from a 2-token doc. The strict gram contract
+    // (zero grams for len < n, the oracle's range(0, len-4) semantics)
+    // must leave them untouched.
+    val corpus = Seq(
+      (1L, ""), (2L, ""),
+      (3L, "a b"), (4L, "a b"),
+      (5L, "p q r s t u v"), (6L, "p q r s t u v")).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(corpus, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getDouble(5)))).toMap
+    assert(spans(1L) == ((0, 0.0)) && spans(2L) == ((0, 0.0)), "empty docs")
+    assert(spans(3L) == ((0, 0.0)) && spans(4L) == ((0, 0.0)), "2-token docs")
+    assert(spans(5L) == ((1, 1.0)) && spans(6L)._1 == 1,
+      "real >= n-token copies still fully covered")
+    val rw = Dedup.removeDupSpans(corpus, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getString(3)))).toMap
+    assert(rw(3L) == ((2, "a b")) && rw(4L) == ((2, "a b")),
+      "short docs keep every token")
+    assert(rw(5L)._1 == 7 && rw(6L) == ((0, "")),
+      "owner keeps, the real copy is stripped")
+  }
+
+  test("removeDupSpans raises on a document at the composite-key token bound") {
+    val big = Array.fill(Dedup.MaxSpanDocTokens)("w").mkString(" ")
+    val corpus = Seq((1L, big)).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.removeDupSpans(corpus, "doc_id", "text", n = 5).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("removeDupSpans")),
+      s"expected the guard message, got: $ex")
+  }
+
   test("removeDupSpans keeps the corpus-global first occurrence, strips the rest") {
     val corpus = Seq(
       (1L, "a b c d e"),                       // owner of the shared gram

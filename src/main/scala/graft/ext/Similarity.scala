@@ -316,7 +316,15 @@ object Similarity {
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, tau: Double, maxCell: Int = DefaultMaxCell,
       dim: Int = 64): DataFrame = {
-    val stamped = assignCells(df, idCol, vecCol, cents)
+    // materialized ONCE: the stamped frame (a full assignment pass —
+    // broadcast-centroid crossJoin + arg-max agg + join) is read by the
+    // guard peek, BOTH pair-join legs, and the final anti-join; lazy, that
+    // is four assignment passes over the corpus (measured 2× on q75 at
+    // sf0.1). One local checkpoint trades a single corpus-sized
+    // spill-to-blockstore write for the three recomputations — the same
+    // call the cluster form wants, since recomputation there re-reads the
+    // primary store four times.
+    val stamped = assignCells(df, idCol, vecCol, cents).localCheckpoint(true)
     val losers = cosineDupPairs(stamped, idCol, vecCol, "cell", tau, maxCell,
       dim).select(col("id_b").as(idCol)).distinct()
     stamped.join(losers, Seq(idCol), "left_anti")

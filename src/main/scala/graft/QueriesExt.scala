@@ -1545,7 +1545,76 @@ object QueriesExt {
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("q_id"), col("rnk"))
       },
-      Some(pqAnnOracleSql))
+      Some(pqAnnOracleSql)),
+
+    // IVF over the SQ8 index — the faiss IVF-SQ composition (round 8;
+    // q37/q74 pruned cells over floats, q118/q126 integer-scanned ALL
+    // codes): learned k-means cells stored WITH the packed codes, queries
+    // probe nprobe cells, the integer scan touches only those cells' rows,
+    // floats are read for the rescore rows alone. Oracle replays k-means,
+    // assignment, quantization, the in-cell integer scan, and the rescore
+    Q("q132_ann_ivf_sq8",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val index = Similarity.sq8IndexWithCells(e, "vec_id", "embedding",
+          cents)
+        Similarity.ivfQuantizedTopK(index, cents,
+          e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding",
+          k = 5, nprobe = 2, overfetch = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(ivfSq8OracleSql)),
+
+    // incremental SQ8 index maintenance: init on the old corpus, append
+    // the batch (encode ONLY the batch — no old vector re-read), serve the
+    // quantized ANN from the composed artifact. init ∪ append ≡ full
+    // rebuild, so the oracle is exactly q118's full-corpus replay
+    Q("q133_sq8_index_append",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val path = "/tmp/graft_sq8_index_q133"
+        Similarity.initSq8Index(e.where(col("vec_id") % 4 =!= 0),
+          "vec_id", "embedding", path)
+        Similarity.appendSq8Index(e.where(col("vec_id") % 4 === 0),
+          "vec_id", "embedding", path, batchId = 1L)
+        Similarity.compactSq8Index(s, path, "vec_id")
+        Similarity.quantizedTopKFromIndex(
+          Similarity.loadSq8Index(s, path),
+          e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding",
+          k = 5, overfetch = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(annQuantOracleSql)),
+
+    // semantic decontamination off the frozen SQ8 artifact: the corpus
+    // sweep reads the compact index (integer prefilter at threshold −
+    // margin, sound per the SqQuantMargin bound), floats confirm only the
+    // survivors — same result as q85's float form, same oracle
+    Q("q134_semantic_decon_indexed",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val train = e.where(col("vec_id") % 23 =!= 0)
+        val path = "/tmp/graft_sq8_index_q134"
+        Similarity.saveSq8Index(train, "vec_id", "embedding", path)
+        Similarity.semanticContaminatedIdsFromIndex(
+            Similarity.loadSq8Index(s, path), train,
+            e.where(col("vec_id") % 23 === 0),
+            "vec_id", "embedding", threshold = 0.25)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH ev AS (SELECT embedding AS v_e FROM embeddings
+                           WHERE vec_id % 23 = 0),
+                    tr AS (SELECT vec_id, embedding AS v_t FROM embeddings
+                           WHERE vec_id % 23 <> 0)
+               SELECT vec_id, max(${cosSql("v_t", "v_e")}) AS max_cos
+               FROM tr CROSS JOIN ev
+               GROUP BY vec_id
+               HAVING max(${cosSql("v_t", "v_e")}) >= 0.25
+               ORDER BY vec_id"""))
   )
 
   /** The SQ8 ANN replay (q118 and, artifact-loaded, q126): quantize, rank
@@ -1578,6 +1647,79 @@ object QueriesExt {
               FROM ex)
        SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 5
        ORDER BY q_id, rnk"""
+
+  /** The IVF-SQ8 replay (q132): the q73/q74 k-means chain (min-id init,
+    * two assign-update iterations, 6 dp centroids) gives the final
+    * centroids (`yc`) and the corpus assignment (`zr`); the q117 quant CTE
+    * gives codes + integer norms; each query keeps its 2 best cells by
+    * centroid cosine; the integer scan runs ONLY over those cells' codes;
+    * floats rescore the 20 survivors to the exact top 5.
+    */
+  private def ivfSq8OracleSql: String = {
+    def assignCte(centsRel: String, tag: String) =
+      s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                      FROM $centsRel GROUP BY cell),
+          ${tag}s AS (SELECT a.vec_id, a.embedding, v.cell,
+                             ${cosSql("a.embedding", "v.centroid")} AS cos
+                      FROM (SELECT vec_id, embedding FROM embeddings) a, ${tag}v v),
+          ${tag}r AS (SELECT vec_id, embedding, cell,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cell) AS rk
+                      FROM ${tag}s),
+          ${tag}c AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                             round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+                      FROM ${tag}r, range(1, 65) u(i)
+                      WHERE rk = 1 GROUP BY cell, pos)"""
+    s"""WITH i0 AS (SELECT vec_id, embedding,
+                      CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                        AS cell
+                    FROM embeddings ORDER BY vec_id LIMIT 8),
+         c0 AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                       round(CAST(embedding[i] AS DOUBLE), 6) AS v
+                FROM i0, range(1, 65) u(i)),
+         ${assignCte("c0", "x")},
+         ${assignCte("xc", "y")},
+         ${assignCte("yc", "z")},
+         $quantCteSql,
+         cn AS (SELECT vec_id, v, codes,
+                       sqrt(CAST(list_sum(list_transform(codes, c -> c * c)) AS DOUBLE)) AS cnorm
+                FROM qcodes),
+         cent AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                  FROM yc GROUP BY cell),
+         q AS (SELECT vec_id AS q_id, v AS q_vec, codes AS q_codes,
+                      cnorm AS q_cn
+               FROM cn WHERE vec_id % 25 = 0),
+         probes AS (SELECT q_id, q_vec, q_codes, q_cn, cell FROM (
+                      SELECT q.q_id, q.q_vec, q.q_codes, q.q_cn, cent.cell,
+                             row_number() OVER (PARTITION BY q.q_id
+                               ORDER BY ${cosSql("q.q_vec", "cent.centroid")} DESC,
+                                        cent.cell) AS pr
+                      FROM q, cent)
+                    WHERE pr <= 2),
+         c AS (SELECT z.cell, z.vec_id AS c_id, cn.codes AS c_codes,
+                      cn.cnorm AS c_cn
+               FROM zr z JOIN cn ON cn.vec_id = z.vec_id
+               WHERE z.rk = 1),
+         ap AS (SELECT q_id, c_id, q_vec,
+                       CASE WHEN q_cn * c_cn = 0 THEN -2.0
+                            ELSE CAST(list_sum(list_transform(range(1, 65),
+                                   i -> q_codes[i] * c_codes[i])) AS DOUBLE)
+                                 / (q_cn * c_cn) END AS acos_
+                FROM c JOIN probes USING (cell) WHERE q_id <> c_id),
+         cand AS (SELECT q_id, c_id, q_vec,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY acos_ DESC, c_id) AS crk
+                  FROM ap),
+         ex AS (SELECT q_id, cand.c_id, ${cosSql("q_vec", "ce.embedding")} AS cos
+                FROM cand JOIN embeddings ce ON ce.vec_id = cand.c_id
+                WHERE crk <= 20),
+         r AS (SELECT q_id, c_id, cos,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, c_id) AS INT) AS rnk
+               FROM ex)
+        SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 5
+        ORDER BY q_id, rnk"""
+  }
 
   /** The PQ/ADC replay (q124 and, artifact-loaded, q127): per-subspace
     * k-means, per-query LUT, decimal-exact ADC, rescore.

@@ -593,6 +593,186 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  // ---- IVF × SQ8 (cell-pruned quantized scan) ----------------------------
+
+  /** The IVF-SQ index relation: [[sq8Index]]'s packed rows PLUS each
+    * vector's learned coarse cell (`cents` from [[kmeansCentroids]]) —
+    * (id, cell, scale, codes BINARY, cnorm). This is the faiss IVF-SQ
+    * storage layout as a table: at 100 TB, write it
+    * `.partitionBy("cell")` and a probe becomes a pruned partition read.
+    * One assignment pass (broadcast k-row centroids) fused with the
+    * per-row quantization projection — corpus-linear, one shuffle for the
+    * arg-max agg inside [[assignCells]].
+    */
+  def sq8IndexWithCells(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.packInt8Native
+    quantizeInt8(assignCells(df, idCol, vecCol, cents), idCol, vecCol)
+      .select(col(idCol), col("cell"), col("scale"),
+        packInt8Native(col("codes")).as("codes"), col("cnorm"))
+  }
+
+  /** IVF over the quantized index — the composition the two tiers were
+    * built for (round-8; previously `ivfTopK` pruned cells over FLOAT
+    * vectors and [[quantizedTopKFromIndex]] integer-scanned ALL codes):
+    * each query probes its `nprobe` nearest cells by centroid cosine
+    * (rounded 6 dp, ties to the smaller cell — the [[assignCells]]
+    * contract), the integer candidate scan touches ONLY the probed cells'
+    * packed codes, the top `k·overfetch` quantized candidates are rescored
+    * with the full-precision cosine from `corpus`, and the exact top k
+    * come out.
+    *
+    * Scale shape: scored candidates shrink from |C| per query to
+    * ~|C|·nprobe/cells (measured in docs/SCALE.md); with the index
+    * partitioned by cell the scan is a partition-pruned read of 64 B codes
+    * + one double per candidate; `corpus` — the primary float store — is
+    * consulted by id for the |Q|·k·overfetch rescore rows alone. Both the
+    * centroid table and the (small) probe set broadcast; nothing
+    * corpus-sized shuffles.
+    */
+  def ivfQuantizedTopK(index: DataFrame, cents: DataFrame,
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, overfetch: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.{int8DotNative, packInt8Native}
+    val cvecs = cents.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("centroid"))
+    val q = quantizeInt8(queries, idCol, vecCol).select(
+      col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"),
+      packInt8Native(col("codes")).as("q_codes"), col("cnorm").as("q_cn"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cvecs))
+      .withColumn("c_cos", round(
+        dot(col("q_vec"), col("centroid")) /
+          (col("q_norm") * norm(col("centroid"))), 6))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .where(col("probe_rank") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("q_codes"),
+        col("q_cn"), col("cell"))
+    val c = index.select(col("cell"), col(idCol).as("c_id"),
+      col("codes").as("c_codes"), col("cnorm").as("c_cn"))
+    val icos = when(col("q_cn") * col("c_cn") === lit(0.0), lit(-2.0))
+      .otherwise(int8DotNative(col("q_codes"), col("c_codes")).cast("double")
+        / (col("q_cn") * col("c_cn")))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("__acos").desc, col("c_id"))
+    val cand = c.join(broadcast(probes), Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .withColumn("__acos", icos)
+      .withColumn("__arank", row_number().over(wA))
+      .where(col("__arank") <= k * overfetch)
+    val cv = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    cand.join(cv, Seq("c_id"))
+      .withColumn("cos", cosPrenormed)
+      .withColumn("rank", row_number().over(wE))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  // ---- incremental SQ8 index maintenance ---------------------------------
+
+  /** Create a persisted SQ8 index that supports per-batch appends: the
+    * [[sq8Index]] rows land under `batch_id=0`. The vector-store companion
+    * of the streaming signature index (StreamingIngest): quantization is
+    * per-row, so appending NEVER re-reads old vectors — an incremental
+    * build is exactly a full rebuild, row for row.
+    */
+  def initSq8Index(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit =
+    sq8Index(df, idCol, vecCol).withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+
+  /** Append one batch to a persisted SQ8 index: encode ONLY the batch
+    * (O(batch) work — no old vector is read) and dynamic-overwrite its own
+    * `batch_id` partition, so an at-least-once replay of the batch
+    * rewrites itself instead of duplicating rows (the nearDupBatch sink
+    * contract).
+    */
+  def appendSq8Index(batch: DataFrame, idCol: String, vecCol: String,
+      path: String, batchId: Long): Unit =
+    sq8Index(batch, idCol, vecCol).withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
+
+  /** Fold a per-batch-appended SQ8 index into the single `-1` epoch,
+    * keeping the LATEST row per id (a re-encoded vector keeps its newest
+    * codes) — the signature-index compaction semantics
+    * (StreamingIngest.compactSignatureIndex) for the vector store, with
+    * the same crash-safe temp-then-swap. Run between appends; the id-keyed
+    * window partitions on the vector id, so no task sees more than one
+    * id's re-ingestion history. Returns the compacted row count.
+    */
+  def compactSq8Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String): Long = {
+    val idx = spark.read.parquet(path)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("batch_id").desc)
+    val tmp = s"$path.compact.tmp"
+    idx.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1).drop("__rk")
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    graft.pipeline.Pipeline.swap(spark, tmp, path)
+    spark.read.parquet(path).count()
+  }
+
+  // ---- semantic decontamination off the frozen index ---------------------
+
+  /** Sound prefilter margin for SQ8 quantized cosine: with `d`-dim codes
+    * `c = x/s + e`, ‖e‖∞ ≤ ½ (round-half-away) and ‖x/s‖ ≥ 127 (the max
+    * element IS 127 by construction), each side's angular perturbation is
+    * ≤ arcsin(½√d/127) — at d = 64 that is ≈ 0.0315 rad per side, and
+    * |cos θ| is 1-Lipschitz in θ, so |icos − cos| ≤ ~0.064. The margin is
+    * 0.1: comfortably past the bound (and the 6 dp rounding), cheap enough
+    * that the prefilter still discards the overwhelming non-candidate
+    * mass. PropertySpec measures the realized gap stays under the bound.
+    */
+  val SqQuantMargin: Double = 0.1
+
+  /** [[semanticContaminatedIds]] served from a frozen [[sq8Index]]
+    * artifact: the corpus-wide eval sweep reads ONLY the compact index
+    * (64 B codes + one double per train vector), an integer prefilter
+    * keeps the pairs with quantized cosine ≥ `threshold − margin`, and the
+    * float confirm touches the primary store for exactly the surviving
+    * candidate ids. With [[SqQuantMargin]] sound (|icos − cos| ≤ margin),
+    * the result is IDENTICAL to the float form: every pair at true
+    * cosine ≥ threshold survives the prefilter, so each contaminated id's
+    * max is taken over a set containing its true arg-max pair, and
+    * sub-threshold ids are still discarded by the float confirm.
+    *
+    * 100 TB shape: one pass over the INDEX (4× smaller than the vector
+    * store) × broadcast eval codes; the float read-back is bounded by the
+    * candidate count, which the margin keeps near the true contamination
+    * rate. Degenerate all-zero vectors get icos −2 and never surface —
+    * their float cosine is NULL/undefined in the float form too.
+    */
+  def semanticContaminatedIdsFromIndex(index: DataFrame, train: DataFrame,
+      eval_ : DataFrame, idCol: String, vecCol: String, threshold: Double,
+      margin: Double = SqQuantMargin): DataFrame = {
+    import graft.functions.VectorFunctions.{int8DotNative, packInt8Native}
+    val ev = quantizeInt8(eval_, idCol, vecCol).select(
+      col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"),
+      packInt8Native(col("codes")).as("e_codes"), col("cnorm").as("e_cn"))
+    val icos = when(col("cnorm") * col("e_cn") === lit(0.0), lit(-2.0))
+      .otherwise(int8DotNative(col("codes"), col("e_codes")).cast("double")
+        / (col("cnorm") * col("e_cn")))
+    val cand = index.select(col(idCol).as("id"), col("codes"), col("cnorm"))
+      .crossJoin(broadcast(ev))
+      .where(icos >= lit(threshold - margin))
+      .select(col("id"), col("c_vec"), col("c_norm"))
+    val tr = train.select(col(idCol).as("id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    cand.join(tr, Seq("id"))
+      .select(col("id"), cosPrenormed.as("cos"))
+      .groupBy(col("id")).agg(max(col("cos")).as("max_cos"))
+      .where(col("max_cos") >= threshold)
+      .select(col("id").as(idCol), col("max_cos"))
+  }
+
   // ---- product quantization (PQ / ADC) -----------------------------------
 
   /** Product-quantization codebooks: the vector is split into `m`

@@ -635,6 +635,95 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(4L) == ((11, 1, "z")), "both in-doc occurrences are non-owners")
   }
 
+  test("ivfQuantizedTopK: all-cells probe + full overfetch ≡ bruteForceTopK; " +
+    "pruned probe still yields k exact-ranked rows") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 23 - 11).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val index = Similarity.sq8IndexWithCells(vecs, "vec_id", "embedding", cents)
+      .localCheckpoint(true)
+    assert(index.select("cell").distinct().count() <= 4)
+    val q = vecs.where($"vec_id" % 9 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"c_id", $"cos", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    // probing EVERY cell with corpus-wide overfetch removes both
+    // approximations -> must equal the exact scan
+    val full = rows(Similarity.ivfQuantizedTopK(index, cents, q, vecs,
+      "vec_id", "embedding", k = 3, nprobe = 4, overfetch = 40))
+    val brute = rows(Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", k = 3))
+    assert(full == brute)
+    // pruned probe: k rows per query, float-cosine-ranked, self excluded
+    val pruned = Similarity.ivfQuantizedTopK(index, cents, q, vecs,
+      "vec_id", "embedding", k = 3, nprobe = 2, overfetch = 4)
+    val perQ = pruned.groupBy($"q_id").count().select("count").as[Long].collect().toSet
+    assert(perQ == Set(3L))
+    assert(pruned.where($"q_id" === $"c_id").isEmpty)
+  }
+
+  test("sq8 index append: init + per-batch appends + compaction ≡ full rebuild") {
+    val all = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 13 + j * 5) % 19 - 9).toFloat))
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("sq8_append").toString + "/idx"
+    Similarity.initSq8Index(all.where($"vec_id" < 10), "vec_id", "embedding", path)
+    Similarity.appendSq8Index(all.where($"vec_id" >= 10 && $"vec_id" < 20),
+      "vec_id", "embedding", path, batchId = 1L)
+    Similarity.appendSq8Index(all.where($"vec_id" >= 20),
+      "vec_id", "embedding", path, batchId = 2L)
+    def indexRows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"scale", hex($"codes").as("h"), $"cnorm")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val appended = indexRows(spark.read.parquet(path))
+    val rebuilt = indexRows(Similarity.sq8Index(all, "vec_id", "embedding"))
+    assert(appended == rebuilt, "incremental build is row-identical to a rebuild")
+    // replayed batch (at-least-once) rewrites its own partition: no dupes
+    Similarity.appendSq8Index(all.where($"vec_id" >= 20),
+      "vec_id", "embedding", path, batchId = 2L)
+    assert(indexRows(spark.read.parquet(path)) == rebuilt)
+    // compaction folds the three batch partitions into the -1 epoch,
+    // content unchanged; a re-encoded id keeps its NEWEST codes
+    val n = Similarity.compactSq8Index(spark, path, "vec_id")
+    assert(n == 30)
+    val folded = spark.read.parquet(path)
+    assert(folded.select($"batch_id").distinct().as[Long].collect().toSeq == Seq(-1L))
+    assert(indexRows(folded) == rebuilt)
+    val moved = all.where($"vec_id" === 5)
+      .select($"vec_id", transform($"embedding", x => x * 2).as("embedding"))
+    Similarity.appendSq8Index(moved, "vec_id", "embedding", path, batchId = 3L)
+    Similarity.compactSq8Index(spark, path, "vec_id")
+    val after = spark.read.parquet(path).where($"vec_id" === 5)
+      .select($"scale").as[Double].head()
+    val expect = Similarity.sq8Index(moved, "vec_id", "embedding")
+      .select($"scale").as[Double].head()
+    assert(after == expect, "latest batch wins for a re-ingested id")
+  }
+
+  test("semanticContaminatedIdsFromIndex ≡ float semanticContaminatedIds") {
+    val all = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        (((i % 7) * 17 + j * 3) % 13 - 6 + (if (i % 11 == 0) j % 3 else 0)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val train = all.where($"vec_id" % 5 =!= 0)
+    val ev = all.where($"vec_id" % 5 === 0)
+    val index = Similarity.sq8Index(train, "vec_id", "embedding")
+      .localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    for (th <- Seq(0.25, 0.6, 0.9)) {
+      val exact = rows(Similarity.semanticContaminatedIds(
+        train, ev, "vec_id", "embedding", th))
+      val indexed = rows(Similarity.semanticContaminatedIdsFromIndex(
+        index, train, ev, "vec_id", "embedding", th))
+      assert(indexed == exact, s"threshold $th")
+    }
+  }
+
   test("PQ: m codes per vector; full-overfetch ADC + rescore ≡ bruteForceTopK") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 37 + j * 11) % 17 - 8).toFloat))

@@ -165,4 +165,39 @@ class PropertySpec extends AnyFunSuite {
       assert(r.getLong(0) == expect, "packed dot is the exact integer dot")
     }
   }
+
+  test("property: quantized-vs-float cosine gap stays under SqQuantMargin") {
+    // the soundness premise of the indexed decontamination prefilter
+    // (Similarity.semanticContaminatedIdsFromIndex): at d=64 the analytic
+    // bound is |icos - cos| <= ~0.064 < margin 0.1. Adversarial-ish mix:
+    // smooth vectors, spiky vectors (one dominant coordinate — worst
+    // relative quantization noise), near-parallel pairs.
+    import graft.ext.Similarity
+    val rnd = new scala.util.Random(7)
+    def smooth() = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    def spiky() = {
+      val v = Array.fill(64)((rnd.nextDouble() * 0.02 - 0.01).toFloat)
+      v(rnd.nextInt(64)) = (if (rnd.nextBoolean()) 1 else -1) * 100f
+      v
+    }
+    val base = Seq.fill(40)(smooth()) ++ Seq.fill(40)(spiky())
+    val jittered = base.map(v => v.map(x => x * 1.001f + 0.0005f))
+    val vecs = (base ++ jittered).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val qz = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .select($"vec_id", $"codes", $"cnorm", $"__v")
+      .collect()
+      .map(r => (r.getSeq[Int](1).toArray, r.getDouble(2), r.getSeq[Double](3).toArray))
+    var maxGap = 0.0
+    for (i <- qz.indices; j <- (i + 1) until qz.length by 7) {
+      val (ci, ni, vi) = qz(i); val (cj, nj, vj) = qz(j)
+      val icos = (ci zip cj).map { case (a, b) => a.toLong * b }.sum / (ni * nj)
+      val fdot = (vi zip vj).map { case (a, b) => a * b }.sum
+      val fcos = fdot / (math.sqrt(vi.map(x => x * x).sum) * math.sqrt(vj.map(x => x * x).sum))
+      maxGap = math.max(maxGap, math.abs(icos - fcos))
+    }
+    assert(maxGap <= 0.064, f"analytic bound holds: measured $maxGap%.4f")
+    assert(maxGap < Similarity.SqQuantMargin,
+      "prefilter margin dominates the realized gap")
+  }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** Engine-side recall sweep for the QUANTIZED ANN tiers (VERDICT r7 #3):
+  * no oracle involvement, pure measurement against the exact baseline on
+  * the sf0.1 vectors — the PQ companion of [[RecallSweep]] (which pinned
+  * the 12-table LSH config in round 5).
+  *
+  *  1. PQ/ADC: recall@5 across codebook size k ∈ {8, 64, 256} × overfetch
+  *     ∈ {4, 16, 32} (m = 4 subspaces × 16 dims, 2 Lloyd iterations — the
+  *     q123/q124 shape). q124's oracle deliberately uses k = 8 so the
+  *     DuckDB k-means replay stays tractable; this sweep measures the
+  *     production-scale codebooks the oracle cannot.
+  *  2. IVF-SQ8 ([[Similarity.ivfQuantizedTopK]]): recall@5 and SCORED
+  *     CANDIDATE COUNT across nprobe ∈ {1, 2, 4, 8} at 8 learned cells —
+  *     the witness that the composed tier scans ~|C|·nprobe/cells codes,
+  *     not |C| (the brute quantized scan's |Q|·(|C|−1)).
+  *
+  * Run: `sbt "runMain graft.AnnSweep /root/testdata/sf0.1"`.
+  * Results recorded in docs/SCALE.md §ANN.
+  */
+object AnnSweep {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.build("graft-ann-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables.load(spark, dir, "embeddings").localCheckpoint(true)
+    val q = e.where(col("vec_id") % 25 === 0)
+    val bf = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+      .select(col("q_id"), col("c_id")).persist()
+    val nQ = bf.select(col("q_id")).distinct().count()
+    val nC = e.count()
+    println(s"queries=$nQ corpus=$nC")
+
+    def recall(ann: DataFrame): Double =
+      bf.join(ann.select(col("q_id"), col("c_id")), Seq("q_id", "c_id"))
+        .count().toDouble / (nQ * 5)
+
+    println("== PQ/ADC (iters=2) ==")
+    for ((m, k) <- Seq((4, 8), (4, 64), (4, 256), (8, 64), (8, 256))) {
+      val subDim = 64 / m
+      val t0 = System.nanoTime()
+      val books = Similarity.pqCodebooks(e, "vec_id", "embedding",
+        m = m, subDim = subDim, k = k, iters = 2).localCheckpoint(true)
+      val train = (System.nanoTime() - t0) / 1e9
+      for (of <- Seq(4, 16, 32, 64)) {
+        val t1 = System.nanoTime()
+        val r = recall(Similarity.pqAdcTopK(q, e, "vec_id", "embedding",
+          books, m = m, subDim = subDim, k = 5, overfetch = of))
+        val dt = (System.nanoTime() - t1) / 1e9
+        println(f"pq m=$m k=$k%3d overfetch=$of%2d recall@5=$r%.4f " +
+          f"query=$dt%.1fs train=$train%.1fs")
+      }
+    }
+
+    println("== IVF-SQ8 (8 learned cells, overfetch=4) ==")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      k = 8, iters = 2).localCheckpoint(true)
+    val index = Similarity.sq8IndexWithCells(e, "vec_id", "embedding", cents)
+      .localCheckpoint(true)
+    val cellSizes = index.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cn"))
+    val cvecs = cents.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("centroid"))
+    for (np <- Seq(1, 2, 4, 8)) {
+      val t0 = System.nanoTime()
+      val r = recall(Similarity.ivfQuantizedTopK(index, cents, q, e,
+        "vec_id", "embedding", k = 5, nprobe = np, overfetch = 4))
+      val dt = (System.nanoTime() - t0) / 1e9
+      // scored candidates = Σ over probed (query, cell) of |cell|, minus
+      // the self-match each query has inside its own nearest cell
+      val wP = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("cell"))
+      val probed = q.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_vec"))
+        .crossJoin(broadcast(cvecs))
+        .withColumn("c_cos", round(
+          Similarity.dot(col("q_vec"), col("centroid")) /
+            (Similarity.norm(col("q_vec")) * Similarity.norm(col("centroid"))), 6))
+        .withColumn("pr", row_number().over(wP))
+        .where(col("pr") <= np)
+        .join(broadcast(cellSizes), Seq("cell"))
+        .agg(sum(col("cn"))).head().getLong(0) - nQ
+      val brute = nQ * (nC - 1)
+      println(f"ivf-sq8 nprobe=$np recall@5=$r%.4f candidates=$probed " +
+        f"(brute=$brute, ${probed.toDouble / brute * 100}%.1f%%) wall=$dt%.1fs")
+    }
+    spark.stop()
+  }
+}

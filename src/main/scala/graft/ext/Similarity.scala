@@ -842,9 +842,22 @@ object Similarity {
     * (sub, code); the per-query windows are |Q|-keyed. Corpus-linear in
     * both shuffle and scan, which is the point of PQ.
     */
+  /** Production PQ configuration, pinned by the round-8 AnnSweep
+    * (docs/SCALE.md §PQ recall matrix): m = 8 subspaces × 8 dims with
+    * k = 64-entry codebooks and overfetch 32 — the cheapest sweep point at
+    * ≥ 0.9 recall@5 (measured 0.9375 on the sf0.1 vectors; m=8/k=256/
+    * overfetch=16 reaches 0.9525 at ~2× the query wall). The q124 oracle
+    * deliberately runs k = 8 so the DuckDB k-means replay stays
+    * tractable; these are the values a production corpus wants.
+    */
+  val PqDefaultM: Int = 8
+  val PqDefaultSubDim: Int = 8
+  val PqDefaultK: Int = 64
+  val PqDefaultOverfetch: Int = 32
+
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, books: DataFrame, m: Int, subDim: Int, k: Int,
-      overfetch: Int = 4): DataFrame = {
+      overfetch: Int = PqDefaultOverfetch): DataFrame = {
     val cvecs = pqCentroidVectors(books)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"))

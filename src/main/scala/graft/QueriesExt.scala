@@ -1614,7 +1614,28 @@ object QueriesExt {
                FROM tr CROSS JOIN ev
                GROUP BY vec_id
                HAVING max(${cosSql("v_t", "v_e")}) >= 0.25
-               ORDER BY vec_id"""))
+               ORDER BY vec_id""")),
+
+    // IVF over PQ codes — the other faiss composition (q132 = IVF×SQ8;
+    // this = IVF×PQ): coarse k-means cells ride the code table, queries
+    // probe 2 cells, ADC scores only the probed cells' codes (decimal-
+    // exact LUT sums), floats rescore the survivors. Oracle = the q74
+    // coarse k-means replay × the q124 PQ replay, composed
+    Q("q135_ann_ivf_pq",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val books = Similarity.pqCodebooks(e, "vec_id", "embedding",
+          m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+        Similarity.ivfPqAdcTopK(
+          e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding",
+          cents, books, m = 4, subDim = 16, k = 5, nprobe = 2,
+          overfetch = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(ivfPqOracleSql))
   )
 
   /** The SQ8 ANN replay (q118 and, artifact-loaded, q126): quantize, rank
@@ -1712,6 +1733,85 @@ object QueriesExt {
                   FROM ap),
          ex AS (SELECT q_id, cand.c_id, ${cosSql("q_vec", "ce.embedding")} AS cos
                 FROM cand JOIN embeddings ce ON ce.vec_id = cand.c_id
+                WHERE crk <= 20),
+         r AS (SELECT q_id, c_id, cos,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, c_id) AS INT) AS rnk
+               FROM ex)
+        SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 5
+        ORDER BY q_id, rnk"""
+  }
+
+  /** The IVF-PQ replay (q135): the coarse k-means chain (q74's, 64-dim)
+    * stamps each corpus vector's cell; the PQ chain (q124's) gives
+    * codebooks and codes; per query, only the 2 probed cells' code rows
+    * meet the ADC LUT; floats rescore the 20 survivors.
+    */
+  private def ivfPqOracleSql: String = {
+    def assignCte(centsRel: String, tag: String) =
+      s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                      FROM $centsRel GROUP BY cell),
+          ${tag}s AS (SELECT a.vec_id, a.embedding, v.cell,
+                             ${cosSql("a.embedding", "v.centroid")} AS cos
+                      FROM (SELECT vec_id, embedding FROM embeddings) a, ${tag}v v),
+          ${tag}r AS (SELECT vec_id, embedding, cell,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cell) AS rk
+                      FROM ${tag}s),
+          ${tag}c AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                             round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+                      FROM ${tag}r, range(1, 65) u(i)
+                      WHERE rk = 1 GROUP BY cell, pos)"""
+    val qsub = (0 until 4).map { j =>
+      s"SELECT q_id, $j AS sub, q_vec[${j * 16 + 1}:${(j + 1) * 16}] AS qv FROM qs"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${pqCtes(4, 16, 8)},
+         i0 AS (SELECT vec_id, embedding,
+                  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+                FROM embeddings ORDER BY vec_id LIMIT 8),
+         c0 AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                       round(CAST(embedding[i] AS DOUBLE), 6) AS v
+                FROM i0, range(1, 65) u(i)),
+         ${assignCte("c0", "x")},
+         ${assignCte("xc", "y")},
+         ${assignCte("yc", "z")},
+         coarse AS (SELECT cell AS ccell, list(v ORDER BY pos) AS centroid
+                    FROM yc GROUP BY cell),
+         books AS (${(0 until 4).map(j =>
+           s"SELECT $j AS sub, cell, centroid FROM s${j}fv")
+           .mkString(" UNION ALL ")}),
+         qs AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+                WHERE vec_id % 25 = 0),
+         probes AS (SELECT q_id, ccell FROM (
+                      SELECT q_id, ccell,
+                             row_number() OVER (PARTITION BY q_id
+                               ORDER BY ${cosSql("q_vec", "centroid")} DESC,
+                                        ccell) AS pr
+                      FROM qs, coarse)
+                    WHERE pr <= 2),
+         qsub AS ($qsub),
+         lut AS (SELECT q_id, q.sub, cell,
+                        CAST(round(${dotSqlN("qv", "centroid", 16)}, 6)
+                          AS DECIMAL(28,8)) AS ld
+                 FROM qsub q JOIN books ON q.sub = books.sub),
+         codes AS (SELECT c.vec_id AS c_id, c.sub, c.code AS cell, z.cell AS ccell
+                   FROM (${(0 until 4).map(j => s"SELECT * FROM s${j}code")
+                     .mkString(" UNION ALL ")}) c
+                   JOIN zr z ON z.vec_id = c.vec_id AND z.rk = 1),
+         adc AS (SELECT q_id, c_id, sum(ld) AS adc
+                 FROM codes
+                 JOIN probes USING (ccell)
+                 JOIN lut USING (q_id, sub, cell)
+                 WHERE q_id <> c_id GROUP BY q_id, c_id),
+         cand AS (SELECT q_id, c_id,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY adc DESC, c_id) AS crk
+                  FROM adc),
+         ex AS (SELECT q_id, c_id,
+                       ${cosSql("qe.embedding", "ce.embedding")} AS cos
+                FROM cand
+                JOIN embeddings qe ON qe.vec_id = q_id
+                JOIN embeddings ce ON ce.vec_id = c_id
                 WHERE crk <= 20),
          r AS (SELECT q_id, c_id, cos,
                       CAST(row_number() OVER (PARTITION BY q_id

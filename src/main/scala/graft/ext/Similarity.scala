@@ -708,13 +708,24 @@ object Similarity {
     * id's re-ingestion history. Returns the compacted row count.
     */
   def compactSq8Index(spark: org.apache.spark.sql.SparkSession,
-      path: String, idCol: String): Long = {
+      path: String, idCol: String,
+      belowBatch: Option[Long] = None): Long = {
     val idx = spark.read.parquet(path)
+    // belowBatch = the in-stream form (StreamingIngest.sq8IndexStream):
+    // fold only partitions below the just-committed batch, so a replay of
+    // that batch still reads exactly the pre-batch state — the
+    // compactSignatureIndex replay contract, verbatim
+    val (fold, keep) = belowBatch match {
+      case Some(b) =>
+        (idx.where(col("batch_id") < b), idx.where(col("batch_id") >= b))
+      case None => (idx, idx.limit(0))
+    }
     val w = Window.partitionBy(col(idCol)).orderBy(col("batch_id").desc)
     val tmp = s"$path.compact.tmp"
-    idx.withColumn("__rk", row_number().over(w))
+    fold.withColumn("__rk", row_number().over(w))
       .where(col("__rk") === 1).drop("__rk")
       .withColumn("batch_id", lit(-1L))
+      .unionByName(keep)
       .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     graft.pipeline.Pipeline.swap(spark, tmp, path)
     spark.read.parquet(path).count()
@@ -842,6 +853,73 @@ object Similarity {
     * (sub, code); the per-query windows are |Q|-keyed. Corpus-linear in
     * both shuffle and scan, which is the point of PQ.
     */
+  /** IVF over PQ codes — the faiss IVF-PQ layout, completing the
+    * composition matrix (round 8: ivfQuantizedTopK = IVF × SQ8; this =
+    * IVF × PQ): each corpus vector stores its coarse cell (`cents` from
+    * [[kmeansCentroids]]) alongside its m subspace codes; a query probes
+    * its `nprobe` nearest cells, builds the per-query ADC lookup table
+    * (m·k rounded sub-dots, DECIMAL-exact sums — the [[pqAdcTopK]]
+    * contract), and scores ONLY the probed cells' code rows; floats
+    * rescore the `k·overfetch` ADC survivors.
+    *
+    * Scale shape: the scored code rows shrink from m·|C| to
+    * ~m·|C|·nprobe/cells; with the code table partitioned by `ccell` the
+    * scan is partition-pruned. Probes, LUT, and centroids all broadcast;
+    * the float store is consulted for the rescore rows alone. This is the
+    * billion-vector resident-index tier: 8 B codes/vector + one int cell.
+    */
+  def ivfPqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame, books: DataFrame, m: Int,
+      subDim: Int, k: Int, nprobe: Int,
+      overfetch: Int = PqDefaultOverfetch): DataFrame = {
+    val cvecs = cents.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("centroid"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cvecs))
+      .withColumn("c_cos", round(
+        dot(col("q_vec"), col("centroid")) /
+          (col("q_norm") * norm(col("centroid"))), 6))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .where(col("probe_rank") <= nprobe)
+      .select(col("q_id"), col("cell").as("ccell"))
+    val qsubs = q.select(col("q_id"),
+      explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"),
+          slice(col("q_vec"), j * subDim + 1, subDim).as("qv"))): _*)).as("e"))
+      .select(col("q_id"), col("e.sub").as("sub"), col("e.qv").as("qv"))
+    val lut = qsubs.join(broadcast(pqCentroidVectors(books)), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("cell"),
+        round(dot(col("qv"), col("centroid")), 6)
+          .cast("decimal(28,8)").as("ld"))
+    // code rows carry their coarse cell: the scored set is the probed
+    // cells' rows only, m rows per surviving (query, vector) pair
+    val ccells = assignCells(corpus, idCol, vecCol, cents)
+      .select(col(idCol).as("c_id"), col("cell").as("ccell"))
+    val codes = pqEncode(corpus, idCol, vecCol, books, m, subDim)
+      .select(col(idCol).as("c_id"), col("sub"), col("code").as("cell"))
+      .join(ccells, Seq("c_id"))
+    val adc = codes.join(broadcast(probes), Seq("ccell"))
+      .where(col("q_id") =!= col("c_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "cell"))
+      .groupBy(col("q_id"), col("c_id")).agg(sum(col("ld")).as("adc"))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("c_id"))
+    val cand = adc.withColumn("__arank", row_number().over(wA))
+      .where(col("__arank") <= k * overfetch)
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    cand.join(c, Seq("c_id")).join(q, Seq("q_id"))
+      .withColumn("cos", cosPrenormed)
+      .withColumn("rank", row_number().over(wE))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Production PQ configuration, pinned by the round-8 AnnSweep
     * (docs/SCALE.md §PQ recall matrix): m = 8 subspaces × 8 dims with
     * k = 64-entry codebooks and overfetch 32 — the cheapest sweep point at

@@ -178,6 +178,60 @@ object StreamingIngest {
       }
     }
 
+  /** Streaming SQ8 vector-index ingest — the vector-store companion of
+    * [[nearDupStream]] (round 8): each micro-batch of (id, embedding) rows
+    * is quantized and packed (O(batch) — no old vector is ever re-read)
+    * and appended to the persisted SQ8 index under its own `batch_id`
+    * partition with dynamic overwrite, so an at-least-once replay rewrites
+    * itself. Every `compactEvery` batches the pre-batch partitions fold
+    * into the `-1` epoch (newest row per id wins — a re-encoded vector
+    * keeps its latest codes), keeping the index read cost bounded; the
+    * current batch stays out of the fold, which is what makes the
+    * in-stream fold replay-safe (see `compactSignatureIndex`).
+    *
+    * Serve ANN from the artifact at any time via
+    * `Similarity.quantizedTopKFromIndex(spark.read.parquet(indexDir), …)`;
+    * between compactions a re-ingested id transiently holds one row per
+    * batch, the same documented window the signature index has.
+    */
+  def sq8IndexStream(vecs: DataFrame, indexDir: String,
+      checkpointDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sq8IndexBatch(batch, batchId, indexDir, idCol, vecCol)
+        maybeAutoCompactSq8(batch.sparkSession, indexDir, batchId,
+          compactEvery, idCol)
+      }
+      .start()
+
+  /** One [[sq8IndexStream]] micro-batch, factored out so specs drive
+    * exactly the stream's code path.
+    */
+  def sq8IndexBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    if (!batch.isEmpty)
+      graft.ext.Similarity.appendSq8Index(batch, idCol, vecCol, indexDir,
+        batchId)
+
+  /** The [[maybeAutoCompact]] cadence for the SQ8 index: every
+    * `compactEvery` batches, fold partitions below the just-committed
+    * batch into the `-1` epoch.
+    */
+  def maybeAutoCompactSq8(spark: SparkSession, indexDir: String,
+      batchId: Long, compactEvery: Int, idCol: String = "vec_id"): Unit =
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      val p = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        graft.ext.Similarity.compactSq8Index(spark, indexDir, idCol,
+          belowBatch = Some(batchId))
+        ()
+      }
+    }
+
   /** One [[nearDupStream]] micro-batch — factored out so the replay/soak
     * specs drive exactly the code the stream runs. Idempotent under
     * at-least-once replay: the index read takes only `batch_id < batchId`

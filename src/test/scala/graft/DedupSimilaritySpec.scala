@@ -704,6 +704,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(after == expect, "latest batch wins for a re-ingested id")
   }
 
+  test("ivfPqAdcTopK: all-cells probe + full overfetch ≡ bruteForceTopK; " +
+    "pruned probe yields k rows") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 29 + j * 11) % 21 - 10).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val books = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+      m = 2, subDim = 8, k = 4, iters = 1).localCheckpoint(true)
+    val q = vecs.where($"vec_id" % 9 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"c_id", $"cos", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val full = rows(Similarity.ivfPqAdcTopK(q, vecs, "vec_id", "embedding",
+      cents, books, m = 2, subDim = 8, k = 3, nprobe = 4, overfetch = 40))
+    val brute = rows(Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", k = 3))
+    assert(full == brute,
+      "all cells probed + corpus-wide overfetch removes every approximation")
+    val pruned = Similarity.ivfPqAdcTopK(q, vecs, "vec_id", "embedding",
+      cents, books, m = 2, subDim = 8, k = 3, nprobe = 2, overfetch = 4)
+    val perQ = pruned.groupBy($"q_id").count().select("count").as[Long].collect().toSet
+    assert(perQ == Set(3L))
+    assert(pruned.where($"q_id" === $"c_id").isEmpty)
+  }
+
   test("semanticContaminatedIdsFromIndex ≡ float semanticContaminatedIds") {
     val all = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(64)(j =>

@@ -179,6 +179,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sq8IndexStream: streamed appends + auto-compaction ≡ batch index rebuild") {
+    import graft.ext.Similarity
+    val base = java.nio.file.Files.createTempDirectory("sq8_stream")
+    val (vecsDir, indexDir, ckDir) = (s"$base/vecs", s"$base/index", s"$base/ck")
+    def mk(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 13 + j * 5) % 19 - 9).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (b1, b2, b3) = (mk(0, 10), mk(10, 20), mk(20, 30))
+    new java.io.File(vecsDir).mkdirs()
+    b1.coalesce(1).write.mode("append").parquet(vecsDir)
+    val stream = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1).parquet(vecsDir)
+    val q = StreamingIngest.sq8IndexStream(stream, indexDir, ckDir,
+      compactEvery = 2)
+    def indexRows() = spark.read.parquet(indexDir)
+      .select($"vec_id", $"scale", hex($"codes").as("h"), $"cnorm")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    try {
+      q.processAllAvailable()
+      b2.coalesce(1).write.mode("append").parquet(vecsDir)
+      b3.coalesce(1).write.mode("append").parquet(vecsDir)
+      q.processAllAvailable()
+      val all = b1.unionByName(b2).unionByName(b3)
+      val rebuilt = Similarity.sq8Index(all, "vec_id", "embedding")
+        .select($"vec_id", $"scale", hex($"codes").as("h"), $"cnorm")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+      assert(indexRows() == rebuilt,
+        "streamed index is row-identical to a batch rebuild")
+      // batch 2 auto-compacted the pre-batch partitions (compactEvery=2):
+      // the folded -1 epoch plus only batch 2's own partition remain
+      val parts = spark.read.parquet(indexDir)
+        .select("batch_id").distinct().as[Long].collect().toSet
+      assert(parts == Set(-1L, 2L), s"auto-compaction folded: $parts")
+      // the frozen artifact serves ANN identically to the in-memory form
+      val qs = all.where($"vec_id" % 9 === 0)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select($"q_id", $"c_id", $"cos", $"rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      val fromIdx = rows(Similarity.quantizedTopKFromIndex(
+        spark.read.parquet(indexDir), qs, all, "vec_id", "embedding",
+        k = 3, overfetch = 4))
+      val inMem = rows(Similarity.quantizedTopK(qs, all, "vec_id", "embedding",
+        k = 3, overfetch = 4))
+      assert(fromIdx == inMem)
+    } finally q.stop()
+  }
+
   test("per-row curation ops run unchanged on a stream (batch ≡ streaming)") {
     import graft.ext.TextAnalysis
     // the quality/PII/chunk-prep operators are pure per-row Column trees, so

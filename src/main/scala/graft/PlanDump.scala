@@ -43,7 +43,15 @@ object PlanDump {
         // quantization subtree on the corpus side). q123/q124/q125/q127
         // are omitted like q43 (localCheckpoint / artifact-write inside)
         "q117_vec_quantize", "q118_ann_quantized", "q119_dup_spans",
-        "q121_nb_score", "q126_ann_index_artifact")
+        "q121_nb_score", "q126_ann_index_artifact",
+        // round 8: q132 shows the IVF-SQ composition — the integer scan
+        // sits UNDER a broadcast join on the probed cell, so candidate
+        // rows are cell-pruned before any dot product (cents checkpoint is
+        // the only opaque subtree); q134 the indexed decontamination —
+        // integer prefilter on the ARTIFACT scan, float join only above
+        // it; q135 the IVF-PQ code/LUT/probe broadcast-join stack. q133
+        // is omitted like q126's write half (artifact writes at build)
+        "q132_ann_ivf_sq8", "q134_semantic_decon_indexed", "q135_ann_ivf_pq")
       .foreach { q =>
       out.append(s"===== $q =====\n")
       out.append(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

@@ -1616,6 +1616,32 @@ object QueriesExt {
                HAVING max(${cosSql("v_t", "v_e")}) >= 0.25
                ORDER BY vec_id""")),
 
+    // incremental IVF-SQ index: the quantizer is trained on the OLD
+    // corpus and frozen (the faiss `add` contract); the batch is
+    // quantized + assigned against the frozen centroids and appended —
+    // no old vector re-read, no re-train — and the composed artifact
+    // serves the cell-pruned probe. Oracle replays k-means over the old
+    // subset only, then assigns ALL vectors to those frozen cells
+    Q("q136_ivf_index_append",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val old = e.where(col("vec_id") % 4 =!= 0)
+        val cents = Similarity.kmeansCentroids(old, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val path = "/tmp/graft_ivf_sq8_index_q136"
+        Similarity.initSq8IndexWithCells(old, "vec_id", "embedding", cents,
+          path)
+        Similarity.appendSq8IndexWithCells(e.where(col("vec_id") % 4 === 0),
+          "vec_id", "embedding", cents, path, batchId = 1L)
+        Similarity.compactSq8Index(s, path, "vec_id")
+        Similarity.ivfQuantizedTopK(Similarity.loadSq8Index(s, path), cents,
+          e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding",
+          k = 5, nprobe = 2, overfetch = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(ivfSq8FrozenOracleSql)),
+
     // IVF over PQ codes — the other faiss composition (q132 = IVF×SQ8;
     // this = IVF×PQ): coarse k-means cells ride the code table, queries
     // probe 2 cells, ADC scores only the probed cells' codes (decimal-
@@ -1812,6 +1838,80 @@ object QueriesExt {
                 FROM cand
                 JOIN embeddings qe ON qe.vec_id = q_id
                 JOIN embeddings ce ON ce.vec_id = c_id
+                WHERE crk <= 20),
+         r AS (SELECT q_id, c_id, cos,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, c_id) AS INT) AS rnk
+               FROM ex)
+        SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 5
+        ORDER BY q_id, rnk"""
+  }
+
+  /** The frozen-quantizer IVF-SQ8 replay (q136): k-means trained over the
+    * OLD subset only (init = its 8 smallest ids, both Lloyd iterations
+    * assign old vectors), then ALL vectors — old and batch — are assigned
+    * to the frozen centroids; quantization, the in-cell integer scan, and
+    * the rescore are [[ivfSq8OracleSql]]'s verbatim.
+    */
+  private def ivfSq8FrozenOracleSql: String = {
+    val old = "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0)"
+    val all = "(SELECT vec_id, embedding FROM embeddings)"
+    def assignCte(centsRel: String, tag: String, src: String) =
+      s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                      FROM $centsRel GROUP BY cell),
+          ${tag}s AS (SELECT a.vec_id, a.embedding, v.cell,
+                             ${cosSql("a.embedding", "v.centroid")} AS cos
+                      FROM $src a, ${tag}v v),
+          ${tag}r AS (SELECT vec_id, embedding, cell,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cell) AS rk
+                      FROM ${tag}s),
+          ${tag}c AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                             round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+                      FROM ${tag}r, range(1, 65) u(i)
+                      WHERE rk = 1 GROUP BY cell, pos)"""
+    s"""WITH i0 AS (SELECT vec_id, embedding,
+                      CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                        AS cell
+                    FROM $old o ORDER BY vec_id LIMIT 8),
+         c0 AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                       round(CAST(embedding[i] AS DOUBLE), 6) AS v
+                FROM i0, range(1, 65) u(i)),
+         ${assignCte("c0", "x", old)},
+         ${assignCte("xc", "y", old)},
+         ${assignCte("yc", "z", all)},
+         $quantCteSql,
+         cn AS (SELECT vec_id, v, codes,
+                       sqrt(CAST(list_sum(list_transform(codes, c -> c * c)) AS DOUBLE)) AS cnorm
+                FROM qcodes),
+         cent AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                  FROM yc GROUP BY cell),
+         q AS (SELECT vec_id AS q_id, v AS q_vec, codes AS q_codes,
+                      cnorm AS q_cn
+               FROM cn WHERE vec_id % 25 = 0),
+         probes AS (SELECT q_id, q_vec, q_codes, q_cn, cell FROM (
+                      SELECT q.q_id, q.q_vec, q.q_codes, q.q_cn, cent.cell,
+                             row_number() OVER (PARTITION BY q.q_id
+                               ORDER BY ${cosSql("q.q_vec", "cent.centroid")} DESC,
+                                        cent.cell) AS pr
+                      FROM q, cent)
+                    WHERE pr <= 2),
+         c AS (SELECT z.cell, z.vec_id AS c_id, cn.codes AS c_codes,
+                      cn.cnorm AS c_cn
+               FROM zr z JOIN cn ON cn.vec_id = z.vec_id
+               WHERE z.rk = 1),
+         ap AS (SELECT q_id, c_id, q_vec,
+                       CASE WHEN q_cn * c_cn = 0 THEN -2.0
+                            ELSE CAST(list_sum(list_transform(range(1, 65),
+                                   i -> q_codes[i] * c_codes[i])) AS DOUBLE)
+                                 / (q_cn * c_cn) END AS acos_
+                FROM c JOIN probes USING (cell) WHERE q_id <> c_id),
+         cand AS (SELECT q_id, c_id, q_vec,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY acos_ DESC, c_id) AS crk
+                  FROM ap),
+         ex AS (SELECT q_id, cand.c_id, ${cosSql("q_vec", "ce.embedding")} AS cos
+                FROM cand JOIN embeddings ce ON ce.vec_id = cand.c_id
                 WHERE crk <= 20),
          r AS (SELECT q_id, c_id, cos,
                       CAST(row_number() OVER (PARTITION BY q_id

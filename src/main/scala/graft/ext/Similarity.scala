@@ -699,6 +699,35 @@ object Similarity {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(path)
 
+  /** [[initSq8Index]] for the CELL-stamped IVF-SQ index: rows are
+    * [[sq8IndexWithCells]]' (id, cell, scale, codes, cnorm) under
+    * `batch_id=0`. The quantizer (`cents`) is FROZEN at init time — the
+    * faiss `add` contract: appends assign new vectors against the same
+    * centroids, so the index stays probe-consistent without re-training
+    * (re-train + rebuild when drift warrants it, a deliberate offline
+    * event, not an append-path concern).
+    */
+  def initSq8IndexWithCells(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, path: String): Unit =
+    sq8IndexWithCells(df, idCol, vecCol, cents)
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+
+  /** Append one batch to a persisted IVF-SQ index against the FROZEN
+    * quantizer: quantize + assign ONLY the batch (the centroid table
+    * broadcasts; no old vector or old index row is read), dynamic-
+    * overwrite the batch's own partition. init(old) ∪ append(batch) is
+    * row-identical to a full [[sq8IndexWithCells]] build over old ∪ batch
+    * with the same centroids (assignment is per-row), which q136 proves
+    * through the probe path.
+    */
+  def appendSq8IndexWithCells(batch: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame, path: String, batchId: Long): Unit =
+    sq8IndexWithCells(batch, idCol, vecCol, cents)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
+
   /** Fold a per-batch-appended SQ8 index into the single `-1` epoch,
     * keeping the LATEST row per id (a re-encoded vector keeps its newest
     * codes) — the signature-index compaction semantics

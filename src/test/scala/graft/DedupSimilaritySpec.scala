@@ -730,6 +730,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pruned.where($"q_id" === $"c_id").isEmpty)
   }
 
+  test("IVF-SQ index append against a frozen quantizer ≡ full build") {
+    val all = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 17 + j * 7) % 23 - 11).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+    val old = all.where($"vec_id" < 20)
+    val cents = Similarity.kmeansCentroids(old, "vec_id", "embedding",
+      k = 3, iters = 2).localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf_append").toString + "/idx"
+    Similarity.initSq8IndexWithCells(old, "vec_id", "embedding", cents, path)
+    Similarity.appendSq8IndexWithCells(all.where($"vec_id" >= 20),
+      "vec_id", "embedding", cents, path, batchId = 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"cell", $"scale", hex($"codes").as("h"), $"cnorm")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getString(3), r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    val appended = rows(spark.read.parquet(path))
+    val full = rows(Similarity.sq8IndexWithCells(all, "vec_id", "embedding", cents))
+    assert(appended == full,
+      "frozen-quantizer append is row-identical to a full build with the same centroids")
+  }
+
   test("semanticContaminatedIdsFromIndex ≡ float semanticContaminatedIds") {
     val all = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(64)(j =>

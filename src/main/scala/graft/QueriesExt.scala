@@ -1642,6 +1642,30 @@ object QueriesExt {
       },
       Some(ivfSq8FrozenOracleSql)),
 
+    // RESIDUAL IVF-PQ — the actual faiss IVFPQ: PQ codebooks train on and
+    // encode v − centroid(cell); candidates score by the exact dot
+    // decomposition q·v = q·c_cell + ADC(q, residual codes), both terms
+    // 6 dp decimals so the sum is order-independent. Oracle composes the
+    // coarse k-means replay, the residual projection, and the PQ replay
+    // re-rooted at the residual relation
+    Q("q137_ann_ivf_pq_residual",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val res = Similarity.residualVectors(e, "vec_id", "embedding", cents)
+          .localCheckpoint(true)
+        val booksR = Similarity.pqCodebooks(res, "vec_id", "rvec",
+          m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+        Similarity.ivfPqResidualTopK(
+          e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding",
+          cents, booksR, m = 4, subDim = 16, k = 5, nprobe = 2,
+          overfetch = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(ivfPqResidualOracleSql)),
+
     // IVF over PQ codes — the other faiss composition (q132 = IVF×SQ8;
     // this = IVF×PQ): coarse k-means cells ride the code table, queries
     // probe 2 cells, ADC scores only the probed cells' codes (decimal-
@@ -1912,6 +1936,94 @@ object QueriesExt {
                   FROM ap),
          ex AS (SELECT q_id, cand.c_id, ${cosSql("q_vec", "ce.embedding")} AS cos
                 FROM cand JOIN embeddings ce ON ce.vec_id = cand.c_id
+                WHERE crk <= 20),
+         r AS (SELECT q_id, c_id, cos,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, c_id) AS INT) AS rnk
+               FROM ex)
+        SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 5
+        ORDER BY q_id, rnk"""
+  }
+
+  /** The residual IVF-PQ replay (q137): coarse k-means (q74's chain) →
+    * residual projection (double subtract of the 6 dp centroids) → the PQ
+    * chain re-rooted at `resid`/`rvec` → probes carrying the exact
+    * `q·c_cell` decimal → ADC = qc + Σ residual LUT entries → rescore.
+    */
+  private def ivfPqResidualOracleSql: String = {
+    def assignCte(centsRel: String, tag: String) =
+      s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                      FROM $centsRel GROUP BY cell),
+          ${tag}s AS (SELECT a.vec_id, a.embedding, v.cell,
+                             ${cosSql("a.embedding", "v.centroid")} AS cos
+                      FROM (SELECT vec_id, embedding FROM embeddings) a, ${tag}v v),
+          ${tag}r AS (SELECT vec_id, embedding, cell,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cell) AS rk
+                      FROM ${tag}s),
+          ${tag}c AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                             round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+                      FROM ${tag}r, range(1, 65) u(i)
+                      WHERE rk = 1 GROUP BY cell, pos)"""
+    val qsub = (0 until 4).map { j =>
+      s"SELECT q_id, $j AS sub, q_vec[${j * 16 + 1}:${(j + 1) * 16}] AS qv FROM qs"
+    }.mkString(" UNION ALL ")
+    s"""WITH i0 AS (SELECT vec_id, embedding,
+                      CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                        AS cell
+                    FROM embeddings ORDER BY vec_id LIMIT 8),
+         c0 AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                       round(CAST(embedding[i] AS DOUBLE), 6) AS v
+                FROM i0, range(1, 65) u(i)),
+         ${assignCte("c0", "x")},
+         ${assignCte("xc", "y")},
+         ${assignCte("yc", "z")},
+         coarse AS (SELECT cell AS ccell, list(v ORDER BY pos) AS centroid
+                    FROM yc GROUP BY cell),
+         resid AS (SELECT z.vec_id, z.cell AS ccell,
+                          list_transform(range(1, 65),
+                            i -> CAST(z.embedding[i] AS DOUBLE) - c.centroid[i])
+                            AS rvec
+                   FROM zr z JOIN coarse c ON z.cell = c.ccell
+                   WHERE z.rk = 1),
+         ${pqCtes(4, 16, 8, "resid", "rvec")},
+         booksR AS (${(0 until 4).map(j =>
+           s"SELECT $j AS sub, cell, centroid FROM s${j}fv")
+           .mkString(" UNION ALL ")}),
+         qs AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+                WHERE vec_id % 25 = 0),
+         probes AS (SELECT q_id, ccell, qc FROM (
+                      SELECT q_id, ccell,
+                             CAST(round(${dotSqlN("q_vec", "centroid", 64)}, 6)
+                               AS DECIMAL(28,8)) AS qc,
+                             row_number() OVER (PARTITION BY q_id
+                               ORDER BY ${cosSql("q_vec", "centroid")} DESC,
+                                        ccell) AS pr
+                      FROM qs, coarse)
+                    WHERE pr <= 2),
+         qsub AS ($qsub),
+         lut AS (SELECT q_id, q.sub, cell,
+                        CAST(round(${dotSqlN("qv", "centroid", 16)}, 6)
+                          AS DECIMAL(28,8)) AS ld
+                 FROM qsub q JOIN booksR ON q.sub = booksR.sub),
+         codes AS (SELECT c.vec_id AS c_id, c.sub, c.code AS cell, r.ccell
+                   FROM (${(0 until 4).map(j => s"SELECT * FROM s${j}code")
+                     .mkString(" UNION ALL ")}) c
+                   JOIN resid r ON r.vec_id = c.vec_id),
+         adc AS (SELECT q_id, c_id, max(qc) + sum(ld) AS adc
+                 FROM codes
+                 JOIN probes USING (ccell)
+                 JOIN lut USING (q_id, sub, cell)
+                 WHERE q_id <> c_id GROUP BY q_id, c_id),
+         cand AS (SELECT q_id, c_id,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY adc DESC, c_id) AS crk
+                  FROM adc),
+         ex AS (SELECT q_id, c_id,
+                       ${cosSql("qe.embedding", "ce.embedding")} AS cos
+                FROM cand
+                JOIN embeddings qe ON qe.vec_id = q_id
+                JOIN embeddings ce ON ce.vec_id = c_id
                 WHERE crk <= 20),
          r AS (SELECT q_id, c_id, cos,
                       CAST(row_number() OVER (PARTITION BY q_id
@@ -2232,7 +2344,8 @@ object QueriesExt {
     * and `s{j}code` (per-vector nearest final cell, ties to smaller cell —
     * the assignCells contract).
     */
-  private def pqCtes(m: Int, subDim: Int, k: Int): String = {
+  private def pqCtes(m: Int, subDim: Int, k: Int,
+      srcRel: String = "embeddings", vecCol: String = "embedding"): String = {
     def assignKm(j: Int, tag: String, prevCents: String) =
       s"""s$j${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
                          FROM s$j$prevCents GROUP BY cell),
@@ -2250,7 +2363,7 @@ object QueriesExt {
     (0 until m).map { j =>
       val lo = j * subDim + 1
       val hi = (j + 1) * subDim
-      s"""s${j}e AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings),
+      s"""s${j}e AS (SELECT vec_id, $vecCol[$lo:$hi] AS sv FROM $srcRel),
           s${j}i0 AS (SELECT vec_id, sv,
                              CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
                       FROM s${j}e ORDER BY vec_id LIMIT $k),

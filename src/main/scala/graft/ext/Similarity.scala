@@ -37,9 +37,19 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity rounded to 6 dp (rank-stable across engines). */
+  /** Cosine similarity rounded to 6 dp (rank-stable across engines).
+    *
+    * A zero-norm side yields NULL, matching DuckDB's double division
+    * (x/0.0 IS NULL there) — under ANSI mode a plain `/` would ERROR the
+    * job instead, which round 8 hit on residual PQ: a singleton k-means
+    * cell's residual is exactly zero, a legitimate production input, not
+    * a degenerate corpus. NULL cosines sort last under every `DESC`
+    * ordering in this file AND in the oracles (both engines default to
+    * NULLS LAST for DESC), and the all-NULL case falls to the
+    * smaller-cell tie-break on both sides, so parity is exact.
+    */
   def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+    round(dot(a, b) / nullif(norm(a) * norm(b), lit(0.0)), 6)
 
   /** Exact brute-force top-k: for each row of `queries`, the k most cosine-
     * similar rows of `corpus` (excluding self-matches on id equality).
@@ -50,7 +60,8 @@ object Similarity {
     * instead of once per pair.
     */
   private def cosPrenormed: Column =
-    round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6)
+    round(dot(col("q_vec"), col("c_vec")) /
+      nullif(col("q_norm") * col("c_norm"), lit(0.0)), 6)
 
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
@@ -935,6 +946,96 @@ object Similarity {
       .where(col("q_id") =!= col("c_id"))
       .join(broadcast(lut), Seq("q_id", "sub", "cell"))
       .groupBy(col("q_id"), col("c_id")).agg(sum(col("ld")).as("adc"))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("c_id"))
+    val cand = adc.withColumn("__arank", row_number().over(wA))
+      .where(col("__arank") <= k * overfetch)
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    cand.join(c, Seq("c_id")).join(q, Seq("q_id"))
+      .withColumn("cos", cosPrenormed)
+      .withColumn("rank", row_number().over(wE))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** Residual vectors for IVF-PQ: each vector minus its assigned coarse
+    * centroid (double arithmetic; centroids carry the 6 dp rounding of
+    * [[kmeansCentroids]], so the residuals are engine-exact). Residuals
+    * concentrate near zero, which is WHY faiss encodes them instead of
+    * raw vectors — the PQ codebooks spend their entries on the
+    * within-cell variation that actually distinguishes neighbors.
+    * Output: (id, ccell, rvec); one broadcast join, corpus-linear.
+    */
+  def residualVectors(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
+    val cvecs = cents.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("centroid"))
+    assignCells(df, idCol, vecCol, cents)
+      .join(broadcast(cvecs), Seq("cell"))
+      .select(col(idCol), col("cell").as("ccell"),
+        zip_with(col(vecCol), col("centroid"),
+          (x, c) => x.cast("double") - c).as("rvec"))
+  }
+
+  /** Residual IVF-PQ — the ACTUAL faiss IVFPQ layout (round 8;
+    * [[ivfPqAdcTopK]] encodes raw vectors): PQ codebooks are trained on
+    * and encode the RESIDUALS `v − centroid(cell)`. Candidate scoring
+    * uses the exact dot decomposition `q·v = q·c_cell + q·r` — the
+    * `q·c_cell` term is computed exactly per (query, probed cell) and the
+    * residual term is the standard ADC lookup sum with the UNMODIFIED
+    * query (one LUT per query, not per probe — cheaper than faiss's
+    * per-probe LUT at identical candidate semantics, since the
+    * decomposition is exact, not an approximation). Both terms are
+    * rounded 6 dp and summed as DECIMALs, so the replay cannot diverge
+    * on order; floats rescore the `k·overfetch` survivors.
+    *
+    * Scale shape identical to [[ivfPqAdcTopK]]: probed cells' code rows
+    * only, broadcast probes/LUT/centroids, float reads bounded by the
+    * rescore set.
+    */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, cents: DataFrame, booksR: DataFrame,
+      m: Int, subDim: Int, k: Int, nprobe: Int,
+      overfetch: Int = PqDefaultOverfetch): DataFrame = {
+    val cvecs = cents.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("centroid"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("cell"))
+    // the probe keeps BOTH the pruning rank (centroid cosine) and the
+    // exact q·c_cell term the ADC sum starts from
+    val probes = q.crossJoin(broadcast(cvecs))
+      .withColumn("c_cos", round(
+        dot(col("q_vec"), col("centroid")) /
+          (col("q_norm") * norm(col("centroid"))), 6))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .where(col("probe_rank") <= nprobe)
+      .select(col("q_id"), col("cell").as("ccell"),
+        round(dot(col("q_vec"), col("centroid")), 6)
+          .cast("decimal(28,8)").as("qc"))
+    val qsubs = q.select(col("q_id"),
+      explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"),
+          slice(col("q_vec"), j * subDim + 1, subDim).as("qv"))): _*)).as("e"))
+      .select(col("q_id"), col("e.sub").as("sub"), col("e.qv").as("qv"))
+    val lut = qsubs.join(broadcast(pqCentroidVectors(booksR)), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("cell"),
+        round(dot(col("qv"), col("centroid")), 6)
+          .cast("decimal(28,8)").as("ld"))
+    val res = residualVectors(corpus, idCol, vecCol, cents)
+    val codes = pqEncode(res, idCol, "rvec", booksR, m, subDim)
+      .select(col(idCol).as("c_id"), col("sub"), col("code").as("cell"))
+      .join(res.select(col(idCol).as("c_id"), col("ccell")), Seq("c_id"))
+    val adc = codes.join(broadcast(probes), Seq("ccell"))
+      .where(col("q_id") =!= col("c_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "cell"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg((max(col("qc")) + sum(col("ld"))).as("adc"))
     val wA = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("c_id"))
     val cand = adc.withColumn("__arank", row_number().over(wA))
       .where(col("__arank") <= k * overfetch)

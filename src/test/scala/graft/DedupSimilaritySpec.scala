@@ -753,6 +753,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "frozen-quantizer append is row-identical to a full build with the same centroids")
   }
 
+  test("ivfPqResidualTopK: all-cells probe + full overfetch ≡ bruteForceTopK") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 23 + j * 13) % 19 - 9).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val res = Similarity.residualVectors(vecs, "vec_id", "embedding", cents)
+      .localCheckpoint(true)
+    // residuals really are v - centroid(cell) for each row
+    val checkRes = res.join(
+        Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 4, iters = 2)
+          .groupBy($"cell")
+          .agg(transform(array_sort(collect_list(struct($"pos", $"v"))),
+            s => s.getField("v")).as("centroid"))
+          .withColumnRenamed("cell", "ccell"), Seq("ccell"))
+      .join(vecs, Seq("vec_id"))
+      .where(exists(zip_with($"rvec", zip_with($"embedding", $"centroid",
+        (x, c) => x.cast("double") - c), (a, b) => abs(a - b) > 1e-12), x => x))
+    assert(checkRes.isEmpty)
+    val booksR = Similarity.pqCodebooks(res, "vec_id", "rvec",
+      m = 2, subDim = 8, k = 4, iters = 1).localCheckpoint(true)
+    val q = vecs.where($"vec_id" % 9 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"c_id", $"cos", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val full = rows(Similarity.ivfPqResidualTopK(q, vecs, "vec_id", "embedding",
+      cents, booksR, m = 2, subDim = 8, k = 3, nprobe = 4, overfetch = 40))
+    val brute = rows(Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", k = 3))
+    assert(full == brute)
+  }
+
   test("semanticContaminatedIdsFromIndex ≡ float semanticContaminatedIds") {
     val all = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(64)(j =>

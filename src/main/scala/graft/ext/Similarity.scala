@@ -49,7 +49,7 @@ object Similarity {
     * smaller-cell tie-break on both sides, so parity is exact.
     */
   def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / nullif(norm(a) * norm(b), lit(0.0)), 6)
+    round(try_divide(dot(a, b), norm(a) * norm(b)), 6)
 
   /** Exact brute-force top-k: for each row of `queries`, the k most cosine-
     * similar rows of `corpus` (excluding self-matches on id equality).
@@ -60,8 +60,8 @@ object Similarity {
     * instead of once per pair.
     */
   private def cosPrenormed: Column =
-    round(dot(col("q_vec"), col("c_vec")) /
-      nullif(col("q_norm") * col("c_norm"), lit(0.0)), 6)
+    round(try_divide(dot(col("q_vec"), col("c_vec")),
+      col("q_norm") * col("c_norm")), 6)
 
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,

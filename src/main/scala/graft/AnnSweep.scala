@@ -67,6 +67,21 @@ object AnnSweep {
     val cvecs = cents.groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
         s => s.getField("v")).as("centroid"))
+    println("== IVF-PQ raw vs residual (pinned m=8/k=64/overfetch=32, 8 cells) ==")
+    val booksRaw = Similarity.pqCodebooks(e, "vec_id", "embedding",
+      m = 8, subDim = 8, k = 64, iters = 2).localCheckpoint(true)
+    val resid = Similarity.residualVectors(e, "vec_id", "embedding", cents)
+      .localCheckpoint(true)
+    val booksRes = Similarity.pqCodebooks(resid, "vec_id", "rvec",
+      m = 8, subDim = 8, k = 64, iters = 2).localCheckpoint(true)
+    for (np <- Seq(2, 4, 8)) {
+      val rRaw = recall(Similarity.ivfPqAdcTopK(q, e, "vec_id", "embedding",
+        cents, booksRaw, m = 8, subDim = 8, k = 5, nprobe = np, overfetch = 32))
+      val rRes = recall(Similarity.ivfPqResidualTopK(q, e, "vec_id", "embedding",
+        cents, booksRes, m = 8, subDim = 8, k = 5, nprobe = np, overfetch = 32))
+      println(f"ivf-pq nprobe=$np raw-recall@5=$rRaw%.4f residual-recall@5=$rRes%.4f")
+    }
+
     for (np <- Seq(1, 2, 4, 8)) {
       val t0 = System.nanoTime()
       val r = recall(Similarity.ivfQuantizedTopK(index, cents, q, e,

@@ -1642,6 +1642,26 @@ object QueriesExt {
       },
       Some(ivfSq8FrozenOracleSql)),
 
+    // cell-partitioned IVF-SQ artifact: the index parquets one directory
+    // per coarse cell, so the probe join on the partition column plants a
+    // dynamic-partition-pruning filter on the scan — probed cells are the
+    // only I/O (spec asserts the dynamicpruning expression). Same replay
+    // as q132 (layout changes nothing about the result)
+    Q("q138_ivf_index_partitioned",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val path = "/tmp/graft_ivf_sq8_part_q138"
+        Similarity.saveIvfSq8Index(e, "vec_id", "embedding", cents, path)
+        Similarity.ivfQuantizedTopK(s.read.parquet(path), cents,
+          e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding",
+          k = 5, nprobe = 2, overfetch = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(ivfSq8OracleSql)),
+
     // RESIDUAL IVF-PQ — the actual faiss IVFPQ: PQ codebooks train on and
     // encode v − centroid(cell); candidates score by the exact dot
     // decomposition q·v = q·c_cell + ADC(q, residual codes), both terms

@@ -685,6 +685,21 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Persist the IVF-SQ index PARTITIONED BY CELL — the layout every
+    * scale claim about the composed probe assumes: with one directory per
+    * coarse cell, [[ivfQuantizedTopK]]'s `index ⋈ broadcast(probes)` join
+    * on the partition column triggers Spark's dynamic partition pruning,
+    * so the candidate scan READS only the probed cells' files — the probe
+    * is I/O-pruned, not just compute-pruned (spec asserts the
+    * `dynamicpruning` expression lands in the scan's PartitionFilters).
+    * Cells are k-means-balanced, so file sizes stay even; re-save after a
+    * quantizer re-train, exactly like any partitioned table re-layout.
+    */
+  def saveIvfSq8Index(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, path: String): Unit =
+    sq8IndexWithCells(df, idCol, vecCol, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
   // ---- incremental SQ8 index maintenance ---------------------------------
 
   /** Create a persisted SQ8 index that supports per-batch appends: the

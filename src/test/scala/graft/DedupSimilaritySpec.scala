@@ -730,6 +730,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pruned.where($"q_id" === $"c_id").isEmpty)
   }
 
+  test("saveIvfSq8Index: cell-partitioned artifact gets dynamic partition " +
+    "pruning and serves the probe identically") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 23 - 11).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf_part").toString + "/idx"
+    Similarity.saveIvfSq8Index(vecs, "vec_id", "embedding", cents, path)
+    // one directory per cell — the physical layout partition pruning needs
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.length <= 4, dirs.mkString(","))
+    val q = vecs.where($"vec_id" % 9 === 0)
+    val served = Similarity.ivfQuantizedTopK(spark.read.parquet(path), cents,
+      q, vecs, "vec_id", "embedding", k = 3, nprobe = 2, overfetch = 4)
+    // the probe join on the partition column plants a dynamic pruning
+    // filter on the index scan: probed cells' files are the ONLY I/O
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the index scan:\n${plan.take(2000)}")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"c_id", $"cos", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val inMem = rows(Similarity.ivfQuantizedTopK(
+      Similarity.sq8IndexWithCells(vecs, "vec_id", "embedding", cents), cents,
+      q, vecs, "vec_id", "embedding", k = 3, nprobe = 2, overfetch = 4))
+    assert(rows(served) == inMem)
+  }
+
   test("IVF-SQ index append against a frozen quantizer ≡ full build") {
     val all = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(16)(j => ((i * 17 + j * 7) % 23 - 11).toFloat))

@@ -796,8 +796,24 @@ object Similarity {
     * 0.1: comfortably past the bound (and the 6 dp rounding), cheap enough
     * that the prefilter still discards the overwhelming non-candidate
     * mass. PropertySpec measures the realized gap stays under the bound.
+    *
+    * VALIDITY BOUND: the constant covers vectors up to ~150 dims (the
+    * per-side term is arcsin(½√d/127)). For wider embeddings pass
+    * [[sqQuantMargin]]`(dim)` explicitly — an undersized margin silently
+    * turns the exact prefilter into an approximation.
     */
   val SqQuantMargin: Double = 0.1
+
+  /** The dimension-correct prefilter margin: 2·arcsin(½√d/127) plus the
+    * 6 dp rounding slack, the analytic |icos − cos| ceiling derived in
+    * [[SqQuantMargin]]'s scaladoc. d = 64 gives 0.0631 (the 0.1 constant
+    * dominates it); d = 256 gives 0.1267 — ABOVE the constant, which is
+    * why wide-embedding callers must use this.
+    */
+  def sqQuantMargin(dim: Int): Double = {
+    require(dim >= 1, s"dim must be positive: $dim")
+    2 * math.asin(math.min(1.0, 0.5 * math.sqrt(dim.toDouble) / 127)) + 1e-6
+  }
 
   /** [[semanticContaminatedIds]] served from a frozen [[sq8Index]]
     * artifact: the corpus-wide eval sweep reads ONLY the compact index

@@ -835,6 +835,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
         index, train, ev, "vec_id", "embedding", th))
       assert(indexed == exact, s"threshold $th")
     }
+    // dimension-correct margin: monotone in d, under the 0.1 constant at
+    // 64 dims, above it by 256 (the wide-embedding caller's contract)
+    assert(Similarity.sqQuantMargin(64) < Similarity.SqQuantMargin)
+    assert(Similarity.sqQuantMargin(256) > Similarity.SqQuantMargin)
+    assert(Similarity.sqQuantMargin(256) > Similarity.sqQuantMargin(64))
   }
 
   test("PQ: m codes per vector; full-overfetch ADC + rescore ≡ bruteForceTopK") {

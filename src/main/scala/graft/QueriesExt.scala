@@ -1642,6 +1642,68 @@ object QueriesExt {
       },
       Some(ivfSq8FrozenOracleSql)),
 
+    // corpus-wide kNN graph over IVF cells: every vector's top-3 among
+    // its 2 nearest cells' members — the ONE ANN shape where the query
+    // side IS the corpus, so the probe/corpus join shuffles on the cell
+    // key with no broadcast between the big sides (the edge input for
+    // graph dedup / kNN clustering)
+    Q("q139_knn_graph",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        Similarity.knnGraph(e, "vec_id", "embedding", cents,
+          k = 3, nprobe = 2)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some {
+        def assignCte(centsRel: String, tag: String) =
+          s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                          FROM $centsRel GROUP BY cell),
+              ${tag}s AS (SELECT a.vec_id, a.embedding, v.cell,
+                                 ${cosSql("a.embedding", "v.centroid")} AS cos
+                          FROM (SELECT vec_id, embedding FROM embeddings) a, ${tag}v v),
+              ${tag}r AS (SELECT vec_id, embedding, cell,
+                                 row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cell) AS rk
+                          FROM ${tag}s),
+              ${tag}c AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                                 round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+                          FROM ${tag}r, range(1, 65) u(i)
+                          WHERE rk = 1 GROUP BY cell, pos)"""
+        s"""WITH i0 AS (SELECT vec_id, embedding,
+                          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                            AS cell
+                        FROM embeddings ORDER BY vec_id LIMIT 8),
+             c0 AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                           round(CAST(embedding[i] AS DOUBLE), 6) AS v
+                    FROM i0, range(1, 65) u(i)),
+             ${assignCte("c0", "x")},
+             ${assignCte("xc", "y")},
+             ${assignCte("yc", "z")},
+             cent AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                      FROM yc GROUP BY cell),
+             probes AS (SELECT q_id, q_vec, cell FROM (
+                          SELECT e.vec_id AS q_id, e.embedding AS q_vec,
+                                 cent.cell,
+                                 row_number() OVER (PARTITION BY e.vec_id
+                                   ORDER BY ${cosSql("e.embedding", "cent.centroid")} DESC,
+                                            cent.cell) AS pr
+                          FROM embeddings e, cent)
+                        WHERE pr <= 2),
+             c AS (SELECT cell, vec_id AS c_id, embedding AS c_vec
+                   FROM zr WHERE rk = 1),
+             sc AS (SELECT q_id, c_id, ${cosSql("q_vec", "c_vec")} AS cos
+                    FROM probes JOIN c USING (cell) WHERE q_id <> c_id),
+             r AS (SELECT q_id, c_id, cos,
+                          CAST(row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, c_id) AS INT) AS rnk
+                   FROM sc)
+            SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 3
+            ORDER BY q_id, rnk"""
+      }),
+
     // cell-partitioned IVF-SQ artifact: the index parquets one directory
     // per coarse cell, so the probe join on the partition column plants a
     // dynamic-partition-pruning filter on the scan — probed cells are the

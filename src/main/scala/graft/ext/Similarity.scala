@@ -468,6 +468,52 @@ object Similarity {
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Corpus-wide kNN graph over IVF cells: every vector's k nearest
+    * neighbors among the members of its `nprobe` closest cells — the
+    * input graph for kNN-based clustering, graph dedup (feed the edges to
+    * `Dedup.dupClusters`), and kNN-LM style retrieval audits.
+    *
+    * This is the ONE ANN shape where the query side is the corpus itself,
+    * so nothing broadcasts between the big sides: the probe table
+    * (vector → nprobe cells, built against the BROADCAST centroid table)
+    * and the corpus are equi-joined ON THE CELL KEY — a shuffle keyed on
+    * cell, Σ_v nprobe·|cell| pair rows, the SemDeDup bound times nprobe.
+    * Hot cells stream through the sort-merge join (never a per-row
+    * bucket array), and the per-query top-k is a cell-count-bounded
+    * WindowGroupLimit on q_id. Self-matches are excluded; ties break on
+    * neighbor id.
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cvecs = cents.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("centroid"))
+    val q = df.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cvecs))
+      .withColumn("c_cos", round(
+        try_divide(dot(col("q_vec"), col("centroid")),
+          col("q_norm") * norm(col("centroid"))), 6))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .where(col("probe_rank") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cell"))
+    val c = assignCells(df, idCol, vecCol, cents)
+      .select(col("cell"), col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        norm(col(vecCol)).as("c_norm"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    // no pair dedup needed: each corpus vector carries exactly ONE
+    // assigned cell, so a (q, c) pair can match at most one probe row
+    probes.join(c, Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosPrenormed.as("cos"))
+      .withColumn("rank", row_number().over(wE))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"),
+        col("rank").cast("int").as("rank"))
+  }
+
   // ---- int8 scalar quantization (SQ8) ------------------------------------
 
   /** Symmetric per-vector int8 quantization: `scale = max|x| / 127`,

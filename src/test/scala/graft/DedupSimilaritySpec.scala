@@ -762,6 +762,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows(served) == inMem)
   }
 
+  test("knnGraph: all-cells probe ≡ per-vector bruteForceTopK; edges feed dupClusters") {
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 19 + j * 11) % 17 - 8).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"c_id", $"cos", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    // nprobe = all cells removes the pruning: every vector's exact top-k
+    val full = rows(Similarity.knnGraph(vecs, "vec_id", "embedding", cents,
+      k = 3, nprobe = 4))
+    val brute = rows(Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3))
+    assert(full == brute)
+    // the pruned graph's edges compose with the clustering machinery
+    val pruned = Similarity.knnGraph(vecs, "vec_id", "embedding", cents,
+      k = 1, nprobe = 1)
+    val edges = pruned.select($"q_id".as("id_a"), $"c_id".as("id_b"))
+    val labels = graft.ext.Dedup.dupClusters(
+      vecs.select($"vec_id"), "vec_id", edges)
+    assert(labels.count() == vecs.count())
+    assert(labels.agg(min($"cluster_id")).as[Long].head() >= 0L)
+  }
+
   test("IVF-SQ index append against a frozen quantizer ≡ full build") {
     val all = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(16)(j => ((i * 17 + j * 7) % 23 - 11).toFloat))

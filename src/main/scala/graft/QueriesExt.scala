@@ -1642,6 +1642,68 @@ object QueriesExt {
       },
       Some(ivfSq8FrozenOracleSql)),
 
+    // embedding-curation composite (the q125 pattern for the vector
+    // store): SQ8 exact-dup collapse -> train the coarse quantizer on the
+    // SURVIVORS -> SemDeDup prune within learned cells. Output keeps each
+    // survivor's cell (the IVF index assignment, free) and its original
+    // duplicate-group size. One oracle CTE chain gates the composition
+    Q("q140_embedding_curation",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val surv = e.join(
+          Similarity.quantizedDupGroups(e, "vec_id", "embedding")
+            .select(col("keep_id").as("vec_id"), col("n_dups")),
+          Seq("vec_id"))
+        val cents = Similarity.kmeansCentroids(surv, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        Similarity.semDedup(surv, "vec_id", "embedding", cents, tau = 0.25)
+          .select(col("vec_id"), col("cell"), col("n_dups"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        def assignCte(centsRel: String, tag: String) =
+          s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                          FROM $centsRel GROUP BY cell),
+              ${tag}s AS (SELECT a.vec_id, a.embedding, v.cell,
+                                 ${cosSql("a.embedding", "v.centroid")} AS cos
+                          FROM (SELECT vec_id, embedding FROM surv) a, ${tag}v v),
+              ${tag}r AS (SELECT vec_id, embedding, cell,
+                                 row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cell) AS rk
+                          FROM ${tag}s),
+              ${tag}c AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                                 round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+                          FROM ${tag}r, range(1, 65) u(i)
+                          WHERE rk = 1 GROUP BY cell, pos)"""
+        s"""WITH $quantCteSql,
+             h AS (SELECT vec_id, md5(array_to_string(codes, ',')) AS codes_hash
+                   FROM qcodes),
+             kp AS (SELECT min(vec_id) AS keep_id,
+                           CAST(count(*) AS INT) AS n_dups
+                    FROM h GROUP BY codes_hash),
+             surv AS (SELECT e.vec_id, e.embedding, kp.n_dups
+                      FROM embeddings e JOIN kp ON e.vec_id = kp.keep_id),
+             i0 AS (SELECT vec_id, embedding,
+                      CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                        AS cell
+                    FROM surv ORDER BY vec_id LIMIT 8),
+             c0 AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                           round(CAST(embedding[i] AS DOUBLE), 6) AS v
+                    FROM i0, range(1, 65) u(i)),
+             ${assignCte("c0", "x")},
+             ${assignCte("xc", "y")},
+             ${assignCte("yc", "z")},
+             st AS (SELECT vec_id, embedding, cell FROM zr WHERE rk = 1),
+             losers AS (SELECT DISTINCT b.vec_id
+                        FROM st a JOIN st b
+                          ON a.cell = b.cell AND a.vec_id < b.vec_id
+                        WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.25)
+            SELECT s.vec_id, s.cell, v.n_dups
+            FROM st s JOIN surv v ON v.vec_id = s.vec_id
+            WHERE s.vec_id NOT IN (SELECT vec_id FROM losers)
+            ORDER BY s.vec_id"""
+      }),
+
     // corpus-wide kNN graph over IVF cells: every vector's top-3 among
     // its 2 nearest cells' members — the ONE ANN shape where the query
     // side IS the corpus, so the probe/corpus join shuffles on the cell

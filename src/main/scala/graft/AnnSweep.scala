@@ -105,6 +105,43 @@ object AnnSweep {
       println(f"ivf-sq8 nprobe=$np recall@5=$r%.4f candidates=$probed " +
         f"(brute=$brute, ${probed.toDouble / brute * 100}%.1f%%) wall=$dt%.1fs")
     }
+    // ---- kNN-graph pair volume: cells must scale with the corpus --------
+    // knnGraph's bound is Σ_v nprobe·|cell|: with a FIXED cell count a
+    // grown corpus fattens every cell and pair volume goes ~N² — the
+    // documented mitigation is k ∝ corpus. Measure both sides at 10×:
+    // synthetic 10× corpus (ids offset, one coordinate deterministically
+    // perturbed per copy so no exact dups), nprobe=1.
+    println("== knnGraph pair volume at 10x (nprobe=1) ==")
+    val e10 = (0 until 10).map { c =>
+      e.select((col("vec_id") + lit(c * 100000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === (c % 64), x + lit(c * 0.001f)).otherwise(x))
+          .as("embedding"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    def pairVolume(corpus: DataFrame, kCells: Int, label: String): Unit = {
+      val cs = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+        k = kCells, iters = 2).localCheckpoint(true)
+      val cv = cs.groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("centroid"))
+      val sizes = Similarity.assignCells(corpus, "vec_id", "embedding", cs)
+        .groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+      val wP = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("cell"))
+      val vol = corpus.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_vec"))
+        .crossJoin(broadcast(cv))
+        .withColumn("c_cos", round(
+          Similarity.dot(col("q_vec"), col("centroid")) /
+            (Similarity.norm(col("q_vec")) * Similarity.norm(col("centroid"))), 6))
+        .withColumn("pr", row_number().over(wP)).where(col("pr") <= 1)
+        .join(broadcast(sizes), Seq("cell"))
+        .agg(sum(col("cn"))).head().getLong(0)
+      println(f"$label%-28s pairs=$vol%,d")
+    }
+    pairVolume(e, 8, "1x corpus, 8 cells")
+    pairVolume(e10, 8, "10x corpus, 8 cells (FIXED)")
+    pairVolume(e10, 80, "10x corpus, 80 cells (k∝N)")
     spark.stop()
   }
 }

@@ -64,9 +64,7 @@ object AnnSweep {
       .localCheckpoint(true)
     val cellSizes = index.groupBy(col("cell"))
       .agg(count(lit(1)).as("cn"))
-    val cvecs = cents.groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-        s => s.getField("v")).as("centroid"))
+    val cvecs = Similarity.cellCentroidVectors(cents)
     println("== IVF-PQ raw vs residual (pinned m=8/k=64/overfetch=32, 8 cells) ==")
     val booksRaw = Similarity.pqCodebooks(e, "vec_id", "embedding",
       m = 8, subDim = 8, k = 64, iters = 2).localCheckpoint(true)
@@ -121,9 +119,7 @@ object AnnSweep {
     def pairVolume(corpus: DataFrame, kCells: Int, label: String): Unit = {
       val cs = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
         k = kCells, iters = 2).localCheckpoint(true)
-      val cv = cs.groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-          s => s.getField("v")).as("centroid"))
+      val cv = Similarity.cellCentroidVectors(cs)
       val sizes = Similarity.assignCells(corpus, "vec_id", "embedding", cs)
         .groupBy(col("cell")).agg(count(lit(1)).as("cn"))
       val wP = org.apache.spark.sql.expressions.Window

@@ -260,15 +260,22 @@ object Similarity {
     cents
   }
 
+  /** (cell, pos, v) rows reassembled into (cell, centroid array<double>)
+    * — the broadcast form every probe/assignment below consumes. k-row
+    * output; always sits under a `broadcast()`.
+    */
+  private[graft] def cellCentroidVectors(cents: DataFrame): DataFrame =
+    cents.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("centroid"))
+
   /** Stamp each vector with its nearest learned cell (max cosine, rounded
     * 6 dp, ties to the smaller cell id) — the corpus-side companion of
     * `kmeansCentroids`; the centroid table broadcasts.
     */
   def assignCells(df: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame): DataFrame = {
-    val cvecs = cents.groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-        s => s.getField("v")).as("centroid"))
+    val cvecs = cellCentroidVectors(cents)
     val assigned = df.select(col(idCol), col(vecCol)).crossJoin(broadcast(cvecs))
       .withColumn("__cos", cosine(col(vecCol), col("centroid")))
       .groupBy(col(idCol))
@@ -485,9 +492,7 @@ object Similarity {
     */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val cvecs = cents.groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-        s => s.getField("v")).as("centroid"))
+    val cvecs = cellCentroidVectors(cents)
     val q = df.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"))
     val wProbe = Window.partitionBy(col("q_id"))
@@ -691,9 +696,7 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int, overfetch: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions.{int8DotNative, packInt8Native}
-    val cvecs = cents.groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-        s => s.getField("v")).as("centroid"))
+    val cvecs = cellCentroidVectors(cents)
     val q = quantizeInt8(queries, idCol, vecCol).select(
       col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"),
@@ -989,9 +992,7 @@ object Similarity {
       vecCol: String, cents: DataFrame, books: DataFrame, m: Int,
       subDim: Int, k: Int, nprobe: Int,
       overfetch: Int = PqDefaultOverfetch): DataFrame = {
-    val cvecs = cents.groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-        s => s.getField("v")).as("centroid"))
+    val cvecs = cellCentroidVectors(cents)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"))
     val wProbe = Window.partitionBy(col("q_id"))
@@ -1047,9 +1048,7 @@ object Similarity {
     */
   def residualVectors(df: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame): DataFrame = {
-    val cvecs = cents.groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-        s => s.getField("v")).as("centroid"))
+    val cvecs = cellCentroidVectors(cents)
     assignCells(df, idCol, vecCol, cents)
       .join(broadcast(cvecs), Seq("cell"))
       .select(col(idCol), col("cell").as("ccell"),
@@ -1077,9 +1076,7 @@ object Similarity {
       idCol: String, vecCol: String, cents: DataFrame, booksR: DataFrame,
       m: Int, subDim: Int, k: Int, nprobe: Int,
       overfetch: Int = PqDefaultOverfetch): DataFrame = {
-    val cvecs = cents.groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-        s => s.getField("v")).as("centroid"))
+    val cvecs = cellCentroidVectors(cents)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"))
     val wProbe = Window.partitionBy(col("q_id"))

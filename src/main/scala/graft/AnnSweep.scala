@@ -15,10 +15,15 @@ import graft.ext.Similarity
   *     q123/q124 shape). q124's oracle deliberately uses k = 8 so the
   *     DuckDB k-means replay stays tractable; this sweep measures the
   *     production-scale codebooks the oracle cannot.
-  *  2. IVF-SQ8 ([[Similarity.ivfQuantizedTopK]]): recall@5 and SCORED
+  *  2. IVF-PQ raw vs RESIDUAL encoding at the pinned production config —
+  *     the faiss-IVFPQ justification measured (q135 vs q137 semantics).
+  *  3. IVF-SQ8 ([[Similarity.ivfQuantizedTopK]]): recall@5 and SCORED
   *     CANDIDATE COUNT across nprobe ∈ {1, 2, 4, 8} at 8 learned cells —
   *     the witness that the composed tier scans ~|C|·nprobe/cells codes,
   *     not |C| (the brute quantized scan's |Q|·(|C|−1)).
+  *  4. knnGraph pair volume at 10×: fixed cell count goes ~N², cells
+  *     ∝ corpus stays linear — the measured form of the "k scales with
+  *     the corpus" contract.
   *
   * Run: `sbt "runMain graft.AnnSweep /root/testdata/sf0.1"`.
   * Results recorded in docs/SCALE.md §ANN.

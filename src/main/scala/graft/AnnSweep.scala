@@ -62,7 +62,6 @@ object AnnSweep {
       }
     }
 
-    println("== IVF-SQ8 (8 learned cells, overfetch=4) ==")
     val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
       k = 8, iters = 2).localCheckpoint(true)
     val index = Similarity.sq8IndexWithCells(e, "vec_id", "embedding", cents)
@@ -85,6 +84,7 @@ object AnnSweep {
       println(f"ivf-pq nprobe=$np raw-recall@5=$rRaw%.4f residual-recall@5=$rRes%.4f")
     }
 
+    println("== IVF-SQ8 (8 learned cells, overfetch=4) ==")
     for (np <- Seq(1, 2, 4, 8)) {
       val t0 = System.nanoTime()
       val r = recall(Similarity.ivfQuantizedTopK(index, cents, q, e,

@@ -299,8 +299,8 @@ object Similarity {
       .orderBy(col("c_cos").desc, col("blk"))
     val assigned = q.crossJoin(broadcast(cents))
       .withColumn("c_cos", round(
-        dot(col("q_vec"), col("centroid")) /
-          (col("q_norm") * norm(col("centroid"))), 6))
+        try_divide(dot(col("q_vec"), col("centroid")),
+          col("q_norm") * norm(col("centroid"))), 6))
       .withColumn("probe_rank", row_number().over(wAssign))
       .where(col("probe_rank") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("blk"))
@@ -497,16 +497,25 @@ object Similarity {
       norm(col(vecCol)).as("q_norm"))
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(cvecs))
+    // ONE corpus × centroid scoring pass serves BOTH sides: the probe
+    // rows (ranks 1..nprobe) and the cell assignment (the rank-1 row is
+    // bit-identical to assignCells' max-cos/smaller-cell-tie pick, nulls
+    // included), so the second full assignment pass the first cut ran is
+    // gone. Materialized once — probe and corpus legs both read it.
+    val scored = q.crossJoin(broadcast(cvecs))
       .withColumn("c_cos", round(
         try_divide(dot(col("q_vec"), col("centroid")),
           col("q_norm") * norm(col("centroid"))), 6))
       .withColumn("probe_rank", row_number().over(wProbe))
-      .where(col("probe_rank") <= nprobe)
+      .where(col("probe_rank") <= math.max(nprobe, 1))
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cell"),
+        col("probe_rank"))
+      .localCheckpoint(true)
+    val probes = scored.where(col("probe_rank") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("cell"))
-    val c = assignCells(df, idCol, vecCol, cents)
-      .select(col("cell"), col(idCol).as("c_id"), col(vecCol).as("c_vec"),
-        norm(col(vecCol)).as("c_norm"))
+    val c = scored.where(col("probe_rank") === 1)
+      .select(col("cell"), col("q_id").as("c_id"), col("q_vec").as("c_vec"),
+        col("q_norm").as("c_norm"))
     val wE = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     // no pair dedup needed: each corpus vector carries exactly ONE
     // assigned cell, so a (q, c) pair can match at most one probe row
@@ -705,8 +714,8 @@ object Similarity {
       .orderBy(col("c_cos").desc, col("cell"))
     val probes = q.crossJoin(broadcast(cvecs))
       .withColumn("c_cos", round(
-        dot(col("q_vec"), col("centroid")) /
-          (col("q_norm") * norm(col("centroid"))), 6))
+        try_divide(dot(col("q_vec"), col("centroid")),
+          col("q_norm") * norm(col("centroid"))), 6))
       .withColumn("probe_rank", row_number().over(wProbe))
       .where(col("probe_rank") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("q_codes"),
@@ -999,8 +1008,8 @@ object Similarity {
       .orderBy(col("c_cos").desc, col("cell"))
     val probes = q.crossJoin(broadcast(cvecs))
       .withColumn("c_cos", round(
-        dot(col("q_vec"), col("centroid")) /
-          (col("q_norm") * norm(col("centroid"))), 6))
+        try_divide(dot(col("q_vec"), col("centroid")),
+          col("q_norm") * norm(col("centroid"))), 6))
       .withColumn("probe_rank", row_number().over(wProbe))
       .where(col("probe_rank") <= nprobe)
       .select(col("q_id"), col("cell").as("ccell"))
@@ -1085,8 +1094,8 @@ object Similarity {
     // exact q·c_cell term the ADC sum starts from
     val probes = q.crossJoin(broadcast(cvecs))
       .withColumn("c_cos", round(
-        dot(col("q_vec"), col("centroid")) /
-          (col("q_norm") * norm(col("centroid"))), 6))
+        try_divide(dot(col("q_vec"), col("centroid")),
+          col("q_norm") * norm(col("centroid"))), 6))
       .withColumn("probe_rank", row_number().over(wProbe))
       .where(col("probe_rank") <= nprobe)
       .select(col("q_id"), col("cell").as("ccell"),
@@ -1101,7 +1110,11 @@ object Similarity {
       .select(col("q_id"), col("sub"), col("cell"),
         round(dot(col("qv"), col("centroid")), 6)
           .cast("decimal(28,8)").as("ld"))
+    // materialized once: pqEncode's subspace explode AND the ccell
+    // join-back both read the residual frame, and its assignCells
+    // subtree is a full corpus pass (the semDedup lesson)
     val res = residualVectors(corpus, idCol, vecCol, cents)
+      .localCheckpoint(true)
     val codes = pqEncode(res, idCol, "rvec", booksR, m, subDim)
       .select(col(idCol).as("c_id"), col("sub"), col("code").as("cell"))
       .join(res.select(col(idCol).as("c_id"), col("ccell")), Seq("c_id"))

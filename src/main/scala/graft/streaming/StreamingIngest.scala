@@ -196,25 +196,34 @@ object StreamingIngest {
     */
   def sq8IndexStream(vecs: DataFrame, indexDir: String,
       checkpointDir: String, idCol: String = "vec_id",
-      vecCol: String = "embedding", compactEvery: Int = 0)
+      vecCol: String = "embedding", compactEvery: Int = 0,
+      cents: Option[DataFrame] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sq8IndexBatch(batch, batchId, indexDir, idCol, vecCol)
+        sq8IndexBatch(batch, batchId, indexDir, idCol, vecCol, cents)
         maybeAutoCompactSq8(batch.sparkSession, indexDir, batchId,
           compactEvery, idCol)
       }
       .start()
 
   /** One [[sq8IndexStream]] micro-batch, factored out so specs drive
-    * exactly the stream's code path.
+    * exactly the stream's code path. With `cents` (a FROZEN coarse
+    * quantizer — the faiss `add` contract of
+    * `Similarity.appendSq8IndexWithCells`), each batch row is also
+    * assigned its cell, so the stream maintains the IVF-SQ composed index
+    * and `ivfQuantizedTopK` serves straight from the artifact.
     */
   def sq8IndexBatch(batch: DataFrame, batchId: Long, indexDir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    if (!batch.isEmpty)
-      graft.ext.Similarity.appendSq8Index(batch, idCol, vecCol, indexDir,
-        batchId)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cents: Option[DataFrame] = None): Unit =
+    if (!batch.isEmpty) cents match {
+      case Some(cs) => graft.ext.Similarity.appendSq8IndexWithCells(
+        batch, idCol, vecCol, cs, indexDir, batchId)
+      case None => graft.ext.Similarity.appendSq8Index(
+        batch, idCol, vecCol, indexDir, batchId)
+    }
 
   /** The [[maybeAutoCompact]] cadence for the SQ8 index: every
     * `compactEvery` batches, fold partitions below the just-committed

@@ -228,6 +228,30 @@ class StreamingSpec extends AnyFunSuite {
         k = 3, overfetch = 4))
       assert(fromIdx == inMem)
     } finally q.stop()
+
+    // the CELLS variant: same stream driven with a frozen quantizer
+    // maintains the composed IVF-SQ index — row-identical to the batch
+    // IVF build with the same centroids
+    val (idxDir2, ckDir2) = (s"$base/index2", s"$base/ck2")
+    val all = mk(0, 30)
+    val cents = Similarity.kmeansCentroids(mk(0, 10), "vec_id", "embedding",
+      k = 3, iters = 2).localCheckpoint(true)
+    val stream2 = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1).parquet(vecsDir)
+    val q2 = StreamingIngest.sq8IndexStream(stream2, idxDir2, ckDir2,
+      cents = Some(cents))
+    try {
+      q2.processAllAvailable()
+      def cellRows(df: org.apache.spark.sql.DataFrame) = df
+        .select($"vec_id", $"cell", $"scale", hex($"codes").as("h"), $"cnorm")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getString(3), r.getDouble(4)))
+        .sortBy(_._1).toSeq
+      assert(cellRows(spark.read.parquet(idxDir2)) ==
+        cellRows(Similarity.sq8IndexWithCells(all, "vec_id", "embedding", cents)),
+        "streamed IVF-SQ index ≡ batch build against the frozen quantizer")
+    } finally q2.stop()
   }
 
   test("per-row curation ops run unchanged on a stream (batch ≡ streaming)") {

@@ -1650,8 +1650,16 @@ object QueriesExt {
     Q("q140_embedding_curation",
       (s, d) => {
         val e = t(s, d, "embeddings")
-        val surv = e.join(
-          Similarity.quantizedDupGroups(e, "vec_id", "embedding")
+        // augment with SCALED copies of every 10th vector: ×2 in float is
+        // exact, SQ8 codes are scale-normalized, so each copy collapses
+        // onto its original in stage 1 — the dedup stage works for real
+        // on the oracle corpus, not as a pass-through
+        val aug = e.select(col("vec_id"), col("embedding"))
+          .unionByName(e.where(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + lit(100000L)).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+        val surv = aug.join(
+          Similarity.quantizedDupGroups(aug, "vec_id", "embedding")
             .select(col("keep_id").as("vec_id"), col("n_dups")),
           Seq("vec_id"))
         val cents = Similarity.kmeansCentroids(surv, "vec_id", "embedding",
@@ -1675,14 +1683,20 @@ object QueriesExt {
                                  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
                           FROM ${tag}r, range(1, 65) u(i)
                           WHERE rk = 1 GROUP BY cell, pos)"""
-        s"""WITH $quantCteSql,
+        s"""WITH aug AS (SELECT vec_id, embedding FROM embeddings
+                         UNION ALL
+                         SELECT vec_id + 100000,
+                                list_transform(embedding,
+                                  x -> x * CAST(2.0 AS FLOAT))
+                         FROM embeddings WHERE vec_id % 10 = 0),
+             ${quantCteSqlOver("aug")},
              h AS (SELECT vec_id, md5(array_to_string(codes, ',')) AS codes_hash
                    FROM qcodes),
              kp AS (SELECT min(vec_id) AS keep_id,
                            CAST(count(*) AS INT) AS n_dups
                     FROM h GROUP BY codes_hash),
              surv AS (SELECT e.vec_id, e.embedding, kp.n_dups
-                      FROM embeddings e JOIN kp ON e.vec_id = kp.keep_id),
+                      FROM aug e JOIN kp ON e.vec_id = kp.keep_id),
              i0 AS (SELECT vec_id, embedding,
                       CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
                         AS cell
@@ -2224,11 +2238,13 @@ object QueriesExt {
     * double-cast elements, max|x|/127 scale, round-half-away int codes,
     * zero vectors to all-zero codes.
     */
-  private def quantCteSql =
-    """qscale AS (SELECT vec_id, embedding AS v,
+  private def quantCteSql = quantCteSqlOver("embeddings")
+
+  private def quantCteSqlOver(rel: String) =
+    s"""qscale AS (SELECT vec_id, embedding AS v,
                          list_max(list_transform(embedding,
                            x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-                  FROM embeddings),
+                  FROM $rel),
        qcodes AS (SELECT vec_id, v, scale,
                          CASE WHEN scale = 0
                               THEN list_transform(v, x -> 0)

@@ -87,6 +87,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: kgramsStrict emits max(n-k+1, 0) grams — zero for short docs") {
+    val gen = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, Gen.alphaLowerStr.map(s => "t" + s.take(3)))
+      k <- Gen.choose(1, 5)
+    } yield (toks, k)
+    val samples = Gen.listOfN(60, gen).sample.get
+    samples.groupBy(_._2).foreach { case (k, group) =>
+      val rows = group.zipWithIndex.map { case ((toks, _), i) => (i, toks) }
+      val out = rows.toDF("i", "toks")
+        .select(col("i"), TextAnalysis.kgramsStrict(col("toks"), k, " ").as("g"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+      rows.foreach { case (i, toks) =>
+        val expect =
+          if (toks.size >= k) toks.sliding(k).map(_.mkString(" ")).toSeq
+          else Seq.empty
+        assert(out(i) == expect, s"k=$k toks=$toks")
+      }
+    }
+  }
+
   test("property: minhash signature is permutation-invariant in shingle order") {
     val base = Seq("alpha beta gamma delta epsilon zeta eta theta")
     val shuffledTokens = "zeta eta theta alpha beta gamma delta epsilon"

@@ -26,6 +26,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The driver has shipped `events.ts` as TIMESTAMP(NANOS) and as
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false); with inference on, the
+      // latter surfaces as TIMESTAMP_NTZ which breaks unix_micros(). Read
+      // NTZ parquet as TIMESTAMP under the UTC session zone instead.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       // NB driver heap cannot be set here: in local mode the driver JVM is
       // already running at getOrCreate — size it via sbt -mem / JAVA_OPTS.

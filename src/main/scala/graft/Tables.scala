@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
   *
@@ -17,12 +17,23 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    // nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong, set in
-    // GraftSession). Convert to a real timestamp at microsecond precision
-    // with integer division (the value exceeds double's 2^53 mantissa).
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // The driver has re-materialized events.parquet with several physical
+    // encodings for `ts` across rounds; normalize them all to TimestampType
+    // micros so downstream unix_micros()/window() calls are encoding-agnostic:
+    //  - TIMESTAMP(NANOS): Spark only reads it as a nanos-since-epoch long
+    //    (spark.sql.legacy.parquet.nanosAsLong, set in GraftSession) —
+    //    integer-divide to micros (value exceeds double's 2^53 mantissa);
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false): surfaces as TIMESTAMP_NTZ
+    //    if NTZ inference is on (it is off in GraftSession, but a caller with
+    //    a foreign session still gets the cast here) — cast under the UTC
+    //    session zone;
+    //  - TIMESTAMP(MICROS, adjusted): already TimestampType, pass through.
+    if (name == "events")
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => df
+      }
     else df
   }
 

@@ -59,4 +59,43 @@ class FormatsSpec extends AnyFunSuite {
       .as[(Long, String, Double)].collect().toSeq
     assert(got2 == Seq((3L, "kw", 30.0)), "old rows gone, new row present")
   }
+
+  test("Tables.events normalizes every historical ts encoding to TIMESTAMP micros") {
+    // The driver has re-materialized events.parquet twice with different
+    // physical types for `ts` (TIMESTAMP(NANOS) → long under nanosAsLong;
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ under
+    // inference). Regression-pin the loader contract: whatever the encoding,
+    // Tables.events yields TimestampType with identical instant values.
+    import org.apache.spark.sql.types._
+    val base = Seq(
+      (1L, "u1", "click", java.sql.Timestamp.from(java.time.Instant.parse("2024-01-03T04:05:06.123456Z"))),
+      (2L, "u2", "view",  java.sql.Timestamp.from(java.time.Instant.parse("2024-06-15T23:59:59.000001Z")))
+    ).toDF("event_id", "user_id", "kind", "ts")
+    val expected = base.select($"event_id", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def loadAs(write: String => Unit): DataFrameLike = {
+      val dir = Files.createTempDirectory("events_enc").toString
+      write(s"$dir/events.parquet")
+      val got = Tables.events(spark, dir)
+      assert(got.schema("ts").dataType == TimestampType,
+        s"loader must yield TimestampType, got ${got.schema("ts").dataType}")
+      val vals = got.select($"event_id", unix_micros($"ts").as("us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(vals == expected, "instant values must survive the encoding")
+      got
+    }
+    type DataFrameLike = org.apache.spark.sql.DataFrame
+
+    // (a) modern shape: plain TIMESTAMP (micros, UTC-adjusted)
+    loadAs(p => base.write.mode("overwrite").parquet(p))
+    // (b) NANOS-era shape: surfaces as a nanos-since-epoch long column
+    loadAs(p => base.withColumn("ts", (unix_micros($"ts") * 1000L))
+      .write.mode("overwrite").parquet(p))
+    // (c) NTZ-era shape: TIMESTAMP(MICROS, isAdjustedToUTC=false). Our
+    // session reads it straight to TimestampType (inferTimestampNTZ=false);
+    // the loader's cast branch additionally covers foreign sessions.
+    loadAs(p => base.withColumn("ts", $"ts".cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(p))
+  }
 }

@@ -12,6 +12,8 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // match GraftSession: NTZ-micros events fixtures read as TIMESTAMP
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       // catalog-backed pipeline tests create databases/tables: keep the
       // managed-table root out of the repo working tree

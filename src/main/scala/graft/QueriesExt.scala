@@ -16,6 +16,18 @@ object QueriesExt {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** Per-JVM root for query-built artifacts (tokenizer vocab, ANN index
+    * parquet). Each artifact query trains, saves, reloads, and serves within
+    * one invocation, so the only cross-invocation requirement is that two
+    * CONCURRENT sessions never share a path — a fixed `/tmp/...` constant
+    * broke exactly that (two drivers racing the same dir see half-written
+    * parquet). A JVM-unique temp dir keeps reruns in one session cheap and
+    * concurrent sessions disjoint.
+    */
+  private lazy val artifactRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_artifacts").toString
+  private def artifactPath(name: String): String = s"$artifactRoot/$name"
+
   // ---- shared DuckDB fragments -------------------------------------------
 
   /** tokens: lowercase alnum runs, empties dropped (mirrors TextAnalysis.tokens). */
@@ -1117,7 +1129,7 @@ object QueriesExt {
     Q("q112_tokenizer_artifact",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val path = "/tmp/graft_tokenizer_q112"
+        val path = artifactPath("tokenizer_q112")
         Tokenizer.trainSubword(docs, "text", size = 300).save(path)
         Tokenizer.load(s, path).encode(docs, "doc_id", "text")
           .orderBy(col("doc_id"))
@@ -1504,7 +1516,7 @@ object QueriesExt {
     Q("q126_ann_index_artifact",
       (s, d) => {
         val e = t(s, d, "embeddings")
-        val path = "/tmp/graft_sq8_index_q126"
+        val path = artifactPath("sq8_index_q126")
         Similarity.saveSq8Index(e, "vec_id", "embedding", path)
         Similarity.quantizedTopKFromIndex(
           Similarity.loadSq8Index(s, path),
@@ -1535,7 +1547,7 @@ object QueriesExt {
     Q("q127_pq_index_artifact",
       (s, d) => {
         val e = t(s, d, "embeddings")
-        val path = "/tmp/graft_pq_books_q127"
+        val path = artifactPath("pq_books_q127")
         Similarity.pqCodebooks(e, "vec_id", "embedding",
             m = 4, subDim = 16, k = 8, iters = 2)
           .write.mode("overwrite").parquet(path)
@@ -1575,7 +1587,7 @@ object QueriesExt {
     Q("q133_sq8_index_append",
       (s, d) => {
         val e = t(s, d, "embeddings")
-        val path = "/tmp/graft_sq8_index_q133"
+        val path = artifactPath("sq8_index_q133")
         Similarity.initSq8Index(e.where(col("vec_id") % 4 =!= 0),
           "vec_id", "embedding", path)
         Similarity.appendSq8Index(e.where(col("vec_id") % 4 === 0),
@@ -1598,7 +1610,7 @@ object QueriesExt {
       (s, d) => {
         val e = t(s, d, "embeddings")
         val train = e.where(col("vec_id") % 23 =!= 0)
-        val path = "/tmp/graft_sq8_index_q134"
+        val path = artifactPath("sq8_index_q134")
         Similarity.saveSq8Index(train, "vec_id", "embedding", path)
         Similarity.semanticContaminatedIdsFromIndex(
             Similarity.loadSq8Index(s, path), train,
@@ -1628,7 +1640,7 @@ object QueriesExt {
         val old = e.where(col("vec_id") % 4 =!= 0)
         val cents = Similarity.kmeansCentroids(old, "vec_id", "embedding",
           k = 8, iters = 2).localCheckpoint(true)
-        val path = "/tmp/graft_ivf_sq8_index_q136"
+        val path = artifactPath("ivf_sq8_index_q136")
         Similarity.initSq8IndexWithCells(old, "vec_id", "embedding", cents,
           path)
         Similarity.appendSq8IndexWithCells(e.where(col("vec_id") % 4 === 0),
@@ -1790,7 +1802,7 @@ object QueriesExt {
         val e = t(s, d, "embeddings")
         val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
           k = 8, iters = 2).localCheckpoint(true)
-        val path = "/tmp/graft_ivf_sq8_part_q138"
+        val path = artifactPath("ivf_sq8_part_q138")
         Similarity.saveIvfSq8Index(e, "vec_id", "embedding", cents, path)
         Similarity.ivfQuantizedTopK(s.read.parquet(path), cents,
           e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding",

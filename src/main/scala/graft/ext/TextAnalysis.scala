@@ -984,16 +984,25 @@ object TextAnalysis {
     */
   /** `scorer` picks the LM behind the buckets: the default add-one
     * [[bigramLmScores]], or [[knBigramScores]] for the Kneser-Ney form
-    * CCNet actually presupposes (q130) — any (df, id, text) → (id, _,
-    * score) frame works; the score is taken positionally as the frame's
-    * third column so both LMs' differently-named score columns fit.
+    * CCNet actually presupposes (q130). Contract is name-based: the frame
+    * must contain `idCol`, and the score is the column named `lm_score` if
+    * present (both built-in LMs emit it), else the frame's LAST non-id
+    * column — so a minimal (id, score) scorer works, and a frame whose
+    * score happens not to sit at position 2 can no longer be silently
+    * mis-bucketed the way the old positional `columns(2)` contract allowed.
     */
   def pplBuckets(df: DataFrame, idCol: String, textCol: String,
       groupCol: String,
       scorer: (DataFrame, String, String) => DataFrame = bigramLmScores(_, _, _))
       : DataFrame = {
     val raw = scorer(df, idCol, textCol)
-    val scores = raw.select(col(idCol), col(raw.columns(2)).as("lm_score"))
+    require(raw.columns.contains(idCol),
+      s"pplBuckets scorer must emit the id column '$idCol'; got ${raw.columns.mkString(",")}")
+    val scoreName = if (raw.columns.contains("lm_score")) "lm_score"
+      else raw.columns.filter(_ != idCol).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"pplBuckets scorer emitted no score column besides '$idCol'"))
+    val scores = raw.select(col(idCol), col(scoreName).as("lm_score"))
     val scored = df.select(col(idCol), col(groupCol)).join(scores, Seq(idCol))
     val bounds = scored.groupBy(col(groupCol))
       .agg(expr("percentile(lm_score, array(0.3333333333333333D, 0.6666666666666666D))")

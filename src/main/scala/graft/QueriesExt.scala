@@ -1855,7 +1855,67 @@ object QueriesExt {
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("q_id"), col("rnk"))
       },
-      Some(ivfPqOracleSql))
+      Some(ivfPqOracleSql)),
+
+    // cell-partitioned IVF-PQ artifact (the q138 contract for the PQ
+    // tier): build the residual-PQ index, parquet it one directory per
+    // coarse cell, reload, and serve the probe from the artifact alone —
+    // the probe join on the partition column plants a dynamic-partition-
+    // pruning filter on the code scan (spec asserts it). Same replay as
+    // q137: the layout changes nothing about the result
+    Q("q141_ivf_pq_index_partitioned",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val res = Similarity.residualVectors(e, "vec_id", "embedding", cents)
+          .localCheckpoint(true)
+        val booksR = Similarity.pqCodebooks(res, "vec_id", "rvec",
+          m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+        val path = artifactPath("ivf_pq_part_q141")
+        Similarity.saveIvfPqIndex(e, "vec_id", "embedding", cents, booksR,
+          m = 4, subDim = 16, path)
+        Similarity.ivfPqTopKFromIndex(
+          Similarity.loadIvfPqIndex(s, path), cents, booksR,
+          e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding",
+          m = 4, subDim = 16, k = 5, nprobe = 2, overfetch = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(ivfPqResidualOracleSql)),
+
+    // incremental IVF-PQ index (the q136 contract for the PQ tier): BOTH
+    // quantizers — coarse centroids and residual codebooks — train on the
+    // OLD corpus and freeze (the faiss IVFPQ `add` contract); the batch
+    // is residual-projected + encoded against them and appended with no
+    // old-vector re-read; the compacted artifact serves the pruned probe.
+    // Oracle trains the k-means chains over the old subset only, then
+    // assigns + encodes ALL vectors against those frozen quantizers
+    Q("q142_ivf_pq_index_append",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val old = e.where(col("vec_id") % 4 =!= 0)
+        val cents = Similarity.kmeansCentroids(old, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val resOld = Similarity.residualVectors(old, "vec_id", "embedding",
+          cents).localCheckpoint(true)
+        val booksR = Similarity.pqCodebooks(resOld, "vec_id", "rvec",
+          m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+        val path = artifactPath("ivf_pq_index_q142")
+        Similarity.initIvfPqIndex(old, "vec_id", "embedding", cents, booksR,
+          m = 4, subDim = 16, path)
+        Similarity.appendIvfPqIndex(e.where(col("vec_id") % 4 === 0),
+          "vec_id", "embedding", cents, booksR, m = 4, subDim = 16, path,
+          batchId = 1L)
+        Similarity.compactIvfPqIndex(s, path, "vec_id")
+        Similarity.ivfPqTopKFromIndex(
+          Similarity.loadIvfPqIndex(s, path), cents, booksR,
+          e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding",
+          m = 4, subDim = 16, k = 5, nprobe = 2, overfetch = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(ivfPqResidualFrozenOracleSql))
   )
 
   /** The SQ8 ANN replay (q118 and, artifact-loaded, q126): quantize, rank
@@ -2203,6 +2263,99 @@ object QueriesExt {
         ORDER BY q_id, rnk"""
   }
 
+  /** The FROZEN-quantizer residual IVF-PQ replay (q142): the coarse
+    * k-means chain trains on the old corpus only (the
+    * [[ivfSq8FrozenOracleSql]] pattern), ALL vectors assign against the
+    * frozen centroids; residual codebooks train on the OLD residuals only
+    * (`pqCtes` with `encRel`) and encode ALL residuals; probe / LUT /
+    * ADC / rescore are [[ivfPqResidualOracleSql]] verbatim.
+    */
+  private def ivfPqResidualFrozenOracleSql: String = {
+    val old = "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0)"
+    val all = "(SELECT vec_id, embedding FROM embeddings)"
+    def assignCte(centsRel: String, tag: String, src: String) =
+      s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                      FROM $centsRel GROUP BY cell),
+          ${tag}s AS (SELECT a.vec_id, a.embedding, v.cell,
+                             ${cosSql("a.embedding", "v.centroid")} AS cos
+                      FROM $src a, ${tag}v v),
+          ${tag}r AS (SELECT vec_id, embedding, cell,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cell) AS rk
+                      FROM ${tag}s),
+          ${tag}c AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                             round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+                      FROM ${tag}r, range(1, 65) u(i)
+                      WHERE rk = 1 GROUP BY cell, pos)"""
+    val qsub = (0 until 4).map { j =>
+      s"SELECT q_id, $j AS sub, q_vec[${j * 16 + 1}:${(j + 1) * 16}] AS qv FROM qs"
+    }.mkString(" UNION ALL ")
+    s"""WITH i0 AS (SELECT vec_id, embedding,
+                      CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                        AS cell
+                    FROM $old o ORDER BY vec_id LIMIT 8),
+         c0 AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                       round(CAST(embedding[i] AS DOUBLE), 6) AS v
+                FROM i0, range(1, 65) u(i)),
+         ${assignCte("c0", "x", old)},
+         ${assignCte("xc", "y", old)},
+         ${assignCte("yc", "z", all)},
+         coarse AS (SELECT cell AS ccell, list(v ORDER BY pos) AS centroid
+                    FROM yc GROUP BY cell),
+         residAll AS (SELECT z.vec_id, z.cell AS ccell,
+                             list_transform(range(1, 65),
+                               i -> CAST(z.embedding[i] AS DOUBLE) - c.centroid[i])
+                               AS rvec
+                      FROM zr z JOIN coarse c ON z.cell = c.ccell
+                      WHERE z.rk = 1),
+         residOld AS (SELECT * FROM residAll WHERE vec_id % 4 <> 0),
+         ${pqCtes(4, 16, 8, "residOld", "rvec", encRel = "residAll")},
+         booksR AS (${(0 until 4).map(j =>
+           s"SELECT $j AS sub, cell, centroid FROM s${j}fv")
+           .mkString(" UNION ALL ")}),
+         qs AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+                WHERE vec_id % 25 = 0),
+         probes AS (SELECT q_id, ccell, qc FROM (
+                      SELECT q_id, ccell,
+                             CAST(round(${dotSqlN("q_vec", "centroid", 64)}, 6)
+                               AS DECIMAL(28,8)) AS qc,
+                             row_number() OVER (PARTITION BY q_id
+                               ORDER BY ${cosSql("q_vec", "centroid")} DESC,
+                                        ccell) AS pr
+                      FROM qs, coarse)
+                    WHERE pr <= 2),
+         qsub AS ($qsub),
+         lut AS (SELECT q_id, q.sub, cell,
+                        CAST(round(${dotSqlN("qv", "centroid", 16)}, 6)
+                          AS DECIMAL(28,8)) AS ld
+                 FROM qsub q JOIN booksR ON q.sub = booksR.sub),
+         codes AS (SELECT c.vec_id AS c_id, c.sub, c.code AS cell, r.ccell
+                   FROM (${(0 until 4).map(j => s"SELECT * FROM s${j}code")
+                     .mkString(" UNION ALL ")}) c
+                   JOIN residAll r ON r.vec_id = c.vec_id),
+         adc AS (SELECT q_id, c_id, max(qc) + sum(ld) AS adc
+                 FROM codes
+                 JOIN probes USING (ccell)
+                 JOIN lut USING (q_id, sub, cell)
+                 WHERE q_id <> c_id GROUP BY q_id, c_id),
+         cand AS (SELECT q_id, c_id,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY adc DESC, c_id) AS crk
+                  FROM adc),
+         ex AS (SELECT q_id, c_id,
+                       ${cosSql("qe.embedding", "ce.embedding")} AS cos
+                FROM cand
+                JOIN embeddings qe ON qe.vec_id = q_id
+                JOIN embeddings ce ON ce.vec_id = c_id
+                WHERE crk <= 20),
+         r AS (SELECT q_id, c_id, cos,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, c_id) AS INT) AS rnk
+               FROM ex)
+        SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 5
+        ORDER BY q_id, rnk"""
+  }
+
   /** The PQ/ADC replay (q124 and, artifact-loaded, q127): per-subspace
     * k-means, per-query LUT, decimal-exact ADC, rescore.
     */
@@ -2516,8 +2669,14 @@ object QueriesExt {
     * and `s{j}code` (per-vector nearest final cell, ties to smaller cell —
     * the assignCells contract).
     */
+  /** `encRel`: when set, the codebooks TRAIN on `srcRel` but the final
+    * encoding pass (`s{j}fs`/`s{j}code`) runs over `encRel` — the frozen-
+    * quantizer replay (q142): books learned on the old corpus, codes
+    * assigned for everything.
+    */
   private def pqCtes(m: Int, subDim: Int, k: Int,
-      srcRel: String = "embeddings", vecCol: String = "embedding"): String = {
+      srcRel: String = "embeddings", vecCol: String = "embedding",
+      encRel: String = ""): String = {
     def assignKm(j: Int, tag: String, prevCents: String) =
       s"""s$j${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
                          FROM s$j$prevCents GROUP BY cell),
@@ -2535,7 +2694,13 @@ object QueriesExt {
     (0 until m).map { j =>
       val lo = j * subDim + 1
       val hi = (j + 1) * subDim
+      // NB: DuckDB CTE names are case-insensitive — s0E would collide
+      // with s0e, so the encode-side CTE gets a distinct lowercase name
+      val encCte = if (encRel.isEmpty) ""
+        else s"s${j}enc AS (SELECT vec_id, $vecCol[$lo:$hi] AS sv FROM $encRel),"
+      val encSrc = if (encRel.isEmpty) s"s${j}e" else s"s${j}enc"
       s"""s${j}e AS (SELECT vec_id, $vecCol[$lo:$hi] AS sv FROM $srcRel),
+          $encCte
           s${j}i0 AS (SELECT vec_id, sv,
                              CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
                       FROM s${j}e ORDER BY vec_id LIMIT $k),
@@ -2548,7 +2713,7 @@ object QueriesExt {
                       FROM s${j}yc GROUP BY cell),
           s${j}fs AS (SELECT e.vec_id, v.cell,
                              ${cosSqlN("e.sv", "v.centroid", subDim)} AS cos
-                      FROM s${j}e e, s${j}fv v),
+                      FROM $encSrc e, s${j}fv v),
           s${j}fr AS (SELECT vec_id, cell,
                              row_number() OVER (PARTITION BY vec_id
                                ORDER BY cos DESC, cell) AS rk

@@ -822,27 +822,12 @@ object Similarity {
     */
   def compactSq8Index(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String,
-      belowBatch: Option[Long] = None): Long = {
-    val idx = spark.read.parquet(path)
+      belowBatch: Option[Long] = None): Long =
     // belowBatch = the in-stream form (StreamingIngest.sq8IndexStream):
     // fold only partitions below the just-committed batch, so a replay of
     // that batch still reads exactly the pre-batch state — the
     // compactSignatureIndex replay contract, verbatim
-    val (fold, keep) = belowBatch match {
-      case Some(b) =>
-        (idx.where(col("batch_id") < b), idx.where(col("batch_id") >= b))
-      case None => (idx, idx.limit(0))
-    }
-    val w = Window.partitionBy(col(idCol)).orderBy(col("batch_id").desc)
-    val tmp = s"$path.compact.tmp"
-    fold.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") === 1).drop("__rk")
-      .withColumn("batch_id", lit(-1L))
-      .unionByName(keep)
-      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-    graft.pipeline.Pipeline.swap(spark, tmp, path)
-    spark.read.parquet(path).count()
-  }
+    compactPartitionedIndex(spark, path, idCol, Seq("batch_id"), belowBatch)
 
   // ---- semantic decontamination off the frozen index ---------------------
 
@@ -1118,6 +1103,177 @@ object Similarity {
     val codes = pqEncode(res, idCol, "rvec", booksR, m, subDim)
       .select(col(idCol).as("c_id"), col("sub"), col("code").as("cell"))
       .join(res.select(col(idCol).as("c_id"), col("ccell")), Seq("c_id"))
+    val adc = codes.join(broadcast(probes), Seq("ccell"))
+      .where(col("q_id") =!= col("c_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "cell"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg((max(col("qc")) + sum(col("ld"))).as("adc"))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("c_id"))
+    val cand = adc.withColumn("__arank", row_number().over(wA))
+      .where(col("__arank") <= k * overfetch)
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    cand.join(c, Seq("c_id")).join(q, Seq("q_id"))
+      .withColumn("cos", cosPrenormed)
+      .withColumn("rank", row_number().over(wE))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  // ---- persisted IVF-PQ index (the faiss IVFPQ artifact) -----------------
+
+  /** The IVF-PQ index relation — (id, ccell, codes ARRAY<INT>): each
+    * vector's coarse cell plus its `m` residual subspace codes, `codes(j)`
+    * = the code of subspace j (the [[ivfPqResidualTopK]] encoding: PQ
+    * books trained on `v − centroid(cell)`). This is the faiss IVFPQ
+    * storage layout as a table — m·log₂(k) bits of code per vector plus
+    * one int cell; the float store is NOT part of the index.
+    *
+    * Scale shape: one residual pass (broadcast centroids), one encode pass
+    * (broadcast books, m rows per vector on the arg-max shuffle), one
+    * id-keyed fold to the code array. Corpus-linear; nothing wider than
+    * m rows per vector ever shuffles.
+    */
+  def ivfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, booksR: DataFrame, m: Int, subDim: Int): DataFrame = {
+    // both pqEncode's subspace explode and the ccell join-back read the
+    // residual frame; its assignCells subtree is a full corpus pass
+    // (the q137 materialization lesson)
+    val res = residualVectors(df, idCol, vecCol, cents).localCheckpoint(true)
+    pqEncode(res, idCol, "rvec", booksR, m, subDim)
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .join(res.select(col(idCol), col("ccell")), Seq(idCol))
+      .select(col(idCol), col("ccell"), col("codes"))
+  }
+
+  /** Persist the IVF-PQ index partitioned by (batch epoch, coarse cell) —
+    * the dual-purpose layout: `ccell` directories make
+    * [[ivfPqTopKFromIndex]]'s probe join a dynamic-partition-pruned read
+    * (only probed cells' files are I/O, the q138 contract), while the
+    * leading `batch_id` level gives [[appendIvfPqIndex]] a dynamic-
+    * overwrite target so an at-least-once replay of a batch rewrites
+    * itself (the q136 contract). One layout serves both because DPP
+    * prunes on ANY partition column.
+    */
+  def saveIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, booksR: DataFrame, m: Int, subDim: Int,
+      path: String): Unit =
+    initIvfPqIndex(df, idCol, vecCol, cents, booksR, m, subDim, path)
+
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
+
+  /** Create a persisted IVF-PQ index supporting per-batch appends: rows
+    * land under `batch_id=0`. BOTH quantizers — the coarse centroids AND
+    * the residual codebooks — are frozen at init (the faiss IVFPQ `add`
+    * contract): appends assign + encode new vectors against them, so the
+    * index stays probe-consistent without re-training. Re-train + rebuild
+    * when drift warrants it — a deliberate offline event, never an
+    * append-path concern.
+    */
+  def initIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, booksR: DataFrame, m: Int, subDim: Int,
+      path: String): Unit =
+    ivfPqIndex(df, idCol, vecCol, cents, booksR, m, subDim)
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("batch_id", "ccell").parquet(path)
+
+  /** Append one batch against the FROZEN quantizers: residual-project +
+    * encode ONLY the batch (centroids and books broadcast; no old vector
+    * or index row is read), dynamic-overwrite the batch's own partitions.
+    * init(old) ∪ append(batch) is row-identical to a full [[ivfPqIndex]]
+    * build over old ∪ batch with the same frozen quantizers — assignment
+    * and encoding are per-row — which q142 proves through the probe path.
+    */
+  def appendIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, booksR: DataFrame, m: Int, subDim: Int,
+      path: String, batchId: Long): Unit =
+    ivfPqIndex(batch, idCol, vecCol, cents, booksR, m, subDim)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "ccell").parquet(path)
+
+  /** [[compactSq8Index]] for the IVF-PQ layout: fold appended epochs into
+    * `batch_id=-1` keeping the LATEST row per id, PRESERVING the ccell
+    * partition level (a compaction that dropped it would silently turn
+    * every subsequent probe into a full-index scan — the layout is the
+    * scale contract, not a detail).
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String,
+      belowBatch: Option[Long] = None): Long =
+    compactPartitionedIndex(spark, path, idCol, Seq("batch_id", "ccell"),
+      belowBatch)
+
+  /** Shared latest-row-per-id epoch fold behind [[compactSq8Index]] /
+    * [[compactIvfPqIndex]] — crash-safe temp-then-swap, replay-safe
+    * `belowBatch` cut (fold only epochs strictly below the just-committed
+    * batch so its replay still reads the exact pre-batch state).
+    */
+  private def compactPartitionedIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String, idCol: String,
+      partitionCols: Seq[String], belowBatch: Option[Long]): Long = {
+    val idx = spark.read.parquet(path)
+    val (fold, keep) = belowBatch match {
+      case Some(b) =>
+        (idx.where(col("batch_id") < b), idx.where(col("batch_id") >= b))
+      case None => (idx, idx.limit(0))
+    }
+    val w = Window.partitionBy(col(idCol)).orderBy(col("batch_id").desc)
+    val tmp = s"$path.compact.tmp"
+    fold.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1).drop("__rk")
+      .withColumn("batch_id", lit(-1L))
+      .unionByName(keep)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp)
+    graft.pipeline.Pipeline.swap(spark, tmp, path)
+    spark.read.parquet(path).count()
+  }
+
+  /** [[ivfPqResidualTopK]] served from a prebuilt [[ivfPqIndex]] relation:
+    * candidates come from the artifact ALONE — probes broadcast against
+    * the cell-partitioned code table (dynamic partition pruning makes the
+    * scan read only probed cells' files), the ADC sum is the same
+    * decimal-exact `q·c_cell + Σ LUT(residual code)` decomposition, and
+    * the primary float store is consulted by id for the |Q|·k·overfetch
+    * rescore rows alone.
+    */
+  def ivfPqTopKFromIndex(index: DataFrame, cents: DataFrame,
+      booksR: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int, k: Int,
+      nprobe: Int, overfetch: Int = PqDefaultOverfetch): DataFrame = {
+    val cvecs = cellCentroidVectors(cents)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cvecs))
+      .withColumn("c_cos", round(
+        try_divide(dot(col("q_vec"), col("centroid")),
+          col("q_norm") * norm(col("centroid"))), 6))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .where(col("probe_rank") <= nprobe)
+      .select(col("q_id"), col("cell").as("ccell"),
+        round(dot(col("q_vec"), col("centroid")), 6)
+          .cast("decimal(28,8)").as("qc"))
+    val qsubs = q.select(col("q_id"),
+      explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"),
+          slice(col("q_vec"), j * subDim + 1, subDim).as("qv"))): _*)).as("e"))
+      .select(col("q_id"), col("e.sub").as("sub"), col("e.qv").as("qv"))
+    val lut = qsubs.join(broadcast(pqCentroidVectors(booksR)), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("cell"),
+        round(dot(col("qv"), col("centroid")), 6)
+          .cast("decimal(28,8)").as("ld"))
+    // codes(pos) is subspace pos's code (ivfPqIndex folds sorted by sub),
+    // so posexplode recovers the (sub, code) long form straight off the
+    // pruned scan — named `cell` to meet the LUT's key
+    val codes = index.select(col(idCol).as("c_id"), col("ccell"),
+        posexplode(col("codes")).as(Seq("sub", "cell")))
     val adc = codes.join(broadcast(probes), Seq("ccell"))
       .where(col("q_id") =!= col("c_id"))
       .join(broadcast(lut), Seq("q_id", "sub", "cell"))

@@ -762,6 +762,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows(served) == inMem)
   }
 
+  test("saveIvfPqIndex: (batch, cell)-partitioned artifact gets dynamic " +
+    "partition pruning; append against frozen quantizers ≡ full rebuild") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 31 + j * 7) % 23 - 11).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val res = Similarity.residualVectors(vecs, "vec_id", "embedding", cents)
+      .localCheckpoint(true)
+    val booksR = Similarity.pqCodebooks(res, "vec_id", "rvec",
+      m = 2, subDim = 8, k = 4, iters = 2).localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf_pq_part").toString + "/idx"
+    Similarity.saveIvfPqIndex(vecs, "vec_id", "embedding", cents, booksR,
+      m = 2, subDim = 8, path)
+    // ccell directories under each batch epoch — the layout DPP needs
+    val cellDirs = new java.io.File(s"$path/batch_id=0").listFiles()
+      .filter(_.getName.startsWith("ccell=")).map(_.getName).sorted
+    assert(cellDirs.nonEmpty && cellDirs.length <= 4, cellDirs.mkString(","))
+    val q = vecs.where($"vec_id" % 9 === 0)
+    val served = Similarity.ivfPqTopKFromIndex(spark.read.parquet(path),
+      cents, booksR, q, vecs, "vec_id", "embedding",
+      m = 2, subDim = 8, k = 3, nprobe = 2, overfetch = 4)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the code scan:\n${plan.take(2000)}")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"c_id", $"cos", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    // the artifact-served probe matches the in-memory residual form
+    val inMem = rows(Similarity.ivfPqResidualTopK(q, vecs, "vec_id",
+      "embedding", cents, booksR, m = 2, subDim = 8, k = 3, nprobe = 2,
+      overfetch = 4))
+    assert(rows(served) == inMem)
+    // frozen-quantizer append: init(old) ∪ append(batch) under the SAME
+    // cents/books is row-identical to the full build — served results too
+    val path2 = java.nio.file.Files
+      .createTempDirectory("ivf_pq_app").toString + "/idx"
+    Similarity.initIvfPqIndex(vecs.where($"vec_id" % 4 =!= 0), "vec_id",
+      "embedding", cents, booksR, m = 2, subDim = 8, path2)
+    Similarity.appendIvfPqIndex(vecs.where($"vec_id" % 4 === 0), "vec_id",
+      "embedding", cents, booksR, m = 2, subDim = 8, path2, batchId = 1L)
+    val n = Similarity.compactIvfPqIndex(spark, path2, "vec_id")
+    assert(n == vecs.count(), "compaction keeps exactly one row per id")
+    // compaction preserves the ccell partition level (the probe's layout)
+    val compDirs = new java.io.File(s"$path2/batch_id=-1").listFiles()
+      .filter(_.getName.startsWith("ccell=")).map(_.getName)
+    assert(compDirs.nonEmpty, "ccell directories survive compaction")
+    val servedApp = rows(Similarity.ivfPqTopKFromIndex(
+      spark.read.parquet(path2), cents, booksR, q, vecs, "vec_id",
+      "embedding", m = 2, subDim = 8, k = 3, nprobe = 2, overfetch = 4))
+    assert(servedApp == inMem, "append path ≡ full rebuild through the probe")
+  }
+
   test("knnGraph: all-cells probe ≡ per-vector bruteForceTopK; edges feed dupClusters") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(16)(j => ((i * 19 + j * 11) % 17 - 8).toFloat))

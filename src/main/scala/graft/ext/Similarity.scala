@@ -228,9 +228,34 @@ object Similarity {
     * Returns (cell, pos, v) centroid rows; pair with `assignCells` to
     * stamp the corpus, then `ivfTopK` over the learned blocking.
     */
+  /** Sentinel for `kmeansCentroids`' `k`: resolve the cell count as
+    * ⌈√N⌉ at build time. The IVF sizing footgun this closes is measured
+    * in docs/SCALE.md: a FIXED cell count under corpus growth makes
+    * within-cell pair work grow as (N/cells)² per cell — Σ|cell|² ≈ N²/
+    * cells — while √N cells keep the per-cell population at √N, the
+    * standard IVF balance point (faiss guidance: 4√N–16√N probes of
+    * training data per centroid). One count() job resolves it; callers
+    * with a tuned count still pass it explicitly.
+    */
+  val AutoCells: Int = -1
+
+  /** ⌈√N⌉ for a frame — the [[AutoCells]] resolution, exposed for callers
+    * sizing related structures (e.g. nprobe heuristics) off the same rule.
+    */
+  def autoCellCount(df: DataFrame): Int =
+    math.max(1, math.ceil(math.sqrt(df.count().toDouble)).toInt)
+
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
-    require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1: $k / $iters")
+      k: Int = AutoCells, iters: Int = 2): DataFrame = {
+    require(k >= 1 || k == AutoCells,
+      s"need k >= 1 or AutoCells: $k")
+    require(iters >= 1, s"need iters >= 1: $iters")
+    val kEff = if (k == AutoCells) autoCellCount(df) else k
+    kmeansCentroidsFixed(df, idCol, vecCol, kEff, iters)
+  }
+
+  private def kmeansCentroidsFixed(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
     // init: the k smallest ids. orderBy+limit plans as a distributed
@@ -490,8 +515,28 @@ object Similarity {
     * WindowGroupLimit on q_id. Self-matches are excluded; ties break on
     * neighbor id.
     */
+  /** [[knnGraph]] with no manual quantizer: trains ⌈√N⌉ k-means cells
+    * ([[AutoCells]]) and builds the graph over them — the sizing that
+    * keeps per-cell population at √N under any corpus growth, so the
+    * cell-keyed pair volume scales as N^1.5·nprobe/√N-cells instead of
+    * the fixed-cells N²/cells blowup.
+    */
+  def knnGraphAuto(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, iters: Int = 2,
+      checkpoint: Boolean = false): DataFrame =
+    knnGraph(df, idCol, vecCol,
+      kmeansCentroids(df, idCol, vecCol, AutoCells, iters), k, nprobe,
+      checkpoint)
+
+  /** `checkpoint = false` (default) materializes the shared scoring pass
+    * with `persist` + force: lineage survives, so a lost cached block on
+    * a real cluster recomputes instead of failing the job (the
+    * SurrogateKeys discipline). `true` keeps the round-8
+    * `localCheckpoint` form — cheaper on a single node, lineage-severed.
+    */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
+      cents: DataFrame, k: Int, nprobe: Int,
+      checkpoint: Boolean = false): DataFrame = {
     val cvecs = cellCentroidVectors(cents)
     val q = df.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"))
@@ -502,7 +547,7 @@ object Similarity {
     // bit-identical to assignCells' max-cos/smaller-cell-tie pick, nulls
     // included), so the second full assignment pass the first cut ran is
     // gone. Materialized once — probe and corpus legs both read it.
-    val scored = q.crossJoin(broadcast(cvecs))
+    val scoredPlan = q.crossJoin(broadcast(cvecs))
       .withColumn("c_cos", round(
         try_divide(dot(col("q_vec"), col("centroid")),
           col("q_norm") * norm(col("centroid"))), 6))
@@ -510,7 +555,14 @@ object Similarity {
       .where(col("probe_rank") <= math.max(nprobe, 1))
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("cell"),
         col("probe_rank"))
-      .localCheckpoint(true)
+    val scored =
+      if (checkpoint) scoredPlan.localCheckpoint(true)
+      else {
+        val p = scoredPlan.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // force once; both legs below read the cached pass
+        p
+      }
     val probes = scored.where(col("probe_rank") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("cell"))
     val c = scored.where(col("probe_rank") === 1)

@@ -246,6 +246,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(pairSet(Int.MaxValue) == pairSet(12) && pairSet(12).nonEmpty)
   }
 
+  test("AutoCells sizes the quantizer at √N: pair volume stays sub-quadratic " +
+    "under 10× growth with no manual cell choice") {
+    // the fixed-cells footgun: under 10× corpus growth a FIXED cell count
+    // makes the cell-keyed candidate join grow ~100× (|cell| itself grows
+    // 10×); √N cells keep |cell| ≈ √N so the same join grows ~10×·√10.
+    def corpus(n: Int) = (1L to n.toLong).map { i =>
+      (i, Array.tabulate(8)(j => ((i * 13 + j * 7) % 19 - 9).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+    val small = corpus(100)
+    val big = corpus(1000)
+    assert(Similarity.autoCellCount(small) == 10)
+    assert(Similarity.autoCellCount(big) == 32)
+    // the pair volume the knnGraph/semDedup join actually produces:
+    // Σ_v nprobe·|cell(v)| under each sizing
+    def pairVolume(df: org.apache.spark.sql.DataFrame, cells: Int): Long = {
+      val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding",
+        k = cells, iters = 1)
+      val sizes = Similarity.assignCells(df, "vec_id", "embedding", cents)
+        .groupBy($"cell").count()
+      sizes.agg(sum($"count" * $"count")).as[Long].head()
+    }
+    val fixedRatio = pairVolume(big, 4).toDouble / pairVolume(small, 4)
+    val autoRatio = pairVolume(big, Similarity.autoCellCount(big)).toDouble /
+      pairVolume(small, Similarity.autoCellCount(small))
+    // fixed cells: ~100× (quadratic); √N cells: ~10×·√10 ≈ 32× ideally —
+    // allow slack for k-means imbalance, but the two regimes must separate
+    assert(fixedRatio > 50, s"fixed-cells growth should be ~quadratic: $fixedRatio")
+    assert(autoRatio < fixedRatio / 1.5,
+      s"auto cells must grow sub-quadratically: auto $autoRatio vs fixed $fixedRatio")
+    // the no-manual-choice path end to end: knnGraphAuto with defaults
+    val edges = Similarity.knnGraphAuto(small, "vec_id", "embedding",
+      k = 3, nprobe = 2)
+    assert(edges.groupBy($"q_id").count().agg(max($"count")).as[Long].head() <= 3)
+    assert(edges.where($"q_id" === $"c_id").isEmpty)
+  }
+
   test("hot-cell LSH level keeps within-cluster pairs an id split would sever") {
     // one oversized cell holding TWO tight clusters on opposite sides of
     // the origin: the sign-bucket split separates the clusters, not the

@@ -1578,7 +1578,7 @@ object QueriesExt {
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("q_id"), col("rnk"))
       },
-      Some(ivfSq8OracleSql)),
+      Some(ivfSq8OracleSql())),
 
     // incremental SQ8 index maintenance: init on the old corpus, append
     // the batch (encode ONLY the batch — no old vector re-read), serve the
@@ -1810,7 +1810,7 @@ object QueriesExt {
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("q_id"), col("rnk"))
       },
-      Some(ivfSq8OracleSql)),
+      Some(ivfSq8OracleSql())),
 
     // RESIDUAL IVF-PQ — the actual faiss IVFPQ: PQ codebooks train on and
     // encode v − centroid(cell); candidates score by the exact dot
@@ -1915,7 +1915,31 @@ object QueriesExt {
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("q_id"), col("rnk"))
       },
-      Some(ivfPqResidualFrozenOracleSql))
+      Some(ivfPqResidualFrozenOracleSql)),
+
+    // filtered ANN (VERDICT r9 #6): the label predicate rides the
+    // cell-partitioned SQ8 artifact (attrs carries it into the index
+    // rows) and restricts the CANDIDATE set before ranking — the exact
+    // top-5 among passing vectors, not a post-filter of an unfiltered
+    // top-5. On the artifact scan the predicate is a parquet PushedFilter
+    // evaluated inside the DPP-pruned partition read (spec asserts both);
+    // the primary store is never consulted to evaluate the filter
+    Q("q143_ann_filtered",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val path = artifactPath("ivf_sq8_filt_q143")
+        Similarity.saveIvfSq8Index(e, "vec_id", "embedding", cents, path,
+          attrs = Seq("label"))
+        Similarity.ivfQuantizedTopK(s.read.parquet(path), cents,
+          e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding",
+          k = 5, nprobe = 2, overfetch = 4,
+          filter = Some(col("label") % 3 === 0))
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(ivfSq8OracleSql(candFilterSql = "lb.label % 3 = 0")))
   )
 
   /** The SQ8 ANN replay (q118 and, artifact-loaded, q126): quantize, rank
@@ -1956,7 +1980,12 @@ object QueriesExt {
     * centroid cosine; the integer scan runs ONLY over those cells' codes;
     * floats rescore the 20 survivors to the exact top 5.
     */
-  private def ivfSq8OracleSql: String = {
+  /** `candFilterSql`: filtered-ANN replay (q143) — the predicate (over
+    * `lb`, the embeddings row joined by candidate id) restricts the
+    * CANDIDATE set before ranking, exactly where the engine's
+    * `filter` lands on the index relation.
+    */
+  private def ivfSq8OracleSql(candFilterSql: String = ""): String = {
     def assignCte(centsRel: String, tag: String) =
       s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
                       FROM $centsRel GROUP BY cell),
@@ -1971,6 +2000,8 @@ object QueriesExt {
                              round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
                       FROM ${tag}r, range(1, 65) u(i)
                       WHERE rk = 1 GROUP BY cell, pos)"""
+    val candAnd =
+      if (candFilterSql.isEmpty) "" else s" AND ($candFilterSql)"
     s"""WITH i0 AS (SELECT vec_id, embedding,
                       CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
                         AS cell
@@ -2000,7 +2031,8 @@ object QueriesExt {
          c AS (SELECT z.cell, z.vec_id AS c_id, cn.codes AS c_codes,
                       cn.cnorm AS c_cn
                FROM zr z JOIN cn ON cn.vec_id = z.vec_id
-               WHERE z.rk = 1),
+               JOIN embeddings lb ON lb.vec_id = z.vec_id
+               WHERE z.rk = 1$candAnd),
          ap AS (SELECT q_id, c_id, q_vec,
                        CASE WHEN q_cn * c_cn = 0 THEN -2.0
                             ELSE CAST(list_sum(list_transform(range(1, 65),

@@ -727,12 +727,20 @@ object Similarity {
     * per-row quantization projection — corpus-linear, one shuffle for the
     * arg-max agg inside [[assignCells]].
     */
+  /** `attrs`: extra metadata columns carried INTO the index relation —
+    * the filtered-ANN storage contract: a predicate over an indexed
+    * attribute lands on the artifact scan itself (parquet PushedFilters),
+    * so a filtered probe never touches the primary store to evaluate its
+    * filter. The faiss analogue is pre-filter bitsets; relationally the
+    * attribute just rides the row.
+    */
   def sq8IndexWithCells(df: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame): DataFrame = {
+      cents: DataFrame, attrs: Seq[String] = Nil): DataFrame = {
     import graft.functions.VectorFunctions.packInt8Native
     quantizeInt8(assignCells(df, idCol, vecCol, cents), idCol, vecCol)
-      .select(col(idCol), col("cell"), col("scale"),
-        packInt8Native(col("codes")).as("codes"), col("cnorm"))
+      .select(col(idCol) +: col("cell") +: col("scale") +:
+        packInt8Native(col("codes")).as("codes") +: col("cnorm") +:
+        attrs.map(col): _*)
   }
 
   /** IVF over the quantized index — the composition the two tiers were
@@ -753,9 +761,20 @@ object Similarity {
     * centroid table and the (small) probe set broadcast; nothing
     * corpus-sized shuffles.
     */
+  /** `filter`: filtered ANN — restrict the candidate set to index rows
+    * satisfying the predicate, BEFORE ranking: the result is the exact
+    * top k among passing vectors, not a post-filter of an unfiltered top
+    * k (which silently under-returns). The predicate is applied to the
+    * index relation, so over a parquet artifact it reaches the scan as a
+    * PushedFilter — evaluated inside the pruned partition read, next to
+    * the DPP cell filter, never against the primary store. Recall caveat
+    * shared with every IVF pre-filter: a highly selective predicate
+    * thins cells, so size nprobe/overfetch for the FILTERED density.
+    */
   def ivfQuantizedTopK(index: DataFrame, cents: DataFrame,
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, nprobe: Int, overfetch: Int = 4): DataFrame = {
+      k: Int, nprobe: Int, overfetch: Int = 4,
+      filter: Option[Column] = None): DataFrame = {
     import graft.functions.VectorFunctions.{int8DotNative, packInt8Native}
     val cvecs = cellCentroidVectors(cents)
     val q = quantizeInt8(queries, idCol, vecCol).select(
@@ -772,8 +791,9 @@ object Similarity {
       .where(col("probe_rank") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("q_codes"),
         col("q_cn"), col("cell"))
-    val c = index.select(col("cell"), col(idCol).as("c_id"),
-      col("codes").as("c_codes"), col("cnorm").as("c_cn"))
+    val c = filter.fold(index)(index.where)
+      .select(col("cell"), col(idCol).as("c_id"),
+        col("codes").as("c_codes"), col("cnorm").as("c_cn"))
     val icos = when(col("q_cn") * col("c_cn") === lit(0.0), lit(-2.0))
       .otherwise(int8DotNative(col("q_codes"), col("c_codes")).cast("double")
         / (col("q_cn") * col("c_cn")))
@@ -806,8 +826,8 @@ object Similarity {
     * quantizer re-train, exactly like any partitioned table re-layout.
     */
   def saveIvfSq8Index(df: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame, path: String): Unit =
-    sq8IndexWithCells(df, idCol, vecCol, cents)
+      cents: DataFrame, path: String, attrs: Seq[String] = Nil): Unit =
+    sq8IndexWithCells(df, idCol, vecCol, cents, attrs)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   // ---- incremental SQ8 index maintenance ---------------------------------

@@ -1939,7 +1939,33 @@ object QueriesExt {
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("q_id"), col("rnk"))
       },
-      Some(ivfSq8OracleSql(candFilterSql = "lb.label % 3 = 0")))
+      Some(ivfSq8OracleSql(candFilterSql = "lb.label % 3 = 0"))),
+
+    // perceptual image near-dup (VERDICT r9 #7): dHash over REAL decoded
+    // pixels (ImageIO), Hamming-banded through the SAME simhash64DupPairs
+    // join the text path uses (pigeonhole-exact at maxDist ≤ 3). The
+    // fixture makes the pair set id-predictable: per-pixel-noise PNGs are
+    // hash-independent across seeds (unrelated images never band-match),
+    // and every 10th image gets a copy with ONE dHash grid cell inverted
+    // — at most 2 hash bits move, so copy↔original is a guaranteed banded
+    // pair and the oracle is pure id arithmetic
+    Q("q144_image_neardup",
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        val base = ids.map(id => Multimodal.MediaRow(id, "png",
+          Multimodal.syntheticNoisePng(36, 24, id)))
+        val copies = ids.filter((id: Long) => id % 10 == 0).map(id =>
+          Multimodal.MediaRow(id + 1000000L, "png",
+            Multimodal.syntheticNoisePng(36, 24, id,
+              perturbCell = Some((4, 4)))))
+        val hashes = Multimodal.perceptualHashes(base.unionAll(copies))(s).toDF()
+        Dedup.simhash64DupPairs(hashes, "media_id", maxDist = 3)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+              FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a, id_b"""))
   )
 
   /** The SQ8 ANN replay (q118 and, artifact-loaded, q126): quantize, rank

@@ -367,4 +367,148 @@ object Multimodal {
       .select(col(idCol), col("slice_idx").cast("int").as("slice_idx"),
         col("offset"), col("slice_hash"))
   }
+
+  // ---- perceptual image hashing (aHash / dHash near-dup) -----------------
+
+  /** Perceptual hash row: 64 bits carried as two non-negative 32-bit
+    * halves in LONG columns — EXACTLY the `simhash64` layout, so
+    * [[graft.ext.Dedup.simhash64DupPairs]]' Hamming-banded pair join (and
+    * its pigeonhole exactness for maxDist ≤ 3) applies to images
+    * unchanged. Undecodable payloads carry null halves, which drop out of
+    * the band join instead of silently pairing.
+    */
+  final case class ImageHashRow(
+      media_id: Long, sim_hi: Option[Long], sim_lo: Option[Long])
+
+  /** dHash (difference hash, the perceptual near-dup standard): decode,
+    * reduce to a 9×8 grid of integer luma sums via area averaging, bit
+    * (row r, col c) = cell(c,r) brighter than cell(c+1,r). `mode =
+    * "ahash"` gives average hash instead: 8×8 grid, bit = cell brighter
+    * than the global mean. Both are pure integer arithmetic over the
+    * decoded raster (comparisons cross-multiplied — no division, no
+    * floats), so the hash is bit-deterministic across JVMs; both are
+    * invariant to uniform resizing and (dHash) to uniform brightness
+    * shifts — which is what makes them perceptual rather than
+    * cryptographic.
+    *
+    * Scale shape: mapPartitions is the codec boundary (one decode per
+    * row, batched); output is 17 bytes/image. Pairing cost lives entirely
+    * in the banded join downstream — Hamming-banded like the text
+    * SimHash path, never all-pairs.
+    */
+  def perceptualHashes(media: Dataset[MediaRow], mode: String = "dhash",
+      batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[ImageHashRow] = {
+    require(mode == "dhash" || mode == "ahash", s"unknown mode: $mode")
+    import spark.implicits._
+    val isD = mode == "dhash"
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            catch { case _: java.io.IOException => null }
+          if (img == null || img.getWidth < 9 || img.getHeight < 8)
+            ImageHashRow(r.media_id, None, None)
+          else {
+            val (gw, gh) = (if (isD) 9 else 8, 8)
+            val (w, h) = (img.getWidth, img.getHeight)
+            // integer area sums per grid cell: block boundaries by
+            // floor(c·w/gw), luma by the integer Rec.601 weights
+            val sums = Array.ofDim[Long](gh, gw)
+            val cnts = Array.ofDim[Long](gh, gw)
+            var y = 0
+            while (y < h) {
+              val gy = math.min(y * gh / h, gh - 1)
+              var x = 0
+              while (x < w) {
+                val gx = math.min(x * gw / w, gw - 1)
+                val rgb = img.getRGB(x, y)
+                val luma = ((rgb >> 16 & 0xff) * 299 +
+                  (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114).toLong
+                sums(gy)(gx) += luma
+                cnts(gy)(gx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var hi = 0L; var lo = 0L
+            var bit = 0
+            if (isD) {
+              var ry = 0
+              while (ry < 8) {
+                var cx = 0
+                while (cx < 8) {
+                  // avg(c) > avg(c+1) ⟺ sum_c·n_{c+1} > sum_{c+1}·n_c
+                  val b = sums(ry)(cx) * cnts(ry)(cx + 1) >
+                    sums(ry)(cx + 1) * cnts(ry)(cx)
+                  if (b) { if (bit < 32) hi |= 1L << (31 - bit)
+                           else lo |= 1L << (63 - bit) }
+                  bit += 1; cx += 1
+                }
+                ry += 1
+              }
+            } else {
+              var tSum = 0L; var tCnt = 0L
+              var ry = 0
+              while (ry < 8) { var cx = 0; while (cx < 8) {
+                tSum += sums(ry)(cx); tCnt += cnts(ry)(cx); cx += 1 }; ry += 1 }
+              var ay = 0
+              while (ay < 8) {
+                var cx = 0
+                while (cx < 8) {
+                  val b = sums(ay)(cx) * tCnt > tSum * cnts(ay)(cx)
+                  if (b) { if (bit < 32) hi |= 1L << (31 - bit)
+                           else lo |= 1L << (63 - bit) }
+                  bit += 1; cx += 1
+                }
+                ay += 1
+              }
+            }
+            ImageHashRow(r.media_id, Some(hi), Some(lo))
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic per-pixel-noise PNG (the perceptual-hash fixture): gray
+    * level a splitmix-style hash of (seed, x, y), so DIFFERENT seeds give
+    * statistically independent 64-bit perceptual hashes (expected Hamming
+    * distance ~32 — unrelated images never band-match), unlike
+    * [[syntheticPng]]'s additive gradient, whose cell DIFFERENCES are
+    * seed-invariant (every image would dHash identically). `perturbCell`
+    * inverts the gray of every pixel in ONE cell of the 9×8 dHash grid:
+    * only the ≤ 2 dHash bits adjacent to that cell can change, so the
+    * perturbed copy sits within Hamming distance 2 of its original — a
+    * guaranteed banded near-dup pair (pigeonhole at maxDist 3) with an
+    * id-predictable pair set for the oracle.
+    */
+  def syntheticNoisePng(width: Int, height: Int, seed: Long,
+      perturbCell: Option[(Int, Int)] = None): Array[Byte] = {
+    require(width >= 9 && height >= 8, s"grid needs >= 9x8: ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        var z = seed + x * 0x9E3779B97F4A7C15L + y * 0xC2B2AE3D27D4EB4FL
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        var g = ((z ^ (z >>> 31)) & 0xffL).toInt
+        perturbCell.foreach { case (cx, cy) =>
+          if (math.min(x * 9 / width, 8) == cx &&
+              math.min(y * 8 / height, 7) == cy) g = 255 - g
+        }
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 }

@@ -234,6 +234,71 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L).byte_len == avi.length.toLong)
   }
 
+  test("perceptual hashes: dHash pairs perturbed copies, aHash is " +
+    "brightness-monotone, undecodables drop from the band join") {
+    import graft.ext.{Dedup, Similarity => _}
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val seeds = Seq(1L, 2L, 3L, 4L, 5L)
+    val media = (
+      seeds.map(i => Multimodal.MediaRow(i, "png",
+        Multimodal.syntheticNoisePng(36, 24, i))) ++
+      // id+100: same seed, one dHash grid cell inverted — ≤ 2 bits move
+      seeds.take(2).map(i => Multimodal.MediaRow(i + 100, "png",
+        Multimodal.syntheticNoisePng(36, 24, i, Some((4, 4))))) ++
+      // id 200: byte-identical to id 1 — distance exactly 0
+      Seq(Multimodal.MediaRow(200L, "png",
+        Multimodal.syntheticNoisePng(36, 24, 1L))) ++
+      Seq(Multimodal.MediaRow(300L, "png", Array[Byte](9, 9, 9)))).toDS()
+    val hashes = Multimodal.perceptualHashes(media).toDF()
+    val h = hashes.collect().map(r => r.getLong(0) ->
+      (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(h(300L)._1.isEmpty, "undecodable payload carries null halves")
+    assert(h(200L) == h(1L), "byte-identical image hashes identically")
+    def dist(a: Long, b: Long) = {
+      val (ah, al) = h(a); val (bh, bl) = h(b)
+      java.lang.Long.bitCount(ah.get ^ bh.get) +
+        java.lang.Long.bitCount(al.get ^ bl.get)
+    }
+    assert((1 to 2).forall(i => dist(i, i + 100) <= 2),
+      "one inverted cell moves at most the 2 adjacent dHash bits")
+    assert(dist(1L, 2L) > 3 && dist(2L, 3L) > 3,
+      "independent noise seeds sit far apart")
+    val pairs = Dedup.simhash64DupPairs(hashes, "media_id", maxDist = 3)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 101L), (2L, 102L), (1L, 200L), (101L, 200L)),
+      s"banded pairs = perturbed copies + the exact duplicate: $pairs")
+    // aHash: thresholding against the image's own mean survives uniform
+    // dimming when the bright/dark separation is wide — a checkerboard of
+    // 8×8 grid-aligned blocks hashes to the exact alternating pattern at
+    // ANY brightness pair keeping bright > mean > dark
+    def checker(bright: Int, dark: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val g = if (((x / 4) + (y / 4)) % 2 == 0) bright else dark
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val aPair = Multimodal.perceptualHashes(Seq(
+      Multimodal.MediaRow(7L, "png", checker(200, 40)),
+      Multimodal.MediaRow(8L, "png", checker(100, 20))).toDS(), mode = "ahash")
+      .toDF().collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(aPair(7L) == aPair(8L), "aHash survives uniform dimming")
+    // and the pattern itself is the predicted alternating bits: rows flip
+    // phase, bit (r,c) = 1 iff (r+c) even (brighter-than-mean blocks)
+    val expHi = (0 until 32).map { bit =>
+      val (r0, c0) = (bit / 8, bit % 8)
+      if ((r0 + c0) % 2 == 0) 1L << (31 - bit) else 0L
+    }.sum
+    assert(aPair(7L)._1 == expHi, s"aHash top half: got ${aPair(7L)._1.toBinaryString}")
+  }
+
   test("Multimodal.sampleSlices emits n offsets with hashes") {
     val df = Seq((1L, "abcdefgh")).toDF("media_id", "payload")
     val out = Multimodal.sampleSlices(df, "media_id", "payload", 4)

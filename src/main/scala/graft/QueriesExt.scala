@@ -1965,7 +1965,32 @@ object QueriesExt {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
-              FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a, id_b"""))
+              FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a, id_b""")),
+
+    // incremental SemDeDup off the frozen IVF-SQ8 artifact (VERDICT r9
+    // #8, the embedding analogue of q82's signature-index dedup): the old
+    // half of the corpus builds the index and freezes the quantizer; the
+    // new half prunes against the index (quantized prefilter at
+    // tau − margin sweeps the compact codes, floats confirm candidates
+    // only) plus itself. Survivors ≡ full semDedup over old ∪ batch
+    // restricted to the batch — the oracle replays exactly that, with the
+    // coarse k-means trained on the old half only
+    Q("q145_semdedup_incremental",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val half = e.agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
+        val old = e.where(col("vec_id") < half)
+        val batch = e.where(col("vec_id") >= half)
+        val cents = Similarity.kmeansCentroids(old, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val path = artifactPath("ivf_sq8_semdedup_q145")
+        Similarity.saveIvfSq8Index(old, "vec_id", "embedding", cents, path)
+        Similarity.semDedupBatchFromIndex(s.read.parquet(path), old, batch,
+          "vec_id", "embedding", cents, tau = 0.25)
+          .select(col("vec_id"), col("cell"))
+          .orderBy(col("vec_id"))
+      },
+      Some(semDedupIncrementalOracleSql))
   )
 
   /** The SQ8 ANN replay (q118 and, artifact-loaded, q126): quantize, rank
@@ -2319,6 +2344,55 @@ object QueriesExt {
                FROM ex)
         SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 5
         ORDER BY q_id, rnk"""
+  }
+
+  /** The incremental-SemDeDup replay (q145): coarse k-means trains on the
+    * old half only (vec_id below the midpoint), ALL vectors assign
+    * against those frozen cells, and a BATCH row loses iff any same-cell
+    * row with a smaller id — old or batch — sits within cosine 0.25;
+    * survivors are the batch minus losers. This is full-corpus semDedup's
+    * loser rule restricted to the batch, which is exactly the
+    * equivalence `semDedupBatchFromIndex` guarantees.
+    */
+  private def semDedupIncrementalOracleSql: String = {
+    val old = """(SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < (SELECT th FROM thr))"""
+    val all = "(SELECT vec_id, embedding FROM embeddings)"
+    def assignCte(centsRel: String, tag: String, src: String) =
+      s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                      FROM $centsRel GROUP BY cell),
+          ${tag}s AS (SELECT a.vec_id, a.embedding, v.cell,
+                             ${cosSql("a.embedding", "v.centroid")} AS cos
+                      FROM $src a, ${tag}v v),
+          ${tag}r AS (SELECT vec_id, embedding, cell,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cell) AS rk
+                      FROM ${tag}s),
+          ${tag}c AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                             round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+                      FROM ${tag}r, range(1, 65) u(i)
+                      WHERE rk = 1 GROUP BY cell, pos)"""
+    s"""WITH thr AS (SELECT (max(vec_id) + 1) // 2 AS th FROM embeddings),
+         i0 AS (SELECT vec_id, embedding,
+                  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                    AS cell
+                FROM $old o ORDER BY vec_id LIMIT 8),
+         c0 AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                       round(CAST(embedding[i] AS DOUBLE), 6) AS v
+                FROM i0, range(1, 65) u(i)),
+         ${assignCte("c0", "x", old)},
+         ${assignCte("xc", "y", old)},
+         ${assignCte("yc", "z", all)},
+         st AS (SELECT vec_id, embedding, cell FROM zr WHERE rk = 1),
+         losers AS (SELECT DISTINCT b.vec_id
+                    FROM st a JOIN st b
+                      ON a.cell = b.cell AND a.vec_id < b.vec_id
+                    WHERE b.vec_id >= (SELECT th FROM thr)
+                      AND ${cosSql("a.embedding", "b.embedding")} >= 0.25)
+        SELECT s.vec_id, s.cell FROM st s
+        WHERE s.vec_id >= (SELECT th FROM thr)
+          AND s.vec_id NOT IN (SELECT vec_id FROM losers)
+        ORDER BY s.vec_id"""
   }
 
   /** The FROZEN-quantizer residual IVF-PQ replay (q142): the coarse

@@ -970,6 +970,60 @@ object Similarity {
       .select(col("id").as(idCol), col("max_cos"))
   }
 
+  /** Incremental SemDeDup: prune a NEW batch against the frozen IVF-SQ8
+    * index of the existing corpus, plus itself — the embedding analogue
+    * of the persisted-signature-index text dedup (q82). A batch row is
+    * dropped iff some same-cell row with a smaller id sits within cosine
+    * `tau`: an index row (cross leg — the quantized prefilter at
+    * `tau − margin` sweeps the COMPACT index, floats confirm only the
+    * candidates, the q134 discipline) or an earlier batch row (within
+    * leg — the guarded `cosineDupPairs` over the batch alone).
+    *
+    * EQUIVALENCE CONTRACT (q145 proves it): because full-corpus
+    * [[semDedup]]'s loser rule is exactly "any smaller-id same-cell
+    * neighbor ≥ tau", the batch survivors here equal full-corpus semDedup
+    * over old ∪ batch RESTRICTED to the batch — PROVIDED the index holds
+    * ALL old rows (not only old survivors), every batch id exceeds every
+    * old id, and both use the same frozen `cents`.
+    *
+    * Scale shape: O(index ⋈ batch) work, never O(corpus²): the cross leg
+    * is a cell-keyed join whose pair volume is Σ_cell |idx|·|batch| (with
+    * [[AutoCells]] quantizers the cell key cardinality grows as √N, so
+    * the join parallelizes); no old VECTOR is read except the float
+    * confirm rows. `corpus` is the primary float store, consulted by
+    * candidate id alone.
+    */
+  def semDedupBatchFromIndex(index: DataFrame, corpus: DataFrame,
+      batch: DataFrame, idCol: String, vecCol: String, cents: DataFrame,
+      tau: Double, margin: Double = SqQuantMargin,
+      maxCell: Int = DefaultMaxCell, dim: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions.{int8DotNative, packInt8Native}
+    // one assignment pass serves the cross leg, the within leg, and the
+    // final anti-join (the semDedup materialization rationale)
+    val stamped = assignCells(batch, idCol, vecCol, cents).localCheckpoint(true)
+    val bq = quantizeInt8(stamped, idCol, vecCol).select(
+      col(idCol).as("b_id"), col("cell"),
+      col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"),
+      packInt8Native(col("codes")).as("b_codes"), col("cnorm").as("b_cn"))
+    val icos = when(col("cnorm") * col("b_cn") === lit(0.0), lit(-2.0))
+      .otherwise(int8DotNative(col("codes"), col("b_codes")).cast("double")
+        / (col("cnorm") * col("b_cn")))
+    val cand = index.select(col("cell"), col(idCol).as("id"),
+        col("codes"), col("cnorm"))
+      .join(bq, Seq("cell"))
+      .where(icos >= lit(tau - margin))
+      .select(col("id"), col("b_id"), col("c_vec"), col("c_norm"))
+    val tr = corpus.select(col(idCol).as("id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val crossLosers = cand.join(tr, Seq("id"))
+      .where(cosPrenormed >= lit(tau))
+      .select(col("b_id").as(idCol))
+    val withinLosers = cosineDupPairs(stamped, idCol, vecCol, "cell", tau,
+      maxCell, dim).select(col("id_b").as(idCol))
+    stamped.join(crossLosers.unionByName(withinLosers).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   // ---- product quantization (PQ / ADC) -----------------------------------
 
   /** Product-quantization codebooks: the vector is split into `m`

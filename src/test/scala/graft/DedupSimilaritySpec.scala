@@ -762,6 +762,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows(served) == inMem)
   }
 
+  test("semDedupBatchFromIndex ≡ full-corpus semDedup restricted to the batch") {
+    // clustered corpus with batch-only clusters: old ids 0..29 span
+    // clusters 0..9; batch ids 30..59 span clusters 0..14, so clusters
+    // 10..14 first appear IN the batch — their first members must survive
+    // (no smaller neighbor anywhere), their second members drop within-
+    // batch, and batch rows in clusters 0..9 drop against the index
+    val vecs = (0 until 60).map { i =>
+      val c = if (i < 30) i % 10 else (i - 30) % 15
+      val base = Array.fill(64)(0f)
+      base(c * 4) = 10f
+      base(c * 4 + 1) = (i / 15).toFloat * 0.01f // jitter: no exact dups
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val old = vecs.where($"vec_id" < 30)
+    val batch = vecs.where($"vec_id" >= 30)
+    val cents = Similarity.kmeansCentroids(old, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val index = Similarity.sq8IndexWithCells(old, "vec_id", "embedding", cents)
+    val inc = Similarity.semDedupBatchFromIndex(index, old, batch,
+      "vec_id", "embedding", cents, tau = 0.9)
+      .select($"vec_id").as[Long].collect().toSet
+    // reference: full semDedup over old ∪ batch with the SAME frozen cents
+    val full = Similarity.semDedup(vecs, "vec_id", "embedding", cents,
+      tau = 0.9).select($"vec_id").as[Long].collect().toSet
+    assert(inc == full.filter(_ >= 30),
+      s"batch survivors must equal full-dedup survivors restricted to the batch\n" +
+        s"inc=$inc\nfull_batch=${full.filter(_ >= 30)}")
+    assert(inc.nonEmpty && inc.size < batch.count(),
+      "the fixture must exercise both keeps and drops")
+  }
+
   test("filtered ANN: predicate reaches the artifact scan as a PushedFilter " +
     "and the result is the exact top-k over the filtered corpus") {
     val vecs = (0 until 48).map { i =>

@@ -1990,7 +1990,35 @@ object QueriesExt {
           .select(col("vec_id"), col("cell"))
           .orderBy(col("vec_id"))
       },
-      Some(semDedupIncrementalOracleSql))
+      Some(semDedupIncrementalOracleSql)),
+
+    // graph-dedup composition (VERDICT r9 missing #6): the q139 kNN graph
+    // thresholded to near-dup edges → pointer-jumping connected
+    // components (q43's dupClusters) → keep-best per cluster (largest
+    // norm, ties to the smaller id) — the three operators gated as ONE
+    // CTE chain: knn replay → recursive reach → ranked survivors
+    Q("q146_knn_graph_dedup",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val edges = Similarity.knnGraph(e, "vec_id", "embedding", cents,
+            k = 3, nprobe = 2)
+          .where(col("cos") >= 0.3)
+          .select(least(col("q_id"), col("c_id")).as("id_a"),
+            greatest(col("q_id"), col("c_id")).as("id_b"))
+        val clusters = Dedup.dupClusters(e.select(col("vec_id")), "vec_id",
+          edges)
+        val nrm = e.select(col("vec_id"),
+          round(Similarity.norm(col("embedding")), 6).as("nrm"))
+        clusters.join(nrm, Seq("vec_id"))
+          .groupBy(col("cluster_id"))
+          .agg(max_by(col("vec_id"), struct(col("nrm"), -col("vec_id")))
+            .as("keep_id"),
+            count(lit(1)).as("n_members"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(knnGraphDedupOracleSql))
   )
 
   /** The SQ8 ANN replay (q118 and, artifact-loaded, q126): quantize, rank
@@ -2344,6 +2372,79 @@ object QueriesExt {
                FROM ex)
         SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 5
         ORDER BY q_id, rnk"""
+  }
+
+  /** The graph-dedup composition replay (q146): the q139 kNN chain (coarse
+    * k-means → 2-cell probes → per-vector top-3) thresholded at cos ≥ 0.3
+    * into undirected edges, transitively closed with a RECURSIVE reach CTE
+    * (the q43 labeling), then one survivor per cluster by (norm DESC, id).
+    */
+  private def knnGraphDedupOracleSql: String = {
+    def assignCte(centsRel: String, tag: String) =
+      s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                      FROM $centsRel GROUP BY cell),
+          ${tag}s AS (SELECT a.vec_id, a.embedding, v.cell,
+                             ${cosSql("a.embedding", "v.centroid")} AS cos
+                      FROM (SELECT vec_id, embedding FROM embeddings) a, ${tag}v v),
+          ${tag}r AS (SELECT vec_id, embedding, cell,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cell) AS rk
+                      FROM ${tag}s),
+          ${tag}c AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                             round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+                      FROM ${tag}r, range(1, 65) u(i)
+                      WHERE rk = 1 GROUP BY cell, pos)"""
+    s"""WITH RECURSIVE i0 AS (SELECT vec_id, embedding,
+                      CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                        AS cell
+                    FROM embeddings ORDER BY vec_id LIMIT 8),
+         c0 AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                       round(CAST(embedding[i] AS DOUBLE), 6) AS v
+                FROM i0, range(1, 65) u(i)),
+         ${assignCte("c0", "x")},
+         ${assignCte("xc", "y")},
+         ${assignCte("yc", "z")},
+         cent AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                  FROM yc GROUP BY cell),
+         probes AS (SELECT q_id, q_vec, cell FROM (
+                      SELECT e.vec_id AS q_id, e.embedding AS q_vec,
+                             cent.cell,
+                             row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY ${cosSql("e.embedding", "cent.centroid")} DESC,
+                                        cent.cell) AS pr
+                      FROM embeddings e, cent)
+                    WHERE pr <= 2),
+         c AS (SELECT cell, vec_id AS c_id, embedding AS c_vec
+               FROM zr WHERE rk = 1),
+         sc AS (SELECT q_id, c_id, ${cosSql("q_vec", "c_vec")} AS cos
+                FROM probes JOIN c USING (cell) WHERE q_id <> c_id),
+         knn AS (SELECT q_id, c_id, cos,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY cos DESC, c_id) AS rnk
+                 FROM sc),
+         edges0 AS (SELECT least(q_id, c_id) AS a, greatest(q_id, c_id) AS b
+                    FROM knn WHERE rnk <= 3 AND cos >= 0.3),
+         edges AS (SELECT a, b FROM edges0
+                   UNION ALL SELECT b, a FROM edges0),
+         reach(src, dst) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         lbl AS (SELECT src AS id, least(src, min(dst)) AS cluster
+                 FROM reach GROUP BY src),
+         labeled AS (SELECT e.vec_id,
+                            coalesce(l.cluster, e.vec_id) AS cluster_id,
+                            round(sqrt(${dotSqlN("e.embedding", "e.embedding", 64)}), 6)
+                              AS nrm
+                     FROM embeddings e LEFT JOIN lbl l ON l.id = e.vec_id),
+         ranked AS (SELECT cluster_id, vec_id,
+                           row_number() OVER (PARTITION BY cluster_id
+                             ORDER BY nrm DESC, vec_id) AS rk,
+                           count(*) OVER (PARTITION BY cluster_id) AS n_members
+                    FROM labeled)
+        SELECT cluster_id, vec_id AS keep_id,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rk = 1 ORDER BY cluster_id"""
   }
 
   /** The incremental-SemDeDup replay (q145): coarse k-means trains on the

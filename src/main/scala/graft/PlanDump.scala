@@ -51,7 +51,14 @@ object PlanDump {
         // integer prefilter on the ARTIFACT scan, float join only above
         // it; q135 the IVF-PQ code/LUT/probe broadcast-join stack. q133
         // is omitted like q126's write half (artifact writes at build)
-        "q132_ann_ivf_sq8", "q134_semantic_decon_indexed", "q135_ann_ivf_pq")
+        "q132_ann_ivf_sq8", "q134_semantic_decon_indexed", "q135_ann_ivf_pq",
+        // round 10: q143 shows filtered ANN — the label predicate lands in
+        // the SAME artifact scan as the dynamicpruning cell filter
+        // (PushedFilters + PartitionFilters on one node), with the float
+        // store joined only above the rescore cut. q141/q142/q145/q146
+        // are omitted like q133 (artifact writes / localCheckpoints at
+        // build); q144 like q43 (eager banded pairs checkpoint inside)
+        "q143_ann_filtered")
       .foreach { q =>
       out.append(s"===== $q =====\n")
       out.append(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

@@ -241,6 +241,76 @@ object StreamingIngest {
       }
     }
 
+  /** Streaming SEMANTIC dedup at ingest — the in-stream form of
+    * `Similarity.semDedupBatchFromIndex` (q145): each micro-batch prunes
+    * against the IVF-SQ8 index of all PRIOR survivors plus itself, then
+    * appends its own survivors' floats (the deduped sink, which doubles
+    * as the float store for later confirms) and quantized index rows.
+    * The coarse quantizer is FROZEN at stream start (the faiss `add`
+    * contract); `compactEvery` folds index epochs with the replay-safe
+    * below-batch cut.
+    *
+    * Semantics: across batches, greedy — a row is dropped iff within
+    * `tau` of an earlier SURVIVOR (dropped rows are represented by their
+    * keeper); within a batch, the full SemDeDup loser rule (any
+    * smaller-id same-cell neighbor). Deterministic for a fixed batch
+    * decomposition.
+    */
+  def semDedupStream(vecs: DataFrame, indexDir: String,
+      survivorsDir: String, checkpointDir: String, cents: DataFrame,
+      tau: Double, idCol: String = "vec_id", vecCol: String = "embedding",
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        semDedupBatch(batch, batchId, indexDir, survivorsDir, cents, tau,
+          idCol, vecCol)
+        maybeAutoCompactSq8(batch.sparkSession, indexDir, batchId,
+          compactEvery, idCol)
+      }
+      .start()
+
+  /** One [[semDedupStream]] micro-batch, factored out so specs drive
+    * exactly the stream's code path. Replay-idempotent by the
+    * [[nearDupBatch]] discipline: both artifact reads take only
+    * `batch_id < batchId` rows (a crash between the writes and the
+    * checkpoint commit replays this batch against exactly the pre-batch
+    * state — the compacted epoch is `-1`, always below), and both writes
+    * dynamic-overwrite the batch's own partition.
+    */
+  def semDedupBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      survivorsDir: String, cents: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    if (!batch.isEmpty) {
+      import graft.ext.Similarity
+      val spark = batch.sparkSession
+      val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (index, corpus) =
+        if (fs.exists(indexPath))
+          (spark.read.parquet(indexDir).where(col("batch_id") < lit(batchId)),
+            spark.read.parquet(survivorsDir)
+              .where(col("batch_id") < lit(batchId)))
+        else
+          // bootstrap: empty relations with the exact index/store schemas
+          (Similarity.sq8IndexWithCells(batch.limit(0), idCol, vecCol, cents),
+            batch.limit(0).select(col(idCol), col(vecCol)))
+      val surv = Similarity.semDedupBatchFromIndex(index, corpus, batch,
+        idCol, vecCol, cents, tau)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        surv.select(col(idCol), col(vecCol))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(survivorsDir)
+        Similarity.appendSq8IndexWithCells(
+          surv.select(col(idCol), col(vecCol)), idCol, vecCol, cents,
+          indexDir, batchId)
+      } finally { surv.unpersist(); () }
+    }
+
   /** One [[nearDupStream]] micro-batch — factored out so the replay/soak
     * specs drive exactly the code the stream runs. Idempotent under
     * at-least-once replay: the index read takes only `batch_id < batchId`

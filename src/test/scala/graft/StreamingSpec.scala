@@ -254,6 +254,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("semDedupBatch: greedy streaming semantic dedup, replay-idempotent") {
+    import graft.ext.Similarity
+    val base = java.nio.file.Files.createTempDirectory("semdedup_stream")
+    val (indexDir, survDir) = (s"$base/index", s"$base/surv")
+    // orthogonal one-hot clusters: cos ≈ 1 within a cluster, 0 across
+    def vec(c: Int, jitter: Int) = {
+      val a = Array.fill[Float](64)(0f)
+      a(c * 4) = 10f; a(c * 4 + 1) = jitter * 0.01f; a
+    }
+    // batch 1: ids 0..9 over clusters 0..4 twice — ids 0..4 survive
+    val b1 = (0 until 10).map(i => (i.toLong, vec(i % 5, i))).toDF("vec_id", "embedding")
+    // batch 2: 10..14 hit clusters 0..4 (drop vs index), 15/16 cluster 5
+    // (15 survives, 16 drops within-batch), 17/18 cluster 6 (17 survives),
+    // 19 cluster 0 (drop vs index)
+    val b2 = ((10 to 14).map(i => (i.toLong, vec(i - 10, i))) ++
+      Seq((15L, vec(5, 15)), (16L, vec(5, 16)),
+        (17L, vec(6, 17)), (18L, vec(6, 18)), (19L, vec(0, 19))))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(b1, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    StreamingIngest.semDedupBatch(b1, 0L, indexDir, survDir, cents, tau = 0.9)
+    def survivors() = spark.read.parquet(survDir)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(survivors() == Set(0L, 1L, 2L, 3L, 4L),
+      s"batch 1 keeps one per cluster: ${survivors()}")
+    StreamingIngest.semDedupBatch(b2, 1L, indexDir, survDir, cents, tau = 0.9)
+    assert(survivors() == Set(0L, 1L, 2L, 3L, 4L, 15L, 17L),
+      s"batch 2 keeps only the new clusters' first members: ${survivors()}")
+    // replay batch 2 (crash before checkpoint commit): reads only the
+    // pre-batch state, rewrites its own partitions — output unchanged
+    StreamingIngest.semDedupBatch(b2, 1L, indexDir, survDir, cents, tau = 0.9)
+    assert(survivors() == Set(0L, 1L, 2L, 3L, 4L, 15L, 17L),
+      "replay rewrites identical survivors")
+    // the index artifact tracks survivors exactly (one row each)
+    val idxIds = spark.read.parquet(indexDir)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(idxIds == Seq(0L, 1L, 2L, 3L, 4L, 15L, 17L))
+  }
+
   test("per-row curation ops run unchanged on a stream (batch ≡ streaming)") {
     import graft.ext.TextAnalysis
     // the quality/PII/chunk-prep operators are pure per-row Column trees, so

@@ -221,4 +221,43 @@ class PropertySpec extends AnyFunSuite {
     assert(maxGap < Similarity.SqQuantMargin,
       "prefilter margin dominates the realized gap")
   }
+
+  test("property: dHash is EXACTLY invariant to uniform brightness shifts") {
+    // dHash bit (r,c) compares sum_c·n_{c+1} vs sum_{c+1}·n_c; a uniform
+    // shift g → g+δ (no clipping) adds the SAME δ·W·n_c·n_{c+1} term to
+    // both sides (W = the luma weight sum 1000), so every strict
+    // comparison — hence every bit — is preserved exactly, not
+    // approximately. The perceptual claim ("robust to exposure change")
+    // is an algebraic identity for this hash; pin it as one.
+    import graft.ext.Multimodal
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val cases = Gen.listOfN(20, for {
+      seed <- Gen.chooseNum(1L, 1000000L)
+      delta <- Gen.chooseNum(1, 60)
+    } yield (seed, delta)).sample.get
+    val media = cases.zipWithIndex.flatMap { case ((seed, delta), i) =>
+      // base capped to 255 - delta so the shift never clips
+      def png(shift: Int): Array[Byte] = {
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+          Multimodal.syntheticNoisePng(27, 16, seed)))
+        val img = new java.awt.image.BufferedImage(27, 16,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        for (y <- 0 until 16; x <- 0 until 27) {
+          val g = math.min(src.getRGB(x, y) & 0xff, 255 - 60) + shift
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      Seq(Multimodal.MediaRow(i * 2L, "png", png(0)),
+        Multimodal.MediaRow(i * 2L + 1, "png", png(delta)))
+    }.toDS()
+    val h = Multimodal.perceptualHashes(media).toDF()
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    cases.indices.foreach { i =>
+      assert(h(i * 2L) == h(i * 2L + 1),
+        s"case $i (${cases(i)}): shift changed the hash")
+    }
+  }
 }

@@ -95,8 +95,10 @@ object Bench {
       }
       .mkString("{", ",", "}")
     // Failures ride in their own field — a consumer that sorts/averages the
-    // timings must never silently ingest a failure sentinel; the timing of
-    // a failed query stays its (positive) elapsed-until-crash seconds.
+    // timings must never silently ingest a failure sentinel. A failed
+    // query's reported time is the median of its SUCCESSFUL reps when any
+    // passed (flaky), else the median of its elapsed-until-crash times;
+    // min/max in the file detail carry the full spread either way.
     val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // headline total aggregates SUCCESSFUL medians only — a crash's

@@ -1953,10 +1953,14 @@ object QueriesExt {
       (s, d) => {
         import s.implicits._
         val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        // copy-id offset derived from the data, not a constant: a fixed
+        // +1e6 would collide with real doc_ids once the table passes 1M
+        // rows, silently corrupting the pair set at larger SFs
+        val off = ids.agg(max(col("doc_id"))).as[Long].head() + 1L
         val base = ids.map(id => Multimodal.MediaRow(id, "png",
           Multimodal.syntheticNoisePng(36, 24, id)))
         val copies = ids.filter((id: Long) => id % 10 == 0).map(id =>
-          Multimodal.MediaRow(id + 1000000L, "png",
+          Multimodal.MediaRow(id + off, "png",
             Multimodal.syntheticNoisePng(36, 24, id,
               perturbCell = Some((4, 4)))))
         val hashes = Multimodal.perceptualHashes(base.unionAll(copies))(s).toDF()
@@ -1964,7 +1968,8 @@ object QueriesExt {
           .select(col("id_a"), col("id_b"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+      Some("""SELECT doc_id AS id_a,
+                     doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id_b
               FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a, id_b""")),
 
     // incremental SemDeDup off the frozen IVF-SQ8 artifact (VERDICT r9

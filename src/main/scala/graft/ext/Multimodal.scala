@@ -405,11 +405,17 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
+          // NonFatal, not just IOException: ImageIO decoders throw
+          // unchecked exceptions on real-world corrupt files (CMMException
+          // on broken ICC profiles, IllegalArgument/NegativeArraySize on
+          // malformed rasters) — any of them must degrade to null halves,
+          // not kill the task
           val img =
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(r.payload))
-            catch { case _: java.io.IOException => null }
-          if (img == null || img.getWidth < 9 || img.getHeight < 8)
+            catch { case scala.util.control.NonFatal(_) => null }
+          val minW = if (isD) 9 else 8 // dHash needs the 9-column grid
+          if (img == null || img.getWidth < minW || img.getHeight < 8)
             ImageHashRow(r.media_id, None, None)
           else {
             val (gw, gh) = (if (isD) 9 else 8, 8)
@@ -435,14 +441,25 @@ object Multimodal {
             }
             var hi = 0L; var lo = 0L
             var bit = 0
+            // cross-multiplied comparison, overflow-safe: the Long fast
+            // path is exact while both products fit (aHash's
+            // sum·totalCnt ≈ 3984·(w·h)² crosses 2⁶³ near 48 MP — a
+            // plausible camera image, not a degenerate input); above the
+            // bound the same comparison runs in BigInt, bit-identical
+            // where both paths are defined
+            def gtQ(sa: Long, na: Long, sb: Long, nb: Long): Boolean =
+              if (sa <= Long.MaxValue / math.max(nb, 1L) &&
+                  sb <= Long.MaxValue / math.max(na, 1L))
+                sa * nb > sb * na
+              else BigInt(sa) * nb > BigInt(sb) * na
             if (isD) {
               var ry = 0
               while (ry < 8) {
                 var cx = 0
                 while (cx < 8) {
                   // avg(c) > avg(c+1) ⟺ sum_c·n_{c+1} > sum_{c+1}·n_c
-                  val b = sums(ry)(cx) * cnts(ry)(cx + 1) >
-                    sums(ry)(cx + 1) * cnts(ry)(cx)
+                  val b = gtQ(sums(ry)(cx), cnts(ry)(cx),
+                    sums(ry)(cx + 1), cnts(ry)(cx + 1))
                   if (b) { if (bit < 32) hi |= 1L << (31 - bit)
                            else lo |= 1L << (63 - bit) }
                   bit += 1; cx += 1
@@ -458,7 +475,7 @@ object Multimodal {
               while (ay < 8) {
                 var cx = 0
                 while (cx < 8) {
-                  val b = sums(ay)(cx) * tCnt > tSum * cnts(ay)(cx)
+                  val b = gtQ(sums(ay)(cx), cnts(ay)(cx), tSum, tCnt)
                   if (b) { if (bit < 32) hi |= 1L << (31 - bit)
                            else lo |= 1L << (63 - bit) }
                   bit += 1; cx += 1

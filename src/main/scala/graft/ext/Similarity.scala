@@ -523,20 +523,25 @@ object Similarity {
     */
   def knnGraphAuto(df: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int, iters: Int = 2,
-      checkpoint: Boolean = false): DataFrame =
+      checkpoint: Boolean = true): DataFrame =
     knnGraph(df, idCol, vecCol,
       kmeansCentroids(df, idCol, vecCol, AutoCells, iters), k, nprobe,
       checkpoint)
 
-  /** `checkpoint = false` (default) materializes the shared scoring pass
-    * with `persist` + force: lineage survives, so a lost cached block on
-    * a real cluster recomputes instead of failing the job (the
-    * SurrogateKeys discipline). `true` keeps the round-8
-    * `localCheckpoint` form — cheaper on a single node, lineage-severed.
+  /** `checkpoint` picks the materialization of the shared scoring pass:
+    * `true` (default) is the self-releasing `localCheckpoint` form — the
+    * blocks free via the ContextCleaner once the result frame is
+    * unreferenced, so repeated calls in a long-lived session never
+    * accumulate cache entries; the cost is severed lineage (a lost block
+    * on a real cluster fails the job). `false` materializes with
+    * `persist` + force instead: lineage survives executor loss (the
+    * SurrogateKeys discipline), but the CacheManager pins one
+    * corpus-sized entry per call until `spark.catalog.clearCache()` or
+    * session end — callers on that path own the cache lifecycle.
     */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, k: Int, nprobe: Int,
-      checkpoint: Boolean = false): DataFrame = {
+      checkpoint: Boolean = true): DataFrame = {
     val cvecs = cellCentroidVectors(cents)
     val q = df.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"))
@@ -984,7 +989,14 @@ object Similarity {
     * neighbor ≥ tau", the batch survivors here equal full-corpus semDedup
     * over old ∪ batch RESTRICTED to the batch — PROVIDED the index holds
     * ALL old rows (not only old survivors), every batch id exceeds every
-    * old id, and both use the same frozen `cents`.
+    * old id, both use the same frozen `cents`, AND no cell exceeds
+    * `maxCell`: above the cap the full form sub-splits the hot cell
+    * (missing cross-sub-cell pairs by design) while this cross leg stays
+    * exact, so the incremental form can drop rows the capped full form
+    * keeps. The cross leg is deliberately unguarded — its volume is
+    * Σ_cell |index|·|batch|, bounded by |batch| per index row (never the
+    * corpus-quadratic Σ|cell|² the guard exists for); keep the quantizer
+    * at [[AutoCells]] sizing so no cell grows hot in the first place.
     *
     * Scale shape: O(index ⋈ batch) work, never O(corpus²): the cross leg
     * is a cell-keyed join whose pair volume is Σ_cell |idx|·|batch| (with

@@ -986,7 +986,8 @@ object TextAnalysis {
     * [[bigramLmScores]], or [[knBigramScores]] for the Kneser-Ney form
     * CCNet actually presupposes (q130). Contract is name-based: the frame
     * must contain `idCol`, and the score is the column named `lm_score` if
-    * present (both built-in LMs emit it), else the frame's LAST non-id
+    * present (the default [[bigramLmScores]] emits it; [[knBigramScores]]'
+    * `kn_score` resolves via the fallback), else the frame's LAST non-id
     * column — so a minimal (id, score) scorer works, and a frame whose
     * score happens not to sit at position 2 can no longer be silently
     * mis-bucketed the way the old positional `columns(2)` contract allowed.

@@ -108,6 +108,34 @@ object AnnSweep {
       println(f"ivf-sq8 nprobe=$np recall@5=$r%.4f candidates=$probed " +
         f"(brute=$brute, ${probed.toDouble / brute * 100}%.1f%%) wall=$dt%.1fs")
     }
+    // ---- filtered ANN: recall vs predicate selectivity ------------------
+    // The q143 operator's documented caveat, measured: a pre-filter thins
+    // every cell, so FIXED nprobe/overfetch lose recall as selectivity
+    // drops — the filtered baseline is brute force over the FILTERED
+    // corpus, and the knob that restores recall is probing/overfetching
+    // for the filtered density, not the raw one.
+    println("== filtered IVF-SQ8: recall@5 vs selectivity (8 cells) ==")
+    val idxAttr = Similarity.sq8IndexWithCells(e, "vec_id", "embedding",
+      cents, attrs = Seq("label")).localCheckpoint(true)
+    for (modk <- Seq(2, 3, 5, 10)) {
+      val pred = col("label") % modk === 0
+      val bfF = Similarity.bruteForceTopK(q, e.where(pred),
+          "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("c_id")).persist()
+      val nQF = bfF.select(col("q_id")).distinct().count()
+      def recallF(ann: DataFrame): Double =
+        bfF.join(ann.select(col("q_id"), col("c_id")), Seq("q_id", "c_id"))
+          .count().toDouble / (nQF * 5)
+      for ((np, of) <- Seq((2, 4), (4, 4), (4, 16), (8, 16))) {
+        val r = recallF(Similarity.ivfQuantizedTopK(idxAttr, cents, q, e,
+          "vec_id", "embedding", k = 5, nprobe = np, overfetch = of,
+          filter = Some(pred)))
+        println(f"filtered sel=1/$modk nprobe=$np overfetch=$of%2d " +
+          f"recall@5=$r%.4f")
+      }
+      bfF.unpersist(); ()
+    }
+
     // ---- kNN-graph pair volume: cells must scale with the corpus --------
     // knnGraph's bound is Σ_v nprobe·|cell|: with a FIXED cell count a
     // grown corpus fattens every cell and pair volume goes ~N² — the

@@ -282,6 +282,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(edges.where($"q_id" === $"c_id").isEmpty)
   }
 
+  test("incremental SemDeDup cross-leg volume is linear in the index for a " +
+    "fixed batch") {
+    // the production regime: the batch is a fixed ingest unit while the
+    // index (prior corpus) grows — cross-leg pair volume Σ_cell
+    // |idx_cell|·|batch_cell| must scale with the INDEX, not its square
+    def corpus(n: Int, off: Long) = (1L to n.toLong)
+      .map(i => (i + off, Array.tabulate(8)(j =>
+        (((i + off) * 13 + j * 7) % 19 - 9).toFloat)))
+      .filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+    val batch = corpus(200, 1000000L) // fixed ingest unit, ids above all
+    val old1 = corpus(1000, 0L)
+    val old10 = corpus(10000, 0L)
+    val cents = Similarity.kmeansCentroids(old1, "vec_id", "embedding",
+      k = 8, iters = 1).localCheckpoint(true) // frozen at init, per contract
+    def crossVolume(old: org.apache.spark.sql.DataFrame): Long = {
+      val idx = Similarity.sq8IndexWithCells(old, "vec_id", "embedding", cents)
+      val idxSizes = idx.groupBy($"cell").count()
+        .withColumnRenamed("count", "ni")
+      val bSizes = Similarity.assignCells(batch, "vec_id", "embedding", cents)
+        .groupBy($"cell").count().withColumnRenamed("count", "nb")
+      idxSizes.join(bSizes, Seq("cell"))
+        .agg(sum($"ni" * $"nb")).as[Long].head()
+    }
+    val ratio = crossVolume(old10).toDouble / crossVolume(old1)
+    assert(ratio > 5 && ratio < 20,
+      s"10x index with a fixed batch must cost ~10x, got $ratio")
+  }
+
   test("hot-cell LSH level keeps within-cluster pairs an id split would sever") {
     // one oversized cell holding TWO tight clusters on opposite sides of
     // the origin: the sign-bucket split separates the clusters, not the

@@ -293,6 +293,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(idxIds == Seq(0L, 1L, 2L, 3L, 4L, 15L, 17L))
   }
 
+  test("semDedup soak: survivors stay correct and index partitions bounded " +
+    "under automatic compaction") {
+    import graft.ext.Similarity
+    val base = java.nio.file.Files.createTempDirectory("semdedup_soak")
+    val (indexDir, survDir) = (s"$base/index", s"$base/surv")
+    // 12 batches over 24 clusters: batch b carries clusters 2b and 2b+1
+    // (both new — survive) plus a revisit of cluster 0 (always drops)
+    def vec(c: Int, jitter: Int) = {
+      val a = Array.fill[Float](96)(0f)
+      a(c * 4) = 10f; a(c * 4 + 1) = jitter * 0.01f; a
+    }
+    val train = (0 until 8).map(i => (i.toLong, vec(i, i)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(train, "vec_id", "embedding",
+      k = 4, iters = 1).localCheckpoint(true)
+    (0 until 12).foreach { b =>
+      val rows = Seq(
+        (b * 10L + 1, vec(2 * b, b)), (b * 10L + 2, vec(2 * b + 1, b)),
+        (b * 10L + 3, vec(0, 100 + b))) // cluster-0 revisit
+      val batch = rows.toDF("vec_id", "embedding")
+      StreamingIngest.semDedupBatch(batch, b.toLong, indexDir, survDir,
+        cents, tau = 0.9)
+      StreamingIngest.maybeAutoCompactSq8(spark, indexDir, b.toLong,
+        compactEvery = 4)
+    }
+    val surv = spark.read.parquet(survDir).select($"vec_id")
+      .as[Long].collect().toSet
+    // batch 0 keeps all three (clusters 0,1 new + first cluster-0 row is
+    // id 1 which IS cluster 0 — id 3 drops within-batch); later batches
+    // keep exactly their two new clusters' rows
+    val expected = Set(1L, 2L) ++
+      (1 until 12).flatMap(b => Seq(b * 10L + 1, b * 10L + 2)).toSet
+    assert(surv == expected, s"soak survivors: ${surv.toSeq.sorted}")
+    // compaction bounds the live index partitions: folded epoch + at most
+    // compactEvery-1 trailing batch partitions
+    val parts = spark.read.parquet(indexDir)
+      .select("batch_id").distinct().as[Long].collect().toSet
+    assert(parts.contains(-1L) && parts.size <= 5,
+      s"compaction must bound partitions: $parts")
+  }
+
   test("per-row curation ops run unchanged on a stream (batch ≡ streaming)") {
     import graft.ext.TextAnalysis
     // the quality/PII/chunk-prep operators are pure per-row Column trees, so

@@ -1834,7 +1834,7 @@ object QueriesExt {
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("q_id"), col("rnk"))
       },
-      Some(ivfPqResidualOracleSql)),
+      Some(ivfPqResidualOracleSql())),
 
     // IVF over PQ codes — the other faiss composition (q132 = IVF×SQ8;
     // this = IVF×PQ): coarse k-means cells ride the code table, queries
@@ -1882,7 +1882,7 @@ object QueriesExt {
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("q_id"), col("rnk"))
       },
-      Some(ivfPqResidualOracleSql)),
+      Some(ivfPqResidualOracleSql())),
 
     // incremental IVF-PQ index (the q136 contract for the PQ tier): BOTH
     // quantizers — coarse centroids and residual codebooks — train on the
@@ -2023,8 +2023,160 @@ object QueriesExt {
             count(lit(1)).as("n_members"))
           .orderBy(col("cluster_id"))
       },
-      Some(knnGraphDedupOracleSql))
-  )
+      Some(knnGraphDedupOracleSql)),
+
+    // perceptual AUDIO near-dup (round 10, the q144 contract for sound):
+    // 64-bit energy-envelope fingerprint over REAL decoded PCM
+    // (javax.sound.sampled), Hamming-banded through the SAME
+    // simhash64DupPairs join. The fixture mirrors q144's id arithmetic:
+    // stepped-amplitude WAVs are fingerprint-independent across seeds
+    // (unrelated clips never band-match), and every 10th clip gets a copy
+    // with ONE window's amplitude re-rolled — at most 2 fingerprint bits
+    // move, so copy↔original is a guaranteed banded pair
+    Q("q147_audio_neardup",
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        val off = ids.agg(max(col("doc_id"))).as[Long].head() + 1L
+        val base = ids.map(id => Multimodal.MediaRow(id, "wav",
+          Multimodal.syntheticStepWav(id)))
+        val copies = ids.filter((id: Long) => id % 10 == 0).map(id =>
+          Multimodal.MediaRow(id + off, "wav",
+            Multimodal.syntheticStepWav(id, perturbWindow = Some(20))))
+        val prints =
+          Multimodal.audioFingerprints(base.unionAll(copies))(s).toDF()
+        Dedup.simhash64DupPairs(prints, "media_id", maxDist = 3)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT doc_id AS id_a,
+                     doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id_b
+              FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a, id_b""")),
+
+    // perceptual VIDEO near-dup (round 10, the q144 contract for video):
+    // dHash of the FIRST DECODED MJPEG FRAME out of the real RIFF/AVI
+    // walk (q115's parser), banded through the same join. The fixture's
+    // exactness trick: grayscale noise frames with dHash cells aligned to
+    // whole JPEG 8×8 blocks, so a copy perturbed inside ONE cell decodes
+    // IDENTICAL pixels everywhere else — lossy codec notwithstanding, at
+    // most 2 hash bits move and the pair set stays pure id arithmetic
+    Q("q148_video_neardup",
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        val off = ids.agg(max(col("doc_id"))).as[Long].head() + 1L
+        val base = ids.map(id => Multimodal.MediaRow(id, "avi",
+          Multimodal.syntheticNoiseAvi(72, 64, id)))
+        val copies = ids.filter((id: Long) => id % 10 == 0).map(id =>
+          Multimodal.MediaRow(id + off, "avi",
+            Multimodal.syntheticNoiseAvi(72, 64, id,
+              perturbCell = Some((4, 4)))))
+        val hashes =
+          Multimodal.videoFrameHashes(base.unionAll(copies))(s).toDF()
+        Dedup.simhash64DupPairs(hashes, "media_id", maxDist = 3)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT doc_id AS id_a,
+                     doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id_b
+              FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a, id_b""")),
+
+    // filtered ANN on the PQ tier (round 10 — q143's contract carried to
+    // the second index family): the label attribute rides the
+    // (batch, ccell)-partitioned IVF-PQ artifact, the predicate restricts
+    // candidates BEFORE ADC ranking inside the DPP-pruned scan, and the
+    // result is the exact top-5 among passing vectors. Replay = q141's
+    // oracle with the candidate set filtered at the code table
+    Q("q149_ann_filtered_pq",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val res = Similarity.residualVectors(e, "vec_id", "embedding", cents)
+          .localCheckpoint(true)
+        val booksR = Similarity.pqCodebooks(res, "vec_id", "rvec",
+          m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+        val path = artifactPath("ivf_pq_filt_q149")
+        Similarity.saveIvfPqIndex(e, "vec_id", "embedding", cents, booksR,
+          m = 4, subDim = 16, path, attrs = Seq("label"))
+        Similarity.ivfPqTopKFromIndex(
+          Similarity.loadIvfPqIndex(s, path), cents, booksR,
+          e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding",
+          m = 4, subDim = 16, k = 5, nprobe = 2, overfetch = 4,
+          filter = Some(col("label") % 3 === 0))
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(ivfPqResidualOracleSql(candFilterSql = "lb.label % 3 = 0"))),
+
+    // multimodal ASSET dedup (round 10 flagship for the media legs): an
+    // asset carries an image, an audio track, and a video channel; two
+    // assets are duplicates if ANY modality near-matches, scored by HOW
+    // MANY do — the union of the three banded pair joins grouped per
+    // pair. The fixture makes partial duplicates: every 6th asset's copy
+    // shares (perturbed) pixels, every 10th shares audio, every 15th
+    // shares video; modalities NOT shared get fresh seeds, so the
+    // modality count per pair is exact id arithmetic
+    Q("q150_multimodal_asset_dedup",
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        val off = ids.agg(max(col("doc_id"))).as[Long].head() + 1L
+        val copyIds = ids.filter((id: Long) =>
+          id % 6 == 0 || id % 10 == 0 || id % 15 == 0)
+        def pairs(hashes: DataFrame, tag: String): DataFrame =
+          Dedup.simhash64DupPairs(hashes, "media_id", maxDist = 3)
+            .select(col("id_a"), col("id_b"), lit(tag).as("modality"))
+        val img = pairs(Multimodal.perceptualHashes(
+          ids.map(id => Multimodal.MediaRow(id, "png",
+              Multimodal.syntheticNoisePng(36, 24, id)))
+            .unionAll(copyIds.map(id => Multimodal.MediaRow(id + off, "png",
+              if (id % 6 == 0)
+                Multimodal.syntheticNoisePng(36, 24, id,
+                  perturbCell = Some((4, 4)))
+              else Multimodal.syntheticNoisePng(36, 24, id + off)))))(s)
+          .toDF(), "image")
+        val aud = pairs(Multimodal.audioFingerprints(
+          ids.map(id => Multimodal.MediaRow(id, "wav",
+              Multimodal.syntheticStepWav(id)))
+            .unionAll(copyIds.map(id => Multimodal.MediaRow(id + off, "wav",
+              if (id % 10 == 0)
+                Multimodal.syntheticStepWav(id, perturbWindow = Some(20))
+              else Multimodal.syntheticStepWav(id + off)))))(s)
+          .toDF(), "audio")
+        val vid = pairs(Multimodal.videoFrameHashes(
+          ids.map(id => Multimodal.MediaRow(id, "avi",
+              Multimodal.syntheticNoiseAvi(72, 64, id)))
+            .unionAll(copyIds.map(id => Multimodal.MediaRow(id + off, "avi",
+              if (id % 15 == 0)
+                Multimodal.syntheticNoiseAvi(72, 64, id,
+                  perturbCell = Some((4, 4)))
+              else Multimodal.syntheticNoiseAvi(72, 64, id + off)))))(s)
+          .toDF(), "video")
+        img.unionByName(aud).unionByName(vid)
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).cast("int").as("n_modalities"),
+            array_sort(collect_list(col("modality"))).as("modalities"))
+          .withColumn("modalities", array_join(col("modalities"), ","))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+                     (CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN doc_id % 15 = 0 THEN 1 ELSE 0 END) AS nm,
+                     array_to_string(list_sort(
+                       (CASE WHEN doc_id % 6 = 0 THEN ['image']
+                             ELSE []::VARCHAR[] END)
+                     || (CASE WHEN doc_id % 10 = 0 THEN ['audio']
+                             ELSE []::VARCHAR[] END)
+                     || (CASE WHEN doc_id % 15 = 0 THEN ['video']
+                             ELSE []::VARCHAR[] END)), ',') AS mods
+              FROM documents)
+              SELECT doc_id AS id_a,
+                     doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id_b,
+                     CAST(nm AS INT) AS n_modalities,
+                     mods AS modalities
+              FROM m WHERE nm > 0 ORDER BY id_a, id_b""")))
 
   /** The SQ8 ANN replay (q118 and, artifact-loaded, q126): quantize, rank
     * integer cosines, overfetch 20, rescore with float cosine.
@@ -2296,7 +2448,12 @@ object QueriesExt {
     * chain re-rooted at `resid`/`rvec` → probes carrying the exact
     * `q·c_cell` decimal → ADC = qc + Σ residual LUT entries → rescore.
     */
-  private def ivfPqResidualOracleSql: String = {
+  /** `candFilterSql`: filtered-ANN replay on the PQ tier (q149) — the
+    * predicate (over `lb`, the embeddings row joined by candidate id)
+    * restricts the CANDIDATE set before ADC ranking, exactly where the
+    * engine's `filter` lands on the index relation.
+    */
+  private def ivfPqResidualOracleSql(candFilterSql: String = ""): String = {
     def assignCte(centsRel: String, tag: String) =
       s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
                       FROM $centsRel GROUP BY cell),
@@ -2355,7 +2512,11 @@ object QueriesExt {
          codes AS (SELECT c.vec_id AS c_id, c.sub, c.code AS cell, r.ccell
                    FROM (${(0 until 4).map(j => s"SELECT * FROM s${j}code")
                      .mkString(" UNION ALL ")}) c
-                   JOIN resid r ON r.vec_id = c.vec_id),
+                   JOIN resid r ON r.vec_id = c.vec_id${
+      if (candFilterSql.isEmpty) ""
+      else s"""
+                   JOIN embeddings lb ON lb.vec_id = c.vec_id
+                   WHERE ($candFilterSql)"""}),
          adc AS (SELECT q_id, c_id, max(qc) + sum(ld) AS adc
                  FROM codes
                  JOIN probes USING (ccell)

@@ -245,7 +245,8 @@ object Multimodal {
   }
 
   private final case class AviMeta(width: Int, height: Int, frames: Long,
-      usecPerFrame: Long, frameW: Int, frameH: Int)
+      usecPerFrame: Long, frameW: Int, frameH: Int,
+      frameImg: java.awt.image.BufferedImage = null)
 
   /** RIFF/AVI walk: `RIFF <size> AVI ` then a chunk sequence where each
     * chunk is `<fourcc> <le32 size> <data, padded to even>`; `LIST` chunks
@@ -262,6 +263,7 @@ object Multimodal {
       "not a RIFF/AVI container")
     var width = -1; var height = -1; var frames = -1L; var usec = -1L
     var frameW = -1; var frameH = -1
+    var frameImg: java.awt.image.BufferedImage = null
     def walk(start: Int, end: Int): Unit = {
       var off = start
       while (off + 8 <= end) {
@@ -280,7 +282,9 @@ object Multimodal {
               try javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(b, dataOff, sz))
               catch { case _: java.io.IOException => null }
-            if (img != null) { frameW = img.getWidth; frameH = img.getHeight }
+            if (img != null) {
+              frameW = img.getWidth; frameH = img.getHeight; frameImg = img
+            }
           case _ => ()
         }
         off = dataOff + sz + (sz & 1) // chunks are word-aligned
@@ -288,7 +292,7 @@ object Multimodal {
     }
     walk(12, math.min(b.length.toLong, 8L + u32(4)).toInt)
     require(width >= 0 && frames >= 0, "no avih header found")
-    AviMeta(width, height, frames, usec, frameW, frameH)
+    AviMeta(width, height, frames, usec, frameW, frameH, frameImg)
   }
 
   /** Deterministic synthetic MJPEG AVI (fixture generator for the video
@@ -301,15 +305,6 @@ object Multimodal {
       usecPerFrame: Long, seed: Long): Array[Byte] = {
     require(width >= 1 && height >= 1 && nFrames >= 1 && usecPerFrame >= 1,
       s"bad video params: ${width}x$height/$nFrames/$usecPerFrame")
-    def le32(v: Long): Array[Byte] = Array(
-      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
-    def chunk(id: String, data: Array[Byte]): Array[Byte] =
-      cc(id) ++ le32(data.length.toLong) ++ data ++
-        (if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
-    def list(typ: String, payload: Array[Byte]): Array[Byte] =
-      chunk("LIST", cc(typ) ++ payload)
     def jpegFrame(i: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -326,6 +321,24 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray
     }
+    aviContainer(width, height, nFrames, usecPerFrame, jpegFrame)
+  }
+
+  /** RIFF/AVI container assembly shared by the synthetic fixtures: `hdrl`
+    * with a filled `avih`/`strh`/`strf`, a `movi` list of `nFrames`
+    * MJPEG (`00dc`) frames produced by `frame(i)`.
+    */
+  private def aviContainer(width: Int, height: Int, nFrames: Int,
+      usecPerFrame: Long, frame: Int => Array[Byte]): Array[Byte] = {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(data.length.toLong) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    def list(typ: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(typ) ++ payload)
     // avih: dwMicroSecPerFrame, dwMaxBytesPerSec, dwPaddingGranularity,
     // dwFlags, dwTotalFrames, dwInitialFrames, dwStreams,
     // dwSuggestedBufferSize, dwWidth, dwHeight, dwReserved[4]
@@ -345,7 +358,7 @@ object Multimodal {
     val hdrl = list("hdrl", chunk("avih", avih) ++
       list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
     val movi = list("movi",
-      (0 until nFrames).flatMap(i => chunk("00dc", jpegFrame(i))).toArray)
+      (0 until nFrames).flatMap(i => chunk("00dc", frame(i))).toArray)
     val body = cc("AVI ") ++ hdrl ++ movi
     cc("RIFF") ++ le32(body.length.toLong) ++ body
   }
@@ -414,79 +427,93 @@ object Multimodal {
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(r.payload))
             catch { case scala.util.control.NonFatal(_) => null }
-          val minW = if (isD) 9 else 8 // dHash needs the 9-column grid
-          if (img == null || img.getWidth < minW || img.getHeight < 8)
-            ImageHashRow(r.media_id, None, None)
-          else {
-            val (gw, gh) = (if (isD) 9 else 8, 8)
-            val (w, h) = (img.getWidth, img.getHeight)
-            // integer area sums per grid cell: block boundaries by
-            // floor(c·w/gw), luma by the integer Rec.601 weights
-            val sums = Array.ofDim[Long](gh, gw)
-            val cnts = Array.ofDim[Long](gh, gw)
-            var y = 0
-            while (y < h) {
-              val gy = math.min(y * gh / h, gh - 1)
-              var x = 0
-              while (x < w) {
-                val gx = math.min(x * gw / w, gw - 1)
-                val rgb = img.getRGB(x, y)
-                val luma = ((rgb >> 16 & 0xff) * 299 +
-                  (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114).toLong
-                sums(gy)(gx) += luma
-                cnts(gy)(gx) += 1
-                x += 1
-              }
-              y += 1
-            }
-            var hi = 0L; var lo = 0L
-            var bit = 0
-            // cross-multiplied comparison, overflow-safe: the Long fast
-            // path is exact while both products fit (aHash's
-            // sum·totalCnt ≈ 3984·(w·h)² crosses 2⁶³ near 48 MP — a
-            // plausible camera image, not a degenerate input); above the
-            // bound the same comparison runs in BigInt, bit-identical
-            // where both paths are defined
-            def gtQ(sa: Long, na: Long, sb: Long, nb: Long): Boolean =
-              if (sa <= Long.MaxValue / math.max(nb, 1L) &&
-                  sb <= Long.MaxValue / math.max(na, 1L))
-                sa * nb > sb * na
-              else BigInt(sa) * nb > BigInt(sb) * na
-            if (isD) {
-              var ry = 0
-              while (ry < 8) {
-                var cx = 0
-                while (cx < 8) {
-                  // avg(c) > avg(c+1) ⟺ sum_c·n_{c+1} > sum_{c+1}·n_c
-                  val b = gtQ(sums(ry)(cx), cnts(ry)(cx),
-                    sums(ry)(cx + 1), cnts(ry)(cx + 1))
-                  if (b) { if (bit < 32) hi |= 1L << (31 - bit)
-                           else lo |= 1L << (63 - bit) }
-                  bit += 1; cx += 1
-                }
-                ry += 1
-              }
-            } else {
-              var tSum = 0L; var tCnt = 0L
-              var ry = 0
-              while (ry < 8) { var cx = 0; while (cx < 8) {
-                tSum += sums(ry)(cx); tCnt += cnts(ry)(cx); cx += 1 }; ry += 1 }
-              var ay = 0
-              while (ay < 8) {
-                var cx = 0
-                while (cx < 8) {
-                  val b = gtQ(sums(ay)(cx), cnts(ay)(cx), tSum, tCnt)
-                  if (b) { if (bit < 32) hi |= 1L << (31 - bit)
-                           else lo |= 1L << (63 - bit) }
-                  bit += 1; cx += 1
-                }
-                ay += 1
-              }
-            }
-            ImageHashRow(r.media_id, Some(hi), Some(lo))
+          rasterHash64(img, isD) match {
+            case Some((hi, lo)) => ImageHashRow(r.media_id, Some(hi), Some(lo))
+            case None => ImageHashRow(r.media_id, None, None)
           }
         }
       }
+    }
+  }
+
+  /** Cross-multiplied mean comparison, overflow-safe: the Long fast path
+    * is exact while both products fit (aHash's sum·totalCnt ≈
+    * 3984·(w·h)² crosses 2⁶³ near 48 MP — a plausible camera image, not a
+    * degenerate input; the audio path's energy·frames product crosses it
+    * on hours-long captures); above the bound the same comparison runs in
+    * BigInt, bit-identical where both paths are defined.
+    */
+  private def gtQ(sa: Long, na: Long, sb: Long, nb: Long): Boolean =
+    if (sa <= Long.MaxValue / math.max(nb, 1L) &&
+        sb <= Long.MaxValue / math.max(na, 1L))
+      sa * nb > sb * na
+    else BigInt(sa) * nb > BigInt(sb) * na
+
+  /** The dHash/aHash core over a decoded raster — shared by the image
+    * payload path ([[perceptualHashes]]) and the video first-frame path
+    * ([[videoFrameHashes]]); None when the raster is null or smaller than
+    * the grid.
+    */
+  private[graft] def rasterHash64(img: java.awt.image.BufferedImage,
+      isD: Boolean): Option[(Long, Long)] = {
+    val minW = if (isD) 9 else 8 // dHash needs the 9-column grid
+    if (img == null || img.getWidth < minW || img.getHeight < 8) None
+    else {
+      val (gw, gh) = (if (isD) 9 else 8, 8)
+      val (w, h) = (img.getWidth, img.getHeight)
+      // integer area sums per grid cell: block boundaries by
+      // floor(c·w/gw), luma by the integer Rec.601 weights
+      val sums = Array.ofDim[Long](gh, gw)
+      val cnts = Array.ofDim[Long](gh, gw)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(y * gh / h, gh - 1)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(x * gw / w, gw - 1)
+          val rgb = img.getRGB(x, y)
+          val luma = ((rgb >> 16 & 0xff) * 299 +
+            (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114).toLong
+          sums(gy)(gx) += luma
+          cnts(gy)(gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hi = 0L; var lo = 0L
+      var bit = 0
+      if (isD) {
+        var ry = 0
+        while (ry < 8) {
+          var cx = 0
+          while (cx < 8) {
+            // avg(c) > avg(c+1) ⟺ sum_c·n_{c+1} > sum_{c+1}·n_c
+            val b = gtQ(sums(ry)(cx), cnts(ry)(cx),
+              sums(ry)(cx + 1), cnts(ry)(cx + 1))
+            if (b) { if (bit < 32) hi |= 1L << (31 - bit)
+                     else lo |= 1L << (63 - bit) }
+            bit += 1; cx += 1
+          }
+          ry += 1
+        }
+      } else {
+        var tSum = 0L; var tCnt = 0L
+        var ry = 0
+        while (ry < 8) { var cx = 0; while (cx < 8) {
+          tSum += sums(ry)(cx); tCnt += cnts(ry)(cx); cx += 1 }; ry += 1 }
+        var ay = 0
+        while (ay < 8) {
+          var cx = 0
+          while (cx < 8) {
+            val b = gtQ(sums(ay)(cx), cnts(ay)(cx), tSum, tCnt)
+            if (b) { if (bit < 32) hi |= 1L << (31 - bit)
+                     else lo |= 1L << (63 - bit) }
+            bit += 1; cx += 1
+          }
+          ay += 1
+        }
+      }
+      Some((hi, lo))
     }
   }
 
@@ -527,5 +554,210 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  // ---- perceptual audio fingerprinting (near-dup) ------------------------
+
+  /** 64-bit acoustic fingerprint over REAL decoded PCM (the audio
+    * analogue of dHash, same shape as the classic energy-difference
+    * fingerprints behind Shazam-style matchers): decode the payload with
+    * `javax.sound.sampled`, partition the frame axis into 65 windows by
+    * the same floor-boundary rule as the image grid, sum |sample| across
+    * channels per window (pure integer arithmetic), bit f = window f
+    * louder on average than window f+1 (cross-multiplied — windows at the
+    * boundary differ by one frame, so the compare is over means, not
+    * sums). Invariant to uniform gain scaling the same way dHash is
+    * invariant to brightness shifts; robust to re-encoding that preserves
+    * the energy envelope. Output is the [[ImageHashRow]] 64-bit layout,
+    * so [[graft.ext.Dedup.simhash64DupPairs]]' Hamming-banded pair join
+    * (pigeonhole-exact at maxDist ≤ 3) applies to audio unchanged.
+    * Non-PCM16 / sub-65-frame / undecodable payloads carry null halves
+    * and drop out of the band join.
+    *
+    * Scale shape: mapPartitions is the codec boundary; each payload
+    * reduces to 17 bytes before anything shuffles — the corpus-sized
+    * stages never carry waveforms.
+    */
+  def audioFingerprints(media: Dataset[MediaRow], batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[ImageHashRow] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            try {
+              val fmt = ais.getFormat
+              val frames = ais.getFrameLength
+              val ok = fmt.getSampleSizeInBits == 16 &&
+                fmt.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                !fmt.isBigEndian && frames >= 65
+              if (!ok) ImageHashRow(r.media_id, None, None)
+              else {
+                val chans = fmt.getChannels
+                val frameSize = fmt.getFrameSize
+                val data = ais.readAllBytes()
+                val n = math.min(frames, (data.length / frameSize).toLong).toInt
+                if (n < 65) ImageHashRow(r.media_id, None, None)
+                else {
+                  val sums = new Array[Long](65)
+                  val cnts = new Array[Long](65)
+                  var f = 0
+                  while (f < n) {
+                    val w = math.min(f * 65L / n, 64L).toInt
+                    var c = 0
+                    var e = 0L
+                    while (c < chans) {
+                      val off = f * frameSize + c * 2
+                      val s = ((data(off) & 0xff) | (data(off + 1) << 8)).toShort
+                      e += math.abs(s.toLong)
+                      c += 1
+                    }
+                    sums(w) += e
+                    cnts(w) += 1
+                    f += 1
+                  }
+                  var hi = 0L; var lo = 0L
+                  var bit = 0
+                  while (bit < 64) {
+                    if (gtQ(sums(bit), cnts(bit), sums(bit + 1), cnts(bit + 1))) {
+                      if (bit < 32) hi |= 1L << (31 - bit)
+                      else lo |= 1L << (63 - bit)
+                    }
+                    bit += 1
+                  }
+                  ImageHashRow(r.media_id, Some(hi), Some(lo))
+                }
+              }
+            } finally ais.close()
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              ImageHashRow(r.media_id, None, None)
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic stepped-amplitude WAV (the audio-fingerprint fixture,
+    * the sound of [[syntheticNoisePng]]): 65 equal windows of 16-bit mono
+    * PCM, every frame in window w holding the constant positive amplitude
+    * splitmix(seed, w) — so DIFFERENT seeds give statistically
+    * independent 64-bit fingerprints (unrelated clips never band-match),
+    * while `perturbWindow = Some(w)` re-rolls ONE window's amplitude:
+    * only the ≤ 2 fingerprint bits comparing against that window can
+    * change, so the perturbed copy sits within Hamming distance 2 of its
+    * original — a guaranteed banded near-dup pair with an id-predictable
+    * pair set for the oracle.
+    */
+  def syntheticStepWav(seed: Long, perturbWindow: Option[Int] = None,
+      framesPerWindow: Int = 30): Array[Byte] = {
+    require(framesPerWindow >= 1, s"bad framesPerWindow: $framesPerWindow")
+    require(perturbWindow.forall(w => w >= 0 && w < 65),
+      s"perturbWindow out of range: $perturbWindow")
+    def amp(w: Int, salt: Long): Int = {
+      var z = seed + w * 0x9E3779B97F4A7C15L + salt * 0xC2B2AE3D27D4EB4FL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      (((z ^ (z >>> 31)) & 0x7fffffffL) % 32000L).toInt + 1
+    }
+    val nFrames = 65 * framesPerWindow
+    val data = new Array[Byte](nFrames * 2)
+    var f = 0
+    while (f < nFrames) {
+      val w = f / framesPerWindow
+      val a = if (perturbWindow.contains(w)) amp(w, 1L) else amp(w, 0L)
+      data(2 * f) = (a & 0xff).toByte
+      data(2 * f + 1) = ((a >> 8) & 0xff).toByte
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  // ---- perceptual video hashing (first-frame near-dup) -------------------
+
+  /** Perceptual hash of a video's FIRST DECODED FRAME: the RIFF/AVI walk
+    * finds the first `00dc` MJPEG frame, ImageIO decodes it, and the
+    * SAME dHash/aHash core as [[perceptualHashes]] reduces it to the
+    * 64-bit [[ImageHashRow]] layout — so the Hamming-banded pair join
+    * covers video near-dup unchanged. First-frame hashing is the
+    * production baseline for near-exact video dedup (re-encodes, container
+    * swaps); full clip matching would sample k frames through the same
+    * core and band per frame. Non-AVI / frame-less / undecodable payloads
+    * carry null halves and drop out of the band join.
+    */
+  def videoFrameHashes(media: Dataset[MediaRow], mode: String = "dhash",
+      batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[ImageHashRow] = {
+    require(mode == "dhash" || mode == "ahash", s"unknown mode: $mode")
+    import spark.implicits._
+    val isD = mode == "dhash"
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val img =
+            try parseAvi(r.payload).frameImg
+            catch { case scala.util.control.NonFatal(_) => null }
+          rasterHash64(img, isD) match {
+            case Some((hi, lo)) => ImageHashRow(r.media_id, Some(hi), Some(lo))
+            case None => ImageHashRow(r.media_id, None, None)
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic noise-frame MJPEG AVI (the video near-dup fixture):
+    * ONE grayscale JPEG frame of per-pixel splitmix noise in a genuine
+    * RIFF/AVI container. The geometry is the exactness trick: cell sizes
+    * (width/9 × height/8) are multiples of 8, so every dHash grid cell is
+    * a whole number of JPEG 8×8 DCT blocks (grayscale JPEG has no chroma
+    * subsampling — MCU is exactly 8×8). JPEG encodes each block's
+    * coefficients independently (DC prediction shifts the encoding, never
+    * the decoded values), so a copy that differs only inside ONE cell
+    * decodes to IDENTICAL pixels everywhere else — lossy compression
+    * notwithstanding, only the ≤ 2 dHash bits adjacent to the perturbed
+    * cell can differ between original and copy. Different seeds give
+    * independent noise, hence independent fingerprints: unrelated videos
+    * never band-match.
+    */
+  def syntheticNoiseAvi(width: Int, height: Int, seed: Long,
+      perturbCell: Option[(Int, Int)] = None): Array[Byte] = {
+    require(width % 9 == 0 && (width / 9) % 8 == 0 &&
+      height % 8 == 0 && (height / 8) % 8 == 0,
+      s"dHash cells must align with JPEG 8x8 blocks: ${width}x$height")
+    def frame(i: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          var z = seed + x * 0x9E3779B97F4A7C15L + y * 0xC2B2AE3D27D4EB4FL
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          var g = ((z ^ (z >>> 31)) & 0xffL).toInt
+          perturbCell.foreach { case (cx, cy) =>
+            if (x * 9 / width == cx && y * 8 / height == cy) g = 255 - g
+          }
+          raster.setSample(x, y, 0, g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    aviContainer(width, height, nFrames = 1, usecPerFrame = 40000L, frame)
   }
 }

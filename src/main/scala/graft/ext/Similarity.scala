@@ -1274,18 +1274,31 @@ object Similarity {
     * id-keyed fold to the code array. Corpus-linear; nothing wider than
     * m rows per vector ever shuffles.
     */
+  /** `attrs`: extra metadata columns carried INTO the index rows — the
+    * filtered-ANN storage contract [[sq8IndexWithCells]] established for
+    * the SQ8 tier, applied to PQ: a predicate over an indexed attribute
+    * lands on the artifact scan itself, never on the primary store.
+    */
   def ivfPqIndex(df: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame, booksR: DataFrame, m: Int, subDim: Int): DataFrame = {
+      cents: DataFrame, booksR: DataFrame, m: Int, subDim: Int,
+      attrs: Seq[String] = Nil): DataFrame = {
     // both pqEncode's subspace explode and the ccell join-back read the
     // residual frame; its assignCells subtree is a full corpus pass
     // (the q137 materialization lesson)
     val res = residualVectors(df, idCol, vecCol, cents).localCheckpoint(true)
-    pqEncode(res, idCol, "rvec", booksR, m, subDim)
+    val base = pqEncode(res, idCol, "rvec", booksR, m, subDim)
       .groupBy(col(idCol))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
         s => s.getField("code")).as("codes"))
       .join(res.select(col(idCol), col("ccell")), Seq(idCol))
-      .select(col(idCol), col("ccell"), col("codes"))
+    // attrs ride in from the source frame by id — one extra id-equi join
+    // at BUILD time only (same corpus-linear shape as the encode itself);
+    // probes then evaluate predicates on the artifact alone
+    val withAttrs =
+      if (attrs.isEmpty) base
+      else base.join(df.select(col(idCol) +: attrs.map(col): _*), Seq(idCol))
+    withAttrs.select(col(idCol) +: col("ccell") +: col("codes") +:
+      attrs.map(col): _*)
   }
 
   /** Persist the IVF-PQ index partitioned by (batch epoch, coarse cell) —
@@ -1299,8 +1312,8 @@ object Similarity {
     */
   def saveIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, booksR: DataFrame, m: Int, subDim: Int,
-      path: String): Unit =
-    initIvfPqIndex(df, idCol, vecCol, cents, booksR, m, subDim, path)
+      path: String, attrs: Seq[String] = Nil): Unit =
+    initIvfPqIndex(df, idCol, vecCol, cents, booksR, m, subDim, path, attrs)
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(path)
@@ -1315,8 +1328,8 @@ object Similarity {
     */
   def initIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, booksR: DataFrame, m: Int, subDim: Int,
-      path: String): Unit =
-    ivfPqIndex(df, idCol, vecCol, cents, booksR, m, subDim)
+      path: String, attrs: Seq[String] = Nil): Unit =
+    ivfPqIndex(df, idCol, vecCol, cents, booksR, m, subDim, attrs)
       .withColumn("batch_id", lit(0L))
       .write.mode("overwrite").partitionBy("batch_id", "ccell").parquet(path)
 
@@ -1329,8 +1342,8 @@ object Similarity {
     */
   def appendIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, booksR: DataFrame, m: Int, subDim: Int,
-      path: String, batchId: Long): Unit =
-    ivfPqIndex(batch, idCol, vecCol, cents, booksR, m, subDim)
+      path: String, batchId: Long, attrs: Seq[String] = Nil): Unit =
+    ivfPqIndex(batch, idCol, vecCol, cents, booksR, m, subDim, attrs)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "ccell").parquet(path)
@@ -1380,10 +1393,20 @@ object Similarity {
     * the primary float store is consulted by id for the |Q|·k·overfetch
     * rescore rows alone.
     */
+  /** `filter`: filtered ANN on the PQ tier — the [[ivfQuantizedTopK]]
+    * contract verbatim: the predicate restricts the candidate set BEFORE
+    * ADC ranking (exact top k among passing vectors, never a lossy
+    * post-filter), lands on the index relation so a parquet artifact
+    * evaluates it as a PushedFilter inside the DPP-pruned partition read,
+    * and the primary float store is never consulted to evaluate it. The
+    * same recall caveat applies: a selective predicate thins cells — size
+    * nprobe/overfetch for the FILTERED density.
+    */
   def ivfPqTopKFromIndex(index: DataFrame, cents: DataFrame,
       booksR: DataFrame, queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, m: Int, subDim: Int, k: Int,
-      nprobe: Int, overfetch: Int = PqDefaultOverfetch): DataFrame = {
+      nprobe: Int, overfetch: Int = PqDefaultOverfetch,
+      filter: Option[Column] = None): DataFrame = {
     val cvecs = cellCentroidVectors(cents)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"))
@@ -1409,8 +1432,11 @@ object Similarity {
           .cast("decimal(28,8)").as("ld"))
     // codes(pos) is subspace pos's code (ivfPqIndex folds sorted by sub),
     // so posexplode recovers the (sub, code) long form straight off the
-    // pruned scan — named `cell` to meet the LUT's key
-    val codes = index.select(col(idCol).as("c_id"), col("ccell"),
+    // pruned scan — named `cell` to meet the LUT's key; the candidate
+    // filter applies to the index rows BEFORE the explode, so it reaches
+    // the scan rather than riding on m× exploded rows
+    val codes = filter.fold(index)(index.where)
+      .select(col(idCol).as("c_id"), col("ccell"),
         posexplode(col("codes")).as(Seq("sub", "cell")))
     val adc = codes.join(broadcast(probes), Seq("ccell"))
       .where(col("q_id") =!= col("c_id"))

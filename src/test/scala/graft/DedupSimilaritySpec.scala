@@ -835,6 +835,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "post-filtering the unfiltered top-k must lose results on this corpus")
   }
 
+  test("filtered ANN on the PQ tier: predicate reaches the partitioned " +
+    "artifact scan and the result is the exact top-k over the filtered corpus") {
+    val vecs = (0 until 48).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 23 - 11).toFloat),
+        (i % 5))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val res = Similarity.residualVectors(vecs, "vec_id", "embedding", cents)
+      .localCheckpoint(true)
+    val booksR = Similarity.pqCodebooks(res, "vec_id", "rvec",
+      m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf_pq_filt").toString + "/idx"
+    Similarity.saveIvfPqIndex(vecs, "vec_id", "embedding", cents, booksR,
+      m = 4, subDim = 16, path, attrs = Seq("label"))
+    val q = vecs.where($"vec_id" % 9 === 0)
+    val pred = $"label" % 2 === 0
+    val served = Similarity.ivfPqTopKFromIndex(spark.read.parquet(path),
+      cents, booksR, q, vecs, "vec_id", "embedding", m = 4, subDim = 16,
+      k = 3, nprobe = 4, overfetch = 40, filter = Some(pred))
+    val plan = served.queryExecution.executedPlan.toString
+    // the label predicate is evaluated inside the code-table scan,
+    // alongside the DPP cell filter — never against the primary store
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      s"expected the label filter pushed to the index scan:\n${plan.take(3000)}")
+    assert(plan.contains("dynamicpruning"),
+      "the ccell DPP filter must survive the added predicate")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"c_id", $"cos", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    // all cells probed + overfetch beyond the filtered-corpus size: every
+    // passing candidate gets ADC-ranked AND float-rescored, so the served
+    // result must be EXACTLY brute force over the filtered corpus
+    val brute = rows(Similarity.bruteForceTopK(q,
+      vecs.where(pred), "vec_id", "embedding", k = 3))
+    assert(rows(served) == brute)
+  }
+
   test("saveIvfPqIndex: (batch, cell)-partitioned artifact gets dynamic " +
     "partition pruning; append against frozen quantizers ≡ full rebuild") {
     val vecs = (0 until 40).map { i =>

@@ -299,6 +299,108 @@ class OpsSpec extends AnyFunSuite {
     assert(aPair(7L)._1 == expHi, s"aHash top half: got ${aPair(7L)._1.toBinaryString}")
   }
 
+  test("audio fingerprints: perturbed-window copies band-pair, gain change " +
+    "is invariant, undecodables drop from the band join") {
+    import graft.ext.Dedup
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val seeds = Seq(1L, 2L, 3L, 4L, 5L)
+    val media = (
+      seeds.map(i => Multimodal.MediaRow(i, "wav",
+        Multimodal.syntheticStepWav(i))) ++
+      // id+100: same envelope, ONE window re-rolled — ≤ 2 bits move
+      seeds.take(2).map(i => Multimodal.MediaRow(i + 100, "wav",
+        Multimodal.syntheticStepWav(i, perturbWindow = Some(20)))) ++
+      // id 200: byte-identical to id 1 — distance exactly 0
+      Seq(Multimodal.MediaRow(200L, "wav", Multimodal.syntheticStepWav(1L))) ++
+      Seq(Multimodal.MediaRow(300L, "wav", Array[Byte](1, 2, 3)))).toDS()
+    val prints = Multimodal.audioFingerprints(media).toDF()
+    val h = prints.collect().map(r => r.getLong(0) ->
+      (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(h(300L)._1.isEmpty, "undecodable payload carries null halves")
+    assert(h(200L) == h(1L), "byte-identical clip fingerprints identically")
+    def dist(a: Long, b: Long) = {
+      val (ah, al) = h(a); val (bh, bl) = h(b)
+      java.lang.Long.bitCount(ah.get ^ bh.get) +
+        java.lang.Long.bitCount(al.get ^ bl.get)
+    }
+    assert((1 to 2).forall(i => dist(i, i + 100) <= 2),
+      "one re-rolled window moves at most the 2 adjacent fingerprint bits")
+    assert(dist(1L, 2L) > 3 && dist(2L, 3L) > 3,
+      "independent seeds sit far apart")
+    val pairs = Dedup.simhash64DupPairs(prints, "media_id", maxDist = 3)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 101L), (2L, 102L), (1L, 200L), (101L, 200L)),
+      s"banded pairs = perturbed copies + the exact duplicate: $pairs")
+    // the perceptual claim: the fingerprint compares window MEANS, so a
+    // uniform gain change (same clip, volume halved) fingerprints
+    // identically — the audio analogue of dHash brightness invariance
+    def wav(amps: Array[Int]): Array[Byte] = {
+      val fpw = 4
+      val data = new Array[Byte](amps.length * fpw * 2)
+      for (f <- 0 until amps.length * fpw) {
+        val a = amps(f / fpw)
+        data(2 * f) = (a & 0xff).toByte
+        data(2 * f + 1) = ((a >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, (amps.length * fpw).toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // distinct window gaps ≥ 250, so halving never creates a tie
+    val amps = Array.tabulate(65)(w => 2000 + ((w * 37) % 100) * 250)
+    val g = Multimodal.audioFingerprints(Seq(
+      Multimodal.MediaRow(7L, "wav", wav(amps)),
+      Multimodal.MediaRow(8L, "wav", wav(amps.map(_ / 2)))).toDS()).toDF()
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(g(7L) == g(8L), "uniform gain change preserves the fingerprint")
+  }
+
+  test("video frame hashes: first decoded MJPEG frame pairs perturbed " +
+    "copies; JPEG 8x8 block alignment bounds the flip to 2 bits") {
+    import graft.ext.Dedup
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val seeds = Seq(1L, 2L, 3L)
+    val media = (
+      seeds.map(i => Multimodal.MediaRow(i, "avi",
+        Multimodal.syntheticNoiseAvi(72, 64, i))) ++
+      // id+100: identical pixels outside ONE dHash cell; the cell is a
+      // whole number of grayscale-JPEG DCT blocks, so the lossy codec
+      // reproduces every other cell bit-exactly — Hamming ≤ 2 GUARANTEED
+      // through a real encode/decode round-trip
+      seeds.take(2).map(i => Multimodal.MediaRow(i + 100, "avi",
+        Multimodal.syntheticNoiseAvi(72, 64, i, Some((4, 4))))) ++
+      Seq(Multimodal.MediaRow(300L, "avi", Array[Byte](0, 1, 2)))).toDS()
+    val hashes = Multimodal.videoFrameHashes(media).toDF()
+    val h = hashes.collect().map(r => r.getLong(0) ->
+      (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(h(300L)._1.isEmpty, "non-AVI payload carries null halves")
+    def dist(a: Long, b: Long) = {
+      val (ah, al) = h(a); val (bh, bl) = h(b)
+      java.lang.Long.bitCount(ah.get ^ bh.get) +
+        java.lang.Long.bitCount(al.get ^ bl.get)
+    }
+    assert((1 to 2).forall(i => dist(i, i + 100) <= 2),
+      "perturbing one block-aligned cell moves at most 2 dHash bits")
+    assert(dist(1L, 2L) > 3 && dist(2L, 3L) > 3,
+      "independent noise frames sit far apart")
+    val pairs = Dedup.simhash64DupPairs(hashes, "media_id", maxDist = 3)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 101L), (2L, 102L)),
+      s"banded pairs = the perturbed copies alone: $pairs")
+    // misaligned geometry is rejected up front — the exactness argument
+    // DEPENDS on cells being whole DCT blocks, so it is a contract
+    intercept[IllegalArgumentException](
+      Multimodal.syntheticNoiseAvi(36, 24, 1L))
+  }
+
   test("Multimodal.sampleSlices emits n offsets with hashes") {
     val df = Seq((1L, "abcdefgh")).toDF("media_id", "payload")
     val out = Multimodal.sampleSlices(df, "media_id", "payload", 4)

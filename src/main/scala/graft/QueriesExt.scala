@@ -747,43 +747,79 @@ object QueriesExt {
             numHashes = 12, bands = 4, estThreshold = 0.5)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some {
-        val sh = shinglesSql(toksSql)
-        def bandSql(rel: String) = (0 until 4).map { i =>
-          val parts = (0 until 3).map(r => s"CAST(m${i * 3 + r} AS VARCHAR)")
-            .mkString(" || '|' || ")
-          s"SELECT id, $i AS band, md5($parts) AS key FROM $rel"
-        }.mkString(" UNION ALL ")
-        val agreeSum = (0 until 12)
-          .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
-        s"""WITH oldrel AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
-             newrel AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
-                        UNION ALL
-                        SELECT doc_id + 100000,
-                               substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))
-                        FROM documents WHERE doc_id % 10 = 1),
-             ot AS (SELECT doc_id AS id, list_distinct($sh) AS sh FROM oldrel),
-             oab AS (SELECT id, $minhashAbSql FROM ot),
-             osig AS (SELECT id, $minhashMinsSql FROM oab),
-             nt AS (SELECT doc_id AS id, list_distinct($sh) AS sh FROM newrel),
-             nab AS (SELECT id, $minhashAbSql FROM nt),
-             nsig AS (SELECT id, $minhashMinsSql FROM nab),
-             obnd AS (${bandSql("osig")}),
-             nbnd AS (${bandSql("nsig")}),
-             allbnd AS (SELECT * FROM obnd UNION ALL SELECT * FROM nbnd),
-             cand AS (SELECT DISTINCT least(n.id, a.id) AS id_a,
-                             greatest(n.id, a.id) AS id_b
-                      FROM nbnd n JOIN allbnd a
-                        ON n.band = a.band AND n.key = a.key AND n.id <> a.id),
-             sigs AS (SELECT *, FALSE AS is_new FROM osig
-                      UNION ALL SELECT *, TRUE AS is_new FROM nsig)
-            SELECT c.id_a, c.id_b,
-                   round(CAST($agreeSum AS DOUBLE) / 12, 6) AS est_jaccard,
-                   (a.is_new AND b.is_new) AS both_new
-            FROM cand c JOIN sigs a ON a.id = c.id_a JOIN sigs b ON b.id = c.id_b
-            WHERE round(CAST($agreeSum AS DOUBLE) / 12, 6) >= 0.5
-            ORDER BY id_a, id_b"""
-      }),
+      Some(incrementalDedupOracleSql)),
+
+    // incremental dedup behind the Bloom semi-join reduction (round 10):
+    // the SAME q82 sweep, but a Bloom filter over the batch's band keys
+    // drops non-matching index band rows AT THE SCAN, before the
+    // exchange — per-batch shuffle postings-sized, not index-sized. False
+    // positives only admit extra join probes (the equi-join re-checks the
+    // key), so the result is bit-identical to q82 and shares its oracle
+    Q("q151_incremental_dedup_bloom",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val old = docs.where(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("text"))
+        val batch = docs.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(docs.where(col("doc_id") % 10 === 1)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              expr("substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))")
+                .as("text")))
+        def sigs(df: org.apache.spark.sql.DataFrame) =
+          Dedup.minhashSignatureTable(Dedup.shingleSets(df, "doc_id", "text", 3), 12)
+        Dedup.incrementalDupPairs(sigs(batch), sigs(old),
+            numHashes = 12, bands = 4, estThreshold = 0.5,
+            bloomFpp = Some(0.01))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(incrementalDedupOracleSql)),
+
+    // incremental PERCEPTUAL near-dup against a persisted hash index
+    // (round 10 — q82's contract for media): old images exist only as
+    // their 17-byte dHash rows (never re-decoded), the batch is hashed,
+    // Bloom-prefiltered, banded, and joined — pairs touch the batch only.
+    // Fixture: batch = perturbed copies of every 10th image (pair their
+    // originals, both_new=false) plus byte-identical re-uploads of every
+    // 30th (pair the original AND the perturbed copy — the batch-batch
+    // leg, both_new=true); the oracle stays pure id arithmetic
+    Q("q152_incremental_image_neardup",
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        val off = ids.agg(max(col("doc_id"))).as[Long].head() + 1L
+        val old = ids.map(id => Multimodal.MediaRow(id, "png",
+          Multimodal.syntheticNoisePng(36, 24, id)))
+        val path = artifactPath("image_hash_index_q152")
+        Multimodal.perceptualHashes(old)(s).toDF()
+          .write.mode("overwrite").parquet(path)
+        val batch = ids.filter((id: Long) => id % 10 == 0).map(id =>
+            Multimodal.MediaRow(id + off, "png",
+              Multimodal.syntheticNoisePng(36, 24, id, Some((4, 4)))))
+          .unionAll(ids.filter((id: Long) => id % 30 == 0).map(id =>
+            Multimodal.MediaRow(id + 2 * off, "png",
+              Multimodal.syntheticNoisePng(36, 24, id))))
+        Dedup.incrementalSimhashPairs(
+          Multimodal.perceptualHashes(batch)(s).toDF(),
+          s.read.parquet(path), "media_id", maxDist = 3,
+          bloomFpp = Some(0.01))
+          .select(col("id_a"), col("id_b"), col("both_new"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH mx AS (SELECT max(doc_id) + 1 AS off FROM documents)
+              SELECT id_a, id_b, both_new FROM (
+                SELECT doc_id AS id_a,
+                       doc_id + (SELECT off FROM mx) AS id_b,
+                       FALSE AS both_new
+                FROM documents WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id, doc_id + 2 * (SELECT off FROM mx), FALSE
+                FROM documents WHERE doc_id % 30 = 0
+                UNION ALL
+                SELECT doc_id + (SELECT off FROM mx),
+                       doc_id + 2 * (SELECT off FROM mx), TRUE
+                FROM documents WHERE doc_id % 30 = 0)
+              ORDER BY id_a, id_b""")),
 
     // semantic decontamination: train vectors too close (cosine >= 0.25) to
     // any eval vector — the embedding-space complement of the q63 n-gram
@@ -2216,6 +2252,49 @@ object QueriesExt {
     * centroid cosine; the integer scan runs ONLY over those cells' codes;
     * floats rescore the 20 survivors to the exact top 5.
     */
+  /** The incremental-dedup replay (q82 and, Bloom-prefiltered, q151 —
+    * the prefilter is a pure shuffle reduction, so both share one SQL):
+    * old/new signature build, batch-vs-(index ∪ batch) band join, MinHash
+    * estimator over agreeing positions.
+    */
+  private lazy val incrementalDedupOracleSql: String = {
+    val sh = shinglesSql(toksSql)
+    def bandSql(rel: String) = (0 until 4).map { i =>
+      val parts = (0 until 3).map(r => s"CAST(m${i * 3 + r} AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"SELECT id, $i AS band, md5($parts) AS key FROM $rel"
+    }.mkString(" UNION ALL ")
+    val agreeSum = (0 until 12)
+      .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH oldrel AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         newrel AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+                    UNION ALL
+                    SELECT doc_id + 100000,
+                           substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))
+                    FROM documents WHERE doc_id % 10 = 1),
+         ot AS (SELECT doc_id AS id, list_distinct($sh) AS sh FROM oldrel),
+         oab AS (SELECT id, $minhashAbSql FROM ot),
+         osig AS (SELECT id, $minhashMinsSql FROM oab),
+         nt AS (SELECT doc_id AS id, list_distinct($sh) AS sh FROM newrel),
+         nab AS (SELECT id, $minhashAbSql FROM nt),
+         nsig AS (SELECT id, $minhashMinsSql FROM nab),
+         obnd AS (${bandSql("osig")}),
+         nbnd AS (${bandSql("nsig")}),
+         allbnd AS (SELECT * FROM obnd UNION ALL SELECT * FROM nbnd),
+         cand AS (SELECT DISTINCT least(n.id, a.id) AS id_a,
+                         greatest(n.id, a.id) AS id_b
+                  FROM nbnd n JOIN allbnd a
+                    ON n.band = a.band AND n.key = a.key AND n.id <> a.id),
+         sigs AS (SELECT *, FALSE AS is_new FROM osig
+                  UNION ALL SELECT *, TRUE AS is_new FROM nsig)
+        SELECT c.id_a, c.id_b,
+               round(CAST($agreeSum AS DOUBLE) / 12, 6) AS est_jaccard,
+               (a.is_new AND b.is_new) AS both_new
+        FROM cand c JOIN sigs a ON a.id = c.id_a JOIN sigs b ON b.id = c.id_b
+        WHERE round(CAST($agreeSum AS DOUBLE) / 12, 6) >= 0.5
+        ORDER BY id_a, id_b"""
+  }
+
   /** `candFilterSql`: filtered-ANN replay (q143) — the predicate (over
     * `lb`, the embeddings row joined by candidate id) restricts the
     * CANDIDATE set before ranking, exactly where the engine's

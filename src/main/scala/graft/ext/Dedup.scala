@@ -401,10 +401,23 @@ object Dedup {
     * Scale shape: band join keyed on (band, key) carrying only ids; the
     * two signature lookups join back by id; `dropDuplicates` bounds
     * multi-band re-finds. The batch side is typically broadcastable.
+    *
+    * `bloomFpp`: semi-join reduction for the 100 TB index — WITHOUT it,
+    * every index signature's band rows shuffle into the join even though
+    * only rows sharing a band key with the (small) batch can match, so
+    * per-batch shuffle cost is O(index). With it, a Bloom filter over the
+    * batch's band keys (built in one pass over the batch, broadcast ~KBs)
+    * drops non-matching index band rows AT THE SCAN, before the exchange
+    * — the shuffle carries ~|matching postings| + fpp·|index| rows, the
+    * q82 O(batch) promise made real at index scale. False positives only
+    * ever ADMIT extra rows into the join (the equi-join re-checks the
+    * key), never drop a true match: results are bit-identical with and
+    * without the prefilter (spec-asserted).
     */
   def incrementalDupPairs(batchSigs: DataFrame, indexSigs: DataFrame,
       numHashes: Int = 12, bands: Int = 4,
-      estThreshold: Double = 0.5): DataFrame = {
+      estThreshold: Double = 0.5,
+      bloomFpp: Option[Double] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
     def banded(sigs: DataFrame) = sigs.select(
       col("id"),
@@ -414,9 +427,24 @@ object Dedup {
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val sigsAll = indexSigs.select(col("id"), col("sig"), lit(false).as("is_new"))
       .unionByName(batchSigs.select(col("id"), col("sig"), lit(true).as("is_new")))
-    val cand = banded(batchSigs)
+    // the batch band rows feed the join probe AND (optionally) the Bloom
+    // build — pin them so the signature plan runs once
+    val bandedBatch = banded(batchSigs).localCheckpoint(true)
+    val bandedIdx = banded(indexSigs)
+    val bandedIdxF = bloomFpp match {
+      case Some(fpp) =>
+        val items = bandedBatch
+          .select(concat_ws(":", col("band"), col("key")).as("k"))
+        val n = math.max(items.count(), 1L)
+        val bf = items.stat.bloomFilter("k", n, fpp)
+        val bc = batchSigs.sparkSession.sparkContext.broadcast(bf)
+        val might = udf((s: String) => bc.value.mightContainString(s))
+        bandedIdx.where(might(concat_ws(":", col("band"), col("key"))))
+      case None => bandedIdx
+    }
+    val cand = bandedBatch
       .withColumnRenamed("id", "qid")
-      .join(banded(sigsAll.select(col("id"), col("sig"))), Seq("band", "key"))
+      .join(bandedIdxF.unionByName(bandedBatch), Seq("band", "key"))
       .where(col("qid") =!= col("id"))
       .select(least(col("qid"), col("id")).as("id_a"),
         greatest(col("qid"), col("id")).as("id_b"))
@@ -697,6 +725,73 @@ object Dedup {
       col("id"), col("hi"), col("lo"))
     .select(col("bk.band").as("band"), col("bk.key").as("key"),
       col("id"), col("hi"), col("lo"))
+
+  /** Incremental perceptual near-dup against a persisted 64-bit hash index
+    * — [[incrementalDupPairs]]' contract for the SimHash/dHash/audio-
+    * fingerprint family: already-ingested media exist only as their
+    * (id, sim_hi, sim_lo) rows (17 B each — the pixels/waveforms are
+    * never re-decoded), each batch is banded and joined against
+    * (index ∪ batch) band rows, and only pairs touching the batch can
+    * emerge — per-batch cost O(batch × bucket-mates), never O(corpus).
+    * Returns (id_a, id_b, dist, both_new) with Hamming dist ≤ `maxDist`
+    * (banding exact for ≤ 3 by pigeonhole); `both_new = false` marks a
+    * batch item duplicating the existing corpus. Ids must be disjoint
+    * across index and batch (they are media identities).
+    *
+    * `bloomFpp`: the same semi-join reduction as the signature path — a
+    * Bloom filter over the batch's (band, key) cells drops non-matching
+    * index band rows before the exchange, so the per-batch shuffle is
+    * postings-sized instead of index-sized; false positives only admit
+    * extra join probes, never lose a match.
+    */
+  def incrementalSimhashPairs(batchHashes: DataFrame, indexHashes: DataFrame,
+      idCol: String, maxDist: Int = 3,
+      bloomFpp: Option[Double] = None): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"banded blocking over 4 bands is exact only for maxDist <= 3: $maxDist")
+    def norm(df: DataFrame, isNew: Boolean) = df.select(
+      col(idCol).as("id"), col("sim_hi").as("hi"), col("sim_lo").as("lo"),
+      lit(isNew).as("is_new"))
+    val b = norm(batchHashes, isNew = true)
+    val i = norm(indexHashes, isNew = false)
+    val bandedBatch = simhash64Bands(b.drop("is_new")).localCheckpoint(true)
+    val bandedIdx = simhash64Bands(i.drop("is_new"))
+    val bandedIdxF = bloomFpp match {
+      case Some(fpp) =>
+        val items = bandedBatch
+          .select((col("band") * 65536L + col("key")).as("k"))
+        val n = math.max(bandedBatch.count(), 1L)
+        val bf = items.stat.bloomFilter("k", n, fpp)
+        val bc = batchHashes.sparkSession.sparkContext.broadcast(bf)
+        val might = udf((k: Long) => bc.value.mightContainLong(k))
+        bandedIdx.where(might(col("band") * 65536L + col("key")))
+      case None => bandedIdx
+    }
+    // Hamming distance is symmetric, so the (a, b) orientation after
+    // least/greatest needs no hash reshuffling — dist computes off the
+    // probe/candidate halves directly
+    val cand = bandedBatch
+      .select(col("band"), col("key"), col("id").as("id_x"),
+        col("hi").as("h_x"), col("lo").as("l_x"))
+      .join(bandedIdxF.unionByName(bandedBatch)
+        .select(col("band"), col("key"), col("id").as("id_y"),
+          col("hi").as("h_y"), col("lo").as("l_y")), Seq("band", "key"))
+      .where(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        (bit_count(col("h_x").bitwiseXOR(col("h_y"))) +
+          bit_count(col("l_x").bitwiseXOR(col("l_y")))).cast("int").as("dist"))
+      .where(col("dist") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
+    val tagged = i.unionByName(b).select(col("id"), col("is_new"))
+    cand
+      .join(tagged.select(col("id").as("id_a"), col("is_new").as("new_a")),
+        Seq("id_a"))
+      .join(tagged.select(col("id").as("id_b"), col("is_new").as("new_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("dist"),
+        (col("new_a") && col("new_b")).as("both_new"))
+  }
 
   /** SimHash near-dup pairs: hamming distance ≤ maxDist. Pairs are blocked
     * by a coarse prefix (high byte) to avoid the full cross join — compat

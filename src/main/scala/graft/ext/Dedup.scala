@@ -438,8 +438,9 @@ object Dedup {
         val n = math.max(items.count(), 1L)
         val bf = items.stat.bloomFilter("k", n, fpp)
         val bc = batchSigs.sparkSession.sparkContext.broadcast(bf)
-        val might = udf((s: String) => bc.value.mightContainString(s))
-        bandedIdx.where(might(concat_ws(":", col("band"), col("key"))))
+        bandedIdx.where(graft.functions.VectorFunctions
+          .bloomMightContainNative(
+            concat_ws(":", col("band"), col("key")), bc))
       case None => bandedIdx
     }
     val cand = bandedBatch
@@ -735,8 +736,14 @@ object Dedup {
     * emerge — per-batch cost O(batch × bucket-mates), never O(corpus).
     * Returns (id_a, id_b, dist, both_new) with Hamming dist ≤ `maxDist`
     * (banding exact for ≤ 3 by pigeonhole); `both_new = false` marks a
-    * batch item duplicating the existing corpus. Ids must be disjoint
-    * across index and batch (they are media identities).
+    * batch item duplicating the existing corpus. Ids MUST be disjoint
+    * across index and batch (they are media identities) — this is a
+    * correctness precondition, not a convention: an id present on both
+    * sides is silently corrupting, never detected (its index↔batch match
+    * vanishes into the `id_x =!= id_y` self-pair filter, and the
+    * `both_new` tag joins back by id alone, so a colliding pair can be
+    * tagged from the wrong side). Callers guarantee it structurally —
+    * q152 by offset arithmetic, the streaming path by monotonic ids.
     *
     * `bloomFpp`: the same semi-join reduction as the signature path — a
     * Bloom filter over the batch's (band, key) cells drops non-matching
@@ -763,8 +770,8 @@ object Dedup {
         val n = math.max(bandedBatch.count(), 1L)
         val bf = items.stat.bloomFilter("k", n, fpp)
         val bc = batchHashes.sparkSession.sparkContext.broadcast(bf)
-        val might = udf((k: Long) => bc.value.mightContainLong(k))
-        bandedIdx.where(might(col("band") * 65536L + col("key")))
+        bandedIdx.where(graft.functions.VectorFunctions
+          .bloomMightContainNative(col("band") * 65536L + col("key"), bc))
       case None => bandedIdx
     }
     // Hamming distance is symmetric, so the (a, b) orientation after

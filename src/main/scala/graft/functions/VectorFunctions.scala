@@ -268,6 +268,61 @@ object MinhashAB {
       ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
 }
 
+/** Bloom-filter membership probe against a CALLER-BUILT broadcast filter —
+  * the codegen replacement for the `udf(bc.value.mightContain…)` probes the
+  * incremental-dedup prefilters (`ext/Dedup.incrementalDupPairs` /
+  * `incrementalSimhashPairs`) previously used. Spark ships a
+  * `BloomFilterMightContain` expression, but it is internal to injected
+  * runtime-filter plans and expects the serialized filter as an expression
+  * child; there is no public Column function over a filter the caller
+  * constructed, e.g. via `df.stat.bloomFilter`. The broadcast HANDLE rides the expression —
+  * serialization cost is the handle, not the bits — and the generated code
+  * resolves `bloom.value` once per operator instance, then probes per row
+  * inside whole-stage codegen: the semi-join reduction stays fused with the
+  * scan it prunes, no UDF serialization boundary.
+  *
+  * Semantics match the UDF form bit for bit: a LONG child probes
+  * `mightContainLong`; a STRING child probes the UTF-8 bytes —
+  * `BloomFilter.mightContainString` is defined as `mightContainBinary(utf8
+  * bytes)`, exactly what `UTF8String.getBytes` supplies. Null input → null.
+  */
+case class BloomMightContain(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_might_contain expects bigint or string, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = child.dataType match {
+    case LongType => bloom.value.mightContainLong(input.asInstanceOf[Long])
+    case _ => bloom.value.mightContainBinary(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bloom,
+      "org.apache.spark.broadcast.Broadcast")
+    // resolve the broadcast once per operator instance, not per row
+    val bf = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter",
+      "bloomFilter",
+      v => s"$v = (org.apache.spark.util.sketch.BloomFilter) $bcRef.value();")
+    val probe = child.dataType match {
+      case LongType => (c: String) => s"$bf.mightContainLong($c)"
+      case _ => (c: String) => s"$bf.mightContainBinary($c.getBytes())"
+    }
+    defineCodeGen(ctx, ev, probe)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomMightContain = copy(child = newChild)
+}
+
 /** Int8 code packing: array<int> in [-128, 127] → BinaryType, one signed
   * byte per element. This is the STORAGE form of the SQ8 codes
   * (`Similarity.quantizeInt8`): a 64-dim code array held as array<int>
@@ -412,4 +467,12 @@ object VectorFunctions {
   def int8DotNative(a: Column, b: Column): Column =
     ColumnBridge.column(Int8DotPacked(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Broadcast-Bloom membership probe as a Column (codegen'd; see
+    * BloomMightContain).
+    */
+  def bloomMightContainNative(item: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): Column =
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(item), bloom))
 }

@@ -396,6 +396,70 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(full == inc.map { case (a, b, e, _) => (a, b, e) }.toSet)
   }
 
+  test("incrementalDupPairs: Bloom prefilter is result-invariant, " +
+    "including a forced-high-fpp filter") {
+    // a corpus wide enough that the prefilter actually drops index band
+    // rows (most index docs share no band key with the batch), plus known
+    // duplicate structure straddling the cut
+    val docs = (0L until 120L).map { i =>
+      val text =
+        if (i % 7 == 0) "the quick brown fox jumps over the lazy dog " + (i % 3)
+        else s"unique content for document number $i with words " +
+          s"${i * 31 % 97} ${i * 17 % 89} ${i * 13 % 83}"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val old_ = docs.where($"doc_id" < 80)
+    val batch = docs.where($"doc_id" >= 80)
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatureTable(Dedup.shingleSets(df, "doc_id", "text", 3), 12)
+    def run(fpp: Option[Double]) =
+      Dedup.incrementalDupPairs(sigs(batch), sigs(old_),
+          numHashes = 12, bands = 4, estThreshold = 0.5, bloomFpp = fpp)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .toSet
+    val off = run(None)
+    assert(off.nonEmpty, "fixture must produce cross-cut pairs")
+    // tight filter: false positives only ADMIT extra join probes (the
+    // equi-join re-checks the key), so the pair set is bit-identical
+    assert(run(Some(0.01)) == off, "bloomFpp=0.01 must not change results")
+    // forced-high fpp: a filter that passes nearly everything degrades to
+    // the unfiltered join — still identical, just less reduction
+    assert(run(Some(0.9)) == off, "bloomFpp=0.9 must not change results")
+  }
+
+  test("incrementalSimhashPairs: Bloom prefilter is result-invariant, " +
+    "including a forced-high-fpp filter") {
+    // index hashes 0..59; batch: near-dup copies of every 6th (flip 2 low
+    // bits of lo) plus fresh independent hashes — splitmix so unrelated
+    // rows never band-match
+    def mix(i: Long): Long = {
+      var z = i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def half(i: Long, s: Long) = mix(i * 2 + s) & 0xFFFFFFFFL
+    val index = (0L until 60L).map(i => (i, half(i, 0), half(i, 1)))
+      .toDF("media_id", "sim_hi", "sim_lo")
+    val batch = ((0L until 60L by 6).map(i =>
+        (1000L + i, half(i, 0), half(i, 1) ^ 3L)) ++
+      (200L until 215L).map(i => (1000L + i, half(i, 0), half(i, 1))))
+      .toDF("media_id", "sim_hi", "sim_lo")
+    def run(fpp: Option[Double]) =
+      Dedup.incrementalSimhashPairs(batch, index, "media_id", maxDist = 3,
+          bloomFpp = fpp)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+        .toSet
+    val off = run(None)
+    assert(off.map { case (a, b, _, _) => (a, b) } ==
+      (0L until 60L by 6).map(i => (i, 1000L + i)).toSet,
+      s"fixture pair set must be the id arithmetic: $off")
+    assert(run(Some(0.01)) == off, "bloomFpp=0.01 must not change results")
+    assert(run(Some(0.9)) == off, "bloomFpp=0.9 must not change results")
+  }
+
   test("sampleByTemperature upsamples low-resource strata, deterministically") {
     import graft.ext.Sampling
     val rows = (1L to 400L).map(i => (i, if (i <= 320) "big" else "small"))

@@ -242,4 +242,45 @@ class VectorFunctionsSpec extends AnyFunSuite {
         "graft_pack_int8(array(4, 5, -6))) AS d").head().getLong(0)
     assert(viaSql == (4L - 10L - 18L))
   }
+
+  test("bloomMightContain: codegen probe ≡ driver-side mightContain, " +
+    "string and long, null-safe") {
+    // long probe: filter over half the key space, compare per-row results
+    // against the driver-side probe of the SAME filter object
+    val longs = (0L until 200L).toDF("k")
+    val bfL = longs.where($"k" % 2 === 0).stat.bloomFilter("k", 100, 0.03)
+    val bcL = spark.sparkContext.broadcast(bfL)
+    val gotL = longs
+      .select($"k", VectorFunctions.bloomMightContainNative($"k", bcL).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (0L until 200L).foreach { k =>
+      assert(gotL(k) == bfL.mightContainLong(k), s"long probe diverged at $k")
+      if (k % 2 == 0) assert(gotL(k), "a true member can never be rejected")
+    }
+    // string probe: mightContainString is mightContainBinary(utf8), which
+    // is what the expression feeds from UTF8String.getBytes
+    val strs = (0 until 100).map(i => s"band:$i").toDF("s")
+    val bfS = strs.where(length($"s") % 2 === 0).stat.bloomFilter("s", 50, 0.03)
+    val bcS = spark.sparkContext.broadcast(bfS)
+    val gotS = strs
+      .select($"s", VectorFunctions.bloomMightContainNative($"s", bcS).as("m"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    gotS.foreach { case (s, m) =>
+      assert(m == bfS.mightContainString(s), s"string probe diverged at $s")
+    }
+    // null input → null (not false): the probe must not invent a verdict
+    val withNull = Seq(Some(1L), None).toDF("k")
+      .select(VectorFunctions.bloomMightContainNative($"k", bcL).as("m"))
+      .collect()
+    assert(!withNull(0).isNullAt(0) && withNull(1).isNullAt(0))
+    // interpreted eval agrees with codegen (the BoundReference path)
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    val expr = graft.functions.BloomMightContain(
+      BoundReference(0, org.apache.spark.sql.types.LongType, nullable = false),
+      bcL)
+    (0L until 50L).foreach { k =>
+      val row = org.apache.spark.sql.catalyst.InternalRow(k)
+      assert(expr.eval(row) == bfL.mightContainLong(k))
+    }
+  }
 }

@@ -144,16 +144,25 @@ object StreamingIngest {
     * maintenance job, no pause coordination (the current batch's partition
     * is deliberately left out of the fold; see [[compactSignatureIndex]]'s
     * replay note).
+    *
+    * `bloomFpp` defaults ON (0.01) here, unlike the batch API: this path
+    * runs PER TRIGGER forever, so without the prefilter every trigger
+    * shuffles O(index) band rows — the exact cost the Bloom semi-join
+    * reduction kills ([[graft.ext.Dedup.incrementalDupPairs]]). Results
+    * are bit-identical either way (false positives only admit extra join
+    * probes; spec-asserted), so `None` is purely a cost knob for tiny
+    * indexes where the one batch-side pass isn't worth it.
     */
   def nearDupStream(docs: DataFrame, indexDir: String, pairsDir: String,
       checkpointDir: String, shingleK: Int = 3, numHashes: Int = 12,
-      bands: Int = 4, estThreshold: Double = 0.5, compactEvery: Int = 0)
+      bands: Int = 4, estThreshold: Double = 0.5, compactEvery: Int = 0,
+      bloomFpp: Option[Double] = Some(0.01))
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nearDupBatch(batch, batchId, indexDir, pairsDir,
-          shingleK, numHashes, bands, estThreshold)
+          shingleK, numHashes, bands, estThreshold, bloomFpp)
         maybeAutoCompact(batch.sparkSession, indexDir, batchId, compactEvery)
       }
       .start()
@@ -168,14 +177,93 @@ object StreamingIngest {
     * the folded pre-batch state, same as an un-compacted replay.
     */
   def maybeAutoCompact(spark: SparkSession, indexDir: String, batchId: Long,
-      compactEvery: Int): Unit =
+      compactEvery: Int, idCol: String = "id"): Unit =
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
       val p = new org.apache.hadoop.fs.Path(indexDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) {
-        compactSignatureIndex(spark, indexDir, belowBatch = Some(batchId))
+        compactSignatureIndex(spark, indexDir, belowBatch = Some(batchId),
+          idCol = idCol)
         ()
       }
+    }
+
+  /** Continuous PERCEPTUAL near-dup over a media stream — [[nearDupStream]]
+    * for the 64-bit hash family (image dHash/aHash, audio energy
+    * fingerprints, video frame hashes): every micro-batch is reduced to
+    * 17-byte hash rows by `hasher`, Bloom-prefiltered and Hamming-banded
+    * against the PERSISTED hash index
+    * ([[graft.ext.Dedup.incrementalSimhashPairs]]), the emitted pairs land
+    * under the batch's own `batch_id` partition in `pairsDir`, and the
+    * batch's hashes append to the index — the q152 cadence as a stream.
+    *
+    * `hasher` maps the micro-batch to (`idCol`, sim_hi, sim_lo) rows —
+    * pass the modality's reducer, e.g.
+    * `b => Multimodal.perceptualHashes(b.as[MediaRow])(spark).toDF` (or
+    * `audioFingerprints` / `videoFrameHashes`); the decode stays at the
+    * mapPartitions codec boundary inside the batch, payloads never reach
+    * the sinks. Same durability discipline as [[nearDupStream]]: state is
+    * the parquet index (17 B/item, survives restarts), both sinks
+    * dynamic-overwrite their own `batch_id` partition (at-least-once
+    * replay rewrites itself), the index read takes only
+    * `batch_id < batchId` rows, and `compactEvery` folds pre-batch epochs
+    * with the replay-safe below-batch cut. Ids must be disjoint across
+    * batches (media identities — the [[graft.ext.Dedup
+    * .incrementalSimhashPairs]] precondition).
+    */
+  def mediaHashStream(media: DataFrame, indexDir: String, pairsDir: String,
+      checkpointDir: String, hasher: DataFrame => DataFrame,
+      idCol: String = "media_id", maxDist: Int = 3,
+      bloomFpp: Option[Double] = Some(0.01), compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mediaHashBatch(batch, batchId, indexDir, pairsDir, hasher, idCol,
+          maxDist, bloomFpp)
+        maybeAutoCompact(batch.sparkSession, indexDir, batchId, compactEvery,
+          idCol)
+      }
+      .start()
+
+  /** One [[mediaHashStream]] micro-batch, factored out so specs drive
+    * exactly the stream's code path — the [[nearDupBatch]] replay
+    * discipline verbatim (pre-batch index read, per-batch dynamic
+    * overwrite on both sinks). The batch's hash rows are pinned once: the
+    * pair join and the index append both read them, and `hasher` fronts a
+    * real decode worth not repeating.
+    */
+  def mediaHashBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      pairsDir: String, hasher: DataFrame => DataFrame,
+      idCol: String = "media_id", maxDist: Int = 3,
+      bloomFpp: Option[Double] = Some(0.01)): Unit =
+    if (!batch.isEmpty) {
+      import graft.ext.Dedup
+      val spark = batch.sparkSession
+      val hashes = hasher(batch)
+        .select(col(idCol), col("sim_hi"), col("sim_lo"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val index =
+          if (fs.exists(indexPath))
+            spark.read.parquet(indexDir)
+              .where(col("batch_id") < lit(batchId))
+              .select(col(idCol), col("sim_hi"), col("sim_lo"))
+          else hashes.limit(0)
+        Dedup.incrementalSimhashPairs(hashes, index, idCol, maxDist, bloomFpp)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(pairsDir)
+        hashes.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(indexDir)
+      } finally { hashes.unpersist(); () }
     }
 
   /** Streaming SQ8 vector-index ingest — the vector-store companion of
@@ -287,17 +375,23 @@ object StreamingIngest {
       val spark = batch.sparkSession
       val indexPath = new org.apache.hadoop.fs.Path(indexDir)
       val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val (index, corpus) =
-        if (fs.exists(indexPath))
-          (spark.read.parquet(indexDir).where(col("batch_id") < lit(batchId)),
-            spark.read.parquet(survivorsDir)
-              .where(col("batch_id") < lit(batchId)))
-        else
-          // bootstrap: empty relations with the exact index/store schemas
-          (Similarity.sq8IndexWithCells(batch.limit(0), idCol, vecCol, cents),
-            batch.limit(0).select(col(idCol), col(vecCol)))
-      val surv = Similarity.semDedupBatchFromIndex(index, corpus, batch,
-        idCol, vecCol, cents, tau)
+      // the established index is read THROUGH the (batch_id, cell)
+      // artifact layout: the occupied-cell partition filter plus the
+      // epoch cut prune the per-trigger index read to the batch's own
+      // cells' pre-batch files (semDedupBatchFromIndexAt) — O(working
+      // set) I/O per trigger, not O(index)
+      val surv = (if (fs.exists(indexPath))
+        Similarity.semDedupBatchFromIndexAt(spark, indexDir,
+          spark.read.parquet(survivorsDir)
+            .where(col("batch_id") < lit(batchId)),
+          batch, idCol, vecCol, cents, tau,
+          indexFilter = Some(col("batch_id") < lit(batchId)))
+      else
+        // bootstrap: empty relations with the exact index/store schemas
+        Similarity.semDedupBatchFromIndex(
+          Similarity.sq8IndexWithCells(batch.limit(0), idCol, vecCol, cents),
+          batch.limit(0).select(col(idCol), col(vecCol)), batch,
+          idCol, vecCol, cents, tau))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         surv.select(col(idCol), col(vecCol))
@@ -324,7 +418,8 @@ object StreamingIngest {
     */
   def nearDupBatch(batch: DataFrame, batchId: Long, indexDir: String,
       pairsDir: String, shingleK: Int = 3, numHashes: Int = 12,
-      bands: Int = 4, estThreshold: Double = 0.5): Unit = {
+      bands: Int = 4, estThreshold: Double = 0.5,
+      bloomFpp: Option[Double] = Some(0.01)): Unit = {
     import graft.ext.Dedup
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
@@ -340,7 +435,8 @@ object StreamingIngest {
               .where(col("batch_id") < lit(batchId))
               .select(col("id"), col("sig"))
           else sigs.limit(0)
-        Dedup.incrementalDupPairs(sigs, index, numHashes, bands, estThreshold)
+        Dedup.incrementalDupPairs(sigs, index, numHashes, bands, estThreshold,
+            bloomFpp)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -381,7 +477,7 @@ object StreamingIngest {
     * Returns the compacted row count.
     */
   def compactSignatureIndex(spark: SparkSession, indexDir: String,
-      belowBatch: Option[Long] = None): Long = {
+      belowBatch: Option[Long] = None, idCol: String = "id"): Long = {
     import org.apache.spark.sql.expressions.Window
     val idx = spark.read.parquet(indexDir)
     val (fold, keep) = belowBatch match {
@@ -389,7 +485,7 @@ object StreamingIngest {
         (idx.where(col("batch_id") < b), idx.where(col("batch_id") >= b))
       case None => (idx, idx.limit(0))
     }
-    val w = Window.partitionBy(col("id")).orderBy(col("batch_id").desc)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("batch_id").desc)
     val tmp = s"$indexDir.compact.tmp"
     fold.withColumn("__rk", row_number().over(w))
       .where(col("__rk") === 1)

@@ -179,6 +179,146 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mediaHashStream: streamed perceptual pairs equal the batch operator " +
+    "run stepwise; replay-idempotent; compaction keeps ids") {
+    import graft.ext.{Dedup, Multimodal}
+    val base = java.nio.file.Files.createTempDirectory("mediahash_stream")
+    val (mediaDir, indexDir, pairsDir, ckDir) =
+      (s"$base/media", s"$base/index", s"$base/pairs", s"$base/ck")
+    def png(seed: Long, perturb: Boolean) =
+      Multimodal.syntheticNoisePng(36, 24, seed,
+        if (perturb) Some((4, 4)) else None)
+    // batch 1: 2 is a one-cell perturbation of 1 (≤ 2-bit flip — a
+    // guaranteed within-batch pair), 3 independent; batch 2: 11 re-uploads
+    // image 1's pixels (cross-batch pair), 12 is novel
+    val b1 = Seq(
+      Multimodal.MediaRow(1L, "png", png(1L, perturb = false)),
+      Multimodal.MediaRow(2L, "png", png(1L, perturb = true)),
+      Multimodal.MediaRow(3L, "png", png(3L, perturb = false)))
+    val b2 = Seq(
+      Multimodal.MediaRow(11L, "png", png(1L, perturb = false)),
+      Multimodal.MediaRow(12L, "png", png(12L, perturb = false)))
+    def hashed(rows: Seq[Multimodal.MediaRow]) =
+      Multimodal.perceptualHashes(rows.toDS())(spark).toDF()
+    val hasher: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      b => Multimodal.perceptualHashes(b.as[Multimodal.MediaRow])(spark).toDF()
+    new java.io.File(mediaDir).mkdirs()
+    b1.toDS().toDF().coalesce(1).write.mode("append").parquet(mediaDir)
+    val stream = spark.readStream
+      .schema("media_id BIGINT, format STRING, payload BINARY")
+      .option("maxFilesPerTrigger", 1).parquet(mediaDir)
+    val q = StreamingIngest.mediaHashStream(stream, indexDir, pairsDir, ckDir,
+      hasher, compactEvery = 2)
+    def pairSet() = spark.read.parquet(pairsDir)
+      .select("id_a", "id_b", "dist", "both_new")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      .toSet
+    def stepwise(batch: Seq[Multimodal.MediaRow],
+        index: Seq[Multimodal.MediaRow]) =
+      Dedup.incrementalSimhashPairs(hashed(batch),
+          if (index.isEmpty) hashed(batch).limit(0) else hashed(index),
+          "media_id", maxDist = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+        .toSet
+    try {
+      q.processAllAvailable()
+      val expected1 = stepwise(b1, Seq.empty)
+      assert(expected1.map(p => (p._1, p._2)) == Set((1L, 2L)))
+      assert(pairSet() == expected1, "batch 1: within-batch pair only")
+      b2.toDS().toDF().coalesce(1).write.mode("append").parquet(mediaDir)
+      q.processAllAvailable()
+      val expected2 = stepwise(b2, b1)
+      assert(expected2.exists(p => (p._1, p._2) == (1L, 11L) && !p._4),
+        "cross-batch re-upload marked as touching the corpus")
+      assert(pairSet() == expected1 ++ expected2,
+        "batch 2 adds exactly the batch-touching pairs")
+      // the index carries every hash, one partition per trigger
+      val idx = spark.read.parquet(indexDir)
+      assert(idx.select("batch_id").distinct().as[Long].collect().toSet ==
+        Set(0L, 1L))
+      assert(idx.select("media_id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 11L, 12L))
+      // replay the last batch through the stream's own code path: the
+      // pre-batch read + dynamic per-batch overwrite rewrite identical state
+      StreamingIngest.mediaHashBatch(b2.toDS().toDF(), 1L, indexDir,
+        pairsDir, hasher)
+      assert(pairSet() == expected1 ++ expected2, "replay rewrites itself")
+      assert(spark.read.parquet(indexDir).count() == 5L)
+      // full compaction (between triggers) folds to the -1 epoch on the
+      // media id key, keeping every id exactly once
+      val n = StreamingIngest.compactSignatureIndex(spark, indexDir,
+        idCol = "media_id")
+      assert(n == 5L)
+      val compacted = spark.read.parquet(indexDir)
+      assert(compacted.select("batch_id").distinct().as[Long].collect().toSeq ==
+        Seq(-1L))
+      assert(compacted.select("media_id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 11L, 12L))
+    } finally q.stop()
+  }
+
+  test("Bloom prefilter bounds the per-trigger shuffle to postings, " +
+    "with identical results (the streaming cost contract)") {
+    import java.util.concurrent.atomic.LongAdder
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val base = java.nio.file.Files.createTempDirectory("neardup_bloom")
+    val (indexDir, pairsDir) = (s"$base/index", s"$base/pairs")
+    // a wide index (600 docs, unique content) and a tiny batch: without
+    // the prefilter every index band row shuffles into the join; with it,
+    // only rows whose band key the batch might hold
+    val index = (0 until 600).map { i =>
+      (i.toLong, s"unique content for document $i with words " +
+        s"${i * 31 % 97} ${i * 17 % 89} ${i * 13 % 83} ${i * 7 % 79}")
+    }.toDF("doc_id", "text")
+    StreamingIngest.nearDupBatch(index, 0L, indexDir, pairsDir)
+    val batch = ((600 until 605).map(i =>
+        (i.toLong, s"fresh trigger content number $i nothing shared here")) ++
+      Seq((610L, "unique content for document 42 with words " +
+        s"${42 * 31 % 97} ${42 * 17 % 89} ${42 * 13 % 83} ${42 * 7 % 79}")))
+      .toDF("doc_id", "text")
+    val shuffleRecords = new LongAdder
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) shuffleRecords.add(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def measure(fpp: Option[Double]): (Long, Set[(Long, Long, Boolean)]) = {
+      // replay discipline makes the A/B exact: batch 1 reruns against the
+      // identical pre-batch state and rewrites its own partition
+      shuffleRecords.reset()
+      StreamingIngest.nearDupBatch(batch, 1L, indexDir, pairsDir, bloomFpp = fpp)
+      Thread.sleep(1000) // listener-bus drain
+      val shuf = shuffleRecords.sum()
+      val pairs = spark.read.parquet(pairsDir)
+        .where(col("batch_id") === 1L)
+        .select("id_a", "id_b", "both_new")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      (shuf, pairs)
+    }
+    // force sort-merge joins: at test scale AQE broadcasts the tiny band
+    // tables and nothing reaches an exchange — but the prefilter exists
+    // for the regime where the INDEX band side is too big to broadcast,
+    // which disabling auto-broadcast emulates faithfully
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (shufOff, pairsOff) = measure(None)
+      val (shufOn, pairsOn) = measure(Some(0.01))
+      assert(pairsOn == pairsOff && pairsOn.exists(p => (p._1, p._2) == (42L, 610L)),
+        s"prefilter must not change the pair set: on=$pairsOn off=$pairsOff")
+      // the reduction is the point: the O(index) band rows (600 docs × 4
+      // bands) stop reaching the exchange; what remains is batch-sized +
+      // postings + the Bloom build's own aggregate
+      assert(shufOn < shufOff / 2,
+        s"expected the Bloom run to shuffle far less: on=$shufOn off=$shufOff")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("sq8IndexStream: streamed appends + auto-compaction ≡ batch index rebuild") {
     import graft.ext.Similarity
     val base = java.nio.file.Files.createTempDirectory("sq8_stream")

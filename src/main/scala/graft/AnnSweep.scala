@@ -31,6 +31,12 @@ import graft.ext.Similarity
 object AnnSweep {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // SPARK_GRAFT_ANN_SECTIONS: comma list of {pq, ivfpq, ivfsq8,
+    // filtered, knn} — re-run one section (e.g. the filtered matrix)
+    // without paying the PQ training sweeps
+    val sections = sys.env.get("SPARK_GRAFT_ANN_SECTIONS")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("pq", "ivfpq", "ivfsq8", "filtered", "knn"))
     val spark = GraftSession.build("graft-ann-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     val e = Tables.load(spark, dir, "embeddings").localCheckpoint(true)
@@ -46,7 +52,8 @@ object AnnSweep {
         .count().toDouble / (nQ * 5)
 
     println("== PQ/ADC (iters=2) ==")
-    for ((m, k) <- Seq((4, 8), (4, 64), (4, 256), (8, 64), (8, 256))) {
+    for ((m, k) <- Seq((4, 8), (4, 64), (4, 256), (8, 64), (8, 256))
+         if sections("pq")) {
       val subDim = 64 / m
       val t0 = System.nanoTime()
       val books = Similarity.pqCodebooks(e, "vec_id", "embedding",
@@ -70,22 +77,24 @@ object AnnSweep {
       .agg(count(lit(1)).as("cn"))
     val cvecs = Similarity.cellCentroidVectors(cents)
     println("== IVF-PQ raw vs residual (pinned m=8/k=64/overfetch=32, 8 cells) ==")
-    val booksRaw = Similarity.pqCodebooks(e, "vec_id", "embedding",
-      m = 8, subDim = 8, k = 64, iters = 2).localCheckpoint(true)
-    val resid = Similarity.residualVectors(e, "vec_id", "embedding", cents)
-      .localCheckpoint(true)
-    val booksRes = Similarity.pqCodebooks(resid, "vec_id", "rvec",
-      m = 8, subDim = 8, k = 64, iters = 2).localCheckpoint(true)
-    for (np <- Seq(2, 4, 8)) {
-      val rRaw = recall(Similarity.ivfPqAdcTopK(q, e, "vec_id", "embedding",
-        cents, booksRaw, m = 8, subDim = 8, k = 5, nprobe = np, overfetch = 32))
-      val rRes = recall(Similarity.ivfPqResidualTopK(q, e, "vec_id", "embedding",
-        cents, booksRes, m = 8, subDim = 8, k = 5, nprobe = np, overfetch = 32))
-      println(f"ivf-pq nprobe=$np raw-recall@5=$rRaw%.4f residual-recall@5=$rRes%.4f")
+    if (sections("ivfpq")) {
+      val booksRaw = Similarity.pqCodebooks(e, "vec_id", "embedding",
+        m = 8, subDim = 8, k = 64, iters = 2).localCheckpoint(true)
+      val resid = Similarity.residualVectors(e, "vec_id", "embedding", cents)
+        .localCheckpoint(true)
+      val booksRes = Similarity.pqCodebooks(resid, "vec_id", "rvec",
+        m = 8, subDim = 8, k = 64, iters = 2).localCheckpoint(true)
+      for (np <- Seq(2, 4, 8)) {
+        val rRaw = recall(Similarity.ivfPqAdcTopK(q, e, "vec_id", "embedding",
+          cents, booksRaw, m = 8, subDim = 8, k = 5, nprobe = np, overfetch = 32))
+        val rRes = recall(Similarity.ivfPqResidualTopK(q, e, "vec_id", "embedding",
+          cents, booksRes, m = 8, subDim = 8, k = 5, nprobe = np, overfetch = 32))
+        println(f"ivf-pq nprobe=$np raw-recall@5=$rRaw%.4f residual-recall@5=$rRes%.4f")
+      }
     }
 
     println("== IVF-SQ8 (8 learned cells, overfetch=4) ==")
-    for (np <- Seq(1, 2, 4, 8)) {
+    for (np <- Seq(1, 2, 4, 8) if sections("ivfsq8")) {
       val t0 = System.nanoTime()
       val r = recall(Similarity.ivfQuantizedTopK(index, cents, q, e,
         "vec_id", "embedding", k = 5, nprobe = np, overfetch = 4))
@@ -115,9 +124,9 @@ object AnnSweep {
     // corpus, and the knob that restores recall is probing/overfetching
     // for the filtered density, not the raw one.
     println("== filtered IVF-SQ8: recall@5 vs selectivity (8 cells) ==")
-    val idxAttr = Similarity.sq8IndexWithCells(e, "vec_id", "embedding",
+    lazy val idxAttr = Similarity.sq8IndexWithCells(e, "vec_id", "embedding",
       cents, attrs = Seq("label")).localCheckpoint(true)
-    for (modk <- Seq(2, 3, 5, 10)) {
+    for (modk <- Seq(2, 3, 5, 10) if sections("filtered")) {
       val pred = col("label") % modk === 0
       val bfF = Similarity.bruteForceTopK(q, e.where(pred),
           "vec_id", "embedding", k = 5)
@@ -133,6 +142,17 @@ object AnnSweep {
         println(f"filtered sel=1/$modk nprobe=$np overfetch=$of%2d " +
           f"recall@5=$r%.4f")
       }
+      // the round-11 knob: nprobe sized FOR the measured filtered density
+      // (⌈base/selectivity⌉, capped at the cell count) — the row that
+      // recovers the thin-selectivity recall without all-cells probing
+      // being hard-coded
+      val sel = Similarity.filterSelectivity(idxAttr, pred)
+      val npAuto = Similarity.nprobeForSelectivity(2, sel, cells = 8)
+      val rAuto = recallF(Similarity.ivfQuantizedTopK(idxAttr, cents, q, e,
+        "vec_id", "embedding", k = 5, nprobe = npAuto, overfetch = 4,
+        filter = Some(pred)))
+      println(f"filtered sel=1/$modk AUTO(base=2) nprobe=$npAuto " +
+        f"measured_sel=$sel%.3f recall@5=$rAuto%.4f")
       bfF.unpersist(); ()
     }
 
@@ -143,7 +163,7 @@ object AnnSweep {
     // synthetic 10× corpus (ids offset, one coordinate deterministically
     // perturbed per copy so no exact dups), nprobe=1.
     println("== knnGraph pair volume at 10x (nprobe=1) ==")
-    val e10 = (0 until 10).map { c =>
+    lazy val e10 = (0 until 10).map { c =>
       e.select((col("vec_id") + lit(c * 100000L)).as("vec_id"),
         transform(col("embedding"),
           (x, i) => when(i === (c % 64), x + lit(c * 0.001f)).otherwise(x))
@@ -168,9 +188,11 @@ object AnnSweep {
         .agg(sum(col("cn"))).head().getLong(0)
       println(f"$label%-28s pairs=$vol%,d")
     }
-    pairVolume(e, 8, "1x corpus, 8 cells")
-    pairVolume(e10, 8, "10x corpus, 8 cells (FIXED)")
-    pairVolume(e10, 80, "10x corpus, 80 cells (k∝N)")
+    if (sections("knn")) {
+      pairVolume(e, 8, "1x corpus, 8 cells")
+      pairVolume(e10, 8, "10x corpus, 8 cells (FIXED)")
+      pairVolume(e10, 80, "10x corpus, 80 cells (k∝N)")
+    }
     spark.stop()
   }
 }

@@ -37,6 +37,12 @@ object ScaleProbe {
       .getOrElse(Seq(10))
     val spark = GraftSession.build("graft-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_NO_BROADCAST=1 → force sort-merge joins, so the probe
+    // measures the EXCHANGE-bound regime (at real index scale the band
+    // sides exceed any broadcast threshold; at probe scale AQE would
+    // broadcast them and the shuffle-row witness would read ~0)
+    if (sys.env.get("SPARK_GRAFT_NO_BROADCAST").contains("1"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     def synthDir(copies: Int): String = {
       val dir = s"/tmp/graft_scale_synth_${copies}x"

@@ -820,6 +820,43 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Selectivity-aware probe sizing for FILTERED ANN — the operator-level
+    * answer to the measured q143 caveat (docs/SCALE.md §filtered-ANN:
+    * recall fell 0.4583 → 0.4000 at fixed nprobe as the predicate
+    * thinned cells, and OVERFETCH did not recover it — overfetch widens
+    * the rescore pool within the probed cells, while the loss is passing
+    * candidates OUTSIDE them): under a predicate keeping fraction
+    * `selectivity` of index rows, a probed cell contributes
+    * ~selectivity·|cell| passing candidates, so holding the EXPECTED
+    * candidate pool at its unfiltered level means probing
+    * ⌈nprobe / selectivity⌉ cells, capped at the cell count (the cap end
+    * is all-cells probing — EXACT over the filtered corpus, the natural
+    * ceiling as selectivity → 0). Cost scales the same way — the pruned
+    * scan reads nprobe/selectivity cells' files — which is the honest
+    * price of a selective pre-filter: fewer candidates per file, more
+    * files for the same recall.
+    */
+  def nprobeForSelectivity(nprobe: Int, selectivity: Double,
+      cells: Int): Int = {
+    require(nprobe >= 1 && cells >= 1,
+      s"need nprobe >= 1 and cells >= 1: $nprobe/$cells")
+    require(selectivity > 0.0 && selectivity <= 1.0,
+      s"selectivity must be in (0, 1]: $selectivity")
+    math.min(cells.toDouble, math.ceil(nprobe / selectivity)).toInt
+  }
+
+  /** Measured fraction of index rows passing `filter` — one aggregate
+    * over the COMPACT index relation (never the primary store), the
+    * [[nprobeForSelectivity]] input when the predicate's selectivity is
+    * not known a priori. Empty index → 1.0 (no thinning to correct for).
+    */
+  def filterSelectivity(index: DataFrame, filter: Column): Double = {
+    val r = index.agg(count(lit(1)).as("n"),
+      count(when(filter, lit(1))).as("k")).head()
+    val (n, k) = (r.getLong(0), r.getLong(1))
+    if (n == 0L || k == 0L) 1.0 else k.toDouble / n
+  }
+
   /** Persist the IVF-SQ index PARTITIONED BY CELL — the layout every
     * scale claim about the composed probe assumes: with one directory per
     * coarse cell, [[ivfQuantizedTopK]]'s `index ⋈ broadcast(probes)` join
@@ -872,7 +909,7 @@ object Similarity {
       cents: DataFrame, path: String): Unit =
     sq8IndexWithCells(df, idCol, vecCol, cents)
       .withColumn("batch_id", lit(0L))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+      .write.mode("overwrite").partitionBy("batch_id", "cell").parquet(path)
 
   /** Append one batch to a persisted IVF-SQ index against the FROZEN
     * quantizer: quantize + assign ONLY the batch (the centroid table
@@ -884,10 +921,15 @@ object Similarity {
     */
   def appendSq8IndexWithCells(batch: DataFrame, idCol: String,
       vecCol: String, cents: DataFrame, path: String, batchId: Long): Unit =
+    // (batch_id, cell) partitioning — the IVF-PQ dual-purpose layout
+    // (saveIvfPqIndex): the leading epoch level gives replay-safe dynamic
+    // overwrite, the cell level makes per-batch index reads
+    // partition-prunable (semDedupBatchFromIndexAt's occupied-cell
+    // filter); DPP/static pruning works on ANY partition column
     sq8IndexWithCells(batch, idCol, vecCol, cents)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(path)
+      .partitionBy("batch_id", "cell").parquet(path)
 
   /** Fold a per-batch-appended SQ8 index into the single `-1` epoch,
     * keeping the LATEST row per id (a re-encoded vector keeps its newest
@@ -899,12 +941,20 @@ object Similarity {
     */
   def compactSq8Index(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String,
-      belowBatch: Option[Long] = None): Long =
+      belowBatch: Option[Long] = None): Long = {
     // belowBatch = the in-stream form (StreamingIngest.sq8IndexStream):
     // fold only partitions below the just-committed batch, so a replay of
     // that batch still reads exactly the pre-batch state — the
-    // compactSignatureIndex replay contract, verbatim
-    compactPartitionedIndex(spark, path, idCol, Seq("batch_id"), belowBatch)
+    // compactSignatureIndex replay contract, verbatim. A cell-stamped
+    // index keeps its cell partition level through the fold (dropping it
+    // would silently turn every later pruned read into a full scan — the
+    // compactIvfPqIndex rationale).
+    val parts =
+      if (spark.read.parquet(path).columns.contains("cell"))
+        Seq("batch_id", "cell")
+      else Seq("batch_id")
+    compactPartitionedIndex(spark, path, idCol, parts, belowBatch)
+  }
 
   // ---- semantic decontamination off the frozen index ---------------------
 
@@ -1009,10 +1059,56 @@ object Similarity {
       batch: DataFrame, idCol: String, vecCol: String, cents: DataFrame,
       tau: Double, margin: Double = SqQuantMargin,
       maxCell: Int = DefaultMaxCell, dim: Int = 64): DataFrame = {
-    import graft.functions.VectorFunctions.{int8DotNative, packInt8Native}
     // one assignment pass serves the cross leg, the within leg, and the
     // final anti-join (the semDedup materialization rationale)
     val stamped = assignCells(batch, idCol, vecCol, cents).localCheckpoint(true)
+    semDedupBatchCore(index, corpus, stamped, idCol, vecCol, tau, margin,
+      maxCell, dim)
+  }
+
+  /** [[semDedupBatchFromIndex]] served from a CELL-PARTITIONED index
+    * artifact ([[saveIvfSq8Index]]'s layout, or the streaming
+    * (batch_id, cell) layout): the batch's OCCUPIED-CELL set — collected
+    * driver-side, bounded by the quantizer cell count (≤ ⌈√N⌉ under
+    * [[AutoCells]], the same order as the hot-cell guard's size peek) —
+    * becomes a static partition filter on the index scan, so a batch
+    * reads ONLY its own cells' index files instead of the full index.
+    * The cross leg joins on the cell key anyway, so rows outside the
+    * batch's cells could never match: the filter changes I/O, never
+    * results (spec-asserted identical to the in-memory form).
+    *
+    * A batch occupies ≤ |batch| cells, typically far fewer; at 100 TB
+    * the per-trigger index read drops from every cell directory to the
+    * batch's working set — the storage-routing gap the r10 verdict named
+    * (the join was already cell-keyed; only the read was unpruned).
+    *
+    * `indexFilter`: extra predicate on the artifact rows — the streaming
+    * path passes its `batch_id < current` epoch cut, which lands on the
+    * leading partition level of the (batch_id, cell) layout and prunes
+    * the same way.
+    */
+  def semDedupBatchFromIndexAt(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, corpus: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame, tau: Double,
+      margin: Double = SqQuantMargin, maxCell: Int = DefaultMaxCell,
+      dim: Int = 64, indexFilter: Option[Column] = None): DataFrame = {
+    val stamped = assignCells(batch, idCol, vecCol, cents).localCheckpoint(true)
+    val occupied = stamped.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val base = spark.read.parquet(indexPath)
+    val index = indexFilter.fold(base)(base.where)
+      .where(col("cell").isin(occupied: _*))
+    semDedupBatchCore(index, corpus, stamped, idCol, vecCol, tau, margin,
+      maxCell, dim)
+  }
+
+  /** The shared prune core over a PRE-STAMPED batch (one assignment pass,
+    * already checkpointed by the callers above).
+    */
+  private def semDedupBatchCore(index: DataFrame, corpus: DataFrame,
+      stamped: DataFrame, idCol: String, vecCol: String,
+      tau: Double, margin: Double, maxCell: Int, dim: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{int8DotNative, packInt8Native}
     val bq = quantizeInt8(stamped, idCol, vecCol).select(
       col(idCol).as("b_id"), col("cell"),
       col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"),

@@ -857,6 +857,72 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "the fixture must exercise both keeps and drops")
   }
 
+  test("semDedupBatchFromIndexAt: the per-batch index read is partition-" +
+    "pruned to the batch's occupied cells, results identical") {
+    // four well-separated one-hot clusters; the BATCH touches only two of
+    // them, so the artifact read must prune to those cells' directories
+    def vec(c: Int, jitter: Int) = {
+      val a = Array.fill(64)(0f)
+      a(c * 8) = 10f; a(c * 8 + 1) = jitter * 0.01f; a
+    }
+    // batch rows 16..19 duplicate indexed clusters (drop vs index); rows
+    // 20..23 are NEW directions that still assign to cells 0/1 (cos ≈ 0.78
+    // to the centroid — below tau, so they survive the cross leg) and
+    // duplicate EACH OTHER pairwise (22/23 drop within-batch)
+    def mixed(c: Int, jitter: Int) = {
+      val a = Array.fill(64)(0f)
+      a(c * 8) = 10f; a(c * 8 + 1) = 8f; a(c * 8 + 2) = jitter * 0.01f; a
+    }
+    val old = (0 until 16).map(i => (i.toLong, vec(i % 4, i)))
+      .toDF("vec_id", "embedding")
+    val batch = ((16 until 20).map(i => (i.toLong, vec(i % 2, i))) ++
+      (20 until 24).map(i => (i.toLong, mixed(i % 2, i))))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(old, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("semdedup_at").toString + "/idx"
+    Similarity.saveIvfSq8Index(old, "vec_id", "embedding", cents, path)
+    val occupied = Similarity.assignCells(batch, "vec_id", "embedding", cents)
+      .select($"cell").distinct().as[Int].collect().toSet
+    val totalCells = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(occupied.size < totalCells,
+      s"fixture must leave unoccupied cells: $occupied of $totalCells")
+    val served = Similarity.semDedupBatchFromIndexAt(spark, path, old, batch,
+      "vec_id", "embedding", cents, tau = 0.9)
+    // the occupied-cell set lands as a partition filter on the index scan
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"expected the cell filter in PartitionFilters:\n${plan.take(3000)}")
+    val inMem = Similarity.semDedupBatchFromIndex(
+      Similarity.sq8IndexWithCells(old, "vec_id", "embedding", cents),
+      old, batch, "vec_id", "embedding", cents, tau = 0.9)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id").as[Long].collect().toSet
+    assert(ids(served) == ids(inMem),
+      "pruning the read to occupied cells cannot change survivors")
+    assert(ids(served).nonEmpty && ids(served).size < 8,
+      "fixture must exercise both keeps and drops")
+  }
+
+  test("nprobeForSelectivity: widens probes for the filtered density, " +
+    "caps at all cells; filterSelectivity measures the index") {
+    assert(Similarity.nprobeForSelectivity(2, 1.0, 8) == 2,
+      "no filter, no widening")
+    assert(Similarity.nprobeForSelectivity(2, 0.5, 8) == 4)
+    assert(Similarity.nprobeForSelectivity(2, 1.0 / 3, 8) == 6)
+    assert(Similarity.nprobeForSelectivity(2, 0.2, 8) == 8, "cap: 10 → 8")
+    assert(Similarity.nprobeForSelectivity(2, 0.1, 8) == 8,
+      "degenerate selectivity pins at the exact all-cells scan")
+    intercept[IllegalArgumentException](
+      Similarity.nprobeForSelectivity(2, 0.0, 8))
+    val idx = (0 until 100).map(i => (i.toLong, i % 5)).toDF("vec_id", "label")
+    assert(Similarity.filterSelectivity(idx, $"label" === 0) == 0.2)
+    assert(Similarity.filterSelectivity(idx.limit(0), $"label" === 0) == 1.0,
+      "empty index → no thinning to correct for")
+  }
+
   test("filtered ANN: predicate reaches the artifact scan as a PushedFilter " +
     "and the result is the exact top-k over the filtered corpus") {
     val vecs = (0 until 48).map { i =>

@@ -713,6 +713,43 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** [[simhash64DupPairs]] for MULTI-ROW-PER-ID hash tables — sampled
+    * video frames ([[graft.ext.Multimodal.videoFrameHashesSampled]]) and
+    * overlapping audio sub-fingerprints
+    * ([[graft.ext.Multimodal.audioFingerprintsFramed]]): two ids pair
+    * when ANY of their 64-bit rows sit within Hamming `maxDist`, which is
+    * what makes trimmed / re-introed / offset copies still pair — the
+    * changed rows miss, the shared rows match. Emits (id_a, id_b, dist)
+    * with id_a < id_b and dist = the MINIMUM over their qualifying row
+    * pairs (deterministic: banding is pigeonhole-exact at maxDist ≤ 3, so
+    * EVERY row pair within the bound is found and the min is over the
+    * complete set, not a sampling accident).
+    *
+    * Same plan discipline as the single-row form — k·4 band rows per id
+    * off one materialized 17·k-bytes-per-id checkpoint, hot bands stream
+    * through the equi-join — with the multi-band/multi-row re-find dedup
+    * being the min-dist aggregate itself (one shuffle keyed on the pair).
+    */
+  def simhash64DupPairsAnyRow(hashes: DataFrame, idCol: String,
+      maxDist: Int = 3, eager: Boolean = true): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"banded blocking over 4 bands is exact only for maxDist <= 3: $maxDist")
+    val hashed = hashes.select(col(idCol).as("id"), col("sim_hi").as("hi"),
+      col("sim_lo").as("lo"))
+    val s = if (eager) hashed.localCheckpoint(true) else hashed
+    def banded(as: String*) = simhash64Bands(s)
+      .select(col("band"), col("key"),
+        col("id").as(as(0)), col("hi").as(as(1)), col("lo").as(as(2)))
+    banded("id_a", "h_a", "l_a").join(banded("id_b", "h_b", "l_b"), Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("h_a").bitwiseXOR(col("h_b"))) +
+          bit_count(col("l_a").bitwiseXOR(col("l_b")))).cast("int").as("dist"))
+      .where(col("dist") <= maxDist)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("dist")).as("dist"))
+  }
+
   /** The four 16-bit band keys of a (id, hi, lo) SimHash frame — the
     * blocking cells `simhash64DupPairs` self-joins on. Exposed for the
     * ScaleOpsSpec block-distribution bound.

@@ -84,8 +84,11 @@ object Multimodal {
     * filter on `width >= 0` (or route those rows to a format-specific
     * decoder). BOTH failure modes degrade: no reader claims the format
     * (ImageIO.read returns null) AND a matched reader throwing on a
-    * corrupt/truncated body (valid PNG/JPEG signature, broken stream —
-    * IIOException/IOException, caught like the audio path's).
+    * corrupt body — NonFatal, not just IOException, because ImageIO's
+    * decoders throw unchecked exceptions on real-world corrupt files
+    * (CMMException on broken ICC profiles, IllegalArgument /
+    * NegativeArraySize on malformed rasters), and any of them must
+    * degrade to the sentinel, not kill the task.
     *
     * Same scale shape as the stub: mapPartitions is the codec boundary
     * (stream + reader state per partition), rows processed in buffered
@@ -99,10 +102,7 @@ object Multimodal {
         batch.map { r =>
           val sha = java.security.MessageDigest.getInstance("SHA-256")
             .digest(r.payload).map("%02x".format(_)).mkString
-          val img =
-            try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(r.payload))
-            catch { case _: java.io.IOException => null }
+          val img = decodeImage(r.payload, 0, r.payload.length)
           if (img == null)
             MediaFeatures(r.media_id, r.format, r.payload.length.toLong, sha,
               -1, -1, -1)
@@ -145,10 +145,12 @@ object Multimodal {
     * readers ship with the JVM, like ImageIO's image readers): sample rate,
     * channel count, and frame length come from the parsed audio stream;
     * duration is integer milliseconds (frames·1000/rate, floor). Payloads
-    * no reader accepts degrade to -1 sentinels. Same mapPartitions codec
-    * boundary and batch shape as the image path — with this, only VIDEO
-    * formats remain on the documented md5 stub (no pure-JVM video decoder
-    * exists).
+    * no reader accepts — or that a matched reader THROWS on (NonFatal:
+    * corrupt headers surface as unchecked arithmetic/array errors from the
+    * parsers, same as the ImageIO family) — degrade to -1 sentinels. Same
+    * mapPartitions codec boundary and batch shape as the image path —
+    * with this, only VIDEO formats remain on the documented md5 stub (no
+    * pure-JVM video decoder exists).
     */
   def decodeAudioFeatures(media: Dataset[MediaRow], batchSize: Int = 64)(
       implicit spark: SparkSession): Dataset[AudioFeatures] = {
@@ -168,8 +170,7 @@ object Multimodal {
                 if (rate > 0 && frames >= 0) frames * 1000L / rate else -1L)
             } finally ais.close()
           } catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException |
-                 _: java.io.IOException =>
+            case scala.util.control.NonFatal(_) =>
               AudioFeatures(r.media_id, r.format, r.payload.length.toLong,
                 -1, -1, -1L, -1L)
           }
@@ -232,8 +233,16 @@ object Multimodal {
         batch.map { r =>
           try {
             val m = parseAvi(r.payload)
+            // decode exactly the first frame chunk, locally — the features
+            // row keeps only its dims, so pixels die with this scope
+            // instead of riding the parse result (the r10 review note)
+            val img = m.frameChunks.headOption
+              .map { case (off, len) => decodeImage(r.payload, off, len) }
+              .orNull
+            val (fw, fh) =
+              if (img == null) (-1, -1) else (img.getWidth, img.getHeight)
             VideoFeatures(r.media_id, r.format, r.payload.length.toLong,
-              m.width, m.height, m.frames, m.usecPerFrame, m.frameW, m.frameH)
+              m.width, m.height, m.frames, m.usecPerFrame, fw, fh)
           } catch {
             case scala.util.control.NonFatal(_) =>
               VideoFeatures(r.media_id, r.format, r.payload.length.toLong,
@@ -244,17 +253,33 @@ object Multimodal {
     }
   }
 
+  /** ImageIO decode of a payload slice, degrading to null on EVERY
+    * decoder failure — NonFatal, not just IOException, because the JDK's
+    * readers throw unchecked exceptions on real-world corrupt files
+    * (CMMException on broken ICC profiles, IllegalArgument /
+    * NegativeArraySize on malformed rasters). The ONE image-decode
+    * boundary every payload path shares, so the robustness contract
+    * cannot drift between the features, hash, and video-frame paths
+    * again.
+    */
+  private def decodeImage(b: Array[Byte], off: Int,
+      len: Int): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b, off, len))
+    catch { case scala.util.control.NonFatal(_) => null }
+
   private final case class AviMeta(width: Int, height: Int, frames: Long,
-      usecPerFrame: Long, frameW: Int, frameH: Int,
-      frameImg: java.awt.image.BufferedImage = null)
+      usecPerFrame: Long, frameChunks: Vector[(Int, Int)])
 
   /** RIFF/AVI walk: `RIFF <size> AVI ` then a chunk sequence where each
     * chunk is `<fourcc> <le32 size> <data, padded to even>`; `LIST` chunks
     * carry a type fourcc and nest. Reads `avih` (dwMicroSecPerFrame at +0,
-    * dwTotalFrames at +16, dwWidth/dwHeight at +32/+36) and the first
-    * `00dc`/`00db` frame chunk.
+    * dwTotalFrames at +16, dwWidth/dwHeight at +32/+36) and INDEXES the
+    * `00dc`/`00db` frame chunks — (offset, length) pairs only, up to
+    * `maxFrameChunks`; decoding is the caller's on-demand concern
+    * ([[decodeImage]]), so a metadata-only pass never materializes pixels.
     */
-  private def parseAvi(b: Array[Byte]): AviMeta = {
+  private def parseAvi(b: Array[Byte],
+      maxFrameChunks: Int = Int.MaxValue): AviMeta = {
     def u32(off: Int): Long =
       (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
         ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
@@ -262,8 +287,8 @@ object Multimodal {
     require(b.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ",
       "not a RIFF/AVI container")
     var width = -1; var height = -1; var frames = -1L; var usec = -1L
-    var frameW = -1; var frameH = -1
-    var frameImg: java.awt.image.BufferedImage = null
+    val chunks = Vector.newBuilder[(Int, Int)]
+    var nChunks = 0
     def walk(start: Int, end: Int): Unit = {
       var off = start
       while (off + 8 <= end) {
@@ -277,14 +302,9 @@ object Multimodal {
             frames = u32(dataOff + 16)
             width = u32(dataOff + 32).toInt
             height = u32(dataOff + 36).toInt
-          case "00dc" | "00db" if frameW < 0 && sz > 0 =>
-            val img =
-              try javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(b, dataOff, sz))
-              catch { case _: java.io.IOException => null }
-            if (img != null) {
-              frameW = img.getWidth; frameH = img.getHeight; frameImg = img
-            }
+          case "00dc" | "00db" if nChunks < maxFrameChunks && sz > 0 =>
+            chunks += ((dataOff, sz))
+            nChunks += 1
           case _ => ()
         }
         off = dataOff + sz + (sz & 1) // chunks are word-aligned
@@ -292,7 +312,19 @@ object Multimodal {
     }
     walk(12, math.min(b.length.toLong, 8L + u32(4)).toInt)
     require(width >= 0 && frames >= 0, "no avih header found")
-    AviMeta(width, height, frames, usec, frameW, frameH, frameImg)
+    AviMeta(width, height, frames, usec, chunks.result())
+  }
+
+  /** The `k`-of-`n` fixed-fraction sample positions: index i of k maps to
+    * frame ⌊i·n/k⌋ (distinct positions — k ≥ n degenerates to every
+    * frame). The same floor rule as the image grid and [[sampleSlices]],
+    * so the sampled set is a pure function of (n, k): two pipelines
+    * sampling the same container always hash the same frames.
+    */
+  private[graft] def sampleFrameIndices(n: Int, k: Int): Seq[Int] = {
+    require(k >= 1, s"need k >= 1: $k")
+    if (n <= 0) Seq.empty
+    else (0 until k).map(i => (i.toLong * n / k).toInt).distinct
   }
 
   /** Deterministic synthetic MJPEG AVI (fixture generator for the video
@@ -418,15 +450,9 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          // NonFatal, not just IOException: ImageIO decoders throw
-          // unchecked exceptions on real-world corrupt files (CMMException
-          // on broken ICC profiles, IllegalArgument/NegativeArraySize on
-          // malformed rasters) — any of them must degrade to null halves,
-          // not kill the task
-          val img =
-            try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(r.payload))
-            catch { case scala.util.control.NonFatal(_) => null }
+          // decodeImage degrades EVERY decoder failure (NonFatal — corrupt
+          // ICC profiles, malformed rasters) to null → null halves
+          val img = decodeImage(r.payload, 0, r.payload.length)
           rasterHash64(img, isD) match {
             case Some((hi, lo)) => ImageHashRow(r.media_id, Some(hi), Some(lo))
             case None => ImageHashRow(r.media_id, None, None)
@@ -567,8 +593,16 @@ object Multimodal {
     * louder on average than window f+1 (cross-multiplied — windows at the
     * boundary differ by one frame, so the compare is over means, not
     * sums). Invariant to uniform gain scaling the same way dHash is
-    * invariant to brightness shifts; robust to re-encoding that preserves
-    * the energy envelope. Output is the [[ImageHashRow]] 64-bit layout,
+    * invariant to brightness shifts — with the integer-precision caveat
+    * that a scaling which TRUNCATES (e.g. /2 on odd samples) can flip a
+    * comparison whose two window means sit within rounding of a tie; the
+    * invariance claim is exact whenever no adjacent-window mean gap is
+    * that small (the OpsSpec fixture engineers gaps ≥ 250 for exactly
+    * this reason). Robust to re-encoding that preserves the energy
+    * envelope; NOT to time offsets — the 65 windows span the whole clip,
+    * so a trim re-rolls every boundary
+    * ([[audioFingerprintsFramed]] is the shift-tolerant form).
+    * Output is the [[ImageHashRow]] 64-bit layout,
     * so [[graft.ext.Dedup.simhash64DupPairs]]' Hamming-banded pair join
     * (pigeonhole-exact at maxDist ≤ 3) applies to audio unchanged.
     * Non-PCM16 / sub-65-frame / undecodable payloads carry null halves
@@ -584,58 +618,142 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(r.payload))
-            try {
-              val fmt = ais.getFormat
-              val frames = ais.getFrameLength
-              val ok = fmt.getSampleSizeInBits == 16 &&
-                fmt.getEncoding ==
-                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-                !fmt.isBigEndian && frames >= 65
-              if (!ok) ImageHashRow(r.media_id, None, None)
-              else {
-                val chans = fmt.getChannels
-                val frameSize = fmt.getFrameSize
-                val data = ais.readAllBytes()
-                val n = math.min(frames, (data.length / frameSize).toLong).toInt
-                if (n < 65) ImageHashRow(r.media_id, None, None)
-                else {
-                  val sums = new Array[Long](65)
-                  val cnts = new Array[Long](65)
-                  var f = 0
-                  while (f < n) {
-                    val w = math.min(f * 65L / n, 64L).toInt
-                    var c = 0
-                    var e = 0L
-                    while (c < chans) {
-                      val off = f * frameSize + c * 2
-                      val s = ((data(off) & 0xff) | (data(off + 1) << 8)).toShort
-                      e += math.abs(s.toLong)
-                      c += 1
-                    }
-                    sums(w) += e
-                    cnts(w) += 1
-                    f += 1
-                  }
-                  var hi = 0L; var lo = 0L
-                  var bit = 0
-                  while (bit < 64) {
-                    if (gtQ(sums(bit), cnts(bit), sums(bit + 1), cnts(bit + 1))) {
-                      if (bit < 32) hi |= 1L << (31 - bit)
-                      else lo |= 1L << (63 - bit)
-                    }
-                    bit += 1
-                  }
-                  ImageHashRow(r.media_id, Some(hi), Some(lo))
-                }
+          readPcm16(r.payload) match {
+            case Some((chans, frameSize, data, n)) if n >= 65 =>
+              val sums = new Array[Long](65)
+              val cnts = new Array[Long](65)
+              var f = 0
+              while (f < n) {
+                val w = math.min(f * 65L / n, 64L).toInt
+                sums(w) += frameEnergy(data, f, frameSize, chans)
+                cnts(w) += 1
+                f += 1
               }
-            } finally ais.close()
-          } catch {
-            case scala.util.control.NonFatal(_) =>
-              ImageHashRow(r.media_id, None, None)
+              val (hi, lo) = envelopeBits64(sums, cnts, 0)
+              ImageHashRow(r.media_id, Some(hi), Some(lo))
+            case _ => ImageHashRow(r.media_id, None, None)
           }
+        }
+      }
+    }
+  }
+
+  /** Little-endian 16-bit PCM decode shared by the fingerprint paths:
+    * Some(channels, frameSize, raw bytes, usable frame count) for a
+    * PCM16-LE payload, None for anything else — unsupported formats AND
+    * throwing parsers (NonFatal) both degrade.
+    */
+  private def readPcm16(payload: Array[Byte])
+      : Option[(Int, Int, Array[Byte], Int)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        val ok = fmt.getSampleSizeInBits == 16 &&
+          fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          !fmt.isBigEndian
+        if (!ok) None
+        else {
+          val data = ais.readAllBytes()
+          val n = math.min(frames,
+            (data.length / fmt.getFrameSize).toLong).toInt
+          Some((fmt.getChannels, fmt.getFrameSize, data, n))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Σ_channels |sample| of one PCM16-LE frame. */
+  private def frameEnergy(data: Array[Byte], f: Int, frameSize: Int,
+      chans: Int): Long = {
+    var c = 0
+    var e = 0L
+    while (c < chans) {
+      val off = f * frameSize + c * 2
+      e += math.abs(((data(off) & 0xff) | (data(off + 1) << 8)).toShort.toLong)
+      c += 1
+    }
+    e
+  }
+
+  /** The 64 adjacent-window mean comparisons over windows
+    * [from, from + 65), packed into the two-half layout. */
+  private def envelopeBits64(sums: Array[Long], cnts: Array[Long],
+      from: Int): (Long, Long) = {
+    var hi = 0L; var lo = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (gtQ(sums(from + bit), cnts(from + bit),
+          sums(from + bit + 1), cnts(from + bit + 1))) {
+        if (bit < 32) hi |= 1L << (31 - bit)
+        else lo |= 1L << (63 - bit)
+      }
+      bit += 1
+    }
+    (hi, lo)
+  }
+
+  /** Shift-tolerant audio fingerprinting — the sub-fingerprint form
+    * (Haitsma & Kalker's "robust hashing" shape: many overlapping
+    * fingerprints per clip, match on ANY): the frame axis is cut into
+    * FIXED-LENGTH windows of `winFrames` frames (full windows only — the
+    * tail remainder is dropped), per-window energies are the same
+    * Σ|sample| integers as [[audioFingerprints]], and every `stride`
+    * windows a 64-bit envelope fingerprint is emitted over the next 65
+    * windows. One [[FrameHashRow]] per fingerprint;
+    * [[graft.ext.Dedup.simhash64DupPairsAnyRow]] pairs two clips when ANY
+    * sub-fingerprints match.
+    *
+    * Why this buys offset tolerance where the whole-clip form cannot: a
+    * copy trimmed by `d` frames re-rolls every whole-clip window
+    * boundary, but here windows are ABSOLUTE-length, so a trim of
+    * `j·stride·winFrames` frames shifts the window sequence by exactly
+    * `j·stride` windows — every surviving sub-fingerprint of the copy is
+    * bit-identical to one of the original's (offsets quantize to the
+    * stride grid; sub-grid offsets degrade gracefully — a one-window
+    * perturbation touches ≤ 2 bits of the ≤ ⌈65/stride⌉ fingerprints
+    * containing it). Same gain-invariance contract (and near-tie caveat)
+    * as the whole-clip form. Non-PCM16 / shorter-than-65-windows /
+    * undecodable payloads emit one null-hash row (`frame_idx` -1).
+    *
+    * Scale shape: one decode per payload at the codec boundary;
+    * ~n/(stride·winFrames)·17 bytes per clip reach the shuffle, never
+    * waveforms.
+    */
+  def audioFingerprintsFramed(media: Dataset[MediaRow], winFrames: Int,
+      stride: Int = 32, batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[FrameHashRow] = {
+    require(winFrames >= 1, s"need winFrames >= 1: $winFrames")
+    require(stride >= 1 && stride <= 65, s"need 1 <= stride <= 65: $stride")
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val prints = readPcm16(r.payload) match {
+            case Some((chans, frameSize, data, n)) if n / winFrames >= 65 =>
+              val nWin = n / winFrames
+              val sums = new Array[Long](nWin)
+              val cnts = new Array[Long](nWin)
+              var f = 0
+              while (f < nWin * winFrames) {
+                val w = f / winFrames
+                sums(w) += frameEnergy(data, f, frameSize, chans)
+                cnts(w) += 1
+                f += 1
+              }
+              Iterator.from(0)
+                .map(slot => (slot, slot * stride))
+                .takeWhile { case (_, p) => p + 65 <= nWin }
+                .map { case (slot, p) =>
+                  val (hi, lo) = envelopeBits64(sums, cnts, p)
+                  FrameHashRow(r.media_id, slot, Some(hi), Some(lo))
+                }.toSeq
+            case _ => Seq.empty
+          }
+          if (prints.isEmpty) Seq(FrameHashRow(r.media_id, -1, None, None))
+          else prints
         }
       }
     }
@@ -682,6 +800,46 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Stepped-amplitude WAV with ABSOLUTE-indexed windows (fixture for
+    * [[audioFingerprintsFramed]]): the clip covers windows
+    * [skipWindows, nWindows) of `framesPerWindow` frames each, window w
+    * holding the constant amplitude splitmix(seed, w) · gain — so a
+    * trimmed copy (`skipWindows` > 0) shares bit-identical window CONTENT
+    * with its original from the cut onward, and an integer `gain` scales
+    * every window uniformly (multiplication — exactly invariant under the
+    * cross-multiplied comparisons, no truncation caveat). Base amplitudes
+    * stay ≤ 12000 so gain 2 cannot overflow 16-bit samples.
+    */
+  def syntheticStepWavFramed(seed: Long, nWindows: Int, framesPerWindow: Int,
+      skipWindows: Int = 0, gain: Int = 1): Array[Byte] = {
+    require(nWindows > skipWindows && skipWindows >= 0,
+      s"bad window range: skip=$skipWindows of $nWindows")
+    require(framesPerWindow >= 1 && gain >= 1 && gain <= 2,
+      s"bad framesPerWindow/gain: $framesPerWindow/$gain")
+    def amp(w: Int): Int = {
+      var z = seed + w * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      (((z ^ (z >>> 31)) & 0x7fffffffL) % 12000L).toInt + 1
+    }
+    val nFrames = (nWindows - skipWindows) * framesPerWindow
+    val data = new Array[Byte](nFrames * 2)
+    var f = 0
+    while (f < nFrames) {
+      val a = amp(skipWindows + f / framesPerWindow) * gain
+      data(2 * f) = (a & 0xff).toByte
+      data(2 * f + 1) = ((a >> 8) & 0xff).toByte
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   // ---- perceptual video hashing (first-frame near-dup) -------------------
 
   /** Perceptual hash of a video's FIRST DECODED FRAME: the RIFF/AVI walk
@@ -704,12 +862,73 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val img =
-            try parseAvi(r.payload).frameImg
+            try parseAvi(r.payload, maxFrameChunks = 1).frameChunks.headOption
+              .map { case (off, len) => decodeImage(r.payload, off, len) }
+              .orNull
             catch { case scala.util.control.NonFatal(_) => null }
           rasterHash64(img, isD) match {
             case Some((hi, lo)) => ImageHashRow(r.media_id, Some(hi), Some(lo))
             case None => ImageHashRow(r.media_id, None, None)
           }
+        }
+      }
+    }
+  }
+
+  /** Frame-level perceptual hash row: one 64-bit hash per SAMPLED frame,
+    * `frame_idx` = the sample slot. The multi-row-per-media input of
+    * [[graft.ext.Dedup.simhash64DupPairsAnyRow]] — media pair when ANY
+    * frame pair matches, which is what makes trimmed/re-introed copies
+    * still pair.
+    */
+  final case class FrameHashRow(
+      media_id: Long, frame_idx: Int, sim_hi: Option[Long], sim_lo: Option[Long])
+
+  /** Multi-frame perceptual video hashing — the full-clip form of
+    * [[videoFrameHashes]] (whose first-frame baseline misses any copy
+    * whose FIRST frame changed: intro cards, trims, re-edits): the
+    * RIFF/AVI walk indexes every `00dc`/`00db` chunk (offsets only — the
+    * walk never decodes), `k` frames at the fixed fractions
+    * ⌊i·n/k⌋ ([[sampleFrameIndices]]) are decoded and dHash/aHash-reduced,
+    * and each emits its own [[FrameHashRow]]. Downstream,
+    * [[graft.ext.Dedup.simhash64DupPairsAnyRow]] bands ALL frame rows into
+    * the same Hamming join and pairs two videos when ANY sampled frames
+    * match — a re-introed copy pairs through its unchanged interior
+    * frames. Fixed fractions (not fixed indices) keep the sample spread
+    * over clips of any length; both pipelines sampling the same container
+    * always hash the same frames.
+    *
+    * Scale shape: per payload, one byte walk + k JPEG decodes at the
+    * mapPartitions codec boundary; k·17 bytes per video reach the
+    * shuffle, never pixels. Non-AVI / frame-less / undecodable payloads
+    * emit ONE null-hash row (`frame_idx` -1) — row-accountable for
+    * undecodable-rate audits, dropped by the band join.
+    */
+  def videoFrameHashesSampled(media: Dataset[MediaRow], k: Int,
+      mode: String = "dhash", batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[FrameHashRow] = {
+    require(mode == "dhash" || mode == "ahash", s"unknown mode: $mode")
+    require(k >= 1, s"need k >= 1 sampled frames: $k")
+    import spark.implicits._
+    val isD = mode == "dhash"
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val hashes =
+            try {
+              val m = parseAvi(r.payload)
+              val chunks = m.frameChunks
+              sampleFrameIndices(chunks.length, k).zipWithIndex.flatMap {
+                case (fi, slot) =>
+                  val (off, len) = chunks(fi)
+                  rasterHash64(decodeImage(r.payload, off, len), isD)
+                    .map { case (hi, lo) =>
+                      FrameHashRow(r.media_id, slot, Some(hi), Some(lo))
+                    }
+              }
+            } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+          if (hashes.isEmpty) Seq(FrameHashRow(r.media_id, -1, None, None))
+          else hashes
         }
       }
     }
@@ -730,11 +949,28 @@ object Multimodal {
     * never band-match.
     */
   def syntheticNoiseAvi(width: Int, height: Int, seed: Long,
-      perturbCell: Option[(Int, Int)] = None): Array[Byte] = {
+      perturbCell: Option[(Int, Int)] = None): Array[Byte] =
+    syntheticNoiseAviSeeded(width, height, Seq(seed),
+      perturbCell.map(c => Map(0 -> c)).getOrElse(Map.empty))
+
+  /** The multi-frame form of [[syntheticNoiseAvi]] (fixture for
+    * [[videoFrameHashesSampled]]): one grayscale noise MJPEG frame PER
+    * SEED, same block-aligned geometry, `perturb(i)` optionally inverting
+    * one dHash cell of frame i. Frame CONTENT is a pure function of its
+    * seed alone, so a "re-introed" copy — a fresh seed in slot 0, the
+    * original seeds after — shares bit-identical interior frames with its
+    * original while the first frames are independent: exactly the case
+    * first-frame hashing misses and frame sampling pairs.
+    */
+  def syntheticNoiseAviSeeded(width: Int, height: Int, frameSeeds: Seq[Long],
+      perturb: Map[Int, (Int, Int)] = Map.empty): Array[Byte] = {
     require(width % 9 == 0 && (width / 9) % 8 == 0 &&
       height % 8 == 0 && (height / 8) % 8 == 0,
       s"dHash cells must align with JPEG 8x8 blocks: ${width}x$height")
+    require(frameSeeds.nonEmpty, "need at least one frame seed")
     def frame(i: Int): Array[Byte] = {
+      val seed = frameSeeds(i)
+      val perturbCell = perturb.get(i)
       val img = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
       val raster = img.getRaster
@@ -758,6 +994,7 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray
     }
-    aviContainer(width, height, nFrames = 1, usecPerFrame = 40000L, frame)
+    aviContainer(width, height, nFrames = frameSeeds.length,
+      usecPerFrame = 40000L, frame)
   }
 }

@@ -401,6 +401,125 @@ class OpsSpec extends AnyFunSuite {
       Multimodal.syntheticNoiseAvi(36, 24, 1L))
   }
 
+  test("sampleFrameIndices: fixed fractions, distinct, degenerate cases") {
+    assert(Multimodal.sampleFrameIndices(5, 3) == Seq(0, 1, 3))
+    assert(Multimodal.sampleFrameIndices(9, 3) == Seq(0, 3, 6))
+    assert(Multimodal.sampleFrameIndices(2, 4) == Seq(0, 1),
+      "k past n degenerates to every frame, no repeats")
+    assert(Multimodal.sampleFrameIndices(0, 3).isEmpty)
+    // a pure function of (n, k): no dependence on payload identity
+    assert(Multimodal.sampleFrameIndices(100, 4) == Seq(0, 25, 50, 75))
+  }
+
+  test("multi-frame video hashing: re-introed copies pair through interior " +
+    "frames where first-frame hashing misses them") {
+    import graft.ext.Dedup
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    def mix(i: Long): Long = {
+      var z = i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z ^ (z >>> 31)
+    }
+    def seedsOf(id: Long): Seq[Long] = (0 to 2).map(j => mix(id * 3 + j))
+    val base = Seq(1L, 2L, 3L).map(id => Multimodal.MediaRow(id, "avi",
+      Multimodal.syntheticNoiseAviSeeded(72, 64, seedsOf(id))))
+    // re-introed copies: slot-0 frame from a FRESH seed, interiors shared
+    val reintro = Seq(1L, 2L).map(id => Multimodal.MediaRow(id + 100, "avi",
+      Multimodal.syntheticNoiseAviSeeded(72, 64,
+        mix(9000 + id) +: seedsOf(id).tail)))
+    val media = (base ++ reintro ++
+      Seq(Multimodal.MediaRow(300L, "avi", Array[Byte](0, 1, 2)))).toDS()
+    val framed = Multimodal.videoFrameHashesSampled(media, k = 3).toDF()
+    // 3 rows per decodable video, one null-hash sentinel for the junk row
+    val counts = framed.groupBy($"media_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) == 3L && counts(101L) == 3L && counts(300L) == 1L)
+    assert(framed.where($"media_id" === 300L && $"sim_hi".isNull).count() == 1L)
+    val anyPairs = Dedup.simhash64DupPairsAnyRow(framed, "media_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(anyPairs.map(p => (p._1, p._2)) == Set((1L, 101L), (2L, 102L)),
+      s"interior frames pair the re-intro copies, nothing else: $anyPairs")
+    assert(anyPairs.forall(_._3 == 0),
+      "shared frames are bit-identical JPEG payloads — min dist 0")
+    // the first-frame baseline MISSES these copies (its hash sees only the
+    // fresh intro): the whole reason the sampled form exists
+    val firstOnly = Dedup.simhash64DupPairs(
+      Multimodal.videoFrameHashes(media).toDF(), "media_id", maxDist = 3)
+    assert(firstOnly.isEmpty,
+      "first-frame hashing cannot see past the replaced intro")
+  }
+
+  test("framed audio fingerprints: stride-aligned offset copies and integer " +
+    "gain pair exactly; unrelated clips do not") {
+    import graft.ext.Dedup
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // base: windows 0..129; copy: trimmed by one stride (32 windows) AND
+    // doubled in gain — sub-fingerprints shift one slot and survive the
+    // scaling untouched (multiplication never truncates)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "wav",
+        Multimodal.syntheticStepWavFramed(1L, nWindows = 130, framesPerWindow = 8)),
+      Multimodal.MediaRow(101L, "wav",
+        Multimodal.syntheticStepWavFramed(1L, nWindows = 130, framesPerWindow = 8,
+          skipWindows = 32, gain = 2)),
+      Multimodal.MediaRow(2L, "wav",
+        Multimodal.syntheticStepWavFramed(2L, nWindows = 130, framesPerWindow = 8)),
+      Multimodal.MediaRow(300L, "wav", Array[Byte](9, 9, 9))).toDS()
+    val framed = Multimodal.audioFingerprintsFramed(media, winFrames = 8).toDF()
+    val rows = framed.collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    // base: 130 windows → slots at p = 0, 32, 64 (64+65 ≤ 130); copy has
+    // 98 windows → slots at p = 0, 32
+    assert(rows.count(_._1 == 1L) == 3 && rows.count(_._1 == 101L) == 2)
+    assert(rows.filter(_._1 == 300L).forall(_._3.isEmpty),
+      "undecodable payload emits the null-hash sentinel row")
+    def fp(id: Long, slot: Int) = rows
+      .find(r => r._1 == id && r._2 == slot).map(r => (r._3.get, r._4.get)).get
+    // slot j of the trimmed copy IS slot j+1 of the original, bit for bit
+    assert(fp(101L, 0) == fp(1L, 1) && fp(101L, 1) == fp(1L, 2),
+      "offset by one stride shifts the sub-fingerprint sequence exactly")
+    val pairs = Dedup.simhash64DupPairsAnyRow(framed, "media_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 101L, 0)),
+      s"offset+gain copy pairs at dist 0, unrelated clips never: $pairs")
+  }
+
+  test("decoders degrade corrupt payloads to sentinels across all three " +
+    "modalities (the NonFatal parity contract)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // corrupt-BODY payloads: valid signatures, garbage streams — the
+    // readers ACCEPT these and then throw mid-decode, which is exactly
+    // the case IOException-only catches miss
+    val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val corruptPng = pngSig ++ Array.fill[Byte](64)(0x41)
+    val truncatedPng = Multimodal.syntheticPng(40, 30, 5L).take(60)
+    val wav = Multimodal.syntheticWav(8000, 1, 500, 3L)
+    val corruptWav = wav.take(30) ++ Array.fill[Byte](8)(0x7f.toByte)
+    val avi = Multimodal.syntheticAvi(17, 9, 1, 100000L, 4L)
+    val corruptAvi = avi.take(40)
+    val imgOut = Multimodal.decodeImageFeatures(Seq(
+        Multimodal.MediaRow(1L, "png", corruptPng),
+        Multimodal.MediaRow(2L, "png", truncatedPng)).toDS())
+      .collect().map(f => f.media_id -> f.width).toMap
+    assert(imgOut(1L) == -1 && imgOut(2L) == -1,
+      "corrupt/truncated image bodies hit the -1 sentinel, not the task")
+    val audOut = Multimodal.decodeAudioFeatures(Seq(
+        Multimodal.MediaRow(1L, "wav", corruptWav)).toDS())
+      .collect().head
+    assert(audOut.sample_rate == -1 || audOut.n_frames <= 0L,
+      "corrupt WAV body degrades")
+    val vidOut = Multimodal.decodeVideoFeatures(Seq(
+        Multimodal.MediaRow(1L, "avi", corruptAvi)).toDS())
+      .collect().head
+    assert(vidOut.width == -1, "truncated AVI degrades")
+    // the hash paths share the same decode boundary → null halves
+    val hashOut = Multimodal.perceptualHashes(Seq(
+        Multimodal.MediaRow(1L, "png", corruptPng)).toDS()).collect().head
+    assert(hashOut.sim_hi.isEmpty)
+  }
+
   test("Multimodal.sampleSlices emits n offsets with hashes") {
     val df = Seq((1L, "abcdefgh")).toDF("media_id", "payload")
     val out = Multimodal.sampleSlices(df, "media_id", "payload", 4)

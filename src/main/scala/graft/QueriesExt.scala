@@ -28,6 +28,17 @@ object QueriesExt {
     java.nio.file.Files.createTempDirectory("graft_artifacts").toString
   private def artifactPath(name: String): String = s"$artifactRoot/$name"
 
+  /** max(doc_id) + 1 as the synthetic-copy id offset — derived from the
+    * data, not a constant (a fixed +1e6 would collide with real ids once
+    * the table passes 1M rows and silently corrupt the pair sets), and
+    * degrading to 0 on an EMPTY table (max is null there; the r10 form's
+    * bare `.head()` threw instead of yielding zero pairs).
+    */
+  private def copyIdOffset(ids: org.apache.spark.sql.Dataset[Long]): Long =
+    ids.agg(max(col("doc_id"))).collect().headOption
+      .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1L }
+      .getOrElse(0L)
+
   // ---- shared DuckDB fragments -------------------------------------------
 
   /** tokens: lowercase alnum runs, empties dropped (mirrors TextAnalysis.tokens). */
@@ -787,7 +798,7 @@ object QueriesExt {
       (s, d) => {
         import s.implicits._
         val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
-        val off = ids.agg(max(col("doc_id"))).as[Long].head() + 1L
+        val off = copyIdOffset(ids)
         val old = ids.map(id => Multimodal.MediaRow(id, "png",
           Multimodal.syntheticNoisePng(36, 24, id)))
         val path = artifactPath("image_hash_index_q152")
@@ -1992,7 +2003,7 @@ object QueriesExt {
         // copy-id offset derived from the data, not a constant: a fixed
         // +1e6 would collide with real doc_ids once the table passes 1M
         // rows, silently corrupting the pair set at larger SFs
-        val off = ids.agg(max(col("doc_id"))).as[Long].head() + 1L
+        val off = copyIdOffset(ids)
         val base = ids.map(id => Multimodal.MediaRow(id, "png",
           Multimodal.syntheticNoisePng(36, 24, id)))
         val copies = ids.filter((id: Long) => id % 10 == 0).map(id =>
@@ -2026,7 +2037,10 @@ object QueriesExt {
           k = 8, iters = 2).localCheckpoint(true)
         val path = artifactPath("ivf_sq8_semdedup_q145")
         Similarity.saveIvfSq8Index(old, "vec_id", "embedding", cents, path)
-        Similarity.semDedupBatchFromIndex(s.read.parquet(path), old, batch,
+        // the artifact route (round 11): the batch's occupied-cell set
+        // partition-prunes the per-batch index read — same results, the
+        // scan now reads only the batch's cells' files
+        Similarity.semDedupBatchFromIndexAt(s, path, old, batch,
           "vec_id", "embedding", cents, tau = 0.25)
           .select(col("vec_id"), col("cell"))
           .orderBy(col("vec_id"))
@@ -2073,7 +2087,7 @@ object QueriesExt {
       (s, d) => {
         import s.implicits._
         val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
-        val off = ids.agg(max(col("doc_id"))).as[Long].head() + 1L
+        val off = copyIdOffset(ids)
         val base = ids.map(id => Multimodal.MediaRow(id, "wav",
           Multimodal.syntheticStepWav(id)))
         val copies = ids.filter((id: Long) => id % 10 == 0).map(id =>
@@ -2100,7 +2114,7 @@ object QueriesExt {
       (s, d) => {
         import s.implicits._
         val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
-        val off = ids.agg(max(col("doc_id"))).as[Long].head() + 1L
+        val off = copyIdOffset(ids)
         val base = ids.map(id => Multimodal.MediaRow(id, "avi",
           Multimodal.syntheticNoiseAvi(72, 64, id)))
         val copies = ids.filter((id: Long) => id % 10 == 0).map(id =>
@@ -2115,6 +2129,79 @@ object QueriesExt {
       },
       Some("""SELECT doc_id AS id_a,
                      doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id_b
+              FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a, id_b""")),
+
+    // multi-frame video near-dup (round 11 — closes q148's "first frame
+    // only" blind spot): 3 frames sampled at fixed fractions off the same
+    // RIFF walk, each dHash'd, videos pair when ANY frames match
+    // (simhash64DupPairsAnyRow). The fixture makes RE-INTROED copies:
+    // every 10th video's copy replaces frame 0 with fresh noise and keeps
+    // the interior frames byte-identical — q148's first-frame hash finds
+    // NOTHING here, while the sampled form pairs every copy at dist 0
+    // (shared frames are identical JPEG payloads). Base corpus = even ids
+    // (the per-doc cost is 3 JPEG encodes; copies' ids are all even)
+    Q("q153_video_multiframe_neardup",
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .filter((id: Long) => id % 2 == 0)
+        val off = copyIdOffset(ids)
+        def mix(i: Long): Long = {
+          var z = i * 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z ^ (z >>> 31)
+        }
+        val base = ids.map { id =>
+          Multimodal.MediaRow(id, "avi", Multimodal.syntheticNoiseAviSeeded(
+            72, 64, (0 to 2).map(j => mix(id * 3 + j))))
+        }
+        // fresh intro seed from the NEGATIVE key space (splitmix is a
+        // bijection, so it cannot collide with any id*3+j frame seed)
+        val copies = ids.filter((id: Long) => id % 10 == 0).map { id =>
+          Multimodal.MediaRow(id + off, "avi",
+            Multimodal.syntheticNoiseAviSeeded(72, 64,
+              mix(-id - 1) +: (1 to 2).map(j => mix(id * 3 + j))))
+        }
+        val framed = Multimodal.videoFrameHashesSampled(
+          base.unionAll(copies), k = 3)(s).toDF()
+        Dedup.simhash64DupPairsAnyRow(framed, "media_id", maxDist = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT doc_id AS id_a,
+                     doc_id + ((SELECT max(doc_id) FROM documents
+                                WHERE doc_id % 2 = 0) + 1) AS id_b,
+                     CAST(0 AS INT) AS dist
+              FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a, id_b""")),
+
+    // shift-tolerant audio near-dup (round 11 — closes q147's offset
+    // blind spot): overlapping sub-fingerprints over FIXED-length windows
+    // (65-window envelopes at stride 32), clips pair when ANY
+    // sub-fingerprints match. Every 10th clip's copy is trimmed by one
+    // stride (32 windows) AND gain-doubled — the whole-clip q147
+    // fingerprint re-rolls every boundary under that trim, while here the
+    // copy's sub-fingerprint sequence is the original's shifted one slot,
+    // bit for bit (integer gain is exactly invariant: multiplication
+    // never truncates) — dist 0 by construction, pure id arithmetic
+    Q("q154_audio_offset_neardup",
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        val off = copyIdOffset(ids)
+        val base = ids.map(id => Multimodal.MediaRow(id, "wav",
+          Multimodal.syntheticStepWavFramed(id, nWindows = 130,
+            framesPerWindow = 8)))
+        val copies = ids.filter((id: Long) => id % 10 == 0).map(id =>
+          Multimodal.MediaRow(id + off, "wav",
+            Multimodal.syntheticStepWavFramed(id, nWindows = 130,
+              framesPerWindow = 8, skipWindows = 32, gain = 2)))
+        val framed = Multimodal.audioFingerprintsFramed(
+          base.unionAll(copies), winFrames = 8)(s).toDF()
+        Dedup.simhash64DupPairsAnyRow(framed, "media_id", maxDist = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT doc_id AS id_a,
+                     doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id_b,
+                     CAST(0 AS INT) AS dist
               FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a, id_b""")),
 
     // filtered ANN on the PQ tier (round 10 — q143's contract carried to
@@ -2157,7 +2244,7 @@ object QueriesExt {
       (s, d) => {
         import s.implicits._
         val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
-        val off = ids.agg(max(col("doc_id"))).as[Long].head() + 1L
+        val off = copyIdOffset(ids)
         val copyIds = ids.filter((id: Long) =>
           id % 6 == 0 || id % 10 == 0 || id % 15 == 0)
         def pairs(hashes: DataFrame, tag: String): DataFrame =

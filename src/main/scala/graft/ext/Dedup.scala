@@ -454,11 +454,21 @@ object Dedup {
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
       lit(0), (acc, v) => acc + v)
-    cand
-      .join(sigsAll.select(col("id").as("id_a"), col("sig").as("sig_a"),
-        col("is_new").as("new_a")), Seq("id_a"))
-      .join(sigsAll.select(col("id").as("id_b"), col("sig").as("sig_b"),
-        col("is_new").as("new_b")), Seq("id_b"))
+    // signature lookups with the CANDIDATE side broadcast (it is bounded
+    // by batch × bucket-mates — batch-order by the operator's contract):
+    // the index signature table streams through two broadcast-hash joins
+    // without ever reaching an exchange. Left un-hinted, a sort-merge
+    // plan shuffles every index signature per trigger — measured as the
+    // residual O(index) cost the band-side Bloom could not remove
+    // (StreamingSpec's two-scale A/B pins the now-flat profile).
+    val withA = sigsAll
+      .select(col("id").as("id_a"), col("sig").as("sig_a"),
+        col("is_new").as("new_a"))
+      .join(broadcast(cand), Seq("id_a"))
+    sigsAll
+      .select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("is_new").as("new_b"))
+      .join(broadcast(withA), Seq("id_b"))
       .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 6))
       .where(col("est_jaccard") >= estThreshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"),
@@ -827,14 +837,20 @@ object Dedup {
           bit_count(col("l_x").bitwiseXOR(col("l_y")))).cast("int").as("dist"))
       .where(col("dist") <= maxDist)
       .dropDuplicates("id_a", "id_b")
-    val tagged = i.unionByName(b).select(col("id"), col("is_new"))
+    // both_new needs only BATCH membership, and every candidate id comes
+    // from a banded row of index ∪ batch — so the tag is two left joins
+    // against the (broadcast-sized) batch id set, never touching the
+    // index: the join-back is O(batch) regardless of index scale (the
+    // same leak the signature path closes with broadcast(cand))
+    val batchIds = b.select(col("id"))
     cand
-      .join(tagged.select(col("id").as("id_a"), col("is_new").as("new_a")),
-        Seq("id_a"))
-      .join(tagged.select(col("id").as("id_b"), col("is_new").as("new_b")),
-        Seq("id_b"))
+      .join(broadcast(batchIds.select(col("id").as("id_a"),
+        lit(true).as("new_a"))), Seq("id_a"), "left")
+      .join(broadcast(batchIds.select(col("id").as("id_b"),
+        lit(true).as("new_b"))), Seq("id_b"), "left")
       .select(col("id_a"), col("id_b"), col("dist"),
-        (col("new_a") && col("new_b")).as("both_new"))
+        (coalesce(col("new_a"), lit(false)) &&
+          coalesce(col("new_b"), lit(false))).as("both_new"))
   }
 
   /** SimHash near-dup pairs: hamming distance ≤ maxDist. Pairs are blocked

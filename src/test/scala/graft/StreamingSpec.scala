@@ -262,18 +262,26 @@ class StreamingSpec extends AnyFunSuite {
     import java.util.concurrent.atomic.LongAdder
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     val base = java.nio.file.Files.createTempDirectory("neardup_bloom")
-    val (indexDir, pairsDir) = (s"$base/index", s"$base/pairs")
-    // a wide index (600 docs, unique content) and a tiny batch: without
-    // the prefilter every index band row shuffles into the join; with it,
-    // only rows whose band key the batch might hold
-    val index = (0 until 600).map { i =>
-      (i.toLong, s"unique content for document $i with words " +
-        s"${i * 31 % 97} ${i * 17 % 89} ${i * 13 % 83} ${i * 7 % 79}")
-    }.toDF("doc_id", "text")
-    StreamingIngest.nearDupBatch(index, 0L, indexDir, pairsDir)
-    val batch = ((600 until 605).map(i =>
+    // two PERSISTED index scales (600 and 6000 docs, unique content) and
+    // one tiny batch: the production regime — old signatures come off the
+    // parquet index, so the only index-sided cost is its band rows
+    // reaching the join exchange. Without the prefilter that is O(index)
+    // per trigger and grows with the index; with it, postings-sized and
+    // near-flat. (The q82/q151 CATALOG fixtures cannot show this: they
+    // recompute index signatures from text for oracle tractability, and
+    // the signature-build shuffle dominates both variants.)
+    def mkIndex(n: Int): (String, String) = {
+      val (indexDir, pairsDir) = (s"$base/index$n", s"$base/pairs$n")
+      val index = (0 until n).map { i =>
+        (i.toLong, s"unique content for document $i with words " +
+          s"${i * 31 % 97} ${i * 17 % 89} ${i * 13 % 83} ${i * 7 % 79}")
+      }.toDF("doc_id", "text")
+      StreamingIngest.nearDupBatch(index, 0L, indexDir, pairsDir)
+      (indexDir, pairsDir)
+    }
+    val batch = ((7000 until 7005).map(i =>
         (i.toLong, s"fresh trigger content number $i nothing shared here")) ++
-      Seq((610L, "unique content for document 42 with words " +
+      Seq((7010L, "unique content for document 42 with words " +
         s"${42 * 31 % 97} ${42 * 17 % 89} ${42 * 13 % 83} ${42 * 7 % 79}")))
       .toDF("doc_id", "text")
     val shuffleRecords = new LongAdder
@@ -284,7 +292,8 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    def measure(fpp: Option[Double]): (Long, Set[(Long, Long, Boolean)]) = {
+    def measure(indexDir: String, pairsDir: String,
+        fpp: Option[Double]): (Long, Set[(Long, Long, Boolean)]) = {
       // replay discipline makes the A/B exact: batch 1 reruns against the
       // identical pre-batch state and rewrites its own partition
       shuffleRecords.reset()
@@ -304,15 +313,29 @@ class StreamingSpec extends AnyFunSuite {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val (shufOff, pairsOff) = measure(None)
-      val (shufOn, pairsOn) = measure(Some(0.01))
-      assert(pairsOn == pairsOff && pairsOn.exists(p => (p._1, p._2) == (42L, 610L)),
-        s"prefilter must not change the pair set: on=$pairsOn off=$pairsOff")
-      // the reduction is the point: the O(index) band rows (600 docs × 4
-      // bands) stop reaching the exchange; what remains is batch-sized +
-      // postings + the Bloom build's own aggregate
-      assert(shufOn < shufOff / 2,
-        s"expected the Bloom run to shuffle far less: on=$shufOn off=$shufOff")
+      val Seq((off1, on1, p1), (off10, on10, p10)) = Seq(600, 6000).map { n =>
+        val (indexDir, pairsDir) = mkIndex(n)
+        val (shufOff, pairsOff) = measure(indexDir, pairsDir, None)
+        val (shufOn, pairsOn) = measure(indexDir, pairsDir, Some(0.01))
+        assert(pairsOn == pairsOff &&
+          pairsOn.exists(p => (p._1, p._2) == (42L, 7010L)),
+          s"prefilter must not change the pair set: on=$pairsOn off=$pairsOff")
+        info(f"index=$n%5d: shuffle off=$shufOff on=$shufOn " +
+          f"(${shufOff.toDouble / shufOn}%.1fx reduction)")
+        (shufOff, shufOn, pairsOn)
+      }
+      assert(p1 == p10, "pair set is index-content-independent here")
+      // per-scale: the O(index) band rows stop reaching the exchange
+      assert(on1 < off1 / 2 && on10 < off10 / 2,
+        s"expected the Bloom run to shuffle far less: $on1/$off1 $on10/$off10")
+      // across scales: the UNfiltered trigger cost grows with the index
+      // (~4 band rows per indexed doc), the prefiltered one stays
+      // near-flat — postings + fpp·|index|, the whole point
+      assert(off10 > off1 * 4,
+        s"unfiltered trigger must grow with the index: $off1 -> $off10")
+      assert(on10 < on1 + (off10 - off1) / 4,
+        s"prefiltered trigger must be insulated from index growth: " +
+          s"on $on1 -> $on10 while off $off1 -> $off10")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sparkContext.removeSparkListener(listener)

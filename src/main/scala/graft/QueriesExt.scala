@@ -1839,6 +1839,35 @@ object QueriesExt {
             ORDER BY q_id, rnk"""
       }),
 
+    // incremental kNN-graph maintenance (round 11 — the graph analogue
+    // of the q136/q142 index appends): the old half builds the graph and
+    // freezes the quantizer; the new half arrives as a batch, and
+    // knnGraphBatch emits ONLY the delta — fresh edges per batch node +
+    // re-ranked edges for old nodes probing a batch-occupied cell (their
+    // old top-k merged with the new candidates; top-k(top-k(A) ∪ B) =
+    // top-k(A ∪ B) under the total order, so the merge is exact). The
+    // oracle replays the FULL rebuild with k-means trained on the old
+    // half only — equality with merge(old edges, delta) IS the proof
+    Q("q155_incremental_knn_graph",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val half = e.agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
+        val old = e.where(col("vec_id") < half)
+        val batch = e.where(col("vec_id") >= half)
+        val cents = Similarity.kmeansCentroids(old, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val oldState = Similarity.knnGraphState(old, "vec_id", "embedding",
+          cents, nprobe = 2).localCheckpoint(true)
+        val oldEdges = Similarity.knnGraph(old, "vec_id", "embedding",
+          cents, k = 3, nprobe = 2).localCheckpoint(true)
+        val delta = Similarity.knnGraphBatch(oldState, oldEdges, batch,
+          "vec_id", "embedding", cents, k = 3, nprobe = 2)
+        Similarity.knnGraphMergeDelta(oldEdges, delta)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(knnGraphIncrementalOracleSql)),
+
     // cell-partitioned IVF-SQ artifact: the index parquets one directory
     // per coarse cell, so the probe join on the partition column plants a
     // dynamic-partition-pruning filter on the scan — probed cells are the
@@ -2826,6 +2855,63 @@ object QueriesExt {
         WHERE s.vec_id >= (SELECT th FROM thr)
           AND s.vec_id NOT IN (SELECT vec_id FROM losers)
         ORDER BY s.vec_id"""
+  }
+
+  /** The incremental kNN-graph replay (q155): coarse k-means trains on
+    * the old half only (frozen quantizer), ALL vectors take probe ranks
+    * against the final centroids (rank 1 = cell assignment, ranks ≤ 2 =
+    * probe set — the ONE pass knnGraphState fuses), and the graph is
+    * each node's top-3 by cosine over its probed cells' members. This is
+    * the FULL REBUILD over old ∪ batch; equality with
+    * merge(old edges, knnGraphBatch delta) is the top-k merge identity
+    * the operator's scaladoc derives.
+    */
+  private def knnGraphIncrementalOracleSql: String = {
+    val old = """(SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < (SELECT th FROM thr))"""
+    def assignCte(centsRel: String, tag: String, src: String) =
+      s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                      FROM $centsRel GROUP BY cell),
+          ${tag}s AS (SELECT a.vec_id, a.embedding, v.cell,
+                             ${cosSql("a.embedding", "v.centroid")} AS cos
+                      FROM $src a, ${tag}v v),
+          ${tag}r AS (SELECT vec_id, embedding, cell,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cell) AS rk
+                      FROM ${tag}s),
+          ${tag}c AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                             round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+                      FROM ${tag}r, range(1, 65) u(i)
+                      WHERE rk = 1 GROUP BY cell, pos)"""
+    s"""WITH thr AS (SELECT (max(vec_id) + 1) // 2 AS th FROM embeddings),
+         i0 AS (SELECT vec_id, embedding,
+                  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                    AS cell
+                FROM $old o ORDER BY vec_id LIMIT 8),
+         c0 AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                       round(CAST(embedding[i] AS DOUBLE), 6) AS v
+                FROM i0, range(1, 65) u(i)),
+         ${assignCte("c0", "x", old)},
+         ${assignCte("xc", "y", old)},
+         cent AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                  FROM yc GROUP BY cell),
+         pr AS (SELECT q_id, q_vec, cell, prk FROM (
+                  SELECT e.vec_id AS q_id, e.embedding AS q_vec, cent.cell,
+                         row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY ${cosSql("e.embedding", "cent.centroid")} DESC,
+                                    cent.cell) AS prk
+                  FROM embeddings e, cent)
+                WHERE prk <= 2),
+         c AS (SELECT cell, q_id AS c_id, q_vec AS c_vec FROM pr
+               WHERE prk = 1),
+         sc AS (SELECT p.q_id, c.c_id, ${cosSql("p.q_vec", "c.c_vec")} AS cos
+                FROM pr p JOIN c USING (cell) WHERE p.q_id <> c.c_id),
+         r AS (SELECT q_id, c_id, cos,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, c_id) AS INT) AS rnk
+               FROM sc)
+        SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 3
+        ORDER BY q_id, rnk"""
   }
 
   /** The FROZEN-quantizer residual IVF-PQ replay (q142): the coarse

@@ -399,8 +399,12 @@ object Dedup {
     * signatures to the index for the next increment.
     *
     * Scale shape: band join keyed on (band, key) carrying only ids; the
-    * two signature lookups join back by id; `dropDuplicates` bounds
-    * multi-band re-finds. The batch side is typically broadcastable.
+    * two signature lookups run with the candidate side BROADCAST (a
+    * contract, not a heuristic: candidates are bounded by
+    * batch × bucket-mates, batch-order for any sane increment, and the
+    * hint is what keeps the index signature table from shuffling per
+    * batch — the measured O(index) join-back leak in SCALE.md);
+    * `dropDuplicates` bounds multi-band re-finds.
     *
     * `bloomFpp`: semi-join reduction for the 100 TB index — WITHOUT it,
     * every index signature's band rows shuffle into the join even though

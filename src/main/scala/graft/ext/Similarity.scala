@@ -542,24 +542,7 @@ object Similarity {
   def knnGraph(df: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, k: Int, nprobe: Int,
       checkpoint: Boolean = true): DataFrame = {
-    val cvecs = cellCentroidVectors(cents)
-    val q = df.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      norm(col(vecCol)).as("q_norm"))
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("c_cos").desc, col("cell"))
-    // ONE corpus × centroid scoring pass serves BOTH sides: the probe
-    // rows (ranks 1..nprobe) and the cell assignment (the rank-1 row is
-    // bit-identical to assignCells' max-cos/smaller-cell-tie pick, nulls
-    // included), so the second full assignment pass the first cut ran is
-    // gone. Materialized once — probe and corpus legs both read it.
-    val scoredPlan = q.crossJoin(broadcast(cvecs))
-      .withColumn("c_cos", round(
-        try_divide(dot(col("q_vec"), col("centroid")),
-          col("q_norm") * norm(col("centroid"))), 6))
-      .withColumn("probe_rank", row_number().over(wProbe))
-      .where(col("probe_rank") <= math.max(nprobe, 1))
-      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cell"),
-        col("probe_rank"))
+    val scoredPlan = knnGraphState(df, idCol, vecCol, cents, nprobe)
     val scored =
       if (checkpoint) scoredPlan.localCheckpoint(true)
       else {
@@ -568,15 +551,53 @@ object Similarity {
         p.count() // force once; both legs below read the cached pass
         p
       }
-    val probes = scored.where(col("probe_rank") <= nprobe)
-      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cell"))
-    val c = scored.where(col("probe_rank") === 1)
+    knnEdges(
+      scored.where(col("probe_rank") <= nprobe)
+        .select(col("q_id"), col("q_vec"), col("q_norm"), col("cell")),
+      stateMembers(scored), k)
+  }
+
+  /** The kNN graph's per-node scoring pass as a RELATION — (q_id, q_vec,
+    * q_norm, cell, probe_rank ≤ nprobe): rank 1 is the node's cell
+    * assignment (bit-identical to [[assignCells]]' max-cos/smaller-cell
+    * tie pick), ranks 1..nprobe its probe set. ONE corpus × broadcast-
+    * centroid pass serves both; persisted, it is the graph's maintenance
+    * state — [[knnGraphBatch]] updates a graph against it without ever
+    * re-scoring the old corpus (probes are per-row deterministic under a
+    * FROZEN quantizer, so stored probes never go stale).
+    */
+  def knnGraphState(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, nprobe: Int): DataFrame = {
+    val cvecs = cellCentroidVectors(cents)
+    val q = df.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("cell"))
+    q.crossJoin(broadcast(cvecs))
+      .withColumn("c_cos", round(
+        try_divide(dot(col("q_vec"), col("centroid")),
+          col("q_norm") * norm(col("centroid"))), 6))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .where(col("probe_rank") <= math.max(nprobe, 1))
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cell"),
+        col("probe_rank"))
+  }
+
+  /** A state relation's member view: each node once, under its ASSIGNED
+    * cell (probe rank 1). */
+  private def stateMembers(state: DataFrame): DataFrame =
+    state.where(col("probe_rank") === 1)
       .select(col("cell"), col("q_id").as("c_id"), col("q_vec").as("c_vec"),
         col("q_norm").as("c_norm"))
+
+  /** Probe rows × cell members → per-query top-k edges (the kNN graph's
+    * shared tail). No pair dedup needed: each member carries exactly ONE
+    * assigned cell, so a (q, c) pair can match at most one probe row.
+    */
+  private def knnEdges(probes: DataFrame, members: DataFrame,
+      k: Int): DataFrame = {
     val wE = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    // no pair dedup needed: each corpus vector carries exactly ONE
-    // assigned cell, so a (q, c) pair can match at most one probe row
-    probes.join(c, Seq("cell"))
+    probes.join(members, Seq("cell"))
       .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), cosPrenormed.as("cos"))
       .withColumn("rank", row_number().over(wE))
@@ -584,6 +605,77 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"),
         col("rank").cast("int").as("rank"))
   }
+
+  /** Incremental kNN-graph maintenance — the graph analogue of the
+    * index-append family (q136/q142): given the persisted graph STATE
+    * ([[knnGraphState]] rows of the existing corpus), its EDGES, and a
+    * new batch, emit the DELTA — fresh edges for every batch node plus
+    * re-ranked edges for the AFFECTED old nodes — computing only
+    * batch-driven work. Old vectors are never re-scored against the
+    * centroids (their probes live in the state and stay valid under the
+    * frozen quantizer, the faiss `add` contract); the only old rows
+    * touched are (a) state probe rows in the batch's assignment cells —
+    * a cell-keyed filter, partition-prunable over a cell-partitioned
+    * state artifact — and (b) the affected nodes' existing edges.
+    *
+    * EXACTNESS: delta ∪ untouched old edges equals a full [[knnGraph]]
+    * rebuild over old ∪ batch with the same `cents`/`k`/`nprobe`
+    * (q155 proves it through the replay): probes are per-row
+    * deterministic, an old node's rebuild candidates are its old
+    * candidates ∪ the batch members in its probed cells, and
+    * top-k(top-k(A) ∪ B) = top-k(A ∪ B) under the total (cos desc,
+    * c_id) order — the standard top-k merge identity, tie-safe because
+    * the order is total.
+    *
+    * Per-batch cost: one batch × broadcast-centroid pass, a cell-keyed
+    * join of affected probe rows × batch members (Σ_{batch cells}
+    * \|probes(cell)\|·\|batch(cell)\|), and an edges semi-join for the
+    * affected ids. Output is the rewrite set alone — callers with a
+    * node-partitioned edge artifact dynamic-overwrite exactly these
+    * nodes ([[knnGraphMergeDelta]] is the in-memory merge).
+    */
+  def knnGraphBatch(oldState: DataFrame, oldEdges: DataFrame,
+      batch: DataFrame, idCol: String, vecCol: String, cents: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val bState = knnGraphState(batch, idCol, vecCol, cents, nprobe)
+      .localCheckpoint(true)
+    val bMembers = stateMembers(bState)
+    val batchEdges = knnEdges(
+      bState.select(col("q_id"), col("q_vec"), col("q_norm"), col("cell")),
+      stateMembers(oldState).unionByName(bMembers), k)
+    // cells the batch OCCUPIES (assignments, not probes): only old nodes
+    // probing one of these can gain a candidate. Driver-collected like
+    // the semDedup occupied-cell set — bounded by the cell count.
+    val batchCells = bMembers.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val affectedProbes = oldState.where(col("cell").isin(batchCells: _*))
+    val newCand = affectedProbes
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cell"))
+      .join(bMembers, Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosPrenormed.as("cos"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    val merged = oldEdges
+      .join(affectedProbes.select(col("q_id")).distinct(),
+        Seq("q_id"), "left_semi")
+      .select(col("q_id"), col("c_id"), col("cos"))
+      .unionByName(newCand)
+      .withColumn("rank", row_number().over(wE))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"),
+        col("rank").cast("int").as("rank"))
+    merged.unionByName(batchEdges)
+  }
+
+  /** In-memory merge of a [[knnGraphBatch]] delta into the prior edge
+    * set: nodes present in the delta take their delta edges, everyone
+    * else keeps their old rows. Artifact-backed callers skip this and
+    * dynamic-overwrite the delta nodes' partitions instead.
+    */
+  def knnGraphMergeDelta(oldEdges: DataFrame, delta: DataFrame): DataFrame =
+    oldEdges
+      .join(delta.select(col("q_id")).distinct(), Seq("q_id"), "left_anti")
+      .unionByName(delta)
 
   // ---- int8 scalar quantization (SQ8) ------------------------------------
 

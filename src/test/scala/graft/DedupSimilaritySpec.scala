@@ -906,6 +906,54 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "fixture must exercise both keeps and drops")
   }
 
+  test("knnGraphBatch: delta ∪ kept old edges ≡ full rebuild; unaffected " +
+    "nodes never appear in the delta") {
+    // four clusters; each vector leans 10:1 toward its cluster and its
+    // successor, so probes (nprobe=2) are DETERMINISTIC: primary cell +
+    // the successor's. The batch lands only in cluster 0 — affected old
+    // nodes are clusters 0 (primary) and 3 (successor 0); clusters 1/2
+    // probe {1,2}/{2,3} and must be untouched by the delta.
+    def vec(c: Int, jitter: Int) = {
+      val a = Array.fill(64)(0f)
+      a(c * 8) = 10f; a(((c + 1) % 4) * 8) = 1f
+      a(32 + c) = jitter * 0.001f; a
+    }
+    val old = (0 until 24).map(i => (i.toLong, vec(i % 4, i)))
+      .toDF("vec_id", "embedding")
+    val batch = (24 until 30).map(i => (i.toLong, vec(0, i)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(old, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val oldState = Similarity.knnGraphState(old, "vec_id", "embedding",
+      cents, nprobe = 2).localCheckpoint(true)
+    val oldEdges = Similarity.knnGraph(old, "vec_id", "embedding", cents,
+      k = 3, nprobe = 2).localCheckpoint(true)
+    val delta = Similarity.knnGraphBatch(oldState, oldEdges, batch,
+      "vec_id", "embedding", cents, k = 3, nprobe = 2).localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"c_id", $"cos", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val merged = rows(Similarity.knnGraphMergeDelta(oldEdges, delta))
+    val rebuilt = rows(Similarity.knnGraph(
+      old.unionByName(batch), "vec_id", "embedding", cents,
+      k = 3, nprobe = 2))
+    assert(merged == rebuilt,
+      "incremental merge must equal the full rebuild under frozen cents")
+    // the delta touches exactly batch nodes + affected old nodes — and
+    // NOT every old node (clusters 1 and 2 stay outside it)
+    val deltaIds = delta.select($"q_id").distinct().as[Long].collect().toSet
+    assert((24L until 30L).forall(deltaIds), "every batch node is in the delta")
+    val untouchedOld = (0L until 24L).filterNot(deltaIds).toSet
+    assert(untouchedOld.nonEmpty,
+      s"fixture must leave unaffected old nodes: delta=$deltaIds")
+    assert(untouchedOld.forall(i => Set(1L, 2L)(i % 4)),
+      s"only clusters 1/2 can be unaffected: $untouchedOld")
+    // and affected old nodes really gained batch neighbors
+    assert(delta.where($"q_id" < 24L && $"c_id" >= 24L).count() > 0,
+      "affected old nodes must see batch candidates")
+  }
+
   test("nprobeForSelectivity: widens probes for the filtered density, " +
     "caps at all cells; filterSelectivity measures the index") {
     assert(Similarity.nprobeForSelectivity(2, 1.0, 8) == 2,

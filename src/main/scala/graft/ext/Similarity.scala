@@ -640,12 +640,19 @@ object Similarity {
     val bState = knnGraphState(batch, idCol, vecCol, cents, nprobe)
       .localCheckpoint(true)
     val bMembers = stateMembers(bState)
+    // BOTH old-state reads are cell-restricted (each an identity on the
+    // join that follows), so over a cell-partitioned state artifact
+    // ([[saveKnnGraphState]]) they become partition-pruned file reads —
+    // the batch-edges leg touches only cells the batch PROBES, the
+    // affected leg only cells the batch OCCUPIES. Cell lists are
+    // driver-collected like the semDedup occupied-cell set — bounded by
+    // the cell count.
+    val batchProbeCells = bState.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSeq
     val batchEdges = knnEdges(
       bState.select(col("q_id"), col("q_vec"), col("q_norm"), col("cell")),
-      stateMembers(oldState).unionByName(bMembers), k)
-    // cells the batch OCCUPIES (assignments, not probes): only old nodes
-    // probing one of these can gain a candidate. Driver-collected like
-    // the semDedup occupied-cell set — bounded by the cell count.
+      stateMembers(oldState.where(col("cell").isin(batchProbeCells: _*)))
+        .unionByName(bMembers), k)
     val batchCells = bMembers.select(col("cell")).distinct()
       .collect().map(_.get(0)).toSeq
     val affectedProbes = oldState.where(col("cell").isin(batchCells: _*))
@@ -676,6 +683,23 @@ object Similarity {
     oldEdges
       .join(delta.select(col("q_id")).distinct(), Seq("q_id"), "left_anti")
       .unionByName(delta)
+
+  /** Persist the graph maintenance state PARTITIONED BY CELL — the
+    * [[saveIvfSq8Index]] layout decision applied to the graph: both of
+    * [[knnGraphBatch]]'s old-state reads are cell-IN filters, so over
+    * this layout a batch's maintenance reads exactly (probed ∪ occupied)
+    * cells' files. State rows carry the float vectors (the graph state
+    * IS a float store with probe ranks); grow the batch, not this —
+    * appends belong in a batch_id level like the SQ8 index if the state
+    * itself must be maintained incrementally.
+    */
+  def saveKnnGraphState(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, nprobe: Int, path: String): Unit =
+    knnGraphState(df, idCol, vecCol, cents, nprobe)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  def loadKnnGraphState(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
 
   // ---- int8 scalar quantization (SQ8) ------------------------------------
 

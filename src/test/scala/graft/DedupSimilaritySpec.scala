@@ -952,6 +952,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // and affected old nodes really gained batch neighbors
     assert(delta.where($"q_id" < 24L && $"c_id" >= 24L).count() > 0,
       "affected old nodes must see batch candidates")
+    // artifact route: the cell-partitioned state serves the SAME delta
+    // with both old-state reads partition-pruned to the batch's cells
+    val statePath = java.nio.file.Files
+      .createTempDirectory("knn_state").toString + "/state"
+    Similarity.saveKnnGraphState(old, "vec_id", "embedding", cents,
+      nprobe = 2, statePath)
+    val dirs = new java.io.File(statePath).listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(dirs > 0, "state parquets one directory per cell")
+    val deltaAt = Similarity.knnGraphBatch(
+      Similarity.loadKnnGraphState(spark, statePath), oldEdges, batch,
+      "vec_id", "embedding", cents, k = 3, nprobe = 2)
+    val plan = deltaAt.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"expected cell partition filters on the state scans:\n${plan.take(3000)}")
+    assert(rows(Similarity.knnGraphMergeDelta(oldEdges, deltaAt)) == rebuilt,
+      "artifact-served delta merges to the same rebuild")
   }
 
   test("nprobeForSelectivity: widens probes for the filtered density, " +

@@ -310,6 +310,57 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"10x index with a fixed batch must cost ~10x, got $ratio")
   }
 
+  test("knnGraphBatch candidate volume is batch-driven: linear in the old " +
+    "corpus for a fixed batch, a vanishing fraction of the rebuild's") {
+    // the maintenance claim in the crossVolume style: a rebuild scores
+    // Σ_cell probes(cell)·members(cell) pairs over old ∪ batch (fixed
+    // cells → ~quadratic in the corpus), while the delta scores only
+    // batch probes × all members PLUS old probes × batch members — both
+    // legs carrying a |batch| factor, so the delta grows ~linearly with
+    // the old corpus and is a vanishing fraction of the rebuild
+    def corpus(n: Int, off: Long) = (1L to n.toLong)
+      .map(i => (i + off, Array.tabulate(8)(j =>
+        (((i + off) * 13 + j * 7) % 19 - 9).toFloat)))
+      .filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+    val batch = corpus(200, 1000000L)
+    val old1 = corpus(1000, 0L)
+    val old10 = corpus(10000, 0L)
+    val cents = Similarity.kmeansCentroids(old1, "vec_id", "embedding",
+      k = 8, iters = 1).localCheckpoint(true) // frozen, per contract
+    def cellCounts(df: org.apache.spark.sql.DataFrame, cnt: String,
+        membersOnly: Boolean) = {
+      val st = Similarity.knnGraphState(df, "vec_id", "embedding", cents,
+        nprobe = 2)
+      (if (membersOnly) st.where($"probe_rank" === 1) else st)
+        .groupBy($"cell").count().withColumnRenamed("count", cnt)
+    }
+    def pairSum(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Long =
+      a.join(b, Seq("cell")).agg(sum($"na" * $"nb"))
+        .as[Long].collect().headOption.getOrElse(0L)
+    def volumes(old: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val all = old.unionByName(batch)
+      val rebuild = pairSum(cellCounts(all, "na", membersOnly = false),
+        cellCounts(all, "nb", membersOnly = true))
+      val delta =
+        pairSum(cellCounts(batch, "na", membersOnly = false),
+          cellCounts(all, "nb", membersOnly = true)) +
+        pairSum(cellCounts(old, "na", membersOnly = false),
+          cellCounts(batch, "nb", membersOnly = true))
+      (delta, rebuild)
+    }
+    val (d1, r1) = volumes(old1)
+    val (d10, r10) = volumes(old10)
+    info(s"delta volume $d1 -> $d10; rebuild volume $r1 -> $r10")
+    val dRatio = d10.toDouble / d1
+    assert(dRatio > 4 && dRatio < 20,
+      s"fixed batch: delta volume must grow ~linearly with the corpus, got $dRatio")
+    assert(r10.toDouble / r1 > 40,
+      s"fixed-cells rebuild grows ~quadratically, got ${r10.toDouble / r1}")
+    assert(d10 < r10 / 10,
+      s"at the grown corpus the delta is a fraction of the rebuild: $d10 vs $r10")
+  }
+
   test("hot-cell LSH level keeps within-cluster pairs an id split would sever") {
     // one oversized cell holding TWO tight clusters on opposite sides of
     // the origin: the sign-bucket split separates the clusters, not the

@@ -257,6 +257,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("text SimHash rides mediaHashBatch unchanged: the hasher is just " +
+    "simhash64, no parallel streaming operator needed") {
+    import graft.ext.Dedup
+    val base = java.nio.file.Files.createTempDirectory("textsim_stream")
+    val (indexDir, pairsDir) = (s"$base/index", s"$base/pairs")
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated text about distributed query engines"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again"),
+      (12L, "novel second-batch content that matches nothing else at all"))
+      .toDF("doc_id", "text")
+    val hasher: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      b => Dedup.simhash64(b, "doc_id", "text")
+    StreamingIngest.mediaHashBatch(b0, 0L, indexDir, pairsDir, hasher,
+      idCol = "doc_id")
+    StreamingIngest.mediaHashBatch(b1, 1L, indexDir, pairsDir, hasher,
+      idCol = "doc_id")
+    val pairs = spark.read.parquet(pairsDir)
+      .select("id_a", "id_b", "both_new")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // the verbatim copy pairs across batches (touching the corpus), and
+    // the stepwise batch operator agrees exactly
+    val expected = Dedup.incrementalSimhashPairs(
+        Dedup.simhash64(b1, "doc_id", "text"),
+        Dedup.simhash64(b0, "doc_id", "text"), "doc_id", maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("both_new"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(pairs == expected && pairs.exists(p => (p._1, p._2) == (1L, 11L)),
+      s"got $pairs expected $expected")
+    // the index is 17-byte text fingerprints keyed on doc_id
+    assert(spark.read.parquet(indexDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 11L, 12L))
+  }
+
   test("Bloom prefilter bounds the per-trigger shuffle to postings, " +
     "with identical results (the streaming cost contract)") {
     import java.util.concurrent.atomic.LongAdder

@@ -636,9 +636,17 @@ object Similarity {
     */
   def knnGraphBatch(oldState: DataFrame, oldEdges: DataFrame,
       batch: DataFrame, idCol: String, vecCol: String, cents: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
-    val bState = knnGraphState(batch, idCol, vecCol, cents, nprobe)
-      .localCheckpoint(true)
+      k: Int, nprobe: Int): DataFrame =
+    knnGraphBatchFromState(oldState, oldEdges,
+      knnGraphState(batch, idCol, vecCol, cents, nprobe)
+        .localCheckpoint(true), k)
+
+  /** [[knnGraphBatch]] over a PRE-SCORED batch state (already
+    * materialized) — the streaming ingest computes the batch state once
+    * and feeds both this delta and the state-artifact append from it.
+    */
+  def knnGraphBatchFromState(oldState: DataFrame, oldEdges: DataFrame,
+      bState: DataFrame, k: Int): DataFrame = {
     val bMembers = stateMembers(bState)
     // BOTH old-state reads are cell-restricted (each an identity on the
     // join that follows), so over a cell-partitioned state artifact
@@ -700,6 +708,77 @@ object Similarity {
 
   def loadKnnGraphState(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(path)
+
+  /** Append one batch's [[knnGraphState]] rows under (batch_id, cell) —
+    * the SQ8-with-cells epoch/prune dual layout for the graph state:
+    * dynamic overwrite of the batch's own partitions (replay rewrites
+    * itself), cell directories keep maintenance reads partition-pruned.
+    */
+  def appendKnnGraphState(bState: DataFrame, path: String,
+      batchId: Long): Unit =
+    bState.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "cell").parquet(path)
+
+  /** The CURRENT edge set of a versioned edge artifact: a node's edges
+    * are its rows from the LATEST epoch that wrote it (a
+    * [[knnGraphBatch]] delta rewrites whole nodes, so newest-epoch rows
+    * per node — ALL of them, not one — are the live version; that is why
+    * this is a max-over-window filter, not the latest-row-per-id rule
+    * the SQ8 index compacts with). `belowBatch` gives the replay-safe
+    * pre-batch view.
+    */
+  def knnGraphCurrentEdges(spark: org.apache.spark.sql.SparkSession,
+      edgesDir: String, belowBatch: Option[Long] = None): DataFrame = {
+    val e = spark.read.parquet(edgesDir)
+    val f = belowBatch.fold(e)(b => e.where(col("batch_id") < b))
+    f.withColumn("__mb",
+        max(col("batch_id")).over(Window.partitionBy(col("q_id"))))
+      .where(col("batch_id") === col("__mb"))
+      .drop("__mb")
+  }
+
+  /** Fold a versioned artifact's epochs below the cut into `-1`, keeping
+    * each id's LATEST VERSION — all rows of its newest epoch (the
+    * [[knnGraphCurrentEdges]] rule; a version is a row GROUP, so the
+    * single-row-per-id fold of [[compactSq8Index]] would corrupt it).
+    * Crash-safe temp-then-swap; the `belowBatch` cut keeps the in-stream
+    * fold replay-safe exactly as everywhere else.
+    */
+  private def compactVersionedIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String, idCol: String,
+      partitionCols: Seq[String], belowBatch: Option[Long]): Long = {
+    val idx = spark.read.parquet(path)
+    val (fold, keep) = belowBatch match {
+      case Some(b) =>
+        (idx.where(col("batch_id") < b), idx.where(col("batch_id") >= b))
+      case None => (idx, idx.limit(0))
+    }
+    val tmp = s"$path.compact.tmp"
+    fold.withColumn("__mb",
+        max(col("batch_id")).over(Window.partitionBy(col(idCol))))
+      .where(col("batch_id") === col("__mb")).drop("__mb")
+      .withColumn("batch_id", lit(-1L))
+      .unionByName(keep)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp)
+    graft.pipeline.Pipeline.swap(spark, tmp, path)
+    spark.read.parquet(path).count()
+  }
+
+  /** Versioned fold for the graph EDGES artifact (batch_id level only). */
+  def compactKnnGraphEdges(spark: org.apache.spark.sql.SparkSession,
+      edgesDir: String, belowBatch: Option[Long] = None): Long =
+    compactVersionedIndex(spark, edgesDir, "q_id", Seq("batch_id"),
+      belowBatch)
+
+  /** Versioned fold for the graph STATE artifact, preserving the cell
+    * partition level (a node's state is its nprobe probe rows — a
+    * version group, folded together).
+    */
+  def compactKnnGraphState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, belowBatch: Option[Long] = None): Long =
+    compactVersionedIndex(spark, stateDir, "q_id", Seq("batch_id", "cell"),
+      belowBatch)
 
   // ---- int8 scalar quantization (SQ8) ------------------------------------
 

@@ -405,6 +405,82 @@ object StreamingIngest {
       } finally { surv.unpersist(); () }
     }
 
+  /** Streaming kNN-graph maintenance — the graph trio's stream leg
+    * (operator: `Similarity.knnGraphBatch`; artifacts: the
+    * (batch_id, cell)-partitioned STATE and the batch_id-versioned
+    * EDGES): each micro-batch is scored ONCE against the frozen
+    * quantizer, its delta (fresh batch-node edges + re-ranked affected
+    * old nodes) lands under its own `batch_id` partition in `edgesDir`,
+    * and its state rows append to `stateDir`. The CURRENT graph at any
+    * time is [[graft.ext.Similarity.knnGraphCurrentEdges]] — newest
+    * epoch per node — and equals a full rebuild over everything ingested
+    * (the q155 equivalence, applied per trigger).
+    *
+    * Replay discipline as everywhere: both artifact reads take
+    * `batch_id < batchId` (state epochs below the batch; edges at their
+    * pre-batch versions), both writes dynamic-overwrite the batch's own
+    * partitions. `compactEvery` folds pre-batch epochs with the
+    * VERSIONED rule (a node's newest epoch is a row group — see
+    * `compactKnnGraphEdges`/`compactKnnGraphState`).
+    */
+  def knnGraphStream(vecs: DataFrame, stateDir: String, edgesDir: String,
+      checkpointDir: String, cents: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        knnGraphIngestBatch(batch, batchId, stateDir, edgesDir, cents,
+          k, nprobe, idCol, vecCol)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          val spark = batch.sparkSession
+          val p = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) {
+            graft.ext.Similarity.compactKnnGraphState(spark, stateDir,
+              belowBatch = Some(batchId))
+            graft.ext.Similarity.compactKnnGraphEdges(spark, edgesDir,
+              belowBatch = Some(batchId))
+            ()
+          }
+        }
+      }
+      .start()
+
+  /** One [[knnGraphStream]] micro-batch, factored out so specs drive
+    * exactly the stream's code path. The batch state is scored once and
+    * pinned — the delta and the state append both read it.
+    */
+  def knnGraphIngestBatch(batch: DataFrame, batchId: Long, stateDir: String,
+      edgesDir: String, cents: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    if (!batch.isEmpty) {
+      import graft.ext.Similarity
+      val spark = batch.sparkSession
+      val bState = Similarity.knnGraphState(batch, idCol, vecCol, cents,
+        nprobe).localCheckpoint(true)
+      val statePath = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (oldState, oldEdges) =
+        if (fs.exists(statePath))
+          (spark.read.parquet(stateDir)
+            .where(col("batch_id") < lit(batchId)).drop("batch_id"),
+            Similarity.knnGraphCurrentEdges(spark, edgesDir,
+              belowBatch = Some(batchId)).drop("batch_id"))
+        else
+          // bootstrap: empty relations with the exact state/edge schemas
+          (bState.limit(0), Similarity.knnGraph(batch.limit(0),
+            idCol, vecCol, cents, k, nprobe))
+      Similarity.knnGraphBatchFromState(oldState, oldEdges, bState, k)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(edgesDir)
+      Similarity.appendKnnGraphState(bState, stateDir, batchId)
+    }
+
   /** One [[nearDupStream]] micro-batch — factored out so the replay/soak
     * specs drive exactly the code the stream runs. Idempotent under
     * at-least-once replay: the index read takes only `batch_id < batchId`

@@ -453,6 +453,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("knnGraphIngestBatch: accumulated incremental graph ≡ full rebuild; " +
+    "replay-idempotent; versioned compaction preserves the current view") {
+    import graft.ext.Similarity
+    val base = java.nio.file.Files.createTempDirectory("knn_stream")
+    val (stateDir, edgesDir) = (s"$base/state", s"$base/edges")
+    def mk(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 13 + j * 5) % 19 - 9).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (b0, b1, b2) = (mk(0, 12), mk(12, 20), mk(20, 30))
+    val cents = Similarity.kmeansCentroids(b0, "vec_id", "embedding",
+      k = 3, iters = 2).localCheckpoint(true) // frozen at stream start
+    def ingest(b: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingIngest.knnGraphIngestBatch(b, id, stateDir, edgesDir, cents,
+        k = 3, nprobe = 2)
+    def current() = Similarity.knnGraphCurrentEdges(spark, edgesDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"c_id", $"cos", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    ingest(b0, 0L); ingest(b1, 1L); ingest(b2, 2L)
+    val all = b0.unionByName(b1).unionByName(b2)
+    val rebuilt = rows(Similarity.knnGraph(all, "vec_id", "embedding",
+      cents, k = 3, nprobe = 2))
+    assert(rows(current()) == rebuilt,
+      "three incremental triggers must equal the one-shot rebuild")
+    // replay the last trigger: pre-batch reads + own-partition overwrites
+    ingest(b2, 2L)
+    assert(rows(current()) == rebuilt, "replay rewrites identical state")
+    // versioned compaction: the current view survives the fold, state
+    // keeps every node's probe rows exactly once
+    Similarity.compactKnnGraphEdges(spark, edgesDir)
+    Similarity.compactKnnGraphState(spark, stateDir)
+    assert(rows(current()) == rebuilt, "compaction preserves the graph")
+    val st = spark.read.parquet(stateDir)
+    assert(st.select("batch_id").distinct().as[Long].collect().toSeq == Seq(-1L))
+    assert(st.groupBy($"q_id").count().select("count").as[Long]
+      .collect().forall(_ == 2L), "each node keeps its nprobe state rows")
+    // and the stream keeps working on the folded artifacts
+    val b3 = mk(30, 34)
+    ingest(b3, 3L)
+    assert(rows(current()) == rows(Similarity.knnGraph(
+      all.unionByName(b3), "vec_id", "embedding", cents, k = 3, nprobe = 2)),
+      "post-compaction triggers still see the whole corpus")
+  }
+
   test("semDedupBatch: greedy streaming semantic dedup, replay-idempotent") {
     import graft.ext.Similarity
     val base = java.nio.file.Files.createTempDirectory("semdedup_stream")

@@ -986,6 +986,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Similarity.filterSelectivity(idx, $"label" === 0) == 0.2)
     assert(Similarity.filterSelectivity(idx.limit(0), $"label" === 0) == 1.0,
       "empty index → no thinning to correct for")
+    // the auto wrapper IS the manual composition: measured selectivity →
+    // widened nprobe → the filtered probe
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 23 - 11).toFloat),
+        i % 4)
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val index = Similarity.sq8IndexWithCells(vecs, "vec_id", "embedding",
+      cents, attrs = Seq("label")).localCheckpoint(true)
+    val q = vecs.where($"vec_id" % 9 === 0)
+    val pred = $"label" === 0
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(_.toSeq.toList).toSet
+    val auto = rows(Similarity.ivfQuantizedTopKAuto(index, cents, q, vecs,
+      "vec_id", "embedding", k = 2, baseNprobe = 1, cells = 4, pred))
+    val sel = Similarity.filterSelectivity(index, pred)
+    val manual = rows(Similarity.ivfQuantizedTopK(index, cents, q, vecs,
+      "vec_id", "embedding", k = 2,
+      nprobe = Similarity.nprobeForSelectivity(1, sel, 4),
+      overfetch = 4, filter = Some(pred)))
+    assert(auto == manual && auto.nonEmpty)
   }
 
   test("filtered ANN: predicate reaches the artifact scan as a PushedFilter " +

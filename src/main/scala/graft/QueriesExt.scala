@@ -786,6 +786,41 @@ object QueriesExt {
       },
       Some(incrementalDedupOracleSql)),
 
+    // incremental duplicate-cluster maintenance (round 11 — the CC
+    // analogue of q155): old clusters + the batch-touching pair delta →
+    // reduced CC over super-nodes (old cluster labels + batch ids),
+    // merged ≡ full dupClusters over old ∪ new pairs because every old
+    // label is already its component's min. Same fixture as q82, same
+    // est-jaccard pair criterion on BOTH legs, so the incremental graph
+    // is exactly the full graph
+    Q("q156_incremental_dup_clusters",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val old = docs.where(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("text"))
+        val batch = docs.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(docs.where(col("doc_id") % 10 === 1)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              expr("substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))")
+                .as("text")))
+        def sigs(df: org.apache.spark.sql.DataFrame) =
+          Dedup.minhashSignatureTable(
+            Dedup.shingleSets(df, "doc_id", "text", 3), 12)
+        val so = sigs(old).localCheckpoint(true) // both pair legs read it
+        val oldPairs = Dedup.incrementalDupPairs(so, so.limit(0),
+          numHashes = 12, bands = 4, estThreshold = 0.5)
+        val oldClusters = Dedup.dupClusters(old.select(col("doc_id")),
+          "doc_id", oldPairs).localCheckpoint(true)
+        val newPairs = Dedup.incrementalDupPairs(sigs(batch), so,
+          numHashes = 12, bands = 4, estThreshold = 0.5)
+        val delta = Dedup.dupClustersBatch(oldClusters,
+          batch.select(col("doc_id")), newPairs, "doc_id")
+        Dedup.dupClustersMergeDelta(oldClusters, delta, "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(incrementalDupClustersOracleSql)),
+
     // incremental PERCEPTUAL near-dup against a persisted hash index
     // (round 10 — q82's contract for media): old images exist only as
     // their 17-byte dHash rows (never re-decoded), the batch is hashed,
@@ -2409,6 +2444,61 @@ object QueriesExt {
         FROM cand c JOIN sigs a ON a.id = c.id_a JOIN sigs b ON b.id = c.id_b
         WHERE round(CAST($agreeSum AS DOUBLE) / 12, 6) >= 0.5
         ORDER BY id_a, id_b"""
+  }
+
+  /** The incremental-cluster replay (q156): the FULL duplicate graph —
+    * every banded est-jaccard ≥ 0.5 pair over old ∪ batch, the same
+    * criterion both engine legs use — transitively closed with the
+    * RECURSIVE reach CTE (the q43 labeling); equality with
+    * merge(old clusters, dupClustersBatch delta) is the proof.
+    */
+  private lazy val incrementalDupClustersOracleSql: String = {
+    val sh = shinglesSql(toksSql)
+    def bandSql(rel: String) = (0 until 4).map { i =>
+      val parts = (0 until 3).map(r => s"CAST(m${i * 3 + r} AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"SELECT id, $i AS band, md5($parts) AS key FROM $rel"
+    }.mkString(" UNION ALL ")
+    val agreeSum = (0 until 12)
+      .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH RECURSIVE
+         oldrel AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         newrel AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+                    UNION ALL
+                    SELECT doc_id + 100000,
+                           substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))
+                    FROM documents WHERE doc_id % 10 = 1),
+         ot AS (SELECT doc_id AS id, list_distinct($sh) AS sh FROM oldrel),
+         oab AS (SELECT id, $minhashAbSql FROM ot),
+         osig AS (SELECT id, $minhashMinsSql FROM oab),
+         nt AS (SELECT doc_id AS id, list_distinct($sh) AS sh FROM newrel),
+         nab AS (SELECT id, $minhashAbSql FROM nt),
+         nsig AS (SELECT id, $minhashMinsSql FROM nab),
+         obnd AS (${bandSql("osig")}),
+         nbnd AS (${bandSql("nsig")}),
+         allbnd AS (SELECT * FROM obnd UNION ALL SELECT * FROM nbnd),
+         cand AS (SELECT DISTINCT least(x.id, y.id) AS id_a,
+                         greatest(x.id, y.id) AS id_b
+                  FROM allbnd x JOIN allbnd y
+                    ON x.band = y.band AND x.key = y.key AND x.id <> y.id),
+         sigs AS (SELECT * FROM osig UNION ALL SELECT * FROM nsig),
+         prs AS (SELECT c.id_a, c.id_b
+                 FROM cand c JOIN sigs a ON a.id = c.id_a
+                             JOIN sigs b ON b.id = c.id_b
+                 WHERE round(CAST($agreeSum AS DOUBLE) / 12, 6) >= 0.5),
+         edges AS (SELECT id_a AS a, id_b AS b FROM prs
+                   UNION ALL SELECT id_b, id_a FROM prs),
+         reach(src, dst) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         lbl AS (SELECT src AS id, least(src, min(dst)) AS cluster
+                 FROM reach GROUP BY src),
+         verts AS (SELECT doc_id AS id FROM oldrel
+                   UNION ALL SELECT doc_id AS id FROM newrel)
+        SELECT v.id AS doc_id, coalesce(l.cluster, v.id) AS cluster_id
+        FROM verts v LEFT JOIN lbl l ON l.id = v.id
+        ORDER BY doc_id"""
   }
 
   /** `candFilterSql`: filtered-ANN replay (q143) — the predicate (over

@@ -479,6 +479,79 @@ object Dedup {
         (col("new_a") && col("new_b")).as("both_new"))
   }
 
+  /** Incremental duplicate-cluster maintenance — connected components
+    * over a GROWING pair graph without re-iterating the old graph: given
+    * the existing (id, cluster_id) assignment (a [[dupClusters]] output
+    * — every cluster_id is the MIN id of its component, which is what
+    * makes this exact), the batch's vertices, and the batch-touching
+    * pairs (an [[incrementalDupPairs]]/[[incrementalSimhashPairs]]
+    * result — old×old pairs cannot appear, the old corpus did not
+    * change), collapse each old endpoint to its cluster label, run the
+    * pointer-jumping CC on that REDUCED graph (super-nodes = touched old
+    * cluster labels + batch ids — O(new pairs), never O(corpus)), and
+    * emit the DELTA: every batch vertex's label plus the rows of old
+    * clusters whose label moved. Merged with the untouched old rows
+    * ([[dupClustersMergeDelta]]), the result PROVABLY equals a full
+    * [[dupClusters]] over (old pairs ∪ new pairs): a merged component is
+    * a union of old components and batch vertices, and the min over its
+    * members equals the min over its super-node labels because each old
+    * label already IS its component's min. Ids must be disjoint across
+    * old and batch (the incremental-pair precondition).
+    *
+    * Scale shape: the label mapping is two id-equi joins of the (small)
+    * new-pair list against the cluster table; the CC iterates frames
+    * bounded by the new pairs; the old-side delta is one join of the
+    * BROADCAST relabel map (≤ touched clusters rows) against the cluster
+    * table — output only the rows that change, so an artifact-backed
+    * cluster table overwrites exactly those.
+    */
+  def dupClustersBatch(oldClusters: DataFrame, batchVertices: DataFrame,
+      newPairs: DataFrame, idCol: String, maxIter: Int = 25): DataFrame = {
+    val oc = oldClusters.select(col(idCol).cast("long").as("id"),
+      col("cluster_id").cast("long").as("cl"))
+    val bv = batchVertices.select(col(idCol).cast("long").as("id"))
+    // endpoints collapse to their super-node: old id → its cluster
+    // label, batch id → itself. Pinned — the reduced CC reads it per
+    // round and the vertex union reads it twice.
+    val mapped = newPairs
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .join(oc.select(col("id").as("a"), col("cl").as("la")), Seq("a"), "left")
+      .join(oc.select(col("id").as("b"), col("cl").as("lb")), Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("id_a"),
+        coalesce(col("lb"), col("b")).as("id_b"))
+      .localCheckpoint(true)
+    val supVerts = bv
+      .unionByName(mapped.select(col("id_a").as("id")))
+      .unionByName(mapped.select(col("id_b").as("id")))
+      .distinct()
+    val reduced = dupClusters(supVerts.withColumnRenamed("id", idCol),
+        idCol, mapped, maxIter)
+      .select(col(idCol).cast("long").as("sup"),
+        col("cluster_id").cast("long").as("ncl"))
+      .localCheckpoint(true)
+    // old-side delta: super-nodes that are OLD labels (not batch ids)
+    // whose component label moved — broadcast the relabel map, rewrite
+    // exactly those clusters' rows
+    val relabelOld = reduced.where(col("ncl") =!= col("sup"))
+      .join(bv.withColumnRenamed("id", "sup"), Seq("sup"), "left_anti")
+    val oldDelta = oc
+      .join(broadcast(relabelOld), oc("cl") === relabelOld("sup"))
+      .select(oc("id").as(idCol), col("ncl").as("cluster_id"))
+    val batchRows = bv.join(reduced, bv("id") === reduced("sup"), "left")
+      .select(bv("id").as(idCol),
+        coalesce(col("ncl"), bv("id")).as("cluster_id"))
+    oldDelta.unionByName(batchRows)
+  }
+
+  /** In-memory merge of a [[dupClustersBatch]] delta: delta rows win,
+    * untouched old rows persist — artifact-backed callers overwrite the
+    * delta ids' partitions instead.
+    */
+  def dupClustersMergeDelta(oldClusters: DataFrame, delta: DataFrame,
+      idCol: String): DataFrame =
+    oldClusters.join(delta.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(delta)
+
   /** Emit the i<j element pairs of a sorted-array column with bounded
     * per-row memory: `posexplode` anchors one output row per element, and
     * each row's pair array covers only that element's tail — O(group) per

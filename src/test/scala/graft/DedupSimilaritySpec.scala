@@ -906,6 +906,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "fixture must exercise both keeps and drops")
   }
 
+  test("dupClustersBatch: delta ∪ kept rows ≡ full CC over the union " +
+    "graph; batch bridges merge old clusters; untouched clusters stay out") {
+    // old components: {1,2} (label 1), {5,6} (label 5), {3}, {4}
+    val oldVerts = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val oldPairs = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val oldClusters = Dedup.dupClusters(oldVerts, "doc_id", oldPairs)
+      .localCheckpoint(true)
+    // batch 11..13: 11 bridges clusters {1,2} and {5,6} (via 2 and 6),
+    // 12 chains onto 11, 13 is a singleton
+    val batchVerts = Seq(11L, 12L, 13L).toDF("doc_id")
+    val newPairs = Seq((2L, 11L), (6L, 11L), (11L, 12L))
+      .toDF("id_a", "id_b")
+    val delta = Dedup.dupClustersBatch(oldClusters, batchVerts, newPairs,
+      "doc_id").localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val merged = rows(Dedup.dupClustersMergeDelta(oldClusters, delta, "doc_id"))
+    val full = rows(Dedup.dupClusters(
+      oldVerts.unionByName(batchVerts), "doc_id",
+      oldPairs.unionByName(newPairs)))
+    assert(merged == full, s"merged=$merged full=$full")
+    // the bridge merged {5,6} into label 1 — those rows ARE the old delta
+    val d = rows(delta)
+    assert(d == Set((5L, 1L), (6L, 1L), (11L, 1L), (12L, 1L), (13L, 13L)),
+      s"delta must be the relabeled old cluster + the batch rows: $d")
+    // clusters {1,2}, {3}, {4} kept their labels → never rewritten
+    assert(!d.exists(p => Set(1L, 2L, 3L, 4L)(p._1)),
+      "unchanged old clusters must stay out of the delta")
+    // empty pair delta degenerates to batch singletons
+    val none = rows(Dedup.dupClustersBatch(oldClusters, batchVerts,
+      newPairs.limit(0), "doc_id"))
+    assert(none == Set((11L, 11L), (12L, 12L), (13L, 13L)))
+  }
+
   test("knnGraphBatch: delta ∪ kept old edges ≡ full rebuild; unaffected " +
     "nodes never appear in the delta") {
     // four clusters; each vector leans 10:1 toward its cluster and its

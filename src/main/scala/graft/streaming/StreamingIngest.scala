@@ -481,6 +481,85 @@ object StreamingIngest {
       Similarity.appendKnnGraphState(bState, stateDir, batchId)
     }
 
+  /** Continuous near-dup CLUSTERING — [[nearDupStream]] extended with
+    * per-trigger duplicate-cluster maintenance: after the batch's pairs
+    * land, [[clusterMaintBatch]] folds them into the persisted
+    * (id, cluster_id) assignment via the reduced super-node CC
+    * ([[graft.ext.Dedup.dupClustersBatch]] — O(new pairs) per trigger,
+    * never O(corpus)), so the cluster table is ALWAYS current: the
+    * stream's output is not just pairs but the living dedup verdict
+    * (keep rows where id == cluster_id). Same artifact discipline
+    * throughout: versioned by batch_id, replay rewrites itself, the
+    * current view is the newest row per id, compaction is the
+    * signature-index fold.
+    */
+  def nearDupClusterStream(docs: DataFrame, indexDir: String,
+      pairsDir: String, clustersDir: String, checkpointDir: String,
+      shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      estThreshold: Double = 0.5, compactEvery: Int = 0,
+      bloomFpp: Option[Double] = Some(0.01))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDupBatch(batch, batchId, indexDir, pairsDir,
+          shingleK, numHashes, bands, estThreshold, bloomFpp)
+        clusterMaintBatch(batch.select(col("doc_id")),
+          batch.sparkSession.read.parquet(pairsDir)
+            .where(col("batch_id") === lit(batchId)),
+          clustersDir, batchId)
+        maybeAutoCompact(batch.sparkSession, indexDir, batchId, compactEvery)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          maybeAutoCompact(batch.sparkSession, clustersDir, batchId,
+            compactEvery, idCol = "doc_id")
+      }
+      .start()
+
+  /** One cluster-maintenance micro-batch: fold `newPairs` (the trigger's
+    * batch-touching pair delta) into the persisted cluster assignment.
+    * Replay-idempotent by the house discipline — the current-view read
+    * takes only `batch_id < batchId` rows, the delta dynamic-overwrites
+    * its own partition. Bootstrap (no artifact yet) runs the CC over the
+    * batch alone.
+    */
+  def clusterMaintBatch(batchVerts: DataFrame, newPairs: DataFrame,
+      clustersDir: String, batchId: Long,
+      idCol: String = "doc_id"): Unit =
+    if (!batchVerts.isEmpty) {
+      import graft.ext.Dedup
+      val spark = batchVerts.sparkSession
+      val p = new org.apache.hadoop.fs.Path(clustersDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val oldClusters =
+        if (fs.exists(p))
+          currentClusters(spark, clustersDir, belowBatch = Some(batchId))
+        else batchVerts.select(col(idCol),
+          col(idCol).cast("long").as("cluster_id")).limit(0)
+      Dedup.dupClustersBatch(oldClusters, batchVerts, newPairs, idCol)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(clustersDir)
+    }
+
+  /** The current cluster assignment of a versioned clusters artifact —
+    * newest row per id (one row per id per epoch, so the
+    * latest-ROW-per-id rule applies, unlike the graph edges' version
+    * groups). `belowBatch` gives the replay-safe pre-batch view.
+    */
+  def currentClusters(spark: SparkSession, clustersDir: String,
+      belowBatch: Option[Long] = None,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = spark.read.parquet(clustersDir)
+    val f = belowBatch.fold(c)(b => c.where(col("batch_id") < b))
+    f.withColumn("__rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("batch_id").desc)))
+      .where(col("__rk") === 1)
+      .select(col(idCol), col("cluster_id"))
+  }
+
   /** One [[nearDupStream]] micro-batch — factored out so the replay/soak
     * specs drive exactly the code the stream runs. Idempotent under
     * at-least-once replay: the index read takes only `batch_id < batchId`

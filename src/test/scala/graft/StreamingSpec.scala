@@ -453,6 +453,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("clusterMaintBatch: the streamed cluster table equals the full CC " +
+    "over every pair ever emitted; replay-idempotent; compaction folds") {
+    import graft.ext.Dedup
+    val base = java.nio.file.Files.createTempDirectory("cluster_stream")
+    val (indexDir, pairsDir, clustersDir) =
+      (s"$base/index", s"$base/pairs", s"$base/clusters")
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely unrelated text about distributed query engines"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again"),
+      (12L, "novel second-batch content that matches nothing else at all"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      // duplicates doc 12 — a third-epoch merge into a cluster the
+      // SECOND epoch created, exercising the cross-epoch current view
+      (21L, "novel second-batch content that matches nothing else at all"))
+      .toDF("doc_id", "text")
+    def trigger(b: org.apache.spark.sql.DataFrame, id: Long) = {
+      StreamingIngest.nearDupBatch(b, id, indexDir, pairsDir)
+      StreamingIngest.clusterMaintBatch(b.select($"doc_id"),
+        spark.read.parquet(pairsDir).where($"batch_id" === id),
+        clustersDir, id)
+    }
+    trigger(b0, 0L); trigger(b1, 1L); trigger(b2, 2L)
+    def current() = StreamingIngest.currentClusters(spark, clustersDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: full CC over the complete pair graph (same banded
+    // est-jaccard criterion the stream used)
+    val all = b0.unionByName(b1).unionByName(b2)
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatureTable(Dedup.shingleSets(df, "doc_id", "text", 3), 12)
+    val s_ = sigs(all).localCheckpoint(true)
+    val fullPairs = Dedup.incrementalDupPairs(s_, s_.limit(0))
+    val full = Dedup.dupClusters(all.select($"doc_id"), "doc_id", fullPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(current() == full,
+      s"streamed clusters=${current()} full=$full")
+    assert(current().contains((21L, 12L)),
+      "the third trigger merged into the second's cluster")
+    // replay the last trigger: identical state
+    trigger(b2, 2L)
+    assert(current() == full, "replay rewrites identical clusters")
+    // compaction: latest-row-per-id fold preserves the view
+    StreamingIngest.compactSignatureIndex(spark, clustersDir,
+      idCol = "doc_id")
+    assert(current() == full, "compaction preserves the cluster table")
+    assert(spark.read.parquet(clustersDir)
+      .select("batch_id").distinct().as[Long].collect().toSeq == Seq(-1L))
+  }
+
   test("knnGraphIngestBatch: accumulated incremental graph ≡ full rebuild; " +
     "replay-idempotent; versioned compaction preserves the current view") {
     import graft.ext.Similarity

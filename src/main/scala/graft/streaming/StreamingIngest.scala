@@ -451,6 +451,12 @@ object StreamingIngest {
   /** One [[knnGraphStream]] micro-batch, factored out so specs drive
     * exactly the stream's code path. The batch state is scored once and
     * pinned — the delta and the state append both read it.
+    *
+    * Ids must be UNIQUE across the stream's lifetime (the incremental-
+    * pair precondition, stricter here than for the SQ8/signature
+    * indexes): a re-ingested id would hold state rows in two epochs and
+    * rank twice in the candidate windows until a compaction folds it —
+    * vector identities, not upsert keys.
     */
   def knnGraphIngestBatch(batch: DataFrame, batchId: Long, stateDir: String,
       edgesDir: String, cents: DataFrame, k: Int, nprobe: Int,
@@ -520,7 +526,9 @@ object StreamingIngest {
     * Replay-idempotent by the house discipline — the current-view read
     * takes only `batch_id < batchId` rows, the delta dynamic-overwrites
     * its own partition. Bootstrap (no artifact yet) runs the CC over the
-    * batch alone.
+    * batch alone. Ids must be unique across the stream's lifetime
+    * (document identities — the `dupClustersBatch` disjointness
+    * precondition, per trigger and cumulatively).
     */
   def clusterMaintBatch(batchVerts: DataFrame, newPairs: DataFrame,
       clustersDir: String, batchId: Long,

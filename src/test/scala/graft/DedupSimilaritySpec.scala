@@ -939,6 +939,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val none = rows(Dedup.dupClustersBatch(oldClusters, batchVerts,
       newPairs.limit(0), "doc_id"))
     assert(none == Set((11L, 11L), (12L, 12L), (13L, 13L)))
+    // corpus-independence: grow the old corpus with 1000 untouched
+    // nodes (singletons + a chained cluster the batch never meets) —
+    // the delta must be IDENTICAL, not merely bounded: untouched rows
+    // never enter the reduced graph, so the operator's work and output
+    // are functions of the batch-touching pairs alone
+    val bigOld = oldVerts
+      .unionByName((100L until 1100L).toDF("doc_id"))
+    val bigPairs = oldPairs
+      .unionByName((100L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b"))
+    val bigClusters = Dedup.dupClusters(bigOld, "doc_id", bigPairs)
+      .localCheckpoint(true)
+    assert(rows(Dedup.dupClustersBatch(bigClusters, batchVerts, newPairs,
+      "doc_id")) == d,
+      "a 100x bigger untouched corpus must not change the delta")
   }
 
   test("knnGraphBatch: delta ∪ kept old edges ≡ full rebuild; unaffected " +

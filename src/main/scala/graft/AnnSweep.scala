@@ -36,7 +36,8 @@ object AnnSweep {
     // without paying the PQ training sweeps
     val sections = sys.env.get("SPARK_GRAFT_ANN_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("pq", "ivfpq", "ivfsq8", "filtered", "knn"))
+      .getOrElse(Set("pq", "ivfpq", "ivfsq8", "filtered", "filteredpq",
+        "knn"))
     val spark = GraftSession.build("graft-ann-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     val e = Tables.load(spark, dir, "embeddings").localCheckpoint(true)
@@ -154,6 +155,43 @@ object AnnSweep {
       println(f"filtered sel=1/$modk AUTO(base=2) nprobe=$npAuto " +
         f"measured_sel=$sel%.3f recall@5=$rAuto%.4f")
       bfF.unpersist(); ()
+    }
+    // ---- filtered ANN on the PQ tier: fixed nprobe vs AUTO --------------
+    // The round-12 knob: ivfPqTopKAuto carries the selectivity-aware
+    // widening to the 8 B/vector tier — same fixed-probe collapse, same
+    // ⌈base/selectivity⌉ recovery, measured against brute force over the
+    // FILTERED corpus (the selectivity aggregate runs on the compact code
+    // relation, never the float store).
+    println("== filtered IVF-PQ: recall@5 fixed vs AUTO (8 cells, m=8/k=64) ==")
+    if (sections("filteredpq")) {
+      val resid = Similarity.residualVectors(e, "vec_id", "embedding", cents)
+        .localCheckpoint(true)
+      val booksF = Similarity.pqCodebooks(resid, "vec_id", "rvec",
+        m = 8, subDim = 8, k = 64, iters = 2).localCheckpoint(true)
+      val pqIdx = Similarity.ivfPqIndex(e, "vec_id", "embedding", cents,
+        booksF, m = 8, subDim = 8, attrs = Seq("label"))
+        .localCheckpoint(true)
+      for (modk <- Seq(2, 3, 5, 10)) {
+        val pred = col("label") % modk === 0
+        val bfF = Similarity.bruteForceTopK(q, e.where(pred),
+            "vec_id", "embedding", k = 5)
+          .select(col("q_id"), col("c_id")).persist()
+        val nQF = bfF.select(col("q_id")).distinct().count()
+        def recallF(ann: DataFrame): Double =
+          bfF.join(ann.select(col("q_id"), col("c_id")), Seq("q_id", "c_id"))
+            .count().toDouble / (nQF * 5)
+        val rFixed = recallF(Similarity.ivfPqTopKFromIndex(pqIdx, cents,
+          booksF, q, e, "vec_id", "embedding", m = 8, subDim = 8, k = 5,
+          nprobe = 2, overfetch = 32, filter = Some(pred)))
+        val sel = Similarity.filterSelectivity(pqIdx, pred)
+        val npAuto = Similarity.nprobeForSelectivity(2, sel, cells = 8)
+        val rAuto = recallF(Similarity.ivfPqTopKAuto(pqIdx, cents, booksF,
+          q, e, "vec_id", "embedding", m = 8, subDim = 8, k = 5,
+          baseNprobe = 2, cells = 8, filter = pred, overfetch = 32))
+        println(f"filtered-pq sel=1/$modk fixed(nprobe=2) recall@5=$rFixed%.4f" +
+          f" | AUTO nprobe=$npAuto measured_sel=$sel%.3f recall@5=$rAuto%.4f")
+        bfF.unpersist(); ()
+      }
     }
 
     // ---- kNN-graph pair volume: cells must scale with the corpus --------

@@ -39,6 +39,35 @@ object QueriesExt {
       .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1L }
       .getOrElse(0L)
 
+  /** The incremental-dedup fixture shared by q82/q151/q156: old corpus =
+    * docs with doc_id % 5 != 0, batch = the held-out fifth plus
+    * 80%-prefix copies of every 10th doc. Copy ids offset by
+    * [[copyIdOffset]] (max+1), NOT a constant — at scale factors where
+    * doc_id reaches a fixed offset the copies collide with real ids,
+    * which for q156 silently violates `dupClustersBatch`'s documented
+    * id-disjointness precondition. The oracles use the matching
+    * `(SELECT coalesce(max(doc_id)+1, 0) FROM documents)` subselect.
+    */
+  private def incrementalDedupFixture(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val docs = t(s, d, "documents")
+    val off = copyIdOffset(docs.select(col("doc_id")).as[Long])
+    val old = docs.where(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val batch = docs.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + lit(off)).as("doc_id"),
+          expr("substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))")
+            .as("text")))
+    (old, batch)
+  }
+
+  /** The fixture's copy-offset subselect, oracle-side. */
+  private val copyIdOffsetSql: String =
+    "(SELECT coalesce(max(doc_id) + 1, 0) FROM documents)"
+
   // ---- shared DuckDB fragments -------------------------------------------
 
   /** tokens: lowercase alnum runs, empties dropped (mirrors TextAnalysis.tokens). */
@@ -743,15 +772,7 @@ object QueriesExt {
     // estimator since old text is never re-read
     Q("q82_incremental_dedup",
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val old = docs.where(col("doc_id") % 5 =!= 0)
-          .select(col("doc_id"), col("text"))
-        val batch = docs.where(col("doc_id") % 5 === 0)
-          .select(col("doc_id"), col("text"))
-          .unionByName(docs.where(col("doc_id") % 10 === 1)
-            .select((col("doc_id") + 100000).as("doc_id"),
-              expr("substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))")
-                .as("text")))
+        val (old, batch) = incrementalDedupFixture(s, d)
         def sigs(df: org.apache.spark.sql.DataFrame) =
           Dedup.minhashSignatureTable(Dedup.shingleSets(df, "doc_id", "text", 3), 12)
         Dedup.incrementalDupPairs(sigs(batch), sigs(old),
@@ -768,15 +789,7 @@ object QueriesExt {
     // key), so the result is bit-identical to q82 and shares its oracle
     Q("q151_incremental_dedup_bloom",
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val old = docs.where(col("doc_id") % 5 =!= 0)
-          .select(col("doc_id"), col("text"))
-        val batch = docs.where(col("doc_id") % 5 === 0)
-          .select(col("doc_id"), col("text"))
-          .unionByName(docs.where(col("doc_id") % 10 === 1)
-            .select((col("doc_id") + 100000).as("doc_id"),
-              expr("substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))")
-                .as("text")))
+        val (old, batch) = incrementalDedupFixture(s, d)
         def sigs(df: org.apache.spark.sql.DataFrame) =
           Dedup.minhashSignatureTable(Dedup.shingleSets(df, "doc_id", "text", 3), 12)
         Dedup.incrementalDupPairs(sigs(batch), sigs(old),
@@ -795,15 +808,7 @@ object QueriesExt {
     // is exactly the full graph
     Q("q156_incremental_dup_clusters",
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val old = docs.where(col("doc_id") % 5 =!= 0)
-          .select(col("doc_id"), col("text"))
-        val batch = docs.where(col("doc_id") % 5 === 0)
-          .select(col("doc_id"), col("text"))
-          .unionByName(docs.where(col("doc_id") % 10 === 1)
-            .select((col("doc_id") + 100000).as("doc_id"),
-              expr("substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))")
-                .as("text")))
+        val (old, batch) = incrementalDedupFixture(s, d)
         def sigs(df: org.apache.spark.sql.DataFrame) =
           Dedup.minhashSignatureTable(
             Dedup.shingleSets(df, "doc_id", "text", 3), 12)
@@ -2268,6 +2273,72 @@ object QueriesExt {
                      CAST(0 AS INT) AS dist
               FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a, id_b""")),
 
+    // incremental MULTI-ROW media near-dup (round 12 — q153's re-intro
+    // tolerance carried into the continuous tier): the old corpus exists
+    // only as its sampled-frame hash index (3 rows per video, 17 B each
+    // — pixels never re-decoded); the batch holds re-introed copies
+    // (frame 0 replaced with fresh noise, interior frames byte-identical)
+    // of every 10th video at id+off, plus a SECOND independent re-intro
+    // of every 30th at id+2·off. The any-row rule pairs each copy with
+    // its original via the shared interior frames (dist 0, both_new
+    // false) and the two copies of the same original with each other
+    // (the batch-batch leg, both_new true) — the single-row incremental
+    // form (q152) would see only frame-0 hashes and find NOTHING here
+    Q("q157_incremental_video_neardup",
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .filter((id: Long) => id % 2 == 0)
+        val off = copyIdOffset(ids)
+        def mix(i: Long): Long = {
+          var z = i * 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z ^ (z >>> 31)
+        }
+        val base = ids.map { id =>
+          Multimodal.MediaRow(id, "avi", Multimodal.syntheticNoiseAviSeeded(
+            72, 64, (0 to 2).map(j => mix(id * 3 + j))))
+        }
+        val path = artifactPath("video_hash_index_q157")
+        Multimodal.videoFrameHashesSampled(base, k = 3)(s).toDF()
+          .write.mode("overwrite").parquet(path)
+        // fresh intro seeds from the negative key space (splitmix is a
+        // bijection; -(id+off)-1 cannot collide with -id'-1 because
+        // id' = id+off exceeds every base id)
+        val copies = ids.filter((id: Long) => id % 10 == 0).map { id =>
+            Multimodal.MediaRow(id + off, "avi",
+              Multimodal.syntheticNoiseAviSeeded(72, 64,
+                mix(-id - 1) +: (1 to 2).map(j => mix(id * 3 + j))))
+          }
+          .unionAll(ids.filter((id: Long) => id % 30 == 0).map { id =>
+            Multimodal.MediaRow(id + 2 * off, "avi",
+              Multimodal.syntheticNoiseAviSeeded(72, 64,
+                mix(-(id + off) - 1) +: (1 to 2).map(j => mix(id * 3 + j))))
+          })
+        Dedup.incrementalSimhashPairsAnyRow(
+          Multimodal.videoFrameHashesSampled(copies, k = 3)(s).toDF(),
+          s.read.parquet(path), "media_id", maxDist = 3,
+          bloomFpp = Some(0.01))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH mx AS (SELECT (SELECT max(doc_id) FROM documents
+                                  WHERE doc_id % 2 = 0) + 1 AS off)
+              SELECT id_a, id_b, dist, both_new FROM (
+                SELECT doc_id AS id_a,
+                       doc_id + (SELECT off FROM mx) AS id_b,
+                       CAST(0 AS INT) AS dist, FALSE AS both_new
+                FROM documents WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id, doc_id + 2 * (SELECT off FROM mx),
+                       CAST(0 AS INT), FALSE
+                FROM documents WHERE doc_id % 30 = 0
+                UNION ALL
+                SELECT doc_id + (SELECT off FROM mx),
+                       doc_id + 2 * (SELECT off FROM mx),
+                       CAST(0 AS INT), TRUE
+                FROM documents WHERE doc_id % 30 = 0)
+              ORDER BY id_a, id_b""")),
+
     // filtered ANN on the PQ tier (round 10 — q143's contract carried to
     // the second index family): the label attribute rides the
     // (batch, ccell)-partitioned IVF-PQ artifact, the predicate restricts
@@ -2420,7 +2491,7 @@ object QueriesExt {
     s"""WITH oldrel AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
          newrel AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
                     UNION ALL
-                    SELECT doc_id + 100000,
+                    SELECT doc_id + $copyIdOffsetSql,
                            substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))
                     FROM documents WHERE doc_id % 10 = 1),
          ot AS (SELECT doc_id AS id, list_distinct($sh) AS sh FROM oldrel),
@@ -2465,7 +2536,7 @@ object QueriesExt {
          oldrel AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
          newrel AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
                     UNION ALL
-                    SELECT doc_id + 100000,
+                    SELECT doc_id + $copyIdOffsetSql,
                            substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))
                     FROM documents WHERE doc_id % 10 = 1),
          ot AS (SELECT doc_id AS id, list_distinct($sh) AS sh FROM oldrel),

@@ -399,12 +399,15 @@ object Dedup {
     * signatures to the index for the next increment.
     *
     * Scale shape: band join keyed on (band, key) carrying only ids; the
-    * two signature lookups run with the candidate side BROADCAST (a
-    * contract, not a heuristic: candidates are bounded by
-    * batch × bucket-mates, batch-order for any sane increment, and the
-    * hint is what keeps the index signature table from shuffling per
-    * batch — the measured O(index) join-back leak in SCALE.md);
-    * `dropDuplicates` bounds multi-band re-finds.
+    * two signature lookups run with the candidate side BROADCAST while
+    * it stays batch-order (candidates are bounded by
+    * batch × bucket-mates, and the hint is what keeps the index
+    * signature table from shuffling per batch — the measured O(index)
+    * join-back leak in SCALE.md), falling back to the un-hinted plan
+    * above `maxBroadcastCandidates` rows (hot band keys can make the
+    * mate count unbounded, and a forced broadcast of that OOMs where
+    * sort-merge degrades gracefully); `dropDuplicates` bounds
+    * multi-band re-finds.
     *
     * `bloomFpp`: semi-join reduction for the 100 TB index — WITHOUT it,
     * every index signature's band rows shuffle into the join even though
@@ -421,7 +424,8 @@ object Dedup {
   def incrementalDupPairs(batchSigs: DataFrame, indexSigs: DataFrame,
       numHashes: Int = 12, bands: Int = 4,
       estThreshold: Double = 0.5,
-      bloomFpp: Option[Double] = None): DataFrame = {
+      bloomFpp: Option[Double] = None,
+      maxBroadcastCandidates: Long = 1000000L): DataFrame = {
     val rowsPerBand = numHashes / bands
     def banded(sigs: DataFrame) = sigs.select(
       col("id"),
@@ -454,25 +458,39 @@ object Dedup {
       .select(least(col("qid"), col("id")).as("id_a"),
         greatest(col("qid"), col("id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      // pinned: the count below and both join legs read it once
+      .localCheckpoint(true)
     val agree = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
       lit(0), (acc, v) => acc + v)
-    // signature lookups with the CANDIDATE side broadcast (it is bounded
-    // by batch × bucket-mates — batch-order by the operator's contract):
-    // the index signature table streams through two broadcast-hash joins
-    // without ever reaching an exchange. Left un-hinted, a sort-merge
-    // plan shuffles every index signature per trigger — measured as the
-    // residual O(index) cost the band-side Bloom could not remove
-    // (StreamingSpec's two-scale A/B pins the now-flat profile).
+    // signature lookups with the CANDIDATE side broadcast when it is
+    // batch-order (the normal case — candidates are bounded by
+    // batch × bucket-mates): the index signature table then streams
+    // through two broadcast-hash joins without ever reaching an
+    // exchange (left un-hinted, a sort-merge plan shuffles every index
+    // signature per trigger — the measured O(index) join-back leak in
+    // SCALE.md). GUARDED, not unconditional (the hot-cell-guard
+    // discipline): hot band keys — many near-identical index docs
+    // sharing a band key with one batch doc — make the candidate set
+    // O(batch × bucket-mates) with an unbounded mate count, and
+    // broadcasting that OOMs the driver/executors where the sort-merge
+    // plan degrades gracefully. Above `maxBroadcastCandidates` rows
+    // (default 1 M ≈ ~130 MB for the wider sig-carrying leg) the hint
+    // is dropped; results are identical either way — the guard is a
+    // pure plan decision on a pinned count.
+    val candCount = cand.count()
+    val hinted: DataFrame => DataFrame =
+      if (candCount <= maxBroadcastCandidates) df => broadcast(df)
+      else df => df
     val withA = sigsAll
       .select(col("id").as("id_a"), col("sig").as("sig_a"),
         col("is_new").as("new_a"))
-      .join(broadcast(cand), Seq("id_a"))
+      .join(hinted(cand), Seq("id_a"))
     sigsAll
       .select(col("id").as("id_b"), col("sig").as("sig_b"),
         col("is_new").as("new_b"))
-      .join(broadcast(withA), Seq("id_b"))
+      .join(hinted(withA), Seq("id_b"))
       .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 6))
       .where(col("est_jaccard") >= estThreshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"),
@@ -877,7 +895,34 @@ object Dedup {
     */
   def incrementalSimhashPairs(batchHashes: DataFrame, indexHashes: DataFrame,
       idCol: String, maxDist: Int = 3,
-      bloomFpp: Option[Double] = None): DataFrame = {
+      bloomFpp: Option[Double] = None): DataFrame =
+    incrementalSimhashCore(batchHashes, indexHashes, idCol, maxDist,
+      bloomFpp, anyRow = false)
+
+  /** [[incrementalSimhashPairs]] for MULTI-ROW-PER-ID hash tables — the
+    * incremental leg of [[simhash64DupPairsAnyRow]]: the persisted index
+    * holds SEVERAL (id, sim_hi, sim_lo) rows per media id (sampled video
+    * frames, overlapping audio sub-fingerprints), the batch is likewise
+    * multi-row, and two ids pair when ANY of their row pairs sit within
+    * Hamming `maxDist` — which is what keeps the trimmed/re-introed
+    * blind-spot fixes (q153/q154) intact in the CONTINUOUS pipeline: the
+    * changed rows miss, the shared interior rows match. `dist` is the
+    * MINIMUM over the qualifying row pairs (complete by pigeonhole at
+    * maxDist ≤ 3, exactly as in the batch form). Same id-disjointness
+    * precondition, same Bloom semi-join reduction, same
+    * O(batch × bucket-mates) per-increment cost — the per-id row count
+    * is a constant factor (k frames / n sub-fingerprints), not a new
+    * asymptotic term.
+    */
+  def incrementalSimhashPairsAnyRow(batchHashes: DataFrame,
+      indexHashes: DataFrame, idCol: String, maxDist: Int = 3,
+      bloomFpp: Option[Double] = None): DataFrame =
+    incrementalSimhashCore(batchHashes, indexHashes, idCol, maxDist,
+      bloomFpp, anyRow = true)
+
+  private def incrementalSimhashCore(batchHashes: DataFrame,
+      indexHashes: DataFrame, idCol: String, maxDist: Int,
+      bloomFpp: Option[Double], anyRow: Boolean): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"banded blocking over 4 bands is exact only for maxDist <= 3: $maxDist")
     def norm(df: DataFrame, isNew: Boolean) = df.select(
@@ -901,7 +946,7 @@ object Dedup {
     // Hamming distance is symmetric, so the (a, b) orientation after
     // least/greatest needs no hash reshuffling — dist computes off the
     // probe/candidate halves directly
-    val cand = bandedBatch
+    val candAll = bandedBatch
       .select(col("band"), col("key"), col("id").as("id_x"),
         col("hi").as("h_x"), col("lo").as("l_x"))
       .join(bandedIdxF.unionByName(bandedBatch)
@@ -913,13 +958,21 @@ object Dedup {
         (bit_count(col("h_x").bitwiseXOR(col("h_y"))) +
           bit_count(col("l_x").bitwiseXOR(col("l_y")))).cast("int").as("dist"))
       .where(col("dist") <= maxDist)
-      .dropDuplicates("id_a", "id_b")
+    // single-row: one possible dist per id pair, so the multi-band
+    // re-find dedup is a plain dropDuplicates; multi-row: the dedup IS
+    // the min-dist aggregate over the pair's qualifying row pairs
+    val cand =
+      if (anyRow) candAll.groupBy(col("id_a"), col("id_b"))
+        .agg(min(col("dist")).as("dist"))
+      else candAll.dropDuplicates("id_a", "id_b")
     // both_new needs only BATCH membership, and every candidate id comes
     // from a banded row of index ∪ batch — so the tag is two left joins
     // against the (broadcast-sized) batch id set, never touching the
     // index: the join-back is O(batch) regardless of index scale (the
-    // same leak the signature path closes with broadcast(cand))
-    val batchIds = b.select(col("id"))
+    // same leak the signature path closes with broadcast(cand)).
+    // Distinct matters in the multi-row case — a k-row batch id joined
+    // un-deduped would fan every pair row out k times.
+    val batchIds = b.select(col("id")).distinct()
     cand
       .join(broadcast(batchIds.select(col("id").as("id_a"),
         lit(true).as("new_a"))), Seq("id_a"), "left")

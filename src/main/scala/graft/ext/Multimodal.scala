@@ -232,7 +232,10 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           try {
-            val m = parseAvi(r.payload)
+            // header + first frame only — the features row needs the avih
+            // fields and the first frame's decoded dims, so walking every
+            // movi chunk (the default) is pure waste on long payloads
+            val m = parseAvi(r.payload, maxFrameChunks = 1)
             // decode exactly the first frame chunk, locally — the features
             // row keeps only its dims, so pixels die with this scope
             // instead of riding the parse result (the r10 review note)
@@ -289,9 +292,13 @@ object Multimodal {
     var width = -1; var height = -1; var frames = -1L; var usec = -1L
     val chunks = Vector.newBuilder[(Int, Int)]
     var nChunks = 0
+    // early exit once the header is read and the chunk budget is met —
+    // a header-only/first-frame caller (features, hash) stops at the
+    // first movi chunk instead of walking the whole container
+    def done = frames >= 0 && nChunks >= maxFrameChunks
     def walk(start: Int, end: Int): Unit = {
       var off = start
-      while (off + 8 <= end) {
+      while (off + 8 <= end && !done) {
         val id = fourcc(off)
         val sz = u32(off + 4).toInt
         val dataOff = off + 8

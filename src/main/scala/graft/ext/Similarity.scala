@@ -745,7 +745,7 @@ object Similarity {
     * Crash-safe temp-then-swap; the `belowBatch` cut keeps the in-stream
     * fold replay-safe exactly as everywhere else.
     */
-  private def compactVersionedIndex(
+  private[graft] def compactVersionedIndex(
       spark: org.apache.spark.sql.SparkSession, path: String, idCol: String,
       partitionCols: Seq[String], belowBatch: Option[Long]): Long = {
     val idx = spark.read.parquet(path)
@@ -1768,6 +1768,31 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"),
         col("rank").cast("int").as("rank"))
   }
+
+  /** Filtered ANN on the PQ tier with the probe count sized for the
+    * predicate — [[ivfQuantizedTopKAuto]]'s contract carried to the
+    * billion-vector tier (the round-11 gap: the selectivity-aware
+    * widening existed only on SQ8, so filtered PQ ANN ran a fixed
+    * nprobe and kept the measured thin-filter recall collapse):
+    * [[ivfPqTopKFromIndex]] with `nprobe` =
+    * [[nprobeForSelectivity]](baseNprobe, [[filterSelectivity]](index,
+    * filter), cells). The selectivity aggregate runs over the COMPACT
+    * code relation (8 B/vector — never the float store), and the cap
+    * end is all-cells probing, the exact-over-filtered ceiling. Cost
+    * follows the same honest rule as SQ8: the DPP-pruned scan reads
+    * ⌈base/selectivity⌉ cells' files — more files, fewer passing
+    * candidates per file.
+    */
+  def ivfPqTopKAuto(index: DataFrame, cents: DataFrame,
+      booksR: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int, k: Int,
+      baseNprobe: Int, cells: Int, filter: Column,
+      overfetch: Int = PqDefaultOverfetch): DataFrame =
+    ivfPqTopKFromIndex(index, cents, booksR, queries, corpus, idCol,
+      vecCol, m, subDim, k,
+      nprobeForSelectivity(baseNprobe, filterSelectivity(index, filter),
+        cells),
+      overfetch, Some(filter))
 
   /** Production PQ configuration, pinned by the round-8 AnnSweep
     * (docs/SCALE.md §PQ recall matrix): m = 8 subspaces × 8 dims with

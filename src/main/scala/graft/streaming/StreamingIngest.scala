@@ -176,6 +176,28 @@ object StreamingIngest {
     * commit replays batch `batchId` against `batch_id < batchId` = exactly
     * the folded pre-batch state, same as an un-compacted replay.
     */
+  /** True iff `dir` exists and holds at least one parquet data file —
+    * the schema-inference precondition for versioned sinks whose
+    * per-trigger delta may be EMPTY: a partitioned write of an empty
+    * frame creates the directory (and `_SUCCESS`) but no data file, so
+    * existence alone does not make `spark.read.parquet` safe. Listing
+    * short-circuits at the first data file, so on an established
+    * artifact this is one shallow scan, not an O(files) walk.
+    */
+  private[graft] def hasParquetData(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
+  }
+
   def maybeAutoCompact(spark: SparkSession, indexDir: String, batchId: Long,
       compactEvery: Int, idCol: String = "id"): Unit =
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
@@ -188,6 +210,38 @@ object StreamingIngest {
       }
     }
 
+  /** The [[maybeAutoCompact]] cadence for a MULTI-ROW-PER-ID hash index
+    * (the `multiRow = true` leg of [[mediaHashStream]]): the fold keeps
+    * every row of an id's newest epoch — the version-group rule of
+    * [[graft.ext.Similarity.compactKnnGraphEdges]] — because an id's
+    * live hash set is a row GROUP (k sampled frames, n overlapping
+    * sub-fingerprints); the latest-row-per-id fold of
+    * [[compactSignatureIndex]] would truncate it to one arbitrary row
+    * and silently drop interior-frame / offset pairs from then on.
+    */
+  def maybeAutoCompactVersioned(spark: SparkSession, indexDir: String,
+      batchId: Long, compactEvery: Int, idCol: String = "media_id"): Unit =
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      val p = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        compactHashIndexVersioned(spark, indexDir, belowBatch = Some(batchId),
+          idCol = idCol)
+        ()
+      }
+    }
+
+  /** Version-group fold for the multi-row hash index — all rows of an
+    * id's newest `batch_id` epoch fold into the `-1` epoch together
+    * (crash-safe temp-then-swap; `belowBatch` is the replay-safe
+    * in-stream cut exactly as in [[compactSignatureIndex]]). Returns the
+    * compacted row count.
+    */
+  def compactHashIndexVersioned(spark: SparkSession, indexDir: String,
+      belowBatch: Option[Long] = None, idCol: String = "media_id"): Long =
+    graft.ext.Similarity.compactVersionedIndex(spark, indexDir, idCol,
+      Seq("batch_id"), belowBatch)
+
   /** Continuous PERCEPTUAL near-dup over a media stream — [[nearDupStream]]
     * for the 64-bit hash family (image dHash/aHash, audio energy
     * fingerprints, video frame hashes): every micro-batch is reduced to
@@ -198,11 +252,28 @@ object StreamingIngest {
     * batch's hashes append to the index — the q152 cadence as a stream.
     *
     * `hasher` maps the micro-batch to (`idCol`, sim_hi, sim_lo) rows —
-    * pass the modality's reducer, e.g.
-    * `b => Multimodal.perceptualHashes(b.as[MediaRow])(spark).toDF` (or
-    * `audioFingerprints` / `videoFrameHashes`); the decode stays at the
-    * mapPartitions codec boundary inside the batch, payloads never reach
-    * the sinks. Same durability discipline as [[nearDupStream]]: state is
+    * pass the modality's reducer; the decode stays at the mapPartitions
+    * codec boundary inside the batch, payloads never reach the sinks.
+    * The hasher's ROW SHAPE is a contract, keyed by `multiRow`:
+    *
+    *  - `multiRow = false` (default): exactly ONE row per media id
+    *    (`perceptualHashes`, `audioFingerprints`, `videoFrameHashes`).
+    *    Pairing is [[graft.ext.Dedup.incrementalSimhashPairs]] and
+    *    compaction is the latest-ROW-per-id fold
+    *    ([[compactSignatureIndex]]).
+    *  - `multiRow = true`: SEVERAL rows per media id
+    *    (`videoFrameHashesSampled`, `audioFingerprintsFramed`). Pairing
+    *    is the any-row rule ([[graft.ext.Dedup
+    *    .incrementalSimhashPairsAnyRow]] — min dist over row pairs, the
+    *    q153/q154 trim/re-intro tolerance kept continuous) and
+    *    compaction is the VERSION-GROUP fold
+    *    ([[compactHashIndexVersioned]] — all rows of an id's newest
+    *    epoch survive). Running a multi-row hasher under the default
+    *    would silently truncate each id's hash set to one arbitrary row
+    *    at the first compaction and drop pairs thereafter — the flag is
+    *    what routes the index to the fold that preserves row groups.
+    *
+    * Same durability discipline as [[nearDupStream]]: state is
     * the parquet index (17 B/item, survives restarts), both sinks
     * dynamic-overwrite their own `batch_id` partition (at-least-once
     * replay rewrites itself), the index read takes only
@@ -214,15 +285,20 @@ object StreamingIngest {
   def mediaHashStream(media: DataFrame, indexDir: String, pairsDir: String,
       checkpointDir: String, hasher: DataFrame => DataFrame,
       idCol: String = "media_id", maxDist: Int = 3,
-      bloomFpp: Option[Double] = Some(0.01), compactEvery: Int = 0)
+      bloomFpp: Option[Double] = Some(0.01), compactEvery: Int = 0,
+      multiRow: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mediaHashBatch(batch, batchId, indexDir, pairsDir, hasher, idCol,
-          maxDist, bloomFpp)
-        maybeAutoCompact(batch.sparkSession, indexDir, batchId, compactEvery,
-          idCol)
+          maxDist, bloomFpp, multiRow)
+        if (multiRow)
+          maybeAutoCompactVersioned(batch.sparkSession, indexDir, batchId,
+            compactEvery, idCol)
+        else
+          maybeAutoCompact(batch.sparkSession, indexDir, batchId,
+            compactEvery, idCol)
       }
       .start()
 
@@ -236,7 +312,8 @@ object StreamingIngest {
   def mediaHashBatch(batch: DataFrame, batchId: Long, indexDir: String,
       pairsDir: String, hasher: DataFrame => DataFrame,
       idCol: String = "media_id", maxDist: Int = 3,
-      bloomFpp: Option[Double] = Some(0.01)): Unit =
+      bloomFpp: Option[Double] = Some(0.01),
+      multiRow: Boolean = false): Unit =
     if (!batch.isEmpty) {
       import graft.ext.Dedup
       val spark = batch.sparkSession
@@ -252,7 +329,12 @@ object StreamingIngest {
               .where(col("batch_id") < lit(batchId))
               .select(col(idCol), col("sim_hi"), col("sim_lo"))
           else hashes.limit(0)
-        Dedup.incrementalSimhashPairs(hashes, index, idCol, maxDist, bloomFpp)
+        val pairs =
+          if (multiRow) Dedup.incrementalSimhashPairsAnyRow(hashes, index,
+            idCol, maxDist, bloomFpp)
+          else Dedup.incrementalSimhashPairs(hashes, index, idCol, maxDist,
+            bloomFpp)
+        pairs
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -468,16 +550,26 @@ object StreamingIngest {
         nprobe).localCheckpoint(true)
       val statePath = new org.apache.hadoop.fs.Path(stateDir)
       val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // empty edge relation with the exact edge schema — both the full
+      // bootstrap and the edges-only gap below fall back to it
+      def emptyEdges = Similarity.knnGraph(batch.limit(0),
+        idCol, vecCol, cents, k, nprobe)
       val (oldState, oldEdges) =
         if (fs.exists(statePath))
           (spark.read.parquet(stateDir)
             .where(col("batch_id") < lit(batchId)).drop("batch_id"),
-            Similarity.knnGraphCurrentEdges(spark, edgesDir,
-              belowBatch = Some(batchId)).drop("batch_id"))
+            // the state write always lands rows, but the EDGES delta can
+            // be empty (a one-vector bootstrap batch has no neighbors),
+            // and an empty partitioned write leaves no schema-bearing
+            // data file — so gate schema inference on actual data, not
+            // on the state artifact's existence
+            if (hasParquetData(spark, edgesDir))
+              Similarity.knnGraphCurrentEdges(spark, edgesDir,
+                belowBatch = Some(batchId)).drop("batch_id")
+            else emptyEdges)
         else
           // bootstrap: empty relations with the exact state/edge schemas
-          (bState.limit(0), Similarity.knnGraph(batch.limit(0),
-            idCol, vecCol, cents, k, nprobe))
+          (bState.limit(0), emptyEdges)
       Similarity.knnGraphBatchFromState(oldState, oldEdges, bState, k)
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
@@ -508,11 +600,13 @@ object StreamingIngest {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        nearDupBatch(batch, batchId, indexDir, pairsDir,
+        // the pair delta is nearDupBatch's RETURN (pinned), not a re-read
+        // of pairsDir: a zero-pair first trigger leaves the pairs sink
+        // with no schema-bearing data file, so the read form crashes
+        // schema inference — and crashes again on replay
+        val pairDelta = nearDupBatch(batch, batchId, indexDir, pairsDir,
           shingleK, numHashes, bands, estThreshold, bloomFpp)
-        clusterMaintBatch(batch.select(col("doc_id")),
-          batch.sparkSession.read.parquet(pairsDir)
-            .where(col("batch_id") === lit(batchId)),
+        clusterMaintBatch(batch.select(col("doc_id")), pairDelta,
           clustersDir, batchId)
         maybeAutoCompact(batch.sparkSession, indexDir, batchId, compactEvery)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
@@ -578,16 +672,33 @@ object StreamingIngest {
     * both_new flags). Batch ids are monotonic and the compacted epoch is
     * -1, so the filter always reads exactly the pre-batch state; both sinks
     * dynamic-overwrite their own batch_id partition.
+    *
+    * RETURNS the batch's pair delta (what landed under
+    * `pairsDir/batch_id=batchId`), pinned so it computes exactly once —
+    * downstream per-trigger consumers ([[nearDupClusterStream]]) must fold
+    * THIS frame rather than re-reading the sink: a zero-pair trigger's
+    * partitioned write leaves no schema-bearing data file, so a
+    * `spark.read.parquet(pairsDir)` on a fresh stream's first trigger
+    * fails schema inference (and an at-least-once replay of that trigger
+    * fails identically, wedging the query).
     */
   def nearDupBatch(batch: DataFrame, batchId: Long, indexDir: String,
       pairsDir: String, shingleK: Int = 3, numHashes: Int = 12,
       bands: Int = 4, estThreshold: Double = 0.5,
-      bloomFpp: Option[Double] = Some(0.01)): Unit = {
+      bloomFpp: Option[Double] = Some(0.01)): DataFrame = {
     import graft.ext.Dedup
-    if (!batch.isEmpty) {
+    def sigsOf(df: DataFrame) = Dedup.minhashSignatureTable(
+      Dedup.shingleSets(df, "doc_id", "text", shingleK), numHashes)
+    if (batch.isEmpty) {
+      // schema-only pair frame: an empty trigger writes nothing, but the
+      // caller still needs the delta's shape (lazy, never executed jobs)
+      val s0 = sigsOf(batch.limit(0))
+      Dedup.incrementalDupPairs(s0, s0.select(col("id"), col("sig")),
+          numHashes, bands, estThreshold, None)
+        .withColumn("batch_id", lit(batchId))
+    } else {
       val spark = batch.sparkSession
-      val sigs = Dedup.minhashSignatureTable(
-          Dedup.shingleSets(batch, "doc_id", "text", shingleK), numHashes)
+      val sigs = sigsOf(batch)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val indexPath = new org.apache.hadoop.fs.Path(indexDir)
@@ -598,10 +709,11 @@ object StreamingIngest {
               .where(col("batch_id") < lit(batchId))
               .select(col("id"), col("sig"))
           else sigs.limit(0)
-        Dedup.incrementalDupPairs(sigs, index, numHashes, bands, estThreshold,
-            bloomFpp)
+        val pairs = Dedup.incrementalDupPairs(sigs, index, numHashes, bands,
+            estThreshold, bloomFpp)
           .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
+          .localCheckpoint(true)
+        pairs.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(pairsDir)
@@ -610,6 +722,7 @@ object StreamingIngest {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(indexDir)
+        pairs
       } finally { sigs.unpersist(); () }
     }
   }

@@ -460,6 +460,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(run(Some(0.9)) == off, "bloomFpp=0.9 must not change results")
   }
 
+  test("incrementalSimhashPairsAnyRow equals the full any-row operator " +
+    "restricted to batch-touching pairs; min-dist over row pairs; " +
+    "Bloom-invariant") {
+    // multi-row ids: each id holds 3 hash rows. Batch id 1000+i shares
+    // index id i's rows 1..2 and replaces row 0 (the re-intro shape); a
+    // second batch member 2000+i shares rows 1..2 of the SAME original
+    // (batch-batch leg). dist witnesses the MIN rule: row 1 is copied
+    // exactly (dist 0) while row 2 is copied with one bit flipped
+    // (dist 1) — the pair must report 0, not 1.
+    def mix(i: Long): Long = {
+      var z = i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def half(k: Long, s: Long) = mix(k * 2 + s) & 0xFFFFFFFFL
+    def rowsOf(id: Long): Seq[(Long, Long, Long)] =
+      (0 to 2).map(j => (id, half(id * 3 + j, 0), half(id * 3 + j, 1)))
+    val index = (0L until 30L).flatMap(rowsOf)
+      .toDF("media_id", "sim_hi", "sim_lo")
+    def copyRows(src: Long, at: Long, fresh: Long): Seq[(Long, Long, Long)] =
+      Seq((at, half(fresh, 0), half(fresh, 1)),                      // replaced
+        (at, half(src * 3 + 1, 0), half(src * 3 + 1, 1)),            // exact
+        (at, half(src * 3 + 2, 0), half(src * 3 + 2, 1) ^ 1L))       // 1 bit off
+    val batch = ((0L until 30L by 6).flatMap(i =>
+        copyRows(i, 1000L + i, -i - 1)) ++
+      (0L until 30L by 12).flatMap(i => copyRows(i, 2000L + i, -i - 500)))
+      .toDF("media_id", "sim_hi", "sim_lo")
+    def run(fpp: Option[Double]) =
+      Dedup.incrementalSimhashPairsAnyRow(batch, index, "media_id",
+          maxDist = 3, bloomFpp = fpp)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+        .toSet
+    val got = run(None)
+    val expected =
+      (0L until 30L by 6).map(i => (i, 1000L + i, 0, false)).toSet ++
+      (0L until 30L by 12).map(i => (i, 2000L + i, 0, false)).toSet ++
+      (0L until 30L by 12).map(i => (1000L + i, 2000L + i, 0, true)).toSet
+    assert(got == expected, s"got $got")
+    // exactness vs the batch-mode operator: the full any-row pair set
+    // over index ∪ batch, restricted to pairs touching a batch id,
+    // must agree on (id_a, id_b, dist)
+    val batchIds = (0L until 30L by 6).map(1000L + _).toSet ++
+      (0L until 30L by 12).map(2000L + _).toSet
+    val full = Dedup.simhash64DupPairsAnyRow(
+        index.unionByName(batch), "media_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(p => batchIds.contains(p._1) || batchIds.contains(p._2))
+      .toSet
+    assert(got.map(p => (p._1, p._2, p._3)) == full)
+    assert(run(Some(0.01)) == got && run(Some(0.9)) == got,
+      "Bloom prefilter must be result-invariant")
+  }
+
   test("sampleByTemperature upsamples low-resource strata, deterministically") {
     import graft.ext.Sampling
     val rows = (1L to 400L).map(i => (i, if (i <= 320) "big" else "small"))
@@ -1057,6 +1112,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
       nprobe = Similarity.nprobeForSelectivity(1, sel, 4),
       overfetch = 4, filter = Some(pred)))
     assert(auto == manual && auto.nonEmpty)
+  }
+
+  test("ivfPqTopKAuto IS the manual composition on the PQ tier " +
+    "(measured selectivity -> widened nprobe -> filtered ADC probe)") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 23 - 11).toFloat),
+        i % 4)
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val resid = Similarity.residualVectors(vecs, "vec_id", "embedding",
+      cents).localCheckpoint(true)
+    val books = Similarity.pqCodebooks(resid, "vec_id", "rvec",
+      m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+    val idx = Similarity.ivfPqIndex(vecs, "vec_id", "embedding", cents,
+      books, m = 4, subDim = 16, attrs = Seq("label")).localCheckpoint(true)
+    val q = vecs.where($"vec_id" % 9 === 0)
+    val pred = $"label" === 0
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(_.toSeq.toList).toSet
+    val auto = rows(Similarity.ivfPqTopKAuto(idx, cents, books, q, vecs,
+      "vec_id", "embedding", m = 4, subDim = 16, k = 2, baseNprobe = 1,
+      cells = 4, filter = pred, overfetch = 4))
+    val sel = Similarity.filterSelectivity(idx, pred)
+    val manual = rows(Similarity.ivfPqTopKFromIndex(idx, cents, books, q,
+      vecs, "vec_id", "embedding", m = 4, subDim = 16, k = 2,
+      nprobe = Similarity.nprobeForSelectivity(1, sel, 4),
+      overfetch = 4, filter = Some(pred)))
+    assert(auto == manual && auto.nonEmpty)
+    // 1/4 selectivity at baseNprobe 1 widens to the 4-cell cap — the
+    // all-cells end is exact over the filtered corpus
+    assert(Similarity.nprobeForSelectivity(1, sel, 4) == 4)
   }
 
   test("filtered ANN: predicate reaches the artifact scan as a PushedFilter " +

@@ -293,6 +293,105 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 11L, 12L))
   }
 
+  test("mediaHashStream multiRow: re-introed video copies pair their " +
+    "originals via interior frames, trigger equals the stepwise any-row " +
+    "operator, and the version-group fold keeps every frame row — " +
+    "including across a post-compaction batch") {
+    import graft.ext.{Dedup, Multimodal}
+    val base = java.nio.file.Files.createTempDirectory("mediahash_multirow")
+    val (mediaDir, indexDir, pairsDir, ckDir) =
+      (s"$base/media", s"$base/index", s"$base/pairs", s"$base/ck")
+    def mix(i: Long): Long = {
+      var z = i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z ^ (z >>> 31)
+    }
+    def video(seeds: Seq[Long]) =
+      Multimodal.syntheticNoiseAviSeeded(72, 64, seeds)
+    def baseSeeds(id: Long) = (0 to 2).map(j => mix(id * 3 + j))
+    // re-intro: frame 0 fresh noise, interior frames byte-identical to
+    // the original — the q153 blind-spot fixture, batch-shaped
+    def reintro(id: Long, freshKey: Long) =
+      mix(freshKey) +: (1 to 2).map(j => mix(id * 3 + j))
+    val b1 = Seq(Multimodal.MediaRow(1L, "avi", video(baseSeeds(1L))),
+      Multimodal.MediaRow(2L, "avi", video(baseSeeds(2L))))
+    val b2 = Seq(Multimodal.MediaRow(11L, "avi", video(reintro(1L, -100L))),
+      Multimodal.MediaRow(12L, "avi", video(baseSeeds(12L))))
+    val b3 = Seq(Multimodal.MediaRow(21L, "avi", video(reintro(2L, -200L))))
+    // batch 4 lands AFTER the compactEvery=2 fold and pairs a FOLDED id:
+    // its match needs id 12's interior rows to have survived compaction
+    val b4 = Seq(Multimodal.MediaRow(31L, "avi", video(reintro(12L, -300L))))
+    val hasher: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      b => Multimodal.videoFrameHashesSampled(
+        b.as[Multimodal.MediaRow], k = 3)(spark).toDF()
+    def hashed(rows: Seq[Multimodal.MediaRow]) =
+      Multimodal.videoFrameHashesSampled(rows.toDS(), k = 3)(spark).toDF()
+    def toSet4(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "dist", "both_new")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      .toSet
+    def stepwise(batch: Seq[Multimodal.MediaRow],
+        index: Seq[Multimodal.MediaRow]) =
+      toSet4(Dedup.incrementalSimhashPairsAnyRow(hashed(batch),
+        if (index.isEmpty) hashed(batch).limit(0) else hashed(index),
+        "media_id", maxDist = 3))
+    def pairSet() = toSet4(spark.read.parquet(pairsDir))
+    new java.io.File(mediaDir).mkdirs()
+    b1.toDS().toDF().coalesce(1).write.mode("append").parquet(mediaDir)
+    val stream = spark.readStream
+      .schema("media_id BIGINT, format STRING, payload BINARY")
+      .option("maxFilesPerTrigger", 1).parquet(mediaDir)
+    val q = StreamingIngest.mediaHashStream(stream, indexDir, pairsDir, ckDir,
+      hasher, compactEvery = 2, multiRow = true)
+    try {
+      q.processAllAvailable()
+      // the first trigger emits ZERO pairs: its partitioned write leaves
+      // no schema-bearing data file (the ADVICE-flagged sink state), so
+      // the witness is the data-file probe, not a read
+      assert(stepwise(b1, Seq.empty).isEmpty)
+      assert(!StreamingIngest.hasParquetData(spark, pairsDir))
+      b2.toDS().toDF().coalesce(1).write.mode("append").parquet(mediaDir)
+      q.processAllAvailable()
+      val e2 = stepwise(b2, b1)
+      assert(e2 == Set((1L, 11L, 0, false)),
+        "re-introed copy pairs its original via interior frames at dist 0")
+      assert(pairSet() == e2)
+      // the single-row (first-frame) form finds NOTHING on this fixture —
+      // the exact blind spot the multi-row tier closes
+      def firstFrame(rows: Seq[Multimodal.MediaRow]) =
+        Multimodal.videoFrameHashes(rows.toDS())(spark).toDF()
+      assert(toSet4(Dedup.incrementalSimhashPairs(firstFrame(b2),
+        firstFrame(b1), "media_id", maxDist = 3)).isEmpty)
+      b3.toDS().toDF().coalesce(1).write.mode("append").parquet(mediaDir)
+      q.processAllAvailable()
+      assert(pairSet() == e2 ++ stepwise(b3, b1 ++ b2))
+      // batchId 2 triggered the version-group fold of epochs {0, 1}: all
+      // FIFTEEN rows survive (3 per id × ids 1,2,11,12 in the -1 epoch,
+      // plus id 21's 3 rows at epoch 2) — the latest-row-per-id rule
+      // would have truncated the folded ids to one arbitrary row each
+      val idx = spark.read.parquet(indexDir)
+      assert(idx.count() == 15L)
+      assert(idx.select("batch_id").distinct().as[Long].collect().toSet ==
+        Set(-1L, 2L))
+      assert(idx.where(col("batch_id") === -1L).groupBy("media_id").count()
+        .select("count").as[Long].collect().toSet == Set(3L))
+      // post-compaction continuity: the next batch pairs a FOLDED id
+      // through its interior frames — deterministic only because the
+      // fold preserved the whole row group
+      b4.toDS().toDF().coalesce(1).write.mode("append").parquet(mediaDir)
+      q.processAllAvailable()
+      val e4 = stepwise(b4, b1 ++ b2 ++ b3)
+      assert(e4 == Set((12L, 31L, 0, false)))
+      assert(pairSet() == e2 ++ stepwise(b3, b1 ++ b2) ++ e4)
+      // at-least-once replay through the stream's own code path
+      StreamingIngest.mediaHashBatch(b4.toDS().toDF(), 3L, indexDir,
+        pairsDir, hasher, multiRow = true)
+      assert(pairSet() == e2 ++ stepwise(b3, b1 ++ b2) ++ e4,
+        "replay rewrites itself")
+    } finally q.stop()
+  }
+
   test("Bloom prefilter bounds the per-trigger shuffle to postings, " +
     "with identical results (the streaming cost contract)") {
     import java.util.concurrent.atomic.LongAdder

@@ -2339,6 +2339,75 @@ object QueriesExt {
                 FROM documents WHERE doc_id % 30 = 0)
               ORDER BY id_a, id_b""")),
 
+    // cluster-table DELETION (round 12 — the takedown path): the
+    // maintained (id, cluster_id) assignment loses a set of ids, some of
+    // them MIN-LABELS of their components (their survivors must relabel)
+    // — dupClustersDelete re-runs the CC only on the touched components'
+    // surviving pair graph, O(touched), and the oracle proves equality
+    // with a full rebuild over corpus ∖ removed (pair emission is
+    // pairwise, so removal never changes any other pair). Removed set:
+    // every 30th-from-1 original (min of its {id, id+off} copy cluster)
+    // plus every 20th batch doc (typically singleton row drops)
+    Q("q158_cluster_delete",
+      (s, d) => {
+        val (old, batch) = incrementalDedupFixture(s, d)
+        def sigs(df: org.apache.spark.sql.DataFrame) =
+          Dedup.minhashSignatureTable(
+            Dedup.shingleSets(df, "doc_id", "text", 3), 12)
+        val so = sigs(old).localCheckpoint(true)
+        val allPairs = Dedup.incrementalDupPairs(so, so.limit(0),
+            numHashes = 12, bands = 4, estThreshold = 0.5)
+          .unionByName(Dedup.incrementalDupPairs(sigs(batch), so,
+            numHashes = 12, bands = 4, estThreshold = 0.5))
+          .localCheckpoint(true)
+        val verts = old.select(col("doc_id"))
+          .unionByName(batch.select(col("doc_id")))
+        val clusters = Dedup.dupClusters(verts, "doc_id", allPairs)
+          .localCheckpoint(true)
+        val rm = t(s, d, "documents")
+          .where(col("doc_id") % 30 === 1 || col("doc_id") % 20 === 0)
+          .select(col("doc_id"))
+        Dedup.dupClustersDelete(clusters, allPairs, rm, "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(clusterDeleteOracleSql)),
+
+    // ADC-scored kNN graph on the PQ tier (round 12 — graph dedup where
+    // only 8 B/vector fits): every node ranks candidates by the ADC sum
+    // over the (batch_id, ccell)-partitioned code artifact, floats
+    // rescore only each node's survivors. Run at the exactness ceiling
+    // (all-cells probe, k·overfetch ≥ corpus), where the result IS the
+    // exact kNN graph — the q135/q137 equivalence pattern, with the
+    // oracle the exact graph itself rather than a PQ replay
+    Q("q159_knn_graph_pq",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val res = Similarity.residualVectors(e, "vec_id", "embedding", cents)
+          .localCheckpoint(true)
+        val booksR = Similarity.pqCodebooks(res, "vec_id", "rvec",
+          m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+        val path = artifactPath("ivf_pq_knn_q159")
+        Similarity.saveIvfPqIndex(e, "vec_id", "embedding", cents, booksR,
+          m = 4, subDim = 16, path)
+        Similarity.knnGraphPq(Similarity.loadIvfPqIndex(s, path), cents,
+          booksR, e, "vec_id", "embedding", m = 4, subDim = 16, k = 5,
+          nprobe = 8, overfetch = 100)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id, embedding FROM embeddings),
+               sc AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                             ${cosSql("a.embedding", "b.embedding")} AS cos
+                      FROM c a, c b WHERE a.vec_id <> b.vec_id),
+               r AS (SELECT q_id, c_id, cos,
+                            CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, c_id) AS INT) AS rnk
+                     FROM sc)
+              SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 5
+              ORDER BY q_id, rnk""")),
+
     // filtered ANN on the PQ tier (round 10 — q143's contract carried to
     // the second index family): the label attribute rides the
     // (batch, ccell)-partitioned IVF-PQ artifact, the predicate restricts
@@ -2523,7 +2592,19 @@ object QueriesExt {
     * RECURSIVE reach CTE (the q43 labeling); equality with
     * merge(old clusters, dupClustersBatch delta) is the proof.
     */
-  private lazy val incrementalDupClustersOracleSql: String = {
+  private lazy val incrementalDupClustersOracleSql: String =
+    dupClustersClosureSql(removeSql = None)
+
+  /** q158: the q156 closure over the corpus MINUS the removed ids —
+    * equality with `dupClustersDelete` over the maintained table is the
+    * takedown-path proof.
+    */
+  private lazy val clusterDeleteOracleSql: String =
+    dupClustersClosureSql(removeSql = Some(
+      """SELECT doc_id AS id FROM documents WHERE doc_id % 30 = 1
+         UNION ALL SELECT doc_id FROM documents WHERE doc_id % 20 = 0"""))
+
+  private def dupClustersClosureSql(removeSql: Option[String]): String = {
     val sh = shinglesSql(toksSql)
     def bandSql(rel: String) = (0 until 4).map { i =>
       val parts = (0 until 3).map(r => s"CAST(m${i * 3 + r} AS VARCHAR)")
@@ -2532,7 +2613,14 @@ object QueriesExt {
     }.mkString(" UNION ALL ")
     val agreeSum = (0 until 12)
       .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    val rmCte = removeSql.fold("")(r => s"rm AS ($r),")
+    val prsFilter = removeSql.fold("")(_ =>
+      """ AND c.id_a NOT IN (SELECT id FROM rm)
+          AND c.id_b NOT IN (SELECT id FROM rm)""")
+    val vertsFilter = removeSql.fold("")(_ =>
+      " WHERE v.id NOT IN (SELECT id FROM rm)")
     s"""WITH RECURSIVE
+         $rmCte
          oldrel AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
          newrel AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
                     UNION ALL
@@ -2556,7 +2644,8 @@ object QueriesExt {
          prs AS (SELECT c.id_a, c.id_b
                  FROM cand c JOIN sigs a ON a.id = c.id_a
                              JOIN sigs b ON b.id = c.id_b
-                 WHERE round(CAST($agreeSum AS DOUBLE) / 12, 6) >= 0.5),
+                 WHERE round(CAST($agreeSum AS DOUBLE) / 12, 6) >= 0.5
+                $prsFilter),
          edges AS (SELECT id_a AS a, id_b AS b FROM prs
                    UNION ALL SELECT id_b, id_a FROM prs),
          reach(src, dst) AS (
@@ -2569,6 +2658,7 @@ object QueriesExt {
                    UNION ALL SELECT doc_id AS id FROM newrel)
         SELECT v.id AS doc_id, coalesce(l.cluster, v.id) AS cluster_id
         FROM verts v LEFT JOIN lbl l ON l.id = v.id
+        $vertsFilter
         ORDER BY doc_id"""
   }
 

@@ -570,6 +570,64 @@ object Dedup {
     oldClusters.join(delta.select(col(idCol)), Seq(idCol), "left_anti")
       .unionByName(delta)
 
+  /** DELETION from a maintained cluster assignment — the takedown path
+    * (the r11 verdict's gap #4: every incremental artifact was
+    * append-only, so a legally-required removal forced a full rebuild).
+    * Removing a vertex is the hard case of cluster maintenance because
+    * the label invariant can break two ways: the removed id may BE its
+    * component's min-label (every survivor needs a new label), and the
+    * removed vertex may be an articulation point (the component SPLITS —
+    * survivors that only reached each other through it become separate
+    * clusters). Both are handled by one rule: re-run the pointer-jumping
+    * CC on the SURVIVING pair graph restricted to the touched
+    * components — O(touched components + one pass over the pair set),
+    * never O(corpus).
+    *
+    * Inputs: the current (id, cluster_id) assignment, the FULL pair set
+    * that produced it (the pairs artifact — only rows inside touched
+    * components are iterated; the rest die in two semi-joins), and the
+    * ids to remove. Output: the complete post-delete assignment —
+    * removed ids absent, untouched components byte-identical, touched
+    * components relabeled exactly as a full [[dupClusters]] over
+    * (vertices ∖ removed, pairs among survivors) would label them
+    * (q158's oracle — pair emission is pairwise, so removing a vertex
+    * never changes any OTHER pair, which is what makes restrict-then-CC
+    * ≡ rebuild).
+    *
+    * Scale shape: touched labels and their member sets are
+    * delete-batch-bounded and broadcast into the semi/anti joins; the
+    * single full scan is the pairs artifact (partition-prunable if the
+    * pairs store is bucketed by component/label — out of scope here).
+    */
+  def dupClustersDelete(oldClusters: DataFrame, pairs: DataFrame,
+      removeIds: DataFrame, idCol: String, maxIter: Int = 25): DataFrame = {
+    val oc = oldClusters.select(col(idCol).cast("long").as("id"),
+      col("cluster_id").cast("long").as("cl"))
+    val rm = removeIds.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    // components that lose a member — bounded by the delete batch
+    val touched = oc.join(rm, Seq("id"), "left_semi")
+      .select(col("cl")).distinct().localCheckpoint(true)
+    val affected = oc.join(broadcast(touched), Seq("cl"), "left_semi")
+    val survivors = affected.join(rm, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    // pairs wholly inside the touched components' surviving member sets
+    // (both endpoints must survive — a pair with a removed endpoint is
+    // gone, and pairs across untouched components cannot exist)
+    val survPairs = pairs
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .join(broadcast(survivors.select(col("id").as("id_a"))),
+        Seq("id_a"), "left_semi")
+      .join(broadcast(survivors.select(col("id").as("id_b"))),
+        Seq("id_b"), "left_semi")
+    val relabeled = dupClusters(
+      survivors.select(col("id").as(idCol)), idCol, survPairs, maxIter)
+    oc.join(broadcast(touched), Seq("cl"), "left_anti")
+      .select(col("id").as(idCol), col("cl").as("cluster_id"))
+      .unionByName(relabeled)
+  }
+
   /** Emit the i<j element pairs of a sorted-array column with bounded
     * per-row memory: `posexplode` anchors one output row per element, and
     * each row's pair array covers only that element's tail — O(group) per

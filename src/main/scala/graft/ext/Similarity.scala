@@ -652,18 +652,21 @@ object Similarity {
     // join that follows), so over a cell-partitioned state artifact
     // ([[saveKnnGraphState]]) they become partition-pruned file reads —
     // the batch-edges leg touches only cells the batch PROBES, the
-    // affected leg only cells the batch OCCUPIES. Cell lists are
-    // driver-collected like the semDedup occupied-cell set — bounded by
-    // the cell count.
+    // affected leg only cells the batch OCCUPIES. Routing is
+    // [[whereCellIn]]: a static literal filter while the cell set is
+    // small, a broadcast semi-join (DPP prunes the files) past the cap
+    // — the plan stays O(1) in cell count at √N-cell sizing.
     val batchProbeCells = bState.select(col("cell")).distinct()
       .collect().map(_.get(0)).toSeq
     val batchEdges = knnEdges(
       bState.select(col("q_id"), col("q_vec"), col("q_norm"), col("cell")),
-      stateMembers(oldState.where(col("cell").isin(batchProbeCells: _*)))
+      stateMembers(whereCellIn(oldState, "cell", batchProbeCells,
+        bState.select(col("cell"))))
         .unionByName(bMembers), k)
     val batchCells = bMembers.select(col("cell")).distinct()
       .collect().map(_.get(0)).toSeq
-    val affectedProbes = oldState.where(col("cell").isin(batchCells: _*))
+    val affectedProbes = whereCellIn(oldState, "cell", batchCells,
+      bMembers.select(col("cell")))
     val newCand = affectedProbes
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("cell"))
       .join(bMembers, Seq("cell"))
@@ -1312,11 +1315,43 @@ object Similarity {
     val occupied = stamped.select(col("cell")).distinct()
       .collect().map(_.get(0)).toSeq
     val base = spark.read.parquet(indexPath)
-    val index = indexFilter.fold(base)(base.where)
-      .where(col("cell").isin(occupied: _*))
+    val index = whereCellIn(indexFilter.fold(base)(base.where), "cell",
+      occupied, stamped.select(col("cell")))
     semDedupBatchCore(index, corpus, stamped, idCol, vecCol, tau, margin,
       maxCell, dim)
   }
+
+  /** Cell-set routing with a BOUNDED plan: at or below [[MaxIsinCells]]
+    * driver-collected values, a static `isin` literal filter — the form
+    * static partition pruning wants, and the cheapest plan while the
+    * list is small. ABOVE the cap, a broadcast left-semi join against
+    * the (distinct) cell frame: the expression tree stays O(1) in the
+    * cell count — at the engine's own √N cell sizing a 10¹⁰-row corpus
+    * has ~10⁵ cells, and a 10⁵-literal `isin` is a plan-size/analysis/
+    * codegen cost even though the data routing is correct — while
+    * dynamic partition pruning restricts the file read of a
+    * cell-partitioned artifact exactly as the literal form does. Same
+    * rows either way (the values ARE the frame's distinct set).
+    */
+  private[graft] val MaxIsinCells: Int = 1024
+  private[graft] def whereCellIn(df: DataFrame, cellCol: String,
+      cellValues: Seq[Any], cellFrame: DataFrame,
+      maxIsin: Int = MaxIsinCells): DataFrame =
+    if (cellValues.lengthCompare(maxIsin) <= 0)
+      df.where(col(cellCol).isin(cellValues: _*))
+    else {
+      // the build side carries a min/max range filter over the collected
+      // values — semantically a no-op (every value is inside its own
+      // bounds), but it is what makes Spark's PartitionPruning rule
+      // classify the build side as selectively filtered and insert the
+      // dynamic pruning subquery on the scan: a bare distinct() has no
+      // predicate and gets NO DPP (spec-verified), silently turning the
+      // capped form into a full-index read. Two literals, not |cells|.
+      val nums = cellValues.map(v => v.asInstanceOf[Number].longValue())
+      val bounded = cellFrame.select(col(cellCol)).distinct()
+        .where(col(cellCol) >= lit(nums.min) && col(cellCol) <= lit(nums.max))
+      df.join(broadcast(bounded), Seq(cellCol), "left_semi")
+    }
 
   /** The shared prune core over a PRE-STAMPED batch (one assignment pass,
     * already checkpointed by the callers above).
@@ -1768,6 +1803,32 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"),
         col("rank").cast("int").as("rank"))
   }
+
+  /** ADC-scored kNN graph on the PQ tier — graph construction where only
+    * the 8 B/vector code artifact fits (the r11 gap #3: `knnGraph` and
+    * SemDeDup ran only on floats/SQ8, so graph dedup over a corpus that
+    * only fits as PQ codes meant a full re-encode). Every node queries
+    * the (batch_id, ccell)-partitioned code table: probes broadcast
+    * against the DPP-pruned scan, candidates ranked by the decimal-exact
+    * ADC sum over codes alone, floats consulted ONLY for each node's
+    * k·overfetch survivors ([[ivfPqTopKFromIndex]] with queries = the
+    * corpus itself; self is excluded inside the ADC join, so no rank
+    * slot is wasted on it). Edges are (q_id, c_id, cos, rank) under the
+    * total (cos desc, c_id) order — the [[knnGraph]] shape.
+    *
+    * EXACTNESS ceiling (q159's oracle): at nprobe = cells and
+    * k·overfetch ≥ |corpus| every candidate is float-rescored, so the
+    * result IS the exact kNN graph — identical to the float
+    * [[knnGraph]] at all-cells probe with full overfetch. At production
+    * settings the candidate scan reads 8 B/vector codes instead of
+    * 256 B floats; recall follows the measured PQ matrix (SCALE.md).
+    */
+  def knnGraphPq(index: DataFrame, cents: DataFrame, booksR: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+      subDim: Int, k: Int, nprobe: Int,
+      overfetch: Int = PqDefaultOverfetch): DataFrame =
+    ivfPqTopKFromIndex(index, cents, booksR, corpus, corpus, idCol,
+      vecCol, m, subDim, k, nprobe, overfetch)
 
   /** Filtered ANN on the PQ tier with the probe count sized for the
     * predicate — [[ivfQuantizedTopKAuto]]'s contract carried to the

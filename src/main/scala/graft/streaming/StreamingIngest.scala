@@ -323,10 +323,13 @@ object StreamingIngest {
       try {
         val indexPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // masked like the signature path: tombstoned media ids are
+        // invisible to the Hamming join from the delete onward
         val index =
           if (fs.exists(indexPath))
-            spark.read.parquet(indexDir)
-              .where(col("batch_id") < lit(batchId))
+            graft.ext.Retraction.mask(spark, indexDir,
+                spark.read.parquet(indexDir)
+                  .where(col("batch_id") < lit(batchId)), idCol)
               .select(col(idCol), col("sim_hi"), col("sim_lo"))
           else hashes.limit(0)
         val pairs =
@@ -703,10 +706,13 @@ object StreamingIngest {
       try {
         val indexPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // the masked read: deleted ids (Retraction tombstones) never
+        // reach the band join — plan-identical until the first delete
         val index =
           if (fs.exists(indexPath))
-            spark.read.parquet(indexDir)
-              .where(col("batch_id") < lit(batchId))
+            graft.ext.Retraction.mask(spark, indexDir,
+                spark.read.parquet(indexDir)
+                  .where(col("batch_id") < lit(batchId)), "id")
               .select(col("id"), col("sig"))
           else sigs.limit(0)
         val pairs = Dedup.incrementalDupPairs(sigs, index, numHashes, bands,

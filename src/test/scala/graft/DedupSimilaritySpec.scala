@@ -1146,6 +1146,167 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Similarity.nprobeForSelectivity(1, sel, 4) == 4)
   }
 
+  test("dupClustersDelete: min-label removal relabels its survivors, " +
+    "articulation removal SPLITS the component, untouched components " +
+    "pass through — equals the rebuild over corpus minus removed") {
+    // chain 1-2-3 (label 1; 2 is an articulation point), pair 10-11
+    // (label 10 = its min), pair 30-31 untouched, singleton 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    val verts = Seq(1L, 2L, 3L, 10L, 11L, 20L, 30L, 31L).toDF("doc_id")
+    val clusters = Dedup.dupClusters(verts, "doc_id", pairs)
+      .localCheckpoint(true)
+    // removing 2 splits {1,2,3} into {1} and {3}; removing 10 forces the
+    // min-label relabel of {10,11} -> {11}; 20 is a plain row drop
+    val rm = Seq(2L, 10L, 20L).toDF("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id").cast("long"), col("cluster_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows(Dedup.dupClustersDelete(clusters, pairs, rm, "doc_id"))
+    assert(got == Set((1L, 1L), (3L, 3L), (11L, 11L), (30L, 30L), (31L, 30L)))
+    // ≡ full rebuild over the surviving graph (the q158 equality, here
+    // with the split case the parquet fixture cannot plant)
+    val rebuilt = rows(Dedup.dupClusters(
+      Seq(1L, 3L, 11L, 30L, 31L).toDF("doc_id"), "doc_id",
+      Seq((30L, 31L)).toDF("id_a", "id_b")))
+    assert(got == rebuilt)
+  }
+
+  test("Retraction: tombstoned ids vanish from the incremental pair join " +
+    "at the next read, replay included; reclaim drops their rows and " +
+    "clears the tombstone artifact") {
+    import graft.ext.Retraction
+    import graft.streaming.StreamingIngest
+    val base = java.nio.file.Files.createTempDirectory("retraction")
+    val (indexDir, pairsDir) = (s"$base/index", s"$base/pairs")
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated text about distributed query engines"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again"),
+      (12L, "novel second-batch content that matches nothing else at all"),
+      (13L, "completely unrelated text about distributed query engines"))
+      .toDF("doc_id", "text")
+    StreamingIngest.nearDupBatch(b0, 0L, indexDir, pairsDir)
+    // delete doc 1, then ingest a batch holding re-uploads of BOTH index
+    // docs: the non-deleted one still pairs (the positive control), the
+    // deleted one must not
+    Retraction.delete(spark, indexDir, Seq(1L).toDF("id"), "id")
+    StreamingIngest.nearDupBatch(b1, 1L, indexDir, pairsDir)
+    def pairIds() = spark.read.parquet(pairsDir)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairIds().contains((2L, 13L)),
+      s"non-deleted id must still pair: ${pairIds()}")
+    assert(!pairIds().exists(p => p._1 == 1L || p._2 == 1L),
+      s"deleted id must not pair: ${pairIds()}")
+    // at-least-once replay of the post-delete batch: same masked read,
+    // same pairs
+    StreamingIngest.nearDupBatch(b1, 1L, indexDir, pairsDir)
+    assert(pairIds().contains((2L, 13L)) &&
+      !pairIds().exists(p => p._1 == 1L || p._2 == 1L))
+    // reclaim: rows of id 1 gone, tombstones cleared, masked == raw
+    val n = Retraction.reclaim(spark, indexDir, "id", Seq("batch_id"))
+    assert(n == 4L, s"ids 2, 11, 12, 13 survive: $n")
+    assert(!StreamingIngest.hasParquetData(spark,
+      Retraction.tombstoneDir(indexDir)))
+    assert(spark.read.parquet(indexDir)
+      .select("id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 11L, 12L, 13L))
+    // no-tombstone fast path: mask returns the input plan unchanged
+    val raw = spark.read.parquet(indexDir)
+    assert(Retraction.mask(spark, indexDir, raw, "id").eq(raw))
+  }
+
+  test("Retraction on the SQ8 index: ANN served from the live view " +
+    "equals the index rebuilt without the deleted ids") {
+    import graft.ext.Retraction
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 23 - 11).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("sq8_retract").toString + "/idx"
+    graft.ext.Similarity.appendSq8Index(vecs, "vec_id", "embedding", path, 0L)
+    val removed = Seq(3L, 17L)
+    Retraction.delete(spark, path, removed.toDF("vec_id"), "vec_id")
+    val q = vecs.where($"vec_id" % 9 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(_.toSeq.toList).toSet
+    val served = rows(graft.ext.Similarity.quantizedTopKFromIndex(
+      Retraction.liveIndex(spark, path, "vec_id"), q,
+      vecs.where(!$"vec_id".isin(removed: _*)), "vec_id", "embedding", k = 3))
+    val rebuilt = rows(graft.ext.Similarity.quantizedTopK(
+      q, vecs.where(!$"vec_id".isin(removed: _*)),
+      "vec_id", "embedding", k = 3))
+    assert(served == rebuilt && served.nonEmpty)
+    // candidate ids only — List[Any].contains would cooperatively match
+    // rank 3 against 3L
+    val candidateIds = served.map(_(1))
+    assert(!candidateIds.contains(3L) && !candidateIds.contains(17L))
+  }
+
+  test("knnGraphPq at the exactness ceiling equals the float knnGraph at " +
+    "all-cells probe (ADC candidate order cannot matter once every " +
+    "candidate is float-rescored)") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 23 - 11).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val resid = Similarity.residualVectors(vecs, "vec_id", "embedding",
+      cents).localCheckpoint(true)
+    val books = Similarity.pqCodebooks(resid, "vec_id", "rvec",
+      m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+    val idx = Similarity.ivfPqIndex(vecs, "vec_id", "embedding", cents,
+      books, m = 4, subDim = 16).localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(_.toSeq.toList).toSet
+    val pq = rows(Similarity.knnGraphPq(idx, cents, books, vecs,
+      "vec_id", "embedding", m = 4, subDim = 16, k = 3, nprobe = 4,
+      overfetch = 20))
+    val fl = rows(Similarity.knnGraph(vecs, "vec_id", "embedding", cents,
+      k = 3, nprobe = 4))
+    assert(pq == fl && pq.nonEmpty)
+  }
+
+  test("whereCellIn: literal and join routing return identical rows and " +
+    "both keep the cell-partitioned scan pruned") {
+    val vecs = (0 until 48).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 23 - 11).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("cell_route").toString + "/idx"
+    Similarity.saveIvfSq8Index(vecs, "vec_id", "embedding", cents, path)
+    val idx = spark.read.parquet(path)
+    val batch = Similarity.assignCells(vecs.where($"vec_id" % 24 === 1),
+      "vec_id", "embedding", cents).localCheckpoint(true)
+    val occupied = batch.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    assert(occupied.nonEmpty && occupied.size < 4,
+      s"fixture needs a proper cell subset, got $occupied")
+    val litForm = Similarity.whereCellIn(idx, "cell", occupied,
+      batch.select(col("cell")), maxIsin = 1024)
+    val joinForm = Similarity.whereCellIn(idx, "cell", occupied,
+      batch.select(col("cell")), maxIsin = 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val (rl, rj) = (rows(litForm), rows(joinForm))
+    assert(rl == rj && rl.nonEmpty, s"forms must agree: $rl vs $rj")
+    assert(rl.map(_._2) == occupied.map(_.asInstanceOf[Int]).toSet)
+    // the literal form prunes statically; the join form must still prune
+    // the file read (a dynamic pruning subquery on the partition column)
+    val litPlan = litForm.queryExecution.executedPlan.toString
+    assert(litPlan.contains("PartitionFilters") && litPlan.contains("cell"),
+      s"literal routing must land in PartitionFilters:\n${litPlan.take(2000)}")
+    val joinPlan = joinForm.queryExecution.executedPlan.toString
+    assert(joinPlan.contains("dynamicpruning"),
+      s"join routing must keep the scan DPP-pruned:\n${joinPlan.take(3000)}")
+  }
+
   test("filtered ANN: predicate reaches the artifact scan as a PushedFilter " +
     "and the result is the exact top-k over the filtered corpus") {
     val vecs = (0 until 48).map { i =>

@@ -2408,6 +2408,104 @@ object QueriesExt {
               SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 5
               ORDER BY q_id, rnk""")),
 
+    // kNN-graph DELETION (round 12 — the graph leg of the takedown tier):
+    // removing vertices invalidates other nodes' edge lists; the state
+    // artifact (a float store with probe ranks) lets exactly the AFFECTED
+    // survivors — those whose current top-k referenced a removed id —
+    // re-rank against their probed cells' surviving members, untouched
+    // survivors byte-identical. Oracle = the full rebuild over
+    // corpus ∖ removed under the SAME frozen quantizer (trained on the
+    // whole corpus — deletion never retrains, the faiss contract)
+    Q("q161_knn_graph_delete",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val state = Similarity.knnGraphState(e, "vec_id", "embedding",
+          cents, nprobe = 2).localCheckpoint(true)
+        val edges = Similarity.knnGraph(e, "vec_id", "embedding", cents,
+          k = 3, nprobe = 2).localCheckpoint(true)
+        val rm = e.where(col("vec_id") % 7 === 0).select(col("vec_id"))
+        Similarity.knnGraphDelete(state, edges, rm, k = 3)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(knnGraphDeleteOracleSql)),
+
+    // incremental CROSS-MODAL asset dedup (round 12 — q150's agreement
+    // verdict composed from q152-style per-modality deltas): each
+    // modality's old corpus exists only as its 17-byte hash index; the
+    // batch's copies are hashed per modality, incrementally paired
+    // against each index, and assetDedupCompose folds the three deltas
+    // into the per-pair modality count — nothing re-touches any index.
+    // Fixture = q150's copy arithmetic (share pixels %6, audio %10,
+    // video %15; non-shared modalities get fresh seeds), so the oracle
+    // is the same pure id arithmetic with both_new=false (copies always
+    // pair their indexed originals)
+    Q("q160_incremental_asset_dedup",
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        val off = copyIdOffset(ids)
+        val copyIds = ids.filter((id: Long) =>
+          id % 6 == 0 || id % 10 == 0 || id % 15 == 0)
+        def idx(name: String, hashes: DataFrame): String = {
+          val p = artifactPath(name)
+          hashes.write.mode("overwrite").parquet(p)
+          p
+        }
+        val imgIdx = idx("asset_img_idx_q160", Multimodal.perceptualHashes(
+          ids.map(id => Multimodal.MediaRow(id, "png",
+            Multimodal.syntheticNoisePng(36, 24, id))))(s).toDF())
+        val audIdx = idx("asset_aud_idx_q160", Multimodal.audioFingerprints(
+          ids.map(id => Multimodal.MediaRow(id, "wav",
+            Multimodal.syntheticStepWav(id))))(s).toDF())
+        val vidIdx = idx("asset_vid_idx_q160", Multimodal.videoFrameHashes(
+          ids.map(id => Multimodal.MediaRow(id, "avi",
+            Multimodal.syntheticNoiseAvi(72, 64, id))))(s).toDF())
+        val imgB = Multimodal.perceptualHashes(
+          copyIds.map(id => Multimodal.MediaRow(id + off, "png",
+            if (id % 6 == 0)
+              Multimodal.syntheticNoisePng(36, 24, id, perturbCell = Some((4, 4)))
+            else Multimodal.syntheticNoisePng(36, 24, id + off))))(s).toDF()
+        val audB = Multimodal.audioFingerprints(
+          copyIds.map(id => Multimodal.MediaRow(id + off, "wav",
+            if (id % 10 == 0)
+              Multimodal.syntheticStepWav(id, perturbWindow = Some(20))
+            else Multimodal.syntheticStepWav(id + off))))(s).toDF()
+        val vidB = Multimodal.videoFrameHashes(
+          copyIds.map(id => Multimodal.MediaRow(id + off, "avi",
+            if (id % 15 == 0)
+              Multimodal.syntheticNoiseAvi(72, 64, id, perturbCell = Some((4, 4)))
+            else Multimodal.syntheticNoiseAvi(72, 64, id + off))))(s).toDF()
+        def inc(batchH: DataFrame, idxPath: String) =
+          Dedup.incrementalSimhashPairs(batchH, s.read.parquet(idxPath),
+            "media_id", maxDist = 3, bloomFpp = Some(0.01))
+        Dedup.assetDedupCompose(Seq(
+          "image" -> inc(imgB, imgIdx),
+          "audio" -> inc(audB, audIdx),
+          "video" -> inc(vidB, vidIdx)))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+                     (CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN doc_id % 15 = 0 THEN 1 ELSE 0 END) AS nm,
+                     array_to_string(list_sort(
+                       (CASE WHEN doc_id % 6 = 0 THEN ['image']
+                             ELSE []::VARCHAR[] END)
+                     || (CASE WHEN doc_id % 10 = 0 THEN ['audio']
+                             ELSE []::VARCHAR[] END)
+                     || (CASE WHEN doc_id % 15 = 0 THEN ['video']
+                             ELSE []::VARCHAR[] END)), ',') AS mods
+              FROM documents)
+              SELECT doc_id AS id_a,
+                     doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id_b,
+                     CAST(nm AS INT) AS n_modalities,
+                     mods AS modalities,
+                     FALSE AS both_new
+              FROM m WHERE nm > 0 ORDER BY id_a, id_b""")),
+
     // filtered ANN on the PQ tier (round 10 — q143's contract carried to
     // the second index family): the label attribute rides the
     // (batch, ccell)-partitioned IVF-PQ artifact, the predicate restricts
@@ -3117,6 +3215,58 @@ object QueriesExt {
     * merge(old edges, knnGraphBatch delta) is the top-k merge identity
     * the operator's scaladoc derives.
     */
+  /** q161: the knnGraph replay with the quantizer trained on the FULL
+    * corpus (deletion never retrains — the frozen-quantizer contract)
+    * and the probe/member relations restricted to the survivors.
+    */
+  private def knnGraphDeleteOracleSql: String = {
+    val src = "(SELECT vec_id, embedding FROM embeddings)"
+    def assignCte(centsRel: String, tag: String) =
+      s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                      FROM $centsRel GROUP BY cell),
+          ${tag}s AS (SELECT a.vec_id, a.embedding, v.cell,
+                             ${cosSql("a.embedding", "v.centroid")} AS cos
+                      FROM $src a, ${tag}v v),
+          ${tag}r AS (SELECT vec_id, embedding, cell,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cell) AS rk
+                      FROM ${tag}s),
+          ${tag}c AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                             round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+                      FROM ${tag}r, range(1, 65) u(i)
+                      WHERE rk = 1 GROUP BY cell, pos)"""
+    s"""WITH i0 AS (SELECT vec_id, embedding,
+                  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                    AS cell
+                FROM embeddings ORDER BY vec_id LIMIT 8),
+         c0 AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                       round(CAST(embedding[i] AS DOUBLE), 6) AS v
+                FROM i0, range(1, 65) u(i)),
+         ${assignCte("c0", "x")},
+         ${assignCte("xc", "y")},
+         cent AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                  FROM yc GROUP BY cell),
+         surv AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % 7 <> 0),
+         pr AS (SELECT q_id, q_vec, cell, prk FROM (
+                  SELECT e.vec_id AS q_id, e.embedding AS q_vec, cent.cell,
+                         row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY ${cosSql("e.embedding", "cent.centroid")} DESC,
+                                    cent.cell) AS prk
+                  FROM surv e, cent)
+                WHERE prk <= 2),
+         c AS (SELECT cell, q_id AS c_id, q_vec AS c_vec FROM pr
+               WHERE prk = 1),
+         sc AS (SELECT p.q_id, c.c_id, ${cosSql("p.q_vec", "c.c_vec")} AS cos
+                FROM pr p JOIN c USING (cell) WHERE p.q_id <> c.c_id),
+         r AS (SELECT q_id, c_id, cos,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, c_id) AS INT) AS rnk
+               FROM sc)
+        SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 3
+        ORDER BY q_id, rnk"""
+  }
+
   private def knnGraphIncrementalOracleSql: String = {
     val old = """(SELECT vec_id, embedding FROM embeddings
                   WHERE vec_id < (SELECT th FROM thr))"""

@@ -570,6 +570,37 @@ object Dedup {
     oldClusters.join(delta.select(col(idCol)), Seq(idCol), "left_anti")
       .unionByName(delta)
 
+  /** Cross-modal AGREEMENT aggregate over per-modality pair deltas — the
+    * incremental form of the q150 asset-dedup composition (r11 gap #5:
+    * the per-modality incremental pieces existed, the union/agreement
+    * over them did not, so the cross-modal verdict still recomputed all
+    * three pair joins from scratch). Input: (tag, pairs) per modality,
+    * each an [[incrementalSimhashPairs]]/[[incrementalSimhashPairsAnyRow]]
+    * delta for the SAME batch against that modality's persisted hash
+    * index. Output per asset pair: how many modalities agree
+    * (`n_modalities`), which (`modalities`, sorted csv — deterministic),
+    * and `both_new` (identical across legs by construction — both_new
+    * is batch membership of the two ids, modality-independent — so the
+    * min is just a fold, never a vote).
+    *
+    * Scale shape: pure composition — three batch-bounded deltas union
+    * and aggregate on the pair key; the per-modality O(batch ×
+    * bucket-mates) costs are the operator's entire cost, nothing
+    * re-touches any index.
+    */
+  def assetDedupCompose(modalityPairs: Seq[(String, DataFrame)]): DataFrame = {
+    require(modalityPairs.nonEmpty, "need at least one modality pair delta")
+    modalityPairs.map { case (tag, df) =>
+        df.select(col("id_a"), col("id_b"), lit(tag).as("modality"),
+          col("both_new"))
+      }.reduce(_ unionByName _)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("int").as("n_modalities"),
+        array_join(array_sort(collect_list(col("modality"))), ",")
+          .as("modalities"),
+        min(col("both_new")).as("both_new"))
+  }
+
   /** DELETION from a maintained cluster assignment — the takedown path
     * (the r11 verdict's gap #4: every incremental artifact was
     * append-only, so a legally-required removal forced a full rebuild).

@@ -695,6 +695,49 @@ object Similarity {
       .join(delta.select(col("q_id")).distinct(), Seq("q_id"), "left_anti")
       .unionByName(delta)
 
+  /** DELETION from a maintained kNN graph — the graph leg of the
+    * takedown tier (`ext/Retraction` handles the flat indexes; the graph
+    * is harder because removing a vertex invalidates OTHER nodes' edge
+    * lists): a node whose current top-k referenced a removed id must
+    * refill from candidates beyond its old list, which is exactly why
+    * the graph state exists — it is a float store with probe ranks, so
+    * the affected nodes re-rank against their probed cells' SURVIVING
+    * members without any re-scoring of the quantizer.
+    *
+    * EXACTNESS: removal only removes candidates, so a survivor's rebuilt
+    * top-k changes iff a removed id sat in its current top-k — untouched
+    * survivors keep their rows byte-identical, affected ones recompute
+    * the full cell-restricted rank (the same candidate set a rebuild
+    * over corpus ∖ removed under the SAME frozen quantizer would score;
+    * q161's oracle replays that rebuild). Cost: O(affected × their
+    * probed cells' members) — delete-batch-bounded, never O(corpus);
+    * cell routing through [[whereCellIn]] keeps the plan bounded and
+    * the cell-partitioned state artifact partition-pruned.
+    */
+  def knnGraphDelete(state: DataFrame, edges: DataFrame,
+      removeIds: DataFrame, k: Int): DataFrame = {
+    val rm = removeIds
+      .select(col(removeIds.columns.head).cast("long").as("q_id"))
+      .distinct().localCheckpoint(true)
+    val survState = state.join(rm, Seq("q_id"), "left_anti")
+    val survEdges = edges.join(rm, Seq("q_id"), "left_anti")
+    val affected = survEdges
+      .join(broadcast(rm.select(col("q_id").as("c_id"))), Seq("c_id"),
+        "left_semi")
+      .select(col("q_id")).distinct().localCheckpoint(true)
+    val affProbes = survState
+      .join(broadcast(affected), Seq("q_id"), "left_semi")
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cell"))
+      .localCheckpoint(true)
+    val affCells = affProbes.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val rebuilt = knnEdges(affProbes,
+      stateMembers(whereCellIn(survState, "cell", affCells,
+        affProbes.select(col("cell")))), k)
+    survEdges.join(broadcast(affected), Seq("q_id"), "left_anti")
+      .unionByName(rebuilt)
+  }
+
   /** Persist the graph maintenance state PARTITIONED BY CELL — the
     * [[saveIvfSq8Index]] layout decision applied to the graph: both of
     * [[knnGraphBatch]]'s old-state reads are cell-IN filters, so over

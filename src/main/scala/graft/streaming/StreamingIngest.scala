@@ -648,6 +648,37 @@ object StreamingIngest {
         .parquet(clustersDir)
     }
 
+  /** TAKEDOWN for the living cluster artifact — the streaming face of
+    * [[graft.ext.Dedup.dupClustersDelete]]: apply the delete to the
+    * CURRENT view (min-label relabels and component splits included) and
+    * rewrite the table at the compacted `-1` epoch with the crash-safe
+    * temp-then-swap. Run BETWEEN triggers like a full compaction fold
+    * (no batch in flight); the next trigger's `batch_id < N` read sees
+    * the post-delete state, and `dupClustersBatch`'s min-label invariant
+    * holds on the relabeled table (the re-run CC labels each surviving
+    * component with its min), so incremental maintenance continues
+    * exactly. A COMPLETE takedown pairs this with
+    * [[graft.ext.Retraction.delete]] on the signature index — otherwise
+    * later triggers could re-emit pairs referencing the removed ids and
+    * resurrect them as cluster members.
+    *
+    * `pairs` is the emitted pair history (read `pairsDir`); rows whose
+    * endpoints no longer sit in a touched component die inside the
+    * operator's semi-joins. Returns the surviving row count.
+    */
+  def clusterDeleteAndCompact(spark: SparkSession, clustersDir: String,
+      pairs: DataFrame, removeIds: DataFrame,
+      idCol: String = "doc_id"): Long = {
+    val next = graft.ext.Dedup.dupClustersDelete(
+      currentClusters(spark, clustersDir, idCol = idCol), pairs,
+      removeIds, idCol)
+    val tmp = s"$clustersDir.delete.tmp"
+    next.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    graft.pipeline.Pipeline.swap(spark, tmp, clustersDir)
+    spark.read.parquet(clustersDir).count()
+  }
+
   /** The current cluster assignment of a versioned clusters artifact —
     * newest row per id (one row per id per epoch, so the
     * latest-ROW-per-id rule applies, unlike the graph edges' version

@@ -1270,6 +1270,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pq == fl && pq.nonEmpty)
   }
 
+  test("knnGraphDelete: affected survivors re-rank against surviving " +
+    "cell members, untouched survivors pass through — equals the " +
+    "rebuild under the frozen quantizer") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 23 - 11).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val state = Similarity.knnGraphState(vecs, "vec_id", "embedding",
+      cents, nprobe = 2).localCheckpoint(true)
+    val edges = Similarity.knnGraph(vecs, "vec_id", "embedding", cents,
+      k = 3, nprobe = 2).localCheckpoint(true)
+    val rmIds = Seq(5L, 12L, 26L)
+    // the fixture must actually exercise the refill path: some removed
+    // id sits in a survivor's current top-3
+    assert(edges.where(col("c_id").isin(rmIds: _*))
+      .where(!col("q_id").isin(rmIds: _*)).count() > 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(_.toSeq.toList).toSet
+    val got = rows(Similarity.knnGraphDelete(state, edges,
+      rmIds.toDF("vec_id"), k = 3))
+    val rebuilt = rows(Similarity.knnGraph(
+      vecs.where(!col("vec_id").isin(rmIds: _*)), "vec_id", "embedding",
+      cents, k = 3, nprobe = 2))
+    assert(got == rebuilt && got.nonEmpty)
+    assert(!got.exists(r => rmIds.contains(r.head) || rmIds.contains(r(1))))
+  }
+
   test("whereCellIn: literal and join routing return identical rows and " +
     "both keep the cell-partitioned scan pruned") {
     val vecs = (0 until 48).map { i =>

@@ -605,6 +605,65 @@ class StreamingSpec extends AnyFunSuite {
       .select("batch_id").distinct().as[Long].collect().toSeq == Seq(-1L))
   }
 
+  test("end-to-end takedown: index tombstones + clusterDeleteAndCompact " +
+    "remove a min-label id, later triggers neither pair nor resurrect " +
+    "it, and the living table equals the rebuild without it") {
+    import graft.ext.{Dedup, Retraction}
+    val base = java.nio.file.Files.createTempDirectory("cluster_takedown")
+    val (indexDir, pairsDir, clustersDir) =
+      (s"$base/index", s"$base/pairs", s"$base/clusters")
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely unrelated text about distributed query engines"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again"),
+      (12L, "novel second-batch content that matches nothing else at all"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (21L, "novel second-batch content that matches nothing else at all"))
+      .toDF("doc_id", "text")
+    // post-takedown arrival that re-uploads the REMOVED doc's text: it
+    // must pair the surviving near-dups (2, 11), never the removed id
+    val b3 = Seq(
+      (31L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    def trigger(b: org.apache.spark.sql.DataFrame, id: Long) = {
+      val delta = StreamingIngest.nearDupBatch(b, id, indexDir, pairsDir)
+      StreamingIngest.clusterMaintBatch(b.select($"doc_id"), delta,
+        clustersDir, id)
+    }
+    def current() = StreamingIngest.currentClusters(spark, clustersDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    trigger(b0, 0L); trigger(b1, 1L); trigger(b2, 2L)
+    assert(current().contains((2L, 1L)) && current().contains((11L, 1L)),
+      "pre-delete: doc 1 is the min-label of its cluster")
+    // the takedown: both artifacts, between triggers
+    Retraction.delete(spark, indexDir, Seq(1L).toDF("id"), "id")
+    StreamingIngest.clusterDeleteAndCompact(spark, clustersDir,
+      spark.read.parquet(pairsDir), Seq(1L).toDF("doc_id"))
+    assert(!current().exists(_._1 == 1L), "removed id gone from the table")
+    assert(current().contains((2L, 2L)) && current().contains((11L, 2L)),
+      "survivors relabel to the surviving min")
+    trigger(b3, 3L)
+    assert(!current().exists(p => p._1 == 1L || p._2 == 1L),
+      "a re-upload of the removed text must not resurrect the removed id")
+    // reference: full CC over the surviving corpus with the same pair
+    // criterion — the takedown-equals-rebuild claim, end to end
+    val surv = b0.where($"doc_id" =!= 1L).unionByName(b1).unionByName(b2)
+      .unionByName(b3)
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatureTable(Dedup.shingleSets(df, "doc_id", "text", 3), 12)
+    val s_ = sigs(surv).localCheckpoint(true)
+    val full = Dedup.dupClusters(surv.select($"doc_id"), "doc_id",
+        Dedup.incrementalDupPairs(s_, s_.limit(0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(current() == full, s"streamed=${current()} rebuild=$full")
+    assert(current().contains((31L, 2L)),
+      "the post-takedown arrival joined the relabeled cluster")
+  }
+
   test("knnGraphIngestBatch: accumulated incremental graph ≡ full rebuild; " +
     "replay-idempotent; versioned compaction preserves the current view") {
     import graft.ext.Similarity

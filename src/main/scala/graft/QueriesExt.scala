@@ -2432,6 +2432,37 @@ object QueriesExt {
       },
       Some(knnGraphDeleteOracleSql)),
 
+    // incremental SemDeDup on the PQ tier (round 12 — the SemDeDup half
+    // of r11 gap #3): the established corpus exists only as its
+    // (batch_id, ccell) PQ code artifact + stored true norms; the
+    // batch's ADC LUTs broadcast, same-ccell codes score as adc_cos,
+    // candidates float-confirm exactly. Run at the exactness CEILING
+    // margin (every same-cell pair reaches the exact confirm), where the
+    // result is provably the float semDedupBatchFromIndex — so the
+    // oracle is q145's, verbatim
+    Q("q162_semdedup_pq",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val half = e.agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
+        val old = e.where(col("vec_id") < half)
+        val batch = e.where(col("vec_id") >= half)
+        val cents = Similarity.kmeansCentroids(old, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val res = Similarity.residualVectors(old, "vec_id", "embedding",
+          cents).localCheckpoint(true)
+        val booksR = Similarity.pqCodebooks(res, "vec_id", "rvec",
+          m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+        val path = artifactPath("ivf_pq_semdedup_q162")
+        Similarity.saveIvfPqIndex(old, "vec_id", "embedding", cents,
+          booksR, m = 4, subDim = 16, path)
+        Similarity.semDedupPqBatch(Similarity.loadIvfPqIndex(s, path),
+          cents, booksR, old, batch, "vec_id", "embedding",
+          m = 4, subDim = 16, tau = 0.25, margin = 3.0)
+          .select(col("vec_id"), col("cell"))
+          .orderBy(col("vec_id"))
+      },
+      Some(semDedupIncrementalOracleSql)),
+
     // incremental CROSS-MODAL asset dedup (round 12 — q150's agreement
     // verdict composed from q152-style per-modality deltas): each
     // modality's old corpus exists only as its 17-byte hash index; the

@@ -1683,12 +1683,16 @@ object Similarity {
       .join(res.select(col(idCol), col("ccell")), Seq(idCol))
     // attrs ride in from the source frame by id — one extra id-equi join
     // at BUILD time only (same corpus-linear shape as the encode itself);
-    // probes then evaluate predicates on the artifact alone
-    val withAttrs =
-      if (attrs.isEmpty) base
-      else base.join(df.select(col(idCol) +: attrs.map(col): _*), Seq(idCol))
+    // probes then evaluate predicates on the artifact alone.
+    // `vnorm` — the TRUE float norm, captured at encode time (8 B/vector,
+    // the standard IVF trick): cosine thresholds over ADC dots
+    // ([[semDedupPq]]) divide by it, so the only approximation left in
+    // an ADC cosine is the dot reconstruction, never the denominator.
+    val withAttrs = base.join(
+      df.select(col(idCol) +: norm(col(vecCol)).as("vnorm") +:
+        attrs.map(col): _*), Seq(idCol))
     withAttrs.select(col(idCol) +: col("ccell") +: col("codes") +:
-      attrs.map(col): _*)
+      col("vnorm") +: attrs.map(col): _*)
   }
 
   /** Persist the IVF-PQ index partitioned by (batch epoch, coarse cell) —
@@ -1897,6 +1901,87 @@ object Similarity {
       nprobeForSelectivity(baseNprobe, filterSelectivity(index, filter),
         cells),
       overfetch, Some(filter))
+
+  /** [[semDedupBatchFromIndex]] on the PQ/ADC tier — incremental
+    * semantic dedup where the ESTABLISHED corpus exists as 8 B/vector PQ
+    * codes (the SemDeDup half of r11 gap #3; [[knnGraphPq]] is the graph
+    * half): the cross leg's candidate pass reads the (batch_id, ccell)
+    * code artifact instead of SQ8 rows. Each batch vector's ADC lookup
+    * table broadcasts (batch-sized — the batch is small, which is
+    * exactly why the corpus-as-queries form does NOT drop out of this
+    * machinery; see PLANS.md), same-ccell code rows score as
+    * `adc_cos = (q·c_ccell + Σ LUT) / (q_norm · vnorm)` — `vnorm` is the
+    * TRUE norm stored at encode time, so the denominator is exact and
+    * the only approximation is the dot reconstruction — and candidates
+    * at `adc_cos ≥ tau − margin` are confirmed with exact float cosine
+    * (the primary store consulted by candidate id alone). Within-batch
+    * leg and survivor anti-join are the float path verbatim, so the
+    * [[semDedupBatchFromIndex]] equivalence contract carries over
+    * unchanged.
+    *
+    * `margin` covers ADC dot-reconstruction error. At the CEILING
+    * (margin ≥ 2 + |tau|, admitting even the −2 zero-norm sentinel)
+    * every same-cell pair reaches the exact confirm and the result is
+    * provably identical to [[semDedupBatchFromIndex]] — q162 runs there
+    * against q145's oracle; production margins are a measured knob.
+    * Index I/O is [[whereCellIn]]-routed to the batch's occupied cells.
+    */
+  def semDedupPqBatch(index: DataFrame, cents: DataFrame,
+      booksR: DataFrame, corpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int, tau: Double,
+      margin: Double, maxCell: Int = DefaultMaxCell,
+      dim: Int = 64): DataFrame = {
+    val stamped = assignCells(batch, idCol, vecCol, cents)
+      .localCheckpoint(true)
+    val occupied = stamped.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val idxPruned = whereCellIn(index, "ccell", occupied,
+      stamped.select(col("cell").as("ccell")))
+    val cvecs = cellCentroidVectors(cents)
+    val q = stamped.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"), col("cell").as("ccell"))
+    val qc = q.join(broadcast(cvecs.withColumnRenamed("cell", "ccell")),
+        Seq("ccell"))
+      .select(col("q_id"), col("ccell"), col("q_norm"),
+        round(dot(col("q_vec"), col("centroid")), 6)
+          .cast("decimal(28,8)").as("qc"))
+    val qsubs = q.select(col("q_id"),
+      explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"),
+          slice(col("q_vec"), j * subDim + 1, subDim).as("qv"))): _*)).as("e"))
+      .select(col("q_id"), col("e.sub").as("sub"), col("e.qv").as("qv"))
+    val lut = qsubs.join(broadcast(pqCentroidVectors(booksR)), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("cell"),
+        round(dot(col("qv"), col("centroid")), 6)
+          .cast("decimal(28,8)").as("ld"))
+    val codes = idxPruned
+      .select(col(idCol).as("c_id"), col("ccell"), col("vnorm"),
+        posexplode(col("codes")).as(Seq("sub", "cell")))
+    // m rows per (q, c) pair collapse in the map-side combine of the
+    // pair-key aggregate — the shuffle carries one row per candidate pair
+    val adc = codes.join(broadcast(qc), Seq("ccell"))
+      .join(broadcast(lut), Seq("q_id", "sub", "cell"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg((max(col("qc")) + sum(col("ld"))).as("adc"),
+        max(col("q_norm")).as("qn"), max(col("vnorm")).as("vn"))
+    val adcCos = when(col("qn") * col("vn") === lit(0.0), lit(-2.0))
+      .otherwise(col("adc").cast("double") / (col("qn") * col("vn")))
+    val cand = adc.where(adcCos >= lit(tau - margin))
+      .select(col("c_id").as("id"), col("q_id").as("b_id"))
+    // exact float confirm + within-batch leg + survivor anti-join — the
+    // semDedupBatchCore tail with the candidate set resolved above
+    val bq = stamped.select(col(idCol).as("b_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
+    val tr = corpus.select(col(idCol).as("id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val crossLosers = cand.join(bq, Seq("b_id")).join(tr, Seq("id"))
+      .where(cosPrenormed >= lit(tau))
+      .select(col("b_id").as(idCol))
+    val withinLosers = cosineDupPairs(stamped, idCol, vecCol, "cell", tau,
+      maxCell, dim).select(col("id_b").as(idCol))
+    stamped.join(crossLosers.unionByName(withinLosers).distinct(),
+      Seq(idCol), "left_anti")
+  }
 
   /** Production PQ configuration, pinned by the round-8 AnnSweep
     * (docs/SCALE.md §PQ recall matrix): m = 8 subspaces × 8 dims with

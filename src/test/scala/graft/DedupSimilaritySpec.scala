@@ -1298,6 +1298,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!got.exists(r => rmIds.contains(r.head) || rmIds.contains(r(1))))
   }
 
+  test("semDedupPqBatch at the ceiling margin equals the float " +
+    "semDedupBatchFromIndex (every same-cell pair reaches the exact " +
+    "confirm, so ADC numerics cannot drop a candidate)") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 23 - 11).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+    val old = vecs.where($"vec_id" < 20)
+    val batch = vecs.where($"vec_id" >= 20)
+    val cents = Similarity.kmeansCentroids(old, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val resid = Similarity.residualVectors(old, "vec_id", "embedding",
+      cents).localCheckpoint(true)
+    val books = Similarity.pqCodebooks(resid, "vec_id", "rvec",
+      m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+    val idx = Similarity.ivfPqIndex(old, "vec_id", "embedding", cents,
+      books, m = 4, subDim = 16).localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // tau high enough that only the planted exact duplicates prune (the
+    // synthetic grid vectors are broadly correlated — a low tau empties
+    // the batch and the equality would be vacuous)
+    val pq = rows(Similarity.semDedupPqBatch(idx, cents, books, old,
+      batch, "vec_id", "embedding", m = 4, subDim = 16, tau = 0.95,
+      margin = 3.0))
+    val fl = rows(Similarity.semDedupBatchFromIndex(
+      Similarity.sq8IndexWithCells(old, "vec_id", "embedding", cents),
+      old, batch, "vec_id", "embedding", cents, tau = 0.95))
+    assert(pq == fl && pq.nonEmpty, s"pq=$pq fl=$fl")
+    assert(pq.size < batch.count(), "some batch rows must actually prune")
+  }
+
   test("whereCellIn: literal and join routing return identical rows and " +
     "both keep the cell-partitioned scan pruned") {
     val vecs = (0 until 48).map { i =>

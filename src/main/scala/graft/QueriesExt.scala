@@ -2391,9 +2391,14 @@ object QueriesExt {
         val path = artifactPath("ivf_pq_knn_q159")
         Similarity.saveIvfPqIndex(e, "vec_id", "embedding", cents, booksR,
           m = 4, subDim = 16, path)
+        // the ceiling must hold at ANY corpus size: k·overfetch ≥ n − 1
+        // so every candidate is float-rescored and ADC order cannot
+        // matter (a fixed overfetch would silently drop below the
+        // ceiling if the fixture ever grew)
+        val ceilingOverfetch = (e.count() / 5 + 1).toInt
         Similarity.knnGraphPq(Similarity.loadIvfPqIndex(s, path), cents,
           booksR, e, "vec_id", "embedding", m = 4, subDim = 16, k = 5,
-          nprobe = 8, overfetch = 100)
+          nprobe = 8, overfetch = ceilingOverfetch)
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("q_id"), col("rnk"))
       },

@@ -37,7 +37,7 @@ object AnnSweep {
     val sections = sys.env.get("SPARK_GRAFT_ANN_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("pq", "ivfpq", "ivfsq8", "filtered", "filteredpq",
-        "knn"))
+        "pqmargin", "knn"))
     val spark = GraftSession.build("graft-ann-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     val e = Tables.load(spark, dir, "embeddings").localCheckpoint(true)
@@ -191,6 +191,49 @@ object AnnSweep {
         println(f"filtered-pq sel=1/$modk fixed(nprobe=2) recall@5=$rFixed%.4f" +
           f" | AUTO nprobe=$npAuto measured_sel=$sel%.3f recall@5=$rAuto%.4f")
         bfF.unpersist(); ()
+      }
+    }
+
+    // ---- semDedupPq margin: ADC-cos error over real same-cell pairs -----
+    // The operator's `margin` must cover |adc_cos − cos| on the pairs the
+    // cross leg actually scores — measure its distribution instead of
+    // guessing. Old half = index (residual codebooks trained there, the
+    // frozen-quantizer cadence), new half = batch.
+    println("== semDedupPq margin: |adc_cos - cos| over same-cell pairs ==")
+    if (sections("pqmargin")) {
+      val half = e.agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
+      val old = e.where(col("vec_id") < half)
+      val batch = e.where(col("vec_id") >= half)
+      val cM = Similarity.kmeansCentroids(old, "vec_id", "embedding",
+        k = 8, iters = 2).localCheckpoint(true)
+      for ((m, k2) <- Seq((4, 8), (8, 64))) {
+        val subDim = 64 / m
+        val res = Similarity.residualVectors(old, "vec_id", "embedding", cM)
+          .localCheckpoint(true)
+        val books = Similarity.pqCodebooks(res, "vec_id", "rvec",
+          m = m, subDim = subDim, k = k2, iters = 2).localCheckpoint(true)
+        val idx = Similarity.ivfPqIndex(old, "vec_id", "embedding", cM,
+          books, m = m, subDim = subDim).localCheckpoint(true)
+        val stamped = Similarity.assignCells(batch, "vec_id", "embedding",
+          cM).localCheckpoint(true)
+        val pairs = Similarity.adcCosSameCellPairs(idx, cM, books, stamped,
+          "vec_id", "embedding", m, subDim)
+        val fl = e.select(col("vec_id"), col("embedding"))
+        val err = pairs
+          .join(fl.select(col("vec_id").as("q_id"),
+            col("embedding").as("qv")), Seq("q_id"))
+          .join(fl.select(col("vec_id").as("c_id"),
+            col("embedding").as("cv")), Seq("c_id"))
+          .select(abs(col("adc_cos") -
+            Similarity.dot(col("qv"), col("cv")) /
+              (Similarity.norm(col("qv")) * Similarity.norm(col("cv"))))
+            .as("err"))
+        val r = err.agg(count(lit(1)), max(col("err")),
+          expr("percentile(err, 0.99)"), expr("percentile(err, 0.5)"))
+          .head()
+        println(f"pqmargin m=$m k=$k2%3d pairs=${r.getLong(0)}%,d " +
+          f"max=${r.getDouble(1)}%.4f p99=${r.getDouble(2)}%.4f " +
+          f"p50=${r.getDouble(3)}%.4f")
       }
     }
 

@@ -1937,6 +1937,36 @@ object Similarity {
       .collect().map(_.get(0)).toSeq
     val idxPruned = whereCellIn(index, "ccell", occupied,
       stamped.select(col("cell").as("ccell")))
+    val cand = adcCosSameCellPairs(idxPruned, cents, booksR, stamped,
+        idCol, vecCol, m, subDim)
+      .where(col("adc_cos") >= lit(tau - margin))
+      .select(col("c_id").as("id"), col("q_id").as("b_id"))
+    // exact float confirm + within-batch leg + survivor anti-join — the
+    // semDedupBatchCore tail with the candidate set resolved above
+    val bq = stamped.select(col(idCol).as("b_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
+    val tr = corpus.select(col(idCol).as("id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val crossLosers = cand.join(bq, Seq("b_id")).join(tr, Seq("id"))
+      .where(cosPrenormed >= lit(tau))
+      .select(col("b_id").as(idCol))
+    val withinLosers = cosineDupPairs(stamped, idCol, vecCol, "cell", tau,
+      maxCell, dim).select(col("id_b").as(idCol))
+    stamped.join(crossLosers.unionByName(withinLosers).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
+  /** The ADC-cosine pair relation behind [[semDedupPqBatch]]'s cross
+    * leg — (q_id, c_id, adc_cos) for every same-ccell (batch, index)
+    * pair. Exposed `private[graft]` so the operator's `margin` can be
+    * MEASURED (AnnSweep's pqmargin section: quantiles of
+    * |adc_cos − exact cos| over real pairs) rather than guessed —
+    * the measured-witness discipline for every tuning knob. `stamped`
+    * is the batch with its `cell` assignment already materialized.
+    */
+  private[graft] def adcCosSameCellPairs(index: DataFrame,
+      cents: DataFrame, booksR: DataFrame, stamped: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame = {
     val cvecs = cellCentroidVectors(cents)
     val q = stamped.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"), col("cell").as("ccell"))
@@ -1954,7 +1984,7 @@ object Similarity {
       .select(col("q_id"), col("sub"), col("cell"),
         round(dot(col("qv"), col("centroid")), 6)
           .cast("decimal(28,8)").as("ld"))
-    val codes = idxPruned
+    val codes = index
       .select(col(idCol).as("c_id"), col("ccell"), col("vnorm"),
         posexplode(col("codes")).as(Seq("sub", "cell")))
     // m rows per (q, c) pair collapse in the map-side combine of the
@@ -1964,23 +1994,10 @@ object Similarity {
       .groupBy(col("q_id"), col("c_id"))
       .agg((max(col("qc")) + sum(col("ld"))).as("adc"),
         max(col("q_norm")).as("qn"), max(col("vnorm")).as("vn"))
-    val adcCos = when(col("qn") * col("vn") === lit(0.0), lit(-2.0))
-      .otherwise(col("adc").cast("double") / (col("qn") * col("vn")))
-    val cand = adc.where(adcCos >= lit(tau - margin))
-      .select(col("c_id").as("id"), col("q_id").as("b_id"))
-    // exact float confirm + within-batch leg + survivor anti-join — the
-    // semDedupBatchCore tail with the candidate set resolved above
-    val bq = stamped.select(col(idCol).as("b_id"), col(vecCol).as("c_vec"),
-      norm(col(vecCol)).as("c_norm"))
-    val tr = corpus.select(col(idCol).as("id"), col(vecCol).as("q_vec"),
-      norm(col(vecCol)).as("q_norm"))
-    val crossLosers = cand.join(bq, Seq("b_id")).join(tr, Seq("id"))
-      .where(cosPrenormed >= lit(tau))
-      .select(col("b_id").as(idCol))
-    val withinLosers = cosineDupPairs(stamped, idCol, vecCol, "cell", tau,
-      maxCell, dim).select(col("id_b").as(idCol))
-    stamped.join(crossLosers.unionByName(withinLosers).distinct(),
-      Seq(idCol), "left_anti")
+    adc.select(col("q_id"), col("c_id"),
+      when(col("qn") * col("vn") === lit(0.0), lit(-2.0))
+        .otherwise(col("adc").cast("double") / (col("qn") * col("vn")))
+        .as("adc_cos"))
   }
 
   /** Production PQ configuration, pinned by the round-8 AnnSweep

@@ -582,6 +582,54 @@ object StreamingIngest {
       Similarity.appendKnnGraphState(bState, stateDir, batchId)
     }
 
+  /** TAKEDOWN for the streaming kNN-graph artifacts — the
+    * [[clusterDeleteAndCompact]] discipline applied to the graph pair:
+    * fold both artifacts to their current views, run
+    * [[graft.ext.Similarity.knnGraphDelete]] (affected survivors re-rank
+    * against surviving cell members off the state's float rows), and
+    * rewrite STATE and EDGES at the compacted `-1` epoch with the
+    * crash-safe temp-then-swap. Run between triggers (no batch in
+    * flight). Continuity: the post-delete artifacts ARE the rebuild over
+    * the surviving corpus under the frozen quantizer, so subsequent
+    * [[knnGraphIngestBatch]] triggers keep the accumulated-equals-rebuild
+    * invariant over survivors ∪ later batches (spec-pinned). Returns
+    * (state rows, edge rows) after the rewrite.
+    */
+  def knnGraphDeleteAndCompact(spark: SparkSession, stateDir: String,
+      edgesDir: String, removeIds: DataFrame, k: Int): (Long, Long) = {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val rawState = spark.read.parquet(stateDir)
+    // current state view: all rows of each node's newest epoch (the
+    // version-group rule — a node's state is its probe-row GROUP)
+    val curState = rawState
+      .withColumn("__mb",
+        max(col("batch_id")).over(Window.partitionBy(col("q_id"))))
+      .where(col("batch_id") === col("__mb"))
+      .drop("__mb", "batch_id")
+    val curEdges = Similarity.knnGraphCurrentEdges(spark, edgesDir)
+      .drop("batch_id")
+    val rm = removeIds
+      .select(col(removeIds.columns.head).cast("long").as("q_id"))
+      .distinct().localCheckpoint(true)
+    val newEdges = Similarity.knnGraphDelete(curState, curEdges, rm, k)
+      .localCheckpoint(true)
+    val newState = curState.join(rm, Seq("q_id"), "left_anti")
+      .localCheckpoint(true)
+    val stateTmp = s"$stateDir.delete.tmp"
+    newState.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id", "cell")
+      .parquet(stateTmp)
+    graft.pipeline.Pipeline.swap(spark, stateTmp, stateDir)
+    val edgesTmp = s"$edgesDir.delete.tmp"
+    newEdges.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(edgesTmp)
+    graft.pipeline.Pipeline.swap(spark, edgesTmp, edgesDir)
+    (spark.read.parquet(stateDir).count(),
+      spark.read.parquet(edgesDir).count())
+  }
+
   /** Continuous near-dup CLUSTERING — [[nearDupStream]] extended with
     * per-trigger duplicate-cluster maintenance: after the batch's pairs
     * land, [[clusterMaintBatch]] folds them into the persisted

@@ -748,6 +748,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(idxIds == Seq(0L, 1L, 2L, 3L, 4L, 15L, 17L))
   }
 
+  test("knnGraphDeleteAndCompact: graph takedown rewrites both artifacts " +
+    "to the rebuild over survivors, and later triggers keep the " +
+    "accumulated-equals-rebuild invariant") {
+    import graft.ext.Similarity
+    val base = java.nio.file.Files.createTempDirectory("knn_takedown")
+    val (stateDir, edgesDir) = (s"$base/state", s"$base/edges")
+    def mk(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 13 + j * 5) % 19 - 9).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (b0, b1, b2) = (mk(0, 12), mk(12, 20), mk(20, 28))
+    val cents = Similarity.kmeansCentroids(b0, "vec_id", "embedding",
+      k = 3, iters = 2).localCheckpoint(true)
+    def ingest(b: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingIngest.knnGraphIngestBatch(b, id, stateDir, edgesDir, cents,
+        k = 3, nprobe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"c_id", $"cos", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    ingest(b0, 0L); ingest(b1, 1L)
+    val rmIds = Seq(3L, 14L)
+    StreamingIngest.knnGraphDeleteAndCompact(spark, stateDir, edgesDir,
+      rmIds.toDF("vec_id"), k = 3)
+    val surv = b0.unionByName(b1).where(!$"vec_id".isin(rmIds: _*))
+    def current() = Similarity.knnGraphCurrentEdges(spark, edgesDir)
+    assert(rows(current()) == rows(Similarity.knnGraph(surv, "vec_id",
+      "embedding", cents, k = 3, nprobe = 2)),
+      "post-takedown artifacts equal the rebuild over survivors")
+    // continuity: the next trigger maintains the invariant over
+    // survivors ∪ batch — the post-delete artifacts ARE a valid
+    // (oldState, oldEdges) pair for knnGraphBatch's contract
+    ingest(b2, 2L)
+    assert(rows(current()) == rows(Similarity.knnGraph(
+      surv.unionByName(b2), "vec_id", "embedding", cents, k = 3,
+      nprobe = 2)),
+      "post-takedown triggers keep accumulated == rebuild")
+    assert(!current().select($"q_id", $"c_id").collect()
+      .exists(r => rmIds.contains(r.getLong(0)) || rmIds.contains(r.getLong(1))))
+  }
+
+  test("semantic-dedup stream takedown: reclaim-based removal of a " +
+    "survivor frees its cluster — a later near-duplicate survives " +
+    "instead of being claimed by the removed id") {
+    import graft.ext.{Retraction, Similarity}
+    val base = java.nio.file.Files.createTempDirectory("semdedup_takedown")
+    val (indexDir, survDir) = (s"$base/index", s"$base/surv")
+    def vec(c: Int, jitter: Int) = {
+      val a = Array.fill[Float](64)(0f)
+      a(c * 4) = 10f; a(c * 4 + 1) = jitter * 0.01f; a
+    }
+    val b1 = (0 until 5).map(i => (i.toLong, vec(i, i))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(b1, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    StreamingIngest.semDedupBatch(b1, 0L, indexDir, survDir, cents, tau = 0.9)
+    def survivors() = spark.read.parquet(survDir)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(survivors() == Set(0L, 1L, 2L, 3L, 4L))
+    // takedown of survivor 2: whole-id drops commute with both artifact
+    // layouts, so the GENERIC Retraction path is the entire mechanism —
+    // no semantic-dedup-specific delete code exists or is needed
+    Retraction.delete(spark, indexDir, Seq(2L).toDF("vec_id"), "vec_id")
+    Retraction.reclaim(spark, indexDir, "vec_id", Seq("batch_id", "cell"))
+    Retraction.delete(spark, survDir, Seq(2L).toDF("vec_id"), "vec_id")
+    Retraction.reclaim(spark, survDir, "vec_id", Seq("batch_id"))
+    assert(survivors() == Set(0L, 1L, 3L, 4L))
+    // next trigger: a near-duplicate of the REMOVED vector survives (its
+    // claimer is gone), while a near-duplicate of a kept vector drops
+    val b2 = Seq((10L, vec(0, 10)), (12L, vec(2, 12)))
+      .toDF("vec_id", "embedding")
+    StreamingIngest.semDedupBatch(b2, 1L, indexDir, survDir, cents, tau = 0.9)
+    assert(survivors() == Set(0L, 1L, 3L, 4L, 12L),
+      s"takedown must free cluster 2: ${survivors().toSeq.sorted}")
+  }
+
   test("semDedup soak: survivors stay correct and index partitions bounded " +
     "under automatic compaction") {
     import graft.ext.Similarity

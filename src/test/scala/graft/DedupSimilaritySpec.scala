@@ -460,6 +460,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(run(Some(0.9)) == off, "bloomFpp=0.9 must not change results")
   }
 
+  test("incrementalDupPairs broadcast guard: above the candidate cap the " +
+    "un-hinted fallback returns identical pairs (the guard is a pure " +
+    "plan decision)") {
+    val old = (0 until 40).map(i =>
+      (i.toLong, s"shared near duplicate content block number ${i / 4} " +
+        s"with filler words alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = (0 until 10).map(i =>
+      (1000L + i, s"shared near duplicate content block number $i " +
+        s"with filler words alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatureTable(Dedup.shingleSets(df, "doc_id", "text", 3), 12)
+    def run(cap: Long) = Dedup.incrementalDupPairs(sigs(batch), sigs(old),
+        maxBroadcastCandidates = cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+    val hinted = run(1000000L)
+    val fallback = run(0L) // every candidate count exceeds 0 → un-hinted
+    assert(hinted == fallback && hinted.nonEmpty,
+      s"guard must not change results: $hinted vs $fallback")
+  }
+
   test("incrementalSimhashPairsAnyRow equals the full any-row operator " +
     "restricted to batch-touching pairs; min-dist over row pairs; " +
     "Bloom-invariant") {

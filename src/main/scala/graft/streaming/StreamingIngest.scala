@@ -321,6 +321,20 @@ object StreamingIngest {
         .select(col(idCol), col("sim_hi"), col("sim_lo"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        if (!multiRow && batchId == 0L) {
+          // enforce the single-row hasher contract ON the first trigger
+          // (the hasher's row shape is constant across triggers): a
+          // multi-row hasher under the default would pair correctly at
+          // first but be silently truncated to ONE arbitrary row per id
+          // at the first latest-row-per-id compaction, dropping
+          // interior-frame/offset pairs from then on — fail loud instead
+          val r = hashes.agg(count(lit(1)), count_distinct(col(idCol))).head()
+          require(r.getLong(0) == r.getLong(1),
+            s"hasher emitted ${r.getLong(0)} rows for ${r.getLong(1)} ids: " +
+              "multi-row hashers (videoFrameHashesSampled, " +
+              "audioFingerprintsFramed) require multiRow = true so the " +
+              "index compacts by version group")
+        }
         val indexPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // masked like the signature path: tombstoned media ids are

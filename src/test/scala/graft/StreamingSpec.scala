@@ -788,6 +788,27 @@ class StreamingSpec extends AnyFunSuite {
       .exists(r => rmIds.contains(r.getLong(0)) || rmIds.contains(r.getLong(1))))
   }
 
+  test("mediaHashBatch rejects a multi-row hasher under the single-row " +
+    "default — the silent-truncation foot-gun fails loud on trigger 0") {
+    import graft.ext.Multimodal
+    val base = java.nio.file.Files.createTempDirectory("mediahash_guard")
+    val (indexDir, pairsDir) = (s"$base/index", s"$base/pairs")
+    val b = Seq(Multimodal.MediaRow(1L, "avi",
+      Multimodal.syntheticNoiseAviSeeded(72, 64, Seq(11L, 12L, 13L))))
+      .toDS().toDF()
+    val framed: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => Multimodal.videoFrameHashesSampled(
+        df.as[Multimodal.MediaRow], k = 3)(spark).toDF()
+    val e = intercept[IllegalArgumentException] {
+      StreamingIngest.mediaHashBatch(b, 0L, indexDir, pairsDir, framed)
+    }
+    assert(e.getMessage.contains("multiRow = true"), e.getMessage)
+    // the same hasher under the declared shape is fine
+    StreamingIngest.mediaHashBatch(b, 0L, indexDir, pairsDir, framed,
+      multiRow = true)
+    assert(spark.read.parquet(indexDir).count() == 3L)
+  }
+
   test("semantic-dedup stream takedown: reclaim-based removal of a " +
     "survivor frees its cluster — a later near-duplicate survives " +
     "instead of being claimed by the removed id") {

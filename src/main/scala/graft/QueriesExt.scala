@@ -2468,6 +2468,38 @@ object QueriesExt {
       },
       Some(semDedupIncrementalOracleSql)),
 
+    // image RESIZE (round 12 — the resize leg of the multimodal
+    // surface): bounded thumbnails with aspect preserved and HALF_UP
+    // dims, so the output geometry is pure integer arithmetic the
+    // oracle replays; the payload itself is spec-gated (deterministic
+    // PNG re-encode, re-decoded dims match — OpsSpec)
+    Q("q163_image_resize",
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        val media = ids.map { id =>
+          Multimodal.MediaRow(id, "png", Multimodal.syntheticNoisePng(
+            (16 + (id % 5) * 8).toInt, (16 + (id % 3) * 8).toInt, id))
+        }
+        Multimodal.resizeImages(media, maxDim = 32)(s).toDF()
+          .select(col("media_id"), col("orig_width"), col("orig_height"),
+            col("width"), col("height"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+                   CAST(16 + (doc_id % 5) * 8 AS INT) AS w,
+                   CAST(16 + (doc_id % 3) * 8 AS INT) AS h
+                 FROM documents),
+             r AS (SELECT doc_id, w, h, greatest(w, h) AS mx FROM m)
+            SELECT doc_id AS media_id, w AS orig_width, h AS orig_height,
+                   CASE WHEN mx <= 32 THEN w
+                        ELSE greatest(1, CAST(floor(w * 32.0 / mx + 0.5)
+                                              AS INT)) END AS width,
+                   CASE WHEN mx <= 32 THEN h
+                        ELSE greatest(1, CAST(floor(h * 32.0 / mx + 0.5)
+                                              AS INT)) END AS height
+            FROM r ORDER BY media_id""")),
+
     // incremental CROSS-MODAL asset dedup (round 12 — q150's agreement
     // verdict composed from q152-style per-modality deltas): each
     // modality's old corpus exists only as its 17-byte hash index; the

@@ -265,6 +265,66 @@ object Multimodal {
     * cannot drift between the features, hash, and video-frame paths
     * again.
     */
+  final case class ResizedImage(media_id: Long, format: String,
+      payload: Array[Byte], orig_width: Int, orig_height: Int,
+      width: Int, height: Int)
+
+  /** Bounded image RESIZE at the codec boundary — the resize leg of the
+    * multimodal surface (decode / feature-extract / resize /
+    * frame-sample): decode, scale the LONGER side down to `maxDim`
+    * (aspect preserved; HALF_UP rounding, floor(x + 0.5), so the dims
+    * are pure integer arithmetic an oracle can replay; never below 1 px;
+    * no upscaling — an image already within bounds passes through its
+    * ORIGINAL dims, still re-encoded so the output column is uniformly
+    * PNG), software-bilinear Graphics2D, deterministic ImageIO PNG
+    * re-encode (spec-pinned byte-identical across runs). Undecodable
+    * payloads degrade to a null-payload sentinel row with −1 dims — the
+    * q104/q105 row-accountability contract.
+    *
+    * Scale shape: per-row decode→raster→encode inside the shuffle-free
+    * mapPartitions boundary; only the (smaller) resized payload rides
+    * the output — the standard pre-training thumbnail pass, where the
+    * resized store is the artifact and the originals never re-shuffle.
+    */
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int,
+      batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[ResizedImage] = {
+    require(maxDim >= 1, s"need maxDim >= 1: $maxDim")
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            if (img == null) throw new java.io.IOException("undecodable")
+            val (w, h) = (img.getWidth, img.getHeight)
+            val mx = math.max(w, h)
+            val (nw, nh) =
+              if (mx <= maxDim) (w, h)
+              else (math.max(1,
+                math.floor(w * maxDim.toDouble / mx + 0.5).toInt),
+                math.max(1,
+                  math.floor(h * maxDim.toDouble / mx + 0.5).toInt))
+            val out = new java.awt.image.BufferedImage(nw, nh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, nw, nh, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ResizedImage(r.media_id, "png", bos.toByteArray, w, h, nw, nh)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              ResizedImage(r.media_id, r.format, null, -1, -1, -1, -1)
+          }
+        }
+      }
+    }
+  }
+
   private def decodeImage(b: Array[Byte], off: Int,
       len: Int): java.awt.image.BufferedImage =
     try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b, off, len))

@@ -234,6 +234,33 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L).byte_len == avi.length.toLong)
   }
 
+  test("resizeImages: aspect-preserving bound, deterministic re-encode, " +
+    "re-decoded dims match, no-upscale passthrough, corrupt sentinel") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val media = Seq(
+      Multimodal.MediaRow(1L, "png", Multimodal.syntheticNoisePng(48, 24, 1L)),
+      Multimodal.MediaRow(2L, "png", Multimodal.syntheticNoisePng(24, 16, 2L)),
+      Multimodal.MediaRow(3L, "png", Multimodal.syntheticNoisePng(16, 48, 3L)),
+      Multimodal.MediaRow(9L, "png", Array[Byte](1, 2, 3))).toDS()
+    def run() = Multimodal.resizeImages(media, maxDim = 32).collect()
+      .map(r => r.media_id -> r).toMap
+    val a = run()
+    // geometry: longer side clamps to 32, HALF_UP, aspect preserved
+    assert((a(1L).width, a(1L).height) == (32, 16))
+    assert((a(2L).width, a(2L).height) == (24, 16), "within bounds: no upscale")
+    assert((a(3L).width, a(3L).height) == (11, 32)) // floor(16*32/48+0.5)=11
+    // the payload is a genuine PNG of exactly the reported dims
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(a(1L).payload))
+    assert(img.getWidth == 32 && img.getHeight == 16)
+    // deterministic: a second run re-encodes byte-identical payloads
+    val b = run()
+    assert(Seq(1L, 2L, 3L).forall(i =>
+      java.util.Arrays.equals(a(i).payload, b(i).payload)))
+    // corrupt payload: row-accountable sentinel, never a task failure
+    assert(a(9L).payload == null && a(9L).width == -1)
+  }
+
   test("perceptual hashes: dHash pairs perturbed copies, aHash is " +
     "brightness-monotone, undecodables drop from the band join") {
     import graft.ext.{Dedup, Similarity => _}

@@ -2500,6 +2500,62 @@ object QueriesExt {
                                               AS INT)) END AS height
             FROM r ORDER BY media_id""")),
 
+    // video frame EXTRACTION (round 12 — frame-sample promoted from
+    // hashes to payloads, the vision-training dataset shape): k frames
+    // at the same fixed fractions as the hash path, each re-encoded as
+    // a deterministic PNG row; the oracle replays the slot/dims
+    // geometry, the payloads are spec-gated (byte-identity of interior
+    // frames across a re-introed copy — OpsSpec)
+    Q("q164_video_frame_extract",
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        def mix(i: Long): Long = {
+          var z = i * 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z ^ (z >>> 31)
+        }
+        val media = ids.map { id =>
+          Multimodal.MediaRow(id, "avi", Multimodal.syntheticNoiseAviSeeded(
+            72, 64, (0 to 2).map(j => mix(id * 3 + j))))
+        }
+        Multimodal.sampleVideoFrames(media, k = 2)(s).toDF()
+          .select(col("media_id"), col("slot"), col("width"), col("height"))
+          .orderBy(col("media_id"), col("slot"))
+      },
+      Some("""SELECT doc_id AS media_id, CAST(s.slot AS INT) AS slot,
+                     CAST(72 AS INT) AS width, CAST(64 AS INT) AS height
+              FROM documents CROSS JOIN (VALUES (0), (1)) AS s(slot)
+              ORDER BY media_id, slot""")),
+
+    // PCM16 resampling (round 12 — the audio analogue of q163's resize:
+    // normalize every clip to one sample rate before training): linear
+    // interpolation at exact rational source positions, floor output
+    // geometry the oracle replays; payload identity/determinism
+    // spec-gated (OpsSpec)
+    Q("q165_audio_resample",
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        val media = ids.map { id =>
+          Multimodal.MediaRow(id, "wav", Multimodal.syntheticWav(
+            (8000 + (id % 3) * 4000).toInt, 1,
+            (400 + (id % 5) * 100).toInt, id))
+        }
+        Multimodal.resampleAudio(media, targetRate = 8000)(s).toDF()
+          .select(col("media_id"), col("orig_rate"), col("rate"),
+            col("orig_frames"), col("frames"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+                   CAST(8000 + (doc_id % 3) * 4000 AS INT) AS orig_rate,
+                   CAST(400 + (doc_id % 5) * 100 AS BIGINT) AS orig_frames
+                 FROM documents)
+              SELECT doc_id AS media_id, orig_rate,
+                     CAST(8000 AS INT) AS rate, orig_frames,
+                     greatest(1, orig_frames * 8000 // orig_rate) AS frames
+              FROM m ORDER BY media_id""")),
+
     // incremental CROSS-MODAL asset dedup (round 12 — q150's agreement
     // verdict composed from q152-style per-modality deltas): each
     // modality's old corpus exists only as its 17-byte hash index; the

@@ -325,6 +325,142 @@ object Multimodal {
     }
   }
 
+  final case class SampledFrame(media_id: Long, slot: Int,
+      payload: Array[Byte], width: Int, height: Int)
+
+  /** Video frame EXTRACTION — the frame-sample leg promoted from hashes
+    * to payloads (the vision-training shape: sampled frames become an
+    * image dataset): the chunk-indexing RIFF walk finds the `k` frames
+    * at the fixed fractions ⌊i·n/k⌋ ([[sampleFrameIndices]] — the SAME
+    * rule the hash path uses, so extracted frames and frame hashes
+    * always describe the same pixels), each decodes and re-encodes as a
+    * deterministic PNG row. Byte-identical source frames yield
+    * byte-identical PNG rows (spec-pinned on a re-introed copy's
+    * interior frames). Non-AVI / frame-less payloads emit ONE
+    * null-payload sentinel row (`slot` −1) — row-accountable, the
+    * [[videoFrameHashesSampled]] contract.
+    *
+    * Scale shape: per payload one byte walk + k JPEG decodes + k PNG
+    * encodes at the mapPartitions codec boundary; only the k frame
+    * payloads ride the output — the per-frame rows are the artifact.
+    */
+  def sampleVideoFrames(media: Dataset[MediaRow], k: Int,
+      batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[SampledFrame] = {
+    require(k >= 1, s"need k >= 1 sampled frames: $k")
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val frames =
+            try {
+              val m = parseAvi(r.payload)
+              val chunks = m.frameChunks
+              sampleFrameIndices(chunks.length, k).zipWithIndex.flatMap {
+                case (fi, slot) =>
+                  val (off, len) = chunks(fi)
+                  Option(decodeImage(r.payload, off, len)).map { img =>
+                    val bos = new java.io.ByteArrayOutputStream()
+                    javax.imageio.ImageIO.write(img, "png", bos)
+                    SampledFrame(r.media_id, slot, bos.toByteArray,
+                      img.getWidth, img.getHeight)
+                  }
+              }
+            } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+          if (frames.isEmpty) Seq(SampledFrame(r.media_id, -1, null, -1, -1))
+          else frames
+        }
+      }
+    }
+  }
+
+  final case class ResampledAudio(media_id: Long, payload: Array[Byte],
+      orig_rate: Int, rate: Int, orig_frames: Long, frames: Long)
+
+  /** PCM16 RESAMPLING — the audio analogue of [[resizeImages]] (the
+    * standard pre-training normalization to one sample rate): decode,
+    * map output frame `i` to the exact rational source position
+    * `i · orig/target` and linearly interpolate per channel (integer
+    * index + remainder arithmetic, `Math.round` on the interpolated
+    * double — deterministic IEEE ops, spec-pinned byte-identical across
+    * runs), re-encode as PCM16-LE WAV at `targetRate`. Output frame
+    * count is ⌊n · target/orig⌋ (min 1 for a non-empty clip) — pure
+    * integer geometry the oracle replays. A clip already at the target
+    * rate passes through sample-identical (interpolation degenerates to
+    * the identity). Non-PCM16 / undecodable payloads degrade to the
+    * null-payload sentinel row with −1 fields.
+    *
+    * Scale shape: per-row decode→interpolate→encode at the mapPartitions
+    * codec boundary; only the (target-rate) payload rides the output.
+    */
+  def resampleAudio(media: Dataset[MediaRow], targetRate: Int,
+      batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[ResampledAudio] = {
+    require(targetRate >= 1, s"need targetRate >= 1: $targetRate")
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            try {
+              val fmt = ais.getFormat
+              val ok = fmt.getSampleSizeInBits == 16 &&
+                fmt.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                !fmt.isBigEndian
+              if (!ok) throw new java.io.IOException("not PCM16-LE")
+              val chans = fmt.getChannels
+              val origRate = fmt.getSampleRate.toInt
+              val data = ais.readAllBytes()
+              val n = math.min(ais.getFrameLength,
+                (data.length / fmt.getFrameSize).toLong).toInt
+              if (n < 1) throw new java.io.IOException("empty clip")
+              def sample(f: Int, c: Int): Int = {
+                val o = (f * chans + c) * 2
+                ((data(o) & 0xff) | (data(o + 1) << 8)).toShort.toInt
+              }
+              val nOut = math.max(1L,
+                n.toLong * targetRate / origRate).toInt
+              val out = new Array[Byte](nOut * chans * 2)
+              var i = 0
+              while (i < nOut) {
+                val posNum = i.toLong * origRate
+                val idx = (posNum / targetRate).toInt
+                val frac = (posNum % targetRate).toDouble / targetRate
+                val i1 = math.min(idx + 1, n - 1)
+                var c = 0
+                while (c < chans) {
+                  val v = Math.round(
+                    sample(idx, c) * (1.0 - frac) + sample(i1, c) * frac)
+                    .toInt
+                  val o = (i * chans + c) * 2
+                  out(o) = (v & 0xff).toByte
+                  out(o + 1) = ((v >> 8) & 0xff).toByte
+                  c += 1
+                }
+                i += 1
+              }
+              val outFmt = new javax.sound.sampled.AudioFormat(
+                targetRate.toFloat, 16, chans, true, false)
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.sound.sampled.AudioSystem.write(
+                new javax.sound.sampled.AudioInputStream(
+                  new java.io.ByteArrayInputStream(out), outFmt, nOut.toLong),
+                javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+              ResampledAudio(r.media_id, bos.toByteArray, origRate,
+                targetRate, n.toLong, nOut.toLong)
+            } finally ais.close()
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              ResampledAudio(r.media_id, null, -1, -1, -1L, -1L)
+          }
+        }
+      }
+    }
+  }
+
   private def decodeImage(b: Array[Byte], off: Int,
       len: Int): java.awt.image.BufferedImage =
     try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b, off, len))

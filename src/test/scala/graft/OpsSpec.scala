@@ -261,6 +261,64 @@ class OpsSpec extends AnyFunSuite {
     assert(a(9L).payload == null && a(9L).width == -1)
   }
 
+  test("sampleVideoFrames: fixed-fraction slots, interior frames " +
+    "byte-identical across a re-introed copy, deterministic, junk " +
+    "sentinel") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val orig = Multimodal.MediaRow(1L, "avi",
+      Multimodal.syntheticNoiseAviSeeded(72, 64, Seq(11L, 12L, 13L)))
+    val copy = Multimodal.MediaRow(2L, "avi",
+      Multimodal.syntheticNoiseAviSeeded(72, 64, Seq(99L, 12L, 13L)))
+    val junk = Multimodal.MediaRow(9L, "avi", Array[Byte](1, 2, 3))
+    def run() = Multimodal.sampleVideoFrames(
+      Seq(orig, copy, junk).toDS(), k = 3).collect()
+      .map(f => (f.media_id, f.slot) -> f).toMap
+    val a = run()
+    assert((0 to 2).forall(sl =>
+      a((1L, sl)).width == 72 && a((1L, sl)).height == 64))
+    // the copy replaced frame 0: its slot-0 PNG differs, slots 1..2 are
+    // byte-identical to the original's — extraction and hashing see the
+    // same pixels (the shared sampleFrameIndices rule)
+    assert(!java.util.Arrays.equals(a((1L, 0)).payload, a((2L, 0)).payload))
+    assert((1 to 2).forall(sl =>
+      java.util.Arrays.equals(a((1L, sl)).payload, a((2L, sl)).payload)))
+    val b = run()
+    assert(java.util.Arrays.equals(a((1L, 1)).payload, b((1L, 1)).payload),
+      "PNG re-encode must be deterministic")
+    assert(a((9L, -1)).payload == null && a((9L, -1)).width == -1)
+  }
+
+  test("resampleAudio: identity at the source rate, floor geometry on " +
+    "downsample, deterministic, corrupt sentinel") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val hi = Multimodal.MediaRow(1L, "wav",
+      Multimodal.syntheticWav(16000, 1, 800, 7L))
+    val same = Multimodal.MediaRow(2L, "wav",
+      Multimodal.syntheticWav(8000, 1, 500, 7L))
+    val junk = Multimodal.MediaRow(9L, "wav", Array[Byte](1, 2))
+    def run() = Multimodal.resampleAudio(
+      Seq(hi, same, junk).toDS(), targetRate = 8000).collect()
+      .map(r => r.media_id -> r).toMap
+    val a = run()
+    assert(a(1L).orig_rate == 16000 && a(1L).rate == 8000 &&
+      a(1L).orig_frames == 800L && a(1L).frames == 400L)
+    assert(a(2L).frames == 500L)
+    // identity: same-rate resampling degenerates to exact passthrough of
+    // every sample (frac is always zero)
+    def pcm(payload: Array[Byte]): Seq[Int] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val d = ais.readAllBytes()
+      (0 until d.length / 2).map(i =>
+        ((d(2 * i) & 0xff) | (d(2 * i + 1) << 8)).toShort.toInt)
+    }
+    assert(pcm(a(2L).payload) == pcm(same.payload))
+    val b = run()
+    assert(java.util.Arrays.equals(a(1L).payload, b(1L).payload),
+      "resample + WAV encode must be deterministic")
+    assert(a(9L).payload == null && a(9L).frames == -1L)
+  }
+
   test("perceptual hashes: dHash pairs perturbed copies, aHash is " +
     "brightness-monotone, undecodables drop from the band join") {
     import graft.ext.{Dedup, Similarity => _}

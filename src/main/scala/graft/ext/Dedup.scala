@@ -642,15 +642,23 @@ object Dedup {
     val affected = oc.join(broadcast(touched), Seq("cl"), "left_semi")
     val survivors = affected.join(rm, Seq("id"), "left_anti")
       .localCheckpoint(true)
+    // GUARDED broadcast (the incrementalDupPairs discipline): survivors
+    // are bounded by the TOUCHED COMPONENTS' sizes, not by the delete
+    // batch — a takedown hitting a mega-cluster (boilerplate components
+    // reach corpus scale) would OOM a forced broadcast where the
+    // un-hinted semi-join degrades to a shuffle gracefully. The count is
+    // free off the checkpoint just materialized.
+    val hint: DataFrame => DataFrame =
+      if (survivors.count() <= 1000000L) df => broadcast(df) else df => df
     // pairs wholly inside the touched components' surviving member sets
     // (both endpoints must survive — a pair with a removed endpoint is
     // gone, and pairs across untouched components cannot exist)
     val survPairs = pairs
       .select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"))
-      .join(broadcast(survivors.select(col("id").as("id_a"))),
+      .join(hint(survivors.select(col("id").as("id_a"))),
         Seq("id_a"), "left_semi")
-      .join(broadcast(survivors.select(col("id").as("id_b"))),
+      .join(hint(survivors.select(col("id").as("id_b"))),
         Seq("id_b"), "left_semi")
     val relabeled = dupClusters(
       survivors.select(col("id").as(idCol)), idCol, survPairs, maxIter)

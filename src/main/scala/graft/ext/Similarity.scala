@@ -725,8 +725,16 @@ object Similarity {
       .join(broadcast(rm.select(col("q_id").as("c_id"))), Seq("c_id"),
         "left_semi")
       .select(col("q_id")).distinct().localCheckpoint(true)
+    // GUARDED broadcast (the incrementalDupPairs discipline): |affected|
+    // is bounded by how many survivors referenced a removed id — a HUB
+    // vector (near a cell centroid, in everyone's top-k) makes that
+    // O(corpus), where a forced broadcast OOMs but the un-hinted
+    // semi-join degrades to a shuffle gracefully. Count is free off the
+    // checkpoint just materialized.
+    val hint: DataFrame => DataFrame =
+      if (affected.count() <= 1000000L) df => broadcast(df) else df => df
     val affProbes = survState
-      .join(broadcast(affected), Seq("q_id"), "left_semi")
+      .join(hint(affected), Seq("q_id"), "left_semi")
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("cell"))
       .localCheckpoint(true)
     val affCells = affProbes.select(col("cell")).distinct()
@@ -734,7 +742,7 @@ object Similarity {
     val rebuilt = knnEdges(affProbes,
       stateMembers(whereCellIn(survState, "cell", affCells,
         affProbes.select(col("cell")))), k)
-    survEdges.join(broadcast(affected), Seq("q_id"), "left_anti")
+    survEdges.join(hint(affected), Seq("q_id"), "left_anti")
       .unionByName(rebuilt)
   }
 

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *    directory for data files and keeps its exact current plan when
   *    none exist — no extra scan, no plan change for append-only users.
   *  - O(tombstones) masking when used: the read-side [[mask]] is a
-  *    broadcast anti-join against the (small) tombstone id set — the
+  *    count-gated broadcast anti-join against the tombstone id set — the
   *    index is never rewritten on the delete path, so a takedown is one
   *    tiny parquet write, effective at the very next read.
   *  - Shape-agnostic reclamation: [[reclaim]] drops ALL rows of
@@ -39,31 +39,60 @@ object Retraction {
 
   def tombstoneDir(indexDir: String): String = s"$indexDir.tombstones"
 
-  /** Record deletions: append `ids` (one `idCol` column, deduped) under
-    * the delete batch's own partition. Idempotent per `deleteBatch` —
-    * at-least-once replay rewrites the same partition.
+  /** Record deletions: merge `ids` (one `idCol` column, deduped) into
+    * the delete batch's own partition. MONOTONE — incoming ids are
+    * unioned with the partition's existing tombstones before the
+    * dynamic overwrite, so two successive takedowns sharing a
+    * `deleteBatch` (including the default) both survive; an earlier
+    * tombstone is never silently dropped by a later delete. Still
+    * idempotent per (`deleteBatch`, ids): at-least-once replay unions
+    * the same ids back in and rewrites an identical partition.
     */
   def delete(spark: SparkSession, indexDir: String, ids: DataFrame,
-      idCol: String, deleteBatch: Long = 0L): Unit =
-    ids.select(col(idCol)).distinct()
+      idCol: String, deleteBatch: Long = 0L): Unit = {
+    val td = tombstoneDir(indexDir)
+    val incoming = ids.select(col(idCol)).distinct()
+    val merged =
+      if (graft.streaming.StreamingIngest.hasParquetData(spark, td))
+        incoming.union(
+          spark.read.parquet(td)
+            .where(col("delete_batch") === deleteBatch)
+            .select(col(idCol))).distinct()
+      else incoming
+    // pin BEFORE the overwrite: the union's read leg points at the very
+    // partition the dynamic overwrite is about to replace
+    merged.localCheckpoint(true)
       .withColumn("delete_batch", lit(deleteBatch))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("delete_batch")
-      .parquet(tombstoneDir(indexDir))
+      .parquet(td)
+  }
 
   /** The read-side view: `idx` minus every tombstoned id. The no-delete
     * fast path returns `idx` UNCHANGED (plan-identical — the whole
     * feature costs one directory listing until the first delete).
+    *
+    * The anti-join's broadcast hint is COUNT-GATED, not unconditional
+    * (the repo's hot-cell-guard discipline): the tombstone set is only
+    * bounded by reclaim cadence, and years of takedowns with no reclaim
+    * would make an unconditional broadcast unbounded. Above
+    * `maxBroadcastTombstones` distinct ids the hint is dropped and the
+    * anti-join shuffles — results are identical either way; the guard
+    * is a pure plan decision on a pinned count.
     */
   def mask(spark: SparkSession, indexDir: String, idx: DataFrame,
-      idCol: String): DataFrame = {
+      idCol: String,
+      maxBroadcastTombstones: Long = 1000000L): DataFrame = {
     val td = tombstoneDir(indexDir)
-    if (graft.streaming.StreamingIngest.hasParquetData(spark, td))
-      idx.join(
-        broadcast(spark.read.parquet(td).select(col(idCol)).distinct()),
-        Seq(idCol), "left_anti")
-    else idx
+    if (graft.streaming.StreamingIngest.hasParquetData(spark, td)) {
+      val tomb = spark.read.parquet(td).select(col(idCol)).distinct()
+        .localCheckpoint(true)
+      val hinted =
+        if (tomb.count() <= maxBroadcastTombstones) broadcast(tomb)
+        else tomb
+      idx.join(hinted, Seq(idCol), "left_anti")
+    } else idx
   }
 
   /** Convenience: the masked index read (`spark.read.parquet` +
@@ -88,8 +117,11 @@ object Retraction {
     if (!graft.streaming.StreamingIngest.hasParquetData(spark, td))
       return spark.read.parquet(indexDir).count()
     val tomb = spark.read.parquet(td).select(col(idCol)).distinct()
+      .localCheckpoint(true)
+    val hinted =
+      if (tomb.count() <= 1000000L) broadcast(tomb) else tomb
     val kept = spark.read.parquet(indexDir)
-      .join(broadcast(tomb), Seq(idCol), "left_anti")
+      .join(hinted, Seq(idCol), "left_anti")
     val tmp = s"$indexDir.reclaim.tmp"
     val w = kept.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)

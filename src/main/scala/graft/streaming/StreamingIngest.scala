@@ -20,6 +20,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingIngest {
 
+  /** [[graft.ext.Dedup.incrementalDupPairs]]'s output shape, pre
+    * batch_id — the empty-trigger fast path of [[nearDupBatch]] builds
+    * its delta from this literally instead of running the (now eager)
+    * pair kernel on empty inputs. Spec-pinned against the real path.
+    */
+  private[graft] val EmptyPairDeltaSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("id_b",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("est_jaccard",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("both_new",
+        org.apache.spark.sql.types.BooleanType)))
+
+  /** Index dirs whose single-row hasher contract has been validated in
+    * this JVM — [[mediaHashBatch]] runs the row-count-vs-distinct-id
+    * check on the FIRST NON-EMPTY batch per directory (r12 ADVICE: the
+    * old `batchId == 0` key skipped validation entirely for a stream
+    * resumed from a checkpoint or whose first trigger was empty).
+    */
+  private val hasherCheckedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
@@ -321,19 +346,23 @@ object StreamingIngest {
         .select(col(idCol), col("sim_hi"), col("sim_lo"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        if (!multiRow && batchId == 0L) {
-          // enforce the single-row hasher contract ON the first trigger
-          // (the hasher's row shape is constant across triggers): a
-          // multi-row hasher under the default would pair correctly at
-          // first but be silently truncated to ONE arbitrary row per id
-          // at the first latest-row-per-id compaction, dropping
-          // interior-frame/offset pairs from then on — fail loud instead
+        if (!multiRow && !hasherCheckedDirs.contains(indexDir)) {
+          // enforce the single-row hasher contract on the FIRST NON-EMPTY
+          // batch per index dir (the hasher's row shape is constant
+          // across triggers, so once is enough; keying on batchId == 0
+          // skipped a stream resumed from a checkpoint or whose first
+          // trigger was empty): a multi-row hasher under the default
+          // would pair correctly at first but be silently truncated to
+          // ONE arbitrary row per id at the first latest-row-per-id
+          // compaction, dropping interior-frame/offset pairs from then
+          // on — fail loud instead
           val r = hashes.agg(count(lit(1)), count_distinct(col(idCol))).head()
           require(r.getLong(0) == r.getLong(1),
             s"hasher emitted ${r.getLong(0)} rows for ${r.getLong(1)} ids: " +
               "multi-row hashers (videoFrameHashesSampled, " +
               "audioFingerprintsFramed) require multiRow = true so the " +
               "index compacts by version group")
+          hasherCheckedDirs.add(indexDir)
         }
         val indexPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -787,10 +816,16 @@ object StreamingIngest {
       Dedup.shingleSets(df, "doc_id", "text", shingleK), numHashes)
     if (batch.isEmpty) {
       // schema-only pair frame: an empty trigger writes nothing, but the
-      // caller still needs the delta's shape (lazy, never executed jobs)
-      val s0 = sigsOf(batch.limit(0))
-      Dedup.incrementalDupPairs(s0, s0.select(col("id"), col("sig")),
-          numHashes, bands, estThreshold, None)
+      // caller still needs the delta's shape. Built as a LITERAL empty
+      // frame — incrementalDupPairs is eager since the broadcast guard
+      // (localCheckpoint + count of the candidate set), so routing the
+      // empty case through it would run real jobs per idle trigger.
+      // EmptyPairDeltaSchema is spec-pinned against the real path's
+      // output so the two shapes cannot drift.
+      val spark = batch.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        EmptyPairDeltaSchema)
         .withColumn("batch_id", lit(batchId))
     } else {
       val spark = batch.sparkSession

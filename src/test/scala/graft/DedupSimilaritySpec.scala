@@ -1243,6 +1243,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Retraction.mask(spark, indexDir, raw, "id").eq(raw))
   }
 
+  test("Retraction.delete is monotone: two successive takedowns sharing " +
+    "the default delete_batch both stay masked (no silent un-delete), " +
+    "and the mask is identical on both sides of the broadcast gate") {
+    import graft.ext.Retraction
+    val base = java.nio.file.Files.createTempDirectory("retraction_mono")
+    val indexDir = s"$base/index"
+    (1L to 8L).map(i => (i, i * 10)).toDF("id", "payload")
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").parquet(indexDir)
+    // two takedowns, both on the DEFAULT batch — the r12 ADVICE bug:
+    // the second dynamic overwrite used to drop the first's tombstones
+    Retraction.delete(spark, indexDir, Seq(2L).toDF("id"), "id")
+    Retraction.delete(spark, indexDir, Seq(5L).toDF("id"), "id")
+    def liveIds(maxBc: Long) = Retraction.mask(
+        spark, indexDir, spark.read.parquet(indexDir), "id", maxBc)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expected = Set(1L, 3L, 4L, 6L, 7L, 8L)
+    assert(liveIds(1000000L) == expected,
+      "both takedowns must survive the second delete")
+    // plan-only guard: forcing the tombstone count over the broadcast
+    // threshold (maxBc = 0) must not change the masked result
+    assert(liveIds(0L) == expected)
+    // replaying the SECOND delete (at-least-once) changes nothing
+    Retraction.delete(spark, indexDir, Seq(5L).toDF("id"), "id")
+    assert(liveIds(1000000L) == expected)
+  }
+
   test("Retraction on the SQ8 index: ANN served from the live view " +
     "equals the index rebuilt without the deleted ids") {
     import graft.ext.Retraction
@@ -1292,6 +1319,57 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val fl = rows(Similarity.knnGraph(vecs, "vec_id", "embedding", cents,
       k = 3, nprobe = 4))
     assert(pq == fl && pq.nonEmpty)
+  }
+
+  test("knnGraphPq never puts a corpus-derived frame under a broadcast " +
+    "hint: with auto-broadcast off, the executed plan's only " +
+    "BroadcastExchanges are the k-row centroid table") {
+    // auto-broadcast off → any BroadcastExchange left in the plan comes
+    // from an explicit broadcast() HINT — exactly what r12's weak form
+    // did to the corpus-sized probe/LUT legs. At scale the planner never
+    // volunteers a corpus broadcast; only a hint forces one.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val vecs = (0 until 40).map { i =>
+        (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 23 - 11).toFloat))
+      }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+        .localCheckpoint(true)
+      val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+        k = 4, iters = 2).localCheckpoint(true)
+      val resid = Similarity.residualVectors(vecs, "vec_id", "embedding",
+        cents).localCheckpoint(true)
+      val books = Similarity.pqCodebooks(resid, "vec_id", "rvec",
+        m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+      val idx = Similarity.ivfPqIndex(vecs, "vec_id", "embedding", cents,
+        books, m = 4, subDim = 16).localCheckpoint(true)
+      val g = Similarity.knnGraphPq(idx, cents, books, vecs,
+        "vec_id", "embedding", m = 4, subDim = 16, k = 3, nprobe = 4,
+        overfetch = 20)
+      assert(g.count() > 0)
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
+          : org.apache.spark.sql.execution.SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val bcasts = finalPlan(g.queryExecution.executedPlan).collect {
+        case b: BroadcastExchangeExec => b
+      }
+      assert(bcasts.nonEmpty, "the hinted centroid broadcast must exist")
+      // every broadcast subtree is the aggregated centroid relation
+      // (contains the k-means output's cell/centroid aggregate), never
+      // a scan of the corpus/index checkpoint RDDs
+      bcasts.foreach { b =>
+        val s = b.child.toString
+        assert(s.contains("centroid"),
+          s"unexpected non-centroid broadcast:\n$s")
+        assert(!s.contains("codes") && !s.contains("embedding"),
+          s"corpus/index-derived frame under a broadcast hint:\n$s")
+      }
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("knnGraphDelete: affected survivors re-rank against surviving " +

@@ -789,7 +789,8 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("mediaHashBatch rejects a multi-row hasher under the single-row " +
-    "default — the silent-truncation foot-gun fails loud on trigger 0") {
+    "default — the silent-truncation foot-gun fails loud on the first " +
+    "NON-EMPTY batch, checkpoint-resumed streams included") {
     import graft.ext.Multimodal
     val base = java.nio.file.Files.createTempDirectory("mediahash_guard")
     val (indexDir, pairsDir) = (s"$base/index", s"$base/pairs")
@@ -803,10 +804,55 @@ class StreamingSpec extends AnyFunSuite {
       StreamingIngest.mediaHashBatch(b, 0L, indexDir, pairsDir, framed)
     }
     assert(e.getMessage.contains("multiRow = true"), e.getMessage)
+    // a stream RESUMED from a checkpoint (first processed batch > 0,
+    // fresh dir = fresh JVM state) is validated too — the r12 ADVICE
+    // hole: keying the check on batchId == 0 skipped it entirely
+    val base2 = java.nio.file.Files.createTempDirectory("mediahash_resume")
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingIngest.mediaHashBatch(b, 7L, s"$base2/index",
+        s"$base2/pairs", framed)
+    }
+    assert(e2.getMessage.contains("multiRow = true"), e2.getMessage)
     // the same hasher under the declared shape is fine
     StreamingIngest.mediaHashBatch(b, 0L, indexDir, pairsDir, framed,
       multiRow = true)
     assert(spark.read.parquet(indexDir).count() == 3L)
+  }
+
+  test("nearDupBatch's empty trigger is job-free and its literal delta " +
+    "schema matches the real pair path") {
+    val base = java.nio.file.Files.createTempDirectory("neardup_empty")
+    val (indexDir, pairsDir) = (s"$base/index", s"$base/pairs")
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val realDelta = StreamingIngest.nearDupBatch(docs, 0L, indexDir, pairsDir)
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val emptyDelta =
+      try {
+        val d = StreamingIngest.nearDupBatch(docs.limit(0), 1L, indexDir,
+          pairsDir)
+        Thread.sleep(500) // listener-bus drain (the ScaleProbe pattern)
+        d
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // the r12 ADVICE leak: the schema-only path routed through the (now
+    // eager) incrementalDupPairs, running checkpoint + count jobs per
+    // idle trigger. `isEmpty` on a literal empty relation plans no job.
+    assert(jobs == 0, s"empty trigger ran $jobs Spark jobs")
+    // names + types are the union/write contract (nullability legitimately
+    // differs between the literal frame and the computed path)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(emptyDelta) == shape(realDelta),
+      s"literal empty-delta schema drifted:\n${emptyDelta.schema}\nvs\n" +
+        s"${realDelta.schema}")
+    assert(emptyDelta.isEmpty)
   }
 
   test("semantic-dedup stream takedown: reclaim-based removal of a " +

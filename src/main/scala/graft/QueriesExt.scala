@@ -2561,6 +2561,73 @@ object QueriesExt {
                      greatest(1, orig_frames * 8000 // orig_rate) AS frames
               FROM m ORDER BY media_id""")),
 
+    // incremental PQ-graph maintenance (round 13 — r12 verdict #2: the
+    // graph maintenance contract carried to the code-only state): the
+    // old corpus' state is the (batch_id, ccell) pqGraphState artifact
+    // — codes + vnorm + stored probe ranks/qc terms, NO floats — and
+    // pqKnnGraphBatch emits the delta touching old floats only for
+    // rescore rows. Run at the overfetch CEILING, where the delta
+    // provably equals the float knnGraphBatch's, so merge(old, delta)
+    // equals the full float rebuild — the q155 oracle verbatim
+    Q("q166_pq_graph_batch",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val half = e.agg(expr("(max(vec_id) + 1) div 2")).head().getLong(0)
+        val old = e.where(col("vec_id") < half)
+        val batch = e.where(col("vec_id") >= half)
+        val cents = Similarity.kmeansCentroids(old, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val res = Similarity.residualVectors(old, "vec_id", "embedding",
+          cents).localCheckpoint(true)
+        val booksR = Similarity.pqCodebooks(res, "vec_id", "rvec",
+          m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+        val path = artifactPath("pq_graph_state_q166")
+        Similarity.initPqGraphState(old, "vec_id", "embedding", cents,
+          booksR, m = 4, subDim = 16, nprobe = 2, path)
+        val oldEdges = Similarity.knnGraph(old, "vec_id", "embedding",
+          cents, k = 3, nprobe = 2).localCheckpoint(true)
+        // ceiling overfetch at ANY corpus size (the q159 rule)
+        val ceil = (e.count() / 3 + 1).toInt
+        val delta = Similarity.pqKnnGraphBatch(s.read.parquet(path),
+          oldEdges, batch, "vec_id", "embedding", cents, booksR,
+          m = 4, subDim = 16, k = 3, nprobe = 2, floats = e,
+          overfetch = ceil)
+        Similarity.knnGraphMergeDelta(oldEdges, delta)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(knnGraphIncrementalOracleSql)),
+
+    // PQ-graph DELETION (round 13 — the takedown leg of the code-only
+    // graph tier): survivors whose top-k referenced a removed id re-rank
+    // against their probed cells' surviving CODE members (affected
+    // nodes' own floats fetched by id — delete-bounded), at the ceiling
+    // provably the float knnGraphDelete and hence the frozen-quantizer
+    // rebuild over the survivors — the q161 oracle verbatim
+    Q("q169_pq_graph_delete",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val res = Similarity.residualVectors(e, "vec_id", "embedding",
+          cents).localCheckpoint(true)
+        val booksR = Similarity.pqCodebooks(res, "vec_id", "rvec",
+          m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+        val state = Similarity.pqGraphState(e, "vec_id", "embedding",
+          cents, booksR, m = 4, subDim = 16, nprobe = 2)
+          .localCheckpoint(true)
+        val edges = Similarity.knnGraph(e, "vec_id", "embedding", cents,
+          k = 3, nprobe = 2).localCheckpoint(true)
+        val rm = e.where(col("vec_id") % 7 === 0).select(col("vec_id"))
+        val ceil = (e.count() / 3 + 1).toInt
+        Similarity.pqKnnGraphDelete(state, edges, rm, booksR,
+          m = 4, subDim = 16, k = 3, floats = e, idCol = "vec_id",
+          vecCol = "embedding", overfetch = ceil)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(knnGraphDeleteOracleSql)),
+
     // incremental CROSS-MODAL asset dedup (round 12 — q150's agreement
     // verdict composed from q152-style per-modality deltas): each
     // modality's old corpus exists only as its 17-byte hash index; the

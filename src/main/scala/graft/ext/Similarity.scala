@@ -1884,8 +1884,9 @@ object Similarity {
     *    (m·k·subDim doubles — a vocabulary-sized artifact, ~130 KB at
     *    m=8/k=256/dim=64), so `Σ_j round(q_subj · book(j, code_j), 6)`
     *    needs no LUT rows at all;
-    *  - floats rescore each node's k·overfetch ADC survivors via an
-    *    id-keyed shuffle join against the primary store.
+    *  - floats rescore each node's k·overfetch ADC survivors via
+    *    id-keyed shuffle joins against the primary store (both ends —
+    *    the survivor rows carry ids alone, never vectors).
     *
     * Per-pair ADC terms are bit-identical to [[ivfPqTopKFromIndex]]'s
     * `max(qc) + sum(ld)` (same slices, same 6-dp rounding, same
@@ -1905,55 +1906,317 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String, m: Int,
       subDim: Int, k: Int, nprobe: Int,
       overfetch: Int = PqDefaultOverfetch): DataFrame = {
-    val cvecs = cellCentroidVectors(cents)
-    // the residual codebooks as a literal (sub:code → centroid) map —
-    // the one driver-side collect, bounded by codebook size, never data
-    val bookMap: Map[String, Seq[Double]] =
-      pqCentroidVectors(booksR).collect().map { r =>
-        s"${r.get(0)}:${r.get(1)}" -> r.getSeq[Double](2)
-      }.toMap
-    val books = typedlit(bookMap)
-    val q = corpus.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      norm(col(vecCol)).as("q_norm"))
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("c_cos").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(cvecs))
-      .withColumn("c_cos", round(
-        try_divide(dot(col("q_vec"), col("centroid")),
-          col("q_norm") * norm(col("centroid"))), 6))
-      .withColumn("probe_rank", row_number().over(wProbe))
-      .where(col("probe_rank") <= nprobe)
-      .select(col("q_id"), col("q_vec"), col("q_norm"),
-        col("cell").as("ccell"),
-        round(dot(col("q_vec"), col("centroid")), 6)
-          .cast("decimal(28,8)").as("qc"))
+    val books = pqBooksLit(booksR)
+    val probes = pqGraphProbes(corpus, idCol, vecCol, cents, nprobe)
+      .select(col("q_id"), col("q_vec"), col("ccell"), col("qc"))
     val members = index.select(col(idCol).as("c_id"), col("ccell"),
       col("codes"))
-    // Σ_j ld_j inline — each term ivfPqTopKFromIndex's ld verbatim
-    val adcSum = (0 until m).map { j =>
-      round(dot(slice(col("q_vec"), j * subDim + 1, subDim),
+    val cand = pqAdcCandidates(probes, members, books, m, subDim,
+      k * overfetch)
+    rankEdges(exactCosPairs(cand, corpus, idCol, vecCol), k)
+  }
+
+  /** The residual codebooks as a literal (`"sub:code"` → centroid) map
+    * column — the ONE driver-side collect in the PQ-graph family,
+    * bounded by codebook size (m·k·subDim doubles), never by data.
+    */
+  private def pqBooksLit(booksR: DataFrame): Column =
+    typedlit(pqCentroidVectors(booksR).collect().map { r =>
+      s"${r.get(0)}:${r.get(1)}" -> r.getSeq[Double](2)
+    }.toMap)
+
+  /** `Σ_j round(vec_subj · book(j, codes_j), 6)::decimal` — the inline
+    * ADC sum of a FLOAT vector column against a candidate's code array,
+    * each term [[ivfPqTopKFromIndex]]'s `ld` verbatim. Works in either
+    * role: query floats vs member codes (the forward kernel) or batch
+    * floats vs an old node's codes (the flipped maintenance leg —
+    * cosine is symmetric, so `dot(c, recon(q))` approximates the same
+    * quantity as `dot(q, recon(c))`).
+    */
+  private def pqAdcSumVsCodes(vec: Column, codes: Column, books: Column,
+      m: Int, subDim: Int): Column =
+    (0 until m).map { j =>
+      round(dot(slice(vec, j * subDim + 1, subDim),
         element_at(books,
-          concat(lit(s"$j:"), col("codes")(j).cast("string")))), 6)
+          concat(lit(s"$j:"), codes(j).cast("string")))), 6)
         .cast("decimal(28,8)")
     }.reduce(_ + _)
+
+  /** The PQ graph's candidate kernel: probe rows (q_id, q_vec, ccell,
+    * qc) × code members (c_id, ccell, codes) meet in a cell-keyed
+    * SHUFFLE join; `adc = qc + Σ ld` evaluates JOIN-side so the
+    * per-query rank exchange carries only (q_id, c_id, adc) — never
+    * q_vec, which at corpus·candidates rows would dominate the shuffle
+    * by two orders of magnitude. Returns each query's top `limit`
+    * candidate ids under the total (adc desc, c_id) order.
+    */
+  private def pqAdcCandidates(probes: DataFrame, members: DataFrame,
+      books: Column, m: Int, subDim: Int, limit: Int): DataFrame = {
     val wA = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("c_id"))
-    val cand = probes.join(members, Seq("ccell"))
+    probes.join(members, Seq("ccell"))
       .where(col("q_id") =!= col("c_id"))
-      .withColumn("adc", col("qc") + adcSum)
+      .select(col("q_id"), col("c_id"),
+        (col("qc") + pqAdcSumVsCodes(col("q_vec"), col("codes"), books,
+          m, subDim)).as("adc"))
       .withColumn("__arank", row_number().over(wA))
-      .where(col("__arank") <= k * overfetch)
-      .select(col("q_id"), col("c_id"), col("q_vec"), col("q_norm"))
-    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      .where(col("__arank") <= limit)
+      .select(col("q_id"), col("c_id"))
+  }
+
+  /** Exact float rescore of (q_id, c_id) candidate pairs: both sides
+    * resolve against the primary float store via id-keyed shuffle joins
+    * (the survivor rows carry ids alone, never vectors).
+    */
+  private def exactCosPairs(cand: DataFrame, floats: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val c = floats.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
       norm(col(vecCol)).as("c_norm"))
+    val q = floats.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    cand.join(c, Seq("c_id")).join(q, Seq("q_id"))
+      .select(col("q_id"), col("c_id"), cosPrenormed.as("cos"))
+  }
+
+  /** Per-query top-k over exact-cos pair rows, the [[knnGraph]] edge
+    * shape: (q_id, c_id, cos, rank) under the total (cos desc, c_id)
+    * order.
+    */
+  private def rankEdges(scored: DataFrame, k: Int): DataFrame = {
     val wE = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
-    cand.join(c, Seq("c_id"))
-      .withColumn("cos", cosPrenormed)
+    scored
       .withColumn("rank", row_number().over(wE))
       .where(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("cos"),
         col("rank").cast("int").as("rank"))
+  }
+
+  /** The corpus-side probe pass shared by [[knnGraphPq]] and
+    * [[pqGraphState]]: one corpus × broadcast-centroid pass emitting
+    * each node's nprobe probe rows — (q_id, q_vec, ccell, qc,
+    * probe_rank), rank 1 the node's cell assignment (the
+    * [[knnGraphState]] window verbatim, bit-identical tie rules), `qc`
+    * the decimal `q·c_cell` ADC term for the probed cell.
+    */
+  private def pqGraphProbes(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, nprobe: Int): DataFrame = {
+    val cvecs = cellCentroidVectors(cents)
+    val q = df.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("cell"))
+    q.crossJoin(broadcast(cvecs))
+      .withColumn("c_cos", round(
+        try_divide(dot(col("q_vec"), col("centroid")),
+          col("q_norm") * norm(col("centroid"))), 6))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .where(col("probe_rank") <= math.max(nprobe, 1))
+      .select(col("q_id"), col("q_vec"), col("cell").as("ccell"),
+        round(dot(col("q_vec"), col("centroid")), 6)
+          .cast("decimal(28,8)").as("qc"),
+        col("probe_rank"))
+  }
+
+  /** The PQ graph's MAINTENANCE state — the [[knnGraphState]] contract
+    * ported to the code tier (r12 verdict #2: the float state stores
+    * 256 B/vector, so graph maintenance over a corpus that only fits as
+    * PQ codes had no state to read): one row per (node, probed cell) —
+    * `(q_id, ccell, probe_rank, qc, acell, codes, vnorm)` — where
+    * rank 1 is the node's cell assignment, `qc` the STORED decimal
+    * `q·c_cell` ADC term (probes are per-row deterministic under a
+    * frozen quantizer, so stored probes and their qc terms never go
+    * stale — the faiss `add` contract), and `acell`/`codes`/`vnorm`
+    * the node's assigned cell, PQ codes, and true norm denormalized
+    * onto every probe row so maintenance legs read state rows alone.
+    * ~(8 + 16·nprobe) B/vector against the float state's 256 B+.
+    * Floats appear in NO column — batch maintenance consults the
+    * primary float store by id for rescore rows only.
+    */
+  def pqGraphState(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, booksR: DataFrame, m: Int, subDim: Int,
+      nprobe: Int): DataFrame = {
+    val enc = ivfPqIndex(df, idCol, vecCol, cents, booksR, m, subDim)
+      .select(col(idCol).as("q_id"), col("ccell").as("acell"),
+        col("codes"), col("vnorm"))
+    pqGraphProbes(df, idCol, vecCol, cents, nprobe)
+      .select(col("q_id"), col("ccell"), col("probe_rank"), col("qc"))
+      .join(enc, Seq("q_id"))
+  }
+
+  /** Create the persisted PQ graph state under (batch_id, ccell) — the
+    * [[appendKnnGraphState]] dual layout on the code tier: batch_id
+    * partitions give replayed appends a dynamic-overwrite target, ccell
+    * partitions keep the maintenance legs' cell-IN reads
+    * partition-pruned.
+    */
+  def initPqGraphState(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, booksR: DataFrame, m: Int, subDim: Int,
+      nprobe: Int, path: String): Unit =
+    pqGraphState(df, idCol, vecCol, cents, booksR, m, subDim, nprobe)
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("batch_id", "ccell")
+      .parquet(path)
+
+  /** Append one batch's [[pqGraphState]] rows (computed against the
+    * FROZEN quantizers) under its own (batch_id, ccell) partitions —
+    * at-least-once replay rewrites itself.
+    */
+  def appendPqGraphState(bState: DataFrame, path: String,
+      batchId: Long): Unit =
+    bState.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "ccell").parquet(path)
+
+  /** Versioned fold for the PQ graph state artifact — a node's state is
+    * its nprobe probe rows (a version GROUP, folded together —
+    * [[compactVersionedIndex]]'s rule), ccell partition level
+    * preserved.
+    */
+  def compactPqGraphState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, belowBatch: Option[Long] = None): Long =
+    compactVersionedIndex(spark, stateDir, "q_id", Seq("batch_id", "ccell"),
+      belowBatch)
+
+  /** Incremental PQ-graph maintenance — [[knnGraphBatch]] on the code
+    * tier: given the old corpus' [[pqGraphState]] (codes + probe ranks,
+    * no floats), its edges, and a new batch (floats in hand), emit the
+    * delta — fresh edges for every batch node plus re-ranked edges for
+    * the affected old nodes — touching old FLOATS only for rescore
+    * rows.
+    *
+    *  - Batch-edges leg: the batch's probe rows (its own floats) ADC-
+    *    rank against (old state members in batch-probed cells ∪ batch
+    *    members) — the [[pqAdcCandidates]] kernel — and the top
+    *    k·overfetch survivors float-rescore against `floats`.
+    *  - Affected leg: old probe rows in batch-OCCUPIED cells meet batch
+    *    members cell-keyed, scored by the FLIPPED ADC — batch float ×
+    *    old node's stored (acell centroid + codes) reconstruction; the
+    *    decomposition approximates the same symmetric `q·c`. Top
+    *    k·overfetch per affected node rescore exactly, then merge with
+    *    the node's old edges (already exact) and re-rank.
+    *
+    * Old-state reads are cell-IN filters over the (batch_id, ccell)
+    * artifact — partition-pruned, batch-bounded. `floats` is the
+    * primary float store (old ∪ batch); it is consulted by CANDIDATE ID
+    * alone (k·overfetch rows per touched node), never scanned for
+    * scoring.
+    *
+    * EXACTNESS ceiling: with k·overfetch ≥ every touched node's
+    * candidate count, all candidates rescore exactly and the delta
+    * equals [[knnGraphBatchFromState]]'s (same candidate sets, same
+    * total exact-cos order) — so merge(old edges, delta) equals the
+    * full float rebuild over old ∪ batch (the q155 identity); q166
+    * proves the chain against the q155 oracle. At production
+    * overfetch, recall follows the measured PQ graph matrix (SCALE.md).
+    */
+  def pqKnnGraphBatch(oldState: DataFrame, oldEdges: DataFrame,
+      batch: DataFrame, idCol: String, vecCol: String, cents: DataFrame,
+      booksR: DataFrame, m: Int, subDim: Int, k: Int, nprobe: Int,
+      floats: DataFrame, overfetch: Int = PqDefaultOverfetch): DataFrame = {
+    val books = pqBooksLit(booksR)
+    val cvecs = cellCentroidVectors(cents)
+    val bState = pqGraphState(batch, idCol, vecCol, cents, booksR, m,
+      subDim, nprobe).localCheckpoint(true)
+    val bMembers = bState.where(col("probe_rank") === 1)
+      .select(col("q_id").as("c_id"), col("ccell"), col("codes"))
+    // batch-edges leg — batch floats are in hand (batch-sized join)
+    val bProbes = bState.select(col("q_id"), col("ccell"), col("qc"))
+      .join(batch.select(col(idCol).as("q_id"),
+        col(vecCol).as("q_vec")), Seq("q_id"))
+    val batchProbeCells = bState.select(col("ccell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val oldMembers = whereCellIn(
+        oldState.where(col("probe_rank") === 1), "ccell", batchProbeCells,
+        bState.select(col("ccell")))
+      .select(col("q_id").as("c_id"), col("ccell"), col("codes"))
+    val batchEdges = rankEdges(exactCosPairs(
+      pqAdcCandidates(bProbes, oldMembers.unionByName(bMembers), books,
+        m, subDim, k * overfetch),
+      floats, idCol, vecCol), k)
+    // affected leg — old nodes probing a batch-occupied cell, scored by
+    // the flipped ADC (batch float vs old codes; no old floats)
+    val batchCells = bMembers.select(col("ccell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val affProbes = whereCellIn(oldState, "ccell", batchCells,
+        bMembers.select(col("ccell")))
+      .select(col("q_id"), col("ccell"), col("acell"), col("codes"))
+    val bFloats = bMembers.select(col("c_id"), col("ccell"))
+      .join(batch.select(col(idCol).as("c_id"),
+        col(vecCol).as("c_vec")), Seq("c_id"))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("c_id"))
+    val newCand = affProbes.join(bFloats, Seq("ccell"))
+      .where(col("q_id") =!= col("c_id"))
+      .join(broadcast(cvecs.withColumnRenamed("cell", "acell")),
+        Seq("acell"))
+      .select(col("q_id"), col("c_id"),
+        (round(dot(col("c_vec"), col("centroid")), 6)
+          .cast("decimal(28,8)") +
+          pqAdcSumVsCodes(col("c_vec"), col("codes"), books, m, subDim))
+          .as("adc"))
+      .withColumn("__arank", row_number().over(wA))
+      .where(col("__arank") <= k * overfetch)
+      .select(col("q_id"), col("c_id"))
+    val merged = rankEdges(
+      oldEdges
+        .join(affProbes.select(col("q_id")).distinct(), Seq("q_id"),
+          "left_semi")
+        .select(col("q_id"), col("c_id"), col("cos"))
+        .unionByName(exactCosPairs(newCand, floats, idCol, vecCol)), k)
+    merged.unionByName(batchEdges)
+  }
+
+  /** DELETION from a PQ-maintained graph — [[knnGraphDelete]] on the
+    * code tier: survivors whose current top-k referenced a removed id
+    * re-rank against their probed cells' surviving CODE members. The
+    * affected nodes' own floats are fetched by id (delete-bounded —
+    * |affected| rows, the same id-keyed discipline as the rescore),
+    * candidates ADC-rank through the stored probes' qc terms, and the
+    * top k·overfetch rescore exactly. Untouched survivors keep their
+    * rows byte-identical. At the overfetch ceiling the result equals
+    * [[knnGraphDelete]] over the float state (same candidate sets,
+    * exact order) and hence the frozen-quantizer rebuild over
+    * corpus ∖ removed — the q161 identity, proven by q169.
+    */
+  def pqKnnGraphDelete(state: DataFrame, edges: DataFrame,
+      removeIds: DataFrame, booksR: DataFrame, m: Int, subDim: Int,
+      k: Int, floats: DataFrame, idCol: String, vecCol: String,
+      overfetch: Int = PqDefaultOverfetch): DataFrame = {
+    val books = pqBooksLit(booksR)
+    val rm = removeIds
+      .select(col(removeIds.columns.head).cast("long").as("q_id"))
+      .distinct().localCheckpoint(true)
+    val survState = state.join(rm, Seq("q_id"), "left_anti")
+    val survEdges = edges.join(rm, Seq("q_id"), "left_anti")
+    val affected = survEdges
+      .join(broadcast(rm.select(col("q_id").as("c_id"))), Seq("c_id"),
+        "left_semi")
+      .select(col("q_id")).distinct().localCheckpoint(true)
+    // GUARDED broadcast — the knnGraphDelete hub-vector rationale
+    val hint: DataFrame => DataFrame =
+      if (affected.count() <= 1000000L) df => broadcast(df) else df => df
+    val affProbes = survState
+      .join(hint(affected), Seq("q_id"), "left_semi")
+      .select(col("q_id"), col("ccell"), col("qc"))
+      // the affected nodes' OWN floats, by id — delete-bounded
+      .join(floats.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
+        Seq("q_id"))
+      .localCheckpoint(true)
+    val affCells = affProbes.select(col("ccell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val members = whereCellIn(
+        survState.where(col("probe_rank") === 1), "ccell", affCells,
+        affProbes.select(col("ccell")))
+      .select(col("q_id").as("c_id"), col("ccell"), col("codes"))
+    val rebuilt = rankEdges(exactCosPairs(
+      pqAdcCandidates(
+        affProbes.select(col("q_id"), col("q_vec"), col("ccell"),
+          col("qc")),
+        members, books, m, subDim, k * overfetch),
+      floats, idCol, vecCol), k)
+    survEdges.join(hint(affected), Seq("q_id"), "left_anti")
+      .unionByName(rebuilt)
   }
 
   /** Filtered ANN on the PQ tier with the probe count sized for the

@@ -1372,6 +1372,72 @@ class DedupSimilaritySpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("pqKnnGraphBatch at the overfetch ceiling: merge(old edges, " +
+    "delta) equals the full float rebuild over old ∪ batch — the q155 " +
+    "identity carried to the code-only state") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 23 - 11).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val old = vecs.where($"vec_id" < 40)
+    val batch = vecs.where($"vec_id" >= 40)
+    val cents = Similarity.kmeansCentroids(old, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val resid = Similarity.residualVectors(old, "vec_id", "embedding",
+      cents).localCheckpoint(true)
+    val books = Similarity.pqCodebooks(resid, "vec_id", "rvec",
+      m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+    // state artifact round-trip: init under (batch_id, ccell), read back
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_graph_state").toString + "/state"
+    Similarity.initPqGraphState(old, "vec_id", "embedding", cents, books,
+      m = 4, subDim = 16, nprobe = 2, path)
+    val oldState = spark.read.parquet(path)
+    val oldEdges = Similarity.knnGraph(old, "vec_id", "embedding", cents,
+      k = 3, nprobe = 2).localCheckpoint(true)
+    val delta = Similarity.pqKnnGraphBatch(oldState, oldEdges, batch,
+      "vec_id", "embedding", cents, books, m = 4, subDim = 16, k = 3,
+      nprobe = 2, floats = vecs, overfetch = 40)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(_.toSeq.toList).toSet
+    val got = rows(Similarity.knnGraphMergeDelta(oldEdges, delta))
+    val rebuilt = rows(Similarity.knnGraph(vecs, "vec_id", "embedding",
+      cents, k = 3, nprobe = 2))
+    assert(got == rebuilt && got.nonEmpty)
+  }
+
+  test("pqKnnGraphDelete at the overfetch ceiling equals the float " +
+    "knnGraphDelete and hence the frozen-quantizer rebuild over the " +
+    "survivors — the q161 identity on the code-only state") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 23 - 11).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val resid = Similarity.residualVectors(vecs, "vec_id", "embedding",
+      cents).localCheckpoint(true)
+    val books = Similarity.pqCodebooks(resid, "vec_id", "rvec",
+      m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+    val state = Similarity.pqGraphState(vecs, "vec_id", "embedding",
+      cents, books, m = 4, subDim = 16, nprobe = 2).localCheckpoint(true)
+    val edges = Similarity.knnGraph(vecs, "vec_id", "embedding", cents,
+      k = 3, nprobe = 2).localCheckpoint(true)
+    val rmIds = Seq(5L, 12L, 26L)
+    assert(edges.where(col("c_id").isin(rmIds: _*))
+      .where(!col("q_id").isin(rmIds: _*)).count() > 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(_.toSeq.toList).toSet
+    val got = rows(Similarity.pqKnnGraphDelete(state, edges,
+      rmIds.toDF("vec_id"), books, m = 4, subDim = 16, k = 3,
+      floats = vecs, idCol = "vec_id", vecCol = "embedding",
+      overfetch = 40))
+    val surv = vecs.where(!$"vec_id".isin(rmIds: _*))
+    val rebuilt = rows(Similarity.knnGraph(surv, "vec_id", "embedding",
+      cents, k = 3, nprobe = 2))
+    assert(got == rebuilt && got.nonEmpty)
+  }
+
   test("knnGraphDelete: affected survivors re-rank against surviving " +
     "cell members, untouched survivors pass through — equals the " +
     "rebuild under the frozen quantizer") {

@@ -2628,6 +2628,103 @@ object QueriesExt {
       },
       Some(knnGraphDeleteOracleSql)),
 
+    // MULTI-ROW incremental cross-modal asset dedup (round 13 — r12
+    // verdict #4: q160's video/audio legs ran the single-row hashers, so
+    // a RE-INTROED video copy or an OFFSET audio copy was invisible to
+    // the cross-modal verdict): the video leg is the sampled-frame index
+    // + incrementalSimhashPairsAnyRow (q157's arithmetic — frame 0
+    // replaced, interior shared), the audio leg the framed
+    // sub-fingerprint index + any-row (q154's arithmetic — 32-window
+    // trim + 2x gain), the image leg stays single-row, and
+    // assetDedupCompose folds the three deltas unchanged. The modality
+    // classes are q160's (%6 image, %10 audio, %15 video — %30 agrees on
+    // all three), so the oracle is q160's id arithmetic verbatim; the
+    // single-row forms provably find NO audio/video pairs here
+    // (spec-pinned), which is the point
+    Q("q167_multirow_asset_dedup",
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        val off = copyIdOffset(ids)
+        val copyIds = ids.filter((id: Long) =>
+          id % 6 == 0 || id % 10 == 0 || id % 15 == 0)
+        def mix(i: Long): Long = {
+          var z = i * 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z ^ (z >>> 31)
+        }
+        def idx(name: String, hashes: DataFrame): String = {
+          val p = artifactPath(name)
+          hashes.write.mode("overwrite").parquet(p)
+          p
+        }
+        val imgIdx = idx("mr_img_idx_q167", Multimodal.perceptualHashes(
+          ids.map(id => Multimodal.MediaRow(id, "png",
+            Multimodal.syntheticNoisePng(36, 24, id))))(s).toDF())
+        val audIdx = idx("mr_aud_idx_q167",
+          Multimodal.audioFingerprintsFramed(
+            ids.map(id => Multimodal.MediaRow(id, "wav",
+              Multimodal.syntheticStepWavFramed(id, nWindows = 130,
+                framesPerWindow = 8))), winFrames = 8)(s).toDF())
+        val vidIdx = idx("mr_vid_idx_q167",
+          Multimodal.videoFrameHashesSampled(
+            ids.map(id => Multimodal.MediaRow(id, "avi",
+              Multimodal.syntheticNoiseAviSeeded(72, 64,
+                (0 to 2).map(j => mix(id * 3 + j))))), k = 3)(s).toDF())
+        val imgB = Multimodal.perceptualHashes(
+          copyIds.map(id => Multimodal.MediaRow(id + off, "png",
+            if (id % 6 == 0)
+              Multimodal.syntheticNoisePng(36, 24, id, perturbCell = Some((4, 4)))
+            else Multimodal.syntheticNoisePng(36, 24, id + off))))(s).toDF()
+        val audB = Multimodal.audioFingerprintsFramed(
+          copyIds.map(id => Multimodal.MediaRow(id + off, "wav",
+            if (id % 10 == 0)
+              Multimodal.syntheticStepWavFramed(id, nWindows = 130,
+                framesPerWindow = 8, skipWindows = 32, gain = 2)
+            else Multimodal.syntheticStepWavFramed(id + off,
+              nWindows = 130, framesPerWindow = 8))),
+          winFrames = 8)(s).toDF()
+        val vidB = Multimodal.videoFrameHashesSampled(
+          copyIds.map(id => Multimodal.MediaRow(id + off, "avi",
+            if (id % 15 == 0)
+              // re-intro: frame 0 fresh (negative key space — the q157
+              // bijection argument), interior frames byte-identical
+              Multimodal.syntheticNoiseAviSeeded(72, 64,
+                mix(-id - 1) +: (1 to 2).map(j => mix(id * 3 + j)))
+            else Multimodal.syntheticNoiseAviSeeded(72, 64,
+              (0 to 2).map(j => mix((id + off) * 3 + j))))), k = 3)(s)
+          .toDF()
+        Dedup.assetDedupCompose(Seq(
+          "image" -> Dedup.incrementalSimhashPairs(imgB,
+            s.read.parquet(imgIdx), "media_id", maxDist = 3,
+            bloomFpp = Some(0.01)),
+          "audio" -> Dedup.incrementalSimhashPairsAnyRow(audB,
+            s.read.parquet(audIdx), "media_id", maxDist = 3,
+            bloomFpp = Some(0.01)),
+          "video" -> Dedup.incrementalSimhashPairsAnyRow(vidB,
+            s.read.parquet(vidIdx), "media_id", maxDist = 3,
+            bloomFpp = Some(0.01))))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+                     (CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN doc_id % 15 = 0 THEN 1 ELSE 0 END) AS nm,
+                     array_to_string(list_sort(
+                       (CASE WHEN doc_id % 6 = 0 THEN ['image']
+                             ELSE []::VARCHAR[] END)
+                     || (CASE WHEN doc_id % 10 = 0 THEN ['audio']
+                             ELSE []::VARCHAR[] END)
+                     || (CASE WHEN doc_id % 15 = 0 THEN ['video']
+                             ELSE []::VARCHAR[] END)), ',') AS mods
+              FROM documents)
+              SELECT doc_id AS id_a,
+                     doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id_b,
+                     CAST(nm AS INT) AS n_modalities,
+                     mods AS modalities,
+                     FALSE AS both_new
+              FROM m WHERE nm > 0 ORDER BY id_a, id_b""")),
+
     // incremental CROSS-MODAL asset dedup (round 12 — q150's agreement
     // verdict composed from q152-style per-modality deltas): each
     // modality's old corpus exists only as its 17-byte hash index; the

@@ -571,6 +571,67 @@ class OpsSpec extends AnyFunSuite {
       s"offset+gain copy pairs at dist 0, unrelated clips never: $pairs")
   }
 
+  test("multi-row cross-modal dedup (q167's legs): re-introed video and " +
+    "offset audio copies pair through the any-row deltas and reach the " +
+    "composed verdict — the single-row forms provably find nothing") {
+    import graft.ext.Dedup
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    def mix(i: Long): Long = {
+      var z = i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z ^ (z >>> 31)
+    }
+    val baseVid = Seq(Multimodal.MediaRow(1L, "avi",
+      Multimodal.syntheticNoiseAviSeeded(72, 64,
+        (0 to 2).map(j => mix(3L + j))))).toDS()
+    // re-intro: frame 0 replaced, interior frames byte-identical
+    val copyVid = Seq(Multimodal.MediaRow(101L, "avi",
+      Multimodal.syntheticNoiseAviSeeded(72, 64,
+        mix(-2L) +: (1 to 2).map(j => mix(3L + j))))).toDS()
+    val baseAud = Seq(Multimodal.MediaRow(1L, "wav",
+      Multimodal.syntheticStepWavFramed(1L, nWindows = 130,
+        framesPerWindow = 8))).toDS()
+    // offset: one-stride trim + gain — whole-clip windows all re-roll
+    val copyAud = Seq(Multimodal.MediaRow(101L, "wav",
+      Multimodal.syntheticStepWavFramed(1L, nWindows = 130,
+        framesPerWindow = 8, skipWindows = 32, gain = 2))).toDS()
+    val baseImg = Seq(Multimodal.MediaRow(1L, "png",
+      Multimodal.syntheticNoisePng(36, 24, 1L))).toDS()
+    val copyImg = Seq(Multimodal.MediaRow(101L, "png",
+      Multimodal.syntheticNoisePng(36, 24, 1L,
+        perturbCell = Some((4, 4))))).toDS()
+    // the single-row legs: first-frame video hash + whole-clip audio
+    // fingerprint — the r12 blind spot being closed
+    val vidSingle = Dedup.incrementalSimhashPairs(
+      Multimodal.videoFrameHashes(copyVid).toDF(),
+      Multimodal.videoFrameHashes(baseVid).toDF(), "media_id", maxDist = 3)
+    val audSingle = Dedup.incrementalSimhashPairs(
+      Multimodal.audioFingerprints(copyAud).toDF(),
+      Multimodal.audioFingerprints(baseAud).toDF(), "media_id", maxDist = 3)
+    assert(vidSingle.isEmpty && audSingle.isEmpty,
+      "single-row hashers must miss re-introed/offset copies")
+    // the multi-row legs find both; composed with the image leg the
+    // pair's verdict counts all three modalities
+    val verdict = Dedup.assetDedupCompose(Seq(
+      "image" -> Dedup.incrementalSimhashPairs(
+        Multimodal.perceptualHashes(copyImg).toDF(),
+        Multimodal.perceptualHashes(baseImg).toDF(), "media_id",
+        maxDist = 3),
+      "audio" -> Dedup.incrementalSimhashPairsAnyRow(
+        Multimodal.audioFingerprintsFramed(copyAud, winFrames = 8).toDF(),
+        Multimodal.audioFingerprintsFramed(baseAud, winFrames = 8).toDF(),
+        "media_id", maxDist = 3),
+      "video" -> Dedup.incrementalSimhashPairsAnyRow(
+        Multimodal.videoFrameHashesSampled(copyVid, k = 3).toDF(),
+        Multimodal.videoFrameHashesSampled(baseVid, k = 3).toDF(),
+        "media_id", maxDist = 3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3), r.getBoolean(4)))
+    assert(verdict.toSeq == Seq((1L, 101L, 3, "audio,image,video", false)),
+      s"composed verdict must agree on all three modalities: " +
+        s"${verdict.toSeq}")
+  }
+
   test("decoders degrade corrupt payloads to sentinels across all three " +
     "modalities (the NonFatal parity contract)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark

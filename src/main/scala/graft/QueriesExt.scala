@@ -2799,6 +2799,43 @@ object QueriesExt {
                      FALSE AS both_new
               FROM m WHERE nm > 0 ORDER BY id_a, id_b""")),
 
+    // ISO-BMFF (MP4) container walk (round 13 — r12 verdict #6: the
+    // second video container family, the parseAvi discipline on
+    // big-endian nested boxes): mvhd timescale/duration, the vide
+    // track's stsd codec + geometry, stsz sample count, and the
+    // stsc/stco sample-offset resolution proven by DECODING the first
+    // MJPEG sample out of the single-chunk layout (frame dims = header
+    // dims only if the offset arithmetic found a real JPEG). Geometry by
+    // id arithmetic — the q115 shape on the second container
+    Q("q168_mp4_meta",
+      (s, d) => {
+        import s.implicits._
+        val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            Multimodal.MediaRow(id, "mp4",
+              Multimodal.syntheticMp4(
+                16 + (id % 32).toInt, 16 + (id % 20).toInt,
+                1 + (id % 4).toInt, 600L + (id % 3) * 300L,
+                100L + (id % 2) * 50L, id))
+          }
+        Multimodal.mp4VideoFeatures(rows)(s).toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            col("n_samples"), col("timescale"), col("duration"),
+            col("codec"), col("frame_width"), col("frame_height"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+                     CAST(16 + doc_id % 32 AS INT) AS width,
+                     CAST(16 + doc_id % 20 AS INT) AS height,
+                     CAST(1 + doc_id % 4 AS BIGINT) AS n_samples,
+                     CAST(600 + (doc_id % 3) * 300 AS BIGINT) AS timescale,
+                     CAST((1 + doc_id % 4) * (100 + (doc_id % 2) * 50)
+                       AS BIGINT) AS duration,
+                     'jpeg' AS codec,
+                     CAST(16 + doc_id % 32 AS INT) AS frame_width,
+                     CAST(16 + doc_id % 20 AS INT) AS frame_height
+              FROM documents ORDER BY media_id""")),
+
     // filtered ANN on the PQ tier (round 10 — q143's contract carried to
     // the second index family): the label attribute rides the
     // (batch, ccell)-partitioned IVF-PQ artifact, the predicate restricts

@@ -598,6 +598,260 @@ object Multimodal {
     cc("RIFF") ++ le32(body.length.toLong) ++ body
   }
 
+  // ---- ISO-BMFF (MP4) container walk -------------------------------------
+
+  private final case class Mp4Meta(width: Int, height: Int, nSamples: Long,
+      timescale: Long, duration: Long, codec: String,
+      samples: Vector[(Long, Int)])
+
+  /** ISO-BMFF (MP4/MOV) box walk — the [[parseAvi]] discipline on the
+    * second container family (big-endian sizes, nested container boxes,
+    * no codec libraries): boxes are `<be32 size> <fourcc> <payload>`
+    * (size 1 → 64-bit largesize follows, size 0 → to end-of-enclosure);
+    * `moov/trak/mdia/minf/stbl` recurse. Reads `mvhd` (movie timescale +
+    * duration, version 0 and 1 layouts), `hdlr` (handler gate — sample
+    * tables are recorded only under the `vide` track, so a leading audio
+    * track cannot shadow the video geometry), `stsd` (first sample
+    * entry: codec fourcc + VisualSampleEntry width/height), and the
+    * sample layout tables `stsz`/`stsc`/`stco`(`co64`), expanding them
+    * into absolute (offset, length) pairs — up to `maxSamples`, the
+    * [[parseAvi]] `maxFrameChunks` budget — by walking chunk runs and
+    * accumulating within-chunk sizes. Decoding stays the caller's
+    * on-demand concern: a metadata pass never touches `mdat`.
+    */
+  private def parseMp4(b: Array[Byte],
+      maxSamples: Int = Int.MaxValue): Mp4Meta = {
+    def u16(off: Int): Int = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    def u32(off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def fourcc(off: Int): String = new String(b, off, 4, "US-ASCII")
+    require(b.length >= 8, "not an ISO-BMFF payload")
+    var timescale = -1L; var duration = -1L
+    var width = -1; var height = -1; var codec: String = null
+    var handler = ""
+    var sampleSizes: Array[Long] = null; var defSize = -1L
+    var nSamples = -1L
+    var chunkOffsets: Array[Long] = null
+    var stscRuns: Array[(Long, Long)] = null
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val size0 = u32(off)
+        val typ = fourcc(off + 4)
+        val (dataOff, boxEnd) =
+          if (size0 == 1L) (off + 16, off + u64(off + 8).toInt)
+          else if (size0 == 0L) (off + 8, end)
+          else (off + 8, off + size0.toInt)
+        require(boxEnd > off && boxEnd <= end, s"bad box size at $off")
+        typ match {
+          case t if containers(t) => walk(dataOff, boxEnd)
+          case "mvhd" =>
+            val v = b(dataOff) & 0xff
+            if (v == 1) { timescale = u32(dataOff + 20)
+              duration = u64(dataOff + 24) }
+            else { timescale = u32(dataOff + 12)
+              duration = u32(dataOff + 16) }
+          case "hdlr" =>
+            handler = fourcc(dataOff + 8)
+          case "stsd" if handler == "vide" =>
+            val entry = dataOff + 8 // ver/flags + entry_count
+            codec = fourcc(entry + 4)
+            width = u16(entry + 32)
+            height = u16(entry + 34)
+          case "stsz" if handler == "vide" =>
+            defSize = u32(dataOff + 4)
+            nSamples = u32(dataOff + 8)
+            if (defSize == 0L)
+              sampleSizes = Array.tabulate(nSamples.toInt)(i =>
+                u32(dataOff + 12 + 4 * i))
+          case "stsc" if handler == "vide" =>
+            val n = u32(dataOff + 4).toInt
+            stscRuns = Array.tabulate(n)(i =>
+              (u32(dataOff + 8 + 12 * i), u32(dataOff + 12 + 12 * i)))
+          case "stco" if handler == "vide" =>
+            val n = u32(dataOff + 4).toInt
+            chunkOffsets = Array.tabulate(n)(i => u32(dataOff + 8 + 4 * i))
+          case "co64" if handler == "vide" =>
+            val n = u32(dataOff + 4).toInt
+            chunkOffsets = Array.tabulate(n)(i => u64(dataOff + 8 + 8 * i))
+          case _ => ()
+        }
+        off = boxEnd
+      }
+    }
+    walk(0, b.length)
+    require(timescale >= 0 && nSamples >= 0 && chunkOffsets != null &&
+      stscRuns != null, "no moov video sample tables found")
+    def sizeOf(i: Int): Long =
+      if (defSize != 0L) defSize else sampleSizes(i)
+    // expand the chunk runs into absolute sample (offset, length) pairs:
+    // run r covers chunks [first_chunk_r, first_chunk_{r+1}) at
+    // samples_per_chunk_r each; within a chunk, offsets accumulate sizes
+    val samples = Vector.newBuilder[(Long, Int)]
+    var sample = 0
+    var run = 0
+    var chunk = 1L
+    while (sample < nSamples && sample < maxSamples &&
+        chunk <= chunkOffsets.length) {
+      while (run + 1 < stscRuns.length && chunk >= stscRuns(run + 1)._1)
+        run += 1
+      val spc = stscRuns(run)._2
+      var o = chunkOffsets(chunk.toInt - 1)
+      var j = 0L
+      while (j < spc && sample < nSamples && sample < maxSamples) {
+        samples += ((o, sizeOf(sample).toInt))
+        o += sizeOf(sample)
+        sample += 1
+        j += 1
+      }
+      chunk += 1
+    }
+    Mp4Meta(width, height, nSamples, timescale, duration, codec,
+      samples.result())
+  }
+
+  final case class Mp4Features(media_id: Long, format: String,
+      n_bytes: Long, width: Int, height: Int, n_samples: Long,
+      timescale: Long, duration: Long, codec: String,
+      frame_width: Int, frame_height: Int, first_sample_md5: String)
+
+  /** Video features over ISO-BMFF payloads — the [[decodeVideoFeatures]]
+    * contract for the MP4 container: header-derived geometry (stsd
+    * width/height, stsz sample count, mvhd timescale/duration, codec
+    * fourcc) plus first-sample evidence. Where a JVM codec exists
+    * (`jpeg`/`mjpa` — MJPEG-in-MP4 samples are plain JPEGs) the first
+    * sample DECODES and `frame_width/height` prove the mdat payload is
+    * genuine encoded video; for every other codec (`avc1`, `hvc1`, … —
+    * no JVM decoder) the fallback is the sample's md5 over the
+    * stsc/stco-resolved byte range, so the sample-layout walk still has
+    * a checkable witness. Non-BMFF / truncated payloads degrade to the
+    * −1/null sentinel row (the q104/q105 contract); same mapPartitions
+    * codec boundary and batch shape.
+    */
+  def mp4VideoFeatures(media: Dataset[MediaRow], batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[Mp4Features] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          try {
+            val m = parseMp4(r.payload, maxSamples = 1)
+            val (fw, fh, md) = m.samples.headOption match {
+              case Some((off, len)) if m.codec == "jpeg" || m.codec == "mjpa" =>
+                val img = decodeImage(r.payload, off.toInt, len)
+                if (img == null) (-1, -1, null)
+                else (img.getWidth, img.getHeight, null)
+              case Some((off, len)) =>
+                val d = java.security.MessageDigest.getInstance("MD5")
+                d.update(r.payload, off.toInt, len)
+                (-1, -1, d.digest().map("%02x".format(_)).mkString)
+              case None => (-1, -1, null)
+            }
+            Mp4Features(r.media_id, r.format, r.payload.length.toLong,
+              m.width, m.height, m.nSamples, m.timescale, m.duration,
+              m.codec, fw, fh, md)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Mp4Features(r.media_id, r.format, r.payload.length.toLong,
+                -1, -1, -1L, -1L, -1L, null, -1, -1, null)
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic MP4 (the ISO-BMFF fixture — the
+    * [[syntheticAvi]] counterpart): a genuine `ftyp`+`mdat`+`moov` file
+    * — mvhd (timescale, duration = nFrames·sampleDelta), one `vide`
+    * trak whose stsd carries `codecTag` and the geometry, stsz the
+    * per-sample sizes, and a SINGLE-chunk stsc/stco layout (all samples
+    * in one chunk, so offset resolution must accumulate within-chunk
+    * sizes — the part a header-only reader gets wrong). `jpeg` samples
+    * are real JPEG frames (pixels a pure function of (seed, frame, x,
+    * y)); any other tag writes deterministic opaque bytes (the
+    * no-JVM-codec case the md5 fallback serves).
+    */
+  def syntheticMp4(width: Int, height: Int, nFrames: Int,
+      timescale: Long, sampleDelta: Long, seed: Long,
+      codecTag: String = "jpeg"): Array[Byte] = {
+    require(width >= 1 && height >= 1 && nFrames >= 1 && timescale >= 1,
+      s"bad video params: ${width}x$height/$nFrames/$timescale")
+    require(codecTag.length == 4, s"codec tag must be a fourcc: $codecTag")
+    def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ cc(typ) ++ payload
+    def frame(i: Int): Array[Byte] =
+      if (codecTag == "jpeg" || codecTag == "mjpa") {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            img.setRGB(x, y,
+              ((seed + i * 101L + x * 31L + y * 17L) & 0xffffffL).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      } else
+        Array.tabulate(64 + (seed + i).toInt.abs % 64)(j =>
+          ((seed * 31 + i * 101 + j * 7) & 0xff).toByte)
+    val frames = (0 until nFrames).map(frame)
+    val ftyp = box("ftyp", cc("isom") ++ be32(512L) ++ cc("isom") ++ cc("mp41"))
+    val mdat = box("mdat", frames.flatten.toArray)
+    val mdatPayloadOff = ftyp.length + 8L
+    val duration = nFrames * sampleDelta
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0L) ++ be32(0L) ++
+      be32(timescale) ++ be32(duration) ++ be32(0x00010000L) ++
+      Array.fill(2)(0.toByte) ++ Array.fill(10)(0.toByte) ++
+      Array(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+        0x40000000L).flatMap(be32) ++
+      Array.fill(24)(0.toByte) ++ be32(2L))
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ be32(0L) ++ be32(0L) ++
+      be32(1L) ++ be32(0L) ++ be32(duration) ++ Array.fill(8)(0.toByte) ++
+      Array.fill(8)(0.toByte) ++
+      Array(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+        0x40000000L).flatMap(be32) ++
+      be32(width.toLong << 16) ++ be32(height.toLong << 16))
+    val mdhd = box("mdhd", Array[Byte](0, 0, 0, 0) ++ be32(0L) ++ be32(0L) ++
+      be32(timescale) ++ be32(duration) ++ be16(0x55c4) ++ be16(0))
+    val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0) ++ be32(0L) ++
+      cc("vide") ++ Array.fill(12)(0.toByte) ++ Array[Byte](0))
+    val stsdEntry = box(codecTag, Array.fill(6)(0.toByte) ++ be16(1) ++
+      be16(0) ++ be16(0) ++ Array.fill(12)(0.toByte) ++
+      be16(width) ++ be16(height) ++
+      be32(0x00480000L) ++ be32(0x00480000L) ++ be32(0L) ++ be16(1) ++
+      Array.fill(32)(0.toByte) ++ be16(24) ++ be16(0xffff))
+    val stsd = box("stsd", Array[Byte](0, 0, 0, 0) ++ be32(1L) ++ stsdEntry)
+    val stts = box("stts", Array[Byte](0, 0, 0, 0) ++ be32(1L) ++
+      be32(nFrames.toLong) ++ be32(sampleDelta))
+    val stsc = box("stsc", Array[Byte](0, 0, 0, 0) ++ be32(1L) ++
+      be32(1L) ++ be32(nFrames.toLong) ++ be32(1L))
+    val stsz = box("stsz", Array[Byte](0, 0, 0, 0) ++ be32(0L) ++
+      be32(nFrames.toLong) ++ frames.flatMap(f => be32(f.length.toLong)).toArray)
+    val stco = box("stco", Array[Byte](0, 0, 0, 0) ++ be32(1L) ++
+      be32(mdatPayloadOff))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val vmhd = box("vmhd", Array[Byte](0, 0, 0, 1) ++ Array.fill(8)(0.toByte))
+    val minf = box("minf", vmhd ++ stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+
   /** Frame-sampling plumbing for video-like payloads: emit `n` (offset,
     * sliceHash) rows per payload — the Spark-side shape of per-frame
     * extraction (generator/explode, not per-row UDF calls).

@@ -632,6 +632,46 @@ class OpsSpec extends AnyFunSuite {
         s"${verdict.toSeq}")
   }
 
+  test("MP4 box walk: header geometry + sample-offset resolution (first " +
+    "MJPEG sample decodes), md5 fallback where no JVM codec exists, " +
+    "sentinel degradation on corrupt/truncated payloads") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val jpegMp4 = Multimodal.syntheticMp4(20, 14, 3, 600L, 100L, 7L)
+    val avcMp4 = Multimodal.syntheticMp4(32, 18, 2, 900L, 150L, 9L,
+      codecTag = "avc1")
+    val media = Seq(
+      Multimodal.MediaRow(1L, "mp4", jpegMp4),
+      Multimodal.MediaRow(2L, "mp4", avcMp4),
+      Multimodal.MediaRow(3L, "mp4", Array[Byte](9, 9, 9, 9)),
+      // truncated mid-moov: sizes point past the end → loud parse
+      // failure inside the walk → sentinel, never a partial row
+      Multimodal.MediaRow(4L, "mp4", jpegMp4.dropRight(40))).toDS()
+    val out = Multimodal.mp4VideoFeatures(media).collect()
+      .map(r => r.media_id -> r).toMap
+    val j = out(1L)
+    assert((j.width, j.height, j.n_samples, j.timescale, j.duration,
+      j.codec) == (20, 14, 3L, 600L, 300L, "jpeg"))
+    // decoded dims == header dims proves the stsc/stco offset walk found
+    // a genuine JPEG inside the single-chunk mdat
+    assert((j.frame_width, j.frame_height) == (20, 14) &&
+      j.first_sample_md5 == null)
+    val a = out(2L)
+    assert((a.width, a.height, a.n_samples, a.codec) ==
+      (32, 18, 2L, "avc1"))
+    assert((a.frame_width, a.frame_height) == (-1, -1),
+      "no JVM codec for avc1 — dims must stay sentinels")
+    // the md5 fallback witnesses the resolved byte range: recompute it
+    // from the container layout (first sample starts at the mdat payload)
+    val ftypLen = 24 // box("ftyp", 16-byte payload)
+    val sampleLen = 64 + (9L + 0L).toInt.abs % 64
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.update(avcMp4, ftypLen + 8, sampleLen)
+    assert(a.first_sample_md5 == d.digest().map("%02x".format(_)).mkString,
+      "md5 must cover exactly the stsc/stco-resolved first sample")
+    assert(out(3L).width == -1 && out(3L).codec == null)
+    assert(out(4L).width == -1, "truncated payload degrades to sentinel")
+  }
+
   test("decoders degrade corrupt payloads to sentinels across all three " +
     "modalities (the NonFatal parity contract)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark

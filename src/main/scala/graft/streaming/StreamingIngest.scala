@@ -424,6 +424,46 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming payload TRANSFORMS — the q163/q164/q165 operators
+    * (bounded image resize, video frame extraction, audio resampling)
+    * in the continuous tier. The transforms are pure per-payload
+    * mapPartitions passes with no cross-row state, so the streaming
+    * form is the established replay-idempotent sink pattern and nothing
+    * else: each trigger runs the SAME operator the batch path runs
+    * (`transform` is the operator itself — no parallel code path to
+    * drift) and dynamic-overwrites its own `batch_id` partition, so an
+    * at-least-once replay rewrites identical bytes. Empty triggers
+    * write nothing.
+    *
+    * Scale shape: identical to the batch operator's (decode→transform→
+    * encode inside the codec boundary, only output payloads ride the
+    * sink write); the batch_id level adds replay safety and a
+    * time-ordered layout a downstream training-data reader can
+    * partition-prune on.
+    */
+  def mediaTransformStream(media: DataFrame, outDir: String,
+      checkpointDir: String, transform: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mediaTransformBatch(batch, batchId, outDir, transform)
+      }
+      .start()
+
+  /** One [[mediaTransformStream]] micro-batch, factored out so specs
+    * drive exactly the stream's code path.
+    */
+  def mediaTransformBatch(batch: DataFrame, batchId: Long, outDir: String,
+      transform: DataFrame => DataFrame): Unit =
+    if (!batch.isEmpty)
+      transform(batch)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(outDir)
+
   /** One [[sq8IndexStream]] micro-batch, factored out so specs drive
     * exactly the stream's code path. With `cents` (a FROZEN coarse
     * quantizer — the faiss `add` contract of

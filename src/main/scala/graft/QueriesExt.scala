@@ -2799,6 +2799,56 @@ object QueriesExt {
                      FALSE AS both_new
               FROM m WHERE nm > 0 ORDER BY id_a, id_b""")),
 
+    // CROSS-CONTAINER video near-dup (round 13 — the production case
+    // the perceptual pipeline exists for: a container swap of the same
+    // encoded frames IS the near-exact duplicate): the old corpus is
+    // indexed from AVI payloads, the batch re-uploads every 10th video
+    // as an MP4 holding byte-identical JPEG samples (same noise seeds —
+    // the shared noiseJpegFrame fixture), and the container-agnostic
+    // frame walk hashes identical pixels from either container, so the
+    // incremental any-row join pairs each swap with its original at
+    // dist 0. Fresh-seed MP4s (the non-swapped batch rows) pair nothing
+    Q("q170_container_swap_neardup",
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .filter((id: Long) => id % 2 == 0)
+        val off = copyIdOffset(ids)
+        def mix(i: Long): Long = {
+          var z = i * 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z ^ (z >>> 31)
+        }
+        val base = ids.map { id =>
+          Multimodal.MediaRow(id, "avi", Multimodal.syntheticNoiseAviSeeded(
+            72, 64, (0 to 2).map(j => mix(id * 3 + j))))
+        }
+        val path = artifactPath("container_swap_idx_q170")
+        Multimodal.videoFrameHashesSampled(base, k = 3)(s).toDF()
+          .write.mode("overwrite").parquet(path)
+        val batch = ids.filter((id: Long) => id % 10 == 0).map { id =>
+          Multimodal.MediaRow(id + off, "mp4",
+            Multimodal.syntheticNoiseMp4Seeded(72, 64,
+              (0 to 2).map(j => mix(id * 3 + j))))
+        }.unionAll(ids.filter((id: Long) => id % 10 == 2).map { id =>
+          Multimodal.MediaRow(id + off, "mp4",
+            Multimodal.syntheticNoiseMp4Seeded(72, 64,
+              (0 to 2).map(j => mix(-(id * 3) - j - 1))))
+        })
+        Dedup.incrementalSimhashPairsAnyRow(
+          Multimodal.videoFrameHashesSampled(batch, k = 3)(s).toDF(),
+          s.read.parquet(path), "media_id", maxDist = 3,
+          bloomFpp = Some(0.01))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH mx AS (SELECT (SELECT max(doc_id) FROM documents
+                                  WHERE doc_id % 2 = 0) + 1 AS off)
+              SELECT doc_id AS id_a,
+                     doc_id + (SELECT off FROM mx) AS id_b,
+                     CAST(0 AS INT) AS dist, FALSE AS both_new
+              FROM documents WHERE doc_id % 10 = 0
+              ORDER BY id_a, id_b""")),
+
     // ISO-BMFF (MP4) container walk (round 13 — r12 verdict #6: the
     // second video container family, the parseAvi discipline on
     // big-endian nested boxes): mvhd timescale/duration, the vide

@@ -354,8 +354,7 @@ object Multimodal {
         batch.flatMap { r =>
           val frames =
             try {
-              val m = parseAvi(r.payload)
-              val chunks = m.frameChunks
+              val chunks = videoFrameChunks(r.payload, Int.MaxValue)
               sampleFrameIndices(chunks.length, k).zipWithIndex.flatMap {
                 case (fi, slot) =>
                   val (off, len) = chunks(fi)
@@ -713,6 +712,28 @@ object Multimodal {
       samples.result())
   }
 
+  /** Container-agnostic frame-chunk index for the PERCEPTUAL pipeline —
+    * the dispatch that makes video near-dup container-blind (a container
+    * swap is the canonical near-exact duplicate): RIFF magic → the AVI
+    * walk's `00dc`/`00db` chunks; otherwise the ISO-BMFF walk's
+    * vide-track samples WHERE a JVM codec exists (`jpeg`/`mjpa` — other
+    * codecs have no decoder, so their payloads are undecodable for
+    * hashing and the caller's sentinel path applies). Sniffed from
+    * magic bytes, never the format column — a mislabeled row cannot
+    * route to the wrong parser.
+    */
+  private def videoFrameChunks(b: Array[Byte],
+      maxChunks: Int): Vector[(Int, Int)] =
+    if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F')
+      parseAvi(b, maxChunks).frameChunks
+    else {
+      val m = parseMp4(b, maxChunks)
+      if (m.codec == "jpeg" || m.codec == "mjpa")
+        m.samples.map { case (o, l) => (o.toInt, l) }
+      else Vector.empty
+    }
+
   final case class Mp4Features(media_id: Long, format: String,
       n_bytes: Long, width: Int, height: Int, n_samples: Long,
       timescale: Long, duration: Long, codec: String,
@@ -777,17 +798,7 @@ object Multimodal {
   def syntheticMp4(width: Int, height: Int, nFrames: Int,
       timescale: Long, sampleDelta: Long, seed: Long,
       codecTag: String = "jpeg"): Array[Byte] = {
-    require(width >= 1 && height >= 1 && nFrames >= 1 && timescale >= 1,
-      s"bad video params: ${width}x$height/$nFrames/$timescale")
-    require(codecTag.length == 4, s"codec tag must be a fourcc: $codecTag")
-    def be16(v: Int): Array[Byte] =
-      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-    def be32(v: Long): Array[Byte] = Array(
-      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
-    def box(typ: String, payload: Array[Byte]): Array[Byte] =
-      be32(payload.length + 8L) ++ cc(typ) ++ payload
+    require(nFrames >= 1, s"bad nFrames: $nFrames")
     def frame(i: Int): Array[Byte] =
       if (codecTag == "jpeg" || codecTag == "mjpa") {
         val img = new java.awt.image.BufferedImage(
@@ -808,7 +819,29 @@ object Multimodal {
       } else
         Array.tabulate(64 + (seed + i).toInt.abs % 64)(j =>
           ((seed * 31 + i * 101 + j * 7) & 0xff).toByte)
-    val frames = (0 until nFrames).map(frame)
+    mp4Container(width, height, timescale, sampleDelta, codecTag,
+      (0 until nFrames).map(frame))
+  }
+
+  /** ISO-BMFF container assembly shared by the synthetic fixtures (the
+    * [[aviContainer]] counterpart): `ftyp`+`mdat`+`moov` with a
+    * single-chunk stsc/stco layout over the given sample payloads.
+    */
+  private def mp4Container(width: Int, height: Int, timescale: Long,
+      sampleDelta: Long, codecTag: String,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width >= 1 && height >= 1 && frames.nonEmpty && timescale >= 1,
+      s"bad video params: ${width}x$height/${frames.length}/$timescale")
+    require(codecTag.length == 4, s"codec tag must be a fourcc: $codecTag")
+    val nFrames = frames.length
+    def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ cc(typ) ++ payload
     val ftyp = box("ftyp", cc("isom") ++ be32(512L) ++ cc("isom") ++ cc("mp41"))
     val mdat = box("mdat", frames.flatten.toArray)
     val mdatPayloadOff = ftyp.length + 8L
@@ -1299,15 +1332,18 @@ object Multimodal {
 
   // ---- perceptual video hashing (first-frame near-dup) -------------------
 
-  /** Perceptual hash of a video's FIRST DECODED FRAME: the RIFF/AVI walk
-    * finds the first `00dc` MJPEG frame, ImageIO decodes it, and the
-    * SAME dHash/aHash core as [[perceptualHashes]] reduces it to the
-    * 64-bit [[ImageHashRow]] layout — so the Hamming-banded pair join
-    * covers video near-dup unchanged. First-frame hashing is the
-    * production baseline for near-exact video dedup (re-encodes, container
-    * swaps); full clip matching would sample k frames through the same
-    * core and band per frame. Non-AVI / frame-less / undecodable payloads
-    * carry null halves and drop out of the band join.
+  /** Perceptual hash of a video's FIRST DECODED FRAME: the
+    * container-agnostic walk ([[videoFrameChunks]] — RIFF/AVI or
+    * ISO-BMFF MJPEG, sniffed from magic bytes) finds the first frame,
+    * ImageIO decodes it, and the SAME dHash/aHash core as
+    * [[perceptualHashes]] reduces it to the 64-bit [[ImageHashRow]]
+    * layout — so the Hamming-banded pair join covers video near-dup
+    * unchanged, INCLUDING a container swap of the same frames (the
+    * canonical near-exact duplicate: identical samples hash identically
+    * from either container). First-frame hashing is the production
+    * baseline; full clip matching samples k frames through the same
+    * core. Unknown-container / frame-less / undecodable payloads carry
+    * null halves and drop out of the band join.
     */
   def videoFrameHashes(media: Dataset[MediaRow], mode: String = "dhash",
       batchSize: Int = 64)(
@@ -1319,7 +1355,7 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val img =
-            try parseAvi(r.payload, maxFrameChunks = 1).frameChunks.headOption
+            try videoFrameChunks(r.payload, 1).headOption
               .map { case (off, len) => decodeImage(r.payload, off, len) }
               .orNull
             catch { case scala.util.control.NonFatal(_) => null }
@@ -1344,7 +1380,8 @@ object Multimodal {
   /** Multi-frame perceptual video hashing — the full-clip form of
     * [[videoFrameHashes]] (whose first-frame baseline misses any copy
     * whose FIRST frame changed: intro cards, trims, re-edits): the
-    * RIFF/AVI walk indexes every `00dc`/`00db` chunk (offsets only — the
+    * container-agnostic walk ([[videoFrameChunks]] — RIFF/AVI chunks or
+    * ISO-BMFF MJPEG samples) indexes every frame (offsets only — the
     * walk never decodes), `k` frames at the fixed fractions
     * ⌊i·n/k⌋ ([[sampleFrameIndices]]) are decoded and dHash/aHash-reduced,
     * and each emits its own [[FrameHashRow]]. Downstream,
@@ -1357,9 +1394,10 @@ object Multimodal {
     *
     * Scale shape: per payload, one byte walk + k JPEG decodes at the
     * mapPartitions codec boundary; k·17 bytes per video reach the
-    * shuffle, never pixels. Non-AVI / frame-less / undecodable payloads
-    * emit ONE null-hash row (`frame_idx` -1) — row-accountable for
-    * undecodable-rate audits, dropped by the band join.
+    * shuffle, never pixels. Unknown-container / frame-less /
+    * undecodable payloads emit ONE null-hash row (`frame_idx` -1) —
+    * row-accountable for undecodable-rate audits, dropped by the band
+    * join.
     */
   def videoFrameHashesSampled(media: Dataset[MediaRow], k: Int,
       mode: String = "dhash", batchSize: Int = 64)(
@@ -1373,8 +1411,7 @@ object Multimodal {
         batch.flatMap { r =>
           val hashes =
             try {
-              val m = parseAvi(r.payload)
-              val chunks = m.frameChunks
+              val chunks = videoFrameChunks(r.payload, Int.MaxValue)
               sampleFrameIndices(chunks.length, k).zipWithIndex.flatMap {
                 case (fi, slot) =>
                   val (off, len) = chunks(fi)
@@ -1421,37 +1458,60 @@ object Multimodal {
     */
   def syntheticNoiseAviSeeded(width: Int, height: Int, frameSeeds: Seq[Long],
       perturb: Map[Int, (Int, Int)] = Map.empty): Array[Byte] = {
+    require(frameSeeds.nonEmpty, "need at least one frame seed")
+    aviContainer(width, height, nFrames = frameSeeds.length,
+      usecPerFrame = 40000L,
+      i => noiseJpegFrame(width, height, frameSeeds(i), perturb.get(i)))
+  }
+
+  /** The block-aligned grayscale noise JPEG frame shared by the video
+    * fixtures ([[syntheticNoiseAviSeeded]] /
+    * [[syntheticNoiseMp4Seeded]]): frame content is a pure function of
+    * (width, height, seed, perturb), so the SAME seeds produce
+    * byte-identical frames in EITHER container — the cross-container
+    * near-dup fixture.
+    */
+  private def noiseJpegFrame(width: Int, height: Int, seed: Long,
+      perturbCell: Option[(Int, Int)]): Array[Byte] = {
     require(width % 9 == 0 && (width / 9) % 8 == 0 &&
       height % 8 == 0 && (height / 8) % 8 == 0,
       s"dHash cells must align with JPEG 8x8 blocks: ${width}x$height")
-    require(frameSeeds.nonEmpty, "need at least one frame seed")
-    def frame(i: Int): Array[Byte] = {
-      val seed = frameSeeds(i)
-      val perturbCell = perturb.get(i)
-      val img = new java.awt.image.BufferedImage(
-        width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      val raster = img.getRaster
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) {
-          var z = seed + x * 0x9E3779B97F4A7C15L + y * 0xC2B2AE3D27D4EB4FL
-          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-          var g = ((z ^ (z >>> 31)) & 0xffL).toInt
-          perturbCell.foreach { case (cx, cy) =>
-            if (x * 9 / width == cx && y * 8 / height == cy) g = 255 - g
-          }
-          raster.setSample(x, y, 0, g)
-          x += 1
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        var z = seed + x * 0x9E3779B97F4A7C15L + y * 0xC2B2AE3D27D4EB4FL
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        var g = ((z ^ (z >>> 31)) & 0xffL).toInt
+        perturbCell.foreach { case (cx, cy) =>
+          if (x * 9 / width == cx && y * 8 / height == cy) g = 255 - g
         }
-        y += 1
+        raster.setSample(x, y, 0, g)
+        x += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      bos.toByteArray
+      y += 1
     }
-    aviContainer(width, height, nFrames = frameSeeds.length,
-      usecPerFrame = 40000L, frame)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** [[syntheticNoiseAviSeeded]]'s frames in an ISO-BMFF container —
+    * same seeds, byte-identical JPEG samples, so a "container swap" of
+    * a video is exactly this fixture and the perceptual pipeline must
+    * pair it with its AVI original at distance 0.
+    */
+  def syntheticNoiseMp4Seeded(width: Int, height: Int,
+      frameSeeds: Seq[Long],
+      perturb: Map[Int, (Int, Int)] = Map.empty): Array[Byte] = {
+    require(frameSeeds.nonEmpty, "need at least one frame seed")
+    mp4Container(width, height, timescale = 600L, sampleDelta = 100L,
+      codecTag = "jpeg",
+      frames = frameSeeds.indices.map(i =>
+        noiseJpegFrame(width, height, frameSeeds(i), perturb.get(i))))
   }
 }

@@ -672,6 +672,33 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L).width == -1, "truncated payload degrades to sentinel")
   }
 
+  test("container-agnostic frame walk: the same JPEG frames hash " +
+    "identically from AVI and MP4 (container swap = dist-0 near-dup); " +
+    "codec-less MP4 degrades to the sentinel row") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val seeds = Seq(11L, 12L, 13L)
+    val avi = Multimodal.syntheticNoiseAviSeeded(72, 64, seeds)
+    val mp4 = Multimodal.syntheticNoiseMp4Seeded(72, 64, seeds)
+    def hashes(id: Long, payload: Array[Byte]) =
+      Multimodal.videoFrameHashesSampled(
+        Seq(Multimodal.MediaRow(id, "x", payload)).toDS(), k = 3)
+        .collect().map(r => (r.frame_idx, r.sim_hi, r.sim_lo)).toSet
+    assert(hashes(1L, avi) == hashes(2L, mp4) && hashes(1L, avi).size == 3,
+      "identical samples must hash identically from either container")
+    // avc1 samples have no JVM decoder → the hashing walk yields no
+    // frames → the one null-hash sentinel row
+    val avc = Multimodal.syntheticMp4(32, 18, 2, 600L, 100L, 5L,
+      codecTag = "avc1")
+    assert(hashes(3L, avc) == Set((-1, None, None)))
+    // first-frame form dispatches too
+    val single = Multimodal.videoFrameHashes(
+      Seq(Multimodal.MediaRow(1L, "x", avi),
+        Multimodal.MediaRow(2L, "x", mp4)).toDS())
+      .collect().map(r => (r.sim_hi, r.sim_lo)).toSet
+    assert(single.size == 1 && single.head._1.isDefined,
+      "first-frame hash identical across containers")
+  }
+
   test("decoders degrade corrupt payloads to sentinels across all three " +
     "modalities (the NonFatal parity contract)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark

@@ -1877,13 +1877,15 @@ object Similarity {
     *    broadcast in the plan), each node's nprobe probe rows carrying
     *    the decimal `q·c_cell` term;
     *  - member leg: the code artifact as stored — (id, ccell, codes),
-    *    8 B/vector, no explode, no per-query LUT relation;
+    *    8 B/vector, no explode, no broadcast LUT relation;
     *  - the two corpus-sized legs meet in a cell-keyed SHUFFLE join
-    *    (the [[knnEdges]] shape), where the ADC sum is computed INLINE:
-    *    the residual codebooks are a driver-collected LITERAL map
-    *    (m·k·subDim doubles — a vocabulary-sized artifact, ~130 KB at
-    *    m=8/k=256/dim=64), so `Σ_j round(q_subj · book(j, code_j), 6)`
-    *    needs no LUT rows at all;
+    *    (the [[knnEdges]] shape) carrying ids, qc, and codes only;
+    *    each node's ADC LUT ([[pqLutExpr]] over the driver-collected
+    *    codebook LITERAL — m·k·subDim doubles, a vocabulary-sized
+    *    artifact) is a corpus-linear PROJECTION that joins the pair
+    *    stream q_id-keyed, sharing the rank window's exchange — so
+    *    `Σ_j round(q_subj · book(j, code_j), 6)` costs m·k dots per
+    *    NODE and m array lookups per PAIR;
     *  - floats rescore each node's k·overfetch ADC survivors via
     *    id-keyed shuffle joins against the primary store (both ends —
     *    the survivor rows carry ids alone, never vectors).
@@ -1906,59 +1908,97 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String, m: Int,
       subDim: Int, k: Int, nprobe: Int,
       overfetch: Int = PqDefaultOverfetch): DataFrame = {
-    val books = pqBooksLit(booksR)
+    val (books, stride) = pqBooksLit(booksR)
     val probes = pqGraphProbes(corpus, idCol, vecCol, cents, nprobe)
-      .select(col("q_id"), col("q_vec"), col("ccell"), col("qc"))
+      .select(col("q_id"), col("ccell"), col("qc"))
+    val qVecs = corpus.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"))
     val members = index.select(col(idCol).as("c_id"), col("ccell"),
       col("codes"))
-    val cand = pqAdcCandidates(probes, members, books, m, subDim,
-      k * overfetch)
+    val cand = pqAdcCandidates(probes, qVecs, members, books, stride, m,
+      subDim, k * overfetch)
     rankEdges(exactCosPairs(cand, corpus, idCol, vecCol), k)
   }
 
-  /** The residual codebooks as a literal (`"sub:code"` → centroid) map
-    * column — the ONE driver-side collect in the PQ-graph family,
-    * bounded by codebook size (m·k·subDim doubles), never by data.
+  /** The residual codebooks as a DENSE literal array column indexed by
+    * `sub·stride + code` (stride = max code + 1) — the ONE driver-side
+    * collect in the PQ-graph family, bounded by codebook size
+    * (m·k·subDim doubles), never by data. Positional `element_at` is an
+    * O(1) array index; the first cut of this literal was a string-keyed
+    * map, whose `element_at` LINEARLY scans the entries with string
+    * compares per pair per subspace — measured 1.67× on q159's ceiling
+    * at m=4/k=8, and quadratically worse at production m=8/k=256.
+    * Codes are k-means cell ids, dense 0..k−1 by construction; unused
+    * slots hold zero vectors and are never indexed.
     */
-  private def pqBooksLit(booksR: DataFrame): Column =
-    typedlit(pqCentroidVectors(booksR).collect().map { r =>
-      s"${r.get(0)}:${r.get(1)}" -> r.getSeq[Double](2)
-    }.toMap)
+  private def pqBooksLit(booksR: DataFrame): (Column, Int) = {
+    val rows = pqCentroidVectors(booksR).collect().map { r =>
+      (r.get(0).toString.toInt, r.get(1).toString.toInt,
+        r.getSeq[Double](2))
+    }
+    val stride = rows.map(_._2).max + 1
+    val m = rows.map(_._1).max + 1
+    val subDim = rows.head._3.length
+    val arr = Array.fill(m * stride)(Seq.fill(subDim)(0.0))
+    rows.foreach { case (sub, code, v) => arr(sub * stride + code) = v }
+    (typedlit(arr.toSeq), stride)
+  }
 
-  /** `Σ_j round(vec_subj · book(j, codes_j), 6)::decimal` — the inline
-    * ADC sum of a FLOAT vector column against a candidate's code array,
-    * each term [[ivfPqTopKFromIndex]]'s `ld` verbatim. Works in either
-    * role: query floats vs member codes (the forward kernel) or batch
-    * floats vs an old node's codes (the flipped maintenance leg —
-    * cosine is symmetric, so `dot(c, recon(q))` approximates the same
-    * quantity as `dot(q, recon(c))`).
+  /** A float vector's FULL ADC lookup table as an array column —
+    * `lut[j·stride + code] = round(vec_subj · book(j, code), 6)::decimal`,
+    * each entry [[ivfPqTopKFromIndex]]'s `ld` verbatim. Computed ONCE
+    * per vector (m·k dots) as a plain distributed projection — the
+    * broadcast LUT RELATION's work shape without any broadcast; the
+    * per-PAIR cost is then [[pqLutSum]]'s m array lookups. (The first
+    * cut inlined the dots per PAIR — at the exactness ceiling that is
+    * candidates/query ≈ corpus slices+dots per query instead of m·k,
+    * measured 1.67× on q159.) The `element_at(books, lit…)` indices
+    * constant-fold, so codegen sees one dot per literal codebook entry.
+    * Works in either role: query floats vs member codes (the forward
+    * kernel) or batch floats vs an old node's codes (the flipped
+    * maintenance leg — cosine is symmetric, so `dot(c, recon(q))`
+    * approximates the same quantity as `dot(q, recon(c))`).
     */
-  private def pqAdcSumVsCodes(vec: Column, codes: Column, books: Column,
-      m: Int, subDim: Int): Column =
-    (0 until m).map { j =>
+  private def pqLutExpr(vec: Column, books: Column, stride: Int, m: Int,
+      subDim: Int): Column =
+    array((0 until m).flatMap(j => (0 until stride).map { code =>
       round(dot(slice(vec, j * subDim + 1, subDim),
-        element_at(books,
-          concat(lit(s"$j:"), codes(j).cast("string")))), 6)
+        element_at(books, lit(j * stride + code + 1))), 6)
         .cast("decimal(28,8)")
-    }.reduce(_ + _)
+    }): _*)
+
+  /** `Σ_j lut[j·stride + codes_j]` — the per-pair ADC sum over a
+    * precomputed [[pqLutExpr]] array: m O(1) lookups, no dots.
+    */
+  private def pqLutSum(lut: Column, codes: Column, stride: Int,
+      m: Int): Column =
+    (0 until m).map(j =>
+      element_at(lut, lit(j * stride + 1) + codes(j).cast("int")))
+      .reduce(_ + _)
 
   /** The PQ graph's candidate kernel: probe rows (q_id, q_vec, ccell,
     * qc) × code members (c_id, ccell, codes) meet in a cell-keyed
-    * SHUFFLE join; `adc = qc + Σ ld` evaluates JOIN-side so the
-    * per-query rank exchange carries only (q_id, c_id, adc) — never
-    * q_vec, which at corpus·candidates rows would dominate the shuffle
-    * by two orders of magnitude. Returns each query's top `limit`
-    * candidate ids under the total (adc desc, c_id) order.
+    * SHUFFLE join carrying only ids, qc, and the m-byte codes — never
+    * q_vec; each query's [[pqLutExpr]] LUT rides a q_id-keyed join
+    * whose hash partitioning the rank window REUSES (one exchange, not
+    * two), so the per-pair ADC is m array lookups. Returns each
+    * query's top `limit` candidate ids under the total (adc desc,
+    * c_id) order.
     */
-  private def pqAdcCandidates(probes: DataFrame, members: DataFrame,
-      books: Column, m: Int, subDim: Int, limit: Int): DataFrame = {
+  private def pqAdcCandidates(probes: DataFrame, qVecs: DataFrame,
+      members: DataFrame, books: Column, stride: Int, m: Int, subDim: Int,
+      limit: Int): DataFrame = {
+    val lut = qVecs.select(col("q_id"),
+      pqLutExpr(col("q_vec"), books, stride, m, subDim).as("__lut"))
     val wA = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("c_id"))
     probes.join(members, Seq("ccell"))
       .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("qc"), col("codes"))
+      .join(lut, Seq("q_id"))
       .select(col("q_id"), col("c_id"),
-        (col("qc") + pqAdcSumVsCodes(col("q_vec"), col("codes"), books,
-          m, subDim)).as("adc"))
+        (col("qc") + pqLutSum(col("__lut"), col("codes"), stride, m))
+          .as("adc"))
       .withColumn("__arank", row_number().over(wA))
       .where(col("__arank") <= limit)
       .select(col("q_id"), col("c_id"))
@@ -2113,17 +2153,29 @@ object Similarity {
   def pqKnnGraphBatch(oldState: DataFrame, oldEdges: DataFrame,
       batch: DataFrame, idCol: String, vecCol: String, cents: DataFrame,
       booksR: DataFrame, m: Int, subDim: Int, k: Int, nprobe: Int,
+      floats: DataFrame, overfetch: Int = PqDefaultOverfetch): DataFrame =
+    pqKnnGraphBatchFromState(oldState, oldEdges,
+      pqGraphState(batch, idCol, vecCol, cents, booksR, m, subDim, nprobe)
+        .localCheckpoint(true),
+      batch, idCol, vecCol, cents, booksR, m, subDim, k, floats, overfetch)
+
+  /** [[pqKnnGraphBatch]] over a PRE-SCORED batch state (already
+    * materialized) — the streaming ingest computes the batch state once
+    * and feeds both this delta and the state-artifact append from it
+    * (the [[knnGraphBatchFromState]] factoring on the code tier).
+    */
+  def pqKnnGraphBatchFromState(oldState: DataFrame, oldEdges: DataFrame,
+      bState: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, booksR: DataFrame, m: Int, subDim: Int, k: Int,
       floats: DataFrame, overfetch: Int = PqDefaultOverfetch): DataFrame = {
-    val books = pqBooksLit(booksR)
+    val (books, stride) = pqBooksLit(booksR)
     val cvecs = cellCentroidVectors(cents)
-    val bState = pqGraphState(batch, idCol, vecCol, cents, booksR, m,
-      subDim, nprobe).localCheckpoint(true)
     val bMembers = bState.where(col("probe_rank") === 1)
       .select(col("q_id").as("c_id"), col("ccell"), col("codes"))
-    // batch-edges leg — batch floats are in hand (batch-sized join)
+    // batch-edges leg — batch floats are in hand (batch-sized LUT)
     val bProbes = bState.select(col("q_id"), col("ccell"), col("qc"))
-      .join(batch.select(col(idCol).as("q_id"),
-        col(vecCol).as("q_vec")), Seq("q_id"))
+    val bVecs = batch.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"))
     val batchProbeCells = bState.select(col("ccell")).distinct()
       .collect().map(_.get(0)).toSeq
     val oldMembers = whereCellIn(
@@ -2131,8 +2183,8 @@ object Similarity {
         bState.select(col("ccell")))
       .select(col("q_id").as("c_id"), col("ccell"), col("codes"))
     val batchEdges = rankEdges(exactCosPairs(
-      pqAdcCandidates(bProbes, oldMembers.unionByName(bMembers), books,
-        m, subDim, k * overfetch),
+      pqAdcCandidates(bProbes, bVecs, oldMembers.unionByName(bMembers),
+        books, stride, m, subDim, k * overfetch),
       floats, idCol, vecCol), k)
     // affected leg — old nodes probing a batch-occupied cell, scored by
     // the flipped ADC (batch float vs old codes; no old floats)
@@ -2141,19 +2193,26 @@ object Similarity {
     val affProbes = whereCellIn(oldState, "ccell", batchCells,
         bMembers.select(col("ccell")))
       .select(col("q_id"), col("ccell"), col("acell"), col("codes"))
-    val bFloats = bMembers.select(col("c_id"), col("ccell"))
-      .join(batch.select(col(idCol).as("c_id"),
-        col(vecCol).as("c_vec")), Seq("c_id"))
+    val cFloats = batch.select(col(idCol).as("c_id"),
+      col(vecCol).as("c_vec"))
+    // per-batch-vector LUT + per-(vector, cell) centroid term — both
+    // batch-sized projections; the pair stream carries ids and codes
+    val lutC = cFloats.select(col("c_id"),
+      pqLutExpr(col("c_vec"), books, stride, m, subDim).as("__lut"))
+    val qccC = cFloats
+      .crossJoin(broadcast(cvecs.withColumnRenamed("cell", "acell")))
+      .select(col("c_id"), col("acell"),
+        round(dot(col("c_vec"), col("centroid")), 6)
+          .cast("decimal(28,8)").as("qcc"))
     val wA = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("c_id"))
-    val newCand = affProbes.join(bFloats, Seq("ccell"))
+    val newCand = affProbes
+      .join(bMembers.select(col("c_id"), col("ccell")), Seq("ccell"))
       .where(col("q_id") =!= col("c_id"))
-      .join(broadcast(cvecs.withColumnRenamed("cell", "acell")),
-        Seq("acell"))
+      .join(qccC, Seq("c_id", "acell"))
+      .join(lutC, Seq("c_id"))
       .select(col("q_id"), col("c_id"),
-        (round(dot(col("c_vec"), col("centroid")), 6)
-          .cast("decimal(28,8)") +
-          pqAdcSumVsCodes(col("c_vec"), col("codes"), books, m, subDim))
+        (col("qcc") + pqLutSum(col("__lut"), col("codes"), stride, m))
           .as("adc"))
       .withColumn("__arank", row_number().over(wA))
       .where(col("__arank") <= k * overfetch)
@@ -2183,7 +2242,7 @@ object Similarity {
       removeIds: DataFrame, booksR: DataFrame, m: Int, subDim: Int,
       k: Int, floats: DataFrame, idCol: String, vecCol: String,
       overfetch: Int = PqDefaultOverfetch): DataFrame = {
-    val books = pqBooksLit(booksR)
+    val (books, stride) = pqBooksLit(booksR)
     val rm = removeIds
       .select(col(removeIds.columns.head).cast("long").as("q_id"))
       .distinct().localCheckpoint(true)
@@ -2199,10 +2258,11 @@ object Similarity {
     val affProbes = survState
       .join(hint(affected), Seq("q_id"), "left_semi")
       .select(col("q_id"), col("ccell"), col("qc"))
-      // the affected nodes' OWN floats, by id — delete-bounded
-      .join(floats.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
-        Seq("q_id"))
       .localCheckpoint(true)
+    // the affected nodes' OWN floats, by id — delete-bounded
+    val affVecs = floats
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .join(hint(affected), Seq("q_id"), "left_semi")
     val affCells = affProbes.select(col("ccell")).distinct()
       .collect().map(_.get(0)).toSeq
     val members = whereCellIn(
@@ -2210,10 +2270,8 @@ object Similarity {
         affProbes.select(col("ccell")))
       .select(col("q_id").as("c_id"), col("ccell"), col("codes"))
     val rebuilt = rankEdges(exactCosPairs(
-      pqAdcCandidates(
-        affProbes.select(col("q_id"), col("q_vec"), col("ccell"),
-          col("qc")),
-        members, books, m, subDim, k * overfetch),
+      pqAdcCandidates(affProbes, affVecs, members, books, stride, m,
+        subDim, k * overfetch),
       floats, idCol, vecCol), k)
     survEdges.join(hint(affected), Seq("q_id"), "left_anti")
       .unionByName(rebuilt)

@@ -665,6 +665,160 @@ object StreamingIngest {
       Similarity.appendKnnGraphState(bState, stateDir, batchId)
     }
 
+  /** Streaming PQ-graph maintenance — [[knnGraphStream]] on the CODE
+    * tier (the round-13 q166 contract made continuous): three
+    * artifacts, all batch_id-versioned and replay-idempotent —
+    *
+    *  - `stateDir`: the (batch_id, ccell) [[graft.ext.Similarity
+    *    .pqGraphState]] code artifact (codes + vnorm + probe ranks +
+    *    qc terms — no floats);
+    *  - `floatsDir`: the PRIMARY float store, appended per batch; the
+    *    maintenance legs consult it by id for rescore rows alone;
+    *  - `edgesDir`: per-batch [[graft.ext.Similarity
+    *    .pqKnnGraphBatchFromState]] deltas, current view =
+    *    newest-epoch row groups ([[graft.ext.Similarity
+    *    .knnGraphCurrentEdges]] — the shape is identical to the float
+    *    graph's, so the same view/compaction code serves both tiers).
+    *
+    * Same id-uniqueness precondition and frozen-quantizer contract as
+    * [[knnGraphStream]].
+    */
+  def pqGraphStream(vecs: DataFrame, stateDir: String, edgesDir: String,
+      floatsDir: String, checkpointDir: String, cents: DataFrame,
+      booksR: DataFrame, m: Int, subDim: Int, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      overfetch: Int = graft.ext.Similarity.PqDefaultOverfetch,
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        pqGraphIngestBatch(batch, batchId, stateDir, edgesDir, floatsDir,
+          cents, booksR, m, subDim, k, nprobe, idCol, vecCol, overfetch)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          val spark = batch.sparkSession
+          val p = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) {
+            graft.ext.Similarity.compactPqGraphState(spark, stateDir,
+              belowBatch = Some(batchId))
+            graft.ext.Similarity.compactKnnGraphEdges(spark, edgesDir,
+              belowBatch = Some(batchId))
+            ()
+          }
+        }
+      }
+      .start()
+
+  /** One [[pqGraphStream]] micro-batch, factored out so specs drive
+    * exactly the stream's code path. The batch state is scored once and
+    * pinned — the delta and the state append both read it; the float
+    * append lands BEFORE the delta computes so the rescore legs see the
+    * batch's own vectors (a replayed batch rewrites the same partition,
+    * so the order is crash-safe).
+    */
+  def pqGraphIngestBatch(batch: DataFrame, batchId: Long, stateDir: String,
+      edgesDir: String, floatsDir: String, cents: DataFrame,
+      booksR: DataFrame, m: Int, subDim: Int, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      overfetch: Int = graft.ext.Similarity.PqDefaultOverfetch): Unit =
+    if (!batch.isEmpty) {
+      import graft.ext.Similarity
+      val spark = batch.sparkSession
+      val bState = Similarity.pqGraphState(batch, idCol, vecCol, cents,
+        booksR, m, subDim, nprobe).localCheckpoint(true)
+      batch.select(col(idCol), col(vecCol))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(floatsDir)
+      val floats = spark.read.parquet(floatsDir).drop("batch_id")
+      val statePath = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def emptyEdges = Similarity.knnGraph(batch.limit(0),
+        idCol, vecCol, cents, k, nprobe)
+      val (oldState, oldEdges) =
+        if (fs.exists(statePath))
+          (spark.read.parquet(stateDir)
+            .where(col("batch_id") < lit(batchId)).drop("batch_id"),
+            if (hasParquetData(spark, edgesDir))
+              Similarity.knnGraphCurrentEdges(spark, edgesDir,
+                belowBatch = Some(batchId)).drop("batch_id")
+            else emptyEdges)
+        else (bState.limit(0), emptyEdges)
+      Similarity.pqKnnGraphBatchFromState(oldState, oldEdges, bState,
+        batch, idCol, vecCol, cents, booksR, m, subDim, k, floats,
+        overfetch)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(edgesDir)
+      Similarity.appendPqGraphState(bState, stateDir, batchId)
+    }
+
+  /** TAKEDOWN for the streaming PQ-graph artifacts —
+    * [[knnGraphDeleteAndCompact]] on the code tier: fold all three
+    * artifacts to their current views, run [[graft.ext.Similarity
+    * .pqKnnGraphDelete]] (affected survivors re-rank against surviving
+    * CODE members; their own floats fetched by id from the primary
+    * store), and rewrite state, edges, AND the float store at the
+    * compacted `-1` epoch — the float rewrite drops the removed ids'
+    * vectors, which is the takedown's storage obligation (a masked
+    * read would keep the bytes). Run between triggers. Continuity: the
+    * post-delete artifacts are the rebuild over the survivors under
+    * the frozen quantizer, so later [[pqGraphIngestBatch]] triggers
+    * keep the accumulated-equals-rebuild invariant (spec-pinned).
+    * Returns (state rows, edge rows, float rows) after the rewrite.
+    */
+  def pqGraphDeleteAndCompact(spark: SparkSession, stateDir: String,
+      edgesDir: String, floatsDir: String, removeIds: DataFrame,
+      booksR: DataFrame, m: Int, subDim: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      overfetch: Int = graft.ext.Similarity.PqDefaultOverfetch)
+      : (Long, Long, Long) = {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val curState = spark.read.parquet(stateDir)
+      .withColumn("__mb",
+        max(col("batch_id")).over(Window.partitionBy(col("q_id"))))
+      .where(col("batch_id") === col("__mb"))
+      .drop("__mb", "batch_id")
+    val curEdges = Similarity.knnGraphCurrentEdges(spark, edgesDir)
+      .drop("batch_id")
+    val floats = spark.read.parquet(floatsDir).drop("batch_id")
+    val rm = removeIds
+      .select(col(removeIds.columns.head).cast("long").as("q_id"))
+      .distinct().localCheckpoint(true)
+    val newEdges = Similarity.pqKnnGraphDelete(curState, curEdges, rm,
+        booksR, m, subDim, k, floats, idCol, vecCol, overfetch)
+      .localCheckpoint(true)
+    val newState = curState.join(rm, Seq("q_id"), "left_anti")
+      .localCheckpoint(true)
+    val newFloats = floats
+      .join(rm.select(col("q_id").as(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val stateTmp = s"$stateDir.delete.tmp"
+    newState.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id", "ccell")
+      .parquet(stateTmp)
+    graft.pipeline.Pipeline.swap(spark, stateTmp, stateDir)
+    val edgesTmp = s"$edgesDir.delete.tmp"
+    newEdges.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(edgesTmp)
+    graft.pipeline.Pipeline.swap(spark, edgesTmp, edgesDir)
+    val floatsTmp = s"$floatsDir.delete.tmp"
+    newFloats.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(floatsTmp)
+    graft.pipeline.Pipeline.swap(spark, floatsTmp, floatsDir)
+    (spark.read.parquet(stateDir).count(),
+      spark.read.parquet(edgesDir).count(),
+      spark.read.parquet(floatsDir).count())
+  }
+
   /** TAKEDOWN for the streaming kNN-graph artifacts — the
     * [[clusterDeleteAndCompact]] discipline applied to the graph pair:
     * fold both artifacts to their current views, run

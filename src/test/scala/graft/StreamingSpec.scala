@@ -709,6 +709,64 @@ class StreamingSpec extends AnyFunSuite {
       "post-compaction triggers still see the whole corpus")
   }
 
+  test("pqGraphIngestBatch: accumulated code-tier graph ≡ float rebuild " +
+    "at the ceiling; replay-idempotent; takedown rewrites state, edges " +
+    "AND the float store; post-takedown triggers stay exact") {
+    import graft.ext.Similarity
+    val base = java.nio.file.Files.createTempDirectory("pq_graph_stream")
+    val (stateDir, edgesDir, floatsDir) =
+      (s"$base/state", s"$base/edges", s"$base/floats")
+    def mk(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 13 + j * 5) % 19 - 9).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (b0, b1, b2) = (mk(0, 12), mk(12, 20), mk(20, 30))
+    // BOTH quantizers frozen at stream start (the faiss add contract)
+    val cents = Similarity.kmeansCentroids(b0, "vec_id", "embedding",
+      k = 3, iters = 2).localCheckpoint(true)
+    val resid = Similarity.residualVectors(b0, "vec_id", "embedding",
+      cents).localCheckpoint(true)
+    val books = Similarity.pqCodebooks(resid, "vec_id", "rvec",
+      m = 4, subDim = 4, k = 8, iters = 2).localCheckpoint(true)
+    def ingest(b: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingIngest.pqGraphIngestBatch(b, id, stateDir, edgesDir,
+        floatsDir, cents, books, m = 4, subDim = 4, k = 3, nprobe = 2,
+        overfetch = 20) // ceiling: k·20 = 60 ≥ any candidate count here
+    def current() = Similarity.knnGraphCurrentEdges(spark, edgesDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"c_id", $"cos", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    ingest(b0, 0L); ingest(b1, 1L); ingest(b2, 2L)
+    val all = b0.unionByName(b1).unionByName(b2)
+    val rebuilt = rows(Similarity.knnGraph(all, "vec_id", "embedding",
+      cents, k = 3, nprobe = 2))
+    assert(rows(current()) == rebuilt,
+      "three code-tier triggers must equal the one-shot float rebuild")
+    ingest(b2, 2L)
+    assert(rows(current()) == rebuilt, "replay rewrites identical state")
+    // takedown between triggers: all three artifacts rewritten at -1
+    val rmIds = Seq(3L, 14L, 25L)
+    val surv = all.where(!$"vec_id".isin(rmIds: _*))
+    val (sn, en, fn) = StreamingIngest.pqGraphDeleteAndCompact(spark,
+      stateDir, edgesDir, floatsDir, rmIds.toDF("vec_id"), books,
+      m = 4, subDim = 4, k = 3, overfetch = 20)
+    assert(rows(current()) == rows(Similarity.knnGraph(surv, "vec_id",
+      "embedding", cents, k = 3, nprobe = 2)),
+      "post-takedown graph equals the rebuild over the survivors")
+    assert(fn == surv.count(),
+      "the float store must DROP the removed ids' vectors")
+    assert(sn == surv.count() * 2, "nprobe state rows per survivor")
+    assert(en > 0)
+    // continuity: the next trigger maintains the post-takedown graph
+    val b3 = mk(30, 34)
+    ingest(b3, 3L)
+    assert(rows(current()) == rows(Similarity.knnGraph(
+      surv.unionByName(b3), "vec_id", "embedding", cents, k = 3,
+      nprobe = 2)),
+      "post-takedown triggers keep the accumulated ≡ rebuild invariant")
+  }
+
   test("semDedupBatch: greedy streaming semantic dedup, replay-idempotent") {
     import graft.ext.Similarity
     val base = java.nio.file.Files.createTempDirectory("semdedup_stream")

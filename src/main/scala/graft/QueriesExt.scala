@@ -1715,6 +1715,44 @@ object QueriesExt {
                HAVING max(${cosSql("v_t", "v_e")}) >= 0.25
                ORDER BY vec_id""")),
 
+    // semantic decontamination off the frozen IVF-PQ artifact (round 13
+    // — the {SQ8, PQ} × operator matrix's last empty cell): the train
+    // corpus sweep reads 8 B/vector codes + the stored true norm, each
+    // eval vector's ADC LUT scores every code row cell-UNRESTRICTED
+    // (recall governed by margin, not probe width — the q134 contract),
+    // floats confirm candidates by id. Run at the CEILING margin where
+    // every pair reaches the exact confirm — provably the float form,
+    // so the oracle is q134's verbatim
+    Q("q171_semantic_decon_pq",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val train = e.where(col("vec_id") % 23 =!= 0)
+        val cents = Similarity.kmeansCentroids(train, "vec_id",
+          "embedding", k = 8, iters = 2).localCheckpoint(true)
+        val res = Similarity.residualVectors(train, "vec_id", "embedding",
+          cents).localCheckpoint(true)
+        val booksR = Similarity.pqCodebooks(res, "vec_id", "rvec",
+          m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+        val path = artifactPath("ivf_pq_decon_q171")
+        Similarity.saveIvfPqIndex(train, "vec_id", "embedding", cents,
+          booksR, m = 4, subDim = 16, path)
+        Similarity.semanticContaminatedIdsFromIndexPq(
+            Similarity.loadIvfPqIndex(s, path), train,
+            e.where(col("vec_id") % 23 === 0), "vec_id", "embedding",
+            cents, booksR, m = 4, subDim = 16, threshold = 0.25,
+            margin = 2.25)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH ev AS (SELECT embedding AS v_e FROM embeddings
+                           WHERE vec_id % 23 = 0),
+                    tr AS (SELECT vec_id, embedding AS v_t FROM embeddings
+                           WHERE vec_id % 23 <> 0)
+               SELECT vec_id, max(${cosSql("v_t", "v_e")}) AS max_cos
+               FROM tr CROSS JOIN ev
+               GROUP BY vec_id
+               HAVING max(${cosSql("v_t", "v_e")}) >= 0.25
+               ORDER BY vec_id""")),
+
     // incremental IVF-SQ index: the quantizer is trained on the OLD
     // corpus and frozen (the faiss `add` contract); the batch is
     // quantized + assigned against the frozen centroids and appended —

@@ -2277,6 +2277,68 @@ object Similarity {
       .unionByName(rebuilt)
   }
 
+  /** [[semanticContaminatedIdsFromIndex]] on the PQ tier — eval-set
+    * decontamination where the train corpus exists as its 8 B/vector
+    * code artifact (closing the {SQ8, PQ} × operator matrix's last
+    * empty cell: every other column — topK, filtered, auto, semDedup,
+    * graph, maintenance, delete — already has both rows). Each eval
+    * vector's ADC LUT ([[pqLutExpr]]) and per-cell qc terms score
+    * EVERY index row as `adc_cos = (qc(ccell) + Σ lut[codes]) /
+    * (vnorm · ‖e‖)` — `vnorm` is the stored TRUE norm, so the
+    * denominator is exact and the only approximation is the dot
+    * reconstruction. Rows at `adc_cos ≥ threshold − margin` reach the
+    * float confirm (train floats consulted by candidate id alone).
+    *
+    * Cell-UNRESTRICTED like the SQ8 form — the sweep reads the whole
+    * compact artifact, so recall is governed by `margin` alone, never
+    * probe width. At the CEILING margin (≥ 2 + |threshold| — even the
+    * −2 zero-norm sentinel passes) every (train, eval) pair reaches
+    * the exact confirm and the result is provably the float
+    * [[semanticContaminatedIds]] — q171 runs there against q134's
+    * oracle; production margins are a measured knob (AnnSweep's
+    * pqmargin section measures the same |adc_cos − cos| kernel).
+    *
+    * Scale shape: the sweep is index-rows × eval (eval is
+    * broadcast-sized by the decontamination contract, as in the SQ8
+    * form); the index side reads codes + vnorm only; float reads are
+    * the confirm candidates.
+    */
+  def semanticContaminatedIdsFromIndexPq(index: DataFrame,
+      train: DataFrame, eval_ : DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, booksR: DataFrame, m: Int, subDim: Int,
+      threshold: Double, margin: Double): DataFrame = {
+    val (books, stride) = pqBooksLit(booksR)
+    val cvecs = cellCentroidVectors(cents)
+    val ev = eval_.select(col(idCol).as("e_id"), col(vecCol).as("e_vec"),
+      norm(col(vecCol)).as("e_norm"))
+    val evLut = ev.select(col("e_id"), col("e_norm"),
+      pqLutExpr(col("e_vec"), books, stride, m, subDim).as("__lut"))
+    val evQc = ev.crossJoin(broadcast(cvecs))
+      .select(col("e_id"), col("cell").as("ccell"),
+        round(dot(col("e_vec"), col("centroid")), 6)
+          .cast("decimal(28,8)").as("qc"))
+    val adcCos = when(col("vnorm") * col("e_norm") === lit(0.0), lit(-2.0))
+      .otherwise(
+        (col("qc") + pqLutSum(col("__lut"), col("codes"), stride, m))
+          .cast("double") / (col("vnorm") * col("e_norm")))
+    val cand = index.select(col(idCol).as("id"), col("ccell"),
+        col("codes"), col("vnorm"))
+      .join(broadcast(evQc), Seq("ccell"))
+      .join(broadcast(evLut), Seq("e_id"))
+      .where(adcCos >= lit(threshold - margin))
+      .select(col("id"), col("e_id"))
+    val tr = train.select(col(idCol).as("id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    cand
+      .join(broadcast(ev.select(col("e_id"), col("e_vec").as("c_vec"),
+        col("e_norm").as("c_norm"))), Seq("e_id"))
+      .join(tr, Seq("id"))
+      .select(col("id"), cosPrenormed.as("cos"))
+      .groupBy(col("id")).agg(max(col("cos")).as("max_cos"))
+      .where(col("max_cos") >= threshold)
+      .select(col("id").as(idCol), col("max_cos"))
+  }
+
   /** Filtered ANN on the PQ tier with the probe count sized for the
     * predicate — [[ivfQuantizedTopKAuto]]'s contract carried to the
     * billion-vector tier (the round-11 gap: the selectivity-aware

@@ -1406,6 +1406,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == rebuilt && got.nonEmpty)
   }
 
+  test("semanticContaminatedIdsFromIndexPq at the ceiling margin equals " +
+    "the float decontamination (the q134 contract on the code tier)") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 23 - 11).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val train = vecs.where($"vec_id" % 5 =!= 0)
+    val ev = vecs.where($"vec_id" % 5 === 0)
+    val cents = Similarity.kmeansCentroids(train, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val resid = Similarity.residualVectors(train, "vec_id", "embedding",
+      cents).localCheckpoint(true)
+    val books = Similarity.pqCodebooks(resid, "vec_id", "rvec",
+      m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+    val idx = Similarity.ivfPqIndex(train, "vec_id", "embedding", cents,
+      books, m = 4, subDim = 16).localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(_.toSeq.toList).toSet
+    val got = rows(Similarity.semanticContaminatedIdsFromIndexPq(idx,
+      train, ev, "vec_id", "embedding", cents, books, m = 4, subDim = 16,
+      threshold = 0.25, margin = 2.25))
+    val fl = rows(Similarity.semanticContaminatedIds(train, ev,
+      "vec_id", "embedding", threshold = 0.25))
+    assert(got == fl && got.nonEmpty)
+  }
+
   test("pqKnnGraphDelete at the overfetch ceiling equals the float " +
     "knnGraphDelete and hence the frozen-quantizer rebuild over the " +
     "survivors — the q161 identity on the code-only state") {

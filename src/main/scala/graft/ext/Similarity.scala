@@ -1907,17 +1907,54 @@ object Similarity {
   def knnGraphPq(index: DataFrame, cents: DataFrame, booksR: DataFrame,
       corpus: DataFrame, idCol: String, vecCol: String, m: Int,
       subDim: Int, k: Int, nprobe: Int,
-      overfetch: Int = PqDefaultOverfetch): DataFrame = {
+      overfetch: Int = PqDefaultOverfetch): DataFrame =
+    ivfPqTopKShuffled(index, cents, booksR, corpus, corpus, idCol,
+      vecCol, m, subDim, k, nprobe, overfetch)
+
+  /** [[ivfPqTopKFromIndex]] for query sets too large to broadcast — the
+    * cross-corpus ANN JOIN (score every row of one corpus against
+    * another's PQ artifact: batch inference over a reference store,
+    * corpus-vs-corpus linking, and — with queries = corpus — the
+    * [[knnGraphPq]] graph itself, which is this kernel's q=c case).
+    * The broadcast kernel's probe table and per-query LUT are
+    * query-set-sized; past broadcast scale they OOM, so this form
+    * routes both through the cell-keyed shuffle plan: probes and code
+    * members meet in a shuffle join carrying ids/qc/codes, each
+    * query's [[pqLutExpr]] LUT rides the q_id-keyed join that shares
+    * the rank window's exchange, and floats rescore survivors by id
+    * from their respective stores. ADC terms, tie orders, and the
+    * probe window are bit-identical to the broadcast kernel — the two
+    * forms return IDENTICAL results at every config (spec-pinned
+    * differentially), the choice is purely a plan decision by query
+    * scale. Self-pairs (q_id = c_id) are excluded, the
+    * [[ivfPqTopKFromIndex]] rule.
+    *
+    * The one contract loss vs the broadcast form: no DPP — the probe
+    * side is not a broadcast, so the (batch_id, ccell) artifact scan
+    * is not partition-pruned to probed cells. For corpus-scale query
+    * sets every cell is probed anyway (the graph case); for genuinely
+    * small query sets use the broadcast kernel and keep the pruning.
+    */
+  def ivfPqTopKShuffled(index: DataFrame, cents: DataFrame,
+      booksR: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int, k: Int,
+      nprobe: Int, overfetch: Int = PqDefaultOverfetch): DataFrame = {
     val (books, stride) = pqBooksLit(booksR)
-    val probes = pqGraphProbes(corpus, idCol, vecCol, cents, nprobe)
+    val probes = pqGraphProbes(queries, idCol, vecCol, cents, nprobe)
       .select(col("q_id"), col("ccell"), col("qc"))
-    val qVecs = corpus.select(col(idCol).as("q_id"),
+    val qVecs = queries.select(col(idCol).as("q_id"),
       col(vecCol).as("q_vec"))
     val members = index.select(col(idCol).as("c_id"), col("ccell"),
       col("codes"))
     val cand = pqAdcCandidates(probes, qVecs, members, books, stride, m,
       subDim, k * overfetch)
-    rankEdges(exactCosPairs(cand, corpus, idCol, vecCol), k)
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    rankEdges(
+      cand.join(c, Seq("c_id")).join(q, Seq("q_id"))
+        .select(col("q_id"), col("c_id"), cosPrenormed.as("cos")), k)
   }
 
   /** The residual codebooks as a DENSE literal array column indexed by

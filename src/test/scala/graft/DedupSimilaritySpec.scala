@@ -1406,6 +1406,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == rebuilt && got.nonEmpty)
   }
 
+  test("ivfPqTopKShuffled equals the broadcast kernel at every config " +
+    "point tried — same ADC decimals, same tie orders; only the plan " +
+    "differs") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 23 - 11).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val resid = Similarity.residualVectors(vecs, "vec_id", "embedding",
+      cents).localCheckpoint(true)
+    val books = Similarity.pqCodebooks(resid, "vec_id", "rvec",
+      m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+    val idx = Similarity.ivfPqIndex(vecs, "vec_id", "embedding", cents,
+      books, m = 4, subDim = 16).localCheckpoint(true)
+    val q = vecs.where($"vec_id" % 9 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(_.toSeq.toList).toSet
+    // non-ceiling configs: candidate ORDER matters, so equality here
+    // proves the ADC decimals and tie-breaks match bit-for-bit
+    for ((np, of) <- Seq((1, 2), (2, 2), (4, 4))) {
+      val sh = rows(Similarity.ivfPqTopKShuffled(idx, cents, books, q,
+        vecs, "vec_id", "embedding", m = 4, subDim = 16, k = 3,
+        nprobe = np, overfetch = of))
+      val bc = rows(Similarity.ivfPqTopKFromIndex(idx, cents, books, q,
+        vecs, "vec_id", "embedding", m = 4, subDim = 16, k = 3,
+        nprobe = np, overfetch = of))
+      assert(sh == bc && sh.nonEmpty, s"nprobe=$np overfetch=$of")
+    }
+  }
+
   test("semanticContaminatedIdsFromIndexPq at the ceiling margin equals " +
     "the float decontamination (the q134 contract on the code tier)") {
     val vecs = (0 until 40).map { i =>

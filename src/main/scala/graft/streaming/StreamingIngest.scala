@@ -704,6 +704,11 @@ object StreamingIngest {
               belowBatch = Some(batchId))
             graft.ext.Similarity.compactKnnGraphEdges(spark, edgesDir,
               belowBatch = Some(batchId))
+            // the float store folds too — one partition per trigger
+            // otherwise (ids are unique across the stream, so the
+            // latest-epoch fold keeps exactly one row per id)
+            graft.ext.Similarity.compactVersionedIndex(spark, floatsDir,
+              idCol, Seq("batch_id"), belowBatch = Some(batchId))
             ()
           }
         }

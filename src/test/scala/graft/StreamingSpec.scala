@@ -761,10 +761,30 @@ class StreamingSpec extends AnyFunSuite {
     // continuity: the next trigger maintains the post-takedown graph
     val b3 = mk(30, 34)
     ingest(b3, 3L)
-    assert(rows(current()) == rows(Similarity.knnGraph(
+    val afterB3 = rows(Similarity.knnGraph(
       surv.unionByName(b3), "vec_id", "embedding", cents, k = 3,
-      nprobe = 2)),
+      nprobe = 2))
+    assert(rows(current()) == afterB3,
       "post-takedown triggers keep the accumulated ≡ rebuild invariant")
+    // the compactEvery trio folds all THREE artifacts without changing
+    // the current view; floats keep exactly one row per live id
+    Similarity.compactPqGraphState(spark, stateDir, belowBatch = Some(4L))
+    Similarity.compactKnnGraphEdges(spark, edgesDir, belowBatch = Some(4L))
+    Similarity.compactVersionedIndex(spark, floatsDir, "vec_id",
+      Seq("batch_id"), belowBatch = Some(4L))
+    assert(rows(current()) == afterB3, "compaction preserves the graph")
+    val fl = spark.read.parquet(floatsDir)
+    assert(fl.select("batch_id").distinct().as[Long].collect().toSeq ==
+      Seq(-1L))
+    assert(fl.count() == surv.count() + 4,
+      "one folded float row per live id")
+    // and the stream keeps working on the folded artifacts
+    val b4 = mk(34, 38)
+    ingest(b4, 4L)
+    assert(rows(current()) == rows(Similarity.knnGraph(
+      surv.unionByName(b3).unionByName(b4), "vec_id", "embedding", cents,
+      k = 3, nprobe = 2)),
+      "post-compaction triggers still see the whole corpus")
   }
 
   test("semDedupBatch: greedy streaming semantic dedup, replay-idempotent") {

@@ -2682,7 +2682,11 @@ object QueriesExt {
     Q("q167_multirow_asset_dedup",
       (s, d) => {
         import s.implicits._
+        // even-id half (the q159 gate-halving precedent): the verdict
+        // arithmetic is corpus-size-independent, and the in-query
+        // synthesis of three media corpora dominates the bench line
         val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .filter((id: Long) => id % 2 == 0)
         val off = copyIdOffset(ids)
         val copyIds = ids.filter((id: Long) =>
           id % 6 == 0 || id % 10 == 0 || id % 15 == 0)
@@ -2755,9 +2759,10 @@ object QueriesExt {
                              ELSE []::VARCHAR[] END)
                      || (CASE WHEN doc_id % 15 = 0 THEN ['video']
                              ELSE []::VARCHAR[] END)), ',') AS mods
-              FROM documents)
+              FROM documents WHERE doc_id % 2 = 0)
               SELECT doc_id AS id_a,
-                     doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id_b,
+                     doc_id + (SELECT max(doc_id) + 1 FROM documents
+                               WHERE doc_id % 2 = 0) AS id_b,
                      CAST(nm AS INT) AS n_modalities,
                      mods AS modalities,
                      FALSE AS both_new

@@ -523,6 +523,42 @@ object QueriesAnalytics {
             FROM documents ORDER BY doc_id"""
       }),
 
+    // LEAKAGE-FREE split (round 13): assignSplit keyed by duplicate
+    // cluster, so a dup pair can never straddle the train/val boundary
+    // — the classic eval-leakage hole in row-hash splits. Clusters here
+    // are the exact fingerprint groups (q20's relation, oracle-exact
+    // without a recursive CC); near-dup cluster tables plug in
+    // identically (spec-pinned on dupClusters output)
+    Q("q172_cluster_aware_split",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val stamped = docs.select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("__fp"))
+        val cl = stamped.join(
+          stamped.groupBy(col("__fp"))
+            .agg(min(col("doc_id")).as("cluster_id")),
+          Seq("__fp"))
+          .select(col("doc_id"), col("cluster_id"))
+        Sampling.clusterAwareSplit(docs, "doc_id", cl,
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            salt = "graft")
+          .select(col("doc_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val bucket = "CAST(CAST(('0x' || substring(md5('graft' || " +
+          "CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)"
+        s"""WITH f AS (SELECT doc_id,
+                  md5(array_to_string($toksSql, ' ')) AS fp FROM documents),
+             cl AS (SELECT doc_id,
+                  min(doc_id) OVER (PARTITION BY fp) AS cluster_id FROM f)
+            SELECT doc_id,
+              CASE WHEN $bucket < 0.8 * 4294967296.0 THEN 'train'
+                   WHEN $bucket < 0.9 * 4294967296.0 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM cl ORDER BY doc_id"""
+      }),
+
     // benchmark decontamination: drop train docs sharing any 5-gram with
     // the "eval suite" (a deterministic corpus subset); the subset's own
     // members are guaranteed contaminated, near-dups likewise

@@ -60,6 +60,38 @@ object Sampling {
     df.withColumn(as, splitCol)
   }
 
+  /** Leakage-free split assignment — [[assignSplit]] keyed by DUPLICATE
+    * CLUSTER rather than row id, so a near-duplicate pair can never
+    * straddle a train/val boundary (the classic eval-leakage hole in
+    * row-hash splits: a doc lands in train while its near-copy lands in
+    * val, and the eval then measures memorization, not generalization).
+    * `clusters` is any (idCol, cluster_id) assignment —
+    * [[graft.ext.Dedup.dupClusters]] output, the streamed cluster
+    * artifact's current view, or exact fingerprint groups; rows absent
+    * from it are singletons and split on their own id, which is exactly
+    * [[assignSplit]]'s behavior (with an empty cluster table this IS
+    * assignSplit, spec-pinned). Determinism and rerun-stability carry
+    * over, and a NEW member of an existing cluster joins its cluster's
+    * established side (the label's hash is unchanged). The one
+    * instability inherited from min-label clustering: a later ingest
+    * that introduces a smaller id into a cluster changes the label
+    * itself, so the cluster may re-split — exactly when the cluster's
+    * identity changes, never silently.
+    *
+    * Scale shape: one id-keyed left join (corpus-linear) on top of
+    * [[assignSplit]]'s per-row hash — no global pass, no rand().
+    */
+  def clusterAwareSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+      weights: Seq[(String, Double)], salt: String = "graft",
+      as: String = "split"): DataFrame = {
+    val cl = clusters.select(col(idCol), col("cluster_id").as("__cl"))
+    assignSplit(
+      df.join(cl, Seq(idCol), "left")
+        .withColumn("__skey", coalesce(col("__cl"), col(idCol))),
+      "__skey", weights, salt, as)
+      .drop("__cl", "__skey")
+  }
+
   /** Budget-capped selection: walk the rows in `rankBy` order (highest
     * priority first — e.g. quality score descending) and keep each row
     * while the running total of `weightCol` (e.g. its token count) stays

@@ -133,6 +133,58 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(shifted == counts("train"), "prefix ranges are stable under re-weighting the tail")
   }
 
+  test("clusterAwareSplit: no near-dup pair straddles the boundary; " +
+    "singletons and the empty cluster table degrade to assignSplit; a " +
+    "new cluster member joins its cluster's established side") {
+    import graft.ext.{Dedup, Sampling}
+    val docs = (1L to 60L).map { i =>
+      // every 4th doc is a near-copy of its predecessor
+      val base = if (i % 4 == 0) i - 1 else i
+      (i, s"unique tokens for document number $base with enough words " +
+        s"to shingle reliably across the corpus run $base")
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
+    val clusters = Dedup.dupClusters(docs.select($"doc_id"), "doc_id",
+      pairs).localCheckpoint(true)
+    val w = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2)
+    val split = Sampling.clusterAwareSplit(docs, "doc_id", clusters, w)
+      .select($"doc_id", $"split").localCheckpoint(true)
+    // the leakage property: every pair's two sides share a split
+    val straddles = pairs.select($"id_a", $"id_b")
+      .join(split.select($"doc_id".as("id_a"), $"split".as("sa")), Seq("id_a"))
+      .join(split.select($"doc_id".as("id_b"), $"split".as("sb")), Seq("id_b"))
+      .where($"sa" =!= $"sb").count()
+    assert(pairs.count() > 0 && straddles == 0L,
+      "a near-dup pair must never straddle a split boundary")
+    // the row-hash split DOES leak on this corpus — the hole being closed
+    val rowSplit = Sampling.assignSplit(docs, "doc_id", w)
+    val rowStraddles = pairs.select($"id_a", $"id_b")
+      .join(rowSplit.select($"doc_id".as("id_a"), $"split".as("sa")), Seq("id_a"))
+      .join(rowSplit.select($"doc_id".as("id_b"), $"split".as("sb")), Seq("id_b"))
+      .where($"sa" =!= $"sb").count()
+    assert(rowStraddles > 0L, "fixture must make the row-hash split leak")
+    // empty cluster table ≡ assignSplit, row for row
+    val viaEmpty = Sampling.clusterAwareSplit(docs, "doc_id",
+      clusters.limit(0), w).select($"doc_id", $"split")
+    assert(viaEmpty.collect().toSet ==
+      rowSplit.select($"doc_id", $"split").collect().toSet)
+    // a new member of an existing cluster joins that cluster's side
+    val grown = docs.unionByName(Seq((100L,
+      "unique tokens for document number 3 with enough words to " +
+        "shingle reliably across the corpus run 3")).toDF("doc_id", "text"))
+    val grownPairs = Dedup.minhashDupPairs(grown, "doc_id", "text",
+      shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
+    val grownClusters = Dedup.dupClusters(grown.select($"doc_id"),
+      "doc_id", grownPairs)
+    val grownSplit = Sampling.clusterAwareSplit(grown, "doc_id",
+      grownClusters, w)
+    def splitOf(df: org.apache.spark.sql.DataFrame, id: Long) = df
+      .where($"doc_id" === id).select($"split").head().getString(0)
+    assert(splitOf(grownSplit, 100L) == splitOf(split, 3L),
+      "the late near-copy of doc 3 lands on doc 3's established side")
+  }
+
   test("chunkByTokens: stride windows, full coverage, short docs one chunk") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens

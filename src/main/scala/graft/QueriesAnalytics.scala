@@ -523,6 +523,51 @@ object QueriesAnalytics {
             FROM documents ORDER BY doc_id"""
       }),
 
+    // static training-mix plan (round 13 — the data-mixing stage):
+    // per-language token availability vs target mix weights, sized to a
+    // budget derived from the corpus itself (4× total chars, so the
+    // fixture forces BOTH branches at any sf: heavy-weight strata hit
+    // the 3-epoch repetition cap, the light-weight one stays under it).
+    // All arithmetic floor/round with one operation order — replayed
+    // exactly in SQL
+    Q("q173_mix_plan",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val total = docs.agg(sum(col("n_chars")).cast("long")).head().getLong(0)
+        Sampling.mixPlan(docs, "lang", col("n_chars"),
+            Seq("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15, "fr" -> 0.15,
+              "es" -> 0.05),
+            budget = 4L * total, maxEpochs = 3.0)
+          .orderBy(col("stratum"))
+      },
+      Some("""WITH tot AS (SELECT 4 * CAST(sum(n_chars) AS BIGINT) AS budget
+                           FROM documents),
+               a AS (SELECT lang AS stratum,
+                            CAST(sum(n_chars) AS BIGINT) AS available_tokens
+                     FROM documents GROUP BY lang),
+               w AS (SELECT stratum, available_tokens,
+                            CASE stratum WHEN 'en' THEN 0.4
+                                         WHEN 'zh' THEN 0.25
+                                         WHEN 'de' THEN 0.15
+                                         WHEN 'fr' THEN 0.15
+                                         WHEN 'es' THEN 0.05
+                                         ELSE 0.0 END AS weight
+                     FROM a),
+               t AS (SELECT stratum, available_tokens, weight,
+                            CAST(floor((SELECT budget FROM tot)
+                              * weight / 1.0) AS BIGINT) AS target_tokens
+                     FROM w),
+               p AS (SELECT *,
+                            least(target_tokens,
+                              CAST(floor(CAST(available_tokens AS DOUBLE)
+                                * 3.0) AS BIGINT)) AS planned_tokens
+                     FROM t)
+              SELECT stratum, available_tokens, weight, target_tokens,
+                     planned_tokens,
+                     round(CAST(planned_tokens AS DOUBLE)
+                       / CAST(available_tokens AS DOUBLE), 6) AS epochs
+              FROM p ORDER BY stratum""")),
+
     // LEAKAGE-FREE split (round 13): assignSplit keyed by duplicate
     // cluster, so a dup pair can never straddle the train/val boundary
     // — the classic eval-leakage hole in row-hash splits. Clusters here

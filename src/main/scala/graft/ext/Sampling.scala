@@ -92,6 +92,51 @@ object Sampling {
       .drop("__cl", "__skey")
   }
 
+  /** Static training-mix plan — the data-MIXING stage of a pre-training
+    * pipeline: given per-stratum token availability and target mix
+    * weights, size each stratum's contribution to a token budget.
+    *
+    *   - `target_tokens  = floor(budget · w / Σw)` — the stratum's share
+    *     of the budget under the requested mix;
+    *   - `planned_tokens = least(target, floor(available · maxEpochs))`
+    *     — the REPETITION CAP: upsampling a small stratum past a few
+    *     epochs degrades quality, so the plan surfaces the shortfall
+    *     instead of silently over-repeating;
+    *   - `epochs = round(planned / available, 6)` (> 1 = upsampling,
+    *     < 1 = downsampling) — the knob [[sampleByTemperature]] /
+    *     [[deterministicSample]] / [[selectByBudget]] consume
+    *     downstream.
+    *
+    * Strata without a weight entry get weight 0 and a zero plan — kept
+    * in the output for auditability, never silently dropped. One
+    * groupBy over the corpus; the plan itself is a strata-sized table.
+    * Integer token arithmetic uses explicit `floor` (CAST truncation
+    * semantics differ across engines) and the double arithmetic keeps
+    * one operation order, so an oracle replays it bit-exactly.
+    */
+  def mixPlan(df: DataFrame, stratumCol: String, tokensCol: Column,
+      weights: Seq[(String, Double)], budget: Long,
+      maxEpochs: Double = 3.0): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0.0),
+      "mix weights must be non-negative and non-empty")
+    require(budget >= 0L && maxEpochs > 0.0,
+      s"need budget >= 0 and maxEpochs > 0: $budget/$maxEpochs")
+    val sumW = weights.map(_._2).sum
+    require(sumW > 0.0, "mix weights must not all be zero")
+    val wmap = typedlit(weights.toMap)
+    df.groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(tokensCol).cast("long").as("available_tokens"))
+      .withColumn("weight",
+        coalesce(element_at(wmap, col("stratum")), lit(0.0)))
+      .withColumn("target_tokens",
+        floor(lit(budget) * col("weight") / lit(sumW)).cast("long"))
+      .withColumn("planned_tokens",
+        least(col("target_tokens"),
+          floor(col("available_tokens") * lit(maxEpochs)).cast("long")))
+      .withColumn("epochs",
+        round(col("planned_tokens") / col("available_tokens"), 6))
+  }
+
   /** Budget-capped selection: walk the rows in `rankBy` order (highest
     * priority first — e.g. quality score descending) and keep each row
     * while the running total of `weightCol` (e.g. its token count) stays

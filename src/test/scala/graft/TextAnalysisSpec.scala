@@ -133,6 +133,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(shifted == counts("train"), "prefix ranges are stable under re-weighting the tail")
   }
 
+  test("mixPlan: budget shares by weight, repetition cap binds exactly " +
+    "when the target exceeds maxEpochs x availability, unweighted " +
+    "strata keep an auditable zero plan") {
+    import graft.ext.Sampling
+    val rows = Seq(
+      ("a", 100L), ("a", 100L),   // available 200
+      ("b", 500L), ("b", 500L),   // available 1000
+      ("c", 50L))                 // available 50, NO weight entry
+      .toDF("src", "toks")
+    val plan = Sampling.mixPlan(rows, "src", col("toks"),
+        Seq("a" -> 0.75, "b" -> 0.25), budget = 2000L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    // a: target 1500 but capped at 2 x 200 = 400 -> epochs 2.0
+    assert(plan("a") == ((200L, 0.75, 1500L, 400L, 2.0)))
+    // b: target 500 under the 2000 cap -> epochs 0.5 (downsampling)
+    assert(plan("b") == ((1000L, 0.25, 500L, 500L, 0.5)))
+    // c: no weight -> zero plan, still present
+    assert(plan("c") == ((50L, 0.0, 0L, 0L, 0.0)))
+  }
+
   test("clusterAwareSplit: no near-dup pair straddles the boundary; " +
     "singletons and the empty cluster table degrade to assignSplit; a " +
     "new cluster member joins its cluster's established side") {

@@ -568,6 +568,63 @@ object QueriesAnalytics {
                        / CAST(available_tokens AS DOUBLE), 6) AS epochs
               FROM p ORDER BY stratum""")),
 
+    // mix-plan MATERIALIZATION (round 13 — the replication step the
+    // training loop consumes): every doc appears floor(epochs) times
+    // plus a deterministic hash-bucket fraction a third time; copy_idx
+    // distinguishes replicas. The oracle rebuilds q173's plan in CTEs
+    // and replays the per-(doc, copy) md5 bucket arithmetic
+    Q("q174_mix_materialize",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val total = docs.agg(sum(col("n_chars")).cast("long")).head().getLong(0)
+        val plan = Sampling.mixPlan(docs, "lang", col("n_chars"),
+          Seq("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15, "fr" -> 0.15,
+            "es" -> 0.05),
+          budget = 4L * total, maxEpochs = 3.0)
+        Sampling.applyMixPlan(docs, "doc_id", "lang", plan)
+          .select(col("doc_id"), col("copy_idx"))
+          .orderBy(col("doc_id"), col("copy_idx"))
+      },
+      Some {
+        val bucket = "CAST(CAST(('0x' || substring(md5('graft-mix' || " +
+          "CAST(doc_id AS VARCHAR) || '#' || CAST(copy_idx AS VARCHAR))" +
+          ", 1, 8)) AS BIGINT) AS DOUBLE)"
+        s"""WITH tot AS (SELECT 4 * CAST(sum(n_chars) AS BIGINT) AS budget
+                         FROM documents),
+             a AS (SELECT lang AS stratum,
+                          CAST(sum(n_chars) AS BIGINT) AS available_tokens
+                   FROM documents GROUP BY lang),
+             w AS (SELECT stratum, available_tokens,
+                          CASE stratum WHEN 'en' THEN 0.4
+                                       WHEN 'zh' THEN 0.25
+                                       WHEN 'de' THEN 0.15
+                                       WHEN 'fr' THEN 0.15
+                                       WHEN 'es' THEN 0.05
+                                       ELSE 0.0 END AS weight
+                   FROM a),
+             t AS (SELECT stratum, available_tokens, weight,
+                          CAST(floor((SELECT budget FROM tot)
+                            * weight / 1.0) AS BIGINT) AS target_tokens
+                   FROM w),
+             p AS (SELECT stratum,
+                          round(CAST(least(target_tokens,
+                              CAST(floor(CAST(available_tokens AS DOUBLE)
+                                * 3.0) AS BIGINT)) AS DOUBLE)
+                            / CAST(available_tokens AS DOUBLE), 6)
+                            AS epochs
+                   FROM t),
+             c AS (SELECT doc_id, epochs,
+                          CAST(floor(epochs) AS INT) AS fl
+                   FROM documents JOIN p ON p.stratum = documents.lang),
+             x AS (SELECT doc_id, epochs, fl,
+                          CAST(u.i AS INT) AS copy_idx
+                   FROM c CROSS JOIN range(0, 4) u(i)
+                   WHERE u.i <= fl)
+            SELECT doc_id, copy_idx FROM x
+            WHERE copy_idx < fl OR $bucket < (epochs - fl) * 4294967296.0
+            ORDER BY doc_id, copy_idx"""
+      }),
+
     // LEAKAGE-FREE split (round 13): assignSplit keyed by duplicate
     // cluster, so a dup pair can never straddle the train/val boundary
     // — the classic eval-leakage hole in row-hash splits. Clusters here

@@ -137,6 +137,37 @@ object Sampling {
         round(col("planned_tokens") / col("available_tokens"), 6))
   }
 
+  /** Materialize a [[mixPlan]] — the replication step the training
+    * pipeline actually consumes: each row of a stratum with `epochs` e
+    * emits ⌊e⌋ full copies plus ONE fractional copy kept iff the row's
+    * (salt, id, copy) hash bucket falls under the remainder — so a
+    * stratum at e = 2.4 sees every row twice and a deterministic 40%
+    * of rows a third time, and one at e = 0.5 keeps a deterministic
+    * half. `copy_idx` distinguishes replicas (downstream packing and
+    * shuffling treat them as distinct rows). Per-row and
+    * layout-independent like every sampler here: a row's copy set is a
+    * pure function of (salt, id, its stratum's epochs) — reruns,
+    * repartitions, and data growth never change it. Strata absent from
+    * the plan (or at epochs 0) emit nothing, matching [[mixPlan]]'s
+    * zero-plan contract.
+    *
+    * Scale shape: one broadcast join against the strata-sized plan +
+    * a per-row explode of ⌈e⌉ candidates — output-linear, no shuffle.
+    */
+  def applyMixPlan(df: DataFrame, idCol: String, stratumCol: String,
+      plan: DataFrame, salt: String = "graft-mix"): DataFrame = {
+    val p = plan.select(col("stratum").as(stratumCol), col("epochs"))
+    df.join(broadcast(p), Seq(stratumCol))
+      .withColumn("__full", floor(col("epochs")).cast("int"))
+      .withColumn("copy_idx",
+        explode(sequence(lit(0), col("__full"))))
+      .where(col("copy_idx") < col("__full") ||
+        hashBucket(concat(col(idCol).cast("string"), lit("#"),
+          col("copy_idx").cast("string")), salt).cast("double") <
+          (col("epochs") - col("__full")) * Buckets)
+      .drop("__full", "epochs")
+  }
+
   /** Budget-capped selection: walk the rows in `rankBy` order (highest
     * priority first — e.g. quality score descending) and keep each row
     * while the running total of `weightCol` (e.g. its token count) stays

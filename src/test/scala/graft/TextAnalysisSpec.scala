@@ -155,6 +155,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(plan("c") == ((50L, 0.0, 0L, 0L, 0.0)))
   }
 
+  test("applyMixPlan: floor(epochs) full copies + a deterministic " +
+    "fractional copy; epochs 0 emits nothing; layout-independent") {
+    import graft.ext.Sampling
+    val docs = (1L to 1000L).map(i =>
+      (i, if (i <= 500) "up" else "down", 10L)).toDF("id", "src", "toks")
+    val plan = Seq(("up", 2.4), ("down", 0.4), ("gone", 0.0))
+      .toDF("stratum", "epochs")
+    val out = Sampling.applyMixPlan(docs, "id", "src", plan)
+      .select($"id", $"src", $"copy_idx").localCheckpoint(true)
+    // every 'up' row appears at copy 0 and 1; ~40% get copy 2
+    val upFull = out.where($"src" === "up" && $"copy_idx" < 2).count()
+    assert(upFull == 1000L, "floor(2.4) = 2 full copies per row")
+    val upFrac = out.where($"src" === "up" && $"copy_idx" === 2).count()
+    assert(math.abs(upFrac / 500.0 - 0.4) < 0.07, s"~40% third copies: $upFrac")
+    // 'down' at 0.4: no full copies, ~40% single copies
+    val downN = out.where($"src" === "down").count()
+    assert(math.abs(downN / 500.0 - 0.4) < 0.07, s"~40% kept: $downN")
+    assert(out.where($"src" === "down" && $"copy_idx" > 0).count() == 0L)
+    // strata at epochs 0 / absent from the plan emit nothing
+    assert(out.where($"src" === "gone").count() == 0L)
+    // determinism: same copy set under a different layout
+    val again = Sampling.applyMixPlan(docs.repartition(13), "id", "src",
+      plan).select($"id", $"copy_idx")
+    assert(again.collect().toSet ==
+      out.select($"id", $"copy_idx").collect().toSet)
+  }
+
   test("clusterAwareSplit: no near-dup pair straddles the boundary; " +
     "singletons and the empty cluster table degrade to assignSplit; a " +
     "new cluster member joins its cluster's established side") {

@@ -288,7 +288,7 @@ object AnnSweep {
     println("== knnGraphPq: recall (m=8/k=64) + 10x shuffle linearity ==")
     if (sections("graphpq")) {
       val shuffleRecords = new java.util.concurrent.atomic.LongAdder
-      spark.sparkContext.addSparkListener(
+      val shuffleListener =
         new org.apache.spark.scheduler.SparkListener {
           override def onTaskEnd(
               te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -296,7 +296,8 @@ object AnnSweep {
             if (mtr != null)
               shuffleRecords.add(mtr.shuffleWriteMetrics.recordsWritten)
           }
-        })
+        }
+      spark.sparkContext.addSparkListener(shuffleListener)
       def pqGraph(corpus: DataFrame, cells: Int, nprobe: Int,
           of: Int): (DataFrame, Double, Long) = {
         val cs = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
@@ -313,7 +314,10 @@ object AnnSweep {
           "embedding", m = 8, subDim = 8, k = 5, nprobe = nprobe,
           overfetch = of).localCheckpoint(true)
         val dt = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(1000) // listener-bus drain before reading the adder
+        // synchronous listener-bus drain before reading the adder: a fixed
+        // sleep undercounts on a loaded bus (r13 ADVICE)
+        org.apache.spark.sql.graft.ListenerBridge
+          .waitUntilListenerBusEmpty(spark.sparkContext, 60000L)
         (g, dt, shuffleRecords.sum())
       }
       val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding",
@@ -343,6 +347,30 @@ object AnnSweep {
       println(f"graphpq shuffle  1x: wall=$t1%6.1fs shuf=$s1%,12d edges=$n1%,d")
       println(f"graphpq shuffle 10x: wall=$t10%6.1fs shuf=$s10%,12d edges=$n10%,d")
       println(f"graphpq shuffle ratio 1x->10x: ${s10.toDouble / math.max(s1, 1)}%.2f")
+      // ---- recall at the 10x leg (r13 verdict #5): the 1x matrix runs
+      // at toy cell counts (8); confirm the "probe width for the recall
+      // target" rule at the √N regime (80 cells, 20k vectors) against
+      // the exact 10x graph (20k × 20k brute force — expensive but a
+      // one-off measurement, not a per-round cost). The (2,4) row
+      // reuses g10 from the shuffle witness (checkpointed; the
+      // no-broadcast build is data-identical).
+      val exact10 = Similarity.bruteForceTopK(e10, e10, "vec_id",
+        "embedding", k = 5).select(col("q_id"), col("c_id")).persist()
+      val exactEdges10 = exact10.count()
+      def recall10(g: DataFrame): Double =
+        exact10.join(g.select(col("q_id"), col("c_id")),
+          Seq("q_id", "c_id")).count().toDouble / exactEdges10
+      println(f"graphpq 10x nprobe=2 overfetch= 4 " +
+        f"recall@5=${recall10(g10)}%.4f (shuffle-leg graph reused)")
+      for ((np, of) <- Seq((8, 32), (20, 32))) {
+        val (g, dt, _) = pqGraph(e10, 80, np, of)
+        println(f"graphpq 10x nprobe=$np%2d overfetch=$of%2d " +
+          f"recall@5=${recall10(g)}%.4f wall=$dt%.1fs")
+      }
+      exact10.unpersist()
+      org.apache.spark.sql.graft.ListenerBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext, 60000L)
+      spark.sparkContext.removeSparkListener(shuffleListener)
     }
     spark.stop()
   }

@@ -640,11 +640,17 @@ object Multimodal {
       while (off + 8 <= end) {
         val size0 = u32(off)
         val typ = fourcc(off + 4)
-        val (dataOff, boxEnd) =
-          if (size0 == 1L) (off + 16, off + u64(off + 8).toInt)
-          else if (size0 == 0L) (off + 8, end)
-          else (off + 8, off + size0.toInt)
-        require(boxEnd > off && boxEnd <= end, s"bad box size at $off")
+        // bounds-check the size as a LONG before narrowing: a size ≥ 2^31
+        // wraps under .toInt and a wrapped value landing inside (off, end]
+        // would pass the require and mis-walk the container silently
+        // instead of failing loud (r13 ADVICE)
+        val boxEndL: Long =
+          if (size0 == 1L) off.toLong + u64(off + 8)
+          else if (size0 == 0L) end.toLong
+          else off.toLong + size0
+        require(boxEndL > off && boxEndL <= end, s"bad box size at $off")
+        val dataOff = if (size0 == 1L) off + 16 else off + 8
+        val boxEnd = boxEndL.toInt // safe: ≤ end ≤ b.length
         typ match {
           case t if containers(t) => walk(dataOff, boxEnd)
           case "mvhd" =>
@@ -701,8 +707,15 @@ object Multimodal {
       var o = chunkOffsets(chunk.toInt - 1)
       var j = 0L
       while (j < spc && sample < nSamples && sample < maxSamples) {
-        samples += ((o, sizeOf(sample).toInt))
-        o += sizeOf(sample)
+        val sz = sizeOf(sample)
+        // resolved ranges must sit inside the payload BEFORE any caller
+        // narrows the offset to Int (stco/co64 values are untrusted
+        // u32/u64): out of range ⇒ corrupt tables ⇒ fail loud here, the
+        // callers' sentinel path applies (r13 ADVICE)
+        require(o >= 0L && sz >= 0L && o + sz <= b.length,
+          s"sample $sample range [$o, ${o + sz}) outside ${b.length}-byte payload")
+        samples += ((o, sz.toInt))
+        o += sz
         sample += 1
         j += 1
       }

@@ -40,13 +40,23 @@ object Retraction {
   def tombstoneDir(indexDir: String): String = s"$indexDir.tombstones"
 
   /** Record deletions: merge `ids` (one `idCol` column, deduped) into
-    * the delete batch's own partition. MONOTONE — incoming ids are
-    * unioned with the partition's existing tombstones before the
-    * dynamic overwrite, so two successive takedowns sharing a
-    * `deleteBatch` (including the default) both survive; an earlier
-    * tombstone is never silently dropped by a later delete. Still
-    * idempotent per (`deleteBatch`, ids): at-least-once replay unions
-    * the same ids back in and rewrites an identical partition.
+    * the delete batch's own partition. MONOTONE UNDER A SINGLE
+    * SEQUENTIAL WRITER — incoming ids are unioned with the partition's
+    * existing tombstones before the dynamic overwrite, so two
+    * SUCCESSIVE takedowns sharing a `deleteBatch` (including the
+    * default) both survive. Still idempotent per (`deleteBatch`, ids):
+    * at-least-once replay unions the same ids back in and rewrites an
+    * identical partition.
+    *
+    * The single-writer assumption is load-bearing: this is a
+    * read-union-overwrite, so two CONCURRENT delete() calls sharing a
+    * `deleteBatch` can both read the same pre-state and the later
+    * overwrite drops the earlier call's ids (plain parquet has no
+    * compare-and-swap to detect the race). Concurrent takedown jobs
+    * must either serialize (the [[reclaim]]-style between-triggers
+    * cadence every index mutation here already assumes) or use
+    * DISTINCT `deleteBatch` values — partitions are independent, and
+    * [[mask]] reads the union across all of them.
     */
   def delete(spark: SparkSession, indexDir: String, ids: DataFrame,
       idCol: String, deleteBatch: Long = 0L): Unit = {

@@ -119,13 +119,22 @@ object Sampling {
       maxEpochs: Double = 3.0): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 >= 0.0),
       "mix weights must be non-negative and non-empty")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate stratum names in mix weights: " + weights.map(_._1)
+        .groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+        .mkString(", "))
     require(budget >= 0L && maxEpochs > 0.0,
       s"need budget >= 0 and maxEpochs > 0: $budget/$maxEpochs")
     val sumW = weights.map(_._2).sum
     require(sumW > 0.0, "mix weights must not all be zero")
     val wmap = typedlit(weights.toMap)
     df.groupBy(col(stratumCol).as("stratum"))
-      .agg(sum(tokensCol).cast("long").as("available_tokens"))
+      // coalesce: an all-null token stratum aggregates to NULL, and
+      // least() IGNORES null arguments — without the 0 the cap branch
+      // would vanish and the stratum would be planned its full target
+      // out of nothing (r13 ADVICE)
+      .agg(coalesce(sum(tokensCol).cast("long"), lit(0L))
+        .as("available_tokens"))
       .withColumn("weight",
         coalesce(element_at(wmap, col("stratum")), lit(0.0)))
       .withColumn("target_tokens",
@@ -133,8 +142,11 @@ object Sampling {
       .withColumn("planned_tokens",
         least(col("target_tokens"),
           floor(col("available_tokens") * lit(maxEpochs)).cast("long")))
+      // zero availability ⇒ zero plan, not a 0/0 epochs column
       .withColumn("epochs",
-        round(col("planned_tokens") / col("available_tokens"), 6))
+        when(col("available_tokens") > 0L,
+          round(col("planned_tokens") / col("available_tokens"), 6))
+          .otherwise(lit(0.0)))
   }
 
   /** Materialize a [[mixPlan]] — the replication step the training

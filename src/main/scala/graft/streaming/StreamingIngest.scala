@@ -36,14 +36,25 @@ object StreamingIngest {
       org.apache.spark.sql.types.StructField("both_new",
         org.apache.spark.sql.types.BooleanType)))
 
-  /** Index dirs whose single-row hasher contract has been validated in
-    * this JVM — [[mediaHashBatch]] runs the row-count-vs-distinct-id
-    * check on the FIRST NON-EMPTY batch per directory (r12 ADVICE: the
-    * old `batchId == 0` key skipped validation entirely for a stream
-    * resumed from a checkpoint or whose first trigger was empty).
+  /** (index dir, hasher instance) pairs whose single-row hasher contract
+    * has been validated in this JVM — [[mediaHashBatch]] runs the
+    * row-count-vs-distinct-id check on the FIRST NON-EMPTY batch per
+    * key (r12 ADVICE: the old `batchId == 0` key skipped validation
+    * entirely for a stream resumed from a checkpoint or whose first
+    * trigger was empty). The key includes the HASHER IDENTITY, not the
+    * dir alone (r13 ADVICE): in a long-lived driver a later stream
+    * reusing a checked dir with a DIFFERENT (multi-row) hasher under
+    * the single-row default must re-validate, or it hits the exact
+    * silent-truncation foot-gun the check exists to catch. The dir is
+    * normalized so `/a/b` and `/a//b/` memoize as one key.
     */
   private val hasherCheckedDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
+
+  private def hasherCheckKey(indexDir: String,
+      hasher: DataFrame => DataFrame): (String, Int) =
+    (new org.apache.hadoop.fs.Path(indexDir).toUri.normalize().toString,
+      System.identityHashCode(hasher))
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -346,7 +357,8 @@ object StreamingIngest {
         .select(col(idCol), col("sim_hi"), col("sim_lo"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        if (!multiRow && !hasherCheckedDirs.contains(indexDir)) {
+        val checkKey = hasherCheckKey(indexDir, hasher)
+        if (!multiRow && !hasherCheckedDirs.contains(checkKey)) {
           // enforce the single-row hasher contract on the FIRST NON-EMPTY
           // batch per index dir (the hasher's row shape is constant
           // across triggers, so once is enough; keying on batchId == 0
@@ -362,7 +374,7 @@ object StreamingIngest {
               "multi-row hashers (videoFrameHashesSampled, " +
               "audioFingerprintsFramed) require multiRow = true so the " +
               "index compacts by version group")
-          hasherCheckedDirs.add(indexDir)
+          hasherCheckedDirs.add(checkKey)
         }
         val indexPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

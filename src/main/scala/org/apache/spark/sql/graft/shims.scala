@@ -21,3 +21,15 @@ object ColumnBridge {
   def expressionNow(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
+
+/** Bridge to the `private[spark]` listener bus: a metrics listener that
+  * feeds a driver-side accumulator (the ScaleProbe/AnnSweep shuffle-row
+  * witnesses) must DRAIN the async bus before its counts are read — a
+  * fixed sleep undercounts on a loaded bus (r13 ADVICE).
+  */
+object ListenerBridge {
+  def waitUntilListenerBusEmpty(sc: org.apache.spark.SparkContext,
+      timeoutMs: Long): Unit =
+    try sc.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => () }
+}

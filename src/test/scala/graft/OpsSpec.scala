@@ -672,6 +672,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L).width == -1, "truncated payload degrades to sentinel")
   }
 
+  test("MP4 box walk rejects a 64-bit largesize whose Int truncation " +
+    "lands back in range — loud sentinel, not a silent mis-walk " +
+    "(r13 ADVICE)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // box: size0 = 1 (largesize follows), type 'free',
+    // largesize = 2^32 + 16 → .toInt = 16, exactly this box's length —
+    // pre-fix the wrapped value passed the bounds require and the walk
+    // carried on into the appended VALID container as if nothing were
+    // wrong; the Long-side check fails it loud instead
+    val evil = Array[Byte](0, 0, 0, 1, 'f', 'r', 'e', 'e',
+      0, 0, 0, 1, 0, 0, 0, 16) ++
+      Multimodal.syntheticMp4(20, 14, 3, 600L, 100L, 7L)
+    val out = Multimodal.mp4VideoFeatures(
+      Seq(Multimodal.MediaRow(1L, "mp4", evil)).toDS()).collect()
+    assert(out.length == 1 && out(0).width == -1 && out(0).codec == null,
+      s"oversized box must degrade to the sentinel row: ${out(0)}")
+  }
+
   test("container-agnostic frame walk: the same JPEG frames hash " +
     "identically from AVI and MP4 (container swap = dist-0 near-dup); " +
     "codec-less MP4 degrades to the sentinel row") {

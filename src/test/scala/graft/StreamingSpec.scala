@@ -293,6 +293,35 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 11L, 12L))
   }
 
+  test("single-row hasher check memoizes per (dir, hasher) — a LATER " +
+    "stream reusing a checked dir with a DIFFERENT multi-row hasher " +
+    "under the single-row default still fails loud (r13 ADVICE)") {
+    import graft.ext.Dedup
+    val base = java.nio.file.Files.createTempDirectory("hasher_memo")
+    val (indexDir, pairsDir) = (s"$base/index", s"$base/pairs")
+    val b0 = Seq((1L, "some perfectly ordinary first-batch document text"))
+      .toDF("doc_id", "text")
+    val one: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      b => Dedup.simhash64(b, "doc_id", "text")
+    StreamingIngest.mediaHashBatch(b0, 0L, indexDir, pairsDir, one,
+      idCol = "doc_id") // passes and memoizes (dir, one)
+    // same dir (spelled with a redundant slash — normalization), new
+    // hasher emitting TWO rows per id, multiRow left false: pre-fix the
+    // dir-keyed memo skipped the check and the index silently truncated
+    // at the next compaction; now it re-validates and rejects
+    val two: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      b => Dedup.simhash64(b, "doc_id", "text")
+        .unionByName(Dedup.simhash64(b, "doc_id", "text")
+          .withColumn("sim_lo", col("sim_lo") + lit(1L)))
+    val b1 = Seq((2L, "a different second document for the second stream"))
+      .toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      StreamingIngest.mediaHashBatch(b1, 1L, s"$base//index", pairsDir,
+        two, idCol = "doc_id")
+    }
+    assert(err.getMessage.contains("multi-row hashers"))
+  }
+
   test("mediaHashStream multiRow: re-introed video copies pair their " +
     "originals via interior frames, trigger equals the stepwise any-row " +
     "operator, and the version-group fold keeps every frame row — " +

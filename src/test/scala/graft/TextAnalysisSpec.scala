@@ -155,6 +155,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(plan("c") == ((50L, 0.0, 0L, 0L, 0.0)))
   }
 
+  test("mixPlan degenerate strata (r13 ADVICE): an all-null token " +
+    "stratum plans ZERO tokens and zero epochs (not its full target " +
+    "via least()'s null-skipping), and duplicate weight keys are " +
+    "rejected up front") {
+    import graft.ext.Sampling
+    val rows = Seq(
+      ("a", Some(100L)), ("a", Some(100L)),
+      ("n", None), ("n", None)) // weighted but zero availability
+      .toDF("src", "toks")
+    val plan = Sampling.mixPlan(rows, "src", col("toks"),
+        Seq("a" -> 0.5, "n" -> 0.5), budget = 400L, maxEpochs = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(plan("a") == ((200L, 200L, 200L, 1.0)))
+    // pre-fix: available NULL -> least(200, NULL) = 200 planned out of
+    // nothing and NULL epochs; now: available 0, planned 0, epochs 0.0
+    assert(plan("n") == ((0L, 200L, 0L, 0.0)))
+    val dup = intercept[IllegalArgumentException] {
+      Sampling.mixPlan(rows, "src", col("toks"),
+        Seq("a" -> 0.3, "a" -> 0.2), budget = 400L)
+    }
+    assert(dup.getMessage.contains("duplicate stratum"))
+  }
+
   test("applyMixPlan: floor(epochs) full copies + a deterministic " +
     "fractional copy; epochs 0 emits nothing; layout-independent") {
     import graft.ext.Sampling

@@ -353,6 +353,26 @@ object Sampling {
       posCol, Seq("__rk"))
       .drop("__rk")
 
+  /** Per-epoch deterministic shuffle over a REPLICATED corpus — the
+    * [[shuffleDeterministic]] contract applied to [[applyMixPlan]]'s
+    * output: the stream tiles epochs sequentially (`epochCol` ascending
+    * — a trainer sees the whole mix once before any repeat), and WITHIN
+    * each epoch rows are dealt by the rank of md5(salt|epoch|id). The
+    * epoch rides inside the hash, so each epoch is an INDEPENDENT
+    * permutation — a doc's copy 0 and copy 1 land at uncorrelated
+    * relative positions, never the same ordering replayed (the q174
+    * materialization alone leaves all replicas in one ordering).
+    * Positions are dense 1..n across the whole stream via the same
+    * two-phase ranged-id path — no global sort at any size.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epochCol: String,
+      salt: String = "graft", posCol: String = "shuffle_pos"): DataFrame =
+    graft.ops.SurrogateKeys.withOrderedIds(
+      df.withColumn("__rk",
+        md5(concat_ws("|", lit(salt), col(epochCol), col(idCol)))),
+      posCol, Seq(epochCol, "__rk"))
+      .drop("__rk")
+
   /** Length-bucketed batching (the inference/serving layout op): sort
     * sequences by length descending, cut into fixed-size batches, and
     * report each batch's padding waste — grouping like-length sequences is
@@ -383,5 +403,40 @@ object Sampling {
         round(lit(1.0) - col("sum_len").cast("double") /
           greatest((col("n_seqs") * col("max_len")).cast("double"), lit(1.0)),
           6))
+  }
+
+  /** The training-layout flagship — the composition a trainer actually
+    * reads, end to end: [[mixPlan]] (per-stratum token budgeting) →
+    * [[applyMixPlan]] (epoch replication, `copy_idx`) → [[epochShuffle]]
+    * (dense global positions; each epoch an independent deterministic
+    * permutation) → [[packSequences]] (token-cumulative `seq_id`/
+    * `seq_off` in stream order) → `Layout.writeShards` (contiguous
+    * position ranges, one directory per shard, files internally sorted).
+    * Returns the frame READ BACK from the written shards, so callers —
+    * and the oracle — gate the artifact on disk, not an in-memory plan.
+    *
+    * Every stage is a pure function of (salt, ids, the plan): reruns
+    * reproduce the layout byte-for-byte, and a resumable training run
+    * can recompute any position's row from the inputs alone.
+    *
+    * Scale shape: the plan is strata-sized and broadcast; replication is
+    * an output-linear explode; positions and packing both ride the
+    * two-phase ranged-id path (range exchange + broadcast bases — no
+    * global sort, no single-partition window); the shard write's only
+    * exchange is the hash repartition on the shard id. Nothing in the
+    * chain holds more than a partition in memory at once.
+    */
+  def trainingLayout(df: DataFrame, idCol: String, stratumCol: String,
+      tokensCol: String, weights: Seq[(String, Double)], budget: Long,
+      path: String, maxEpochs: Double = 3.0, seqLen: Long = 2048L,
+      numShards: Int = 8, salt: String = "graft-mix"): DataFrame = {
+    val plan = mixPlan(df, stratumCol, col(tokensCol), weights, budget,
+      maxEpochs)
+    val rep = applyMixPlan(df, idCol, stratumCol, plan, salt)
+    val shuffled = epochShuffle(rep, idCol, "copy_idx", salt)
+    val packed = packSequences(shuffled, tokensCol,
+      Seq(col("shuffle_pos")), seqLen)
+    graft.ops.Layout.writeShards(packed, "shuffle_pos", numShards, path)
+    df.sparkSession.read.parquet(path)
   }
 }

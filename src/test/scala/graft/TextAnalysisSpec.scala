@@ -206,6 +206,63 @@ class TextAnalysisSpec extends AnyFunSuite {
       out.select($"id", $"copy_idx").collect().toSet)
   }
 
+  test("trainingLayout flagship: epochs tile sequentially as INDEPENDENT " +
+    "permutations (replicas of one doc land at different relative " +
+    "positions per epoch), shard files tile contiguous position ranges, " +
+    "packing is token-cumulative, rerun-identical") {
+    import graft.ext.Sampling
+    val docs = (1L to 300L).map(i => (i, "up", 7L))
+      .toDF("doc_id", "src", "toks")
+    // available = 2100, budget = 3x available, maxEpochs 3 -> epochs
+    // exactly 3.0: three full copies per doc, no fractional copy
+    val base = java.nio.file.Files.createTempDirectory("layout175")
+    val laid = Sampling.trainingLayout(docs, "doc_id", "src", "toks",
+        Seq("up" -> 1.0), budget = 6300L, path = s"$base/shards",
+        maxEpochs = 3.0, seqLen = 50L, numShards = 4)
+      .select($"doc_id", $"copy_idx", $"shuffle_pos", $"seq_id",
+        $"seq_off", $"shard".cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+    assert(laid.length == 900)
+    // epochs tile: copy c occupies exactly positions (300c, 300(c+1)]
+    for (c <- 0 to 2) {
+      val ps = laid.filter(_._2 == c).map(_._3)
+      assert(ps.min == 300L * c + 1 && ps.max == 300L * (c + 1) &&
+        ps.distinct.length == 300, s"epoch $c must tile its 300-block")
+    }
+    // independent permutations: the doc order WITHIN each epoch differs
+    // (salt includes copy_idx) — the q174-alone failure mode was all
+    // replicas in one ordering
+    def orderOf(c: Int): Seq[Long] =
+      laid.filter(_._2 == c).sortBy(_._3).map(_._1).toSeq
+    val (o0, o1, o2) = (orderOf(0), orderOf(1), orderOf(2))
+    assert(o0.toSet == o1.toSet && o1.toSet == o2.toSet)
+    assert(o0 != o1 && o1 != o2 && o0 != o2,
+      "each epoch must be an independent permutation")
+    // packing: exclusive running token sum at position p is 7(p-1)
+    assert(laid.forall { case (_, _, p, sid, soff, _) =>
+      sid == 7L * (p - 1) / 50L && soff == 7L * (p - 1) % 50L },
+      "seq_id/seq_off must be the token-cumulative packing")
+    // shards tile contiguous position ranges densely covering 1..900
+    val ranges = laid.groupBy(_._6).view
+      .mapValues(rs => (rs.map(_._3).min, rs.map(_._3).max)).toMap
+    assert(ranges.keySet == Set(0, 1, 2, 3))
+    val sorted = ranges.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.head._1 == 1L && sorted.last._2 == 900L &&
+      sorted.sliding(2).forall {
+        case Seq((_, hi), (lo, _)) => lo == hi + 1; case _ => true },
+      s"shards must tile contiguously: $sorted")
+    // rerun into a fresh dir reproduces the layout exactly
+    val again = Sampling.trainingLayout(docs, "doc_id", "src", "toks",
+        Seq("up" -> 1.0), budget = 6300L, path = s"$base/shards2",
+        maxEpochs = 3.0, seqLen = 50L, numShards = 4)
+      .select($"doc_id", $"copy_idx", $"shuffle_pos", $"seq_id",
+        $"seq_off", $"shard".cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+    assert(again.toSet == laid.toSet, "layout must be rerun-stable")
+  }
+
   test("clusterAwareSplit: no near-dup pair straddles the boundary; " +
     "singletons and the empty cluster table degrade to assignSplit; a " +
     "new cluster member joins its cluster's established side") {

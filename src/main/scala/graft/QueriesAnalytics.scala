@@ -17,6 +17,75 @@ object QueriesAnalytics {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** q175/q176 oracle: the full training-layout chain (q173's plan,
+    * q174's materialization, the copy_idx-salted md5 rank window, the
+    * exclusive running token sum, writeShards' shard arithmetic) as one
+    * CTE pipeline. `where` filters the FINAL select — retraction (q176)
+    * removes rows after position assignment, because surviving rows
+    * keep their positions verbatim (the stream is gapped).
+    */
+  private def trainingLayoutSql(where: String): String = {
+    val bucket = "CAST(CAST(('0x' || substring(md5('graft-mix' || " +
+      "CAST(doc_id AS VARCHAR) || '#' || CAST(copy_idx AS VARCHAR))" +
+      ", 1, 8)) AS BIGINT) AS DOUBLE)"
+    s"""WITH tot AS (SELECT 4 * CAST(sum(n_chars) AS BIGINT) AS budget
+                     FROM documents),
+         a AS (SELECT lang AS stratum,
+                      CAST(sum(n_chars) AS BIGINT) AS available_tokens
+               FROM documents GROUP BY lang),
+         w AS (SELECT stratum, available_tokens,
+                      CASE stratum WHEN 'en' THEN 0.4
+                                   WHEN 'zh' THEN 0.25
+                                   WHEN 'de' THEN 0.15
+                                   WHEN 'fr' THEN 0.15
+                                   WHEN 'es' THEN 0.05
+                                   ELSE 0.0 END AS weight
+               FROM a),
+         t AS (SELECT stratum, available_tokens, weight,
+                      CAST(floor((SELECT budget FROM tot)
+                        * weight / 1.0) AS BIGINT) AS target_tokens
+               FROM w),
+         p AS (SELECT stratum,
+                      round(CAST(least(target_tokens,
+                          CAST(floor(CAST(available_tokens AS DOUBLE)
+                            * 3.0) AS BIGINT)) AS DOUBLE)
+                        / CAST(available_tokens AS DOUBLE), 6)
+                        AS epochs
+               FROM t),
+         c AS (SELECT doc_id, n_chars, epochs,
+                      CAST(floor(epochs) AS INT) AS fl
+               FROM documents JOIN p ON p.stratum = documents.lang),
+         x AS (SELECT doc_id, n_chars, epochs, fl,
+                      CAST(u.i AS INT) AS copy_idx
+               FROM c CROSS JOIN range(0, 4) u(i)
+               WHERE u.i <= fl),
+         sel AS (SELECT doc_id, n_chars, copy_idx FROM x
+                 WHERE copy_idx < fl
+                    OR $bucket < (epochs - fl) * 4294967296.0),
+         sh AS (SELECT doc_id, n_chars, copy_idx,
+                       md5('graft-mix' || '|'
+                         || CAST(copy_idx AS VARCHAR) || '|'
+                         || CAST(doc_id AS VARCHAR)) AS rk
+                FROM sel),
+         pos AS (SELECT doc_id, copy_idx, n_chars,
+                        row_number() OVER (ORDER BY copy_idx, rk)
+                          AS shuffle_pos
+                 FROM sh),
+         pk AS (SELECT doc_id, copy_idx, shuffle_pos,
+                       CAST(coalesce(sum(n_chars) OVER
+                         (ORDER BY shuffle_pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS strt
+                FROM pos),
+         n AS (SELECT count(*) AS cnt FROM pos)
+        SELECT doc_id, copy_idx, shuffle_pos,
+               CAST(floor(strt / 2048.0) AS BIGINT) AS seq_id,
+               strt % 2048 AS seq_off,
+               CAST(floor(CAST(shuffle_pos - 1 AS DOUBLE) * 8
+                 / (SELECT cnt FROM n)) AS INT) AS shard
+        FROM pk $where ORDER BY shuffle_pos"""
+  }
+
   /** q55 fixture prefix: one of each scrubbed codepoint (\\u-escaped so
     * every char is reviewable), shared verbatim by both engines.
     */
@@ -651,67 +720,38 @@ object QueriesAnalytics {
             col("seq_id"), col("seq_off"), col("shard").cast("int").as("shard"))
           .orderBy(col("shuffle_pos"))
       },
-      Some {
-        val bucket = "CAST(CAST(('0x' || substring(md5('graft-mix' || " +
-          "CAST(doc_id AS VARCHAR) || '#' || CAST(copy_idx AS VARCHAR))" +
-          ", 1, 8)) AS BIGINT) AS DOUBLE)"
-        s"""WITH tot AS (SELECT 4 * CAST(sum(n_chars) AS BIGINT) AS budget
-                         FROM documents),
-             a AS (SELECT lang AS stratum,
-                          CAST(sum(n_chars) AS BIGINT) AS available_tokens
-                   FROM documents GROUP BY lang),
-             w AS (SELECT stratum, available_tokens,
-                          CASE stratum WHEN 'en' THEN 0.4
-                                       WHEN 'zh' THEN 0.25
-                                       WHEN 'de' THEN 0.15
-                                       WHEN 'fr' THEN 0.15
-                                       WHEN 'es' THEN 0.05
-                                       ELSE 0.0 END AS weight
-                   FROM a),
-             t AS (SELECT stratum, available_tokens, weight,
-                          CAST(floor((SELECT budget FROM tot)
-                            * weight / 1.0) AS BIGINT) AS target_tokens
-                   FROM w),
-             p AS (SELECT stratum,
-                          round(CAST(least(target_tokens,
-                              CAST(floor(CAST(available_tokens AS DOUBLE)
-                                * 3.0) AS BIGINT)) AS DOUBLE)
-                            / CAST(available_tokens AS DOUBLE), 6)
-                            AS epochs
-                   FROM t),
-             c AS (SELECT doc_id, n_chars, epochs,
-                          CAST(floor(epochs) AS INT) AS fl
-                   FROM documents JOIN p ON p.stratum = documents.lang),
-             x AS (SELECT doc_id, n_chars, epochs, fl,
-                          CAST(u.i AS INT) AS copy_idx
-                   FROM c CROSS JOIN range(0, 4) u(i)
-                   WHERE u.i <= fl),
-             sel AS (SELECT doc_id, n_chars, copy_idx FROM x
-                     WHERE copy_idx < fl
-                        OR $bucket < (epochs - fl) * 4294967296.0),
-             sh AS (SELECT doc_id, n_chars, copy_idx,
-                           md5('graft-mix' || '|'
-                             || CAST(copy_idx AS VARCHAR) || '|'
-                             || CAST(doc_id AS VARCHAR)) AS rk
-                    FROM sel),
-             pos AS (SELECT doc_id, copy_idx, n_chars,
-                            row_number() OVER (ORDER BY copy_idx, rk)
-                              AS shuffle_pos
-                     FROM sh),
-             pk AS (SELECT doc_id, copy_idx, shuffle_pos,
-                           CAST(coalesce(sum(n_chars) OVER
-                             (ORDER BY shuffle_pos
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND 1 PRECEDING), 0) AS BIGINT) AS strt
-                    FROM pos),
-             n AS (SELECT count(*) AS cnt FROM pos)
-            SELECT doc_id, copy_idx, shuffle_pos,
-                   CAST(floor(strt / 2048.0) AS BIGINT) AS seq_id,
-                   strt % 2048 AS seq_off,
-                   CAST(floor(CAST(shuffle_pos - 1 AS DOUBLE) * 8
-                     / (SELECT cnt FROM n)) AS INT) AS shard
-            FROM pk ORDER BY shuffle_pos"""
-      }),
+      Some(trainingLayoutSql(""))),
+
+    // SHARD-LEVEL RETRACTION (round 14): a takedown that arrives AFTER
+    // the layout is published rewrites ONLY the shard directories
+    // holding the tombstoned ids (temp-then-swap; untouched shards stay
+    // byte-identical — spec-witnessed). Surviving rows keep their
+    // positions VERBATIM (the stream is gapped, never re-densified —
+    // re-densifying is the full re-layout the op exists to avoid), so
+    // the oracle is q175's chain with the tombstone filter applied
+    // AFTER position/seq/shard assignment
+    Q("q176_shard_retraction",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val total = docs.agg(sum(col("n_chars")).cast("long"))
+          .head().getLong(0)
+        val out = java.nio.file.Files.createTempDirectory("graft_q176")
+          .toString + "/shards"
+        Sampling.trainingLayout(docs, "doc_id", "lang", "n_chars",
+            Seq("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15, "fr" -> 0.15,
+              "es" -> 0.05),
+            budget = 4L * total, path = out, maxEpochs = 3.0,
+            seqLen = 2048L, numShards = 8)
+        Retraction.retractShards(s, out,
+          docs.where(col("doc_id") % 17 === 3).select(col("doc_id")),
+          "doc_id")
+        s.read.parquet(out)
+          .select(col("doc_id"), col("copy_idx"), col("shuffle_pos"),
+            col("seq_id"), col("seq_off"), col("shard").cast("int").as("shard"))
+          .orderBy(col("shuffle_pos"))
+      },
+      Some(trainingLayoutSql("WHERE doc_id % 17 <> 3"))),
 
     // LEAKAGE-FREE split (round 13): assignSplit keyed by duplicate
     // cluster, so a dup pair can never straddle the train/val boundary

@@ -143,4 +143,87 @@ object Retraction {
     fs.delete(p, true)
     spark.read.parquet(indexDir).count()
   }
+
+  /** Shard-level retraction over a PUBLISHED training layout (the
+    * `Sampling.trainingLayout` / `Layout.writeShards` artifact) — the
+    * last tier a takedown must reach: a doc removed from every index
+    * after the layout was written otherwise ships to trainers forever,
+    * and the only prior recourse was a full re-layout.
+    *
+    * Because shard k holds a CONTIGUOUS position range, removal is an
+    * O(affected-files) operation: discovery scans ONE column of the
+    * layout (`idCol`; the shard id is a partition value, zero data IO)
+    * under a count-gated semi join to find the shards holding tombstoned
+    * rows, then rewrites ONLY those shard directories temp-then-swap —
+    * untouched shards keep their files byte-identical. Returns the
+    * rewritten shard ids (empty = nothing matched, no writes at all).
+    *
+    * Surviving rows keep their `shuffle_pos`/`seq_id`/`seq_off`
+    * VERBATIM: the stream is position-GAPPED after a retraction, not
+    * re-densified — re-densifying would shift every downstream row's
+    * position and shard, i.e. be the full re-layout this op exists to
+    * avoid. A loader must treat positions as ordering keys, not as a
+    * gap-free index (`writeShards` file order makes that the natural
+    * read anyway). Same single-mutator cadence as every layout mutation
+    * here: run between jobs, no concurrent reader mid-swap.
+    *
+    * The temp and retired directories use DOT-PREFIXED names inside the
+    * layout dir (not [[graft.pipeline.Pipeline.swap]]'s `<dir>.old`):
+    * partition discovery parses every visible `shard=...` directory, so
+    * a transient `shard=3.old` would corrupt the partition-value schema
+    * for any reader racing the swap window, while dot-prefixed entries
+    * are invisible to discovery by contract. Crash recovery mirrors
+    * `swap`: a leftover retired dir with its live dir MISSING is the
+    * only copy and is restored; with the live dir present it is
+    * residue and is deleted.
+    */
+  def retractShards(spark: SparkSession, layoutDir: String,
+      ids: DataFrame, idCol: String,
+      maxBroadcastTombstones: Long = 1000000L): Seq[Int] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = root.getFileSystem(conf)
+    def livePath(s: Int) =
+      new org.apache.hadoop.fs.Path(s"$layoutDir/shard=$s")
+    def oldPath(s: Int) =
+      new org.apache.hadoop.fs.Path(s"$layoutDir/.retract-old-$s")
+    // crash recovery BEFORE reading: restore any half-swapped shard
+    fs.listStatus(root).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith(".retract-old-")) {
+        val live = livePath(n.stripPrefix(".retract-old-").toInt)
+        if (!fs.exists(live)) {
+          if (!fs.rename(p, live)) throw new java.io.IOException(
+            s"retractShards: recovery rename $p -> $live failed")
+        } else fs.delete(p, true)
+      } else if (n.startsWith(".retract-tmp-")) fs.delete(p, true)
+    }
+    val tomb = ids.select(col(idCol)).distinct().localCheckpoint(true)
+    val hinted =
+      if (tomb.count() <= maxBroadcastTombstones) broadcast(tomb)
+      else tomb
+    val affected = spark.read.parquet(layoutDir)
+      .join(hinted, Seq(idCol), "left_semi")
+      .select(col("shard").cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq // ≤ numShards values
+    affected.foreach { s =>
+      val kept = spark.read.parquet(livePath(s).toString)
+        .join(hinted, Seq(idCol), "left_anti")
+      val tmp = s"$layoutDir/.retract-tmp-$s"
+      kept.write.mode("overwrite").parquet(tmp)
+      if (!fs.rename(livePath(s), oldPath(s)))
+        throw new java.io.IOException(
+          s"retractShards: rename shard=$s aside failed")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), livePath(s))) {
+        if (!fs.rename(oldPath(s), livePath(s)))
+          throw new java.io.IOException(
+            s"retractShards: promote AND restore failed for shard=$s; " +
+              s"previous shard preserved at ${oldPath(s)}")
+        throw new java.io.IOException(
+          s"retractShards: promote $tmp -> shard=$s failed")
+      }
+      fs.delete(oldPath(s), true)
+    }
+    affected
+  }
 }

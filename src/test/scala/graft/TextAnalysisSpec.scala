@@ -263,6 +263,70 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(again.toSet == laid.toSet, "layout must be rerun-stable")
   }
 
+  test("retractShards: only shards holding tombstoned ids are rewritten " +
+    "(untouched shard files BYTE-identical), survivors keep positions " +
+    "verbatim (gapped), idempotent, crash residue recovered") {
+    import graft.ext.{Retraction, Sampling}
+    val docs = (1L to 300L).map(i => (i, "up", 7L))
+      .toDF("doc_id", "src", "toks")
+    val base = java.nio.file.Files.createTempDirectory("retract176")
+    val out = s"$base/shards"
+    val laid = Sampling.trainingLayout(docs, "doc_id", "src", "toks",
+        Seq("up" -> 1.0), budget = 6300L, path = out,
+        maxEpochs = 3.0, seqLen = 50L, numShards = 4)
+      .select($"doc_id", $"copy_idx", $"shuffle_pos", $"shard".cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3)))
+    // a doc's 3 copies span ≤ 3 of the 4 shards — at least one shard is
+    // provably untouched by retracting one doc
+    val victim = 137L
+    val victimShards = laid.filter(_._1 == victim).map(_._4).toSet
+    assert(victimShards.size <= 3)
+    def snapshot(s: Int): Map[String, Seq[Byte]] = {
+      val dir = java.nio.file.Paths.get(s"$out/shard=$s")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => dir.relativize(p).toString ->
+          java.nio.file.Files.readAllBytes(p).toSeq)
+        .toMap
+    }
+    val before = (0 to 3).map(s => s -> snapshot(s)).toMap
+    val rewritten = Retraction.retractShards(spark, out,
+      Seq(victim).toDF("doc_id"), "doc_id")
+    assert(rewritten.toSet == victimShards,
+      s"rewrote $rewritten, expected exactly $victimShards")
+    for (s <- 0 to 3 if !victimShards(s))
+      assert(snapshot(s) == before(s),
+        s"untouched shard $s must stay byte-identical")
+    // survivors: the original layout minus the victim's rows, positions
+    // and shard assignment VERBATIM (gapped, never re-densified)
+    val after = spark.read.parquet(out)
+      .select($"doc_id", $"copy_idx", $"shuffle_pos", $"shard".cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3)))
+    assert(after.toSet == laid.filterNot(_._1 == victim).toSet)
+    // idempotent: nothing left to retract, zero writes
+    val again = Retraction.retractShards(spark, out,
+      Seq(victim).toDF("doc_id"), "doc_id")
+    assert(again.isEmpty)
+    // crash residue: a leftover retired dir with its live dir missing is
+    // the only copy — restored; a leftover tmp is deleted
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$out/shard=2"),
+      new org.apache.hadoop.fs.Path(s"$out/.retract-old-2"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$out/.retract-tmp-9"))
+    val none = Retraction.retractShards(spark, out,
+      Seq(-1L).toDF("doc_id"), "doc_id")
+    assert(none.isEmpty &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$out/shard=2")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$out/.retract-old-2")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$out/.retract-tmp-9")))
+    assert(spark.read.parquet(out).count() ==
+      laid.length - laid.count(_._1 == victim))
+  }
+
   test("clusterAwareSplit: no near-dup pair straddles the boundary; " +
     "singletons and the empty cluster table degrade to assignSplit; a " +
     "new cluster member joins its cluster's established side") {

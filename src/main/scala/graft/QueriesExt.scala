@@ -2029,7 +2029,10 @@ object QueriesExt {
         val path = artifactPath("ivf_pq_part_q141")
         Similarity.saveIvfPqIndex(e, "vec_id", "embedding", cents, booksR,
           m = 4, subDim = 16, path)
-        Similarity.ivfPqTopKFromIndex(
+        // served through the count-gated router: the q-set is far below
+        // the gate, so this IS the broadcast kernel (DPP kept) — the
+        // routing decision itself is what's exercised here
+        Similarity.ivfPqTopKRouted(
           Similarity.loadIvfPqIndex(s, path), cents, booksR,
           e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding",
           m = 4, subDim = 16, k = 5, nprobe = 2, overfetch = 4)
@@ -2947,7 +2950,7 @@ object QueriesExt {
         val path = artifactPath("ivf_pq_filt_q149")
         Similarity.saveIvfPqIndex(e, "vec_id", "embedding", cents, booksR,
           m = 4, subDim = 16, path, attrs = Seq("label"))
-        Similarity.ivfPqTopKFromIndex(
+        Similarity.ivfPqTopKRouted(
           Similarity.loadIvfPqIndex(s, path), cents, booksR,
           e.where(col("vec_id") % 25 === 0), e, "vec_id", "embedding",
           m = 4, subDim = 16, k = 5, nprobe = 2, overfetch = 4,

@@ -1957,6 +1957,38 @@ object Similarity {
         .select(col("q_id"), col("c_id"), cosPrenormed.as("cos")), k)
   }
 
+  /** Count-gated router over the two IVF-PQ serving kernels — the house
+    * broadcast discipline (the Dedup hot-cell guard, `Retraction.mask`)
+    * applied to the KERNEL choice instead of leaving it to the caller's
+    * judgment: at or below `maxBroadcastQueries` distinct query rows the
+    * broadcast kernel ([[ivfPqTopKFromIndex]]) serves — its probe
+    * broadcast keeps dynamic partition pruning on the (batch_id, ccell)
+    * artifact scan, the right plan for a small query batch against a
+    * huge index; above the gate the cell-keyed shuffle kernel
+    * ([[ivfPqTopKShuffled]]) takes over before the query-sized probe
+    * table and per-query LUT broadcasts (~m·k decimals ≈ 8 KB/query at
+    * the production m=8/k=64 config — the gate's 10k default caps that
+    * at ~80 MB) can OOM the driver. Results are IDENTICAL either side
+    * (the kernels are differentially spec-pinned bit-equal at every
+    * config); the gate is a pure plan decision on one cheap count.
+    *
+    * `filter` applies to the index rows before candidate generation in
+    * BOTH branches — the [[ivfPqTopKFromIndex]] pre-filter contract
+    * (exact top-k among passing vectors, pushed to the artifact scan).
+    */
+  def ivfPqTopKRouted(index: DataFrame, cents: DataFrame,
+      booksR: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int, k: Int,
+      nprobe: Int, overfetch: Int = PqDefaultOverfetch,
+      filter: Option[Column] = None,
+      maxBroadcastQueries: Long = 10000L): DataFrame =
+    if (queries.count() <= maxBroadcastQueries)
+      ivfPqTopKFromIndex(index, cents, booksR, queries, corpus, idCol,
+        vecCol, m, subDim, k, nprobe, overfetch, filter)
+    else
+      ivfPqTopKShuffled(filter.fold(index)(index.where), cents, booksR,
+        queries, corpus, idCol, vecCol, m, subDim, k, nprobe, overfetch)
+
   /** The residual codebooks as a DENSE literal array column indexed by
     * `sub·stride + code` (stride = max code + 1) — the ONE driver-side
     * collect in the PQ-graph family, bounded by codebook size

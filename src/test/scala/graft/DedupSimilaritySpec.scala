@@ -1372,6 +1372,67 @@ class DedupSimilaritySpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ivfPqTopKRouted count-gates the kernel choice: below the gate the " +
+    "artifact scan keeps DPP (the broadcast kernel), above it no " +
+    "corpus-derived BroadcastExchange survives (the shuffled kernel), " +
+    "and both sides return identical rows") {
+    val vecs = (0 until 48).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 23 - 11).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val resid = Similarity.residualVectors(vecs, "vec_id", "embedding",
+      cents).localCheckpoint(true)
+    val books = Similarity.pqCodebooks(resid, "vec_id", "rvec",
+      m = 4, subDim = 16, k = 8, iters = 2).localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_router").toString + "/idx"
+    Similarity.appendIvfPqIndex(vecs, "vec_id", "embedding", cents, books,
+      m = 4, subDim = 16, path, 0L)
+    val idx = spark.read.parquet(path)
+    val q = vecs.where($"vec_id" % 9 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(_.toSeq.toList).toSet
+    // below the default gate: the broadcast kernel — probed-cell DPP on
+    // the partitioned artifact scan
+    val below = Similarity.ivfPqTopKRouted(idx, cents, books, q, vecs,
+      "vec_id", "embedding", m = 4, subDim = 16, k = 3, nprobe = 4,
+      overfetch = 40)
+    assert(below.queryExecution.executedPlan.toString
+      .contains("dynamicpruning"),
+      "below the gate the artifact scan must keep DPP")
+    // above the gate (forced with gate = 0): the shuffled kernel — with
+    // auto-broadcast off, the only BroadcastExchange left is the hinted
+    // k-row centroid table (the knnGraphPq house assertion)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val above = Similarity.ivfPqTopKRouted(idx, cents, books, q, vecs,
+        "vec_id", "embedding", m = 4, subDim = 16, k = 3, nprobe = 4,
+        overfetch = 40, maxBroadcastQueries = 0L)
+      assert(rows(above) == rows(below) && rows(below).nonEmpty,
+        "the router must be a pure plan decision")
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
+          : org.apache.spark.sql.execution.SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      above.count()
+      finalPlan(above.queryExecution.executedPlan).collect {
+        case b: BroadcastExchangeExec => b
+      }.foreach { b =>
+        val s = b.child.toString
+        assert(s.contains("centroid") && !s.contains("codes") &&
+          !s.contains("embedding"),
+          s"corpus/index-derived frame under a broadcast above the gate:\n$s")
+      }
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("pqKnnGraphBatch at the overfetch ceiling: merge(old edges, " +
     "delta) equals the full float rebuild over old ∪ batch — the q155 " +
     "identity carried to the code-only state") {

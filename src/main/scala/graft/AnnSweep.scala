@@ -351,20 +351,33 @@ object AnnSweep {
       // at toy cell counts (8); confirm the "probe width for the recall
       // target" rule at the √N regime (80 cells, 20k vectors) against
       // the exact 10x graph (20k × 20k brute force — expensive but a
-      // one-off measurement, not a per-round cost). The (2,4) row
-      // reuses g10 from the shuffle witness (checkpointed; the
-      // no-broadcast build is data-identical).
-      val exact10 = Similarity.bruteForceTopK(e10, e10, "vec_id",
+      // one-off measurement, not a per-round cost).
+      //
+      // NOT on `e10`: its copies are near-identical (one coordinate
+      // perturbed by 0.001), so every vector's true top-5 are its own
+      // co-celled copies and recall saturates at ~1.0 regardless of
+      // probe width — fixture geometry, not a witness (measured 0.9999
+      // at nprobe=2 before this was caught). The recall corpus instead
+      // DIM-ROTATES each copy (coordinates shifted by 7c mod 64):
+      // families are mutually low-cosine, each preserves the 1x
+      // neighbor structure internally, and the 80-cell index must
+      // recover per-family neighbors out of a genuinely mixed corpus.
+      val e10r = (0 until 10).map { c =>
+        val s = (c * 7) % 64
+        e.select((col("vec_id") + lit(c * 100000L)).as("vec_id"),
+          expr(s"transform(sequence(0, 63), i -> " +
+            s"element_at(embedding, CAST((i + $s) % 64 AS INT) + 1))")
+            .as("embedding"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val exact10 = Similarity.bruteForceTopK(e10r, e10r, "vec_id",
         "embedding", k = 5).select(col("q_id"), col("c_id")).persist()
       val exactEdges10 = exact10.count()
       def recall10(g: DataFrame): Double =
         exact10.join(g.select(col("q_id"), col("c_id")),
           Seq("q_id", "c_id")).count().toDouble / exactEdges10
-      println(f"graphpq 10x nprobe=2 overfetch= 4 " +
-        f"recall@5=${recall10(g10)}%.4f (shuffle-leg graph reused)")
-      for ((np, of) <- Seq((8, 32), (20, 32))) {
-        val (g, dt, _) = pqGraph(e10, 80, np, of)
-        println(f"graphpq 10x nprobe=$np%2d overfetch=$of%2d " +
+      for ((np, of) <- Seq((2, 4), (8, 32), (20, 32))) {
+        val (g, dt, _) = pqGraph(e10r, 80, np, of)
+        println(f"graphpq 10x-rot nprobe=$np%2d overfetch=$of%2d " +
           f"recall@5=${recall10(g)}%.4f wall=$dt%.1fs")
       }
       exact10.unpersist()

@@ -2932,6 +2932,86 @@ object QueriesExt {
                      CAST(16 + doc_id % 20 AS INT) AS frame_height
               FROM documents ORDER BY media_id""")),
 
+    // AUDIO container swap (round 14 — the q170 contract for sound, via
+    // the new `soun` sample-table leg of the ISO-BMFF walk): an m4a
+    // re-container of a WAV clip carries the IDENTICAL PCM stream
+    // (sowt = LE PCM16, so the concatenated stsc/stco-resolved samples
+    // are the WAV's data chunk bit-for-bit), fingerprints at dist 0,
+    // and pairs its original through the unchanged incremental
+    // machinery. Unrelated m4a clips pair nothing; an AAC-tagged twin
+    // (`mp4a`, no JVM codec) degrades to null hashes and pairs nothing
+    // — the codec gate is part of the oracle
+    Q("q177_audio_container_swap",
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .filter((id: Long) => id % 2 == 0)
+        val off = copyIdOffset(ids)
+        val base = ids.map(id => Multimodal.MediaRow(id, "wav",
+          Multimodal.syntheticStepWav(id)))
+        val path = artifactPath("audio_swap_idx_q177")
+        Multimodal.audioFingerprints(base)(s).toDF()
+          .write.mode("overwrite").parquet(path)
+        val batch = ids.filter((id: Long) => id % 10 == 0).map(id =>
+            Multimodal.MediaRow(id + off, "m4a",
+              Multimodal.syntheticStepM4a(id)))
+          .unionAll(ids.filter((id: Long) => id % 10 == 2).map(id =>
+            Multimodal.MediaRow(id + off, "m4a",
+              Multimodal.syntheticStepM4a(-id - 1L))))
+          .unionAll(ids.filter((id: Long) => id % 10 == 4).map(id =>
+            Multimodal.MediaRow(id + off, "m4a",
+              Multimodal.syntheticStepM4a(id, codecTag = "mp4a"))))
+        Dedup.incrementalSimhashPairs(
+          Multimodal.audioFingerprints(batch)(s).toDF(),
+          s.read.parquet(path), "media_id", maxDist = 3,
+          bloomFpp = Some(0.01))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH mx AS (SELECT (SELECT max(doc_id) FROM documents
+                                  WHERE doc_id % 2 = 0) + 1 AS off)
+              SELECT doc_id AS id_a,
+                     doc_id + (SELECT off FROM mx) AS id_b,
+                     CAST(0 AS INT) AS dist, FALSE AS both_new
+              FROM documents WHERE doc_id % 10 = 0
+              ORDER BY id_a, id_b""")),
+
+    // m4a metadata walk (round 14 — the q168 shape on the `soun` track):
+    // stsd codec/channels/bits/rate, stsz sample count, mdhd-scale
+    // duration, and the decode witness — sowt payloads decode the WHOLE
+    // sample stream (decoded_frames is the real frame count only if the
+    // stsc/stco resolution found the true PCM ranges), mp4a has no JVM
+    // decoder and reports the sentinel (its md5 fallback is spec-pinned;
+    // a hash of fixture bytes has no arithmetic oracle)
+    Q("q178_m4a_meta",
+      (s, d) => {
+        import s.implicits._
+        val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            Multimodal.MediaRow(id, "m4a", Multimodal.syntheticStepM4a(
+              id, framesPerWindow = 2 + (id % 3).toInt,
+              codecTag = if (id % 4 == 1) "mp4a" else "sowt",
+              bytesPerSample = 130))
+          }
+        Multimodal.m4aAudioFeatures(rows)(s).toDF()
+          .select(col("media_id"), col("n_samples"), col("timescale"),
+            col("duration"), col("codec"), col("channels"),
+            col("sample_bits"), col("sample_rate"), col("decoded_frames"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+                     CAST(2 + doc_id % 3 AS BIGINT) AS n_samples,
+                     CAST(16000 AS BIGINT) AS timescale,
+                     CAST(65 * (2 + doc_id % 3) AS BIGINT) AS duration,
+                     CASE WHEN doc_id % 4 = 1 THEN 'mp4a'
+                          ELSE 'sowt' END AS codec,
+                     CAST(1 AS INT) AS channels,
+                     CAST(16 AS INT) AS sample_bits,
+                     CAST(16000 AS BIGINT) AS sample_rate,
+                     CASE WHEN doc_id % 4 = 1 THEN CAST(-1 AS BIGINT)
+                          ELSE CAST(65 * (2 + doc_id % 3) AS BIGINT)
+                     END AS decoded_frames
+              FROM documents ORDER BY media_id""")),
+
     // filtered ANN on the PQ tier (round 10 — q143's contract carried to
     // the second index family): the label attribute rides the
     // (batch, ccell)-partitioned IVF-PQ artifact, the predicate restricts

@@ -601,7 +601,13 @@ object Multimodal {
 
   private final case class Mp4Meta(width: Int, height: Int, nSamples: Long,
       timescale: Long, duration: Long, codec: String,
-      samples: Vector[(Long, Int)])
+      samples: Vector[(Long, Int)],
+      // `soun` track (round 14 — the audio sample-table leg): the same
+      // stsd/stsz/stsc/stco walk under the audio handler; -1/null/empty
+      // when the container has no audio track
+      aCodec: String = null, aChannels: Int = -1, aSampleBits: Int = -1,
+      aSampleRate: Long = -1L, aNSamples: Long = -1L,
+      aSamples: Vector[(Long, Int)] = Vector.empty)
 
   /** ISO-BMFF (MP4/MOV) box walk — the [[parseAvi]] discipline on the
     * second container family (big-endian sizes, nested container boxes,
@@ -634,6 +640,13 @@ object Multimodal {
     var nSamples = -1L
     var chunkOffsets: Array[Long] = null
     var stscRuns: Array[(Long, Long)] = null
+    // the `soun` track's tables — same walk, gated on the audio handler
+    var aCodec: String = null; var aChannels = -1; var aSampleBits = -1
+    var aRate = -1L
+    var aSampleSizes: Array[Long] = null; var aDefSize = -1L
+    var aNSamples = -1L
+    var aChunkOffsets: Array[Long] = null
+    var aStscRuns: Array[(Long, Long)] = null
     val containers = Set("moov", "trak", "mdia", "minf", "stbl")
     def walk(start: Int, end: Int): Unit = {
       var off = start
@@ -682,47 +695,80 @@ object Multimodal {
           case "co64" if handler == "vide" =>
             val n = u32(dataOff + 4).toInt
             chunkOffsets = Array.tabulate(n)(i => u64(dataOff + 8 + 8 * i))
+          case "stsd" if handler == "soun" =>
+            // AudioSampleEntry: channelcount@+24, samplesize@+26,
+            // samplerate@+32 (16.16 fixed — integer part only)
+            val entry = dataOff + 8
+            aCodec = fourcc(entry + 4)
+            aChannels = u16(entry + 24)
+            aSampleBits = u16(entry + 26)
+            aRate = u32(entry + 32) >> 16
+          case "stsz" if handler == "soun" =>
+            aDefSize = u32(dataOff + 4)
+            aNSamples = u32(dataOff + 8)
+            if (aDefSize == 0L)
+              aSampleSizes = Array.tabulate(aNSamples.toInt)(i =>
+                u32(dataOff + 12 + 4 * i))
+          case "stsc" if handler == "soun" =>
+            val n = u32(dataOff + 4).toInt
+            aStscRuns = Array.tabulate(n)(i =>
+              (u32(dataOff + 8 + 12 * i), u32(dataOff + 12 + 12 * i)))
+          case "stco" if handler == "soun" =>
+            val n = u32(dataOff + 4).toInt
+            aChunkOffsets = Array.tabulate(n)(i => u32(dataOff + 8 + 4 * i))
+          case "co64" if handler == "soun" =>
+            val n = u32(dataOff + 4).toInt
+            aChunkOffsets = Array.tabulate(n)(i => u64(dataOff + 8 + 8 * i))
           case _ => ()
         }
         off = boxEnd
       }
     }
     walk(0, b.length)
-    require(timescale >= 0 && nSamples >= 0 && chunkOffsets != null &&
-      stscRuns != null, "no moov video sample tables found")
-    def sizeOf(i: Int): Long =
-      if (defSize != 0L) defSize else sampleSizes(i)
+    val hasVideo = nSamples >= 0 && chunkOffsets != null && stscRuns != null
+    val hasAudio = aNSamples >= 0 && aChunkOffsets != null &&
+      aStscRuns != null
+    require(timescale >= 0 && (hasVideo || hasAudio),
+      "no moov sample tables found")
     // expand the chunk runs into absolute sample (offset, length) pairs:
     // run r covers chunks [first_chunk_r, first_chunk_{r+1}) at
     // samples_per_chunk_r each; within a chunk, offsets accumulate sizes
-    val samples = Vector.newBuilder[(Long, Int)]
-    var sample = 0
-    var run = 0
-    var chunk = 1L
-    while (sample < nSamples && sample < maxSamples &&
-        chunk <= chunkOffsets.length) {
-      while (run + 1 < stscRuns.length && chunk >= stscRuns(run + 1)._1)
-        run += 1
-      val spc = stscRuns(run)._2
-      var o = chunkOffsets(chunk.toInt - 1)
-      var j = 0L
-      while (j < spc && sample < nSamples && sample < maxSamples) {
-        val sz = sizeOf(sample)
-        // resolved ranges must sit inside the payload BEFORE any caller
-        // narrows the offset to Int (stco/co64 values are untrusted
-        // u32/u64): out of range ⇒ corrupt tables ⇒ fail loud here, the
-        // callers' sentinel path applies (r13 ADVICE)
-        require(o >= 0L && sz >= 0L && o + sz <= b.length,
-          s"sample $sample range [$o, ${o + sz}) outside ${b.length}-byte payload")
-        samples += ((o, sz.toInt))
-        o += sz
-        sample += 1
-        j += 1
+    def expand(nS: Long, dSize: Long, sizes: Array[Long],
+        offs: Array[Long], runs: Array[(Long, Long)]): Vector[(Long, Int)] = {
+      def sizeOf(i: Int): Long = if (dSize != 0L) dSize else sizes(i)
+      val samples = Vector.newBuilder[(Long, Int)]
+      var sample = 0
+      var run = 0
+      var chunk = 1L
+      while (sample < nS && sample < maxSamples && chunk <= offs.length) {
+        while (run + 1 < runs.length && chunk >= runs(run + 1)._1)
+          run += 1
+        val spc = runs(run)._2
+        var o = offs(chunk.toInt - 1)
+        var j = 0L
+        while (j < spc && sample < nS && sample < maxSamples) {
+          val sz = sizeOf(sample)
+          // resolved ranges must sit inside the payload BEFORE any caller
+          // narrows the offset to Int (stco/co64 values are untrusted
+          // u32/u64): out of range ⇒ corrupt tables ⇒ fail loud here, the
+          // callers' sentinel path applies (r13 ADVICE)
+          require(o >= 0L && sz >= 0L && o + sz <= b.length,
+            s"sample $sample range [$o, ${o + sz}) outside ${b.length}-byte payload")
+          samples += ((o, sz.toInt))
+          o += sz
+          sample += 1
+          j += 1
+        }
+        chunk += 1
       }
-      chunk += 1
+      samples.result()
     }
     Mp4Meta(width, height, nSamples, timescale, duration, codec,
-      samples.result())
+      if (hasVideo) expand(nSamples, defSize, sampleSizes, chunkOffsets,
+        stscRuns) else Vector.empty,
+      aCodec, aChannels, aSampleBits, aRate, aNSamples,
+      if (hasAudio) expand(aNSamples, aDefSize, aSampleSizes,
+        aChunkOffsets, aStscRuns) else Vector.empty)
   }
 
   /** Container-agnostic frame-chunk index for the PERCEPTUAL pipeline —
@@ -791,6 +837,57 @@ object Multimodal {
             case scala.util.control.NonFatal(_) =>
               Mp4Features(r.media_id, r.format, r.payload.length.toLong,
                 -1, -1, -1L, -1L, -1L, null, -1, -1, null)
+          }
+        }
+      }
+    }
+  }
+
+  final case class M4aFeatures(media_id: Long, format: String,
+      n_bytes: Long, n_samples: Long, timescale: Long, duration: Long,
+      codec: String, channels: Int, sample_bits: Int, sample_rate: Long,
+      decoded_frames: Long, first_sample_md5: String)
+
+  /** Audio features over ISO-BMFF payloads — [[mp4VideoFeatures]]'
+    * contract for the `soun` track (round 14: m4a, the dominant
+    * real-world audio container, previously fell to the opaque-md5
+    * stub): header-derived meta (stsd codec/channels/bits/rate, stsz
+    * sample count, mdhd-scale timescale/duration) plus sample-layout
+    * evidence. Where the JVM decodes (`sowt` LE PCM16) the WHOLE sample
+    * stream decodes and `decoded_frames` proves the stsc/stco
+    * resolution found the real frame stream; for every other codec
+    * (`mp4a` AAC, … — no JVM decoder) the fallback is the first
+    * sample's md5 over its resolved byte range. Non-BMFF / truncated /
+    * audio-less payloads degrade to the −1/null sentinel row; same
+    * mapPartitions codec boundary and batch shape.
+    */
+  def m4aAudioFeatures(media: Dataset[MediaRow], batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[M4aFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          try {
+            val m = parseMp4(r.payload)
+            require(m.aNSamples >= 0, "no soun track")
+            val (decoded, md) =
+              if (m.aCodec == "sowt" && m.aSampleBits == 16)
+                (readPcm16Bmff(r.payload)
+                  .map(_._4.toLong).getOrElse(-1L), null)
+              else m.aSamples.headOption match {
+                case Some((off, len)) =>
+                  val d = java.security.MessageDigest.getInstance("MD5")
+                  d.update(r.payload, off.toInt, len)
+                  (-1L, d.digest().map("%02x".format(_)).mkString)
+                case None => (-1L, null)
+              }
+            M4aFeatures(r.media_id, r.format, r.payload.length.toLong,
+              m.aNSamples, m.timescale, m.duration, m.aCodec,
+              m.aChannels, m.aSampleBits, m.aSampleRate, decoded, md)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              M4aFeatures(r.media_id, r.format, r.payload.length.toLong,
+                -1L, -1L, -1L, null, -1, -1, -1L, -1L, null)
           }
         }
       }
@@ -892,6 +989,75 @@ object Multimodal {
     val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
     val vmhd = box("vmhd", Array[Byte](0, 0, 0, 1) ++ Array.fill(8)(0.toByte))
     val minf = box("minf", vmhd ++ stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** ISO-BMFF AUDIO container assembly — the m4a counterpart of
+    * [[mp4Container]]: `ftyp`+`mdat`+`moov` with one `soun` trak whose
+    * stsd carries `codecTag` (AudioSampleEntry — channels, 16-bit
+    * samples, 16.16 fixed sample rate) over a single-chunk stsc/stco
+    * layout. `sowt` tags LE PCM16, the one BMFF audio codec the JVM
+    * pipeline decodes: the mdat IS the frame stream, cut into
+    * `bytesPerSample`-byte samples (last one ragged), so offset
+    * resolution must accumulate within-chunk sizes exactly as in the
+    * video fixture. Any other tag (e.g. `mp4a`) writes the same bytes
+    * but routes readers to the no-JVM-codec sentinel/md5 path.
+    */
+  def pcmToM4a(pcm: Array[Byte], channels: Int, sampleRate: Long,
+      codecTag: String = "sowt", bytesPerSample: Int = 2048): Array[Byte] = {
+    require(channels >= 1 && sampleRate >= 1 && bytesPerSample >= 1 &&
+      pcm.nonEmpty, s"bad audio params: $channels/$sampleRate/$bytesPerSample")
+    require(codecTag.length == 4, s"codec tag must be a fourcc: $codecTag")
+    def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ cc(typ) ++ payload
+    val samples = pcm.grouped(bytesPerSample).toSeq
+    val nSamples = samples.length
+    val ftyp = box("ftyp", cc("M4A ") ++ be32(512L) ++ cc("isom") ++ cc("mp42"))
+    val mdat = box("mdat", pcm)
+    val mdatPayloadOff = ftyp.length + 8L
+    val duration = pcm.length.toLong / (2L * channels) // frames at 16-bit
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0L) ++ be32(0L) ++
+      be32(sampleRate) ++ be32(duration) ++ be32(0x00010000L) ++
+      Array.fill(2)(0.toByte) ++ Array.fill(10)(0.toByte) ++
+      Array(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+        0x40000000L).flatMap(be32) ++
+      Array.fill(24)(0.toByte) ++ be32(2L))
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ be32(0L) ++ be32(0L) ++
+      be32(1L) ++ be32(0L) ++ be32(duration) ++ Array.fill(8)(0.toByte) ++
+      Array.fill(8)(0.toByte) ++
+      Array(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+        0x40000000L).flatMap(be32) ++
+      be32(0L) ++ be32(0L))
+    val mdhd = box("mdhd", Array[Byte](0, 0, 0, 0) ++ be32(0L) ++ be32(0L) ++
+      be32(sampleRate) ++ be32(duration) ++ be16(0x55c4) ++ be16(0))
+    val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0) ++ be32(0L) ++
+      cc("soun") ++ Array.fill(12)(0.toByte) ++ Array[Byte](0))
+    val stsdEntry = box(codecTag, Array.fill(6)(0.toByte) ++ be16(1) ++
+      be16(0) ++ be16(0) ++ be32(0L) ++
+      be16(channels) ++ be16(16) ++ be16(0) ++ be16(0) ++
+      be32(sampleRate << 16))
+    val stsd = box("stsd", Array[Byte](0, 0, 0, 0) ++ be32(1L) ++ stsdEntry)
+    val stts = box("stts", Array[Byte](0, 0, 0, 0) ++ be32(1L) ++
+      be32(nSamples.toLong) ++ be32(1L))
+    val stsc = box("stsc", Array[Byte](0, 0, 0, 0) ++ be32(1L) ++
+      be32(1L) ++ be32(nSamples.toLong) ++ be32(1L))
+    val stsz = box("stsz", Array[Byte](0, 0, 0, 0) ++ be32(0L) ++
+      be32(nSamples.toLong) ++
+      samples.flatMap(s => be32(s.length.toLong)).toArray)
+    val stco = box("stco", Array[Byte](0, 0, 0, 0) ++ be32(1L) ++
+      be32(mdatPayloadOff))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val smhd = box("smhd", Array[Byte](0, 0, 0, 0) ++ be16(0) ++ be16(0))
+    val minf = box("minf", smhd ++ stbl)
     val mdia = box("mdia", mdhd ++ hdlr ++ minf)
     val trak = box("trak", tkhd ++ mdia)
     val moov = box("moov", mvhd ++ trak)
@@ -1145,8 +1311,48 @@ object Multimodal {
     * Some(channels, frameSize, raw bytes, usable frame count) for a
     * PCM16-LE payload, None for anything else — unsupported formats AND
     * throwing parsers (NonFatal) both degrade.
+    *
+    * Dispatch (round 14): the `javax.sound.sampled` SPIs cover WAV /
+    * AIFF / AU; an ISO-BMFF payload (m4a — the dominant real-world
+    * audio container) falls through to the `soun` sample-table walk,
+    * which decodes WHERE A JVM CODEC EXISTS — `sowt` (16-bit LE PCM in
+    * BMFF; the samples ARE the frame stream, so the concatenated
+    * ranges are bit-identical to the WAV twin's data chunk and every
+    * fingerprint matches at dist 0). Compressed codecs (`mp4a` AAC, …)
+    * have no JVM decoder and degrade to None — the sentinel path, with
+    * [[m4aAudioFeatures]]' md5 carrying the layout witness instead.
     */
   private def readPcm16(payload: Array[Byte])
+      : Option[(Int, Int, Array[Byte], Int)] =
+    readPcm16Java(payload).orElse(readPcm16Bmff(payload))
+
+  private def readPcm16Bmff(payload: Array[Byte])
+      : Option[(Int, Int, Array[Byte], Int)] =
+    try {
+      if (payload.length < 12 ||
+          new String(payload, 4, 4, "US-ASCII") != "ftyp") None
+      else {
+        val m = parseMp4(payload)
+        if (m.aCodec != "sowt" || m.aSampleBits != 16 ||
+            m.aChannels < 1 || m.aSamples.isEmpty) None
+        else {
+          val total = m.aSamples.iterator.map(_._2.toLong).sum
+          if (total > Int.MaxValue) None
+          else {
+            val data = new Array[Byte](total.toInt)
+            var at = 0
+            m.aSamples.foreach { case (off, len) =>
+              System.arraycopy(payload, off.toInt, data, at, len)
+              at += len
+            }
+            val frameSize = 2 * m.aChannels
+            Some((m.aChannels, frameSize, data, data.length / frameSize))
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def readPcm16Java(payload: Array[Byte])
       : Option[(Int, Int, Array[Byte], Int)] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -1275,6 +1481,37 @@ object Multimodal {
     */
   def syntheticStepWav(seed: Long, perturbWindow: Option[Int] = None,
       framesPerWindow: Int = 30): Array[Byte] = {
+    val data = stepPcm(seed, perturbWindow, framesPerWindow)
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, data.length / 2L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** [[syntheticStepWav]]'s PCM stream in an ISO-BMFF container — the
+    * audio container-swap fixture: bit-identical frames, so every
+    * fingerprint path that decodes `sowt` must hash it identically to
+    * the WAV twin (dist-0 near-dup). `codecTag` other than `sowt`
+    * (e.g. `mp4a`) wraps the same bytes as an undecodable codec — the
+    * sentinel-degradation fixture.
+    */
+  def syntheticStepM4a(seed: Long, perturbWindow: Option[Int] = None,
+      framesPerWindow: Int = 30, codecTag: String = "sowt",
+      bytesPerSample: Int = 256): Array[Byte] =
+    pcmToM4a(stepPcm(seed, perturbWindow, framesPerWindow),
+      channels = 1, sampleRate = 16000L, codecTag = codecTag,
+      bytesPerSample = bytesPerSample)
+
+  /** The stepped-amplitude LE PCM16 mono stream shared by the WAV and
+    * m4a step fixtures: window w of `framesPerWindow` frames holds
+    * constant amplitude splitmix(seed, w), with `perturbWindow`
+    * re-rolled under a different salt.
+    */
+  private def stepPcm(seed: Long, perturbWindow: Option[Int],
+      framesPerWindow: Int): Array[Byte] = {
     require(framesPerWindow >= 1, s"bad framesPerWindow: $framesPerWindow")
     require(perturbWindow.forall(w => w >= 0 && w < 65),
       s"perturbWindow out of range: $perturbWindow")
@@ -1294,13 +1531,7 @@ object Multimodal {
       data(2 * f + 1) = ((a >> 8) & 0xff).toByte
       f += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    data
   }
 
   /** Stepped-amplitude WAV with ABSOLUTE-indexed windows (fixture for

@@ -690,6 +690,67 @@ class OpsSpec extends AnyFunSuite {
       s"oversized box must degrade to the sentinel row: ${out(0)}")
   }
 
+  test("soun track walk: sowt PCM decodes the WHOLE sample stream " +
+    "(decoded_frames = real frame count), mp4a falls back to the " +
+    "first-sample md5 over the stsc/stco-resolved range, audio-less / " +
+    "corrupt payloads degrade to sentinels") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val sowt = Multimodal.syntheticStepM4a(5L, bytesPerSample = 256)
+    val aac = Multimodal.syntheticStepM4a(5L, codecTag = "mp4a",
+      bytesPerSample = 256)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "m4a", sowt),
+      Multimodal.MediaRow(2L, "m4a", aac),
+      Multimodal.MediaRow(3L, "m4a", Array[Byte](9, 9, 9, 9)),
+      // video-only container: the walk succeeds but has no soun track
+      Multimodal.MediaRow(4L, "m4a",
+        Multimodal.syntheticMp4(20, 14, 3, 600L, 100L, 7L))).toDS()
+    val out = Multimodal.m4aAudioFeatures(media).collect()
+      .map(r => r.media_id -> r).toMap
+    // 65 windows x 30 frames = 1950 frames = 3900 PCM bytes; 256-byte
+    // samples -> ceil(3900/256) = 16 samples, last one ragged
+    val p = out(1L)
+    assert((p.n_samples, p.timescale, p.duration, p.codec, p.channels,
+      p.sample_bits, p.sample_rate) == (16L, 16000L, 1950L, "sowt", 1,
+      16, 16000L))
+    assert(p.decoded_frames == 1950L && p.first_sample_md5 == null,
+      s"sowt must decode the whole stream: $p")
+    val a = out(2L)
+    assert(a.codec == "mp4a" && a.decoded_frames == -1L)
+    // the md5 fallback witnesses the resolved range: first sample =
+    // the mdat payload's first 256 bytes (ftyp box is 24 bytes)
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.update(aac, 24 + 8, 256)
+    assert(a.first_sample_md5 == d.digest().map("%02x".format(_)).mkString,
+      "md5 must cover exactly the resolved first sample")
+    assert(out(3L).n_samples == -1L && out(3L).codec == null)
+    assert(out(4L).n_samples == -1L,
+      "a video-only container has no soun track -> sentinel")
+  }
+
+  test("audio container swap: the same PCM fingerprints identically " +
+    "from WAV and m4a/sowt — whole-clip AND framed forms — while " +
+    "mp4a degrades to null hashes") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val media = Seq(
+      Multimodal.MediaRow(1L, "wav", Multimodal.syntheticStepWav(9L)),
+      Multimodal.MediaRow(2L, "m4a", Multimodal.syntheticStepM4a(9L)),
+      Multimodal.MediaRow(3L, "m4a",
+        Multimodal.syntheticStepM4a(9L, codecTag = "mp4a"))).toDS()
+    val h = Multimodal.audioFingerprints(media).collect()
+      .map(r => r.media_id -> (r.sim_hi, r.sim_lo)).toMap
+    assert(h(1L)._1.isDefined && h(1L) == h(2L),
+      s"container swap must fingerprint at dist 0: $h")
+    assert(h(3L) == ((None, None)),
+      "no JVM codec for mp4a — null hashes, out of every band join")
+    // the shift-tolerant framed form sees the same frame stream too
+    val f = Multimodal.audioFingerprintsFramed(media, winFrames = 30)
+      .collect().groupBy(_.media_id)
+    assert(f(1L).map(r => (r.frame_idx, r.sim_hi, r.sim_lo)).toSet ==
+      f(2L).map(r => (r.frame_idx, r.sim_hi, r.sim_lo)).toSet &&
+      f(1L).head.sim_hi.isDefined)
+  }
+
   test("container-agnostic frame walk: the same JPEG frames hash " +
     "identically from AVI and MP4 (container swap = dist-0 near-dup); " +
     "codec-less MP4 degrades to the sentinel row") {

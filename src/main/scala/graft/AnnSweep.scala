@@ -364,10 +364,12 @@ object AnnSweep {
       // recover per-family neighbors out of a genuinely mixed corpus.
       val e10r = (0 until 10).map { c =>
         val s = (c * 7) % 64
+        val rot = // coordinates shifted by s: lambda-free (slice+concat)
+          if (s == 0) col("embedding")
+          else concat(slice(col("embedding"), s + 1, 64 - s),
+            slice(col("embedding"), 1, s))
         e.select((col("vec_id") + lit(c * 100000L)).as("vec_id"),
-          expr(s"transform(sequence(0, 63), i -> " +
-            s"element_at(embedding, CAST((i + $s) % 64 AS INT) + 1))")
-            .as("embedding"))
+          rot.as("embedding"))
       }.reduce(_ unionByName _).localCheckpoint(true)
       val exact10 = Similarity.bruteForceTopK(e10r, e10r, "vec_id",
         "embedding", k = 5).select(col("q_id"), col("c_id")).persist()

@@ -94,7 +94,12 @@ object ScaleProbe {
       val df = SparkEntry.queries(name)(spark, dir)
       val rows = if (full) df.queryExecution.toRdd.count() else df.count()
       val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1000) // listener-bus drain before reading the adder
+      // synchronous listener-bus drain before reading the adder — the
+      // r13 ADVICE fix measured in AnnSweep: the old fixed 1 s sleep
+      // undercounted a loaded bus ~8× (graphpq 1x: 132,520 reported vs
+      // 1,092,827 actually drained). Ratios computed from drained counts.
+      org.apache.spark.sql.graft.ListenerBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext, 60000L)
       (dt, shuffleRecords.sum(), rows)
     }
 

@@ -24,11 +24,16 @@ object QueriesAnalytics {
     * removes rows after position assignment, because surviving rows
     * keep their positions verbatim (the stream is gapped).
     */
-  private def trainingLayoutSql(where: String): String = {
+  private def trainingLayoutSql(where: String): String =
+    s"""WITH $trainingLayoutCtes
+        SELECT doc_id, copy_idx, shuffle_pos, seq_id, seq_off, shard
+        FROM fin $where ORDER BY shuffle_pos"""
+
+  private val trainingLayoutCtes: String = {
     val bucket = "CAST(CAST(('0x' || substring(md5('graft-mix' || " +
       "CAST(doc_id AS VARCHAR) || '#' || CAST(copy_idx AS VARCHAR))" +
       ", 1, 8)) AS BIGINT) AS DOUBLE)"
-    s"""WITH tot AS (SELECT 4 * CAST(sum(n_chars) AS BIGINT) AS budget
+    s"""tot AS (SELECT 4 * CAST(sum(n_chars) AS BIGINT) AS budget
                      FROM documents),
          a AS (SELECT lang AS stratum,
                       CAST(sum(n_chars) AS BIGINT) AS available_tokens
@@ -71,19 +76,19 @@ object QueriesAnalytics {
                         row_number() OVER (ORDER BY copy_idx, rk)
                           AS shuffle_pos
                  FROM sh),
-         pk AS (SELECT doc_id, copy_idx, shuffle_pos,
+         pk AS (SELECT doc_id, copy_idx, n_chars, shuffle_pos,
                        CAST(coalesce(sum(n_chars) OVER
                          (ORDER BY shuffle_pos
                           ROWS BETWEEN UNBOUNDED PRECEDING
                             AND 1 PRECEDING), 0) AS BIGINT) AS strt
                 FROM pos),
-         n AS (SELECT count(*) AS cnt FROM pos)
-        SELECT doc_id, copy_idx, shuffle_pos,
-               CAST(floor(strt / 2048.0) AS BIGINT) AS seq_id,
-               strt % 2048 AS seq_off,
-               CAST(floor(CAST(shuffle_pos - 1 AS DOUBLE) * 8
-                 / (SELECT cnt FROM n)) AS INT) AS shard
-        FROM pk $where ORDER BY shuffle_pos"""
+         n AS (SELECT count(*) AS cnt FROM pos),
+         fin AS (SELECT doc_id, copy_idx, n_chars, shuffle_pos,
+                        CAST(floor(strt / 2048.0) AS BIGINT) AS seq_id,
+                        strt % 2048 AS seq_off,
+                        CAST(floor(CAST(shuffle_pos - 1 AS DOUBLE) * 8
+                          / (SELECT cnt FROM n)) AS INT) AS shard
+                 FROM pk)"""
   }
 
   /** q55 fixture prefix: one of each scrubbed codepoint (\\u-escaped so
@@ -752,6 +757,71 @@ object QueriesAnalytics {
           .orderBy(col("shuffle_pos"))
       },
       Some(trainingLayoutSql("WHERE doc_id % 17 <> 3"))),
+
+    // document SPANS across packed-sequence boundaries (round 14): the
+    // loader-side half of offset packing — one row per (doc, sequence)
+    // slice, so fixed-length batches assemble without re-walking the
+    // stream. Output-linear explode over each doc's own sequence range;
+    // Σ span_len per doc = its token count (spec); zero-weight docs
+    // occupy no tokens and emit nothing
+    Q("q179_pack_spans",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        Sampling.packSpans(docs, "n_chars", Seq(col("doc_id")), 2048L)
+          .select(col("doc_id"), col("seq_id"), col("span_off"),
+            col("span_len"), col("tok_start"))
+          .orderBy(col("doc_id"), col("seq_id"))
+      },
+      Some("""WITH pk AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                     CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS strt
+                   FROM documents),
+               sp AS (SELECT doc_id, w, strt,
+                             unnest(range(
+                               CAST(floor(strt / 2048.0) AS BIGINT),
+                               CAST(floor((strt + w - 1) / 2048.0)
+                                 AS BIGINT) + 1)) AS seq_id
+                      FROM pk WHERE w >= 1)
+              SELECT doc_id, seq_id,
+                     greatest(strt, seq_id * 2048) - seq_id * 2048
+                       AS span_off,
+                     least(strt + w, seq_id * 2048 + 2048)
+                       - greatest(strt, seq_id * 2048) AS span_len,
+                     greatest(strt, seq_id * 2048) - strt AS tok_start
+              FROM sp ORDER BY doc_id, seq_id""")),
+
+    // per-shard layout manifest (round 14): what a trainer's loader
+    // reads to schedule — row counts, CONTIGUOUS position ranges (the
+    // writeShards contract, checked here), token totals, seq-id ranges.
+    // n_files (a driver FS listing) is spec-pinned, not oracle-able
+    Q("q180_layout_manifest",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val total = docs.agg(sum(col("n_chars")).cast("long"))
+          .head().getLong(0)
+        val out = java.nio.file.Files.createTempDirectory("graft_q180")
+          .toString + "/shards"
+        Sampling.trainingLayout(docs, "doc_id", "lang", "n_chars",
+            Seq("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15, "fr" -> 0.15,
+              "es" -> 0.05),
+            budget = 4L * total, path = out, maxEpochs = 3.0,
+            seqLen = 2048L, numShards = 8)
+        graft.ops.Layout.layoutManifest(s, out)
+          .select(col("shard"), col("n_rows"), col("pos_min"),
+            col("pos_max"), col("n_tokens"), col("seq_min"),
+            col("seq_max"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""WITH $trainingLayoutCtes
+              SELECT shard, count(*) AS n_rows,
+                     min(shuffle_pos) AS pos_min,
+                     max(shuffle_pos) AS pos_max,
+                     CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+                     min(seq_id) AS seq_min, max(seq_id) AS seq_max
+              FROM fin GROUP BY shard ORDER BY shard""")),
 
     // LEAKAGE-FREE split (round 13): assignSplit keyed by duplicate
     // cluster, so a dup pair can never straddle the train/val boundary

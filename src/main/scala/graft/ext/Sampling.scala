@@ -266,6 +266,22 @@ object Sampling {
   def packSequences(df: DataFrame, weightCol: String, rankBy: Seq[Column],
       seqLen: Long): DataFrame = {
     require(seqLen >= 1, s"seqLen must be positive: $seqLen")
+    withStreamStart(df, weightCol, rankBy)
+      .withColumn("seq_id", floor(col("__start") / seqLen).cast("long"))
+      .withColumn("seq_off", (col("__start") % seqLen).cast("long"))
+      .drop("__start")
+  }
+
+  /** Each row's EXCLUSIVE running `weightCol` total in `rankBy` order —
+    * the token-stream start offset shared by [[packSequences]] and
+    * [[packSpans]]: the two-phase cumulative sum (range exchange,
+    * per-partition totals windowed into broadcast bases, local windowed
+    * sums), no single-partition sort at any size. The ranged frame is
+    * persisted and forced once so both phases read one evaluation.
+    * Returns df + `__start`; callers drop it.
+    */
+  private def withStreamStart(df: DataFrame, weightCol: String,
+      rankBy: Seq[Column]): DataFrame = {
     val ranged = df.repartitionByRange(rankBy: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -284,9 +300,49 @@ object Sampling {
     ranged.join(broadcast(bases), "__pid")
       .withColumn("__start",
         col("__base") + coalesce(sum(col(weightCol)).over(local), lit(0L)))
-      .withColumn("seq_id", floor(col("__start") / seqLen).cast("long"))
-      .withColumn("seq_off", (col("__start") % seqLen).cast("long"))
-      .drop("__pid", "__base", "__start")
+      .drop("__pid", "__base")
+  }
+
+  /** Document SPANS across packed-sequence boundaries — the part of the
+    * layout [[packSequences]]'s offset packing leaves to the reader: a
+    * doc whose tokens straddle one or more cuts occupies SEVERAL
+    * sequences, and the trainer's loader needs one row per (doc,
+    * sequence) slice to assemble fixed-length batches without re-walking
+    * the stream. For each row with `weightCol` w ≥ 1 starting at stream
+    * offset `start`:
+    *
+    *   - one output row per `seq_id` in
+    *     [⌊start/L⌋, ⌊(start + w − 1)/L⌋] (an `explode` over the row's
+    *     own sequence range — output-linear: rows + boundary crossings,
+    *     crossings ≤ total tokens / L);
+    *   - `span_off`  = the slice's offset INSIDE the sequence;
+    *   - `span_len`  = the slice's token count (Σ span_len = w);
+    *   - `tok_start` = the slice's first token's offset INSIDE the doc
+    *     (so the loader slices the doc's token array directly).
+    *
+    * Zero-weight rows emit nothing (they occupy no tokens). Same
+    * two-phase stream offsets as [[packSequences]] — the two operators
+    * agree on every boundary by construction.
+    */
+  def packSpans(df: DataFrame, weightCol: String, rankBy: Seq[Column],
+      seqLen: Long): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be positive: $seqLen")
+    withStreamStart(df, weightCol, rankBy)
+      .where(col(weightCol) >= 1L)
+      .withColumn("seq_id", explode(sequence(
+        floor(col("__start") / seqLen).cast("long"),
+        floor((col("__start") + col(weightCol) - 1) / seqLen).cast("long"))))
+      .withColumn("__sbase", col("seq_id") * seqLen)
+      .withColumn("span_off",
+        (greatest(col("__start"), col("__sbase")) - col("__sbase"))
+          .cast("long"))
+      .withColumn("span_len",
+        (least(col("__start") + col(weightCol), col("__sbase") + seqLen) -
+          greatest(col("__start"), col("__sbase"))).cast("long"))
+      .withColumn("tok_start",
+        (greatest(col("__start"), col("__sbase")) - col("__start"))
+          .cast("long"))
+      .drop("__start", "__sbase")
   }
 
   /** Per-group cap — domain balancing: keep at most `n` rows of each group

@@ -104,4 +104,35 @@ object Layout {
       .sortWithinPartitions(col("shard"), col(orderCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
+
+  /** Per-shard manifest of a written training layout — what a trainer's
+    * loader reads to schedule work without scanning data: one row per
+    * shard with its row count, CONTIGUOUS position range (adjacent
+    * shards' ranges must tile — the writeShards contract, and the
+    * manifest is where a loader would notice a violation), token total,
+    * sequence-id range, and data-file count. Data stats are one
+    * column-pruned aggregate over the layout (the shard id is a
+    * partition value — zero data IO for the key); file counts are a
+    * driver-side FS listing bounded by the shard count.
+    */
+  def layoutManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      posCol: String = "shuffle_pos",
+      tokensCol: String = "n_chars"): DataFrame = {
+    val stats = spark.read.parquet(path)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(posCol)).as("pos_min"), max(col(posCol)).as("pos_max"),
+        sum(col(tokensCol)).cast("long").as("n_tokens"),
+        min(col("seq_id")).as("seq_min"), max(col("seq_id")).as("seq_max"))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("shard="))
+      .map { d =>
+        (d.getName.stripPrefix("shard=").toInt,
+          fs.listStatus(d).count(_.getPath.getName.endsWith(".parquet")))
+      }.toSeq
+    import spark.implicits._
+    stats.join(broadcast(files.toDF("shard", "n_files")), Seq("shard"))
+  }
 }

@@ -263,6 +263,71 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(again.toSet == laid.toSet, "layout must be rerun-stable")
   }
 
+  test("packSpans: one row per (doc, sequence) slice — span lengths sum " +
+    "to the doc's tokens, boundaries agree with packSequences, " +
+    "zero-weight docs emit nothing, layout-independent") {
+    import graft.ext.Sampling
+    val docs = Seq((1L, 4L), (2L, 0L), (3L, 25L), (4L, 10L), (5L, 1L))
+      .toDF("doc_id", "w")
+    def spans(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packSpans(df, "w", Seq($"doc_id"), seqLen = 10L)
+        .select($"doc_id", $"seq_id", $"span_off", $"span_len",
+          $"tok_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val out = spans(docs)
+    // stream: d1 [0,4) d2 none d3 [4,29) d4 [29,39) d5 [39,40)
+    assert(out == Set(
+      (1L, 0L, 0L, 4L, 0L),
+      (3L, 0L, 4L, 6L, 0L), (3L, 1L, 0L, 10L, 6L), (3L, 2L, 0L, 9L, 16L),
+      (4L, 2L, 9L, 1L, 0L), (4L, 3L, 0L, 9L, 1L),
+      (5L, 3L, 9L, 1L, 0L)), s"got $out")
+    // per-doc span lengths tile the doc exactly
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(3L).toSeq.map(_._4).sum == 25L &&
+      byDoc(4L).toSeq.map(_._4).sum == 10L)
+    // first span per doc == packSequences' (seq_id, seq_off)
+    val packed = Sampling.packSequences(docs, "w", Seq($"doc_id"), 10L)
+      .select($"doc_id", $"seq_id", $"seq_off")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    byDoc.foreach { case (id, ss) =>
+      val first = ss.toSeq.minBy(_._2)
+      assert(packed(id) == ((first._2, first._3)),
+        s"doc $id first span must match packSequences: $first vs ${packed(id)}")
+    }
+    assert(spans(docs.repartition(7)) == out, "layout independence")
+  }
+
+  test("layoutManifest: per-shard rows/positions/tokens/seqs off one " +
+    "aggregate — position ranges tile contiguously, file counts from " +
+    "the FS listing") {
+    import graft.ext.Sampling
+    val docs = (1L to 300L).map(i => (i, "up", 7L))
+      .toDF("doc_id", "src", "toks")
+    val base = java.nio.file.Files.createTempDirectory("manifest180")
+    val out = s"$base/shards"
+    Sampling.trainingLayout(docs, "doc_id", "src", "toks",
+      Seq("up" -> 1.0), budget = 6300L, path = out,
+      maxEpochs = 3.0, seqLen = 50L, numShards = 4)
+    val m = graft.ops.Layout.layoutManifest(spark, out,
+        tokensCol = "toks")
+      .orderBy($"shard")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getInt(7)))
+    assert(m.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(m.forall(r => r._2 == 225L && r._5 == 225L * 7),
+      s"900 rows over 4 shards, 7 tokens each: ${m.toSeq}")
+    // contiguous tiling: shard k covers (225k, 225(k+1)]
+    m.foreach { r =>
+      assert(r._3 == 225L * r._1 + 1 && r._4 == 225L * (r._1 + 1)) }
+    // seq ranges non-decreasing across shards; files counted
+    assert(m.sliding(2).forall {
+      case Array(a, b) => a._7 <= b._6 + 1; case _ => true })
+    assert(m.forall(_._8 >= 1), "every shard dir has parquet files")
+  }
+
   test("retractShards: only shards holding tombstoned ids are rewritten " +
     "(untouched shard files BYTE-identical), survivors keep positions " +
     "verbatim (gapped), idempotent, crash residue recovered") {

@@ -29,15 +29,20 @@ object QueriesAnalytics {
         SELECT doc_id, copy_idx, shuffle_pos, seq_id, seq_off, shard
         FROM fin $where ORDER BY shuffle_pos"""
 
-  private val trainingLayoutCtes: String = {
+  private val trainingLayoutCtes: String = trainingLayoutCtesFrom("documents")
+
+  /** The q175 CTE chain over any source relation exposing
+    * (doc_id, lang, n_chars) — q181 runs it over the CURATED corpus.
+    */
+  private def trainingLayoutCtesFrom(src: String): String = {
     val bucket = "CAST(CAST(('0x' || substring(md5('graft-mix' || " +
       "CAST(doc_id AS VARCHAR) || '#' || CAST(copy_idx AS VARCHAR))" +
       ", 1, 8)) AS BIGINT) AS DOUBLE)"
     s"""tot AS (SELECT 4 * CAST(sum(n_chars) AS BIGINT) AS budget
-                     FROM documents),
+                     FROM $src),
          a AS (SELECT lang AS stratum,
                       CAST(sum(n_chars) AS BIGINT) AS available_tokens
-               FROM documents GROUP BY lang),
+               FROM $src GROUP BY lang),
          w AS (SELECT stratum, available_tokens,
                       CASE stratum WHEN 'en' THEN 0.4
                                    WHEN 'zh' THEN 0.25
@@ -59,7 +64,7 @@ object QueriesAnalytics {
                FROM t),
          c AS (SELECT doc_id, n_chars, epochs,
                       CAST(floor(epochs) AS INT) AS fl
-               FROM documents JOIN p ON p.stratum = documents.lang),
+               FROM $src JOIN p ON p.stratum = $src.lang),
          x AS (SELECT doc_id, n_chars, epochs, fl,
                       CAST(u.i AS INT) AS copy_idx
                FROM c CROSS JOIN range(0, 4) u(i)
@@ -822,6 +827,72 @@ object QueriesAnalytics {
                      CAST(sum(n_chars) AS BIGINT) AS n_tokens,
                      min(seq_id) AS seq_min, max(seq_id) AS seq_max
               FROM fin GROUP BY shard ORDER BY shard""")),
+
+    // END-TO-END curation → layout capstone (round 14): the whole
+    // pipeline a real training-data user runs as ONE gated chain —
+    // quality gate → leakage-free cluster-aware split (dup clusters
+    // never straddle; the whole cluster lands on one side) → exact
+    // dedup WITHIN train (keep-min per fingerprint cluster — exercised
+    // honestly as a min-over-cluster window, though co-location makes
+    // the survivor the cluster min) → mix-budgeted epoch-replicated
+    // sharded layout sized to the CURATED corpus. Oracle = the q172
+    // fingerprint/bucket CTEs + the q175 layout chain re-rooted on the
+    // curated relation; hash-exact on the written artifact's read-back
+    Q("q181_curate_layout",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+        val kept = docs.where(col("n_chars") >= 200)
+        val stamped = kept.select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("__fp"))
+        val cl = stamped.join(
+            stamped.groupBy(col("__fp"))
+              .agg(min(col("doc_id")).as("cluster_id")), Seq("__fp"))
+          .select(col("doc_id"), col("cluster_id"))
+        val train = Sampling.clusterAwareSplit(
+            kept.select(col("doc_id"), col("lang"), col("n_chars")),
+            "doc_id", cl,
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            salt = "graft")
+          .where(col("split") === "train").drop("split")
+        val wC = Window.partitionBy(col("cluster_id"))
+        val curated = train.join(cl, Seq("doc_id"))
+          .withColumn("__keep", min(col("doc_id")).over(wC))
+          .where(col("doc_id") === col("__keep"))
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val total = curated.agg(sum(col("n_chars")).cast("long"))
+          .head().getLong(0)
+        val out = java.nio.file.Files.createTempDirectory("graft_q181")
+          .toString + "/shards"
+        Sampling.trainingLayout(curated, "doc_id", "lang", "n_chars",
+            Seq("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15, "fr" -> 0.15,
+              "es" -> 0.05),
+            budget = 4L * total, path = out, maxEpochs = 3.0,
+            seqLen = 2048L, numShards = 8)
+          .select(col("doc_id"), col("copy_idx"), col("shuffle_pos"),
+            col("seq_id"), col("seq_off"),
+            col("shard").cast("int").as("shard"))
+          .orderBy(col("shuffle_pos"))
+      },
+      Some {
+        val clBucket = "CAST(CAST(('0x' || substring(md5('graft' || " +
+          "CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)"
+        s"""WITH kept AS (SELECT doc_id, lang, n_chars,
+                     md5(array_to_string($toksSql, ' ')) AS fp
+                   FROM documents WHERE n_chars >= 200),
+             cls AS (SELECT doc_id, lang, n_chars,
+                     min(doc_id) OVER (PARTITION BY fp) AS cluster_id
+                   FROM kept),
+             tr AS (SELECT * FROM cls
+                    WHERE $clBucket < 0.8 * 4294967296.0),
+             dd AS (SELECT *, min(doc_id) OVER (PARTITION BY cluster_id)
+                      AS keep_id FROM tr),
+             curated AS (SELECT doc_id, lang, n_chars FROM dd
+                         WHERE doc_id = keep_id),
+             ${trainingLayoutCtesFrom("curated")}
+            SELECT doc_id, copy_idx, shuffle_pos, seq_id, seq_off, shard
+            FROM fin ORDER BY shuffle_pos"""
+      }),
 
     // LEAKAGE-FREE split (round 13): assignSplit keyed by duplicate
     // cluster, so a dup pair can never straddle the train/val boundary

@@ -936,10 +936,17 @@ object Multimodal {
   /** ISO-BMFF container assembly shared by the synthetic fixtures (the
     * [[aviContainer]] counterpart): `ftyp`+`mdat`+`moov` with a
     * single-chunk stsc/stco layout over the given sample payloads.
+    *
+    * `audio` adds a `soun` trak over LE PCM16 appended to the SAME mdat
+    * after the video frames — and the audio trak goes FIRST in moov,
+    * the exact "leading audio track" ordering the handler gate exists
+    * for: a walk keying tables on box order instead of the hdlr value
+    * would record the audio sample tables as the video's.
     */
   private def mp4Container(width: Int, height: Int, timescale: Long,
-      sampleDelta: Long, codecTag: String,
-      frames: Seq[Array[Byte]]): Array[Byte] = {
+      sampleDelta: Long, codecTag: String, frames: Seq[Array[Byte]],
+      audio: Option[(Array[Byte], Int, Long, String, Int)] = None)
+      : Array[Byte] = {
     require(width >= 1 && height >= 1 && frames.nonEmpty && timescale >= 1,
       s"bad video params: ${width}x$height/${frames.length}/$timescale")
     require(codecTag.length == 4, s"codec tag must be a fourcc: $codecTag")
@@ -953,7 +960,9 @@ object Multimodal {
     def box(typ: String, payload: Array[Byte]): Array[Byte] =
       be32(payload.length + 8L) ++ cc(typ) ++ payload
     val ftyp = box("ftyp", cc("isom") ++ be32(512L) ++ cc("isom") ++ cc("mp41"))
-    val mdat = box("mdat", frames.flatten.toArray)
+    val videoBytes = frames.flatten.toArray
+    val mdat = box("mdat",
+      videoBytes ++ audio.map(_._1).getOrElse(Array.empty[Byte]))
     val mdatPayloadOff = ftyp.length + 8L
     val duration = nFrames * sampleDelta
     val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0L) ++ be32(0L) ++
@@ -991,8 +1000,76 @@ object Multimodal {
     val minf = box("minf", vmhd ++ stbl)
     val mdia = box("mdia", mdhd ++ hdlr ++ minf)
     val trak = box("trak", tkhd ++ mdia)
-    val moov = box("moov", mvhd ++ trak)
+    val audioTrak = audio.map { case (pcm, channels, rate, aTag, bps) =>
+      val aSamples = pcm.grouped(bps).toSeq
+      val aN = aSamples.length
+      val aDur = pcm.length.toLong / (2L * channels)
+      val aTkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ be32(0L) ++
+        be32(0L) ++ be32(2L) ++ be32(0L) ++ be32(aDur) ++
+        Array.fill(8)(0.toByte) ++ Array.fill(8)(0.toByte) ++
+        Array(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+          0x40000000L).flatMap(be32) ++ be32(0L) ++ be32(0L))
+      val aMdhd = box("mdhd", Array[Byte](0, 0, 0, 0) ++ be32(0L) ++
+        be32(0L) ++ be32(rate) ++ be32(aDur) ++ be16(0x55c4) ++ be16(0))
+      val aHdlr = box("hdlr", Array[Byte](0, 0, 0, 0) ++ be32(0L) ++
+        cc("soun") ++ Array.fill(12)(0.toByte) ++ Array[Byte](0))
+      val aEntry = box(aTag, Array.fill(6)(0.toByte) ++ be16(1) ++
+        be16(0) ++ be16(0) ++ be32(0L) ++
+        be16(channels) ++ be16(16) ++ be16(0) ++ be16(0) ++
+        be32(rate << 16))
+      val aStsd = box("stsd", Array[Byte](0, 0, 0, 0) ++ be32(1L) ++ aEntry)
+      val aStts = box("stts", Array[Byte](0, 0, 0, 0) ++ be32(1L) ++
+        be32(aN.toLong) ++ be32(1L))
+      val aStsc = box("stsc", Array[Byte](0, 0, 0, 0) ++ be32(1L) ++
+        be32(1L) ++ be32(aN.toLong) ++ be32(1L))
+      val aStsz = box("stsz", Array[Byte](0, 0, 0, 0) ++ be32(0L) ++
+        be32(aN.toLong) ++
+        aSamples.flatMap(s => be32(s.length.toLong)).toArray)
+      // the audio samples sit AFTER the video frames in the shared mdat
+      val aStco = box("stco", Array[Byte](0, 0, 0, 0) ++ be32(1L) ++
+        be32(mdatPayloadOff + videoBytes.length))
+      val aStbl = box("stbl", aStsd ++ aStts ++ aStsc ++ aStsz ++ aStco)
+      val aSmhd = box("smhd", Array[Byte](0, 0, 0, 0) ++ be16(0) ++ be16(0))
+      val aMinf = box("minf", aSmhd ++ aStbl)
+      box("trak", aTkhd ++ box("mdia", aMdhd ++ aHdlr ++ aMinf))
+    }
+    // audio trak FIRST — the leading-audio-track ordering the hdlr gate
+    // must survive
+    val moov = box("moov",
+      mvhd ++ audioTrak.getOrElse(Array.empty[Byte]) ++ trak)
     ftyp ++ mdat ++ moov
+  }
+
+  /** One ISO-BMFF file with BOTH a `soun` PCM track (first in moov) and
+    * a `vide` MJPEG track — the mixed-container fixture: the video
+    * geometry/frames must come out exactly as from the video-only file,
+    * and the PCM stream exactly as from the WAV twin, each through its
+    * own handler-gated table walk.
+    */
+  def syntheticAvMp4(width: Int, height: Int, nFrames: Int,
+      timescale: Long, sampleDelta: Long, videoSeed: Long,
+      audioSeed: Long, framesPerWindow: Int = 30): Array[Byte] = {
+    def frame(i: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y,
+            ((videoSeed + i * 101L + x * 31L + y * 17L) & 0xffffffL).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    mp4Container(width, height, timescale, sampleDelta, "jpeg",
+      (0 until nFrames).map(frame),
+      audio = Some((stepPcm(audioSeed, None, framesPerWindow), 1,
+        16000L, "sowt", 256)))
   }
 
   /** ISO-BMFF AUDIO container assembly — the m4a counterpart of

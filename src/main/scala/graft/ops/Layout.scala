@@ -135,4 +135,34 @@ object Layout {
     import spark.implicits._
     stats.join(broadcast(files.toDF("shard", "n_files")), Seq("shard"))
   }
+
+  /** Loader-side WINDOWED read of a written layout — the resume/epoch
+    * case: a trainer checkpointed at position p reads `[p, hi]` without
+    * touching the shards before it. Because shard k holds a contiguous
+    * position range, the window maps to a shard LIST (from the
+    * manifest's pos ranges — pass the persisted [[layoutManifest]]
+    * frame to skip the stats pass; the default recomputes pos ranges
+    * in one column-pruned aggregate), and the read filters on the
+    * shard PARTITION VALUE — static partition pruning, so only the
+    * intersecting shard directories' files are ever opened
+    * (spec-asserted via `PartitionFilters`). The residual position
+    * bounds ride as ordinary pushed filters inside those files.
+    */
+  def readShardRange(spark: org.apache.spark.sql.SparkSession,
+      path: String, posLo: Long, posHi: Long,
+      posCol: String = "shuffle_pos",
+      manifest: Option[DataFrame] = None): DataFrame = {
+    require(posLo <= posHi, s"empty window: [$posLo, $posHi]")
+    val ranges = manifest.getOrElse {
+      spark.read.parquet(path)
+        .groupBy(col("shard").cast("int").as("shard"))
+        .agg(min(col(posCol)).as("pos_min"), max(col(posCol)).as("pos_max"))
+    }
+    val shards = ranges
+      .where(col("pos_max") >= posLo && col("pos_min") <= posHi)
+      .select(col("shard").cast("int")).collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(path)
+      .where(col("shard").isin(shards: _*) &&
+        col(posCol).between(posLo, posHi))
+  }
 }

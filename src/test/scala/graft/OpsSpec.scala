@@ -751,6 +751,33 @@ class OpsSpec extends AnyFunSuite {
       f(1L).head.sim_hi.isDefined)
   }
 
+  test("mixed A/V ISO-BMFF: a LEADING soun track cannot shadow the vide " +
+    "geometry and vice versa — video features equal the video-only " +
+    "file's, PCM fingerprints equal the WAV twin's") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val av = Multimodal.syntheticAvMp4(20, 14, 3, 600L, 100L, 7L, 9L)
+    val vOnly = Multimodal.syntheticMp4(20, 14, 3, 600L, 100L, 7L)
+    val vf = Multimodal.mp4VideoFeatures(Seq(
+        Multimodal.MediaRow(1L, "mp4", av),
+        Multimodal.MediaRow(2L, "mp4", vOnly)).toDS())
+      .collect().map(r => r.media_id ->
+        (r.width, r.height, r.n_samples, r.codec, r.frame_width,
+          r.frame_height)).toMap
+    assert(vf(1L) == vf(2L) && vf(1L)._5 == 20,
+      s"video walk must be audio-track-blind: $vf")
+    val af = Multimodal.m4aAudioFeatures(Seq(
+        Multimodal.MediaRow(1L, "m4a", av)).toDS()).collect().head
+    assert((af.codec, af.channels, af.sample_rate, af.decoded_frames) ==
+      (("sowt", 1, 16000L, 1950L)), s"audio walk through the shared mdat: $af")
+    val h = Multimodal.audioFingerprints(Seq(
+        Multimodal.MediaRow(1L, "m4a", av),
+        Multimodal.MediaRow(2L, "wav", Multimodal.syntheticStepWav(9L)))
+        .toDS())
+      .collect().map(r => r.media_id -> (r.sim_hi, r.sim_lo)).toMap
+    assert(h(1L)._1.isDefined && h(1L) == h(2L),
+      "the embedded PCM must fingerprint identically to the WAV twin")
+  }
+
   test("container-agnostic frame walk: the same JPEG frames hash " +
     "identically from AVI and MP4 (container swap = dist-0 near-dup); " +
     "codec-less MP4 degrades to the sentinel row") {

@@ -328,6 +328,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(m.forall(_._8 >= 1), "every shard dir has parquet files")
   }
 
+  test("readShardRange: a position window opens ONLY the intersecting " +
+    "shard directories (partition pruning witnessed at the file level) " +
+    "and returns exactly the window's rows") {
+    import graft.ext.Sampling
+    val docs = (1L to 300L).map(i => (i, "up", 7L))
+      .toDF("doc_id", "src", "toks")
+    val base = java.nio.file.Files.createTempDirectory("range180")
+    val out = s"$base/shards"
+    Sampling.trainingLayout(docs, "doc_id", "src", "toks",
+      Seq("up" -> 1.0), budget = 6300L, path = out,
+      maxEpochs = 3.0, seqLen = 50L, numShards = 4)
+    // shards cover (0,225] (225,450] (450,675] (675,900]; the window
+    // [300, 500] intersects shards 1 and 2 only
+    val win = graft.ops.Layout.readShardRange(spark, out, 300L, 500L)
+    val ps = win.select($"shuffle_pos").as[Long].collect().sorted
+    assert(ps.toSeq == (300L to 500L).toSeq)
+    val filesRead = win.select(
+        org.apache.spark.sql.functions.input_file_name()).distinct()
+      .as[String].collect()
+    assert(filesRead.nonEmpty && filesRead.forall(f =>
+      f.contains("shard=1/") || f.contains("shard=2/")),
+      s"only shards 1/2 may be opened: ${filesRead.toSeq}")
+    assert(win.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"),
+      "the shard filter must prune at the partition listing")
+    // passing the persisted manifest skips the stats pass, same rows
+    val mf = graft.ops.Layout.layoutManifest(spark, out, tokensCol = "toks")
+      .localCheckpoint(true)
+    val again = graft.ops.Layout.readShardRange(spark, out, 300L, 500L,
+      manifest = Some(mf))
+    assert(again.select($"shuffle_pos").as[Long].collect().sorted.toSeq ==
+      ps.toSeq)
+  }
+
   test("retractShards: only shards holding tombstoned ids are rewritten " +
     "(untouched shard files BYTE-identical), survivors keep positions " +
     "verbatim (gapped), idempotent, crash residue recovered") {

@@ -33,67 +33,77 @@ object QueriesAnalytics {
 
   /** The q175 CTE chain over any source relation exposing
     * (doc_id, lang, n_chars) — q181 runs it over the CURATED corpus.
+    *
+    * Parameterized for the APPEND leg (q182): `pre` prefixes every CTE
+    * name so two chains coexist in one WITH; `salt` is the batch salt;
+    * `posBase`/`tokBase`/`shardBase` are SQL expressions (typically
+    * scalar subqueries over the FIRST chain's `fin`) that offset the
+    * segment's positions, token-stream starts, and shard ids — exactly
+    * [[graft.ext.Sampling.appendToLayout]]'s continuation arithmetic.
     */
-  private def trainingLayoutCtesFrom(src: String): String = {
-    val bucket = "CAST(CAST(('0x' || substring(md5('graft-mix' || " +
+  private def trainingLayoutCtesFrom(src: String, salt: String = "graft-mix",
+      pre: String = "", posBase: String = "0", tokBase: String = "0",
+      shardBase: String = "0"): String = {
+    val bucket = s"CAST(CAST(('0x' || substring(md5('$salt' || " +
       "CAST(doc_id AS VARCHAR) || '#' || CAST(copy_idx AS VARCHAR))" +
       ", 1, 8)) AS BIGINT) AS DOUBLE)"
-    s"""tot AS (SELECT 4 * CAST(sum(n_chars) AS BIGINT) AS budget
+    s"""${pre}tot AS (SELECT 4 * CAST(sum(n_chars) AS BIGINT) AS budget
                      FROM $src),
-         a AS (SELECT lang AS stratum,
+         ${pre}a AS (SELECT lang AS stratum,
                       CAST(sum(n_chars) AS BIGINT) AS available_tokens
                FROM $src GROUP BY lang),
-         w AS (SELECT stratum, available_tokens,
+         ${pre}w AS (SELECT stratum, available_tokens,
                       CASE stratum WHEN 'en' THEN 0.4
                                    WHEN 'zh' THEN 0.25
                                    WHEN 'de' THEN 0.15
                                    WHEN 'fr' THEN 0.15
                                    WHEN 'es' THEN 0.05
                                    ELSE 0.0 END AS weight
-               FROM a),
-         t AS (SELECT stratum, available_tokens, weight,
-                      CAST(floor((SELECT budget FROM tot)
+               FROM ${pre}a),
+         ${pre}t AS (SELECT stratum, available_tokens, weight,
+                      CAST(floor((SELECT budget FROM ${pre}tot)
                         * weight / 1.0) AS BIGINT) AS target_tokens
-               FROM w),
-         p AS (SELECT stratum,
+               FROM ${pre}w),
+         ${pre}p AS (SELECT stratum,
                       round(CAST(least(target_tokens,
                           CAST(floor(CAST(available_tokens AS DOUBLE)
                             * 3.0) AS BIGINT)) AS DOUBLE)
                         / CAST(available_tokens AS DOUBLE), 6)
                         AS epochs
-               FROM t),
-         c AS (SELECT doc_id, n_chars, epochs,
+               FROM ${pre}t),
+         ${pre}c AS (SELECT doc_id, n_chars, epochs,
                       CAST(floor(epochs) AS INT) AS fl
-               FROM $src JOIN p ON p.stratum = $src.lang),
-         x AS (SELECT doc_id, n_chars, epochs, fl,
+               FROM $src JOIN ${pre}p ON ${pre}p.stratum = $src.lang),
+         ${pre}x AS (SELECT doc_id, n_chars, epochs, fl,
                       CAST(u.i AS INT) AS copy_idx
-               FROM c CROSS JOIN range(0, 4) u(i)
+               FROM ${pre}c CROSS JOIN range(0, 4) u(i)
                WHERE u.i <= fl),
-         sel AS (SELECT doc_id, n_chars, copy_idx FROM x
+         ${pre}sel AS (SELECT doc_id, n_chars, copy_idx FROM ${pre}x
                  WHERE copy_idx < fl
                     OR $bucket < (epochs - fl) * 4294967296.0),
-         sh AS (SELECT doc_id, n_chars, copy_idx,
-                       md5('graft-mix' || '|'
+         ${pre}sh AS (SELECT doc_id, n_chars, copy_idx,
+                       md5('$salt' || '|'
                          || CAST(copy_idx AS VARCHAR) || '|'
                          || CAST(doc_id AS VARCHAR)) AS rk
-                FROM sel),
-         pos AS (SELECT doc_id, copy_idx, n_chars,
-                        row_number() OVER (ORDER BY copy_idx, rk)
-                          AS shuffle_pos
-                 FROM sh),
-         pk AS (SELECT doc_id, copy_idx, n_chars, shuffle_pos,
-                       CAST(coalesce(sum(n_chars) OVER
+                FROM ${pre}sel),
+         ${pre}pos AS (SELECT doc_id, copy_idx, n_chars,
+                        ($posBase) + row_number()
+                          OVER (ORDER BY copy_idx, rk) AS shuffle_pos
+                 FROM ${pre}sh),
+         ${pre}pk AS (SELECT doc_id, copy_idx, n_chars, shuffle_pos,
+                       CAST(($tokBase) + coalesce(sum(n_chars) OVER
                          (ORDER BY shuffle_pos
                           ROWS BETWEEN UNBOUNDED PRECEDING
                             AND 1 PRECEDING), 0) AS BIGINT) AS strt
-                FROM pos),
-         n AS (SELECT count(*) AS cnt FROM pos),
-         fin AS (SELECT doc_id, copy_idx, n_chars, shuffle_pos,
+                FROM ${pre}pos),
+         ${pre}n AS (SELECT count(*) AS cnt FROM ${pre}pos),
+         ${pre}fin AS (SELECT doc_id, copy_idx, n_chars, shuffle_pos,
                         CAST(floor(strt / 2048.0) AS BIGINT) AS seq_id,
                         strt % 2048 AS seq_off,
-                        CAST(floor(CAST(shuffle_pos - 1 AS DOUBLE) * 8
-                          / (SELECT cnt FROM n)) AS INT) AS shard
-                 FROM pk)"""
+                        CAST(($shardBase) + floor(
+                          CAST(shuffle_pos - ($posBase) - 1 AS DOUBLE) * 8
+                          / (SELECT cnt FROM ${pre}n)) AS INT) AS shard
+                 FROM ${pre}pk)"""
   }
 
   /** q55 fixture prefix: one of each scrubbed codepoint (\\u-escaped so
@@ -893,6 +903,57 @@ object QueriesAnalytics {
             SELECT doc_id, copy_idx, shuffle_pos, seq_id, seq_off, shard
             FROM fin ORDER BY shuffle_pos"""
       }),
+
+    // INCREMENTAL layout append (round 14): publish a layout over the
+    // even-id half of the corpus, then land the odd-id half as an
+    // append batch — its own mix plan, a distinct batch salt, positions
+    // continuing after the old max, the token stream picking up inside
+    // the old partial last sequence, and FRESH shard dirs (old files
+    // never opened — spec-witnessed byte-identical). Oracle = two
+    // parameterized q175 chains, the second offset by scalar subqueries
+    // over the first's fin; hash-exact on the combined read-back.
+    Q("q182_layout_append",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val old = docs.where(col("doc_id") % 2 === 0)
+        val batch = docs.where(col("doc_id") % 2 === 1)
+        val out = java.nio.file.Files.createTempDirectory("graft_q182")
+          .toString + "/shards"
+        val weights = Seq("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15,
+          "fr" -> 0.15, "es" -> 0.05)
+        val oldTotal = old.agg(sum(col("n_chars")).cast("long"))
+          .head().getLong(0)
+        Sampling.trainingLayout(old, "doc_id", "lang", "n_chars", weights,
+          budget = 4L * oldTotal, path = out, maxEpochs = 3.0,
+          seqLen = 2048L, numShards = 8)
+        val newTotal = batch.agg(sum(col("n_chars")).cast("long"))
+          .head().getLong(0)
+        Sampling.appendToLayout(batch, "doc_id", "lang", "n_chars",
+            weights, budget = 4L * newTotal, path = out, maxEpochs = 3.0,
+            seqLen = 2048L, numShards = 8, salt = "graft-mix-a")
+          .select(col("doc_id"), col("copy_idx"), col("shuffle_pos"),
+            col("seq_id"), col("seq_off"),
+            col("shard").cast("int").as("shard"))
+          .orderBy(col("shuffle_pos"))
+      },
+      Some(
+        s"""WITH olddocs AS (SELECT doc_id, lang, n_chars FROM documents
+                             WHERE doc_id % 2 = 0),
+             newdocs AS (SELECT doc_id, lang, n_chars FROM documents
+                         WHERE doc_id % 2 = 1),
+             ${trainingLayoutCtesFrom("olddocs")},
+             ${trainingLayoutCtesFrom("newdocs", salt = "graft-mix-a",
+               pre = "b",
+               posBase = "(SELECT max(shuffle_pos) FROM fin)",
+               tokBase = "(SELECT CAST(sum(n_chars) AS BIGINT) FROM fin)",
+               shardBase = "8")}
+            SELECT doc_id, copy_idx, shuffle_pos, seq_id, seq_off, shard
+            FROM fin
+            UNION ALL
+            SELECT doc_id, copy_idx, shuffle_pos, seq_id, seq_off, shard
+            FROM bfin
+            ORDER BY shuffle_pos""")),
 
     // LEAKAGE-FREE split (round 13): assignSplit keyed by duplicate
     // cluster, so a dup pair can never straddle the train/val boundary

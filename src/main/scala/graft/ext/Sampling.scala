@@ -262,14 +262,22 @@ object Sampling {
     * sums inside each partition. No single-partition sort at any size; the
     * ranged frame is persisted and forced once so both phases read one
     * evaluation.
+    *
+    * `streamOffset` continues an EXISTING token stream: the batch's
+    * cumulative offsets start there instead of 0, so an appended segment
+    * fills the prior stream's partial last sequence and then tiles on —
+    * the [[appendToLayout]] contract. Sequence numbering stays globally
+    * consistent with the earlier segments by construction.
     */
   def packSequences(df: DataFrame, weightCol: String, rankBy: Seq[Column],
-      seqLen: Long): DataFrame = {
+      seqLen: Long, streamOffset: Long = 0L): DataFrame = {
     require(seqLen >= 1, s"seqLen must be positive: $seqLen")
+    require(streamOffset >= 0L, s"streamOffset must be >= 0: $streamOffset")
     withStreamStart(df, weightCol, rankBy)
-      .withColumn("seq_id", floor(col("__start") / seqLen).cast("long"))
-      .withColumn("seq_off", (col("__start") % seqLen).cast("long"))
-      .drop("__start")
+      .withColumn("__gstart", col("__start") + lit(streamOffset))
+      .withColumn("seq_id", floor(col("__gstart") / seqLen).cast("long"))
+      .withColumn("seq_off", (col("__gstart") % seqLen).cast("long"))
+      .drop("__start", "__gstart")
   }
 
   /** Each row's EXCLUSIVE running `weightCol` total in `rankBy` order —
@@ -494,5 +502,54 @@ object Sampling {
       Seq(col("shuffle_pos")), seqLen)
     graft.ops.Layout.writeShards(packed, "shuffle_pos", numShards, path)
     df.sparkSession.read.parquet(path)
+  }
+
+  /** Incremental layout APPEND — the refresh a real pipeline runs when a
+    * new curated batch lands after a layout is published: plan the
+    * batch's own mix, replicate, epoch-shuffle, and pack it as a NEW
+    * contiguous segment that CONTINUES the existing stream — positions
+    * start after the old max, the token stream picks up inside the old
+    * partial last sequence (so sequence numbering stays globally
+    * consistent), and the segment lands in fresh shard directories via
+    * [[graft.ops.Layout.appendShards]]. Published shard files are never
+    * opened or rewritten; a trainer mid-epoch keeps its positions, and
+    * the manifest/windowed-read/retraction machinery see one seamless
+    * layout (ranges keep tiling).
+    *
+    * Pass a DISTINCT `salt` per append batch: the batch's permutation,
+    * fractional copies, and positions are then a pure function of
+    * (salt, batch ids) — rerunning the append reproduces the segment
+    * bit-for-bit, and no batch's draw correlates with another's.
+    *
+    * The old layout is touched by exactly ONE column-pruned 1-row
+    * aggregate (max position, token total, max shard) — or zero IO if
+    * the caller passes `state` (e.g. held from the previous append).
+    * Everything else is O(new batch): the same strata-sized plan
+    * broadcast, output-linear explode, two-phase ranged passes, and
+    * one shard-keyed exchange as [[trainingLayout]].
+    */
+  def appendToLayout(newDocs: DataFrame, idCol: String, stratumCol: String,
+      tokensCol: String, weights: Seq[(String, Double)], budget: Long,
+      path: String, maxEpochs: Double = 3.0, seqLen: Long = 2048L,
+      numShards: Int = 8, salt: String = "graft-mix-a",
+      state: Option[(Long, Long, Int)] = None): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (posBase, tokBase, shardBase) = state.getOrElse {
+      val r = spark.read.parquet(path)
+        .agg(max(col("shuffle_pos")).as("__p"),
+          sum(col(tokensCol)).cast("long").as("__t"),
+          max(col("shard").cast("int")).as("__s")).head()
+      (r.getLong(0), r.getLong(1), r.getInt(2) + 1)
+    }
+    val plan = mixPlan(newDocs, stratumCol, col(tokensCol), weights,
+      budget, maxEpochs)
+    val rep = applyMixPlan(newDocs, idCol, stratumCol, plan, salt)
+    val shuffled = epochShuffle(rep, idCol, "copy_idx", salt)
+      .withColumn("shuffle_pos", col("shuffle_pos") + lit(posBase))
+    val packed = packSequences(shuffled, tokensCol,
+      Seq(col("shuffle_pos")), seqLen, streamOffset = tokBase)
+    graft.ops.Layout.appendShards(packed, "shuffle_pos", numShards, path,
+      shardBase, posBase)
+    spark.read.parquet(path)
   }
 }

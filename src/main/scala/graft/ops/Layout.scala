@@ -105,6 +105,44 @@ object Layout {
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
 
+  /** Append a NEW contiguous position segment to an existing sharded
+    * layout as `numShards` FRESH shard directories starting at
+    * `shardBase` — the incremental-load leg of [[writeShards]]: old
+    * shard files are never opened, never rewritten (the new shard ids
+    * are disjoint, so the partitioned append only creates new
+    * directories), and the manifest keeps tiling because the segment's
+    * positions are dense `posBase+1 .. posBase+n`. Same plan shape as
+    * writeShards: one 1-row count broadcast, per-row shard arithmetic,
+    * one hash exchange on the shard id, files pre-sorted within
+    * partitions — O(new segment), independent of the layout's size.
+    */
+  def appendShards(df: DataFrame, orderCol: String, numShards: Int,
+      path: String, shardBase: Int, posBase: Long): Unit = {
+    require(numShards >= 1 && shardBase >= 0 && posBase >= 0L,
+      s"need numShards >= 1, shardBase >= 0, posBase >= 0: " +
+        s"$numShards/$shardBase/$posBase")
+    val n = df.agg(count(lit(1)).as("__n"))
+    df.crossJoin(broadcast(n))
+      .withColumn("shard", (lit(shardBase) +
+        floor((col(orderCol) - posBase - 1).cast("double") * numShards
+          / col("__n"))).cast("int"))
+      // the segment's positions must be dense posBase+1..posBase+n; a
+      // stale posBase or sparse stream would land a row in an existing
+      // shard directory and silently corrupt the published layout —
+      // fail the job at the first bad row instead
+      .withColumn("shard",
+        when(col("shard") >= shardBase &&
+          col("shard") < shardBase + numShards, col("shard"))
+          .otherwise(raise_error(concat(
+            lit(s"appendShards: $orderCol value "), col(orderCol).cast("string"),
+            lit(s" is outside the dense $posBase+1..$posBase+count range " +
+              s"(shard out of [$shardBase,${shardBase + numShards}))")))))
+      .drop("__n")
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(orderCol))
+      .write.mode("append").partitionBy("shard").parquet(path)
+  }
+
   /** Per-shard manifest of a written training layout — what a trainer's
     * loader reads to schedule work without scanning data: one row per
     * shard with its row count, CONTIGUOUS position range (adjacent

@@ -362,6 +362,91 @@ class TextAnalysisSpec extends AnyFunSuite {
       ps.toSeq)
   }
 
+  test("appendToLayout: the appended segment continues positions, token " +
+    "stream, and shard ids; published shard files stay BYTE-identical; " +
+    "the explicit-state path reproduces the aggregate path exactly") {
+    import graft.ext.Sampling
+    val docs = (1L to 300L).map(i => (i, "up", 7L))
+      .toDF("doc_id", "src", "toks")
+    val base = java.nio.file.Files.createTempDirectory("append182")
+    val out = s"$base/shards"
+    // budget 6207 < 3 epochs of the 2100 available ⇒ fractional third
+    // copies; total tokens almost surely NOT a multiple of seqLen, so
+    // the append must pick up MID-sequence
+    Sampling.trainingLayout(docs, "doc_id", "src", "toks",
+      Seq("up" -> 1.0), budget = 6207L, path = out,
+      maxEpochs = 3.0, seqLen = 50L, numShards = 4)
+    val oldRows = spark.read.parquet(out)
+      .select($"shuffle_pos", $"toks").as[(Long, Long)].collect()
+    val (oldN, oldT) = (oldRows.length.toLong, oldRows.map(_._2).sum)
+    assert(oldT % 50L != 0L, s"fixture must straddle a cut: $oldT")
+    def snapshot(s: Int): Map[String, Seq[Byte]] = {
+      val dir = java.nio.file.Paths.get(s"$out/shard=$s")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => dir.relativize(p).toString ->
+          java.nio.file.Files.readAllBytes(p).toSeq)
+        .toMap
+    }
+    val before = (0 to 3).map(s => s -> snapshot(s)).toMap
+    val batch = (301L to 400L).map(i => (i, "up", 7L))
+      .toDF("doc_id", "src", "toks")
+    val all = Sampling.appendToLayout(batch, "doc_id", "src", "toks",
+      Seq("up" -> 1.0), budget = 1400L, path = out, maxEpochs = 3.0,
+      seqLen = 50L, numShards = 4, salt = "graft-mix-b")
+    for (s <- 0 to 3)
+      assert(snapshot(s) == before(s),
+        s"published shard $s must stay byte-identical under append")
+    val rows = all.select($"doc_id", $"shuffle_pos", $"toks", $"seq_id",
+        $"seq_off", $"shard".cast("int"))
+      .as[(Long, Long, Long, Long, Long, Int)].collect()
+      .sortBy(_._2)
+    // positions dense 1..N+n across the whole stream
+    assert(rows.map(_._2).toSeq == (1L to rows.length.toLong).toSeq)
+    assert(rows.length > oldN, "the append must add rows")
+    // sequence numbering is one global token stream: replay the
+    // cumulative sum over the COMBINED order — the appended rows must
+    // fill the old stream's partial last sequence and tile on
+    var cum = 0L
+    rows.foreach { case (id, pos, w, seqId, seqOff, _) =>
+      assert(seqId == cum / 50L && seqOff == cum % 50L,
+        s"doc $id at pos $pos: ($seqId,$seqOff) vs stream offset $cum")
+      cum += w
+    }
+    // the appended segment lands in fresh shards 4..7, ranges tiling
+    val newRows = rows.filter(_._1 > 300L)
+    assert(newRows.nonEmpty && newRows.forall(r => r._6 >= 4 && r._6 <= 7))
+    assert(rows.filter(_._1 <= 300L).forall(r => r._6 <= 3))
+    val m = graft.ops.Layout.layoutManifest(spark, out, tokensCol = "toks")
+      .select($"shard", $"pos_min", $"pos_max").as[(Int, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(m.map(_._1).toSeq == (0 to 7) &&
+      m.head._2 == 1L && m.last._3 == rows.length.toLong &&
+      m.sliding(2).forall(p => p(1)._2 == p(0)._3 + 1),
+      s"manifest must tile contiguously across the append: ${m.toSeq}")
+    // a window straddling the append boundary reads exact rows
+    val win = graft.ops.Layout.readShardRange(spark, out,
+      oldN - 5L, oldN + 5L)
+    assert(win.select($"shuffle_pos").as[Long].collect().sorted.toSeq ==
+      (oldN - 5L to oldN + 5L).toSeq)
+    // explicit-state append (zero IO against the old layout) ≡ the
+    // aggregate path, row for row
+    val out2 = s"$base/shards2"
+    Sampling.trainingLayout(docs, "doc_id", "src", "toks",
+      Seq("up" -> 1.0), budget = 6207L, path = out2,
+      maxEpochs = 3.0, seqLen = 50L, numShards = 4)
+    Sampling.appendToLayout(batch, "doc_id", "src", "toks",
+      Seq("up" -> 1.0), budget = 1400L, path = out2, maxEpochs = 3.0,
+      seqLen = 50L, numShards = 4, salt = "graft-mix-b",
+      state = Some((oldN, oldT, 4)))
+    val rows2 = spark.read.parquet(out2)
+      .select($"doc_id", $"shuffle_pos", $"toks", $"seq_id", $"seq_off",
+        $"shard".cast("int"))
+      .as[(Long, Long, Long, Long, Long, Int)].collect().sortBy(_._2)
+    assert(rows2.toSeq == rows.toSeq)
+  }
+
   test("retractShards: only shards holding tombstoned ids are rewritten " +
     "(untouched shard files BYTE-identical), survivors keep positions " +
     "verbatim (gapped), idempotent, crash residue recovered") {

@@ -106,6 +106,55 @@ object QueriesAnalytics {
                  FROM ${pre}pk)"""
   }
 
+  /** q183/q184 annealing recipes: start at the q175 mix, end biased
+    * hard toward `en` (the "anneal to high quality late in training"
+    * shape). Shared by the engine calls and — via the interpolated
+    * weight-SUM literals below — the oracle arithmetic.
+    */
+  private val annealStart = Seq("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15,
+    "fr" -> 0.15, "es" -> 0.05)
+  private val annealEnd = Seq("en" -> 0.7, "zh" -> 0.1, "de" -> 0.1,
+    "fr" -> 0.05, "es" -> 0.05)
+
+  /** The q183 schedule as CTEs ending in `sched` — mirrors
+    * [[graft.ext.Sampling.mixSchedule]]'s arithmetic bit-for-bit: the
+    * weight-sum normalizers are DRIVER-computed double literals
+    * (identical fold order to the engine's), the interpolation keeps
+    * one operation order, and weight/rate export 6-dp rounded.
+    */
+  private val annealScheduleCtes: String = {
+    val sumS = annealStart.map(_._2).sum
+    val sumE = annealEnd.map(_._2).sum
+    def caseOf(w: Seq[(String, Double)]): String =
+      "CASE stratum " + w.map { case (k, v) => s"WHEN '$k' THEN $v" }
+        .mkString(" ") + " ELSE 0.0 END"
+    s"""av AS (SELECT lang AS stratum,
+                      CAST(sum(n_chars) AS BIGINT) AS available_tokens
+               FROM documents GROUP BY lang),
+        bud AS (SELECT CAST(sum(n_chars) AS BIGINT) AS b FROM documents),
+        ep AS (SELECT CAST(u.i AS INT) AS epoch FROM range(0, 3) u(i)),
+        iw AS (SELECT epoch, stratum, available_tokens,
+                      ${caseOf(annealStart)} AS ws,
+                      ${caseOf(annealEnd)} AS we,
+                      CAST(epoch AS DOUBLE) / 2.0 AS f
+               FROM av CROSS JOIN ep),
+        rw AS (SELECT epoch, stratum, available_tokens,
+                      ws + (we - ws) * f AS wraw,
+                      ($sumS) + (($sumE) - ($sumS)) * f AS norm
+               FROM iw),
+        tg AS (SELECT epoch, stratum, available_tokens, wraw,
+                      CAST(floor((SELECT b FROM bud) * wraw / norm)
+                        AS BIGINT) AS target_tokens
+               FROM rw),
+        sched AS (SELECT epoch, stratum, available_tokens,
+                      round(wraw, 6) AS weight, target_tokens,
+                      CASE WHEN available_tokens > 0 THEN
+                        round(least(1.0, CAST(target_tokens AS DOUBLE)
+                          / CAST(available_tokens AS DOUBLE)), 6)
+                      ELSE 0.0 END AS rate
+                  FROM tg)"""
+  }
+
   /** q55 fixture prefix: one of each scrubbed codepoint (\\u-escaped so
     * every char is reviewable), shared verbatim by both engines.
     */
@@ -954,6 +1003,54 @@ object QueriesAnalytics {
             SELECT doc_id, copy_idx, shuffle_pos, seq_id, seq_off, shard
             FROM bfin
             ORDER BY shuffle_pos""")),
+
+    // Epoch-ANNEALED mix schedule (round 14): stratum weights
+    // interpolate start → end across the epochs (anneal from natural
+    // proportions toward the high-quality strata late in training);
+    // per (epoch, stratum) the rate caps at one appearance per epoch,
+    // surfacing shortfall instead of over-repeating. The schedule is a
+    // (strata × epochs)-sized table off ONE corpus aggregate.
+    Q("q183_mix_schedule",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bud = docs.agg(sum(col("n_chars")).cast("long"))
+          .head().getLong(0)
+        Sampling.mixSchedule(docs, "lang", col("n_chars"),
+            annealStart, annealEnd, nEpochs = 3, budgetPerEpoch = bud)
+          .orderBy(col("epoch"), col("stratum"))
+      },
+      Some(
+        s"""WITH $annealScheduleCtes
+            SELECT epoch, stratum, available_tokens, weight,
+                   target_tokens, rate
+            FROM sched ORDER BY epoch, stratum""")),
+
+    // Materialize the annealed schedule (round 14): each doc joins
+    // every epoch of its stratum's schedule and survives iff its
+    // (salt, id, epoch) hash bucket falls under that epoch's rate —
+    // per-epoch INDEPENDENT deterministic draws, the `epoch` column
+    // the replication axis downstream (epochShuffle tiles it exactly
+    // as copy_idx). One broadcast join + per-row filter, no shuffle.
+    Q("q184_anneal_materialize",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bud = docs.agg(sum(col("n_chars")).cast("long"))
+          .head().getLong(0)
+        val sched = Sampling.mixSchedule(docs, "lang", col("n_chars"),
+          annealStart, annealEnd, nEpochs = 3, budgetPerEpoch = bud)
+        Sampling.applyMixSchedule(docs, "doc_id", "lang", sched)
+          .select(col("doc_id"), col("epoch"), col("lang"))
+          .orderBy(col("epoch"), col("doc_id"))
+      },
+      Some(
+        s"""WITH $annealScheduleCtes
+            SELECT doc_id, epoch, lang
+            FROM documents JOIN sched ON sched.stratum = documents.lang
+            WHERE CAST(CAST(('0x' || substring(md5('graft-anneal'
+                    || CAST(doc_id AS VARCHAR) || '#'
+                    || CAST(epoch AS VARCHAR)), 1, 8)) AS BIGINT)
+                  AS DOUBLE) < rate * 4294967296.0
+            ORDER BY epoch, doc_id""")),
 
     // LEAKAGE-FREE split (round 13): assignSplit keyed by duplicate
     // cluster, so a dup pair can never straddle the train/val boundary

@@ -180,6 +180,97 @@ object Sampling {
       .drop("__full", "epochs")
   }
 
+  /** Epoch-ANNEALED mix schedule — the curriculum knob a multi-epoch
+    * pre-training recipe turns: the stratum weights INTERPOLATE from
+    * `startWeights` to `endWeights` across `nEpochs` (linear in the
+    * epoch index — e.g. anneal from natural proportions toward the
+    * high-quality strata for the final epochs). Per (epoch, stratum):
+    *
+    *   - `weight  = ws + (we − ws) · e/(nEpochs−1)` (0/0 guarded:
+    *     one epoch uses the start weights verbatim);
+    *   - `target_tokens = floor(budgetPerEpoch · weight / norm)` where
+    *     `norm` is the same interpolation of the two recipes' weight
+    *     SUMS (closed form — no extra aggregate);
+    *   - `rate = least(1, target / available)` — within one epoch a doc
+    *     appears at most once, so the cap is 1.0; the shortfall
+    *     surfaces in the schedule instead of silently over-repeating
+    *     (the [[mixPlan]] contract, per epoch).
+    *
+    * Corpus strata absent from both recipes get weight 0 and rate 0 —
+    * kept for auditability, never silently dropped. `weight` and
+    * `rate` export 6-dp rounded so an oracle replays them bit-exactly;
+    * [[applyMixSchedule]] consumes the ROUNDED rate for the same
+    * reason. One stratum-keyed aggregate over the corpus; the schedule
+    * itself is a (strata × epochs)-sized table.
+    */
+  def mixSchedule(df: DataFrame, stratumCol: String, tokensCol: Column,
+      startWeights: Seq[(String, Double)], endWeights: Seq[(String, Double)],
+      nEpochs: Int, budgetPerEpoch: Long): DataFrame = {
+    require(nEpochs >= 1, s"need nEpochs >= 1: $nEpochs")
+    require(budgetPerEpoch >= 0L, s"need budgetPerEpoch >= 0: $budgetPerEpoch")
+    for (w <- Seq(startWeights, endWeights)) {
+      require(w.nonEmpty && w.forall(_._2 >= 0.0),
+        "mix weights must be non-negative and non-empty")
+      require(w.map(_._1).distinct.size == w.size,
+        "duplicate stratum names in mix weights: " + w.map(_._1).mkString(", "))
+    }
+    val sumS = startWeights.map(_._2).sum
+    val sumE = endWeights.map(_._2).sum
+    require(sumS > 0.0 && sumE > 0.0, "each recipe must have positive total weight")
+    val sMap = typedlit(startWeights.toMap)
+    val eMap = typedlit(endWeights.toMap)
+    val epochs = df.sparkSession.range(nEpochs)
+      .select(col("id").cast("int").as("epoch"))
+    val frac =
+      if (nEpochs == 1) lit(0.0)
+      else col("epoch").cast("double") / lit((nEpochs - 1).toDouble)
+    df.groupBy(col(stratumCol).as("stratum"))
+      .agg(coalesce(sum(tokensCol).cast("long"), lit(0L))
+        .as("available_tokens"))
+      .crossJoin(epochs)
+      .withColumn("__f", frac)
+      .withColumn("__ws", coalesce(element_at(sMap, col("stratum")), lit(0.0)))
+      .withColumn("__we", coalesce(element_at(eMap, col("stratum")), lit(0.0)))
+      .withColumn("__wraw",
+        col("__ws") + (col("__we") - col("__ws")) * col("__f"))
+      .withColumn("__norm",
+        lit(sumS) + (lit(sumE) - lit(sumS)) * col("__f"))
+      .withColumn("target_tokens",
+        floor(lit(budgetPerEpoch) * col("__wraw") / col("__norm"))
+          .cast("long"))
+      .withColumn("rate",
+        when(col("available_tokens") > 0L,
+          round(least(lit(1.0), col("target_tokens").cast("double") /
+            col("available_tokens").cast("double")), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("weight", round(col("__wraw"), 6))
+      .select(col("epoch"), col("stratum"), col("available_tokens"),
+        col("weight"), col("target_tokens"), col("rate"))
+  }
+
+  /** Materialize a [[mixSchedule]]: each doc joins every epoch of its
+    * stratum's schedule and survives iff its (salt, id, epoch) hash
+    * bucket falls under that epoch's rate — a deterministic,
+    * layout-independent, per-epoch INDEPENDENT draw (the epoch rides
+    * inside the hash, so no epoch's sample correlates with another's).
+    * The `epoch` column is the replication axis downstream —
+    * [[epochShuffle]] on it tiles epochs sequentially with an
+    * independent permutation each, exactly as with `copy_idx`.
+    *
+    * Scale shape: one broadcast join against the (strata × epochs)-
+    * sized schedule + a per-row filter — output-linear, no shuffle.
+    */
+  def applyMixSchedule(df: DataFrame, idCol: String, stratumCol: String,
+      schedule: DataFrame, salt: String = "graft-anneal"): DataFrame = {
+    val s = schedule.select(col("stratum").as(stratumCol), col("epoch"),
+      col("rate"))
+    df.join(broadcast(s), Seq(stratumCol))
+      .where(hashBucket(concat(col(idCol).cast("string"), lit("#"),
+        col("epoch").cast("string")), salt).cast("double") <
+        col("rate") * Buckets)
+      .drop("rate")
+  }
+
   /** Budget-capped selection: walk the rows in `rankBy` order (highest
     * priority first — e.g. quality score descending) and keep each row
     * while the running total of `weightCol` (e.g. its token count) stays
@@ -498,6 +589,31 @@ object Sampling {
       maxEpochs)
     val rep = applyMixPlan(df, idCol, stratumCol, plan, salt)
     val shuffled = epochShuffle(rep, idCol, "copy_idx", salt)
+    val packed = packSequences(shuffled, tokensCol,
+      Seq(col("shuffle_pos")), seqLen)
+    graft.ops.Layout.writeShards(packed, "shuffle_pos", numShards, path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** The ANNEALED training layout — [[trainingLayout]] with the
+    * curriculum axis: [[mixSchedule]] (per-epoch interpolated weights)
+    * → [[applyMixSchedule]] (per-epoch independent deterministic
+    * draws) → [[epochShuffle]] on the epoch column (epochs tile
+    * sequentially, each an independent permutation) →
+    * [[packSequences]] → `Layout.writeShards`. Returns the read-back,
+    * like the flagship. Same scale shape — the schedule is
+    * (strata × epochs)-sized and broadcast, everything after is
+    * output-linear or two-phase ranged.
+    */
+  def annealedLayout(df: DataFrame, idCol: String, stratumCol: String,
+      tokensCol: String, startWeights: Seq[(String, Double)],
+      endWeights: Seq[(String, Double)], nEpochs: Int,
+      budgetPerEpoch: Long, path: String, seqLen: Long = 2048L,
+      numShards: Int = 8, salt: String = "graft-anneal"): DataFrame = {
+    val sched = mixSchedule(df, stratumCol, col(tokensCol),
+      startWeights, endWeights, nEpochs, budgetPerEpoch)
+    val applied = applyMixSchedule(df, idCol, stratumCol, sched, salt)
+    val shuffled = epochShuffle(applied, idCol, "epoch", salt)
     val packed = packSequences(shuffled, tokensCol,
       Seq(col("shuffle_pos")), seqLen)
     graft.ops.Layout.writeShards(packed, "shuffle_pos", numShards, path)

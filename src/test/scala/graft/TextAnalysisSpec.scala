@@ -362,6 +362,60 @@ class TextAnalysisSpec extends AnyFunSuite {
       ps.toSeq)
   }
 
+  test("mixSchedule/annealedLayout: weights interpolate start to end " +
+    "across epochs (one epoch = start verbatim), zero-availability " +
+    "strata rate 0, and the layout tiles epochs sequentially with " +
+    "per-epoch independent draws honoring the schedule") {
+    import graft.ext.Sampling
+    val docs = ((1L to 200L).map(i => (i, "a", Option(10L))) ++
+      (201L to 300L).map(i => (i, "b", Option(10L))) ++
+      Seq((301L, "c", None: Option[Long])))
+      .toDF("doc_id", "src", "toks")
+    val start = Seq("a" -> 0.8, "b" -> 0.2)
+    val end = Seq("a" -> 0.2, "b" -> 0.8)
+    val sched = Sampling.mixSchedule(docs, "src", col("toks"),
+        start, end, nEpochs = 3, budgetPerEpoch = 2000L)
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // epoch 0 = start, epoch 2 = end, epoch 1 = midpoint; stratum a
+    // has 2000 toks available so rate = target/2000 (uncapped at 0.8)
+    assert(sched((0, "a"))._2 == 0.8 && sched((2, "a"))._2 == 0.2 &&
+      sched((1, "a"))._2 == 0.5 && sched((1, "b"))._2 == 0.5)
+    assert(sched((0, "a"))._3 == 1600L && sched((0, "a"))._4 == 0.8)
+    // stratum b epoch 2: target 1600 > available 1000 — rate caps at 1
+    assert(sched((2, "b"))._3 == 1600L && sched((2, "b"))._4 == 1.0)
+    // the all-null stratum: zero availability, zero rate, kept for audit
+    assert(sched((0, "c"))._1 == 0L && sched((0, "c"))._4 == 0.0)
+    // one epoch: start weights verbatim (no 0/0 interpolation)
+    val one = Sampling.mixSchedule(docs, "src", col("toks"),
+        start, end, nEpochs = 1, budgetPerEpoch = 2000L)
+      .where($"stratum" === "a").collect().head
+    assert(one.getDouble(3) == 0.8)
+    // the annealed layout: epochs tile sequentially, each epoch's
+    // member set matches an independent (salt, id, epoch) draw at the
+    // schedule's rate, and shards tile contiguously
+    val out = java.nio.file.Files.createTempDirectory("anneal183")
+      .toString + "/shards"
+    val laid = Sampling.annealedLayout(docs, "doc_id", "src", "toks",
+      start, end, nEpochs = 3, budgetPerEpoch = 2000L, path = out,
+      seqLen = 64L, numShards = 4)
+    val rows = laid.select($"doc_id", $"epoch", $"shuffle_pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._3)
+    assert(rows.map(_._3).toSeq == (1L to rows.length.toLong).toSeq)
+    // epoch blocks are contiguous in position order
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq,
+      "epochs must tile sequentially in the stream")
+    // epoch 2 keeps ALL of stratum b (rate 1.0)
+    val e2b = rows.filter(r => r._2 == 2 && r._1 > 200L && r._1 <= 300L)
+    assert(e2b.length == 100, s"rate-1.0 stratum must keep every doc: ${e2b.length}")
+    // per-epoch counts drift a→b as the weights anneal
+    val aByEpoch = (0 to 2).map(e =>
+      rows.count(r => r._2 == e && r._1 <= 200L))
+    assert(aByEpoch(0) > aByEpoch(1) && aByEpoch(1) > aByEpoch(2),
+      s"stratum a must shrink across epochs: $aByEpoch")
+  }
+
   test("appendToLayout: the appended segment continues positions, token " +
     "stream, and shard ids; published shard files stay BYTE-identical; " +
     "the explicit-state path reproduces the aggregate path exactly") {

@@ -657,15 +657,30 @@ object Sampling {
           max(col("shard").cast("int")).as("__s")).head()
       (r.getLong(0), r.getLong(1), r.getInt(2) + 1)
     }
+    val packed = layoutSegment(newDocs, idCol, stratumCol, tokensCol,
+      weights, budget, maxEpochs, seqLen, salt, posBase, tokBase)
+    graft.ops.Layout.appendShards(packed, "shuffle_pos", numShards, path,
+      shardBase, posBase)
+    spark.read.parquet(path)
+  }
+
+  /** One layout SEGMENT — the plan→replicate→shuffle→pack chain over a
+    * batch, with positions offset by `posBase` and the token stream
+    * continuing at `tokBase`: the shared core of [[appendToLayout]] and
+    * the streaming layout sink (which needs the frame BEFORE the write
+    * to count it and to make replays idempotent).
+    */
+  private[graft] def layoutSegment(newDocs: DataFrame, idCol: String,
+      stratumCol: String, tokensCol: String,
+      weights: Seq[(String, Double)], budget: Long, maxEpochs: Double,
+      seqLen: Long, salt: String, posBase: Long, tokBase: Long)
+      : DataFrame = {
     val plan = mixPlan(newDocs, stratumCol, col(tokensCol), weights,
       budget, maxEpochs)
     val rep = applyMixPlan(newDocs, idCol, stratumCol, plan, salt)
     val shuffled = epochShuffle(rep, idCol, "copy_idx", salt)
       .withColumn("shuffle_pos", col("shuffle_pos") + lit(posBase))
-    val packed = packSequences(shuffled, tokensCol,
-      Seq(col("shuffle_pos")), seqLen, streamOffset = tokBase)
-    graft.ops.Layout.appendShards(packed, "shuffle_pos", numShards, path,
-      shardBase, posBase)
-    spark.read.parquet(path)
+    packSequences(shuffled, tokensCol, Seq(col("shuffle_pos")), seqLen,
+      streamOffset = tokBase)
   }
 }

@@ -1141,4 +1141,111 @@ object StreamingIngest {
           }
       }
   }
+
+  /** Continuous layout ingestion — the streaming form of
+    * [[graft.ext.Sampling.appendToLayout]]: every micro-batch of curated
+    * docs becomes one appended SEGMENT of the published training layout
+    * (its own mix plan at `budgetMult` × the batch's available tokens, a
+    * batch-derived salt, positions/token-stream/shards continuing where
+    * the layout left off). A trainer can read the layout at any trigger
+    * boundary: it is always a complete, tiling, manifest-consistent
+    * artifact.
+    *
+    * State is a 1-row dot-prefixed parquet under the layout root
+    * (partition discovery ignores it) holding the last batch's PRE and
+    * POST totals — so steady-state appends do ZERO IO against the layout
+    * (the `state` fast path), and a replayed batch (foreachBatch is
+    * at-least-once) is detected by its batch id, reuses its original PRE
+    * bases, DELETES its own shard dirs, and rewrites them — every write
+    * in the batch is deterministic from (salt, batch ids, bases), so the
+    * replay reproduces the segment and the sink is idempotent per batch.
+    * The target dirs are also cleared on the fresh path, which absorbs
+    * crash residue from a segment written before its state swap.
+    *
+    * Each trigger adds `shardsPerBatch` shard directories — the price of
+    * never rewriting published files; fold small trailing shards with the
+    * retraction-style rewrite if trigger counts grow large.
+    */
+  def layoutAppendStream(docs: DataFrame, layoutDir: String,
+      checkpointDir: String, idCol: String, stratumCol: String,
+      tokensCol: String, weights: Seq[(String, Double)],
+      budgetMult: Double = 4.0, maxEpochs: Double = 3.0,
+      seqLen: Long = 2048L, shardsPerBatch: Int = 4,
+      salt: String = "graft-layout")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        layoutAppendBatch(batch, batchId, layoutDir, idCol, stratumCol,
+          tokensCol, weights, budgetMult, maxEpochs, seqLen,
+          shardsPerBatch, salt)
+        ()
+      }
+      .start()
+
+  /** One trigger of [[layoutAppendStream]] — public so the replay and
+    * equivalence specs drive exactly the production path. Returns the
+    * appended row count (0 = empty segment, nothing written).
+    */
+  def layoutAppendBatch(batch: DataFrame, batchId: Long, layoutDir: String,
+      idCol: String, stratumCol: String, tokensCol: String,
+      weights: Seq[(String, Double)], budgetMult: Double = 4.0,
+      maxEpochs: Double = 3.0, seqLen: Long = 2048L,
+      shardsPerBatch: Int = 4, salt: String = "graft-layout"): Long = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return 0L // empty trigger: no segment, no state bump
+    val stateDir = s"$layoutDir/.layout_state"
+    val fs = new org.apache.hadoop.fs.Path(layoutDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = if (hasParquetData(spark, stateDir))
+      Some(spark.read.parquet(stateDir)
+        .select(col("batch_id"), col("pre_pos"), col("pre_tok"),
+          col("pre_shard"), col("post_pos"), col("post_tok"),
+          col("post_shard")).head())
+    else None
+    val (posBase, tokBase, shardBase) = st match {
+      case Some(r) if r.getLong(0) == batchId =>      // replay: PRE bases
+        (r.getLong(1), r.getLong(2), r.getInt(3))
+      case Some(r) =>
+        require(r.getLong(0) < batchId,
+          s"layout state is ahead of the stream: ${r.getLong(0)} > $batchId")
+        (r.getLong(4), r.getLong(5), r.getInt(6))     // fresh: POST bases
+      case None if hasParquetData(spark, layoutDir) => // bootstrap: aggregate
+        val r = spark.read.parquet(layoutDir)
+          .agg(max(col("shuffle_pos")), sum(col(tokensCol)).cast("long"),
+            max(col("shard").cast("int"))).head()
+        (r.getLong(0), r.getLong(1), r.getInt(2) + 1)
+      case None => (0L, 0L, 0)                        // first batch creates
+    }
+    val avail = batch.agg(coalesce(sum(col(tokensCol)).cast("long"),
+      lit(0L))).head().getLong(0)
+    val segment = graft.ext.Sampling.layoutSegment(batch, idCol,
+        stratumCol, tokensCol, weights,
+        budget = math.floor(budgetMult * avail).toLong,
+        maxEpochs = maxEpochs, seqLen = seqLen,
+        salt = s"$salt#$batchId", posBase = posBase, tokBase = tokBase)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val agg = segment.agg(count(lit(1)),
+        coalesce(sum(col(tokensCol)).cast("long"), lit(0L))).head()
+      val (n, tok) = (agg.getLong(0), agg.getLong(1))
+      if (n == 0L) return 0L
+      // clear the batch's target dirs first: on replay they hold the
+      // original write, after a pre-state-swap crash they hold residue —
+      // either way the deterministic rewrite restores exact content
+      for (s <- shardBase until shardBase + shardsPerBatch)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$layoutDir/shard=$s"), true)
+      graft.ops.Layout.appendShards(segment, "shuffle_pos", shardsPerBatch,
+        layoutDir, shardBase, posBase)
+      import spark.implicits._
+      val tmp = s"$stateDir.tmp"
+      Seq((batchId, posBase, tokBase, shardBase,
+          posBase + n, tokBase + tok, shardBase + shardsPerBatch))
+        .toDF("batch_id", "pre_pos", "pre_tok", "pre_shard",
+          "post_pos", "post_tok", "post_shard")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      graft.pipeline.Pipeline.swap(spark, tmp, stateDir)
+      n
+    } finally { segment.unpersist(); () }
+  }
 }

@@ -1210,4 +1210,79 @@ class StreamingSpec extends AnyFunSuite {
     val files = parquetFiles(indexDir)
     assert(files <= 64, s"index files must stay bounded under compaction: $files")
   }
+
+  test("streaming layout ingestion: each trigger appends one segment " +
+    "(trigger ≡ batch appendToLayout), replays rewrite identical rows, " +
+    "crash residue in a target shard dir is absorbed, empty trigger is " +
+    "a no-op") {
+    import graft.ext.Sampling
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("laystream").toString
+    val (srcDir, layoutDir, ckpt) =
+      (s"$base/src", s"$base/layout", s"$base/ckpt")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("src", StringType), StructField("toks", LongType)))
+    def deliver(ids: Range): Unit =
+      ids.map(i => (i.toLong, "up", 7L)).toDF("doc_id", "src", "toks")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val q = StreamingIngest.layoutAppendStream(
+        spark.readStream.schema(schema).parquet(srcDir), layoutDir, ckpt,
+        "doc_id", "src", "toks", Seq("up" -> 1.0), budgetMult = 2.0,
+        maxEpochs = 3.0, seqLen = 50L, shardsPerBatch = 4)
+      try q.processAllAvailable() finally q.stop()
+    }
+    deliver(1 to 200); runOnce()     // batch 0
+    deliver(201 to 280); runOnce()   // batch 1 (checkpoint continues)
+    def rows(dir: String): Set[(Long, Int, Long, Long, Long, Int)] =
+      spark.read.parquet(dir)
+        .select($"doc_id", $"copy_idx", $"shuffle_pos", $"seq_id",
+          $"seq_off", $"shard".cast("int"))
+        .as[(Long, Int, Long, Long, Long, Int)].collect().toSet
+    val streamed = rows(layoutDir)
+    // the batch-operator replay: same salts (salt#batchId), same budgets
+    val ref = s"$base/ref"
+    val d1 = (1L to 200L).map((_, "up", 7L)).toDF("doc_id", "src", "toks")
+    val d2 = (201L to 280L).map((_, "up", 7L)).toDF("doc_id", "src", "toks")
+    Sampling.appendToLayout(d1, "doc_id", "src", "toks", Seq("up" -> 1.0),
+      budget = 2800L, path = ref, maxEpochs = 3.0, seqLen = 50L,
+      numShards = 4, salt = "graft-layout#0", state = Some((0L, 0L, 0)))
+    Sampling.appendToLayout(d2, "doc_id", "src", "toks", Seq("up" -> 1.0),
+      budget = 1120L, path = ref, maxEpochs = 3.0, seqLen = 50L,
+      numShards = 4, salt = "graft-layout#1")
+    assert(streamed == rows(ref),
+      "each trigger must reproduce the batch appendToLayout exactly")
+    // replay batch 1 (at-least-once): identical rows, no duplication
+    val n1 = StreamingIngest.layoutAppendBatch(d2, 1L, layoutDir,
+      "doc_id", "src", "toks", Seq("up" -> 1.0), budgetMult = 2.0,
+      maxEpochs = 3.0, seqLen = 50L, shardsPerBatch = 4)
+    assert(n1 > 0L && rows(layoutDir) == streamed,
+      "a replayed batch must rewrite its own segment verbatim")
+    // crash residue: junk in the NEXT batch's target dir is cleared
+    val junkDir = java.nio.file.Paths.get(s"$layoutDir/shard=8")
+    java.nio.file.Files.createDirectories(junkDir)
+    java.nio.file.Files.write(junkDir.resolve("junk.parquet"),
+      Array[Byte](1, 2, 3))
+    val d3 = (281L to 300L).map((_, "up", 7L)).toDF("doc_id", "src", "toks")
+    StreamingIngest.layoutAppendBatch(d3, 2L, layoutDir,
+      "doc_id", "src", "toks", Seq("up" -> 1.0), budgetMult = 2.0,
+      maxEpochs = 3.0, seqLen = 50L, shardsPerBatch = 4)
+    val all = spark.read.parquet(layoutDir)
+      .select($"shuffle_pos").as[Long].collect().sorted
+    assert(all.toSeq == (1L to all.length.toLong).toSeq,
+      "positions stay dense through replay + residue absorption")
+    val m = graft.ops.Layout.layoutManifest(spark, layoutDir,
+        tokensCol = "toks")
+      .select($"shard", $"pos_min", $"pos_max").as[(Int, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(m.map(_._1).toSeq == (0 to 11) &&
+      m.sliding(2).forall(p => p(1)._2 == p(0)._3 + 1),
+      s"manifest must tile across all streamed segments: ${m.toSeq}")
+    // empty trigger: no-op, no state bump
+    val n0 = StreamingIngest.layoutAppendBatch(
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema), 3L, layoutDir,
+      "doc_id", "src", "toks", Seq("up" -> 1.0))
+    assert(n0 == 0L && rows(layoutDir).size == all.length)
+  }
 }

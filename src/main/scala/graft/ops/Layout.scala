@@ -174,6 +174,113 @@ object Layout {
     stats.join(broadcast(files.toDF("shard", "n_files")), Seq("shard"))
   }
 
+  /** Fold adjacent SMALL shards of a published layout into fewer
+    * directories — the maintenance a long-running
+    * [[graft.streaming.StreamingIngest.layoutAppendStream]] needs:
+    * every trigger adds `shardsPerBatch` dirs, and after thousands of
+    * triggers the loader pays per-directory overhead the data doesn't
+    * justify. Greedy pass over the (≤ numShards)-row stats in position
+    * order: adjacent shards merge while the running row count stays
+    * ≤ `targetRows`; each merged group rewrites to ONE directory named
+    * after its first shard id (ids stay monotone in position, so the
+    * manifest keeps tiling — with gaps, which every reader here
+    * already handles: the retraction precedent). Groups of one are
+    * NEVER touched — untouched shard files stay byte-identical, so the
+    * rewrite cost is O(rows in merged groups), not O(layout).
+    * Rows, positions, and order inside the data are VERBATIM — only
+    * the shard partition value changes.
+    *
+    * Idempotent: after a pass, adjacent groups pairwise exceed
+    * `targetRows` (greedy closes only on overflow), so a second call
+    * at the same target merges nothing.
+    *
+    * Crash safety per group, in the retraction style: merged data
+    * writes to a dot-prefixed temp, members rename aside as
+    * `.compact-old-<first>-<k>`, the temp promotes to `shard=<first>`
+    * (the COMMIT marker), then the aside dirs delete. Recovery on the
+    * next call: a group whose live `shard=<first>` exists is
+    * committed (residue deleted); one without is rolled back (every
+    * member restored). Stray temps are deleted.
+    *
+    * Returns the merged groups as (newShardId, memberIds).
+    */
+  def compactShards(spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String, targetRows: Long,
+      posCol: String = "shuffle_pos"): Seq[(Int, Seq[Int])] = {
+    require(targetRows >= 1L, s"targetRows must be positive: $targetRows")
+    val root = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def livePath(s: Int) =
+      new org.apache.hadoop.fs.Path(s"$layoutDir/shard=$s")
+    // crash recovery BEFORE reading (see scaladoc)
+    fs.listStatus(root).map(_.getPath).groupBy { p =>
+      val n = p.getName
+      if (n.startsWith(".compact-old-")) n.split("-")(2) else ""
+    }.foreach {
+      case ("", _) => ()
+      case (first, residue) =>
+        if (fs.exists(livePath(first.toInt)))
+          residue.foreach(fs.delete(_, true))
+        else residue.foreach { p =>
+          val live = livePath(p.getName.split("-")(3).toInt)
+          if (!fs.rename(p, live)) throw new java.io.IOException(
+            s"compactShards: recovery rename $p -> $live failed")
+        }
+    }
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(".compact-tmp-"))
+      .foreach(fs.delete(_, true))
+    val stats = spark.read.parquet(layoutDir)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n"), min(col(posCol)).as("pmin"))
+      .select(col("shard"), col("n"), col("pmin"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var curRows = 0L
+    stats.foreach { case (s, n, _) =>
+      if (cur.nonEmpty && curRows + n > targetRows) {
+        groups += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer(s)
+        curRows = n
+      } else { cur += s; curRows += n }
+    }
+    if (cur.nonEmpty) groups += cur.toSeq
+    val merged = groups.filter(_.size >= 2).toSeq
+    merged.foreach { g =>
+      val first = g.head
+      val tmp = s"$layoutDir/.compact-tmp-$first"
+      spark.read.parquet(g.map(s => livePath(s).toString): _*)
+        .repartition(1).sortWithinPartitions(col(posCol))
+        .write.mode("overwrite").parquet(tmp)
+      // g.head MUST rename aside first: recovery keys the group's commit
+      // state on live shard=<first> existing, so no other member may be
+      // aside while the head is still live (a crash there would read as
+      // committed and delete the aside member's only copy)
+      g.foreach { s =>
+        if (!fs.rename(livePath(s),
+          new org.apache.hadoop.fs.Path(s"$layoutDir/.compact-old-$first-$s")))
+          throw new java.io.IOException(
+            s"compactShards: rename shard=$s aside failed")
+      }
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), livePath(first))) {
+        g.foreach { s => // roll the whole group back before failing loud
+          fs.rename(
+            new org.apache.hadoop.fs.Path(s"$layoutDir/.compact-old-$first-$s"),
+            livePath(s))
+        }
+        throw new java.io.IOException(
+          s"compactShards: promote $tmp -> shard=$first failed; group restored")
+      }
+      g.foreach { s =>
+        fs.delete(
+          new org.apache.hadoop.fs.Path(s"$layoutDir/.compact-old-$first-$s"),
+          true)
+      }
+    }
+    merged.map(g => g.head -> g)
+  }
+
   /** Loader-side WINDOWED read of a written layout — the resume/epoch
     * case: a trainer checkpointed at position p reads `[p, hi]` without
     * touching the shards before it. Because shard k holds a contiguous

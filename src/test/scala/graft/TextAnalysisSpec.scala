@@ -501,6 +501,89 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows2.toSeq == rows.toSeq)
   }
 
+  test("compactShards: adjacent small shards fold to the target in " +
+    "position order (rows/positions verbatim, manifest keeps tiling " +
+    "with id gaps), untouched shards stay byte-identical, a second " +
+    "pass is a no-op, and crash residue recovers both ways") {
+    import graft.ext.Sampling
+    val base = java.nio.file.Files.createTempDirectory("compact14").toString
+    val layout = s"$base/layout"
+    // three streamed segments of 4 shards each (12 dirs); the third is
+    // 3× the size so ITS shards exceed the pairing target and stay alone
+    var next = 1L
+    for (b <- 0 to 2) {
+      val sz = if (b == 2) 300L else 100L
+      val docs = (next until next + sz).map((_, "up", 7L))
+        .toDF("doc_id", "src", "toks")
+      next += sz
+      graft.streaming.StreamingIngest.layoutAppendBatch(docs, b.toLong, layout,
+        "doc_id", "src", "toks", Seq("up" -> 1.0), budgetMult = 1.0,
+        maxEpochs = 3.0, seqLen = 50L, shardsPerBatch = 4)
+    }
+    val beforeRows = spark.read.parquet(layout)
+      .select($"doc_id", $"shuffle_pos", $"seq_id", $"seq_off")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val perShard = spark.read.parquet(layout)
+      .groupBy($"shard".cast("int")).count()
+      .as[(Int, Long)].collect().toMap
+    def snapshot(s: Int): Map[String, Seq[Byte]] = {
+      val dir = java.nio.file.Paths.get(s"$layout/shard=$s")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => dir.relativize(p).toString ->
+          java.nio.file.Files.readAllBytes(p).toSeq)
+        .toMap
+    }
+    // target fits exactly two ~25-row shards per group at the head;
+    // pick it so at least one shard is provably left alone
+    val target = perShard.values.min * 2
+    val beforeBytes = perShard.keySet.map(s => s -> snapshot(s)).toMap
+    val groups = graft.ops.Layout.compactShards(spark, layout, target)
+    assert(groups.nonEmpty && groups.forall(_._2.size >= 2))
+    val mergedIds = groups.flatMap(_._2).toSet
+    val untouched = perShard.keySet -- mergedIds
+    assert(untouched.nonEmpty, "fixture must leave at least one shard alone")
+    untouched.foreach(s => assert(snapshot(s) == beforeBytes(s),
+      s"untouched shard $s must stay byte-identical"))
+    assert(groups.forall { case (id, members) => id == members.min },
+      "a merged dir takes its first member's id")
+    // rows/positions verbatim, only shard labels changed
+    assert(spark.read.parquet(layout)
+      .select($"doc_id", $"shuffle_pos", $"seq_id", $"seq_off")
+      .as[(Long, Long, Long, Long)].collect().toSet == beforeRows)
+    // manifest tiles in shard-id order despite the gaps
+    val m = graft.ops.Layout.layoutManifest(spark, layout,
+        tokensCol = "toks")
+      .select($"shard", $"pos_min", $"pos_max").as[(Int, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(m.sliding(2).forall(p => p(1)._2 == p(0)._3 + 1),
+      s"post-compaction manifest must tile: ${m.toSeq}")
+    // a second pass at the same target merges nothing
+    assert(graft.ops.Layout.compactShards(spark, layout, target).isEmpty)
+    // crash recovery, rollback leg: a group renamed aside with its head
+    // NOT promoted (live head missing) must restore every member
+    val fs = new org.apache.hadoop.fs.Path(layout).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val survivor = m.map(_._1).max
+    fs.rename(new org.apache.hadoop.fs.Path(s"$layout/shard=$survivor"),
+      new org.apache.hadoop.fs.Path(s"$layout/.compact-old-$survivor-$survivor"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$layout/.compact-tmp-99"))
+    assert(graft.ops.Layout.compactShards(spark, layout, 1L).isEmpty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$layout/shard=$survivor")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$layout/.compact-tmp-99")))
+    // committed leg: residue beside a LIVE head is deleted, head kept
+    val head = groups.head._1
+    val headBytes = snapshot(head)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$layout/.compact-old-$head-$head"))
+    assert(graft.ops.Layout.compactShards(spark, layout, 1L).isEmpty)
+    assert(snapshot(head) == headBytes &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$layout/.compact-old-$head-$head")))
+    assert(spark.read.parquet(layout)
+      .select($"doc_id", $"shuffle_pos", $"seq_id", $"seq_off")
+      .as[(Long, Long, Long, Long)].collect().toSet == beforeRows)
+  }
+
   test("retractShards: only shards holding tombstoned ids are rewritten " +
     "(untouched shard files BYTE-identical), survivors keep positions " +
     "verbatim (gapped), idempotent, crash residue recovered") {

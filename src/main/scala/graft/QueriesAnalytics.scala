@@ -43,7 +43,37 @@ object QueriesAnalytics {
     */
   private def trainingLayoutCtesFrom(src: String, salt: String = "graft-mix",
       pre: String = "", posBase: String = "0", tokBase: String = "0",
-      shardBase: String = "0"): String = {
+      shardBase: String = "0"): String =
+    s"""${mixSelCtesFrom(src, salt, pre)},
+         ${pre}sh AS (SELECT doc_id, n_chars, copy_idx,
+                       md5('$salt' || '|'
+                         || CAST(copy_idx AS VARCHAR) || '|'
+                         || CAST(doc_id AS VARCHAR)) AS rk
+                FROM ${pre}sel),
+         ${pre}pos AS (SELECT doc_id, copy_idx, n_chars,
+                        ($posBase) + row_number()
+                          OVER (ORDER BY copy_idx, rk) AS shuffle_pos
+                 FROM ${pre}sh),
+         ${pre}pk AS (SELECT doc_id, copy_idx, n_chars, shuffle_pos,
+                       CAST(($tokBase) + coalesce(sum(n_chars) OVER
+                         (ORDER BY shuffle_pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS strt
+                FROM ${pre}pos),
+         ${pre}n AS (SELECT count(*) AS cnt FROM ${pre}pos),
+         ${pre}fin AS (SELECT doc_id, copy_idx, n_chars, shuffle_pos,
+                        CAST(floor(strt / 2048.0) AS BIGINT) AS seq_id,
+                        strt % 2048 AS seq_off,
+                        CAST(($shardBase) + floor(
+                          CAST(shuffle_pos - ($posBase) - 1 AS DOUBLE) * 8
+                          / (SELECT cnt FROM ${pre}n)) AS INT) AS shard
+                 FROM ${pre}pk)"""
+
+  /** The plan→replicate half of the chain alone, ending in `${pre}sel`
+    * (one row per kept (doc, copy)) — q185 diffs two of these.
+    */
+  private def mixSelCtesFrom(src: String, salt: String = "graft-mix",
+      pre: String = ""): String = {
     val bucket = s"CAST(CAST(('0x' || substring(md5('$salt' || " +
       "CAST(doc_id AS VARCHAR) || '#' || CAST(copy_idx AS VARCHAR))" +
       ", 1, 8)) AS BIGINT) AS DOUBLE)"
@@ -80,30 +110,7 @@ object QueriesAnalytics {
                WHERE u.i <= fl),
          ${pre}sel AS (SELECT doc_id, n_chars, copy_idx FROM ${pre}x
                  WHERE copy_idx < fl
-                    OR $bucket < (epochs - fl) * 4294967296.0),
-         ${pre}sh AS (SELECT doc_id, n_chars, copy_idx,
-                       md5('$salt' || '|'
-                         || CAST(copy_idx AS VARCHAR) || '|'
-                         || CAST(doc_id AS VARCHAR)) AS rk
-                FROM ${pre}sel),
-         ${pre}pos AS (SELECT doc_id, copy_idx, n_chars,
-                        ($posBase) + row_number()
-                          OVER (ORDER BY copy_idx, rk) AS shuffle_pos
-                 FROM ${pre}sh),
-         ${pre}pk AS (SELECT doc_id, copy_idx, n_chars, shuffle_pos,
-                       CAST(($tokBase) + coalesce(sum(n_chars) OVER
-                         (ORDER BY shuffle_pos
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND 1 PRECEDING), 0) AS BIGINT) AS strt
-                FROM ${pre}pos),
-         ${pre}n AS (SELECT count(*) AS cnt FROM ${pre}pos),
-         ${pre}fin AS (SELECT doc_id, copy_idx, n_chars, shuffle_pos,
-                        CAST(floor(strt / 2048.0) AS BIGINT) AS seq_id,
-                        strt % 2048 AS seq_off,
-                        CAST(($shardBase) + floor(
-                          CAST(shuffle_pos - ($posBase) - 1 AS DOUBLE) * 8
-                          / (SELECT cnt FROM ${pre}n)) AS INT) AS shard
-                 FROM ${pre}pk)"""
+                    OR $bucket < (epochs - fl) * 4294967296.0)"""
   }
 
   /** q183/q184 annealing recipes: start at the q175 mix, end biased
@@ -1051,6 +1058,73 @@ object QueriesAnalytics {
                     || CAST(epoch AS VARCHAR)), 1, 8)) AS BIGINT)
                   AS DOUBLE) < rate * 4294967296.0
             ORDER BY epoch, doc_id""")),
+
+    // Layout replication DIFF (round 14): the audit between two layout
+    // generations — old = the even-id corpus's replication, new = the
+    // full corpus's (arrivals AND epoch shifts: doubling availability
+    // moves every stratum's targets). Diffs only: added/removed/changed
+    // with both copy counts; a stable retrain reports an empty frame.
+    Q("q185_layout_diff",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val weights = Seq("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15,
+          "fr" -> 0.15, "es" -> 0.05)
+        def rep(src: DataFrame): DataFrame = {
+          val tot = src.agg(sum(col("n_chars")).cast("long"))
+            .head().getLong(0)
+          Sampling.applyMixPlan(src, "doc_id", "lang",
+            Sampling.mixPlan(src, "lang", col("n_chars"), weights,
+              4L * tot, 3.0))
+        }
+        graft.ops.Layout.layoutDiff(
+            rep(docs.where(col("doc_id") % 2 === 0)), rep(docs), "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH olddocs AS (SELECT doc_id, lang, n_chars FROM documents
+                             WHERE doc_id % 2 = 0),
+             ${mixSelCtesFrom("olddocs", pre = "o")},
+             ${mixSelCtesFrom("documents", pre = "b")},
+             cntold AS (SELECT doc_id, count(*) AS c FROM osel GROUP BY doc_id),
+             cntnew AS (SELECT doc_id, count(*) AS c FROM bsel GROUP BY doc_id)
+            SELECT coalesce(cntold.doc_id, cntnew.doc_id) AS doc_id,
+                   coalesce(cntold.c, 0) AS copies_old,
+                   coalesce(cntnew.c, 0) AS copies_new,
+                   CASE WHEN cntold.doc_id IS NULL THEN 'added'
+                        WHEN cntnew.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM cntold FULL OUTER JOIN cntnew
+              ON cntold.doc_id = cntnew.doc_id
+            WHERE coalesce(cntold.c, 0) <> coalesce(cntnew.c, 0)
+            ORDER BY doc_id""")),
+
+    // Layout loader PREFLIGHT (round 14): the integrity gate over a
+    // freshly written q175 layout — strict mode (dense positions +
+    // exact token-stream replay) must report ZERO violations. The
+    // oracle pins the healthy contract (empty, schema-exact); the spec
+    // plants corruption (duplicated shard, truncated stream) and
+    // watches each check fire.
+    Q("q186_validate_layout",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val total = docs.agg(sum(col("n_chars")).cast("long"))
+          .head().getLong(0)
+        val out = java.nio.file.Files.createTempDirectory("graft_q186")
+          .toString + "/shards"
+        Sampling.trainingLayout(docs, "doc_id", "lang", "n_chars",
+          Seq("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15, "fr" -> 0.15,
+            "es" -> 0.05),
+          budget = 4L * total, path = out, maxEpochs = 3.0,
+          seqLen = 2048L, numShards = 8)
+        graft.ops.Layout.validateLayout(s, out, tokensCol = "n_chars",
+          strict = true, seqLen = 2048L)
+      },
+      Some(
+        """SELECT CAST('x' AS VARCHAR) AS violation,
+                  CAST(0 AS BIGINT) AS n_bad
+           WHERE false""")),
 
     // LEAKAGE-FREE split (round 13): assignSplit keyed by duplicate
     // cluster, so a dup pair can never straddle the train/val boundary

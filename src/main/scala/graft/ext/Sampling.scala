@@ -379,7 +379,7 @@ object Sampling {
     * persisted and forced once so both phases read one evaluation.
     * Returns df + `__start`; callers drop it.
     */
-  private def withStreamStart(df: DataFrame, weightCol: String,
+  private[graft] def withStreamStart(df: DataFrame, weightCol: String,
       rankBy: Seq[Column]): DataFrame = {
     val ranged = df.repartitionByRange(rankBy: _*)
       .withColumn("__pid", spark_partition_id())

@@ -281,6 +281,141 @@ object Layout {
     merged.map(g => g.head -> g)
   }
 
+  /** Replication DIFF between two layout generations — the audit a
+    * retrain review reads: per doc, how its copy count changed between
+    * the old and new replicated corpora (layout read-backs or
+    * `applyMixPlan` outputs — anything carrying one row per (doc,
+    * copy)). Output is DIFFS ONLY (`added` / `removed` / `changed`
+    * with both counts), so a stable retrain reports an EMPTY frame and
+    * the audit's size tracks the change, not the corpus.
+    *
+    * Scale shape: two id-keyed count aggregates + one full-outer join
+    * on the id — corpus-linear, no window, no driver data.
+    */
+  def layoutDiff(old: DataFrame, neu: DataFrame, idCol: String): DataFrame = {
+    val o = old.groupBy(col(idCol).as("__id"))
+      .agg(count(lit(1)).as("copies_old"))
+    val n = neu.groupBy(col(idCol).as("__id"))
+      .agg(count(lit(1)).as("copies_new"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        coalesce(col("copies_old"), lit(0L)).as("copies_old"),
+        coalesce(col("copies_new"), lit(0L)).as("copies_new"))
+      .withColumn("status",
+        when(col("copies_old") === 0L, lit("added"))
+          .when(col("copies_new") === 0L, lit("removed"))
+          .otherwise(lit("changed")))
+      .where(col("copies_old") =!= col("copies_new"))
+  }
+
+  /** Loader PREFLIGHT over a published layout — the integrity gate a
+    * trainer runs before reading 100 TB: returns one row per VIOLATED
+    * check (`violation`, `n_bad`), empty = healthy. Always checked:
+    *
+    *   - `duplicate_positions` — a position appearing twice (a botched
+    *     append/compaction would corrupt every downstream offset);
+    *   - `shard_range_overlap` — shard position ranges must be
+    *     disjoint and ordered by shard id (gaps are FINE — retraction
+    *     gaps the stream deliberately);
+    *   - `seq_not_monotone` — (seq_id, seq_off) must be non-decreasing
+    *     in position order (survives retraction, catches reordered or
+    *     cross-wired packing).
+    *
+    * `strict = true` adds the fresh-layout invariants (which retracted
+    * layouts legitimately break): `positions_not_dense` (1..count) and
+    * `seq_stream_mismatch` (seq_id/seq_off replay the exclusive
+    * running token sum at `seqLen` exactly).
+    *
+    * Scale shape: small aggregates, a (≤ numShards)-row window, and
+    * the monotonicity/cumsum legs on the two-phase ranged pass (range
+    * exchange + per-partition lags + a (≤ numPartitions)-row boundary
+    * window) — no global sort, no single-partition window over data.
+    */
+  def validateLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, tokensCol: String = "n_chars",
+      posCol: String = "shuffle_pos", strict: Boolean = false,
+      seqLen: Long = 2048L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // a prior validation of this path leaves persisted frames whose
+    // plans MATCH this call's — after a retraction/compaction mutated
+    // the files in place, the cache would silently serve the old
+    // layout; drop it before reading
+    spark.catalog.refreshByPath(path)
+    val df = spark.read.parquet(path)
+    def leg(name: String, nBad: DataFrame): DataFrame =
+      nBad.select(lit(name).as("violation"),
+        col("n_bad").cast("long").as("n_bad"))
+        .where(col("n_bad") > 0L)
+    val dups = leg("duplicate_positions",
+      df.groupBy(col(posCol)).agg(count(lit(1)).as("__n"))
+        .where(col("__n") > 1L).agg(count(lit(1)).as("n_bad")))
+    val wShard = Window.partitionBy(lit(1)).orderBy(col("shard"))
+    val overlap = leg("shard_range_overlap",
+      df.groupBy(col("shard").cast("int").as("shard"))
+        .agg(min(col(posCol)).as("pmin"), max(col(posCol)).as("pmax"))
+        .withColumn("__prev", lag(col("pmax"), 1).over(wShard))
+        .where(col("__prev").isNotNull && col("pmin") <= col("__prev"))
+        .agg(count(lit(1)).as("n_bad")))
+    // two-phase monotonicity: per-partition lag after a range exchange,
+    // plus a (≤ numPartitions)-row boundary pass
+    val ranged = df.select(col(posCol).as("__pos"), col("seq_id"),
+        col("seq_off"))
+      .repartitionByRange(col("__pos"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranged.count()
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("__pos"))
+    val localBad = ranged
+      .withColumn("__ps", lag(col("seq_id"), 1).over(wLocal))
+      .withColumn("__po", lag(col("seq_off"), 1).over(wLocal))
+      .where(col("__ps").isNotNull &&
+        (col("seq_id") < col("__ps") ||
+          (col("seq_id") === col("__ps") && col("seq_off") < col("__po"))))
+      .agg(count(lit(1)).as("n_bad"))
+    val wPid = Window.partitionBy(pmod(col("__pid"), lit(1)))
+      .orderBy(col("__pid"))
+    val boundBad = ranged.groupBy(col("__pid"))
+      .agg(min_by(struct(col("seq_id"), col("seq_off")), col("__pos"))
+          .as("__first"),
+        max_by(struct(col("seq_id"), col("seq_off")), col("__pos"))
+          .as("__last"))
+      .withColumn("__pl", lag(col("__last"), 1).over(wPid))
+      .where(col("__pl").isNotNull &&
+        (col("__first.seq_id") < col("__pl.seq_id") ||
+          (col("__first.seq_id") === col("__pl.seq_id") &&
+            col("__first.seq_off") < col("__pl.seq_off"))))
+      .agg(count(lit(1)).as("n_bad"))
+    val mono = leg("seq_not_monotone",
+      localBad.crossJoin(boundBad.withColumnRenamed("n_bad", "__b"))
+        .select((col("n_bad") + col("__b")).as("n_bad")))
+    val base = dups.unionByName(overlap).unionByName(mono)
+    val out = if (!strict) base else {
+      val dense = leg("positions_not_dense",
+        df.agg(min(col(posCol)).as("__mn"), max(col(posCol)).as("__mx"),
+            count(lit(1)).as("__c"))
+          .select(when(col("__mn") === 1L && col("__mx") === col("__c"),
+            lit(0L)).otherwise(lit(1L)).as("n_bad")))
+      val stream = leg("seq_stream_mismatch",
+        graft.ext.Sampling.withStreamStart(
+            df.select(col(posCol).as("__pos"),
+              col(tokensCol).cast("long").as("__tok"),
+              col("seq_id"), col("seq_off")),
+            "__tok", Seq(col("__pos")))
+          .where(col("seq_id") =!= floor(col("__start") / seqLen) ||
+            col("seq_off") =!= col("__start") % seqLen)
+          .agg(count(lit(1)).as("n_bad")))
+      base.unionByName(dense).unionByName(stream)
+    }
+    // materialize the (≤ 5)-row report eagerly and release the probe
+    // frame: the report must reflect THIS call's files, not a cached
+    // plan a later mutation would invalidate
+    val report = out.orderBy(col("violation")).collect().toSeq
+    ranged.unpersist()
+    import spark.implicits._
+    report.map(r => (r.getString(0), r.getLong(1)))
+      .toDF("violation", "n_bad")
+  }
+
   /** Loader-side WINDOWED read of a written layout — the resume/epoch
     * case: a trainer checkpointed at position p reads `[p, hi]` without
     * touching the shards before it. Because shard k holds a contiguous

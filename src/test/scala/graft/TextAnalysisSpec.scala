@@ -501,6 +501,52 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows2.toSeq == rows.toSeq)
   }
 
+  test("validateLayout: healthy strict-empty; retraction gaps pass base " +
+    "checks but fail strict; a duplicated shard fires dup+overlap; " +
+    "shuffled seq ids fire the monotonicity check; identical layouts " +
+    "diff empty") {
+    import graft.ext.{Retraction, Sampling}
+    val base = java.nio.file.Files.createTempDirectory("validate14").toString
+    val out = s"$base/shards"
+    val docs = (1L to 300L).map((_, "up", 7L)).toDF("doc_id", "src", "toks")
+    Sampling.trainingLayout(docs, "doc_id", "src", "toks",
+      Seq("up" -> 1.0), budget = 6300L, path = out,
+      maxEpochs = 3.0, seqLen = 50L, numShards = 4)
+    def v(path: String, strict: Boolean): Map[String, Long] =
+      graft.ops.Layout.validateLayout(spark, path, tokensCol = "toks",
+          strict = strict, seqLen = 50L)
+        .as[(String, Long)].collect().toMap
+    assert(v(out, strict = true).isEmpty, "fresh layout must be clean")
+    // retraction: gapped stream passes base checks, fails strict
+    Retraction.retractShards(spark, out, Seq(137L).toDF("doc_id"), "doc_id")
+    assert(v(out, strict = false).isEmpty,
+      "a retracted layout is healthy for the loader")
+    val strictV = v(out, strict = true)
+    assert(strictV.contains("positions_not_dense") &&
+      strictV.contains("seq_stream_mismatch"), s"strict must flag gaps: $strictV")
+    // duplicated shard dir (a botched append/copy): dup + overlap fire
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$out/shard=1"), fs,
+      new org.apache.hadoop.fs.Path(s"$out/shard=9"), false,
+      spark.sparkContext.hadoopConfiguration)
+    val dupV = v(out, strict = false)
+    assert(dupV.getOrElse("duplicate_positions", 0L) > 0L &&
+      dupV.getOrElse("shard_range_overlap", 0L) > 0L, s"$dupV")
+    // cross-wired packing: descending seq ids fire the monotone check
+    val bad = s"$base/bad"
+    (1L to 100L).map(i => (i, i, 100L - i, 0L, 7L, (i / 26L).toInt))
+      .toDF("doc_id", "shuffle_pos", "seq_id", "seq_off", "toks", "shard")
+      .write.partitionBy("shard").parquet(bad)
+    assert(v(bad, strict = false)
+      .getOrElse("seq_not_monotone", 0L) > 0L)
+    // identical replications diff to an empty frame
+    val rep = Sampling.applyMixPlan(docs, "doc_id", "src",
+      Sampling.mixPlan(docs, "src", col("toks"), Seq("up" -> 1.0), 4200L))
+    assert(graft.ops.Layout.layoutDiff(rep, rep, "doc_id").isEmpty)
+  }
+
   test("compactShards: adjacent small shards fold to the target in " +
     "position order (rows/positions verbatim, manifest keeps tiling " +
     "with id gaps), untouched shards stay byte-identical, a second " +

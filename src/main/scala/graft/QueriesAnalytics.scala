@@ -1126,6 +1126,78 @@ object QueriesAnalytics {
                   CAST(0 AS BIGINT) AS n_bad
            WHERE false""")),
 
+    // Corpus drift monitor (round 14): token-share distribution of an
+    // arriving batch (odd ids) vs the reference profile (even ids),
+    // full-outer so new strata and disappearances both surface; the
+    // report is strata-sized, the corpus touched by two aggregates.
+    Q("q187_corpus_drift",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.ops.Quality.driftReport(
+            graft.ops.Quality.corpusProfile(
+              docs.where(col("doc_id") % 2 === 0), "lang", "n_chars"),
+            graft.ops.Quality.corpusProfile(
+              docs.where(col("doc_id") % 2 === 1), "lang", "n_chars"),
+            threshold = 0.002)
+          .orderBy(col("stratum"))
+      },
+      Some(
+        """WITH rp AS (SELECT lang AS stratum,
+                     CAST(sum(n_chars) AS BIGINT) AS t
+                   FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+             rs AS (SELECT stratum, round(CAST(t AS DOUBLE) /
+                     CAST((SELECT sum(t) FROM rp) AS DOUBLE), 6)
+                     AS ref_share FROM rp),
+             bp AS (SELECT lang AS stratum,
+                     CAST(sum(n_chars) AS BIGINT) AS t
+                   FROM documents WHERE doc_id % 2 = 1 GROUP BY lang),
+             bs AS (SELECT stratum, round(CAST(t AS DOUBLE) /
+                     CAST((SELECT sum(t) FROM bp) AS DOUBLE), 6)
+                     AS batch_share FROM bp)
+            SELECT coalesce(rs.stratum, bs.stratum) AS stratum,
+                   coalesce(ref_share, 0.0) AS ref_share,
+                   coalesce(batch_share, 0.0) AS batch_share,
+                   round(abs(coalesce(ref_share, 0.0)
+                     - coalesce(batch_share, 0.0)), 6) AS abs_diff,
+                   round(abs(coalesce(ref_share, 0.0)
+                     - coalesce(batch_share, 0.0)), 6) > 0.002 AS drifted
+            FROM rs FULL OUTER JOIN bs ON rs.stratum = bs.stratum
+            ORDER BY stratum""")),
+
+    // Layout content fingerprint (round 14): per-shard row count +
+    // order-independent checksum (sum of 60-bit md5 prefixes over the
+    // identity columns, DECIMAL(38,0)) — "is this artifact the row
+    // multiset curation produced?" without moving data. Re-sharding
+    // preserves the summed fingerprint; any row mutation moves it.
+    Q("q188_layout_fingerprint",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val total = docs.agg(sum(col("n_chars")).cast("long"))
+          .head().getLong(0)
+        val out = java.nio.file.Files.createTempDirectory("graft_q188")
+          .toString + "/shards"
+        Sampling.trainingLayout(docs, "doc_id", "lang", "n_chars",
+          Seq("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15, "fr" -> 0.15,
+            "es" -> 0.05),
+          budget = 4L * total, path = out, maxEpochs = 3.0,
+          seqLen = 2048L, numShards = 8)
+        graft.ops.Layout.layoutFingerprint(s, out,
+            Seq("doc_id", "copy_idx", "shuffle_pos", "seq_id", "seq_off"))
+          .orderBy(col("shard"))
+      },
+      Some(
+        s"""WITH $trainingLayoutCtes
+            SELECT shard, count(*) AS n_rows,
+                   CAST(sum(CAST(('0x' || substring(md5(
+                       CAST(doc_id AS VARCHAR) || '|'
+                       || CAST(copy_idx AS VARCHAR) || '|'
+                       || CAST(shuffle_pos AS VARCHAR) || '|'
+                       || CAST(seq_id AS VARCHAR) || '|'
+                       || CAST(seq_off AS VARCHAR)), 1, 15)) AS BIGINT))
+                     AS DECIMAL(38,0)) AS checksum
+            FROM fin GROUP BY shard ORDER BY shard""")),
+
     // LEAKAGE-FREE split (round 13): assignSplit keyed by duplicate
     // cluster, so a dup pair can never straddle the train/val boundary
     // — the classic eval-leakage hole in row-hash splits. Clusters here

@@ -281,6 +281,29 @@ object Layout {
     merged.map(g => g.head -> g)
   }
 
+  /** Content FINGERPRINT of a published layout — the audit primitive
+    * "is this artifact the row multiset curation produced?", answerable
+    * without moving data: per shard, the row count and an
+    * ORDER-INDEPENDENT checksum (sum of each row's 60-bit md5 prefix
+    * over the identity columns, as DECIMAL(38,0) so no overflow at any
+    * scale). Summing the per-shard checksums gives the layout-level
+    * fingerprint, which is invariant under re-sharding (compaction
+    * regroups rows but preserves the multiset — spec-witnessed) and
+    * changes under any row-level mutation (retraction, corruption).
+    * A sum — not xor — so an accidentally DUPLICATED row moves the
+    * checksum too. One column-pruned aggregate, shard-keyed.
+    */
+  def layoutFingerprint(spark: org.apache.spark.sql.SparkSession,
+      path: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fingerprint needs at least one column")
+    spark.read.parquet(path)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(concat_ws("|",
+            cols.map(c => col(c).cast("string")): _*)), 1, 15), 16, 10)
+          .cast("long").cast("decimal(38,0)")).as("checksum"))
+  }
+
   /** Replication DIFF between two layout generations — the audit a
     * retrain review reads: per doc, how its copy count changed between
     * the old and new replicated corpora (layout read-backs or

@@ -34,4 +34,49 @@ object Quality {
     */
   def duplicateGroups(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*).count().where(col("count") > 1)
+
+  /** Per-stratum corpus PROFILE — the reference distribution a drift
+    * monitor compares arrivals against: one row per stratum with doc
+    * count, token total, and token SHARE (6-dp rounded so an oracle —
+    * and a profile persisted last month — replays it bit-exactly).
+    * One stratum-keyed aggregate; the total rides as a 1-row broadcast
+    * cross join (the SCD2 max-id shape).
+    */
+  def corpusProfile(df: DataFrame, stratumCol: String,
+      tokensCol: String): DataFrame = {
+    val agg = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col(tokensCol)).cast("long"), lit(0L)).as("n_tokens"))
+    val tot = agg.agg(coalesce(sum(col("n_tokens")), lit(0L)).as("__tot"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn("share",
+        when(col("__tot") > 0L,
+          round(col("n_tokens").cast("double") /
+            col("__tot").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .drop("__tot")
+  }
+
+  /** Distribution DRIFT between a reference profile and a batch — the
+    * data-quality monitor a continuously-fed pipeline runs: full-outer
+    * join of the two [[corpusProfile]]s on the stratum (a stratum
+    * present on only one side reads as share 0 on the other — arrivals
+    * of NEW strata and silent disappearances both surface), absolute
+    * share delta, and a `drifted` flag at `threshold`. The report is
+    * strata-sized; the corpus is touched by the two profile aggregates
+    * only.
+    */
+  def driftReport(reference: DataFrame, batch: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold >= 0.0, s"threshold must be >= 0: $threshold")
+    val r = reference.select(col("stratum"), col("share").as("ref_share"))
+    val b = batch.select(col("stratum"), col("share").as("batch_share"))
+    r.join(b, Seq("stratum"), "full_outer")
+      .select(col("stratum"),
+        coalesce(col("ref_share"), lit(0.0)).as("ref_share"),
+        coalesce(col("batch_share"), lit(0.0)).as("batch_share"))
+      .withColumn("abs_diff",
+        round(abs(col("ref_share") - col("batch_share")), 6))
+      .withColumn("drifted", col("abs_diff") > lit(threshold))
+  }
 }

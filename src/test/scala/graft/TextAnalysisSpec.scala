@@ -501,6 +501,73 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows2.toSeq == rows.toSeq)
   }
 
+  test("driftReport: vanished and new strata surface as share-0 sides, " +
+    "identical corpora report zero drift, flag respects the threshold") {
+    import graft.ops.Quality
+    val ref = (Seq.fill(80)("en") ++ Seq.fill(15)("de") ++ Seq.fill(5)("old"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l, 10L) }
+      .toDF("doc_id", "lang", "toks")
+    val batch = (Seq.fill(70)("en") ++ Seq.fill(15)("de") ++ Seq.fill(15)("new"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l, 10L) }
+      .toDF("doc_id", "lang", "toks")
+    val rep = Quality.driftReport(
+        Quality.corpusProfile(ref, "lang", "toks"),
+        Quality.corpusProfile(batch, "lang", "toks"), threshold = 0.02)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(rep("old") == ((0.05, 0.0, 0.05, true)), s"vanished: ${rep("old")}")
+    assert(rep("new") == ((0.0, 0.15, 0.15, true)), s"arrived: ${rep("new")}")
+    assert(rep("de") == ((0.15, 0.15, 0.0, false)))
+    assert(rep("en")._4, "a 10-point share move must flag")
+    val same = Quality.driftReport(
+      Quality.corpusProfile(ref, "lang", "toks"),
+      Quality.corpusProfile(ref, "lang", "toks"), threshold = 0.0)
+    assert(same.where($"drifted").isEmpty &&
+      same.where($"abs_diff" =!= 0.0).isEmpty)
+  }
+
+  test("layoutFingerprint: invariant under compaction (multiset " +
+    "preserved, shards regrouped), moved by retraction, reproduced " +
+    "exactly by an identical rebuild") {
+    import graft.ext.{Retraction, Sampling}
+    val base = java.nio.file.Files.createTempDirectory("fp14").toString
+    val cols = Seq("doc_id", "copy_idx", "shuffle_pos", "seq_id", "seq_off")
+    def build(path: String): Unit = {
+      var next = 1L
+      for (b <- 0 to 1) {
+        val docs = (next until next + 100L).map((_, "up", 7L))
+          .toDF("doc_id", "src", "toks")
+        next += 100L
+        graft.streaming.StreamingIngest.layoutAppendBatch(docs, b.toLong,
+          path, "doc_id", "src", "toks", Seq("up" -> 1.0),
+          budgetMult = 1.0, maxEpochs = 3.0, seqLen = 50L,
+          shardsPerBatch = 4)
+      }
+    }
+    build(s"$base/a"); build(s"$base/b")
+    def fp(path: String): Map[Int, (Long, BigDecimal)] =
+      graft.ops.Layout.layoutFingerprint(spark, path, cols)
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), BigDecimal(r.getDecimal(2)))).toMap
+    val a0 = fp(s"$base/a")
+    assert(a0 == fp(s"$base/b"), "identical rebuilds fingerprint identically")
+    def global(m: Map[Int, (Long, BigDecimal)]): (Long, BigDecimal) =
+      (m.values.map(_._1).sum, m.values.map(_._2).sum)
+    val g0 = global(a0)
+    val groups = graft.ops.Layout.compactShards(spark, s"$base/a", 60L)
+    assert(groups.nonEmpty)
+    spark.catalog.refreshByPath(s"$base/a")
+    val a1 = fp(s"$base/a")
+    assert(a1 != a0 && global(a1) == g0,
+      "compaction regroups shards but preserves the summed fingerprint")
+    Retraction.retractShards(spark, s"$base/a",
+      Seq(42L).toDF("doc_id"), "doc_id")
+    spark.catalog.refreshByPath(s"$base/a")
+    assert(global(fp(s"$base/a")) != g0,
+      "a retracted row must move the fingerprint")
+  }
+
   test("validateLayout: healthy strict-empty; retraction gaps pass base " +
     "checks but fail strict; a duplicated shard fires dup+overlap; " +
     "shuffled seq ids fire the monotonicity check; identical layouts " +

@@ -1198,6 +1198,37 @@ object QueriesAnalytics {
                      AS DECIMAL(38,0)) AS checksum
             FROM fin GROUP BY shard ORDER BY shard""")),
 
+    // Sequence-ALIGNED layout (round 14): the shard cut moves to
+    // training-sequence boundaries, so a loader assembling sequence s
+    // never opens two shards (a position cut can split the boundary
+    // sequence's rows across files). seq_id is monotone in position, so
+    // ranges still tile and all downstream machinery applies unchanged.
+    Q("q189_layout_aligned",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val total = docs.agg(sum(col("n_chars")).cast("long"))
+          .head().getLong(0)
+        val out = java.nio.file.Files.createTempDirectory("graft_q189")
+          .toString + "/shards"
+        Sampling.trainingLayout(docs, "doc_id", "lang", "n_chars",
+            Seq("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15, "fr" -> 0.15,
+              "es" -> 0.05),
+            budget = 4L * total, path = out, maxEpochs = 3.0,
+            seqLen = 2048L, numShards = 8, alignShards = true)
+          .select(col("doc_id"), col("copy_idx"), col("shuffle_pos"),
+            col("seq_id"), col("seq_off"),
+            col("shard").cast("int").as("shard"))
+          .orderBy(col("shuffle_pos"))
+      },
+      Some(
+        s"""WITH $trainingLayoutCtes,
+             mxs AS (SELECT max(seq_id) AS m FROM fin)
+            SELECT doc_id, copy_idx, shuffle_pos, seq_id, seq_off,
+                   CAST(floor(CAST(seq_id AS DOUBLE) * 8
+                     / ((SELECT m FROM mxs) + 1)) AS INT) AS shard
+            FROM fin ORDER BY shuffle_pos""")),
+
     // LEAKAGE-FREE split (round 13): assignSplit keyed by duplicate
     // cluster, so a dup pair can never straddle the train/val boundary
     // — the classic eval-leakage hole in row-hash splits. Clusters here

@@ -584,14 +584,19 @@ object Sampling {
   def trainingLayout(df: DataFrame, idCol: String, stratumCol: String,
       tokensCol: String, weights: Seq[(String, Double)], budget: Long,
       path: String, maxEpochs: Double = 3.0, seqLen: Long = 2048L,
-      numShards: Int = 8, salt: String = "graft-mix"): DataFrame = {
+      numShards: Int = 8, salt: String = "graft-mix",
+      alignShards: Boolean = false): DataFrame = {
     val plan = mixPlan(df, stratumCol, col(tokensCol), weights, budget,
       maxEpochs)
     val rep = applyMixPlan(df, idCol, stratumCol, plan, salt)
     val shuffled = epochShuffle(rep, idCol, "copy_idx", salt)
     val packed = packSequences(shuffled, tokensCol,
       Seq(col("shuffle_pos")), seqLen)
-    graft.ops.Layout.writeShards(packed, "shuffle_pos", numShards, path)
+    if (alignShards)
+      graft.ops.Layout.writeShardsBySeq(packed, "seq_id", "shuffle_pos",
+        numShards, path)
+    else
+      graft.ops.Layout.writeShards(packed, "shuffle_pos", numShards, path)
     df.sparkSession.read.parquet(path)
   }
 

@@ -105,6 +105,40 @@ object Layout {
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
 
+  /** SEQUENCE-ALIGNED shard writer — [[writeShards]] with the cut moved
+    * to training-sequence boundaries: shard = ⌊seq_id · k / (maxSeq+1)⌋,
+    * so every row of a sequence (and every slice of a doc that STARTS in
+    * it) lands in ONE shard — a loader assembling sequence s never opens
+    * two shards, where a position-based cut can split the boundary
+    * sequence's rows across files. seq_id is non-decreasing in the
+    * position order, so shards still hold CONTIGUOUS position ranges and
+    * the manifest/windowed-read/retraction machinery applies unchanged.
+    * Balance is by STARTING sequence (a doc spanning many sequences
+    * weighs on the one it starts in) — row counts skew by at most the
+    * long-doc tail, the documented price of alignment.
+    *
+    * Same plan shape: 1-row max aggregate broadcast, per-row shard
+    * arithmetic, one hash exchange, files pre-sorted.
+    */
+  def writeShardsBySeq(df: DataFrame, seqCol: String, orderCol: String,
+      numShards: Int, path: String): Unit = {
+    require(numShards >= 1, s"numShards must be positive: $numShards")
+    val mx = df.agg(max(col(seqCol)).as("__mx"))
+    df.crossJoin(broadcast(mx))
+      .withColumn("shard",
+        floor(col(seqCol).cast("double") * numShards / (col("__mx") + 1L))
+          .cast("int"))
+      .withColumn("shard",
+        when(col("shard") >= 0 && col("shard") < numShards, col("shard"))
+          .otherwise(raise_error(concat(
+            lit(s"writeShardsBySeq: $seqCol value "), col(seqCol).cast("string"),
+            lit(s" is outside 0..max (shard out of [0,$numShards))")))))
+      .drop("__mx")
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(orderCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Append a NEW contiguous position segment to an existing sharded
     * layout as `numShards` FRESH shard directories starting at
     * `shardBase` — the incremental-load leg of [[writeShards]]: old

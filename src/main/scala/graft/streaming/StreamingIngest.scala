@@ -1142,6 +1142,49 @@ object StreamingIngest {
       }
   }
 
+  /** Continuous corpus-drift monitoring — the streaming form of
+    * [[graft.ops.Quality.driftReport]]: every micro-batch's stratum
+    * token-share profile compares against the PERSISTED reference
+    * profile (a [[graft.ops.Quality.corpusProfile]] written once, e.g.
+    * from last month's accepted corpus), and the full report (drifted
+    * or not — the time series is the point) lands in `reportDir`
+    * partitioned by batch_id with dynamic overwrite, so replays are
+    * idempotent per the house sink discipline. Per-trigger cost: one
+    * strata-keyed aggregate over the batch + a strata-sized join —
+    * flat in the reference corpus's size (it is never re-read beyond
+    * the strata-sized profile).
+    */
+  def driftStream(docs: DataFrame, profileDir: String, reportDir: String,
+      checkpointDir: String, stratumCol: String, tokensCol: String,
+      threshold: Double)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        driftBatch(batch, batchId, profileDir, reportDir, stratumCol,
+          tokensCol, threshold)
+      }
+      .start()
+
+  /** One trigger of [[driftStream]] — public so specs drive exactly the
+    * production path.
+    */
+  def driftBatch(batch: DataFrame, batchId: Long, profileDir: String,
+      reportDir: String, stratumCol: String, tokensCol: String,
+      threshold: Double): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    graft.ops.Quality.driftReport(
+        spark.read.parquet(profileDir),
+        graft.ops.Quality.corpusProfile(batch, stratumCol, tokensCol),
+        threshold)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(reportDir)
+  }
+
   /** Continuous layout ingestion — the streaming form of
     * [[graft.ext.Sampling.appendToLayout]]: every micro-batch of curated
     * docs becomes one appended SEGMENT of the published training layout

@@ -1211,6 +1211,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(files <= 64, s"index files must stay bounded under compaction: $files")
   }
 
+  test("streaming drift monitor: per-trigger reports equal the batch " +
+    "driftReport against the persisted profile; replay idempotent; " +
+    "empty trigger writes nothing") {
+    import graft.ops.Quality
+    val base = java.nio.file.Files.createTempDirectory("driftstream").toString
+    val (srcDir, profDir, repDir, ckpt) =
+      (s"$base/src", s"$base/profile", s"$base/reports", s"$base/ckpt")
+    val ref = (Seq.fill(80)("en") ++ Seq.fill(20)("de"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l, 10L) }
+      .toDF("doc_id", "lang", "toks")
+    Quality.corpusProfile(ref, "lang", "toks").write.parquet(profDir)
+    val b0 = (Seq.fill(75)("en") ++ Seq.fill(25)("de"))
+      .zipWithIndex.map { case (l, i) => (100L + i, l, 10L) }
+      .toDF("doc_id", "lang", "toks")
+    val b1 = (Seq.fill(50)("en") ++ Seq.fill(50)("fr"))
+      .zipWithIndex.map { case (l, i) => (200L + i, l, 10L) }
+      .toDF("doc_id", "lang", "toks")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("toks", LongType)))
+    def runOnce(): Unit = {
+      val q = StreamingIngest.driftStream(
+        spark.readStream.schema(schema).parquet(srcDir), profDir, repDir,
+        ckpt, "lang", "toks", threshold = 0.04)
+      try q.processAllAvailable() finally q.stop()
+    }
+    b0.coalesce(1).write.mode("append").parquet(srcDir); runOnce()
+    b1.coalesce(1).write.mode("append").parquet(srcDir); runOnce()
+    def reports(id: Long): Set[(String, Double, Double, Double, Boolean)] =
+      spark.read.parquet(repDir).where($"batch_id" === id)
+        .select($"stratum", $"ref_share", $"batch_share", $"abs_diff",
+          $"drifted")
+        .as[(String, Double, Double, Double, Boolean)].collect().toSet
+    def expected(b: org.apache.spark.sql.DataFrame) =
+      Quality.driftReport(spark.read.parquet(profDir),
+          Quality.corpusProfile(b, "lang", "toks"), 0.04)
+        .as[(String, Double, Double, Double, Boolean)].collect().toSet
+    assert(reports(0L) == expected(b0) && reports(1L) == expected(b1))
+    // batch 0 drifts mildly (5 pts, above 4); batch 1 loses de entirely
+    assert(reports(0L).exists(r => r._1 == "en" && r._5))
+    assert(reports(1L).exists(r => r._1 == "de" && r._3 == 0.0 && r._5) &&
+      reports(1L).exists(r => r._1 == "fr" && r._2 == 0.0 && r._5))
+    // replay: rewrite identical rows, no duplication
+    StreamingIngest.driftBatch(b1, 1L, profDir, repDir, "lang", "toks", 0.04)
+    assert(reports(1L) == expected(b1) &&
+      spark.read.parquet(repDir).where($"batch_id" === 1L).count() ==
+        expected(b1).size)
+    // empty trigger: nothing written
+    StreamingIngest.driftBatch(
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema),
+      7L, profDir, repDir, "lang", "toks", 0.04)
+    assert(spark.read.parquet(repDir).where($"batch_id" === 7L).isEmpty)
+  }
+
   test("streaming layout ingestion: each trigger appends one segment " +
     "(trigger ≡ batch appendToLayout), replays rewrite identical rows, " +
     "crash residue in a target shard dir is absorbed, empty trigger is " +

@@ -501,6 +501,48 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows2.toSeq == rows.toSeq)
   }
 
+  test("writeShardsBySeq: no sequence straddles a shard (where the " +
+    "position cut provably splits one), ranges still tile, windowed " +
+    "reads work unchanged") {
+    import graft.ext.Sampling
+    val base = java.nio.file.Files.createTempDirectory("aligned14").toString
+    val docs = (1L to 300L).map((_, "up", 7L)).toDF("doc_id", "src", "toks")
+    // position-cut layout: 2100 tokens / seqLen 50 / 4 shards of 225
+    // rows — 225*7 = 1575 tokens is not a multiple of 50, so the
+    // boundary sequence splits across shards 0/1
+    Sampling.trainingLayout(docs, "doc_id", "src", "toks",
+      Seq("up" -> 1.0), budget = 6300L, path = s"$base/pos",
+      maxEpochs = 3.0, seqLen = 50L, numShards = 4)
+    val posSplit = spark.read.parquet(s"$base/pos")
+      .groupBy($"seq_id")
+      .agg(countDistinct($"shard").as("ns"))
+      .where($"ns" > 1).count()
+    assert(posSplit > 0, "fixture must make the position cut split a sequence")
+    Sampling.trainingLayout(docs, "doc_id", "src", "toks",
+      Seq("up" -> 1.0), budget = 6300L, path = s"$base/seq",
+      maxEpochs = 3.0, seqLen = 50L, numShards = 4, alignShards = true)
+    val aligned = spark.read.parquet(s"$base/seq")
+    assert(aligned.groupBy($"seq_id")
+      .agg(countDistinct($"shard").as("ns"))
+      .where($"ns" > 1).isEmpty, "aligned cut must never split a sequence")
+    // same rows, same positions — only shard labels moved
+    assert(aligned.select($"doc_id", $"shuffle_pos", $"seq_id", $"seq_off")
+      .collect().toSet ==
+      spark.read.parquet(s"$base/pos")
+        .select($"doc_id", $"shuffle_pos", $"seq_id", $"seq_off")
+        .collect().toSet)
+    val m = graft.ops.Layout.layoutManifest(spark, s"$base/seq",
+        tokensCol = "toks")
+      .select($"shard", $"pos_min", $"pos_max").as[(Int, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(m.sliding(2).forall(p => p(1)._2 == p(0)._3 + 1),
+      s"aligned shards must still tile: ${m.toSeq}")
+    val win = graft.ops.Layout.readShardRange(spark, s"$base/seq",
+      220L, 230L)
+    assert(win.select($"shuffle_pos").as[Long].collect().sorted.toSeq ==
+      (220L to 230L).toSeq)
+  }
+
   test("driftReport: vanished and new strata surface as share-0 sides, " +
     "identical corpora report zero drift, flag respects the threshold") {
     import graft.ops.Quality

@@ -1142,6 +1142,118 @@ object StreamingIngest {
       }
   }
 
+  /** The streaming CURATION → LAYOUT capstone — the whole pipeline a
+    * continuously-fed training-data system runs, as one query: per
+    * micro-batch of raw (doc_id, text, stratum) docs,
+    *
+    *  1. quality gate ([[graft.ext.TextAnalysis.qualityColumns]]'s
+    *     keep flag — the q21/q81 gate);
+    *  2. near-dup REJECTION against the growing MinHash signature
+    *     index: a batch doc pairing an already-indexed doc is dropped
+    *     (the corpus keeps its first copy), and of a both-new pair the
+    *     larger id drops (keep-min — the q58/q81 convention);
+    *  3. survivors' signatures append to the index (batch_id
+    *     partitions, dynamic overwrite — replay-idempotent);
+    *  4. survivors flow into [[layoutAppendBatch]] — one appended
+    *     layout segment per trigger, trainer-readable at every
+    *     boundary.
+    *
+    * Replay safety is compositional: the index read filters
+    * `batch_id < batchId` (a replayed batch never sees its own
+    * half-written signatures), the signature write overwrites its own
+    * partition, and the layout append detects the replay in its state
+    * row — so the at-least-once trigger reproduces every artifact
+    * byte-for-byte. Per-trigger cost: O(batch × bucket-mates) for the
+    * dedup leg (Bloom-prefiltered), O(batch) for the layout leg — flat
+    * in corpus size except the banded index probe, which is the
+    * measured-linear q82/q151 shape.
+    */
+  def curateAndLayoutStream(docs: DataFrame, indexDir: String,
+      layoutDir: String, checkpointDir: String, stratumCol: String,
+      weights: Seq[(String, Double)], budgetMult: Double = 4.0,
+      maxEpochs: Double = 3.0, seqLen: Long = 2048L,
+      shardsPerBatch: Int = 4, salt: String = "graft-layout",
+      shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      estThreshold: Double = 0.5, bloomFpp: Option[Double] = Some(0.01))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateAndLayoutBatch(batch, batchId, indexDir, layoutDir,
+          stratumCol, weights, budgetMult, maxEpochs, seqLen,
+          shardsPerBatch, salt, shingleK, numHashes, bands,
+          estThreshold, bloomFpp)
+        ()
+      }
+      .start()
+
+  /** One trigger of [[curateAndLayoutStream]] — public so the
+    * equivalence/replay specs drive exactly the production path.
+    * Returns the number of layout rows appended.
+    */
+  def curateAndLayoutBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, layoutDir: String, stratumCol: String,
+      weights: Seq[(String, Double)], budgetMult: Double = 4.0,
+      maxEpochs: Double = 3.0, seqLen: Long = 2048L,
+      shardsPerBatch: Int = 4, salt: String = "graft-layout",
+      shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      estThreshold: Double = 0.5,
+      bloomFpp: Option[Double] = Some(0.01)): Long = {
+    import graft.ext.{Dedup, TextAnalysis}
+    if (batch.isEmpty) return 0L
+    val spark = batch.sparkSession
+    val kept = TextAnalysis.withQuality(batch, "text")
+      .where(col("keep"))
+      .select(batch.columns.map(col).toIndexedSeq: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sigs = Dedup.minhashSignatureTable(
+          Dedup.shingleSets(kept, "doc_id", "text", shingleK), numHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = indexPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val index =
+          if (fs.exists(indexPath))
+            spark.read.parquet(indexDir)
+              .where(col("batch_id") < lit(batchId))
+              .select(col("id"), col("sig"))
+          else sigs.limit(0)
+        val pairs = Dedup.incrementalDupPairs(sigs, index, numHashes,
+          bands, estThreshold, bloomFpp)
+        // dropped: the new endpoint of a new×old pair (the corpus keeps
+        // its first copy); the larger id of a both-new pair (keep-min)
+        val newIds = kept.select(col("doc_id").as("id"))
+        val dropped = pairs.where(col("both_new"))
+          .select(col("id_b").as("id"))
+          .unionByName(pairs.where(!col("both_new"))
+            .select(col("id_a").as("id"))
+            .join(newIds, Seq("id"), "left_semi"))
+          .unionByName(pairs.where(!col("both_new"))
+            .select(col("id_b").as("id"))
+            .join(newIds, Seq("id"), "left_semi"))
+          .distinct()
+        val survivors = kept
+          .join(dropped.withColumnRenamed("id", "doc_id"),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        sigs.join(survivors.select(col("doc_id").as("id")), Seq("id"),
+            "left_semi")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(indexDir)
+        layoutAppendBatch(
+          survivors.select(col("doc_id"), col(stratumCol),
+            length(col("text")).cast("long").as("__tokens")),
+          batchId, layoutDir, "doc_id", stratumCol, "__tokens", weights,
+          budgetMult, maxEpochs, seqLen, shardsPerBatch, salt)
+      } finally { sigs.unpersist(); () }
+    } finally { kept.unpersist(); () }
+  }
+
   /** Continuous corpus-drift monitoring — the streaming form of
     * [[graft.ops.Quality.driftReport]]: every micro-batch's stratum
     * token-share profile compares against the PERSISTED reference

@@ -1211,6 +1211,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(files <= 64, s"index files must stay bounded under compaction: $files")
   }
 
+  test("streaming curation capstone: quality gate + near-dup rejection " +
+    "vs the growing index + layout append per trigger; cross-batch dup " +
+    "drops, in-batch keep-min, junk gated; replay reproduces artifacts; " +
+    "the layout stays strict-valid") {
+    val base = java.nio.file.Files.createTempDirectory("curstream").toString
+    val (srcDir, idxDir, layDir, ckpt) =
+      (s"$base/src", s"$base/index", s"$base/layout", s"$base/ckpt")
+    def good(i: Long) =
+      s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i"
+    val b0 = ((1L to 40L).map(i => (i, good(i), "up")) :+
+      ((90L, "junk", "up"))) // 1 word, 4 chars: fails the keep gate
+      .toDF("doc_id", "text", "lang")
+    val b1 = ((41L to 60L).map(i => (i, good(i), "up")) ++ Seq(
+      (61L, good(7L), "up"),   // exact dup of batch-0 doc 7 -> dropped
+      (62L, good(55L), "up"),  // in-batch dup of 55: keep-min drops 62
+      (91L, "x y", "up")))     // junk
+      .toDF("doc_id", "text", "lang")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    def runOnce(): Unit = {
+      val q = StreamingIngest.curateAndLayoutStream(
+        spark.readStream.schema(schema).parquet(srcDir), idxDir, layDir,
+        ckpt, "lang", Seq("up" -> 1.0), budgetMult = 1.0,
+        maxEpochs = 3.0, seqLen = 64L, shardsPerBatch = 2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    b0.coalesce(1).write.mode("append").parquet(srcDir); runOnce()
+    b1.coalesce(1).write.mode("append").parquet(srcDir); runOnce()
+    val laidDocs = spark.read.parquet(layDir)
+      .select($"doc_id").as[Long].collect().toSet
+    val expectedSurvivors = (1L to 60L).toSet // junk, 61, 62 all out
+    assert(laidDocs == expectedSurvivors,
+      s"missing=${expectedSurvivors -- laidDocs} extra=${laidDocs -- expectedSurvivors}")
+    val indexed = spark.read.parquet(idxDir)
+      .select($"id").as[Long].collect().toSet
+    assert(indexed == expectedSurvivors,
+      "the signature index must hold exactly the survivors")
+    assert(graft.ops.Layout.validateLayout(spark, layDir,
+      tokensCol = "__tokens", strict = true, seqLen = 64L).isEmpty,
+      "the streamed layout must pass the strict preflight")
+    // replay batch 1: every artifact reproduced, nothing duplicated
+    val layBefore = spark.read.parquet(layDir)
+      .select($"doc_id", $"shuffle_pos", $"seq_id", $"seq_off")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val n = StreamingIngest.curateAndLayoutBatch(b1, 1L, idxDir, layDir,
+      "lang", Seq("up" -> 1.0), budgetMult = 1.0, maxEpochs = 3.0,
+      seqLen = 64L, shardsPerBatch = 2)
+    assert(n > 0L)
+    assert(spark.read.parquet(layDir)
+      .select($"doc_id", $"shuffle_pos", $"seq_id", $"seq_off")
+      .as[(Long, Long, Long, Long)].collect().toSet == layBefore)
+    assert(spark.read.parquet(idxDir).select($"id").as[Long]
+      .collect().toSet == expectedSurvivors)
+  }
+
   test("streaming drift monitor: per-trigger reports equal the batch " +
     "driftReport against the persisted profile; replay idempotent; " +
     "empty trigger writes nothing") {

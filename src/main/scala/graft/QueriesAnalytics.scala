@@ -40,10 +40,13 @@ object QueriesAnalytics {
     * scalar subqueries over the FIRST chain's `fin`) that offset the
     * segment's positions, token-stream starts, and shard ids — exactly
     * [[graft.ext.Sampling.appendToLayout]]'s continuation arithmetic.
+    * `curriculum` (q193) is an extra ORDER term between the epoch tile
+    * and the hash rank — "0" (the default) is the pure hash shuffle;
+    * the curriculum layout passes the final-epoch CASE.
     */
   private def trainingLayoutCtesFrom(src: String, salt: String = "graft-mix",
       pre: String = "", posBase: String = "0", tokBase: String = "0",
-      shardBase: String = "0"): String =
+      shardBase: String = "0", curriculum: String = "0"): String =
     s"""${mixSelCtesFrom(src, salt, pre)},
          ${pre}sh AS (SELECT doc_id, n_chars, copy_idx,
                        md5('$salt' || '|'
@@ -52,7 +55,8 @@ object QueriesAnalytics {
                 FROM ${pre}sel),
          ${pre}pos AS (SELECT doc_id, copy_idx, n_chars,
                         ($posBase) + row_number()
-                          OVER (ORDER BY copy_idx, rk) AS shuffle_pos
+                          OVER (ORDER BY copy_idx, ($curriculum), rk)
+                          AS shuffle_pos
                  FROM ${pre}sh),
          ${pre}pk AS (SELECT doc_id, copy_idx, n_chars, shuffle_pos,
                        CAST(($tokBase) + coalesce(sum(n_chars) OVER
@@ -1228,6 +1232,189 @@ object QueriesAnalytics {
                    CAST(floor(CAST(seq_id AS DOUBLE) * 8
                      / ((SELECT m FROM mxs) + 1)) AS INT) AS shard
             FROM fin ORDER BY shuffle_pos""")),
+
+    // Trainer RESUME plan (round 14): per-(dp_rank, shard) remaining
+    // work after a checkpoint, computed from the MANIFEST alone — the
+    // engine does O(shards × W) range arithmetic with zero data-file
+    // IO, the oracle SCANS the layout with the same striping rule.
+    // Matching is the metadata ≡ scan equivalence claim itself.
+    Q("q190_resume_plan",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val total = docs.agg(sum(col("n_chars")).cast("long"))
+          .head().getLong(0)
+        val out = java.nio.file.Files.createTempDirectory("graft_q190")
+          .toString + "/shards"
+        Sampling.trainingLayout(docs, "doc_id", "lang", "n_chars",
+            Seq("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15, "fr" -> 0.15,
+              "es" -> 0.05),
+            budget = 4L * total, path = out, maxEpochs = 3.0,
+            seqLen = 2048L, numShards = 8)
+        val manifest = graft.ops.Layout.layoutManifest(s, out)
+          .persist()
+        val nRows = manifest.agg(sum(col("n_rows")).cast("long"))
+          .head().getLong(0)
+        graft.ops.Layout.resumePlan(manifest, resumePos = nRows * 2L / 5L,
+            worldSize = 4)
+          .orderBy(col("dp_rank"), col("shard"))
+      },
+      Some(s"""WITH $trainingLayoutCtes,
+               rem AS (SELECT CAST((shuffle_pos - 1) % 4 AS INT) AS dp_rank,
+                              shard, shuffle_pos
+                       FROM fin
+                       WHERE shuffle_pos > CAST(floor(
+                         (SELECT cnt FROM n) * 2 / 5.0) AS BIGINT))
+              SELECT dp_rank, shard, count(*) AS n_remaining,
+                     min(shuffle_pos) AS pos_first,
+                     max(shuffle_pos) AS pos_last
+              FROM rem GROUP BY dp_rank, shard
+              ORDER BY dp_rank, shard""")),
+
+    // LAYOUT contamination audit (round 14): the published artifact —
+    // not curation provenance — is checked against the eval suite's
+    // 5-grams; hits localize to shard directories with copy counts and
+    // position ranges, exactly retractShards' input. Layout over the
+    // train corpus (eval ids held out), decon list = q63's criterion.
+    Q("q191_layout_decon_audit",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val train = docs.where(col("doc_id") % 17 =!= 0)
+        val total = train.agg(sum(col("n_chars")).cast("long"))
+          .head().getLong(0)
+        val out = java.nio.file.Files.createTempDirectory("graft_q191")
+          .toString + "/shards"
+        val layout = Sampling.trainingLayout(
+          train.select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", "lang", "n_chars",
+          Seq("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15, "fr" -> 0.15,
+            "es" -> 0.05),
+          budget = 4L * total, path = out, maxEpochs = 3.0,
+          seqLen = 2048L, numShards = 8)
+        val contam = Dedup.contaminatedIds(
+          train.select(col("doc_id"), col("text")),
+          docs.where(col("doc_id") % 17 === 0)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", n = 5, minHits = 1)
+        graft.ops.Layout.contaminationReport(layout, contam, "doc_id")
+          .orderBy(col("shard"))
+      },
+      Some {
+        val sh5 = s"""CASE WHEN len($toksSql) >= 5
+             THEN list_transform(range(0, len($toksSql) - 4),
+                                 i -> array_to_string(($toksSql)[i+1:i+5], ' '))
+             ELSE [array_to_string($toksSql, ' ')] END"""
+        s"""WITH traindocs AS (SELECT doc_id, lang, n_chars
+                               FROM documents WHERE doc_id % 17 <> 0),
+             ${trainingLayoutCtesFrom("traindocs")},
+             trg AS (SELECT doc_id, unnest(list_distinct($sh5)) AS g
+                     FROM documents WHERE doc_id % 17 <> 0),
+             teg AS (SELECT DISTINCT unnest(list_distinct($sh5)) AS g
+                     FROM documents WHERE doc_id % 17 = 0),
+             hit AS (SELECT DISTINCT doc_id FROM trg JOIN teg USING (g))
+            SELECT shard, count(*) AS n_rows,
+                   count(DISTINCT f.doc_id) AS n_docs,
+                   min(shuffle_pos) AS pos_min, max(shuffle_pos) AS pos_max
+            FROM fin f JOIN hit h USING (doc_id)
+            GROUP BY shard ORDER BY shard"""
+      }),
+
+    // PACKING-efficiency histogram (round 14): docs-per-sequence
+    // occupancy over the q179 span relation — what sizes seqLen. One
+    // row per occupancy with how many sequences hold that many doc
+    // slices and how many of those are completely full.
+    Q("q192_pack_stats",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        Sampling.packStats(docs, "n_chars", Seq(col("doc_id")), 2048L)
+          .orderBy(col("docs_per_seq"))
+      },
+      Some("""WITH pk AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                     CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS strt
+                   FROM documents),
+               sp AS (SELECT doc_id, w, strt,
+                             unnest(range(
+                               CAST(floor(strt / 2048.0) AS BIGINT),
+                               CAST(floor((strt + w - 1) / 2048.0)
+                                 AS BIGINT) + 1)) AS seq_id
+                      FROM pk WHERE w >= 1),
+               sl AS (SELECT seq_id,
+                             least(strt + w, seq_id * 2048 + 2048)
+                               - greatest(strt, seq_id * 2048) AS span_len
+                      FROM sp),
+               per AS (SELECT seq_id, count(*) AS docs,
+                              CAST(sum(span_len) AS BIGINT) AS toks
+                       FROM sl GROUP BY seq_id)
+              SELECT CAST(docs AS INT) AS docs_per_seq,
+                     count(*) AS n_seqs,
+                     CAST(sum(CASE WHEN toks = 2048 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_full
+              FROM per GROUP BY docs ORDER BY docs_per_seq""")),
+
+    // CURRICULUM layout (round 14): the ORDERING complement of the
+    // annealed mix — early epochs are independent hash permutations,
+    // the FINAL epoch orders by ascending token count (the classic
+    // short-to-long length curriculum; any precomputed score column
+    // plugs in). Oracle = the q175 chain with the final-epoch CASE
+    // spliced into the rank window's ORDER.
+    Q("q193_curriculum_layout",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val total = docs.agg(sum(col("n_chars")).cast("long"))
+          .head().getLong(0)
+        val out = java.nio.file.Files.createTempDirectory("graft_q193")
+          .toString + "/shards"
+        Sampling.curriculumLayout(docs, "doc_id", "lang", "n_chars",
+            Seq("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15, "fr" -> 0.15,
+              "es" -> 0.05),
+            budget = 4L * total, path = out, curriculumCol = "n_chars",
+            maxEpochs = 3.0, seqLen = 2048L, numShards = 8)
+          .select(col("doc_id"), col("copy_idx"), col("shuffle_pos"),
+            col("seq_id"), col("seq_off"),
+            col("shard").cast("int").as("shard"))
+          .orderBy(col("shuffle_pos"))
+      },
+      Some(s"""WITH ${trainingLayoutCtesFrom("documents",
+                curriculum = "CASE WHEN copy_idx = " +
+                  "(SELECT max(copy_idx) FROM sel) THEN n_chars ELSE 0 END")}
+              SELECT doc_id, copy_idx, shuffle_pos, seq_id, seq_off, shard
+              FROM fin ORDER BY shuffle_pos""")),
+
+    // BATCH-diversity audit (round 14): the shuffle-quality check a
+    // trainer runs before trusting a layout — positions tile into
+    // loader-batch windows of 256, each window counts distinct
+    // languages, the histogram shows how many windows hit each
+    // diversity level (clumping = a broken shuffle). The oracle
+    // recovers lang by joining the layout chain back on doc_id.
+    Q("q194_batch_diversity",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val total = docs.agg(sum(col("n_chars")).cast("long"))
+          .head().getLong(0)
+        val out = java.nio.file.Files.createTempDirectory("graft_q194")
+          .toString + "/shards"
+        val layout = Sampling.trainingLayout(docs, "doc_id", "lang",
+          "n_chars",
+          Seq("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15, "fr" -> 0.15,
+            "es" -> 0.05),
+          budget = 4L * total, path = out, maxEpochs = 3.0,
+          seqLen = 2048L, numShards = 8)
+        Sampling.batchDiversity(layout, "shuffle_pos", "lang", 256L)
+          .orderBy(col("n_keys"))
+      },
+      Some(s"""WITH $trainingLayoutCtes,
+               wd AS (SELECT CAST(floor((shuffle_pos - 1) / 256.0)
+                        AS BIGINT) AS w, lang
+                      FROM fin JOIN documents USING (doc_id)),
+               per AS (SELECT w, count(DISTINCT lang) AS nk
+                       FROM wd GROUP BY w)
+              SELECT CAST(nk AS INT) AS n_keys, count(*) AS n_windows
+              FROM per GROUP BY nk ORDER BY n_keys""")),
 
     // LEAKAGE-FREE split (round 13): assignSplit keyed by duplicate
     // cluster, so a dup pair can never straddle the train/val boundary

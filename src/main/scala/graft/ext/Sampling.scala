@@ -444,6 +444,29 @@ object Sampling {
       .drop("__start", "__sbase")
   }
 
+  /** Packing-efficiency report — the histogram a layout owner reads to
+    * size `seqLen`: how many docs each packed sequence holds, and how
+    * many sequences of each occupancy are completely full. Offset
+    * packing never pads inside the stream, so "efficiency" here is
+    * about BOUNDARIES: a sequence holding many doc slices pays more
+    * attention-reset overhead, one holding a single slice of a long doc
+    * truncates context. One row per occupancy: (docs_per_seq, n_seqs,
+    * n_full) — n_full counts sequences whose slices sum to exactly
+    * `seqLen` (every sequence except possibly the stream's last).
+    *
+    * Plan shape: [[packSpans]]'s output-linear explode, a seq-keyed
+    * aggregate (corpus-linear), then an occupancy-keyed aggregate whose
+    * key cardinality is bounded by the longest sequence's slice count.
+    */
+  def packStats(df: DataFrame, weightCol: String, rankBy: Seq[Column],
+      seqLen: Long): DataFrame =
+    packSpans(df, weightCol, rankBy, seqLen)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("__docs"), sum(col("span_len")).as("__toks"))
+      .groupBy(col("__docs").cast("int").as("docs_per_seq"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(when(col("__toks") === seqLen, 1L).otherwise(0L)).as("n_full"))
+
   /** Per-group cap — domain balancing: keep at most `n` rows of each group
     * (e.g. each URL domain or source), chosen by deterministic hash rank so
     * the survivors are a uniform, rerun-stable sample of the group.
@@ -527,6 +550,80 @@ object Sampling {
         md5(concat_ws("|", lit(salt), col(epochCol), col(idCol)))),
       posCol, Seq(epochCol, "__rk"))
       .drop("__rk")
+
+  /** CURRICULUM shuffle — [[epochShuffle]] with the ordering annealed on
+    * the LAST epoch: epochs tile sequentially and every epoch but the
+    * final one is an independent deterministic permutation, while the
+    * final epoch orders by ascending `curriculumCol` (hash-rank tie
+    * break, so the order is still total and rerun-stable). The classic
+    * length-curriculum / "anneal ordering late in training" shape: the
+    * trainer sees uniform mixes early and the curated progression at
+    * the end — the ORDERING complement of the annealed MIX
+    * ([[mixSchedule]], which anneals composition, not order).
+    *
+    * Same scale shape as [[epochShuffle]]: the max-epoch aggregate is
+    * one broadcast row, the rank rides the two-phase ranged-id path —
+    * no global sort at any size.
+    */
+  def curriculumShuffle(df: DataFrame, idCol: String, epochCol: String,
+      curriculumCol: String, salt: String = "graft",
+      posCol: String = "shuffle_pos"): DataFrame = {
+    val mx = df.agg(max(col(epochCol)).cast("long").as("__mxe"))
+    graft.ops.SurrogateKeys.withOrderedIds(
+      df.crossJoin(broadcast(mx))
+        .withColumn("__rk",
+          md5(concat_ws("|", lit(salt), col(epochCol), col(idCol))))
+        .withColumn("__cur",
+          when(col(epochCol).cast("long") === col("__mxe"),
+            col(curriculumCol).cast("long")).otherwise(lit(0L))),
+      posCol, Seq(epochCol, "__cur", "__rk"))
+      .drop("__rk", "__cur", "__mxe")
+  }
+
+  /** The CURRICULUM training layout — [[trainingLayout]] with
+    * [[curriculumShuffle]] in the shuffle slot: mix-budgeted epoch
+    * replication, hash-shuffled early epochs, a final epoch ordered by
+    * ascending `curriculumCol` (e.g. the token count for the standard
+    * short-to-long length curriculum, or any precomputed quality
+    * score), token-cumulative packing, contiguous shards. Returns the
+    * read-back like the flagship; same scale shape throughout.
+    */
+  def curriculumLayout(df: DataFrame, idCol: String, stratumCol: String,
+      tokensCol: String, weights: Seq[(String, Double)], budget: Long,
+      path: String, curriculumCol: String, maxEpochs: Double = 3.0,
+      seqLen: Long = 2048L, numShards: Int = 8,
+      salt: String = "graft-mix"): DataFrame = {
+    val plan = mixPlan(df, stratumCol, col(tokensCol), weights, budget,
+      maxEpochs)
+    val rep = applyMixPlan(df, idCol, stratumCol, plan, salt)
+    val shuffled = curriculumShuffle(rep, idCol, "copy_idx",
+      curriculumCol, salt)
+    val packed = packSequences(shuffled, tokensCol,
+      Seq(col("shuffle_pos")), seqLen)
+    graft.ops.Layout.writeShards(packed, "shuffle_pos", numShards, path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Shuffle-quality audit — the batch-composition histogram a trainer
+    * checks before trusting a layout: positions tile into consecutive
+    * windows of `batchSize` (the loader's batch boundaries), each
+    * window counts its distinct `keyCol` values (languages, sources,
+    * strata…), and the histogram reports how many windows achieved
+    * each diversity level. A broken shuffle shows up as a mass of
+    * low-diversity windows (same-source clumping); a healthy one
+    * concentrates near the expected mix. Two corpus-linear keyed
+    * aggregates; the final histogram is bounded by the key cardinality.
+    */
+  def batchDiversity(df: DataFrame, posCol: String, keyCol: String,
+      batchSize: Long): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be positive: $batchSize")
+    df.withColumn("__w",
+        floor((col(posCol) - lit(1L)) / lit(batchSize)).cast("long"))
+      .groupBy(col("__w"))
+      .agg(countDistinct(col(keyCol)).as("__nk"))
+      .groupBy(col("__nk").cast("int").as("n_keys"))
+      .agg(count(lit(1)).as("n_windows"))
+  }
 
   /** Length-bucketed batching (the inference/serving layout op): sort
     * sequences by length descending, cut into fixed-size batches, and

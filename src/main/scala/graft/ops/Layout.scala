@@ -208,6 +208,79 @@ object Layout {
     stats.join(broadcast(files.toDF("shard", "n_files")), Seq("shard"))
   }
 
+  /** Trainer RESUME plan — the work left in a published layout after a
+    * checkpoint, per data-parallel rank, computed from the MANIFEST
+    * alone: O(shards × worldSize) arithmetic, ZERO data-file IO.
+    * Resuming a run over a 100 TB layout must not scan it — the
+    * manifest's contiguous [pos_min, pos_max] ranges (the writeShards
+    * contract) make remaining-work counting exact range arithmetic.
+    *
+    * Striped-sampler convention: rank r of W owns global positions p
+    * with (p − 1) mod W = r; the run restarts after `resumePos` (the
+    * last consumed position — 0 = a fresh start). One row per
+    * (dp_rank, shard) still holding work: remaining row count, and the
+    * first/last remaining positions — exactly what a loader seeks to
+    * in each shard file (files are internally position-sorted).
+    * (rank, shard) cells with nothing left are omitted, so the plan is
+    * also the rank→shard open-file map. Differentially spec-pinned ≡
+    * the full layout scan at every (resumePos, worldSize) probed.
+    */
+  def resumePlan(manifest: DataFrame, resumePos: Long,
+      worldSize: Int): DataFrame = {
+    require(worldSize >= 1, s"worldSize must be positive: $worldSize")
+    require(resumePos >= 0L, s"resumePos must be >= 0: $resumePos")
+    val w = worldSize.toLong
+    val ranks = manifest.sparkSession.range(0, w)
+      .select(col("id").cast("int").as("dp_rank"))
+    // positions x ≤ y with (x−1) mod W = r: ⌊(y−1−r)/W⌋ + 1 for
+    // y ≥ r+1, else 0 (exact in double well past any position count)
+    def upTo(y: Column) = when(y >= col("dp_rank") + lit(1L),
+      floor((y - lit(1L) - col("dp_rank")).cast("double") / w)
+        .cast("long") + lit(1L)).otherwise(lit(0L))
+    manifest.select(col("shard").cast("int").as("shard"),
+        col("pos_min"), col("pos_max"))
+      .crossJoin(broadcast(ranks)) // worldSize rows — bounded by construction
+      .withColumn("__lo", greatest(col("pos_min"), lit(resumePos + 1L)))
+      .withColumn("n_remaining",
+        when(col("pos_max") >= col("__lo"),
+          upTo(col("pos_max")) - upTo(col("__lo") - lit(1L)))
+          .otherwise(lit(0L)))
+      .where(col("n_remaining") > 0L)
+      .withColumn("pos_first", col("__lo") +
+        pmod(col("dp_rank") + lit(1L) - col("__lo"), lit(w)))
+      .withColumn("pos_last", col("pos_max") -
+        pmod(col("pos_max") - lit(1L) - col("dp_rank"), lit(w)))
+      .select(col("dp_rank"), col("shard"), col("n_remaining"),
+        col("pos_first"), col("pos_last"))
+  }
+
+  /** Localize CONTAMINATED documents inside a published layout — the
+    * artifact-level audit that turns a decon finding (e.g.
+    * [[graft.ext.Dedup.contaminatedIds]] n-gram hits, or the semantic
+    * variants) into the action [[graft.ext.Retraction.retractShards]]
+    * takes: one row per shard holding contaminated rows, with the row
+    * count (copies count — an epoch-replicated doc ships multiple
+    * times), distinct-doc count, and the contaminated position range.
+    * Auditing the PUBLISHED artifact rather than trusting curation
+    * provenance catches contamination introduced AFTER the gate (a
+    * stale decon list, an append batch that skipped the check).
+    *
+    * Plan shape: one column-pruned scan of the layout (id, shard,
+    * position), a join keyed on the id — corpus-linear shuffle; the
+    * contaminated side is NOT broadcast-hinted (an adversarial eval
+    * suite can flag a large corpus fraction — AQE decides), then a
+    * shard-keyed aggregate bounded by the shard count.
+    */
+  def contaminationReport(layout: DataFrame, contaminated: DataFrame,
+      idCol: String, posCol: String = "shuffle_pos"): DataFrame =
+    layout.select(col(idCol), col("shard").cast("int").as("shard"),
+        col(posCol))
+      .join(contaminated.select(col(idCol)).distinct(), Seq(idCol))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(posCol)).as("pos_min"), max(col(posCol)).as("pos_max"))
+
   /** Fold adjacent SMALL shards of a published layout into fewer
     * directories — the maintenance a long-running
     * [[graft.streaming.StreamingIngest.layoutAppendStream]] needs:

@@ -1204,4 +1204,161 @@ class TextAnalysisSpec extends AnyFunSuite {
     // KN's point: a frequent bigram scores above the smoothed-backoff ones
     assert(pBgivenA > pAgivenB)
   }
+
+  test("resumePlan: manifest-only range arithmetic ≡ the full layout scan " +
+    "at every (resumePos, worldSize) probed; ranks balance within 1 at a " +
+    "fresh start; consumed layouts plan empty") {
+    import graft.ext.Sampling
+    val docs = (1L to 300L).map(i => (i, "up", 7L))
+      .toDF("doc_id", "src", "toks")
+    val base = java.nio.file.Files.createTempDirectory("resume190")
+    val out = s"$base/shards"
+    Sampling.trainingLayout(docs, "doc_id", "src", "toks",
+      Seq("up" -> 1.0), budget = 6300L, path = out,
+      maxEpochs = 3.0, seqLen = 50L, numShards = 4)
+    val manifest = graft.ops.Layout.layoutManifest(spark, out,
+      tokensCol = "toks")
+    val layout = spark.read.parquet(out)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    for ((p, w) <- Seq((0L, 1), (0L, 4), (360L, 4), (899L, 4), (250L, 7))) {
+      val plan = asSet(graft.ops.Layout.resumePlan(manifest, p, w))
+      val scan = asSet(layout
+        .where($"shuffle_pos" > p)
+        .withColumn("dp_rank", pmod($"shuffle_pos" - 1L, lit(w.toLong)).cast("int"))
+        .groupBy($"dp_rank", $"shard".cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_remaining"),
+          min($"shuffle_pos").as("pos_first"),
+          max($"shuffle_pos").as("pos_last")))
+      assert(plan == scan, s"metadata ≡ scan must hold at P=$p W=$w")
+    }
+    // fresh start: per-rank totals differ by at most 1 (striping is fair)
+    val fresh = graft.ops.Layout.resumePlan(manifest, 0L, 7)
+      .groupBy($"dp_rank").agg(sum($"n_remaining").as("t"))
+      .collect().map(_.getLong(1))
+    assert(fresh.max - fresh.min <= 1L, s"rank balance: ${fresh.toSeq}")
+    // fully consumed: nothing remains for any rank
+    assert(graft.ops.Layout.resumePlan(manifest, 900L, 4).count() == 0L)
+    // the plan is pure manifest arithmetic — a hand-written manifest with
+    // no files behind it plans correctly (zero data IO by construction)
+    val handM = Seq((0, 10L, 1L, 10L), (1, 15L, 11L, 25L))
+      .toDF("shard", "n_rows", "pos_min", "pos_max")
+    val hand = asSet(graft.ops.Layout.resumePlan(handM, 7L, 4))
+    val brute = (8L to 25L).map(p =>
+        (((p - 1) % 4).toInt, if (p <= 10) 0 else 1, p))
+      .groupBy(t => (t._1, t._2)).map { case ((r, s), ps) =>
+        (r, s, ps.size.toLong, ps.map(_._3).min, ps.map(_._3).max) }.toSet
+    assert(hand == brute, s"hand manifest: $hand vs $brute")
+  }
+
+  test("contaminationReport localizes decon hits to shards with copy " +
+    "counts and position ranges; retracting exactly those ids empties " +
+    "the report") {
+    import graft.ext.{Retraction, Sampling}
+    val docs = (1L to 300L).map(i => (i, "up", 7L))
+      .toDF("doc_id", "src", "toks")
+    val base = java.nio.file.Files.createTempDirectory("audit191")
+    val out = s"$base/shards"
+    val laid = Sampling.trainingLayout(docs, "doc_id", "src", "toks",
+      Seq("up" -> 1.0), budget = 6300L, path = out,
+      maxEpochs = 3.0, seqLen = 50L, numShards = 4)
+    val contamIds = Seq(13L, 14L, 200L)
+    val contam = contamIds.toDF("doc_id")
+    val rep = graft.ops.Layout.contaminationReport(laid, contam, "doc_id",
+        posCol = "shuffle_pos")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // ground truth off the layout itself (3 copies per doc in the fixture)
+    val rows = spark.read.parquet(out)
+      .where($"doc_id".isin(contamIds: _*))
+      .select($"shard".cast("int"), $"doc_id", $"shuffle_pos")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 9, "3 contaminated docs x 3 epochs")
+    val want = rows.groupBy(_._1).map { case (s, rs) =>
+      (s, rs.size.toLong, rs.map(_._2).distinct.size.toLong,
+        rs.map(_._3).min, rs.map(_._3).max) }.toSet
+    assert(rep.toSet == want, s"report: ${rep.toSet} vs $want")
+    // the report IS retractShards' input: retract those ids -> empty audit
+    Retraction.retractShards(spark, out, contam, "doc_id")
+    val after = graft.ops.Layout.contaminationReport(
+      spark.read.parquet(out), contam, "doc_id")
+    assert(after.count() == 0L, "post-retraction audit must be clean")
+  }
+
+  test("curriculumLayout: early epochs stay independent hash " +
+    "permutations, the FINAL epoch orders by ascending curriculum key " +
+    "(hash tie-break), packing and shard tiling unchanged, rerun-stable") {
+    import graft.ext.Sampling
+    val docs = (1L to 300L).map(i => (i, "up", (i % 7) + 1L))
+      .toDF("doc_id", "src", "toks")
+    val total = docs.agg(sum($"toks")).head().getLong(0)
+    val base = java.nio.file.Files.createTempDirectory("curr193")
+    def run(p: String) = Sampling.curriculumLayout(docs, "doc_id", "src",
+        "toks", Seq("up" -> 1.0), budget = 3L * total, path = p,
+        curriculumCol = "toks", maxEpochs = 3.0, seqLen = 50L,
+        numShards = 4)
+      .select($"doc_id", $"copy_idx", $"shuffle_pos", $"toks",
+        $"seq_id", $"seq_off")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val laid = run(s"$base/a")
+    assert(laid.length == 900)
+    // epochs tile their 300-blocks
+    for (c <- 0 to 2) {
+      val ps = laid.filter(_._2 == c).map(_._3)
+      assert(ps.min == 300L * c + 1 && ps.max == 300L * (c + 1))
+    }
+    // final epoch: toks non-decreasing along the position order
+    val finalToks = laid.filter(_._2 == 2).sortBy(_._3).map(_._4)
+    assert(finalToks.toSeq.sliding(2).forall {
+      case Seq(a, b) => a <= b; case _ => true },
+      "final epoch must follow the curriculum order")
+    // early epochs: hash permutations — NOT the curriculum order, and
+    // not each other's order
+    def orderOf(c: Int) = laid.filter(_._2 == c).sortBy(_._3).map(_._1).toSeq
+    val sortedByCur = laid.filter(_._2 == 0).sortBy(t => (t._4, t._1)).map(_._1).toSeq
+    assert(orderOf(0) != sortedByCur && orderOf(0) != orderOf(1),
+      "early epochs must stay independent hash permutations")
+    // packing stays token-cumulative over the curriculum stream
+    val byPos = laid.sortBy(_._3)
+    var acc = 0L
+    byPos.foreach { case (_, _, _, w, sid, soff) =>
+      assert(sid == acc / 50L && soff == acc % 50L); acc += w }
+    assert(run(s"$base/b").toSet == laid.toSet, "rerun-stable")
+  }
+
+  test("batchDiversity: per-window distinct-key histogram, partial tail " +
+    "window included, degenerate batch of one") {
+    import graft.ext.Sampling
+    val rows = Seq( // win0 (1..5): a,a,b,a,b=2  win1 (6..10): c=1  win2 (11..12): a,b=2
+      (1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"), (5L, "b"),
+      (6L, "c"), (7L, "c"), (8L, "c"), (9L, "c"), (10L, "c"),
+      (11L, "a"), (12L, "b")).toDF("shuffle_pos", "lang")
+    val got = Sampling.batchDiversity(rows, "shuffle_pos", "lang", 5L)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == Set((1, 1L), (2, 2L)), s"got $got")
+    val one = Sampling.batchDiversity(rows, "shuffle_pos", "lang", 1L)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(one == Set((1, 12L)), "batch of one: every window has one key")
+  }
+
+  test("packStats: docs-per-sequence occupancy histogram with full-" +
+    "sequence counts — hand-computed on the packSpans fixture") {
+    import graft.ext.Sampling
+    // stream (seqLen 10): d1 [0,4) d3 [4,29) d4 [29,39) d5 [39,42) ->
+    // seq0 {d1,d3} full, seq1 {d3} full, seq2 {d3,d4} full,
+    // seq3 {d4,d5} full, seq4 {d5} 2 tokens (partial tail)
+    val docs = Seq((1L, 4L), (2L, 0L), (3L, 25L), (4L, 10L), (5L, 3L))
+      .toDF("doc_id", "w")
+    val got = Sampling.packStats(docs, "w", Seq($"doc_id"), seqLen = 10L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1, 2L, 1L), (2, 3L, 3L)), s"got $got")
+    // occupancy-weighted sequence count re-sums to the span total
+    val spans = Sampling.packSpans(docs, "w", Seq($"doc_id"), 10L).count()
+    assert(got.toSeq.map(t => t._1 * t._2).sum == spans)
+    assert(Sampling.packStats(docs.repartition(5), "w", Seq($"doc_id"), 10L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      == got, "layout independence")
+  }
 }

@@ -1416,6 +1416,49 @@ object QueriesAnalytics {
               SELECT CAST(nk AS INT) AS n_keys, count(*) AS n_windows
               FROM per GROUP BY nk ORDER BY n_keys""")),
 
+    // TEMPERATURE mix plan (round 14): the mT5/XLM-R sampling rule —
+    // weights derived from the corpus itself as p^tau / sum(p^tau)
+    // (tau = 0.5), then q173's budget/cap/epoch arithmetic verbatim.
+    // The derived weight is rounded to 6 dp BEFORE the target math so
+    // the oracle replays the chain exactly (libm pow ulp absorption).
+    Q("q195_mix_plan_temperature",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val total = docs.agg(sum(col("n_chars")).cast("long")).head().getLong(0)
+        Sampling.mixPlanTemperature(docs, "lang", col("n_chars"),
+            tau = 0.5, budget = 4L * total, maxEpochs = 3.0)
+          .orderBy(col("stratum"))
+      },
+      Some("""WITH tot AS (SELECT 4 * CAST(sum(n_chars) AS BIGINT) AS budget
+                           FROM documents),
+               a AS (SELECT lang AS stratum,
+                            CAST(sum(n_chars) AS BIGINT) AS available_tokens
+                     FROM documents GROUP BY lang),
+               r AS (SELECT stratum, available_tokens,
+                            CASE WHEN available_tokens > 0 THEN
+                              power(CAST(available_tokens AS DOUBLE)
+                                / CAST(sum(available_tokens) OVER ()
+                                    AS DOUBLE), 0.5)
+                            ELSE 0.0 END AS raw
+                     FROM a),
+               w AS (SELECT stratum, available_tokens,
+                            round(raw / sum(raw) OVER (), 6) AS weight
+                     FROM r),
+               t AS (SELECT stratum, available_tokens, weight,
+                            CAST(floor((SELECT budget FROM tot) * weight)
+                              AS BIGINT) AS target_tokens
+                     FROM w),
+               p AS (SELECT *,
+                            least(target_tokens,
+                              CAST(floor(CAST(available_tokens AS DOUBLE)
+                                * 3.0) AS BIGINT)) AS planned_tokens
+                     FROM t)
+              SELECT stratum, available_tokens, weight, target_tokens,
+                     planned_tokens,
+                     round(CAST(planned_tokens AS DOUBLE)
+                       / CAST(available_tokens AS DOUBLE), 6) AS epochs
+              FROM p ORDER BY stratum""")),
+
     // LEAKAGE-FREE split (round 13): assignSplit keyed by duplicate
     // cluster, so a dup pair can never straddle the train/val boundary
     // — the classic eval-leakage hole in row-hash splits. Clusters here

@@ -149,6 +149,60 @@ object Sampling {
           .otherwise(lit(0.0)))
   }
 
+  /** TEMPERATURE-derived mix plan — [[mixPlan]] with the weights
+    * computed from the corpus itself by the standard multilingual
+    * temperature rule (the mT5/XLM-R sampling exponent): a stratum
+    * with natural token share p gets weight p^tau / Σ p^tau. tau = 1
+    * reproduces the natural distribution, tau = 0 is uniform over
+    * NON-EMPTY strata (no data → no weight; the 0^0 = 1 trap never
+    * applies because empty strata are gated out before the pow), and
+    * 0 < tau < 1 flattens the head toward the tail — low-resource
+    * strata get upsampled without a hand-tuned weight table. Same
+    * output schema, repetition cap, and epoch arithmetic as
+    * [[mixPlan]]. The derived `weight` is rounded to 6 dp BEFORE the
+    * target arithmetic (the q173 round convention): libm `pow` may
+    * differ by an ulp across engines, and the rounding absorbs it, so
+    * an oracle replays the whole chain exactly.
+    *
+    * Scale shape: ONE corpus groupBy; the normalization runs as
+    * single-group windows over the strata-sized aggregate (the
+    * [[selectByBudget]] precedent — deliberate, bounded by stratum
+    * cardinality, never over corpus-sized data).
+    */
+  def mixPlanTemperature(df: DataFrame, stratumCol: String,
+      tokensCol: Column, tau: Double, budget: Long,
+      maxEpochs: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tau >= 0.0, s"temperature must be >= 0: $tau")
+    require(budget >= 0L && maxEpochs > 0.0,
+      s"need budget >= 0 and maxEpochs > 0: $budget/$maxEpochs")
+    val one = Window.partitionBy(lit(0))
+    df.groupBy(col(stratumCol).as("stratum"))
+      .agg(coalesce(sum(tokensCol).cast("long"), lit(0L))
+        .as("available_tokens"))
+      .withColumn("__raw",
+        when(col("available_tokens") > 0L,
+          pow(col("available_tokens").cast("double") /
+            sum(col("available_tokens")).over(one).cast("double"),
+            lit(tau)))
+          .otherwise(lit(0.0)))
+      // all-empty corpus ⇒ every weight 0, not 0/0 NaN
+      .withColumn("weight",
+        when(sum(col("__raw")).over(one) > 0.0,
+          round(col("__raw") / sum(col("__raw")).over(one), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("target_tokens",
+        floor(lit(budget) * col("weight")).cast("long"))
+      .withColumn("planned_tokens",
+        least(col("target_tokens"),
+          floor(col("available_tokens") * lit(maxEpochs)).cast("long")))
+      .withColumn("epochs",
+        when(col("available_tokens") > 0L,
+          round(col("planned_tokens") / col("available_tokens"), 6))
+          .otherwise(lit(0.0)))
+      .drop("__raw")
+  }
+
   /** Materialize a [[mixPlan]] — the replication step the training
     * pipeline actually consumes: each row of a stratum with `epochs` e
     * emits ⌊e⌋ full copies plus ONE fractional copy kept iff the row's

@@ -179,6 +179,50 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("duplicate stratum"))
   }
 
+  test("mixPlanTemperature: tau=1 reproduces natural shares, tau=0 is " +
+    "uniform over NON-EMPTY strata, 0<tau<1 flattens the head toward " +
+    "the tail; cap/epoch arithmetic is mixPlan's; all-empty corpus " +
+    "plans all-zero without NaN") {
+    import graft.ext.Sampling
+    val rows = Seq(
+      ("big", Some(800L)), ("big", Some(800L)), // available 1600
+      ("small", Some(200L)),                    // available 200
+      ("none", None: Option[Long]))             // all-null stratum
+      .toDF("src", "toks")
+    def plan(tau: Double) = Sampling.mixPlanTemperature(rows, "src",
+        col("toks"), tau, budget = 3600L, maxEpochs = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    // tau=1: the natural distribution (weights rounded to 6 dp FIRST,
+    // then floor(budget·w) — so small's target is 399, not 400: the
+    // documented rounding-before-target order)
+    val nat = plan(1.0)
+    assert(nat("big") == ((1600L, 0.888889, 3200L, 3200L, 2.0)))
+    assert(nat("small") == ((200L, 0.111111, 399L, 399L, 1.995)))
+    assert(nat("none") == ((0L, 0.0, 0L, 0L, 0.0)))
+    // tau=0: uniform over non-empty strata; the repetition cap binds
+    // for the small one exactly as in mixPlan
+    val uni = plan(0.0)
+    assert(uni("big") == ((1600L, 0.5, 1800L, 1800L, 1.125)))
+    assert(uni("small") == ((200L, 0.5, 1800L, 600L, 3.0)))
+    assert(uni("none")._2 == 0.0)
+    // 0<tau<1: strictly between natural and uniform on both ends,
+    // still normalized after the 6 dp rounding
+    val mid = plan(0.5)
+    assert(mid("big")._2 < 0.888889 && mid("big")._2 > 0.5)
+    assert(mid("small")._2 > 0.111111 && mid("small")._2 < 0.5)
+    assert(math.abs(mid("big")._2 + mid("small")._2 - 1.0) < 2e-6)
+    // all-empty corpus: zero plan everywhere, no 0/0 NaN anywhere
+    val empty = Sampling.mixPlanTemperature(
+      Seq(("x", None: Option[Long]), ("y", None: Option[Long]))
+        .toDF("src", "toks"), "src", col("toks"), 0.5, budget = 100L)
+      .collect()
+    assert(empty.length == 2 && empty.forall { r =>
+      r.getDouble(2) == 0.0 && r.getLong(4) == 0L &&
+        !r.getDouble(5).isNaN })
+  }
+
   test("applyMixPlan: floor(epochs) full copies + a deterministic " +
     "fractional copy; epochs 0 emits nothing; layout-independent") {
     import graft.ext.Sampling

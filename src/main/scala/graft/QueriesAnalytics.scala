@@ -1459,6 +1459,49 @@ object QueriesAnalytics {
                        / CAST(available_tokens AS DOUBLE), 6) AS epochs
               FROM p ORDER BY stratum""")),
 
+    // MIX calibration (round 14): the plan -> materialize loop closed
+    // with the per-stratum loss_weight = planned/realized multiplier —
+    // applyMixPlan's fractional copy is a hash draw, so realized tokens
+    // deviate from the plan by sampling error; the weight re-centers
+    // the effective mix without re-materializing. Oracle reuses the
+    // shared mix CTEs: realized off the sel relation, planned off t.
+    Q("q196_mix_calibration",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val total = docs.agg(sum(col("n_chars")).cast("long")).head().getLong(0)
+        val plan = Sampling.mixPlan(docs, "lang", col("n_chars"),
+          Seq("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15, "fr" -> 0.15,
+            "es" -> 0.05),
+          budget = 4L * total, maxEpochs = 3.0)
+        val rep = Sampling.applyMixPlan(docs, "doc_id", "lang", plan)
+        Sampling.mixCalibration(rep, "lang", col("n_chars"), plan)
+          .orderBy(col("stratum"))
+      },
+      Some(s"""WITH ${mixSelCtesFrom("documents")},
+               pl AS (SELECT stratum, available_tokens,
+                             least(target_tokens,
+                               CAST(floor(CAST(available_tokens AS DOUBLE)
+                                 * 3.0) AS BIGINT)) AS planned_tokens
+                      FROM t),
+               realz AS (SELECT d.lang AS stratum,
+                                CAST(sum(s.n_chars) AS BIGINT) AS rt,
+                                count(*) AS rr
+                         FROM sel s JOIN documents d USING (doc_id)
+                         GROUP BY d.lang)
+              SELECT pl.stratum, pl.available_tokens, pl.planned_tokens,
+                     coalesce(r.rt, 0) AS realized_tokens,
+                     coalesce(r.rr, 0) AS realized_rows,
+                     CASE WHEN pl.available_tokens > 0 THEN
+                       round(CAST(coalesce(r.rt, 0) AS DOUBLE)
+                         / CAST(pl.available_tokens AS DOUBLE), 6)
+                     ELSE 0.0 END AS realized_epochs,
+                     CASE WHEN coalesce(r.rt, 0) > 0 THEN
+                       round(CAST(pl.planned_tokens AS DOUBLE)
+                         / CAST(r.rt AS DOUBLE), 6)
+                     ELSE 0.0 END AS loss_weight
+              FROM pl LEFT JOIN realz r USING (stratum)
+              ORDER BY pl.stratum""")),
+
     // LEAKAGE-FREE split (round 13): assignSplit keyed by duplicate
     // cluster, so a dup pair can never straddle the train/val boundary
     // — the classic eval-leakage hole in row-hash splits. Clusters here

@@ -203,6 +203,49 @@ object Sampling {
       .drop("__raw")
   }
 
+  /** Mix CALIBRATION — closes the plan → materialize loop with the
+    * correction trainers actually apply: [[applyMixPlan]]'s fractional
+    * copy is a per-row hash draw, so a stratum's REALIZED token count
+    * deviates from its planned one by sampling error (and floor
+    * effects); the per-stratum `loss_weight = planned / realized`
+    * multiplier re-centers the effective mix without re-materializing
+    * anything. One row per PLANNED stratum (a zero-plan stratum shows
+    * realized 0 / weight 0 — auditable, the [[mixPlan]] convention):
+    * available/planned from the plan, realized tokens + row count from
+    * the replicated corpus, `realized_epochs`, and the weight. A
+    * stratum whose epochs came out integral (e.g. the repetition cap
+    * binding exactly) realizes its plan exactly and gets weight 1.
+    *
+    * Scale shape: ONE groupBy over the replicated corpus + a join
+    * against the strata-sized plan (broadcast by construction — the
+    * [[applyMixPlan]] precedent, bounded by stratum cardinality).
+    */
+  def mixCalibration(replicated: DataFrame, stratumCol: String,
+      tokensCol: Column, plan: DataFrame): DataFrame =
+    // plan on the LEFT so strata it knows but materialization dropped
+    // (epochs 0) stay visible; the realized aggregate — strata-sized
+    // like the plan — broadcasts as the build side (a left-outer join
+    // can only build right, so hinting the plan side would be dropped)
+    plan.select(col("stratum"), col("available_tokens"),
+        col("planned_tokens"))
+      .join(broadcast(replicated.groupBy(col(stratumCol).as("stratum"))
+        .agg(coalesce(sum(tokensCol).cast("long"), lit(0L))
+            .as("realized_tokens"),
+          count(lit(1)).as("realized_rows"))),
+        Seq("stratum"), "left")
+      .na.fill(0L, Seq("realized_tokens", "realized_rows"))
+      .withColumn("realized_epochs",
+        when(col("available_tokens") > 0L,
+          round(col("realized_tokens") / col("available_tokens"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("loss_weight",
+        when(col("realized_tokens") > 0L,
+          round(col("planned_tokens") / col("realized_tokens"), 6))
+          .otherwise(lit(0.0)))
+      .select(col("stratum"), col("available_tokens"),
+        col("planned_tokens"), col("realized_tokens"),
+        col("realized_rows"), col("realized_epochs"), col("loss_weight"))
+
   /** Materialize a [[mixPlan]] — the replication step the training
     * pipeline actually consumes: each row of a stratum with `epochs` e
     * emits ⌊e⌋ full copies plus ONE fractional copy kept iff the row's

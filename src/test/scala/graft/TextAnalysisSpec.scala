@@ -223,6 +223,48 @@ class TextAnalysisSpec extends AnyFunSuite {
         !r.getDouble(5).isNaN })
   }
 
+  test("mixCalibration: loss_weight = planned/realized per stratum; an " +
+    "integral-epochs stratum realizes its plan exactly (weight 1.0); " +
+    "zero-plan strata stay visible with weight 0; ground truth off the " +
+    "replicated frame itself") {
+    import graft.ext.Sampling
+    val docs = (1L to 600L).map(i =>
+      (i, if (i <= 100) "capped" else if (i <= 500) "frac" else "unplanned",
+        10L))
+      .toDF("doc_id", "src", "toks")
+    // capped: avail 1000, target 6600 >= 3x avail -> epochs exactly
+    // 3.0; frac: avail 4000, target 4400 under the 12000 cap ->
+    // epochs 1.1 (fractional); unplanned: no weight entry -> zero plan
+    val plan = Sampling.mixPlan(docs, "src", col("toks"),
+      Seq("capped" -> 0.6, "frac" -> 0.4), budget = 11000L,
+      maxEpochs = 3.0)
+    val rep = Sampling.applyMixPlan(docs, "doc_id", "src", plan)
+      .localCheckpoint(true)
+    val cal = Sampling.mixCalibration(rep, "src", col("toks"), plan)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    // ground truth off the replicated frame itself
+    val got = rep.groupBy($"src").agg(sum($"toks").as("t"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // capped: epochs exactly 3.0 -> realized == planned == 3000, weight 1
+    assert(cal("capped") == ((1000L, 3000L, 3000L, 300L, 3.0, 1.0)))
+    // frac: realized matches the materialized frame; weight is the
+    // re-centering ratio, near 1 but not forced to it
+    val (ft, fn) = got("frac")
+    assert(cal("frac")._1 == 4000L && cal("frac")._2 == 4400L)
+    assert(cal("frac")._3 == ft && cal("frac")._4 == fn)
+    assert(cal("frac")._6 ==
+      math.floor(4400.0 / ft * 1e6 + 0.5) / 1e6,
+      s"weight must be round(planned/realized, 6): ${cal("frac")}")
+    assert(math.abs(cal("frac")._6 - 1.0) < 0.2, "hash draw near target")
+    // unplanned: zero plan, zero realized, weight 0 — still a row
+    assert(cal("unplanned") == ((1000L, 0L, 0L, 0L, 0.0, 0.0)))
+    assert(!got.contains("unplanned"), "epochs 0 emits no replicas")
+  }
+
   test("applyMixPlan: floor(epochs) full copies + a deterministic " +
     "fractional copy; epochs 0 emits nothing; layout-independent") {
     import graft.ext.Sampling

@@ -1,0 +1,277 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Sketches, TextAnalysis}
+import graft.QueriesCore.Q
+
+/** Round-14 catalog additions: mergeable sketch artifacts (portable HLL
+  * registers, count-min counters, equi-width histograms) — the
+  * incremental-corpus-statistics tier. Same oracle discipline as the other
+  * catalogs; the sketches are md5-derived, so registers, counters, and
+  * scaled harmonic sums are EXACT integers in both engines, and each
+  * merge query's oracle is the single-pass build — the hash match IS the
+  * proof of the merge identity partial(A ∪ B) ≡ merge(partial(A),
+  * partial(B)).
+  */
+object QueriesSketches {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** tokens: lowercase alnum runs, empties dropped (mirrors
+    * TextAnalysis.tokens; same as the other catalogs' copy).
+    */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** 3-token shingles (QueriesExt.shinglesSql's replay, k=3). */
+  private val shSql =
+    s"""CASE WHEN len($toksSql) >= 3
+         THEN list_transform(range(0, len($toksSql) - 2),
+                             i -> array_to_string(($toksSql)[i+1:i+3], ' '))
+         ELSE [array_to_string($toksSql, ' ')] END"""
+
+  /** Portable 60-bit hash (Sketches.hash60's replay). */
+  private def h60Sql(salt: String, x: String): String =
+    s"CAST(('0x' || substring(md5('$salt' || $x), 1, 15)) AS BIGINT)"
+
+  /** Per-lang exploded distinct-per-doc shingles — the HLL item stream. */
+  private def langShingles(df: DataFrame): DataFrame =
+    df.select(col("lang"),
+      explode(array_distinct(TextAnalysis.shingles(col("text"), 3))).as("g"))
+
+  private val shStreamCte =
+    s"sh AS (SELECT lang, doc_id, unnest(list_distinct($shSql)) AS g FROM documents)"
+
+  /** HLL register CTE chain over `rel(lang, g)` for p=8 (m=256, W=52):
+    * bucket = low 8 hash bits, rank = leading zeros of the top 52 + 1.
+    */
+  private def hllRegsSql(rel: String): String =
+    s"""h AS (SELECT lang, ${h60Sql("hll|", "g")} AS h FROM $rel),
+        br AS (SELECT lang, CAST(h % 256 AS INT) AS bucket, h // 256 AS q
+               FROM h),
+        regs AS (SELECT lang, bucket,
+                        CAST(max(53 - (CASE WHEN q = 0 THEN 0
+                                       ELSE length(bin(q)) END)) AS INT) AS r
+                 FROM br GROUP BY lang, bucket)"""
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q197: HLL register sketch — the persisted artifact itself. One row
+    // per non-zero register per lang (≤ 256 each): the bounded relation a
+    // daily batch reduces to. Registers are exact integers — full
+    // rows+schema+hash gate, no "sketches can't match" carve-out.
+    // ------------------------------------------------------------------
+    Q("q197_hll_registers",
+      (s, d) => Sketches.hllPartial(
+          langShingles(t(s, d, "documents")), Seq("lang"), col("g"), p = 8)
+        .orderBy(col("lang"), col("bucket")),
+      Some(s"""WITH $shStreamCte, ${hllRegsSql("sh")}
+              SELECT lang, bucket, r FROM regs ORDER BY lang, bucket""")),
+
+    // ------------------------------------------------------------------
+    // q198: two "ingest day" partials (doc_id parity) merged, then read:
+    // distinct 3-shingle cardinality per lang. The oracle builds the
+    // registers in ONE pass — hash-match proves merge(partial(even),
+    // partial(odd)) ≡ partial(all), the identity that lets daily sketches
+    // replace full-history rescans. s_scaled (the 2^53-scaled harmonic
+    // sum) is the exact-integer gate; est rounds one double division to
+    // 2 dp; the exact count and 3σ bound judge the estimate (rsd at
+    // m=256 is 6.5%).
+    // ------------------------------------------------------------------
+    Q("q198_hll_merge_estimate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def part(par: Int) = Sketches.hllPartial(
+          langShingles(docs.where(col("doc_id") % 2 === par)),
+          Seq("lang"), col("g"), p = 8)
+        val merged = Sketches.hllMerge(part(0).unionByName(part(1)), Seq("lang"))
+        val est = Sketches.hllEstimate(merged, Seq("lang"), p = 8)
+        val exact = langShingles(docs).groupBy(col("lang"))
+          .agg(countDistinct(col("g")).as("n_exact"))
+        est.join(exact, Seq("lang"))
+          .select(col("lang"), col("m"), col("zeros"), col("s_scaled"),
+            col("est"), col("n_exact"),
+            (abs(col("est") - col("n_exact").cast("double"))
+              <= lit(0.2) * col("n_exact").cast("double")).as("hll_ok"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val alpha = Sketches.hllAlphaSql(256)
+        s"""WITH $shStreamCte, ${hllRegsSql("sh")},
+             ag AS (SELECT lang, count(*) AS nz,
+                           CAST(sum(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT)
+                             AS s1
+                    FROM regs GROUP BY lang),
+             sc AS (SELECT lang, CAST(256 - nz AS INT) AS zeros,
+                           s1 + CAST(256 - nz AS BIGINT) *
+                                (CAST(1 AS BIGINT) << 53) AS s_scaled
+                    FROM ag),
+             ee AS (SELECT lang, zeros, s_scaled,
+                           $alpha * 256.0 * 256.0 * 9007199254740992.0 /
+                             CAST(s_scaled AS DOUBLE) AS raw
+                    FROM sc),
+             es AS (SELECT lang, zeros, s_scaled,
+                           round(CASE WHEN zeros > 0 AND raw <= 640.0
+                                 THEN 256.0 * ln(256.0 / zeros)
+                                 ELSE raw END, 2) AS est
+                    FROM ee),
+             ex AS (SELECT lang, count(DISTINCT g) AS n_exact FROM sh
+                    GROUP BY lang)
+            SELECT lang, CAST(256 AS INT) AS m, zeros, s_scaled, est,
+                   n_exact,
+                   abs(est - CAST(n_exact AS DOUBLE))
+                     <= 0.2 * CAST(n_exact AS DOUBLE) AS hll_ok
+            FROM es JOIN ex USING (lang) ORDER BY lang"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q199: count-min sketch of token frequencies, built from the same
+    // two parity partials and merged by counter-wise sum. ≤ d·w = 768
+    // rows total regardless of corpus size; the oracle is the one-pass
+    // build (sum-merge identity). Exact integers throughout.
+    // ------------------------------------------------------------------
+    Q("q199_cms_sketch",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def toks(par: Int) = docs.where(col("doc_id") % 2 === par)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        def part(par: Int) =
+          Sketches.cmsPartial(toks(par), Nil, col("tok"), d = 3, w = 256)
+        Sketches.cmsMerge(part(0).unionByName(part(1)), Nil)
+          .orderBy(col("depth"), col("bucket"))
+      },
+      Some(s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
+               rb AS (SELECT tok, i.i AS depth,
+                             CAST(${h60Sql("cms", "CAST(i.i AS VARCHAR) || '|' || tok")}
+                                  % 256 AS INT) AS bucket
+                      FROM tk CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) i)
+              SELECT CAST(depth AS INT) AS depth, bucket,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM rb GROUP BY depth, bucket ORDER BY depth, bucket""")),
+
+    // ------------------------------------------------------------------
+    // q200: heavy-hitter read of the q199 sketch. The exact top-20 legs
+    // exist only to JUDGE the sketch (the q50 convention): cms_cnt must
+    // dominate the true count (cms_ok — the one-sided CMS guarantee) and
+    // the overestimate column makes the collision mass visible. The
+    // lookup side broadcasts the ≤768-row sketch — item-side shuffle
+    // only for its own distinct.
+    // ------------------------------------------------------------------
+    Q("q200_cms_heavy_hitters",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+        val tk = docs.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        def part(par: Int) = Sketches.cmsPartial(
+          docs.where(col("doc_id") % 2 === par)
+            .select(explode(TextAnalysis.tokens(col("text"))).as("tok")),
+          Nil, col("tok"), d = 3, w = 256)
+        val sketch = Sketches.cmsMerge(part(0).unionByName(part(1)), Nil)
+        val exact = tk.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        val top = exact.withColumn("__rn", row_number().over(
+            Window.orderBy(col("exact_cnt").desc, col("tok"))))
+          .where(col("__rn") <= 20).drop("__rn")
+        Sketches.cmsLookup(sketch, top, "tok", d = 3, w = 256)
+          .join(top, Seq("tok"))
+          .select(col("tok"), col("exact_cnt"), col("cms_cnt"),
+            (col("cms_cnt") - col("exact_cnt")).as("over_est"),
+            (col("cms_cnt") >= col("exact_cnt")).as("cms_ok"))
+          .orderBy(col("exact_cnt").desc, col("tok"))
+      },
+      Some(s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
+               ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+                      FROM tk GROUP BY tok),
+               top AS (SELECT tok, exact_cnt,
+                              row_number() OVER (ORDER BY exact_cnt DESC, tok)
+                                AS rn
+                       FROM ex),
+               t20 AS (SELECT tok, exact_cnt FROM top WHERE rn <= 20),
+               rb AS (SELECT tok, i.i AS depth,
+                             CAST(${h60Sql("cms", "CAST(i.i AS VARCHAR) || '|' || tok")}
+                                  % 256 AS INT) AS bucket
+                      FROM tk CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) i),
+               cms AS (SELECT depth, bucket, CAST(count(*) AS BIGINT) AS cnt
+                       FROM rb GROUP BY depth, bucket),
+               pr AS (SELECT t.tok, i.i AS depth,
+                             CAST(${h60Sql("cms", "CAST(i.i AS VARCHAR) || '|' || t.tok")}
+                                  % 256 AS INT) AS bucket
+                      FROM t20 t CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) i),
+               lk AS (SELECT pr.tok,
+                             CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_cnt
+                      FROM pr LEFT JOIN cms c
+                        ON pr.depth = c.depth AND pr.bucket = c.bucket
+                      GROUP BY pr.tok)
+              SELECT t.tok, t.exact_cnt, l.cms_cnt,
+                     l.cms_cnt - t.exact_cnt AS over_est,
+                     l.cms_cnt >= t.exact_cnt AS cms_ok
+              FROM t20 t JOIN lk l ON t.tok = l.tok
+              ORDER BY t.exact_cnt DESC, t.tok""")),
+
+    // ------------------------------------------------------------------
+    // q201: histogram sketch → per-lang length quantiles. Partials per
+    // parity batch, bin-wise sum merge (oracle = one-pass build), then
+    // p25/p50/p90 by linear interpolation inside the target-rank bin.
+    // The exact quantile leg judges the estimate: within 2 bin widths
+    // (interpolation error bound + the rank-definition offset vs
+    // quantile_cont).
+    // ------------------------------------------------------------------
+    Q("q201_hist_quantiles",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def part(par: Int) = Sketches.histPartial(
+          docs.where(col("doc_id") % 2 === par), Seq("lang"),
+          col("n_chars"), lo = 0.0, width = 32.0, bins = 20)
+        val merged = Sketches.histMerge(part(0).unionByName(part(1)), Seq("lang"))
+        val qfs = Seq(0.25, 0.5, 0.9)
+        val est = Sketches.histQuantiles(merged, Seq("lang"), lo = 0.0,
+          width = 32.0, qfs = qfs)
+        val exact = docs.groupBy(col("lang"))
+          .agg(expr("percentile(n_chars, array(0.25D, 0.5D, 0.9D))").as("__ex"))
+          .select(col("lang"), array(qfs.map(lit): _*).as("__qf"), col("__ex"))
+          .select(col("lang"), explode(arrays_zip(col("__qf"), col("__ex"))).as("__z"))
+          .select(col("lang"), col("__z.__qf").as("qf"),
+            round(col("__z.__ex"), 6).as("exact"))
+        est.join(exact, Seq("lang", "qf"))
+          .select(col("lang"), col("qf"), col("est"), col("exact"),
+            (abs(col("est") - col("exact")) <= lit(64.0)).as("hist_ok"))
+          .orderBy(col("lang"), col("qf"))
+      },
+      Some(s"""WITH hb AS (SELECT lang,
+                             CAST(least(greatest(floor((CAST(n_chars AS DOUBLE)
+                                  - 0.0) / 32.0), 0.0), 19.0) AS INT) AS bin
+                      FROM documents),
+               hist AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS cnt
+                        FROM hb GROUP BY lang, bin),
+               cw AS (SELECT lang, bin, cnt,
+                             sum(cnt) OVER (PARTITION BY lang ORDER BY bin)
+                               AS cum,
+                             sum(cnt) OVER (PARTITION BY lang) AS tot
+                      FROM hist),
+               qv AS (SELECT unnest([0.25, 0.5, 0.9]) AS qf),
+               sel AS (SELECT lang, qf, bin, cnt, cum, tot,
+                              qf * CAST(tot AS DOUBLE) AS target
+                       FROM cw CROSS JOIN qv
+                       WHERE CAST(cum AS DOUBLE) >= qf * CAST(tot AS DOUBLE)
+                         AND CAST(cum - cnt AS DOUBLE)
+                               < qf * CAST(tot AS DOUBLE)),
+               es AS (SELECT lang, qf,
+                             round(0.0 + 32.0 * (CAST(bin AS DOUBLE) +
+                               (target - CAST(cum - cnt AS DOUBLE)) /
+                                 CAST(cnt AS DOUBLE)), 6) AS est
+                      FROM sel),
+               exl AS (SELECT lang,
+                              quantile_cont(n_chars, [0.25, 0.5, 0.9]) AS qs
+                       FROM documents GROUP BY lang),
+               ex AS (SELECT lang, unnest([0.25, 0.5, 0.9]) AS qf,
+                             round(unnest(qs), 6) AS exact
+                      FROM exl)
+              SELECT lang, qf, est, exact,
+                     abs(est - exact) <= 64.0 AS hist_ok
+              FROM es JOIN ex USING (lang, qf)
+              ORDER BY lang, qf"""))
+  )
+}

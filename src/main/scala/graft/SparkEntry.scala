@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private lazy val catalog: Seq[QueriesCore.Q] =
-    QueriesCore.all ++ QueriesExt.all ++ QueriesAnalytics.all
+    QueriesCore.all ++ QueriesExt.all ++ QueriesAnalytics.all ++
+      QueriesSketches.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

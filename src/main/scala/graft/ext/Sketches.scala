@@ -1,0 +1,259 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketch artifacts: portable HyperLogLog registers, count-min
+  * counters, and equi-width histograms — each split into a PARTIAL (one
+  * bounded relation per ingest batch), an associative MERGE, and an
+  * ESTIMATE read.
+  *
+  * This is the incremental-statistics pattern for a corpus too large to
+  * re-scan: each daily batch reduces to a sketch-sized relation (registers,
+  * counters, bins — never corpus-sized), partials append to a stats
+  * directory, and corpus-lifetime cardinalities / frequencies / quantiles
+  * come from folding the partials. At 100 TB the alternative — exact
+  * `count(DISTINCT)` or full-key `groupBy` over the union of all history —
+  * re-shuffles the corpus every day; the sketches shuffle only their own
+  * fixed-size state.
+  *
+  * Spark ships HLL++ and KLL natively (`approx_count_distinct`,
+  * `percentile_approx`), and those remain the right call INSIDE one query.
+  * These operators exist for the artifact use: a register/counter table
+  * with a documented, engine-independent layout that a later job — or a
+  * different engine entirely — can merge and read. Everything here derives
+  * from md5 (the same Carter-Wegman base as [[Dedup]]'s minhash family),
+  * so every partial, merge, and estimate is replayable bit-for-bit in the
+  * DuckDB oracle: the register values and scaled harmonic sums are EXACT
+  * integers, not "close enough" floats.
+  *
+  * Reference behavior reproduced: the reference's stats surface is exact
+  * aggregation only (manifold `transform/aggregations` — count/sum/avg per
+  * group); the sketch tier is the scale extension for cardinalities that
+  * do not fit an exact groupBy.
+  */
+object Sketches {
+
+  /** Portable 60-bit hash: first 15 hex chars of md5(salt ‖ value) read as
+    * an unsigned integer. 15 hex digits = 60 bits keeps the value inside
+    * the positive BIGINT range on both engines (Spark `conv(…,16,10)`,
+    * DuckDB `CAST('0x'||… AS BIGINT)`).
+    */
+  def hash60(v: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), v.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  // ------------------------------------------------------------------
+  // HyperLogLog
+  // ------------------------------------------------------------------
+
+  /** Register width in bits left after the bucket split. */
+  private def hllW(p: Int): Int = 60 - p
+
+  /** 2^p registers. */
+  private def hllM(p: Int): Int = 1 << p
+
+  /** HLL partial sketch: one row per NON-ZERO register —
+    * (groupCols*, bucket INT, r INT) with r = max over items of
+    * (leading-zero count of the top `60-p` hash bits) + 1, the classic
+    * Flajolet rank. Sparse by construction (absent bucket ⇒ register 0),
+    * so a partial is at most `2^p` rows per group regardless of input
+    * size, and two partials merge by register-wise MAX.
+    *
+    * The bucket is the hash LOW bits (`h mod 2^p`) and the rank field the
+    * HIGH bits (`h div 2^p`) — chosen over the usual top-bits bucket
+    * because both engines express it with exact integer ops (`%`, `div`).
+    * The rank is computed from `length(bin(q))`: neither engine's `bin`
+    * emits leading zeros, so `60-p - length + 1` IS the leading-zero rank,
+    * with the `q = 0` all-zeros case pinned explicitly.
+    */
+  def hllPartial(df: DataFrame, groupCols: Seq[String], item: Column,
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 14, s"p=$p out of the supported 4..14")
+    val m = hllM(p)
+    val w = hllW(p)
+    val keep = groupCols.map(col) :+ hash60(item, "hll|").as("__h")
+    val lb = when(col("__q") === 0L, lit(0))
+      .otherwise(length(bin(col("__q"))))
+    df.select(keep: _*)
+      .select((groupCols.map(col) :+
+        pmod(col("__h"), lit(m.toLong)).cast("int").as("bucket") :+
+        expr(s"__h div ${m}L").as("__q")): _*)
+      .select((groupCols.map(col) :+ col("bucket") :+
+        (lit(w) - lb + lit(1)).cast("int").as("__r")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("__r")).as("r"))
+  }
+
+  /** Fold any number of partials (stacked as one relation) into the
+    * merged register table: register-wise max. Associative and
+    * idempotent — partial(A ∪ B) ≡ merge(partial(A), partial(B)) exactly,
+    * which is what lets daily partials stand in for a full-history scan.
+    */
+  def hllMerge(partials: DataFrame, groupCols: Seq[String]): DataFrame =
+    partials.groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("r")).as("r"))
+
+  /** Bias-correction constant, the standard HLL alpha_m. Written as the
+    * same literal arithmetic the oracle uses so both engines compute the
+    * identical double.
+    */
+  private def hllAlpha(m: Int): Column = m match {
+    case 16 => lit(0.673)
+    case 32 => lit(0.697)
+    case 64 => lit(0.709)
+    case _  => lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+  }
+
+  /** SQL form of [[hllAlpha]] — textually the same arithmetic. */
+  def hllAlphaSql(m: Int): String = m match {
+    case 16 => "0.673"
+    case 32 => "0.697"
+    case 64 => "0.709"
+    case _  => s"(0.7213 / (1 + 1.079 / ${m}.0))"
+  }
+
+  /** Cardinality estimate from a merged register table:
+    * (groupCols*, m, zeros, s_scaled BIGINT, est DOUBLE).
+    *
+    * The harmonic sum Σ 2^−r (plus the zero registers at 2^0) is kept as
+    * an EXACT integer scaled by 2^(61−p): the smallest possible term
+    * (r = W+1) scales to exactly 1, and the largest possible total
+    * (all m registers zero) is 2^61 — inside BIGINT. `s_scaled` is the
+    * strong oracle gate (bit-exact across engines); the estimate divides
+    * once in double space and rounds to 2 dp, which absorbs the ≤1-ulp
+    * libm spread of the `ln` in the linear-counting branch.
+    *
+    * Small-range correction per the HLL paper: when zeros remain and the
+    * raw estimate is under 2.5 m, linear counting `m·ln(m/zeros)` wins.
+    */
+  def hllEstimate(sketch: DataFrame, groupCols: Seq[String],
+      p: Int): DataFrame = {
+    val m = hllM(p)
+    val qs = hllW(p) + 1 // scale exponent: 61 - p
+    val grouped =
+      if (groupCols.isEmpty) sketch.groupBy()
+      else sketch.groupBy(groupCols.map(col): _*)
+    val agg = grouped.agg(
+      count(lit(1)).as("__nz"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $qs - r)")).as("__s1"))
+    val zeros = (lit(m.toLong) - col("__nz")).cast("int")
+    val sScaled = col("__s1") + zeros.cast("long") * lit(1L << qs)
+    val raw = hllAlpha(m) * lit(m.toDouble) * lit(m.toDouble) *
+      lit((1L << qs).toDouble) / col("s_scaled").cast("double")
+    val linear = lit(m.toDouble) * log(lit(m.toDouble) / col("zeros"))
+    agg.select((groupCols.map(col) :+ lit(m).as("m") :+ zeros.as("zeros") :+
+        sScaled.as("s_scaled")): _*)
+      .select((groupCols.map(col) :+ col("m") :+ col("zeros") :+
+        col("s_scaled") :+
+        round(when(col("zeros") > 0 && raw <= lit(2.5 * m), linear)
+          .otherwise(raw), 2).as("est")): _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Count-min
+  // ------------------------------------------------------------------
+
+  /** Count-min partial: d independent hash rows × w buckets —
+    * (groupCols*, depth INT, bucket INT, cnt BIGINT). At most d·w rows
+    * per group per partial; merges by SUM (counts are additive), reads by
+    * MIN over the d depths (each row overestimates by its collisions,
+    * never under). Weighted items supported via `weight` (token counts,
+    * bytes).
+    */
+  def cmsPartial(df: DataFrame, groupCols: Seq[String], item: Column,
+      d: Int, w: Int, weight: Column = lit(1L)): DataFrame = {
+    require(d >= 1 && d <= 8 && w >= 2)
+    val rb = array((0 until d).map(i => struct(
+      lit(i).as("depth"),
+      pmod(hash60(item, s"cms$i|"), lit(w.toLong)).cast("int")
+        .as("bucket"))): _*)
+    df.select((groupCols.map(col) :+ explode(rb).as("__rb") :+
+        weight.cast("long").as("__w")): _*)
+      .groupBy((groupCols.map(col) :+ col("__rb.depth").as("depth") :+
+        col("__rb.bucket").as("bucket")): _*)
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
+  /** Fold stacked count-min partials: counter-wise sum. */
+  def cmsMerge(partials: DataFrame, groupCols: Seq[String]): DataFrame =
+    partials.groupBy((groupCols ++ Seq("depth", "bucket")).map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-query a merged count-min sketch for each item in `items`
+    * (distinct on `itemCol`): cms_cnt = min over the d depths of the
+    * counter the item hashes to (0 where the bucket was never touched).
+    * Guaranteed ≥ the true count; the overestimate is the collision mass.
+    *
+    * The sketch side is at most d·w rows — broadcast-safe by
+    * construction, so the lookup never shuffles the item side.
+    */
+  def cmsLookup(sketch: DataFrame, items: DataFrame, itemCol: String,
+      d: Int, w: Int): DataFrame = {
+    val rb = array((0 until d).map(i => struct(
+      lit(i).as("depth"),
+      pmod(hash60(col(itemCol), s"cms$i|"), lit(w.toLong)).cast("int")
+        .as("bucket"))): _*)
+    val probes = items.select(col(itemCol)).distinct()
+      .select(col(itemCol), explode(rb).as("__rb"))
+      .select(col(itemCol), col("__rb.depth").as("depth"),
+        col("__rb.bucket").as("bucket"))
+    probes.join(broadcast(sketch), Seq("depth", "bucket"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_cnt"))
+  }
+
+  // ------------------------------------------------------------------
+  // Equi-width histogram
+  // ------------------------------------------------------------------
+
+  /** Histogram partial: values binned into `bins` equi-width buckets over
+    * [lo, lo + bins·width), under/overflow clamped to the edge bins —
+    * (groupCols*, bin INT, cnt BIGINT). Merges by SUM.
+    */
+  def histPartial(df: DataFrame, groupCols: Seq[String], v: Column,
+      lo: Double, width: Double, bins: Int): DataFrame = {
+    require(bins >= 2 && width > 0)
+    val bin = least(greatest(
+      floor((v.cast("double") - lit(lo)) / lit(width)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("int")
+    df.select((groupCols.map(col) :+ bin.as("bin")): _*)
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold stacked histogram partials: bin-wise sum. */
+  def histMerge(partials: DataFrame, groupCols: Seq[String]): DataFrame =
+    partials.groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from a merged histogram: one row per
+    * (group, quantile) — (groupCols*, qf DOUBLE, est DOUBLE). The target
+    * rank qf·total lands in exactly one bin (cum_before < target ≤ cum);
+    * the estimate interpolates linearly inside it and rounds to 6 dp.
+    * Error is bounded by one bin width — the documented contract; exact
+    * quantiles at 100 TB need a corpus-wide sort, the histogram needs
+    * `bins` counters.
+    */
+  def histQuantiles(hist: DataFrame, groupCols: Seq[String], lo: Double,
+      width: Double, qfs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wspec = if (groupCols.isEmpty) Window.orderBy(col("bin"))
+      else Window.partitionBy(groupCols.map(col): _*).orderBy(col("bin"))
+    val tspec = if (groupCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupCols.map(col): _*)
+    val cum = hist
+      .withColumn("__cum", sum(col("cnt")).over(wspec))
+      .withColumn("__tot", sum(col("cnt")).over(tspec))
+    val target = col("qf") * col("__tot").cast("double")
+    cum.select((groupCols.map(col) ++ Seq(col("bin"), col("cnt"),
+        col("__cum"), col("__tot"),
+        explode(array(qfs.map(lit): _*)).as("qf"))): _*)
+      .where(col("__cum").cast("double") >= target &&
+        (col("__cum") - col("cnt")).cast("double") < target)
+      .select((groupCols.map(col) ++ Seq(col("qf"),
+        round(lit(lo) + lit(width) * (col("bin").cast("double") +
+          (target - (col("__cum") - col("cnt")).cast("double")) /
+            col("cnt").cast("double")), 6).as("est"))): _*)
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Sketches
+
+/** Sketch-tier contracts the oracles can't see: merge identities under
+  * arbitrary splits, duplicate-insensitivity, the CMS dominance guarantee
+  * under FORCED collisions (width far below cardinality), the histogram
+  * error bound, both HLL estimator branches, and the bounded-size claims
+  * the 100 TB story rests on.
+  */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def items(n: Int, dup: Int = 1) =
+    (0 until n).flatMap(i => Seq.fill(dup)(s"item-$i")).toDF("x")
+
+  // ---- HLL ---------------------------------------------------------
+
+  test("hllPartial: merge of arbitrary 3-way split equals one-pass build") {
+    val df = items(5000).withColumn("g", pmod(crc32(col("x")), lit(3)))
+    val full = Sketches.hllPartial(df, Nil, col("x"), p = 8)
+    val parts = (0 until 3).map(k =>
+      Sketches.hllPartial(df.where(col("g") === k), Nil, col("x"), p = 8))
+    val merged = Sketches.hllMerge(parts.reduce(_ unionByName _), Nil)
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
+
+  test("hllPartial: duplicate-insensitive (10x duplicated stream, same registers)") {
+    val once = Sketches.hllPartial(items(800), Nil, col("x"), p = 6)
+    val dup = Sketches.hllPartial(items(800, dup = 10), Nil, col("x"), p = 6)
+    assert(once.exceptAll(dup).isEmpty && dup.exceptAll(once).isEmpty)
+  }
+
+  test("hllPartial: at most 2^p rows regardless of input size") {
+    val sk = Sketches.hllPartial(items(20000), Nil, col("x"), p = 6)
+    assert(sk.count() <= 64)
+  }
+
+  test("hllEstimate: raw branch within 3 standard errors at n >> m") {
+    val n = 20000
+    val est = Sketches.hllEstimate(
+      Sketches.hllPartial(items(n), Nil, col("x"), p = 8), Nil, p = 8)
+      .select("est").as[Double].head()
+    val rsd = 1.04 / math.sqrt(256.0)
+    assert(math.abs(est - n) <= 3 * rsd * n,
+      s"est=$est exact=$n bound=${3 * rsd * n}")
+  }
+
+  test("hllEstimate: linear-counting branch exact-ish at n << m") {
+    val n = 30 // m = 256 registers, zeros stay high -> linear counting
+    val row = Sketches.hllEstimate(
+      Sketches.hllPartial(items(n), Nil, col("x"), p = 8), Nil, p = 8)
+      .select("zeros", "est").head()
+    assert(row.getInt(0) > 0)
+    val est = row.getDouble(1)
+    assert(math.abs(est - n) <= 0.2 * n, s"linear est=$est exact=$n")
+  }
+
+  // ---- CMS ---------------------------------------------------------
+
+  test("cms: merge of parity split equals one-pass; lookup dominates truth under forced collisions") {
+    // 2000 distinct keys into w=32 buckets: every counter is a heavy
+    // collision sum — the regime where the ≥-truth guarantee is the only
+    // thing CMS promises.
+    val df = items(2000, dup = 3).withColumn("par", pmod(crc32(col("x")), lit(2)))
+    val full = Sketches.cmsPartial(df, Nil, col("x"), d = 3, w = 32)
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsPartial(df.where(col("par") === 0), Nil, col("x"), 3, 32)
+        .unionByName(
+          Sketches.cmsPartial(df.where(col("par") === 1), Nil, col("x"), 3, 32)),
+      Nil)
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    assert(full.count() <= 3 * 32)
+
+    val probes = items(2000).limit(200)
+    val looked = Sketches.cmsLookup(full, probes, "x", d = 3, w = 32)
+    // every key occurs exactly 3 times; min-over-depths must be >= 3
+    val bad = looked.where(col("cms_cnt") < 3).count()
+    assert(bad == 0, s"$bad lookups under the true count")
+    // and with 2000 keys in 32 buckets, collisions MUST be visible
+    assert(looked.where(col("cms_cnt") > 3).count() > 0)
+  }
+
+  test("cms: weighted counts sum weights, not rows") {
+    val df = Seq(("a", 5L), ("a", 7L), ("b", 1L)).toDF("x", "w")
+    val sk = Sketches.cmsPartial(df, Nil, col("x"), d = 2, w = 64,
+      weight = col("w"))
+    val got = Sketches.cmsLookup(sk, Seq("a").toDF("x"), "x", d = 2, w = 64)
+      .select("cms_cnt").as[Long].head()
+    assert(got >= 12L) // >= truth; == 12 unless 'b' collides on both depths
+  }
+
+  // ---- Histogram ---------------------------------------------------
+
+  test("hist: merge equals one-pass; quantile estimate within one bin width of exact") {
+    val vals = (1 to 10000).map(i => (i % 7).toString -> (i % 997).toDouble)
+      .toDF("g", "v")
+    val full = Sketches.histPartial(vals, Seq("g"), col("v"), 0.0, 50.0, 20)
+    val parts = Seq(0, 1).map(k => Sketches.histPartial(
+      vals.where(pmod(crc32(col("v").cast("string")), lit(2)) === k),
+      Seq("g"), col("v"), 0.0, 50.0, 20))
+    val merged = Sketches.histMerge(parts.reduce(_ unionByName _), Seq("g"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+
+    val est = Sketches.histQuantiles(full, Seq("g"), 0.0, 50.0, Seq(0.5))
+    val exact = vals.groupBy("g")
+      .agg(expr("percentile(v, 0.5D)").as("exact"))
+    val joined = est.join(exact, Seq("g"))
+      .select(abs(col("est") - col("exact")).as("err"))
+    assert(joined.where(col("err") > 50.0 + 1e-9).count() == 0)
+  }
+
+  test("hist: under/overflow clamp to edge bins, every value counted") {
+    val vals = Seq(-100.0, -1.0, 0.0, 999.0, 1e6).toDF("v")
+    val h = Sketches.histPartial(vals, Nil, col("v"), 0.0, 10.0, 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h(0) == 3L && h(3) == 2L) // bins: {-100,-1,0} low, {999,1e6} high
+  }
+
+  test("histQuantiles: exactly one row per (group, quantile)") {
+    val vals = (1 to 300).map(i => ("g" + i % 2) -> i.toDouble).toDF("g", "v")
+    val h = Sketches.histPartial(vals, Seq("g"), col("v"), 0.0, 30.0, 12)
+    val q = Sketches.histQuantiles(h, Seq("g"), 0.0, 30.0, Seq(0.25, 0.5, 0.9))
+    assert(q.count() == 6)
+    assert(q.groupBy("g", "qf").count().where(col("count") > 1).count() == 0)
+  }
+}

@@ -37,7 +37,7 @@ object AnnSweep {
     val sections = sys.env.get("SPARK_GRAFT_ANN_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("pq", "ivfpq", "ivfsq8", "filtered", "filteredpq",
-        "pqmargin", "knn", "graphpq"))
+        "pqmargin", "knn", "graphpq", "graphsearch"))
     val spark = GraftSession.build("graft-ann-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     val e = Tables.load(spark, dir, "embeddings").localCheckpoint(true)
@@ -386,6 +386,80 @@ object AnnSweep {
       org.apache.spark.sql.graft.ListenerBridge
         .waitUntilListenerBusEmpty(spark.sparkContext, 60000L)
       spark.sparkContext.removeSparkListener(shuffleListener)
+    }
+
+    // ---- graphTopK: beam-search recall matrix + 10x shuffle --------------
+    // The query side of the float graph tier (round 14): recall governed
+    // by beam × hops at fixed graph degree, and the 10x witness that the
+    // per-hop cost is frontier-sized — only the one-time corpus/adjacency
+    // exchanges grow with N (they are reused across hops, spec-asserted).
+    if (sections("graphsearch")) {
+      // degree 16: the navigability lever — a k=8 graph saturates ~0.73
+      // recall@5 where k=16 reaches ~0.88 (one-off measured sweep)
+      val cells1 = Similarity.autoCellCount(e)
+      val cents1 = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        cells1, 2).localCheckpoint(true)
+      val edges1 = Similarity.knnGraph(e, "vec_id", "embedding", cents1,
+        k = 16, nprobe = 2).localCheckpoint(true)
+      println(s"== graphTopK recall (cells=$cells1, graph k=16, seeds=8) ==")
+      for (beam <- Seq(16, 32, 64); hops <- Seq(1, 2, 3, 4)) {
+        val t0 = System.nanoTime()
+        val g = Similarity.graphTopK(e, edges1, q, "vec_id", "embedding",
+          k = 5, beam = beam, hops = hops, seeds = 8)
+        val r = recall(g)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"graphsearch beam=$beam%3d hops=$hops " +
+          f"recall@5=$r%.4f wall=$dt%5.1fs")
+      }
+      // 10x leg: dim-rotated copies (the graphpq recall-corpus rationale —
+      // mutually low-cosine families, per-family neighbor structure
+      // preserved), cells ∝ N, the SAME 200-query set. The search runs
+      // with auto-broadcast off so the shuffle witness measures the
+      // exchange-bound regime; graph build cost is excluded (the build is
+      // q139/q155's already-measured territory — the SEARCH is under test).
+      val e10g = (0 until 10).map { c =>
+        val s = (c * 7) % 64
+        val rot =
+          if (s == 0) col("embedding")
+          else concat(slice(col("embedding"), s + 1, 64 - s),
+            slice(col("embedding"), 1, s))
+        e.select((col("vec_id") + lit(c * 100000L)).as("vec_id"),
+          rot.as("embedding"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val shuffleRecords = new java.util.concurrent.atomic.LongAdder
+      val lst = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) shuffleRecords.add(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(lst)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def measureSearch(corpus: DataFrame, cells: Int): (Double, Long, Long) = {
+        val cs = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+          cells, 2).localCheckpoint(true)
+        val ed = Similarity.knnGraph(corpus, "vec_id", "embedding", cs,
+          k = 16, nprobe = 2).localCheckpoint(true)
+        org.apache.spark.sql.graft.ListenerBridge
+          .waitUntilListenerBusEmpty(spark.sparkContext, 60000L)
+        shuffleRecords.reset()
+        val t0 = System.nanoTime()
+        val n = Similarity.graphTopK(corpus, ed, q, "vec_id", "embedding",
+          k = 5, beam = 32, hops = 2, seeds = 8).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graft.ListenerBridge
+          .waitUntilListenerBusEmpty(spark.sparkContext, 60000L)
+        (dt, shuffleRecords.sum(), n)
+      }
+      val (t1, s1, n1) = measureSearch(e, cells1)
+      val (t10, s10, n10) = measureSearch(e10g,
+        Similarity.autoCellCount(e10g))
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sparkContext.removeSparkListener(lst)
+      println(f"graphsearch shuffle  1x: wall=$t1%6.1fs shuf=$s1%,12d rows=$n1%,d")
+      println(f"graphsearch shuffle 10x: wall=$t10%6.1fs shuf=$s10%,12d rows=$n10%,d")
+      println(f"graphsearch shuffle ratio 1x->10x: ${s10.toDouble / math.max(s1, 1)}%.2f")
     }
     spark.stop()
   }

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+import graft.QueriesCore.Q
+
+/** Round-14: graph-ANN query side. The kNN-graph tier above (q139 build,
+  * q155/q166 maintenance, q169 deletion) covered everything EXCEPT how a
+  * query actually uses the edges — q202 closes that: beam search from
+  * deterministic entry points, the single-layer HNSW/DiskANN pattern.
+  * The oracle replays the ENTIRE chain — k-means centroids, the kNN-graph
+  * build, then each hop unrolled as expand → score → prune CTEs — so the
+  * hash gate pins seed choice, tie-breaks, dedupe, and both hops exactly.
+  */
+object QueriesGraph {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  private def dotSqlN(x: String, y: String, dim: Int): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), " +
+      s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+
+  /** QueriesExt.cosSql's replay (6 dp rounded cosine, 64-dim). */
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSqlN(a, b, 64)} / " +
+      s"(sqrt(${dotSqlN(a, a, 64)}) * sqrt(${dotSqlN(b, b, 64)})), 6)"
+
+  /** One beam-search hop as CTEs: grow the candidate set through the
+    * adjacency, dedupe, score, keep the top `beam`.
+    */
+  private def hopSql(h: Int, beam: Int): String = {
+    val prev = s"b${h - 1}"
+    s"""g$h AS (SELECT DISTINCT q_id, c_id FROM (
+                 SELECT b.q_id, a.dst AS c_id
+                 FROM $prev b JOIN adj a ON b.c_id = a.src
+                 UNION ALL SELECT q_id, c_id FROM $prev)),
+        sc$h AS (SELECT t.q_id, t.c_id, ${cosSql("q.q_vec", "c.c_vec")} AS cos
+                 FROM g$h t JOIN qq q ON t.q_id = q.q_id
+                            JOIN cc c ON t.c_id = c.c_id
+                 WHERE t.q_id <> t.c_id),
+        b$h AS (SELECT q_id, c_id, cos FROM (
+                  SELECT q_id, c_id, cos,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY cos DESC, c_id) AS rn
+                  FROM sc$h) WHERE rn <= $beam)"""
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q202: beam search over the q139 graph (k=3, nprobe=2, 8 k-means
+    // cells, 2 iterations — constants shared with q139's oracle chain so
+    // the edge relation is the proven one). 4 md5-smallest seeds, beam 6,
+    // 2 hops, top-3 answer.
+    // ------------------------------------------------------------------
+    Q("q202_graph_ann_search",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val edges = Similarity.knnGraph(e, "vec_id", "embedding", cents,
+          k = 3, nprobe = 2)
+        Similarity.graphTopK(e, edges, e.where(col("vec_id") % 25 === 0),
+            "vec_id", "embedding", k = 3, beam = 6, hops = 2, seeds = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some {
+        // q139's oracle chain verbatim (k-means + kNN-graph build) …
+        def assignCte(centsRel: String, tag: String) =
+          s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                          FROM $centsRel GROUP BY cell),
+              ${tag}s AS (SELECT a.vec_id, a.embedding, v.cell,
+                                 ${cosSql("a.embedding", "v.centroid")} AS cos
+                          FROM (SELECT vec_id, embedding FROM embeddings) a, ${tag}v v),
+              ${tag}r AS (SELECT vec_id, embedding, cell,
+                                 row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cell) AS rk
+                          FROM ${tag}s),
+              ${tag}c AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                                 round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+                          FROM ${tag}r, range(1, 65) u(i)
+                          WHERE rk = 1 GROUP BY cell, pos)"""
+        s"""WITH i0 AS (SELECT vec_id, embedding,
+                          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                            AS cell
+                        FROM embeddings ORDER BY vec_id LIMIT 8),
+             c0 AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                           round(CAST(embedding[i] AS DOUBLE), 6) AS v
+                    FROM i0, range(1, 65) u(i)),
+             ${assignCte("c0", "x")},
+             ${assignCte("xc", "y")},
+             ${assignCte("yc", "z")},
+             cent AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                      FROM yc GROUP BY cell),
+             probes AS (SELECT q_id, q_vec, cell FROM (
+                          SELECT e.vec_id AS q_id, e.embedding AS q_vec,
+                                 cent.cell,
+                                 row_number() OVER (PARTITION BY e.vec_id
+                                   ORDER BY ${cosSql("e.embedding", "cent.centroid")} DESC,
+                                            cent.cell) AS pr
+                          FROM embeddings e, cent)
+                        WHERE pr <= 2),
+             mem AS (SELECT cell, vec_id AS c_id, embedding AS c_vec
+                     FROM zr WHERE rk = 1),
+             esc AS (SELECT q_id, c_id, ${cosSql("q_vec", "c_vec")} AS cos
+                     FROM probes JOIN mem USING (cell) WHERE q_id <> c_id),
+             er AS (SELECT q_id, c_id,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY cos DESC, c_id) AS rnk
+                    FROM esc),
+             adj AS (SELECT q_id AS src, c_id AS dst FROM er WHERE rnk <= 3),
+             qq AS (SELECT vec_id AS q_id, embedding AS q_vec
+                    FROM embeddings WHERE vec_id % 25 = 0),
+             cc AS (SELECT vec_id AS c_id, embedding AS c_vec
+                    FROM embeddings),
+             sd AS (SELECT c_id FROM (
+                      SELECT c_id, md5(CAST(c_id AS VARCHAR)) AS h
+                      FROM cc ORDER BY h, c_id LIMIT 4)),
+             s0 AS (SELECT q.q_id, s.c_id FROM qq q CROSS JOIN sd s),
+             sc0 AS (SELECT t.q_id, t.c_id,
+                            ${cosSql("q.q_vec", "c.c_vec")} AS cos
+                     FROM s0 t JOIN qq q ON t.q_id = q.q_id
+                               JOIN cc c ON t.c_id = c.c_id
+                     WHERE t.q_id <> t.c_id),
+             b0 AS (SELECT q_id, c_id, cos FROM (
+                      SELECT q_id, c_id, cos,
+                             row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, c_id) AS rn
+                      FROM sc0) WHERE rn <= 6),
+             ${hopSql(1, 6)},
+             ${hopSql(2, 6)}
+            SELECT q_id, c_id, cos,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, c_id) AS INT) AS rnk
+            FROM b2 QUALIFY rnk <= 3 ORDER BY q_id, rnk"""
+      })
+  )
+}

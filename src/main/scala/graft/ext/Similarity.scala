@@ -834,6 +834,82 @@ object Similarity {
     compactVersionedIndex(spark, stateDir, "q_id", Seq("batch_id", "cell"),
       belowBatch)
 
+  /** Beam search over a prebuilt kNN graph — the QUERY side of the graph
+    * tier (the build/maintain/delete matrix exists above; this is how a
+    * query uses the edges instead of IVF probes). Single-layer
+    * HNSW/DiskANN-style: start every query at the same `seeds`
+    * deterministic entry points (the corpus ids with smallest md5 — a
+    * uniform, engine-replayable spread), then `hops` rounds of
+    * expand-score-prune: candidates = beam ∪ neighbors(beam) via `edges`,
+    * re-ranked by rounded cosine (ties to smaller id), top-`beam` kept.
+    * Final answer is the beam's top `k`.
+    *
+    * Scale shape: the frontier is queries × beam rows — every hop's
+    * expansion join and scoring join are FRONTIER-sized streams against
+    * the corpus-keyed `edges` and `corpus` relations, and because each
+    * hop joins the SAME two relations on the SAME keys, Spark's
+    * ReuseExchange materializes each corpus-sized shuffle ONCE and
+    * replays it for every hop (spec-asserted). Per-hop work is
+    * queries × beam × degree — independent of corpus size given the
+    * graph, which is the reason graph ANN beats IVF probing when the
+    * query set is small and latency-bound.
+    *
+    * `corpus` supplies (idCol, vecCol) for scoring; `edges` is any
+    * (q_id, c_id) relation — [[knnGraph]]'s output or the maintained
+    * artifact's current edges. Queries not reaching a node through the
+    * graph never score it: recall is governed by beam/hops/GRAPH DEGREE —
+    * degree is the strongest lever (measured in AnnSweep `graphsearch`:
+    * k=8 saturates at 0.73 recall@5 where k=16 reaches 0.88), the HNSW
+    * navigability result.
+    *
+    * `checkpointEvery` (0 = never) localCheckpoints the beam every that
+    * many hops: each hop nests three joins and a window into the plan, and
+    * past ~4 hops CATALYST PLANNING dominates wall time (measured: hops=8
+    * plans 70–120 s vs hops=4's ~4 s on identical data). Truncating
+    * lineage resets plan depth; results are bit-identical (spec-pinned).
+    * The cost is the standard localCheckpoint trade — severed lineage, so
+    * a lost executor fails the job instead of recomputing.
+    */
+  def graphTopK(corpus: DataFrame, edges: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, beam: Int = 8, hops: Int = 2,
+      seeds: Int = 8, checkpointEvery: Int = 0): DataFrame = {
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val adj = edges.select(col("q_id").as("src"), col("c_id").as("dst"))
+    // deterministic entry points: smallest md5(id) — k rows, broadcast
+    val seedIds = c.select(col("c_id"))
+      .withColumn("__h", md5(col("c_id").cast("string")))
+      .orderBy(col("__h"), col("c_id")).limit(seeds).select("c_id")
+
+    def score(cand: DataFrame): DataFrame =
+      cand.join(q, Seq("q_id")).join(c, Seq("c_id"))
+        .where(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"), cosPrenormed.as("cos"))
+
+    val wBeam = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    def topB(scored: DataFrame, b: Int): DataFrame =
+      scored.withColumn("__r", row_number().over(wBeam))
+        .where(col("__r") <= b).drop("__r")
+
+    var beamDf = topB(
+      score(q.select(col("q_id")).crossJoin(broadcast(seedIds))), beam)
+    for (h <- 1 to hops) {
+      val grown = beamDf.select(col("q_id"), col("c_id"))
+        .join(adj, col("c_id") === col("src"))
+        .select(col("q_id"), col("dst").as("c_id"))
+        .unionByName(beamDf.select(col("q_id"), col("c_id")))
+        .distinct()
+      beamDf = topB(score(grown), beam)
+      if (checkpointEvery > 0 && h % checkpointEvery == 0 && h < hops)
+        beamDf = beamDf.localCheckpoint(true)
+    }
+    beamDf.withColumn("rank", row_number().over(wBeam).cast("int"))
+      .where(col("rank") <= k)
+  }
+
   // ---- int8 scalar quantization (SQ8) ------------------------------------
 
   /** Symmetric per-vector int8 quantization: `scale = max|x| / 127`,

@@ -1967,4 +1967,102 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(2L) == ((2, 2L, 3L, 0.25)), "tail batch 2,1: pad 1/4")
     assert(run(df.repartition(7)) == got, "pure function of the data")
   }
+
+  // ---- graphTopK: beam search over the kNN graph -------------------------
+
+  private def graphFixture() = {
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 23 - 11).toFloat))
+    }.filter(_._2.exists(_ != 0f)).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val edges = Similarity.knnGraph(vecs, "vec_id", "embedding", cents,
+      k = 6, nprobe = 2).localCheckpoint(true)
+    (vecs, edges)
+  }
+
+  test("graphTopK with all-node seeds and corpus-wide beam equals " +
+    "bruteForceTopK (scoring, exclusion, tie-breaks pinned exactly)") {
+    val (vecs, edges) = graphFixture()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+    val graph = rows(Similarity.graphTopK(vecs, edges, vecs,
+      "vec_id", "embedding", k = 5, beam = 100, hops = 0, seeds = 100))
+    val brute = rows(Similarity.bruteForceTopK(vecs, vecs,
+      "vec_id", "embedding", k = 5))
+    assert(graph == brute && graph.nonEmpty)
+  }
+
+  test("graphTopK: hops strictly improve recall from sparse seeds, and " +
+    "the result is a pure function of the data") {
+    val (vecs, edges) = graphFixture()
+    val queries = vecs.where($"vec_id" % 10 === 0)
+    val truth = Similarity.bruteForceTopK(queries, vecs,
+      "vec_id", "embedding", k = 5)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(hops: Int): Double = {
+      val got = Similarity.graphTopK(vecs, edges, queries,
+        "vec_id", "embedding", k = 5, beam = 8, hops = hops, seeds = 2)
+        .select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val r0 = recallAt(0)
+    val r3 = recallAt(3)
+    assert(r3 > r0, s"traversal must add recall: hops0=$r0 hops3=$r3")
+    assert(r3 >= 0.5, s"recall@5 after 3 hops too low: $r3")
+    // determinism under arbitrary physical layout
+    val a = Similarity.graphTopK(vecs.repartition(13), edges, queries,
+      "vec_id", "embedding", k = 5, beam = 8, hops = 3, seeds = 2)
+      .collect().map(_.toSeq.toList).toSet
+    val b = Similarity.graphTopK(vecs, edges.repartition(7), queries,
+      "vec_id", "embedding", k = 5, beam = 8, hops = 3, seeds = 2)
+      .collect().map(_.toSeq.toList).toSet
+    assert(a == b)
+  }
+
+  test("graphTopK: checkpointEvery truncates lineage without changing " +
+    "results (the deep-hops planning-cost mitigation is semantics-free)") {
+    val (vecs, edges) = graphFixture()
+    val queries = vecs.where($"vec_id" % 10 === 0)
+    def rows(ce: Int) = Similarity.graphTopK(vecs, edges, queries,
+      "vec_id", "embedding", k = 5, beam = 8, hops = 4, seeds = 2,
+      checkpointEvery = ce)
+      .collect().map(_.toSeq.toList).toSet
+    val plain = rows(0)
+    assert(rows(2) == plain && rows(1) == plain && plain.nonEmpty)
+  }
+
+  test("graphTopK reuses the corpus-sided exchanges across hops: the " +
+    "executed plan contains ReusedExchange (each hop joins the SAME " +
+    "adjacency/corpus relations — they shuffle once, not per hop)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (vecs, edges) = graphFixture()
+      val g = Similarity.graphTopK(vecs, edges,
+        vecs.where($"vec_id" % 10 === 0),
+        "vec_id", "embedding", k = 5, beam = 8, hops = 3, seeds = 2)
+      // materialize THIS queryExecution (df.count() would plan a separate
+      // aggregate query and leave this adaptive plan unexecuted)
+      assert(g.queryExecution.toRdd.count() > 0)
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
+          : org.apache.spark.sql.execution.SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val planStr = finalPlan(g.queryExecution.executedPlan).toString
+      // the adjacency (src-keyed) and corpus (c_id/c_vec-keyed) exchanges
+      // must be shuffled once and REUSED by the later hops
+      assert(planStr.contains("ReusedExchange [src#"),
+        s"adjacency exchange not reused across hops in:\n$planStr")
+      assert("ReusedExchange \\[c_id#\\d+L, c_vec#".r
+          .findFirstIn(planStr).nonEmpty,
+        s"corpus exchange not reused across hops in:\n$planStr")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -47,15 +47,41 @@ object QueriesSketches {
 
   /** HLL register CTE chain over `rel(lang, g)` for p=8 (m=256, W=52):
     * bucket = low 8 hash bits, rank = leading zeros of the top 52 + 1.
+    * `tag` suffixes the CTE names so several chains coexist in one WITH.
     */
-  private def hllRegsSql(rel: String): String =
-    s"""h AS (SELECT lang, ${h60Sql("hll|", "g")} AS h FROM $rel),
-        br AS (SELECT lang, CAST(h % 256 AS INT) AS bucket, h // 256 AS q
-               FROM h),
-        regs AS (SELECT lang, bucket,
+  private def hllRegsSql(rel: String, tag: String = ""): String =
+    s"""h$tag AS (SELECT lang, ${h60Sql("hll|", "g")} AS h FROM $rel),
+        br$tag AS (SELECT lang, CAST(h % 256 AS INT) AS bucket, h // 256 AS q
+               FROM h$tag),
+        regs$tag AS (SELECT lang, bucket,
                         CAST(max(53 - (CASE WHEN q = 0 THEN 0
                                        ELSE length(bin(q)) END)) AS INT) AS r
-                 FROM br GROUP BY lang, bucket)"""
+                 FROM br$tag GROUP BY lang, bucket)"""
+
+  /** hllEstimate's replay over `regs$tag`: ends in `es$tag(lang, zeros,
+    * s_scaled, est)` — the exact-integer scaled harmonic sum and the
+    * 2 dp estimate with the linear-counting branch.
+    */
+  private def hllEstSql(tag: String = ""): String = {
+    val alpha = Sketches.hllAlphaSql(256)
+    s"""ag$tag AS (SELECT lang, count(*) AS nz,
+                      CAST(sum(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT)
+                        AS s1
+               FROM regs$tag GROUP BY lang),
+        sc$tag AS (SELECT lang, CAST(256 - nz AS INT) AS zeros,
+                      s1 + CAST(256 - nz AS BIGINT) *
+                           (CAST(1 AS BIGINT) << 53) AS s_scaled
+               FROM ag$tag),
+        ee$tag AS (SELECT lang, zeros, s_scaled,
+                      $alpha * 256.0 * 256.0 * 9007199254740992.0 /
+                        CAST(s_scaled AS DOUBLE) AS raw
+               FROM sc$tag),
+        es$tag AS (SELECT lang, zeros, s_scaled,
+                      round(CASE WHEN zeros > 0 AND raw <= 640.0
+                            THEN 256.0 * ln(256.0 / zeros)
+                            ELSE raw END, 2) AS est
+               FROM ee$tag)"""
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -100,25 +126,7 @@ object QueriesSketches {
           .orderBy(col("lang"))
       },
       Some {
-        val alpha = Sketches.hllAlphaSql(256)
-        s"""WITH $shStreamCte, ${hllRegsSql("sh")},
-             ag AS (SELECT lang, count(*) AS nz,
-                           CAST(sum(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT)
-                             AS s1
-                    FROM regs GROUP BY lang),
-             sc AS (SELECT lang, CAST(256 - nz AS INT) AS zeros,
-                           s1 + CAST(256 - nz AS BIGINT) *
-                                (CAST(1 AS BIGINT) << 53) AS s_scaled
-                    FROM ag),
-             ee AS (SELECT lang, zeros, s_scaled,
-                           $alpha * 256.0 * 256.0 * 9007199254740992.0 /
-                             CAST(s_scaled AS DOUBLE) AS raw
-                    FROM sc),
-             es AS (SELECT lang, zeros, s_scaled,
-                           round(CASE WHEN zeros > 0 AND raw <= 640.0
-                                 THEN 256.0 * ln(256.0 / zeros)
-                                 ELSE raw END, 2) AS est
-                    FROM ee),
+        s"""WITH $shStreamCte, ${hllRegsSql("sh")}, ${hllEstSql()},
              ex AS (SELECT lang, count(DISTINCT g) AS n_exact FROM sh
                     GROUP BY lang)
             SELECT lang, CAST(256 AS INT) AS m, zeros, s_scaled, est,
@@ -272,6 +280,94 @@ object QueriesSketches {
               SELECT lang, qf, est, exact,
                      abs(est - exact) <= 64.0 AS hist_ok
               FROM es JOIN ex USING (lang, qf)
-              ORDER BY lang, qf"""))
+              ORDER BY lang, qf""")),
+
+    // ------------------------------------------------------------------
+    // q203: the STREAMED sketch artifact — two parity triggers through
+    // StreamingIngest.sketchBatch (the production foreachBatch body),
+    // batch 1 REPLAYED (at-least-once semantics), then compacted to the
+    // -1 epoch, then read. The oracle is still the one-pass build: the
+    // hash gate therefore pins stream ≡ batch, replay idempotence, and
+    // compaction invariance in a single query. cms_mass (depth-0 counter
+    // total) doubles as an exact row-conservation check — every shingle
+    // instance lands in exactly one bucket per depth.
+    // ------------------------------------------------------------------
+    Q("q203_stream_sketch_stats",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = artifactPath("sketch_stream_q203")
+        rmrf(new java.io.File(dir))
+        def trigger(par: Int, batchId: Long) =
+          graft.streaming.StreamingIngest.sketchBatch(
+            langShingles(docs.where(col("doc_id") % 2 === par)),
+            batchId, dir, Seq("lang"), "g", p = 8, d = 3, w = 256)
+        trigger(0, 0L)
+        trigger(1, 1L)
+        trigger(1, 1L) // at-least-once replay: must rewrite, not double
+        graft.streaming.StreamingIngest.compactSketchDir(
+          s, s"$dir/hll", Seq("lang"), isHll = true)
+        graft.streaming.StreamingIngest.compactSketchDir(
+          s, s"$dir/cms", Seq("lang"), isHll = false)
+        val est = Sketches.hllEstimate(
+          graft.streaming.StreamingIngest.currentHllSketch(s, dir, Seq("lang")),
+          Seq("lang"), p = 8)
+        val mass = graft.streaming.StreamingIngest
+          .currentCmsSketch(s, dir, Seq("lang"))
+          .where(col("depth") === 0)
+          .groupBy(col("lang")).agg(sum(col("cnt")).as("cms_mass"))
+        est.join(mass, Seq("lang"))
+          .select(col("lang"), col("m"), col("zeros"), col("s_scaled"),
+            col("est"), col("cms_mass"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH $shStreamCte, ${hllRegsSql("sh")}, ${hllEstSql()},
+               ms AS (SELECT lang, CAST(count(*) AS BIGINT) AS cms_mass
+                      FROM sh GROUP BY lang)
+              SELECT lang, CAST(256 AS INT) AS m, zeros, s_scaled, est,
+                     cms_mass
+              FROM es JOIN ms USING (lang) ORDER BY lang""")),
+
+    // ------------------------------------------------------------------
+    // q204: vocabulary growth — the reason the artifact is MERGEABLE.
+    // est0 is batch 0's distinct-shingle estimate; est_cum folds batch 1
+    // in WITHOUT touching batch 0's data again; est_new is the newly-seen
+    // vocabulary the second ingest day added. The exact alternative
+    // re-scans all history every day. Deltas of 2 dp-rounded estimates
+    // are themselves exact, so the full row hash-gates.
+    // ------------------------------------------------------------------
+    Q("q204_vocab_growth",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def part(par: Int) = Sketches.hllPartial(
+          langShingles(docs.where(col("doc_id") % 2 === par)),
+          Seq("lang"), col("g"), p = 8)
+        val p0 = part(0)
+        val cum = Sketches.hllMerge(p0.unionByName(part(1)), Seq("lang"))
+        val e0 = Sketches.hllEstimate(p0, Seq("lang"), p = 8)
+          .select(col("lang"), col("est").as("est_day0"))
+        val ec = Sketches.hllEstimate(cum, Seq("lang"), p = 8)
+          .select(col("lang"), col("est").as("est_cum"))
+        e0.join(ec, Seq("lang"))
+          .select(col("lang"), col("est_day0"), col("est_cum"),
+            round(col("est_cum") - col("est_day0"), 2).as("est_new"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH sh0 AS (SELECT lang, unnest(list_distinct($shSql)) AS g
+                            FROM documents WHERE doc_id % 2 = 0),
+               $shStreamCte,
+               ${hllRegsSql("sh0", "0")}, ${hllEstSql("0")},
+               ${hllRegsSql("sh")}, ${hllEstSql()}
+              SELECT a.lang, a.est AS est_day0, b.est AS est_cum,
+                     round(b.est - a.est, 2) AS est_new
+              FROM es0 a JOIN es b ON a.lang = b.lang
+              ORDER BY a.lang"""))
   )
+
+  private lazy val artifactRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_sketch_artifacts").toString
+  private def artifactPath(name: String): String = s"$artifactRoot/$name"
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(); ()
+  }
 }

@@ -1403,4 +1403,104 @@ object StreamingIngest {
       n
     } finally { segment.unpersist(); () }
   }
+
+  // ---- streaming sketch maintenance (round 14) --------------------------
+
+  import graft.ext.Sketches
+
+  /** Continuous corpus statistics: every micro-batch reduces to SKETCH
+    * PARTIALS — HLL registers (distinct cardinality) and count-min
+    * counters (frequencies) of `itemCol` within `groupCols` — appended as
+    * that batch's `batch_id` partition of the stats artifact
+    * (`sketchDir/hll`, `sketchDir/cms`). Nothing corpus-sized is ever
+    * re-read: lifetime statistics come from folding the partials
+    * ([[currentHllSketch]]/[[currentCmsSketch]]), and compaction folds
+    * old partitions into the `-1` epoch by the sketch's OWN merge — MAX
+    * for registers, SUM for counters — on the standard temp-then-swap.
+    * This is the artifact form of ext.Sketches' contract: at 100 TB the
+    * alternative (exact count-distinct over the union of all history)
+    * re-shuffles the corpus every day; the stream ships ≤ sketch-sized
+    * rows per trigger, forever.
+    *
+    * Idempotent per batch: a partial is a deterministic function of batch
+    * content and lands via dynamic partition overwrite on `batch_id`, so
+    * an at-least-once replay rewrites its own partition byte-identically.
+    * `itemCol` names an existing column — callers project/explode the
+    * item stream first (the layoutAppendStream convention).
+    */
+  def sketchStream(items: DataFrame, sketchDir: String,
+      checkpointDir: String, groupCols: Seq[String], itemCol: String,
+      p: Int = 8, d: Int = 3, w: Int = 256, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    items.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sketchBatch(batch, batchId, sketchDir, groupCols, itemCol,
+          p, d, w, compactEvery)
+      }
+      .start()
+
+  /** One trigger of [[sketchStream]] — public so specs and the batch
+    * catalog drive exactly the production path.
+    */
+  def sketchBatch(batch: DataFrame, batchId: Long, sketchDir: String,
+      groupCols: Seq[String], itemCol: String, p: Int, d: Int, w: Int,
+      compactEvery: Int = 0): Unit = {
+    if (batch.isEmpty) return
+    def land(partial: DataFrame, sub: String): Unit =
+      partial.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(s"$sketchDir/$sub")
+    land(Sketches.hllPartial(batch, groupCols, col(itemCol), p), "hll")
+    land(Sketches.cmsPartial(batch, groupCols, col(itemCol), d, w), "cms")
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      compactSketchDir(batch.sparkSession, s"$sketchDir/hll", groupCols,
+        isHll = true, belowBatch = Some(batchId))
+      compactSketchDir(batch.sparkSession, s"$sketchDir/cms", groupCols,
+        isHll = false, belowBatch = Some(batchId))
+    }
+  }
+
+  /** The artifact's merged HLL register table (all partials folded). */
+  def currentHllSketch(spark: SparkSession, sketchDir: String,
+      groupCols: Seq[String]): DataFrame =
+    Sketches.hllMerge(
+      spark.read.parquet(s"$sketchDir/hll").drop("batch_id"), groupCols)
+
+  /** The artifact's merged count-min counter table. */
+  def currentCmsSketch(spark: SparkSession, sketchDir: String,
+      groupCols: Seq[String]): DataFrame =
+    Sketches.cmsMerge(
+      spark.read.parquet(s"$sketchDir/cms").drop("batch_id"), groupCols)
+
+  /** Fold partials with `batch_id < belowBatch` (None = all) into the
+    * `-1` epoch by the sketch's own merge — register-wise MAX (`isHll`)
+    * or counter-wise SUM. Unlike the hash-index compactors there is no
+    * latest-wins versioning: sketch partials are COMMUTATIVE, so the
+    * fold is the merge itself, and a previous `-1` epoch folds in with
+    * everything else. Crash-safe temp-then-swap; merged reads are
+    * invariant across compaction (spec-pinned). Returns the compacted
+    * row count.
+    */
+  def compactSketchDir(spark: SparkSession, path: String,
+      groupCols: Seq[String], isHll: Boolean,
+      belowBatch: Option[Long] = None): Long = {
+    val all = spark.read.parquet(path)
+    val (fold, keep) = belowBatch match {
+      case Some(b) =>
+        (all.where(col("batch_id") < b), all.where(col("batch_id") >= b))
+      case None => (all, all.limit(0))
+    }
+    val folded =
+      if (isHll) Sketches.hllMerge(fold.drop("batch_id"), groupCols)
+      else Sketches.cmsMerge(fold.drop("batch_id"), groupCols)
+    val tmp = s"$path.compact.tmp"
+    folded.withColumn("batch_id", lit(-1L))
+      .unionByName(keep)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    graft.pipeline.Pipeline.swap(spark, tmp, path)
+    spark.read.parquet(path).count()
+  }
 }

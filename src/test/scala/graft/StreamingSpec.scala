@@ -1396,4 +1396,66 @@ class StreamingSpec extends AnyFunSuite {
       "doc_id", "src", "toks", Seq("up" -> 1.0))
     assert(n0 == 0L && rows(layoutDir).size == all.length)
   }
+
+  test("streaming sketch maintenance: trigger partials merge to the " +
+    "one-pass sketch, replay rewrites not doubles, compaction folds to " +
+    "the -1 epoch without changing merged reads, empty trigger no-op") {
+    import graft.ext.Sketches
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("sketchstream").toString
+    val (srcDir, skDir, ckpt) = (s"$base/src", s"$base/sk", s"$base/ckpt")
+    val schema = StructType(Seq(StructField("grp", StringType),
+      StructField("item", StringType)))
+    def batchDf(r: Range) =
+      r.map(i => (s"g${i % 2}", s"item-${i % 500}")).toDF("grp", "item")
+    def deliver(r: Range): Unit =
+      batchDf(r).coalesce(1).write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val q = StreamingIngest.sketchStream(
+        spark.readStream.schema(schema).parquet(srcDir), skDir, ckpt,
+        Seq("grp"), "item", p = 6, d = 2, w = 32)
+      try q.processAllAvailable() finally q.stop()
+    }
+    deliver(1 to 700); runOnce()    // batch 0
+    deliver(701 to 900); runOnce()  // batch 1
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+    val mergedHll = rows(StreamingIngest.currentHllSketch(spark, skDir, Seq("grp")))
+    val mergedCms = rows(StreamingIngest.currentCmsSketch(spark, skDir, Seq("grp")))
+    // trigger ≡ batch: the folded artifact equals the one-pass build
+    val whole = batchDf(1 to 900)
+    assert(mergedHll == rows(Sketches.hllPartial(whole, Seq("grp"), $"item", 6)))
+    assert(mergedCms == rows(Sketches.cmsPartial(whole, Seq("grp"), $"item", 2, 32)))
+    // at-least-once replay: counters must NOT double
+    StreamingIngest.sketchBatch(batchDf(701 to 900), 1L, skDir,
+      Seq("grp"), "item", p = 6, d = 2, w = 32)
+    assert(rows(StreamingIngest.currentCmsSketch(spark, skDir, Seq("grp")))
+      == mergedCms, "replayed batch must rewrite its partition, not add")
+    // compaction: everything folds to the -1 epoch, merged reads invariant
+    StreamingIngest.compactSketchDir(spark, s"$skDir/hll", Seq("grp"),
+      isHll = true)
+    StreamingIngest.compactSketchDir(spark, s"$skDir/cms", Seq("grp"),
+      isHll = false)
+    assert(spark.read.parquet(s"$skDir/hll")
+      .select($"batch_id").distinct().as[Long].collect().toSeq == Seq(-1L))
+    assert(rows(StreamingIngest.currentHllSketch(spark, skDir, Seq("grp")))
+      == mergedHll)
+    assert(rows(StreamingIngest.currentCmsSketch(spark, skDir, Seq("grp")))
+      == mergedCms)
+    // a later batch lands NEXT TO the -1 epoch and keeps merging
+    StreamingIngest.sketchBatch(batchDf(901 to 1000), 2L, skDir,
+      Seq("grp"), "item", p = 6, d = 2, w = 32)
+    assert(rows(StreamingIngest.currentCmsSketch(spark, skDir, Seq("grp")))
+      == rows(Sketches.cmsPartial(batchDf(1 to 1000), Seq("grp"),
+        $"item", 2, 32)))
+    // empty trigger: no-op (no partition written, no exception)
+    val before = spark.read.parquet(s"$skDir/cms")
+      .select($"batch_id").distinct().count()
+    StreamingIngest.sketchBatch(
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema), 9L, skDir,
+      Seq("grp"), "item", p = 6, d = 2, w = 32)
+    assert(spark.read.parquet(s"$skDir/cms")
+      .select($"batch_id").distinct().count() == before)
+  }
 }

@@ -411,6 +411,25 @@ object AnnSweep {
         println(f"graphsearch beam=$beam%3d hops=$hops " +
           f"recall@5=$r%.4f wall=$dt%5.1fs")
       }
+      // PQ-tier search at the pinned production encoding (m=8/k=64
+      // residual): traversal on codes, floats only at the final rescore —
+      // the recall delta vs the float rows above is the ADC-pruning cost
+      val residG = Similarity.residualVectors(e, "vec_id", "embedding",
+        cents1).localCheckpoint(true)
+      val booksG = Similarity.pqCodebooks(residG, "vec_id", "rvec",
+        m = 8, subDim = 8, k = 64, iters = 2).localCheckpoint(true)
+      val indexG = Similarity.ivfPqIndex(e, "vec_id", "embedding", cents1,
+        booksG, m = 8, subDim = 8).localCheckpoint(true)
+      for (beam <- Seq(32, 64); hops <- Seq(2, 3, 4)) {
+        val t0 = System.nanoTime()
+        val g = Similarity.graphTopKPq(indexG, cents1, booksG, edges1, e,
+          q, "vec_id", "embedding", m = 8, subDim = 8, k = 5,
+          beam = beam, hops = hops, seeds = 8)
+        val r = recall(g)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"graphsearch-pq beam=$beam%3d hops=$hops " +
+          f"recall@5=$r%.4f wall=$dt%5.1fs")
+      }
       // 10x leg: dim-rotated copies (the graphpq recall-corpus rationale —
       // mutually low-cosine families, per-family neighbor structure
       // preserved), cells ∝ N, the SAME 200-query set. The search runs

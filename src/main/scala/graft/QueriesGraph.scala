@@ -48,6 +48,83 @@ object QueriesGraph {
                   FROM sc$h) WHERE rn <= $beam)"""
   }
 
+  /** The full beam-search oracle: q139's k-means + kNN-graph build chain
+    * verbatim, then the seed leg and both hops at the given `beam`. At
+    * beam large enough to never prune (q205's exactness ceiling) the
+    * candidate set is the seed closure and the chain also oracles the
+    * PQ-tier search (ADC order cannot matter once nothing is pruned and
+    * the answer is float-rescored).
+    */
+  private def beamSearchOracleSql(beam: Int): String = {
+    def assignCte(centsRel: String, tag: String) =
+      s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                      FROM $centsRel GROUP BY cell),
+          ${tag}s AS (SELECT a.vec_id, a.embedding, v.cell,
+                             ${cosSql("a.embedding", "v.centroid")} AS cos
+                      FROM (SELECT vec_id, embedding FROM embeddings) a, ${tag}v v),
+          ${tag}r AS (SELECT vec_id, embedding, cell,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cell) AS rk
+                      FROM ${tag}s),
+          ${tag}c AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                             round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+                      FROM ${tag}r, range(1, 65) u(i)
+                      WHERE rk = 1 GROUP BY cell, pos)"""
+    s"""WITH i0 AS (SELECT vec_id, embedding,
+                      CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                        AS cell
+                    FROM embeddings ORDER BY vec_id LIMIT 8),
+         c0 AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+                       round(CAST(embedding[i] AS DOUBLE), 6) AS v
+                FROM i0, range(1, 65) u(i)),
+         ${assignCte("c0", "x")},
+         ${assignCte("xc", "y")},
+         ${assignCte("yc", "z")},
+         cent AS (SELECT cell, list(v ORDER BY pos) AS centroid
+                  FROM yc GROUP BY cell),
+         probes AS (SELECT q_id, q_vec, cell FROM (
+                      SELECT e.vec_id AS q_id, e.embedding AS q_vec,
+                             cent.cell,
+                             row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY ${cosSql("e.embedding", "cent.centroid")} DESC,
+                                        cent.cell) AS pr
+                      FROM embeddings e, cent)
+                    WHERE pr <= 2),
+         mem AS (SELECT cell, vec_id AS c_id, embedding AS c_vec
+                 FROM zr WHERE rk = 1),
+         esc AS (SELECT q_id, c_id, ${cosSql("q_vec", "c_vec")} AS cos
+                 FROM probes JOIN mem USING (cell) WHERE q_id <> c_id),
+         er AS (SELECT q_id, c_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, c_id) AS rnk
+                FROM esc),
+         adj AS (SELECT q_id AS src, c_id AS dst FROM er WHERE rnk <= 3),
+         qq AS (SELECT vec_id AS q_id, embedding AS q_vec
+                FROM embeddings WHERE vec_id % 25 = 0),
+         cc AS (SELECT vec_id AS c_id, embedding AS c_vec
+                FROM embeddings),
+         sd AS (SELECT c_id FROM (
+                  SELECT c_id, md5(CAST(c_id AS VARCHAR)) AS h
+                  FROM cc ORDER BY h, c_id LIMIT 4)),
+         s0 AS (SELECT q.q_id, s.c_id FROM qq q CROSS JOIN sd s),
+         sc0 AS (SELECT t.q_id, t.c_id,
+                        ${cosSql("q.q_vec", "c.c_vec")} AS cos
+                 FROM s0 t JOIN qq q ON t.q_id = q.q_id
+                           JOIN cc c ON t.c_id = c.c_id
+                 WHERE t.q_id <> t.c_id),
+         b0 AS (SELECT q_id, c_id, cos FROM (
+                  SELECT q_id, c_id, cos,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY cos DESC, c_id) AS rn
+                  FROM sc0) WHERE rn <= $beam),
+         ${hopSql(1, beam)},
+         ${hopSql(2, beam)}
+        SELECT q_id, c_id, cos,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, c_id) AS INT) AS rnk
+        FROM b2 QUALIFY rnk <= 3 ORDER BY q_id, rnk"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -68,75 +145,35 @@ object QueriesGraph {
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("q_id"), col("rnk"))
       },
-      Some {
-        // q139's oracle chain verbatim (k-means + kNN-graph build) …
-        def assignCte(centsRel: String, tag: String) =
-          s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
-                          FROM $centsRel GROUP BY cell),
-              ${tag}s AS (SELECT a.vec_id, a.embedding, v.cell,
-                                 ${cosSql("a.embedding", "v.centroid")} AS cos
-                          FROM (SELECT vec_id, embedding FROM embeddings) a, ${tag}v v),
-              ${tag}r AS (SELECT vec_id, embedding, cell,
-                                 row_number() OVER (PARTITION BY vec_id
-                                   ORDER BY cos DESC, cell) AS rk
-                          FROM ${tag}s),
-              ${tag}c AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
-                                 round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
-                          FROM ${tag}r, range(1, 65) u(i)
-                          WHERE rk = 1 GROUP BY cell, pos)"""
-        s"""WITH i0 AS (SELECT vec_id, embedding,
-                          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
-                            AS cell
-                        FROM embeddings ORDER BY vec_id LIMIT 8),
-             c0 AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
-                           round(CAST(embedding[i] AS DOUBLE), 6) AS v
-                    FROM i0, range(1, 65) u(i)),
-             ${assignCte("c0", "x")},
-             ${assignCte("xc", "y")},
-             ${assignCte("yc", "z")},
-             cent AS (SELECT cell, list(v ORDER BY pos) AS centroid
-                      FROM yc GROUP BY cell),
-             probes AS (SELECT q_id, q_vec, cell FROM (
-                          SELECT e.vec_id AS q_id, e.embedding AS q_vec,
-                                 cent.cell,
-                                 row_number() OVER (PARTITION BY e.vec_id
-                                   ORDER BY ${cosSql("e.embedding", "cent.centroid")} DESC,
-                                            cent.cell) AS pr
-                          FROM embeddings e, cent)
-                        WHERE pr <= 2),
-             mem AS (SELECT cell, vec_id AS c_id, embedding AS c_vec
-                     FROM zr WHERE rk = 1),
-             esc AS (SELECT q_id, c_id, ${cosSql("q_vec", "c_vec")} AS cos
-                     FROM probes JOIN mem USING (cell) WHERE q_id <> c_id),
-             er AS (SELECT q_id, c_id,
-                           row_number() OVER (PARTITION BY q_id
-                             ORDER BY cos DESC, c_id) AS rnk
-                    FROM esc),
-             adj AS (SELECT q_id AS src, c_id AS dst FROM er WHERE rnk <= 3),
-             qq AS (SELECT vec_id AS q_id, embedding AS q_vec
-                    FROM embeddings WHERE vec_id % 25 = 0),
-             cc AS (SELECT vec_id AS c_id, embedding AS c_vec
-                    FROM embeddings),
-             sd AS (SELECT c_id FROM (
-                      SELECT c_id, md5(CAST(c_id AS VARCHAR)) AS h
-                      FROM cc ORDER BY h, c_id LIMIT 4)),
-             s0 AS (SELECT q.q_id, s.c_id FROM qq q CROSS JOIN sd s),
-             sc0 AS (SELECT t.q_id, t.c_id,
-                            ${cosSql("q.q_vec", "c.c_vec")} AS cos
-                     FROM s0 t JOIN qq q ON t.q_id = q.q_id
-                               JOIN cc c ON t.c_id = c.c_id
-                     WHERE t.q_id <> t.c_id),
-             b0 AS (SELECT q_id, c_id, cos FROM (
-                      SELECT q_id, c_id, cos,
-                             row_number() OVER (PARTITION BY q_id
-                               ORDER BY cos DESC, c_id) AS rn
-                      FROM sc0) WHERE rn <= 6),
-             ${hopSql(1, 6)},
-             ${hopSql(2, 6)}
-            SELECT q_id, c_id, cos,
-                   CAST(row_number() OVER (PARTITION BY q_id
-                     ORDER BY cos DESC, c_id) AS INT) AS rnk
-            FROM b2 QUALIFY rnk <= 3 ORDER BY q_id, rnk"""
-      })
+      Some(beamSearchOracleSql(beam = 6))),
+
+    // ------------------------------------------------------------------
+    // q205: the PQ-tier search at the EXACTNESS CEILING (the q166
+    // pattern): beam 4096 never prunes, so the ADC traversal explores the
+    // same seed closure the float walk would, and the float-rescored
+    // top-3 is q202-at-that-beam verbatim — the oracle needs no PQ
+    // k-means replay at all. The production (pruning) regime is
+    // spec-differential + AnnSweep territory.
+    // ------------------------------------------------------------------
+    Q("q205_graph_ann_search_pq",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val books = Similarity.pqCodebooks(
+          Similarity.residualVectors(e, "vec_id", "embedding", cents),
+          "vec_id", "rvec", m = 4, subDim = 16, k = 8, iters = 2)
+          .localCheckpoint(true)
+        val index = Similarity.ivfPqIndex(e, "vec_id", "embedding", cents,
+          books, m = 4, subDim = 16).localCheckpoint(true)
+        val edges = Similarity.knnGraph(e, "vec_id", "embedding", cents,
+          k = 3, nprobe = 2)
+        Similarity.graphTopKPq(index, cents, books, edges, e,
+            e.where(col("vec_id") % 25 === 0), "vec_id", "embedding",
+            m = 4, subDim = 16, k = 3, beam = 4096, hops = 2, seeds = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(beamSearchOracleSql(beam = 4096)))
   )
 }

@@ -910,6 +910,86 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** [[graphTopK]] on the PQ tier — the search leg that never reads the
+    * float store during traversal. Hop scoring is pure ADC: each
+    * candidate resolves its (m-byte codes, ccell, vnorm) from the IVF-PQ
+    * artifact, the query's LUT rides a q_id-keyed join ([[pqLutExpr]] —
+    * one m·k-dot projection per query, then m array lookups per pair),
+    * and the residual-coding qc term comes from a (q_id, ccell)-keyed
+    * query×cells table (query-linear, centroid-broadcast — a search
+    * candidate can live in ANY cell, unlike the probe kernels'
+    * nprobe-bounded qc). The beam ranks by rounded ADC cosine
+    * (`(qc + Σ lut[codes]) / (q_norm·vnorm)` — vnorm is the stored TRUE
+    * norm, so only the dot is approximate); floats are read exactly once,
+    * for the FINAL beam's k-rescore.
+    *
+    * At 100 TB this is the pairing that matters: the graph tier already
+    * maintains code-only state (pqGraphState — 8 B/vector); graphTopKPq
+    * makes the QUERY side code-only too, so a search touches
+    * queries × beam × degree code rows per hop plus queries × beam float
+    * rows once. Exactness ceiling (the q166 oracle pattern): with
+    * beam ≥ the reachable closure the ADC order never prunes, the
+    * candidate set equals the float walk's closure, and the float-rescored
+    * answer is [[graphTopK]]'s verbatim — spec-pinned and the q205 oracle.
+    */
+  def graphTopKPq(index: DataFrame, cents: DataFrame, booksR: DataFrame,
+      edges: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int, k: Int,
+      beam: Int = 32, hops: Int = 2, seeds: Int = 8,
+      checkpointEvery: Int = 0): DataFrame = {
+    val (books, stride) = pqBooksLit(booksR)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val lut = q.select(col("q_id"), col("q_norm"),
+      pqLutExpr(col("q_vec"), books, stride, m, subDim).as("__lut"))
+    val qcells = q.crossJoin(broadcast(cellCentroidVectors(cents)))
+      .select(col("q_id"), col("cell").as("ccell"),
+        round(dot(col("q_vec"), col("centroid")), 6)
+          .cast("decimal(28,8)").as("qc"))
+    val mem = index.select(col(idCol).as("c_id"), col("ccell"),
+      col("codes"), col("vnorm"))
+    val adj = edges.select(col("q_id").as("src"), col("c_id").as("dst"))
+    val seedIds = mem.select(col("c_id"))
+      .withColumn("__h", md5(col("c_id").cast("string")))
+      .orderBy(col("__h"), col("c_id")).limit(seeds).select("c_id")
+
+    def scoreAdc(cand: DataFrame): DataFrame =
+      cand.join(mem, Seq("c_id"))
+        .join(qcells, Seq("q_id", "ccell"))
+        .join(lut, Seq("q_id"))
+        .where(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"),
+          round(try_divide(
+            (col("qc") + pqLutSum(col("__lut"), col("codes"), stride, m))
+              .cast("double"),
+            col("q_norm") * col("vnorm")), 6).as("adc"))
+
+    val wBeam = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("c_id"))
+    def topB(scored: DataFrame, b: Int): DataFrame =
+      scored.withColumn("__r", row_number().over(wBeam))
+        .where(col("__r") <= b).drop("__r")
+
+    var beamDf = topB(
+      scoreAdc(q.select(col("q_id")).crossJoin(broadcast(seedIds))), beam)
+    for (h <- 1 to hops) {
+      val grown = beamDf.select(col("q_id"), col("c_id"))
+        .join(adj, col("c_id") === col("src"))
+        .select(col("q_id"), col("dst").as("c_id"))
+        .unionByName(beamDf.select(col("q_id"), col("c_id")))
+        .distinct()
+      beamDf = topB(scoreAdc(grown), beam)
+      if (checkpointEvery > 0 && h % checkpointEvery == 0 && h < hops)
+        beamDf = beamDf.localCheckpoint(true)
+    }
+    // the one float read: rescore the final beam, answer top-k exactly
+    val cFl = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
+    rankEdges(beamDf.select(col("q_id"), col("c_id"))
+      .join(cFl, Seq("c_id")).join(q, Seq("q_id"))
+      .select(col("q_id"), col("c_id"), cosPrenormed.as("cos")), k)
+  }
+
   // ---- int8 scalar quantization (SQ8) ------------------------------------
 
   /** Symmetric per-vector int8 quantization: `scale = max|x| / 127`,

@@ -2035,6 +2035,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows(2) == plain && rows(1) == plain && plain.nonEmpty)
   }
 
+  test("graphTopKPq at the exactness ceiling equals the float graphTopK " +
+    "(no pruning -> same seed closure -> float-rescored top-k verbatim), " +
+    "and checkpointEvery is semantics-free on the PQ path too") {
+    val (vecs, edges) = graphFixture()
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val books = Similarity.pqCodebooks(
+      Similarity.residualVectors(vecs, "vec_id", "embedding", cents),
+      "vec_id", "rvec", m = 4, subDim = 16, k = 8, iters = 2)
+      .localCheckpoint(true)
+    val index = Similarity.ivfPqIndex(vecs, "vec_id", "embedding", cents,
+      books, m = 4, subDim = 16).localCheckpoint(true)
+    val queries = vecs.where($"vec_id" % 10 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+    def pq(beam: Int, ce: Int = 0) = rows(Similarity.graphTopKPq(
+      index, cents, books, edges, vecs, queries, "vec_id", "embedding",
+      m = 4, subDim = 16, k = 5, beam = beam, hops = 3, seeds = 2,
+      checkpointEvery = ce))
+    val fl = rows(Similarity.graphTopK(vecs, edges, queries,
+      "vec_id", "embedding", k = 5, beam = 4096, hops = 3, seeds = 2))
+    val ceiling = pq(4096)
+    assert(ceiling == fl && ceiling.nonEmpty)
+    assert(pq(4096, ce = 2) == ceiling)
+    // pruning regime: still k results per query, all float-exact cosines
+    val pruned = Similarity.graphTopKPq(index, cents, books, edges, vecs,
+      queries, "vec_id", "embedding", m = 4, subDim = 16, k = 5,
+      beam = 8, hops = 3, seeds = 2)
+    val perQ = pruned.groupBy($"q_id").count().select("count")
+      .as[Long].collect()
+    assert(perQ.nonEmpty && perQ.forall(_ == 5L))
+  }
+
   test("graphTopK reuses the corpus-sided exchanges across hops: the " +
     "executed plan contains ReusedExchange (each hop joins the SAME " +
     "adjacency/corpus relations — they shuffle once, not per hop)") {

@@ -411,6 +411,19 @@ object AnnSweep {
         println(f"graphsearch beam=$beam%3d hops=$hops " +
           f"recall@5=$r%.4f wall=$dt%5.1fs")
       }
+      // IVF-hybrid warm start: entry at the query's nearest-cell medoids
+      // instead of md5 seeds — the delta vs the matched float rows above
+      // is what the warm start buys (≈ one hop)
+      for (beam <- Seq(32, 64); hops <- Seq(1, 2, 3)) {
+        val t0 = System.nanoTime()
+        val g = Similarity.graphTopKCellEntry(e, edges1, q,
+          "vec_id", "embedding", cents1, k = 5, beam = beam, hops = hops,
+          seedProbes = 4)
+        val r = recall(g)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"graphsearch-cell beam=$beam%3d hops=$hops " +
+          f"recall@5=$r%.4f wall=$dt%5.1fs")
+      }
       // PQ-tier search at the pinned production encoding (m=8/k=64
       // residual): traversal on codes, floats only at the final rescore —
       // the recall delta vs the float rows above is the ADC-pruning cost

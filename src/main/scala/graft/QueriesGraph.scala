@@ -55,7 +55,8 @@ object QueriesGraph {
     * PQ-tier search (ADC order cannot matter once nothing is pruned and
     * the answer is float-rescored).
     */
-  private def beamSearchOracleSql(beam: Int): String = {
+  private def beamSearchOracleSql(beam: Int,
+      cellEntry: Boolean = false): String = {
     def assignCte(centsRel: String, tag: String) =
       s"""${tag}v AS (SELECT cell, list(v ORDER BY pos) AS centroid
                       FROM $centsRel GROUP BY cell),
@@ -103,10 +104,26 @@ object QueriesGraph {
                 FROM embeddings WHERE vec_id % 25 = 0),
          cc AS (SELECT vec_id AS c_id, embedding AS c_vec
                 FROM embeddings),
-         sd AS (SELECT c_id FROM (
+         ${if (!cellEntry)
+        s"""sd AS (SELECT c_id FROM (
                   SELECT c_id, md5(CAST(c_id AS VARCHAR)) AS h
                   FROM cc ORDER BY h, c_id LIMIT 4)),
-         s0 AS (SELECT q.q_id, s.c_id FROM qq q CROSS JOIN sd s),
+         s0 AS (SELECT q.q_id, s.c_id FROM qq q CROSS JOIN sd s),"""
+      else
+        s"""med AS (SELECT cell, c_id FROM (
+                  SELECT m.cell, m.c_id,
+                         row_number() OVER (PARTITION BY m.cell
+                           ORDER BY ${cosSql("m.c_vec", "cent.centroid")} DESC,
+                                    m.c_id) AS mr
+                  FROM mem m JOIN cent ON m.cell = cent.cell)
+                WHERE mr = 1),
+         sq AS (SELECT q_id, cell FROM (
+                  SELECT q.q_id, cent.cell,
+                         row_number() OVER (PARTITION BY q.q_id
+                           ORDER BY ${cosSql("q.q_vec", "cent.centroid")} DESC,
+                                    cent.cell) AS cr
+                  FROM qq q, cent) WHERE cr <= 4),
+         s0 AS (SELECT sq.q_id, med.c_id FROM sq JOIN med USING (cell)),"""}
          sc0 AS (SELECT t.q_id, t.c_id,
                         ${cosSql("q.q_vec", "c.c_vec")} AS cos
                  FROM s0 t JOIN qq q ON t.q_id = q.q_id
@@ -174,6 +191,27 @@ object QueriesGraph {
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("q_id"), col("rnk"))
       },
-      Some(beamSearchOracleSql(beam = 4096)))
+      Some(beamSearchOracleSql(beam = 4096))),
+
+    // ------------------------------------------------------------------
+    // q206: IVF-hybrid entry points — each query enters at the medoids of
+    // its 4 nearest cells instead of global md5 seeds (the measured
+    // one-hop-cheaper warm start). Same graph, beam, hops as q202; only
+    // the s0 CTE changes.
+    // ------------------------------------------------------------------
+    Q("q206_graph_ann_cell_entry",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val edges = Similarity.knnGraph(e, "vec_id", "embedding", cents,
+          k = 3, nprobe = 2)
+        Similarity.graphTopKCellEntry(e, edges,
+            e.where(col("vec_id") % 25 === 0), "vec_id", "embedding",
+            cents, k = 3, beam = 6, hops = 2, seedProbes = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(beamSearchOracleSql(beam = 6, cellEntry = true)))
   )
 }

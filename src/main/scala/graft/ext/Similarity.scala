@@ -873,15 +873,88 @@ object Similarity {
   def graphTopK(corpus: DataFrame, edges: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, beam: Int = 8, hops: Int = 2,
       seeds: Int = 8, checkpointEvery: Int = 0): DataFrame = {
-    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
-      norm(col(vecCol)).as("c_norm"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      norm(col(vecCol)).as("q_norm"))
-    val adj = edges.select(col("q_id").as("src"), col("c_id").as("dst"))
+    val c = floatSide(corpus, idCol, vecCol)
+    val q = querySide(queries, idCol, vecCol)
     // deterministic entry points: smallest md5(id) — k rows, broadcast
     val seedIds = c.select(col("c_id"))
       .withColumn("__h", md5(col("c_id").cast("string")))
       .orderBy(col("__h"), col("c_id")).limit(seeds).select("c_id")
+    graphBeamLoop(q, c, edges,
+      q.select(col("q_id")).crossJoin(broadcast(seedIds)),
+      k, beam, hops, checkpointEvery)
+  }
+
+  /** Per-cell medoid — the member closest to its cell centroid under the
+    * rounded cosine (ties to smaller id). One corpus pass against the
+    * broadcast centroid table; the result is a cells-sized relation, the
+    * graph tier's natural ENTRY-POINT table.
+    */
+  def cellMedoids(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
+    val cv = cellCentroidVectors(cents)
+    val wM = Window.partitionBy(col("cell"))
+      .orderBy(col("__mcos").desc, col(idCol))
+    assignCells(corpus, idCol, vecCol, cents)
+      .join(broadcast(cv), Seq("cell"))
+      .withColumn("__mcos", round(try_divide(
+        dot(col(vecCol), col("centroid")),
+        norm(col(vecCol)) * norm(col("centroid"))), 6))
+      .withColumn("__mr", row_number().over(wM))
+      .where(col("__mr") === 1)
+      .select(col("cell"), col(idCol).as("c_id"))
+  }
+
+  /** [[graphTopK]] with IVF-HYBRID entry points (the DiskANN-style warm
+    * start): each query enters the graph at the MEDOIDS of its
+    * `seedProbes` nearest cells instead of global md5 seeds, so the walk
+    * starts inside the query's neighborhood rather than a uniform random
+    * spot. Measured (AnnSweep `graphsearch`): at hops=2/beam=64 recall@5
+    * 0.535 vs 0.420 for md5 seeds, and 0.168 vs 0.065 at a single hop —
+    * buying roughly one hop (three joins + a window) of wall per query
+    * batch. Costs one query × broadcast-centroids pass (the IVF probe
+    * projection — query-linear) plus the one-time cells-sized medoid
+    * table.
+    */
+  def graphTopKCellEntry(corpus: DataFrame, edges: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, cents: DataFrame,
+      k: Int, beam: Int = 8, hops: Int = 2, seedProbes: Int = 4,
+      checkpointEvery: Int = 0): DataFrame = {
+    val c = floatSide(corpus, idCol, vecCol)
+    val q = querySide(queries, idCol, vecCol)
+    val med = cellMedoids(corpus, idCol, vecCol, cents)
+    val cv = cellCentroidVectors(cents)
+    val wC = Window.partitionBy(col("q_id"))
+      .orderBy(col("__ccos").desc, col("cell"))
+    // distinct cells per query, one member per cell: no dedupe needed
+    val seedCand = q.crossJoin(broadcast(cv))
+      .withColumn("__ccos", round(try_divide(
+        dot(col("q_vec"), col("centroid")),
+        col("q_norm") * norm(col("centroid"))), 6))
+      .withColumn("__cr", row_number().over(wC))
+      .where(col("__cr") <= seedProbes)
+      .join(broadcast(med), Seq("cell"))
+      .select(col("q_id"), col("c_id"))
+    graphBeamLoop(q, c, edges, seedCand, k, beam, hops, checkpointEvery)
+  }
+
+  private def floatSide(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
+
+  private def querySide(queries: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+
+  /** The shared expand-score-prune loop of the float graph searches:
+    * `seedCand` is the (q_id, c_id) entry set; everything after it is
+    * seed-agnostic. See [[graphTopK]] for the reuse/exchange shape.
+    */
+  private def graphBeamLoop(q: DataFrame, c: DataFrame, edges: DataFrame,
+      seedCand: DataFrame, k: Int, beam: Int, hops: Int,
+      checkpointEvery: Int): DataFrame = {
+    val adj = edges.select(col("q_id").as("src"), col("c_id").as("dst"))
 
     def score(cand: DataFrame): DataFrame =
       cand.join(q, Seq("q_id")).join(c, Seq("c_id"))
@@ -894,8 +967,7 @@ object Similarity {
       scored.withColumn("__r", row_number().over(wBeam))
         .where(col("__r") <= b).drop("__r")
 
-    var beamDf = topB(
-      score(q.select(col("q_id")).crossJoin(broadcast(seedIds))), beam)
+    var beamDf = topB(score(seedCand), beam)
     for (h <- 1 to hops) {
       val grown = beamDf.select(col("q_id"), col("c_id"))
         .join(adj, col("c_id") === col("src"))

@@ -2035,6 +2035,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows(2) == plain && rows(1) == plain && plain.nonEmpty)
   }
 
+  test("cellMedoids + graphTopKCellEntry: one medoid per cell from inside " +
+    "the cell; warm-start search is deterministic, k rows per query, and " +
+    "traversal still adds recall on top of the entry points") {
+    val (vecs, edges) = graphFixture()
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val med = Similarity.cellMedoids(vecs, "vec_id", "embedding", cents)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val assign = Similarity.assignCells(vecs, "vec_id", "embedding", cents)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(med.nonEmpty && med.forall { case (cell, id) => assign(id) == cell },
+      s"every medoid must be a member of its own cell: $med")
+    val queries = vecs.where($"vec_id" % 10 === 0)
+    val truth = Similarity.bruteForceTopK(queries, vecs,
+      "vec_id", "embedding", k = 5)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(hops: Int, df: org.apache.spark.sql.DataFrame = vecs) =
+      Similarity.graphTopKCellEntry(df, edges, queries,
+        "vec_id", "embedding", cents, k = 5, beam = 8, hops = hops,
+        seedProbes = 2)
+    def recallOf(hops: Int): Double = {
+      val got = run(hops).select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    assert(recallOf(3) > recallOf(0),
+      "hops must add recall on top of the warm start")
+    val counts = run(2).groupBy($"q_id").count().select("count")
+      .as[Long].collect()
+    assert(counts.nonEmpty && counts.forall(_ == 5L))
+    assert(run(2, vecs.repartition(11)).collect().map(_.toSeq.toList).toSet
+      == run(2).collect().map(_.toSeq.toList).toSet,
+      "pure function of the data")
+  }
+
   test("graphTopKPq at the exactness ceiling equals the float graphTopK " +
     "(no pruning -> same seed closure -> float-rescored top-k verbatim), " +
     "and checkpointEvery is semantics-free on the PQ path too") {

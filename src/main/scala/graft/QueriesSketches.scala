@@ -360,7 +360,93 @@ object QueriesSketches {
               SELECT a.lang, a.est AS est_day0, b.est AS est_cum,
                      round(b.est - a.est, 2) AS est_new
               FROM es0 a JOIN es b ON a.lang = b.lang
-              ORDER BY a.lang"""))
+              ORDER BY a.lang""")),
+
+    // ------------------------------------------------------------------
+    // q207: KMV (theta) sketch minima — the k smallest distinct shingle
+    // hashes per lang. Exact integers; the one sketch whose estimates
+    // support SET ALGEBRA (q208). Merge ≡ one-pass is structural (the k
+    // smallest of a union come from each side's k smallest) and
+    // spec-witnessed; the oracle pins the artifact itself.
+    // ------------------------------------------------------------------
+    Q("q207_kmv_minima",
+      (s, d) => Sketches.kmvPartial(
+          langShingles(t(s, d, "documents")), Seq("lang"), col("g"), k = 64)
+        .orderBy(col("lang"), col("rnk")),
+      Some(s"""WITH $shStreamCte,
+               hv AS (SELECT DISTINCT lang, ${h60Sql("kmv|", "g")} AS h
+                      FROM sh),
+               r AS (SELECT lang, h,
+                            CAST(row_number() OVER (PARTITION BY lang
+                              ORDER BY h) AS INT) AS rnk
+                     FROM hv)
+              SELECT lang, h, rnk FROM r WHERE rnk <= 64
+              ORDER BY lang, rnk""")),
+
+    // ------------------------------------------------------------------
+    // q208: corpus overlap from two KMV sketches — how a 100 TB pipeline
+    // reads train/eval contamination RATE or day-over-day duplication
+    // without an exact join: the even-doc and odd-doc shingle corpora
+    // meet as two 256-row sketches. The exact Jaccard leg judges the
+    // estimate (the q50 convention; KMV σ ≈ √(j(1−j)/k) ≈ 0.031 here).
+    // ------------------------------------------------------------------
+    Q("q208_corpus_overlap",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def gs(par: Int) = docs.where(col("doc_id") % 2 === par)
+          .select(explode(array_distinct(
+            TextAnalysis.shingles(col("text"), 3))).as("g"))
+        def sk(par: Int) =
+          Sketches.kmvPartial(gs(par), Nil, col("g"), k = 256)
+        val est = Sketches.kmvOverlap(sk(0), sk(1), k = 256)
+        val exact = gs(0).distinct().withColumn("__a", lit(1))
+          .join(gs(1).distinct().withColumn("__b", lit(1)), Seq("g"), "full")
+          .agg(round(
+            sum(when(col("__a") === 1 && col("__b") === 1, 1L).otherwise(0L))
+              .cast("double") / count(lit(1)).cast("double"), 6)
+            .as("jaccard_exact"))
+        est.crossJoin(exact)
+          .select(col("jaccard_est"), col("union_est"), col("inter_est"),
+            col("jaccard_exact"),
+            (abs(col("jaccard_est") - col("jaccard_exact")) <= lit(0.1))
+              .as("kmv_ok"))
+      },
+      Some(s"""WITH $shStreamCte,
+               hva AS (SELECT DISTINCT ${h60Sql("kmv|", "g")} AS h FROM sh
+                       WHERE doc_id % 2 = 0),
+               hvb AS (SELECT DISTINCT ${h60Sql("kmv|", "g")} AS h FROM sh
+                       WHERE doc_id % 2 = 1),
+               ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+                                        AS rn FROM hva) WHERE rn <= 256),
+               skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+                                        AS rn FROM hvb) WHERE rn <= 256),
+               mu AS (SELECT DISTINCT h FROM (SELECT h FROM ska
+                                              UNION ALL SELECT h FROM skb)),
+               m AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+                                      AS rn FROM mu) WHERE rn <= 256),
+               fl AS (SELECT m.h,
+                             (a.h IS NOT NULL AND b.h IS NOT NULL) AS in_both
+                      FROM m LEFT JOIN ska a ON m.h = a.h
+                             LEFT JOIN skb b ON m.h = b.h),
+               ag AS (SELECT count(*) AS n, max(h) AS hk,
+                             sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS nboth
+                      FROM fl),
+               eo AS (SELECT round(CAST(nboth AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                               AS jaccard_est,
+                             round(CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                                   ELSE 255.0 * 1152921504606846976.0 /
+                                        CAST(hk AS DOUBLE) END, 2) AS union_est
+                      FROM ag),
+               exj AS (SELECT round(
+                         CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                                  THEN 1 ELSE 0 END) AS DOUBLE) /
+                         CAST(count(*) AS DOUBLE), 6) AS jaccard_exact
+                       FROM hva a FULL JOIN hvb b ON a.h = b.h)
+              SELECT jaccard_est, union_est,
+                     round(jaccard_est * union_est, 2) AS inter_est,
+                     jaccard_exact,
+                     abs(jaccard_est - jaccard_exact) <= 0.1 AS kmv_ok
+              FROM eo CROSS JOIN exj"""))
   )
 
   private lazy val artifactRoot: String =

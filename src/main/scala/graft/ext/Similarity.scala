@@ -854,10 +854,15 @@ object Similarity {
     * graph, which is the reason graph ANN beats IVF probing when the
     * query set is small and latency-bound.
     *
-    * `corpus` supplies (idCol, vecCol) for scoring; `edges` is any
-    * (q_id, c_id) relation — [[knnGraph]]'s output or the maintained
-    * artifact's current edges. Queries not reaching a node through the
-    * graph never score it: recall is governed by beam/hops/GRAPH DEGREE —
+    * `corpus` supplies (idCol, vecCol) for scoring AND the md5 seed pool,
+    * so it must be the LIVE store: after a takedown, pass the rewritten
+    * state's members, not the raw history — a tombstoned vector still in
+    * `corpus` could re-enter as a seed even with its edges gone
+    * (composition spec-pinned against knnGraphDeleteAndCompact). `edges`
+    * is any (q_id, c_id) relation — [[knnGraph]]'s output or the
+    * maintained artifact's current edges. Queries not reaching a node
+    * through the graph never score it: recall is governed by
+    * beam/hops/GRAPH DEGREE —
     * degree is the strongest lever (measured in AnnSweep `graphsearch`:
     * k=8 saturates at 0.73 recall@5 where k=16 reaches 0.88), the HNSW
     * navigability result.

@@ -204,6 +204,119 @@ object Sketches {
   }
 
   // ------------------------------------------------------------------
+  // K-minimum-values (theta) sketch
+  // ------------------------------------------------------------------
+
+  /** KMV partial: the k smallest DISTINCT hash60 values per group —
+    * (groupCols*, rnk INT, h BIGINT). The theta-sketch family's
+    * DataFrame form: mergeable (union → distinct → re-rank — [[kmvMerge]]
+    * is literally the same op), duplicate-insensitive, and the one sketch
+    * here whose ESTIMATES support set algebra: two groups' sketches
+    * estimate their Jaccard/intersection/union ([[kmvOverlap]]), which
+    * registers and counters cannot.
+    *
+    * Scale shape: the distinct is a (group, h)-keyed shuffle with
+    * map-side partial dedupe — per-partition-distinct-bounded, heavier
+    * than HLL's register-bounded partials but far under the exact
+    * alternative (shuffling full items; h is 8 bytes). The classic theta
+    * refinement — pre-filter h < θ before the shuffle once a θ estimate
+    * exists — drops in front of this operator unchanged if a corpus ever
+    * needs it.
+    */
+  def kmvPartial(df: DataFrame, groupCols: Seq[String], item: Column,
+      k: Int): DataFrame = {
+    require(k >= 8)
+    kmvFromHashes(
+      df.select((groupCols.map(col) :+ hash60(item, "kmv|").as("h")): _*),
+      groupCols, k)
+  }
+
+  /** Fold stacked KMV partials: keep the k smallest of the union again.
+    * Associative; merge(partial(A), partial(B)) ≡ partial(A ∪ B) exactly,
+    * because the k smallest of a union can only come from each side's k
+    * smallest.
+    */
+  def kmvMerge(partials: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame =
+    kmvFromHashes(partials.select((groupCols :+ "h").map(col): _*),
+      groupCols, k)
+
+  /** The shared build: one groupBy whose aggregate is the BOUNDED
+    * [[graft.functions.KMinDistinct]] buffer (map-side partials ship ≤ k
+    * longs per group per split — the first KMV cut's distinct+rank plan
+    * shuffled per-partition-DISTINCT rows, ~2.5 M at the 10× corpus,
+    * where this ships splits × k), then an ascending posexplode back to
+    * the (group*, h, rnk) row shape.
+    */
+  private def kmvFromHashes(hashes: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) hashes.groupBy()
+      else hashes.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(graft.functions.VectorFunctions
+        .kMinDistinctNative(col("h"), k).as("__hs"))
+      .select((groupCols.map(col) :+ posexplode(col("__hs"))): _*)
+      .select((groupCols.map(col) :+ col("col").as("h") :+
+        (col("pos") + 1).cast("int").as("rnk")): _*)
+  }
+
+  /** Distinct-cardinality estimate off a full (rnk = k) sketch:
+    * (k−1)·2^60 / h_k — the classic KMV estimator over hashes uniform in
+    * [0, 2^60). Groups with fewer than k distinct values are EXACT (their
+    * sketch holds every value): est = row count. One double division,
+    * rounded to 2 dp.
+    */
+  def kmvEstimate(sketch: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) sketch.groupBy()
+      else sketch.groupBy(groupCols.map(col): _*)
+    grouped.agg(count(lit(1)).as("__n"), max(col("h")).as("__hk"))
+      .select((groupCols.map(col) :+
+        round(when(col("__n") < k, col("__n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(Hash60Range) /
+            col("__hk").cast("double")), 2).as("est")): _*)
+  }
+
+  /** 2^60 as a double (exact). */
+  private val Hash60Range: Double = (1L << 60).toDouble
+
+  /** Jaccard / union / intersection estimates between two item sets from
+    * their KMV sketches (same k, same salt — any two [[kmvPartial]]
+    * outputs): M = the k smallest of the union of both sketches' values;
+    * jaccard_est = |M ∩ A ∩ B| / |M| (exact integer ratio, rounded 6);
+    * union_est = the KMV estimator over M; inter_est = their product.
+    * This is how a 100 TB pipeline reads train/eval overlap or
+    * day-over-day duplication WITHOUT an exact join: two k-row sketches
+    * meet, nothing corpus-sized moves.
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inA = a.select(col("h")).distinct().withColumn("__a", lit(1))
+    val inB = b.select(col("h")).distinct().withColumn("__b", lit(1))
+    val m = inA.select(col("h")).unionByName(inB.select(col("h")))
+      .distinct()
+      .withColumn("__r", row_number().over(Window.orderBy(col("h"))))
+      .where(col("__r") <= k)
+    val flagged = m.join(inA, Seq("h"), "left").join(inB, Seq("h"), "left")
+    val agg = flagged.agg(
+      count(lit(1)).as("__n"),
+      max(col("h")).as("__hk"),
+      sum(when(col("__a") === 1 && col("__b") === 1, 1L).otherwise(0L))
+        .as("__both"))
+    val unionEst = when(col("__n") < k, col("__n").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(Hash60Range) /
+        col("__hk").cast("double"))
+    agg.select(
+      round(col("__both").cast("double") / col("__n").cast("double"), 6)
+        .as("jaccard_est"),
+      round(unionEst, 2).as("union_est"),
+      round(round(col("__both").cast("double") / col("__n").cast("double"), 6)
+        * round(unionEst, 2), 2).as("inter_est"))
+  }
+
+  // ------------------------------------------------------------------
   // Equi-width histogram
   // ------------------------------------------------------------------
 

@@ -435,6 +435,98 @@ case class Int8DotPacked(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Bounded k-minimum-distinct aggregate — the KMV (theta) sketch's build
+  * kernel. The buffer is a ≤ k-element sorted set of longs: `update` admits
+  * a value only when the buffer is short or the value beats the current
+  * k-th minimum, `merge` folds another buffer through the same rule, and
+  * the partial-aggregation contract does the scale work — every map task
+  * ships AT MOST k longs per group instead of its per-partition distinct
+  * set (measured: the distinct+rank form shuffled ~2.5 M rows at the 10×
+  * corpus where this ships splits × k). Duplicate-insensitive by the set,
+  * order-insensitive by min-ness: the k smallest of a union are among each
+  * side's k smallest, so partials merge exactly.
+  *
+  * eval returns the ascending `array<long>` of minima (possibly shorter
+  * than k when the group has fewer distinct values — the below-k exactness
+  * the estimator relies on).
+  */
+case class KMinDistinct(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 1, s"k=$k must be >= 1")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_kmin_distinct expects a bigint, got ${child.dataType}")
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def admit(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit =
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last()) {
+      if (buf.add(h)) { buf.pollLast(); () }
+    }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) admit(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long])
+      : java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) admit(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KMinDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KMinDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KMinDistinct =
+    copy(child = newChildren.head)
+}
+
 object VectorFunctions {
   /** Fused dot product as a Column (codegen'd; see DotProductArr). */
   def dotNative(a: Column, b: Column): Column =
@@ -467,6 +559,11 @@ object VectorFunctions {
   def int8DotNative(a: Column, b: Column): Column =
     ColumnBridge.column(Int8DotPacked(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Bounded k-minimum-distinct aggregate as a Column (see KMinDistinct). */
+  def kMinDistinctNative(h: Column, k: Int): Column =
+    ColumnBridge.column(KMinDistinct(ColumnBridge.expression(h), k)
+      .toAggregateExpression())
 
   /** Broadcast-Bloom membership probe as a Column (codegen'd; see
     * BloomMightContain).

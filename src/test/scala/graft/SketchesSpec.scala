@@ -94,6 +94,67 @@ class SketchesSpec extends AnyFunSuite {
     assert(got >= 12L) // >= truth; == 12 unless 'b' collides on both depths
   }
 
+  // ---- KMV (theta) ---------------------------------------------------
+
+  test("kmv: merge of 3-way split equals one-pass; duplicate-insensitive") {
+    val df = items(3000, dup = 2).withColumn("g", pmod(crc32(col("x")), lit(3)))
+    val full = Sketches.kmvPartial(df, Nil, col("x"), k = 64)
+    val merged = Sketches.kmvMerge(
+      (0 until 3).map(i => Sketches.kmvPartial(
+        df.where(col("g") === i), Nil, col("x"), k = 64))
+        .reduce(_ unionByName _), Nil, k = 64)
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    assert(full.count() == 64)
+  }
+
+  test("kmv: the bounded KMinDistinct aggregate equals the distinct+rank " +
+    "window form exactly (duplicates, groups, below-k groups, any layout)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = items(900, dup = 3)
+      .withColumn("g", pmod(crc32(col("x")), lit(4)).cast("string"))
+      // one below-k group: only 5 distinct items
+      .unionByName(Seq.tabulate(15)(i => (s"item-${i % 5}", "tiny"))
+        .toDF("x", "g"))
+      .repartition(17)
+    val fast = Sketches.kmvPartial(df, Seq("g"), col("x"), k = 32)
+    val naive = df.select(col("g"),
+        Sketches.hash60(col("x"), "kmv|").as("h")).distinct()
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("h"))).cast("int"))
+      .where(col("rnk") <= 32)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    assert(fast.where(col("g") === "tiny").count() == 5,
+      "below-k groups keep every distinct value")
+  }
+
+  test("kmv: cardinality estimate within 3 standard errors at n >> k; " +
+    "exact below k") {
+    val n = 20000
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvPartial(items(n), Nil, col("x"), k = 256), Nil, k = 256)
+      .select("est").as[Double].head()
+    val se = n / math.sqrt(256.0 - 2) // KMV rse ≈ 1/sqrt(k-2)
+    assert(math.abs(est - n) <= 3 * se, s"est=$est exact=$n band=${3 * se}")
+    val small = Sketches.kmvEstimate(
+      Sketches.kmvPartial(items(50), Nil, col("x"), k = 256), Nil, k = 256)
+      .select("est").as[Double].head()
+    assert(small == 50.0, s"below-k groups must be exact, got $small")
+  }
+
+  test("kmv overlap: jaccard/union/intersection near truth on sets with " +
+    "known 1/3 overlap") {
+    // A = 0..1499, B = 1000..2499 -> |A∩B| = 500, |A∪B| = 2500, J = 0.2
+    val a = Sketches.kmvPartial(
+      (0 until 1500).map(i => s"item-$i").toDF("x"), Nil, col("x"), k = 256)
+    val b = Sketches.kmvPartial(
+      (1000 until 2500).map(i => s"item-$i").toDF("x"), Nil, col("x"), k = 256)
+    val r = Sketches.kmvOverlap(a, b, k = 256).head()
+    val (j, u, i) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(math.abs(j - 0.2) <= 0.08, s"jaccard_est=$j truth=0.2")
+    assert(math.abs(u - 2500) <= 500, s"union_est=$u truth=2500")
+    assert(math.abs(i - 500) <= 250, s"inter_est=$i truth=500")
+  }
+
   // ---- Histogram ---------------------------------------------------
 
   test("hist: merge equals one-pass; quantile estimate within one bin width of exact") {

@@ -893,6 +893,24 @@ class StreamingSpec extends AnyFunSuite {
       "post-takedown triggers keep accumulated == rebuild")
     assert(!current().select($"q_id", $"c_id").collect()
       .exists(r => rmIds.contains(r.getLong(0)) || rmIds.contains(r.getLong(1))))
+    // takedown-correct SEARCH: a query over the maintained artifact —
+    // live corpus from the rewritten state (rank-1 rows), current edges —
+    // must never surface a tombstoned id, through seeds, traversal, or
+    // scoring, and still answers k rows per query
+    val live = Similarity.loadKnnGraphState(spark, stateDir)
+      .where($"probe_rank" === 1)
+      .select($"q_id".as("vec_id"), $"q_vec".as("embedding"))
+    assert(live.where($"vec_id".isin(rmIds: _*)).isEmpty,
+      "the rewritten state must not hold tombstoned vectors")
+    val hits = Similarity.graphTopK(live, current(),
+      live.where($"vec_id" % 5 === 0), "vec_id", "embedding",
+      k = 3, beam = 8, hops = 3, seeds = 4)
+    val hitRows = hits.select($"q_id", $"c_id").as[(Long, Long)].collect()
+    assert(hitRows.nonEmpty &&
+      !hitRows.exists(p => rmIds.contains(p._1) || rmIds.contains(p._2)),
+      "search over the post-takedown artifact must not return tombstones")
+    assert(hits.groupBy($"q_id").count().select("count").as[Long]
+      .collect().forall(_ == 3L))
   }
 
   test("mediaHashBatch rejects a multi-row hasher under the single-row " +

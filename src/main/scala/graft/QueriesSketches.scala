@@ -446,7 +446,135 @@ object QueriesSketches {
                      round(jaccard_est * union_est, 2) AS inter_est,
                      jaccard_exact,
                      abs(jaccard_est - jaccard_exact) <= 0.1 AS kmv_ok
-              FROM eo CROSS JOIN exj"""))
+              FROM eo CROSS JOIN exj""")),
+
+    // ------------------------------------------------------------------
+    // q209: the per-STRATUM overlap monitor — q208's read grouped by
+    // lang: each language's even-doc vs odd-doc shingle overlap from two
+    // k=128 sketches (the day-over-day duplication rate per stratum a
+    // 100 TB ingest tracks). Exact-Jaccard legs judge each row.
+    // ------------------------------------------------------------------
+    Q("q209_stratum_overlap",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def gs(par: Int) = langShingles(docs.where(col("doc_id") % 2 === par))
+        def sk(par: Int) =
+          Sketches.kmvPartial(gs(par), Seq("lang"), col("g"), k = 128)
+        val est = Sketches.kmvOverlapByGroup(sk(0), sk(1), Seq("lang"), k = 128)
+        val exact = gs(0).distinct().withColumn("__a", lit(1))
+          .join(gs(1).distinct().withColumn("__b", lit(1)),
+            Seq("lang", "g"), "full")
+          .groupBy(col("lang"))
+          .agg(round(
+            sum(when(col("__a") === 1 && col("__b") === 1, 1L).otherwise(0L))
+              .cast("double") / count(lit(1)).cast("double"), 6)
+            .as("jaccard_exact"))
+        est.join(exact, Seq("lang"))
+          .select(col("lang"), col("jaccard_est"), col("union_est"),
+            col("inter_est"), col("jaccard_exact"),
+            (abs(col("jaccard_est") - col("jaccard_exact")) <= lit(0.15))
+              .as("kmv_ok"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH $shStreamCte,
+               hva AS (SELECT DISTINCT lang, ${h60Sql("kmv|", "g")} AS h
+                       FROM sh WHERE doc_id % 2 = 0),
+               hvb AS (SELECT DISTINCT lang, ${h60Sql("kmv|", "g")} AS h
+                       FROM sh WHERE doc_id % 2 = 1),
+               ska AS (SELECT lang, h FROM (
+                         SELECT lang, h, row_number() OVER (
+                           PARTITION BY lang ORDER BY h) AS rn FROM hva)
+                       WHERE rn <= 128),
+               skb AS (SELECT lang, h FROM (
+                         SELECT lang, h, row_number() OVER (
+                           PARTITION BY lang ORDER BY h) AS rn FROM hvb)
+                       WHERE rn <= 128),
+               mu AS (SELECT DISTINCT lang, h FROM (
+                        SELECT lang, h FROM ska
+                        UNION ALL SELECT lang, h FROM skb)),
+               m AS (SELECT lang, h FROM (
+                       SELECT lang, h, row_number() OVER (
+                         PARTITION BY lang ORDER BY h) AS rn FROM mu)
+                     WHERE rn <= 128),
+               fl AS (SELECT m.lang, m.h,
+                             (a.h IS NOT NULL AND b.h IS NOT NULL) AS in_both
+                      FROM m LEFT JOIN ska a
+                               ON m.lang = a.lang AND m.h = a.h
+                             LEFT JOIN skb b
+                               ON m.lang = b.lang AND m.h = b.h),
+               ag AS (SELECT lang, count(*) AS n, max(h) AS hk,
+                             sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS nboth
+                      FROM fl GROUP BY lang),
+               eo AS (SELECT lang,
+                             round(CAST(nboth AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                               AS jaccard_est,
+                             round(CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+                                   ELSE 127.0 * 1152921504606846976.0 /
+                                        CAST(hk AS DOUBLE) END, 2) AS union_est
+                      FROM ag),
+               exj AS (SELECT coalesce(a.lang, b.lang) AS lang,
+                              round(CAST(sum(CASE WHEN a.h IS NOT NULL
+                                        AND b.h IS NOT NULL THEN 1 ELSE 0 END)
+                                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                                AS jaccard_exact
+                       FROM hva a FULL JOIN hvb b
+                         ON a.lang = b.lang AND a.h = b.h
+                       GROUP BY coalesce(a.lang, b.lang))
+              SELECT lang, jaccard_est, union_est,
+                     round(jaccard_est * union_est, 2) AS inter_est,
+                     jaccard_exact,
+                     abs(jaccard_est - jaccard_exact) <= 0.15 AS kmv_ok
+              FROM eo JOIN exj USING (lang) ORDER BY lang""")),
+
+    // ------------------------------------------------------------------
+    // q210: PSI drift between two histogram ARTIFACTS — the standard
+    // production shift metric read off the sketches alone (no raw-data
+    // re-scan). Laplace smoothing defines empty bins; each term is cast
+    // to DECIMAL(20,12) before the sum so the one libm ln's ulp spread
+    // vanishes and the sum is exact and associative — the rounded PSI is
+    // engine-independent and full-hash-gated.
+    // ------------------------------------------------------------------
+    Q("q210_hist_psi",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def part(par: Int) = Sketches.histPartial(
+          docs.where(col("doc_id") % 2 === par), Seq("lang"),
+          col("n_chars"), lo = 0.0, width = 32.0, bins = 20)
+        Sketches.histPsi(part(0), part(1), Seq("lang"), bins = 20)
+          .select(col("lang"), col("psi"), (col("psi") < 0.25).as("stable"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH hb AS (SELECT lang, doc_id,
+                             CAST(least(greatest(floor((CAST(n_chars AS DOUBLE)
+                                  - 0.0) / 32.0), 0.0), 19.0) AS INT) AS bin
+                      FROM documents),
+               ha AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS ca
+                      FROM hb WHERE doc_id % 2 = 0 GROUP BY lang, bin),
+               h2 AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS cb
+                      FROM hb WHERE doc_id % 2 = 1 GROUP BY lang, bin),
+               j AS (SELECT coalesce(a.lang, b.lang) AS lang,
+                            coalesce(a.bin, b.bin) AS bin,
+                            coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
+                     FROM ha a FULL JOIN h2 b
+                       ON a.lang = b.lang AND a.bin = b.bin),
+               tt AS (SELECT lang, bin, ca, cb,
+                             sum(ca) OVER (PARTITION BY lang) AS ta,
+                             sum(cb) OVER (PARTITION BY lang) AS tb
+                      FROM j),
+               pq AS (SELECT lang,
+                             CAST(ca + 1 AS DOUBLE) / CAST(ta + 20 AS DOUBLE)
+                               AS p,
+                             CAST(cb + 1 AS DOUBLE) / CAST(tb + 20 AS DOUBLE)
+                               AS q
+                      FROM tt),
+               tm AS (SELECT lang,
+                             CAST((p - q) * ln(p / q) AS DECIMAL(20,12))
+                               AS term
+                      FROM pq),
+               ps AS (SELECT lang, round(CAST(sum(term) AS DOUBLE), 6) AS psi
+                      FROM tm GROUP BY lang)
+              SELECT lang, psi, psi < 0.25 AS stable
+              FROM ps ORDER BY lang"""))
   )
 
   private lazy val artifactRoot: String =

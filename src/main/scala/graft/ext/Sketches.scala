@@ -291,29 +291,46 @@ object Sketches {
     * day-over-day duplication WITHOUT an exact join: two k-row sketches
     * meet, nothing corpus-sized moves.
     */
-  def kmvOverlap(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val inA = a.select(col("h")).distinct().withColumn("__a", lit(1))
-    val inB = b.select(col("h")).distinct().withColumn("__b", lit(1))
-    val m = inA.select(col("h")).unionByName(inB.select(col("h")))
-      .distinct()
-      .withColumn("__r", row_number().over(Window.orderBy(col("h"))))
-      .where(col("__r") <= k)
-    val flagged = m.join(inA, Seq("h"), "left").join(inB, Seq("h"), "left")
-    val agg = flagged.agg(
+  def kmvOverlap(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    kmvOverlapByGroup(a, b, Nil, k)
+
+  /** Group-wise [[kmvOverlap]] — one overlap row per group present in
+    * EITHER sketch relation (union semantics: a stratum that exists on
+    * only one side reports jaccard 0 with its own union estimate — itself
+    * a drift signal, not a row to drop): the per-stratum day-over-day
+    * duplication / drift monitor. The union's k minima per group come
+    * from [[kmvMerge]]'s bounded aggregate, so the whole read is
+    * sketch-sized end to end.
+    */
+  def kmvOverlapByGroup(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val keyA = (groupCols :+ "h").map(col)
+    val inA = a.select(keyA: _*).withColumn("__a", lit(1))
+    val inB = b.select(keyA: _*).withColumn("__b", lit(1))
+    val m = kmvMerge(
+      inA.drop("__a").unionByName(inB.drop("__b")), groupCols, k)
+      .drop("rnk")
+    val flagged = m
+      .join(inA, groupCols :+ "h", "left")
+      .join(inB, groupCols :+ "h", "left")
+    val grouped =
+      if (groupCols.isEmpty) flagged.groupBy()
+      else flagged.groupBy(groupCols.map(col): _*)
+    val agg = grouped.agg(
       count(lit(1)).as("__n"),
       max(col("h")).as("__hk"),
       sum(when(col("__a") === 1 && col("__b") === 1, 1L).otherwise(0L))
         .as("__both"))
-    val unionEst = when(col("__n") < k, col("__n").cast("double"))
-      .otherwise(lit((k - 1).toDouble) * lit(Hash60Range) /
-        col("__hk").cast("double"))
-    agg.select(
-      round(col("__both").cast("double") / col("__n").cast("double"), 6)
-        .as("jaccard_est"),
-      round(unionEst, 2).as("union_est"),
-      round(round(col("__both").cast("double") / col("__n").cast("double"), 6)
-        * round(unionEst, 2), 2).as("inter_est"))
+    val jacc = round(
+      col("__both").cast("double") / col("__n").cast("double"), 6)
+    val unionEst = round(
+      when(col("__n") < k, col("__n").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(Hash60Range) /
+          col("__hk").cast("double")), 2)
+    agg.select((groupCols.map(col) :+
+      jacc.as("jaccard_est") :+
+      unionEst.as("union_est") :+
+      round(jacc * unionEst, 2).as("inter_est")): _*)
   }
 
   // ------------------------------------------------------------------
@@ -339,6 +356,47 @@ object Sketches {
   def histMerge(partials: DataFrame, groupCols: Seq[String]): DataFrame =
     partials.groupBy((groupCols :+ "bin").map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
+
+  /** Population-stability index between two histogram partials (the
+    * standard production drift metric over the SKETCH artifacts — no raw
+    * data re-read): PSI = Σ_bins (p−q)·ln(p/q) with Laplace smoothing
+    * p = (cnt_a+1)/(tot_a+bins) so empty bins are defined; bins absent
+    * from BOTH sides contribute exactly 0 under the smoothing (p = q), so
+    * the full-outer join needs no dense bin spine. Each term is cast to
+    * DECIMAL(20,12) before the sum — ln is the one libm call, a ≤1-ulp
+    * spread (~1e-17) vanishes at 12 dp, and the decimal sum is exact and
+    * associative, so the rounded PSI is engine-independent. Rule of
+    * thumb: <0.1 stable, 0.1–0.25 moderate shift, >0.25 drifted.
+    */
+  def histPsi(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      bins: Int): DataFrame = {
+    val ga = a.select((groupCols ++ Seq("bin", "cnt")).map(col): _*)
+      .withColumnRenamed("cnt", "__ca")
+    val gb = b.select((groupCols ++ Seq("bin", "cnt")).map(col): _*)
+      .withColumnRenamed("cnt", "__cb")
+    val joined = ga.join(gb, groupCols :+ "bin", "full")
+      .select((groupCols.map(col) :+ col("bin") :+
+        coalesce(col("__ca"), lit(0L)).as("__ca") :+
+        coalesce(col("__cb"), lit(0L)).as("__cb")): _*)
+    val tspec =
+      if (groupCols.isEmpty)
+        org.apache.spark.sql.expressions.Window.partitionBy()
+      else org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*)
+    val withTot = joined
+      .withColumn("__ta", sum(col("__ca")).over(tspec))
+      .withColumn("__tb", sum(col("__cb")).over(tspec))
+    val p = (col("__ca") + lit(1L)).cast("double") /
+      (col("__ta") + lit(bins.toLong)).cast("double")
+    val q = (col("__cb") + lit(1L)).cast("double") /
+      (col("__tb") + lit(bins.toLong)).cast("double")
+    val term = ((p - q) * log(p / q)).cast("decimal(20,12)")
+    val grouped =
+      if (groupCols.isEmpty) withTot.select(term.as("__t")).groupBy()
+      else withTot.select((groupCols.map(col) :+ term.as("__t")): _*)
+        .groupBy(groupCols.map(col): _*)
+    grouped.agg(round(sum(col("__t")).cast("double"), 6).as("psi"))
+  }
 
   /** Quantile estimates from a merged histogram: one row per
     * (group, quantile) — (groupCols*, qf DOUBLE, est DOUBLE). The target

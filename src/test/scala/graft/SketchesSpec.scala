@@ -155,6 +155,42 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(i - 500) <= 250, s"inter_est=$i truth=500")
   }
 
+  test("kmvOverlapByGroup: per-group jaccard near per-group truth, " +
+    "one-sided groups surface with jaccard 0 (union semantics)") {
+    // group g0: A=0..599, B=300..899 -> J = 300/900 = 1/3
+    // group g1: disjoint halves      -> J = 0
+    // group g2: only in A            -> present, J = 0 (a drift signal)
+    def side(tag: String, rs: Seq[(String, Range)]) =
+      rs.flatMap { case (g, r) => r.map(i => (g, s"it-$i")) }
+        .toDF("g", "x")
+    val a = Sketches.kmvPartial(side("a",
+      Seq("g0" -> (0 until 600), "g1" -> (0 until 400),
+        "g2" -> (0 until 50))), Seq("g"), col("x"), k = 128)
+    val b = Sketches.kmvPartial(side("b",
+      Seq("g0" -> (300 until 900), "g1" -> (1000 until 1400))),
+      Seq("g"), col("x"), k = 128)
+    val r = Sketches.kmvOverlapByGroup(a, b, Seq("g"), k = 128)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.keySet == Set("g0", "g1", "g2"))
+    assert(math.abs(r("g0") - 1.0 / 3) <= 0.12, s"g0 jaccard=${r("g0")}")
+    assert(r("g1") == 0.0 && r("g2") == 0.0)
+  }
+
+  test("histPsi: identical histograms give exactly 0, a shifted " +
+    "distribution crosses the drift bar, one-sided bins stay defined") {
+    val base = (1 to 2000).map(i => ("g", (i % 400).toDouble)).toDF("g", "v")
+    val same = Sketches.histPartial(base, Seq("g"), col("v"), 0.0, 40.0, 10)
+    assert(Sketches.histPsi(same, same, Seq("g"), 10)
+      .select("psi").as[Double].head() == 0.0)
+    // shift by 200: mass moves across bins incl. bins empty on one side
+    val moved = Sketches.histPartial(
+      base.select(col("g"), (col("v") + 200.0).as("v")),
+      Seq("g"), col("v"), 0.0, 40.0, 10)
+    val psi = Sketches.histPsi(same, moved, Seq("g"), 10)
+      .select("psi").as[Double].head()
+    assert(psi > 0.25 && !psi.isNaN && !psi.isInfinite, s"psi=$psi")
+  }
+
   // ---- Histogram ---------------------------------------------------
 
   test("hist: merge equals one-pass; quantile estimate within one bin width of exact") {

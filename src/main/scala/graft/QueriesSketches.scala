@@ -305,9 +305,9 @@ object QueriesSketches {
         trigger(1, 1L)
         trigger(1, 1L) // at-least-once replay: must rewrite, not double
         graft.streaming.StreamingIngest.compactSketchDir(
-          s, s"$dir/hll", Seq("lang"), isHll = true)
+          s, s"$dir/hll", Seq("lang"), "hll")
         graft.streaming.StreamingIngest.compactSketchDir(
-          s, s"$dir/cms", Seq("lang"), isHll = false)
+          s, s"$dir/cms", Seq("lang"), "cms")
         val est = Sketches.hllEstimate(
           graft.streaming.StreamingIngest.currentHllSketch(s, dir, Seq("lang")),
           Seq("lang"), p = 8)

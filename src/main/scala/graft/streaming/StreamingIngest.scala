@@ -1430,22 +1430,28 @@ object StreamingIngest {
     */
   def sketchStream(items: DataFrame, sketchDir: String,
       checkpointDir: String, groupCols: Seq[String], itemCol: String,
-      p: Int = 8, d: Int = 3, w: Int = 256, compactEvery: Int = 0)
+      p: Int = 8, d: Int = 3, w: Int = 256, compactEvery: Int = 0,
+      kmvK: Int = 0, hist: Option[(String, Double, Double, Int)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     items.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sketchBatch(batch, batchId, sketchDir, groupCols, itemCol,
-          p, d, w, compactEvery)
+          p, d, w, compactEvery, kmvK, hist)
       }
       .start()
 
   /** One trigger of [[sketchStream]] — public so specs and the batch
-    * catalog drive exactly the production path.
+    * catalog drive exactly the production path. `kmvK > 0` also lands the
+    * KMV minima (the overlap/drift monitor's input); `hist` =
+    * (valueCol, lo, width, bins) also lands the value histogram (the PSI
+    * monitor's input) — all four sketch kinds share the batch_id
+    * partition/replay/compaction contract.
     */
   def sketchBatch(batch: DataFrame, batchId: Long, sketchDir: String,
       groupCols: Seq[String], itemCol: String, p: Int, d: Int, w: Int,
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 0, kmvK: Int = 0,
+      hist: Option[(String, Double, Double, Int)] = None): Unit = {
     if (batch.isEmpty) return
     def land(partial: DataFrame, sub: String): Unit =
       partial.withColumn("batch_id", lit(batchId))
@@ -1455,11 +1461,24 @@ object StreamingIngest {
         .parquet(s"$sketchDir/$sub")
     land(Sketches.hllPartial(batch, groupCols, col(itemCol), p), "hll")
     land(Sketches.cmsPartial(batch, groupCols, col(itemCol), d, w), "cms")
+    if (kmvK > 0)
+      land(Sketches.kmvPartial(batch, groupCols, col(itemCol), kmvK), "kmv")
+    hist.foreach { case (vc, lo, width, bins) =>
+      land(Sketches.histPartial(batch, groupCols, col(vc), lo, width, bins),
+        "hist")
+    }
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-      compactSketchDir(batch.sparkSession, s"$sketchDir/hll", groupCols,
-        isHll = true, belowBatch = Some(batchId))
-      compactSketchDir(batch.sparkSession, s"$sketchDir/cms", groupCols,
-        isHll = false, belowBatch = Some(batchId))
+      val spark = batch.sparkSession
+      compactSketchDir(spark, s"$sketchDir/hll", groupCols, "hll",
+        belowBatch = Some(batchId))
+      compactSketchDir(spark, s"$sketchDir/cms", groupCols, "cms",
+        belowBatch = Some(batchId))
+      if (kmvK > 0)
+        compactSketchDir(spark, s"$sketchDir/kmv", groupCols, "kmv",
+          belowBatch = Some(batchId), kmvK = kmvK)
+      if (hist.nonEmpty)
+        compactSketchDir(spark, s"$sketchDir/hist", groupCols, "hist",
+          belowBatch = Some(batchId))
     }
   }
 
@@ -1476,8 +1495,9 @@ object StreamingIngest {
       spark.read.parquet(s"$sketchDir/cms").drop("batch_id"), groupCols)
 
   /** Fold partials with `batch_id < belowBatch` (None = all) into the
-    * `-1` epoch by the sketch's own merge — register-wise MAX (`isHll`)
-    * or counter-wise SUM. Unlike the hash-index compactors there is no
+    * `-1` epoch by the sketch's OWN merge — register-wise MAX (`hll`),
+    * counter/bin-wise SUM (`cms`/`hist`), k-smallest-of-union (`kmv`,
+    * which needs `kmvK`). Unlike the hash-index compactors there is no
     * latest-wins versioning: sketch partials are COMMUTATIVE, so the
     * fold is the merge itself, and a previous `-1` epoch folds in with
     * everything else. Crash-safe temp-then-swap; merged reads are
@@ -1485,17 +1505,25 @@ object StreamingIngest {
     * row count.
     */
   def compactSketchDir(spark: SparkSession, path: String,
-      groupCols: Seq[String], isHll: Boolean,
-      belowBatch: Option[Long] = None): Long = {
+      groupCols: Seq[String], kind: String,
+      belowBatch: Option[Long] = None, kmvK: Int = 0): Long = {
     val all = spark.read.parquet(path)
     val (fold, keep) = belowBatch match {
       case Some(b) =>
         (all.where(col("batch_id") < b), all.where(col("batch_id") >= b))
       case None => (all, all.limit(0))
     }
-    val folded =
-      if (isHll) Sketches.hllMerge(fold.drop("batch_id"), groupCols)
-      else Sketches.cmsMerge(fold.drop("batch_id"), groupCols)
+    val body = fold.drop("batch_id")
+    val folded = kind match {
+      case "hll"  => Sketches.hllMerge(body, groupCols)
+      case "cms"  => Sketches.cmsMerge(body, groupCols)
+      case "hist" => Sketches.histMerge(body, groupCols)
+      case "kmv" =>
+        require(kmvK > 0, "kmv compaction needs kmvK")
+        Sketches.kmvMerge(body, groupCols, kmvK)
+      case other => throw new IllegalArgumentException(
+        s"unknown sketch kind '$other' (hll|cms|hist|kmv)")
+    }
     val tmp = s"$path.compact.tmp"
     folded.withColumn("batch_id", lit(-1L))
       .unionByName(keep)
@@ -1503,4 +1531,16 @@ object StreamingIngest {
     graft.pipeline.Pipeline.swap(spark, tmp, path)
     spark.read.parquet(path).count()
   }
+
+  /** The artifact's merged KMV minima table (all partials folded). */
+  def currentKmvSketch(spark: SparkSession, sketchDir: String,
+      groupCols: Seq[String], k: Int): DataFrame =
+    Sketches.kmvMerge(
+      spark.read.parquet(s"$sketchDir/kmv").drop("batch_id"), groupCols, k)
+
+  /** The artifact's merged histogram table. */
+  def currentHistSketch(spark: SparkSession, sketchDir: String,
+      groupCols: Seq[String]): DataFrame =
+    Sketches.histMerge(
+      spark.read.parquet(s"$sketchDir/hist").drop("batch_id"), groupCols)
 }

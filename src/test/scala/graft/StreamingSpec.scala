@@ -1423,15 +1423,17 @@ class StreamingSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("sketchstream").toString
     val (srcDir, skDir, ckpt) = (s"$base/src", s"$base/sk", s"$base/ckpt")
     val schema = StructType(Seq(StructField("grp", StringType),
-      StructField("item", StringType)))
+      StructField("item", StringType), StructField("v", DoubleType)))
     def batchDf(r: Range) =
-      r.map(i => (s"g${i % 2}", s"item-${i % 500}")).toDF("grp", "item")
+      r.map(i => (s"g${i % 2}", s"item-${i % 500}", (i % 100).toDouble))
+        .toDF("grp", "item", "v")
     def deliver(r: Range): Unit =
       batchDf(r).coalesce(1).write.mode("append").parquet(srcDir)
     def runOnce(): Unit = {
       val q = StreamingIngest.sketchStream(
         spark.readStream.schema(schema).parquet(srcDir), skDir, ckpt,
-        Seq("grp"), "item", p = 6, d = 2, w = 32)
+        Seq("grp"), "item", p = 6, d = 2, w = 32,
+        kmvK = 16, hist = Some(("v", 0.0, 10.0, 10)))
       try q.processAllAvailable() finally q.stop()
     }
     deliver(1 to 700); runOnce()    // batch 0
@@ -1440,26 +1442,41 @@ class StreamingSpec extends AnyFunSuite {
       df.collect().map(_.toSeq.toList).toSet
     val mergedHll = rows(StreamingIngest.currentHllSketch(spark, skDir, Seq("grp")))
     val mergedCms = rows(StreamingIngest.currentCmsSketch(spark, skDir, Seq("grp")))
-    // trigger ≡ batch: the folded artifact equals the one-pass build
+    // trigger ≡ batch: the folded artifact equals the one-pass build —
+    // all FOUR sketch kinds
     val whole = batchDf(1 to 900)
     assert(mergedHll == rows(Sketches.hllPartial(whole, Seq("grp"), $"item", 6)))
     assert(mergedCms == rows(Sketches.cmsPartial(whole, Seq("grp"), $"item", 2, 32)))
+    assert(rows(StreamingIngest.currentKmvSketch(spark, skDir, Seq("grp"), 16))
+      == rows(Sketches.kmvPartial(whole, Seq("grp"), $"item", 16)))
+    assert(rows(StreamingIngest.currentHistSketch(spark, skDir, Seq("grp")))
+      == rows(Sketches.histPartial(whole, Seq("grp"), $"v", 0.0, 10.0, 10)))
     // at-least-once replay: counters must NOT double
     StreamingIngest.sketchBatch(batchDf(701 to 900), 1L, skDir,
       Seq("grp"), "item", p = 6, d = 2, w = 32)
     assert(rows(StreamingIngest.currentCmsSketch(spark, skDir, Seq("grp")))
       == mergedCms, "replayed batch must rewrite its partition, not add")
     // compaction: everything folds to the -1 epoch, merged reads invariant
-    StreamingIngest.compactSketchDir(spark, s"$skDir/hll", Seq("grp"),
-      isHll = true)
-    StreamingIngest.compactSketchDir(spark, s"$skDir/cms", Seq("grp"),
-      isHll = false)
+    // across all four kinds
+    val kmvBefore = rows(StreamingIngest.currentKmvSketch(spark, skDir,
+      Seq("grp"), 16))
+    val histBefore = rows(StreamingIngest.currentHistSketch(spark, skDir,
+      Seq("grp")))
+    StreamingIngest.compactSketchDir(spark, s"$skDir/hll", Seq("grp"), "hll")
+    StreamingIngest.compactSketchDir(spark, s"$skDir/cms", Seq("grp"), "cms")
+    StreamingIngest.compactSketchDir(spark, s"$skDir/kmv", Seq("grp"), "kmv",
+      kmvK = 16)
+    StreamingIngest.compactSketchDir(spark, s"$skDir/hist", Seq("grp"), "hist")
     assert(spark.read.parquet(s"$skDir/hll")
       .select($"batch_id").distinct().as[Long].collect().toSeq == Seq(-1L))
     assert(rows(StreamingIngest.currentHllSketch(spark, skDir, Seq("grp")))
       == mergedHll)
     assert(rows(StreamingIngest.currentCmsSketch(spark, skDir, Seq("grp")))
       == mergedCms)
+    assert(rows(StreamingIngest.currentKmvSketch(spark, skDir, Seq("grp"), 16))
+      == kmvBefore)
+    assert(rows(StreamingIngest.currentHistSketch(spark, skDir, Seq("grp")))
+      == histBefore)
     // a later batch lands NEXT TO the -1 epoch and keeps merging
     StreamingIngest.sketchBatch(batchDf(901 to 1000), 2L, skDir,
       Seq("grp"), "item", p = 6, d = 2, w = 32)

@@ -58,7 +58,17 @@ object PlanDump {
         // store joined only above the rescore cut. q141/q142/q145/q146
         // are omitted like q133 (artifact writes / localCheckpoints at
         // build); q144 like q43 (eager banded pairs checkpoint inside)
-        "q143_ann_filtered")
+        "q143_ann_filtered",
+        // round 14: the sketch tier's plan shapes — q197 is ONE hash
+        // aggregate whose map-side partials are register-bounded; q199
+        // the d-way explode under the same shape; q207 the bounded
+        // KMinDistinct object aggregate (splits × k rows to the
+        // exchange); q210 the bins-sized join/window stack of the PSI
+        // read. q198/q203/q202/q205/q206 are omitted like q43/q133
+        // (exact-audit countDistinct legs aside, they localCheckpoint /
+        // write artifacts at build).
+        "q197_hll_registers", "q199_cms_sketch", "q207_kmv_minima",
+        "q210_hist_psi")
       .foreach { q =>
       out.append(s"===== $q =====\n")
       out.append(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

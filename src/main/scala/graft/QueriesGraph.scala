@@ -212,6 +212,35 @@ object QueriesGraph {
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("q_id"), col("rnk"))
       },
-      Some(beamSearchOracleSql(beam = 6, cellEntry = true)))
+      Some(beamSearchOracleSql(beam = 6, cellEntry = true))),
+
+    // ------------------------------------------------------------------
+    // q211: PQ traversal + cell-entry warm start at the exactness
+    // ceiling — the last cell of the {float, PQ} × {md5, cell-entry}
+    // search matrix. At beam 4096 the ADC walk from the medoid seeds
+    // explores the float walk's closure, so the oracle is q206's chain
+    // at that beam: one parameterized SQL covers all four searches.
+    // ------------------------------------------------------------------
+    Q("q211_graph_ann_pq_cell_entry",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 8, iters = 2).localCheckpoint(true)
+        val books = Similarity.pqCodebooks(
+          Similarity.residualVectors(e, "vec_id", "embedding", cents),
+          "vec_id", "rvec", m = 4, subDim = 16, k = 8, iters = 2)
+          .localCheckpoint(true)
+        val index = Similarity.ivfPqIndex(e, "vec_id", "embedding", cents,
+          books, m = 4, subDim = 16).localCheckpoint(true)
+        val edges = Similarity.knnGraph(e, "vec_id", "embedding", cents,
+          k = 3, nprobe = 2)
+        Similarity.graphTopKPqCellEntry(index, cents, books, edges, e,
+            e.where(col("vec_id") % 25 === 0), "vec_id", "embedding",
+            m = 4, subDim = 16, k = 3, beam = 4096, hops = 2,
+            seedProbes = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(beamSearchOracleSql(beam = 4096, cellEntry = true)))
   )
 }

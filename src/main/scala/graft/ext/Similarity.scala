@@ -1014,9 +1014,51 @@ object Similarity {
       idCol: String, vecCol: String, m: Int, subDim: Int, k: Int,
       beam: Int = 32, hops: Int = 2, seeds: Int = 8,
       checkpointEvery: Int = 0): DataFrame = {
+    val q = querySide(queries, idCol, vecCol)
+    val seedIds = index.select(col(idCol).as("c_id"))
+      .withColumn("__h", md5(col("c_id").cast("string")))
+      .orderBy(col("__h"), col("c_id")).limit(seeds).select("c_id")
+    pqBeamLoop(index, cents, booksR, edges, corpus, q, idCol, vecCol,
+      m, subDim, k, beam, hops, checkpointEvery,
+      q.select(col("q_id")).crossJoin(broadcast(seedIds)))
+  }
+
+  /** [[graphTopKPq]] with [[graphTopKCellEntry]]'s IVF-hybrid warm start:
+    * each query enters at the medoids of its `seedProbes` nearest cells —
+    * the entry table still comes from the FLOAT corpus ([[cellMedoids]] is
+    * a build-time, cells-sized artifact computed when the graph is built),
+    * but the traversal stays code-only. Completes the search matrix:
+    * {float, PQ} × {md5 seeds, cell entry}.
+    */
+  def graphTopKPqCellEntry(index: DataFrame, cents: DataFrame,
+      booksR: DataFrame, edges: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, m: Int,
+      subDim: Int, k: Int, beam: Int = 32, hops: Int = 2,
+      seedProbes: Int = 4, checkpointEvery: Int = 0): DataFrame = {
+    val q = querySide(queries, idCol, vecCol)
+    val med = cellMedoids(corpus, idCol, vecCol, cents)
+    val cv = cellCentroidVectors(cents)
+    val wC = Window.partitionBy(col("q_id"))
+      .orderBy(col("__ccos").desc, col("cell"))
+    val seedCand = q.crossJoin(broadcast(cv))
+      .withColumn("__ccos", round(try_divide(
+        dot(col("q_vec"), col("centroid")),
+        col("q_norm") * norm(col("centroid"))), 6))
+      .withColumn("__cr", row_number().over(wC))
+      .where(col("__cr") <= seedProbes)
+      .join(broadcast(med), Seq("cell"))
+      .select(col("q_id"), col("c_id"))
+    pqBeamLoop(index, cents, booksR, edges, corpus, q, idCol, vecCol,
+      m, subDim, k, beam, hops, checkpointEvery, seedCand)
+  }
+
+  /** The shared ADC expand-score-prune loop of the PQ graph searches. */
+  private def pqBeamLoop(index: DataFrame, cents: DataFrame,
+      booksR: DataFrame, edges: DataFrame, corpus: DataFrame, q: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int, k: Int,
+      beam: Int, hops: Int, checkpointEvery: Int,
+      seedCand: DataFrame): DataFrame = {
     val (books, stride) = pqBooksLit(booksR)
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      norm(col(vecCol)).as("q_norm"))
     val lut = q.select(col("q_id"), col("q_norm"),
       pqLutExpr(col("q_vec"), books, stride, m, subDim).as("__lut"))
     val qcells = q.crossJoin(broadcast(cellCentroidVectors(cents)))
@@ -1026,9 +1068,6 @@ object Similarity {
     val mem = index.select(col(idCol).as("c_id"), col("ccell"),
       col("codes"), col("vnorm"))
     val adj = edges.select(col("q_id").as("src"), col("c_id").as("dst"))
-    val seedIds = mem.select(col("c_id"))
-      .withColumn("__h", md5(col("c_id").cast("string")))
-      .orderBy(col("__h"), col("c_id")).limit(seeds).select("c_id")
 
     def scoreAdc(cand: DataFrame): DataFrame =
       cand.join(mem, Seq("c_id"))
@@ -1047,8 +1086,7 @@ object Similarity {
       scored.withColumn("__r", row_number().over(wBeam))
         .where(col("__r") <= b).drop("__r")
 
-    var beamDf = topB(
-      scoreAdc(q.select(col("q_id")).crossJoin(broadcast(seedIds))), beam)
+    var beamDf = topB(scoreAdc(seedCand), beam)
     for (h <- 1 to hops) {
       val grown = beamDf.select(col("q_id"), col("c_id"))
         .join(adj, col("c_id") === col("src"))

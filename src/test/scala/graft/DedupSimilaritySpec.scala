@@ -2104,6 +2104,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(perQ.nonEmpty && perQ.forall(_ == 5L))
   }
 
+  test("graphTopKPqCellEntry at the ceiling equals the float cell-entry " +
+    "walk (same medoid seeds, same closure, float-rescored), and prunes " +
+    "to k rows per query at production beam") {
+    val (vecs, edges) = graphFixture()
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val books = Similarity.pqCodebooks(
+      Similarity.residualVectors(vecs, "vec_id", "embedding", cents),
+      "vec_id", "rvec", m = 4, subDim = 16, k = 8, iters = 2)
+      .localCheckpoint(true)
+    val index = Similarity.ivfPqIndex(vecs, "vec_id", "embedding", cents,
+      books, m = 4, subDim = 16).localCheckpoint(true)
+    val queries = vecs.where($"vec_id" % 10 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+    val pq = rows(Similarity.graphTopKPqCellEntry(index, cents, books,
+      edges, vecs, queries, "vec_id", "embedding", m = 4, subDim = 16,
+      k = 5, beam = 4096, hops = 3, seedProbes = 2))
+    val fl = rows(Similarity.graphTopKCellEntry(vecs, edges, queries,
+      "vec_id", "embedding", cents, k = 5, beam = 4096, hops = 3,
+      seedProbes = 2))
+    assert(pq == fl && pq.nonEmpty)
+    val pruned = Similarity.graphTopKPqCellEntry(index, cents, books,
+      edges, vecs, queries, "vec_id", "embedding", m = 4, subDim = 16,
+      k = 5, beam = 8, hops = 3, seedProbes = 2)
+    assert(pruned.groupBy($"q_id").count().select("count").as[Long]
+      .collect().forall(_ == 5L))
+  }
+
   test("graphTopK reuses the corpus-sided exchanges across hops: the " +
     "executed plan contains ReusedExchange (each hop joins the SAME " +
     "adjacency/corpus relations — they shuffle once, not per hop)") {

@@ -574,7 +574,124 @@ object QueriesSketches {
                ps AS (SELECT lang, round(CAST(sum(term) AS DOUBLE), 6) AS psi
                       FROM tm GROUP BY lang)
               SELECT lang, psi, psi < 0.25 AS stable
-              FROM ps ORDER BY lang"""))
+              FROM ps ORDER BY lang""")),
+
+    // ------------------------------------------------------------------
+    // q212: the statistics-tier FLAGSHIP — the daily monitor report a
+    // 100 TB ingest reads every morning, composed entirely from sketch
+    // artifacts (the q81/q175 composition pattern applied to the stats
+    // tier): per stratum, lifetime vocabulary (HLL est_cum), what
+    // yesterday added (est_new), yesterday-vs-today duplication (KMV
+    // jaccard), and length-distribution drift (histogram PSI + the
+    // stability flag). Four sketch families, one row per lang, nothing
+    // corpus-sized re-read at report time. The oracle splices the
+    // q204/q209/q210 chains into one WITH — each already proven alone;
+    // the composition hash-gates their join.
+    // ------------------------------------------------------------------
+    Q("q212_stats_daily_report",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def day(par: Int) = docs.where(col("doc_id") % 2 === par)
+        def sh(par: Int) = langShingles(day(par))
+        // HLL: lifetime + growth
+        def hpart(par: Int) =
+          Sketches.hllPartial(sh(par), Seq("lang"), col("g"), p = 8)
+        val e0 = Sketches.hllEstimate(hpart(0), Seq("lang"), p = 8)
+          .select(col("lang"), col("est").as("est_day0"))
+        val ec = Sketches.hllEstimate(
+          Sketches.hllMerge(hpart(0).unionByName(hpart(1)), Seq("lang")),
+          Seq("lang"), p = 8)
+          .select(col("lang"), col("est").as("est_cum"))
+        // KMV: day-over-day duplication
+        val dup = Sketches.kmvOverlapByGroup(
+            Sketches.kmvPartial(sh(0), Seq("lang"), col("g"), k = 128),
+            Sketches.kmvPartial(sh(1), Seq("lang"), col("g"), k = 128),
+            Seq("lang"), k = 128)
+          .select(col("lang"), col("jaccard_est").as("dup_jaccard"))
+        // histogram: length-distribution drift
+        def hist(par: Int) = Sketches.histPartial(day(par), Seq("lang"),
+          col("n_chars"), lo = 0.0, width = 32.0, bins = 20)
+        val drift = Sketches.histPsi(hist(0), hist(1), Seq("lang"), bins = 20)
+        e0.join(ec, Seq("lang")).join(dup, Seq("lang"))
+          .join(drift, Seq("lang"))
+          .select(col("lang"), col("est_cum"),
+            round(col("est_cum") - col("est_day0"), 2).as("est_new"),
+            col("dup_jaccard"), col("psi"), (col("psi") < 0.25).as("stable"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH sh0 AS (SELECT lang, unnest(list_distinct($shSql)) AS g
+                            FROM documents WHERE doc_id % 2 = 0),
+               $shStreamCte,
+               ${hllRegsSql("sh0", "0")}, ${hllEstSql("0")},
+               ${hllRegsSql("sh")}, ${hllEstSql()},
+               hva AS (SELECT DISTINCT lang, ${h60Sql("kmv|", "g")} AS h
+                       FROM sh WHERE doc_id % 2 = 0),
+               hvb AS (SELECT DISTINCT lang, ${h60Sql("kmv|", "g")} AS h
+                       FROM sh WHERE doc_id % 2 = 1),
+               ska AS (SELECT lang, h FROM (
+                         SELECT lang, h, row_number() OVER (
+                           PARTITION BY lang ORDER BY h) AS rn FROM hva)
+                       WHERE rn <= 128),
+               skb AS (SELECT lang, h FROM (
+                         SELECT lang, h, row_number() OVER (
+                           PARTITION BY lang ORDER BY h) AS rn FROM hvb)
+                       WHERE rn <= 128),
+               mu AS (SELECT DISTINCT lang, h FROM (
+                        SELECT lang, h FROM ska
+                        UNION ALL SELECT lang, h FROM skb)),
+               mm AS (SELECT lang, h FROM (
+                        SELECT lang, h, row_number() OVER (
+                          PARTITION BY lang ORDER BY h) AS rn FROM mu)
+                      WHERE rn <= 128),
+               fl AS (SELECT mm.lang, mm.h,
+                             (a.h IS NOT NULL AND b.h IS NOT NULL) AS in_both
+                      FROM mm LEFT JOIN ska a
+                                ON mm.lang = a.lang AND mm.h = a.h
+                              LEFT JOIN skb b
+                                ON mm.lang = b.lang AND mm.h = b.h),
+               dup AS (SELECT lang,
+                              round(CAST(sum(CASE WHEN in_both THEN 1 ELSE 0
+                                        END) AS DOUBLE) /
+                                    CAST(count(*) AS DOUBLE), 6)
+                                AS dup_jaccard
+                       FROM fl GROUP BY lang),
+               hbj AS (SELECT lang, doc_id,
+                              CAST(least(greatest(floor((CAST(n_chars AS
+                                   DOUBLE) - 0.0) / 32.0), 0.0), 19.0)
+                                AS INT) AS bin
+                       FROM documents),
+               hca AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS ca
+                       FROM hbj WHERE doc_id % 2 = 0 GROUP BY lang, bin),
+               hcb AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS cb
+                       FROM hbj WHERE doc_id % 2 = 1 GROUP BY lang, bin),
+               jj AS (SELECT coalesce(a.lang, b.lang) AS lang,
+                             coalesce(a.bin, b.bin) AS bin,
+                             coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
+                      FROM hca a FULL JOIN hcb b
+                        ON a.lang = b.lang AND a.bin = b.bin),
+               tt AS (SELECT lang, bin, ca, cb,
+                             sum(ca) OVER (PARTITION BY lang) AS ta,
+                             sum(cb) OVER (PARTITION BY lang) AS tb
+                      FROM jj),
+               pqx AS (SELECT lang,
+                              CAST(ca + 1 AS DOUBLE) / CAST(ta + 20 AS DOUBLE)
+                                AS p,
+                              CAST(cb + 1 AS DOUBLE) / CAST(tb + 20 AS DOUBLE)
+                                AS q
+                       FROM tt),
+               tm AS (SELECT lang,
+                             CAST((p - q) * ln(p / q) AS DECIMAL(20,12))
+                               AS term
+                      FROM pqx),
+               psx AS (SELECT lang, round(CAST(sum(term) AS DOUBLE), 6) AS psi
+                       FROM tm GROUP BY lang)
+              SELECT a.lang, b.est AS est_cum,
+                     round(b.est - a.est, 2) AS est_new,
+                     dup.dup_jaccard, psx.psi, psx.psi < 0.25 AS stable
+              FROM es0 a JOIN es b ON a.lang = b.lang
+                   JOIN dup ON a.lang = dup.lang
+                   JOIN psx ON a.lang = psx.lang
+              ORDER BY a.lang"""))
   )
 
   private lazy val artifactRoot: String =

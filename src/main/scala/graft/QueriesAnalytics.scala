@@ -1173,6 +1173,9 @@ object QueriesAnalytics {
     // identity columns, DECIMAL(38,0)) — "is this artifact the row
     // multiset curation produced?" without moving data. Re-sharding
     // preserves the summed fingerprint; any row mutation moves it.
+    // The query emits the checksum as canonical decimal DIGITS
+    // (checksum_str) — representation-proof across engines, where the
+    // 20-digit DECIMAL could hash differently while value-identical.
     Q("q188_layout_fingerprint",
       (s, d) => {
         val docs = t(s, d, "documents")
@@ -1188,18 +1191,19 @@ object QueriesAnalytics {
           seqLen = 2048L, numShards = 8)
         graft.ops.Layout.layoutFingerprint(s, out,
             Seq("doc_id", "copy_idx", "shuffle_pos", "seq_id", "seq_off"))
+          .select(col("shard"), col("n_rows"), col("checksum_str"))
           .orderBy(col("shard"))
       },
       Some(
         s"""WITH $trainingLayoutCtes
             SELECT shard, count(*) AS n_rows,
-                   CAST(sum(CAST(('0x' || substring(md5(
+                   CAST(CAST(sum(CAST(('0x' || substring(md5(
                        CAST(doc_id AS VARCHAR) || '|'
                        || CAST(copy_idx AS VARCHAR) || '|'
                        || CAST(shuffle_pos AS VARCHAR) || '|'
                        || CAST(seq_id AS VARCHAR) || '|'
                        || CAST(seq_off AS VARCHAR)), 1, 15)) AS BIGINT))
-                     AS DECIMAL(38,0)) AS checksum
+                     AS DECIMAL(38,0)) AS VARCHAR) AS checksum_str
             FROM fin GROUP BY shard ORDER BY shard""")),
 
     // Sequence-ALIGNED layout (round 14): the shard cut moves to

@@ -529,10 +529,13 @@ object QueriesSketches {
     // ------------------------------------------------------------------
     // q210: PSI drift between two histogram ARTIFACTS — the standard
     // production shift metric read off the sketches alone (no raw-data
-    // re-scan). Laplace smoothing defines empty bins; each term is cast
-    // to DECIMAL(20,12) before the sum so the one libm ln's ulp spread
-    // vanishes and the sum is exact and associative — the rounded PSI is
-    // engine-independent and full-hash-gated.
+    // re-scan). Dense 0..bins-1 spine (a both-sides-empty bin still
+    // contributes when the two totals differ, so the sparse join
+    // under-reads textbook PSI); Laplace smoothing defines empty bins;
+    // each term is cast to DECIMAL(20,12) before the sum so the one
+    // libm ln's ulp spread vanishes and the sum is exact and
+    // associative — the rounded PSI is engine-independent and
+    // full-hash-gated.
     // ------------------------------------------------------------------
     Q("q210_hist_psi",
       (s, d) => {
@@ -552,11 +555,16 @@ object QueriesSketches {
                       FROM hb WHERE doc_id % 2 = 0 GROUP BY lang, bin),
                h2 AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS cb
                       FROM hb WHERE doc_id % 2 = 1 GROUP BY lang, bin),
-               j AS (SELECT coalesce(a.lang, b.lang) AS lang,
-                            coalesce(a.bin, b.bin) AS bin,
+               sp AS (SELECT l.lang, CAST(r.range AS INT) AS bin
+                      FROM (SELECT lang FROM ha UNION
+                            SELECT lang FROM h2) l
+                      CROSS JOIN range(0, 20) r),
+               j AS (SELECT sp.lang, sp.bin,
                             coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
-                     FROM ha a FULL JOIN h2 b
-                       ON a.lang = b.lang AND a.bin = b.bin),
+                     FROM sp LEFT JOIN ha a
+                               ON sp.lang = a.lang AND sp.bin = a.bin
+                             LEFT JOIN h2 b
+                               ON sp.lang = b.lang AND sp.bin = b.bin),
                tt AS (SELECT lang, bin, ca, cb,
                              sum(ca) OVER (PARTITION BY lang) AS ta,
                              sum(cb) OVER (PARTITION BY lang) AS tb
@@ -664,11 +672,16 @@ object QueriesSketches {
                        FROM hbj WHERE doc_id % 2 = 0 GROUP BY lang, bin),
                hcb AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS cb
                        FROM hbj WHERE doc_id % 2 = 1 GROUP BY lang, bin),
-               jj AS (SELECT coalesce(a.lang, b.lang) AS lang,
-                             coalesce(a.bin, b.bin) AS bin,
+               spj AS (SELECT l.lang, CAST(r.range AS INT) AS bin
+                       FROM (SELECT lang FROM hca UNION
+                             SELECT lang FROM hcb) l
+                       CROSS JOIN range(0, 20) r),
+               jj AS (SELECT spj.lang, spj.bin,
                              coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
-                      FROM hca a FULL JOIN hcb b
-                        ON a.lang = b.lang AND a.bin = b.bin),
+                      FROM spj LEFT JOIN hca a
+                                 ON spj.lang = a.lang AND spj.bin = a.bin
+                               LEFT JOIN hcb b
+                                 ON spj.lang = b.lang AND spj.bin = b.bin),
                tt AS (SELECT lang, bin, ca, cb,
                              sum(ca) OVER (PARTITION BY lang) AS ta,
                              sum(cb) OVER (PARTITION BY lang) AS tb

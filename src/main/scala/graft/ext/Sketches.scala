@@ -185,21 +185,45 @@ object Sketches {
     * counter the item hashes to (0 where the bucket was never touched).
     * Guaranteed ≥ the true count; the overestimate is the collision mass.
     *
-    * The sketch side is at most d·w rows — broadcast-safe by
+    * A sketch built with `groupCols` MUST be probed with the same
+    * `groupCols` — the join then keys on (group*, depth, bucket) and the
+    * output carries one row per (group*, item), with probes crossed
+    * against the sketch's distinct groups (strata-bounded) so absent
+    * counters still report 0. Probing a grouped sketch without passing
+    * the groups would min() ACROSS strata — a meaningless mix — so the
+    * ungrouped form refuses any sketch whose schema is not exactly
+    * (depth, bucket, cnt).
+    *
+    * The sketch side is at most groups·d·w rows — broadcast-safe by
     * construction, so the lookup never shuffles the item side.
     */
   def cmsLookup(sketch: DataFrame, items: DataFrame, itemCol: String,
-      d: Int, w: Int): DataFrame = {
+      d: Int, w: Int, groupCols: Seq[String] = Nil): DataFrame = {
+    if (groupCols.isEmpty) {
+      require(sketch.columns.sorted.sameElements(
+          Array("bucket", "cnt", "depth")),
+        "ungrouped cmsLookup requires a sketch with schema exactly " +
+          s"(depth, bucket, cnt); got (${sketch.columns.mkString(", ")})" +
+          " — pass groupCols to probe a group-partitioned sketch")
+    }
     val rb = array((0 until d).map(i => struct(
       lit(i).as("depth"),
       pmod(hash60(col(itemCol), s"cms$i|"), lit(w.toLong)).cast("int")
         .as("bucket"))): _*)
-    val probes = items.select(col(itemCol)).distinct()
-      .select(col(itemCol), explode(rb).as("__rb"))
-      .select(col(itemCol), col("__rb.depth").as("depth"),
-        col("__rb.bucket").as("bucket"))
-    probes.join(broadcast(sketch), Seq("depth", "bucket"), "left")
-      .groupBy(col(itemCol))
+    val probeItems = items.select(col(itemCol)).distinct()
+    val probeKeys =
+      if (groupCols.isEmpty) probeItems
+      else probeItems.crossJoin(
+        broadcast(sketch.select(groupCols.map(col): _*).distinct()))
+    val probes = probeKeys
+      .select((groupCols.map(col) :+ col(itemCol) :+
+        explode(rb).as("__rb")): _*)
+      .select((groupCols.map(col) :+ col(itemCol) :+
+        col("__rb.depth").as("depth") :+
+        col("__rb.bucket").as("bucket")): _*)
+    probes.join(broadcast(sketch),
+        groupCols ++ Seq("depth", "bucket"), "left")
+      .groupBy((groupCols :+ itemCol).map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_cnt"))
   }
 
@@ -359,14 +383,18 @@ object Sketches {
 
   /** Population-stability index between two histogram partials (the
     * standard production drift metric over the SKETCH artifacts — no raw
-    * data re-read): PSI = Σ_bins (p−q)·ln(p/q) with Laplace smoothing
-    * p = (cnt_a+1)/(tot_a+bins) so empty bins are defined; bins absent
-    * from BOTH sides contribute exactly 0 under the smoothing (p = q), so
-    * the full-outer join needs no dense bin spine. Each term is cast to
-    * DECIMAL(20,12) before the sum — ln is the one libm call, a ≤1-ulp
-    * spread (~1e-17) vanishes at 12 dp, and the decimal sum is exact and
-    * associative, so the rounded PSI is engine-independent. Rule of
-    * thumb: <0.1 stable, 0.1–0.25 moderate shift, >0.25 drifted.
+    * data re-read): PSI = Σ_bins (p−q)·ln(p/q) over a DENSE 0..bins−1
+    * bin spine, with Laplace smoothing p = (cnt_a+1)/(tot_a+bins) so
+    * empty bins are defined. The spine matters: a bin empty on BOTH
+    * sides still contributes (p−q)·ln(p/q) ≠ 0 whenever tot_a ≠ tot_b
+    * (the smoothed masses 1/(tot+bins) differ), so a sparse full-outer
+    * join under-reads the textbook dense-bin PSI; the spine is
+    * groups × bins rows — strata-bounded, never corpus-sized. Each term
+    * is cast to DECIMAL(20,12) before the sum — ln is the one libm
+    * call, a ≤1-ulp spread (~1e-17) vanishes at 12 dp, and the decimal
+    * sum is exact and associative, so the rounded PSI is
+    * engine-independent. Rule of thumb: <0.1 stable, 0.1–0.25 moderate
+    * shift, >0.25 drifted.
     */
   def histPsi(a: DataFrame, b: DataFrame, groupCols: Seq[String],
       bins: Int): DataFrame = {
@@ -374,7 +402,16 @@ object Sketches {
       .withColumnRenamed("cnt", "__ca")
     val gb = b.select((groupCols ++ Seq("bin", "cnt")).map(col): _*)
       .withColumnRenamed("cnt", "__cb")
-    val joined = ga.join(gb, groupCols :+ "bin", "full")
+    val spineBins = ga.sparkSession.range(bins.toLong)
+      .select(col("id").cast("int").as("bin"))
+    val spine =
+      if (groupCols.isEmpty) spineBins
+      else ga.select(groupCols.map(col): _*)
+        .union(gb.select(groupCols.map(col): _*)).distinct()
+        .crossJoin(spineBins)
+    val joined = spine
+      .join(ga, groupCols :+ "bin", "left")
+      .join(gb, groupCols :+ "bin", "left")
       .select((groupCols.map(col) :+ col("bin") :+
         coalesce(col("__ca"), lit(0L)).as("__ca") :+
         coalesce(col("__cb"), lit(0L)).as("__cb")): _*)
@@ -408,6 +445,10 @@ object Sketches {
     */
   def histQuantiles(hist: DataFrame, groupCols: Seq[String], lo: Double,
       width: Double, qfs: Seq[Double]): DataFrame = {
+    require(qfs.nonEmpty && qfs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions must be in (0, 1] — qf = 0 has no rank-" +
+        s"selecting bin (the contract is one row per (group, quantile)); " +
+        s"got ${qfs.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
     val wspec = if (groupCols.isEmpty) Window.orderBy(col("bin"))
       else Window.partitionBy(groupCols.map(col): _*).orderBy(col("bin"))

@@ -399,6 +399,13 @@ object Layout {
     * changes under any row-level mutation (retraction, corruption).
     * A sum — not xor — so an accidentally DUPLICATED row moves the
     * checksum too. One column-pruned aggregate, shard-keyed.
+    *
+    * `checksum_str` carries the same value as canonical decimal DIGITS
+    * — the interchange form. A 20-digit DECIMAL(38,0) is exactly the
+    * cell type a comparing harness is most likely to canonicalize
+    * through float64 (~15.9 significant digits) or render
+    * engine-specifically; the string column is representation-proof,
+    * so cross-engine audits compare it, not the DECIMAL.
     */
   def layoutFingerprint(spark: org.apache.spark.sql.SparkSession,
       path: String, cols: Seq[String]): DataFrame = {
@@ -409,6 +416,7 @@ object Layout {
         sum(conv(substring(md5(concat_ws("|",
             cols.map(c => col(c).cast("string")): _*)), 1, 15), 16, 10)
           .cast("long").cast("decimal(38,0)")).as("checksum"))
+      .withColumn("checksum_str", col("checksum").cast("string"))
   }
 
   /** Replication DIFF between two layout generations — the audit a

@@ -94,6 +94,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(got >= 12L) // >= truth; == 12 unless 'b' collides on both depths
   }
 
+  test("cmsLookup: grouped sketch probes per stratum (no cross-strata " +
+    "min), absent counters report 0, ungrouped form refuses a grouped " +
+    "sketch") {
+    // 'a' occurs 5x in g=0 and 2x in g=1; 'z' only in g=0. A lookup that
+    // joined on (depth, bucket) alone would min() across the strata.
+    val df = (Seq.fill(5)(("g0", "a")) ++ Seq.fill(2)(("g1", "a")) ++
+      Seq.fill(3)(("g0", "z"))).toDF("g", "x")
+    val sk = Sketches.cmsPartial(df, Seq("g"), col("x"), d = 3, w = 4096)
+    val got = Sketches.cmsLookup(sk, Seq("a", "z").toDF("x"), "x",
+        d = 3, w = 4096, groupCols = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // w=4096 with 2 keys: collisions effectively impossible -> exact
+    assert(got(("g0", "a")) == 5L && got(("g1", "a")) == 2L)
+    assert(got(("g0", "z")) == 3L,
+      "g0/z must carry its own stratum's count")
+    assert(got(("g1", "z")) == 0L,
+      "a probe absent from a stratum's sketch reports 0, not a missing row")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.cmsLookup(sk, Seq("a").toDF("x"), "x", d = 3, w = 4096)
+    }
+    assert(e.getMessage.contains("groupCols"))
+  }
+
   // ---- KMV (theta) ---------------------------------------------------
 
   test("kmv: merge of 3-way split equals one-pass; duplicate-insensitive") {
@@ -189,6 +213,45 @@ class SketchesSpec extends AnyFunSuite {
     val psi = Sketches.histPsi(same, moved, Seq("g"), 10)
       .select("psi").as[Double].head()
     assert(psi > 0.25 && !psi.isNaN && !psi.isInfinite, s"psi=$psi")
+  }
+
+  test("histPsi: dense bin spine — bins empty on BOTH sides contribute " +
+    "when the two totals differ (textbook dense PSI, not the sparse " +
+    "under-read)") {
+    // all mass in bin 0 on both sides, totals 100 vs 10, 10 bins:
+    // bins 1..9 are empty on both sides yet each contributes
+    // (p-q)·ln(p/q) with p = 1/110, q = 1/20 under Laplace smoothing.
+    val a = (1 to 100).map(_ => ("g", 1.0)).toDF("g", "v")
+    val b = (1 to 10).map(_ => ("g", 1.0)).toDF("g", "v")
+    val ha = Sketches.histPartial(a, Seq("g"), col("v"), 0.0, 10.0, 10)
+    val hb = Sketches.histPartial(b, Seq("g"), col("v"), 0.0, 10.0, 10)
+    val psi = Sketches.histPsi(ha, hb, Seq("g"), 10)
+      .select("psi").as[Double].head()
+    def sm(c: Long, t: Long) = (c + 1.0) / (t + 10.0)
+    val expected = (0 until 10).map { bin =>
+      val p = if (bin == 0) sm(100, 100) else sm(0, 100)
+      val q = if (bin == 0) sm(10, 10) else sm(0, 10)
+      (p - q) * math.log(p / q)
+    }.sum
+    assert(math.abs(psi - expected) < 1e-6,
+      s"psi=$psi expected dense-bin $expected")
+    // and the 9 both-empty bins are a REAL share of it
+    val sparseOnly = {
+      val p = sm(100, 100); val q = sm(10, 10)
+      (p - q) * math.log(p / q)
+    }
+    assert(psi > sparseOnly + 1e-3,
+      "both-empty bins must contribute under unequal totals")
+  }
+
+  test("histQuantiles: rejects qf outside (0, 1]") {
+    val h = Sketches.histPartial(
+      (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v"),
+      Seq("g"), col("v"), 0.0, 10.0, 10)
+    for (bad <- Seq(Seq(0.0), Seq(-0.1, 0.5), Seq(0.5, 1.5), Seq.empty[Double]))
+      intercept[IllegalArgumentException] {
+        Sketches.histQuantiles(h, Seq("g"), 0.0, 10.0, bad)
+      }
   }
 
   // ---- Histogram ---------------------------------------------------

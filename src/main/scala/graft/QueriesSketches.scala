@@ -704,7 +704,97 @@ object QueriesSketches {
               FROM es0 a JOIN es b ON a.lang = b.lang
                    JOIN dup ON a.lang = dup.lang
                    JOIN psx ON a.lang = psx.lang
-              ORDER BY a.lang"""))
+              ORDER BY a.lang""")),
+
+    // ------------------------------------------------------------------
+    // q213 (round 15): SpaceSaving/Misra-Gries heavy-hitter SUMMARY —
+    // the enumeration read CMS cannot provide: a bounded (lang, item,
+    // cnt, err) relation (≤ k rows per stratum) whose rows ARE the
+    // heavy-hitter candidates, with the one-sided guarantees judged by
+    // the exact legs (the q200 convention): cnt ≤ exact ≤ cnt + err
+    // (sandwich) and every item with exact > err present (covered).
+    // Two parity-batch partials fold under the summed-error rule:
+    // err' = err₀ + err₁ + t', t' = the (k+1)-th largest summed count.
+    // Exact integers end to end — full rows+schema+hash gate.
+    // ------------------------------------------------------------------
+    Q("q213_ss_heavy_hitters",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val k = 32
+        def toks(df: DataFrame) = df.select(col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        def part(par: Int) = Sketches.ssPartial(
+          toks(docs.where(col("doc_id") % 2 === par)),
+          Seq("lang"), col("tok"), k)
+          .withColumn("batch", lit(par))
+        val merged = Sketches.ssMerge(part(0).unionByName(part(1)),
+          Seq("lang"), "batch", k)
+        val exact = toks(docs).groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("exact_cnt"))
+        val missed = exact
+          .join(broadcast(merged.groupBy(col("lang"))
+            .agg(max(col("err")).as("__eg"))), Seq("lang"))
+          .where(col("exact_cnt") > col("__eg"))
+          .join(merged.select(col("lang"), col("item").as("tok")),
+            Seq("lang", "tok"), "left_anti")
+          .groupBy(col("lang")).agg(count(lit(1)).as("__miss"))
+        merged
+          .join(exact.withColumnRenamed("tok", "item"),
+            Seq("lang", "item"))
+          .join(broadcast(missed), Seq("lang"), "left")
+          .select(col("lang"), col("item"), col("cnt"), col("err"),
+            col("exact_cnt"),
+            (col("cnt") <= col("exact_cnt")).as("lo_ok"),
+            (col("exact_cnt") <= col("cnt") + col("err")).as("hi_ok"),
+            (coalesce(col("__miss"), lit(0L)) === 0L).as("covered"))
+          .orderBy(col("lang"), col("cnt").desc, col("item"))
+      },
+      Some(s"""WITH tk AS (SELECT lang, doc_id % 2 AS par,
+                             unnest($toksSql) AS tok FROM documents),
+               exb AS (SELECT lang, par, tok,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM tk GROUP BY lang, par, tok),
+               rk AS (SELECT lang, par, tok, c, row_number() OVER (
+                        PARTITION BY lang, par ORDER BY c DESC, tok) AS rn
+                      FROM exb),
+               tb AS (SELECT lang, par,
+                             CAST(coalesce(max(CASE WHEN rn = 33 THEN c
+                               END), 0) AS BIGINT) AS t
+                      FROM rk GROUP BY lang, par),
+               pt AS (SELECT lang, tok, c AS cnt FROM rk WHERE rn <= 32),
+               eb AS (SELECT lang, CAST(sum(t) AS BIGINT) AS errbase
+                      FROM tb GROUP BY lang),
+               sm AS (SELECT lang, tok, CAST(sum(cnt) AS BIGINT) AS c
+                      FROM pt GROUP BY lang, tok),
+               rk2 AS (SELECT lang, tok, c, row_number() OVER (
+                         PARTITION BY lang ORDER BY c DESC, tok) AS rn
+                       FROM sm),
+               t2 AS (SELECT lang,
+                             CAST(coalesce(max(CASE WHEN rn = 33 THEN c
+                               END), 0) AS BIGINT) AS t
+                      FROM rk2 GROUP BY lang),
+               mg AS (SELECT r.lang, r.tok AS item, r.c AS cnt,
+                             eb.errbase + t2.t AS err
+                      FROM rk2 r JOIN eb ON r.lang = eb.lang
+                           JOIN t2 ON r.lang = t2.lang
+                      WHERE r.rn <= 32),
+               ex AS (SELECT lang, tok AS item,
+                             CAST(count(*) AS BIGINT) AS exact_cnt
+                      FROM tk GROUP BY lang, tok),
+               eg AS (SELECT lang, max(err) AS eg FROM mg GROUP BY lang),
+               ms AS (SELECT e.lang, count(*) AS miss
+                      FROM ex e JOIN eg ON e.lang = eg.lang
+                      WHERE e.exact_cnt > eg.eg AND NOT EXISTS (
+                        SELECT 1 FROM mg
+                        WHERE mg.lang = e.lang AND mg.item = e.item)
+                      GROUP BY e.lang)
+              SELECT mg.lang, mg.item, mg.cnt, mg.err, ex.exact_cnt,
+                     mg.cnt <= ex.exact_cnt AS lo_ok,
+                     ex.exact_cnt <= mg.cnt + mg.err AS hi_ok,
+                     coalesce(ms.miss, 0) = 0 AS covered
+              FROM mg JOIN ex ON mg.lang = ex.lang AND mg.item = ex.item
+                   LEFT JOIN ms ON mg.lang = ms.lang
+              ORDER BY mg.lang, mg.cnt DESC, mg.item"""))
   )
 
   private lazy val artifactRoot: String =

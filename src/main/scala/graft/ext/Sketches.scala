@@ -228,6 +228,150 @@ object Sketches {
   }
 
   // ------------------------------------------------------------------
+  // SpaceSaving / Misra-Gries heavy-hitter summary
+  // ------------------------------------------------------------------
+
+  /** Misra-Gries heavy-hitter PARTIAL: a bounded (groupCols*, item, cnt,
+    * err) relation — at most k rows per group — that, unlike count-min,
+    * can ENUMERATE its heavy candidates: CMS answers "how often did X
+    * occur?" but listing "which keys are heavy" from CMS needs a
+    * candidate set, and producing one is exactly the corpus-scale
+    * groupBy the sketch tier exists to avoid.
+    *
+    * Construction — the top-k-with-threshold form of the family: exact
+    * batch counts → keep the top k by (count desc, item asc); stored
+    * `cnt` = the EXACT batch count, `err` = t = the (k+1)-th largest
+    * count (0 below k), repeated on every row as the per-summary
+    * truncation scalar. Guarantees, both one-sided:
+    *
+    *   - SANDWICH: cnt ≤ true count ≤ cnt + err for stored items
+    *     (exact within one batch; the slack appears only after merges);
+    *   - COVERAGE: every item with true count > err is stored — at most
+    *     k items can exceed the (k+1)-th largest count, and they are
+    *     precisely the kept ranks; an absent item's count is ≤ t.
+    *
+    * The textbook Misra-Gries variant stores cnt − t instead; it was
+    * REJECTED here because a uniform batch (every item's count = t,
+    * vocabulary > k) then stores zero rows, and the relation-shaped
+    * artifact loses the err scalar with them — a later merge would
+    * silently under-state its error bound. Keeping exact counts makes
+    * the top row always survive, so the scalar is always recoverable
+    * from the rows.
+    *
+    * Scale shape: one exact batch-keyed count aggregate (the daily
+    * batch's own groupBy — batch-sized, never corpus-lifetime), then the
+    * bounded [[graft.functions.TopKByCount]] aggregate (map-side
+    * partials ship ≤ k+1 (cnt, item) pairs per group per split) and
+    * pure array ops for the threshold — no per-item window, no
+    * corpus-keyed sort. Ties at the boundary break deterministically
+    * (larger cnt, then smaller item string), which is what lets the
+    * DuckDB oracle replay the summary row-for-row.
+    *
+    * Weighted items (token counts, bytes) via `weight`.
+    */
+  def ssPartial(df: DataFrame, groupCols: Seq[String], item: Column,
+      k: Int, weight: Column = lit(1L)): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val cnts = df
+      .select((groupCols.map(col) :+ item.cast("string").as("__it") :+
+        weight.cast("long").as("__w")): _*)
+      .groupBy((groupCols :+ "__it").map(col): _*)
+      .agg(sum(col("__w")).as("__c"))
+    ssTruncate(cnts, groupCols, k, errBase = lit(0L))
+  }
+
+  /** Fold stacked heavy-hitter partials into one summary — the standard
+    * summed-error merge: per item, stored counts ADD (an item absent
+    * from a batch's summary contributes its true count ≤ that batch's
+    * err to the undercount instead of stored mass), so the merged
+    * per-group error scalar is Σ batch errs + t′, where t′ is the
+    * (k+1)-th largest summed count at the re-truncation. Both
+    * guarantees survive: stored cnt ≤ true ≤ cnt + err′, and an item
+    * absent from the merged top k has summed stored mass ≤ t′, hence
+    * true ≤ t′ + Σ batch errs = err′ — coverage.
+    *
+    * `batchCol` identifies which partial each row came from — the err
+    * scalar is per (group, batch), so the fold reads it once per batch
+    * (max ≡ first: it is constant within the batch), not once per row;
+    * a group present in a batch always keeps ≥ 1 row (exact counts are
+    * positive), so the scalar is never lost. Merging is lossy-but-
+    * bounded like the sequential algorithm; the fold is deterministic
+    * (sum, then one threshold cut), so the oracle replays it exactly.
+    *
+    * Scale shape: everything after the item-keyed sum is
+    * strata-bounded; the err fold and the top-(k+1) aggregate ship
+    * k-sized state, and the final assembly broadcasts the (≤ groups)-row
+    * err relation.
+    */
+  def ssMerge(partials: DataFrame, groupCols: Seq[String],
+      batchCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val perBatch = partials
+      .groupBy((groupCols :+ batchCol).map(col): _*)
+      .agg(max(col("err")).as("__e"))
+    val errSum =
+      (if (groupCols.isEmpty) perBatch.groupBy()
+       else perBatch.groupBy(groupCols.map(col): _*))
+        .agg(sum(col("__e")).as("__errbase"))
+    val cnts = partials
+      .groupBy((groupCols :+ "item").map(col): _*)
+      .agg(sum(col("cnt")).as("__c"))
+      .withColumnRenamed("item", "__it")
+    val joined =
+      if (groupCols.isEmpty) cnts.crossJoin(broadcast(errSum))
+      else cnts.join(broadcast(errSum), groupCols)
+    ssTruncate(joined, groupCols, k, errBase = col("__errbase"),
+      carryErrBase = true)
+  }
+
+  /** Shared threshold cut: given (group*, __it, __c [, errBase column]),
+    * keep the top k by (__c desc, __it asc) with their counts unchanged
+    * and emit (group*, item, cnt, err = errBase + t) where t is the
+    * (k+1)-th largest count (0 below k). Pure array ops over the bounded
+    * top-(k+1) aggregate — `try_element_at(arr, k+1)` IS t.
+    */
+  private def ssTruncate(cnts: DataFrame, groupCols: Seq[String], k: Int,
+      errBase: Column, carryErrBase: Boolean = false): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) cnts.groupBy()
+      else cnts.groupBy(groupCols.map(col): _*)
+    val aggCols = graft.functions.VectorFunctions
+      .topKByCountNative(col("__c"), col("__it"), k + 1).as("__top") ::
+      (if (carryErrBase) List(max(col("__errbase")).as("__errbase"))
+       else Nil)
+    val agg = grouped.agg(aggCols.head, aggCols.tail: _*)
+    val t = coalesce(try_element_at(col("__top"), lit(k + 1))
+      .getField("cnt"), lit(0L))
+    agg
+      .select((groupCols.map(col) :+
+        explode(slice(col("__top"), 1, k)).as("__e") :+
+        t.as("__t") :+ errBase.as("__eb")): _*)
+      .select((groupCols.map(col) :+
+        col("__e.item").as("item") :+
+        col("__e.cnt").as("cnt") :+
+        (col("__eb") + col("__t")).as("err")): _*)
+  }
+
+  /** Candidate enumeration off a merged Misra-Gries summary — the read
+    * CMS cannot provide: all items whose TRUE count could reach
+    * `minCount`, i.e. stored cnt + err ≥ minCount. One-sided
+    * completeness: when minCount > the group's err scalar, every item
+    * with true count ≥ minCount is guaranteed present in the summary
+    * (absent ⇒ true ≤ err < minCount) and therefore in this output; the
+    * per-row `complete` flag says whether that guarantee holds for the
+    * group. est_lo/est_hi are the sandwich bounds.
+    */
+  def ssCandidates(summary: DataFrame, groupCols: Seq[String],
+      minCount: Long): DataFrame =
+    summary
+      .where(col("cnt") + col("err") >= minCount)
+      .select((groupCols.map(col) :+ col("item") :+
+        col("cnt").as("est_lo") :+
+        (col("cnt") + col("err")).as("est_hi") :+
+        col("err") :+
+        (col("err") < minCount).as("complete")): _*)
+
+  // ------------------------------------------------------------------
   // K-minimum-values (theta) sketch
   // ------------------------------------------------------------------
 

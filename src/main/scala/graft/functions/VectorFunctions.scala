@@ -527,6 +527,151 @@ case class KMinDistinct(child: Expression, k: Int,
     copy(child = newChildren.head)
 }
 
+/** Bounded top-k-by-count aggregate — the SpaceSaving/Misra-Gries
+  * summary's build kernel ([[graft.ext.Sketches.ssPartial]]). The buffer
+  * is a ≤ k-element set of (cnt, item) pairs ordered weakest-first
+  * (smallest cnt; ties broken by LARGEST item string so the kept side of
+  * a tie is the lexicographically smaller items — the deterministic rule
+  * the DuckDB oracle replays with `ORDER BY cnt DESC, item ASC`).
+  * `update` admits a pair only when the buffer is short or the pair
+  * beats the current weakest; `merge` folds another buffer through the
+  * same rule. The partial-aggregation contract does the scale work:
+  * every map task ships AT MOST k (long, string) pairs per group instead
+  * of its per-partition item set.
+  *
+  * PRECONDITION: one input row per item (the exact-counts relation a
+  * `groupBy(item).agg(sum)` produces). The buffer does not merge counts
+  * for a repeated item — feeding raw occurrences would keep k duplicates
+  * of the top item, not the top k items.
+  *
+  * eval returns `array<struct<cnt bigint, item string>>` sorted strongest
+  * first (cnt desc, item asc) — `element_at(arr, k+1)` is the (k+1)-th
+  * largest count the Misra-Gries truncation subtracts.
+  */
+case class TopKByCount(cnt: Expression, item: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[java.util.TreeSet[(Long, String)]] {
+
+  require(k >= 1, s"k=$k must be >= 1")
+
+  override def children: Seq[Expression] = Seq(cnt, item)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cnt", LongType, nullable = false),
+    StructField("item", StringType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (cnt.dataType == LongType && item.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_topk_by_count expects (bigint, string), got " +
+        s"${cnt.dataType}, ${item.dataType}")
+
+  private def ord = TopKByCount.WeakestFirst
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Long, String)] =
+    new java.util.TreeSet[(Long, String)](ord)
+
+  private def admit(buf: java.util.TreeSet[(Long, String)],
+      p: (Long, String)): Unit =
+    if (buf.size < k) { buf.add(p); () }
+    else if (ord.compare(p, buf.first()) > 0) {
+      if (buf.add(p)) { buf.pollFirst(); () }
+    }
+
+  override def update(buf: java.util.TreeSet[(Long, String)],
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.TreeSet[(Long, String)] = {
+    val c = cnt.eval(input)
+    val it = item.eval(input)
+    if (c != null && it != null)
+      admit(buf, (c.asInstanceOf[Long], it.toString))
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[(Long, String)],
+      other: java.util.TreeSet[(Long, String)])
+      : java.util.TreeSet[(Long, String)] = {
+    val it = other.iterator()
+    while (it.hasNext) admit(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[(Long, String)]): Any = {
+    // strongest first: walk the weakest-first TreeSet in reverse
+    val rows = new Array[Any](buf.size)
+    var i = buf.size - 1
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val (c, s) = it.next()
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(
+        c, org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      i -= 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Long, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val (c, s) = it.next()
+      out.writeLong(c)
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.TreeSet[(Long, String)] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val c = in.readLong()
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.add((c, new String(b, java.nio.charset.StandardCharsets.UTF_8)))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByCount =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByCount =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByCount =
+    copy(cnt = newChildren(0), item = newChildren(1))
+}
+
+object TopKByCount {
+  /** Weakest FIRST: ascending cnt, then descending item — so among equal
+    * counts the largest string is evicted first and the TreeSet's
+    * `first()` is always the eviction candidate. A named serializable
+    * object: the comparator rides inside the aggregate expression to
+    * every task.
+    */
+  object WeakestFirst extends java.util.Comparator[(Long, String)]
+      with Serializable {
+    override def compare(a: (Long, String), b: (Long, String)): Int = {
+      val c = java.lang.Long.compare(a._1, b._1)
+      if (c != 0) c else b._2.compareTo(a._2)
+    }
+  }
+}
+
 object VectorFunctions {
   /** Fused dot product as a Column (codegen'd; see DotProductArr). */
   def dotNative(a: Column, b: Column): Column =
@@ -564,6 +709,11 @@ object VectorFunctions {
   def kMinDistinctNative(h: Column, k: Int): Column =
     ColumnBridge.column(KMinDistinct(ColumnBridge.expression(h), k)
       .toAggregateExpression())
+
+  /** Bounded top-k-by-count aggregate as a Column (see TopKByCount). */
+  def topKByCountNative(cnt: Column, item: Column, k: Int): Column =
+    ColumnBridge.column(TopKByCount(ColumnBridge.expression(cnt),
+      ColumnBridge.expression(item), k).toAggregateExpression())
 
   /** Broadcast-Bloom membership probe as a Column (codegen'd; see
     * BloomMightContain).

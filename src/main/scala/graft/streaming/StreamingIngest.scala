@@ -1431,13 +1431,14 @@ object StreamingIngest {
   def sketchStream(items: DataFrame, sketchDir: String,
       checkpointDir: String, groupCols: Seq[String], itemCol: String,
       p: Int = 8, d: Int = 3, w: Int = 256, compactEvery: Int = 0,
-      kmvK: Int = 0, hist: Option[(String, Double, Double, Int)] = None)
+      kmvK: Int = 0, hist: Option[(String, Double, Double, Int)] = None,
+      ssK: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     items.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sketchBatch(batch, batchId, sketchDir, groupCols, itemCol,
-          p, d, w, compactEvery, kmvK, hist)
+          p, d, w, compactEvery, kmvK, hist, ssK)
       }
       .start()
 
@@ -1445,13 +1446,19 @@ object StreamingIngest {
     * catalog drive exactly the production path. `kmvK > 0` also lands the
     * KMV minima (the overlap/drift monitor's input); `hist` =
     * (valueCol, lo, width, bins) also lands the value histogram (the PSI
-    * monitor's input) — all four sketch kinds share the batch_id
-    * partition/replay/compaction contract.
+    * monitor's input); `ssK > 0` also lands the SpaceSaving heavy-hitter
+    * summary (the enumeration read CMS cannot provide) — all five sketch
+    * kinds share the batch_id partition/replay/compaction contract. The
+    * ss fold reads batch_id as its merge's batch column (the summed-
+    * error rule needs to know which summary each row came from); a
+    * compacted `-1` epoch folds in as one batch, which is exactly the
+    * associativity of the summed bound.
     */
   def sketchBatch(batch: DataFrame, batchId: Long, sketchDir: String,
       groupCols: Seq[String], itemCol: String, p: Int, d: Int, w: Int,
       compactEvery: Int = 0, kmvK: Int = 0,
-      hist: Option[(String, Double, Double, Int)] = None): Unit = {
+      hist: Option[(String, Double, Double, Int)] = None,
+      ssK: Int = 0): Unit = {
     if (batch.isEmpty) return
     def land(partial: DataFrame, sub: String): Unit =
       partial.withColumn("batch_id", lit(batchId))
@@ -1467,6 +1474,8 @@ object StreamingIngest {
       land(Sketches.histPartial(batch, groupCols, col(vc), lo, width, bins),
         "hist")
     }
+    if (ssK > 0)
+      land(Sketches.ssPartial(batch, groupCols, col(itemCol), ssK), "ss")
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
       val spark = batch.sparkSession
       compactSketchDir(spark, s"$sketchDir/hll", groupCols, "hll",
@@ -1479,6 +1488,9 @@ object StreamingIngest {
       if (hist.nonEmpty)
         compactSketchDir(spark, s"$sketchDir/hist", groupCols, "hist",
           belowBatch = Some(batchId))
+      if (ssK > 0)
+        compactSketchDir(spark, s"$sketchDir/ss", groupCols, "ss",
+          belowBatch = Some(batchId), ssK = ssK)
     }
   }
 
@@ -1497,16 +1509,20 @@ object StreamingIngest {
   /** Fold partials with `batch_id < belowBatch` (None = all) into the
     * `-1` epoch by the sketch's OWN merge — register-wise MAX (`hll`),
     * counter/bin-wise SUM (`cms`/`hist`), k-smallest-of-union (`kmv`,
-    * which needs `kmvK`). Unlike the hash-index compactors there is no
-    * latest-wins versioning: sketch partials are COMMUTATIVE, so the
-    * fold is the merge itself, and a previous `-1` epoch folds in with
-    * everything else. Crash-safe temp-then-swap; merged reads are
-    * invariant across compaction (spec-pinned). Returns the compacted
-    * row count.
+    * which needs `kmvK`), summed-error top-k (`ss`, which needs `ssK`
+    * and reads batch_id as the merge's batch column). Unlike the
+    * hash-index compactors there is no latest-wins versioning: sketch
+    * partials are COMMUTATIVE, so the fold is the merge itself, and a
+    * previous `-1` epoch folds in with everything else (for `ss`, as
+    * one batch — the summed bound's associativity). Crash-safe
+    * temp-then-swap; merged reads are invariant across compaction
+    * (spec-pinned; for `ss` the INVARIANT read is the guarantee pair,
+    * with err never shrinking). Returns the compacted row count.
     */
   def compactSketchDir(spark: SparkSession, path: String,
       groupCols: Seq[String], kind: String,
-      belowBatch: Option[Long] = None, kmvK: Int = 0): Long = {
+      belowBatch: Option[Long] = None, kmvK: Int = 0,
+      ssK: Int = 0): Long = {
     val all = spark.read.parquet(path)
     val (fold, keep) = belowBatch match {
       case Some(b) =>
@@ -1521,8 +1537,11 @@ object StreamingIngest {
       case "kmv" =>
         require(kmvK > 0, "kmv compaction needs kmvK")
         Sketches.kmvMerge(body, groupCols, kmvK)
+      case "ss" =>
+        require(ssK > 0, "ss compaction needs ssK")
+        Sketches.ssMerge(fold, groupCols, "batch_id", ssK)
       case other => throw new IllegalArgumentException(
-        s"unknown sketch kind '$other' (hll|cms|hist|kmv)")
+        s"unknown sketch kind '$other' (hll|cms|hist|kmv|ss)")
     }
     val tmp = s"$path.compact.tmp"
     folded.withColumn("batch_id", lit(-1L))
@@ -1543,4 +1562,12 @@ object StreamingIngest {
       groupCols: Seq[String]): DataFrame =
     Sketches.histMerge(
       spark.read.parquet(s"$sketchDir/hist").drop("batch_id"), groupCols)
+
+  /** The artifact's merged heavy-hitter summary (summed-error fold over
+    * all partials, batch_id as the merge's batch column).
+    */
+  def currentSsSketch(spark: SparkSession, sketchDir: String,
+      groupCols: Seq[String], k: Int): DataFrame =
+    Sketches.ssMerge(
+      spark.read.parquet(s"$sketchDir/ss"), groupCols, "batch_id", k)
 }

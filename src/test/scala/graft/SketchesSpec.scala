@@ -118,6 +118,145 @@ class SketchesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("groupCols"))
   }
 
+  // ---- SpaceSaving / Misra-Gries -------------------------------------
+
+  /** Zipf-ish fixture: item-i occurs max(1, 200/(i+1)) times per group. */
+  private def zipfy(groups: Seq[String], n: Int) =
+    groups.flatMap(g => (0 until n).flatMap(i =>
+      Seq.fill(math.max(1, 200 / (i + 1)))((g, f"it-$i%04d"))))
+      .toDF("g", "x")
+
+  test("ssPartial: bounded size, deterministic, sandwich + coverage " +
+    "guarantees vs exact counts, and equals the window-form reference") {
+    val df = zipfy(Seq("g0", "g1"), 300)
+    val k = 16
+    val sk = Sketches.ssPartial(df, Seq("g"), col("x"), k)
+    val rows = sk.collect()
+    assert(rows.groupBy(_.getString(0)).forall(_._2.length <= k))
+    val exact = df.groupBy("g", "x").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val stored = rows.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3))).toMap
+    stored.foreach { case ((g, x), (cnt, err)) =>
+      val t = exact((g, x))
+      assert(cnt <= t && t <= cnt + err, s"sandwich broken for $g/$x")
+    }
+    val errByG = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    exact.foreach { case ((g, x), t) =>
+      if (t > errByG(g))
+        assert(stored.contains((g, x)),
+          s"coverage broken: $g/$x true=$t > err=${errByG(g)} but absent")
+    }
+    // window-form reference: rank by (cnt desc, item asc), keep rank <= k
+    // with exact counts, err = count at rank k+1
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy(col("c").desc, col("x").asc)
+    val ref = df.groupBy("g", "x").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+    val tByG = ref.where(col("rn") === k + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val refRows = ref.where(col("rn") <= k).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        tByG.getOrElse(r.getString(0), 0L)))
+      .toSet
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSet == refRows,
+      "bounded aggregate must equal the window form exactly")
+    // determinism
+    assert(Sketches.ssPartial(df, Seq("g"), col("x"), k)
+      .exceptAll(sk).isEmpty)
+  }
+
+  test("ssPartial: below-k groups are exact (err = 0, every item stored)") {
+    val df = Seq.fill(5)("a").map(("g", _)).toDF("g", "x")
+      .union(Seq.fill(3)("b").map(("g", _)).toDF("g", "x"))
+    val sk = Sketches.ssPartial(df, Seq("g"), col("x"), k = 10)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(sk == Map("a" -> (5L, 0L), "b" -> (3L, 0L)))
+  }
+
+  test("ssPartial: uniform batch (all singletons, vocab > k) keeps k " +
+    "rows with the err scalar intact — the case the cnt-minus-t variant " +
+    "loses") {
+    val df = (0 until 100).map(i => ("g", f"u-$i%03d")).toDF("g", "x")
+    val sk = Sketches.ssPartial(df, Seq("g"), col("x"), k = 8).collect()
+    assert(sk.length == 8)
+    assert(sk.forall(r => r.getLong(2) == 1L && r.getLong(3) == 1L))
+    // merged guarantee still sound: any absent item's true count (1)
+    // is <= the recovered err scalar
+    val merged = Sketches.ssMerge(
+      Sketches.ssPartial(df, Seq("g"), col("x"), k = 8)
+        .withColumn("batch", lit(0)), Seq("g"), "batch", 8)
+    assert(merged.select("err").as[Long].collect().forall(_ >= 1L))
+  }
+
+  test("ssPartial: weighted counts sum weights") {
+    val df = Seq(("a", 5L), ("a", 7L), ("b", 1L)).toDF("x", "w")
+    val sk = Sketches.ssPartial(df, Nil, col("x"), k = 10,
+        weight = col("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk == Map("a" -> 12L, "b" -> 1L))
+  }
+
+  test("ssMerge: summed-error rule — guarantees hold vs GLOBAL exact " +
+    "counts after a parity-batch fold, size stays bounded") {
+    val df = zipfy(Seq("g0"), 400).withColumn("par",
+      pmod(crc32(col("x")), lit(2)))
+    val k = 12
+    def part(p: Int) = Sketches.ssPartial(
+      df.where(col("par") === p), Seq("g"), col("x"), k)
+      .withColumn("batch", lit(p))
+    val merged = Sketches.ssMerge(part(0).unionByName(part(1)),
+      Seq("g"), "batch", k)
+    val rows = merged.collect()
+    assert(rows.length <= k)
+    val exact = df.groupBy("x").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val err = rows.head.getLong(3)
+    // err' = err0 + err1 + t' — strictly the summed rule, so recompute
+    val errParts = Seq(0, 1).map(p =>
+      part(p).select("err").as[Long].head())
+    assert(err >= errParts.sum,
+      s"merged err $err must include both batch errs ${errParts.sum}")
+    rows.foreach { r =>
+      val t = exact(r.getString(1))
+      assert(r.getLong(2) <= t && t <= r.getLong(2) + err,
+        s"sandwich broken for ${r.getString(1)}")
+    }
+    exact.foreach { case (x, t) =>
+      if (t > err)
+        assert(rows.exists(_.getString(1) == x),
+          s"coverage broken: $x true=$t > err=$err but absent")
+    }
+  }
+
+  test("ssCandidates: complete enumeration above a threshold that " +
+    "clears the error scalar — the read CMS cannot provide") {
+    val df = zipfy(Seq("g0"), 500)
+    val sk = Sketches.ssPartial(df, Seq("g"), col("x"), k = 24)
+      .withColumn("batch", lit(0))
+    val merged = Sketches.ssMerge(sk, Seq("g"), "batch", 24)
+    val err = merged.select("err").as[Long].head()
+    val minCount = err + 30
+    val cand = Sketches.ssCandidates(merged, Seq("g"), minCount)
+    assert(cand.select("complete").as[Boolean].collect().forall(identity))
+    val candSet = cand.select("item").as[String].collect().toSet
+    val heavy = df.groupBy("x").count()
+      .where(col("count") >= minCount)
+      .select("x").as[String].collect().toSet
+    assert(heavy.subsetOf(candSet),
+      s"missing heavy items: ${heavy -- candSet}")
+    // and bounds sandwich the truth for every candidate
+    val exact = df.groupBy("x").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cand.collect().foreach { r =>
+      val t = exact(r.getString(1))
+      assert(r.getLong(2) <= t && t <= r.getLong(3))
+    }
+  }
+
   // ---- KMV (theta) ---------------------------------------------------
 
   test("kmv: merge of 3-way split equals one-pass; duplicate-insensitive") {

@@ -1433,7 +1433,7 @@ class StreamingSpec extends AnyFunSuite {
       val q = StreamingIngest.sketchStream(
         spark.readStream.schema(schema).parquet(srcDir), skDir, ckpt,
         Seq("grp"), "item", p = 6, d = 2, w = 32,
-        kmvK = 16, hist = Some(("v", 0.0, 10.0, 10)))
+        kmvK = 16, hist = Some(("v", 0.0, 10.0, 10)), ssK = 8)
       try q.processAllAvailable() finally q.stop()
     }
     deliver(1 to 700); runOnce()    // batch 0
@@ -1451,11 +1451,36 @@ class StreamingSpec extends AnyFunSuite {
       == rows(Sketches.kmvPartial(whole, Seq("grp"), $"item", 16)))
     assert(rows(StreamingIngest.currentHistSketch(spark, skDir, Seq("grp")))
       == rows(Sketches.histPartial(whole, Seq("grp"), $"v", 0.0, 10.0, 10)))
+    // ss: the summed-error fold's guarantees hold vs exact whole-stream
+    // counts (the fold is lossy-but-bounded, so equality-to-one-pass is
+    // not the contract — the sandwich + coverage pair is)
+    def ssCheck(data: org.apache.spark.sql.DataFrame): Set[List[Any]] = {
+      val ss = StreamingIngest.currentSsSketch(spark, skDir, Seq("grp"), 8)
+      val got = ss.collect()
+      assert(got.groupBy(_.getString(0)).forall(_._2.length <= 8))
+      val exact = data.groupBy($"grp", $"item").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val errByG = got.map(r => r.getString(0) -> r.getLong(3)).toMap
+      got.foreach { r =>
+        val tr = exact((r.getString(0), r.getString(1)))
+        assert(r.getLong(2) <= tr && tr <= r.getLong(2) + r.getLong(3),
+          s"ss sandwich broken for ${r.getString(1)}")
+      }
+      exact.foreach { case ((g, it), tr) =>
+        if (tr > errByG(g))
+          assert(got.exists(r => r.getString(0) == g && r.getString(1) == it),
+            s"ss coverage broken: $g/$it")
+      }
+      got.map(_.toSeq.toList).toSet
+    }
+    val ssBefore = ssCheck(whole)
     // at-least-once replay: counters must NOT double
     StreamingIngest.sketchBatch(batchDf(701 to 900), 1L, skDir,
-      Seq("grp"), "item", p = 6, d = 2, w = 32)
+      Seq("grp"), "item", p = 6, d = 2, w = 32, ssK = 8)
     assert(rows(StreamingIngest.currentCmsSketch(spark, skDir, Seq("grp")))
       == mergedCms, "replayed batch must rewrite its partition, not add")
+    assert(ssCheck(whole) == ssBefore,
+      "replayed ss partial must rewrite byte-identically")
     // compaction: everything folds to the -1 epoch, merged reads invariant
     // across all four kinds
     val kmvBefore = rows(StreamingIngest.currentKmvSketch(spark, skDir,
@@ -1467,6 +1492,8 @@ class StreamingSpec extends AnyFunSuite {
     StreamingIngest.compactSketchDir(spark, s"$skDir/kmv", Seq("grp"), "kmv",
       kmvK = 16)
     StreamingIngest.compactSketchDir(spark, s"$skDir/hist", Seq("grp"), "hist")
+    StreamingIngest.compactSketchDir(spark, s"$skDir/ss", Seq("grp"), "ss",
+      ssK = 8)
     assert(spark.read.parquet(s"$skDir/hll")
       .select($"batch_id").distinct().as[Long].collect().toSeq == Seq(-1L))
     assert(rows(StreamingIngest.currentHllSketch(spark, skDir, Seq("grp")))
@@ -1477,12 +1504,18 @@ class StreamingSpec extends AnyFunSuite {
       == kmvBefore)
     assert(rows(StreamingIngest.currentHistSketch(spark, skDir, Seq("grp")))
       == histBefore)
+    // ss compaction: a single -1 epoch re-merges to ITSELF (t' = 0 over
+    // <= k items, errbase = its own scalar) — the read is invariant
+    assert(ssCheck(whole) == ssBefore,
+      "ss merged read must be invariant across compaction")
     // a later batch lands NEXT TO the -1 epoch and keeps merging
     StreamingIngest.sketchBatch(batchDf(901 to 1000), 2L, skDir,
-      Seq("grp"), "item", p = 6, d = 2, w = 32)
+      Seq("grp"), "item", p = 6, d = 2, w = 32, ssK = 8)
     assert(rows(StreamingIngest.currentCmsSketch(spark, skDir, Seq("grp")))
       == rows(Sketches.cmsPartial(batchDf(1 to 1000), Seq("grp"),
         $"item", 2, 32)))
+    // ...and the ss guarantees hold against the full 1..1000 stream
+    ssCheck(batchDf(1 to 1000))
     // empty trigger: no-op (no partition written, no exception)
     val before = spark.read.parquet(s"$skDir/cms")
       .select($"batch_id").distinct().count()

@@ -794,7 +794,91 @@ object QueriesSketches {
                      coalesce(ms.miss, 0) = 0 AS covered
               FROM mg JOIN ex ON mg.lang = ex.lang AND mg.item = ex.item
                    LEFT JOIN ms ON mg.lang = ms.lang
-              ORDER BY mg.lang, mg.cnt DESC, mg.item"""))
+              ORDER BY mg.lang, mg.cnt DESC, mg.item""")),
+
+    // ------------------------------------------------------------------
+    // q214 (round 15): SELF-BOUNDING histogram — the train-once fix for
+    // histPartial's a-priori (lo, width) footgun: per-lang bounds are
+    // FROZEN from the first batch (parity 0) as a strata-sized artifact,
+    // every later partial joins against it (all partials bin identically
+    // forever — the bin-wise merge identity the one-pass oracle gates),
+    // and the clamp AUDIT makes batch-1 mass outside the trained range
+    // visible (n_under/n_over/frac_clamped) where fixed bounds would
+    // absorb it into edge bins silently. Read: per-lang p25/p50/p90 off
+    // the merged sketch through the same frozen bounds.
+    // ------------------------------------------------------------------
+    Q("q214_hist_self_bounding",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bounds = Sketches.histBoundsTrain(
+          docs.where(col("doc_id") % 2 === 0), Seq("lang"),
+          col("n_chars"), bins = 20)
+        def part(par: Int) = Sketches.histPartialBounded(
+          docs.where(col("doc_id") % 2 === par), Seq("lang"),
+          col("n_chars"), bounds)
+        val merged = Sketches.histMerge(
+          part(0).unionByName(part(1)), Seq("lang"))
+        val quant = Sketches.histQuantilesBounded(merged, bounds,
+          Seq("lang"), Seq(0.25, 0.5, 0.9))
+        val audit = Sketches.histClampAudit(
+          docs.where(col("doc_id") % 2 === 1), Seq("lang"),
+          col("n_chars"), bounds)
+        quant.join(broadcast(audit), Seq("lang"))
+          .select(col("lang"), col("qf"), col("est"), col("n_under"),
+            col("n_over"), col("n_total"), col("frac_clamped"))
+          .orderBy(col("lang"), col("qf"))
+      },
+      Some(s"""WITH tr AS (SELECT lang,
+                             min(CAST(n_chars AS DOUBLE)) AS lo,
+                             CASE WHEN max(CAST(n_chars AS DOUBLE)) =
+                                       min(CAST(n_chars AS DOUBLE))
+                               THEN 1.0
+                               ELSE (max(CAST(n_chars AS DOUBLE)) -
+                                     min(CAST(n_chars AS DOUBLE))) / 20.0
+                             END AS width
+                      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+               hb AS (SELECT d.lang,
+                             CAST(least(greatest(floor(
+                               (CAST(d.n_chars AS DOUBLE) - tr.lo)
+                                 / tr.width), 0.0), 19.0) AS INT) AS bin
+                      FROM documents d JOIN tr ON d.lang = tr.lang),
+               hs AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS cnt
+                      FROM hb GROUP BY lang, bin),
+               cm AS (SELECT lang, bin, cnt,
+                             sum(cnt) OVER (PARTITION BY lang
+                               ORDER BY bin) AS cum,
+                             sum(cnt) OVER (PARTITION BY lang) AS tot
+                      FROM hs),
+               qq AS (SELECT lang, q.qf AS qf, bin, cnt, cum, tot
+                      FROM cm CROSS JOIN
+                        (SELECT unnest([0.25, 0.5, 0.9]) AS qf) q
+                      WHERE CAST(cum AS DOUBLE)
+                              >= q.qf * CAST(tot AS DOUBLE)
+                        AND CAST(cum - cnt AS DOUBLE)
+                              < q.qf * CAST(tot AS DOUBLE)),
+               qe AS (SELECT q.lang, q.qf,
+                             round(tr.lo + tr.width *
+                               (CAST(q.bin AS DOUBLE) +
+                                (q.qf * CAST(q.tot AS DOUBLE) -
+                                 CAST(q.cum - q.cnt AS DOUBLE)) /
+                                CAST(q.cnt AS DOUBLE)), 6) AS est
+                      FROM qq q JOIN tr ON q.lang = tr.lang),
+               au AS (SELECT d.lang,
+                             CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE)
+                               < tr.lo THEN 1 ELSE 0 END) AS BIGINT)
+                               AS n_under,
+                             CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE)
+                               >= tr.lo + tr.width * 20.0 THEN 1 ELSE 0
+                               END) AS BIGINT) AS n_over,
+                             CAST(count(*) AS BIGINT) AS n_total
+                      FROM documents d JOIN tr ON d.lang = tr.lang
+                      WHERE d.doc_id % 2 = 1 GROUP BY d.lang)
+              SELECT qe.lang, qe.qf, qe.est, au.n_under, au.n_over,
+                     au.n_total,
+                     round(CAST(au.n_under + au.n_over AS DOUBLE) /
+                           CAST(au.n_total AS DOUBLE), 6) AS frac_clamped
+              FROM qe JOIN au ON qe.lang = au.lang
+              ORDER BY qe.lang, qe.qf"""))
   )
 
   private lazy val artifactRoot: String =

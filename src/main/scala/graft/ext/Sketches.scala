@@ -579,6 +579,114 @@ object Sketches {
     grouped.agg(round(sum(col("__t")).cast("double"), 6).as("psi"))
   }
 
+  /** TRAIN-ONCE histogram bounds — the self-bounding variant's freeze
+    * step (the quantizer-codebook discipline applied to bins):
+    * [[histPartial]] takes (lo, width) as a-priori constants, which is
+    * wrong for drifting/unbounded domains — the monitor's own use case —
+    * where naive fixed bounds clamp silently. Instead, scan the FIRST
+    * batch once for per-group min/max and freeze
+    * (group*, lo, width = (max − lo)/bins, bins) as a strata-sized
+    * bounds ARTIFACT every later partial joins against: all partials of
+    * a statistic bin identically forever (bin-wise merge stays sound),
+    * and later drift OUT of the trained range is measurable
+    * ([[histClampAudit]]) instead of invisible. The training max lands
+    * exactly at bin = bins and clamps into the top bin — deterministic
+    * in both engines. A degenerate group (max = lo) freezes width 1.
+    */
+  def histBoundsTrain(df: DataFrame, groupCols: Seq[String], v: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 2)
+    val grouped =
+      if (groupCols.isEmpty) df.groupBy()
+      else df.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(min(v.cast("double")).as("lo"),
+        max(v.cast("double")).as("__hi"))
+      .select((groupCols.map(col) :+ col("lo") :+
+        when(col("__hi") === col("lo"), lit(1.0))
+          .otherwise((col("__hi") - col("lo")) / lit(bins.toDouble))
+          .as("width") :+
+        lit(bins).as("bins")): _*)
+  }
+
+  /** [[histPartial]] against a FROZEN bounds artifact: per-group
+    * (lo, width, bins) come from the [[histBoundsTrain]] relation
+    * (broadcast — strata-sized), under/overflow clamps to the edge bins
+    * exactly as the constant-bounds form. Output shape is identical to
+    * [[histPartial]]'s, so [[histMerge]]/[[histPsi]]/
+    * [[histQuantilesBounded]] consume it unchanged.
+    */
+  def histPartialBounded(df: DataFrame, groupCols: Seq[String], v: Column,
+      bounds: DataFrame): DataFrame = {
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds), groupCols)
+    val bin = least(greatest(
+      floor((v.cast("double") - col("lo")) / col("width")), lit(0.0)),
+      (col("bins") - 1).cast("double")).cast("int")
+    joined.select((groupCols.map(col) :+ bin.as("bin")): _*)
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The clamp AUDIT that makes out-of-range mass VISIBLE: per group,
+    * how much of `df` falls below/above the frozen range
+    * [lo, lo + width·bins). A fresh batch drifting out of the trained
+    * domain shows up here as frac_clamped > 0 — the signal that the
+    * bounds artifact needs retraining — where a fixed-bounds histogram
+    * absorbs the same mass into its edge bins silently.
+    */
+  def histClampAudit(df: DataFrame, groupCols: Seq[String], v: Column,
+      bounds: DataFrame): DataFrame = {
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds), groupCols)
+    val dv = v.cast("double")
+    val hi = col("lo") + col("width") * col("bins").cast("double")
+    val grouped =
+      if (groupCols.isEmpty) joined.groupBy()
+      else joined.groupBy(groupCols.map(col): _*)
+    grouped.agg(
+      sum(when(dv < col("lo"), 1L).otherwise(0L)).as("n_under"),
+      sum(when(dv >= hi, 1L).otherwise(0L)).as("n_over"),
+      count(lit(1)).as("n_total"))
+      .withColumn("frac_clamped", round(
+        (col("n_under") + col("n_over")).cast("double") /
+          col("n_total").cast("double"), 6))
+  }
+
+  /** [[histQuantiles]] against the FROZEN bounds artifact: per-group
+    * (lo, width) come from the joined bounds relation instead of
+    * constants — the read side of the self-bounding histogram. Same
+    * rank-in-bin interpolation, same 6 dp rounding.
+    */
+  def histQuantilesBounded(hist: DataFrame, bounds: DataFrame,
+      groupCols: Seq[String], qfs: Seq[Double]): DataFrame = {
+    require(qfs.nonEmpty && qfs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions must be in (0, 1]; got ${qfs.mkString(", ")}")
+    import org.apache.spark.sql.expressions.Window
+    val wspec = if (groupCols.isEmpty) Window.orderBy(col("bin"))
+      else Window.partitionBy(groupCols.map(col): _*).orderBy(col("bin"))
+    val tspec = if (groupCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupCols.map(col): _*)
+    val withB =
+      if (groupCols.isEmpty) hist.crossJoin(broadcast(bounds))
+      else hist.join(broadcast(bounds), groupCols)
+    val cum = withB
+      .withColumn("__cum", sum(col("cnt")).over(wspec))
+      .withColumn("__tot", sum(col("cnt")).over(tspec))
+    val target = col("qf") * col("__tot").cast("double")
+    cum.select((groupCols.map(col) ++ Seq(col("bin"), col("cnt"),
+        col("__cum"), col("__tot"), col("lo"), col("width"),
+        explode(array(qfs.map(lit): _*)).as("qf"))): _*)
+      .where(col("__cum").cast("double") >= target &&
+        (col("__cum") - col("cnt")).cast("double") < target)
+      .select((groupCols.map(col) ++ Seq(col("qf"),
+        round(col("lo") + col("width") * (col("bin").cast("double") +
+          (target - (col("__cum") - col("cnt")).cast("double")) /
+            col("cnt").cast("double")), 6).as("est"))): _*)
+  }
+
   /** Quantile estimates from a merged histogram: one row per
     * (group, quantile) — (groupCols*, qf DOUBLE, est DOUBLE). The target
     * rank qf·total lands in exactly one bin (cum_before < target ≤ cum);

@@ -383,6 +383,48 @@ class SketchesSpec extends AnyFunSuite {
       "both-empty bins must contribute under unequal totals")
   }
 
+  test("self-bounding histogram: bounds freeze from the first batch, " +
+    "later drift is VISIBLE in the clamp audit where fixed bounds would " +
+    "absorb it silently; bounded reads match the constant-bounds forms") {
+    // batch 0 spans [0, 200); batch 1 drifts to [0, 800)
+    val b0 = (0 until 1000).map(i => ("g", (i % 200).toDouble)).toDF("g", "v")
+    val b1 = (0 until 1000).map(i => ("g", (i % 800).toDouble)).toDF("g", "v")
+    val bounds = Sketches.histBoundsTrain(b0, Seq("g"), col("v"), bins = 10)
+    val br = bounds.collect().head
+    val (lo, width) = (br.getDouble(1), br.getDouble(2))
+    assert(lo == 0.0 && width == 19.9) // (199 - 0) / 10
+    // frozen-bounds partials bin identically to the constant form
+    val pb = Sketches.histPartialBounded(b1, Seq("g"), col("v"), bounds)
+    val pc = Sketches.histPartial(b1, Seq("g"), col("v"), lo, width, 10)
+    assert(pb.exceptAll(pc).isEmpty && pc.exceptAll(pb).isEmpty)
+    // the drift fixture: 800-199 of batch 1's range is out of the trained
+    // domain — the audit reports it; the fixed-bounds histogram absorbs
+    // the same mass into bin 9 with no signal
+    val audit = Sketches.histClampAudit(b1, Seq("g"), col("v"), bounds)
+      .collect().head
+    val expectedOver = b1.where(col("v") >= lo + width * 10).count()
+    assert(audit.getLong(1) == 0L && audit.getLong(2) == expectedOver &&
+      expectedOver > 0)
+    assert(math.abs(audit.getDouble(4) - expectedOver / 1000.0) < 1e-6)
+    // the silent alternative, demonstrated: top edge bin swallows the mass
+    val edge = pc.where(col("bin") === 9).select("cnt").as[Long].head()
+    assert(edge >= expectedOver, "fixed bounds clamp with no audit signal")
+    // bounded quantile read == constant-bounds read on the same sketch
+    val merged = Sketches.histMerge(
+      Sketches.histPartialBounded(b0, Seq("g"), col("v"), bounds)
+        .unionByName(pb), Seq("g"))
+    val qb = Sketches.histQuantilesBounded(merged, bounds, Seq("g"),
+      Seq(0.5, 0.9))
+    val qc = Sketches.histQuantiles(merged, Seq("g"), lo, width,
+      Seq(0.5, 0.9))
+    assert(qb.exceptAll(qc).isEmpty && qc.exceptAll(qb).isEmpty)
+    // degenerate group: all-equal values freeze width 1
+    val degen = Sketches.histBoundsTrain(
+      Seq(("d", 7.0), ("d", 7.0)).toDF("g", "v"), Seq("g"), col("v"), 10)
+      .collect().head
+    assert(degen.getDouble(1) == 7.0 && degen.getDouble(2) == 1.0)
+  }
+
   test("histQuantiles: rejects qf outside (0, 1]") {
     val h = Sketches.histPartial(
       (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v"),

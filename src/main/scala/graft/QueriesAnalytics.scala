@@ -2725,6 +2725,99 @@ object QueriesAnalytics {
                      round(1.0 - CAST(sum(len) AS DOUBLE) /
                        greatest(CAST(count(*) * max(len) AS DOUBLE), 1.0), 6)
                        AS pad_frac
-              FROM b GROUP BY batch_id ORDER BY batch_id"""))
+              FROM b GROUP BY batch_id ORDER BY batch_id""")),
+
+    // ------------------------------------------------------------------
+    // q215 (round 15): MULTIMODAL training layout — interleaved
+    // text+media-ref packed sequences. Each doc contributes a text item
+    // (tokens = n_chars); every third doc also an image item occupying
+    // 64 token-equivalent slots with payload bytes. Docs mix/replicate/
+    // shuffle at doc grain (q175's chain over doc TOTALS), the ITEM
+    // stream packs in (shuffle_pos, item_idx) order, and the oracle
+    // gates the slot GEOMETRY of the items family READ BACK from disk
+    // (the q175 pattern): item_pos dense, seq_id/seq_off offset-packed
+    // over text∪media slots, media rows carrying their dense media_pos
+    // REF into the payload shard family (whose bytes the specs gate —
+    // tiling, retraction, addressing).
+    // ------------------------------------------------------------------
+    Q("q215_multimodal_layout",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val textItems = docs.select(col("doc_id"), col("lang"),
+          lit(0).as("item_idx"), lit("text").as("kind"),
+          col("n_chars").cast("long").as("tokens"),
+          lit(null).cast("binary").as("payload"))
+        val imgItems = docs.where(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("lang"), lit(1).as("item_idx"),
+            lit("image").as("kind"), lit(64L).as("tokens"),
+            unhex(md5(concat(lit("img|"), col("doc_id").cast("string"))))
+              .as("payload"))
+        val items = textItems.unionByName(imgItems)
+        val total = items.agg(sum(col("tokens"))).head().getLong(0)
+        val out = java.nio.file.Files.createTempDirectory("graft_q215")
+          .toString + "/mm"
+        val (geo, _) = Sampling.multimodalLayout(items, "doc_id",
+          "item_idx", "kind", "tokens", "payload", "lang",
+          Seq("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15, "fr" -> 0.15,
+            "es" -> 0.05),
+          budget = 4L * total, path = out, maxEpochs = 3.0,
+          seqLen = 2048L, numShards = 8, mediaShards = 4)
+        geo.select(col("doc_id"), col("copy_idx"), col("item_idx"),
+            col("kind"), col("tokens"), col("shuffle_pos"),
+            col("item_pos"), col("seq_id"), col("seq_off"),
+            col("media_pos"), col("shard").cast("int").as("shard"))
+          .orderBy(col("item_pos"))
+      },
+      Some {
+        val mmItems =
+          s"""mmit AS (SELECT doc_id, lang, 0 AS item_idx,
+                              'text' AS kind,
+                              CAST(n_chars AS BIGINT) AS tokens
+                       FROM documents
+                       UNION ALL
+                       SELECT doc_id, lang, 1, 'image', CAST(64 AS BIGINT)
+                       FROM documents WHERE doc_id % 3 = 0),
+              mmdoc AS (SELECT doc_id, lang,
+                               CAST(sum(tokens) AS BIGINT) AS n_chars
+                        FROM mmit GROUP BY doc_id, lang)"""
+        s"""WITH $mmItems,
+             ${mixSelCtesFrom("mmdoc")},
+             msh AS (SELECT doc_id, copy_idx,
+                            md5('graft-mix' || '|'
+                              || CAST(copy_idx AS VARCHAR) || '|'
+                              || CAST(doc_id AS VARCHAR)) AS rk
+                     FROM sel),
+             mpos AS (SELECT doc_id, copy_idx, row_number()
+                        OVER (ORDER BY copy_idx, rk) AS shuffle_pos
+                      FROM msh),
+             mit AS (SELECT p.doc_id, p.copy_idx, p.shuffle_pos,
+                            i.item_idx, i.kind, i.tokens
+                     FROM mpos p JOIN mmit i ON p.doc_id = i.doc_id),
+             mpk AS (SELECT doc_id, copy_idx, shuffle_pos, item_idx,
+                            kind, tokens,
+                            row_number() OVER (ORDER BY shuffle_pos,
+                              item_idx) AS item_pos,
+                            CAST(coalesce(sum(tokens) OVER (
+                              ORDER BY shuffle_pos, item_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS strt,
+                            CASE WHEN kind = 'image' THEN
+                              CAST(sum(CASE WHEN kind = 'image' THEN 1
+                                ELSE 0 END) OVER (
+                                ORDER BY shuffle_pos, item_idx
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT)
+                            END AS media_pos
+                     FROM mit),
+             mn AS (SELECT count(*) AS cnt FROM mpk)
+            SELECT doc_id, copy_idx, item_idx, kind, tokens,
+                   shuffle_pos, item_pos,
+                   CAST(floor(strt / 2048.0) AS BIGINT) AS seq_id,
+                   strt % 2048 AS seq_off, media_pos,
+                   CAST(floor(CAST(item_pos - 1 AS DOUBLE) * 8
+                     / (SELECT cnt FROM mn)) AS INT) AS shard
+            FROM mpk ORDER BY item_pos"""
+      })
   )
 }

@@ -477,7 +477,20 @@ object Sampling {
     * Returns df + `__start`; callers drop it.
     */
   private[graft] def withStreamStart(df: DataFrame, weightCol: String,
-      rankBy: Seq[Column]): DataFrame = {
+      rankBy: Seq[Column]): DataFrame =
+    withStreamStarts(df, Seq(weightCol), rankBy)
+      .withColumnRenamed("__start_0", "__start")
+
+  /** Multi-weight form of [[withStreamStart]]: ONE ranged pass computing
+    * the exclusive running total of EVERY weight column at once —
+    * `__start_<i>` per `weightCols(i)`. The multimodal layout needs
+    * three concurrent streams (token offsets, dense item positions,
+    * dense media positions); running the two-phase pass per weight
+    * would re-exchange and re-persist the frame each time.
+    */
+  private[graft] def withStreamStarts(df: DataFrame,
+      weightCols: Seq[String], rankBy: Seq[Column]): DataFrame = {
+    require(weightCols.nonEmpty)
     val ranged = df.repartitionByRange(rankBy: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -486,17 +499,24 @@ object Sampling {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      ranged.groupBy(col("__pid")).agg(sum(col(weightCol)).as("__w"))
-        .withColumn("__base", coalesce(sum(col("__w")).over(w), lit(0L)))
-        .select(col("__pid"), col("__base"))
+      val totals = weightCols.zipWithIndex.map { case (c, i) =>
+        sum(col(c)).as(s"__w_$i") }
+      val withBases = ranged.groupBy(col("__pid"))
+        .agg(totals.head, totals.tail: _*)
+      weightCols.indices.foldLeft(withBases) { (acc, i) =>
+        acc.withColumn(s"__base_$i",
+          coalesce(sum(col(s"__w_$i")).over(w), lit(0L)))
+      }.select((col("__pid") +:
+        weightCols.indices.map(i => col(s"__base_$i"))): _*)
     }
     val local = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(rankBy: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    ranged.join(broadcast(bases), "__pid")
-      .withColumn("__start",
-        col("__base") + coalesce(sum(col(weightCol)).over(local), lit(0L)))
-      .drop("__pid", "__base")
+    val joined = ranged.join(broadcast(bases), "__pid")
+    weightCols.zipWithIndex.foldLeft(joined) { case (acc, (c, i)) =>
+      acc.withColumn(s"__start_$i",
+        col(s"__base_$i") + coalesce(sum(col(c)).over(local), lit(0L)))
+    }.drop((Seq("__pid") ++ weightCols.indices.map(i => s"__base_$i")): _*)
   }
 
   /** Document SPANS across packed-sequence boundaries — the part of the
@@ -792,6 +812,93 @@ object Sampling {
     else
       graft.ops.Layout.writeShards(packed, "shuffle_pos", numShards, path)
     df.sparkSession.read.parquet(path)
+  }
+
+  /** The MULTIMODAL training layout — [[trainingLayout]] generalized to
+    * interleaved text+media sequences, the artifact a vision-language
+    * trainer reads: input is an ITEM stream (one row per (doc, item)
+    * with `itemIdxCol` ordering items inside the doc), where text items
+    * carry their token counts and media items carry their
+    * TOKEN-EQUIVALENT slot widths (e.g. one image = 64 slots) in the
+    * same `tokensCol`, plus payload bytes in `payloadCol` (null for
+    * text). The pipeline mixes/replicates/shuffles at DOC grain (a copy
+    * is a whole document — items never separate), then packs the ITEM
+    * stream in (shuffle_pos, item_idx) order through the same
+    * offset-packing rule as the text flagship: `seq_id`/`seq_off` mark
+    * each item's slot range, media items occupying `tokensCol`
+    * contiguous slots.
+    *
+    * TWO position-addressable shard families land under `path`:
+    *
+    *   - `path/items` — the slot GEOMETRY (doc_id, copy_idx, item_idx,
+    *     kind, tokens, shuffle_pos, item_pos, seq_id, seq_off,
+    *     media_pos), sharded by the dense `item_pos`; media rows carry
+    *     `media_pos` as the REF into the payload family, text rows null;
+    *   - `path/media` — payload BYTES (…, slot_len, media_pos, payload),
+    *     sharded by the dense `media_pos`, so a loader assembling
+    *     sequence s reads its geometry rows, collects their media_pos
+    *     refs, and range-reads exactly the payload shards covering them
+    *     (the manifest gives the ranges — zero scans).
+    *
+    * Both families satisfy the writeShards contract (dense 1-based
+    * order column, contiguous tiling ranges), so
+    * manifest/resume/retraction/fingerprint/compaction apply to each
+    * unchanged — retraction by doc_id hits O(affected files) in BOTH
+    * families (spec-witnessed).
+    *
+    * Scale shape: doc-grain planning is [[trainingLayout]]'s (strata
+    * broadcast, output-linear explode, ranged passes); the item join is
+    * id-keyed; the three packing streams (token offsets, item
+    * positions, media positions) ride ONE two-phase ranged pass
+    * ([[withStreamStarts]]); two shard-keyed exchanges write the
+    * families. Payload bytes move exactly once.
+    */
+  def multimodalLayout(items: DataFrame, docIdCol: String,
+      itemIdxCol: String, kindCol: String, tokensCol: String,
+      payloadCol: String, stratumCol: String,
+      weights: Seq[(String, Double)], budget: Long, path: String,
+      maxEpochs: Double = 3.0, seqLen: Long = 2048L, numShards: Int = 8,
+      mediaShards: Int = 4, salt: String = "graft-mix")
+      : (DataFrame, DataFrame) = {
+    val spark = items.sparkSession
+    val docs = items.groupBy(col(docIdCol), col(stratumCol))
+      .agg(sum(col(tokensCol)).cast("long").as("__doctok"))
+    val plan = mixPlan(docs, stratumCol, col("__doctok"), weights,
+      budget, maxEpochs)
+    val rep = applyMixPlan(docs, docIdCol, stratumCol, plan, salt)
+    val shuffled = epochShuffle(rep, docIdCol, "copy_idx", salt)
+    val stream = shuffled
+      .select(col(docIdCol), col("copy_idx"), col("shuffle_pos"))
+      .join(items, Seq(docIdCol))
+      .withColumn("__one", lit(1L))
+      .withColumn("__mw",
+        when(col(payloadCol).isNotNull, 1L).otherwise(0L))
+    val packed = withStreamStarts(stream,
+        Seq(tokensCol, "__one", "__mw"),
+        Seq(col("shuffle_pos"), col(itemIdxCol)))
+      .withColumn("seq_id", floor(col("__start_0") / seqLen).cast("long"))
+      .withColumn("seq_off", (col("__start_0") % seqLen).cast("long"))
+      .withColumn("item_pos", (col("__start_1") + 1L).cast("long"))
+      .withColumn("media_pos", when(col(payloadCol).isNotNull,
+        col("__start_2") + 1L).cast("long"))
+    if (packed.where(col(payloadCol).isNotNull).limit(1).isEmpty)
+      throw new IllegalArgumentException(
+        "multimodalLayout: no media items (every payload is null) — " +
+          "use trainingLayout for text-only corpora")
+    graft.ops.Layout.writeShards(
+      packed.select(col(docIdCol), col("copy_idx"), col(itemIdxCol),
+        col(kindCol), col(tokensCol), col("shuffle_pos"), col("item_pos"),
+        col("seq_id"), col("seq_off"), col("media_pos")),
+      "item_pos", numShards, s"$path/items")
+    graft.ops.Layout.writeShards(
+      packed.where(col(payloadCol).isNotNull)
+        .select(col(docIdCol), col("copy_idx"), col(itemIdxCol),
+          col(kindCol), col(tokensCol).as("slot_len"), col("item_pos"),
+          col("seq_id"), col("seq_off"), col("media_pos"),
+          col(payloadCol)),
+      "media_pos", mediaShards, s"$path/media")
+    (spark.read.parquet(s"$path/items"),
+      spark.read.parquet(s"$path/media"))
   }
 
   /** The ANNEALED training layout — [[trainingLayout]] with the

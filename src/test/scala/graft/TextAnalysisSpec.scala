@@ -825,6 +825,118 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet == beforeRows)
   }
 
+  test("multimodalLayout: interleaved slot geometry replays the token " +
+    "stream, payload shards tile and are position-addressable (extracted " +
+    "video frames round-trip), retraction hits BOTH families O(affected), " +
+    "fingerprints move") {
+    import graft.ext.{Multimodal, Retraction, Sampling}
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // q164's fixture: payloads are frames EXTRACTED from synthetic AVIs
+    val avis = (0 until 12 by 3).map(i => Multimodal.MediaRow(i.toLong,
+      "avi", Multimodal.syntheticNoiseAviSeeded(72, 64,
+        Seq(i.toLong, i + 100L))))
+    val frames = Multimodal.sampleVideoFrames(avis.toDS(), k = 1)
+      .collect().map(f => f.media_id -> f.payload).toMap
+    assert(frames.values.forall(_ != null))
+    // 12 docs: text item (50 tokens) each; every third doc also an image
+    // item of 16 token-equivalent slots whose payload is its frame
+    val items = (0 until 12).flatMap { i =>
+      Seq((i.toLong, "up", 0, "text", 50L, null: Array[Byte])) ++
+        (if (i % 3 == 0)
+          Seq((i.toLong, "up", 1, "image", 16L, frames(i.toLong)))
+        else Nil)
+    }.toDF("doc_id", "lang", "item_idx", "kind", "tokens", "payload")
+    // total = 12*50 + 4*16 = 664; budget 2x -> exactly 2 full copies
+    val base = java.nio.file.Files.createTempDirectory("mm215").toString
+    val out = s"$base/mm"
+    val (geo, med) = Sampling.multimodalLayout(items, "doc_id",
+      "item_idx", "kind", "tokens", "payload", "lang", Seq("up" -> 1.0),
+      budget = 1328L, path = out, maxEpochs = 3.0, seqLen = 64L,
+      numShards = 4, mediaShards = 2, salt = "mm-spec")
+    val g = geo.select($"doc_id", $"copy_idx", $"item_idx", $"kind",
+        $"tokens", $"shuffle_pos", $"item_pos", $"seq_id", $"seq_off",
+        $"media_pos", $"shard".cast("int"))
+      .collect().sortBy(_.getLong(6))
+    // dense item positions; doc items stay adjacent in item order
+    assert(g.map(_.getLong(6)).toSeq == (1L to g.length.toLong))
+    g.grouped(1).flatten.sliding(2).foreach { case Seq(a, b) =>
+      if (a.getLong(5) == b.getLong(5)) // same (doc, copy)
+        assert(a.getLong(0) == b.getLong(0) &&
+          a.getInt(2) < b.getInt(2), "items of a copy stay in item order")
+    }
+    // offset packing replays: running token sum -> seq_id/seq_off
+    var run = 0L
+    g.foreach { r =>
+      assert(r.getLong(7) == run / 64 && r.getLong(8) == run % 64,
+        s"seq geometry broken at item_pos ${r.getLong(6)}")
+      run += r.getLong(4)
+    }
+    // media refs: dense 1..M in stream order on image rows, null on text
+    val mediaRefs = g.filter(_.getString(3) == "image").map(_.getLong(9))
+    assert(mediaRefs.toSeq == (1L to mediaRefs.length.toLong))
+    assert(g.filter(_.getString(3) == "text").forall(_.isNullAt(9)))
+    // both families' manifests tile contiguous ranges
+    def tiles(path: String, posCol: String, tokCol: String): Unit = {
+      val m = graft.ops.Layout.layoutManifest(spark, path, posCol, tokCol)
+        .select($"shard", $"pos_min", $"pos_max")
+        .as[(Int, Long, Long)].collect().sortBy(_._1)
+      assert(m.head._2 == 1L &&
+        m.sliding(2).forall(p => p(1)._2 == p(0)._3 + 1),
+        s"$path ranges must tile: ${m.toSeq}")
+    }
+    tiles(s"$out/items", "item_pos", "tokens")
+    tiles(s"$out/media", "media_pos", "slot_len")
+    // position-addressable: every geometry media ref resolves to the
+    // doc's EXTRACTED frame bytes, for every copy
+    val medRows = med.select($"media_pos", $"doc_id", $"payload")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Array[Byte]](2)))
+      .toMap
+    g.filter(_.getString(3) == "image").foreach { r =>
+      val (mdoc, bytes) = medRows(r.getLong(9))
+      assert(mdoc == r.getLong(0) &&
+        java.util.Arrays.equals(bytes, frames(r.getLong(0))),
+        "payload shard bytes must be the extracted frame")
+    }
+    // retraction hits both families, O(affected files) each
+    def snapshot(path: String, sh: Int): Map[String, Seq[Byte]] = {
+      val dir = java.nio.file.Paths.get(s"$path/shard=$sh")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => dir.relativize(p).toString ->
+          java.nio.file.Files.readAllBytes(p).toSeq).toMap
+    }
+    val fpI0 = graft.ops.Layout.layoutFingerprint(spark, s"$out/items",
+      Seq("doc_id", "copy_idx", "item_idx", "item_pos")).collect().toSeq
+    val victim = 3L // has a media item
+    val vItemShards = g.filter(_.getLong(0) == victim).map(_.getInt(10)).toSet
+    val vMediaShards = med.where($"doc_id" === victim)
+      .select($"shard".cast("int")).as[Int].collect().toSet
+    val iBefore = (0 to 3).filterNot(vItemShards)
+      .map(sh => sh -> snapshot(s"$out/items", sh)).toMap
+    val mBefore = (0 to 1).filterNot(vMediaShards)
+      .map(sh => sh -> snapshot(s"$out/media", sh)).toMap
+    val rwI = Retraction.retractShards(spark, s"$out/items",
+      Seq(victim).toDF("doc_id"), "doc_id")
+    val rwM = Retraction.retractShards(spark, s"$out/media",
+      Seq(victim).toDF("doc_id"), "doc_id")
+    assert(rwI.toSet == vItemShards && rwM.toSet == vMediaShards)
+    iBefore.foreach { case (sh, snap) =>
+      assert(snapshot(s"$out/items", sh) == snap) }
+    mBefore.foreach { case (sh, snap) =>
+      assert(snapshot(s"$out/media", sh) == snap) }
+    spark.catalog.refreshByPath(s"$out/items")
+    spark.catalog.refreshByPath(s"$out/media")
+    assert(spark.read.parquet(s"$out/items")
+      .where($"doc_id" === victim).isEmpty)
+    assert(spark.read.parquet(s"$out/media")
+      .where($"doc_id" === victim).isEmpty)
+    // fingerprint discipline applies: retraction moves the items family's
+    assert(graft.ops.Layout.layoutFingerprint(spark, s"$out/items",
+      Seq("doc_id", "copy_idx", "item_idx", "item_pos"))
+      .collect().toSeq != fpI0)
+  }
+
   test("retractShards: only shards holding tombstoned ids are rewritten " +
     "(untouched shard files BYTE-identical), survivors keep positions " +
     "verbatim (gapped), idempotent, crash residue recovered") {

@@ -1208,6 +1208,63 @@ object QueriesExt {
            ORDER BY doc_id"""
       }),
 
+    // BYTE-LEVEL BPE training (round 15): the q106 walk over UTF-8 byte
+    // symbols with GPT-2-style regex pre-tokenization (lookahead-free
+    // variant — RE2 has no (?!\S)). Bytes render as lowercase hex pairs,
+    // so the same boundary-safe replace machinery and the same unrolled
+    // step-for-step oracle replay apply; case is kept, punctuation and
+    // whitespace carry budget — what a production byte-level tokenizer
+    // charges, where the char-level form's alnum filter approximates
+    Q("q216_bpe_bytes_train",
+      (s, d) => TextAnalysis.bpeTrainRulesBytes(
+          t(s, d, "documents"), "text", merges = 12)
+        .orderBy(col("step")),
+      Some(s"""WITH ${byteBpeCtes(12)}
+              ${(1 to 12).map(i =>
+                s"SELECT $i AS step, x, y FROM br$i").mkString(" UNION ALL ")}
+              ORDER BY step""")),
+
+    // byte-level BPE encoding (round 15): every pre-token folded through
+    // the 12 byte merges in training order — n_bpe_tokens is the true
+    // byte-level token BUDGET (pre-tokens tile the text; nothing is
+    // dropped), the q107 replay over hex-byte symbols
+    Q("q217_bpe_bytes_encode",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val rules = TextAnalysis.bpeTrainRulesBytes(docs, "text",
+          merges = 12)
+        TextAnalysis.bpeEncodeBytes(docs, "doc_id", "text", rules)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val applied = (1 to 12).foldLeft("seq0") { (acc, i) =>
+          s"replace($acc, ' ' || t$i.x || '  ' || t$i.y || ' ', " +
+            s"' ' || t$i.x || t$i.y || ' ')"
+        }
+        val ruleJoins = (1 to 12).map(i => s"br$i t$i").mkString(", ")
+        s"""WITH ${byteBpeCtes(12)},
+            bwd AS (SELECT doc_id, CAST(i AS INT) AS wpos,
+                           regexp_replace(lower(hex(encode(
+                             tk[CAST(i AS INT) + 1]))), '(..)', ' \\1 ',
+                             'g') AS seq0
+                    FROM (SELECT doc_id,
+                            regexp_extract_all(text, '$byteBpeSqlPat') AS tk
+                          FROM documents),
+                         unnest(range(0, len(tk))) u(i)),
+            benc AS (SELECT doc_id, wpos,
+                            string_split(trim($applied), '  ') AS toks
+                     FROM bwd, $ruleJoins),
+            bagg AS (SELECT doc_id,
+                            CAST(sum(len(toks)) AS INT) AS n_bpe_tokens,
+                            md5(string_agg(array_to_string(toks, ','), ','
+                                           ORDER BY wpos)) AS tokens_hash
+                     FROM benc GROUP BY doc_id)
+           SELECT d.doc_id, coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+                  coalesce(a.tokens_hash, md5('')) AS tokens_hash
+           FROM documents d LEFT JOIN bagg a USING (doc_id)
+           ORDER BY doc_id"""
+      }),
+
     // frozen tokenizer artifact (VERDICT r6 #1): train the q102 subword
     // vocab, SAVE it as a parquet artifact, LOAD it back, and encode
     // through the unified Tokenizer contract — the oracle is q102's exact
@@ -4005,6 +4062,51 @@ object QueriesExt {
       s"""v$i AS MATERIALIZED (SELECT count(DISTINCT sym) AS nv FROM (
             SELECT unnest(string_split(trim(seq), '  ')) AS sym FROM s$i))"""
     }.mkString(",\n")
+
+  /** [[graft.ext.TextAnalysis.byteBpePattern]] as a DuckDB string
+    * literal (apostrophes doubled; RE2 reads the same \p{L}/\p{N}/\s
+    * classes as Java regex, and both engines walk alternations
+    * leftmost-first).
+    */
+  // a def, not a val: `all` above evaluates during object init, before
+  // file-later vals are assigned (a val here would interpolate "null")
+  private def byteBpeSqlPat: String =
+    graft.ext.TextAnalysis.byteBpePattern.replace("'", "''")
+
+  /** Byte-level BPE training chain (q216/q217) — [[bpeCtes]] with state
+    * zero swapped: pre-tokens come from the GPT-2-style regex instead of
+    * [[toksSql]], and symbols are the pre-token's UTF-8 bytes as
+    * lowercase hex pairs (`lower(hex(encode(w)))` — identical bytes in
+    * both engines). Everything after state zero is the same
+    * pair-count → argmax → boundary-safe-replace unroll.
+    */
+  private def byteBpeCtes(merges: Int): String = {
+    val s0 =
+      s"""bwc AS MATERIALIZED (SELECT w, count(*) AS cnt FROM (
+                   SELECT unnest(regexp_extract_all(text, '$byteBpeSqlPat'))
+                     AS w FROM documents) GROUP BY w),
+          bs0 AS MATERIALIZED (
+                 SELECT regexp_replace(lower(hex(encode(w))), '(..)',
+                                       ' \\1 ', 'g') AS seq, cnt
+                 FROM bwc)"""
+    val steps = (1 to merges).map { i =>
+      s"""bp$i AS MATERIALIZED (
+                  SELECT syms[CAST(j AS INT)] AS x,
+                         syms[CAST(j AS INT) + 1] AS y,
+                         sum(cnt) AS c
+                  FROM (SELECT string_split(trim(seq), '  ') AS syms, cnt
+                        FROM bs${i - 1}),
+                       unnest(range(1, len(syms))) u(j)
+                  GROUP BY 1, 2),
+          br$i AS MATERIALIZED (SELECT x, y FROM bp$i
+                                ORDER BY c DESC, x, y LIMIT 1),
+          bs$i AS MATERIALIZED (
+                  SELECT replace(seq, ' ' || x || '  ' || y || ' ',
+                                 ' ' || x || y || ' ') AS seq, cnt
+                  FROM bs${i - 1}, br$i)"""
+    }
+    (s0 +: steps).mkString(",\n")
+  }
 
   /** Shared BPE-training CTE chain (q106/q107), unrolled per merge step
     * like q78's PageRank oracle: s0 = the distinct-word table with each

@@ -701,6 +701,104 @@ object TextAnalysis {
     rules.reduce(_ unionByName _)
   }
 
+  /** GPT-2-style pre-tokenization pattern, LOOKAHEAD-FREE variant: the
+    * published pattern's `\s+(?!\S)` trailing-space branch needs negative
+    * lookahead, which RE2 (the oracle engine's regex) lacks — so runs of
+    * whitespace stay one pre-token here instead of donating their last
+    * space to the following word. Contractions, ` ?letters`, ` ?digits`,
+    * ` ?other` match the production tokenizer exactly. Both engines
+    * apply leftmost-first alternation, so the walks agree byte for byte.
+    */
+  val byteBpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Byte-level pre-tokens: the non-overlapping [[byteBpePattern]]
+    * matches, in order. The alternatives cover every character class, so
+    * the pre-tokens TILE the text — concatenating them reconstructs it,
+    * which is what makes byte-level token counts a true budget (nothing
+    * dropped, unlike [[tokens]]' alnum filter).
+    */
+  def byteLevelTokens(text: Column): Column =
+    regexp_extract_all(text, lit(byteBpePattern), lit(0))
+
+  /** A pre-token as spaced UTF-8 byte symbols — byte-level BPE state
+    * zero: each byte rendered as its 2-digit lowercase hex pair
+    * (`"hé"` → `" 68  c3  a9 "`). Hex keeps the symbol alphabet inside
+    * [0-9a-f] — space-free and identical in both engines — so the
+    * char-level merge machinery ([[bpeBestPair]]/[[bpeApplyRule]] and
+    * their SQL replays) applies UNCHANGED to byte symbols.
+    */
+  private def hexByteSeq(tok: Column): Column =
+    regexp_replace(lower(hex(encode(tok, "UTF-8"))), "(..)", " $1 ")
+
+  /** BYTE-LEVEL BPE training — [[bpeTrainRules]] over UTF-8 bytes with
+    * GPT-2-style regex pre-tokenization, the form real LLM corpora are
+    * counted in: the char-level trainer runs on [[tokens]]' lowercase
+    * alnum runs, so accented letters split words, case folds, and
+    * whitespace/punctuation carry no budget — its counts approximate a
+    * production tokenizer's. This variant pre-tokenizes with
+    * [[byteBpePattern]] (case kept, punctuation and whitespace budgeted)
+    * and merges BYTE symbols, so `n_bpe_tokens` is the number an actual
+    * byte-level tokenizer would charge. Same bounded-word-table scale
+    * shape, same deterministic argmax, same (step, x, y) rule artifact —
+    * x/y are hex-byte strings. The char-level form stays for its
+    * oracles; pick per corpus contract.
+    */
+  def bpeTrainRulesBytes(df: DataFrame, textCol: String,
+      merges: Int): DataFrame = {
+    require(merges >= 1, s"need merges >= 1: $merges")
+    var seqs = bpeByteSeqs(df, textCol)
+    val rules = (1 to merges).map { step =>
+      val rule = bpeBestPair(seqs)
+      seqs = bpeApplyRule(seqs, rule)
+      rule.select(lit(step).as("step"), col("x"), col("y"))
+    }
+    val nonEmpty = rules.takeWhile(!_.isEmpty)
+    require(nonEmpty.nonEmpty, "bpeTrainRulesBytes: corpus has no adjacent pairs")
+    nonEmpty.reduce(_ unionByName _)
+  }
+
+  /** The distinct PRE-TOKEN frequency table as spaced hex-byte symbol
+    * strings — byte-level training state zero.
+    */
+  private def bpeByteSeqs(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(byteLevelTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(hexByteSeq(col("w")).as("seq"), col("cnt"))
+      .localCheckpoint(true)
+
+  /** Byte-level BPE encoding with learned `rules` (from
+    * [[bpeTrainRulesBytes]]): every pre-token's byte symbols folded
+    * through the merges in training order — the [[bpeEncode]] replace
+    * chain verbatim, zero joins, zero shuffles — then counted per
+    * document. Emits (idCol, n_bpe_tokens, tokens_hash): the byte-level
+    * token BUDGET (what `mixPlan`/`packSequences` should charge when the
+    * trainer's tokenizer is byte-level) and the order-preserving token
+    * hash.
+    */
+  def bpeEncodeBytes(df: DataFrame, idCol: String, textCol: String,
+      rules: DataFrame): DataFrame = {
+    val ruleSeq = rules.orderBy(col("step"))
+      .select(col("x"), col("y")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val words = df.select(col(idCol).as("id"),
+      posexplode_outer(byteLevelTokens(col(textCol))).as(Seq("wpos", "w")))
+    val seeded = words.withColumn("seq", hexByteSeq(col("w")))
+    val merged = ruleSeq.foldLeft(seeded) { case (acc, (x, y)) =>
+      acc.withColumn("seq",
+        replace(col("seq"), lit(s" $x  $y "), lit(s" $x$y ")))
+    }
+    val toks = merged.withColumn("toks", split(trim(col("seq")), "  "))
+    toks.groupBy(col("id"))
+      .agg(
+        coalesce(sum(size(col("toks"))), lit(0)).cast("int").as("n_bpe_tokens"),
+        md5(concat_ws(",", flatten(transform(
+          array_sort(collect_list(when(col("wpos").isNotNull,
+            struct(col("wpos"), col("toks"))))),
+          s => s.getField("toks"))))).as("tokens_hash"))
+      .select(col("id").as(idCol), col("n_bpe_tokens"), col("tokens_hash"))
+  }
+
   /** The symbol vocabulary a trained rule set induces: every distinct
     * symbol of the distinct-word table AFTER applying the merges, ids
     * 1..N by symbol order (0 is reserved for unknowns). This is the

@@ -1291,6 +1291,55 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("byte-level BPE: pre-tokens tile the text (counts are a true " +
+      "budget), unicode/whitespace/case diverge from char-level exactly " +
+      "where production tokenizers do") {
+    // é is 2 UTF-8 bytes and a LETTER to \p{L} (the char-level tokens()
+    // splits on it); double spaces and punctuation carry byte budget
+    // (char-level drops them); case is kept (char-level folds it)
+    val text = "Héllo héllo  naïve, don't STOP"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    // tiling: concatenating the pre-tokens reconstructs the text
+    val pre = docs.select(explode(TextAnalysis.byteLevelTokens($"text"))
+      .as("w")).as[String].collect()
+    assert(pre.mkString == text, s"pre-tokens must tile: ${pre.toSeq}")
+    // "don't" splits as don|'t — the contraction branch
+    assert(pre.contains("'t"))
+    // initial token budget = total UTF-8 byte count (before any merge,
+    // every byte is one symbol); train 1 merge and recount
+    val rules1 = TextAnalysis.bpeTrainRulesBytes(docs, "text", merges = 1)
+    val nBytes = text.getBytes("UTF-8").length
+    val enc = TextAnalysis.bpeEncodeBytes(docs, "doc_id", "text", rules1)
+      .select($"n_bpe_tokens").as[Int].head()
+    // one merge with k occurrences removes exactly k symbols
+    val r1 = rules1.collect().head
+    val mergedSym = r1.getString(1) + r1.getString(2)
+    assert(enc < nBytes && enc >= nBytes - pre.map(_.length * 2).sum,
+      s"byte budget: $enc of $nBytes bytes")
+    assert(mergedSym.length == 4, "first merge joins two single bytes")
+    // divergence: char-level counts the SAME text differently — tokens()
+    // splits héllo at é and drops punctuation/whitespace entirely
+    val charRules = TextAnalysis.bpeTrainRules(docs, "text", merges = 1)
+    val charEnc = TextAnalysis.bpeEncode(docs, "doc_id", "text", charRules)
+      .select($"n_bpe_tokens").as[Int].head()
+    // char-level seeds: h,llo,h,llo,na,ve,don,t,stop = 21 chars (é/ï/'/,
+    // and spaces dropped, STOP lowercased) minus merge hits; byte-level
+    // seeds: 32 bytes minus merge hits — strictly more budget charged
+    assert(enc > charEnc,
+      s"byte-level ($enc) must out-count char-level ($charEnc) here")
+    // hex symbols decode back to the text's bytes: fold the rule walk on
+    // one pre-token and compare against its UTF-8 hex
+    val helloHex = "Héllo".getBytes("UTF-8")
+      .map(b => f"${b & 0xff}%02x").mkString
+    val seqRow = docs
+      .select(lower(hex(encode(lit("Héllo"), "UTF-8"))).as("h"))
+      .as[String].head()
+    assert(seqRow == helloHex, "engine hex must equal JVM UTF-8 hex")
+    // determinism: retrain reproduces the rules bit-for-bit
+    val again = TextAnalysis.bpeTrainRulesBytes(docs, "text", merges = 1)
+    assert(again.collect().toSeq == rules1.collect().toSeq)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

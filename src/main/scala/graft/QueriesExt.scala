@@ -3069,6 +3069,94 @@ object QueriesExt {
                      END AS decoded_frames
               FROM documents ORDER BY media_id""")),
 
+    // Matroska/WebM container walk (round 15 — the third video container
+    // family, the parseMp4 discipline on the EBML element tree): EBML
+    // DocType, Info TimestampScale/Duration, the video TrackEntry's
+    // CodecID + pixel geometry, the cluster SimpleBlock count, and the
+    // block-offset resolution proven by DECODING the first MJPEG block
+    // (frame dims = header dims only if the walk found a real JPEG).
+    // V_VP8 rows exercise the no-JVM-codec gate: dims sentinel to -1
+    // and the md5-over-range fallback witnesses the block walk instead
+    // (has_block_md5 — the hash value itself has no arithmetic oracle).
+    // Geometry by id arithmetic — the q168 shape on the third container
+    Q("q218_mkv_meta",
+      (s, d) => {
+        import s.implicits._
+        val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            Multimodal.MediaRow(id, "mkv", Multimodal.syntheticMkv(
+              16 + (id % 32).toInt, 16 + (id % 20).toInt,
+              1 + (id % 4).toInt, 1000000L, (1 + (id % 4)) * 40L, id,
+              codecId = if (id % 5 == 3) "V_VP8" else "V_MJPEG"))
+          }
+        Multimodal.mkvVideoFeatures(rows)(s).toDF()
+          .select(col("media_id"), col("doc_type"), col("width"),
+            col("height"), col("n_blocks"), col("timestamp_scale"),
+            col("duration"), col("codec"), col("frame_width"),
+            col("frame_height"),
+            col("first_block_md5").isNotNull.as("has_block_md5"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+                     'matroska' AS doc_type,
+                     CAST(16 + doc_id % 32 AS INT) AS width,
+                     CAST(16 + doc_id % 20 AS INT) AS height,
+                     CAST(1 + doc_id % 4 AS BIGINT) AS n_blocks,
+                     CAST(1000000 AS BIGINT) AS timestamp_scale,
+                     CAST((1 + doc_id % 4) * 40 AS BIGINT) AS duration,
+                     CASE WHEN doc_id % 5 = 3 THEN 'V_VP8'
+                          ELSE 'V_MJPEG' END AS codec,
+                     CASE WHEN doc_id % 5 = 3 THEN CAST(-1 AS INT)
+                          ELSE CAST(16 + doc_id % 32 AS INT)
+                     END AS frame_width,
+                     CASE WHEN doc_id % 5 = 3 THEN CAST(-1 AS INT)
+                          ELSE CAST(16 + doc_id % 20 AS INT)
+                     END AS frame_height,
+                     doc_id % 5 = 3 AS has_block_md5
+              FROM documents ORDER BY media_id""")),
+
+    // Matroska AUDIO container swap (round 15 — the q177 contract on the
+    // EBML family, via the readPcm16 chain's new A_PCM/INT/LIT leg): an
+    // mkv re-container of a WAV clip carries the IDENTICAL PCM stream
+    // (concatenated cluster blocks = the WAV's data chunk bit-for-bit),
+    // fingerprints at dist 0, and pairs its original through the
+    // unchanged incremental machinery. Unrelated mkv clips pair
+    // nothing; an Opus-tagged twin (A_OPUS, no JVM codec) degrades to
+    // null hashes and pairs nothing — the codec gate is in the oracle
+    Q("q219_mkv_audio_swap",
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .filter((id: Long) => id % 2 == 0)
+        val off = copyIdOffset(ids)
+        val base = ids.map(id => Multimodal.MediaRow(id, "wav",
+          Multimodal.syntheticStepWav(id)))
+        val path = artifactPath("audio_swap_idx_q219")
+        Multimodal.audioFingerprints(base)(s).toDF()
+          .write.mode("overwrite").parquet(path)
+        val batch = ids.filter((id: Long) => id % 10 == 0).map(id =>
+            Multimodal.MediaRow(id + off, "mkv",
+              Multimodal.syntheticStepMkvAudio(id)))
+          .unionAll(ids.filter((id: Long) => id % 10 == 2).map(id =>
+            Multimodal.MediaRow(id + off, "mkv",
+              Multimodal.syntheticStepMkvAudio(-id - 1L))))
+          .unionAll(ids.filter((id: Long) => id % 10 == 4).map(id =>
+            Multimodal.MediaRow(id + off, "mkv",
+              Multimodal.syntheticStepMkvAudio(id, codecId = "A_OPUS"))))
+        Dedup.incrementalSimhashPairs(
+          Multimodal.audioFingerprints(batch)(s).toDF(),
+          s.read.parquet(path), "media_id", maxDist = 3,
+          bloomFpp = Some(0.01))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH mx AS (SELECT (SELECT max(doc_id) FROM documents
+                                  WHERE doc_id % 2 = 0) + 1 AS off)
+              SELECT doc_id AS id_a,
+                     doc_id + (SELECT off FROM mx) AS id_b,
+                     CAST(0 AS INT) AS dist, FALSE AS both_new
+              FROM documents WHERE doc_id % 10 = 0
+              ORDER BY id_a, id_b""")),
+
     // filtered ANN on the PQ tier (round 10 — q143's contract carried to
     // the second index family): the label attribute rides the
     // (batch, ccell)-partitioned IVF-PQ artifact, the predicate restricts

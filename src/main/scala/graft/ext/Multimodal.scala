@@ -786,7 +786,15 @@ object Multimodal {
     if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F')
       parseAvi(b, maxChunks).frameChunks
-    else {
+    else if (b.length >= 4 && (b(0) & 0xff) == 0x1A &&
+        (b(1) & 0xff) == 0x45 && (b(2) & 0xff) == 0xDF &&
+        (b(3) & 0xff) == 0xA3) {
+      // EBML magic → the Matroska/WebM cluster walk; decodable only for
+      // MJPEG blocks (V_VP8/V_VP9 have no JVM codec — the caller's
+      // sentinel path applies, and near-dup degrades to exact bytes)
+      val m = parseMkv(b, maxChunks)
+      if (m.codec == "V_MJPEG") m.blocks else Vector.empty
+    } else {
       val m = parseMp4(b, maxChunks)
       if (m.codec == "jpeg" || m.codec == "mjpa")
         m.samples.map { case (o, l) => (o.toInt, l) }
@@ -1402,6 +1410,7 @@ object Multimodal {
   private def readPcm16(payload: Array[Byte])
       : Option[(Int, Int, Array[Byte], Int)] =
     readPcm16Java(payload).orElse(readPcm16Bmff(payload))
+      .orElse(readPcm16Mkv(payload))
 
   private def readPcm16Bmff(payload: Array[Byte])
       : Option[(Int, Int, Array[Byte], Int)] =
@@ -1834,5 +1843,449 @@ object Multimodal {
       codecTag = "jpeg",
       frames = frameSeeds.indices.map(i =>
         noiseJpegFrame(width, height, frameSeeds(i), perturb.get(i))))
+  }
+
+  // ---- Matroska / WebM (EBML) — round 15 ------------------------------
+
+  /** Parsed Matroska/WebM metadata: the [[Mp4Meta]] counterpart for the
+    * EBML element tree. `blocks`/`aBlocks` are the frame-data byte
+    * ranges inside the clusters' (Simple)Blocks for the video/audio
+    * track, materialized up to the caller's budget; `nBlocks`/`aNBlocks`
+    * count ALL blocks (the header walk is cheap — skipping by size).
+    */
+  private final case class MkvMeta(docType: String, timestampScale: Long,
+      duration: Double, width: Int, height: Int, codec: String,
+      nBlocks: Long, blocks: Vector[(Int, Int)],
+      aCodec: String, aChannels: Int, aBitDepth: Int, aRate: Long,
+      aNBlocks: Long, aBlocks: Vector[(Int, Int)])
+
+  /** EBML varint at `off`: (value, width). Element IDs keep their length
+    * marker (`0xAE` is the one-byte id AE, `0x1A45DFA3` the four-byte
+    * magic — the registry convention); SIZES strip it. An all-ones size
+    * is "unknown" (streamed files) and is returned as -1 for the caller
+    * to extend to the parent's end.
+    */
+  private def ebmlVint(b: Array[Byte], off: Int,
+      keepMarker: Boolean): (Long, Int) = {
+    require(off < b.length, s"EBML vint past end at $off")
+    val first = b(off) & 0xff
+    require(first != 0, s"invalid EBML vint at $off")
+    val len = java.lang.Integer.numberOfLeadingZeros(first) - 23
+    require(off + len <= b.length, s"EBML vint overruns payload at $off")
+    var v: Long = if (keepMarker) first.toLong
+      else (first & (0xff >>> len)).toLong
+    var i = 1
+    while (i < len) { v = (v << 8) | (b(off + i) & 0xff); i += 1 }
+    if (!keepMarker && v == (1L << (7 * len)) - 1) (-1L, len) else (v, len)
+  }
+
+  /** Matroska/WebM walk — the [[parseMp4]] discipline on the EBML tree:
+    * every element is (id vint, size vint, payload), containers recurse
+    * (Segment, Info, Tracks, Cluster; TrackEntry via a dedicated
+    * sub-walk because its children arrive in any order), sizes are
+    * bounds-checked as longs BEFORE narrowing (the r13 ISO-BMFF
+    * lesson), and unknown-size containers extend to their parent's end.
+    * Collected: DocType, TimestampScale/Duration, the first video
+    * track's geometry + CodecID and the first audio track's
+    * channels/bit-depth/rate + CodecID, and the cluster (Simple)Block
+    * frame ranges per track — materialized up to `maxBlocks` (the
+    * budget rule), counted in full. Laced blocks are refused loudly:
+    * none of the fixtures lace, and silently mis-splitting a lace would
+    * corrupt every downstream hash.
+    */
+  private def parseMkv(b: Array[Byte],
+      maxBlocks: Int = Int.MaxValue): MkvMeta = {
+    require(b.length >= 4 && (b(0) & 0xff) == 0x1A &&
+      (b(1) & 0xff) == 0x45 && (b(2) & 0xff) == 0xDF &&
+      (b(3) & 0xff) == 0xA3, "not an EBML payload")
+    var docType = ""
+    var tsScale = 1000000L
+    var duration = -1.0
+    var width = -1; var height = -1; var vCodec: String = null
+    var vTrack = -1L
+    var aCodec: String = null; var aChannels = -1; var aBitDepth = -1
+    var aRate = -1L; var aTrack = -1L
+    val vBlocks = Vector.newBuilder[(Int, Int)]
+    val aBlocks = Vector.newBuilder[(Int, Int)]
+    var nV = 0L; var nA = 0L
+    def uint(off: Int, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len) { v = (v << 8) | (b(off + i) & 0xff); i += 1 }
+      v
+    }
+    def fl(off: Int, len: Int): Double = len match {
+      case 4 => java.lang.Float.intBitsToFloat(uint(off, 4).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uint(off, 8))
+      case n => throw new IllegalArgumentException(s"bad EBML float width $n")
+    }
+    def str(off: Int, len: Int): String =
+      new String(b, off, len, "US-ASCII").takeWhile(_ != ' ')
+    // one element header: (id, dataOff, dataEnd, next)
+    def el(off: Int, end: Int): (Long, Int, Int, Int) = {
+      val (id, idLen) = ebmlVint(b, off, keepMarker = true)
+      val (sz, szLen) = ebmlVint(b, off + idLen, keepMarker = false)
+      val dataOff = off + idLen + szLen
+      val dataEndL: Long =
+        if (sz < 0) end.toLong else dataOff.toLong + sz
+      require(dataEndL >= dataOff && dataEndL <= end,
+        s"bad EBML size at $off")
+      (id, dataOff, dataEndL.toInt, dataEndL.toInt)
+    }
+    def block(dataOff: Int, dataEnd: Int): Unit = {
+      val (tn, tnLen) = ebmlVint(b, dataOff, keepMarker = false)
+      val frameOff = dataOff + tnLen + 3 // i16 rel-timestamp + flags
+      require(frameOff <= dataEnd, s"block header overruns at $dataOff")
+      val flags = b(dataOff + tnLen + 2) & 0xff
+      require((flags & 0x06) == 0, s"laced block at $dataOff unsupported")
+      if (tn == vTrack) {
+        if (nV < maxBlocks) vBlocks += ((frameOff, dataEnd - frameOff))
+        nV += 1
+      } else if (tn == aTrack) {
+        if (nA < maxBlocks) aBlocks += ((frameOff, dataEnd - frameOff))
+        nA += 1
+      }
+    }
+    def trackEntry(start: Int, end: Int): Unit = {
+      var num = -1L; var typ = -1L; var codec: String = null
+      var w = -1; var h = -1; var ch = -1; var bits = -1; var rate = -1L
+      var off = start
+      while (off < end) {
+        val (id, dOff, dEnd, next) = el(off, end)
+        id match {
+          case 0xD7 => num = uint(dOff, dEnd - dOff)
+          case 0x83 => typ = uint(dOff, dEnd - dOff)
+          case 0x86 => codec = str(dOff, dEnd - dOff)
+          case 0xE0 => // Video
+            var o = dOff
+            while (o < dEnd) {
+              val (vid, vOff, vEnd, vNext) = el(o, dEnd)
+              vid match {
+                case 0xB0 => w = uint(vOff, vEnd - vOff).toInt
+                case 0xBA => h = uint(vOff, vEnd - vOff).toInt
+                case _ => ()
+              }
+              o = vNext
+            }
+          case 0xE1 => // Audio
+            var o = dOff
+            while (o < dEnd) {
+              val (aid, aOff, aEnd, aNext) = el(o, dEnd)
+              aid match {
+                case 0xB5 => rate = fl(aOff, aEnd - aOff).toLong
+                case 0x9F => ch = uint(aOff, aEnd - aOff).toInt
+                case 0x6264 => bits = uint(aOff, aEnd - aOff).toInt
+                case _ => ()
+              }
+              o = aNext
+            }
+          case _ => ()
+        }
+        off = next
+      }
+      if (typ == 1L && vTrack < 0) {
+        vTrack = num; vCodec = codec; width = w; height = h
+      } else if (typ == 2L && aTrack < 0) {
+        aTrack = num; aCodec = codec; aChannels = ch; aBitDepth = bits
+        aRate = rate
+      }
+    }
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off < end) {
+        val (id, dOff, dEnd, next) = el(off, end)
+        id match {
+          case 0x1A45DFA3 => // EBML header: read DocType
+            var o = dOff
+            while (o < dEnd) {
+              val (hid, hOff, hEnd, hNext) = el(o, dEnd)
+              if (hid == 0x4282) docType = str(hOff, hEnd - hOff)
+              o = hNext
+            }
+          case 0x18538067 => walk(dOff, dEnd) // Segment
+          case 0x1549A966 => // Info
+            var o = dOff
+            while (o < dEnd) {
+              val (iid, iOff, iEnd, iNext) = el(o, dEnd)
+              iid match {
+                case 0x2AD7B1 => tsScale = uint(iOff, iEnd - iOff)
+                case 0x4489   => duration = fl(iOff, iEnd - iOff)
+                case _ => ()
+              }
+              o = iNext
+            }
+          case 0x1654AE6B => // Tracks
+            var o = dOff
+            while (o < dEnd) {
+              val (tid, tOff, tEnd, tNext) = el(o, dEnd)
+              if (tid == 0xAE) trackEntry(tOff, tEnd)
+              o = tNext
+            }
+          case 0x1F43B675 => // Cluster
+            var o = dOff
+            while (o < dEnd) {
+              val (cid, cOff, cEnd, cNext) = el(o, dEnd)
+              cid match {
+                case 0xA3 => block(cOff, cEnd) // SimpleBlock
+                case 0xA0 => // BlockGroup: find the Block inside
+                  var g = cOff
+                  while (g < cEnd) {
+                    val (gid, gOff, gEnd, gNext) = el(g, cEnd)
+                    if (gid == 0xA1) block(gOff, gEnd)
+                    g = gNext
+                  }
+                case _ => ()
+              }
+              o = cNext
+            }
+          case _ => ()
+        }
+        off = next
+      }
+    }
+    walk(0, b.length)
+    require(vTrack >= 0 || aTrack >= 0, "no Matroska track headers found")
+    MkvMeta(docType, tsScale, duration, width, height, vCodec,
+      nV, vBlocks.result(), aCodec, aChannels, aBitDepth, aRate,
+      nA, aBlocks.result())
+  }
+
+  final case class MkvFeatures(media_id: Long, format: String,
+      n_bytes: Long, doc_type: String, width: Int, height: Int,
+      n_blocks: Long, timestamp_scale: Long, duration: Long,
+      codec: String, frame_width: Int, frame_height: Int,
+      first_block_md5: String)
+
+  /** Video features over Matroska/WebM payloads — the
+    * [[mp4VideoFeatures]] contract for the EBML container family:
+    * header-derived geometry (TrackEntry PixelWidth/Height, CodecID,
+    * Info TimestampScale/Duration, block count from the cluster walk)
+    * plus first-block evidence. Where a JVM codec exists (`V_MJPEG` —
+    * MJPEG-in-Matroska blocks are plain JPEGs) the first block DECODES
+    * and `frame_width/height` prove the cluster payload is genuine
+    * encoded video; for every other codec (`V_VP8`, `V_VP9`, … — no JVM
+    * decoder) the fallback is the block's md5 over its resolved byte
+    * range, so the block-offset walk still has a checkable witness.
+    * Non-EBML / truncated payloads degrade to the −1/null sentinel row
+    * (the q104/q105 contract); same mapPartitions codec boundary and
+    * batch shape.
+    */
+  def mkvVideoFeatures(media: Dataset[MediaRow], batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[MkvFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          try {
+            val m = parseMkv(r.payload, maxBlocks = 1)
+            val (fw, fh, md) = m.blocks.headOption match {
+              case Some((off, len)) if m.codec == "V_MJPEG" =>
+                val img = decodeImage(r.payload, off, len)
+                if (img == null) (-1, -1, null)
+                else (img.getWidth, img.getHeight, null)
+              case Some((off, len)) =>
+                val d = java.security.MessageDigest.getInstance("MD5")
+                d.update(r.payload, off, len)
+                (-1, -1, d.digest().map("%02x".format(_)).mkString)
+              case None => (-1, -1, null)
+            }
+            MkvFeatures(r.media_id, r.format, r.payload.length.toLong,
+              m.docType, m.width, m.height, m.nBlocks, m.timestampScale,
+              m.duration.toLong, m.codec, fw, fh, md)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              MkvFeatures(r.media_id, r.format, r.payload.length.toLong,
+                null, -1, -1, -1L, -1L, -1L, null, -1, -1, null)
+          }
+        }
+      }
+    }
+  }
+
+  /** LE PCM16 out of a Matroska audio track (`A_PCM/INT/LIT`, 16-bit) —
+    * the third leg of the [[readPcm16]] chain: concatenating the
+    * cluster-resolved block ranges IS the PCM stream, so an mkv/webm
+    * re-container of a WAV fingerprints identically to its twin. Any
+    * other codec (`A_OPUS`, `A_VORBIS`, … — no JVM decoder) returns
+    * None and the caller's sentinel path applies.
+    */
+  private def readPcm16Mkv(payload: Array[Byte])
+      : Option[(Int, Int, Array[Byte], Int)] =
+    try {
+      if (payload.length < 4 || (payload(0) & 0xff) != 0x1A ||
+          (payload(1) & 0xff) != 0x45) None
+      else {
+        val m = parseMkv(payload)
+        if (m.aCodec != "A_PCM/INT/LIT" || m.aBitDepth != 16 ||
+            m.aChannels < 1 || m.aBlocks.isEmpty) None
+        else {
+          val total = m.aBlocks.iterator.map(_._2.toLong).sum
+          if (total > Int.MaxValue) None
+          else {
+            val data = new Array[Byte](total.toInt)
+            var at = 0
+            m.aBlocks.foreach { case (off, len) =>
+              System.arraycopy(payload, off, data, at, len)
+              at += len
+            }
+            val frameSize = 2 * m.aChannels
+            Some((m.aChannels, frameSize, data, data.length / frameSize))
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ---- EBML assembly (fixture builders) -------------------------------
+
+  private def ebmlIdBytes(id: Long): Array[Byte] = {
+    val len = if (id <= 0xffL) 1 else if (id <= 0xffffL) 2
+      else if (id <= 0xffffffL) 3 else 4
+    Array.tabulate(len)(i => ((id >> (8 * (len - 1 - i))) & 0xff).toByte)
+  }
+
+  private def ebmlSizeBytes(n: Long): Array[Byte] = {
+    require(n >= 0)
+    var len = 1
+    while (n >= (1L << (7 * len)) - 1) len += 1 // avoid the all-ones form
+    val withMarker = n | (1L << (7 * len))
+    Array.tabulate(len)(i =>
+      ((withMarker >> (8 * (len - 1 - i))) & 0xff).toByte)
+  }
+
+  private def ebmlEl(id: Long, payload: Array[Byte]): Array[Byte] =
+    ebmlIdBytes(id) ++ ebmlSizeBytes(payload.length.toLong) ++ payload
+
+  private def ebmlUint(id: Long, v: Long): Array[Byte] = {
+    var len = 1
+    while (len < 8 && (v >>> (8 * len)) != 0) len += 1
+    ebmlEl(id, Array.tabulate(len)(i =>
+      ((v >> (8 * (len - 1 - i))) & 0xff).toByte))
+  }
+
+  private def ebmlFloat8(id: Long, d: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(d)
+    ebmlEl(id, Array.tabulate(8)(i =>
+      ((bits >> (8 * (7 - i))) & 0xff).toByte))
+  }
+
+  private def ebmlStr(id: Long, s: String): Array[Byte] =
+    ebmlEl(id, s.getBytes("US-ASCII"))
+
+  /** Matroska container assembly shared by the synthetic fixtures (the
+    * [[mp4Container]] counterpart): EBML header + Segment(Info, Tracks,
+    * Clusters) with SimpleBlocks, frames split across TWO clusters so
+    * the walk proves multi-cluster accumulation. `audio` appends a
+    * second TrackEntry (track 2) and interleaves its chunks as blocks
+    * in the same clusters.
+    */
+  private def mkvContainer(width: Int, height: Int, timestampScale: Long,
+      duration: Double, videoCodecId: String, frames: Seq[Array[Byte]],
+      audio: Option[(String, Int, Int, Long, Seq[Array[Byte]])] = None,
+      docType: String = "matroska"): Array[Byte] = {
+    require(frames.nonEmpty || audio.exists(_._5.nonEmpty),
+      "need at least one block")
+    val header = ebmlEl(0x1A45DFA3L,
+      ebmlUint(0x4286, 1L) ++ ebmlStr(0x4282, docType) ++
+        ebmlUint(0x42F7, 1L) ++ ebmlUint(0x42F2, 4L) ++
+        ebmlUint(0x42F3, 8L))
+    val info = ebmlEl(0x1549A966L,
+      ebmlUint(0x2AD7B1L, timestampScale) ++ ebmlFloat8(0x4489L, duration))
+    val vEntry =
+      if (frames.nonEmpty)
+        ebmlEl(0xAE, ebmlUint(0xD7, 1L) ++ ebmlUint(0x83, 1L) ++
+          ebmlStr(0x86, videoCodecId) ++
+          ebmlEl(0xE0, ebmlUint(0xB0, width.toLong) ++
+            ebmlUint(0xBA, height.toLong)))
+      else Array.empty[Byte]
+    val aEntry = audio.map { case (codecId, ch, bits, rate, _) =>
+      ebmlEl(0xAE, ebmlUint(0xD7, 2L) ++ ebmlUint(0x83, 2L) ++
+        ebmlStr(0x86, codecId) ++
+        ebmlEl(0xE1, ebmlFloat8(0xB5, rate.toDouble) ++
+          ebmlUint(0x9F, ch.toLong) ++ ebmlUint(0x6264, bits.toLong)))
+    }.getOrElse(Array.empty[Byte])
+    val tracks = ebmlEl(0x1654AE6BL, vEntry ++ aEntry)
+    def simpleBlock(track: Int, ts: Int, data: Array[Byte]): Array[Byte] =
+      ebmlEl(0xA3, Array((0x80 | track).toByte,
+        ((ts >> 8) & 0xff).toByte, (ts & 0xff).toByte, 0x80.toByte) ++ data)
+    val vb = frames.zipWithIndex.map { case (f, i) =>
+      (i, simpleBlock(1, i * 40, f))
+    }
+    val ab = audio.map(_._5).getOrElse(Nil).zipWithIndex.map {
+      case (c, i) => (i, simpleBlock(2, i * 40, c))
+    }
+    val all = (vb ++ ab).sortBy(_._1).map(_._2)
+    val half = (all.length + 1) / 2
+    def cluster(ts: Long, blocks: Seq[Array[Byte]]): Array[Byte] =
+      ebmlEl(0x1F43B675L,
+        ebmlUint(0xE7, ts) ++ blocks.flatten.toArray)
+    val clusters = cluster(0L, all.take(half)) ++
+      (if (all.length > half) cluster(half.toLong * 40L, all.drop(half))
+       else Array.empty[Byte])
+    header ++ ebmlEl(0x18538067L, info ++ tracks ++ clusters)
+  }
+
+  /** Deterministic Matroska fixture for the metadata walk (the
+    * [[syntheticMp4]] counterpart): `V_MJPEG` frames are real JPEGs
+    * (decodable first-block witness); any other codec id wraps
+    * deterministic opaque bytes — the no-JVM-codec case (`V_VP8`,
+    * `V_VP9`) the md5 fallback serves.
+    */
+  def syntheticMkv(width: Int, height: Int, nFrames: Int,
+      timestampScale: Long, durationScaled: Long, seed: Long,
+      codecId: String = "V_MJPEG"): Array[Byte] = {
+    require(nFrames >= 1, s"bad nFrames: $nFrames")
+    def frame(i: Int): Array[Byte] =
+      if (codecId == "V_MJPEG") {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            img.setRGB(x, y,
+              ((seed + i * 101L + x * 31L + y * 17L) & 0xffffffL).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      } else
+        Array.tabulate(64 + (seed + i).toInt.abs % 64)(j =>
+          ((seed * 31 + i * 101 + j * 7) & 0xff).toByte)
+    mkvContainer(width, height, timestampScale, durationScaled.toDouble,
+      codecId, (0 until nFrames).map(frame))
+  }
+
+  /** [[syntheticNoiseAviSeeded]]'s frames in a Matroska container —
+    * same seeds, byte-identical JPEG blocks, so a "container swap" to
+    * mkv/webm is exactly this fixture and the perceptual pipeline must
+    * pair it with its AVI (or MP4) original at distance 0.
+    */
+  def syntheticNoiseMkvSeeded(width: Int, height: Int,
+      frameSeeds: Seq[Long],
+      perturb: Map[Int, (Int, Int)] = Map.empty): Array[Byte] = {
+    require(frameSeeds.nonEmpty, "need at least one frame seed")
+    mkvContainer(width, height, timestampScale = 1000000L,
+      duration = frameSeeds.length * 40.0, videoCodecId = "V_MJPEG",
+      frames = frameSeeds.indices.map(i =>
+        noiseJpegFrame(width, height, frameSeeds(i), perturb.get(i))))
+  }
+
+  /** [[syntheticStepWav]]'s PCM stream in a Matroska container — the
+    * audio container-swap fixture for the EBML family: bit-identical
+    * frames under `A_PCM/INT/LIT`, so every fingerprint path that
+    * decodes PCM16 must hash it identically to the WAV twin (dist-0
+    * near-dup). Any other `codecId` (e.g. `A_OPUS`) wraps the same
+    * bytes as an undecodable codec — the sentinel-degradation fixture.
+    */
+  def syntheticStepMkvAudio(seed: Long, perturbWindow: Option[Int] = None,
+      framesPerWindow: Int = 30,
+      codecId: String = "A_PCM/INT/LIT"): Array[Byte] = {
+    val pcm = stepPcm(seed, perturbWindow, framesPerWindow)
+    mkvContainer(width = 0, height = 0, timestampScale = 1000000L,
+      duration = pcm.length / 2.0, videoCodecId = "",
+      frames = Nil,
+      audio = Some((codecId, 1, 16, 16000L, pcm.grouped(256).toSeq)))
   }
 }

@@ -805,6 +805,56 @@ class OpsSpec extends AnyFunSuite {
       "first-frame hash identical across containers")
   }
 
+  test("Matroska/WebM: the same JPEG frames hash identically from AVI, " +
+    "MP4, and MKV (three-way container swap = dist-0 near-dup); V_VP8 " +
+    "and corrupt EBML degrade to sentinels; PCM blocks fingerprint as " +
+    "the WAV twin while A_OPUS nulls out") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val seeds = Seq(11L, 12L, 13L)
+    val avi = Multimodal.syntheticNoiseAviSeeded(72, 64, seeds)
+    val mkv = Multimodal.syntheticNoiseMkvSeeded(72, 64, seeds)
+    val mp4 = Multimodal.syntheticNoiseMp4Seeded(72, 64, seeds)
+    def hashes(id: Long, payload: Array[Byte]) =
+      Multimodal.videoFrameHashesSampled(
+        Seq(Multimodal.MediaRow(id, "x", payload)).toDS(), k = 3)
+        .collect().map(r => (r.frame_idx, r.sim_hi, r.sim_lo)).toSet
+    assert(hashes(1L, avi) == hashes(2L, mkv) &&
+      hashes(2L, mkv) == hashes(3L, mp4) && hashes(2L, mkv).size == 3,
+      "identical JPEG blocks must hash identically from all 3 containers")
+    // V_VP8 blocks have no JVM decoder → the hashing walk yields no
+    // frames → the one null-hash sentinel row (near-dup degrades to
+    // exact bytes for real VP8/VP9 WebM)
+    val vp8 = Multimodal.syntheticMkv(36, 20, 2, 1000000L, 80L, 5L,
+      codecId = "V_VP8")
+    assert(hashes(4L, vp8) == Set((-1, None, None)))
+    // ...but the metadata walk still witnesses its block layout via md5
+    val feats = Multimodal.mkvVideoFeatures(Seq(
+        Multimodal.MediaRow(4L, "mkv", vp8),
+        Multimodal.MediaRow(5L, "mkv", mkv),
+        Multimodal.MediaRow(6L, "mkv", vp8.take(30)),
+        Multimodal.MediaRow(7L, "mkv", Array[Byte](1, 2, 3))).toDS())
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(4L).codec == "V_VP8" && feats(4L).frame_width == -1 &&
+      feats(4L).first_block_md5 != null && feats(4L).n_blocks == 2L)
+    assert(feats(5L).codec == "V_MJPEG" && feats(5L).frame_width == 72 &&
+      feats(5L).first_block_md5 == null && feats(5L).n_blocks == 3L &&
+      feats(5L).doc_type == "matroska")
+    assert(feats(6L).width == -1 && feats(6L).codec == null,
+      "truncated EBML degrades to the sentinel row")
+    assert(feats(7L).width == -1, "non-EBML degrades to the sentinel row")
+    // audio: mkv PCM blocks ARE the WAV's stream; A_OPUS nulls out
+    val h = Multimodal.audioFingerprints(Seq(
+        Multimodal.MediaRow(1L, "wav", Multimodal.syntheticStepWav(9L)),
+        Multimodal.MediaRow(2L, "mkv", Multimodal.syntheticStepMkvAudio(9L)),
+        Multimodal.MediaRow(3L, "mkv", Multimodal.syntheticStepMkvAudio(9L,
+          codecId = "A_OPUS"))).toDS())
+      .collect().map(r => r.media_id -> (r.sim_hi, r.sim_lo)).toMap
+    assert(h(1L)._1.isDefined && h(1L) == h(2L),
+      s"mkv container swap must fingerprint at dist 0: $h")
+    assert(h(3L) == ((None, None)),
+      "no JVM codec for A_OPUS — null hashes, out of every band join")
+  }
+
   test("decoders degrade corrupt payloads to sentinels across all three " +
     "modalities (the NonFatal parity contract)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark

@@ -83,6 +83,42 @@ object QueriesSketches {
                FROM ee$tag)"""
   }
 
+  /** q213/q220 oracle: the SpaceSaving partial → summed-error merge
+    * chain over parity batches of per-lang tokens, k = 32, ending in
+    * `mg(lang, item, cnt, err)`. A def (not a val): `all` evaluates at
+    * object init.
+    */
+  private def ssMergeCtes: String =
+    s"""tk AS (SELECT lang, doc_id % 2 AS par,
+                             unnest($toksSql) AS tok FROM documents),
+               exb AS (SELECT lang, par, tok,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM tk GROUP BY lang, par, tok),
+               rk AS (SELECT lang, par, tok, c, row_number() OVER (
+                        PARTITION BY lang, par ORDER BY c DESC, tok) AS rn
+                      FROM exb),
+               tb AS (SELECT lang, par,
+                             CAST(coalesce(max(CASE WHEN rn = 33 THEN c
+                               END), 0) AS BIGINT) AS t
+                      FROM rk GROUP BY lang, par),
+               pt AS (SELECT lang, tok, c AS cnt FROM rk WHERE rn <= 32),
+               eb AS (SELECT lang, CAST(sum(t) AS BIGINT) AS errbase
+                      FROM tb GROUP BY lang),
+               sm AS (SELECT lang, tok, CAST(sum(cnt) AS BIGINT) AS c
+                      FROM pt GROUP BY lang, tok),
+               rk2 AS (SELECT lang, tok, c, row_number() OVER (
+                         PARTITION BY lang ORDER BY c DESC, tok) AS rn
+                       FROM sm),
+               t2 AS (SELECT lang,
+                             CAST(coalesce(max(CASE WHEN rn = 33 THEN c
+                               END), 0) AS BIGINT) AS t
+                      FROM rk2 GROUP BY lang),
+               mg AS (SELECT r.lang, r.tok AS item, r.c AS cnt,
+                             eb.errbase + t2.t AS err
+                      FROM rk2 r JOIN eb ON r.lang = eb.lang
+                           JOIN t2 ON r.lang = t2.lang
+                      WHERE r.rn <= 32)"""
+
   val all: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -749,35 +785,7 @@ object QueriesSketches {
             (coalesce(col("__miss"), lit(0L)) === 0L).as("covered"))
           .orderBy(col("lang"), col("cnt").desc, col("item"))
       },
-      Some(s"""WITH tk AS (SELECT lang, doc_id % 2 AS par,
-                             unnest($toksSql) AS tok FROM documents),
-               exb AS (SELECT lang, par, tok,
-                              CAST(count(*) AS BIGINT) AS c
-                       FROM tk GROUP BY lang, par, tok),
-               rk AS (SELECT lang, par, tok, c, row_number() OVER (
-                        PARTITION BY lang, par ORDER BY c DESC, tok) AS rn
-                      FROM exb),
-               tb AS (SELECT lang, par,
-                             CAST(coalesce(max(CASE WHEN rn = 33 THEN c
-                               END), 0) AS BIGINT) AS t
-                      FROM rk GROUP BY lang, par),
-               pt AS (SELECT lang, tok, c AS cnt FROM rk WHERE rn <= 32),
-               eb AS (SELECT lang, CAST(sum(t) AS BIGINT) AS errbase
-                      FROM tb GROUP BY lang),
-               sm AS (SELECT lang, tok, CAST(sum(cnt) AS BIGINT) AS c
-                      FROM pt GROUP BY lang, tok),
-               rk2 AS (SELECT lang, tok, c, row_number() OVER (
-                         PARTITION BY lang ORDER BY c DESC, tok) AS rn
-                       FROM sm),
-               t2 AS (SELECT lang,
-                             CAST(coalesce(max(CASE WHEN rn = 33 THEN c
-                               END), 0) AS BIGINT) AS t
-                      FROM rk2 GROUP BY lang),
-               mg AS (SELECT r.lang, r.tok AS item, r.c AS cnt,
-                             eb.errbase + t2.t AS err
-                      FROM rk2 r JOIN eb ON r.lang = eb.lang
-                           JOIN t2 ON r.lang = t2.lang
-                      WHERE r.rn <= 32),
+      Some(s"""WITH $ssMergeCtes,
                ex AS (SELECT lang, tok AS item,
                              CAST(count(*) AS BIGINT) AS exact_cnt
                       FROM tk GROUP BY lang, tok),
@@ -878,7 +886,42 @@ object QueriesSketches {
                      round(CAST(au.n_under + au.n_over AS DOUBLE) /
                            CAST(au.n_total AS DOUBLE), 6) AS frac_clamped
               FROM qe JOIN au ON qe.lang = au.lang
-              ORDER BY qe.lang, qe.qf"""))
+              ORDER BY qe.lang, qe.qf""")),
+
+    // ------------------------------------------------------------------
+    // q220 (round 15): the STREAMED heavy-hitter artifact — two parity
+    // triggers through sketchBatch's ss kind (the production
+    // foreachBatch body), batch 1 REPLAYED (at-least-once), compacted to
+    // the -1 epoch, then read via the summed-error fold. The oracle is
+    // q213's partial → merge chain: a single -1 epoch re-merges to
+    // ITSELF (t' = 0 over ≤ k items, errbase = its own scalar), so the
+    // hash gate pins stream ≡ batch, replay idempotence, AND compaction
+    // invariance for the ss kind in one query (the q203 convention).
+    // ------------------------------------------------------------------
+    Q("q220_stream_heavy_hitters",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = artifactPath("ss_stream_q220")
+        rmrf(new java.io.File(dir))
+        def toks(par: Int) = docs.where(col("doc_id") % 2 === par)
+          .select(col("lang"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        def trigger(par: Int, batchId: Long) =
+          graft.streaming.StreamingIngest.sketchBatch(
+            toks(par), batchId, dir, Seq("lang"), "tok",
+            p = 6, d = 2, w = 32, ssK = 32)
+        trigger(0, 0L)
+        trigger(1, 1L)
+        trigger(1, 1L) // at-least-once replay: must rewrite, not add
+        graft.streaming.StreamingIngest.compactSketchDir(
+          s, s"$dir/ss", Seq("lang"), "ss", ssK = 32)
+        graft.streaming.StreamingIngest
+          .currentSsSketch(s, dir, Seq("lang"), 32)
+          .orderBy(col("lang"), col("cnt").desc, col("item"))
+      },
+      Some(s"""WITH $ssMergeCtes
+              SELECT lang, item, cnt, err FROM mg
+              ORDER BY lang, cnt DESC, item"""))
   )
 
   private lazy val artifactRoot: String =

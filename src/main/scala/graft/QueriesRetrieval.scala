@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Retrieval, Similarity, TextAnalysis}
+import graft.QueriesCore.Q
+
+/** Round-15: the lexical-retrieval tier. The embedding tier (ANN, graph
+  * search, SemDeDup) answers "semantically near"; these three answer the
+  * complementary questions a 100 TB curation pipeline also asks — "which
+  * documents contain these exact terms" (BM25 inverted-index top-k),
+  * "what does the union of both signals say" (reciprocal-rank fusion),
+  * and "which raw documents look like my target domain" (DSIR hashed
+  * n-gram importance weights). Oracles replay the full chains: postings →
+  * df/stats → per-term BM25 scores (DECIMAL-summed) → windows; the hash
+  * gate pins idf arithmetic, tie-breaks, and the fusion join exactly.
+  */
+object QueriesRetrieval {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** tokens: lowercase alnum runs, empties dropped (TextAnalysis.tokens). */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  private def dotSqlN(x: String, y: String, dim: Int): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), " +
+      s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+
+  /** Similarity.cosine's replay (6 dp rounded, 64-dim). */
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSqlN(a, b, 64)} / " +
+      s"(sqrt(${dotSqlN(a, a, 64)}) * sqrt(${dotSqlN(b, b, 64)})), 6)"
+
+  /** The BM25 chain as CTEs ending in `rk` (q_id, doc_id, score, rank) —
+    * shared by q221 (reads it directly) and q222 (fuses it). `qWhere`
+    * filters the query-document set.
+    */
+  private def bm25Ctes(qWhere: String): String =
+    s"""tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        post AS (SELECT doc_id, term, count(*) AS tf
+                 FROM (SELECT doc_id, unnest(tk) AS term FROM tk)
+                 GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+        st AS (SELECT count(*) AS n_docs,
+                      CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                        AS avgdl
+               FROM dl),
+        dfq AS (SELECT term, count(*) AS dfreq FROM post GROUP BY term),
+        qt AS (SELECT DISTINCT doc_id AS q_id, unnest(tk[1:8]) AS term
+               FROM tk $qWhere),
+        sc AS (SELECT q.q_id, p.doc_id,
+                      CAST(ln(1.0 +
+                              (CAST(st.n_docs - d.dfreq AS DOUBLE) + 0.5) /
+                              (CAST(d.dfreq AS DOUBLE) + 0.5))
+                         * ((CAST(p.tf AS DOUBLE) * 2.2) /
+                            (CAST(p.tf AS DOUBLE) +
+                             1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE)
+                                             / st.avgdl)))
+                         AS DECIMAL(20,12)) AS s
+               FROM qt q
+               JOIN dfq d USING (term)
+               CROSS JOIN st
+               JOIN post p USING (term)
+               JOIN dl l ON p.doc_id = l.doc_id),
+        ag AS (SELECT q_id, doc_id, sum(s) AS score
+               FROM sc GROUP BY q_id, doc_id),
+        rk AS (SELECT q_id, doc_id, score,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY score DESC, doc_id) AS rank
+               FROM ag)"""
+
+  /** The q221 query-term frame: every 50th document's first 8 tokens,
+    * distinct per query — deterministic, replayed by the `qt` CTE.
+    */
+  private def qterms(docs: DataFrame, where: org.apache.spark.sql.Column)
+      : DataFrame =
+    docs.where(where)
+      .select(col("doc_id").as("q_id"),
+        explode(slice(TextAnalysis.tokens(col("text")), 1, 8)).as("term"))
+      .distinct()
+
+  val all: Seq[Q] = Seq(
+
+    // BM25 inverted-index top-10: every 50th document's first 8 tokens as
+    // the query; postings/df/avgdl built from the corpus, per-term scores
+    // DECIMAL-summed so rank order is engine-independent
+    Q("q221_bm25_topk",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Retrieval.bm25TopK(docs, "doc_id", "text",
+            qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""WITH ${bm25Ctes("WHERE doc_id % 50 = 0")}
+               SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+                      round(CAST(score AS DOUBLE), 6) AS score
+               FROM rk WHERE rank <= 10 ORDER BY q_id, rank""")),
+
+    // hybrid retrieval: BM25 top-10 (lexical) fused with brute-force
+    // cosine top-10 (semantic, the same query ids' embeddings) by
+    // reciprocal-rank fusion 1/(60+rank) — the standard zero-training
+    // combiner; the full-outer fusion join and both rank windows replayed
+    Q("q222_hybrid_rrf",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val qIds = emb.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"))
+        val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
+          qterms(docs, col("doc_id") % 50 === 0)
+            .join(broadcast(qIds), Seq("q_id")),
+          "q_id", k = 10)
+        val qv = emb.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val cand = qv.crossJoin(
+          emb.select(col("vec_id").as("doc_id"), col("embedding").as("c_vec")))
+          .select(col("q_id"), col("doc_id"),
+            Similarity.cosine(col("q_vec"), col("c_vec")).as("cos"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("doc_id").asc)
+        val sem = cand
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .where(col("rank") <= 10)
+          .select(col("q_id"), col("doc_id"), col("rank"))
+        Retrieval.rrfFuse(lex, sem, "doc_id", k = 10)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val qw = "WHERE doc_id % 50 = 0 AND doc_id IN " +
+          "(SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0)"
+        s"""WITH ${bm25Ctes(qw)},
+             lx AS (SELECT q_id, doc_id, rank AS ra
+                    FROM rk WHERE rank <= 10),
+             sem AS (SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+                            ${cosSql("q.embedding", "e.embedding")} AS cos
+                     FROM (SELECT vec_id, embedding FROM embeddings
+                           WHERE vec_id % 50 = 0) q
+                     CROSS JOIN embeddings e),
+             smr AS (SELECT q_id, doc_id,
+                            row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, doc_id) AS rb
+                     FROM sem),
+             sm AS (SELECT q_id, doc_id, rb FROM smr WHERE rb <= 10),
+             fu AS (SELECT coalesce(l.q_id, s.q_id) AS q_id,
+                           coalesce(l.doc_id, s.doc_id) AS doc_id,
+                           coalesce(1.0 / (60.0 + CAST(l.ra AS DOUBLE)), 0.0)
+                         + coalesce(1.0 / (60.0 + CAST(s.rb AS DOUBLE)), 0.0)
+                             AS rrf
+                    FROM lx l FULL OUTER JOIN sm s
+                      ON l.q_id = s.q_id AND l.doc_id = s.doc_id),
+             fr AS (SELECT q_id, doc_id, rrf,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY rrf DESC, doc_id) AS rank
+                    FROM fu)
+            SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+                   round(rrf, 6) AS rrf
+            FROM fr WHERE rank <= 10 ORDER BY q_id, rank"""
+      }),
+
+    // DSIR importance weighting: hashed-bigram (512 buckets) add-one
+    // log-likelihood ratios of target (lang='en') vs raw, summed per doc
+    // over feature OCCURRENCES (DECIMAL-cast terms), deterministic top-25
+    // read — the published method's reproducible variant
+    Q("q223_dsir_weights",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val ratios = Retrieval.dsirLogRatios(docs,
+          docs.where(col("lang") === "en"), "text", buckets = 512)
+        val w = Retrieval.dsirWeights(docs, "doc_id", "text", ratios, 512)
+        Retrieval.dsirSelect(w, "doc_id", m = 25).orderBy(col("rank"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, lang, $toksSql AS tk
+                           FROM documents),
+                bg AS (SELECT doc_id, lang,
+                              CASE WHEN len(tk) >= 2
+                                THEN list_transform(range(0, len(tk) - 1),
+                                       i -> tk[i+1] || ' ' || tk[i+2])
+                                ELSE tk END AS bg
+                       FROM tk),
+                f AS (SELECT doc_id, lang,
+                             CAST(CAST(('0x' || substring(md5(g), 1, 8))
+                                    AS BIGINT) % 512 AS INT) AS bucket
+                      FROM (SELECT doc_id, lang, unnest(bg) AS g FROM bg)),
+                ct AS (SELECT bucket, count(*) AS ct FROM f
+                       WHERE lang = 'en' GROUP BY bucket),
+                cr AS (SELECT bucket, count(*) AS cr FROM f GROUP BY bucket),
+                sp AS (SELECT CAST(i AS INT) AS bucket FROM range(0, 512) u(i)),
+                lr AS (SELECT sp.bucket,
+                              ln(CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) /
+                                 CAST((SELECT sum(ct) FROM ct) + 512 AS DOUBLE))
+                            - ln(CAST(coalesce(cr.cr, 0) + 1 AS DOUBLE) /
+                                 CAST((SELECT sum(cr) FROM cr) + 512 AS DOUBLE))
+                                AS log_ratio
+                       FROM sp LEFT JOIN ct USING (bucket)
+                               LEFT JOIN cr USING (bucket)),
+                w AS (SELECT f.doc_id, count(*) AS n_feats,
+                             sum(CAST(lr.log_ratio AS DECIMAL(20,12))) AS w
+                      FROM f JOIN lr USING (bucket) GROUP BY f.doc_id),
+                r AS (SELECT doc_id, n_feats,
+                             round(CAST(w AS DOUBLE), 6) AS weight,
+                             row_number() OVER
+                               (ORDER BY round(CAST(w AS DOUBLE), 6) DESC,
+                                         doc_id) AS rank
+                      FROM w)
+               SELECT doc_id, CAST(rank AS INT) AS rank, n_feats, weight
+               FROM r WHERE rank <= 25 ORDER BY rank"""))
+  )
+}

@@ -1,0 +1,280 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval + hybrid fusion + importance resampling — the three
+  * retrieval-adjacent operators a training-data pipeline needs that the
+  * embedding tier (ext/Similarity) cannot provide:
+  *
+  *  - '''BM25 inverted-index top-k''' (Robertson/Spärck Jones; the Lucene
+  *    idf variant `ln(1 + (N − df + 0.5)/(df + 0.5))`, which is
+  *    non-negative for df ≤ N): exact-term retrieval for dedup candidate
+  *    generation, retrieval-based decontamination, and RAG corpus serving
+  *    where semantic ANN misses exact identifiers/rare strings.
+  *  - '''Reciprocal-rank fusion''' (Cormack/Clarke/Büttcher, SIGIR'09):
+  *    the standard zero-training combiner of a lexical and a semantic
+  *    top-k list — `Σ 1/(κ + rank)` over the lists an item appears in.
+  *  - '''DSIR-style importance weighting''' (Xie et al., NeurIPS'23
+  *    "Data Selection for Language Models via Importance Resampling"):
+  *    hashed n-gram bag-of-words likelihood ratios between a small target
+  *    domain and the raw corpus, scored per document as
+  *    `Σ_features log p̂_target(f)/p̂_raw(f)` — the cheap, shuffle-light way
+  *    to pull "looks like the target domain" mass out of 100 TB.
+  *
+  * Scale shapes (the reason these are DataFrame programs, not drivers):
+  *
+  *  - Postings are a (term)-keyed relation; query scoring is a hash join
+  *    on term with map-side partial aggregation of per-(query, doc)
+  *    score terms — no corpus broadcast, no all-pairs. At 100 TB the
+  *    postings list is the only corpus-sized frame and it shuffles once
+  *    (build) and joins by its own key (query).
+  *  - Corpus statistics (N, avgdl, df) are aggregate-sized; df joins the
+  *    query's terms (query-sized), never the corpus.
+  *  - DSIR's feature table is exactly `buckets` rows per side — a
+  *    broadcast — so scoring is one scan + one groupBy(doc).
+  *
+  * Determinism/oracle discipline: per-term double score expressions are
+  * written identically in the DuckDB oracle, then cast to
+  * DECIMAL(20,12) before the exact associative SUM (the histPsi
+  * pattern — float sum ORDER never reaches the result), and every rank
+  * breaks ties on the id.
+  */
+object Retrieval {
+
+  // ------------------------------------------------------------------
+  // BM25
+  // ------------------------------------------------------------------
+
+  /** Postings: one row per (doc, distinct term) with its term frequency —
+    * the inverted index in relation form, `(idCol, term, tf)`. Built by
+    * one explode + groupBy((id, term)) with map-side combine; at scale
+    * this is the single corpus-sized shuffle of the whole tier and is
+    * the artifact a production index would persist partitioned/bucketed
+    * BY TERM so query joins co-locate.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Incremental maintenance: postings from DISJOINT document batches
+    * union verbatim (a doc lives in one batch, so (id, term) never
+    * collides); df/N/avgdl are re-aggregated from the union at read.
+    * Merge(partial(A), partial(B)) ≡ partial(A ∪ B) exactly.
+    */
+  def postingsMerge(parts: DataFrame*): DataFrame =
+    parts.reduce(_.unionByName(_))
+
+  /** Per-document token length `(idCol, dl)` — tf-sum over the postings,
+    * so an index artifact needs no second corpus scan.
+    */
+  def docLengths(post: DataFrame, idCol: String): DataFrame =
+    post.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+
+  /** One-row corpus stats off the postings: `(n_docs, avgdl)`.
+    * avgdl = sum(dl)/N in DOUBLE, written identically in the oracle.
+    */
+  def corpusStats(post: DataFrame, idCol: String): DataFrame =
+    docLengths(post, idCol)
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") /
+          count(lit(1)).cast("double")).as("avgdl"))
+
+  /** Document frequency per term `(term, dfreq)`. */
+  def docFreq(post: DataFrame): DataFrame =
+    post.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+
+  /** BM25 top-k: score `queries` — `(qIdCol, term)` rows, DISTINCT terms
+    * per query — against the postings of `docs`, returning
+    * `(q_id, rank, idCol, score)` with rank 1..k per query.
+    *
+    * Join shape at scale: qterms ⋈ postings on term (hash, term-keyed —
+    * the postings side is the big one and term is its native key), then
+    * df/stats joins on the QUERY-SIZED side, then one
+    * groupBy(q_id, doc) with map-side partials, then a per-query top-k
+    * window over candidate rows only (docs sharing ≥1 query term — the
+    * inverted-index pruning that makes lexical retrieval cheap).
+    *
+    * Score: Σ_terms idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)). Per-term DOUBLE, summed
+    * exactly as DECIMAL(20,12); ranks break ties on doc id.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      qterms: DataFrame, qIdCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+    val dl = docLengths(post, idCol)
+    val stats = corpusStats(post, idCol)
+    val dfq = docFreq(post)
+
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("dfreq")).cast("double") + lit(0.5)) /
+        (col("dfreq").cast("double") + lit(0.5)))
+    val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") / col("avgdl")))
+
+    val terms = qterms
+      .select(col(qIdCol).as("q_id"), col("term"))
+      .join(dfq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(post, Seq("term"))
+      .join(dl, Seq(idCol))
+      .select(col("q_id"), col(idCol),
+        (idf * tfNorm).cast("decimal(20,12)").as("__s"))
+
+    val scored = terms
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(col("__s")).as("__score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("__score").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol),
+        round(col("__score").cast("double"), 6).as("score"))
+  }
+
+  // ------------------------------------------------------------------
+  // Reciprocal-rank fusion
+  // ------------------------------------------------------------------
+
+  /** Fuse two ranked lists — `(q_id, idCol, rank)` each — by RRF:
+    * rrf = Σ_legs 1/(κ + rank), absent leg contributes 0. Two fixed
+    * addends in a fixed order keep the DOUBLE bit-exact across engines.
+    * Returns `(q_id, rank, idCol, rrf)`, top `k` per query, ties on id.
+    *
+    * Scale: both inputs are top-k-sized (queries × k rows), so the
+    * full-outer join and the re-rank window are query-bounded — nothing
+    * here ever touches the corpus again.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
+      kappa: Int = 60): DataFrame = {
+    val la = a.select(col("q_id"), col(idCol), col("rank").as("__ra"))
+    val lb = b.select(col("q_id"), col(idCol), col("rank").as("__rb"))
+    val fused = la.join(lb, Seq("q_id", idCol), "full_outer")
+      .select(col("q_id"), col(idCol),
+        (coalesce(lit(1.0) / (lit(kappa.toDouble) + col("__ra").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kappa.toDouble) + col("__rb").cast("double")), lit(0.0)))
+          .as("__rrf"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("__rrf").desc, col(idCol).asc)
+    fused
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol),
+        round(col("__rrf"), 6).as("rrf"))
+  }
+
+  // ------------------------------------------------------------------
+  // DSIR importance weighting
+  // ------------------------------------------------------------------
+
+  /** Word bigrams of a text column (adjacent token pairs joined by a
+    * space); a 1-token document contributes its lone token, an empty
+    * document contributes nothing — so every document with text has ≥1
+    * feature and weights never divide by zero.
+    */
+  def bigrams(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(filter(toks, t => t =!= ""))
+  }
+
+  /** Hash a feature string into one of `buckets` buckets — the md5-prefix
+    * arithmetic both engines evaluate identically (the house hash form).
+    */
+  def featureBucket(feature: Column, buckets: Int): Column =
+    (conv(substring(md5(feature), 1, 8), 16, 10).cast("long") %
+      lit(buckets.toLong)).cast("int")
+
+  /** Per-bucket occurrence counts of hashed bigrams: `(bucket, cnt)` —
+    * exactly ≤ `buckets` rows, the broadcastable side of DSIR.
+    */
+  def featureCounts(docs: DataFrame, textCol: String,
+      buckets: Int): DataFrame =
+    docs
+      .select(explode(bigrams(col(textCol))).as("__f"))
+      .select(featureBucket(col("__f"), buckets).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The DSIR log-ratio table: for every bucket 0..buckets−1 (dense
+    * spine — absent buckets still carry the smoothed ratio),
+    * `log_ratio = ln((cnt_t + 1)/(tot_t + buckets)) −
+    *              ln((cnt_r + 1)/(tot_r + buckets))`
+    * with add-one smoothing, `(bucket, log_ratio)`. `buckets` rows.
+    */
+  def dsirLogRatios(raw: DataFrame, target: DataFrame, textCol: String,
+      buckets: Int): DataFrame = {
+    val ct = featureCounts(target, textCol, buckets)
+      .withColumnRenamed("cnt", "__ct")
+    val cr = featureCounts(raw, textCol, buckets)
+      .withColumnRenamed("cnt", "__cr")
+    val spine = raw.sparkSession.range(buckets.toLong)
+      .select(col("id").cast("int").as("bucket"))
+    val joined = spine
+      .join(ct, Seq("bucket"), "left")
+      .join(cr, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+    val tw = Window.partitionBy()
+    joined
+      .withColumn("__tt", sum(col("__ct")).over(tw))
+      .withColumn("__tr", sum(col("__cr")).over(tw))
+      .select(col("bucket"),
+        (log((col("__ct") + lit(1L)).cast("double") /
+            (col("__tt") + lit(buckets.toLong)).cast("double")) -
+          log((col("__cr") + lit(1L)).cast("double") /
+            (col("__tr") + lit(buckets.toLong)).cast("double")))
+          .as("log_ratio"))
+  }
+
+  /** Per-document importance weight: Σ over the document's bigram
+    * OCCURRENCES of its bucket's log-ratio (multiplicity counts, the
+    * bag-of-hashed-ngrams likelihood under the two models). Per-term
+    * DECIMAL(20,12) cast before the exact SUM; documents with no
+    * features are dropped (no evidence either way). Output
+    * `(idCol, n_feats, weight)` with weight rounded to 6 dp.
+    *
+    * Scale: `ratios` is buckets-sized → broadcast; one corpus scan, one
+    * groupBy(doc) with map-side partials.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      ratios: DataFrame, buckets: Int): DataFrame =
+    docs
+      .select(col(idCol), explode(bigrams(col(textCol))).as("__f"))
+      .select(col(idCol), featureBucket(col("__f"), buckets).as("bucket"))
+      .join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_feats"),
+        sum(col("log_ratio").cast("decimal(20,12)")).as("__w"))
+      .select(col(idCol), col("n_feats"),
+        round(col("__w").cast("double"), 6).as("weight"))
+
+  /** Deterministic top-m selection by importance weight (ties on id) —
+    * the resampling read: `(idCol, rank, n_feats, weight)`. The
+    * published DSIR samples with Gumbel noise; the deterministic top-m
+    * is the reproducible variant (and the oracle-able one).
+    *
+    * Scale: sort().limit(m) is Spark's TakeOrdered — per-partition
+    * top-m then an m-row merge on the driver side of the exchange —
+    * NOT a global sort; the rank window then runs over m rows only.
+    */
+  def dsirSelect(weights: DataFrame, idCol: String, m: Int): DataFrame = {
+    val top = weights
+      .orderBy(col("weight").desc, col(idCol).asc)
+      .limit(m)
+    val w = Window.orderBy(col("weight").desc, col(idCol).asc)
+    top
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(col(idCol), col("rank"), col("n_feats"), col("weight"))
+  }
+}

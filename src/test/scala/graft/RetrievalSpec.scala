@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Retrieval
+
+/** Retrieval-tier contracts the oracles can't see: BM25 score sanity on a
+  * hand-computable corpus, postings merge ≡ rebuild under document-batch
+  * splits, bounded result shapes, RRF's membership/ordering algebra, and
+  * DSIR's sign behavior (target-looking documents outrank off-domain ones).
+  */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox"),
+    (2L, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+    (3L, "quick quick quick brown brown fox"),
+    (4L, "a dog and a fox met a dog")
+  ).toDF("doc_id", "text")
+
+  // ---- BM25 ---------------------------------------------------------
+
+  test("bm25TopK: exact-term query ranks the term-dense short doc first") {
+    val q = Seq((100L, "quick"), (100L, "fox")).toDF("q_id", "term")
+    val top = Retrieval.bm25TopK(corpus, "doc_id", "text", q, "q_id", k = 5)
+      .collect().sortBy(_.getInt(1))
+    // docs 0,1,3 contain both terms; doc 3 has tf(quick)=3 and is short,
+    // doc 1 is shortest with tf=1 — both must beat the long doc 0; doc 2
+    // (no query terms) must be absent, doc 4 (fox only) present but last
+    val ids = top.map(_.getLong(2)).toSeq
+    assert(!ids.contains(2L))
+    assert(ids.indexOf(3L) < ids.indexOf(0L))
+    assert(ids.indexOf(1L) < ids.indexOf(0L))
+    assert(ids.last == 4L)
+    // scores strictly positive and non-increasing in rank
+    val scores = top.map(_.getDouble(3)).toSeq
+    assert(scores.forall(_ > 0))
+    assert(scores.sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
+  }
+
+  test("bm25TopK: idf is non-negative even for a term in every document") {
+    val q = Seq((7L, "the")).toDF("q_id", "term") // df=2 of 5 docs
+    val res = Retrieval.bm25TopK(corpus, "doc_id", "text", q, "q_id", k = 5)
+    assert(res.collect().forall(_.getDouble(3) >= 0.0))
+  }
+
+  test("bm25TopK: k bounds rows per query; ranks are 1..k dense") {
+    val q = Seq((1L, "fox"), (1L, "dog"), (2L, "the"))
+      .toDF("q_id", "term")
+    val res = Retrieval.bm25TopK(corpus, "doc_id", "text", q, "q_id", k = 2)
+      .collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length <= 2))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+  }
+
+  test("postingsMerge over disjoint doc batches ≡ postings of the union") {
+    val a = corpus.where(col("doc_id") < 2)
+    val b = corpus.where(col("doc_id") >= 2)
+    val merged = Retrieval.postingsMerge(
+      Retrieval.postings(a, "doc_id", "text"),
+      Retrieval.postings(b, "doc_id", "text"))
+    val full = Retrieval.postings(corpus, "doc_id", "text")
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
+
+  test("docLengths/corpusStats derive from postings without a second scan") {
+    val post = Retrieval.postings(corpus, "doc_id", "text")
+    val dl = Retrieval.docLengths(post, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dl(0L) == 9L && dl(1L) == 4L && dl(3L) == 6L)
+    val st = Retrieval.corpusStats(post, "doc_id").collect().head
+    assert(st.getLong(0) == 5L)
+    assert(math.abs(st.getDouble(1) - (9 + 4 + 8 + 6 + 8) / 5.0) < 1e-12)
+  }
+
+  // ---- RRF ----------------------------------------------------------
+
+  test("rrfFuse: item on both lists outranks same-rank single-list items") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q_id", "doc_id", "rank")
+    val b = Seq((1L, 10L, 2), (1L, 12L, 1)).toDF("q_id", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(a, b, "doc_id", k = 10).collect()
+      .sortBy(_.getInt(1))
+    // doc 10: 1/61 + 1/62 beats doc 12 (1/61) and doc 11 (1/62)
+    assert(fused.map(_.getLong(2)).toSeq == Seq(10L, 12L, 11L))
+    val expect10 = 1.0 / 61 + 1.0 / 62
+    assert(math.abs(fused.head.getDouble(3) -
+      math.rint(expect10 * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("rrfFuse: absent leg contributes zero, ties break on id") {
+    val a = Seq((1L, 5L, 1), (1L, 6L, 2)).toDF("q_id", "doc_id", "rank")
+    val b = Seq((1L, 7L, 1), (1L, 8L, 2)).toDF("q_id", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(a, b, "doc_id", k = 10).collect()
+      .sortBy(_.getInt(1))
+    // 5 and 7 tie at 1/61 → id order; 6 and 8 tie at 1/62 → id order
+    assert(fused.map(_.getLong(2)).toSeq == Seq(5L, 7L, 6L, 8L))
+  }
+
+  // ---- DSIR ---------------------------------------------------------
+
+  test("dsirWeights: target-like documents outweigh off-domain ones") {
+    val raw = Seq(
+      (0L, "en", "the cat sat on the mat and the dog ran"),
+      (1L, "en", "the dog sat on the cat mat the end"),
+      (2L, "xx", "zzq wwk vvf uup ttr ssn rrm qqp ppo oon"),
+      (3L, "xx", "zzq wwk vvf uup ttr qqp ppo oon nnm mml")
+    ).toDF("doc_id", "lang", "text")
+    val target = raw.where(col("lang") === "en")
+    val ratios = Retrieval.dsirLogRatios(raw, target, "text", buckets = 256)
+    assert(ratios.count() == 256) // dense spine
+    val w = Retrieval.dsirWeights(raw, "doc_id", "text", ratios, 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // ordering is the contract; absolute sign of a near-zero weight is
+    // smoothing noise at fixture scale (totals ≪ buckets)
+    assert(w(0L) > w(2L) && w(0L) > w(3L))
+    assert(w(1L) > w(2L) && w(1L) > w(3L))
+    assert(w(0L) > 0)
+  }
+
+  test("dsirSelect: deterministic top-m by (weight desc, id asc)") {
+    val w = Seq(
+      (10L, 4L, 0.5), (11L, 4L, 0.5), (12L, 4L, 0.9), (13L, 4L, -0.1)
+    ).toDF("doc_id", "n_feats", "weight")
+    val sel = Retrieval.dsirSelect(w, "doc_id", m = 3).collect()
+      .sortBy(_.getInt(1))
+    assert(sel.map(_.getLong(0)).toSeq == Seq(12L, 10L, 11L))
+  }
+
+  test("bigrams: 1-token doc yields its token, empty doc yields nothing") {
+    val df = Seq((0L, "hello"), (1L, ""), (2L, "a b c"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Retrieval.bigrams(col("text")).as("bg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(df(0L) == Seq("hello"))
+    assert(df(1L).isEmpty)
+    assert(df(2L) == Seq("a b", "b c"))
+  }
+}

@@ -83,6 +83,17 @@ object QueriesRetrieval {
         explode(slice(TextAnalysis.tokens(col("text")), 1, 8)).as("term"))
       .distinct()
 
+  /** q221's full oracle — q224 reuses it VERBATIM: the streamed index's
+    * BM25 read must equal the one-pass build's, so one hash gate pins
+    * stream ≡ batch ≡ one-pass + replay idempotence + compaction
+    * invariance (the q203 convention).
+    */
+  private val bm25OracleSql: String =
+    s"""WITH ${bm25Ctes("WHERE doc_id % 50 = 0")}
+        SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+               round(CAST(score AS DOUBLE), 6) AS score
+        FROM rk WHERE rank <= 10 ORDER BY q_id, rank"""
+
   val all: Seq[Q] = Seq(
 
     // BM25 inverted-index top-10: every 50th document's first 8 tokens as
@@ -95,10 +106,7 @@ object QueriesRetrieval {
             qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
           .orderBy(col("q_id"), col("rank"))
       },
-      Some(s"""WITH ${bm25Ctes("WHERE doc_id % 50 = 0")}
-               SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
-                      round(CAST(score AS DOUBLE), 6) AS score
-               FROM rk WHERE rank <= 10 ORDER BY q_id, rank""")),
+      Some(bm25OracleSql)),
 
     // hybrid retrieval: BM25 top-10 (lexical) fused with brute-force
     // cosine top-10 (semantic, the same query ids' embeddings) by
@@ -207,6 +215,42 @@ object QueriesRetrieval {
                                          doc_id) AS rank
                       FROM w)
                SELECT doc_id, CAST(rank AS INT) AS rank, n_feats, weight
-               FROM r WHERE rank <= 25 ORDER BY rank"""))
+               FROM r WHERE rank <= 25 ORDER BY rank""")),
+
+    // streamed inverted index: two triggers land postings partials, the
+    // second replays (at-least-once), the artifact compacts to its -1
+    // epoch, and the BM25 read serves from the FOLD with zero corpus
+    // re-scan — the oracle is q221's one-pass chain verbatim, so the
+    // hash gate pins stream ≡ batch ≡ one-pass + replay idempotence +
+    // compaction invariance
+    Q("q224_stream_postings",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = artifactPath("postings_stream_q224")
+        rmrf(new java.io.File(dir))
+        def trigger(par: Int, batchId: Long) =
+          graft.streaming.StreamingIngest.postingsBatch(
+            docs.where(col("doc_id") % 2 === par), batchId, dir,
+            "doc_id", "text")
+        trigger(0, 0L)
+        trigger(1, 1L)
+        trigger(1, 1L) // at-least-once replay: must rewrite, not double
+        graft.streaming.StreamingIngest.compactPostingsDir(s, dir, "doc_id")
+        val post = graft.streaming.StreamingIngest
+          .currentPostings(s, dir, "doc_id")
+        Retrieval.bm25TopKFromPostings(post, "doc_id",
+            qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(bm25OracleSql))
   )
+
+  private lazy val artifactRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_retrieval_artifacts")
+      .toString
+  private def artifactPath(name: String): String = s"$artifactRoot/$name"
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(); ()
+  }
 }

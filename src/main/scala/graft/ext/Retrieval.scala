@@ -104,8 +104,18 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       qterms: DataFrame, qIdCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKFromPostings(postings(docs, idCol, textCol), idCol,
+      qterms, qIdCol, k, k1, b)
+
+  /** [[bm25TopK]] over a PREBUILT postings relation — the read that
+    * serves an index artifact (batch-built, or the streamed
+    * `postingsStream` fold) without re-scanning the corpus: df/dl/avgdl
+    * all derive from the postings themselves.
+    */
+  def bm25TopKFromPostings(post: DataFrame, idCol: String,
+      qterms: DataFrame, qIdCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val post = postings(docs, idCol, textCol)
     val dl = docLengths(post, idCol)
     val stats = corpusStats(post, idCol)
     val dfq = docFreq(post)

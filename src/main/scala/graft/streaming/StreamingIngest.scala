@@ -1570,4 +1570,83 @@ object StreamingIngest {
       groupCols: Seq[String], k: Int): DataFrame =
     Sketches.ssMerge(
       spark.read.parquet(s"$sketchDir/ss"), groupCols, "batch_id", k)
+
+  // ------------------------------------------------------------------
+  // Streaming inverted-index maintenance (the retrieval tier's artifact)
+  // ------------------------------------------------------------------
+
+  /** Streaming postings maintenance: each trigger lands its batch's
+    * postings partial — [[graft.ext.Retrieval.postings]] over the
+    * trigger's documents, `(idCol, term, tf)` — as its batch_id
+    * partition via dynamic overwrite (at-least-once replay rewrites
+    * itself), the sketch-artifact contract applied to the lexical
+    * index. The merge is term-wise SUM per (doc, term): exact under
+    * disjoint doc batches AND under a document's tokens split across
+    * triggers, so partials are commutative and compaction is the merge
+    * itself (no latest-wins versioning). A BM25 read serves from the
+    * fold ([[graft.ext.Retrieval.bm25TopKFromPostings]]) with zero
+    * corpus re-scan.
+    */
+  def postingsStream(docs: DataFrame, indexDir: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        postingsBatch(batch, batchId, indexDir, idCol, textCol,
+          compactEvery)
+      }
+      .start()
+
+  /** One trigger of [[postingsStream]] — public so specs and the batch
+    * catalog drive exactly the production path.
+    */
+  def postingsBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      idCol: String, textCol: String, compactEvery: Int = 0): Unit = {
+    if (batch.isEmpty) return
+    graft.ext.Retrieval.postings(batch, idCol, textCol)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(indexDir)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      compactPostingsDir(batch.sparkSession, indexDir, idCol,
+        belowBatch = Some(batchId))
+      ()
+    }
+  }
+
+  /** The artifact's merged postings (all partials folded by term-wise
+    * SUM per (doc, term)).
+    */
+  def currentPostings(spark: SparkSession, indexDir: String,
+      idCol: String): DataFrame =
+    spark.read.parquet(indexDir).drop("batch_id")
+      .groupBy(col(idCol), col("term"))
+      .agg(sum(col("tf")).as("tf"))
+
+  /** Fold partials with `batch_id < belowBatch` (None = all) into the
+    * `-1` epoch — SUM merge, temp-then-swap, crash-safe like
+    * [[compactSketchDir]]. Returns the post-compaction row count.
+    */
+  def compactPostingsDir(spark: SparkSession, path: String, idCol: String,
+      belowBatch: Option[Long] = None): Long = {
+    val all = spark.read.parquet(path)
+    val (fold, keep) = belowBatch match {
+      case Some(b) =>
+        (all.where(col("batch_id") < b), all.where(col("batch_id") >= b))
+      case None => (all, all.limit(0))
+    }
+    val folded = fold.drop("batch_id")
+      .groupBy(col(idCol), col("term"))
+      .agg(sum(col("tf")).as("tf"))
+    val tmp = s"$path.compact.tmp"
+    folded.withColumn("batch_id", lit(-1L))
+      .unionByName(keep)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    graft.pipeline.Pipeline.swap(spark, tmp, path)
+    spark.read.parquet(path).count()
+  }
 }

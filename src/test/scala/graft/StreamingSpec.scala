@@ -1526,4 +1526,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$skDir/cms")
       .select($"batch_id").distinct().count() == before)
   }
+
+  test("streaming postings maintenance: trigger partials fold to the " +
+    "one-pass index, a doc split across triggers sums term-wise, replay " +
+    "rewrites not doubles, compaction folds to -1 with the BM25 read " +
+    "invariant") {
+    import graft.ext.Retrieval
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("poststream").toString
+    val (srcDir, ixDir, ckpt) = (s"$base/src", s"$base/ix", s"$base/ckpt")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val day0 = Seq((0L, "alpha beta gamma alpha"), (1L, "beta beta delta"))
+      .toDF("doc_id", "text")
+    // doc 2 arrives in TWO triggers (a resumed crawl) — term-wise SUM
+    // must reassemble it; doc 3 is day-1-only
+    val day1a = Seq((2L, "alpha alpha epsilon")).toDF("doc_id", "text")
+    val day1b = Seq((2L, "epsilon zeta"), (3L, "gamma gamma gamma"))
+      .toDF("doc_id", "text")
+    def deliver(df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val q = StreamingIngest.postingsStream(
+        spark.readStream.schema(schema).parquet(srcDir), ixDir, ckpt,
+        "doc_id", "text")
+      try q.processAllAvailable() finally q.stop()
+    }
+    deliver(day0); runOnce()
+    deliver(day1a); runOnce()
+    deliver(day1b); runOnce()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+    val whole = day0.unionByName(day1a).unionByName(day1b)
+    val onePass = rows(Retrieval.postings(whole, "doc_id", "text"))
+    val merged = rows(StreamingIngest.currentPostings(spark, ixDir, "doc_id"))
+    assert(merged == onePass, "folded stream index must equal one-pass build")
+    // the split doc reassembled: tf(alpha, doc 2) = 2 across two triggers
+    assert(merged.contains(List(2L, "alpha", 2L)))
+    // BM25 read off the artifact equals the read off a one-pass build
+    val qt = Seq((9L, "alpha"), (9L, "gamma")).toDF("q_id", "term")
+    def top(post: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25TopKFromPostings(post, "doc_id", qt, "q_id", k = 4)
+        .collect().map(_.toSeq.toList).toList
+    val before = top(StreamingIngest.currentPostings(spark, ixDir, "doc_id"))
+    assert(before == top(Retrieval.postings(whole, "doc_id", "text")))
+    // at-least-once replay of the LAST trigger: rewrite, not double
+    StreamingIngest.postingsBatch(day1b, 2L, ixDir, "doc_id", "text")
+    assert(rows(StreamingIngest.currentPostings(spark, ixDir, "doc_id"))
+      == onePass, "replayed batch must rewrite its partition, not add")
+    // compaction: one -1 epoch, merged read and BM25 read invariant
+    StreamingIngest.compactPostingsDir(spark, ixDir, "doc_id")
+    assert(spark.read.parquet(ixDir)
+      .select($"batch_id").distinct().as[Long].collect().toSeq == Seq(-1L))
+    assert(rows(StreamingIngest.currentPostings(spark, ixDir, "doc_id"))
+      == onePass)
+    assert(top(StreamingIngest.currentPostings(spark, ixDir, "doc_id"))
+      == before)
+    // post-compaction batches keep merging
+    StreamingIngest.postingsBatch(
+      Seq((4L, "alpha")).toDF("doc_id", "text"), 3L, ixDir, "doc_id", "text")
+    assert(rows(StreamingIngest.currentPostings(spark, ixDir, "doc_id"))
+      == rows(Retrieval.postings(
+        whole.unionByName(Seq((4L, "alpha")).toDF("doc_id", "text")),
+        "doc_id", "text")))
+  }
 }

@@ -105,7 +105,13 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       qterms: DataFrame, qIdCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    bm25TopKFromPostings(postings(docs, idCol, textCol), idCol,
+    // cache: the read derives dl/df/stats AND joins from the same postings
+    // — uncached, each branch re-tokenizes and re-shuffles the corpus (4
+    // passes; a modest win at sf0.1 where the corpus is small, the
+    // difference between 1 and 4 corpus scans at production scale). There
+    // the postings are a PERSISTED artifact (postingsStream /
+    // bm25TopKFromPostings) and this compose form is build+read in one.
+    bm25TopKFromPostings(postings(docs, idCol, textCol).cache(), idCol,
       qterms, qIdCol, k, k1, b)
 
   /** [[bm25TopK]] over a PREBUILT postings relation — the read that
@@ -184,18 +190,31 @@ object Retrieval {
   // DSIR importance weighting
   // ------------------------------------------------------------------
 
-  /** Word bigrams of a text column (adjacent token pairs joined by a
-    * space); a 1-token document contributes its lone token, an empty
-    * document contributes nothing — so every document with text has ≥1
-    * feature and weights never divide by zero.
+  /** Word bigrams over an ALREADY-TOKENIZED array column (adjacent token
+    * pairs joined by a space); a 1-token document contributes its lone
+    * token, an empty document contributes nothing. Callers must project
+    * the token array into its own column first ([[bigrams]] does) —
+    * passing `TextAnalysis.tokens(text)` inline here would re-tokenize
+    * the text inside EVERY `element_at` of the transform (Catalyst
+    * inlines the subtree, O(tokens²·chars) per document — measured 17 s
+    * → 3 s at sf0.1 for the q223 chain when hoisted).
     */
-  def bigrams(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
+  def bigramsFromTokens(toks: Column): Column =
     when(size(toks) >= 2,
       transform(sequence(lit(0), size(toks) - 2),
         i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(filter(toks, t => t =!= ""))
-  }
+      .otherwise(toks)
+
+  /** Tokenize-then-bigram as a two-step select over `df` — returns the
+    * df's columns plus `__f` (one exploded bigram per row), with the
+    * token array materialized ONCE per document.
+    */
+  private def explodeBigrams(df: DataFrame, textCol: String,
+      keep: Seq[String]): DataFrame =
+    df.select((keep.map(col) :+
+        TextAnalysis.tokens(col(textCol)).as("__tk")): _*)
+      .select((keep.map(col) :+
+        explode(bigramsFromTokens(col("__tk"))).as("__f")): _*)
 
   /** Hash a feature string into one of `buckets` buckets — the md5-prefix
     * arithmetic both engines evaluate identically (the house hash form).
@@ -209,8 +228,7 @@ object Retrieval {
     */
   def featureCounts(docs: DataFrame, textCol: String,
       buckets: Int): DataFrame =
-    docs
-      .select(explode(bigrams(col(textCol))).as("__f"))
+    explodeBigrams(docs, textCol, Nil)
       .select(featureBucket(col("__f"), buckets).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -259,8 +277,7 @@ object Retrieval {
     */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       ratios: DataFrame, buckets: Int): DataFrame =
-    docs
-      .select(col(idCol), explode(bigrams(col(textCol))).as("__f"))
+    explodeBigrams(docs, textCol, Seq(idCol))
       .select(col(idCol), featureBucket(col("__f"), buckets).as("bucket"))
       .join(broadcast(ratios), Seq("bucket"))
       .groupBy(col(idCol))

@@ -136,7 +136,9 @@ class RetrievalSpec extends AnyFunSuite {
   test("bigrams: 1-token doc yields its token, empty doc yields nothing") {
     val df = Seq((0L, "hello"), (1L, ""), (2L, "a b c"))
       .toDF("doc_id", "text")
-      .select(col("doc_id"), Retrieval.bigrams(col("text")).as("bg"))
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), Retrieval.bigramsFromTokens(col("tk")).as("bg"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(df(0L) == Seq("hello"))
     assert(df(1L).isEmpty)

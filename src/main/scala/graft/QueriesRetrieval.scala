@@ -36,11 +36,15 @@ object QueriesRetrieval {
       s"(sqrt(${dotSqlN(a, a, 64)}) * sqrt(${dotSqlN(b, b, 64)})), 6)"
 
   /** The BM25 chain as CTEs ending in `rk` (q_id, doc_id, score, rank) —
-    * shared by q221 (reads it directly) and q222 (fuses it). `qWhere`
-    * filters the query-document set.
+    * shared by q221/q224 (read it directly), q222 (fuses it), and q225
+    * (runs it eval-vs-train). `qWhere` filters the query-document set;
+    * `corpusWhere` filters the indexed corpus (postings/df/dl/stats all
+    * derive from the filtered corpus, matching a bm25TopK call whose
+    * `docs` argument is pre-filtered).
     */
-  private def bm25Ctes(qWhere: String): String =
-    s"""tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+  private def bm25Ctes(qWhere: String, corpusWhere: String = ""): String =
+    s"""tka AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        tk AS (SELECT doc_id, tk FROM tka $corpusWhere),
         post AS (SELECT doc_id, term, count(*) AS tf
                  FROM (SELECT doc_id, unnest(tk) AS term FROM tk)
                  GROUP BY doc_id, term),
@@ -51,7 +55,7 @@ object QueriesRetrieval {
                FROM dl),
         dfq AS (SELECT term, count(*) AS dfreq FROM post GROUP BY term),
         qt AS (SELECT DISTINCT doc_id AS q_id, unnest(tk[1:8]) AS term
-               FROM tk $qWhere),
+               FROM tka $qWhere),
         sc AS (SELECT q.q_id, p.doc_id,
                       CAST(ln(1.0 +
                               (CAST(st.n_docs - d.dfreq AS DOUBLE) + 0.5) /
@@ -242,7 +246,69 @@ object QueriesRetrieval {
             qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
           .orderBy(col("q_id"), col("rank"))
       },
-      Some(bm25OracleSql))
+      Some(bm25OracleSql)),
+
+    // the retrieval-tier flagship: hybrid retrieval-based decontamination.
+    // q63 flags train docs sharing 5-gram SHINGLES with eval; q85 flags
+    // train VECTORS near eval vectors; the production guard asks the
+    // fused question — for each eval doc, which train docs does EITHER
+    // signal retrieve? BM25 (eval's first 8 tokens vs the TRAIN-only
+    // index) ∪ cosine (eval vector vs train vectors), RRF-fused, top-3
+    // per eval doc. No self-matches by construction (eval ∉ train).
+    Q("q225_hybrid_decon",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val train = docs.where(col("doc_id") % 17 =!= 0)
+        val lex = Retrieval.bm25TopK(train, "doc_id", "text",
+          qterms(docs, col("doc_id") % 17 === 0), "q_id", k = 10)
+        val qv = emb.where(col("vec_id") % 17 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val cand = qv.crossJoin(
+          emb.where(col("vec_id") % 17 =!= 0)
+            .select(col("vec_id").as("doc_id"), col("embedding").as("c_vec")))
+          .select(col("q_id"), col("doc_id"),
+            Similarity.cosine(col("q_vec"), col("c_vec")).as("cos"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("doc_id").asc)
+        val sem = cand
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .where(col("rank") <= 10)
+          .select(col("q_id"), col("doc_id"), col("rank"))
+        Retrieval.rrfFuse(lex, sem, "doc_id", k = 3)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        s"""WITH ${bm25Ctes("WHERE doc_id % 17 = 0",
+                            "WHERE doc_id % 17 <> 0")},
+             lx AS (SELECT q_id, doc_id, rank AS ra
+                    FROM rk WHERE rank <= 10),
+             sem AS (SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+                            ${cosSql("q.embedding", "e.embedding")} AS cos
+                     FROM (SELECT vec_id, embedding FROM embeddings
+                           WHERE vec_id % 17 = 0) q
+                     CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                                 WHERE vec_id % 17 <> 0) e),
+             smr AS (SELECT q_id, doc_id,
+                            row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, doc_id) AS rb
+                     FROM sem),
+             sm AS (SELECT q_id, doc_id, rb FROM smr WHERE rb <= 10),
+             fu AS (SELECT coalesce(l.q_id, s.q_id) AS q_id,
+                           coalesce(l.doc_id, s.doc_id) AS doc_id,
+                           coalesce(1.0 / (60.0 + CAST(l.ra AS DOUBLE)), 0.0)
+                         + coalesce(1.0 / (60.0 + CAST(s.rb AS DOUBLE)), 0.0)
+                             AS rrf
+                    FROM lx l FULL OUTER JOIN sm s
+                      ON l.q_id = s.q_id AND l.doc_id = s.doc_id),
+             fr AS (SELECT q_id, doc_id, rrf,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY rrf DESC, doc_id) AS rank
+                    FROM fu)
+            SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+                   round(rrf, 6) AS rrf
+            FROM fr WHERE rank <= 3 ORDER BY q_id, rank"""
+      })
   )
 
   private lazy val artifactRoot: String =

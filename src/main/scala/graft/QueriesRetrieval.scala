@@ -42,7 +42,8 @@ object QueriesRetrieval {
     * derive from the filtered corpus, matching a bm25TopK call whose
     * `docs` argument is pre-filtered).
     */
-  private def bm25Ctes(qWhere: String, corpusWhere: String = ""): String =
+  private def bm25Ctes(qWhere: String, corpusWhere: String = "",
+      dfCap: String = ""): String =
     s"""tka AS (SELECT doc_id, $toksSql AS tk FROM documents),
         tk AS (SELECT doc_id, tk FROM tka $corpusWhere),
         post AS (SELECT doc_id, term, count(*) AS tf
@@ -69,7 +70,8 @@ object QueriesRetrieval {
                JOIN dfq d USING (term)
                CROSS JOIN st
                JOIN post p USING (term)
-               JOIN dl l ON p.doc_id = l.doc_id),
+               JOIN dl l ON p.doc_id = l.doc_id
+               $dfCap),
         ag AS (SELECT q_id, doc_id, sum(s) AS score
                FROM sc GROUP BY q_id, doc_id),
         rk AS (SELECT q_id, doc_id, score,
@@ -260,8 +262,12 @@ object QueriesRetrieval {
         val docs = t(s, d, "documents")
         val emb = t(s, d, "embeddings")
         val train = docs.where(col("doc_id") % 17 =!= 0)
+        // maxDfFrac = 0.1: common-term pruning — an eval doc's leading
+        // tokens are stopword-heavy, and a >10%-df term joins a
+        // corpus-sized candidate leg to contribute ~0 idf
         val lex = Retrieval.bm25TopK(train, "doc_id", "text",
-          qterms(docs, col("doc_id") % 17 === 0), "q_id", k = 10)
+          qterms(docs, col("doc_id") % 17 === 0), "q_id", k = 10,
+          maxDfFrac = 0.1)
         val qv = emb.where(col("vec_id") % 17 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         val cand = qv.crossJoin(
@@ -280,7 +286,9 @@ object QueriesRetrieval {
       },
       Some {
         s"""WITH ${bm25Ctes("WHERE doc_id % 17 = 0",
-                            "WHERE doc_id % 17 <> 0")},
+                            "WHERE doc_id % 17 <> 0",
+                            "WHERE CAST(d.dfreq AS DOUBLE) <= " +
+                              "0.1 * CAST(st.n_docs AS DOUBLE)")},
              lx AS (SELECT q_id, doc_id, rank AS ra
                     FROM rk WHERE rank <= 10),
              sem AS (SELECT q.vec_id AS q_id, e.vec_id AS doc_id,

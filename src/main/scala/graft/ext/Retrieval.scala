@@ -60,13 +60,16 @@ object Retrieval {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
 
-  /** Incremental maintenance: postings from DISJOINT document batches
-    * union verbatim (a doc lives in one batch, so (id, term) never
-    * collides); df/N/avgdl are re-aggregated from the union at read.
-    * Merge(partial(A), partial(B)) ≡ partial(A ∪ B) exactly.
+  /** Incremental maintenance: fold postings partials by term-wise SUM
+    * per (doc, term) — exact under disjoint doc batches AND under one
+    * document's tokens split across batches (a resumed crawl), so
+    * merge(partial(A), partial(B)) ≡ partial(A ∪ B) always, no
+    * disjointness precondition. df/N/avgdl re-derive from the fold.
     */
-  def postingsMerge(parts: DataFrame*): DataFrame =
+  def postingsMerge(idCol: String, parts: DataFrame*): DataFrame =
     parts.reduce(_.unionByName(_))
+      .groupBy(col(idCol), col("term"))
+      .agg(sum(col("tf")).as("tf"))
 
   /** Per-document token length `(idCol, dl)` — tf-sum over the postings,
     * so an index artifact needs no second corpus scan.
@@ -104,7 +107,8 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       qterms: DataFrame, qIdCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+      k1: Double = 1.2, b: Double = 0.75,
+      maxDfFrac: Double = 1.0): DataFrame =
     // cache: the read derives dl/df/stats AND joins from the same postings
     // — uncached, each branch re-tokenizes and re-shuffles the corpus (4
     // passes; a modest win at sf0.1 where the corpus is small, the
@@ -112,16 +116,26 @@ object Retrieval {
     // the postings are a PERSISTED artifact (postingsStream /
     // bm25TopKFromPostings) and this compose form is build+read in one.
     bm25TopKFromPostings(postings(docs, idCol, textCol).cache(), idCol,
-      qterms, qIdCol, k, k1, b)
+      qterms, qIdCol, k, k1, b, maxDfFrac)
 
   /** [[bm25TopK]] over a PREBUILT postings relation — the read that
     * serves an index artifact (batch-built, or the streamed
     * `postingsStream` fold) without re-scanning the corpus: df/dl/avgdl
     * all derive from the postings themselves.
+    *
+    * `maxDfFrac < 1.0` enables common-term pruning: query terms whose
+    * df exceeds `maxDfFrac · N` are dropped BEFORE the postings join —
+    * the candidate set for a stopword term is the whole corpus while
+    * its idf is ≈ ln(1 + (N−df+0.5)/(df+0.5)) → near 0, so the term
+    * costs a corpus-sized join leg to contribute almost nothing (the
+    * static half of the WAND/MaxScore idea; measured 11.0 s → 2.1 s on
+    * the q225 chain at 0.1, sf0.1). At 1.0 (default) the scoring is the
+    * full textbook BM25.
     */
   def bm25TopKFromPostings(post: DataFrame, idCol: String,
       qterms: DataFrame, qIdCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      maxDfFrac: Double = 1.0): DataFrame = {
     val dl = docLengths(post, idCol)
     val stats = corpusStats(post, idCol)
     val dfq = docFreq(post)
@@ -134,10 +148,15 @@ object Retrieval {
         lit(k1) * (lit(1.0 - b) +
           lit(b) * col("dl").cast("double") / col("avgdl")))
 
-    val terms = qterms
+    val pruned = qterms
       .select(col(qIdCol).as("q_id"), col("term"))
       .join(dfq, Seq("term"))
       .crossJoin(broadcast(stats))
+    val kept =
+      if (maxDfFrac >= 1.0) pruned
+      else pruned.where(col("dfreq").cast("double") <=
+        lit(maxDfFrac) * col("n_docs").cast("double"))
+    val terms = kept
       .join(post, Seq("term"))
       .join(dl, Seq(idCol))
       .select(col("q_id"), col(idCol),
@@ -193,7 +212,7 @@ object Retrieval {
   /** Word bigrams over an ALREADY-TOKENIZED array column (adjacent token
     * pairs joined by a space); a 1-token document contributes its lone
     * token, an empty document contributes nothing. Callers must project
-    * the token array into its own column first ([[bigrams]] does) —
+    * the token array into its own column first (`explodeBigrams` does) —
     * passing `TextAnalysis.tokens(text)` inline here would re-tokenize
     * the text inside EVERY `element_at` of the transform (Catalyst
     * inlines the subtree, O(tokens²·chars) per document — measured 17 s

@@ -60,14 +60,42 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
-  test("postingsMerge over disjoint doc batches ≡ postings of the union") {
+  test("bm25TopK maxDfFrac: a term above the df cap is pruned before the " +
+    "postings join; 1.0 is the identity") {
+    val q = Seq((5L, "fox"), (5L, "lazy")).toDF("q_id", "term")
+    // "fox" has df 4/5 = 0.8 > 0.3 → pruned; "lazy" (1/5) survives, so
+    // scoring ≡ a lazy-only query
+    val capped = Retrieval.bm25TopK(corpus, "doc_id", "text", q, "q_id",
+      k = 5, maxDfFrac = 0.3).collect().map(_.toSeq.toList).toList
+    val lazyOnly = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq((5L, "lazy")).toDF("q_id", "term"), "q_id", k = 5)
+      .collect().map(_.toSeq.toList).toList
+    assert(capped == lazyOnly && capped.nonEmpty)
+    val full = Retrieval.bm25TopK(corpus, "doc_id", "text", q, "q_id", k = 5)
+    val one = Retrieval.bm25TopK(corpus, "doc_id", "text", q, "q_id", k = 5,
+      maxDfFrac = 1.0)
+    assert(full.exceptAll(one).isEmpty && one.exceptAll(full).isEmpty)
+  }
+
+  test("postingsMerge ≡ postings of the union, even when one document's " +
+    "tokens are split across batches") {
     val a = corpus.where(col("doc_id") < 2)
     val b = corpus.where(col("doc_id") >= 2)
-    val merged = Retrieval.postingsMerge(
+    val merged = Retrieval.postingsMerge("doc_id",
       Retrieval.postings(a, "doc_id", "text"),
       Retrieval.postings(b, "doc_id", "text"))
     val full = Retrieval.postings(corpus, "doc_id", "text")
     assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    // doc 9 arrives in two pieces: tf must SUM term-wise, not double-row
+    val p1 = Seq((9L, "red fox red")).toDF("doc_id", "text")
+    val p2 = Seq((9L, "red wolf")).toDF("doc_id", "text")
+    val m2 = Retrieval.postingsMerge("doc_id",
+      Retrieval.postings(p1, "doc_id", "text"),
+      Retrieval.postings(p2, "doc_id", "text"))
+    val whole = Retrieval.postings(
+      Seq((9L, "red fox red red wolf")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(m2.exceptAll(whole).isEmpty && whole.exceptAll(m2).isEmpty)
   }
 
   test("docLengths/corpusStats derive from postings without a second scan") {

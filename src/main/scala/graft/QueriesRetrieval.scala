@@ -100,6 +100,63 @@ object QueriesRetrieval {
                round(CAST(score AS DOUBLE), 6) AS score
         FROM rk WHERE rank <= 10 ORDER BY q_id, rank"""
 
+  /** Brute-force semantic leg shared by q222/q225: cosine top-`k` of the
+    * `qPred` embeddings against the `cPred` embeddings —
+    * (q_id, doc_id, rank), ranked by 6 dp cosine, ties on id.
+    */
+  private def semanticTopK(emb: DataFrame,
+      qPred: org.apache.spark.sql.Column,
+      cPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val qv = emb.where(qPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cand = qv.crossJoin(emb.where(cPred)
+        .select(col("vec_id").as("doc_id"), col("embedding").as("c_vec")))
+      .select(col("q_id"), col("doc_id"),
+        Similarity.cosine(col("q_vec"), col("c_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("rank"))
+  }
+
+  /** The fusion oracle tail shared by q222/q225: the semantic leg
+    * (embeddings filtered by `qSemWhere`/`cSemWhere`), the full-outer
+    * RRF join against the BM25 chain's `rk`, and the final rank window —
+    * one definition so an engine/oracle tie-break or κ change cannot
+    * desynchronize the two queries.
+    */
+  private def rrfOracleTail(qSemWhere: String, cSemWhere: String,
+      finalK: Int): String =
+    s"""lx AS (SELECT q_id, doc_id, rank AS ra
+               FROM rk WHERE rank <= 10),
+        sem AS (SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+                       ${cosSql("q.embedding", "e.embedding")} AS cos
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      $qSemWhere) q
+                CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                            $cSemWhere) e),
+        smr AS (SELECT q_id, doc_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, doc_id) AS rb
+                FROM sem),
+        sm AS (SELECT q_id, doc_id, rb FROM smr WHERE rb <= 10),
+        fu AS (SELECT coalesce(l.q_id, s.q_id) AS q_id,
+                      coalesce(l.doc_id, s.doc_id) AS doc_id,
+                      coalesce(1.0 / (60.0 + CAST(l.ra AS DOUBLE)), 0.0)
+                    + coalesce(1.0 / (60.0 + CAST(s.rb AS DOUBLE)), 0.0)
+                        AS rrf
+               FROM lx l FULL OUTER JOIN sm s
+                 ON l.q_id = s.q_id AND l.doc_id = s.doc_id),
+        fr AS (SELECT q_id, doc_id, rrf,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY rrf DESC, doc_id) AS rank
+               FROM fu)
+       SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+              round(rrf, 6) AS rrf
+       FROM fr WHERE rank <= $finalK ORDER BY q_id, rank"""
+
   val all: Seq[Q] = Seq(
 
     // BM25 inverted-index top-10: every 50th document's first 8 tokens as
@@ -128,18 +185,8 @@ object QueriesRetrieval {
           qterms(docs, col("doc_id") % 50 === 0)
             .join(broadcast(qIds), Seq("q_id")),
           "q_id", k = 10)
-        val qv = emb.where(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        val cand = qv.crossJoin(
-          emb.select(col("vec_id").as("doc_id"), col("embedding").as("c_vec")))
-          .select(col("q_id"), col("doc_id"),
-            Similarity.cosine(col("q_vec"), col("c_vec")).as("cos"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("doc_id").asc)
-        val sem = cand
-          .withColumn("rank", row_number().over(w).cast("int"))
-          .where(col("rank") <= 10)
-          .select(col("q_id"), col("doc_id"), col("rank"))
+        val sem = semanticTopK(emb, col("vec_id") % 50 === 0, lit(true),
+          k = 10)
         Retrieval.rrfFuse(lex, sem, "doc_id", k = 10)
           .orderBy(col("q_id"), col("rank"))
       },
@@ -147,32 +194,7 @@ object QueriesRetrieval {
         val qw = "WHERE doc_id % 50 = 0 AND doc_id IN " +
           "(SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0)"
         s"""WITH ${bm25Ctes(qw)},
-             lx AS (SELECT q_id, doc_id, rank AS ra
-                    FROM rk WHERE rank <= 10),
-             sem AS (SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
-                            ${cosSql("q.embedding", "e.embedding")} AS cos
-                     FROM (SELECT vec_id, embedding FROM embeddings
-                           WHERE vec_id % 50 = 0) q
-                     CROSS JOIN embeddings e),
-             smr AS (SELECT q_id, doc_id,
-                            row_number() OVER (PARTITION BY q_id
-                              ORDER BY cos DESC, doc_id) AS rb
-                     FROM sem),
-             sm AS (SELECT q_id, doc_id, rb FROM smr WHERE rb <= 10),
-             fu AS (SELECT coalesce(l.q_id, s.q_id) AS q_id,
-                           coalesce(l.doc_id, s.doc_id) AS doc_id,
-                           coalesce(1.0 / (60.0 + CAST(l.ra AS DOUBLE)), 0.0)
-                         + coalesce(1.0 / (60.0 + CAST(s.rb AS DOUBLE)), 0.0)
-                             AS rrf
-                    FROM lx l FULL OUTER JOIN sm s
-                      ON l.q_id = s.q_id AND l.doc_id = s.doc_id),
-             fr AS (SELECT q_id, doc_id, rrf,
-                           row_number() OVER (PARTITION BY q_id
-                             ORDER BY rrf DESC, doc_id) AS rank
-                    FROM fu)
-            SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
-                   round(rrf, 6) AS rrf
-            FROM fr WHERE rank <= 10 ORDER BY q_id, rank"""
+            ${rrfOracleTail("WHERE vec_id % 50 = 0", "", finalK = 10)}"""
       }),
 
     // DSIR importance weighting: hashed-bigram (512 buckets) add-one
@@ -268,19 +290,8 @@ object QueriesRetrieval {
         val lex = Retrieval.bm25TopK(train, "doc_id", "text",
           qterms(docs, col("doc_id") % 17 === 0), "q_id", k = 10,
           maxDfFrac = 0.1)
-        val qv = emb.where(col("vec_id") % 17 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        val cand = qv.crossJoin(
-          emb.where(col("vec_id") % 17 =!= 0)
-            .select(col("vec_id").as("doc_id"), col("embedding").as("c_vec")))
-          .select(col("q_id"), col("doc_id"),
-            Similarity.cosine(col("q_vec"), col("c_vec")).as("cos"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("doc_id").asc)
-        val sem = cand
-          .withColumn("rank", row_number().over(w).cast("int"))
-          .where(col("rank") <= 10)
-          .select(col("q_id"), col("doc_id"), col("rank"))
+        val sem = semanticTopK(emb, col("vec_id") % 17 === 0,
+          col("vec_id") % 17 =!= 0, k = 10)
         Retrieval.rrfFuse(lex, sem, "doc_id", k = 3)
           .orderBy(col("q_id"), col("rank"))
       },
@@ -289,33 +300,8 @@ object QueriesRetrieval {
                             "WHERE doc_id % 17 <> 0",
                             "WHERE CAST(d.dfreq AS DOUBLE) <= " +
                               "0.1 * CAST(st.n_docs AS DOUBLE)")},
-             lx AS (SELECT q_id, doc_id, rank AS ra
-                    FROM rk WHERE rank <= 10),
-             sem AS (SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
-                            ${cosSql("q.embedding", "e.embedding")} AS cos
-                     FROM (SELECT vec_id, embedding FROM embeddings
-                           WHERE vec_id % 17 = 0) q
-                     CROSS JOIN (SELECT vec_id, embedding FROM embeddings
-                                 WHERE vec_id % 17 <> 0) e),
-             smr AS (SELECT q_id, doc_id,
-                            row_number() OVER (PARTITION BY q_id
-                              ORDER BY cos DESC, doc_id) AS rb
-                     FROM sem),
-             sm AS (SELECT q_id, doc_id, rb FROM smr WHERE rb <= 10),
-             fu AS (SELECT coalesce(l.q_id, s.q_id) AS q_id,
-                           coalesce(l.doc_id, s.doc_id) AS doc_id,
-                           coalesce(1.0 / (60.0 + CAST(l.ra AS DOUBLE)), 0.0)
-                         + coalesce(1.0 / (60.0 + CAST(s.rb AS DOUBLE)), 0.0)
-                             AS rrf
-                    FROM lx l FULL OUTER JOIN sm s
-                      ON l.q_id = s.q_id AND l.doc_id = s.doc_id),
-             fr AS (SELECT q_id, doc_id, rrf,
-                           row_number() OVER (PARTITION BY q_id
-                             ORDER BY rrf DESC, doc_id) AS rank
-                    FROM fu)
-            SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
-                   round(rrf, 6) AS rrf
-            FROM fr WHERE rank <= 3 ORDER BY q_id, rank"""
+            ${rrfOracleTail("WHERE vec_id % 17 = 0",
+                            "WHERE vec_id % 17 <> 0", finalK = 3)}"""
       })
   )
 

@@ -843,7 +843,8 @@ object QueriesSketches {
                                THEN 1.0
                                ELSE (max(CAST(n_chars AS DOUBLE)) -
                                      min(CAST(n_chars AS DOUBLE))) / 20.0
-                             END AS width
+                             END AS width,
+                             max(CAST(n_chars AS DOUBLE)) AS hi_trained
                       FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
                hb AS (SELECT d.lang,
                              CAST(least(greatest(floor(
@@ -876,7 +877,7 @@ object QueriesSketches {
                                < tr.lo THEN 1 ELSE 0 END) AS BIGINT)
                                AS n_under,
                              CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE)
-                               >= tr.lo + tr.width * 20.0 THEN 1 ELSE 0
+                               > tr.hi_trained THEN 1 ELSE 0
                                END) AS BIGINT) AS n_over,
                              CAST(count(*) AS BIGINT) AS n_total
                       FROM documents d JOIN tr ON d.lang = tr.lang

@@ -1919,7 +1919,7 @@ object Multimodal {
       case n => throw new IllegalArgumentException(s"bad EBML float width $n")
     }
     def str(off: Int, len: Int): String =
-      new String(b, off, len, "US-ASCII").takeWhile(_ != ' ')
+      new String(b, off, len, "US-ASCII").takeWhile(_ != '\u0000')
     // one element header: (id, dataOff, dataEnd, next)
     def el(off: Int, end: Int): (Long, Int, Int, Int) = {
       val (id, idLen) = ebmlVint(b, off, keepMarker = true)

@@ -112,9 +112,12 @@ object Retrieval {
     // cache: the read derives dl/df/stats AND joins from the same postings
     // — uncached, each branch re-tokenizes and re-shuffles the corpus (4
     // passes; a modest win at sf0.1 where the corpus is small, the
-    // difference between 1 and 4 corpus scans at production scale). There
-    // the postings are a PERSISTED artifact (postingsStream /
-    // bm25TopKFromPostings) and this compose form is build+read in one.
+    // difference between 1 and 4 corpus scans at production scale). The
+    // cached frame lives until the session drops it (catalog.clearCache /
+    // unpersist — the Bench harness does this between queries); a caller
+    // serving many query batches should manage the index lifetime itself
+    // via bm25TopKFromPostings over a PERSISTED artifact
+    // (postingsStream) — this compose form is build+read in one.
     bm25TopKFromPostings(postings(docs, idCol, textCol).cache(), idCol,
       qterms, qIdCol, k, k1, b, maxDfFrac)
 

@@ -861,6 +861,14 @@ object Sampling {
       mediaShards: Int = 4, salt: String = "graft-mix")
       : (DataFrame, DataFrame) = {
     val spark = items.sparkSession
+    // fail fast on the RAW input: the all-null-payload check depends only
+    // on `items`, so running it after the mix/shuffle/pack chain (the old
+    // placement) burned the whole pipeline — including the persisted
+    // ranged frame — just to throw
+    if (items.where(col(payloadCol).isNotNull).limit(1).isEmpty)
+      throw new IllegalArgumentException(
+        "multimodalLayout: no media items (every payload is null) — " +
+          "use trainingLayout for text-only corpora")
     val docs = items.groupBy(col(docIdCol), col(stratumCol))
       .agg(sum(col(tokensCol)).cast("long").as("__doctok"))
     val plan = mixPlan(docs, stratumCol, col("__doctok"), weights,
@@ -881,10 +889,6 @@ object Sampling {
       .withColumn("item_pos", (col("__start_1") + 1L).cast("long"))
       .withColumn("media_pos", when(col(payloadCol).isNotNull,
         col("__start_2") + 1L).cast("long"))
-    if (packed.where(col(payloadCol).isNotNull).limit(1).isEmpty)
-      throw new IllegalArgumentException(
-        "multimodalLayout: no media items (every payload is null) — " +
-          "use trainingLayout for text-only corpora")
     graft.ops.Layout.writeShards(
       packed.select(col(docIdCol), col("copy_idx"), col(itemIdxCol),
         col(kindCol), col(tokensCol), col("shuffle_pos"), col("item_pos"),

@@ -546,8 +546,16 @@ object Sketches {
       .withColumnRenamed("cnt", "__ca")
     val gb = b.select((groupCols ++ Seq("bin", "cnt")).map(col): _*)
       .withColumnRenamed("cnt", "__cb")
+    // the dense 0..bins−1 support, UNIONED with any bin actually present
+    // in either artifact: for well-formed partials (every bin < bins by
+    // the histPartial clamp) the union adds nothing, and a caller whose
+    // `bins` disagrees with the artifacts' build keeps those bins' mass
+    // in the totals instead of the spine silently dropping it
     val spineBins = ga.sparkSession.range(bins.toLong)
       .select(col("id").cast("int").as("bin"))
+      .union(ga.select(col("bin")))
+      .union(gb.select(col("bin")))
+      .distinct()
     val spine =
       if (groupCols.isEmpty) spineBins
       else ga.select(groupCols.map(col): _*)
@@ -606,7 +614,12 @@ object Sketches {
         when(col("__hi") === col("lo"), lit(1.0))
           .otherwise((col("__hi") - col("lo")) / lit(bins.toDouble))
           .as("width") :+
-        lit(bins).as("bins")): _*)
+        lit(bins).as("bins") :+
+        // the trained max VERBATIM: lo + width·bins only reconstructs it
+        // up to FP rounding, so the clamp audit's "above the trained
+        // range" test needs the exact value the freeze saw — without it
+        // the audit can flag the training maximum itself as clamped
+        col("__hi").as("hi_trained")): _*)
   }
 
   /** [[histPartial]] against a FROZEN bounds artifact: per-group
@@ -630,11 +643,14 @@ object Sketches {
   }
 
   /** The clamp AUDIT that makes out-of-range mass VISIBLE: per group,
-    * how much of `df` falls below/above the frozen range
-    * [lo, lo + width·bins). A fresh batch drifting out of the trained
-    * domain shows up here as frac_clamped > 0 — the signal that the
-    * bounds artifact needs retraining — where a fixed-bounds histogram
-    * absorbs the same mass into its edge bins silently.
+    * how much of `df` falls below lo / strictly above the trained max
+    * (`hi_trained`, stored verbatim in the bounds artifact). A fresh
+    * batch drifting out of the trained domain shows up here as
+    * frac_clamped > 0 — the signal that the bounds artifact needs
+    * retraining — where a fixed-bounds histogram absorbs the same mass
+    * into its edge bins silently. The training maximum itself is
+    * in-range (it bins into the top bin by [[histPartialBounded]]'s
+    * clamp contract), so auditing the training batch reports 0.
     */
   def histClampAudit(df: DataFrame, groupCols: Seq[String], v: Column,
       bounds: DataFrame): DataFrame = {
@@ -642,13 +658,16 @@ object Sketches {
       if (groupCols.isEmpty) df.crossJoin(broadcast(bounds))
       else df.join(broadcast(bounds), groupCols)
     val dv = v.cast("double")
-    val hi = col("lo") + col("width") * col("bins").cast("double")
     val grouped =
       if (groupCols.isEmpty) joined.groupBy()
       else joined.groupBy(groupCols.map(col): _*)
     grouped.agg(
       sum(when(dv < col("lo"), 1L).otherwise(0L)).as("n_under"),
-      sum(when(dv >= hi, 1L).otherwise(0L)).as("n_over"),
+      // STRICTLY above the trained max: the training maximum itself bins
+      // into the top bin by the histPartialBounded clamp contract, so it
+      // is in-range, not drift — and hi_trained (not lo + width·bins,
+      // which reconstructs it only up to FP rounding) is the exact edge
+      sum(when(dv > col("hi_trained"), 1L).otherwise(0L)).as("n_over"),
       count(lit(1)).as("n_total"))
       .withColumn("frac_clamped", round(
         (col("n_under") + col("n_over")).cast("double") /

@@ -1623,9 +1623,8 @@ object StreamingIngest {
     */
   def currentPostings(spark: SparkSession, indexDir: String,
       idCol: String): DataFrame =
-    spark.read.parquet(indexDir).drop("batch_id")
-      .groupBy(col(idCol), col("term"))
-      .agg(sum(col("tf")).as("tf"))
+    graft.ext.Retrieval.postingsMerge(idCol,
+      spark.read.parquet(indexDir).drop("batch_id"))
 
   /** Fold partials with `batch_id < belowBatch` (None = all) into the
     * `-1` epoch — SUM merge, temp-then-swap, crash-safe like
@@ -1639,9 +1638,8 @@ object StreamingIngest {
         (all.where(col("batch_id") < b), all.where(col("batch_id") >= b))
       case None => (all, all.limit(0))
     }
-    val folded = fold.drop("batch_id")
-      .groupBy(col(idCol), col("term"))
-      .agg(sum(col("tf")).as("tf"))
+    val folded =
+      graft.ext.Retrieval.postingsMerge(idCol, fold.drop("batch_id"))
     val tmp = s"$path.compact.tmp"
     folded.withColumn("batch_id", lit(-1L))
       .unionByName(keep)

@@ -402,9 +402,15 @@ class SketchesSpec extends AnyFunSuite {
     // the same mass into bin 9 with no signal
     val audit = Sketches.histClampAudit(b1, Seq("g"), col("v"), bounds)
       .collect().head
-    val expectedOver = b1.where(col("v") >= lo + width * 10).count()
+    // over = STRICTLY above the trained max (199.0): the max itself is
+    // in-range by the clamp contract
+    val expectedOver = b1.where(col("v") > 199.0).count()
     assert(audit.getLong(1) == 0L && audit.getLong(2) == expectedOver &&
       expectedOver > 0)
+    // auditing the training batch itself reports zero clamped mass
+    val auditB0 = Sketches.histClampAudit(b0, Seq("g"), col("v"), bounds)
+      .collect().head
+    assert(auditB0.getLong(1) == 0L && auditB0.getLong(2) == 0L)
     assert(math.abs(audit.getDouble(4) - expectedOver / 1000.0) < 1e-6)
     // the silent alternative, demonstrated: top edge bin swallows the mass
     val edge = pc.where(col("bin") === 9).select("cnt").as[Long].head()

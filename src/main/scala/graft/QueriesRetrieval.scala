@@ -284,9 +284,12 @@ object QueriesRetrieval {
         val docs = t(s, d, "documents")
         val emb = t(s, d, "embeddings")
         val train = docs.where(col("doc_id") % 17 =!= 0)
-        // maxDfFrac = 0.1: common-term pruning — an eval doc's leading
-        // tokens are stopword-heavy, and a >10%-df term joins a
-        // corpus-sized candidate leg to contribute ~0 idf
+        // maxDfFrac = 0.1: common-term pruning, deliberate for THIS use —
+        // a train doc retrieved only through ubiquitous template terms is
+        // not contamination evidence, and dropping those terms cuts the
+        // corpus-sized candidate legs ~5× (the measured cost/precision
+        // trade is in the bm25TopKFromPostings scaladoc + SCALE.md; the
+        // oracle replays the same pruned scoring)
         val lex = Retrieval.bm25TopK(train, "doc_id", "text",
           qterms(docs, col("doc_id") % 17 === 0), "q_id", k = 10,
           maxDfFrac = 0.1)

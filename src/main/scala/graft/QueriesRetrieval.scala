@@ -279,6 +279,10 @@ object QueriesRetrieval {
     // signal retrieve? BM25 (eval's first 8 tokens vs the TRAIN-only
     // index) ∪ cosine (eval vector vs train vectors), RRF-fused, top-3
     // per eval doc. No self-matches by construction (eval ∉ train).
+    // On THIS fixture the two legs retrieve disjoint candidates (the
+    // synthetic embeddings are unrelated to the text), so the both-legs
+    // RRF sum is exercised by q222 (9 both-leg rows at sf0.1, self-match
+    // anchored) and exactly by RetrievalSpec's 1/61+1/62 fixture.
     Q("q225_hybrid_decon",
       (s, d) => {
         val docs = t(s, d, "documents")

@@ -309,7 +309,58 @@ object QueriesRetrieval {
                               "0.1 * CAST(st.n_docs AS DOUBLE)")},
             ${rrfOracleTail("WHERE vec_id % 17 = 0",
                             "WHERE vec_id % 17 <> 0", finalK = 3)}"""
-      })
+      }),
+
+    // query-likelihood top-10 (Dirichlet μ=300) over the SAME postings
+    // and query fixture as q221 — the second canonical lexical scorer:
+    // rank score Σ_matched ln(1 + tf/(μ·cf/C)) − |q|·ln(dl + μ) (the
+    // query-constant Σ ln(μ·p_c) dropped, candidates = matching docs);
+    // per-term doubles DECIMAL-summed, the length penalty one more
+    // decimal addend, so the ranking hash-gates across engines
+    Q("q226_ql_topk",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Retrieval.qlTopK(docs, "doc_id", "text",
+            qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""WITH tka AS (SELECT doc_id, $toksSql AS tk FROM documents),
+                post AS (SELECT doc_id, term, count(*) AS tf
+                         FROM (SELECT doc_id, unnest(tk) AS term FROM tka)
+                         GROUP BY doc_id, term),
+                dl AS (SELECT doc_id, sum(tf) AS dl FROM post
+                       GROUP BY doc_id),
+                cf AS (SELECT term, sum(tf) AS cf FROM post GROUP BY term),
+                ct AS (SELECT sum(cf) AS c_total FROM cf),
+                qt AS (SELECT DISTINCT doc_id AS q_id,
+                              unnest(tk[1:8]) AS term
+                       FROM tka WHERE doc_id % 50 = 0),
+                qn AS (SELECT q_id, count(*) AS qlen FROM qt GROUP BY q_id),
+                sc AS (SELECT q.q_id, p.doc_id,
+                              CAST(ln(1.0 + CAST(p.tf AS DOUBLE) /
+                                     (300.0 * (CAST(c.cf AS DOUBLE) /
+                                               CAST(ct.c_total AS DOUBLE))))
+                                AS DECIMAL(20,12)) AS s
+                       FROM qt q
+                       JOIN cf c USING (term)
+                       CROSS JOIN ct
+                       JOIN post p USING (term)),
+                sm AS (SELECT q_id, doc_id, sum(s) AS sm
+                       FROM sc GROUP BY q_id, doc_id),
+                fin AS (SELECT sm.q_id, sm.doc_id,
+                               sm.sm + CAST(CAST(qn.qlen AS DOUBLE) *
+                                 (-ln(CAST(l.dl AS DOUBLE) + 300.0))
+                                 AS DECIMAL(20,12)) AS score
+                        FROM sm
+                        JOIN dl l ON sm.doc_id = l.doc_id
+                        JOIN qn ON sm.q_id = qn.q_id),
+                rk AS (SELECT q_id, doc_id, score,
+                              row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, doc_id) AS rank
+                       FROM fin)
+               SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+                      round(CAST(score AS DOUBLE), 6) AS ql
+               FROM rk WHERE rank <= 10 ORDER BY q_id, rank"""))
   )
 
   private lazy val artifactRoot: String =

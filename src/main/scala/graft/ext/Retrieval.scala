@@ -185,6 +185,78 @@ object Retrieval {
         round(col("__score").cast("double"), 6).as("score"))
   }
 
+  /** Collection term frequencies off the postings: `(term, cf)` —
+    * the smoothing background model's numerator (cf = Σ_docs tf).
+    */
+  def collectionFreq(post: DataFrame): DataFrame =
+    post.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+
+  /** Query-likelihood top-k with Dirichlet smoothing (Zhai & Lafferty) —
+    * the second canonical lexical scorer, over the SAME postings
+    * artifact as BM25: rank score per (query, doc) =
+    * `Σ_matched ln(1 + tf/(μ·p_c(t))) − |q|·ln(dl + μ)` where
+    * p_c(t) = cf(t)/C is the collection language model. This drops the
+    * query-constant `Σ_t ln(μ·p_c(t))` (identical for every doc under
+    * one query, so rank-irrelevant) and restricts candidates to docs
+    * matching ≥1 query term — the standard inverted-index evaluation of
+    * the smoothed QL ranking.
+    *
+    * Same scale/determinism shape as [[bm25TopKFromPostings]]: one
+    * term-keyed join, per-term DOUBLE expressions mirrored in the
+    * oracle, DECIMAL(20,12) per-term cast before the exact sum (the
+    * length-penalty term is one more decimal addend), ranks tie-break
+    * on doc id. Returns `(q_id, rank, idCol, ql)`.
+    */
+  def qlTopKFromPostings(post: DataFrame, idCol: String,
+      qterms: DataFrame, qIdCol: String, k: Int,
+      mu: Double = 300.0): DataFrame = {
+    val dl = docLengths(post, idCol)
+    val cf = collectionFreq(post)
+    val totC = cf.agg(sum(col("cf")).as("c_total"))
+    val qlen = qterms
+      .select(col(qIdCol).as("q_id"), col("term"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("qlen"))
+
+    val pc = col("cf").cast("double") / col("c_total").cast("double")
+    val termS = log(lit(1.0) +
+      col("tf").cast("double") / (lit(mu) * pc))
+
+    val matched = qterms
+      .select(col(qIdCol).as("q_id"), col("term"))
+      .join(cf, Seq("term"))
+      .crossJoin(broadcast(totC))
+      .join(post, Seq("term"))
+      .select(col("q_id"), col(idCol),
+        termS.cast("decimal(20,12)").as("__s"))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(col("__s")).as("__sm"))
+
+    val scored = matched
+      .join(dl, Seq(idCol))
+      .join(qlen, Seq("q_id"))
+      .select(col("q_id"), col(idCol),
+        (col("__sm") +
+          (col("qlen").cast("double") *
+            -log(col("dl").cast("double") + lit(mu)))
+            .cast("decimal(20,12)")).as("__score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("__score").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol),
+        round(col("__score").cast("double"), 6).as("ql"))
+  }
+
+  /** [[qlTopKFromPostings]] with the index built (and cached, the
+    * [[bm25TopK]] note applies) from `docs` in the same call.
+    */
+  def qlTopK(docs: DataFrame, idCol: String, textCol: String,
+      qterms: DataFrame, qIdCol: String, k: Int,
+      mu: Double = 300.0): DataFrame =
+    qlTopKFromPostings(postings(docs, idCol, textCol).cache(), idCol,
+      qterms, qIdCol, k, mu)
+
   // ------------------------------------------------------------------
   // Reciprocal-rank fusion
   // ------------------------------------------------------------------

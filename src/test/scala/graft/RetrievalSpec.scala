@@ -108,6 +108,25 @@ class RetrievalSpec extends AnyFunSuite {
     assert(math.abs(st.getDouble(1) - (9 + 4 + 8 + 6 + 8) / 5.0) < 1e-12)
   }
 
+  // ---- query likelihood ----------------------------------------------
+
+  test("qlTopK: equal-tf candidates rank by length penalty (shortest " +
+    "first); higher tf beats a small length edge") {
+    // "fox" has tf=1 in docs 0/1/3/4 → pure −|q|·ln(dl+μ) ordering
+    val q1 = Seq((1L, "fox")).toDF("q_id", "term")
+    val byLen = Retrieval.qlTopK(corpus, "doc_id", "text", q1, "q_id",
+      k = 5).collect().sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(byLen == Seq(1L, 3L, 4L, 0L)) // dl 4, 6, 8, 9
+    // "quick": doc 3 has tf=3 (dl 6), doc 1 tf=1 (dl 4) — tf term beats
+    // the 2-token length edge at μ=300
+    val q2 = Seq((2L, "quick")).toDF("q_id", "term")
+    val byTf = Retrieval.qlTopK(corpus, "doc_id", "text", q2, "q_id",
+      k = 5).collect().sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(byTf.head == 3L && byTf.contains(1L))
+    // non-matching docs are not candidates
+    assert(!byTf.contains(2L) && !byTf.contains(4L))
+  }
+
   // ---- RRF ----------------------------------------------------------
 
   test("rrfFuse: item on both lists outranks same-rank single-list items") {

@@ -69,15 +69,16 @@ object PlanDump {
         // write artifacts at build).
         "q197_hll_registers", "q199_cms_sketch", "q207_kmv_minima",
         "q210_hist_psi",
-        // round 15: the lexical-retrieval tier — q221 shows the inverted-
-        // index shape (postings shuffled ONCE on term, the query side a
-        // term-keyed hash join with the 1-row stats broadcast, top-k
-        // window over candidate rows only); q223 the DSIR shape (the
-        // 512-row ratio table BROADCAST under a corpus-linear groupBy
-        // with map-side partials). q222 composes q221's chain with the
-        // broadcast-nested-loop semantic leg (deliberate: query side is
-        // ids%50, corpus side embeddings — the q28 brute-force shape).
-        "q221_bm25_topk", "q223_dsir_weights")
+        // round 15: the lexical-retrieval tier — q223 shows the DSIR
+        // shape (the 512-row ratio table BROADCAST under a corpus-linear
+        // groupBy with map-side partials). q221 is omitted as of round 16
+        // like q43: bm25TopK is now eager (top-k localCheckpoint +
+        // postings unpersist, the r15 ADVICE lifetime fix); its lazy
+        // twin's read shape is q227's index read below. q222 composes
+        // the same chain with the broadcast-nested-loop semantic leg
+        // (deliberate: query side is ids%50, corpus side embeddings —
+        // the q28 brute-force shape).
+        "q223_dsir_weights")
       .foreach { q =>
       out.append(s"===== $q =====\n")
       out.append(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

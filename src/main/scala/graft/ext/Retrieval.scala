@@ -108,18 +108,25 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       qterms: DataFrame, qIdCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      maxDfFrac: Double = 1.0): DataFrame =
-    // cache: the read derives dl/df/stats AND joins from the same postings
-    // — uncached, each branch re-tokenizes and re-shuffles the corpus (4
-    // passes; a modest win at sf0.1 where the corpus is small, the
-    // difference between 1 and 4 corpus scans at production scale). The
-    // cached frame lives until the session drops it (catalog.clearCache /
-    // unpersist — the Bench harness does this between queries); a caller
-    // serving many query batches should manage the index lifetime itself
-    // via bm25TopKFromPostings over a PERSISTED artifact
-    // (postingsStream) — this compose form is build+read in one.
-    bm25TopKFromPostings(postings(docs, idCol, textCol).cache(), idCol,
-      qterms, qIdCol, k, k1, b, maxDfFrac)
+      maxDfFrac: Double = 1.0): DataFrame = {
+    // persist: the read derives dl/df/stats AND joins from the same
+    // postings — unpersisted, each branch re-tokenizes and re-shuffles
+    // the corpus (4 passes; a modest win at sf0.1 where the corpus is
+    // small, the difference between 1 and 4 corpus scans at production
+    // scale). The compose form is therefore EAGER: it materializes the
+    // top-k (queries × k rows — bounded) via localCheckpoint and
+    // unpersists the corpus-sized postings in a finally, so repeated
+    // one-shot calls never accumulate pinned InMemoryRelations (r15
+    // ADVICE). A caller serving many query batches should hold a real
+    // artifact instead — [[bm25TopKFromIndex]] over [[saveLexIndex]]
+    // (zero corpus work per read), or [[bm25TopKFromPostings]] over a
+    // persisted postings fold (one stats re-derivation per read).
+    val post = postings(docs, idCol, textCol).persist()
+    try
+      bm25TopKFromPostings(post, idCol, qterms, qIdCol, k, k1, b,
+        maxDfFrac).localCheckpoint(true)
+    finally { post.unpersist(); () }
+  }
 
   /** [[bm25TopK]] over a PREBUILT postings relation — the read that
     * serves an index artifact (batch-built, or the streamed
@@ -248,14 +255,19 @@ object Retrieval {
         round(col("__score").cast("double"), 6).as("ql"))
   }
 
-  /** [[qlTopKFromPostings]] with the index built (and cached, the
-    * [[bm25TopK]] note applies) from `docs` in the same call.
+  /** [[qlTopKFromPostings]] with the index built from `docs` in the same
+    * call — eager like [[bm25TopK]] (top-k materialized, postings
+    * unpersisted in a finally; the r15 ADVICE lifetime note applies).
     */
   def qlTopK(docs: DataFrame, idCol: String, textCol: String,
       qterms: DataFrame, qIdCol: String, k: Int,
-      mu: Double = 300.0): DataFrame =
-    qlTopKFromPostings(postings(docs, idCol, textCol).cache(), idCol,
-      qterms, qIdCol, k, mu)
+      mu: Double = 300.0): DataFrame = {
+    val post = postings(docs, idCol, textCol).persist()
+    try
+      qlTopKFromPostings(post, idCol, qterms, qIdCol, k, mu)
+        .localCheckpoint(true)
+    finally { post.unpersist(); () }
+  }
 
   // ------------------------------------------------------------------
   // Reciprocal-rank fusion

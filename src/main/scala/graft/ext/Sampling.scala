@@ -873,6 +873,19 @@ object Sampling {
       .agg(sum(col(tokensCol)).cast("long").as("__doctok"))
     val plan = mixPlan(docs, stratumCol, col("__doctok"), weights,
       budget, maxEpochs)
+    // second guard, on the PLAN (strata-sized, cheap): items may carry
+    // media and the mix still assign zero tokens to every media-bearing
+    // stratum — the old raw-items check alone would then silently write
+    // an empty media shard family (r15 ADVICE). Fail before any
+    // pipeline work runs.
+    val mediaStrata = items.where(col(payloadCol).isNotNull)
+      .select(col(stratumCol).as("stratum")).distinct()
+    if (plan.where(col("planned_tokens") > 0L)
+        .join(mediaStrata, Seq("stratum")).limit(1).isEmpty)
+      throw new IllegalArgumentException(
+        "multimodalLayout: the mix plan assigns zero tokens to every " +
+          "media-bearing stratum — the media shard family would be " +
+          "empty; widen the weights/budget or use trainingLayout")
     val rep = applyMixPlan(docs, docIdCol, stratumCol, plan, salt)
     val shuffled = epochShuffle(rep, docIdCol, "copy_idx", salt)
     val stream = shuffled

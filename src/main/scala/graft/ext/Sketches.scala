@@ -528,12 +528,19 @@ object Sketches {
   /** Population-stability index between two histogram partials (the
     * standard production drift metric over the SKETCH artifacts — no raw
     * data re-read): PSI = Σ_bins (p−q)·ln(p/q) over a DENSE 0..bins−1
-    * bin spine, with Laplace smoothing p = (cnt_a+1)/(tot_a+bins) so
-    * empty bins are defined. The spine matters: a bin empty on BOTH
-    * sides still contributes (p−q)·ln(p/q) ≠ 0 whenever tot_a ≠ tot_b
-    * (the smoothed masses 1/(tot+bins) differ), so a sparse full-outer
-    * join under-reads the textbook dense-bin PSI; the spine is
-    * groups × bins rows — strata-bounded, never corpus-sized. Each term
+    * bin spine, with Laplace smoothing p = (cnt_a+1)/(tot_a+nb) where
+    * nb is the SPINE cardinality, so empty bins are defined and the
+    * smoothed p/q each sum to exactly 1 over the spine. For well-formed
+    * partials (every bin < bins by the histPartial clamp) nb = bins —
+    * the textbook denominator; when an artifact carries bins ≥ `bins`
+    * (a build/read `bins` mismatch) the spine widens to keep that mass
+    * AND the denominator follows it, so the salvaged PSI is still the
+    * textbook dense-bin PSI over the widened support rather than a
+    * mass-leaking one (r15 ADVICE). The spine matters: a bin empty on
+    * BOTH sides still contributes (p−q)·ln(p/q) ≠ 0 whenever
+    * tot_a ≠ tot_b (the smoothed masses 1/(tot+nb) differ), so a sparse
+    * full-outer join under-reads the textbook dense-bin PSI; the spine
+    * is groups × bins rows — strata-bounded, never corpus-sized. Each term
     * is cast to DECIMAL(20,12) before the sum — ln is the one libm
     * call, a ≤1-ulp spread (~1e-17) vanishes at 12 dp, and the decimal
     * sum is exact and associative, so the rounded PSI is
@@ -556,6 +563,9 @@ object Sketches {
       .union(ga.select(col("bin")))
       .union(gb.select(col("bin")))
       .distinct()
+    // the smoothing denominator follows the spine (nb = bins for
+    // well-formed partials; wider on a bins mismatch) — 1 row, broadcast
+    val nb = spineBins.agg(count(lit(1)).cast("long").as("__nb"))
     val spine =
       if (groupCols.isEmpty) spineBins
       else ga.select(groupCols.map(col): _*)
@@ -573,12 +583,13 @@ object Sketches {
       else org.apache.spark.sql.expressions.Window
         .partitionBy(groupCols.map(col): _*)
     val withTot = joined
+      .crossJoin(broadcast(nb))
       .withColumn("__ta", sum(col("__ca")).over(tspec))
       .withColumn("__tb", sum(col("__cb")).over(tspec))
     val p = (col("__ca") + lit(1L)).cast("double") /
-      (col("__ta") + lit(bins.toLong)).cast("double")
+      (col("__ta") + col("__nb")).cast("double")
     val q = (col("__cb") + lit(1L)).cast("double") /
-      (col("__tb") + lit(bins.toLong)).cast("double")
+      (col("__tb") + col("__nb")).cast("double")
     val term = ((p - q) * log(p / q)).cast("decimal(20,12)")
     val grouped =
       if (groupCols.isEmpty) withTot.select(term.as("__t")).groupBy()

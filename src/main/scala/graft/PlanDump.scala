@@ -85,6 +85,32 @@ object PlanDump {
         org.apache.spark.sql.execution.SimpleMode))
       out.append("\n")
     }
+    // round 16: the persisted lexical index READ — built once here (an
+    // artifact write, so the in-query q227 form is omitted like q133),
+    // then explained: the plan scans ONLY the artifact (postings + term
+    // sidecar, both with dynamicpruning on tbucket; 1-row stats
+    // broadcast), the sole aggregates are the per-(query, doc) score sum
+    // — no corpus scan, no df/dl/avgdl derivation legs.
+    {
+      val docs = Tables.documents(spark, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("plandump_lexidx").toString + "/idx"
+      graft.ext.Retrieval.saveLexIndex(docs, "doc_id", "text", dir,
+        nBuckets = 64, positional = false)
+      val idx = graft.ext.Retrieval.loadLexIndex(spark, dir)
+      val qt = docs.where(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+        .select(org.apache.spark.sql.functions.col("doc_id").as("q_id"),
+          org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.slice(
+              graft.ext.TextAnalysis.tokens(
+                org.apache.spark.sql.functions.col("text")), 1, 8)).as("term"))
+        .distinct()
+      out.append("===== q227_lex_index_bm25 (read side) =====\n")
+      out.append(graft.ext.Retrieval.bm25TopKFromIndex(idx, qt, "q_id", k = 10)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode))
+      out.append("\n")
+    }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/plans.txt"), out.toString)
     println("WROTE /tmp/plans.txt")
     spark.stop()

@@ -100,6 +100,49 @@ object QueriesRetrieval {
                round(CAST(score AS DOUBLE), 6) AS score
         FROM rk WHERE rank <= 10 ORDER BY q_id, rank"""
 
+  /** q226's full oracle — q228 reuses it VERBATIM: the index read's QL
+    * scoring must equal the one-pass build's (the q227/q221 discipline
+    * applied to the second scorer).
+    */
+  private val qlOracleSql: String =
+    s"""WITH tka AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          post AS (SELECT doc_id, term, count(*) AS tf
+                   FROM (SELECT doc_id, unnest(tk) AS term FROM tka)
+                   GROUP BY doc_id, term),
+          dl AS (SELECT doc_id, sum(tf) AS dl FROM post
+                 GROUP BY doc_id),
+          cf AS (SELECT term, sum(tf) AS cf FROM post GROUP BY term),
+          ct AS (SELECT sum(cf) AS c_total FROM cf),
+          qt AS (SELECT DISTINCT doc_id AS q_id,
+                        unnest(tk[1:8]) AS term
+                 FROM tka WHERE doc_id % 50 = 0),
+          qn AS (SELECT q_id, count(*) AS qlen FROM qt GROUP BY q_id),
+          sc AS (SELECT q.q_id, p.doc_id,
+                        CAST(ln(1.0 + CAST(p.tf AS DOUBLE) /
+                               (300.0 * (CAST(c.cf AS DOUBLE) /
+                                         CAST(ct.c_total AS DOUBLE))))
+                          AS DECIMAL(20,12)) AS s
+                 FROM qt q
+                 JOIN cf c USING (term)
+                 CROSS JOIN ct
+                 JOIN post p USING (term)),
+          sm AS (SELECT q_id, doc_id, sum(s) AS sm
+                 FROM sc GROUP BY q_id, doc_id),
+          fin AS (SELECT sm.q_id, sm.doc_id,
+                         sm.sm + CAST(CAST(qn.qlen AS DOUBLE) *
+                           (-ln(CAST(l.dl AS DOUBLE) + 300.0))
+                           AS DECIMAL(20,12)) AS score
+                  FROM sm
+                  JOIN dl l ON sm.doc_id = l.doc_id
+                  JOIN qn ON sm.q_id = qn.q_id),
+          rk AS (SELECT q_id, doc_id, score,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY score DESC, doc_id) AS rank
+                 FROM fin)
+         SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+                round(CAST(score AS DOUBLE), 6) AS ql
+         FROM rk WHERE rank <= 10 ORDER BY q_id, rank"""
+
   /** Brute-force semantic leg shared by q222/q225: cosine top-`k` of the
     * `qPred` embeddings against the `cPred` embeddings —
     * (q_id, doc_id, rank), ranked by 6 dp cosine, ties on id.
@@ -324,43 +367,47 @@ object QueriesRetrieval {
             qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
           .orderBy(col("q_id"), col("rank"))
       },
-      Some(s"""WITH tka AS (SELECT doc_id, $toksSql AS tk FROM documents),
-                post AS (SELECT doc_id, term, count(*) AS tf
-                         FROM (SELECT doc_id, unnest(tk) AS term FROM tka)
-                         GROUP BY doc_id, term),
-                dl AS (SELECT doc_id, sum(tf) AS dl FROM post
-                       GROUP BY doc_id),
-                cf AS (SELECT term, sum(tf) AS cf FROM post GROUP BY term),
-                ct AS (SELECT sum(cf) AS c_total FROM cf),
-                qt AS (SELECT DISTINCT doc_id AS q_id,
-                              unnest(tk[1:8]) AS term
-                       FROM tka WHERE doc_id % 50 = 0),
-                qn AS (SELECT q_id, count(*) AS qlen FROM qt GROUP BY q_id),
-                sc AS (SELECT q.q_id, p.doc_id,
-                              CAST(ln(1.0 + CAST(p.tf AS DOUBLE) /
-                                     (300.0 * (CAST(c.cf AS DOUBLE) /
-                                               CAST(ct.c_total AS DOUBLE))))
-                                AS DECIMAL(20,12)) AS s
-                       FROM qt q
-                       JOIN cf c USING (term)
-                       CROSS JOIN ct
-                       JOIN post p USING (term)),
-                sm AS (SELECT q_id, doc_id, sum(s) AS sm
-                       FROM sc GROUP BY q_id, doc_id),
-                fin AS (SELECT sm.q_id, sm.doc_id,
-                               sm.sm + CAST(CAST(qn.qlen AS DOUBLE) *
-                                 (-ln(CAST(l.dl AS DOUBLE) + 300.0))
-                                 AS DECIMAL(20,12)) AS score
-                        FROM sm
-                        JOIN dl l ON sm.doc_id = l.doc_id
-                        JOIN qn ON sm.q_id = qn.q_id),
-                rk AS (SELECT q_id, doc_id, score,
-                              row_number() OVER (PARTITION BY q_id
-                                ORDER BY score DESC, doc_id) AS rank
-                       FROM fin)
-               SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
-                      round(CAST(score AS DOUBLE), 6) AS ql
-               FROM rk WHERE rank <= 10 ORDER BY q_id, rank"""))
+      Some(qlOracleSql)),
+
+    // the persisted lexical index (round 16): save → load → read. The
+    // artifact freezes postings (term-bucketed directories, dl
+    // denormalized onto the rows), the df/cf term sidecar, and the
+    // 1-row stats at build; the BM25 read then does ZERO corpus work —
+    // no tokenize, no df/dl/avgdl derivation, both artifact scans
+    // DPP-pruned to the query's term buckets. The oracle is q221's
+    // one-pass chain VERBATIM, so one hash gate pins
+    // index-read ≡ postings-read ≡ one-pass.
+    Q("q227_lex_index_bm25",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = artifactPath("lex_index_q227")
+        rmrf(new java.io.File(dir))
+        Retrieval.saveLexIndex(docs, "doc_id", "text", dir, nBuckets = 64)
+        val idx = Retrieval.loadLexIndex(s, dir)
+        Retrieval.bm25TopKFromIndex(idx,
+            qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(bm25OracleSql)),
+
+    // the SAME artifact serving the second scorer: query-likelihood off
+    // the index (cf from the term sidecar, c_total from the stats row,
+    // dl from the denormalized postings column). Oracle = q226 verbatim,
+    // and the q227 lambda's artifact is NOT reused — the query builds
+    // its own, so each is independently deterministic.
+    Q("q228_lex_index_ql",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = artifactPath("lex_index_q228")
+        rmrf(new java.io.File(dir))
+        Retrieval.saveLexIndex(docs, "doc_id", "text", dir, nBuckets = 64,
+          positional = false)
+        val idx = Retrieval.loadLexIndex(s, dir)
+        Retrieval.qlTopKFromIndex(idx,
+            qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(qlOracleSql))
   )
 
   private lazy val artifactRoot: String =

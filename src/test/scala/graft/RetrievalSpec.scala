@@ -191,4 +191,166 @@ class RetrievalSpec extends AnyFunSuite {
     assert(df(1L).isEmpty)
     assert(df(2L) == Seq("a b", "b c"))
   }
+
+  // ---- persisted lexical index ---------------------------------------
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq.toList).toList.sortBy(_.toString)
+
+  test("lex index round-trip: BM25 and QL reads off the artifact equal " +
+    "the one-pass forms exactly") {
+    val path = java.nio.file.Files
+      .createTempDirectory("lexidx_rt").toString + "/idx"
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", path, nBuckets = 8)
+    val idx = Retrieval.loadLexIndex(spark, path)
+    assert(idx.idCol == "doc_id" && idx.nBuckets == 8 && idx.positional)
+    val q = Seq((100L, "quick"), (100L, "fox"), (200L, "dog"))
+      .toDF("q_id", "term")
+    assert(rowsOf(Retrieval.bm25TopKFromIndex(idx, q, "q_id", k = 5)) ==
+      rowsOf(Retrieval.bm25TopK(corpus, "doc_id", "text", q, "q_id", k = 5)))
+    assert(rowsOf(Retrieval.qlTopKFromIndex(idx, q, "q_id", k = 5)) ==
+      rowsOf(Retrieval.qlTopK(corpus, "doc_id", "text", q, "q_id", k = 5)))
+    // maxDfFrac pruning replays identically off the frozen dfreq sidecar
+    assert(rowsOf(Retrieval.bm25TopKFromIndex(idx, q, "q_id", k = 5,
+      maxDfFrac = 0.3)) ==
+      rowsOf(Retrieval.bm25TopK(corpus, "doc_id", "text", q, "q_id", k = 5,
+        maxDfFrac = 0.3)))
+  }
+
+  test("lex index read plan: one postings scan, DPP on the term buckets, " +
+    "no stats-derivation aggregates, no corpus scan") {
+    val path = java.nio.file.Files
+      .createTempDirectory("lexidx_plan").toString + "/idx"
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", path, nBuckets = 8,
+      positional = false)
+    // bucket directories exist — the physical layout DPP needs
+    val dirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(_.getName.startsWith("tbucket=")).map(_.getName)
+    assert(dirs.nonEmpty && dirs.length <= 8, dirs.mkString(","))
+    val idx = Retrieval.loadLexIndex(spark, path)
+    // the query side carries a selective filter over a SOURCE (every
+    // real caller's shape — q227 filters the documents scan); a filter
+    // over an in-memory Seq constant-folds away and DPP has nothing to
+    // plant off
+    val qp = java.nio.file.Files
+      .createTempDirectory("lexidx_plan_q").toString + "/q.parquet"
+    Seq((1L, "fox"), (1L, "lazy"), (2L, "ipsum"))
+      .toDF("q_id", "term").write.parquet(qp)
+    val q = spark.read.parquet(qp).where($"q_id" === 1L)
+    val read = Retrieval.bm25TopKFromIndex(idx, q, "q_id", k = 3)
+    val plan = read.queryExecution.executedPlan.toString
+    // the artifact freeze is the point: every file scan reads the index
+    // (or the query input) — never a corpus —
+    val locs = "Location: [^\\[]*\\[([^\\]]+)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(locs.nonEmpty &&
+      locs.forall(l => l.contains("/idx/") || l.contains("q.parquet")),
+      s"unexpected scan locations: $locs")
+    // — and NO stats-derivation legs: the one-pass form aggregates
+    // postings for dl/df/avgdl/cf (HashAggregates keyed on doc or term
+    // alone); the index read's only aggregate is the per-(query, doc)
+    // score sum
+    val aggKeys = "HashAggregate\\(keys=\\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(aggKeys.nonEmpty && aggKeys.forall(_.contains("q_id")),
+      s"stats-derivation aggregate in the read plan: $aggKeys")
+    // the query-term join plants dynamic pruning on the bucket dirs of
+    // BOTH artifact scans (postings and the term sidecar)
+    val pruned = "Location: [^\\[]*\\[file:([^\\]]*)\\], PartitionFilters: \\[[^\\]]*dynamicpruningexpression"
+      .r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(pruned.exists(_.contains("postings")) &&
+      pruned.exists(_.contains("terms")),
+      s"expected DPP on postings AND terms scans, got: $pruned\n${plan.take(3000)}")
+    // and the result is still right
+    assert(rowsOf(read) ==
+      rowsOf(Retrieval.bm25TopK(corpus, "doc_id", "text", q, "q_id", k = 3)))
+  }
+
+  test("phraseCandidates: consecutive positions only, duplicate phrase " +
+    "terms honored, anchors at document start and end") {
+    val path = java.nio.file.Files
+      .createTempDirectory("lexidx_phrase").toString + "/idx"
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", path, nBuckets = 8)
+    val idx = Retrieval.loadLexIndex(spark, path)
+    def hits(terms: Seq[String], qid: Long = 1L): Set[Long] = {
+      val ph = terms.zipWithIndex.map { case (t, j) => (qid, j, t) }
+        .toDF("q_id", "j", "term")
+      Retrieval.phraseCandidates(idx, ph, "q_id")
+        .collect().map(_.getLong(1)).toSet
+    }
+    // docs 0/1 have the literal run; doc 3 has all three terms but never
+    // consecutively (quick quick quick brown brown fox)
+    assert(hits(Seq("quick", "brown", "fox")) == Set(0L, 1L))
+    // duplicate term at distinct offsets: only doc 3 repeats "quick"
+    assert(hits(Seq("quick", "quick")) == Set(3L))
+    // anchor at start ("the quick" opens docs 0 and 1) and interior
+    // repetition ("a dog" twice in doc 4 still yields ONE row)
+    assert(hits(Seq("the", "quick")) == Set(0L, 1L))
+    val aDog = Seq((9L, 0, "a"), (9L, 1, "dog")).toDF("q_id", "j", "term")
+    val rows = Retrieval.phraseCandidates(idx, aDog, "q_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((9L, 4L)) && rows.length == 1)
+    // a phrase no document contains
+    assert(hits(Seq("lazy", "quick")).isEmpty)
+  }
+
+  test("bm25TopKFromIndex phrase pre-filter restricts candidates to " +
+    "phrase-bearing documents and keeps their scores verbatim") {
+    val path = java.nio.file.Files
+      .createTempDirectory("lexidx_phf").toString + "/idx"
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", path, nBuckets = 8)
+    val idx = Retrieval.loadLexIndex(spark, path)
+    val q = Seq((1L, "quick"), (1L, "fox"), (1L, "dog"))
+      .toDF("q_id", "term")
+    val ph = Seq((1L, 0, "quick"), (1L, 1, "brown"), (1L, 2, "fox"))
+      .toDF("q_id", "j", "term")
+    val full = Retrieval.bm25TopKFromIndex(idx, q, "q_id", k = 5)
+    val filtered = Retrieval.bm25TopKFromIndex(idx, q, "q_id", k = 5,
+      phrase = Some(ph))
+    val fIds = filtered.collect().map(_.getLong(2)).toSet
+    assert(fIds == Set(0L, 1L)) // the phrase-bearing docs only
+    // scores are the SAME BM25 sums — the filter drops candidates, it
+    // never reweights survivors (ranks re-densify)
+    val fullScores = full.collect()
+      .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    filtered.collect().foreach { r =>
+      assert(fullScores(r.getLong(2)) == r.getDouble(3))
+    }
+    // non-positional index refuses the phrase path loudly
+    val p2 = java.nio.file.Files
+      .createTempDirectory("lexidx_nopos").toString + "/idx"
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", p2, nBuckets = 8,
+      positional = false)
+    val idx2 = Retrieval.loadLexIndex(spark, p2)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKFromIndex(idx2, q, "q_id", k = 5,
+        phrase = Some(ph)).collect()
+    }
+    assert(e.getMessage.contains("positional"))
+  }
+
+  test("saveLexIndexFromPostings serves the streamed fold: index over " +
+    "merged parity batches equals the one-pass index read") {
+    val even = corpus.where($"doc_id" % 2 === 0)
+    val odd = corpus.where($"doc_id" % 2 === 1)
+    val fold = Retrieval.postingsMerge("doc_id",
+      Retrieval.postings(even, "doc_id", "text"),
+      Retrieval.postings(odd, "doc_id", "text"))
+    val p1 = java.nio.file.Files
+      .createTempDirectory("lexidx_fold").toString + "/idx"
+    Retrieval.saveLexIndexFromPostings(fold, "doc_id", p1, nBuckets = 8)
+    val p2 = java.nio.file.Files
+      .createTempDirectory("lexidx_once").toString + "/idx"
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", p2, nBuckets = 8,
+      positional = false)
+    val q = Seq((1L, "fox"), (1L, "dog"), (2L, "quick"))
+      .toDF("q_id", "term")
+    val a = Retrieval.bm25TopKFromIndex(Retrieval.loadLexIndex(spark, p1),
+      q, "q_id", k = 5)
+    val b = Retrieval.bm25TopKFromIndex(Retrieval.loadLexIndex(spark, p2),
+      q, "q_id", k = 5)
+    assert(rowsOf(a) == rowsOf(b) && rowsOf(a).nonEmpty)
+    val idx1 = Retrieval.loadLexIndex(spark, p1)
+    assert(!idx1.positional) // tf-only fold → non-positional artifact
+  }
 }

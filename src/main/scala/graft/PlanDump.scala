@@ -91,7 +91,7 @@ object PlanDump {
     // sidecar, both with dynamicpruning on tbucket; 1-row stats
     // broadcast), the sole aggregates are the per-(query, doc) score sum
     // — no corpus scan, no df/dl/avgdl derivation legs.
-    {
+    locally {
       val docs = Tables.documents(spark, d)
       val dir = java.nio.file.Files
         .createTempDirectory("plandump_lexidx").toString + "/idx"

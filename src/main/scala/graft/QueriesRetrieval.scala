@@ -407,7 +407,97 @@ object QueriesRetrieval {
             qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
           .orderBy(col("q_id"), col("rank"))
       },
-      Some(qlOracleSql))
+      Some(qlOracleSql)),
+
+    // n-ary reciprocal-rank fusion (round 16): the full production stack
+    // — BM25, query-likelihood, and cosine top-10s over the SAME query
+    // set, folded by rrfFuseN with left-to-right joins and fixed addend
+    // order ((bm25 + ql) + cos — the SQL's left-assoc sum, so the
+    // double is bit-exact). The BM25 and QL legs agree heavily (same
+    // lexical evidence), the cosine leg is near-disjoint: both the
+    // two-leg-agree and one-leg-only paths carry weight in every query.
+    Q("q229_rrf_nary",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val qIds = emb.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"))
+        val qt = qterms(docs, col("doc_id") % 50 === 0)
+          .join(broadcast(qIds), Seq("q_id"))
+        val lex = Retrieval.bm25TopK(docs, "doc_id", "text", qt, "q_id",
+          k = 10)
+        val qll = Retrieval.qlTopK(docs, "doc_id", "text", qt, "q_id",
+          k = 10)
+        val sem = semanticTopK(emb, col("vec_id") % 50 === 0, lit(true),
+          k = 10)
+        Retrieval.rrfFuseN(Seq(lex, qll, sem), "doc_id", k = 10)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val qw = "WHERE doc_id % 50 = 0 AND doc_id IN " +
+          "(SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0)"
+        s"""WITH ${bm25Ctes(qw)},
+            cfr AS (SELECT term, sum(tf) AS cf FROM post GROUP BY term),
+            ctl AS (SELECT sum(cf) AS c_total FROM cfr),
+            qn AS (SELECT q_id, count(*) AS qlen FROM qt GROUP BY q_id),
+            qsc AS (SELECT q.q_id, p.doc_id,
+                           CAST(ln(1.0 + CAST(p.tf AS DOUBLE) /
+                                  (300.0 * (CAST(c.cf AS DOUBLE) /
+                                            CAST(ctl.c_total AS DOUBLE))))
+                             AS DECIMAL(20,12)) AS s
+                    FROM qt q
+                    JOIN cfr c USING (term)
+                    CROSS JOIN ctl
+                    JOIN post p USING (term)),
+            qsm AS (SELECT q_id, doc_id, sum(s) AS sm
+                    FROM qsc GROUP BY q_id, doc_id),
+            qfin AS (SELECT qsm.q_id, qsm.doc_id,
+                            qsm.sm + CAST(CAST(qn.qlen AS DOUBLE) *
+                              (-ln(CAST(l.dl AS DOUBLE) + 300.0))
+                              AS DECIMAL(20,12)) AS score
+                     FROM qsm
+                     JOIN dl l ON qsm.doc_id = l.doc_id
+                     JOIN qn ON qsm.q_id = qn.q_id),
+            qrk AS (SELECT q_id, doc_id, score,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY score DESC, doc_id) AS rank
+                    FROM qfin),
+            l0 AS (SELECT q_id, doc_id, rank AS r0
+                   FROM rk WHERE rank <= 10),
+            l1 AS (SELECT q_id, doc_id, rank AS r1
+                   FROM qrk WHERE rank <= 10),
+            sem AS (SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+                           ${cosSql("q.embedding", "e.embedding")} AS cos
+                    FROM (SELECT vec_id, embedding FROM embeddings
+                          WHERE vec_id % 50 = 0) q
+                    CROSS JOIN (SELECT vec_id, embedding
+                                FROM embeddings) e),
+            smr AS (SELECT q_id, doc_id,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY cos DESC, doc_id) AS r2
+                    FROM sem),
+            l2 AS (SELECT q_id, doc_id, r2 FROM smr WHERE r2 <= 10),
+            f1 AS (SELECT coalesce(a.q_id, b.q_id) AS q_id,
+                          coalesce(a.doc_id, b.doc_id) AS doc_id,
+                          a.r0, b.r1
+                   FROM l0 a FULL OUTER JOIN l1 b
+                     ON a.q_id = b.q_id AND a.doc_id = b.doc_id),
+            f2 AS (SELECT coalesce(f.q_id, c.q_id) AS q_id,
+                          coalesce(f.doc_id, c.doc_id) AS doc_id,
+                          coalesce(1.0 / (60.0 + CAST(f.r0 AS DOUBLE)), 0.0)
+                        + coalesce(1.0 / (60.0 + CAST(f.r1 AS DOUBLE)), 0.0)
+                        + coalesce(1.0 / (60.0 + CAST(c.r2 AS DOUBLE)), 0.0)
+                            AS rrf
+                   FROM f1 f FULL OUTER JOIN l2 c
+                     ON f.q_id = c.q_id AND f.doc_id = c.doc_id),
+            fr AS (SELECT q_id, doc_id, rrf,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY rrf DESC, doc_id) AS rank
+                   FROM f2)
+           SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+                  round(rrf, 6) AS rrf
+           FROM fr WHERE rank <= 10 ORDER BY q_id, rank"""
+      })
   )
 
   private lazy val artifactRoot: String =

@@ -559,14 +559,34 @@ object Retrieval {
     * here ever touches the corpus again.
     */
   def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
+      kappa: Int = 60): DataFrame =
+    rrfFuseN(Seq(a, b), idCol, k, kappa)
+
+  /** N-ARY reciprocal-rank fusion — [[rrfFuse]] over any number of
+    * ranked legs (the production stack fuses BM25 + query-likelihood +
+    * cosine, and more legs cost one more query-bounded join each):
+    * rrf = Σ_legs 1/(κ + rank_leg), an absent leg contributing 0. The
+    * full-outer joins fold LEFT-TO-RIGHT in the caller's leg order and
+    * the addends sum in the same fixed order, so the DOUBLE is
+    * bit-exact across engines ((a₀ + a₁) + a₂ — the SQL left-assoc
+    * replay). Two legs reproduce [[rrfFuse]] exactly.
+    *
+    * Scale: every leg is top-k-sized (queries × k rows), so the whole
+    * fold is query-bounded — nothing here ever touches a corpus.
+    */
+  def rrfFuseN(legs: Seq[DataFrame], idCol: String, k: Int,
       kappa: Int = 60): DataFrame = {
-    val la = a.select(col("q_id"), col(idCol), col("rank").as("__ra"))
-    val lb = b.select(col("q_id"), col(idCol), col("rank").as("__rb"))
-    val fused = la.join(lb, Seq("q_id", idCol), "full_outer")
-      .select(col("q_id"), col(idCol),
-        (coalesce(lit(1.0) / (lit(kappa.toDouble) + col("__ra").cast("double")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(kappa.toDouble) + col("__rb").cast("double")), lit(0.0)))
-          .as("__rrf"))
+    require(legs.size >= 2, s"rrfFuseN needs >= 2 legs: ${legs.size}")
+    val renamed = legs.zipWithIndex.map { case (l, i) =>
+      l.select(col("q_id"), col(idCol), col("rank").as(s"__r$i"))
+    }
+    val joined = renamed.reduce(_.join(_, Seq("q_id", idCol), "full_outer"))
+    val addends = legs.indices.map { i =>
+      coalesce(lit(1.0) /
+        (lit(kappa.toDouble) + col(s"__r$i").cast("double")), lit(0.0))
+    }
+    val fused = joined.select(col("q_id"), col(idCol),
+      addends.reduce(_ + _).as("__rrf"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("__rrf").desc, col(idCol).asc)
     fused

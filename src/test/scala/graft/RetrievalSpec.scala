@@ -192,6 +192,44 @@ class RetrievalSpec extends AnyFunSuite {
     assert(df(2L) == Seq("a b", "b c"))
   }
 
+  test("rrfFuseN: three-leg membership algebra — all-legs, two-legs, " +
+    "one-leg and absent items score exactly Σ 1/(60+r)") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("q_id", "doc_id", "rank")
+    val b = Seq((1L, 10L, 2), (1L, 11L, 1), (1L, 13L, 3))
+      .toDF("q_id", "doc_id", "rank")
+    val c = Seq((1L, 10L, 3), (1L, 14L, 1))
+      .toDF("q_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuseN(Seq(a, b, c), "doc_id", k = 10)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    def rr(r: Int) = 1.0 / (60.0 + r)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out(10L) == r6(rr(1) + rr(2) + rr(3))) // on all three legs
+    assert(out(11L) == r6(rr(2) + rr(1)))         // two legs
+    assert(out(12L) == r6(rr(3)))                 // leg 0 only
+    assert(out(13L) == r6(rr(3)))                 // leg 1 only
+    assert(out(14L) == r6(rr(1)))                 // leg 2 only
+    // the all-legs item must outrank every partial-membership item here
+    val ranks = Retrieval.rrfFuseN(Seq(a, b, c), "doc_id", k = 10)
+      .collect().map(r => r.getLong(2) -> r.getInt(1)).toMap
+    assert(ranks(10L) == 1)
+  }
+
+  test("rrfFuseN with two legs reproduces rrfFuse exactly") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("q_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2), (2L, 21L, 1))
+      .toDF("q_id", "doc_id", "rank")
+    val two = Retrieval.rrfFuse(a, b, "doc_id", k = 5)
+      .collect().map(_.toSeq.toList).toList.sortBy(_.toString)
+    val n = Retrieval.rrfFuseN(Seq(a, b), "doc_id", k = 5)
+      .collect().map(_.toSeq.toList).toList.sortBy(_.toString)
+    assert(two == n && two.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuseN(Seq(a), "doc_id", k = 5)
+    }
+  }
+
   // ---- persisted lexical index ---------------------------------------
 
   private def rowsOf(df: org.apache.spark.sql.DataFrame) =

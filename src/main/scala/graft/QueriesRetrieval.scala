@@ -497,6 +497,73 @@ object QueriesRetrieval {
            SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
                   round(rrf, 6) AS rrf
            FROM fr WHERE rank <= 10 ORDER BY q_id, rank"""
+      }),
+
+    // positional phrase pre-filter (round 16): verbatim-string
+    // decontamination served from the index artifact — each query is a
+    // document's interior 4-token run (tokens 3..6), candidates are
+    // restricted to documents containing that EXACT consecutive run
+    // (position-adjacency intersection on the stored pos arrays), then
+    // BM25-scored as usual. The oracle replays the adjacency join
+    // (anchor = p − j, all |phrase| offsets covered) and the filtered
+    // rank window; scores are the unfiltered BM25 sums — the filter
+    // drops candidates, never reweights survivors.
+    Q("q230_phrase_prefilter_bm25",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = artifactPath("lex_index_q230")
+        rmrf(new java.io.File(dir))
+        Retrieval.saveLexIndex(docs, "doc_id", "text", dir, nBuckets = 64)
+        val idx = Retrieval.loadLexIndex(s, dir)
+        val eligible = docs.where(col("doc_id") % 50 === 0 &&
+          size(TextAnalysis.tokens(col("text"))) >= 6)
+        val qt = eligible
+          .select(col("doc_id").as("q_id"),
+            explode(slice(TextAnalysis.tokens(col("text")), 1, 8))
+              .as("term"))
+          .distinct()
+        val ph = eligible
+          .select(col("doc_id").as("q_id"),
+            posexplode(slice(TextAnalysis.tokens(col("text")), 3, 4))
+              .as(Seq("j", "term")))
+        Retrieval.bm25TopKFromIndex(idx, qt, "q_id", k = 10,
+            phrase = Some(ph))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val qw = "WHERE doc_id % 50 = 0 AND len(tk) >= 6"
+        s"""WITH ${bm25Ctes(qw)},
+            pht AS (SELECT doc_id AS q_id,
+                           unnest(list_transform(range(0, 4),
+                             j -> {'j': j, 'term': tk[j+3]})) AS u
+                    FROM tka $qw),
+            ph AS (SELECT q_id, CAST(u.j AS INT) AS j, u.term AS term
+                   FROM pht),
+            pos AS (SELECT doc_id,
+                           unnest(list_transform(range(1, len(tk) + 1),
+                             i -> {'p': i, 'term': tk[i]})) AS u
+                    FROM tka),
+            pp AS (SELECT doc_id, CAST(u.p AS INT) AS p, u.term AS term
+                   FROM pos),
+            an AS (SELECT ph.q_id, pp.doc_id, ph.j, pp.p - ph.j AS a
+                   FROM ph JOIN pp USING (term)),
+            phm AS (SELECT q_id, count(DISTINCT j) AS m FROM ph
+                    GROUP BY q_id),
+            hit AS (SELECT q_id, doc_id, a, count(DISTINCT j) AS h
+                    FROM an GROUP BY q_id, doc_id, a),
+            pres AS (SELECT DISTINCT h.q_id, h.doc_id
+                     FROM hit h JOIN phm USING (q_id)
+                     WHERE h.h = phm.m),
+            agf AS (SELECT ag.q_id, ag.doc_id, ag.score
+                    FROM ag JOIN pres
+                      ON ag.q_id = pres.q_id AND ag.doc_id = pres.doc_id),
+            rkf AS (SELECT q_id, doc_id, score,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY score DESC, doc_id) AS rank
+                    FROM agf)
+           SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+                  round(CAST(score AS DOUBLE), 6) AS score
+           FROM rkf WHERE rank <= 10 ORDER BY q_id, rank"""
       })
   )
 

@@ -37,6 +37,35 @@ object QueriesSketches {
   private def h60Sql(salt: String, x: String): String =
     s"CAST(('0x' || substring(md5('$salt' || $x), 1, 15)) AS BIGINT)"
 
+  /** q231/q232 shared oracle chain: the ONE-PASS rank sketch over
+    * documents (k = 256 per lang — bottom-k by hash60("rk|", doc_id)
+    * carrying n_chars) and its quantile read, ending in
+    * `sel(lang, qf, est)`. The per-(lang, h) min(v) replays the
+    * KMinPairs hash-collision rule (vacuous at 60 bits, but the replay
+    * is exact); greatest(1, ⌈qf·n⌉) the index arithmetic.
+    */
+  private val rkSketchCtes: String =
+    s"""hh AS (SELECT lang,
+                      ${h60Sql("rk|", "CAST(doc_id AS VARCHAR)")} AS h,
+                      CAST(n_chars AS DOUBLE) AS v
+               FROM documents WHERE n_chars IS NOT NULL),
+        dd AS (SELECT lang, h, min(v) AS v FROM hh GROUP BY lang, h),
+        mins AS (SELECT lang, h, v,
+                        row_number() OVER (PARTITION BY lang ORDER BY h)
+                          AS rnk
+                 FROM dd),
+        sk AS (SELECT lang, h, v FROM mins WHERE rnk <= 256),
+        rn AS (SELECT lang, h, v,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY v, h) AS rn,
+                      count(*) OVER (PARTITION BY lang) AS n
+               FROM sk),
+        qv AS (SELECT unnest([0.25, 0.5, 0.9]) AS qf),
+        sel AS (SELECT lang, qf, round(v, 6) AS est
+                FROM rn CROSS JOIN qv
+                WHERE rn = greatest(1, CAST(ceil(qf * CAST(n AS DOUBLE))
+                                       AS BIGINT)))"""
+
   /** Per-lang exploded distinct-per-doc shingles — the HLL item stream. */
   private def langShingles(df: DataFrame): DataFrame =
     df.select(col("lang"),
@@ -922,7 +951,95 @@ object QueriesSketches {
       },
       Some(s"""WITH $ssMergeCtes
               SELECT lang, item, cnt, err FROM mg
-              ORDER BY lang, cnt DESC, item"""))
+              ORDER BY lang, cnt DESC, item""")),
+
+    // ------------------------------------------------------------------
+    // q231 (round 16): the RANK SKETCH — bottom-k-by-hash uniform sample,
+    // the domain-free quantile sketch (no lo/width/bins, no training
+    // freeze — the completion the self-bounding histogram q214 can't
+    // provide for unbounded drift). Two parity partials merged (min-k
+    // fold, bounded KMinPairs aggregate); the oracle builds the sketch
+    // in ONE pass — hash-match proves merge(partial(even), partial(odd))
+    // ≡ partial(all), the canonical-sample identity. The quantile read
+    // (1-based index ⌈qf·n'⌉ in (v, h) order) is replayed verbatim; the
+    // exact leg judges each estimate by its true rank in the full data
+    // (rank error ≤ 10% at k = 256; a deliberate O(1/√k) trade vs KLL's
+    // order-sensitive compaction — see the rkPartial scaladoc).
+    // ------------------------------------------------------------------
+    Q("q231_rank_sketch",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def part(par: Int) = Sketches.rkPartial(
+          docs.where(col("doc_id") % 2 === par), Seq("lang"),
+          col("n_chars"), col("doc_id"), k = 256)
+        val merged = Sketches.rkMerge(
+          part(0).unionByName(part(1)), Seq("lang"), k = 256)
+        val est = Sketches.rkQuantiles(merged, Seq("lang"),
+          Seq(0.25, 0.5, 0.9))
+        val judged = est.join(docs.select(col("lang"),
+            col("n_chars").cast("double").as("__v")), Seq("lang"))
+          .groupBy(col("lang"), col("qf"), col("est"))
+          .agg(sum(when(col("__v") < col("est"), 1L).otherwise(0L))
+              .as("n_lt"),
+            sum(when(col("__v") <= col("est"), 1L).otherwise(0L))
+              .as("n_le"),
+            count(lit(1)).as("nt"))
+        judged
+          .select(col("lang"), col("qf"), col("est"), col("n_lt"),
+            col("n_le"), col("nt"),
+            (col("n_lt").cast("double") / col("nt").cast("double")
+              - lit(0.1) <= col("qf") &&
+              col("qf") <= col("n_le").cast("double") /
+                col("nt").cast("double") + lit(0.1)).as("rk_ok"))
+          .orderBy(col("lang"), col("qf"))
+      },
+      Some(s"""WITH $rkSketchCtes,
+                tot AS (SELECT s.lang, s.qf, s.est,
+                               count(CASE WHEN CAST(d.n_chars AS DOUBLE)
+                                       < s.est THEN 1 END) AS n_lt,
+                               count(CASE WHEN CAST(d.n_chars AS DOUBLE)
+                                       <= s.est THEN 1 END) AS n_le,
+                               count(*) AS nt
+                        FROM sel s JOIN documents d ON d.lang = s.lang
+                        GROUP BY s.lang, s.qf, s.est)
+               SELECT lang, qf, est, n_lt, n_le, nt,
+                      (CAST(n_lt AS DOUBLE) / CAST(nt AS DOUBLE) - 0.1
+                         <= qf
+                       AND qf <= CAST(n_le AS DOUBLE) / CAST(nt AS DOUBLE)
+                         + 0.1) AS rk_ok
+               FROM tot ORDER BY lang, qf""")),
+
+    // ------------------------------------------------------------------
+    // q232 (round 16): the STREAMED rank-sketch artifact — two parity
+    // triggers through sketchBatch's rk kind, batch 1 replayed
+    // (at-least-once), compacted to the -1 epoch, then the quantile
+    // read off the min-k fold. The oracle is q231's one-pass sketch
+    // chain (the quantile read alone): stream ≡ batch ≡ one-pass +
+    // replay idempotence + compaction invariance in one hash gate (the
+    // q203/q220 convention).
+    // ------------------------------------------------------------------
+    Q("q232_stream_rank_sketch",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = artifactPath("rk_stream_q232")
+        rmrf(new java.io.File(dir))
+        def trigger(par: Int, batchId: Long) =
+          graft.streaming.StreamingIngest.sketchBatch(
+            docs.where(col("doc_id") % 2 === par), batchId, dir,
+            Seq("lang"), "doc_id", p = 6, d = 2, w = 32,
+            rk = Some(("doc_id", "n_chars", 256)))
+        trigger(0, 0L)
+        trigger(1, 1L)
+        trigger(1, 1L) // at-least-once replay: must rewrite, not add
+        graft.streaming.StreamingIngest.compactSketchDir(
+          s, s"$dir/rk", Seq("lang"), "rk", rkK = 256)
+        val sk = graft.streaming.StreamingIngest
+          .currentRkSketch(s, dir, Seq("lang"), 256)
+        Sketches.rkQuantiles(sk, Seq("lang"), Seq(0.25, 0.5, 0.9))
+          .orderBy(col("lang"), col("qf"))
+      },
+      Some(s"""WITH $rkSketchCtes
+               SELECT lang, qf, est FROM sel ORDER BY lang, qf"""))
   )
 
   private lazy val artifactRoot: String =

@@ -502,6 +502,103 @@ object Sketches {
   }
 
   // ------------------------------------------------------------------
+  // Rank sketch (bottom-k uniform sample)
+  // ------------------------------------------------------------------
+
+  /** Rank-sketch partial: the rows whose 60-bit id-hash is among the k
+    * SMALLEST per group, carrying the value column —
+    * `(groupCols*, h BIGINT, v DOUBLE, rnk INT)`, ≤ k rows per group.
+    * Because the hash is uniform and blind to `v`, the kept rows are a
+    * uniform sample of the group, and min-ness makes the sketch a
+    * CANONICAL function of the input set: merge(partial(A), partial(B))
+    * ≡ partial(A ∪ B) exactly (the KMV identity), map-side partials ship
+    * ≤ k (long, double) pairs per group per split
+    * ([[graft.functions.KMinPairs]]).
+    *
+    * This is the DOMAIN-FREE completion of the statistics tier: unlike
+    * the (self-)bounded histogram it needs no lo/width/bins and no
+    * training freeze, so values drifting arbitrarily far from any
+    * earlier batch are sampled at full fidelity — the drift case where
+    * frozen-bounds quantiles clamp (SketchesSpec pins the divergence).
+    *
+    * Deliberately NOT a KLL compactor: KLL reaches O(1/k) rank error by
+    * randomized, order-sensitive compaction — two merge orders of the
+    * same data yield different states, which fails both house gates
+    * (engine-independent oracle replay; merge ≡ one-pass hash equality).
+    * The bottom-k sample pays O(1/√k) error (±~3% ranks at k = 1024)
+    * for exact canonical mergeability, a DuckDB-replayable read, and
+    * below-k exactness (a group with ≤ k rows is sampled whole, so its
+    * quantiles are EXACT). Same trade the tier already makes for
+    * cardinality (KMV over HLL++'s sparse mode).
+    *
+    * `v` must be non-null where sampled; null values and null ids are
+    * skipped (no evidence). `id` must be row-unique (the doc id): the
+    * hash samples ROWS, and a duplicated id would collapse to one entry.
+    */
+  def rkPartial(df: DataFrame, groupCols: Seq[String], v: Column,
+      id: Column, k: Int): DataFrame = {
+    require(k >= 8)
+    rkFromPairs(
+      df.select((groupCols.map(col) :+ hash60(id, "rk|").as("h") :+
+        v.cast("double").as("v")): _*),
+      groupCols, k)
+  }
+
+  /** Fold stacked rank-sketch partials: keep the k smallest-hash rows of
+    * the union again. Associative and exact (the min-k identity).
+    */
+  def rkMerge(partials: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame =
+    rkFromPairs(partials.select((groupCols ++ Seq("h", "v")).map(col): _*),
+      groupCols, k)
+
+  private def rkFromPairs(pairs: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) pairs.groupBy()
+      else pairs.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(graft.functions.VectorFunctions
+        .kMinPairsNative(col("h"), col("v"), k).as("__ps"))
+      .select((groupCols.map(col) :+ posexplode(col("__ps"))): _*)
+      .select((groupCols.map(col) :+ col("col.h").as("h") :+
+        col("col.v").as("v") :+ (col("pos") + 1).cast("int").as("rnk")): _*)
+  }
+
+  /** Quantile read off a rank sketch: for each fraction qf, the sampled
+    * value at 1-based index max(1, ⌈qf·n'⌉) in (v, h) order, n' = the
+    * group's sketch size — the type-1 empirical quantile of the uniform
+    * sample (EXACT when the group had ≤ k rows). `(groupCols*, qf, est)`;
+    * est rounds to 6 dp; the ⌈⌉ arithmetic (`ceil(qf · CAST(n AS
+    * DOUBLE))`) is written identically in the oracle, and the (v, h)
+    * sort makes duplicate values deterministic.
+    */
+  def rkQuantiles(sketch: DataFrame, groupCols: Seq[String],
+      qfs: Seq[Double]): DataFrame = {
+    require(qfs.nonEmpty && qfs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantile fractions must be in [0, 1]: $qfs")
+    val w =
+      if (groupCols.isEmpty)
+        org.apache.spark.sql.expressions.Window
+          .partitionBy().orderBy(col("v"), col("h"))
+      else org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(col("v"), col("h"))
+    val wn =
+      if (groupCols.isEmpty)
+        org.apache.spark.sql.expressions.Window.partitionBy()
+      else org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*)
+    sketch
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .withColumn("qf", explode(array(qfs.map(lit(_)): _*)))
+      .where(col("__rn") ===
+        greatest(lit(1L), ceil(col("qf") * col("__n").cast("double"))))
+      .select((groupCols.map(col) :+ col("qf") :+
+        round(col("v"), 6).as("est")): _*)
+  }
+
+  // ------------------------------------------------------------------
   // Equi-width histogram
   // ------------------------------------------------------------------
 

@@ -527,6 +527,122 @@ case class KMinDistinct(child: Expression, k: Int,
     copy(child = newChildren.head)
 }
 
+/** Bounded k-minimum (hash, payload) PAIRS aggregate — the rank sketch's
+  * build kernel ([[graft.ext.Sketches.rkPartial]]): keep the rows whose
+  * 60-bit id-hash is among the k smallest, carrying each row's DOUBLE
+  * value as payload. This is [[KMinDistinct]] with a payload column: the
+  * buffer is a ≤ k-entry TreeMap keyed by hash; `update` admits an entry
+  * only when the buffer is short or the hash beats the current k-th
+  * minimum, `merge` folds another buffer through the same rule, and a
+  * hash collision (distinct rows, equal hash — vanishing at 60 bits but
+  * determinism demands a rule) keeps the SMALLER payload. Min-ness makes
+  * the result a canonical function of the input SET — order-independent,
+  * so merge(partial(A), partial(B)) ≡ partial(A ∪ B) exactly — and every
+  * map task ships ≤ k (long, double) pairs per group.
+  *
+  * eval returns `array<struct<h bigint, v double>>` ascending by hash.
+  */
+case class KMinPairs(h: Expression, v: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Double]] {
+
+  require(k >= 1, s"k=$k must be >= 1")
+
+  override def children: Seq[Expression] = Seq(h, v)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("v", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (h.dataType == LongType && v.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_kmin_pairs expects (bigint, double), got " +
+        s"${h.dataType}, ${v.dataType}")
+
+  override def createAggregationBuffer()
+      : java.util.TreeMap[java.lang.Long, java.lang.Double] =
+    new java.util.TreeMap[java.lang.Long, java.lang.Double]()
+
+  private def admit(buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
+      hv: Long, pv: Double): Unit = {
+    val existing = buf.get(hv)
+    if (existing != null) {
+      if (pv < existing) { buf.put(hv, pv); () }
+    } else if (buf.size < k) { buf.put(hv, pv); () }
+    else if (hv < buf.lastKey()) { buf.put(hv, pv); buf.pollLastEntry(); () }
+  }
+
+  override def update(buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+    val hv = h.eval(input)
+    val pv = v.eval(input)
+    if (hv != null && pv != null)
+      admit(buf, hv.asInstanceOf[Long], pv.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
+      other: java.util.TreeMap[java.lang.Long, java.lang.Double])
+      : java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      admit(buf, e.getKey, e.getValue)
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.TreeMap[java.lang.Long, java.lang.Double])
+      : Any = {
+    val rows = new Array[Any](buf.size)
+    var i = 0
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getKey.longValue(), e.getValue.doubleValue())
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def serialize(buf: java.util.TreeMap[java.lang.Long, java.lang.Double])
+      : Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey)
+      bb.putDouble(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.put(bb.getLong, bb.getDouble); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KMinPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KMinPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KMinPairs =
+    copy(h = newChildren(0), v = newChildren(1))
+}
+
 /** Bounded top-k-by-count aggregate — the SpaceSaving/Misra-Gries
   * summary's build kernel ([[graft.ext.Sketches.ssPartial]]). The buffer
   * is a ≤ k-element set of (cnt, item) pairs ordered weakest-first
@@ -709,6 +825,13 @@ object VectorFunctions {
   def kMinDistinctNative(h: Column, k: Int): Column =
     ColumnBridge.column(KMinDistinct(ColumnBridge.expression(h), k)
       .toAggregateExpression())
+
+  /** Bounded k-minimum (hash, payload) pairs aggregate as a Column (see
+    * KMinPairs).
+    */
+  def kMinPairsNative(h: Column, v: Column, k: Int): Column =
+    ColumnBridge.column(KMinPairs(ColumnBridge.expression(h),
+      ColumnBridge.expression(v), k).toAggregateExpression())
 
   /** Bounded top-k-by-count aggregate as a Column (see TopKByCount). */
   def topKByCountNative(cnt: Column, item: Column, k: Int): Column =

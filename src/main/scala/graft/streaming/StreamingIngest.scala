@@ -1432,13 +1432,13 @@ object StreamingIngest {
       checkpointDir: String, groupCols: Seq[String], itemCol: String,
       p: Int = 8, d: Int = 3, w: Int = 256, compactEvery: Int = 0,
       kmvK: Int = 0, hist: Option[(String, Double, Double, Int)] = None,
-      ssK: Int = 0)
+      ssK: Int = 0, rk: Option[(String, String, Int)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     items.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sketchBatch(batch, batchId, sketchDir, groupCols, itemCol,
-          p, d, w, compactEvery, kmvK, hist, ssK)
+          p, d, w, compactEvery, kmvK, hist, ssK, rk)
       }
       .start()
 
@@ -1447,8 +1447,11 @@ object StreamingIngest {
     * KMV minima (the overlap/drift monitor's input); `hist` =
     * (valueCol, lo, width, bins) also lands the value histogram (the PSI
     * monitor's input); `ssK > 0` also lands the SpaceSaving heavy-hitter
-    * summary (the enumeration read CMS cannot provide) — all five sketch
-    * kinds share the batch_id partition/replay/compaction contract. The
+    * summary (the enumeration read CMS cannot provide); `rk` =
+    * (idCol, valueCol, k) also lands the bottom-k rank sketch (the
+    * domain-free quantile read no frozen-bounds histogram can provide) —
+    * all six sketch kinds share the batch_id partition/replay/compaction
+    * contract. The
     * ss fold reads batch_id as its merge's batch column (the summed-
     * error rule needs to know which summary each row came from); a
     * compacted `-1` epoch folds in as one batch, which is exactly the
@@ -1458,7 +1461,7 @@ object StreamingIngest {
       groupCols: Seq[String], itemCol: String, p: Int, d: Int, w: Int,
       compactEvery: Int = 0, kmvK: Int = 0,
       hist: Option[(String, Double, Double, Int)] = None,
-      ssK: Int = 0): Unit = {
+      ssK: Int = 0, rk: Option[(String, String, Int)] = None): Unit = {
     if (batch.isEmpty) return
     def land(partial: DataFrame, sub: String): Unit =
       partial.withColumn("batch_id", lit(batchId))
@@ -1476,6 +1479,10 @@ object StreamingIngest {
     }
     if (ssK > 0)
       land(Sketches.ssPartial(batch, groupCols, col(itemCol), ssK), "ss")
+    rk.foreach { case (idCol, vc, k) =>
+      land(Sketches.rkPartial(batch, groupCols, col(vc), col(idCol), k)
+        .drop("rnk"), "rk")
+    }
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
       val spark = batch.sparkSession
       compactSketchDir(spark, s"$sketchDir/hll", groupCols, "hll",
@@ -1491,6 +1498,11 @@ object StreamingIngest {
       if (ssK > 0)
         compactSketchDir(spark, s"$sketchDir/ss", groupCols, "ss",
           belowBatch = Some(batchId), ssK = ssK)
+      rk.foreach { case (_, _, k) =>
+        compactSketchDir(spark, s"$sketchDir/rk", groupCols, "rk",
+          belowBatch = Some(batchId), rkK = k)
+        ()
+      }
     }
   }
 
@@ -1522,7 +1534,7 @@ object StreamingIngest {
   def compactSketchDir(spark: SparkSession, path: String,
       groupCols: Seq[String], kind: String,
       belowBatch: Option[Long] = None, kmvK: Int = 0,
-      ssK: Int = 0): Long = {
+      ssK: Int = 0, rkK: Int = 0): Long = {
     val all = spark.read.parquet(path)
     val (fold, keep) = belowBatch match {
       case Some(b) =>
@@ -1540,8 +1552,11 @@ object StreamingIngest {
       case "ss" =>
         require(ssK > 0, "ss compaction needs ssK")
         Sketches.ssMerge(fold, groupCols, "batch_id", ssK)
+      case "rk" =>
+        require(rkK > 0, "rk compaction needs rkK")
+        Sketches.rkMerge(body, groupCols, rkK).drop("rnk")
       case other => throw new IllegalArgumentException(
-        s"unknown sketch kind '$other' (hll|cms|hist|kmv|ss)")
+        s"unknown sketch kind '$other' (hll|cms|hist|kmv|ss|rk)")
     }
     val tmp = s"$path.compact.tmp"
     folded.withColumn("batch_id", lit(-1L))
@@ -1570,6 +1585,12 @@ object StreamingIngest {
       groupCols: Seq[String], k: Int): DataFrame =
     Sketches.ssMerge(
       spark.read.parquet(s"$sketchDir/ss"), groupCols, "batch_id", k)
+
+  /** The artifact's merged rank sketch (min-k fold over all partials). */
+  def currentRkSketch(spark: SparkSession, sketchDir: String,
+      groupCols: Seq[String], k: Int): DataFrame =
+    Sketches.rkMerge(
+      spark.read.parquet(s"$sketchDir/rk").drop("batch_id"), groupCols, k)
 
   // ------------------------------------------------------------------
   // Streaming inverted-index maintenance (the retrieval tier's artifact)

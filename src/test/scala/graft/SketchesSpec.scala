@@ -475,4 +475,77 @@ class SketchesSpec extends AnyFunSuite {
     assert(q.count() == 6)
     assert(q.groupBy("g", "qf").count().where(col("count") > 1).count() == 0)
   }
+
+  // ---- rank sketch (bottom-k uniform sample) -------------------------
+
+  test("rkPartial: merge of arbitrary 3-way split equals one-pass build " +
+    "(canonical min-k identity), rows bounded by k") {
+    val df = (0 until 5000).map(i => (i.toLong, (i * 7919 % 1000).toDouble))
+      .toDF("id", "v").withColumn("g", pmod(col("id"), lit(3)))
+    val full = Sketches.rkPartial(df, Nil, col("v"), col("id"), k = 64)
+    val parts = (0 until 3).map(k =>
+      Sketches.rkPartial(df.where(col("g") === k), Nil, col("v"),
+        col("id"), k = 64))
+    val merged = Sketches.rkMerge(parts.reduce(_ unionByName _), Nil, k = 64)
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    assert(full.count() == 64)
+  }
+
+  test("rkQuantiles: below-k groups are EXACT; large groups land within " +
+    "the O(1/sqrt(k)) rank tolerance") {
+    // a 40-row group (< k = 64): the sketch holds every row, so the
+    // median is the exact type-1 empirical quantile
+    val small = (1 to 40).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val sk = Sketches.rkPartial(small, Nil, col("v"), col("id"), k = 64)
+    val q = Sketches.rkQuantiles(sk, Nil, Seq(0.5)).collect()
+    assert(q.length == 1 && q.head.getDouble(1) == 20.0)
+    // a 20k-row uniform group at k = 256: the 0.9 estimate's true rank
+    // must sit within ±3.5/sqrt(k) of 0.9 (~4.5 sigma — deterministic
+    // given the fixed hash, generous so the fixture never flakes)
+    val big = (0 until 20000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val sk2 = Sketches.rkPartial(big, Nil, col("v"), col("id"), k = 256)
+    val est = Sketches.rkQuantiles(sk2, Nil, Seq(0.9))
+      .collect().head.getDouble(1)
+    val trueRank = est / 20000.0
+    assert(math.abs(trueRank - 0.9) <= 3.5 / math.sqrt(256.0),
+      s"rank of est $est = $trueRank, too far from 0.9")
+  }
+
+  test("rank sketch holds under domain drift where frozen-bounds " +
+    "histogram quantiles clamp") {
+    // batch 1 trains the bounds on [0, 100); batch 2 drifts to
+    // [10000, 20000) — half the total mass is outside the trained range
+    val b1 = (0 until 1000).map(i => (i.toLong, (i % 100).toDouble))
+      .toDF("id", "v")
+    val b2 = (0 until 1000).map(i => ((i + 1000).toLong,
+      (10000 + i * 10).toDouble)).toDF("id", "v")
+    val both = b1.unionByName(b2)
+    // frozen-bounds histogram: trained on batch 1, merged over both
+    val bounds = Sketches.histBoundsTrain(b1, Nil, col("v"), bins = 20)
+      .localCheckpoint(true)
+    val hist = Sketches.histMerge(
+      Sketches.histPartialBounded(b1, Nil, col("v"), bounds).unionByName(
+        Sketches.histPartialBounded(b2, Nil, col("v"), bounds)), Nil)
+    val histQ9 = Sketches.histQuantilesBounded(hist, bounds, Nil, Seq(0.9))
+      .collect().head.getDouble(1)
+    // the audit SEES the drift (visible, as designed)…
+    val audit = Sketches.histClampAudit(both, Nil, col("v"), bounds)
+      .collect().head
+    assert(audit.getAs[Long]("n_over") == 1000L)
+    // …but the estimate still clamps to the trained range: the true 0.9
+    // quantile is ~18000, the frozen-bounds read cannot exceed ~100
+    assert(histQ9 <= 100.0, s"expected clamped estimate, got $histQ9")
+    // the rank sketch needs no bounds: same partials-merge flow, and the
+    // 0.9 estimate lands in the drifted mass near the true quantile
+    val rk = Sketches.rkMerge(
+      Sketches.rkPartial(b1, Nil, col("v"), col("id"), k = 256).unionByName(
+        Sketches.rkPartial(b2, Nil, col("v"), col("id"), k = 256)),
+      Nil, k = 256)
+    val rkQ9 = Sketches.rkQuantiles(rk, Nil, Seq(0.9))
+      .collect().head.getDouble(1)
+    val trueRank = both.where(col("v") < rkQ9).count() / 2000.0
+    assert(math.abs(trueRank - 0.9) <= 3.5 / math.sqrt(256.0),
+      s"rank sketch drifted: est $rkQ9 at true rank $trueRank")
+    assert(rkQ9 > 10000.0) // the estimate tracked the drifted domain
+  }
 }

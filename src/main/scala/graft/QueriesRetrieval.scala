@@ -564,7 +564,72 @@ object QueriesRetrieval {
            SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
                   round(CAST(score AS DOUBLE), 6) AS score
            FROM rkf WHERE rank <= 10 ORDER BY q_id, rank"""
-      })
+      }),
+
+    // retrieval-quality metrics (round 16): recall@10 / reciprocal rank /
+    // nDCG@10 of the q221 BM25 run against a deterministic graded qrels
+    // (self rel = 2, the id+7 "near-miss" rel = 1 — usually unretrieved,
+    // so recall < 1 and the IDCG truncation both carry weight). The
+    // oracle replays the gain arithmetic (2^rel − 1)/(ln(r+1)/ln 2) with
+    // DECIMAL sums and the ideal-ordering window — parameter sweeps are
+    // judged INSIDE the engine with these, not ad hoc
+    Q("q233_retrieval_metrics",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val run = Retrieval.bm25TopK(docs, "doc_id", "text",
+          qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
+        val qids = docs.where(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("q_id"))
+        val qrels = qids.select(col("q_id"), explode(array(
+            struct(col("q_id").as("doc_id"), lit(2).as("rel")),
+            struct((col("q_id") + 7).as("doc_id"), lit(1).as("rel"))))
+            .as("r"))
+          .select(col("q_id"), col("r.doc_id").as("doc_id"),
+            col("r.rel").as("rel"))
+        Retrieval.retrievalMetrics(run, qrels, "doc_id", k = 10)
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH ${bm25Ctes("WHERE doc_id % 50 = 0")},
+              run AS (SELECT q_id, doc_id, rank FROM rk WHERE rank <= 10),
+              qr AS (SELECT doc_id AS q_id, doc_id, 2 AS rel
+                     FROM documents WHERE doc_id % 50 = 0
+                     UNION ALL
+                     SELECT doc_id AS q_id, doc_id + 7 AS doc_id, 1 AS rel
+                     FROM documents WHERE doc_id % 50 = 0),
+              nr AS (SELECT q_id, count(*) AS n_rel FROM qr GROUP BY q_id),
+              ht AS (SELECT r.q_id, count(*) AS n_hit,
+                            sum(CAST((pow(2.0, CAST(qr.rel AS DOUBLE))
+                                      - 1.0) /
+                                     (ln(CAST(r.rank AS DOUBLE) + 1.0)
+                                      / ln(2.0))
+                                 AS DECIMAL(20,12))) AS dcg,
+                            min(r.rank) AS minr
+                     FROM run r JOIN qr
+                       ON r.q_id = qr.q_id AND r.doc_id = qr.doc_id
+                     GROUP BY r.q_id),
+              irk AS (SELECT q_id, rel,
+                             row_number() OVER (PARTITION BY q_id
+                               ORDER BY rel DESC, doc_id) AS i
+                      FROM qr),
+              idl AS (SELECT q_id,
+                             sum(CAST((pow(2.0, CAST(rel AS DOUBLE))
+                                       - 1.0) /
+                                      (ln(CAST(i AS DOUBLE) + 1.0)
+                                       / ln(2.0))
+                                  AS DECIMAL(20,12))) AS idcg
+                      FROM irk WHERE i <= 10 GROUP BY q_id)
+             SELECT nr.q_id, nr.n_rel,
+                    CAST(coalesce(ht.n_hit, 0) AS BIGINT) AS n_hit,
+                    round(CAST(coalesce(ht.n_hit, 0) AS DOUBLE)
+                          / CAST(nr.n_rel AS DOUBLE), 6) AS recall_at_k,
+                    round(coalesce(1.0 / CAST(ht.minr AS DOUBLE), 0.0), 6)
+                      AS rr,
+                    round(coalesce(CAST(ht.dcg AS DOUBLE)
+                          / CAST(idl.idcg AS DOUBLE), 0.0), 6)
+                      AS ndcg_at_k
+             FROM nr LEFT JOIN ht ON nr.q_id = ht.q_id
+                     JOIN idl ON nr.q_id = idl.q_id
+             ORDER BY nr.q_id"""))
   )
 
   private lazy val artifactRoot: String =

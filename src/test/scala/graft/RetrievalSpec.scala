@@ -230,6 +230,58 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- retrieval-quality metrics --------------------------------------
+
+  test("retrievalMetrics: hand-checkable recall/rr/ndcg, zero-hit and " +
+    "unjudged-query conventions") {
+    val run = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
+      (2L, 90L, 1)).toDF("q_id", "doc_id", "rank")
+    val qrels = Seq((1L, 20L, 2), (1L, 70L, 1), // q1: one hit at rank 2
+      (2L, 50L, 1),                             // q2: judged, zero hits
+      (3L, 10L, 3)                              // q3: not in the run
+    ).toDF("q_id", "doc_id", "rel")
+    val m = Retrieval.retrievalMetrics(run, qrels, "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // q1: n_rel 2, hit d20 at rank 2 → recall 1/2, rr 1/2,
+    // dcg = 3/log2(3); idcg = 3/log2(2) + 1/log2(3)
+    val (nr1, nh1, rec1, rr1, nd1) = m(1L)
+    assert(nr1 == 2L && nh1 == 1L && rec1 == 0.5 && rr1 == 0.5)
+    assert(nd1 == r6((3.0 / lg2(3.0)) / (3.0 / lg2(2.0) + 1.0 / lg2(3.0))))
+    // q2: judged with zero hits → explicit zero row
+    assert(m(2L) == ((1L, 0L, 0.0, 0.0, 0.0)))
+    // q3: relevant set exists, run never saw the query → zero row too
+    assert(m(3L) == ((1L, 0L, 0.0, 0.0, 0.0)))
+    // no unjudged query leaks in
+    assert(m.keySet == Set(1L, 2L, 3L))
+    // macro: exact means of the three judged queries
+    val mac = Retrieval.retrievalMetricsMacro(
+      Retrieval.retrievalMetrics(run, qrels, "doc_id", k = 3))
+      .collect().head
+    assert(mac.getLong(0) == 3L)
+    assert(mac.getDouble(1) == r6(0.5 / 3.0))
+    assert(mac.getDouble(2) == r6(0.5 / 3.0))
+    assert(mac.getDouble(3) == r6(nd1 / 3.0))
+  }
+
+  test("retrievalMetrics: perfect run scores 1.0 everywhere; IDCG " +
+    "truncates at k") {
+    // qrels has k+2 relevant docs; a run retrieving the ideal top-k in
+    // ideal order is nDCG 1 by the truncated-IDCG convention
+    val qrels = (0 until 5).map(i => (1L, (10 + i).toLong, 3 - (i min 2)))
+      .toDF("q_id", "doc_id", "rel")
+    val run = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("q_id", "doc_id", "rank")
+    val m = Retrieval.retrievalMetrics(run, qrels, "doc_id", k = 3)
+      .collect().head
+    assert(m.getDouble(4) == 1.0)          // rr
+    assert(m.getDouble(5) == 1.0)          // ndcg@3 (ideal order)
+    assert(m.getDouble(3) == 0.6)          // recall 3/5
+  }
+
   // ---- persisted lexical index ---------------------------------------
 
   private def rowsOf(df: org.apache.spark.sql.DataFrame) =

@@ -361,6 +361,71 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"at the grown corpus the delta is a fraction of the rebuild: $d10 vs $r10")
   }
 
+  test("hybrid decontamination, production semantic leg: IVF-served " +
+    "probe composes with the lexical leg — fused top-3 recall vs the " +
+    "brute-force flagship measured at matched k, probe DPP-routed") {
+    import graft.ext.Retrieval
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, dir, "documents")
+    val emb = Tables.load(spark, dir, "embeddings")
+    // the q225 fixture: eval = %17 ids, train = the rest
+    val train = docs.where($"doc_id" % 17 =!= 0)
+    val qt = docs.where($"doc_id" % 17 === 0)
+      .select($"doc_id".as("q_id"),
+        explode(slice(TextAnalysis.tokens($"text"), 1, 8)).as("term"))
+      .distinct()
+    val lex = Retrieval.bm25TopK(train, "doc_id", "text", qt, "q_id",
+      k = 10, maxDfFrac = 0.1)
+    val trainV = emb.where($"vec_id" % 17 =!= 0)
+    val evalV = emb.where($"vec_id" % 17 === 0)
+    // brute-force ceiling (the q225 oracle leg)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"cos".desc, $"doc_id".asc)
+    val semBrute = evalV
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+      .crossJoin(trainV.select($"vec_id".as("doc_id"),
+        $"embedding".as("cv")))
+      .select($"q_id", $"doc_id", Similarity.cosine($"qv", $"cv").as("cos"))
+      .withColumn("rank", row_number().over(wB).cast("int"))
+      .where($"rank" <= 10).select($"q_id", $"doc_id", $"rank")
+    // production leg: IVF-SQ8 index over the train vectors, cell-
+    // partitioned artifact, nprobe-bounded probe (the AnnSweep kernel)
+    val cents = Similarity.kmeansCentroids(trainV, "vec_id", "embedding",
+      k = 16, iters = 3).localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("decon_prod").toString + "/idx"
+    Similarity.saveIvfSq8Index(trainV, "vec_id", "embedding", cents, path)
+    // nprobe 8/16: the synthetic embeddings are near-uniform (no cluster
+    // structure), the regime where IVF recall needs wide probes — the
+    // recall/nprobe frontier itself is AnnSweep's measured matrix
+    val semIvf = Similarity.ivfQuantizedTopK(spark.read.parquet(path),
+        cents, evalV, trainV, "vec_id", "embedding", k = 10, nprobe = 8,
+        overfetch = 8)
+      .select($"q_id", $"c_id".as("doc_id"), $"rank")
+    // the probe is I/O-pruned: dynamic pruning lands on the index scan;
+    // its only broadcasts are bounded (16 centroids, probe rows) — the
+    // corpus-sized crossJoin exists ONLY in the brute leg's plan
+    val planIvf = semIvf.queryExecution.executedPlan.toString
+    assert(planIvf.contains("dynamicpruning"),
+      s"expected DPP on the index probe:\n${planIvf.take(2000)}")
+    val fBrute = Retrieval.rrfFuse(lex, semBrute, "doc_id", k = 3)
+    val fIvf = Retrieval.rrfFuse(lex, semIvf, "doc_id", k = 3)
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val (sb, si) = (sets(fBrute), sets(fIvf))
+    assert(sb.keySet == si.keySet && sb.nonEmpty)
+    val recall = sb.keys.toSeq.map { q =>
+      (sb(q) intersect si(q)).size.toDouble / sb(q).size
+    }.sum / sb.size
+    info(f"fused top-3 recall, production vs brute force: $recall%.3f " +
+      f"over ${sb.size} queries")
+    // deterministic (seeded k-means, fixed hash) — the floor documents
+    // the measured composition quality, not a flake margin
+    assert(recall >= 0.85,
+      f"production-leg fused recall degraded: $recall%.3f")
+  }
+
   test("hot-cell LSH level keeps within-cluster pairs an id split would sever") {
     // one oversized cell holding TWO tight clusters on opposite sides of
     // the origin: the sign-bucket split separates the clusters, not the

@@ -1,0 +1,119 @@
+package graft
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Retrieval, TextAnalysis}
+
+/** Scaling evidence for the persisted lexical index READ path (VERDICT
+  * r15 #1's "Done" clause): the claim is that [[graft.ext.Retrieval
+  * .bm25TopKFromIndex]] does work proportional to the QUERY BATCH and its
+  * candidates — never the corpus — because df/dl/avgdl are frozen in the
+  * artifact and both scans DPP-prune to the query's term buckets.
+  *
+  * The witness: a FIXED query batch (copy-0's %50 documents, first 8
+  * tokens) read against a 1× and a 10× index. The 10× synth corpus
+  * (ScaleProbe's: per-copy token suffixes, so cross-copy terms never
+  * collide) grows every term's df by copy-multiplicity 1 — the fixed
+  * queries' candidate sets are IDENTICAL modulo suffix — so a true
+  * index-read plan shows ~flat read time and shuffle rows while the
+  * build (reported for context) scales ~10×. A derivation-leg read
+  * (bm25TopKFromPostings) re-aggregates the whole postings relation per
+  * read and scales ~10× — measured side by side. Results in
+  * docs/SCALE.md.
+  *
+  * Run: `sbt "runMain graft.LexIndexProbe [baseDir]"`.
+  */
+object LexIndexProbe {
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.build("graft-lexindex-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.get("SPARK_GRAFT_NO_BROADCAST").contains("1"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    val shuffleRecords = new LongAdder
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) shuffleRecords.add(m.shuffleWriteMetrics.recordsWritten)
+      }
+    })
+    def measure(work: => Long): (Double, Long, Long) = {
+      spark.catalog.clearCache()
+      System.gc()
+      shuffleRecords.reset()
+      val t0 = System.nanoTime()
+      val rows = work
+      val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graft.ListenerBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext, 60000L)
+      (dt, shuffleRecords.sum(), rows)
+    }
+
+    // 10× corpus: ScaleProbe's synth (suffixed tokens, offset ids)
+    val synthDir = {
+      val dir = "/tmp/graft_scale_synth_10x"
+      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+        val docs = Tables.documents(spark, baseDir)
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+        (0 until 10).map { k =>
+          docs.select((col("doc_id") + lit(k * maxId)).as("doc_id"),
+            regexp_replace(col("text"), "([a-z0-9]+)", s"$$1zq$k").as("text"),
+            col("lang"), col("source"),
+            length(col("text")).cast("long").as("n_chars"))
+        }.reduce(_ unionByName _)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        println(s"synth corpus written: 10x $baseDir documents")
+      }
+      dir
+    }
+    // copy 0 of the synth ≡ the base corpus with the zq0 suffix — one
+    // corpus family, so the fixed query batch is the SAME workload at
+    // both scales
+    val maxBase = Tables.documents(spark, baseDir)
+      .agg(max(col("doc_id"))).head().getLong(0) + 1L
+
+    Seq(("1x", baseDir, s"zq-none"), ("10x", synthDir, "zq0")).foreach {
+      case (tag, dir, _) =>
+        val docs = Tables.documents(spark, dir)
+        val idxPath = java.nio.file.Files
+          .createTempDirectory(s"lexprobe_$tag").toString + "/idx"
+        val (bt, bs, _) = measure {
+          Retrieval.saveLexIndex(docs, "doc_id", "text", idxPath,
+            nBuckets = 64, positional = false)
+          0L
+        }
+        println(f"$tag%4s build: ${bt}%7.1fs ${bs}%12d shuf")
+        val idx = Retrieval.loadLexIndex(spark, idxPath)
+        // the FIXED query batch: copy-0's %50 docs (at 1x, the whole
+        // corpus IS copy 0)
+        val qt = docs
+          .where(col("doc_id") % 50 === 0 && col("doc_id") < maxBase)
+          .select(col("doc_id").as("q_id"),
+            explode(slice(TextAnalysis.tokens(col("text")), 1, 8))
+              .as("term"))
+          .distinct()
+          .localCheckpoint(true) // query prep excluded: the read is probed
+        val (rt, rs, rr) = measure {
+          Retrieval.bm25TopKFromIndex(idx, qt, "q_id", k = 10)
+            .queryExecution.toRdd.count()
+        }
+        println(f"$tag%4s index read : ${rt}%7.1fs ${rs}%12d shuf $rr%9d rows")
+        // the derivation-leg baseline: same read off raw postings —
+        // re-aggregates dl/df/stats per read, corpus-linear by design
+        val post = Retrieval.postings(docs, "doc_id", "text")
+          .localCheckpoint(true)
+        val (pt, ps, pr) = measure {
+          Retrieval.bm25TopKFromPostings(post, "doc_id", qt, "q_id", k = 10)
+            .queryExecution.toRdd.count()
+        }
+        println(f"$tag%4s postings read: ${pt}%5.1fs ${ps}%12d shuf $pr%9d rows")
+    }
+    spark.stop()
+  }
+}

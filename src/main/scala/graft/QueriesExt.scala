@@ -3157,6 +3157,54 @@ object QueriesExt {
               FROM documents WHERE doc_id % 10 = 0
               ORDER BY id_a, id_b""")),
 
+    // Ogg page walk (round 16 — the FOURTH container family, closing the
+    // magic-byte matrix AVI/ISO-BMFF/Matroska/Ogg): RFC 3533 page
+    // framing (capture pattern, header-type flags, 64-bit granule,
+    // lacing-table packet reassembly incl. the 255-continuation rule),
+    // codec identified from the first packet's magic — OpusHead (RFC
+    // 7845 id header: channels, pre-skip, input rate) on most rows,
+    // Vorbis id header on id % 3 = 1. Neither codec has a JVM decoder
+    // (the A_OPUS/V_VP8 stance), so the first AUDIO packet's md5 over
+    // its lacing-resolved range is the reassembly witness
+    // (has_audio_md5). Geometry by id arithmetic — the q168/q218 shape.
+    Q("q234_ogg_meta",
+      (s, d) => {
+        import s.implicits._
+        val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            Multimodal.MediaRow(id, "ogg", Multimodal.syntheticOgg(
+              nAudioPackets = 1 + (id % 4).toInt,
+              channels = 1 + (id % 2).toInt,
+              sampleRate = if (id % 3 == 1) 44100L else 48000L,
+              preSkip = 312, samplesPerPacket = 960L, seed = id,
+              codec = if (id % 3 == 1) "vorbis" else "opus"))
+          }
+        Multimodal.oggAudioFeatures(rows)(s).toDF()
+          .select(col("media_id"), col("codec"), col("channels"),
+            col("sample_rate"), col("pre_skip"), col("n_pages"),
+            col("n_packets"), col("final_granule"),
+            col("first_audio_md5").isNotNull.as("has_audio_md5"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+                     CASE WHEN doc_id % 3 = 1 THEN 'vorbis'
+                          ELSE 'opus' END AS codec,
+                     CAST(1 + doc_id % 2 AS INT) AS channels,
+                     CASE WHEN doc_id % 3 = 1 THEN CAST(44100 AS BIGINT)
+                          ELSE CAST(48000 AS BIGINT) END AS sample_rate,
+                     CASE WHEN doc_id % 3 = 1 THEN CAST(0 AS INT)
+                          ELSE CAST(312 AS INT) END AS pre_skip,
+                     -- opus: BOS + tags + n audio pages; vorbis: BOS +
+                     -- one page carrying comment+setup + n audio pages
+                     CAST(2 + 1 + doc_id % 4 AS BIGINT) AS n_pages,
+                     -- vorbis carries one more header PACKET (3 vs 2)
+                     CAST(CASE WHEN doc_id % 3 = 1 THEN 4 ELSE 3 END
+                          + doc_id % 4 AS BIGINT) AS n_packets,
+                     CAST((1 + doc_id % 4) * 960 AS BIGINT)
+                       AS final_granule,
+                     TRUE AS has_audio_md5
+              FROM documents ORDER BY media_id""")),
+
     // filtered ANN on the PQ tier (round 10 — q143's contract carried to
     // the second index family): the label attribute rides the
     // (batch, ccell)-partitioned IVF-PQ artifact, the predicate restricts

@@ -2288,4 +2288,283 @@ object Multimodal {
       frames = Nil,
       audio = Some((codecId, 1, 16, 16000L, pcm.grouped(256).toSeq)))
   }
+
+  // ------------------------------------------------------------------
+  // Ogg container walk (round 16 — the fourth container family)
+  // ------------------------------------------------------------------
+
+  /** One reassembled Ogg logical-stream view: codec identified from the
+    * first packet's magic, id-header fields, page/packet counts, and the
+    * last page's granule position (for Opus/Vorbis, the stream length in
+    * codec sample units — the container-level duration evidence).
+    */
+  private final case class OggStream(codec: String, channels: Int,
+      sampleRate: Long, preSkip: Int, nPages: Long, nPackets: Long,
+      finalGranule: Long, firstAudio: Option[(Int, Int)])
+
+  /** The Ogg page walk (RFC 3533): "OggS" capture pattern, version 0,
+    * header-type flags, 64-bit granule, serial, sequence, CRC (not
+    * verified — the walk indexes structure, it does not authenticate;
+    * same stance as the AVI/BMFF/EBML walks), segment table, and packet
+    * reassembly by lacing (a 255 lacing value continues the packet, and
+    * the 0x01 continuation flag carries a packet across pages). Single
+    * logical stream assumed (the common media file; grouped streams
+    * would fork per serial). First packet = the codec id header:
+    * "OpusHead" (RFC 7845 §5.1: channels, pre-skip, input rate) or
+    * "\\u0001vorbis" (channels, rate). The first AUDIO packet (first
+    * packet after the header pages) is returned as a byte range — no
+    * JVM codec exists for Opus/Vorbis, so the md5-over-range fallback is
+    * the block-walk witness, exactly the V_VP8/A_OPUS stance.
+    */
+  private def parseOgg(b: Array[Byte]): OggStream = {
+    def u32le(off: Int): Long =
+      ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def u64le(off: Int): Long = {
+      var v = 0L
+      var i = 7
+      while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
+      v
+    }
+    var off = 0
+    var nPages = 0L
+    var nPackets = 0L
+    var finalGranule = -1L
+    // first 4 reassembled packets as (off, len); off = −1 marks a packet
+    // that SPANS pages (its bytes are not one contiguous file range — a
+    // page header sits inside — so the md5-over-range witness skips it)
+    var packets = Vector.empty[(Int, Int)]
+    var carryLen = 0 // continuation carry across pages
+    while (off + 27 <= b.length && b(off) == 'O' && b(off + 1) == 'g' &&
+        b(off + 2) == 'g' && b(off + 3) == 'S') {
+      val granule = u64le(off + 6)
+      val nSegs = b(off + 26) & 0xff
+      val segOff = off + 27 + nSegs
+      if (segOff > b.length) { off = b.length }
+      else {
+        nPages += 1
+        if (granule != -1L) finalGranule = granule
+        var i = 0
+        var consumed = 0
+        var curLen = carryLen
+        var curSpanned = carryLen > 0
+        while (i < nSegs) {
+          val lace = b(off + 27 + i) & 0xff
+          curLen += lace
+          consumed += lace
+          if (lace < 255) {
+            nPackets += 1
+            if (packets.length < 4)
+              packets = packets :+ (if (curSpanned) (-1, curLen)
+                else (segOff + consumed - curLen, curLen))
+            curLen = 0
+            curSpanned = false
+          }
+          i += 1
+        }
+        carryLen = curLen
+        off = segOff + consumed
+      }
+    }
+    require(nPages > 0, "not an Ogg stream")
+    def str(o: Int, n: Int) = new String(b, o, n,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val (codec, ch, rate, preSkip, headerPackets) = packets.headOption match {
+      case Some((o, l)) if l >= 19 && str(o, 8) == "OpusHead" =>
+        ("opus", b(o + 9) & 0xff,
+          u32le(o + 12), ((b(o + 10) & 0xff) | ((b(o + 11) & 0xff) << 8)),
+          2) // OpusHead + OpusTags
+      case Some((o, l)) if l >= 30 && (b(o) & 0xff) == 1 &&
+          str(o + 1, 6) == "vorbis" =>
+        ("vorbis", b(o + 11) & 0xff, u32le(o + 12), 0,
+          3) // id + comment + setup
+      case _ => ("unknown", -1, -1L, -1, 0)
+    }
+    val firstAudio =
+      if (codec != "unknown" && packets.length > headerPackets)
+        // the first AUDIO packet follows the codec's header packets
+        // (Opus: OpusHead + OpusTags; Vorbis: id + comment + setup);
+        // a page-spanning packet carries off = −1 → no contiguous range
+        Some(packets(headerPackets)).filter(_._1 >= 0)
+      else None
+    OggStream(codec, ch, rate, preSkip, nPages, nPackets, finalGranule,
+      firstAudio)
+  }
+
+  final case class OggFeatures(media_id: Long, format: String,
+      n_bytes: Long, codec: String, channels: Int, sample_rate: Long,
+      pre_skip: Int, n_pages: Long, n_packets: Long, final_granule: Long,
+      first_audio_md5: String)
+
+  /** Audio features over Ogg payloads — the [[mp4VideoFeatures]]
+    * contract for the fourth container family: id-header fields
+    * (codec/channels/rate/pre-skip), the page/packet walk counts, the
+    * final granule position, and the first audio packet's md5 (no JVM
+    * codec for Opus/Vorbis — the hash IS the reassembly witness, the
+    * A_OPUS/V_VP8 stance). Non-Ogg / truncated payloads degrade to the
+    * −1/null sentinel row (the q104/q105 contract); same mapPartitions
+    * codec boundary and batch shape.
+    */
+  def oggAudioFeatures(media: Dataset[MediaRow], batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[OggFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          try {
+            val s = parseOgg(r.payload)
+            val md = s.firstAudio.map { case (o, l) =>
+              val d = java.security.MessageDigest.getInstance("MD5")
+              d.update(r.payload, o, l)
+              d.digest().map("%02x".format(_)).mkString
+            }.orNull
+            OggFeatures(r.media_id, r.format, r.payload.length.toLong,
+              s.codec, s.channels, s.sampleRate, s.preSkip, s.nPages,
+              s.nPackets, s.finalGranule, md)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              OggFeatures(r.media_id, r.format, r.payload.length.toLong,
+                null, -1, -1L, -1, -1L, -1L, -1L, null)
+          }
+        }
+      }
+    }
+  }
+
+  /** Raw Ogg page framing (RFC 3533): payload split into ≤255-byte
+    * lacing segments (a final 255 segment spills the packet into the
+    * next page via the continuation flag when `spill` asks for it).
+    */
+  private def oggPage(headerType: Int, granule: Long, serial: Long,
+      seq: Long, packetsOnPage: Seq[Array[Byte]],
+      continued: Int = 0): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit = (0 until 4).foreach(i =>
+      bos.write(((v >> (8 * i)) & 0xff).toInt))
+    bos.write("OggS".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bos.write(0) // version
+    bos.write(headerType | continued)
+    (0 until 8).foreach(i => bos.write(((granule >> (8 * i)) & 0xff).toInt))
+    le32(serial); le32(seq); le32(0L) // crc: not authenticated (walk note)
+    val laces = packetsOnPage.flatMap { p =>
+      val full = Seq.fill(p.length / 255)(255)
+      full :+ (p.length % 255) // a 255-multiple packet ends with a 0 lace
+    }
+    require(laces.length <= 255, s"too many segments: ${laces.length}")
+    bos.write(laces.length)
+    laces.foreach(bos.write)
+    packetsOnPage.foreach(p => bos.write(p, 0, p.length))
+    bos.toByteArray
+  }
+
+  /** Deterministic Ogg fixture ([[syntheticMkv]]'s counterpart): an
+    * OpusHead (or Vorbis id + comment + setup) header page, then one
+    * audio packet per page of deterministic opaque bytes, granule
+    * advancing `samplesPerPacket` per page, last page flagged EOS.
+    */
+  def syntheticOgg(nAudioPackets: Int, channels: Int, sampleRate: Long,
+      preSkip: Int, samplesPerPacket: Long, seed: Long,
+      codec: String = "opus"): Array[Byte] = {
+    require(nAudioPackets >= 1, s"bad nAudioPackets: $nAudioPackets")
+    val serial = 0x67726166L
+    def audioPkt(i: Int): Array[Byte] =
+      Array.tabulate(40 + ((seed + i) % 24).toInt.abs)(j =>
+        ((seed * 31 + i * 101 + j * 7) & 0xff).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    var seq = 0L
+    def page(ht: Int, granule: Long, pkts: Seq[Array[Byte]]): Unit = {
+      bos.write(oggPage(ht, granule, serial, seq, pkts))
+      seq += 1
+    }
+    if (codec == "opus") {
+      val head = new java.io.ByteArrayOutputStream()
+      head.write("OpusHead".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII))
+      head.write(1) // version
+      head.write(channels)
+      head.write(preSkip & 0xff); head.write((preSkip >> 8) & 0xff)
+      (0 until 4).foreach(i =>
+        head.write(((sampleRate >> (8 * i)) & 0xff).toInt))
+      head.write(0); head.write(0) // output gain
+      head.write(0) // mapping family
+      page(0x02, 0L, Seq(head.toByteArray)) // BOS: OpusHead alone
+      // OpusTags: magic + empty vendor string + zero user comments
+      val tags = "OpusTags".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII) ++
+        Array.fill[Byte](8)(0)
+      page(0x00, 0L, Seq(tags))
+    } else {
+      val head = new java.io.ByteArrayOutputStream()
+      head.write(1)
+      head.write("vorbis".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII))
+      (0 until 4).foreach(_ => head.write(0)) // version
+      head.write(channels)
+      (0 until 4).foreach(i =>
+        head.write(((sampleRate >> (8 * i)) & 0xff).toInt))
+      // bitrate max/nominal/min (12) + blocksizes (1) + framing bit (1)
+      (0 until 14).foreach(_ => head.write(0))
+      page(0x02, 0L, Seq(head.toByteArray))
+      val comment = (Array[Byte](3) ++ "vorbis".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII) ++
+        Array.fill[Byte](9)(0))
+      val setup = (Array[Byte](5) ++ "vorbis".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII) ++
+        Array.tabulate[Byte](16)(j => ((seed + j) & 0xff).toByte))
+      page(0x00, 0L, Seq(comment, setup)) // both headers on one page
+    }
+    (0 until nAudioPackets).foreach { i =>
+      val last = i == nAudioPackets - 1
+      page(if (last) 0x04 else 0x00, (i + 1).toLong * samplesPerPacket,
+        Seq(audioPkt(i)))
+    }
+    bos.toByteArray
+  }
+
+  /** An Opus fixture whose single audio packet SPANS two pages — the
+    * RFC 3533 continuation edge ([[syntheticOgg]]'s per-page packets
+    * never hit it): page 3 carries 510 bytes under laces [255, 255]
+    * (no terminating lace → the packet stays open), page 4 sets the
+    * 0x01 continuation flag and closes it with the final 90 bytes. The
+    * walk must count the packet ONCE, and — its bytes straddling a page
+    * header — report no contiguous md5 range for it.
+    */
+  def syntheticOggSpanningPacket(seed: Long, channels: Int = 1,
+      sampleRate: Long = 48000L, preSkip: Int = 312): Array[Byte] = {
+    val serial = 0x67726166L
+    val bos = new java.io.ByteArrayOutputStream()
+    def rawPage(headerType: Int, granule: Long, seq: Long,
+        laces: Seq[Int], data: Array[Byte]): Unit = {
+      bos.write("OggS".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII))
+      bos.write(0)
+      bos.write(headerType)
+      (0 until 8).foreach(i =>
+        bos.write(((granule >> (8 * i)) & 0xff).toInt))
+      def le32(v: Long): Unit = (0 until 4).foreach(i =>
+        bos.write(((v >> (8 * i)) & 0xff).toInt))
+      le32(serial); le32(seq); le32(0L)
+      bos.write(laces.length)
+      laces.foreach(bos.write)
+      bos.write(data, 0, data.length)
+    }
+    val head = new java.io.ByteArrayOutputStream()
+    head.write("OpusHead".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII))
+    head.write(1); head.write(channels)
+    head.write(preSkip & 0xff); head.write((preSkip >> 8) & 0xff)
+    (0 until 4).foreach(i =>
+      head.write(((sampleRate >> (8 * i)) & 0xff).toInt))
+    head.write(0); head.write(0); head.write(0)
+    rawPage(0x02, 0L, 0L, Seq(head.size()), head.toByteArray)
+    val tags = "OpusTags".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array.fill[Byte](8)(0)
+    rawPage(0x00, 0L, 1L, Seq(tags.length), tags)
+    val pkt = Array.tabulate[Byte](600)(j =>
+      ((seed * 31 + j * 7) & 0xff).toByte)
+    rawPage(0x00, -1L, 2L, Seq(255, 255), pkt.take(510))
+    rawPage(0x01 | 0x04, 960L, 3L, Seq(90), pkt.drop(510))
+    bos.toByteArray
+  }
 }

@@ -855,6 +855,39 @@ class OpsSpec extends AnyFunSuite {
       "no JVM codec for A_OPUS — null hashes, out of every band join")
   }
 
+  test("Ogg page walk: opus/vorbis id headers, lacing reassembly, the " +
+    "cross-page continuation edge, and sentinel degradation") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    def feats(rows: (Long, Array[Byte])*) =
+      Multimodal.oggAudioFeatures(rows.map { case (id, b) =>
+        Multimodal.MediaRow(id, "ogg", b) }.toDS())
+        .collect().map(f => f.media_id -> f).toMap
+    val f = feats(
+      1L -> Multimodal.syntheticOgg(3, 2, 48000L, 312, 960L, 7L, "opus"),
+      2L -> Multimodal.syntheticOgg(2, 1, 44100L, 0, 1024L, 7L, "vorbis"),
+      3L -> Multimodal.syntheticOggSpanningPacket(9L),
+      4L -> Multimodal.syntheticOgg(2, 1, 48000L, 312, 960L, 7L, "opus")
+        .take(20),
+      5L -> Array[Byte](1, 2, 3))
+    assert(f(1L).codec == "opus" && f(1L).channels == 2 &&
+      f(1L).sample_rate == 48000L && f(1L).pre_skip == 312 &&
+      f(1L).n_pages == 5L && f(1L).n_packets == 5L &&
+      f(1L).final_granule == 2880L && f(1L).first_audio_md5 != null)
+    assert(f(2L).codec == "vorbis" && f(2L).channels == 1 &&
+      f(2L).sample_rate == 44100L && f(2L).n_pages == 4L &&
+      f(2L).n_packets == 5L && f(2L).final_granule == 2048L &&
+      f(2L).first_audio_md5 != null)
+    // a packet spanning two pages: counted ONCE, pages counted both,
+    // the page-3 "no packet ends here" granule (−1) skipped, and — its
+    // bytes straddling a page header — no contiguous md5 range
+    assert(f(3L).codec == "opus" && f(3L).n_pages == 4L &&
+      f(3L).n_packets == 3L && f(3L).final_granule == 960L &&
+      f(3L).first_audio_md5 == null)
+    // truncated mid-header and non-Ogg payloads hit the sentinel row
+    assert(f(4L).codec == null && f(4L).n_pages == -1L)
+    assert(f(5L).codec == null && f(5L).channels == -1)
+  }
+
   test("decoders degrade corrupt payloads to sentinels across all three " +
     "modalities (the NonFatal parity contract)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark

@@ -109,23 +109,22 @@ object Retrieval {
       qterms: DataFrame, qIdCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       maxDfFrac: Double = 1.0): DataFrame = {
-    // persist: the read derives dl/df/stats AND joins from the same
-    // postings — unpersisted, each branch re-tokenizes and re-shuffles
-    // the corpus (4 passes; a modest win at sf0.1 where the corpus is
-    // small, the difference between 1 and 4 corpus scans at production
-    // scale). The compose form is therefore EAGER: it materializes the
-    // top-k (queries × k rows — bounded) via localCheckpoint and
-    // unpersists the corpus-sized postings in a finally, so repeated
-    // one-shot calls never accumulate pinned InMemoryRelations (r15
-    // ADVICE). A caller serving many query batches should hold a real
-    // artifact instead — [[bm25TopKFromIndex]] over [[saveLexIndex]]
-    // (zero corpus work per read), or [[bm25TopKFromPostings]] over a
-    // persisted postings fold (one stats re-derivation per read).
-    val post = postings(docs, idCol, textCol).persist()
-    try
-      bm25TopKFromPostings(post, idCol, qterms, qIdCol, k, k1, b,
-        maxDfFrac).localCheckpoint(true)
-    finally { post.unpersist(); () }
+    // lazy LOCAL CHECKPOINT on the postings: the read derives dl/df/
+    // stats AND joins from the same relation — unshared, each branch
+    // would re-tokenize and re-shuffle the corpus (4 passes). A
+    // `.cache()` shares it too, but registers a session-lifetime
+    // CacheManager entry the caller must remember to drop — repeated
+    // one-shot calls accumulate pinned corpora (r15 ADVICE). The lazy
+    // local checkpoint materializes once on first use as plain RDD
+    // blocks, which the ContextCleaner frees when the returned frame
+    // becomes unreachable — leak-free with no eager extra job. A caller
+    // serving many query batches should hold a real artifact instead —
+    // [[bm25TopKFromIndex]] over [[saveLexIndex]] (zero corpus work per
+    // read), or [[bm25TopKFromPostings]] over a persisted postings fold
+    // (one stats re-derivation per read).
+    bm25TopKFromPostings(
+      postings(docs, idCol, textCol).localCheckpoint(false), idCol,
+      qterms, qIdCol, k, k1, b, maxDfFrac)
   }
 
   /** [[bm25TopK]] over a PREBUILT postings relation — the read that
@@ -532,18 +531,15 @@ object Retrieval {
   }
 
   /** [[qlTopKFromPostings]] with the index built from `docs` in the same
-    * call — eager like [[bm25TopK]] (top-k materialized, postings
-    * unpersisted in a finally; the r15 ADVICE lifetime note applies).
+    * call — the postings ride a lazy local checkpoint like [[bm25TopK]]
+    * (ContextCleaner-freed on GC; the r15 ADVICE lifetime note applies).
     */
   def qlTopK(docs: DataFrame, idCol: String, textCol: String,
       qterms: DataFrame, qIdCol: String, k: Int,
-      mu: Double = 300.0): DataFrame = {
-    val post = postings(docs, idCol, textCol).persist()
-    try
-      qlTopKFromPostings(post, idCol, qterms, qIdCol, k, mu)
-        .localCheckpoint(true)
-    finally { post.unpersist(); () }
-  }
+      mu: Double = 300.0): DataFrame =
+    qlTopKFromPostings(
+      postings(docs, idCol, textCol).localCheckpoint(false), idCol,
+      qterms, qIdCol, k, mu)
 
   // ------------------------------------------------------------------
   // Reciprocal-rank fusion

@@ -71,10 +71,11 @@ object PlanDump {
         "q210_hist_psi",
         // round 15: the lexical-retrieval tier — q223 shows the DSIR
         // shape (the 512-row ratio table BROADCAST under a corpus-linear
-        // groupBy with map-side partials). q221 is omitted as of round 16
-        // like q43: bm25TopK is now eager (top-k localCheckpoint +
-        // postings unpersist, the r15 ADVICE lifetime fix); its lazy
-        // twin's read shape is q227's index read below. q222 composes
+        // groupBy with map-side partials). q221 is omitted as of round
+        // 16 like q25: bm25TopK's postings now ride a lazy local
+        // checkpoint (the r15 ADVICE lifetime fix), so its plan bottoms
+        // out in an opaque Scan ExistingRDD; the informative read shape
+        // is q227's index read below. q222 composes
         // the same chain with the broadcast-nested-loop semantic leg
         // (deliberate: query side is ids%50, corpus side embeddings —
         // the q28 brute-force shape).

@@ -113,6 +113,30 @@ object LexIndexProbe {
             .queryExecution.toRdd.count()
         }
         println(f"$tag%4s postings read: ${pt}%5.1fs ${ps}%12d shuf $pr%9d rows")
+        // append witness: the SAME fixed batch (suffixed to fresh ids and
+        // fresh terms) appended to the 1× and the 10× index — the claim
+        // is batch-only work, no old row read, so wall/shuffle are ~flat
+        // in the index size
+        val batch = Tables.documents(spark, baseDir)
+          .where(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + lit(1000L * maxBase)).as("doc_id"),
+            regexp_replace(col("text"), "([a-z0-9]+)", "$1zqap")
+              .as("text"))
+          .localCheckpoint(true)
+        val (at, as2, _) = measure {
+          Retrieval.appendLexIndex(batch, "doc_id", "text", idxPath,
+            batchId = 1L)
+          0L
+        }
+        println(f"$tag%4s append : ${at}%7.1fs ${as2}%12d shuf")
+        // and the multi-segment read (merged df/cf partials + stats)
+        // must stay candidates-bound like the single-segment one
+        val idx2 = Retrieval.loadLexIndex(spark, idxPath)
+        val (mt, ms, mr) = measure {
+          Retrieval.bm25TopKFromIndex(idx2, qt, "q_id", k = 10)
+            .queryExecution.toRdd.count()
+        }
+        println(f"$tag%4s seg read: ${mt}%7.1fs ${ms}%12d shuf $mr%9d rows")
     }
     spark.stop()
   }

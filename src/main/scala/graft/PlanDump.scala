@@ -111,6 +111,22 @@ object PlanDump {
         .queryExecution.explainString(
           org.apache.spark.sql.execution.SimpleMode))
       out.append("\n")
+      // round 16: the MULTI-SEGMENT read (q235's shape) — after an append,
+      // loadLexIndex folds the term sidecar's per-segment df/cf partials
+      // (one vocab-bounded aggregate over the DPP-pruned sidecar scan)
+      // and the segments-sized stats; the postings side is unchanged
+      // (rows pass through, still dynamicpruning on tbucket).
+      graft.ext.Retrieval.appendLexIndex(
+        docs.select((org.apache.spark.sql.functions.col("doc_id") +
+            org.apache.spark.sql.functions.lit(10000000L)).as("doc_id"),
+          org.apache.spark.sql.functions.col("text")),
+        "doc_id", "text", dir, batchId = 1L)
+      val idx2 = graft.ext.Retrieval.loadLexIndex(spark, dir)
+      out.append("===== q235_lex_index_append (multi-segment read side) =====\n")
+      out.append(graft.ext.Retrieval.bm25TopKFromIndex(idx2, qt, "q_id", k = 10)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode))
+      out.append("\n")
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/plans.txt"), out.toString)
     println("WROTE /tmp/plans.txt")

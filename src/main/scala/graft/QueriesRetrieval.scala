@@ -629,7 +629,218 @@ object QueriesRetrieval {
                       AS ndcg_at_k
              FROM nr LEFT JOIN ht ON nr.q_id = ht.q_id
                      JOIN idl ON nr.q_id = idl.q_id
-             ORDER BY nr.q_id"""))
+             ORDER BY nr.q_id""")),
+
+    // lexical index APPEND (round 16): build segment 0 from the even
+    // docs, append the odd docs as segment 1 (batch-only work — no old
+    // row read), replay the append (at-least-once: dynamic overwrite
+    // rewrites itself), then read WITHOUT compacting — the multi-segment
+    // load merges df/cf partials by exact SUM and stats as
+    // Σ c_total / Σ n_docs, so the oracle is q221's one-pass chain over
+    // the FULL corpus verbatim: one hash gate pins
+    // append ≡ build ≡ one-pass + replay idempotence + segment merge.
+    Q("q235_lex_index_append",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = artifactPath("lex_index_q235")
+        rmrf(new java.io.File(dir))
+        Retrieval.saveLexIndex(docs.where(col("doc_id") % 2 === 0),
+          "doc_id", "text", dir, nBuckets = 64)
+        Retrieval.appendLexIndex(docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", dir, batchId = 1L)
+        Retrieval.appendLexIndex(docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", dir, batchId = 1L) // replay: rewrite, not double
+        val idx = Retrieval.loadLexIndex(s, dir)
+        Retrieval.bm25TopKFromIndex(idx,
+            qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(bm25OracleSql)),
+
+    // lexical index DELETE + COMPACT (round 16): build over the full
+    // corpus, tombstone every doc_id % 3 = 0 (reads would exclude them
+    // under FROZEN statistics — the Lucene deleted-docs semantics,
+    // spec-pinned), then compact: the fold drops tombstoned copies and
+    // re-derives df/cf/dl/stats EXACTLY from the survivors, so the read
+    // hash-matches q221's chain over the corpus WITHOUT the deleted
+    // docs — the oracle a stale-stats read could never satisfy.
+    Q("q236_lex_index_delete",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = artifactPath("lex_index_q236")
+        rmrf(new java.io.File(dir))
+        Retrieval.saveLexIndex(docs, "doc_id", "text", dir,
+          nBuckets = 64, positional = false)
+        Retrieval.deleteFromLexIndex(s,
+          dir, docs.where(col("doc_id") % 3 === 0).select(col("doc_id")),
+          delBatch = 1L)
+        Retrieval.compactLexIndex(s, dir)
+        val idx = Retrieval.loadLexIndex(s, dir)
+        Retrieval.bm25TopKFromIndex(idx,
+            qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""WITH ${bm25Ctes("WHERE doc_id % 50 = 0",
+                               "WHERE doc_id % 3 <> 0")}
+              SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+                     round(CAST(score AS DOUBLE), 6) AS score
+              FROM rk WHERE rank <= 10 ORDER BY q_id, rank""")),
+
+    // streamed lexical index (round 16): the FULL artifact maintained
+    // from triggers — trigger 0 builds, trigger 1 appends its own
+    // segment with an in-stream partial fold (compactEvery = 1:
+    // segments below the committed batch fold to 0, the replay-safe
+    // belowBatch cut), the trigger replays (at-least-once: rewrites its
+    // segment, refolds idempotently), a final full compaction retires
+    // the segmentation, and the BM25 read serves from the artifact —
+    // oracle = q221's chain verbatim, so one hash gate pins
+    // stream ≡ batch ≡ one-pass + replay + partial fold + full fold.
+    Q("q237_stream_lex_index",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = artifactPath("lex_index_q237")
+        rmrf(new java.io.File(dir))
+        def trigger(par: Int, batchId: Long) =
+          graft.streaming.StreamingIngest.lexIndexBatch(
+            docs.where(col("doc_id") % 2 === par), batchId, dir,
+            "doc_id", "text", nBuckets = 64, compactEvery = 1)
+        trigger(0, 0L)
+        trigger(1, 1L)
+        trigger(1, 1L) // at-least-once replay after the partial fold
+        Retrieval.compactLexIndex(s, dir)
+        val idx = Retrieval.loadLexIndex(s, dir)
+        Retrieval.bm25TopKFromIndex(idx,
+            qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(bm25OracleSql)),
+
+    // RM3 pseudo-relevance feedback (round 16): the standard PRF
+    // baseline off the index artifact — QL top-5 as the feedback set,
+    // shifted-softmax doc posteriors (exp(s − max) DECIMAL(38,30)-summed
+    // so the normalizer is exact), RM1 term weights Σ (tf/dl)·posterior
+    // over the feedback docs, top-10 terms by 9dp-ROUNDED weight (the
+    // dsirSelect convention — libm exp ulp noise cannot flip the term
+    // set), renormalized and interpolated α=0.5 with the original 1/|q|
+    // model, then the WEIGHTED QL rescore. The oracle replays the whole
+    // chain: scoring CTEs, softmax, RM1 sums, both normalizations, the
+    // interpolation full-outer join, and the weighted rescore window.
+    Q("q238_rm3_prf",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = artifactPath("lex_index_q238")
+        rmrf(new java.io.File(dir))
+        Retrieval.saveLexIndex(docs, "doc_id", "text", dir,
+          nBuckets = 64, positional = false)
+        val idx = Retrieval.loadLexIndex(s, dir)
+        val qt = qterms(docs, col("doc_id") % 50 === 0)
+        val wq = Retrieval.rm3ExpandFromIndex(idx, qt, "q_id",
+          fbDocs = 5, fbTerms = 10, alpha = 0.5)
+        Retrieval.qlTopKWeightedFromIndex(idx, wq, "q_id", k = 10)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""WITH tka AS (SELECT doc_id, $toksSql AS tk FROM documents),
+            post AS (SELECT doc_id, term, count(*) AS tf
+                     FROM (SELECT doc_id, unnest(tk) AS term FROM tka)
+                     GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM post
+                   GROUP BY doc_id),
+            cf AS (SELECT term, sum(tf) AS cf FROM post GROUP BY term),
+            ct AS (SELECT sum(cf) AS c_total FROM cf),
+            qt AS (SELECT DISTINCT doc_id AS q_id,
+                          unnest(tk[1:8]) AS term
+                   FROM tka WHERE doc_id % 50 = 0),
+            qn AS (SELECT q_id, count(*) AS qlen FROM qt GROUP BY q_id),
+            sc AS (SELECT q.q_id, p.doc_id,
+                          CAST(ln(1.0 + CAST(p.tf AS DOUBLE) /
+                                 (300.0 * (CAST(c.cf AS DOUBLE) /
+                                           CAST(ct.c_total AS DOUBLE))))
+                            AS DECIMAL(20,12)) AS s
+                   FROM qt q
+                   JOIN cf c USING (term)
+                   CROSS JOIN ct
+                   JOIN post p USING (term)),
+            smq AS (SELECT q_id, doc_id, sum(s) AS sm
+                    FROM sc GROUP BY q_id, doc_id),
+            fin AS (SELECT smq.q_id, smq.doc_id,
+                           smq.sm + CAST(CAST(qn.qlen AS DOUBLE) *
+                             (-ln(CAST(l.dl AS DOUBLE) + 300.0))
+                             AS DECIMAL(20,12)) AS score
+                    FROM smq
+                    JOIN dl l ON smq.doc_id = l.doc_id
+                    JOIN qn ON smq.q_id = qn.q_id),
+            rk AS (SELECT q_id, doc_id, score,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, doc_id) AS rank
+                   FROM fin),
+            fb AS (SELECT q_id, doc_id, score FROM rk WHERE rank <= 5),
+            mxq AS (SELECT q_id, max(score) AS mx FROM fb GROUP BY q_id),
+            ex AS (SELECT f.q_id, f.doc_id,
+                          CAST(exp(CAST(f.score AS DOUBLE)
+                                   - CAST(m.mx AS DOUBLE))
+                            AS DECIMAL(38,30)) AS e
+                   FROM fb f JOIN mxq m ON f.q_id = m.q_id),
+            sx AS (SELECT q_id, sum(e) AS se FROM ex GROUP BY q_id),
+            pw AS (SELECT ex.q_id, ex.doc_id,
+                          CAST(ex.e AS DOUBLE) / CAST(sx.se AS DOUBLE)
+                            AS smw
+                   FROM ex JOIN sx ON ex.q_id = sx.q_id),
+            fbt AS (SELECT w.q_id, p.term,
+                           sum(CAST((CAST(p.tf AS DOUBLE) /
+                                     CAST(l.dl AS DOUBLE)) * w.smw
+                             AS DECIMAL(38,30))) AS rw
+                    FROM pw w
+                    JOIN post p ON w.doc_id = p.doc_id
+                    JOIN dl l ON p.doc_id = l.doc_id
+                    GROUP BY w.q_id, p.term),
+            sel AS (SELECT q_id, term, rw,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY round(CAST(rw AS DOUBLE), 9) DESC,
+                                      term) AS tr
+                    FROM fbt),
+            sel2 AS (SELECT q_id, term, rw FROM sel WHERE tr <= 10),
+            nrm AS (SELECT q_id, sum(rw) AS srw FROM sel2 GROUP BY q_id),
+            rmw AS (SELECT s2.q_id, s2.term,
+                           CAST(s2.rw AS DOUBLE) / CAST(n.srw AS DOUBLE)
+                             AS rwn
+                    FROM sel2 s2 JOIN nrm n ON s2.q_id = n.q_id),
+            og AS (SELECT qt.q_id, qt.term,
+                          1.0 / CAST(qn.qlen AS DOUBLE) AS po
+                   FROM qt JOIN qn ON qt.q_id = qn.q_id),
+            w3 AS (SELECT coalesce(o.q_id, r.q_id) AS q_id,
+                          coalesce(o.term, r.term) AS term,
+                          0.5 * coalesce(o.po, 0.0)
+                        + 0.5 * coalesce(r.rwn, 0.0) AS w
+                   FROM og o FULL OUTER JOIN rmw r
+                     ON o.q_id = r.q_id AND o.term = r.term),
+            w4 AS (SELECT q_id, term, w FROM w3 WHERE w > 0.0),
+            wsc AS (SELECT w.q_id, p.doc_id,
+                           CAST(w.w * ln(1.0 + CAST(p.tf AS DOUBLE) /
+                                  (300.0 * (CAST(c.cf AS DOUBLE) /
+                                            CAST(ct.c_total AS DOUBLE))))
+                             AS DECIMAL(20,12)) AS s
+                    FROM w4 w
+                    JOIN cf c USING (term)
+                    CROSS JOIN ct
+                    JOIN post p USING (term)),
+            wsm AS (SELECT q_id, doc_id, sum(s) AS smv
+                    FROM wsc GROUP BY q_id, doc_id),
+            wqn AS (SELECT q_id, sum(CAST(w AS DECIMAL(20,12))) AS wsum
+                    FROM w4 GROUP BY q_id),
+            wfin AS (SELECT wsm.q_id, wsm.doc_id,
+                            wsm.smv + CAST(CAST(wqn.wsum AS DOUBLE) *
+                              (-ln(CAST(l.dl AS DOUBLE) + 300.0))
+                              AS DECIMAL(20,12)) AS score
+                     FROM wsm
+                     JOIN dl l ON wsm.doc_id = l.doc_id
+                     JOIN wqn ON wsm.q_id = wqn.q_id),
+            wrk AS (SELECT q_id, doc_id, score,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY score DESC, doc_id) AS rank
+                    FROM wfin)
+           SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+                  round(CAST(score AS DOUBLE), 6) AS ql
+           FROM wrk WHERE rank <= 10 ORDER BY q_id, rank"""))
   )
 
   private lazy val artifactRoot: String =

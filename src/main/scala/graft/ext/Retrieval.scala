@@ -256,11 +256,16 @@ object Retrieval {
     * exchanges. Read cost ([[bm25TopKFromIndex]]/[[qlTopKFromIndex]]):
     * ZERO corpus work — no tokenize, no df/dl/avgdl derivation, no
     * corpus-sized shuffle; the plans scan only the artifact, DPP-pruned
-    * to the query's term buckets. Incremental maintenance: fold new
-    * batches with [[postingsMerge]] (or the streamed
-    * `StreamingIngest.postingsStream`) and re-save — df/cf/stats must
-    * re-derive from the fold, so the artifact freeze is a deliberate
-    * build event, exactly like the ANN tier's quantizer freeze.
+    * to the query's term buckets.
+    *
+    * Lifecycle: the build lands as SEGMENT 0 of a Lucene-style segmented
+    * layout — [[appendLexIndex]] adds batch-sized segments (no old row
+    * read), [[deleteFromLexIndex]] tombstones docs (reads exclude them,
+    * statistics stay frozen), [[compactLexIndex]] folds back to the
+    * canonical single segment with exactly re-derived statistics, and
+    * `StreamingIngest.lexIndexStream` drives the same three from a
+    * stream. [[loadLexIndex]] merges segments transparently, so every
+    * read operator is segment-oblivious.
     */
   def saveLexIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64, positional: Boolean = true): Unit = {
@@ -277,13 +282,33 @@ object Retrieval {
     * input must carry `(idCol, term, tf)` and may carry `pos`.
     */
   def saveLexIndexFromPostings(post0: DataFrame, idCol: String,
-      path: String, nBuckets: Int = 64): Unit = {
+      path: String, nBuckets: Int = 64): Unit =
+    writeLexSegment(post0, idCol, path, nBuckets, batchId = 0L,
+      overwriteAll = true)
+
+  /** One SEGMENT of the index — the shared writer behind build
+    * (`batchId = 0`, static overwrite of the whole artifact), append
+    * (dynamic overwrite of the segment's own `batch_id` partitions, so an
+    * at-least-once replay rewrites itself — the appendSq8Index contract),
+    * and compaction (build semantics into a temp root). Each segment is
+    * self-contained: its postings carry the segment's own denormalized
+    * `dl`, its terms rows are the segment's df/cf PARTIALS, its stats row
+    * the segment's (n_docs, c_total) — all exact integers, so the
+    * multi-segment read merge ([[loadLexIndex]]) is a lossless SUM.
+    */
+  private def writeLexSegment(post0: DataFrame, idCol: String,
+      path: String, nBuckets: Int, batchId: Long,
+      overwriteAll: Boolean): Unit = {
     val positional = post0.columns.contains("pos")
     val post = post0.persist()
     try {
+      require(!post.isEmpty,
+        "lexical index build/append/compact over an empty postings set")
       val dl = docLengths(post, idCol)
       // stats BEFORE the artifact writes: (n_docs, avgdl, c_total) in the
-      // exact arithmetic of corpusStats — c_total = Σ dl = Σ tf
+      // exact arithmetic of corpusStats — c_total = Σ dl = Σ tf. avgdl is
+      // stored for the single-segment fast path; multi-segment loads
+      // recompute it from the exact Σ c_total / Σ n_docs.
       val stats = dl
         .agg(count(lit(1)).as("n_docs"),
           (sum(col("dl")).cast("double") /
@@ -291,42 +316,263 @@ object Retrieval {
           sum(col("dl")).as("c_total"))
         .select(col("n_docs"), col("avgdl"), col("c_total"),
           lit(idCol).as("id_col"), lit(nBuckets).as("n_buckets"),
-          lit(positional).as("positional"))
+          lit(positional).as("positional"), lit(batchId).as("batch_id"))
+      val writerMode: org.apache.spark.sql.DataFrameWriter[
+          org.apache.spark.sql.Row] => org.apache.spark.sql.DataFrameWriter[
+          org.apache.spark.sql.Row] =
+        if (overwriteAll) _.mode("overwrite")
+        else _.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       val posCols = if (positional) Seq(col("pos")) else Nil
-      post.join(dl, Seq(idCol))
-        .select(Seq(col("term"), col(idCol), col("tf"), col("dl"),
-          termBucket(col("term"), nBuckets).as("tbucket")) ++ posCols: _*)
-        .repartition(col("tbucket"))
-        .sortWithinPartitions(col("term"), col(idCol))
-        .write.mode("overwrite").partitionBy("tbucket")
+      writerMode(post.join(dl, Seq(idCol))
+          .select(Seq(col("term"), col(idCol), col("tf"), col("dl"),
+            lit(batchId).as("batch_id"),
+            termBucket(col("term"), nBuckets).as("tbucket")) ++ posCols: _*)
+          .repartition(col("tbucket"))
+          .sortWithinPartitions(col("term"), col(idCol))
+          .write)
+        .partitionBy("batch_id", "tbucket")
         .parquet(s"$path/postings")
-      post.groupBy(col("term"))
-        .agg(count(lit(1)).as("dfreq"), sum(col("tf")).as("cf"))
-        .withColumn("tbucket", termBucket(col("term"), nBuckets))
-        .repartition(col("tbucket"))
-        .sortWithinPartitions(col("term"))
-        .write.mode("overwrite").partitionBy("tbucket")
+      writerMode(post.groupBy(col("term"))
+          .agg(count(lit(1)).as("dfreq"), sum(col("tf")).as("cf"))
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("tbucket", termBucket(col("term"), nBuckets))
+          .repartition(col("tbucket"))
+          .sortWithinPartitions(col("term"))
+          .write)
+        .partitionBy("batch_id", "tbucket")
         .parquet(s"$path/terms")
-      stats.write.mode("overwrite").parquet(s"$path/stats")
+      writerMode(stats.write).partitionBy("batch_id")
+        .parquet(s"$path/stats")
     } finally { post.unpersist(); () }
   }
 
-  /** Open a [[saveLexIndex]] artifact. One 1-row driver read (the frozen
-    * config — the `loadFrozenTokenizer` precedent); the three relations
-    * stay lazy parquet scans.
+  /** Open a [[saveLexIndex]] artifact. One segments-sized driver read
+    * (the frozen config + per-segment stats rows — the
+    * `loadFrozenTokenizer` precedent); the three relations stay lazy
+    * parquet scans.
+    *
+    * Multi-segment artifacts (built by [[appendLexIndex]]) come back
+    * MERGED in the same [[LexIndex]] fields, so every read operator is
+    * segment-oblivious: term-sidecar df/cf partials fold by exact SUM
+    * (append batches are doc-disjoint — the faiss-`add` contract
+    * [[appendLexIndex]] documents), stats fold as Σ c_total / Σ n_docs
+    * (exact longs, one double division — bit-identical to a fresh
+    * build's avgdl), and postings rows pass through untouched (each
+    * segment carries its own docs' dl). A SINGLE-segment artifact skips
+    * all of that: the fields are the raw scans, so the read plans stay
+    * aggregate-free (the q227 plan-purity pin).
+    *
+    * Tombstones ([[deleteFromLexIndex]]) are applied to `postings` as an
+    * anti-join `(id matches ∧ postings.batch_id ≤ del_upto)` — a doc
+    * re-added AFTER its deletion survives. df/cf/stats stay FROZEN at
+    * their pre-delete values until [[compactLexIndex]] — the Lucene
+    * deleted-docs semantics: scores of surviving docs are unchanged by a
+    * delete, only the candidate set shrinks.
     */
   def loadLexIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): LexIndex = {
-    val stats = spark.read.parquet(s"$path/stats")
-    val cfg = stats.select(col("id_col"), col("n_buckets"),
-      col("positional")).head()
+    val statsRaw = spark.read.parquet(s"$path/stats")
+    val segRows = statsRaw.select(col("id_col"), col("n_buckets"),
+      col("positional"), col("batch_id")).collect()
+    require(segRows.nonEmpty, s"empty lexical index stats at $path/stats")
+    val cfg = segRows.head
+    require(segRows.forall(r => r.getString(0) == cfg.getString(0) &&
+        r.getInt(1) == cfg.getInt(1) && r.getBoolean(2) == cfg.getBoolean(2)),
+      s"inconsistent segment configs in $path/stats")
+    val idCol = cfg.getString(0)
+    val multi = segRows.length > 1
+    val stats =
+      if (!multi) statsRaw
+      else statsRaw
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("c_total")).as("c_total"))
+        .select(col("n_docs"),
+          (col("c_total").cast("double") /
+            col("n_docs").cast("double")).as("avgdl"),
+          col("c_total"))
+    val termsRaw = spark.read.parquet(s"$path/terms")
+    val terms =
+      if (!multi) termsRaw
+      else termsRaw.groupBy(col("tbucket"), col("term"))
+        .agg(sum(col("dfreq")).as("dfreq"), sum(col("cf")).as("cf"))
+    val postsRaw = spark.read.parquet(s"$path/postings")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val postings =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/deleted")))
+        postsRaw
+      else {
+        val dels = spark.read.parquet(s"$path/deleted")
+          .select(col(idCol).as("__del_id"),
+            col("del_upto").as("__del_upto"))
+        postsRaw.join(dels,
+          postsRaw(idCol) === col("__del_id") &&
+            postsRaw("batch_id") <= col("__del_upto"),
+          "left_anti")
+      }
     LexIndex(
-      postings = spark.read.parquet(s"$path/postings"),
-      terms = spark.read.parquet(s"$path/terms"),
+      postings = postings,
+      terms = terms,
       stats = stats,
-      idCol = cfg.getString(0),
+      idCol = idCol,
       nBuckets = cfg.getInt(1),
       positional = cfg.getBoolean(2))
+  }
+
+  /** Append one batch of NEW documents to a persisted index: tokenize +
+    * index ONLY the batch (no old postings row is read) and land it as
+    * segment `batchId` via dynamic partition overwrite, so an
+    * at-least-once replay of the batch rewrites itself (the
+    * appendSq8Index contract). The segment layout (positional flag,
+    * bucket count, id column) is FROZEN at build — read from the stats
+    * sidecar, never a parameter, exactly like the faiss `add` contract's
+    * frozen quantizer.
+    *
+    * PRECONDITION (the faiss-`add` analog): batch doc ids are disjoint
+    * from live ids. Re-ingesting a changed document is
+    * [[deleteFromLexIndex]] + append-under-a-later-batch (reads then
+    * serve the new copy), or append-then-[[compactLexIndex]] (the fold
+    * keeps each doc's LATEST segment). An UNCOMPACTED double-ingestion
+    * without a delete double-counts that doc's postings in scoring —
+    * same as Lucene before a merge drops the old generation.
+    */
+  def appendLexIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, batchId: Long): Unit = {
+    require(batchId >= 1, s"append batchId must be >= 1: $batchId")
+    val cfg = docs.sparkSession.read.parquet(s"$path/stats")
+      .select(col("id_col"), col("n_buckets"), col("positional")).head()
+    require(cfg.getString(0) == idCol,
+      s"index id column is ${cfg.getString(0)}, got $idCol")
+    val post0 =
+      if (cfg.getBoolean(2)) postingsPositional(docs, idCol, textCol)
+      else postings(docs, idCol, textCol)
+    writeLexSegment(post0, idCol, path, cfg.getInt(1), batchId,
+      overwriteAll = false)
+  }
+
+  /** [[appendLexIndex]] over an already-built postings relation (the
+    * streamed-fold entry point — `StreamingIngest.lexIndexBatch`). The
+    * input must carry `pos` iff the artifact is positional.
+    */
+  def appendLexIndexFromPostings(post0: DataFrame, idCol: String,
+      path: String, batchId: Long): Unit = {
+    require(batchId >= 1, s"append batchId must be >= 1: $batchId")
+    val cfg = post0.sparkSession.read.parquet(s"$path/stats")
+      .select(col("id_col"), col("n_buckets"), col("positional")).head()
+    require(cfg.getString(0) == idCol,
+      s"index id column is ${cfg.getString(0)}, got $idCol")
+    require(post0.columns.contains("pos") == cfg.getBoolean(2),
+      "positional flag of the postings batch must match the artifact")
+    writeLexSegment(post0, idCol, path, cfg.getInt(1), batchId,
+      overwriteAll = false)
+  }
+
+  /** Tombstone documents out of a persisted index — the Lucene
+    * deleted-docs model: `ids` (any single-column frame of doc ids) land
+    * under `deleted/batch_id=delBatch` as `(idCol, del_upto)` rows where
+    * `del_upto` = the artifact's CURRENT max segment, so the delete kills
+    * every copy indexed so far and a later re-add (a segment
+    * > del_upto) serves again. Reads drop tombstoned postings rows but
+    * keep df/cf/stats FROZEN (scores of survivors are unchanged — the
+    * exact Lucene semantics until a merge); [[compactLexIndex]] applies
+    * tombstones physically and re-derives exact statistics.
+    *
+    * `delBatch` is the delete EVENT's id (the append batchId contract):
+    * dynamic overwrite of its own partition makes an at-least-once replay
+    * rewrite itself. Distinct delete events need distinct ids — a reused
+    * id overwrites the earlier event's tombstones.
+    */
+  def deleteFromLexIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, delBatch: Long): Unit = {
+    val statsRaw = spark.read.parquet(s"$path/stats")
+    val head = statsRaw.select(col("id_col")).head()
+    val idCol = head.getString(0)
+    // batch_id is a PARTITION column on read — inferred int32, so cast
+    val maxSeg = statsRaw.agg(max(col("batch_id").cast("long")))
+      .head().getLong(0)
+    require(ids.columns.length == 1,
+      s"ids must be a single-column frame, got ${ids.columns.mkString(",")}")
+    ids.select(col(ids.columns.head).as(idCol))
+      .distinct()
+      .withColumn("del_upto", lit(maxSeg))
+      .withColumn("batch_id", lit(delBatch))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$path/deleted")
+  }
+
+  /** Fold a segmented, possibly-tombstoned index back to canonical
+    * single-segment form: drop tombstoned copies, keep each surviving
+    * doc's LATEST segment (its newest version GROUP — the
+    * compactVersionedIndex rule: a doc's postings rows fold together,
+    * never row-by-row), re-derive df/cf/dl/stats EXACTLY from the
+    * survivors (identical arithmetic to a fresh build over the live
+    * corpus — the q236 oracle gate), and write segment 0 into a temp
+    * ROOT swapped in one crash-safe rename (Pipeline.swap), which also
+    * retires the tombstone sidecar atomically with the relations it
+    * amended. Returns the live postings row count.
+    *
+    * This is the deliberate corpus-sized event of the tier (the Lucene
+    * merge / ANN re-train analog); appends and deletes between
+    * compactions are batch-sized.
+    */
+  def compactLexIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, belowBatch: Option[Long] = None): Long = {
+    val idx = loadLexIndex(spark, path) // tombstones already applied
+    val idCol = idx.idCol
+    // `belowBatch` = the in-stream form (StreamingIngest.lexIndexStream):
+    // fold only segments strictly below the just-committed batch, so a
+    // replay of that batch still dynamic-overwrites exactly its own
+    // pre-fold segment — the compactSignatureIndex replay contract.
+    val (fold0, keep) = belowBatch match {
+      case Some(b) =>
+        (idx.postings.where(col("batch_id") < b),
+          idx.postings.where(col("batch_id") >= b))
+      case None => (idx.postings, idx.postings.limit(0))
+    }
+    // keep-latest within the fold, then drop any folded doc that also
+    // has a KEPT copy (the kept segment is strictly newer by batch id) —
+    // so a partial fold preserves the full fold's version semantics
+    val live = fold0
+      .withColumn("__mb",
+        max(col("batch_id")).over(Window.partitionBy(col(idCol))))
+      .where(col("batch_id") === col("__mb"))
+      .join(keep.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+    val posCols = if (idx.positional) Seq(col("pos")) else Nil
+    val post0 = live.select(
+      Seq(col(idCol), col("term"), col("tf")) ++ posCols: _*)
+    val tmp = s"$path.compact.tmp"
+    writeLexSegment(post0, idCol, tmp, idx.nBuckets, batchId = 0L,
+      overwriteAll = true)
+    belowBatch.foreach { b =>
+      // carry the kept segments (postings + their df/cf partials + their
+      // stats rows) and the still-live tombstones (del_upto >= b — every
+      // earlier tombstone is fully applied by the fold; a kept tombstone
+      // cannot touch a folded row, because any folded copy it matches
+      // was already dropped by the fold's own anti-join) into the new
+      // root before the swap
+      keep.write.mode("append").partitionBy("batch_id", "tbucket")
+        .parquet(s"$tmp/postings")
+      spark.read.parquet(s"$path/terms")
+        .where(col("batch_id") >= b)
+        .write.mode("append").partitionBy("batch_id", "tbucket")
+        .parquet(s"$tmp/terms")
+      spark.read.parquet(s"$path/stats")
+        .where(col("batch_id") >= b)
+        .write.mode("append").partitionBy("batch_id")
+        .parquet(s"$tmp/stats")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/deleted"))) {
+        val liveTombs = spark.read.parquet(s"$path/deleted")
+          .where(col("del_upto") >= b)
+        if (!liveTombs.isEmpty)
+          liveTombs.write.mode("append").partitionBy("batch_id")
+            .parquet(s"$tmp/deleted")
+      }
+    }
+    graft.pipeline.Pipeline.swap(spark, tmp, path)
+    spark.read.parquet(s"$path/postings").count()
   }
 
   /** The query's terms joined against the index's term sidecar —
@@ -403,7 +649,19 @@ object Retrieval {
     * Gated verbatim by the q226 oracle.
     */
   def qlTopKFromIndex(idx: LexIndex, qterms: DataFrame, qIdCol: String,
-      k: Int, mu: Double = 300.0): DataFrame = {
+      k: Int, mu: Double = 300.0): DataFrame =
+    qlScoredFromIndex(idx, qterms, qIdCol, k, mu)
+      .select(col("q_id"), col("rank"), col(idx.idCol),
+        round(col("__score").cast("double"), 6).as("ql"))
+
+  /** [[qlTopKFromIndex]] BEFORE the 6 dp presentation round —
+    * `(q_id, rank, idCol, __score DECIMAL(20,12))`. [[rm3ExpandFromIndex]]
+    * feeds the exact decimal score into its softmax so the expansion
+    * replays bit-identically in the oracle; rounding first would shift
+    * 12 dp decimals downstream.
+    */
+  private def qlScoredFromIndex(idx: LexIndex, qterms: DataFrame,
+      qIdCol: String, k: Int, mu: Double): DataFrame = {
     val kept = keptTerms(idx, qterms, qIdCol, maxDfFrac = 1.0)
     val qlen = qterms
       .select(col(qIdCol).as("q_id"), col("term"))
@@ -424,6 +682,141 @@ object Retrieval {
       .select(col("q_id"), col(idx.idCol),
         (col("__sm") +
           (col("qlen").cast("double") *
+            -log(col("dl").cast("double") + lit(mu)))
+            .cast("decimal(20,12)")).as("__score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("__score").desc, col(idx.idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+  }
+
+  /** RM3 pseudo-relevance-feedback query expansion (Lavrenko & Croft's
+    * relevance model, interpolated — the standard PRF baseline) served
+    * from a [[LexIndex]] artifact. Returns the expanded WEIGHTED query
+    * `(q_id, term, w)` for [[qlTopKWeightedFromIndex]]:
+    *
+    *  1. feedback set = [[qlTopKFromIndex]]'s top `fbDocs` (exact
+    *     decimal scores, pre-round);
+    *  2. doc posterior = shifted softmax over the feedback scores —
+    *     `exp(s_d − max_q s)` cast DECIMAL(38,30) (values ≤ 1 by the
+    *     shift, so the exact sum cannot overflow; mass below 1e-30
+    *     truncates identically in engine and oracle), normalized in
+    *     DOUBLE;
+    *  3. RM1 term weights = Σ_feedback docs P(w|d)·posterior_d with MLE
+    *     P(w|d) = tf/dl, per-row DOUBLE products DECIMAL(38,30)-summed;
+    *  4. top `fbTerms` by (weight desc, term asc), re-normalized over
+    *     the SELECTED terms (the Anserini convention);
+    *  5. RM3 interpolation with the original query's MLE model
+    *     (DISTINCT terms → 1/|q| each):
+    *     `w = alpha·orig + (1 − alpha)·rm1`, absent sides contribute 0.
+    *
+    * Scale shape: every relation after the feedback read is
+    * (queries × fbDocs)- or (queries × fbTerms)-sized EXCEPT the
+    * feedback-document term fetch, which semi-joins the term-partitioned
+    * postings on DOC id — a scan-bound pass over the postings artifact
+    * (the term-partitioned layout cannot prune by doc). That is the
+    * classical term-vectors/forward-index trade: Lucene stores optional
+    * per-doc term vectors to serve exactly this read; at 100 TB either
+    * batch PRF queries so one postings pass serves many expansions, or
+    * persist a doc-bucketed forward sidecar. The fetch is one pass, no
+    * corpus re-tokenize, and everything it feeds is query-bounded.
+    */
+  def rm3ExpandFromIndex(idx: LexIndex, qterms: DataFrame, qIdCol: String,
+      fbDocs: Int = 10, fbTerms: Int = 10, alpha: Double = 0.5,
+      mu: Double = 300.0): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1, s"fbDocs/fbTerms must be >= 1")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    val fb = qlScoredFromIndex(idx, qterms, qIdCol, fbDocs, mu)
+      .select(col("q_id"), col(idx.idCol), col("__score"))
+    val mx = fb.groupBy(col("q_id")).agg(max(col("__score")).as("__mx"))
+    val post = fb.join(broadcast(mx), Seq("q_id"))
+      .select(col("q_id"), col(idx.idCol),
+        exp(col("__score").cast("double") - col("__mx").cast("double"))
+          .cast("decimal(38,30)").as("__e"))
+    val se = post.groupBy(col("q_id")).agg(sum(col("__e")).as("__se"))
+    val smw = post.join(broadcast(se), Seq("q_id"))
+      .select(col("q_id"), col(idx.idCol),
+        (col("__e").cast("double") / col("__se").cast("double"))
+          .as("__smw"))
+    // feedback docs' term vectors off the postings artifact (dl rides
+    // denormalized) — the one scan-bound leg, see the scaladoc note
+    val fbt = idx.postings
+      .join(broadcast(smw), Seq(idx.idCol))
+      .select(col("q_id"), col("term"),
+        ((col("tf").cast("double") / col("dl").cast("double")) *
+          col("__smw")).cast("decimal(38,30)").as("__rw1"))
+      .groupBy(col("q_id"), col("term"))
+      .agg(sum(col("__rw1")).as("__rw"))
+    // rank by the 9 dp-ROUNDED weight (ties on term) — the dsirSelect
+    // convention: libm exp() may differ from the JVM's in the last ulp,
+    // and the DECIMAL(38,30) sums preserve all ~17 double digits, so an
+    // unrounded rank key could let that noise flip the selected term
+    // set across engines; 9 dp absorbs it and replays exactly
+    val wSel = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("__rw").cast("double"), 9).desc, col("term").asc)
+    val sel = fbt
+      .withColumn("__tr", row_number().over(wSel))
+      .where(col("__tr") <= fbTerms)
+      .select(col("q_id"), col("term"), col("__rw"))
+    val nrm = sel.groupBy(col("q_id")).agg(sum(col("__rw")).as("__srw"))
+    val rmw = sel.join(broadcast(nrm), Seq("q_id"))
+      .select(col("q_id"), col("term"),
+        (col("__rw").cast("double") / col("__srw").cast("double"))
+          .as("__rwn"))
+    val orig = qterms
+      .select(col(qIdCol).as("q_id"), col("term"))
+      .withColumn("__qlen",
+        count(lit(1)).over(Window.partitionBy(col("q_id"))))
+      .select(col("q_id"), col("term"),
+        (lit(1.0) / col("__qlen").cast("double")).as("__po"))
+    orig.join(rmw, Seq("q_id", "term"), "full_outer")
+      .select(col("q_id"), col("term"),
+        (lit(alpha) * coalesce(col("__po"), lit(0.0)) +
+          lit(1.0 - alpha) * coalesce(col("__rwn"), lit(0.0))).as("w"))
+      // a zero-weight term (alpha = 1 leaves expansion-only terms at
+      // exactly 0.0) contributes nothing to scores but WOULD widen the
+      // candidate set — a doc matching only it would surface with a
+      // penalty-only score; drop such terms so the degenerate alphas
+      // reduce cleanly (alpha = 1 ≡ the original query's candidates)
+      .where(col("w") > 0.0)
+  }
+
+  /** Query-likelihood top-k for a WEIGHTED query `(qIdCol, term, w)` —
+    * the read an RM3-expanded query needs: rank score per (query, doc) =
+    * `Σ_matched w_t·ln(1 + tf/(μ·p_c(t))) − (Σ_t w_t)·ln(dl + μ)`, the
+    * [[qlTopKFromIndex]] arithmetic with the uniform 1-per-term weights
+    * generalized (w_t ≡ 1 reproduces it exactly: Σ w = |q|). Same
+    * determinism shape: per-term DOUBLE expressions DECIMAL(20,12)-cast
+    * before the exact sum, the weight total itself an exact decimal sum,
+    * ranks tie-break on doc id. Returns `(q_id, rank, idCol, ql)`.
+    */
+  def qlTopKWeightedFromIndex(idx: LexIndex, wqterms: DataFrame,
+      qIdCol: String, k: Int, mu: Double = 300.0): DataFrame = {
+    val qt = wqterms
+      .select(col(qIdCol).as("q_id"), col("term"),
+        col("w").cast("double").as("__w"))
+      .withColumn("tbucket", termBucket(col("term"), idx.nBuckets))
+    val kept = idx.terms
+      .join(broadcast(qt), Seq("tbucket", "term"))
+      .crossJoin(broadcast(idx.stats.select(col("c_total"))))
+    val wsum = qt
+      .groupBy(col("q_id"))
+      .agg(sum(col("__w").cast("decimal(20,12)")).as("__wsum"))
+    val pc = col("cf").cast("double") / col("c_total").cast("double")
+    val termS = col("__w") * log(lit(1.0) +
+      col("tf").cast("double") / (lit(mu) * pc))
+    val matched = idx.postings
+      .join(broadcast(kept), Seq("tbucket", "term"))
+      .select(col("q_id"), col(idx.idCol), col("dl"),
+        termS.cast("decimal(20,12)").as("__s"))
+      .groupBy(col("q_id"), col(idx.idCol), col("dl"))
+      .agg(sum(col("__s")).as("__sm"))
+    val scored = matched
+      .join(broadcast(wsum), Seq("q_id"))
+      .select(col("q_id"), col(idx.idCol),
+        (col("__sm") +
+          (col("__wsum").cast("double") *
             -log(col("dl").cast("double") + lit(mu)))
             .cast("decimal(20,12)")).as("__score"))
     val w = Window.partitionBy(col("q_id"))

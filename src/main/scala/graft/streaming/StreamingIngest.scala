@@ -1647,6 +1647,55 @@ object StreamingIngest {
     graft.ext.Retrieval.postingsMerge(idCol,
       spark.read.parquet(indexDir).drop("batch_id"))
 
+  /** Streaming maintenance of the FULL lexical index artifact (postings
+    * + df/cf term sidecar + stats — `Retrieval.saveLexIndex`'s layout),
+    * not just the raw postings fold of [[postingsStream]]: the first
+    * trigger BUILDS the artifact (segment 0), every later trigger lands
+    * as its own segment via `Retrieval.appendLexIndex` (dynamic
+    * overwrite — at-least-once replay rewrites itself), and reads serve
+    * through `Retrieval.loadLexIndex`'s segment merge at ANY point
+    * between triggers. `compactEvery` folds segments below the
+    * just-committed batch (`Retrieval.compactLexIndex(belowBatch)`) so
+    * the segment count stays bounded while that batch's replay still
+    * rewrites exactly its own pre-fold partition.
+    *
+    * Batch-0 replay rebuilds with a static overwrite — safe because
+    * Structured Streaming replays only the LAST uncommitted batch, so no
+    * later segment can exist when batch 0 re-runs.
+    */
+  def lexIndexStream(docs: DataFrame, indexDir: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      nBuckets: Int = 64, positional: Boolean = true,
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lexIndexBatch(batch, batchId, indexDir, idCol, textCol,
+          nBuckets, positional, compactEvery)
+      }
+      .start()
+
+  /** One trigger of [[lexIndexStream]] — public so specs and the batch
+    * catalog drive exactly the production path.
+    */
+  def lexIndexBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      idCol: String, textCol: String, nBuckets: Int = 64,
+      positional: Boolean = true, compactEvery: Int = 0): Unit = {
+    if (batch.isEmpty) return
+    if (batchId == 0L)
+      graft.ext.Retrieval.saveLexIndex(batch, idCol, textCol, indexDir,
+        nBuckets, positional)
+    else
+      graft.ext.Retrieval.appendLexIndex(batch, idCol, textCol, indexDir,
+        batchId)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      graft.ext.Retrieval.compactLexIndex(batch.sparkSession, indexDir,
+        belowBatch = Some(batchId))
+      ()
+    }
+  }
+
   /** Fold partials with `batch_id < belowBatch` (None = all) into the
     * `-1` epoch — SUM merge, temp-then-swap, crash-safe like
     * [[compactSketchDir]]. Returns the post-compaction row count.

@@ -313,8 +313,9 @@ class RetrievalSpec extends AnyFunSuite {
       .createTempDirectory("lexidx_plan").toString + "/idx"
     Retrieval.saveLexIndex(corpus, "doc_id", "text", path, nBuckets = 8,
       positional = false)
-    // bucket directories exist — the physical layout DPP needs
-    val dirs = new java.io.File(s"$path/postings").listFiles()
+    // bucket directories exist — the physical layout DPP needs (under
+    // the build's segment 0)
+    val dirs = new java.io.File(s"$path/postings/batch_id=0").listFiles()
       .filter(_.getName.startsWith("tbucket=")).map(_.getName)
     assert(dirs.nonEmpty && dirs.length <= 8, dirs.mkString(","))
     val idx = Retrieval.loadLexIndex(spark, path)
@@ -442,5 +443,209 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rowsOf(a) == rowsOf(b) && rowsOf(a).nonEmpty)
     val idx1 = Retrieval.loadLexIndex(spark, p1)
     assert(!idx1.positional) // tf-only fold → non-positional artifact
+  }
+
+  // ---- index lifecycle: append / delete / compact --------------------
+
+  private def tmpIdx(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/idx"
+
+  test("appendLexIndex: build(even) + append(odd) reads equal the " +
+    "one-pass build, including positions; replay rewrites, not doubles") {
+    val p = tmpIdx("lexidx_app")
+    Retrieval.saveLexIndex(corpus.where($"doc_id" % 2 === 0),
+      "doc_id", "text", p, nBuckets = 8)
+    Retrieval.appendLexIndex(corpus.where($"doc_id" % 2 === 1),
+      "doc_id", "text", p, batchId = 1L)
+    Retrieval.appendLexIndex(corpus.where($"doc_id" % 2 === 1),
+      "doc_id", "text", p, batchId = 1L) // at-least-once replay
+    val pRef = tmpIdx("lexidx_app_ref")
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", pRef, nBuckets = 8)
+    val idx = Retrieval.loadLexIndex(spark, p)
+    val ref = Retrieval.loadLexIndex(spark, pRef)
+    val q = Seq((1L, "fox"), (1L, "dog"), (2L, "quick"))
+      .toDF("q_id", "term")
+    assert(rowsOf(Retrieval.bm25TopKFromIndex(idx, q, "q_id", k = 5)) ==
+      rowsOf(Retrieval.bm25TopKFromIndex(ref, q, "q_id", k = 5)))
+    assert(rowsOf(Retrieval.qlTopKFromIndex(idx, q, "q_id", k = 5)) ==
+      rowsOf(Retrieval.qlTopKFromIndex(ref, q, "q_id", k = 5)))
+    // the positional path crosses segments too (doc 1 is in segment 1)
+    val ph = Seq((1L, 0, "quick"), (1L, 1, "brown"), (1L, 2, "fox"))
+      .toDF("q_id", "j", "term")
+    assert(Retrieval.phraseCandidates(idx, ph, "q_id")
+      .collect().map(_.getLong(1)).toSet == Set(0L, 1L))
+    // frozen-config guards: wrong id column, mismatched positional batch
+    val e1 = intercept[IllegalArgumentException] {
+      Retrieval.appendLexIndex(corpus, "wrong_id", "text", p, 2L)
+    }
+    assert(e1.getMessage.contains("id column"))
+    val e2 = intercept[IllegalArgumentException] {
+      Retrieval.appendLexIndexFromPostings(
+        Retrieval.postings(corpus, "doc_id", "text"), "doc_id", p, 2L)
+    }
+    assert(e2.getMessage.contains("positional"))
+  }
+
+  test("deleteFromLexIndex: tombstoned docs vanish from reads while " +
+    "survivor scores keep the FROZEN statistics (Lucene semantics)") {
+    val p = tmpIdx("lexidx_del")
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", p, nBuckets = 8,
+      positional = false)
+    val q = Seq((1L, "fox"), (1L, "dog")).toDF("q_id", "term")
+    val before = Retrieval.bm25TopKFromIndex(
+      Retrieval.loadLexIndex(spark, p), q, "q_id", k = 5).collect()
+    Retrieval.deleteFromLexIndex(spark, p,
+      Seq(0L, 3L).toDF("doc_id"), delBatch = 1L)
+    val after = Retrieval.bm25TopKFromIndex(
+      Retrieval.loadLexIndex(spark, p), q, "q_id", k = 5).collect()
+    val afterIds = after.map(_.getLong(2)).toSet
+    assert(!afterIds.contains(0L) && !afterIds.contains(3L))
+    // scores of surviving (q, doc) pairs are UNCHANGED — df/avgdl frozen
+    val beforeScores = before
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    after.foreach { r =>
+      assert(beforeScores((r.getLong(0), r.getLong(2))) == r.getDouble(3))
+    }
+    // ranks re-densify over the survivors
+    assert(after.map(_.getInt(1)).sorted.toSeq == (1 to after.length))
+  }
+
+  test("delete-then-readd: a segment NEWER than del_upto serves the doc " +
+    "again, with its new text") {
+    val p = tmpIdx("lexidx_readd")
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", p, nBuckets = 8,
+      positional = false)
+    Retrieval.deleteFromLexIndex(spark, p, Seq(1L).toDF("doc_id"), 1L)
+    // re-add doc 1 with DIFFERENT text under a later segment
+    Retrieval.appendLexIndex(
+      Seq((1L, "zebra zebra crossing")).toDF("doc_id", "text"),
+      "doc_id", "text", p, batchId = 2L)
+    val idx = Retrieval.loadLexIndex(spark, p)
+    val q = Seq((1L, "zebra"), (2L, "quick")).toDF("q_id", "term")
+    val hits = Retrieval.bm25TopKFromIndex(idx, q, "q_id", k = 5)
+      .collect().groupBy(_.getLong(0))
+    // new text retrieves it...
+    assert(hits(1L).map(_.getLong(2)).toSet == Set(1L))
+    // ...old text does not (its copy is ≤ del_upto)
+    assert(!hits.getOrElse(2L, Array())
+      .map(_.getLong(2)).toSet.contains(1L))
+  }
+
+  test("compactLexIndex: applies tombstones, keeps each doc's latest " +
+    "version, re-derives EXACT statistics — reads equal a fresh build " +
+    "over the live corpus; tombstones retired; single segment left") {
+    val p = tmpIdx("lexidx_cmp")
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", p, nBuckets = 8,
+      positional = false)
+    Retrieval.deleteFromLexIndex(spark, p, Seq(2L).toDF("doc_id"), 1L)
+    // re-ingestion WITHOUT a delete: compaction must keep the latest copy
+    Retrieval.appendLexIndex(
+      Seq((4L, "a cat and a fox met a cat")).toDF("doc_id", "text"),
+      "doc_id", "text", p, batchId = 2L)
+    val n = Retrieval.compactLexIndex(spark, p)
+    assert(n > 0)
+    assert(!new java.io.File(s"$p/deleted").exists())
+    val segs = new java.io.File(s"$p/postings").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSeq
+    assert(segs == Seq("batch_id=0"), segs.mkString(","))
+    val live = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox"),
+      (3L, "quick quick quick brown brown fox"),
+      (4L, "a cat and a fox met a cat")
+    ).toDF("doc_id", "text")
+    val pRef = tmpIdx("lexidx_cmp_ref")
+    Retrieval.saveLexIndex(live, "doc_id", "text", pRef, nBuckets = 8,
+      positional = false)
+    val q = Seq((1L, "fox"), (1L, "cat"), (2L, "dog"), (3L, "lorem"))
+      .toDF("q_id", "term")
+    val a = Retrieval.bm25TopKFromIndex(
+      Retrieval.loadLexIndex(spark, p), q, "q_id", k = 5)
+    val b = Retrieval.bm25TopKFromIndex(
+      Retrieval.loadLexIndex(spark, pRef), q, "q_id", k = 5)
+    assert(rowsOf(a) == rowsOf(b) && rowsOf(a).nonEmpty)
+    val aq = Retrieval.qlTopKFromIndex(
+      Retrieval.loadLexIndex(spark, p), q, "q_id", k = 5)
+    val bq = Retrieval.qlTopKFromIndex(
+      Retrieval.loadLexIndex(spark, pRef), q, "q_id", k = 5)
+    assert(rowsOf(aq) == rowsOf(bq))
+  }
+
+  // ---- RM3 pseudo-relevance feedback ---------------------------------
+
+  test("qlTopKWeightedFromIndex with unit weights reproduces " +
+    "qlTopKFromIndex exactly") {
+    val p = tmpIdx("lexidx_wql")
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", p, nBuckets = 8,
+      positional = false)
+    val idx = Retrieval.loadLexIndex(spark, p)
+    val q = Seq((1L, "fox"), (1L, "dog"), (2L, "quick"))
+      .toDF("q_id", "term")
+    val wq = q.withColumn("w", lit(1.0))
+    assert(rowsOf(Retrieval.qlTopKWeightedFromIndex(idx, wq, "q_id", k = 5))
+      == rowsOf(Retrieval.qlTopKFromIndex(idx, q, "q_id", k = 5)))
+  }
+
+  test("rm3ExpandFromIndex: weights form a distribution, expansion pulls " +
+    "feedback-doc terms absent from the query, alpha bounds behave") {
+    val p = tmpIdx("lexidx_rm3")
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", p, nBuckets = 8,
+      positional = false)
+    val idx = Retrieval.loadLexIndex(spark, p)
+    val q = Seq((1L, "quick"), (1L, "fox")).toDF("q_id", "term")
+    val wq = Retrieval.rm3ExpandFromIndex(idx, q, "q_id",
+      fbDocs = 3, fbTerms = 5, alpha = 0.5)
+    val rows = wq.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // all weights positive, and per-query they sum to α·1 + (1−α)·1 = 1
+    assert(rows.forall(_._3 > 0))
+    val total = rows.map(_._3).sum
+    assert(math.abs(total - 1.0) < 1e-9, s"weights sum $total")
+    // expansion terms beyond the originals, drawn from feedback docs
+    // (docs 0/1/3 are the top QL matches; "brown" co-occurs in all)
+    val terms = rows.map(_._2).toSet
+    assert(terms.contains("quick") && terms.contains("fox"))
+    assert(terms.contains("brown"), terms.mkString(","))
+    // alpha = 1: the original query's MLE model alone — uniform 1/|q|
+    // over exactly the original terms (zero-weight expansion terms
+    // dropped, so the candidate set cannot widen)
+    val w1 = Retrieval.rm3ExpandFromIndex(idx, q, "q_id",
+      fbDocs = 3, fbTerms = 5, alpha = 1.0).collect()
+    assert(w1.map(_.getString(1)).toSet == Set("quick", "fox"))
+    assert(w1.forall(r => math.abs(r.getDouble(2) - 0.5) < 1e-12))
+    // alpha = 1 re-scoring ranks like the unweighted read (scores scale
+    // by the positive constant 1/|q|)
+    val r1 = Retrieval.qlTopKWeightedFromIndex(idx,
+      Retrieval.rm3ExpandFromIndex(idx, q, "q_id", 3, 5, alpha = 1.0),
+      "q_id", k = 5).collect().sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    val r0 = Retrieval.qlTopKFromIndex(idx, q, "q_id", k = 5)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(r1 == r0)
+  }
+
+  test("compactLexIndex(belowBatch): partial fold preserves reads, keeps " +
+    "the kept segment replayable, and retires only applied tombstones") {
+    val p = tmpIdx("lexidx_pfold")
+    Retrieval.saveLexIndex(corpus.where($"doc_id" % 2 === 0),
+      "doc_id", "text", p, nBuckets = 8, positional = false)
+    Retrieval.appendLexIndex(corpus.where($"doc_id" % 2 === 1),
+      "doc_id", "text", p, batchId = 1L)
+    Retrieval.compactLexIndex(spark, p, belowBatch = Some(1L))
+    // folded segment 0 + kept segment 1
+    val segs = new java.io.File(s"$p/postings").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(segs == Set("batch_id=0", "batch_id=1"), segs.mkString(","))
+    val pRef = tmpIdx("lexidx_pfold_ref")
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", pRef, nBuckets = 8,
+      positional = false)
+    val q = Seq((1L, "fox"), (1L, "dog"), (2L, "quick"))
+      .toDF("q_id", "term")
+    def readOf(path: String) = rowsOf(Retrieval.bm25TopKFromIndex(
+      Retrieval.loadLexIndex(spark, path), q, "q_id", k = 5))
+    assert(readOf(p) == readOf(pRef))
+    // the kept segment's replay still rewrites itself post-fold
+    Retrieval.appendLexIndex(corpus.where($"doc_id" % 2 === 1),
+      "doc_id", "text", p, batchId = 1L)
+    assert(readOf(p) == readOf(pRef))
   }
 }

@@ -143,6 +143,115 @@ object QueriesRetrieval {
                 round(CAST(score AS DOUBLE), 6) AS ql
          FROM rk WHERE rank <= 10 ORDER BY q_id, rank"""
 
+  /** q238's full oracle — q240 reuses it VERBATIM: the RM3 chain served
+    * through the forward (term-vectors) sidecar must produce the exact
+    * rows of the postings-fallback fetch, so one hash gate pins
+    * forward-fetch ≡ postings-fetch ≡ the replayed relevance model.
+    */
+  private val rm3OracleSql: String =
+    s"""WITH tka AS (SELECT doc_id, $toksSql AS tk FROM documents),
+            post AS (SELECT doc_id, term, count(*) AS tf
+                     FROM (SELECT doc_id, unnest(tk) AS term FROM tka)
+                     GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM post
+                   GROUP BY doc_id),
+            cf AS (SELECT term, sum(tf) AS cf FROM post GROUP BY term),
+            ct AS (SELECT sum(cf) AS c_total FROM cf),
+            qt AS (SELECT DISTINCT doc_id AS q_id,
+                          unnest(tk[1:8]) AS term
+                   FROM tka WHERE doc_id % 50 = 0),
+            qn AS (SELECT q_id, count(*) AS qlen FROM qt GROUP BY q_id),
+            sc AS (SELECT q.q_id, p.doc_id,
+                          CAST(ln(1.0 + CAST(p.tf AS DOUBLE) /
+                                 (300.0 * (CAST(c.cf AS DOUBLE) /
+                                           CAST(ct.c_total AS DOUBLE))))
+                            AS DECIMAL(20,12)) AS s
+                   FROM qt q
+                   JOIN cf c USING (term)
+                   CROSS JOIN ct
+                   JOIN post p USING (term)),
+            smq AS (SELECT q_id, doc_id, sum(s) AS sm
+                    FROM sc GROUP BY q_id, doc_id),
+            fin AS (SELECT smq.q_id, smq.doc_id,
+                           smq.sm + CAST(CAST(qn.qlen AS DOUBLE) *
+                             (-ln(CAST(l.dl AS DOUBLE) + 300.0))
+                             AS DECIMAL(20,12)) AS score
+                    FROM smq
+                    JOIN dl l ON smq.doc_id = l.doc_id
+                    JOIN qn ON smq.q_id = qn.q_id),
+            rk AS (SELECT q_id, doc_id, score,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, doc_id) AS rank
+                   FROM fin),
+            fb AS (SELECT q_id, doc_id, score FROM rk WHERE rank <= 5),
+            mxq AS (SELECT q_id, max(score) AS mx FROM fb GROUP BY q_id),
+            ex AS (SELECT f.q_id, f.doc_id,
+                          CAST(exp(CAST(f.score AS DOUBLE)
+                                   - CAST(m.mx AS DOUBLE))
+                            AS DECIMAL(38,30)) AS e
+                   FROM fb f JOIN mxq m ON f.q_id = m.q_id),
+            sx AS (SELECT q_id, sum(e) AS se FROM ex GROUP BY q_id),
+            pw AS (SELECT ex.q_id, ex.doc_id,
+                          CAST(ex.e AS DOUBLE) / CAST(sx.se AS DOUBLE)
+                            AS smw
+                   FROM ex JOIN sx ON ex.q_id = sx.q_id),
+            fbt AS (SELECT w.q_id, p.term,
+                           sum(CAST((CAST(p.tf AS DOUBLE) /
+                                     CAST(l.dl AS DOUBLE)) * w.smw
+                             AS DECIMAL(38,30))) AS rw
+                    FROM pw w
+                    JOIN post p ON w.doc_id = p.doc_id
+                    JOIN dl l ON p.doc_id = l.doc_id
+                    GROUP BY w.q_id, p.term),
+            sel AS (SELECT q_id, term, rw,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY round(CAST(rw AS DOUBLE), 9) DESC,
+                                      term) AS tr
+                    FROM fbt),
+            sel2 AS (SELECT q_id, term, rw FROM sel WHERE tr <= 10),
+            nrm AS (SELECT q_id, sum(rw) AS srw FROM sel2 GROUP BY q_id),
+            rmw AS (SELECT s2.q_id, s2.term,
+                           CAST(s2.rw AS DOUBLE) / CAST(n.srw AS DOUBLE)
+                             AS rwn
+                    FROM sel2 s2 JOIN nrm n ON s2.q_id = n.q_id),
+            og AS (SELECT qt.q_id, qt.term,
+                          1.0 / CAST(qn.qlen AS DOUBLE) AS po
+                   FROM qt JOIN qn ON qt.q_id = qn.q_id),
+            w3 AS (SELECT coalesce(o.q_id, r.q_id) AS q_id,
+                          coalesce(o.term, r.term) AS term,
+                          0.5 * coalesce(o.po, 0.0)
+                        + 0.5 * coalesce(r.rwn, 0.0) AS w
+                   FROM og o FULL OUTER JOIN rmw r
+                     ON o.q_id = r.q_id AND o.term = r.term),
+            w4 AS (SELECT q_id, term, w FROM w3 WHERE w > 0.0),
+            wsc AS (SELECT w.q_id, p.doc_id,
+                           CAST(w.w * ln(1.0 + CAST(p.tf AS DOUBLE) /
+                                  (300.0 * (CAST(c.cf AS DOUBLE) /
+                                            CAST(ct.c_total AS DOUBLE))))
+                             AS DECIMAL(20,12)) AS s
+                    FROM w4 w
+                    JOIN cf c USING (term)
+                    CROSS JOIN ct
+                    JOIN post p USING (term)),
+            wsm AS (SELECT q_id, doc_id, sum(s) AS smv
+                    FROM wsc GROUP BY q_id, doc_id),
+            wqn AS (SELECT q_id, sum(CAST(w AS DECIMAL(20,12))) AS wsum
+                    FROM w4 GROUP BY q_id),
+            wfin AS (SELECT wsm.q_id, wsm.doc_id,
+                            wsm.smv + CAST(CAST(wqn.wsum AS DOUBLE) *
+                              (-ln(CAST(l.dl AS DOUBLE) + 300.0))
+                              AS DECIMAL(20,12)) AS score
+                     FROM wsm
+                     JOIN dl l ON wsm.doc_id = l.doc_id
+                     JOIN wqn ON wsm.q_id = wqn.q_id),
+            wrk AS (SELECT q_id, doc_id, score,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY score DESC, doc_id) AS rank
+                    FROM wfin)
+           SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+                  round(CAST(score AS DOUBLE), 6) AS ql
+           FROM wrk WHERE rank <= 10 ORDER BY q_id, rank"""
+
   /** Brute-force semantic leg shared by q222/q225: cosine top-`k` of the
     * `qPred` embeddings against the `cPred` embeddings —
     * (q_id, doc_id, rank), ranked by 6 dp cosine, ties on id.
@@ -739,108 +848,68 @@ object QueriesRetrieval {
         Retrieval.qlTopKWeightedFromIndex(idx, wq, "q_id", k = 10)
           .orderBy(col("q_id"), col("rank"))
       },
-      Some(s"""WITH tka AS (SELECT doc_id, $toksSql AS tk FROM documents),
-            post AS (SELECT doc_id, term, count(*) AS tf
-                     FROM (SELECT doc_id, unnest(tk) AS term FROM tka)
-                     GROUP BY doc_id, term),
-            dl AS (SELECT doc_id, sum(tf) AS dl FROM post
-                   GROUP BY doc_id),
-            cf AS (SELECT term, sum(tf) AS cf FROM post GROUP BY term),
-            ct AS (SELECT sum(cf) AS c_total FROM cf),
-            qt AS (SELECT DISTINCT doc_id AS q_id,
-                          unnest(tk[1:8]) AS term
-                   FROM tka WHERE doc_id % 50 = 0),
-            qn AS (SELECT q_id, count(*) AS qlen FROM qt GROUP BY q_id),
-            sc AS (SELECT q.q_id, p.doc_id,
-                          CAST(ln(1.0 + CAST(p.tf AS DOUBLE) /
-                                 (300.0 * (CAST(c.cf AS DOUBLE) /
-                                           CAST(ct.c_total AS DOUBLE))))
-                            AS DECIMAL(20,12)) AS s
-                   FROM qt q
-                   JOIN cf c USING (term)
-                   CROSS JOIN ct
-                   JOIN post p USING (term)),
-            smq AS (SELECT q_id, doc_id, sum(s) AS sm
-                    FROM sc GROUP BY q_id, doc_id),
-            fin AS (SELECT smq.q_id, smq.doc_id,
-                           smq.sm + CAST(CAST(qn.qlen AS DOUBLE) *
-                             (-ln(CAST(l.dl AS DOUBLE) + 300.0))
-                             AS DECIMAL(20,12)) AS score
-                    FROM smq
-                    JOIN dl l ON smq.doc_id = l.doc_id
-                    JOIN qn ON smq.q_id = qn.q_id),
-            rk AS (SELECT q_id, doc_id, score,
-                          row_number() OVER (PARTITION BY q_id
-                            ORDER BY score DESC, doc_id) AS rank
-                   FROM fin),
-            fb AS (SELECT q_id, doc_id, score FROM rk WHERE rank <= 5),
-            mxq AS (SELECT q_id, max(score) AS mx FROM fb GROUP BY q_id),
-            ex AS (SELECT f.q_id, f.doc_id,
-                          CAST(exp(CAST(f.score AS DOUBLE)
-                                   - CAST(m.mx AS DOUBLE))
-                            AS DECIMAL(38,30)) AS e
-                   FROM fb f JOIN mxq m ON f.q_id = m.q_id),
-            sx AS (SELECT q_id, sum(e) AS se FROM ex GROUP BY q_id),
-            pw AS (SELECT ex.q_id, ex.doc_id,
-                          CAST(ex.e AS DOUBLE) / CAST(sx.se AS DOUBLE)
-                            AS smw
-                   FROM ex JOIN sx ON ex.q_id = sx.q_id),
-            fbt AS (SELECT w.q_id, p.term,
-                           sum(CAST((CAST(p.tf AS DOUBLE) /
-                                     CAST(l.dl AS DOUBLE)) * w.smw
-                             AS DECIMAL(38,30))) AS rw
-                    FROM pw w
-                    JOIN post p ON w.doc_id = p.doc_id
-                    JOIN dl l ON p.doc_id = l.doc_id
-                    GROUP BY w.q_id, p.term),
-            sel AS (SELECT q_id, term, rw,
-                           row_number() OVER (PARTITION BY q_id
-                             ORDER BY round(CAST(rw AS DOUBLE), 9) DESC,
-                                      term) AS tr
-                    FROM fbt),
-            sel2 AS (SELECT q_id, term, rw FROM sel WHERE tr <= 10),
-            nrm AS (SELECT q_id, sum(rw) AS srw FROM sel2 GROUP BY q_id),
-            rmw AS (SELECT s2.q_id, s2.term,
-                           CAST(s2.rw AS DOUBLE) / CAST(n.srw AS DOUBLE)
-                             AS rwn
-                    FROM sel2 s2 JOIN nrm n ON s2.q_id = n.q_id),
-            og AS (SELECT qt.q_id, qt.term,
-                          1.0 / CAST(qn.qlen AS DOUBLE) AS po
-                   FROM qt JOIN qn ON qt.q_id = qn.q_id),
-            w3 AS (SELECT coalesce(o.q_id, r.q_id) AS q_id,
-                          coalesce(o.term, r.term) AS term,
-                          0.5 * coalesce(o.po, 0.0)
-                        + 0.5 * coalesce(r.rwn, 0.0) AS w
-                   FROM og o FULL OUTER JOIN rmw r
-                     ON o.q_id = r.q_id AND o.term = r.term),
-            w4 AS (SELECT q_id, term, w FROM w3 WHERE w > 0.0),
-            wsc AS (SELECT w.q_id, p.doc_id,
-                           CAST(w.w * ln(1.0 + CAST(p.tf AS DOUBLE) /
-                                  (300.0 * (CAST(c.cf AS DOUBLE) /
-                                            CAST(ct.c_total AS DOUBLE))))
-                             AS DECIMAL(20,12)) AS s
-                    FROM w4 w
-                    JOIN cf c USING (term)
-                    CROSS JOIN ct
-                    JOIN post p USING (term)),
-            wsm AS (SELECT q_id, doc_id, sum(s) AS smv
-                    FROM wsc GROUP BY q_id, doc_id),
-            wqn AS (SELECT q_id, sum(CAST(w AS DECIMAL(20,12))) AS wsum
-                    FROM w4 GROUP BY q_id),
-            wfin AS (SELECT wsm.q_id, wsm.doc_id,
-                            wsm.smv + CAST(CAST(wqn.wsum AS DOUBLE) *
-                              (-ln(CAST(l.dl AS DOUBLE) + 300.0))
-                              AS DECIMAL(20,12)) AS score
-                     FROM wsm
-                     JOIN dl l ON wsm.doc_id = l.doc_id
-                     JOIN wqn ON wsm.q_id = wqn.q_id),
-            wrk AS (SELECT q_id, doc_id, score,
-                           row_number() OVER (PARTITION BY q_id
-                             ORDER BY score DESC, doc_id) AS rank
-                    FROM wfin)
-           SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
-                  round(CAST(score AS DOUBLE), 6) AS ql
-           FROM wrk WHERE rank <= 10 ORDER BY q_id, rank"""))
+      Some(rm3OracleSql)),
+
+    // conjunctive (boolean AND) BM25 (round 16): candidates must match
+    // EVERY query term — the strict-filter read (exact-identifier
+    // lookups, verbatim-string triage) the disjunctive top-k can't
+    // express. Group row count = matched-term count (postings unique per
+    // (doc, term)); the per-query required count derives from the kept
+    // term set. Scores stay the plain BM25 sums over ALL matched terms;
+    // only the candidate gate changes — replayed by the oracle's
+    // nm = need join.
+    Q("q239_bm25_conjunctive",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = artifactPath("lex_index_q239")
+        rmrf(new java.io.File(dir))
+        Retrieval.saveLexIndex(docs, "doc_id", "text", dir,
+          nBuckets = 64, positional = false)
+        val idx = Retrieval.loadLexIndex(s, dir)
+        Retrieval.bm25TopKFromIndex(idx,
+            qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10,
+            requireAll = true)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""WITH ${bm25Ctes("WHERE doc_id % 50 = 0")},
+              agc AS (SELECT q_id, doc_id, sum(s) AS score,
+                             count(*) AS nm
+                      FROM sc GROUP BY q_id, doc_id),
+              need AS (SELECT q_id, count(DISTINCT term) AS need
+                       FROM qt GROUP BY q_id),
+              agf AS (SELECT a.q_id, a.doc_id, a.score
+                      FROM agc a JOIN need n
+                        ON a.q_id = n.q_id AND a.nm = n.need),
+              rkc AS (SELECT q_id, doc_id, score,
+                             row_number() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, doc_id) AS rank
+                      FROM agf)
+             SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+                    round(CAST(score AS DOUBLE), 6) AS score
+             FROM rkc WHERE rank <= 10 ORDER BY q_id, rank""")),
+
+    // RM3 off the FORWARD (term-vectors) sidecar (round 16): the same
+    // expansion chain as q238 with the feedback-doc term fetch served by
+    // the doc-bucketed forward relation (saveLexIndex termVectors=true)
+    // — a broadcast join whose scan DPP-prunes to the feedback docs'
+    // buckets, replacing q238's postings pass. The oracle is q238's
+    // VERBATIM: one hash gate pins forward-fetch ≡ postings-fetch ≡ the
+    // replayed relevance model.
+    Q("q240_rm3_forward",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = artifactPath("lex_index_q240")
+        rmrf(new java.io.File(dir))
+        Retrieval.saveLexIndex(docs, "doc_id", "text", dir,
+          nBuckets = 64, positional = false, termVectors = true)
+        val idx = Retrieval.loadLexIndex(s, dir)
+        val qt = qterms(docs, col("doc_id") % 50 === 0)
+        val wq = Retrieval.rm3ExpandFromIndex(idx, qt, "q_id",
+          fbDocs = 5, fbTerms = 10, alpha = 0.5)
+        Retrieval.qlTopKWeightedFromIndex(idx, wq, "q_id", k = 10)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(rm3OracleSql))
   )
 
   private lazy val artifactRoot: String =

@@ -226,6 +226,13 @@ object Retrieval {
   private def termBucket(term: Column, nBuckets: Int): Column =
     pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
 
+  /** Doc → directory bucket for the optional FORWARD (term-vectors)
+    * sidecar — the doc-keyed twin of [[termBucket]], so doc-id joins
+    * DPP-prune the forward scan exactly like term joins prune postings.
+    */
+  private def docBucket(id: Column, nBuckets: Int): Column =
+    pmod(xxhash64(id), lit(nBuckets.toLong)).cast("int")
+
   /** A loaded lexical index artifact: the three relations of
     * [[saveLexIndex]]'s layout plus the frozen config. `postings` and
     * `terms` are parquet scans partitioned by `tbucket` — query-side
@@ -233,7 +240,8 @@ object Retrieval {
     * buckets the query's terms actually hash into.
     */
   final case class LexIndex(postings: DataFrame, terms: DataFrame,
-      stats: DataFrame, idCol: String, nBuckets: Int, positional: Boolean)
+      stats: DataFrame, idCol: String, nBuckets: Int, positional: Boolean,
+      forward: Option[DataFrame] = None)
 
   /** Persist the inverted index as a self-describing artifact — the
     * lexical twin of the ANN tier's `saveIvfPqIndex` discipline. Layout
@@ -248,8 +256,12 @@ object Retrieval {
     *     df/cf sidecar a query joins BEFORE touching postings (common-
     *     term pruning drops a stopword's whole posting leg unread);
     *   - `stats/` one row: `(n_docs, avgdl, c_total, id_col, n_buckets,
-    *     positional)` — corpus statistics FROZEN at build plus the
-    *     layout config reads need to re-route terms.
+    *     positional, term_vectors)` — corpus statistics FROZEN at build
+    *     plus the layout config reads need to re-route terms;
+    *   - optionally `forward/` (`termVectors = true`): the same rows
+    *     re-partitioned by `dbucket = hash(id) % nBuckets` — Lucene's
+    *     term-vectors option, serving doc-keyed reads (RM3 feedback
+    *     fetch) with DPP instead of a postings pass, at ~2× storage.
     *
     * Build cost: one corpus scan, one term-keyed shuffle (the postings
     * build), strata-small aggregates off it, two bucket-keyed write
@@ -268,12 +280,13 @@ object Retrieval {
     * read operator is segment-oblivious.
     */
   def saveLexIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64, positional: Boolean = true): Unit = {
+      path: String, nBuckets: Int = 64, positional: Boolean = true,
+      termVectors: Boolean = false): Unit = {
     require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
     val post0 =
       if (positional) postingsPositional(docs, idCol, textCol)
       else postings(docs, idCol, textCol)
-    saveLexIndexFromPostings(post0, idCol, path, nBuckets)
+    saveLexIndexFromPostings(post0, idCol, path, nBuckets, termVectors)
   }
 
   /** [[saveLexIndex]] over an ALREADY-BUILT postings relation — the save
@@ -282,9 +295,10 @@ object Retrieval {
     * input must carry `(idCol, term, tf)` and may carry `pos`.
     */
   def saveLexIndexFromPostings(post0: DataFrame, idCol: String,
-      path: String, nBuckets: Int = 64): Unit =
+      path: String, nBuckets: Int = 64,
+      termVectors: Boolean = false): Unit =
     writeLexSegment(post0, idCol, path, nBuckets, batchId = 0L,
-      overwriteAll = true)
+      overwriteAll = true, termVectors = termVectors)
 
   /** One SEGMENT of the index — the shared writer behind build
     * (`batchId = 0`, static overwrite of the whole artifact), append
@@ -298,7 +312,7 @@ object Retrieval {
     */
   private def writeLexSegment(post0: DataFrame, idCol: String,
       path: String, nBuckets: Int, batchId: Long,
-      overwriteAll: Boolean): Unit = {
+      overwriteAll: Boolean, termVectors: Boolean = false): Unit = {
     val positional = post0.columns.contains("pos")
     val post = post0.persist()
     try {
@@ -316,7 +330,9 @@ object Retrieval {
           sum(col("dl")).as("c_total"))
         .select(col("n_docs"), col("avgdl"), col("c_total"),
           lit(idCol).as("id_col"), lit(nBuckets).as("n_buckets"),
-          lit(positional).as("positional"), lit(batchId).as("batch_id"))
+          lit(positional).as("positional"),
+          lit(termVectors).as("term_vectors"),
+          lit(batchId).as("batch_id"))
       val writerMode: org.apache.spark.sql.DataFrameWriter[
           org.apache.spark.sql.Row] => org.apache.spark.sql.DataFrameWriter[
           org.apache.spark.sql.Row] =
@@ -341,6 +357,22 @@ object Retrieval {
           .write)
         .partitionBy("batch_id", "tbucket")
         .parquet(s"$path/terms")
+      // optional FORWARD sidecar (Lucene term vectors): the same
+      // (id, term, tf, dl) rows re-partitioned by doc bucket, so
+      // doc-keyed reads (RM3's feedback fetch, term-vector lookups)
+      // DPP-prune to the requested docs' buckets instead of passing the
+      // whole term-partitioned postings — the classical 2× storage for
+      // doc-addressability trade, off by default
+      if (termVectors)
+        writerMode(post.join(dl, Seq(idCol))
+            .select(col(idCol), col("term"), col("tf"), col("dl"),
+              lit(batchId).as("batch_id"),
+              docBucket(col(idCol), nBuckets).as("dbucket"))
+            .repartition(col("dbucket"))
+            .sortWithinPartitions(col(idCol), col("term"))
+            .write)
+          .partitionBy("batch_id", "dbucket")
+          .parquet(s"$path/forward")
       writerMode(stats.write).partitionBy("batch_id")
         .parquet(s"$path/stats")
     } finally { post.unpersist(); () }
@@ -373,11 +405,13 @@ object Retrieval {
       path: String): LexIndex = {
     val statsRaw = spark.read.parquet(s"$path/stats")
     val segRows = statsRaw.select(col("id_col"), col("n_buckets"),
-      col("positional"), col("batch_id")).collect()
+      col("positional"), col("term_vectors"), col("batch_id")).collect()
     require(segRows.nonEmpty, s"empty lexical index stats at $path/stats")
     val cfg = segRows.head
     require(segRows.forall(r => r.getString(0) == cfg.getString(0) &&
-        r.getInt(1) == cfg.getInt(1) && r.getBoolean(2) == cfg.getBoolean(2)),
+        r.getInt(1) == cfg.getInt(1) &&
+        r.getBoolean(2) == cfg.getBoolean(2) &&
+        r.getBoolean(3) == cfg.getBoolean(3)),
       s"inconsistent segment configs in $path/stats")
     val idCol = cfg.getString(0)
     val multi = segRows.length > 1
@@ -395,28 +429,33 @@ object Retrieval {
       if (!multi) termsRaw
       else termsRaw.groupBy(col("tbucket"), col("term"))
         .agg(sum(col("dfreq")).as("dfreq"), sum(col("cf")).as("cf"))
-    val postsRaw = spark.read.parquet(s"$path/postings")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val postings =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/deleted")))
-        postsRaw
+    val hasTombs =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/deleted"))
+    def tombFiltered(raw: DataFrame): DataFrame =
+      if (!hasTombs) raw
       else {
         val dels = spark.read.parquet(s"$path/deleted")
           .select(col(idCol).as("__del_id"),
             col("del_upto").as("__del_upto"))
-        postsRaw.join(dels,
-          postsRaw(idCol) === col("__del_id") &&
-            postsRaw("batch_id") <= col("__del_upto"),
+        raw.join(dels,
+          raw(idCol) === col("__del_id") &&
+            raw("batch_id") <= col("__del_upto"),
           "left_anti")
       }
+    val postings = tombFiltered(spark.read.parquet(s"$path/postings"))
+    val forward =
+      if (!cfg.getBoolean(3)) None
+      else Some(tombFiltered(spark.read.parquet(s"$path/forward")))
     LexIndex(
       postings = postings,
       terms = terms,
       stats = stats,
       idCol = idCol,
       nBuckets = cfg.getInt(1),
-      positional = cfg.getBoolean(2))
+      positional = cfg.getBoolean(2),
+      forward = forward)
   }
 
   /** Append one batch of NEW documents to a persisted index: tokenize +
@@ -440,14 +479,15 @@ object Retrieval {
       path: String, batchId: Long): Unit = {
     require(batchId >= 1, s"append batchId must be >= 1: $batchId")
     val cfg = docs.sparkSession.read.parquet(s"$path/stats")
-      .select(col("id_col"), col("n_buckets"), col("positional")).head()
+      .select(col("id_col"), col("n_buckets"), col("positional"),
+        col("term_vectors")).head()
     require(cfg.getString(0) == idCol,
       s"index id column is ${cfg.getString(0)}, got $idCol")
     val post0 =
       if (cfg.getBoolean(2)) postingsPositional(docs, idCol, textCol)
       else postings(docs, idCol, textCol)
     writeLexSegment(post0, idCol, path, cfg.getInt(1), batchId,
-      overwriteAll = false)
+      overwriteAll = false, termVectors = cfg.getBoolean(3))
   }
 
   /** [[appendLexIndex]] over an already-built postings relation (the
@@ -458,13 +498,14 @@ object Retrieval {
       path: String, batchId: Long): Unit = {
     require(batchId >= 1, s"append batchId must be >= 1: $batchId")
     val cfg = post0.sparkSession.read.parquet(s"$path/stats")
-      .select(col("id_col"), col("n_buckets"), col("positional")).head()
+      .select(col("id_col"), col("n_buckets"), col("positional"),
+        col("term_vectors")).head()
     require(cfg.getString(0) == idCol,
       s"index id column is ${cfg.getString(0)}, got $idCol")
     require(post0.columns.contains("pos") == cfg.getBoolean(2),
       "positional flag of the postings batch must match the artifact")
     writeLexSegment(post0, idCol, path, cfg.getInt(1), batchId,
-      overwriteAll = false)
+      overwriteAll = false, termVectors = cfg.getBoolean(3))
   }
 
   /** Tombstone documents out of a persisted index — the Lucene
@@ -543,7 +584,7 @@ object Retrieval {
       Seq(col(idCol), col("term"), col("tf")) ++ posCols: _*)
     val tmp = s"$path.compact.tmp"
     writeLexSegment(post0, idCol, tmp, idx.nBuckets, batchId = 0L,
-      overwriteAll = true)
+      overwriteAll = true, termVectors = idx.forward.isDefined)
     belowBatch.foreach { b =>
       // carry the kept segments (postings + their df/cf partials + their
       // stats rows) and the still-live tombstones (del_upto >= b — every
@@ -553,6 +594,11 @@ object Retrieval {
       // root before the swap
       keep.write.mode("append").partitionBy("batch_id", "tbucket")
         .parquet(s"$tmp/postings")
+      idx.forward.foreach { fwd =>
+        fwd.where(col("batch_id") >= b)
+          .write.mode("append").partitionBy("batch_id", "dbucket")
+          .parquet(s"$tmp/forward")
+      }
       spark.read.parquet(s"$path/terms")
         .where(col("batch_id") >= b)
         .write.mode("append").partitionBy("batch_id", "tbucket")
@@ -611,7 +657,8 @@ object Retrieval {
   def bm25TopKFromIndex(idx: LexIndex, qterms: DataFrame, qIdCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       maxDfFrac: Double = 1.0,
-      phrase: Option[DataFrame] = None): DataFrame = {
+      phrase: Option[DataFrame] = None,
+      requireAll: Boolean = false): DataFrame = {
     val kept = keptTerms(idx, qterms, qIdCol, maxDfFrac)
     val idf = log(lit(1.0) +
       ((col("n_docs") - col("dfreq")).cast("double") + lit(0.5)) /
@@ -630,12 +677,27 @@ object Retrieval {
         phraseCandidates(idx, ph, "q_id"), Seq("q_id", idx.idCol),
         "left_semi")
     }
-    val scored = filtered
-      .groupBy(col("q_id"), col(idx.idCol))
-      .agg(sum(col("__s")).as("__score"))
+    // conjunctive (boolean AND) mode: keep docs matching EVERY kept
+    // query term — postings are unique per (doc, term) and kept terms
+    // per (query, term), so the group's row count IS the matched-term
+    // count; the per-query required count derives from the kept side
+    // (after maxDfFrac pruning — AND over the terms actually scored).
+    // Candidate volume never grows: this only cuts the scored groups,
+    // and the disjunctive plan is untouched (no extra aggregate).
+    val gated =
+      if (!requireAll)
+        filtered.groupBy(col("q_id"), col(idx.idCol))
+          .agg(sum(col("__s")).as("__score"))
+      else
+        filtered.groupBy(col("q_id"), col(idx.idCol))
+          .agg(sum(col("__s")).as("__score"), count(lit(1)).as("__nm"))
+          .join(broadcast(kept.groupBy(col("q_id"))
+            .agg(countDistinct(col("term")).as("__need"))),
+            Seq("q_id"))
+          .where(col("__nm") === col("__need"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("__score").desc, col(idx.idCol).asc)
-    scored
+    gated
       .withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col(idx.idCol),
@@ -713,14 +775,15 @@ object Retrieval {
     *
     * Scale shape: every relation after the feedback read is
     * (queries × fbDocs)- or (queries × fbTerms)-sized EXCEPT the
-    * feedback-document term fetch, which semi-joins the term-partitioned
-    * postings on DOC id — a scan-bound pass over the postings artifact
-    * (the term-partitioned layout cannot prune by doc). That is the
-    * classical term-vectors/forward-index trade: Lucene stores optional
-    * per-doc term vectors to serve exactly this read; at 100 TB either
-    * batch PRF queries so one postings pass serves many expansions, or
-    * persist a doc-bucketed forward sidecar. The fetch is one pass, no
-    * corpus re-tokenize, and everything it feeds is query-bounded.
+    * feedback-document term fetch. With a FORWARD sidecar
+    * ([[saveLexIndex]]`(termVectors = true)` — the Lucene term-vectors
+    * option) the fetch is a doc-bucketed broadcast join whose scan
+    * DPP-prunes to the feedback docs' buckets: fully query-bounded.
+    * Without one it falls back to semi-joining the term-partitioned
+    * postings on DOC id — a scan-bound pass (the term-partitioned
+    * layout cannot prune by doc); batch PRF queries so one pass serves
+    * many expansions. Either way: one pass at most, no corpus
+    * re-tokenize, identical rows (the q238/q240 oracle pair).
     */
   def rm3ExpandFromIndex(idx: LexIndex, qterms: DataFrame, qIdCol: String,
       fbDocs: Int = 10, fbTerms: Int = 10, alpha: Double = 0.5,
@@ -739,10 +802,20 @@ object Retrieval {
       .select(col("q_id"), col(idx.idCol),
         (col("__e").cast("double") / col("__se").cast("double"))
           .as("__smw"))
-    // feedback docs' term vectors off the postings artifact (dl rides
-    // denormalized) — the one scan-bound leg, see the scaladoc note
-    val fbt = idx.postings
-      .join(broadcast(smw), Seq(idx.idCol))
+    // feedback docs' term vectors: off the FORWARD sidecar when the
+    // artifact carries one (doc-bucketed — the broadcast join's dbucket
+    // key DPP-prunes the scan to the feedback docs' buckets), else the
+    // postings-scan fallback (the one scan-bound leg, see the scaladoc
+    // note). Rows are identical either way — the q238/q240 oracle pair
+    // pins it.
+    val fbSrc = idx.forward match {
+      case Some(fwd) => fwd.join(
+        broadcast(smw.withColumn("dbucket",
+          docBucket(col(idx.idCol), idx.nBuckets))),
+        Seq("dbucket", idx.idCol))
+      case None => idx.postings.join(broadcast(smw), Seq(idx.idCol))
+    }
+    val fbt = fbSrc
       .select(col("q_id"), col("term"),
         ((col("tf").cast("double") / col("dl").cast("double")) *
           col("__smw")).cast("decimal(38,30)").as("__rw1"))

@@ -571,6 +571,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rowsOf(aq) == rowsOf(bq))
   }
 
+  test("bm25TopKFromIndex(requireAll): only docs matching EVERY query " +
+    "term survive; scores are the unchanged BM25 sums") {
+    val p = tmpIdx("lexidx_conj")
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", p, nBuckets = 8,
+      positional = false)
+    val idx = Retrieval.loadLexIndex(spark, p)
+    val q = Seq((1L, "quick"), (1L, "fox"), (2L, "quick"), (2L, "lazy"))
+      .toDF("q_id", "term")
+    val conj = Retrieval.bm25TopKFromIndex(idx, q, "q_id", k = 5,
+      requireAll = true).collect()
+    val byQ = conj.groupBy(_.getLong(0))
+      .map { case (k2, v) => k2 -> v.map(_.getLong(2)).toSet }
+    // docs 0/1/3 contain quick AND fox; only doc 0 has quick AND lazy
+    assert(byQ(1L) == Set(0L, 1L, 3L))
+    assert(byQ(2L) == Set(0L))
+    // survivor scores equal the disjunctive read's (gate, not reweight)
+    val dis = Retrieval.bm25TopKFromIndex(idx, q, "q_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    conj.foreach { r =>
+      assert(dis((r.getLong(0), r.getLong(2))) == r.getDouble(3))
+    }
+  }
+
   // ---- RM3 pseudo-relevance feedback ---------------------------------
 
   test("qlTopKWeightedFromIndex with unit weights reproduces " +
@@ -621,6 +645,51 @@ class RetrievalSpec extends AnyFunSuite {
     val r0 = Retrieval.qlTopKFromIndex(idx, q, "q_id", k = 5)
       .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
     assert(r1 == r0)
+  }
+
+  test("forward (term-vectors) sidecar: RM3 off the forward fetch equals " +
+    "the postings-fallback exactly; the forward scan is DPP-pruned to " +
+    "the feedback docs' buckets; lifecycle keeps it consistent") {
+    val q = Seq((1L, "quick"), (1L, "fox")).toDF("q_id", "term")
+    // fallback artifact (no term vectors)
+    val p0 = tmpIdx("lexidx_fwd0")
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", p0, nBuckets = 8,
+      positional = false)
+    val i0 = Retrieval.loadLexIndex(spark, p0)
+    assert(i0.forward.isEmpty)
+    // forward artifact
+    val p1 = tmpIdx("lexidx_fwd1")
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", p1, nBuckets = 8,
+      positional = false, termVectors = true)
+    val i1 = Retrieval.loadLexIndex(spark, p1)
+    assert(i1.forward.isDefined)
+    def expand(i: Retrieval.LexIndex) =
+      Retrieval.rm3ExpandFromIndex(i, q, "q_id", 3, 5, alpha = 0.5)
+    assert(rowsOf(expand(i1)) == rowsOf(expand(i0)))
+    // the forward scan carries dynamic pruning on its doc buckets
+    val plan = expand(i1).queryExecution.executedPlan.toString
+    val pruned = ("Location: [^\\[]*\\[file:([^\\]]*)\\], PartitionFilters: " +
+      "\\[[^\\]]*dynamicpruningexpression").r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(pruned.exists(_.contains("forward")),
+      s"expected DPP on the forward scan, got: $pruned")
+    // lifecycle: delete + re-add + compact keeps forward in lockstep —
+    // the compacted artifact's RM3 equals a fresh build over the live set
+    Retrieval.deleteFromLexIndex(spark, p1, Seq(2L).toDF("doc_id"), 1L)
+    Retrieval.appendLexIndex(
+      Seq((9L, "a brand new fox document")).toDF("doc_id", "text"),
+      "doc_id", "text", p1, batchId = 2L)
+    Retrieval.compactLexIndex(spark, p1)
+    assert(new java.io.File(s"$p1/forward/batch_id=0").exists())
+    assert(!new java.io.File(s"$p1/forward/batch_id=2").exists())
+    val live = corpus.where($"doc_id" =!= 2L)
+      .unionByName(Seq((9L, "a brand new fox document"))
+        .toDF("doc_id", "text"))
+    val pRef = tmpIdx("lexidx_fwd_ref")
+    Retrieval.saveLexIndex(live, "doc_id", "text", pRef, nBuckets = 8,
+      positional = false, termVectors = true)
+    assert(rowsOf(expand(Retrieval.loadLexIndex(spark, p1))) ==
+      rowsOf(expand(Retrieval.loadLexIndex(spark, pRef))))
   }
 
   test("compactLexIndex(belowBatch): partial fold preserves reads, keeps " +

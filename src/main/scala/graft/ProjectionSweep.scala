@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Projection, Similarity}
+
+/** Does the PCA rotation earn its keep in front of PQ? The OPQ-lite
+  * claim is that product quantizers lose recall when correlations CROSS
+  * subspace boundaries (each sub-codebook quantizes its slice
+  * independently); a decorrelating rotation removes exactly that error
+  * term. Measured here, not argued:
+  *
+  *  - corpus ISO: the sf embeddings (near-isotropic by construction —
+  *    the honest negative control: rotation should do ~nothing);
+  *  - corpus COR: the same vectors through a width-8 circular smoothing
+  *    filter (strong correlation across neighboring dims, crossing
+  *    every m=8 subspace boundary).
+  *
+  * For each corpus × {raw, pca-rotated} the recall@5 of PQ/ADC (m=8,
+  * k=64, overfetch=32) is judged against THAT space's own brute-force
+  * cosine top-5 (quantization fidelity on the space PQ actually sees —
+  * rotation after centering changes cosine, so each space carries its
+  * own exact reference). The variance-explained curve is printed for
+  * both corpora as the structure witness (flat vs concentrated).
+  * Results in docs/SCALE.md.
+  *
+  * Run: `sbt "runMain graft.ProjectionSweep [baseDir]"`.
+  */
+object ProjectionSweep {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.build("graft-projection-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val iso = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    // width-8 circular smoothing: e'_j = Σ_{w<8} e_{(j+w) mod 64} / 8 —
+    // neighboring output dims share 7 of 8 addends, so correlation
+    // crosses every subspace boundary
+    val cor = iso.select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          aggregate(sequence(lit(0), lit(7)), lit(0.0d),
+            (acc, w) => acc +
+              element_at(col("embedding"), pmod(j + w, lit(64)) + 1)
+                .cast("double")) / lit(8.0d))
+          .as("embedding"))
+      .localCheckpoint(true)
+
+    def toFloat(df: DataFrame, c: String): DataFrame =
+      df.withColumn(c, transform(col(c), x => x.cast("float")))
+
+    def recallPq(corpus: DataFrame, label: String): Unit = {
+      val e = toFloat(corpus, "embedding").localCheckpoint(true)
+      val q = e.where(col("vec_id") % 25 === 0)
+      val bf = Similarity.bruteForceTopK(q, e, "vec_id", "embedding",
+        k = 5).select(col("q_id"), col("c_id")).localCheckpoint(true)
+      val nQ = bf.select(col("q_id")).distinct().count()
+      val t0 = System.nanoTime()
+      val books = Similarity.pqCodebooks(e, "vec_id", "embedding",
+        m = 8, subDim = 8, k = 64, iters = 2).localCheckpoint(true)
+      val train = (System.nanoTime() - t0) / 1e9
+      val ann = Similarity.pqAdcTopK(q, e, "vec_id", "embedding", books,
+        m = 8, subDim = 8, k = 5, overfetch = 32)
+      val r = bf.join(ann.select(col("q_id"), col("c_id")),
+        Seq("q_id", "c_id")).count().toDouble / (nQ * 5)
+      println(f"$label%-14s pq-recall@5=$r%.4f (train=$train%.1fs)")
+    }
+
+    Seq(("ISO", iso), ("COR", cor)).foreach { case (tag, corpus) =>
+      val model = Projection.pcaTrain(corpus, "embedding", 64)
+        .localCheckpoint(true)
+      val ve = Projection.varianceExplained(model)
+        .orderBy(col("component")).collect()
+      println(f"$tag%s cum_frac: top4=${ve(3).getDouble(3)}%.3f " +
+        f"top8=${ve(7).getDouble(3)}%.3f top16=${ve(15).getDouble(3)}%.3f " +
+        f"top32=${ve(31).getDouble(3)}%.3f")
+      recallPq(corpus, s"$tag raw")
+      // plain PCA: decorrelated but energy CONCENTRATED in the leading
+      // subspace — the OPQ paper's own negative case
+      val rot = Projection.pcaProject(corpus, "embedding", model, k = 64)
+        .select(col("vec_id"), col("proj").as("embedding"))
+      recallPq(rot, s"$tag pca-plain")
+      // OPQ eigenvalue allocation: decorrelated AND balanced subspaces
+      val order = Projection.opqComponentOrder(model, m = 8)
+      val bal = Projection
+        .pcaProjectOrdered(corpus, "embedding", model, order)
+        .select(col("vec_id"), col("proj").as("embedding"))
+      recallPq(bal, s"$tag opq-balanced")
+    }
+    spark.stop()
+  }
+}

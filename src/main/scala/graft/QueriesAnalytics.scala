@@ -2818,6 +2818,49 @@ object QueriesAnalytics {
                    CAST(floor(CAST(item_pos - 1 AS DOUBLE) * 8
                      / (SELECT cnt FROM mn)) AS INT) AS shard
             FROM mpk ORDER BY item_pos"""
-      })
+      }),
+
+    // embedding covariance via the one-pass exact-moments aggregate
+    // (round 16): MomentSums carries (1 + d + d(d+1)/2) DECIMAL(38,12)
+    // sums per map split (order-free exact addition — the register-
+    // bounded sketch-partial shape applied to PCA training); the
+    // covariance read divides/products in DOUBLE exactly as replayed
+    // here. This gates the native aggregate against the relational
+    // two-pass oracle; the eigendecomposition consuming it is driver-
+    // side and spec-gated (ProjectionSpec: orthonormality, residuals,
+    // isometry, whitening).
+    Q("q241_embedding_covariance",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        ext.Projection.covariance(emb, "embedding", 64)
+          .orderBy(col("j"), col("k"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(u.i AS INT) - 1 AS j,
+                              CAST(u.v AS DOUBLE) AS xv
+                       FROM (SELECT vec_id,
+                                    unnest(list_transform(range(1, 65),
+                                      i -> {'i': i, 'v': embedding[i]}))
+                                      AS u
+                             FROM embeddings)),
+             nn AS (SELECT count(*) AS n FROM embeddings),
+             sj AS (SELECT j, sum(CAST(xv AS DECIMAL(38,12))) AS s
+                    FROM e GROUP BY j),
+             pp AS (SELECT a.j AS j, b.j AS k,
+                           sum(CAST(a.xv * b.xv AS DECIMAL(38,12))) AS p
+                    FROM e a JOIN e b
+                      ON a.vec_id = b.vec_id AND a.j <= b.j
+                    GROUP BY a.j, b.j),
+             mm AS (SELECT j, CAST(s AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                             AS mj
+                    FROM sj CROSS JOIN nn)
+            SELECT pp.j, pp.k,
+                   round(ma.mj, 6) AS mean_j,
+                   round(mb.mj, 6) AS mean_k,
+                   round(CAST(pp.p AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                         - ma.mj * mb.mj, 6) AS cov
+            FROM pp JOIN mm ma ON pp.j = ma.j
+                    JOIN mm mb ON pp.k = mb.j
+                    CROSS JOIN nn
+            ORDER BY pp.j, pp.k"""))
   )
 }

@@ -63,6 +63,31 @@ object RetrievalSweep {
       println(f"$cap%5.2f $dt%7.2f ${m.getDouble(1)}%10.4f " +
         f"${m.getDouble(2)}%9.4f ${m.getDouble(3)}%9.4f ${m.getLong(0)}%5d")
     }
+
+    // RM3 judged with the same protocol: the BM25 textbook qrels score
+    // the UNexpanded QL baseline and the RM3-expanded runs across alpha
+    // (alpha = 1 ≡ the original query reweighted — the no-op control)
+    println(f"%nRM3 vs QL baseline (qrels = BM25 cap-1.0 run, fbDocs=5, " +
+      "fbTerms=10)")
+    println(f"${"alpha"}%6s ${"read_s"}%7s ${"recall@10"}%10s " +
+      f"${"mrr"}%9s ${"ndcg@10"}%9s")
+    def judge(run: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val t1 = System.nanoTime()
+      val r = run.localCheckpoint(true)
+      val dt = (System.nanoTime() - t1) / 1e9
+      val m = Retrieval.retrievalMetricsMacro(
+        Retrieval.retrievalMetrics(r, qrels, "doc_id", k = 10))
+        .collect().head
+      println(f"$label%6s $dt%7.2f ${m.getDouble(1)}%10.4f " +
+        f"${m.getDouble(2)}%9.4f ${m.getDouble(3)}%9.4f")
+    }
+    judge(Retrieval.qlTopKFromIndex(idx, qt, "q_id", k = 10), "ql")
+    Seq(1.0, 0.7, 0.5, 0.3).foreach { a =>
+      val wq = Retrieval.rm3ExpandFromIndex(idx, qt, "q_id",
+        fbDocs = 5, fbTerms = 10, alpha = a)
+      judge(Retrieval.qlTopKWeightedFromIndex(idx, wq, "q_id", k = 10),
+        f"$a%.1f")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,306 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** PCA / whitening for embedding columns — the classical decorrelating
+  * rotation a vector pipeline applies before quantization (OPQ's first
+  * half: product quantizers assume subspace energies are balanced, and a
+  * PCA rotation + permutation is the standard cheap approximation) and
+  * before storage-reducing truncation (keep the top-k components).
+  *
+  * Scale shape: training is ONE pass — the [[graft.functions
+  * .VectorFunctions.MomentSums]] native aggregate carries
+  * (1 + d + d(d+1)/2) exact decimal sums per map split (register-bounded,
+  * the sketch-tier partial contract), so a 100 TB embedding table trains
+  * with no shuffle beyond the single partial/final exchange. The
+  * eigendecomposition runs on the DRIVER over the d×d matrix (d ≤ 512 —
+  * microseconds; the data never moves), deterministically: cyclic Jacobi
+  * with a fixed rotation order, eigenpairs sorted (eigenvalue desc,
+  * index asc), each eigenvector's sign fixed so its largest-|component|
+  * entry (first on ties) is positive. Projection is a broadcast of k
+  * d-vectors: per row, k fused dot products (the codegen'd
+  * [[graft.functions.VectorFunctions.dotNative]]) minus the precomputed
+  * mean·component constants — no shuffle, no UDF.
+  *
+  * Determinism/oracle discipline: the moment sums are exact decimals
+  * (order-free), the covariance read off them is replayed verbatim by
+  * the q241 oracle, and the driver-side Jacobi is a pure function of the
+  * exact sums — two trainings over the same rows are bit-identical.
+  * Eigenvectors themselves are not SQL-replayable (no DuckDB
+  * eigendecomposition); ProjectionSpec gates them by the defining
+  * algebra instead: orthonormality, A·v = λ·v residuals, trace
+  * preservation, isometry at k = d, and unit variance after whitening.
+  */
+object Projection {
+
+  /** The exact moment sums of `vecCol` (dimension `d`) as one row:
+    * `struct<n, s array<decimal(38,12)>, p array<decimal(38,12)>>`,
+    * p in row-major upper-triangle order. One pass, bounded partials.
+    */
+  def momentSums(df: DataFrame, vecCol: String, d: Int): DataFrame =
+    df.agg(VectorFunctions.momentSumsNative(col(vecCol), d).as("m"))
+
+  /** Covariance relation off the one-pass moment sums:
+    * `(j, k, mean_j, mean_k, cov)` for j ≤ k, each rounded 6 dp —
+    * cov = E[x_j·x_k] − E[x_j]·E[x_k] with the divisions and the product
+    * in DOUBLE exactly as the q241 oracle replays them. The explode is
+    * d(d+1)/2 rows off a 1-row frame.
+    */
+  def covariance(df: DataFrame, vecCol: String, d: Int): DataFrame = {
+    val m = momentSums(df, vecCol, d)
+    val pairs = (0 until d).flatMap(j => (j until d).map(k => (j, k)))
+    val idx = pairs.zipWithIndex.map { case ((j, k), i) =>
+      struct(lit(j).as("j"), lit(k).as("k"), lit(i).as("i"))
+    }
+    m.select(explode(array(idx: _*)).as("jk"), col("m"))
+      .select(col("jk.j").as("j"), col("jk.k").as("k"),
+        (element_at(col("m.s"), col("jk.j") + 1).cast("double") /
+          col("m.n").cast("double")).as("__mj"),
+        (element_at(col("m.s"), col("jk.k") + 1).cast("double") /
+          col("m.n").cast("double")).as("__mk"),
+        (element_at(col("m.p"), col("jk.i") + 1).cast("double") /
+          col("m.n").cast("double")).as("__exk"))
+      .select(col("j"), col("k"),
+        round(col("__mj"), 6).as("mean_j"),
+        round(col("__mk"), 6).as("mean_k"),
+        round(col("__exk") - col("__mj") * col("__mk"), 6).as("cov"))
+  }
+
+  /** Deterministic cyclic Jacobi eigendecomposition of a symmetric d×d
+    * matrix: fixed (p, q) sweep order, rotations until the off-diagonal
+    * Frobenius mass is below `tol` (or `maxSweeps`). Returns
+    * (eigenvalues, eigenvectors as COLUMNS of the returned matrix),
+    * UNSORTED — [[pcaTrain]] applies the canonical ordering/sign.
+    */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]],
+      maxSweeps: Int = 64, tol: Double = 1e-14)
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (sweep < maxSweeps && off() > tol) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(1.0 + theta * theta))
+              else 1.0 / (theta - math.sqrt(1.0 + theta * theta))
+            val c = 1.0 / math.sqrt(1.0 + t * t)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** A trained PCA model: `(component, eigenvalue, vec, mean)` —
+    * `component` 0-based in decreasing-eigenvalue order, `vec` the unit
+    * eigenvector (d doubles, canonical sign), `mean` the training mean
+    * (repeated per row so the artifact is one self-describing relation,
+    * parquet-persistable like every other model artifact).
+    */
+  def pcaTrain(df: DataFrame, vecCol: String, d: Int): DataFrame = {
+    val spark = df.sparkSession
+    val row = momentSums(df, vecCol, d).head()
+    val m = row.getStruct(0)
+    val n = m.getLong(0)
+    require(n >= 2, s"pcaTrain needs >= 2 vectors, got $n")
+    val s = m.getSeq[java.math.BigDecimal](1).map(_.doubleValue()).toArray
+    val p = m.getSeq[java.math.BigDecimal](2).map(_.doubleValue()).toArray
+    val mean = s.map(_ / n.toDouble)
+    val cov = Array.ofDim[Double](d, d)
+    var i = 0
+    var j = 0
+    while (j < d) {
+      var k = j
+      while (k < d) {
+        val c = p(i) / n.toDouble - mean(j) * mean(k)
+        cov(j)(k) = c; cov(k)(j) = c
+        i += 1; k += 1
+      }
+      j += 1
+    }
+    val (evs, vecs) = jacobiEigen(cov)
+    // canonical order: eigenvalue desc, original index asc on exact ties
+    val order = (0 until d).sortBy(c => (-evs(c), c))
+    val rows = order.zipWithIndex.map { case (c, rankC) =>
+      val vRaw = Array.tabulate(d)(r => vecs(r)(c))
+      // canonical sign: the largest-|component| entry (first on ties)
+      // is positive
+      var best = 0
+      var bi = 1
+      while (bi < d) {
+        if (math.abs(vRaw(bi)) > math.abs(vRaw(best))) best = bi
+        bi += 1
+      }
+      val vCanon = if (vRaw(best) < 0) vRaw.map(x => -x) else vRaw
+      (rankC, evs(c), vCanon.toSeq, mean.toSeq)
+    }
+    import spark.implicits._
+    rows.toDF("component", "eigenvalue", "vec", "mean")
+  }
+
+  /** Project `vecCol` onto the model's top `k` components:
+    * y_c = v_c·x − v_c·mean (the mean dot is a precomputed constant), as
+    * `k` fused native dot products per row — broadcast-only, no shuffle.
+    * `whiten = true` additionally scales each component by
+    * 1/sqrt(eigenvalue + eps) (unit variance on the training
+    * distribution; eps guards degenerate directions). Output = input
+    * columns plus `outCol` (array<double> length k).
+    */
+  def pcaProject(df: DataFrame, vecCol: String, model: DataFrame, k: Int,
+      outCol: String = "proj", whiten: Boolean = false,
+      eps: Double = 1e-9): DataFrame = {
+    val rows = model.select(col("component"), col("eigenvalue"),
+        col("vec"), col("mean"))
+      .collect().sortBy(_.getInt(0))
+    require(k >= 1 && k <= rows.length,
+      s"k=$k must be in [1, ${rows.length}]")
+    val comps = rows.take(k).map { r =>
+      val v = r.getSeq[Double](2).toArray
+      val mean = r.getSeq[Double](3).toArray
+      val shift = v.zip(mean).map { case (a, b) => a * b }.sum
+      val sc =
+        if (whiten) 1.0 / math.sqrt(math.max(r.getDouble(1), 0.0) + eps)
+        else 1.0
+      (v, shift, sc)
+    }
+    val proj: Column = array(comps.map { case (v, shift, sc) =>
+      val dot = VectorFunctions.dotNative(col(vecCol),
+        array(v.map(lit(_)): _*))
+      if (whiten) (dot - lit(shift)) * lit(sc) else dot - lit(shift)
+    }: _*)
+    df.withColumn(outCol, proj)
+  }
+
+  /** OPQ eigenvalue allocation (Ge et al., "Optimized Product
+    * Quantization", the parametric variant): assign principal components
+    * to `m` PQ subspaces so the PRODUCTS of eigenvalues balance —
+    * greedy, components in eigenvalue-desc order, each to the subspace
+    * with the smallest current log-λ sum among those not yet full
+    * (ties → lowest subspace index; λ floored at 1e-12 so degenerate
+    * directions don't force −∞). Plain PCA alone CONCENTRATES variance
+    * into the leading subspace and measurably hurts PQ recall
+    * (ProjectionSweep: the literature's own motivation, reproduced);
+    * the balanced permutation is what makes the rotation pay. Returns
+    * the component order to project in: subspace 0's components first,
+    * etc., each subspace d/m wide.
+    */
+  def opqComponentOrder(model: DataFrame, m: Int): Seq[Int] = {
+    val rows = model.select(col("component"), col("eigenvalue"))
+      .collect().sortBy(_.getInt(0))
+    val d = rows.length
+    require(m >= 1 && d % m == 0, s"m=$m must divide d=$d")
+    val width = d / m
+    // balance Σ log λ per bucket under equal counts — capacity-capped
+    // LPT over SHIFTED-POSITIVE weights log(λ/λ_min) + δ. The naive
+    // "smallest current log-product" greedy silently degenerates to the
+    // IDENTITY order whenever all λ < 1 (negative logs make the fullest
+    // bucket look smallest — measured: the balanced and plain-PCA PQ
+    // recalls came out bit-identical); the shift is scale-invariant
+    // (ratios only) and keeps empty buckets smallest, which is the
+    // published allocation's actual intent.
+    val lamMin = math.max(rows.map(_.getDouble(1)).min, 1e-12)
+    val load = Array.fill(m)(0.0)
+    val buckets = Array.fill(m)(List.newBuilder[Int])
+    val counts = Array.fill(m)(0)
+    rows.sortBy(r => (-r.getDouble(1), r.getInt(0))).foreach { r =>
+      val w = math.log(math.max(r.getDouble(1), 1e-12) / lamMin) + 1e-6
+      var best = -1
+      var s = 0
+      while (s < m) {
+        if (counts(s) < width &&
+            (best < 0 || load(s) < load(best))) best = s
+        s += 1
+      }
+      load(best) += w
+      counts(best) += 1
+      buckets(best) += r.getInt(0)
+    }
+    buckets.toSeq.flatMap(_.result())
+  }
+
+  /** [[pcaProject]] in an EXPLICIT component order (a permutation of a
+    * prefix of the model's components) — the OPQ-balanced projection:
+    * `pcaProjectOrdered(df, v, model, opqComponentOrder(model, m))`
+    * yields the rotated vectors whose consecutive d/m slices are the
+    * balanced subspaces a PQ encoder then quantizes.
+    */
+  def pcaProjectOrdered(df: DataFrame, vecCol: String, model: DataFrame,
+      order: Seq[Int], outCol: String = "proj"): DataFrame = {
+    val byComp = model.select(col("component"), col("eigenvalue"),
+        col("vec"), col("mean"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    require(order.nonEmpty && order.distinct.length == order.length &&
+        order.forall(byComp.contains),
+      s"order must be distinct known components, got $order")
+    val proj: Column = array(order.map { c =>
+      val r = byComp(c)
+      val v = r.getSeq[Double](2).toArray
+      val mean = r.getSeq[Double](3).toArray
+      val shift = v.zip(mean).map { case (a, b) => a * b }.sum
+      VectorFunctions.dotNative(col(vecCol),
+        array(v.map(lit(_)): _*)) - lit(shift)
+    }: _*)
+    df.withColumn(outCol, proj)
+  }
+
+  /** Variance explained per component off a trained model:
+    * `(component, eigenvalue, var_frac, cum_frac)` — the read a
+    * truncation decision uses (keep components until cum_frac ≥ target).
+    */
+  def varianceExplained(model: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("component"))
+    val tot = model.agg(
+      sum(col("eigenvalue").cast("decimal(30,12)")).as("__t"))
+    model.crossJoin(broadcast(tot))
+      .select(col("component"), col("eigenvalue"),
+        (col("eigenvalue") / col("__t").cast("double")).as("var_frac"),
+        (sum(col("eigenvalue").cast("decimal(30,12)")).over(w)
+          .cast("double") / col("__t").cast("double")).as("cum_frac"))
+  }
+}

@@ -788,6 +788,164 @@ object TopKByCount {
   }
 }
 
+/** Exact first/second vector moments in ONE pass — the PCA/whitening
+  * build kernel (`ext/Projection.pcaTrain`): per input vector accumulate
+  * Σ x_j and the upper-triangle Σ x_j·x_k with every addend cast to
+  * DECIMAL(38,12) first (each element and each product rounds exactly as
+  * Spark's double→decimal cast, so DuckDB replays the sums), carried as
+  * exact BigInteger unscaled values. Addition is commutative/associative
+  * and exact, so split/merge order CANNOT change the result — the map
+  * partials are (1 + d + d(d+1)/2) numbers per group per split, the
+  * register-bounded shape of the sketch tier applied to covariance.
+  *
+  * A double-state variant would be ~10× faster per row but
+  * order-sensitive in the last ulps; the exactness is what lets the
+  * covariance read hash-gate against the relational oracle.
+  *
+  * eval returns `struct<n bigint, s array<decimal(38,12)>,
+  * p array<decimal(38,12)>>` with p in row-major upper-triangle order
+  * (j ≤ k). Null or wrong-length vectors are SKIPPED (counted rows are
+  * exactly the accumulated rows).
+  */
+case class MomentSums(vec: Expression, d: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[MomentSums.Buf] {
+
+  require(d >= 1 && d <= 512, s"d=$d must be in [1, 512]")
+
+  override def children: Seq[Expression] = Seq(vec)
+  override def nullable: Boolean = false
+  private val decType = DecimalType(38, 12)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("s", ArrayType(decType, containsNull = false),
+      nullable = false),
+    StructField("p", ArrayType(decType, containsNull = false),
+      nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = vec.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_moment_sums expects array<float|double>, got $t")
+  }
+
+  // lazy: children may be unresolved when Catalyst copies the node
+  private lazy val isFloat = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def createAggregationBuffer(): MomentSums.Buf =
+    MomentSums.Buf(0L,
+      Array.fill(d)(java.math.BigInteger.ZERO),
+      Array.fill(d * (d + 1) / 2)(java.math.BigInteger.ZERO))
+
+  // the exact unscaled value of CAST(x AS DECIMAL(38,12)) — Spark casts
+  // via the double's SHORTEST decimal representation (BigDecimal.decimal
+  // = valueOf = Double.toString), HALF_UP at scale 12
+  private def unscaled12(x: Double): java.math.BigInteger =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP).unscaledValue()
+
+  override def update(buf: MomentSums.Buf,
+      input: org.apache.spark.sql.catalyst.InternalRow): MomentSums.Buf = {
+    val a = vec.eval(input)
+    if (a == null) return buf
+    val arr = a.asInstanceOf[ArrayData]
+    if (arr.numElements() != d) return buf
+    val xs = new Array[Double](d)
+    var j = 0
+    while (j < d) {
+      xs(j) = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+      j += 1
+    }
+    var i = 0
+    j = 0
+    while (j < d) {
+      buf.s(j) = buf.s(j).add(unscaled12(xs(j)))
+      var k = j
+      while (k < d) {
+        buf.p(i) = buf.p(i).add(unscaled12(xs(j) * xs(k)))
+        i += 1; k += 1
+      }
+      j += 1
+    }
+    buf.n += 1L
+    buf
+  }
+
+  override def merge(buf: MomentSums.Buf, other: MomentSums.Buf)
+      : MomentSums.Buf = {
+    buf.n += other.n
+    var j = 0
+    while (j < buf.s.length) { buf.s(j) = buf.s(j).add(other.s(j)); j += 1 }
+    var i = 0
+    while (i < buf.p.length) { buf.p(i) = buf.p(i).add(other.p(i)); i += 1 }
+    buf
+  }
+
+  override def eval(buf: MomentSums.Buf): Any = {
+    def decs(a: Array[java.math.BigInteger]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        a.map { u =>
+          org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(u, 12), 38, 12)
+        }.asInstanceOf[Array[Any]])
+    org.apache.spark.sql.catalyst.InternalRow(buf.n, decs(buf.s),
+      decs(buf.p))
+  }
+
+  override def serialize(buf: MomentSums.Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeLong(buf.n)
+    def wr(a: Array[java.math.BigInteger]): Unit = {
+      out.writeInt(a.length)
+      a.foreach { u =>
+        val b = u.toByteArray
+        out.writeInt(b.length); out.write(b)
+      }
+    }
+    wr(buf.s); wr(buf.p)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MomentSums.Buf = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readLong()
+    def rd(): Array[java.math.BigInteger] = {
+      val len = in.readInt()
+      Array.fill(len) {
+        val bl = in.readInt()
+        val b = new Array[Byte](bl)
+        in.readFully(b)
+        new java.math.BigInteger(b)
+      }
+    }
+    MomentSums.Buf(n, rd(), rd())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MomentSums =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MomentSums =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MomentSums =
+    copy(vec = newChildren(0))
+}
+
+object MomentSums {
+  /** n rows; Σ x_j and upper-triangle Σ x_j·x_k as exact unscaled-at-12
+    * integers.
+    */
+  final case class Buf(var n: Long, s: Array[java.math.BigInteger],
+      p: Array[java.math.BigInteger])
+}
+
 object VectorFunctions {
   /** Fused dot product as a Column (codegen'd; see DotProductArr). */
   def dotNative(a: Column, b: Column): Column =
@@ -837,6 +995,11 @@ object VectorFunctions {
   def topKByCountNative(cnt: Column, item: Column, k: Int): Column =
     ColumnBridge.column(TopKByCount(ColumnBridge.expression(cnt),
       ColumnBridge.expression(item), k).toAggregateExpression())
+
+  /** Exact vector moment-sums aggregate as a Column (see MomentSums). */
+  def momentSumsNative(vec: Column, d: Int): Column =
+    ColumnBridge.column(MomentSums(ColumnBridge.expression(vec), d)
+      .toAggregateExpression())
 
   /** Broadcast-Bloom membership probe as a Column (codegen'd; see
     * BloomMightContain).

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Projection
+
+/** PCA/whitening contracts the q241 covariance oracle can't see: the
+  * exact-moments aggregate is split-invariant, the driver-side Jacobi
+  * satisfies the defining eigen algebra (orthonormality, residuals,
+  * trace), training is bit-deterministic, projection at k = d is an
+  * isometry of the centered data, whitening yields unit train variance,
+  * and a planted low-rank structure concentrates variance in the leading
+  * components.
+  */
+class ProjectionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // a deterministic correlated 4-dim dataset: two strong directions +
+  // two tiny ones (planted rank-2-ish structure)
+  private def corpus = {
+    val rows = (0 until 200).map { i =>
+      val t = i / 199.0
+      val u = math.sin(i * 2.399963) // deterministic pseudo-noise
+      (i.toLong, Seq(
+        (3.0 * t + 0.01 * u).toFloat,
+        (-2.0 * t + 0.5 + 0.01 * math.cos(i * 1.234)).toFloat,
+        (4.0 * u).toFloat,
+        (0.05 * math.sin(i * 0.777)).toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("covariance: matches the hand-computed two-pass values on a " +
+    "3-vector fixture") {
+    val df = Seq(
+      (0L, Seq(1.0f, 2.0f)),
+      (1L, Seq(3.0f, 4.0f)),
+      (2L, Seq(5.0f, 12.0f))).toDF("vec_id", "embedding")
+    val got = Projection.covariance(df, "embedding", 2)
+      .orderBy(col("j"), col("k")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(4)))
+    // means: (3, 6); E[x0²]=35/3, E[x0x1]=74/3, E[x1²]=164/3
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val exp = Seq(
+      (0, 0, r6(35.0 / 3 - 9.0)),
+      (0, 1, r6(74.0 / 3 - 18.0)),
+      (1, 1, r6(164.0 / 3 - 36.0)))
+    assert(got.toSeq == exp)
+  }
+
+  test("momentSums: arbitrary split/merge order cannot change the exact " +
+    "decimal sums") {
+    val a = Projection.momentSums(corpus.repartition(1), "embedding", 4)
+      .collect().head.toString
+    val b = Projection.momentSums(corpus.repartition(13), "embedding", 4)
+      .collect().head.toString
+    assert(a == b)
+  }
+
+  test("pcaTrain: orthonormal components, eigen residuals below 1e-8, " +
+    "trace preserved, eigenvalues descending, bit-deterministic") {
+    val model = Projection.pcaTrain(corpus, "embedding", 4)
+    val rows = model.orderBy(col("component")).collect()
+    val vs = rows.map(_.getSeq[Double](2).toArray)
+    val ev = rows.map(_.getDouble(1))
+    assert(ev.sliding(2).forall { case Array(x, y) => x >= y })
+    // orthonormality
+    for (i <- vs.indices; j <- vs.indices) {
+      val dot = vs(i).zip(vs(j)).map { case (x, y) => x * y }.sum
+      val expd = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expd) < 1e-10, s"v($i).v($j) = $dot")
+    }
+    // residuals ‖Cv − λv‖∞ against the covariance read (unrounded via
+    // recompute from moments — use the rounded q241 read's 6 dp as a
+    // looser gate)
+    val cov = Projection.covariance(corpus, "embedding", 4).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(4))).toMap
+    def c(j: Int, k: Int) = cov(if (j <= k) (j, k) else (k, j))
+    for (ci <- vs.indices) {
+      val v = vs(ci)
+      val av = Array.tabulate(4)(j =>
+        (0 until 4).map(k => c(j, k) * v(k)).sum)
+      val res = av.zip(v.map(_ * ev(ci)))
+        .map { case (x, y) => math.abs(x - y) }.max
+      assert(res < 1e-5, s"residual $res for component $ci") // 6 dp cov
+    }
+    // trace = Σ eigenvalues
+    val tr = (0 until 4).map(j => c(j, j)).sum
+    assert(math.abs(tr - ev.sum) < 1e-5)
+    // determinism
+    val again = Projection.pcaTrain(corpus, "embedding", 4)
+      .orderBy(col("component")).collect().map(_.toString).toSeq
+    assert(again == rows.map(_.toString).toSeq)
+  }
+
+  test("pcaProject: k = d is an isometry of the centered data; whitening " +
+    "gives unit train variance; planted structure concentrates variance") {
+    val model = Projection.pcaTrain(corpus, "embedding", 4)
+    val proj = Projection.pcaProject(corpus, "embedding", model, k = 4)
+      .select(col("vec_id"), col("proj")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val raw = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    Seq((0L, 7L), (3L, 199L), (42L, 100L)).foreach { case (i, j) =>
+      assert(math.abs(d2(proj(i), proj(j)) - d2(raw(i), raw(j))) < 1e-4)
+    }
+    // whitening: each component's variance over the train set ≈ 1
+    val wt = Projection.pcaProject(corpus, "embedding", model, k = 2,
+        whiten = true)
+      .select(col("proj")).collect().map(_.getSeq[Double](0).toArray)
+    (0 until 2).foreach { c2 =>
+      val xs = wt.map(_(c2))
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / xs.length
+      assert(math.abs(v - 1.0) < 1e-3, s"whitened var($c2) = $v")
+    }
+    // the planted 4-dim data has ~2 strong directions: top-2 cum_frac
+    // captures nearly everything
+    val ve = Projection.varianceExplained(model)
+      .orderBy(col("component")).collect()
+    assert(ve(1).getDouble(3) > 0.99,
+      s"top-2 cum_frac = ${ve(1).getDouble(3)}")
+    assert(math.abs(ve(3).getDouble(3) - 1.0) < 1e-9)
+  }
+
+  test("opqComponentOrder: greedy eigenvalue allocation balances " +
+    "log-products across subspaces; projection in that order permutes " +
+    "the plain projection exactly") {
+    val model = Projection.pcaTrain(corpus, "embedding", 4)
+    // m = 2 over 4 comps with eigenvalues λ0 ≥ λ1 ≥ λ2 ≥ λ3: greedy
+    // puts λ0 in s0, λ1 in s1, then pairs the strongest remainder with
+    // the weaker bucket → {0, 3} and {1, 2}
+    val order = Projection.opqComponentOrder(model, m = 2)
+    assert(order == Seq(0, 3, 1, 2), order.toString)
+    // balanced log-products are closer than the sorted split {0,1}/{2,3}
+    val ev = model.orderBy(col("component")).collect()
+      .map(_.getDouble(1)).map(x => math.log(math.max(x, 1e-12)))
+    def spread(b0: Seq[Int], b1: Seq[Int]) =
+      math.abs(b0.map(ev).sum - b1.map(ev).sum)
+    assert(spread(Seq(0, 3), Seq(1, 2)) <= spread(Seq(0, 1), Seq(2, 3)))
+    // ordered projection = column permutation of the plain projection
+    val plain = Projection.pcaProject(corpus, "embedding", model, k = 4)
+      .select(col("vec_id"), col("proj")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    Projection.pcaProjectOrdered(corpus, "embedding", model, order)
+      .select(col("vec_id"), col("proj")).collect().foreach { r =>
+        val got = r.getSeq[Double](1)
+        val exp = order.map(plain(r.getLong(0)))
+        assert(got == exp)
+      }
+    // a non-permutation order is refused
+    intercept[IllegalArgumentException] {
+      Projection.pcaProjectOrdered(corpus, "embedding", model, Seq(0, 0))
+    }
+  }
+}

@@ -2861,6 +2861,102 @@ object QueriesAnalytics {
             FROM pp JOIN mm ma ON pp.j = ma.j
                     JOIN mm mb ON pp.k = mb.j
                     CROSS JOIN nn
-            ORDER BY pp.j, pp.k"""))
+            ORDER BY pp.j, pp.k""")),
+
+    // probabilistic record linkage (round 16): Fellegi-Sunter over a
+    // deterministic dirty twin of the customer table (name truncated by
+    // one char, segment case-shifted, balance floored to one decimal) —
+    // blocked on the nation key (equi-join, no cartesian), per-field
+    // agreement flags (levenshtein <= 1 on names, case-folded segment
+    // equality, balance within the floor window [0, 0.1) — pure double
+    // ops, no rounding-mode divergence), u rates ESTIMATED from the
+    // candidate pairs, m supplied, per-field log-likelihood-ratio terms
+    // DECIMAL-summed in fixed field order, mutual-best one-to-one links
+    // above log-odds 0. The truncated names are deliberately confusable
+    // (Customer#...N all truncate alike within a block) and the segment
+    // field is 5-valued (weak evidence), so the balance window does the
+    // disambiguation — the oracle replays the twin, the u estimation,
+    // the scoring, and both best-rank windows.
+    Q("q242_record_linkage",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val a = cust.select(
+          col("c_custkey").as("a_id"), col("c_name").as("a_name"),
+          col("c_mktsegment").as("a_seg"), col("c_acctbal").as("a_bal"),
+          col("c_nationkey").as("bk"))
+        val b = cust.select(
+          col("c_custkey").as("b_id"),
+          expr("substring(c_name, 1, length(c_name) - 1)").as("b_name"),
+          upper(col("c_mktsegment")).as("b_seg"),
+          (floor(col("c_acctbal") * lit(10.0d)) / lit(10.0d)).as("b_bal"),
+          col("c_nationkey").as("bk"))
+        val pairs = ext.Linkage.blockPairs(a, b, "bk")
+        val flags = Seq(
+          "name" -> (levenshtein(col("a_name"), col("b_name")) <= 1),
+          "seg" -> (lower(col("a_seg")) === lower(col("b_seg"))),
+          "bal" -> (col("a_bal") - col("b_bal") >= 0.0d &&
+            col("a_bal") - col("b_bal") < 0.1d))
+        val rates = ext.Linkage.agreementRates(pairs, flags)
+        val scored = ext.Linkage.fsScores(pairs, flags,
+          Map("name" -> 0.95, "seg" -> 0.95, "bal" -> 0.95), rates)
+        ext.Linkage.mutualBest(scored, "a_id", "b_id", minScore = 0.0)
+          .select(col("a_id"), col("b_id"),
+            round(col("score").cast("double"), 6).as("score"))
+          .orderBy(col("a_id"))
+      },
+      Some("""WITH a AS (SELECT c_custkey AS a_id, c_name AS a_name,
+                              c_mktsegment AS a_seg, c_acctbal AS a_bal,
+                              c_nationkey AS bk
+                       FROM customer),
+             b AS (SELECT c_custkey AS b_id,
+                          substring(c_name, 1, length(c_name) - 1)
+                            AS b_name,
+                          upper(c_mktsegment) AS b_seg,
+                          floor(c_acctbal * 10.0) / 10.0 AS b_bal,
+                          c_nationkey AS bk
+                   FROM customer),
+             pr AS (SELECT a.a_id, a.a_name, a.a_seg, a.a_bal,
+                           b.b_id, b.b_name, b.b_seg, b.b_bal,
+                           CAST(levenshtein(a_name, b_name) <= 1
+                             AS INT) AS f_name,
+                           CAST(lower(a_seg) = lower(b_seg) AS INT)
+                             AS f_seg,
+                           CAST(a_bal - b_bal >= 0.0
+                                AND a_bal - b_bal < 0.1 AS INT) AS f_bal
+                    FROM a JOIN b USING (bk)),
+             ur AS (SELECT CAST(sum(f_name) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE) AS u_name,
+                           CAST(sum(f_seg) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE) AS u_seg,
+                           CAST(sum(f_bal) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE) AS u_bal
+                    FROM pr),
+             sc AS (SELECT pr.a_id, pr.b_id,
+                           CAST(CASE WHEN u_name <= 0.0 OR u_name >= 1.0
+                                THEN 0.0
+                                WHEN f_name = 1 THEN ln(0.95 / u_name)
+                                ELSE ln((1.0 - 0.95) / (1.0 - u_name))
+                                END AS DECIMAL(20,12))
+                         + CAST(CASE WHEN u_seg <= 0.0 OR u_seg >= 1.0
+                                THEN 0.0
+                                WHEN f_seg = 1 THEN ln(0.95 / u_seg)
+                                ELSE ln((1.0 - 0.95) / (1.0 - u_seg))
+                                END AS DECIMAL(20,12))
+                         + CAST(CASE WHEN u_bal <= 0.0 OR u_bal >= 1.0
+                                THEN 0.0
+                                WHEN f_bal = 1 THEN ln(0.95 / u_bal)
+                                ELSE ln((1.0 - 0.95) / (1.0 - u_bal))
+                                END AS DECIMAL(20,12)) AS score
+                    FROM pr CROSS JOIN ur),
+             rk AS (SELECT a_id, b_id, score,
+                           row_number() OVER (PARTITION BY a_id
+                             ORDER BY score DESC, b_id) AS ra,
+                           row_number() OVER (PARTITION BY b_id
+                             ORDER BY score DESC, a_id) AS rb
+                    FROM sc
+                    WHERE CAST(score AS DOUBLE) >= 0.0)
+            SELECT a_id, b_id, round(CAST(score AS DOUBLE), 6) AS score
+            FROM rk WHERE ra = 1 AND rb = 1
+            ORDER BY a_id"""))
   )
 }

@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage — the Fellegi–Sunter model (1969; the
+  * method behind Splink/dedupe.io) as a relational program: block
+  * candidate pairs on a cheap key, compare fields, score each pair with
+  * the sum of per-field log-likelihood ratios
+  * `agree ? ln(m/u) : ln((1−m)/(1−u))`, and keep pairs above a
+  * threshold (optionally one-to-one by mutual best rank). The
+  * structured-record complement of the text-dedup tier: MinHash asks
+  * "is this prose near-identical", linkage asks "are these two ROWS the
+  * same real-world entity despite typos and format drift".
+  *
+  *  - `m` = P(field agrees | records match): supplied per field (the
+  *    reviewer-calibrated parameters; EM training is deliberately out —
+  *    it is order-sensitive and not oracle-replayable).
+  *  - `u` = P(field agrees | records DON'T match): ESTIMATED from the
+  *    candidate pairs themselves (the standard practical estimate —
+  *    non-matches dominate blocked pairs, so the agreement rate over
+  *    all pairs approximates u from below; the bias is documented and
+  *    conservative: it shrinks ln(m/u), never inflates it).
+  *
+  * Scale shape: blocking is an equi-join on the block key (no
+  * cartesian anywhere — the plan-level guarantee the q-oracle's shape
+  * shares); pair volume is Σ_blocks |A_b|·|B_b|, governed by the
+  * blocking key's selectivity. A hot block (skew) multiplies pairs —
+  * the same failure mode as LSH hot bands, with the same remedies
+  * (salt the key, split on a second field, or cap with
+  * [[blockSizes]]' audit before paying the join). u-estimation is one
+  * aggregate over the pair stream; scoring is per-row arithmetic with
+  * the per-field DOUBLE terms summed as DECIMAL(20,12) in fixed field
+  * order (the rrfFuseN addend discipline); ranks tie-break on ids.
+  */
+object Linkage {
+
+  /** Candidate pairs: equi-join `a` × `b` on the shared `blockKey`
+    * column. All other column names must be distinct across the two
+    * inputs (prefix them before calling). The join is the tier's only
+    * pair-producing step — its volume is exactly
+    * Σ_blocks |A_b| · |B_b|.
+    */
+  def blockPairs(a: DataFrame, b: DataFrame, blockKey: String): DataFrame =
+    a.join(b, Seq(blockKey))
+
+  /** Per-block pair volume `(blockKey, n_a, n_b, pairs)` — the audit a
+    * caller reads BEFORE paying the join when the key's skew is
+    * unknown (the semDedup hot-cell-guard stance applied to blocking).
+    */
+  def blockSizes(a: DataFrame, b: DataFrame, blockKey: String): DataFrame =
+    a.groupBy(col(blockKey)).agg(count(lit(1)).as("n_a"))
+      .join(b.groupBy(col(blockKey)).agg(count(lit(1)).as("n_b")),
+        Seq(blockKey))
+      .select(col(blockKey), col("n_a"), col("n_b"),
+        (col("n_a") * col("n_b")).as("pairs"))
+
+  /** The u probabilities (agreement rate over candidate pairs) as ONE
+    * row — `u_<field>` per flag, each
+    * `sum(agree)/count(*)` in DOUBLE. Broadcast-sized by construction.
+    */
+  def agreementRates(pairs: DataFrame,
+      flags: Seq[(String, Column)]): DataFrame =
+    pairs.agg(count(lit(1)).as("__n"),
+        flags.map { case (f, c) =>
+          sum(c.cast("int")).as(s"__a_$f") }: _*)
+      .select(flags.map { case (f, _) =>
+        (col(s"__a_$f").cast("double") / col("__n").cast("double"))
+          .as(s"u_$f") }: _*)
+
+  /** Fellegi–Sunter scores: per pair, Σ over fields (in the GIVEN
+    * order) of `agree ? ln(m/u) : ln((1−m)/(1−u))` — per-field DOUBLE
+    * terms cast DECIMAL(20,12) and added left-to-right (fixed order →
+    * bit-exact), `u` read from the broadcast [[agreementRates]] row,
+    * `m` caller-supplied per field. Degenerate u (0 or 1 — a flag
+    * that never/always agrees carries no evidence) contributes exactly
+    * 0 on both branches. Returns the pair columns plus `score`
+    * (DECIMAL(20,12)).
+    */
+  def fsScores(pairs: DataFrame, flags: Seq[(String, Column)],
+      m: Map[String, Double], rates: DataFrame): DataFrame = {
+    require(flags.map(_._1).forall(m.contains),
+      s"m probabilities missing for ${flags.map(_._1).filterNot(m.contains)}")
+    m.values.foreach(v => require(v > 0.0 && v < 1.0,
+      s"m must be in (0,1): $v"))
+    val withU = pairs.crossJoin(broadcast(rates))
+    val terms = flags.map { case (f, agree) =>
+      val u = col(s"u_$f")
+      val mf = lit(m(f))
+      val informative = u > 0.0 && u < 1.0
+      when(!informative, lit(0.0d))
+        .otherwise(when(agree, log(mf / u))
+          .otherwise(log((lit(1.0d) - mf) / (lit(1.0d) - u))))
+        .cast("decimal(20,12)")
+    }
+    withU.withColumn("score", terms.reduce(_ + _))
+      .drop(flags.map(f => s"u_${f._1}"): _*)
+  }
+
+  /** One-to-one links above `minScore`: a pair survives iff it is the
+    * best (score desc, partner id asc) for BOTH its left id and its
+    * right id — the mutual-best rule that prevents one dirty record
+    * from claiming several sources. Returns the scored columns plus
+    * nothing new; losers are dropped.
+    */
+  def mutualBest(scored: DataFrame, aId: String, bId: String,
+      minScore: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wa = Window.partitionBy(col(aId))
+      .orderBy(col("score").desc, col(bId).asc)
+    val wb = Window.partitionBy(col(bId))
+      .orderBy(col("score").desc, col(aId).asc)
+    scored
+      .where(col("score").cast("double") >= minScore)
+      .withColumn("__ra", row_number().over(wa))
+      .withColumn("__rb", row_number().over(wb))
+      .where(col("__ra") === 1 && col("__rb") === 1)
+      .drop("__ra", "__rb")
+  }
+}

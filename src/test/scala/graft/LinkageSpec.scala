@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Linkage
+
+/** Fellegi–Sunter linkage contracts the q242 oracle can't see: the u
+  * estimation arithmetic on a hand-countable fixture, evidence signs
+  * (agreements add, disagreements subtract), the degenerate-u guard, the
+  * mutual-best one-to-one rule, and the blocking audit.
+  */
+class LinkageSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, "anna", "12 oak st", "555-0101"),
+    (2L, "bob", "9 elm ave", "555-0202"),
+    (3L, "carl", "7 pine rd", "555-0303")
+  ).toDF("a_id", "a_name", "a_addr", "a_phone").withColumn("bk", lit(0))
+
+  private def right = Seq(
+    (11L, "ann", "12 OAK ST", "555-0101"),
+    (12L, "rob", "9 elm ave", "555-0202"),
+    (13L, "dave", "1 main st", "555-9999")
+  ).toDF("b_id", "b_name", "b_addr", "b_phone").withColumn("bk", lit(0))
+
+  private def flags = Seq(
+    "name" -> (levenshtein(col("a_name"), col("b_name")) <= 1),
+    "addr" -> (lower(col("a_addr")) === lower(col("b_addr"))),
+    "phone" -> (col("a_phone") === col("b_phone")))
+
+  test("agreementRates: hand-countable u over the 9 blocked pairs") {
+    val pairs = Linkage.blockPairs(left, right, "bk")
+    assert(pairs.count() == 9)
+    val r = Linkage.agreementRates(pairs, flags).collect().head
+    // name lev<=1: (anna,ann)=1, (bob,rob)=1 → 2/9; addr: 2/9; phone: 2/9
+    assert(r.getDouble(0) == 2.0 / 9.0)
+    assert(r.getDouble(1) == 2.0 / 9.0)
+    assert(r.getDouble(2) == 2.0 / 9.0)
+  }
+
+  test("fsScores: full agreement scores positive, full disagreement " +
+    "negative, and a degenerate always-true flag contributes zero") {
+    val pairs = Linkage.blockPairs(left, right, "bk")
+    val rates = Linkage.agreementRates(pairs, flags)
+    val m = Map("name" -> 0.9, "addr" -> 0.9, "phone" -> 0.9)
+    val sc = Linkage.fsScores(pairs, flags, m, rates)
+      .select(col("a_id"), col("b_id"), col("score").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // true pairs: all three fields agree → 3·ln(0.9/(2/9)) > 0
+    val full = 3 * math.log(0.9 / (2.0 / 9.0))
+    assert(math.abs(sc((1L, 11L)) - full) < 1e-9)
+    assert(math.abs(sc((2L, 12L)) - full) < 1e-9)
+    // a fully disagreeing pair: 3·ln(0.1/(7/9)) < 0
+    val none = 3 * math.log((1.0 - 0.9) / (1.0 - 2.0 / 9.0))
+    assert(math.abs(sc((1L, 12L)) - none) < 1e-9)
+    assert(sc((1L, 11L)) > 0 && sc((1L, 12L)) < 0)
+    // degenerate u: a flag that agrees on EVERY pair (u = 1) is
+    // evidence-free — identical scores with and without it
+    val flags2 = flags :+ ("const" -> lit(true))
+    val sc2 = Linkage.fsScores(Linkage.blockPairs(left, right, "bk"),
+        flags2, m + ("const" -> 0.9),
+        Linkage.agreementRates(Linkage.blockPairs(left, right, "bk"),
+          flags2))
+      .select(col("a_id"), col("b_id"), col("score").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(sc2 == sc)
+  }
+
+  test("mutualBest: one-to-one above the threshold; the unmatched dirty " +
+    "record links to nobody") {
+    val pairs = Linkage.blockPairs(left, right, "bk")
+    val rates = Linkage.agreementRates(pairs, flags)
+    val sc = Linkage.fsScores(pairs, flags,
+      Map("name" -> 0.9, "addr" -> 0.9, "phone" -> 0.9), rates)
+    val links = Linkage.mutualBest(sc, "a_id", "b_id", minScore = 0.0)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(links == Set((1L, 11L), (2L, 12L)))
+    // raising the threshold above the full-agreement score empties it
+    val hi = Linkage.mutualBest(sc, "a_id", "b_id", minScore = 100.0)
+    assert(hi.count() == 0)
+  }
+
+  test("blockSizes: the pre-join audit reports exact pair volume per key") {
+    val a2 = left.withColumn("bk", (col("a_id") % 2).cast("int"))
+    val b2 = right.withColumn("bk", (col("b_id") % 2).cast("int"))
+    val sizes = Linkage.blockSizes(a2, b2, "bk").collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    // a: bk1 = {1,3}, bk0 = {2}; b: bk1 = {11,13}, bk0 = {12}
+    assert(sizes == Map(1 -> 4L, 0 -> 1L))
+    // and the audit equals the realized join volume
+    assert(Linkage.blockPairs(a2, b2, "bk").count() == 5)
+  }
+}

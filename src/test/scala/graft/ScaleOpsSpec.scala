@@ -426,6 +426,78 @@ class ScaleOpsSpec extends AnyFunSuite {
       f"production-leg fused recall degraded: $recall%.3f")
   }
 
+  test("OPQ-balanced rotation composes with the PQ kernel end-to-end: " +
+    "balanced beats plain PCA on a cross-correlated corpus, and the " +
+    "rotated space flows through the persisted IVF artifact unchanged") {
+    import graft.ext.Projection
+    val dir = "/root/testdata/sf0.01"
+    val iso = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding").localCheckpoint(true)
+    // the ProjectionSweep COR corpus: width-8 circular smoothing →
+    // correlation crossing every m=8 subspace boundary
+    val cor = iso.select($"vec_id",
+        transform(sequence(lit(0), lit(63)), j =>
+          aggregate(sequence(lit(0), lit(7)), lit(0.0d),
+            (acc, w) => acc +
+              element_at($"embedding", pmod(j + w, lit(64)) + 1)
+                .cast("double")) / lit(8.0d)).as("embedding"))
+      .localCheckpoint(true)
+    def toFloat(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding", transform($"embedding",
+        x => x.cast("float")))
+    def pqRecall(corpus0: org.apache.spark.sql.DataFrame): Double = {
+      val e = toFloat(corpus0).localCheckpoint(true)
+      val q = e.where($"vec_id" % 25 === 0)
+      val bf = Similarity.bruteForceTopK(q, e, "vec_id", "embedding",
+        k = 5).select($"q_id", $"c_id").localCheckpoint(true)
+      val nQ = bf.select($"q_id").distinct().count()
+      // k = 16 / overfetch = 2: at sf0.01 the m=8/k=64/of=32 sweep
+      // setting saturates (recall 1.0 in every space — no contrast);
+      // the tight budget keeps quantization distortion decisive
+      val books = Similarity.pqCodebooks(e, "vec_id", "embedding",
+        m = 8, subDim = 8, k = 16, iters = 2).localCheckpoint(true)
+      val ann = Similarity.pqAdcTopK(q, e, "vec_id", "embedding", books,
+        m = 8, subDim = 8, k = 5, overfetch = 2)
+      bf.join(ann.select($"q_id", $"c_id"), Seq("q_id", "c_id"))
+        .count().toDouble / (nQ * 5)
+    }
+    val model = Projection.pcaTrain(cor, "embedding", 64)
+    val plain = Projection.pcaProject(cor, "embedding", model, k = 64)
+      .select($"vec_id", $"proj".as("embedding"))
+    val order = Projection.opqComponentOrder(model, m = 8)
+    val bal = Projection.pcaProjectOrdered(cor, "embedding", model, order)
+      .select($"vec_id", $"proj".as("embedding"))
+    val (rRaw, rPlain, rBal) = (pqRecall(cor), pqRecall(plain),
+      pqRecall(bal))
+    info(f"pq recall@5 — raw $rRaw%.3f plain-pca $rPlain%.3f " +
+      f"opq-balanced $rBal%.3f")
+    // deterministic (seeded k-means, fixed corpus) — a measured floor,
+    // not a flake margin: balancing must recover a large part of what
+    // plain PCA costs (measured 0.230 → 0.590 at this starved budget;
+    // at the sf0.1 sweep's k=64/of=32 budget it recovers to within
+    // 0.005 of raw — docs/SCALE.md). Whether the rotation BEATS raw is
+    // budget- and spectrum-dependent, deliberately not gated.
+    assert(rBal > rPlain + 0.2,
+      f"balanced $rBal%.3f should beat plain PCA $rPlain%.3f")
+    assert(rRaw > rPlain,
+      f"fixture lost its contrast: raw $rRaw%.3f <= plain $rPlain%.3f")
+    // mechanical composition: the rotated space persists through the
+    // existing IVF artifact lifecycle (quantize, cell-partition, probe
+    // with DPP) with no special casing
+    val balF = toFloat(bal).localCheckpoint(true)
+    val cents = Similarity.kmeansCentroids(balF, "vec_id", "embedding",
+      k = 8, iters = 2).localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("opq_ivf").toString + "/idx"
+    Similarity.saveIvfSq8Index(balF, "vec_id", "embedding", cents, path)
+    val probe = Similarity.ivfQuantizedTopK(spark.read.parquet(path),
+      cents, balF.where($"vec_id" % 25 === 0), balF, "vec_id",
+      "embedding", k = 5, nprobe = 4, overfetch = 8)
+    assert(probe.queryExecution.executedPlan.toString
+      .contains("dynamicpruning"))
+    assert(probe.count() > 0)
+  }
+
   test("hot-cell LSH level keeps within-cluster pairs an id split would sever") {
     // one oversized cell holding TWO tight clusters on opposite sides of
     // the origin: the sign-bucket split separates the clusters, not the

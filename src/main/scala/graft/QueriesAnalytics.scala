@@ -2957,6 +2957,77 @@ object QueriesAnalytics {
                     WHERE CAST(score AS DOUBLE) >= 0.0)
             SELECT a_id, b_id, round(CAST(score AS DOUBLE), 6) AS score
             FROM rk WHERE ra = 1 AND rb = 1
-            ORDER BY a_id"""))
+            ORDER BY a_id""")),
+
+    // regular-grid resampling (round 16): per-user 6-hour series over
+    // the events stream — each slot carries the bucket's LATEST
+    // observation (micros desc, event_id desc — deterministic), LOCF,
+    // and linear interpolation between the surrounding representatives
+    // evaluated at the slot start (exact LONG micros deltas; only the
+    // final ratio·span product is double). Dense keys × slots spine
+    // over the GLOBAL bucket range (the histPsi/DSIR shared-spine
+    // discipline); nulls before a key's first and after its last
+    // observation are part of the contract and replayed.
+    Q("q243_resample_locf_interp",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        ext.Timeseries.resample(ev, "user_id", "ts", "value", "event_id",
+            stepSeconds = 21600L)
+          .orderBy(col("user_id"), col("bucket"))
+      },
+      Some("""WITH obs AS (SELECT user_id, epoch_us(ts) AS us,
+                                CAST(value AS DOUBLE) AS v, event_id,
+                                epoch_us(ts) // 21600000000 AS bucket
+                         FROM events),
+             rep AS (SELECT user_id, bucket, us, v, n_obs
+                     FROM (SELECT user_id, bucket, us, v,
+                                  count(*) OVER (PARTITION BY user_id,
+                                    bucket) AS n_obs,
+                                  row_number() OVER (PARTITION BY
+                                    user_id, bucket
+                                    ORDER BY us DESC, event_id DESC)
+                                    AS rn
+                           FROM obs)
+                     WHERE rn = 1),
+             bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi
+                        FROM rep),
+             grid AS (SELECT unnest(range(lo, hi + 1)) AS bucket
+                      FROM bounds),
+             keys AS (SELECT DISTINCT user_id FROM events),
+             spine AS (SELECT k.user_id, g.bucket
+                       FROM keys k CROSS JOIN grid g),
+             j AS (SELECT s.user_id, s.bucket,
+                          r.us, r.v, r.n_obs
+                   FROM spine s LEFT JOIN rep r
+                     ON s.user_id = r.user_id AND s.bucket = r.bucket),
+             wnd AS (SELECT user_id, bucket, v, n_obs,
+                            bucket * 21600000000 AS bucket_us,
+                            last_value(v IGNORE NULLS) OVER
+                              (PARTITION BY user_id ORDER BY bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS pv,
+                            last_value(us IGNORE NULLS) OVER
+                              (PARTITION BY user_id ORDER BY bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS pt,
+                            first_value(v IGNORE NULLS) OVER
+                              (PARTITION BY user_id ORDER BY bucket
+                               ROWS BETWEEN CURRENT ROW
+                                 AND UNBOUNDED FOLLOWING) AS nv,
+                            first_value(us IGNORE NULLS) OVER
+                              (PARTITION BY user_id ORDER BY bucket
+                               ROWS BETWEEN CURRENT ROW
+                                 AND UNBOUNDED FOLLOWING) AS nt
+                     FROM j)
+            SELECT user_id, bucket, bucket_us,
+                   coalesce(n_obs, 0) AS n_obs,
+                   round(pv, 6) AS v_locf,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pv IS NOT NULL AND nv IS NOT NULL
+                              THEN pv + (nv - pv) *
+                                   (CAST(bucket_us - pt AS DOUBLE) /
+                                    CAST(nt - pt AS DOUBLE))
+                              END, 6) AS v_interp
+            FROM wnd ORDER BY user_id, bucket"""))
   )
 }

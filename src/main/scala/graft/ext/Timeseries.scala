@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid resampling of irregular event streams — the gap-fill /
+  * interpolation read every metrics warehouse needs (training-data
+  * telemetry, drift dashboards, feature snapshots): per key, a dense
+  * bucket spine from the stream's global first to last observation, each
+  * slot carrying the bucket's latest observation, last-observation-
+  * carried-forward, and linear interpolation between the surrounding
+  * observations.
+  *
+  * Semantics (all replayed by the q243 oracle):
+  *  - bucket = epoch_micros / step_micros (integer division; timestamps
+  *    are non-negative here);
+  *  - a bucket's REPRESENTATIVE is its latest observation — (micros
+  *    desc, tie-break column desc), deterministic by construction;
+  *  - `v_locf` = the most recent representative at or before the slot
+  *    (null before a key's first observation);
+  *  - `v_interp` = the representative itself when the slot has one,
+  *    else the line between the PREVIOUS and NEXT representatives
+  *    evaluated at the slot START time t_b = bucket·step: an empty
+  *    slot's t_b lies strictly between the surrounding observation
+  *    times (u_prev < t_b ≤ u_next's bucket start), so the ratio is in
+  *    (0, 1); null outside the key's observed range. Time deltas are
+  *    exact LONG micros; only the final ratio·span product is double.
+  *
+  * Scale shape: one bucket-keyed aggregate over the events (the
+  * representative cut), a keys × slots dense spine (the histPsi/DSIR
+  * dense-spine discipline — slot count is span/step, a CONFIG choice,
+  * broadcast against the distinct keys), and two key-partitioned window
+  * passes. No corpus-sized shuffle beyond the representative cut; the
+  * spine join is the only row-multiplying step and its volume is chosen
+  * by the caller's step.
+  */
+object Timeseries {
+
+  /** Latest observation per (key, bucket): `(keyCol, __bucket, __us,
+    * __v, n_obs)` — row_number over (micros desc, ord desc) = 1, with
+    * the bucket's observation count riding along.
+    */
+  def bucketReps(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, ordCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds >= 1, s"stepSeconds must be >= 1: $stepSeconds")
+    val stepUs = stepSeconds * 1000000L
+    val obs = df.select(col(keyCol),
+      unix_micros(col(tsCol)).as("__us"),
+      col(valCol).cast("double").as("__v"),
+      col(ordCol).as("__ord"))
+      // INTEGER division (Spark `/` on longs is double division): both
+      // operands are non-negative and < 2^53, `div` is exact
+      .withColumn("__bucket", expr(s"__us div ${stepUs}L"))
+    val w = Window.partitionBy(col(keyCol), col("__bucket"))
+      .orderBy(col("__us").desc, col("__ord").desc)
+    val wc = Window.partitionBy(col(keyCol), col("__bucket"))
+    obs
+      .withColumn("n_obs", count(lit(1)).over(wc))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(keyCol), col("__bucket"), col("__us"), col("__v"),
+        col("n_obs"))
+  }
+
+  /** The dense resampled series: `(keyCol, bucket, bucket_us, n_obs,
+    * v_locf, v_interp)`, one row per key × grid slot, slots spanning the
+    * GLOBAL [min, max] observation buckets (the shared spine that makes
+    * two keys' series align by construction). Values rounded 6 dp.
+    */
+  def resample(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, ordCol: String, stepSeconds: Long): DataFrame = {
+    val stepUs = stepSeconds * 1000000L
+    val reps = bucketReps(df, keyCol, tsCol, valCol, ordCol, stepSeconds)
+    val bounds = reps.agg(min(col("__bucket")).as("__lo"),
+      max(col("__bucket")).as("__hi"))
+    val grid = bounds.select(
+      explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    val keys = df.select(col(keyCol)).distinct()
+    val spine = keys.crossJoin(broadcast(grid))
+    val joined = spine.join(reps
+        .withColumnRenamed("__bucket", "bucket"),
+      Seq(keyCol, "bucket"), "left")
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val slotUs = col("bucket") * lit(stepUs)
+    val pv = last(col("__v"), ignoreNulls = true).over(wPrev)
+    val pt = last(col("__us"), ignoreNulls = true).over(wPrev)
+    val nv = first(col("__v"), ignoreNulls = true).over(wNext)
+    val nt = first(col("__us"), ignoreNulls = true).over(wNext)
+    joined
+      .withColumn("__pv", pv).withColumn("__pt", pt)
+      .withColumn("__nv", nv).withColumn("__nt", nt)
+      .select(col(keyCol), col("bucket"), slotUs.as("bucket_us"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        round(col("__pv"), 6).as("v_locf"),
+        round(
+          when(col("__v").isNotNull, col("__v"))
+            .when(col("__pv").isNotNull && col("__nv").isNotNull,
+              col("__pv") + (col("__nv") - col("__pv")) *
+                ((slotUs - col("__pt")).cast("double") /
+                  (col("__nt") - col("__pt")).cast("double"))),
+          6).as("v_interp"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Timeseries
+
+/** Resampling contracts the q243 oracle can't see in isolation: the
+  * representative tie-break, the interpolation line on a hand-computable
+  * gap, LOCF persistence, the null edges, and the shared-spine alignment
+  * of two keys.
+  */
+class TimeseriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // step = 10 s; times in seconds from epoch for readability
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  private def events = Seq(
+    // key A: obs at 5 s (v=10), 12 s (v=20), two obs in bucket 3
+    // (35 s v=98 then 36 s v=30 — the later one is the representative),
+    // nothing in buckets 2 and 4, obs at 55 s (v=50)
+    (1L, ts(5), 10.0, 100L),
+    (1L, ts(12), 20.0, 101L),
+    (1L, ts(35), 98.0, 102L),
+    (1L, ts(36), 30.0, 103L),
+    (1L, ts(55), 50.0, 104L),
+    // key B: a single observation at 25 s
+    (2L, ts(25), 7.0, 200L)
+  ).toDF("k", "t", "v", "oid")
+
+  private def grid = Timeseries.resample(events, "k", "t", "v", "oid",
+      stepSeconds = 10L)
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1)) ->
+      (Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]),
+        r.getLong(3)))
+    .toMap
+
+  test("representative: the bucket's LATEST observation wins (us desc, " +
+    "ord desc), and n_obs counts all of them") {
+    val g = grid
+    // bucket 3 of key A holds obs at 35 s and 36 s — v_interp is the
+    // 36 s value, n_obs = 2
+    assert(g((1L, 3L)) == (Some(30.0), Some(30.0), 2L))
+  }
+
+  test("interpolation: empty buckets take the line between surrounding " +
+    "representatives at the slot start; LOCF carries the last value") {
+    val g = grid
+    // bucket 2 (slot start 20 s) sits between obs (12 s, 20.0) and
+    // (36 s, 30.0): 20 + 10·(20−12)/(36−12) = 23.333333
+    assert(g((1L, 2L))._2.contains(23.333333))
+    assert(g((1L, 2L))._1.contains(20.0)) // locf = the 12 s value
+    // bucket 4 (slot start 40 s) between (36 s, 30.0) and (55 s, 50.0):
+    // 30 + 20·(40−36)/(55−36) = 34.210526
+    assert(g((1L, 4L))._2.contains(34.210526))
+    assert(g((1L, 4L))._1.contains(30.0))
+  }
+
+  test("edges: before a key's first observation both fills are null; " +
+    "after its last, interp is null but LOCF persists") {
+    val g = grid
+    // key B observed only in bucket 2: buckets 0/1 null-null, buckets
+    // 3..5 locf = 7.0 with interp null (no next representative)
+    assert(g((2L, 0L)) == (None, None, 0L))
+    assert(g((2L, 1L)) == (None, None, 0L))
+    assert(g((2L, 2L)) == (Some(7.0), Some(7.0), 1L))
+    Seq(3L, 4L, 5L).foreach { b =>
+      assert(g((2L, b)) == (Some(7.0), None, 0L))
+    }
+  }
+
+  test("shared spine: both keys get one row per GLOBAL bucket 0..5") {
+    val g = grid
+    assert(g.keySet == (for (k <- Seq(1L, 2L); b <- 0L to 5L)
+      yield (k, b)).toSet)
+  }
+}

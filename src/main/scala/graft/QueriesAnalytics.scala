@@ -3028,6 +3028,61 @@ object QueriesAnalytics {
                                    (CAST(bucket_us - pt AS DOUBLE) /
                                     CAST(nt - pt AS DOUBLE))
                               END, 6) AS v_interp
-            FROM wnd ORDER BY user_id, bucket"""))
+            FROM wnd ORDER BY user_id, bucket""")),
+
+    // classical additive seasonal decomposition (round 16): per
+    // event_type, 6-hour bucket MEANS (decimal-summed) decomposed into
+    // the 2x4 centered-MA trend (explicit fixed-order lag/lead sum —
+    // period 4 = daily seasonality at 6 h buckets; edges null, the
+    // textbook behavior), per-phase detrended means re-centered to sum
+    // to zero, and the residual. lag/lead are row-adjacent — the
+    // production caller feeds the RESAMPLED dense series (q243); this
+    // fixture's bucket series is dense enough that the contract is
+    // exercised and both engines replay the same row adjacency.
+    Q("q244_seasonal_decompose",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val series = ev.select(col("event_type"),
+            expr("unix_micros(ts) div 21600000000").as("bucket"),
+            col("value"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg((sum(col("value").cast("decimal(20,12)")).cast("double") /
+            count(lit(1)).cast("double")).as("v"))
+        ext.Timeseries.seasonalDecompose(series, "event_type", "bucket",
+            "v", period = 4)
+          .withColumn("v", round(col("v"), 6))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some("""WITH se AS (SELECT event_type,
+                               epoch_us(ts) // 21600000000 AS bucket,
+                               CAST(sum(CAST(value AS DECIMAL(20,12)))
+                                 AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                                 AS v
+                        FROM events GROUP BY event_type, bucket),
+             tr AS (SELECT event_type, bucket, v,
+                           (lag(v, 2) OVER w * 0.5 + lag(v, 1) OVER w
+                            + v + lead(v, 1) OVER w
+                            + lead(v, 2) OVER w * 0.5) / 4.0 AS trend,
+                           bucket % 4 AS phase
+                    FROM se
+                    WINDOW w AS (PARTITION BY event_type
+                                 ORDER BY bucket)),
+             pm AS (SELECT event_type, phase,
+                           CAST(sum(CAST(v - trend AS DECIMAL(30,12)))
+                             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pm
+                    FROM tr WHERE trend IS NOT NULL
+                    GROUP BY event_type, phase),
+             gm AS (SELECT event_type,
+                           CAST(sum(CAST(pm AS DECIMAL(30,12)))
+                             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gm
+                    FROM pm GROUP BY event_type)
+            SELECT t.event_type, t.bucket, round(t.v, 6) AS v,
+                   round(t.trend, 6) AS trend,
+                   round(p.pm - g.gm, 6) AS seasonal,
+                   round(t.v - t.trend - (p.pm - g.gm), 6) AS resid
+            FROM tr t LEFT JOIN pm p ON t.event_type = p.event_type
+                                    AND t.phase = p.phase
+                      LEFT JOIN gm g ON t.event_type = g.event_type
+            ORDER BY t.event_type, t.bucket"""))
   )
 }

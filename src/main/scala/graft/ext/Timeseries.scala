@@ -104,4 +104,64 @@ object Timeseries {
                   (col("__nt") - col("__pt")).cast("double"))),
           6).as("v_interp"))
   }
+
+  /** Classical additive seasonal decomposition (the moving-average
+    * method behind STL's outer loop) of a REGULAR series
+    * `(keyCol, bucketCol, valCol)` with seasonality `period`:
+    *
+    *  - `trend` = centered moving average — the textbook simple
+    *    period-MA for odd periods, the 2×period MA (half-weights at the
+    *    ends) for even ones, written as an EXPLICIT fixed-order sum of
+    *    lag/lead terms (no aggregate → no sum-order question; a missing
+    *    neighbor nulls the trend at the edges, the textbook behavior);
+    *  - `seasonal` = per (key, bucket % period) mean of the detrended
+    *    values (decimal-summed), re-centered so the key's seasonal
+    *    components sum to 0;
+    *  - `resid` = value − trend − seasonal.
+    *
+    * Scale shape: one key-partitioned window pass (the lag/lead trend),
+    * one (key, phase)-keyed aggregate (period-bounded per key), one
+    * key-keyed aggregate, broadcast joins back. Returns
+    * `(keyCol, bucketCol, valCol, trend, seasonal, resid)` rounded 6 dp.
+    */
+  def seasonalDecompose(series: DataFrame, keyCol: String,
+      bucketCol: String, valCol: String, period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2: $period")
+    val h = period / 2
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val even = period % 2 == 0
+    val x = col("__x")
+    // fixed left-to-right addend order; nulls at the series edges
+    // propagate through + (textbook: trend undefined there)
+    val terms: Seq[org.apache.spark.sql.Column] =
+      (-h to h).map { i =>
+        val term =
+          if (i == 0) x
+          else if (i < 0) lag(x, -i).over(w)
+          else lead(x, i).over(w)
+        if (even && (i == -h || i == h)) term * lit(0.5d) else term
+      }
+    val trend = terms.reduce(_ + _) / lit(period.toDouble)
+    val withTrend = series.select(col(keyCol), col(bucketCol),
+        col(valCol).cast("double").as("__x"))
+      .withColumn("__trend", trend)
+      .withColumn("__phase", pmod(col(bucketCol), lit(period.toLong)))
+    val det = (col("__x") - col("__trend")).cast("decimal(30,12)")
+    val phaseMeans = withTrend
+      .where(col("__trend").isNotNull)
+      .groupBy(col(keyCol), col("__phase"))
+      .agg((sum(det).cast("double") /
+        count(lit(1)).cast("double")).as("__pm"))
+    val grand = phaseMeans.groupBy(col(keyCol))
+      .agg((sum(col("__pm").cast("decimal(30,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("__gm"))
+    withTrend
+      .join(broadcast(phaseMeans), Seq(keyCol, "__phase"), "left")
+      .join(broadcast(grand), Seq(keyCol), "left")
+      .select(col(keyCol), col(bucketCol), col("__x").as(valCol),
+        round(col("__trend"), 6).as("trend"),
+        round(col("__pm") - col("__gm"), 6).as("seasonal"),
+        round(col("__x") - col("__trend") -
+          (col("__pm") - col("__gm")), 6).as("resid"))
+  }
 }

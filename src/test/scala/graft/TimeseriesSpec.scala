@@ -78,4 +78,33 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(g.keySet == (for (k <- Seq(1L, 2L); b <- 0L to 5L)
       yield (k, b)).toSet)
   }
+
+  test("seasonalDecompose: a planted linear trend + period-4 seasonal " +
+    "is recovered exactly — trend = the line on the interior, seasonal " +
+    "= the planted pattern, residual = 0, edges null") {
+    val s4 = Array(2.0, -1.0, -2.0, 1.0) // sums to 0
+    val series = (0L to 15L).map(t =>
+      ("k", t, 10.0 + t + s4((t % 4).toInt))).toDF("k", "bucket", "v")
+    val rows = Timeseries.seasonalDecompose(series, "k", "bucket", "v",
+        period = 4)
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))
+      .toMap
+    // interior buckets 2..13: the 2x4 centered MA of a period-4 seasonal
+    // is exactly its (zero) mean, and of the line exactly the line
+    (2L to 13L).foreach { t =>
+      val (tr, se, re) = rows(t)
+      assert(tr.exists(x => math.abs(x - (10.0 + t)) < 1e-9), s"t=$t $tr")
+      assert(se.exists(x => math.abs(x - s4((t % 4).toInt)) < 1e-9))
+      assert(re.exists(x => math.abs(x) < 1e-9), s"t=$t resid $re")
+    }
+    // edges: no full window → trend and residual null; seasonal still
+    // joins (the phase means exist from the interior)
+    Seq(0L, 1L, 14L, 15L).foreach { t =>
+      assert(rows(t)._1.isEmpty && rows(t)._3.isEmpty)
+      assert(rows(t)._2.isDefined)
+    }
+  }
 }

@@ -2880,24 +2880,37 @@ object QueriesAnalytics {
     Q("q242_record_linkage",
       (s, d) => {
         val cust = t(s, d, "customer")
+        // multi-key blocking (nation x case-folded segment — standard
+        // practice, ~5x fewer candidate pairs than nation alone); the
+        // segment flag then agrees on EVERY pair, u_seg = 1, and the
+        // degenerate-evidence guard zeroes it — exercised live
+        val bk = concat(col("c_nationkey").cast("string"), lit("|"),
+          upper(col("c_mktsegment")))
         val a = cust.select(
           col("c_custkey").as("a_id"), col("c_name").as("a_name"),
           col("c_mktsegment").as("a_seg"), col("c_acctbal").as("a_bal"),
-          col("c_nationkey").as("bk"))
+          bk.as("bk"))
         val b = cust.select(
           col("c_custkey").as("b_id"),
           expr("substring(c_name, 1, length(c_name) - 1)").as("b_name"),
           upper(col("c_mktsegment")).as("b_seg"),
           (floor(col("c_acctbal") * lit(10.0d)) / lit(10.0d)).as("b_bal"),
-          col("c_nationkey").as("bk"))
-        val pairs = ext.Linkage.blockPairs(a, b, "bk")
-        val flags = Seq(
-          "name" -> (levenshtein(col("a_name"), col("b_name")) <= 1),
-          "seg" -> (lower(col("a_seg")) === lower(col("b_seg"))),
-          "bal" -> (col("a_bal") - col("b_bal") >= 0.0d &&
-            col("a_bal") - col("b_bal") < 0.1d))
-        val rates = ext.Linkage.agreementRates(pairs, flags)
-        val scored = ext.Linkage.fsScores(pairs, flags,
+          bk.as("bk"))
+        // flags computed ONCE into a lazily-checkpointed frame — the
+        // u-estimation pass and the scoring pass share the levenshtein
+        // work instead of each re-deriving the join (the a92302f
+        // shared-leg pattern; blocks are ContextCleaner-freed)
+        val flagged = ext.Linkage.blockPairs(a, b, "bk")
+          .withColumn("f_name",
+            levenshtein(col("a_name"), col("b_name")) <= 1)
+          .withColumn("f_seg", lower(col("a_seg")) === lower(col("b_seg")))
+          .withColumn("f_bal", col("a_bal") - col("b_bal") >= 0.0d &&
+            col("a_bal") - col("b_bal") < 0.1d)
+          .localCheckpoint(false)
+        val flags = Seq("name" -> col("f_name"), "seg" -> col("f_seg"),
+          "bal" -> col("f_bal"))
+        val rates = ext.Linkage.agreementRates(flagged, flags)
+        val scored = ext.Linkage.fsScores(flagged, flags,
           Map("name" -> 0.95, "seg" -> 0.95, "bal" -> 0.95), rates)
         ext.Linkage.mutualBest(scored, "a_id", "b_id", minScore = 0.0)
           .select(col("a_id"), col("b_id"),
@@ -2906,14 +2919,16 @@ object QueriesAnalytics {
       },
       Some("""WITH a AS (SELECT c_custkey AS a_id, c_name AS a_name,
                               c_mktsegment AS a_seg, c_acctbal AS a_bal,
-                              c_nationkey AS bk
+                              CAST(c_nationkey AS VARCHAR) || '|'
+                                || upper(c_mktsegment) AS bk
                        FROM customer),
              b AS (SELECT c_custkey AS b_id,
                           substring(c_name, 1, length(c_name) - 1)
                             AS b_name,
                           upper(c_mktsegment) AS b_seg,
                           floor(c_acctbal * 10.0) / 10.0 AS b_bal,
-                          c_nationkey AS bk
+                          CAST(c_nationkey AS VARCHAR) || '|'
+                            || upper(c_mktsegment) AS bk
                    FROM customer),
              pr AS (SELECT a.a_id, a.a_name, a.a_seg, a.a_bal,
                            b.b_id, b.b_name, b.b_seg, b.b_bal,
@@ -3083,6 +3098,58 @@ object QueriesAnalytics {
             FROM tr t LEFT JOIN pm p ON t.event_type = p.event_type
                                     AND t.phase = p.phase
                       LEFT JOIN gm g ON t.event_type = g.event_type
-            ORDER BY t.event_type, t.bucket"""))
+            ORDER BY t.event_type, t.bucket""")),
+
+    // trailing z-score anomaly monitor (round 16): per event_type 6-hour
+    // bucket means judged against the 8 buckets strictly before them
+    // (leak-free: the point never enters its own baseline), |z| > 2
+    // flagged; exact decimal window sums, full-window rows only. The
+    // oracle replays the window sums, the sample-variance arithmetic,
+    // and the zero-variance degenerate branch.
+    Q("q245_rolling_anomalies",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val series = ev.select(col("event_type"),
+            expr("unix_micros(ts) div 21600000000").as("bucket"),
+            col("value"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg((sum(col("value").cast("decimal(20,12)")).cast("double") /
+            count(lit(1)).cast("double")).as("v"))
+        ext.Timeseries.rollingAnomalies(series, "event_type", "bucket",
+            "v", window = 8, zThresh = 2.0)
+          .withColumn("v", round(col("v"), 6))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some("""WITH se AS (SELECT event_type,
+                               epoch_us(ts) // 21600000000 AS bucket,
+                               CAST(sum(CAST(value AS DECIMAL(20,12)))
+                                 AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                                 AS v
+                        FROM events GROUP BY event_type, bucket),
+             ww AS (SELECT event_type, bucket, v,
+                           sum(CAST(v AS DECIMAL(30,12))) OVER w AS sx,
+                           sum(CAST(v * v AS DECIMAL(30,12))) OVER w
+                             AS sxx,
+                           count(*) OVER w AS n
+                    FROM se
+                    WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                                 ROWS BETWEEN 8 PRECEDING
+                                   AND 1 PRECEDING)),
+             fz AS (SELECT event_type, bucket, v,
+                           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                           sqrt(greatest(
+                             (CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                             / (CAST(n AS DOUBLE) - 1.0), 0.0)) AS sigma
+                    FROM ww WHERE n = 8)
+            SELECT event_type, bucket, round(v, 6) AS v,
+                   round(mu, 6) AS mean,
+                   round(CASE WHEN sigma > 0.0
+                              THEN (v - mu) / sigma END, 6) AS z,
+                   CASE WHEN sigma > 0.0
+                        THEN abs((v - mu) / sigma) > 2.0
+                        ELSE v <> mu END AS is_anomaly
+            FROM fz ORDER BY event_type, bucket"""))
   )
 }

@@ -809,10 +809,18 @@ object QueriesRetrieval {
         val docs = t(s, d, "documents")
         val dir = artifactPath("lex_index_q237")
         rmrf(new java.io.File(dir))
+        // positional = false (q235 exercises position arrays across
+        // segments), HALF corpus (doc_id % 4 < 2 — the q225 corpusWhere
+        // convention keeps the oracle exact), and the q224 shape: the
+        // triggers land segments, the replay rewrites its own, ONE
+        // explicit compaction folds — the in-stream belowBatch partial
+        // fold is RetrievalSpec's differential (each segment write is
+        // 3 partitioned relations, so job count, not data size, is this
+        // query's cost; the catalog exercises each lifecycle leg once)
         def trigger(par: Int, batchId: Long) =
           graft.streaming.StreamingIngest.lexIndexBatch(
-            docs.where(col("doc_id") % 2 === par), batchId, dir,
-            "doc_id", "text", nBuckets = 64, compactEvery = 1)
+            docs.where(col("doc_id") % 4 === par), batchId, dir,
+            "doc_id", "text", nBuckets = 64, positional = false)
         trigger(0, 0L)
         trigger(1, 1L)
         trigger(1, 1L) // at-least-once replay after the partial fold
@@ -822,7 +830,11 @@ object QueriesRetrieval {
             qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
           .orderBy(col("q_id"), col("rank"))
       },
-      Some(bm25OracleSql)),
+      Some(s"""WITH ${bm25Ctes("WHERE doc_id % 50 = 0",
+                               "WHERE doc_id % 4 < 2")}
+              SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+                     round(CAST(score AS DOUBLE), 6) AS score
+              FROM rk WHERE rank <= 10 ORDER BY q_id, rank""")),
 
     // RM3 pseudo-relevance feedback (round 16): the standard PRF
     // baseline off the index artifact — QL top-5 as the feedback set,

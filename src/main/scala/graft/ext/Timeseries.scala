@@ -164,4 +164,48 @@ object Timeseries {
         round(col("__x") - col("__trend") -
           (col("__pm") - col("__gm")), 6).as("resid"))
   }
+
+  /** Trailing-window z-score anomaly detection on a regular series:
+    * each point is judged against the mean/stddev of the `window`
+    * points STRICTLY BEFORE it (the standard leak-free monitor — the
+    * point never contributes to its own baseline), flagged when
+    * |z| > `zThresh`. Only rows with a FULL trailing window are
+    * emitted (a short history has no defensible baseline).
+    *
+    * Determinism: Σx and Σx² are exact DECIMAL(30,12) window sums; the
+    * sample variance `(Σx² − (Σx)²/n)/(n−1)` and the z ratio are then
+    * fixed double expressions mirrored by the oracle; a zero-variance
+    * baseline yields a null z (no division), flagged only when the
+    * point DIFFERS from the constant baseline.
+    *
+    * One key-partitioned window pass — the resample/decompose shuffle
+    * shape. Returns `(keyCol, bucketCol, valCol, mean, z, is_anomaly)`.
+    */
+  def rollingAnomalies(series: DataFrame, keyCol: String,
+      bucketCol: String, valCol: String, window: Int,
+      zThresh: Double): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(-window, -1)
+    val x = col(valCol).cast("double")
+    val sx = sum(x.cast("decimal(30,12)")).over(w)
+    val sxx = sum((x * x).cast("decimal(30,12)")).over(w)
+    val n = count(lit(1)).over(w)
+    val out = series
+      .withColumn("__sx", sx).withColumn("__sxx", sxx)
+      .withColumn("__n", n)
+      .where(col("__n") === window)
+    val nn = col("__n").cast("double")
+    val mu = col("__sx").cast("double") / nn
+    val varr = (col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double") / nn) /
+      (nn - lit(1.0d))
+    val sigma = sqrt(greatest(varr, lit(0.0d)))
+    val z = when(sigma > 0.0d, (x - mu) / sigma)
+    out.select(col(keyCol), col(bucketCol), x.as(valCol),
+      round(mu, 6).as("mean"),
+      round(z, 6).as("z"),
+      when(sigma > 0.0d, abs(z) > zThresh)
+        .otherwise(x =!= mu).as("is_anomaly"))
+  }
 }

@@ -107,4 +107,33 @@ class TimeseriesSpec extends AnyFunSuite {
       assert(rows(t)._2.isDefined)
     }
   }
+
+  test("rollingAnomalies: leak-free trailing baseline with hand-checked " +
+    "z, zero-variance degenerate branch, full-window rows only") {
+    val series =
+      // key m: ramp 1..8, then 9 (calm) and 20 (spike)
+      ((0L to 7L).map(i => ("m", i, (i + 1).toDouble)) ++
+        Seq(("m", 8L, 9.0), ("m", 9L, 20.0)) ++
+        // key c: constant 10s, then one equal point and one jump
+        (0L to 8L).map(i => ("c", i, 10.0)) :+ ("c", 9L, 99.0))
+        .toDF("k", "bucket", "v")
+    val rows = Timeseries.rollingAnomalies(series, "k", "bucket", "v",
+        window = 8, zThresh = 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))
+      .toMap
+    // only rows with a FULL 8-point history are emitted
+    assert(rows.keySet == Set(("m", 8L), ("m", 9L), ("c", 8L), ("c", 9L)))
+    // baseline 1..8: μ = 4.5, sample σ = √6 → z(9) ≈ 1.8371 — calm
+    assert(math.abs(rows(("m", 8L))._1.get - 1.837117) < 1e-6)
+    assert(!rows(("m", 8L))._2)
+    // baseline 2..9: μ = 5.5, σ = √6 → z(20) = 14.5/√6 = 5.9196002…,
+    // 6 dp-rounded output 5.919600
+    assert(math.abs(rows(("m", 9L))._1.get - 5.919600) < 1e-6)
+    assert(rows(("m", 9L))._2)
+    // zero-variance baseline: equal point → no anomaly, null z;
+    // differing point → anomaly, null z (no division by zero anywhere)
+    assert(rows(("c", 8L)) == (None, false))
+    assert(rows(("c", 9L)) == (None, true))
+  }
 }

@@ -79,7 +79,18 @@ object PlanDump {
         // the same chain with the broadcast-nested-loop semantic leg
         // (deliberate: query side is ids%50, corpus side embeddings —
         // the q28 brute-force shape).
-        "q223_dsir_weights")
+        "q223_dsir_weights",
+        // round 16b: q241 shows the one-pass exact-moments aggregate
+        // (ONE ObjectHashAggregate whose partials are 1 + d + d(d+1)/2
+        // decimals, then the 2080-cell explode off a 1-row frame);
+        // q243 the resample shape (one bucket-keyed representative cut,
+        // the broadcast keys × slots spine join, two key-partitioned
+        // window passes); q245 the single-window anomaly pass with
+        // exact decimal rolling sums. q242 is omitted like q43 (the
+        // shared flagged-pairs frame rides a lazy localCheckpoint);
+        // q244 shows the same window shape as q245.
+        "q241_embedding_covariance", "q243_resample_locf_interp",
+        "q245_rolling_anomalies")
       .foreach { q =>
       out.append(s"===== $q =====\n")
       out.append(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

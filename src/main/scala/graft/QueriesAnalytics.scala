@@ -2854,10 +2854,10 @@ object QueriesAnalytics {
                              AS mj
                     FROM sj CROSS JOIN nn)
             SELECT pp.j, pp.k,
-                   round(ma.mj, 6) AS mean_j,
-                   round(mb.mj, 6) AS mean_k,
+                   round(ma.mj, 6) + 0 AS mean_j,
+                   round(mb.mj, 6) + 0 AS mean_k,
                    round(CAST(pp.p AS DOUBLE) / CAST(nn.n AS DOUBLE)
-                         - ma.mj * mb.mj, 6) AS cov
+                         - ma.mj * mb.mj, 6) + 0 AS cov
             FROM pp JOIN mm ma ON pp.j = ma.j
                     JOIN mm mb ON pp.k = mb.j
                     CROSS JOIN nn
@@ -3135,7 +3135,7 @@ object QueriesAnalytics {
                     WINDOW w AS (PARTITION BY event_type ORDER BY bucket
                                  ROWS BETWEEN 8 PRECEDING
                                    AND 1 PRECEDING)),
-             fz AS (SELECT event_type, bucket, v,
+             fz AS (SELECT event_type, bucket, v, sx, n,
                            CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
                            sqrt(greatest(
                              (CAST(sxx AS DOUBLE)
@@ -3149,7 +3149,8 @@ object QueriesAnalytics {
                               THEN (v - mu) / sigma END, 6) AS z,
                    CASE WHEN sigma > 0.0
                         THEN abs((v - mu) / sigma) > 2.0
-                        ELSE v <> mu END AS is_anomaly
+                        ELSE CAST(v AS DECIMAL(30,12)) * n <> sx
+                        END AS is_anomaly
             FROM fz ORDER BY event_type, bucket"""))
   )
 }

@@ -26,6 +26,13 @@ object QueriesRetrieval {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** The corpus cut the RM3/conjunctive/MaxScore family indexes —
+    * q237's convention, so the oracles stay exact with half the build
+    * cost. Declared BEFORE `all` (whose oracle strings interpolate it
+    * at object init).
+    */
+  private val halfCorpusWhere = "WHERE doc_id % 4 < 2"
+
   private def dotSqlN(x: String, y: String, dim: Int): String =
     s"list_sum(list_transform(range(1, ${dim + 1}), " +
       s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
@@ -143,15 +150,18 @@ object QueriesRetrieval {
                 round(CAST(score AS DOUBLE), 6) AS ql
          FROM rk WHERE rank <= 10 ORDER BY q_id, rank"""
 
-  /** q238's full oracle — q240 reuses it VERBATIM: the RM3 chain served
-    * through the forward (term-vectors) sidecar must produce the exact
-    * rows of the postings-fallback fetch, so one hash gate pins
-    * forward-fetch ≡ postings-fetch ≡ the replayed relevance model.
+  /** q238's full oracle — q240 reuses it VERBATIM (same `corpusWhere`):
+    * the RM3 chain served through the forward (term-vectors) sidecar
+    * must produce the exact rows of the postings-fallback fetch, so one
+    * hash gate pins forward-fetch ≡ postings-fetch ≡ the replayed
+    * relevance model. `corpusWhere` filters the INDEXED corpus (the
+    * bm25Ctes convention); queries still come from the full table.
     */
-  private val rm3OracleSql: String =
+  private def rm3OracleSql(corpusWhere: String = ""): String =
     s"""WITH tka AS (SELECT doc_id, $toksSql AS tk FROM documents),
+            tkc AS (SELECT doc_id, tk FROM tka $corpusWhere),
             post AS (SELECT doc_id, term, count(*) AS tf
-                     FROM (SELECT doc_id, unnest(tk) AS term FROM tka)
+                     FROM (SELECT doc_id, unnest(tk) AS term FROM tkc)
                      GROUP BY doc_id, term),
             dl AS (SELECT doc_id, sum(tf) AS dl FROM post
                    GROUP BY doc_id),
@@ -846,21 +856,21 @@ object QueriesRetrieval {
     // model, then the WEIGHTED QL rescore. The oracle replays the whole
     // chain: scoring CTEs, softmax, RM1 sums, both normalizations, the
     // interpolation full-outer join, and the weighted rescore window.
+    // Round 17 (the r16 cost finding): the index is the SHARED half-
+    // corpus artifact — built once per JVM, the q237 corpusWhere
+    // convention — so this query prices the RM3 READ, not a per-rep
+    // full-corpus artifact build (builds are priced by q235–q237).
     Q("q238_rm3_prf",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val dir = artifactPath("lex_index_q238")
-        rmrf(new java.io.File(dir))
-        Retrieval.saveLexIndex(docs, "doc_id", "text", dir,
-          nBuckets = 64, positional = false)
-        val idx = Retrieval.loadLexIndex(s, dir)
+        val idx = halfLexIndex(s, d, termVectors = false)
         val qt = qterms(docs, col("doc_id") % 50 === 0)
         val wq = Retrieval.rm3ExpandFromIndex(idx, qt, "q_id",
           fbDocs = 5, fbTerms = 10, alpha = 0.5)
         Retrieval.qlTopKWeightedFromIndex(idx, wq, "q_id", k = 10)
           .orderBy(col("q_id"), col("rank"))
       },
-      Some(rm3OracleSql)),
+      Some(rm3OracleSql(halfCorpusWhere))),
 
     // conjunctive (boolean AND) BM25 (round 16): candidates must match
     // EVERY query term — the strict-filter read (exact-identifier
@@ -873,17 +883,14 @@ object QueriesRetrieval {
     Q("q239_bm25_conjunctive",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val dir = artifactPath("lex_index_q239")
-        rmrf(new java.io.File(dir))
-        Retrieval.saveLexIndex(docs, "doc_id", "text", dir,
-          nBuckets = 64, positional = false)
-        val idx = Retrieval.loadLexIndex(s, dir)
+        val idx = halfLexIndex(s, d, termVectors = false)
         Retrieval.bm25TopKFromIndex(idx,
             qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10,
             requireAll = true)
           .orderBy(col("q_id"), col("rank"))
       },
-      Some(s"""WITH ${bm25Ctes("WHERE doc_id % 50 = 0")},
+      Some(s"""WITH ${bm25Ctes("WHERE doc_id % 50 = 0",
+                               halfCorpusWhere)},
               agc AS (SELECT q_id, doc_id, sum(s) AS score,
                              count(*) AS nm
                       FROM sc GROUP BY q_id, doc_id),
@@ -910,24 +917,75 @@ object QueriesRetrieval {
     Q("q240_rm3_forward",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val dir = artifactPath("lex_index_q240")
-        rmrf(new java.io.File(dir))
-        Retrieval.saveLexIndex(docs, "doc_id", "text", dir,
-          nBuckets = 64, positional = false, termVectors = true)
-        val idx = Retrieval.loadLexIndex(s, dir)
+        val idx = halfLexIndex(s, d, termVectors = true)
         val qt = qterms(docs, col("doc_id") % 50 === 0)
         val wq = Retrieval.rm3ExpandFromIndex(idx, qt, "q_id",
           fbDocs = 5, fbTerms = 10, alpha = 0.5)
         Retrieval.qlTopKWeightedFromIndex(idx, wq, "q_id", k = 10)
           .orderBy(col("q_id"), col("rank"))
       },
-      Some(rm3OracleSql))
+      Some(rm3OracleSql(halfCorpusWhere))),
+
+    // MaxScore impact-bound candidate pruning (round 17): the LOSSLESS
+    // answer to the r16 verdict's "one frequent term pays its full
+    // postings list" finding — per-term max BM25 impacts frozen into
+    // the term sidecar at build; the read seeds candidates from each
+    // query's rarest term, takes θ = the k-th best seed FULL score,
+    // drops the low-impact term suffix whose exact decimal bound sum
+    // stays below θ from the scoring aggregate, and exactly rescores
+    // the surviving candidates through the same contribution
+    // expression. Unlike maxDfFrac (the measured Jaccard-0.17 recall
+    // cliff) this cannot change results, so the oracle is the UNPRUNED
+    // q221 chain over the same corpus cut verbatim — one hash gate pins
+    // pruned ≡ plain ≡ one-pass. Shares q238/q239's artifact.
+    Q("q246_bm25_maxscore",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val idx = halfLexIndex(s, d, termVectors = false)
+        Retrieval.bm25TopKMaxScore(idx,
+            qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""WITH ${bm25Ctes("WHERE doc_id % 50 = 0",
+                               halfCorpusWhere)}
+              SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+                     round(CAST(score AS DOUBLE), 6) AS score
+              FROM rk WHERE rank <= 10 ORDER BY q_id, rank"""))
   )
 
   private lazy val artifactRoot: String =
     java.nio.file.Files.createTempDirectory("graft_retrieval_artifacts")
       .toString
   private def artifactPath(name: String): String = s"$artifactRoot/$name"
+
+  /** q238/q239/q240's SHARED half-corpus index artifacts (the r16 cost
+    * finding: each of the three used to build its own FULL-corpus index
+    * inside the query, per bench rep — 61 s/43 s walls for operators
+    * whose reads are flat at 10×). Built lazily ONCE per (sfDir,
+    * termVectors) per JVM; the reads, not the builds, are these
+    * queries' subject — builds are priced by the lifecycle queries
+    * (q235–q237). Two variants because [[Retrieval.rm3ExpandFromIndex]]
+    * routes its feedback fetch through a forward sidecar WHEN PRESENT:
+    * q238 must keep the postings-fallback leg, so its artifact must not
+    * carry one, while q240 needs the forward twin.
+    */
+  private val sharedIdxDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, Boolean), String]
+  private def halfLexIndex(s: SparkSession, d: String,
+      termVectors: Boolean): Retrieval.LexIndex = {
+    val dir = sharedIdxDirs.getOrElseUpdate((d, termVectors), {
+      val p = artifactPath(
+        s"lex_half_tv${termVectors}_${math.abs(d.hashCode)}")
+      rmrf(new java.io.File(p))
+      Retrieval.saveLexIndex(
+        t(s, d, "documents").where(expr(halfCorpusWhere.stripPrefix(
+          "WHERE "))),
+        "doc_id", "text", p, nBuckets = 64, positional = false,
+        termVectors = termVectors)
+      p
+    })
+    Retrieval.loadLexIndex(s, dir)
+  }
   private def rmrf(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmrf)
     f.delete(); ()

@@ -58,6 +58,9 @@ object Linkage {
   /** The u probabilities (agreement rate over candidate pairs) as ONE
     * row — `u_<field>` per flag, each
     * `sum(agree)/count(*)` in DOUBLE. Broadcast-sized by construction.
+    * An EMPTY pair frame (a degenerate blocking key that matched
+    * nothing) fails loudly at action time instead of yielding null u
+    * rates that would silently null every downstream score.
     */
   def agreementRates(pairs: DataFrame,
       flags: Seq[(String, Column)]): DataFrame =
@@ -65,7 +68,12 @@ object Linkage {
         flags.map { case (f, c) =>
           sum(c.cast("int")).as(s"__a_$f") }: _*)
       .select(flags.map { case (f, _) =>
-        (col(s"__a_$f").cast("double") / col("__n").cast("double"))
+        when(col("__n") === 0, expr(
+          "CAST(raise_error('agreementRates: empty candidate-pair " +
+            "frame - the blocking key produced no pairs (check " +
+            "blockSizes)') AS DOUBLE)"))
+          .otherwise(col(s"__a_$f").cast("double") /
+            col("__n").cast("double"))
           .as(s"u_$f") }: _*)
 
   /** Fellegi–Sunter scores: per pair, Σ over fields (in the GIVEN

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.{Canon, VectorFunctions}
 
 /** PCA / whitening for embedding columns — the classical decorrelating
   * rotation a vector pipeline applies before quantization (OPQ's first
@@ -46,8 +46,11 @@ object Projection {
   /** Covariance relation off the one-pass moment sums:
     * `(j, k, mean_j, mean_k, cov)` for j ≤ k, each rounded 6 dp —
     * cov = E[x_j·x_k] − E[x_j]·E[x_k] with the divisions and the product
-    * in DOUBLE exactly as the q241 oracle replays them. The explode is
-    * d(d+1)/2 rows off a 1-row frame.
+    * in DOUBLE exactly as the q241 oracle replays them, and zero
+    * canonicalized ([[graft.functions.Canon.roundz]] — a tiny negative
+    * covariance rounds to `-0.0` under DuckDB's sign-preserving float
+    * round but `+0.0` under Spark's BigDecimal round; round 16's one
+    * hash-red cell). The explode is d(d+1)/2 rows off a 1-row frame.
     */
   def covariance(df: DataFrame, vecCol: String, d: Int): DataFrame = {
     val m = momentSums(df, vecCol, d)
@@ -64,9 +67,10 @@ object Projection {
         (element_at(col("m.p"), col("jk.i") + 1).cast("double") /
           col("m.n").cast("double")).as("__exk"))
       .select(col("j"), col("k"),
-        round(col("__mj"), 6).as("mean_j"),
-        round(col("__mk"), 6).as("mean_k"),
-        round(col("__exk") - col("__mj") * col("__mk"), 6).as("cov"))
+        Canon.roundz(col("__mj"), 6).as("mean_j"),
+        Canon.roundz(col("__mk"), 6).as("mean_k"),
+        Canon.roundz(col("__exk") - col("__mj") * col("__mk"), 6)
+          .as("cov"))
   }
 
   /** Deterministic cyclic Jacobi eigendecomposition of a symmetric d×d

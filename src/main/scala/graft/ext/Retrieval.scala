@@ -233,15 +233,27 @@ object Retrieval {
   private def docBucket(id: Column, nBuckets: Int): Column =
     pmod(xxhash64(id), lit(nBuckets.toLong)).cast("int")
 
+  /** The frozen (k1, b) each segment's per-term `max_impact` bounds are
+    * computed at — the house defaults every catalog BM25 read uses.
+    * [[bm25TopKMaxScore]] requires its (k1, b) to match the artifact's.
+    */
+  val impactK1: Double = 1.2
+  val impactB: Double = 0.75
+
   /** A loaded lexical index artifact: the three relations of
     * [[saveLexIndex]]'s layout plus the frozen config. `postings` and
     * `terms` are parquet scans partitioned by `tbucket` — query-side
     * joins on (tbucket, term) dynamic-partition-prune them to the
-    * buckets the query's terms actually hash into.
+    * buckets the query's terms actually hash into. `impactParams` is
+    * the (k1, b) the term sidecar's `max_impact` bounds were frozen at —
+    * present only when the artifact is SINGLE-segment (a merged df
+    * shifts idf, so segment bounds don't fold; compaction restores
+    * them), which is what [[bm25TopKMaxScore]] keys on.
     */
   final case class LexIndex(postings: DataFrame, terms: DataFrame,
       stats: DataFrame, idCol: String, nBuckets: Int, positional: Boolean,
-      forward: Option[DataFrame] = None)
+      forward: Option[DataFrame] = None,
+      impactParams: Option[(Double, Double)] = None)
 
   /** Persist the inverted index as a self-describing artifact — the
     * lexical twin of the ANN tier's `saveIvfPqIndex` discipline. Layout
@@ -281,23 +293,31 @@ object Retrieval {
     */
   def saveLexIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64, positional: Boolean = true,
-      termVectors: Boolean = false): Unit = {
+      termVectors: Boolean = false, buildSegment: Long = 0L): Unit = {
     require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
     val post0 =
       if (positional) postingsPositional(docs, idCol, textCol)
       else postings(docs, idCol, textCol)
-    saveLexIndexFromPostings(post0, idCol, path, nBuckets, termVectors)
+    saveLexIndexFromPostings(post0, idCol, path, nBuckets, termVectors,
+      buildSegment)
   }
 
   /** [[saveLexIndex]] over an ALREADY-BUILT postings relation — the save
     * that serves the streamed fold (`StreamingIngest.currentPostings`)
     * or a [[postingsMerge]] result without re-scanning any corpus. The
     * input must carry `(idCol, term, tf)` and may carry `pos`.
+    *
+    * `buildSegment` is the segment id the build lands as — 0 by
+    * convention, but a STREAM whose first non-empty trigger is batch
+    * k > 0 builds as segment k (`StreamingIngest.lexIndexBatch`), so an
+    * at-least-once replay of that same batch recognizes itself as the
+    * builder and rebuilds (static overwrite) instead of appending a
+    * double-counted segment.
     */
   def saveLexIndexFromPostings(post0: DataFrame, idCol: String,
       path: String, nBuckets: Int = 64,
-      termVectors: Boolean = false): Unit =
-    writeLexSegment(post0, idCol, path, nBuckets, batchId = 0L,
+      termVectors: Boolean = false, buildSegment: Long = 0L): Unit =
+    writeLexSegment(post0, idCol, path, nBuckets, batchId = buildSegment,
       overwriteAll = true, termVectors = termVectors)
 
   /** One SEGMENT of the index — the shared writer behind build
@@ -332,6 +352,7 @@ object Retrieval {
           lit(idCol).as("id_col"), lit(nBuckets).as("n_buckets"),
           lit(positional).as("positional"),
           lit(termVectors).as("term_vectors"),
+          lit(impactK1).as("impact_k1"), lit(impactB).as("impact_b"),
           lit(batchId).as("batch_id"))
       val writerMode: org.apache.spark.sql.DataFrameWriter[
           org.apache.spark.sql.Row] => org.apache.spark.sql.DataFrameWriter[
@@ -339,6 +360,24 @@ object Retrieval {
         if (overwriteAll) _.mode("overwrite")
         else _.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       val posCols = if (positional) Seq(col("pos")) else Nil
+      // per-term MAX BM25 impact (the MaxScore bound): the largest score
+      // contribution any of this segment's docs gives the term at the
+      // FROZEN house (k1, b) — idf(dfreq, n_docs) · max over docs of
+      // tfNorm(tf, dl, avgdl), the EXACT expression the index read
+      // evaluates per row, so no read contribution can exceed it.
+      // Meaningful only while the artifact is single-segment (a merged
+      // df shifts idf, so loadLexIndex's multi-segment terms fold drops
+      // the column; compaction re-derives it) — the bound also survives
+      // tombstones, because reads score with the same frozen sidecar.
+      // One model-sized driver read (the stats row) prices it.
+      val stRow = stats.select(col("n_docs"), col("avgdl")).head()
+      val segNDocs = stRow.getLong(0)
+      val segAvgdl = stRow.getDouble(1)
+      val maxTfNorm = max(
+        (col("tf").cast("double") * lit(impactK1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(impactK1) * (lit(1.0 - impactB) +
+              lit(impactB) * col("dl").cast("double") / lit(segAvgdl))))
       writerMode(post.join(dl, Seq(idCol))
           .select(Seq(col("term"), col(idCol), col("tf"), col("dl"),
             lit(batchId).as("batch_id"),
@@ -348,8 +387,15 @@ object Retrieval {
           .write)
         .partitionBy("batch_id", "tbucket")
         .parquet(s"$path/postings")
-      writerMode(post.groupBy(col("term"))
-          .agg(count(lit(1)).as("dfreq"), sum(col("tf")).as("cf"))
+      writerMode(post.join(dl, Seq(idCol))
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("dfreq"), sum(col("tf")).as("cf"),
+            maxTfNorm.as("__mt"))
+          .withColumn("max_impact",
+            log(lit(1.0) +
+              ((lit(segNDocs) - col("dfreq")).cast("double") + lit(0.5)) /
+                (col("dfreq").cast("double") + lit(0.5))) * col("__mt"))
+          .drop("__mt")
           .withColumn("batch_id", lit(batchId))
           .withColumn("tbucket", termBucket(col("term"), nBuckets))
           .repartition(col("tbucket"))
@@ -404,6 +450,17 @@ object Retrieval {
   def loadLexIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): LexIndex = {
     val statsRaw = spark.read.parquet(s"$path/stats")
+    // format guard: the segmented layout stamps term_vectors + batch_id
+    // into the stats sidecar — an artifact persisted by the pre-segment
+    // layout would otherwise die with an opaque missing-column
+    // AnalysisException deep in the select below
+    val needCols = Seq("id_col", "n_buckets", "positional",
+      "term_vectors", "batch_id")
+    val missingCols = needCols.filterNot(statsRaw.columns.contains)
+    require(missingCols.isEmpty,
+      s"lexical index at $path predates the segmented artifact layout " +
+        s"(stats sidecar missing ${missingCols.mkString(", ")}) — " +
+        "rebuild it with saveLexIndex")
     val segRows = statsRaw.select(col("id_col"), col("n_buckets"),
       col("positional"), col("term_vectors"), col("batch_id")).collect()
     require(segRows.nonEmpty, s"empty lexical index stats at $path/stats")
@@ -448,6 +505,16 @@ object Retrieval {
     val forward =
       if (!cfg.getBoolean(3)) None
       else Some(tombFiltered(spark.read.parquet(s"$path/forward")))
+    // impact bounds are only sound on a SINGLE segment (frozen df);
+    // older artifacts without the columns simply load with None and
+    // serve the unpruned reads
+    val impactParams =
+      if (multi || !statsRaw.columns.contains("impact_k1") ||
+          !termsRaw.columns.contains("max_impact")) None
+      else {
+        val r = statsRaw.select(col("impact_k1"), col("impact_b")).head()
+        Some((r.getDouble(0), r.getDouble(1)))
+      }
     LexIndex(
       postings = postings,
       terms = terms,
@@ -455,7 +522,8 @@ object Retrieval {
       idCol = idCol,
       nBuckets = cfg.getInt(1),
       positional = cfg.getBoolean(2),
-      forward = forward)
+      forward = forward,
+      impactParams = impactParams)
   }
 
   /** Append one batch of NEW documents to a persisted index: tokenize +
@@ -628,11 +696,16 @@ object Retrieval {
     * so the sidecar scan is DPP-pruned to the query's buckets.
     */
   private def keptTerms(idx: LexIndex, qterms: DataFrame, qIdCol: String,
-      maxDfFrac: Double): DataFrame = {
+      maxDfFrac: Double, withImpact: Boolean = false): DataFrame = {
     val qt = qterms
       .select(col(qIdCol).as("q_id"), col("term"))
       .withColumn("tbucket", termBucket(col("term"), idx.nBuckets))
-    val joined = idx.terms
+    // explicit sidecar projection: the plain reads stay pinned to
+    // (dfreq, cf) so the optional max_impact column never widens their
+    // scans; the MaxScore read opts in
+    val sidecarCols = Seq(col("tbucket"), col("term"), col("dfreq"),
+      col("cf")) ++ (if (withImpact) Seq(col("max_impact")) else Nil)
+    val joined = idx.terms.select(sidecarCols: _*)
       .join(broadcast(qt), Seq("tbucket", "term"))
       .crossJoin(broadcast(
         idx.stats.select(col("n_docs"), col("avgdl"), col("c_total"))))
@@ -654,12 +727,13 @@ object Retrieval {
     * query's EXACT phrase (consecutive positions, [[phraseCandidates]])
     * before scoring; requires a positional index.
     */
-  def bm25TopKFromIndex(idx: LexIndex, qterms: DataFrame, qIdCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75,
-      maxDfFrac: Double = 1.0,
-      phrase: Option[DataFrame] = None,
-      requireAll: Boolean = false): DataFrame = {
-    val kept = keptTerms(idx, qterms, qIdCol, maxDfFrac)
+  /** The per-(query term, posting row) BM25 contribution — ONE
+    * definition shared by the plain read, [[bm25TopKMaxScore]]'s
+    * phases, and (with driver-literal stats) the build-time impact
+    * bound, so their arithmetic is identical by construction. Expects
+    * (tf, dl, dfreq, n_docs, avgdl) columns in scope.
+    */
+  private def bm25Contribution(k1: Double, b: Double): Column = {
     val idf = log(lit(1.0) +
       ((col("n_docs") - col("dfreq")).cast("double") + lit(0.5)) /
         (col("dfreq").cast("double") + lit(0.5)))
@@ -667,10 +741,19 @@ object Retrieval {
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) +
           lit(b) * col("dl").cast("double") / col("avgdl")))
+    (idf * tfNorm).cast("decimal(20,12)")
+  }
+
+  def bm25TopKFromIndex(idx: LexIndex, qterms: DataFrame, qIdCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFrac: Double = 1.0,
+      phrase: Option[DataFrame] = None,
+      requireAll: Boolean = false): DataFrame = {
+    val kept = keptTerms(idx, qterms, qIdCol, maxDfFrac)
     val terms = idx.postings
       .join(broadcast(kept), Seq("tbucket", "term"))
       .select(col("q_id"), col(idx.idCol),
-        (idf * tfNorm).cast("decimal(20,12)").as("__s"))
+        bm25Contribution(k1, b).as("__s"))
     val filtered = phrase match {
       case None => terms
       case Some(ph) => terms.join(
@@ -698,6 +781,158 @@ object Retrieval {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("__score").desc, col(idx.idCol).asc)
     gated
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idx.idCol),
+        round(col("__score").cast("double"), 6).as("score"))
+  }
+
+  /** The MaxScore essential/non-essential term split — the shared core
+    * of [[bm25TopKMaxScore]], exposed for the spec/sweep to audit how
+    * much pruning a query set gets. Per (q_id, kept term):
+    * `(q_id, term, tbucket, dfreq, cf, max_impact, n_docs, avgdl,
+    * c_total, __theta, __ess)` where `__theta` is the k-th best FULL
+    * score among the seed candidates (null when the seed list is
+    * shorter than k → no pruning) and `__ess = false` marks the
+    * non-essential tail. Construction guarantees
+    * Σ_{non-essential} round12(max_impact) < θ exactly (the suffix sums
+    * are DECIMAL(20,12)), which is what makes the read lossless.
+    */
+  private[graft] def maxScoreSplit(idx: LexIndex, qterms: DataFrame,
+      qIdCol: String, k: Int, maxDfFrac: Double = 1.0): DataFrame = {
+    val (k1, b) = idx.impactParams.getOrElse(throw new
+        IllegalArgumentException(
+      "bm25TopKMaxScore needs a SINGLE-segment artifact with frozen " +
+        "impact bounds (saveLexIndex round 17+, or compactLexIndex a " +
+        "segmented one) — this index has none"))
+    val kept = keptTerms(idx, qterms, qIdCol, maxDfFrac,
+      withImpact = true)
+    // seed: each query's RAREST kept term (min dfreq, tie term asc) —
+    // its postings list is the cheapest source of k real candidates
+    val wSeed = Window.partitionBy(col("q_id"))
+      .orderBy(col("dfreq").asc, col("term").asc)
+    val seedTerm = kept
+      .withColumn("__sr", row_number().over(wSeed))
+      .where(col("__sr") === 1)
+      .select(col("q_id"), col("term"), col("tbucket"))
+    val seedDocs = idx.postings
+      .join(broadcast(seedTerm), Seq("tbucket", "term"))
+      .select(col("q_id"), col(idx.idCol))
+    // full scores of the seed candidates: fetch each candidate doc's
+    // postings for EVERY kept query term — join output and aggregate
+    // are candidate-bounded, the scan stays DPP-pruned by tbucket
+    val candTerms = seedDocs.join(kept, Seq("q_id"))
+    val seedScores = idx.postings
+      .join(candTerms, Seq("tbucket", "term", idx.idCol))
+      .select(col("q_id"), col(idx.idCol),
+        bm25Contribution(k1, b).as("__s"))
+      .groupBy(col("q_id"), col(idx.idCol))
+      .agg(sum(col("__s")).as("__score"))
+    // θ = the k-th best seed score: a LOWER bound on the true k-th
+    // best score (seed scores are full scores of a candidate subset)
+    val wTheta = Window.partitionBy(col("q_id"))
+      .orderBy(col("__score").desc, col(idx.idCol).asc)
+    val theta = seedScores
+      .withColumn("__rn", row_number().over(wTheta))
+      .where(col("__rn") === k)
+      .select(col("q_id"), col("__score").as("__theta"))
+    // non-essential = the maximal LOW-impact suffix whose impact-bound
+    // sum stays strictly below θ (suffix sums of positive bounds are
+    // decreasing, so `suffix < θ` IS a suffix). Sums are exact
+    // DECIMAL(20,12) and each per-row contribution is ≤ its term's
+    // round12(max_impact) (double max is an upper bound, decimal cast
+    // is monotone), so a doc matching ONLY non-essential terms scores
+    // strictly below θ ≤ the true k-th best — it can never enter the
+    // top-k, even via the id tie-break.
+    val wOrd = Window.partitionBy(col("q_id"))
+      .orderBy(col("max_impact").desc, col("term").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    kept.join(broadcast(theta), Seq("q_id"), "left")
+      .withColumn("__suf",
+        sum(col("max_impact").cast("decimal(20,12)")).over(wOrd))
+      // null θ (fewer than k seed candidates) compares null → false →
+      // every term essential → the read degrades to the plain one
+      .withColumn("__ess",
+        !coalesce(col("__suf") < col("__theta"), lit(false)))
+      .drop("__suf")
+  }
+
+  /** [[bm25TopKFromIndex]] with LOSSLESS impact-bound candidate pruning
+    * (the MaxScore family — Turtle & Flood 1995 — re-expressed
+    * relationally): identical rows to the plain read, but the
+    * corpus-sized (query, doc) aggregation only ever sees postings of
+    * each query's ESSENTIAL terms plus candidate-bounded fetches.
+    *
+    * Phases (all off the artifact, no corpus work):
+    *  1. seed candidates from each query's rarest term, full-score them
+    *     (candidate-bounded), θ = k-th best — a true lower bound on the
+    *     final k-th best score;
+    *  2. split terms: the maximal low-impact suffix with exact
+    *     Σ round12(max_impact) < θ is NON-ESSENTIAL — its postings
+    *     never enter the scoring aggregate (the saving: at 100 TB a
+    *     frequent term's full df is the read's cost, and this skips it
+    *     without the measured maxDfFrac recall cliff);
+    *  3. survivors = essential-term candidates whose essential partial
+    *     + non-essential bound sum can still reach θ;
+    *  4. exact rescore of (survivors ∪ seeds) through the ONE shared
+    *     contribution expression → identical decimal sums, identical
+    *     ranks, identical rounded output — the q246 oracle gates it
+    *     against the unpruned chain verbatim.
+    *
+    * Unlike `maxDfFrac` this never changes results; it trades one extra
+    * candidate-bounded postings fetch for dropping whole
+    * frequent-term posting legs from the aggregate. Requires a
+    * single-segment artifact whose frozen (impact_k1, impact_b) match
+    * this read's (k1, b); `requireAll`/`phrase` stay on the plain read.
+    */
+  def bm25TopKMaxScore(idx: LexIndex, qterms: DataFrame, qIdCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    require(idx.impactParams.contains((k1, b)),
+      s"impact bounds frozen at ${idx.impactParams} do not cover " +
+        s"(k1=$k1, b=$b) — rebuild the artifact or use the plain read")
+    val split = maxScoreSplit(idx, qterms, qIdCol, k, maxDfFrac)
+    val ess = split.where(col("__ess"))
+    // per-query θ and the non-essential bound mass (exact decimal)
+    val qMeta = split.groupBy(col("q_id"))
+      .agg(first(col("__theta")).as("__theta"),
+        sum(when(!col("__ess"),
+          col("max_impact").cast("decimal(20,12)"))
+          .otherwise(lit(0).cast("decimal(20,12)"))).as("__nes"))
+    // phase 2: essential partial scores; a survivor must still be able
+    // to reach θ with ALL non-essential bounds granted
+    val partial = idx.postings
+      .join(broadcast(ess.select(col("tbucket"), col("term"),
+        col("q_id"), col("dfreq"), col("n_docs"), col("avgdl"))),
+        Seq("tbucket", "term"))
+      .select(col("q_id"), col(idx.idCol),
+        bm25Contribution(k1, b).as("__s"))
+      .groupBy(col("q_id"), col(idx.idCol))
+      .agg(sum(col("__s")).as("__ps"))
+    // no seed union is needed: every true top-k doc scores ≥ θ, and a
+    // doc matching ONLY non-essential terms scores < θ by the suffix
+    // bound — so every top-k doc (seeds included) matches an essential
+    // term, lands in `partial`, and its partial + granted bounds ≥ its
+    // full score ≥ θ keeps it a survivor
+    val cands = partial
+      .join(broadcast(qMeta), Seq("q_id"), "left")
+      .where(col("__theta").isNull ||
+        col("__ps") + col("__nes") >= col("__theta"))
+      .select(col("q_id"), col(idx.idCol))
+    // exact rescore through the one shared expression — bit-identical
+    // decimal addends to the plain read, so identical output
+    val kept = split.select(col("tbucket"), col("term"), col("q_id"),
+      col("dfreq"), col("n_docs"), col("avgdl"))
+    val fin = idx.postings
+      .join(cands.join(kept, Seq("q_id")),
+        Seq("tbucket", "term", idx.idCol))
+      .select(col("q_id"), col(idx.idCol),
+        bm25Contribution(k1, b).as("__s"))
+      .groupBy(col("q_id"), col(idx.idCol))
+      .agg(sum(col("__s")).as("__score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("__score").desc, col(idx.idCol).asc)
+    fin
       .withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col(idx.idCol),

@@ -49,9 +49,18 @@ object Timeseries {
       unix_micros(col(tsCol)).as("__us"),
       col(valCol).cast("double").as("__v"),
       col(ordCol).as("__ord"))
-      // INTEGER division (Spark `/` on longs is double division): both
-      // operands are non-negative and < 2^53, `div` is exact
-      .withColumn("__bucket", expr(s"__us div ${stepUs}L"))
+      // INTEGER division (Spark `/` on longs is double division). `div`
+      // TRUNCATES — equal to floor division only for non-negative
+      // operands (DuckDB's `//` truncates identically, so oracle parity
+      // is not the issue): a pre-1970 timestamp would silently misbucket
+      // (bucket start AFTER the observation, breaking the u_prev < t_b
+      // interpolation invariant), so the assumption is ENFORCED in-plan
+      .withColumn("__bucket",
+        when(col("__us") < 0, expr(
+          "CAST(raise_error('bucketReps: negative epoch micros " +
+            "(pre-1970 timestamp) - truncating division would " +
+            "misbucket') AS BIGINT)"))
+          .otherwise(expr(s"__us div ${stepUs}L")))
     val w = Window.partitionBy(col(keyCol), col("__bucket"))
       .orderBy(col("__us").desc, col("__ord").desc)
     val wc = Window.partitionBy(col(keyCol), col("__bucket"))
@@ -176,7 +185,11 @@ object Timeseries {
     * sample variance `(Σx² − (Σx)²/n)/(n−1)` and the z ratio are then
     * fixed double expressions mirrored by the oracle; a zero-variance
     * baseline yields a null z (no division), flagged only when the
-    * point DIFFERS from the constant baseline.
+    * point DIFFERS from the constant baseline AT THE SUMS' RESOLUTION —
+    * the exact decimal compare `n·round12(x) ≠ Σx` (comparing the raw
+    * double x against the decimal-derived mean would flag every
+    * full-window point of a constant series whose value is not exactly
+    * 12 dp-representable).
     *
     * One key-partitioned window pass — the resample/decompose shuffle
     * shape. Returns `(keyCol, bucketCol, valCol, mean, z, is_anomaly)`.
@@ -206,6 +219,7 @@ object Timeseries {
       round(mu, 6).as("mean"),
       round(z, 6).as("z"),
       when(sigma > 0.0d, abs(z) > zThresh)
-        .otherwise(x =!= mu).as("is_anomaly"))
+        .otherwise(x.cast("decimal(30,12)") * lit(window.toLong) =!=
+          col("__sx")).as("is_anomaly"))
   }
 }

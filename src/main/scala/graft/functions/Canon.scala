@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Canonical-emission helpers shared by the query catalog.
+  *
+  * IEEE 754 has two zeros; `-0.0 == 0.0` compares true, but the byte
+  * representations differ, and the driver's oracle compare hashes BYTES.
+  * DuckDB's `round` is a float op that preserves the sign of a tiny
+  * negative rounding to zero (`round(-1e-9, 6) = -0.0`); Spark's `round`
+  * goes through BigDecimal and always emits `+0.0`. Any rounded DOUBLE
+  * emission whose true value can cross zero is therefore a hash hazard —
+  * round 16's single red row (q241, one `-0.0` covariance cell) was
+  * exactly this. House rule: canonicalize zero on BOTH sides —
+  * [[zeroNorm]] on the engine emission, `+ 0` appended after the
+  * oracle's `round` (IEEE: `-0.0 + 0.0 = +0.0`).
+  */
+object Canon {
+
+  /** `-0.0` → `+0.0`; every other value (incl. null and NaN) unchanged.
+    * `c === 0.0` is true for both zeros (IEEE equality), null for null
+    * input, false for NaN — so only the zeros are rewritten.
+    */
+  def zeroNorm(c: Column): Column = when(c === 0.0, lit(0.0)).otherwise(c)
+
+  /** `round(c, scale)` with canonical zero — the house emission form for
+    * rounded doubles whose true value can cross zero.
+    */
+  def roundz(c: Column, scale: Int): Column = zeroNorm(round(c, scale))
+}

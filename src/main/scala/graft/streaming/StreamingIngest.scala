@@ -1659,9 +1659,14 @@ object StreamingIngest {
     * the segment count stays bounded while that batch's replay still
     * rewrites exactly its own pre-fold partition.
     *
-    * Batch-0 replay rebuilds with a static overwrite — safe because
-    * Structured Streaming replays only the LAST uncommitted batch, so no
-    * later segment can exist when batch 0 re-runs.
+    * Build-vs-append is decided by ARTIFACT EXISTENCE, not batch id: an
+    * empty batch 0 is skipped, so the first NON-EMPTY trigger builds —
+    * landing as segment `batchId`, so an at-least-once replay of that
+    * same batch recognizes itself (its id == the artifact's min segment)
+    * and REBUILDS with a static overwrite instead of appending a
+    * double-counted segment. Safe because Structured Streaming replays
+    * only the LAST uncommitted batch, so no later segment can exist when
+    * the building batch re-runs.
     */
   def lexIndexStream(docs: DataFrame, indexDir: String,
       checkpointDir: String, idCol: String, textCol: String,
@@ -1683,9 +1688,24 @@ object StreamingIngest {
       idCol: String, textCol: String, nBuckets: Int = 64,
       positional: Boolean = true, compactEvery: Int = 0): Unit = {
     if (batch.isEmpty) return
-    if (batchId == 0L)
+    // build-vs-append keys on the stats sidecar's existence (it is the
+    // LAST relation a segment write lands, so its presence implies a
+    // complete artifact): a stream whose first trigger (batch 0) is
+    // empty still builds correctly on its first non-empty one. The
+    // builder's own replay is recognized by segment id — the artifact's
+    // min segment == this batch — and rebuilds (static overwrite)
+    // rather than appending itself twice.
+    val statsPath = new org.apache.hadoop.fs.Path(s"$indexDir/stats")
+    val fs = statsPath.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val segIds: Seq[Long] =
+      if (!fs.exists(statsPath)) Nil
+      else fs.listStatus(statsPath).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong)
+    if (segIds.isEmpty || segIds.min == batchId)
       graft.ext.Retrieval.saveLexIndex(batch, idCol, textCol, indexDir,
-        nBuckets, positional)
+        nBuckets, positional, buildSegment = batchId)
     else
       graft.ext.Retrieval.appendLexIndex(batch, idCol, textCol, indexDir,
         batchId)

@@ -31,6 +31,17 @@ class LinkageSpec extends AnyFunSuite {
     "addr" -> (lower(col("a_addr")) === lower(col("b_addr"))),
     "phone" -> (col("a_phone") === col("b_phone")))
 
+  test("agreementRates: an EMPTY candidate-pair frame fails loudly " +
+    "instead of yielding null u rates (degenerate blocking key)") {
+    val pairs = Linkage.blockPairs(left,
+      right.withColumn("bk", lit(99)), "bk") // no shared block
+    val e = intercept[Exception] {
+      Linkage.agreementRates(pairs, flags).collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("empty candidate-pair"))
+  }
+
   test("agreementRates: hand-countable u over the 9 blocked pairs") {
     val pairs = Linkage.blockPairs(left, right, "bk")
     assert(pairs.count() == 9)

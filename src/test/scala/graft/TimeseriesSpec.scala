@@ -136,4 +136,25 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(rows(("c", 8L)) == (None, false))
     assert(rows(("c", 9L)) == (None, true))
   }
+
+  test("rollingAnomalies: a constant series whose value is not exactly " +
+    "12 dp-representable stays silent in the degenerate branch") {
+    val third = 1.0 / 3.0 // rounds at the sums' DECIMAL(30,12) cast
+    val series = (0L to 9L).map(i => ("k", i, third)).toDF("k", "b", "v")
+    val rows = Timeseries.rollingAnomalies(series, "k", "b", "v",
+      window = 8, zThresh = 2.0).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(!_.getBoolean(5)),
+      "constant series flagged anomalous")
+  }
+
+  test("bucketReps: a pre-1970 timestamp fails loudly instead of " +
+    "silently misbucketing under truncating division") {
+    val bad = Seq((1L, ts(-5), 1.0, 100L)).toDF("k", "t", "v", "oid")
+    val e = intercept[Exception] {
+      Timeseries.bucketReps(bad, "k", "t", "v", "oid", 10L).collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("negative epoch micros"))
+  }
 }

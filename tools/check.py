@@ -13,6 +13,7 @@ import sys
 import glob
 
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -64,6 +65,11 @@ def main():
                 if o[c].dtype != s[c].dtype else s[c]
             try:
                 eq = (oc == sc) | (oc.isna() & sc.isna())
+                # hash-faithful on floats: the driver hashes BYTES, so
+                # -0.0 vs +0.0 (== under IEEE) must still mismatch here
+                if oc.dtype.kind == "f" and sc.dtype.kind == "f":
+                    eq &= ~(np.signbit(oc.to_numpy())
+                            ^ np.signbit(sc.to_numpy())) | oc.isna()
             except Exception:
                 eq = oc.astype(str) == sc.astype(str)
             if not eq.all():

@@ -1,0 +1,31 @@
+import json, glob, sys
+import numpy as np
+import duckdb
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+hits = []
+for name in sorted(oracles):
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if files:
+        sdf = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        for c in sdf.columns:
+            if sdf[c].dtype.kind == 'f':
+                a = sdf[c].to_numpy()
+                n = int(((a == 0) & np.signbit(a)).sum())
+                if n: hits.append((name, 'spark', c, n))
+    try:
+        odf = con.execute(oracles[name]).fetchdf()
+    except Exception as e:
+        print(f"{name}: oracle error {str(e)[:120]}"); continue
+    for c in odf.columns:
+        if odf[c].dtype.kind == 'f':
+            a = odf[c].to_numpy()
+            n = int(((a == 0) & np.signbit(a)).sum())
+            if n: hits.append((name, 'oracle', c, n))
+for h in hits: print(h)
+print(f"{len(hits)} -0.0 hits")

@@ -950,6 +950,38 @@ object QueriesRetrieval {
                                halfCorpusWhere)}
               SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
                      round(CAST(score AS DOUBLE), 6) AS score
+              FROM rk WHERE rank <= 10 ORDER BY q_id, rank""")),
+
+    // stats-only refresh (round 17): the cheap middle ground the r16
+    // verdict named between a delete (reads under FROZEN df/cf until
+    // compaction) and the full corpus-sized fold — build, tombstone
+    // doc_id % 3 = 0, REFRESH (df/cf/stats re-derived from live
+    // postings at sidecar cost, postings segments untouched), read.
+    // The oracle is the fresh-build chain over the LIVE corpus — the
+    // q236 gate a frozen-stats read could never satisfy — without
+    // running compactLexIndex (RetrievalSpec pins that the postings
+    // relation is byte-untouched and that appends still compose).
+    Q("q247_lex_stats_refresh",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = artifactPath("lex_index_q247")
+        rmrf(new java.io.File(dir))
+        Retrieval.saveLexIndex(
+          docs.where(expr(halfCorpusWhere.stripPrefix("WHERE "))),
+          "doc_id", "text", dir, nBuckets = 64, positional = false)
+        Retrieval.deleteFromLexIndex(s, dir,
+          docs.where(col("doc_id") % 3 === 0).select(col("doc_id")),
+          delBatch = 1L)
+        Retrieval.refreshLexStats(s, dir)
+        val idx = Retrieval.loadLexIndex(s, dir)
+        Retrieval.bm25TopKFromIndex(idx,
+            qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""WITH ${bm25Ctes("WHERE doc_id % 50 = 0",
+                               halfCorpusWhere + " AND doc_id % 3 <> 0")}
+              SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+                     round(CAST(score AS DOUBLE), 6) AS score
               FROM rk WHERE rank <= 10 ORDER BY q_id, rank"""))
   )
 

@@ -610,6 +610,91 @@ object Retrieval {
       .parquet(s"$path/deleted")
   }
 
+  /** Re-derive the df/cf term sidecar and the corpus stats from the
+    * LIVE (tombstone-excluded) postings WITHOUT rewriting any postings
+    * segment — the cheap middle ground between a delete (reads serve
+    * under FROZEN statistics — the Lucene deleted-docs stance) and a
+    * full [[compactLexIndex]] (a corpus-sized rewrite): after a
+    * refresh, every read scores with exactly the fresh-build statistics
+    * of the live corpus, at sidecar cost (one pass over live postings,
+    * term-keyed aggregates, two bucket-partitioned sidecar writes),
+    * while the tombstones stay in place to keep filtering the untouched
+    * postings relations.
+    *
+    * The refreshed sidecar lands as a single batch-0 relation holding
+    * GLOBAL df/cf (and re-derived `max_impact` bounds — so
+    * [[bm25TopKMaxScore]] serves again, which a segmented artifact
+    * refuses), plus one global stats row. Later appends compose
+    * losslessly: their segment partials SUM on top of the refreshed
+    * batch in [[loadLexIndex]]'s fold, exactly as they would over a
+    * fresh build.
+    *
+    * Crash-safety: two `Pipeline.swap` renames (terms, then stats). A
+    * crash between them leaves fresh terms under stale stats;
+    * re-running the refresh repairs it — the operation is idempotent
+    * (it is a pure function of live postings + config).
+    */
+  def refreshLexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val idx = loadLexIndex(spark, path) // tombstones already applied
+    val idCol = idx.idCol
+    val cfgRow = spark.read.parquet(s"$path/stats")
+      .select(col("id_col"), col("n_buckets"), col("positional"),
+        col("term_vectors")).head()
+    // live corpus stats in the exact fresh-build arithmetic: dl per doc
+    // re-derived as Σ tf (identical to the denormalized column for any
+    // doc-disjoint artifact, and THE definition a fresh build uses)
+    val live = idx.postings
+      .select(col(idCol), col("term"), col("tf"), col("dl")).persist()
+    try {
+      val st = live.groupBy(col(idCol)).agg(sum(col("tf")).as("__dl"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("__dl")).cast("double") /
+            count(lit(1)).cast("double")).as("avgdl"),
+          sum(col("__dl")).as("c_total"))
+        .head()
+      val nDocs = st.getLong(0)
+      require(nDocs > 0,
+        s"refreshLexStats: no live documents left in $path")
+      val avgdl = st.getDouble(1)
+      val cTotal = st.getLong(2)
+      val maxTfNorm = max(
+        (col("tf").cast("double") * lit(impactK1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(impactK1) * (lit(1.0 - impactB) +
+              lit(impactB) * col("dl").cast("double") / lit(avgdl))))
+      val termsTmp = s"$path.terms.refresh.tmp"
+      live.groupBy(col("term"))
+        .agg(count(lit(1)).as("dfreq"), sum(col("tf")).as("cf"),
+          maxTfNorm.as("__mt"))
+        .withColumn("max_impact",
+          log(lit(1.0) +
+            ((lit(nDocs) - col("dfreq")).cast("double") + lit(0.5)) /
+              (col("dfreq").cast("double") + lit(0.5))) * col("__mt"))
+        .drop("__mt")
+        .withColumn("batch_id", lit(0L))
+        .withColumn("tbucket", termBucket(col("term"), idx.nBuckets))
+        .repartition(col("tbucket"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").partitionBy("batch_id", "tbucket")
+        .parquet(termsTmp)
+      val statsTmp = s"$path.stats.refresh.tmp"
+      spark.range(1).select(
+        lit(nDocs).as("n_docs"), lit(avgdl).as("avgdl"),
+        lit(cTotal).as("c_total"),
+        lit(cfgRow.getString(0)).as("id_col"),
+        lit(cfgRow.getInt(1)).as("n_buckets"),
+        lit(cfgRow.getBoolean(2)).as("positional"),
+        lit(cfgRow.getBoolean(3)).as("term_vectors"),
+        lit(impactK1).as("impact_k1"), lit(impactB).as("impact_b"),
+        lit(0L).as("batch_id"))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(statsTmp)
+      graft.pipeline.Pipeline.swap(spark, termsTmp, s"$path/terms")
+      graft.pipeline.Pipeline.swap(spark, statsTmp, s"$path/stats")
+    } finally { live.unpersist(); () }
+  }
+
   /** Fold a segmented, possibly-tombstoned index back to canonical
     * single-segment form: drop tombstoned copies, keep each surviving
     * doc's LATEST segment (its newest version GROUP — the

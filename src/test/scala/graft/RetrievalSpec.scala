@@ -820,6 +820,78 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- stats-only refresh (round 17) ----------------------------------
+
+  test("refreshLexStats: delete → refresh serves the FRESH-BUILD " +
+    "statistics (BM25 + QL) with the postings segment byte-untouched; " +
+    "rerun is idempotent") {
+    val p = tmpIdx("lexidx_refresh")
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", p, nBuckets = 8,
+      positional = false)
+    Retrieval.deleteFromLexIndex(spark, p,
+      Seq(0L, 2L).toDF("doc_id"), delBatch = 1L)
+    def postingsState() = new java.io.File(s"$p/postings").listFiles()
+      .filter(_.getName.startsWith("batch_id="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    val before = postingsState()
+    Retrieval.refreshLexStats(spark, p)
+    assert(postingsState() == before, "postings were rewritten")
+    val pRef = tmpIdx("lexidx_refresh_ref")
+    Retrieval.saveLexIndex(corpus.where($"doc_id" =!= 0L &&
+        $"doc_id" =!= 2L), "doc_id", "text", pRef, nBuckets = 8,
+      positional = false)
+    val q = Seq((1L, "fox"), (1L, "dog"), (2L, "quick"), (2L, "the"))
+      .toDF("q_id", "term")
+    val idx = Retrieval.loadLexIndex(spark, p)
+    val ref = Retrieval.loadLexIndex(spark, pRef)
+    assert(rowsOf(Retrieval.bm25TopKFromIndex(idx, q, "q_id", k = 5)) ==
+      rowsOf(Retrieval.bm25TopKFromIndex(ref, q, "q_id", k = 5)))
+    assert(rowsOf(Retrieval.qlTopKFromIndex(idx, q, "q_id", k = 5)) ==
+      rowsOf(Retrieval.qlTopKFromIndex(ref, q, "q_id", k = 5)))
+    // impact bounds re-derived from the live corpus → MaxScore serves
+    assert(idx.impactParams.nonEmpty)
+    assert(rowsOf(Retrieval.bm25TopKMaxScore(idx, q, "q_id", k = 5)) ==
+      rowsOf(Retrieval.bm25TopKFromIndex(idx, q, "q_id", k = 5)))
+    // idempotent: a refresh is a pure function of live postings
+    Retrieval.refreshLexStats(spark, p)
+    val idx2 = Retrieval.loadLexIndex(spark, p)
+    assert(rowsOf(Retrieval.bm25TopKFromIndex(idx2, q, "q_id", k = 5)) ==
+      rowsOf(Retrieval.bm25TopKFromIndex(ref, q, "q_id", k = 5)))
+  }
+
+  test("refreshLexStats: later appends compose — segment partials SUM " +
+    "on top of the refreshed global batch like over a fresh build") {
+    val p = tmpIdx("lexidx_refresh_app")
+    Retrieval.saveLexIndex(corpus.where($"doc_id" <= 2L),
+      "doc_id", "text", p, nBuckets = 8, positional = false)
+    Retrieval.deleteFromLexIndex(spark, p,
+      Seq(2L).toDF("doc_id"), delBatch = 1L)
+    Retrieval.refreshLexStats(spark, p)
+    Retrieval.appendLexIndex(corpus.where($"doc_id" >= 3L),
+      "doc_id", "text", p, batchId = 2L)
+    val pRef = tmpIdx("lexidx_refresh_app_ref")
+    Retrieval.saveLexIndex(corpus.where($"doc_id" =!= 2L),
+      "doc_id", "text", pRef, nBuckets = 8, positional = false)
+    val q = Seq((1L, "fox"), (1L, "dog"), (2L, "quick"))
+      .toDF("q_id", "term")
+    def readOf(path: String) = rowsOf(Retrieval.bm25TopKFromIndex(
+      Retrieval.loadLexIndex(spark, path), q, "q_id", k = 5))
+    assert(readOf(p) == readOf(pRef))
+  }
+
+  test("refreshLexStats: refuses an artifact with no live documents") {
+    val p = tmpIdx("lexidx_refresh_empty")
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", p, nBuckets = 8,
+      positional = false)
+    Retrieval.deleteFromLexIndex(spark, p,
+      corpus.select($"doc_id"), delBatch = 1L)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.refreshLexStats(spark, p)
+    }
+    assert(e.getMessage.contains("no live documents"))
+  }
+
   // ---- format guard + existence-keyed streamed build (round 17) ------
 
   test("loadLexIndex: a pre-segment-layout stats sidecar fails with the " +

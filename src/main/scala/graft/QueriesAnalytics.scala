@@ -3151,6 +3151,159 @@ object QueriesAnalytics {
                         THEN abs((v - mu) / sigma) > 2.0
                         ELSE CAST(v AS DECIMAL(30,12)) * n <> sx
                         END AS is_anomaly
-            FROM fz ORDER BY event_type, bucket"""))
+            FROM fz ORDER BY event_type, bucket""")),
+
+    // entity resolution (round 17): the composition the r16 verdict
+    // named — THREE sources in one id space (customer, a floor10/
+    // truncated twin at +3M, a second identical twin at +6M), two
+    // Fellegi-Sunter legs (A-B and B-C, each with its own u
+    // estimation), the FULL above-log-odds-0 link graph (not
+    // mutualBest's one-to-one cut), transitive clustering via the q43
+    // min-label machinery, and deterministic canonical-record selection
+    // (best link score desc nulls last, id asc). The B-C leg's links
+    // BRIDGE each {A_i, B_i} cluster with {C_i} into 3-record entities
+    // — the oracle replays both scoring legs, the recursive
+    // min-reachable-label closure, the best-link aggregate, and the
+    // canonicalization window.
+    Q("q248_entity_resolution",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val bk = concat(col("c_nationkey").cast("string"), lit("|"),
+          upper(col("c_mktsegment")))
+        val a = cust.select(col("c_custkey").cast("long").as("a_id"),
+          col("c_name").as("a_name"), col("c_acctbal").as("a_bal"),
+          bk.as("bk"))
+        val b = cust.select(
+          (col("c_custkey").cast("long") + lit(3000000L)).as("b_id"),
+          expr("substring(c_name, 1, length(c_name) - 1)").as("b_name"),
+          (floor(col("c_acctbal") * lit(10.0d)) / lit(10.0d)).as("b_bal"),
+          bk.as("bk"))
+        val c = cust.select(
+          (col("c_custkey").cast("long") + lit(6000000L)).as("c_id"),
+          expr("substring(c_name, 1, length(c_name) - 1)").as("c_name2"),
+          (floor(col("c_acctbal") * lit(10.0d)) / lit(10.0d)).as("c_bal"),
+          bk.as("bk"))
+        def leg(l: org.apache.spark.sql.DataFrame,
+            r: org.apache.spark.sql.DataFrame, lid: String, ln: String,
+            lb: String, rid: String, rn: String, rb: String) = {
+          val flagged = ext.Linkage.blockPairs(l, r, "bk")
+            .withColumn("f_name", levenshtein(col(ln), col(rn)) <= 1)
+            .withColumn("f_bal", col(lb) - col(rb) >= 0.0d &&
+              col(lb) - col(rb) < 0.1d)
+            .localCheckpoint(false)
+          val flags = Seq("name" -> col("f_name"), "bal" -> col("f_bal"))
+          val rates = ext.Linkage.agreementRates(flagged, flags)
+          ext.Linkage.fsScores(flagged, flags,
+            Map("name" -> 0.95, "bal" -> 0.95), rates)
+            .select(col(lid).as("ia"), col(rid).as("ib"), col("score"))
+        }
+        val scored = leg(a, b, "a_id", "a_name", "a_bal",
+            "b_id", "b_name", "b_bal")
+          .unionByName(leg(b, c, "b_id", "b_name", "b_bal",
+            "c_id", "c_name2", "c_bal"))
+        val verts = a.select(col("a_id").as("rid"))
+          .unionByName(b.select(col("b_id").as("rid")))
+          .unionByName(c.select(col("c_id").as("rid")))
+        ext.Linkage.resolveEntities(verts, "rid", scored, "ia", "ib",
+            minScore = 0.0)
+          .orderBy(col("rid"))
+      },
+      Some("""WITH RECURSIVE
+             a AS (SELECT CAST(c_custkey AS BIGINT) AS a_id,
+                          c_name AS a_name, c_acctbal AS a_bal,
+                          CAST(c_nationkey AS VARCHAR) || '|'
+                            || upper(c_mktsegment) AS bk
+                   FROM customer),
+             b AS (SELECT CAST(c_custkey AS BIGINT) + 3000000 AS b_id,
+                          substring(c_name, 1, length(c_name) - 1)
+                            AS b_name,
+                          floor(c_acctbal * 10.0) / 10.0 AS b_bal,
+                          CAST(c_nationkey AS VARCHAR) || '|'
+                            || upper(c_mktsegment) AS bk
+                   FROM customer),
+             c AS (SELECT CAST(c_custkey AS BIGINT) + 6000000 AS c_id,
+                          substring(c_name, 1, length(c_name) - 1)
+                            AS c_name2,
+                          floor(c_acctbal * 10.0) / 10.0 AS c_bal,
+                          CAST(c_nationkey AS VARCHAR) || '|'
+                            || upper(c_mktsegment) AS bk
+                   FROM customer),
+             pr1 AS (SELECT a_id AS ia, b_id AS ib,
+                            CAST(levenshtein(a_name, b_name) <= 1
+                              AS INT) AS f_name,
+                            CAST(a_bal - b_bal >= 0.0
+                                 AND a_bal - b_bal < 0.1 AS INT) AS f_bal
+                     FROM a JOIN b USING (bk)),
+             ur1 AS (SELECT CAST(sum(f_name) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE) AS u_name,
+                            CAST(sum(f_bal) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE) AS u_bal
+                     FROM pr1),
+             sc1 AS (SELECT ia, ib,
+                            CAST(CASE WHEN u_name <= 0.0 OR u_name >= 1.0
+                                 THEN 0.0
+                                 WHEN f_name = 1 THEN ln(0.95 / u_name)
+                                 ELSE ln((1.0 - 0.95) / (1.0 - u_name))
+                                 END AS DECIMAL(20,12))
+                          + CAST(CASE WHEN u_bal <= 0.0 OR u_bal >= 1.0
+                                 THEN 0.0
+                                 WHEN f_bal = 1 THEN ln(0.95 / u_bal)
+                                 ELSE ln((1.0 - 0.95) / (1.0 - u_bal))
+                                 END AS DECIMAL(20,12)) AS score
+                     FROM pr1 CROSS JOIN ur1),
+             pr2 AS (SELECT b_id AS ia, c_id AS ib,
+                            CAST(levenshtein(b_name, c_name2) <= 1
+                              AS INT) AS f_name,
+                            CAST(b_bal - c_bal >= 0.0
+                                 AND b_bal - c_bal < 0.1 AS INT) AS f_bal
+                     FROM b JOIN c USING (bk)),
+             ur2 AS (SELECT CAST(sum(f_name) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE) AS u_name,
+                            CAST(sum(f_bal) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE) AS u_bal
+                     FROM pr2),
+             sc2 AS (SELECT ia, ib,
+                            CAST(CASE WHEN u_name <= 0.0 OR u_name >= 1.0
+                                 THEN 0.0
+                                 WHEN f_name = 1 THEN ln(0.95 / u_name)
+                                 ELSE ln((1.0 - 0.95) / (1.0 - u_name))
+                                 END AS DECIMAL(20,12))
+                          + CAST(CASE WHEN u_bal <= 0.0 OR u_bal >= 1.0
+                                 THEN 0.0
+                                 WHEN f_bal = 1 THEN ln(0.95 / u_bal)
+                                 ELSE ln((1.0 - 0.95) / (1.0 - u_bal))
+                                 END AS DECIMAL(20,12)) AS score
+                     FROM pr2 CROSS JOIN ur2),
+             lk AS (SELECT ia, ib, score
+                    FROM (SELECT * FROM sc1 UNION ALL SELECT * FROM sc2)
+                    WHERE CAST(score AS DOUBLE) >= 0.0),
+             edges AS (SELECT ia AS ea, ib AS eb FROM lk
+                       UNION ALL
+                       SELECT ib, ia FROM lk),
+             reach(src, dst) AS (
+               SELECT ea, eb FROM edges
+               UNION
+               SELECT r.src, e.eb FROM reach r
+               JOIN edges e ON r.dst = e.ea),
+             lbl AS (SELECT src AS id, least(src, min(dst)) AS cluster
+                     FROM reach GROUP BY src),
+             verts AS (SELECT a_id AS rid FROM a
+                       UNION ALL SELECT b_id FROM b
+                       UNION ALL SELECT c_id FROM c),
+             mem AS (SELECT rid, coalesce(l.cluster, rid) AS entity_id
+                     FROM verts LEFT JOIN lbl l ON l.id = rid),
+             side AS (SELECT ia AS rid, score FROM lk
+                      UNION ALL SELECT ib, score FROM lk),
+             best AS (SELECT rid, max(score) AS bs FROM side
+                      GROUP BY rid),
+             fin AS (SELECT m.rid, m.entity_id, b2.bs,
+                            row_number() OVER (PARTITION BY m.entity_id
+                              ORDER BY b2.bs DESC NULLS LAST, m.rid)
+                              AS rn
+                     FROM mem m LEFT JOIN best b2 ON m.rid = b2.rid)
+            SELECT rid, entity_id,
+                   round(CAST(bs AS DOUBLE), 6) AS best_score,
+                   rn = 1 AS is_canonical
+            FROM fin ORDER BY rid"""))
   )
 }

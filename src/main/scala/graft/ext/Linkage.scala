@@ -125,4 +125,59 @@ object Linkage {
       .where(col("__ra") === 1 && col("__rb") === 1)
       .drop("__ra", "__rb")
   }
+
+  /** Entity resolution — the composition [[mutualBest]] deliberately is
+    * NOT: keep the FULL above-threshold link graph (a record may link
+    * several counterparts; a shared counterpart BRIDGES two would-be
+    * entities into one), cluster it transitively
+    * (`Dedup.dupClusters` — min-label propagation with pointer
+    * jumping, the q43 machinery), and pick each entity's canonical
+    * record deterministically: best link score desc (nulls last —
+    * singleton entities have none), record id asc.
+    *
+    * `vertices` is the record universe (ONE id space — offset your
+    * sources so ids cannot collide), `scored` a [[fsScores]] output
+    * whose `aId`/`bId` live in that space. Returns one row per record:
+    * `(idCol, entity_id, best_score, is_canonical)` — entity_id is the
+    * smallest record id reachable through the link graph (records
+    * above the threshold nowhere are singleton entities of
+    * themselves), `best_score` the record's strongest link (6 dp,
+    * null for singletons).
+    *
+    * Scale shape: the link graph is pair-volume-bounded (blocking
+    * governs it); clustering iterates ONLY link-touched records
+    * (O(|links|), not O(records) — dupClusters' contract); best-score
+    * is one aggregate over the links; canonicalization one window per
+    * entity. EM-free and fully oracle-replayable, like the rest of the
+    * tier.
+    */
+  def resolveEntities(vertices: DataFrame, idCol: String,
+      scored: DataFrame, aId: String, bId: String,
+      minScore: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the link cut is shared by the clustering's iterations AND the
+    // best-score aggregate — lazily checkpointed once, blocks
+    // ContextCleaner-freed when unreferenced (the q242 shared-leg
+    // pattern)
+    val links = scored
+      .where(col("score").cast("double") >= minScore)
+      .select(col(aId).cast("long").as("id_a"),
+        col(bId).cast("long").as("id_b"),
+        col("score").cast("decimal(20,12)").as("__s"))
+      .localCheckpoint(false)
+    val members = Dedup.dupClusters(vertices, idCol,
+      links.select(col("id_a"), col("id_b")))
+    val best = links
+      .select(col("id_a").as("__rid"), col("__s"))
+      .unionByName(links.select(col("id_b").as("__rid"), col("__s")))
+      .groupBy(col("__rid")).agg(max(col("__s")).as("__best"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__best").desc_nulls_last, col(idCol).asc)
+    members
+      .join(best, members(idCol) === best("__rid"), "left")
+      .withColumn("__rn", row_number().over(w))
+      .select(col(idCol), col("cluster_id").as("entity_id"),
+        round(col("__best").cast("double"), 6).as("best_score"),
+        (col("__rn") === 1).as("is_canonical"))
+  }
 }

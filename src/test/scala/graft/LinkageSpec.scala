@@ -97,6 +97,35 @@ class LinkageSpec extends AnyFunSuite {
     assert(hi.count() == 0)
   }
 
+  test("resolveEntities: a bridge link merges two clusters into one " +
+    "3-record entity, canonical = (best score desc, id asc), " +
+    "below-threshold pairs leave singletons with null best_score") {
+    val scored = Seq(
+      (1L, 2L, 3.0), // entity seed {1, 2}
+      (2L, 3L, 2.0), // the BRIDGE: merges {1,2} with {3}
+      (4L, 5L, -1.0) // below threshold — no link
+    ).toDF("ia", "ib", "s")
+      .select(col("ia"), col("ib"), col("s").cast("decimal(20,12)")
+        .as("score"))
+    val verts = (1L to 5L).toDF("rid")
+    val rows = Linkage.resolveEntities(verts, "rid", scored, "ia", "ib",
+        minScore = 0.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          r.getBoolean(3))).toMap
+    // transitive entity: all of 1,2,3 under min-reachable label 1
+    assert(Seq(1L, 2L, 3L).forall(rows(_)._1 == 1L))
+    // best scores: 1 -> 3.0, 2 -> 3.0 (max of its two links), 3 -> 2.0
+    assert(rows(1L)._2.contains(3.0) && rows(2L)._2.contains(3.0) &&
+      rows(3L)._2.contains(2.0))
+    // canonical tie between records 1 and 2 breaks on id asc
+    assert(rows(1L)._3 && !rows(2L)._3 && !rows(3L)._3)
+    // the dropped pair leaves 4 and 5 singleton entities of themselves,
+    // each trivially canonical with no link evidence
+    assert(rows(4L) == ((4L, None, true)))
+    assert(rows(5L) == ((5L, None, true)))
+  }
+
   test("blockSizes: the pre-join audit reports exact pair volume per key") {
     val a2 = left.withColumn("bk", (col("a_id") % 2).cast("int"))
     val b2 = right.withColumn("bk", (col("b_id") % 2).cast("int"))

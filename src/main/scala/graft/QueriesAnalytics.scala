@@ -3153,6 +3153,121 @@ object QueriesAnalytics {
                         END AS is_anomaly
             FROM fz ORDER BY event_type, bucket""")),
 
+    // EWMA smoother (round 17): per-event_type 6h bucket means under
+    // the pandas adjust=True convention — numerator and available-
+    // weight denominator as FIXED-ORDER double sums of explicit lag
+    // terms (the q244 trend discipline; chained decimal + would lose
+    // scale past precision 38 — measured), truncated at 12 lags ≈ 1.4%
+    // dropped weight mass at alpha 0.3, the quotient rounded THROUGH
+    // DECIMAL(30,12) (a bare double round sat on a measured .5
+    // boundary). The weights are the ENGINE's own double literals
+    // interpolated into the oracle, so DuckDB never computes a power()
+    // that could differ from math.pow in the last ulp.
+    Q("q249_ewma",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val series = ev.select(col("event_type"),
+            expr("unix_micros(ts) div 21600000000").as("bucket"),
+            col("value"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg((sum(col("value").cast("decimal(20,12)")).cast("double") /
+            count(lit(1)).cast("double")).as("v"))
+        ext.Timeseries.ewma(series, "event_type", "bucket", "v",
+            alpha = 0.3, window = 12)
+          .withColumn("v", round(col("v"), 6))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some {
+        val ws = ext.Timeseries.ewmaWeights(0.3, 12)
+        def lagE(i: Int) = if (i == 0) "v" else s"lag(v, $i) OVER w"
+        val num = ws.zipWithIndex.map { case (wi, i) =>
+          s"coalesce($wi * (${lagE(i)}), 0.0)"
+        }.mkString("\n                             + ")
+        val den = ws.zipWithIndex.map { case (wi, i) =>
+          s"CASE WHEN ${lagE(i)} IS NOT NULL THEN $wi ELSE 0.0 END"
+        }.mkString("\n                             + ")
+        s"""WITH se AS (SELECT event_type,
+                             epoch_us(ts) // 21600000000 AS bucket,
+                             CAST(sum(CAST(value AS DECIMAL(20,12)))
+                               AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                               AS v
+                      FROM events GROUP BY event_type, bucket),
+           ew AS (SELECT event_type, bucket, v,
+                         ($num) AS nm,
+                         ($den) AS dn
+                  FROM se
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+          SELECT event_type, bucket, round(v, 6) AS v,
+                 CAST(round(CAST(nm / dn AS DECIMAL(30,12)), 6)
+                   AS DOUBLE) AS ewma
+          FROM ew ORDER BY event_type, bucket"""
+      }),
+
+    // two-sided CUSUM changepoint monitor (round 17): baseline trained
+    // on each event_type's first 8 buckets (phase-I convention), the
+    // max-recurrence computed as its closed form — exact decimal prefix
+    // sums minus the running min clipped at 0 — so the whole monitor is
+    // two stacked window passes the oracle replays verbatim; no reset
+    // after detection (flags persist while the shifted regime does).
+    Q("q250_cusum",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val series = ev.select(col("event_type"),
+            expr("unix_micros(ts) div 21600000000").as("bucket"),
+            col("value"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg((sum(col("value").cast("decimal(20,12)")).cast("double") /
+            count(lit(1)).cast("double")).as("v"))
+        ext.Timeseries.cusum(series, "event_type", "bucket", "v",
+            train = 8, kappa = 0.5, h = 4.0)
+          .withColumn("v", round(col("v"), 6))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some("""WITH se AS (SELECT event_type,
+                               epoch_us(ts) // 21600000000 AS bucket,
+                               CAST(sum(CAST(value AS DECIMAL(20,12)))
+                                 AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                                 AS v
+                        FROM events GROUP BY event_type, bucket),
+             s1 AS (SELECT event_type, bucket, v,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY bucket) AS rn
+                    FROM se),
+             s2 AS (SELECT *,
+                           sum(CASE WHEN rn <= 8
+                               THEN CAST(v AS DECIMAL(30,12)) END)
+                             OVER (PARTITION BY event_type) AS ts
+                    FROM s1),
+             s3 AS (SELECT event_type, bucket, v,
+                           CAST(ts AS DOUBLE) / 8.0 AS mu0
+                    FROM s2 WHERE rn > 8),
+             s4 AS (SELECT *,
+                           CAST(v - mu0 - 0.5 AS DECIMAL(30,12)) AS dp,
+                           CAST(mu0 - v - 0.5 AS DECIMAL(30,12)) AS dn
+                    FROM s3),
+             s5 AS (SELECT *, sum(dp) OVER w AS pp, sum(dn) OVER w AS pn
+                    FROM s4
+                    WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)),
+             s6 AS (SELECT *, min(pp) OVER w AS mp, min(pn) OVER w AS mn
+                    FROM s5
+                    WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)),
+             s7 AS (SELECT event_type, bucket, v, mu0,
+                           CAST(pp - least(mp, CAST(0 AS DECIMAL(30,12)))
+                             AS DOUBLE) AS spd,
+                           CAST(pn - least(mn, CAST(0 AS DECIMAL(30,12)))
+                             AS DOUBLE) AS snd
+                    FROM s6)
+            SELECT event_type, bucket, round(v, 6) AS v,
+                   round(mu0, 6) AS mu0,
+                   round(spd, 6) AS s_pos,
+                   round(snd, 6) AS s_neg,
+                   (spd > 4.0 OR snd > 4.0) AS is_change
+            FROM s7 ORDER BY event_type, bucket""")),
+
     // entity resolution (round 17): the composition the r16 verdict
     // named — THREE sources in one id space (customer, a floor10/
     // truncated twin at +3M, a second identical twin at +6M), two

@@ -194,6 +194,122 @@ object Timeseries {
     * One key-partitioned window pass — the resample/decompose shuffle
     * shape. Returns `(keyCol, bucketCol, valCol, mean, z, is_anomaly)`.
     */
+  /** The EWMA weights [[ewma]] bakes in: `(1−α)^i` for lag i in
+    * `0 until window` — exposed so an oracle can interpolate the SAME
+    * double literals instead of trusting its own `power()` to agree
+    * with the JVM's `math.pow` in the last ulp.
+    */
+  def ewmaWeights(alpha: Double, window: Int): Seq[Double] = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    require(window >= 1, s"window must be >= 1: $window")
+    (0 until window).map(i => math.pow(1.0 - alpha, i.toDouble))
+  }
+
+  /** Exponentially-weighted moving average of a REGULAR series — the
+    * standard smoother a drift dashboard reads next to the q245
+    * monitor: per (key, bucket),
+    * `y_t = Σ_i w_i·x_{t−i} / Σ_i w_i`, `w_i = (1−α)^i`, summed over
+    * the lags that EXIST (the pandas `adjust=True` convention: a short
+    * head history normalizes over its own weights, so `y_0 = x_0`) and
+    * TRUNCATED at `window` lags — the q244 explicit fixed-order lag-sum
+    * discipline (no recurrences, no aggregates, one key-partitioned
+    * window pass). The truncation error is bounded by the dropped
+    * weight mass `(1−α)^window` (callers size window so that is
+    * negligible: 0.3/12 → 0.7^12 ≈ 0.014).
+    *
+    * Determinism: weights are driver-computed double literals (exposed
+    * via [[ewmaWeights]] for the oracle to interpolate verbatim);
+    * numerator and the available-weight denominator are FIXED-ORDER
+    * double sums — the q244 trend discipline: both engines execute the
+    * identical left-to-right IEEE adds, so the sums are bit-equal
+    * (chained DECIMAL `+` is NOT usable here: Spark widens precision
+    * per add and silently drops scale past 38 — measured at scale 9
+    * after 12 addends). The quotient is then rounded THROUGH
+    * DECIMAL(30,12): a bare 6 dp double round sits on a .5 boundary
+    * here (measured: 48.8609705 split the engines), and rounding the
+    * 12 dp decimal representation is exact and engine-independent.
+    * Values are assumed non-null (feed the q243 gap-filled grid).
+    * Returns `(keyCol, bucketCol, valCol, ewma)`, ewma rounded 6 dp.
+    */
+  def ewma(series: DataFrame, keyCol: String, bucketCol: String,
+      valCol: String, alpha: Double, window: Int): DataFrame = {
+    val ws = ewmaWeights(alpha, window)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val x = col(valCol).cast("double")
+    def lagI(i: Int) = if (i == 0) x else lag(x, i).over(w)
+    val num = ws.zipWithIndex.map { case (wi, i) =>
+      coalesce(lit(wi) * lagI(i), lit(0.0d))
+    }.reduce(_ + _)
+    val den = ws.zipWithIndex.map { case (wi, i) =>
+      when(lagI(i).isNotNull, lit(wi)).otherwise(lit(0.0d))
+    }.reduce(_ + _)
+    series.select(col(keyCol), col(bucketCol), x.as(valCol),
+      round((num / den).cast("decimal(30,12)"), 6)
+        .cast("double").as("ewma"))
+  }
+
+  /** Two-sided CUSUM changepoint monitor (Page 1954) on a regular
+    * series: per key, a baseline μ0 is trained on the first `train`
+    * buckets (phase-I convention), and every LATER point accumulates
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + (x_t − μ0 − κ)),
+    *   S⁻_t = max(0, S⁻_{t−1} + (μ0 − x_t − κ)),
+    *
+    * flagged when either exceeds `h`. The max-recurrence is
+    * deliberately NOT computed as a recurrence: with prefix sums
+    * `P_t = Σ_{j≤t} d_j` it has the closed form
+    * `S_t = P_t − min(0, min_{j≤t} P_j)` — two stacked window passes
+    * (an exact DECIMAL(30,12) prefix sum, then a running min), fully
+    * relational and replayed verbatim by the q250 oracle. No reset
+    * after detection (the decision-interval form): flags stay raised
+    * while the shifted regime persists, which is what a monitor wants.
+    *
+    * Determinism: μ0 = decimal train-sum cast double / train; each
+    * d_t is one double expression cast DECIMAL(30,12); the prefix
+    * sums/mins are exact. Only keys with MORE than `train` buckets
+    * emit rows (a short history has no trained baseline — the q245
+    * stance), and only post-training rows are emitted. Returns
+    * `(keyCol, bucketCol, valCol, mu0, s_pos, s_neg, is_change)`,
+    * s_pos/s_neg ≥ 0 rounded 6 dp.
+    */
+  def cusum(series: DataFrame, keyCol: String, bucketCol: String,
+      valCol: String, train: Int, kappa: Double, h: Double): DataFrame = {
+    require(train >= 2, s"train must be >= 2: $train")
+    require(kappa >= 0.0 && h > 0.0, s"need kappa >= 0, h > 0")
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val wAll = Window.partitionBy(col(keyCol))
+    val x = col(valCol).cast("double")
+    val staged = series
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__ts",
+        sum(when(col("__rn") <= train, x.cast("decimal(30,12)")))
+          .over(wAll))
+      .where(col("__rn") > train)
+      .withColumn("__mu0",
+        col("__ts").cast("double") / lit(train.toDouble))
+      .withColumn("__dp",
+        (x - col("__mu0") - lit(kappa)).cast("decimal(30,12)"))
+      .withColumn("__dn",
+        (col("__mu0") - x - lit(kappa)).cast("decimal(30,12)"))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixed = staged
+      .withColumn("__pp", sum(col("__dp")).over(wRun))
+      .withColumn("__pn", sum(col("__dn")).over(wRun))
+    val run = prefixed
+      .withColumn("__mp", min(col("__pp")).over(wRun))
+      .withColumn("__mn", min(col("__pn")).over(wRun))
+    val sPos = (col("__pp") -
+      least(col("__mp"), lit(0).cast("decimal(30,12)"))).cast("double")
+    val sNeg = (col("__pn") -
+      least(col("__mn"), lit(0).cast("decimal(30,12)"))).cast("double")
+    run.select(col(keyCol), col(bucketCol), x.as(valCol),
+      round(col("__mu0"), 6).as("mu0"),
+      round(sPos, 6).as("s_pos"),
+      round(sNeg, 6).as("s_neg"),
+      (sPos > h || sNeg > h).as("is_change"))
+  }
+
   def rollingAnomalies(series: DataFrame, keyCol: String,
       bucketCol: String, valCol: String, window: Int,
       zThresh: Double): DataFrame = {

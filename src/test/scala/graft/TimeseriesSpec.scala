@@ -148,6 +148,73 @@ class TimeseriesSpec extends AnyFunSuite {
       "constant series flagged anomalous")
   }
 
+  test("ewma: y_0 = x_0 (adjust=true short head), a constant series is " +
+    "a fixed point, and a hand-computed two-term head matches") {
+    val series = Seq(("k", 0L, 10.0), ("k", 1L, 20.0), ("k", 2L, 20.0),
+      ("c", 0L, 7.5), ("c", 1L, 7.5), ("c", 2L, 7.5))
+      .toDF("k", "b", "v")
+    val rows = Timeseries.ewma(series, "k", "b", "v",
+        alpha = 0.3, window = 12)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    assert(rows(("k", 0L)) == 10.0)
+    // y_1 = (20 + 0.7·10) / (1 + 0.7) = 27/1.7 = 15.882353 (6 dp)
+    assert(math.abs(rows(("k", 1L)) - 15.882353) < 1e-6)
+    // constant series: weighted mean of a constant is the constant
+    Seq(0L, 1L, 2L).foreach(b => assert(rows(("c", b)) == 7.5))
+  }
+
+  test("ewma: lags truncate at `window` — a row deeper than the window " +
+    "ignores older history entirely") {
+    // 5 rows, window 2: y_4 = (x4 + 0.7·x3)/1.7 regardless of x0..x2
+    val series = Seq(("k", 0L, 1000.0), ("k", 1L, 1000.0),
+      ("k", 2L, 1000.0), ("k", 3L, 10.0), ("k", 4L, 20.0))
+      .toDF("k", "b", "v")
+    val rows = Timeseries.ewma(series, "k", "b", "v",
+        alpha = 0.3, window = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // (20 + 0.7·10)/1.7 = 27/1.7 = 15.882353
+    assert(math.abs(rows(4L) - 15.882353) < 1e-6)
+  }
+
+  test("cusum: a planted step change raises s_pos at the right bucket " +
+    "and flags persist; a calm series stays silent; a negative shift " +
+    "raises s_neg") {
+    // train = 4 on a constant 10 baseline (mu0 = 10), kappa 0.5, h 2
+    val series = (
+      // key 'up': calm 10s through bucket 5, step to 13 from bucket 6:
+      // d = 13 − 10 − 0.5 = 2.5 → s_pos crosses h=2 at the FIRST
+      // shifted bucket and keeps growing
+      ((0L to 5L).map(b => ("up", b, 10.0)) ++
+        (6L to 8L).map(b => ("up", b, 13.0))) ++
+      // key 'calm': constant — d = −0.5 each side, never flags
+      (0L to 8L).map(b => ("calm", b, 10.0)) ++
+      // key 'down': drops to 7 from bucket 6 → s_neg side fires
+      ((0L to 5L).map(b => ("down", b, 10.0)) ++
+        (6L to 8L).map(b => ("down", b, 7.0)))
+    ).toDF("k", "b", "v")
+    val rows = Timeseries.cusum(series, "k", "b", "v",
+        train = 4, kappa = 0.5, h = 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toMap
+    // only post-training rows emitted: buckets 4..8 per key
+    assert(rows.keySet.map(_._2).min == 4L)
+    // calm: s_pos = s_neg = 0 throughout (negative drifts clip at 0)
+    (4L to 8L).foreach { b =>
+      assert(rows(("calm", b)) == ((0.0, 0.0, false)))
+    }
+    // up: silent before the step, s_pos = 2.5 at bucket 6 (> h flags),
+    // 5.0 at 7, 7.5 at 8 — no reset, flags persist
+    assert(rows(("up", 5L)) == ((0.0, 0.0, false)))
+    assert(rows(("up", 6L)) == ((2.5, 0.0, true)))
+    assert(rows(("up", 7L)) == ((5.0, 0.0, true)))
+    assert(rows(("up", 8L)) == ((7.5, 0.0, true)))
+    // down: the mirror on the negative side
+    assert(rows(("down", 5L)) == ((0.0, 0.0, false)))
+    assert(rows(("down", 6L)) == ((0.0, 2.5, true)))
+    assert(rows(("down", 8L)) == ((0.0, 7.5, true)))
+  }
+
   test("bucketReps: a pre-1970 timestamp fails loudly instead of " +
     "silently misbucketing under truncating division") {
     val bad = Seq((1L, ts(-5), 1.0, 100L)).toDF("k", "t", "v", "oid")

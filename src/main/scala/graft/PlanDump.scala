@@ -90,7 +90,16 @@ object PlanDump {
         // shared flagged-pairs frame rides a lazy localCheckpoint);
         // q244 shows the same window shape as q245.
         "q241_embedding_covariance", "q243_resample_locf_interp",
-        "q245_rolling_anomalies")
+        "q245_rolling_anomalies",
+        // round 17: q249 shows the EWMA single-window lag stack (one
+        // key-partitioned sort, every weight a folded literal); q250
+        // the CUSUM closed form — row_number + conditional train sum,
+        // then the two stacked prefix-sum/running-min windows over the
+        // SAME partitioning (one sort, no extra exchange). q246/q247
+        // build artifacts in-query (omitted like q133 — the MaxScore
+        // read side is dumped below); q248 is omitted like q43
+        // (iterative CC localCheckpoints inside).
+        "q249_ewma", "q250_cusum")
       .foreach { q =>
       out.append(s"===== $q =====\n")
       out.append(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
@@ -135,6 +144,18 @@ object PlanDump {
       val idx2 = graft.ext.Retrieval.loadLexIndex(spark, dir)
       out.append("===== q235_lex_index_append (multi-segment read side) =====\n")
       out.append(graft.ext.Retrieval.bm25TopKFromIndex(idx2, qt, "q_id", k = 10)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode))
+      out.append("\n")
+      // round 17: the MaxScore read (q246's shape) off the SINGLE-segment
+      // artifact — every postings scan in the stack stays dynamicpruning-
+      // routed on tbucket (seed fetch, essential-partial aggregate,
+      // candidate rescore); the θ/split machinery lives entirely in
+      // broadcast-sized frames (kept terms × queries), and the only
+      // corpus-volume aggregate is the essential-term partial sum.
+      out.append("===== q246_bm25_maxscore (read side) =====\n")
+      out.append(graft.ext.Retrieval.bm25TopKMaxScore(idx, qt, "q_id",
+          k = 10)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.SimpleMode))
       out.append("\n")

@@ -64,6 +64,39 @@ object RetrievalSweep {
         f"${m.getDouble(2)}%9.4f ${m.getDouble(3)}%9.4f ${m.getLong(0)}%5d")
     }
 
+    // MaxScore (round 17): the LOSSLESS contrast to the caps above —
+    // identical rows by construction (asserted live), so the only
+    // question is how much of the postings volume the scoring
+    // aggregate never sees. On this corpus's bimodal df (template
+    // terms at ~0.77·N, rare terms at df ≈ 1) the rarest-term seeds
+    // give a θ the template-term impact bounds cannot reach, so the
+    // non-essential cut IS the template band — the same posting mass
+    // maxDfFrac ≤ 0.7 drops, with zero relevance cost.
+    println(f"%nMaxScore vs plain (k = 10, lossless)")
+    val tp = System.nanoTime()
+    val plain10 = read(1.0).localCheckpoint(true)
+    val dtPlain = (System.nanoTime() - tp) / 1e9
+    val tm = System.nanoTime()
+    val pruned10 = Retrieval.bm25TopKMaxScore(idx, qt, "q_id", k = 10)
+      .localCheckpoint(true)
+    val dtPruned = (System.nanoTime() - tm) / 1e9
+    val diffRows = pruned10.exceptAll(plain10).count() +
+      plain10.exceptAll(pruned10).count()
+    val split = Retrieval.maxScoreSplit(idx, qt, "q_id", k = 10)
+    val agg = split.agg(
+      sum(col("dfreq")).as("df_all"),
+      sum(when(!col("__ess"), col("dfreq")).otherwise(lit(0L)))
+        .as("df_skipped"),
+      count(lit(1)).as("terms_all"),
+      sum(when(!col("__ess"), 1L).otherwise(0L)).as("terms_skipped"))
+      .head()
+    println(f"plain ${dtPlain}%.2f s, maxscore ${dtPruned}%.2f s, " +
+      f"row diff $diffRows (must be 0)")
+    println(f"kept-term postings rows ${agg.getLong(0)}, skipped by the " +
+      f"essential split ${agg.getLong(1)} " +
+      f"(${100.0 * agg.getLong(1) / math.max(agg.getLong(0), 1L)}%.1f%%); " +
+      f"terms ${agg.getLong(3)}/${agg.getLong(2)} non-essential")
+
     // RM3 judged with the same protocol: the BM25 textbook qrels score
     // the UNexpanded QL baseline and the RM3-expanded runs across alpha
     // (alpha = 1 ≡ the original query reweighted — the no-op control)

@@ -964,9 +964,14 @@ object Retrieval {
     *     ranks, identical rounded output — the q246 oracle gates it
     *     against the unpruned chain verbatim.
     *
-    * Unlike `maxDfFrac` this never changes results; it trades one extra
-    * candidate-bounded postings fetch for dropping whole
-    * frequent-term posting legs from the aggregate. Requires a
+    * Unlike `maxDfFrac` this never changes results. The trade, stated
+    * precisely: the rescore re-SCANS the kept terms' postings (one
+    * extra DPP-pruned columnar pass, streamed against the broadcast
+    * candidate set — no shuffle), in exchange for the (query, doc)
+    * scoring aggregate and its shuffle seeing only essential-term rows
+    * (measured 72–73% fewer on the bimodal-df corpus). At cluster
+    * scale the aggregate's shuffle volume is the bottleneck the plain
+    * read pays per frequent term; a narrow re-scan is not. Requires a
     * single-segment artifact whose frozen (impact_k1, impact_b) match
     * this read's (k1, b); `requireAll`/`phrase` stay on the plain read.
     */
@@ -976,7 +981,12 @@ object Retrieval {
     require(idx.impactParams.contains((k1, b)),
       s"impact bounds frozen at ${idx.impactParams} do not cover " +
         s"(k1=$k1, b=$b) — rebuild the artifact or use the plain read")
+    // the split (kept terms × queries — query-bounded) feeds three
+    // consumers (essential cut, per-query meta, the rescore's term
+    // set); lazily checkpoint it so the seed-scoring subtree runs once,
+    // not three times (blocks ContextCleaner-freed)
     val split = maxScoreSplit(idx, qterms, qIdCol, k, maxDfFrac)
+      .localCheckpoint(false)
     val ess = split.where(col("__ess"))
     // per-query θ and the non-essential bound mass (exact decimal)
     val qMeta = split.groupBy(col("q_id"))

@@ -3268,18 +3268,144 @@ object QueriesAnalytics {
                    (spd > 4.0 OR snd > 4.0) AS is_change
             FROM s7 ORDER BY event_type, bucket""")),
 
+    // MULTIPLICATIVE seasonal decomposition (round 17, closing the r16
+    // "additive-only" gap): the q244 chain with ratios — same centered
+    // 2x4 MA trend, seasonal = per-phase mean of v/trend re-normalized
+    // to average 1, resid = v/(trend*seasonal); zero-trend rows are
+    // excluded from the phase means (the series here is level-positive
+    // bucket means). Emissions round through DECIMAL(30,12).
+    Q("q251_seasonal_decompose_mul",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val series = ev.select(col("event_type"),
+            expr("unix_micros(ts) div 21600000000").as("bucket"),
+            col("value"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg((sum(col("value").cast("decimal(20,12)")).cast("double") /
+            count(lit(1)).cast("double")).as("v"))
+        ext.Timeseries.seasonalDecomposeMul(series, "event_type",
+            "bucket", "v", period = 4)
+          .withColumn("v", round(col("v"), 6))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some("""WITH se AS (SELECT event_type,
+                               epoch_us(ts) // 21600000000 AS bucket,
+                               CAST(sum(CAST(value AS DECIMAL(20,12)))
+                                 AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                                 AS v
+                        FROM events GROUP BY event_type, bucket),
+             tr AS (SELECT event_type, bucket, v,
+                           (lag(v, 2) OVER w * 0.5 + lag(v, 1) OVER w
+                            + v + lead(v, 1) OVER w
+                            + lead(v, 2) OVER w * 0.5) / 4.0 AS trend,
+                           bucket % 4 AS phase
+                    FROM se
+                    WINDOW w AS (PARTITION BY event_type
+                                 ORDER BY bucket)),
+             pm AS (SELECT event_type, phase,
+                           CAST(sum(CAST(v / trend AS DECIMAL(30,12)))
+                             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pm
+                    FROM tr WHERE trend IS NOT NULL AND trend <> 0.0
+                    GROUP BY event_type, phase),
+             gm AS (SELECT event_type,
+                           CAST(sum(CAST(pm AS DECIMAL(30,12)))
+                             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gm
+                    FROM pm GROUP BY event_type)
+            SELECT t.event_type, t.bucket, round(t.v, 6) AS v,
+                   CAST(round(CAST(t.trend AS DECIMAL(30,12)), 6)
+                     AS DOUBLE) AS trend,
+                   CAST(round(CAST(p.pm / g.gm AS DECIMAL(30,12)), 6)
+                     AS DOUBLE) AS seasonal,
+                   CAST(round(CAST(t.v / (t.trend * (p.pm / g.gm))
+                     AS DECIMAL(30,12)), 6) AS DOUBLE) AS resid
+            FROM tr t LEFT JOIN pm p ON t.event_type = p.event_type
+                                    AND t.phase = p.phase
+                      LEFT JOIN gm g ON t.event_type = g.event_type
+            ORDER BY t.event_type, t.bucket""")),
+
+    // Brown double exponential smoothing (round 17): the level+trend
+    // one-step-ahead forecasting read — e1 = house EWMA of v, e2 =
+    // EWMA of the UNROUNDED e1 (stacked windows, one exchange), level
+    // = 2e1 - e2, trend = (e1 - e2)/c with c the TRUNCATED weight
+    // vector's exact mean lag (the classical alpha/(1-alpha) is its
+    // untruncated limit; the exact c makes a linear series forecast
+    // exactly — spec-pinned). Full-window rows only (rn >= 2W-1); the
+    // oracle replays both weighted-lag stacks with the engine's own
+    // weight literals and the decimal-routed rounds.
+    Q("q252_brown_forecast",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val series = ev.select(col("event_type"),
+            expr("unix_micros(ts) div 21600000000").as("bucket"),
+            col("value"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg((sum(col("value").cast("decimal(20,12)")).cast("double") /
+            count(lit(1)).cast("double")).as("v"))
+        ext.Timeseries.brownForecast(series, "event_type", "bucket",
+            "v", alpha = 0.3, window = 12)
+          .withColumn("v", round(col("v"), 6))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some {
+        val ws = ext.Timeseries.ewmaWeights(0.3, 12)
+        val c = ext.Timeseries.ewmaMeanLag(0.3, 12)
+        def ratio(x: String) = {
+          def lagE(i: Int) = if (i == 0) x else s"lag($x, $i) OVER w"
+          val num = ws.zipWithIndex.map { case (wi, i) =>
+            s"coalesce($wi * (${lagE(i)}), 0.0)"
+          }.mkString("\n                             + ")
+          val den = ws.zipWithIndex.map { case (wi, i) =>
+            s"CASE WHEN ${lagE(i)} IS NOT NULL THEN $wi ELSE 0.0 END"
+          }.mkString("\n                             + ")
+          s"(($num)\n                           / ($den))"
+        }
+        s"""WITH se AS (SELECT event_type,
+                             epoch_us(ts) // 21600000000 AS bucket,
+                             CAST(sum(CAST(value AS DECIMAL(20,12)))
+                               AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                               AS v
+                      FROM events GROUP BY event_type, bucket),
+           s1 AS (SELECT event_type, bucket, v,
+                         row_number() OVER (PARTITION BY event_type
+                           ORDER BY bucket) AS rn,
+                         ${ratio("v")} AS e1
+                  FROM se
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+           s2 AS (SELECT event_type, bucket, v, rn, e1,
+                         ${ratio("e1")} AS e2
+                  FROM s1
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+          SELECT event_type, bucket, round(v, 6) AS v,
+                 CAST(round(CAST(2.0 * e1 - e2 AS DECIMAL(30,12)), 6)
+                   AS DOUBLE) AS level,
+                 CAST(round(CAST((e1 - e2) / $c AS DECIMAL(30,12)), 6)
+                   AS DOUBLE) AS trend,
+                 CAST(round(CAST((2.0 * e1 - e2) + (e1 - e2) / $c
+                   AS DECIMAL(30,12)), 6) AS DOUBLE) AS forecast
+          FROM s2 WHERE rn >= 23
+          ORDER BY event_type, bucket"""
+      }),
+
     // entity resolution (round 17): the composition the r16 verdict
     // named — THREE sources in one id space (customer, a floor10/
     // truncated twin at +3M, a second identical twin at +6M), two
-    // Fellegi-Sunter legs (A-B and B-C, each with its own u
-    // estimation), the FULL above-log-odds-0 link graph (not
-    // mutualBest's one-to-one cut), transitive clustering via the q43
-    // min-label machinery, and deterministic canonical-record selection
-    // (best link score desc nulls last, id asc). The B-C leg's links
-    // BRIDGE each {A_i, B_i} cluster with {C_i} into 3-record entities
-    // — the oracle replays both scoring legs, the recursive
-    // min-reachable-label closure, the best-link aggregate, and the
-    // canonicalization window.
+    // Fellegi-Sunter legs with their own u estimation, the FULL
+    // above-log-odds-0 link graph (not mutualBest's one-to-one cut),
+    // transitive clustering via the q43 min-label machinery, and
+    // deterministic canonical-record selection (best score desc nulls
+    // last, id asc). The B-C leg's links BRIDGE each {A_i, B_i}
+    // cluster with {C_i} into 3-record entities. Evidence design is
+    // SCALE-ROBUST by construction: the B-C leg carries bal-floor
+    // equality ONLY — a lev<=1 name flag between two truncated names
+    // intrinsically matches every decade-mate (truncation erases the
+    // last digit), and at sf0.1 those name-only pairs flipped to
+    // positive log-odds (u_name shrinks with block size), chaining
+    // decades into giant non-converging components (measured: 66.5k
+    // links, 205 s in the clusterer). Bal equality is decisive at
+    // every scale and its rare cross-id coincidences are exactly the
+    // bounded bridge links the fixture wants. The oracle replays both
+    // scoring legs, the recursive min-reachable closure, the best-link
+    // aggregate, and the canonicalization window.
     Q("q248_entity_resolution",
       (s, d) => {
         val cust = t(s, d, "customer")
@@ -3298,24 +3424,28 @@ object QueriesAnalytics {
           expr("substring(c_name, 1, length(c_name) - 1)").as("c_name2"),
           (floor(col("c_acctbal") * lit(10.0d)) / lit(10.0d)).as("c_bal"),
           bk.as("bk"))
-        def leg(l: org.apache.spark.sql.DataFrame,
-            r: org.apache.spark.sql.DataFrame, lid: String, ln: String,
-            lb: String, rid: String, rn: String, rb: String) = {
-          val flagged = ext.Linkage.blockPairs(l, r, "bk")
-            .withColumn("f_name", levenshtein(col(ln), col(rn)) <= 1)
-            .withColumn("f_bal", col(lb) - col(rb) >= 0.0d &&
-              col(lb) - col(rb) < 0.1d)
-            .localCheckpoint(false)
-          val flags = Seq("name" -> col("f_name"), "bal" -> col("f_bal"))
-          val rates = ext.Linkage.agreementRates(flagged, flags)
-          ext.Linkage.fsScores(flagged, flags,
-            Map("name" -> 0.95, "bal" -> 0.95), rates)
-            .select(col(lid).as("ia"), col(rid).as("ib"), col("score"))
-        }
-        val scored = leg(a, b, "a_id", "a_name", "a_bal",
-            "b_id", "b_name", "b_bal")
-          .unionByName(leg(b, c, "b_id", "b_name", "b_bal",
-            "c_id", "c_name2", "c_bal"))
+        val fl1 = ext.Linkage.blockPairs(a, b, "bk")
+          .withColumn("f_name",
+            levenshtein(col("a_name"), col("b_name")) <= 1)
+          .withColumn("f_bal", col("a_bal") - col("b_bal") >= 0.0d &&
+            col("a_bal") - col("b_bal") < 0.1d)
+          .localCheckpoint(false)
+        val flags1 = Seq("name" -> col("f_name"), "bal" -> col("f_bal"))
+        val leg1 = ext.Linkage.fsScores(fl1, flags1,
+            Map("name" -> 0.95, "bal" -> 0.95),
+            ext.Linkage.agreementRates(fl1, flags1))
+          .select(col("a_id").as("ia"), col("b_id").as("ib"),
+            col("score"))
+        val fl2 = ext.Linkage.blockPairs(b, c, "bk")
+          .withColumn("f_bal", col("b_bal") === col("c_bal"))
+          .localCheckpoint(false)
+        val flags2 = Seq("bal" -> col("f_bal"))
+        val leg2 = ext.Linkage.fsScores(fl2, flags2,
+            Map("bal" -> 0.95),
+            ext.Linkage.agreementRates(fl2, flags2))
+          .select(col("b_id").as("ia"), col("c_id").as("ib"),
+            col("score"))
+        val scored = leg1.unionByName(leg2)
         val verts = a.select(col("a_id").as("rid"))
           .unionByName(b.select(col("b_id").as("rid")))
           .unionByName(c.select(col("c_id").as("rid")))
@@ -3367,23 +3497,13 @@ object QueriesAnalytics {
                                  END AS DECIMAL(20,12)) AS score
                      FROM pr1 CROSS JOIN ur1),
              pr2 AS (SELECT b_id AS ia, c_id AS ib,
-                            CAST(levenshtein(b_name, c_name2) <= 1
-                              AS INT) AS f_name,
-                            CAST(b_bal - c_bal >= 0.0
-                                 AND b_bal - c_bal < 0.1 AS INT) AS f_bal
+                            CAST(b_bal = c_bal AS INT) AS f_bal
                      FROM b JOIN c USING (bk)),
-             ur2 AS (SELECT CAST(sum(f_name) AS DOUBLE)
-                              / CAST(count(*) AS DOUBLE) AS u_name,
-                            CAST(sum(f_bal) AS DOUBLE)
+             ur2 AS (SELECT CAST(sum(f_bal) AS DOUBLE)
                               / CAST(count(*) AS DOUBLE) AS u_bal
                      FROM pr2),
              sc2 AS (SELECT ia, ib,
-                            CAST(CASE WHEN u_name <= 0.0 OR u_name >= 1.0
-                                 THEN 0.0
-                                 WHEN f_name = 1 THEN ln(0.95 / u_name)
-                                 ELSE ln((1.0 - 0.95) / (1.0 - u_name))
-                                 END AS DECIMAL(20,12))
-                          + CAST(CASE WHEN u_bal <= 0.0 OR u_bal >= 1.0
+                            CAST(CASE WHEN u_bal <= 0.0 OR u_bal >= 1.0
                                  THEN 0.0
                                  WHEN f_bal = 1 THEN ln(0.95 / u_bal)
                                  ELSE ln((1.0 - 0.95) / (1.0 - u_bal))

@@ -108,6 +108,13 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // non-converged labels are silently WRONG (a vertex may still carry
+    // a non-minimal reachable label) — fail loudly instead; maxIter is
+    // a parameter precisely so a deep graph can raise it
+    require(done,
+      s"dupClusters did not converge within maxIter=$maxIter rounds — " +
+        "the pair graph has a deeper component than expected; raise " +
+        "maxIter (pointer jumping needs ~log2(diameter) rounds)")
     vertices.select(col(idCol).cast("long").as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("lbl"), col("id")).as("cluster_id"))

@@ -194,6 +194,62 @@ object Timeseries {
     * One key-partitioned window pass — the resample/decompose shuffle
     * shape. Returns `(keyCol, bucketCol, valCol, mean, z, is_anomaly)`.
     */
+  /** MULTIPLICATIVE seasonal decomposition — [[seasonalDecompose]]'s
+    * twin for series whose seasonal swing scales WITH the level (the
+    * textbook model v = trend · seasonal · resid): the same centered-MA
+    * trend, seasonal = per-(key, phase) mean of the RATIOS v/trend
+    * re-normalized so the key's seasonal factors average to 1 (the
+    * multiplicative convention), resid = v / (trend · seasonal).
+    * Requires a positive series (a zero/negative trend row is excluded
+    * from the phase means and yields null seasonal arithmetic — the
+    * caller feeds level-positive metrics). Same plan shape as the
+    * additive form: one key-partitioned window pass, period-bounded
+    * aggregates, broadcast joins back. Ratios are per-row doubles cast
+    * DECIMAL(30,12) before the exact phase sums; emissions round
+    * through DECIMAL(30,12) (engine-independent, no signed zero).
+    * Returns `(keyCol, bucketCol, valCol, trend, seasonal, resid)`.
+    */
+  def seasonalDecomposeMul(series: DataFrame, keyCol: String,
+      bucketCol: String, valCol: String, period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2: $period")
+    val h = period / 2
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val even = period % 2 == 0
+    val x = col("__x")
+    val terms: Seq[org.apache.spark.sql.Column] =
+      (-h to h).map { i =>
+        val term =
+          if (i == 0) x
+          else if (i < 0) lag(x, -i).over(w)
+          else lead(x, i).over(w)
+        if (even && (i == -h || i == h)) term * lit(0.5d) else term
+      }
+    val trend = terms.reduce(_ + _) / lit(period.toDouble)
+    val withTrend = series.select(col(keyCol), col(bucketCol),
+        col(valCol).cast("double").as("__x"))
+      .withColumn("__trend", trend)
+      .withColumn("__phase", pmod(col(bucketCol), lit(period.toLong)))
+    val ratio = (col("__x") / col("__trend")).cast("decimal(30,12)")
+    val phaseMeans = withTrend
+      .where(col("__trend").isNotNull && col("__trend") =!= 0.0d)
+      .groupBy(col(keyCol), col("__phase"))
+      .agg((sum(ratio).cast("double") /
+        count(lit(1)).cast("double")).as("__pm"))
+    val grand = phaseMeans.groupBy(col(keyCol))
+      .agg((sum(col("__pm").cast("decimal(30,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("__gm"))
+    def r6(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(30,12)"), 6).cast("double")
+    val seasonal = col("__pm") / col("__gm")
+    withTrend
+      .join(broadcast(phaseMeans), Seq(keyCol, "__phase"), "left")
+      .join(broadcast(grand), Seq(keyCol), "left")
+      .select(col(keyCol), col(bucketCol), col("__x").as(valCol),
+        r6(col("__trend")).as("trend"),
+        r6(seasonal).as("seasonal"),
+        r6(col("__x") / (col("__trend") * seasonal)).as("resid"))
+  }
+
   /** The EWMA weights [[ewma]] bakes in: `(1−α)^i` for lag i in
     * `0 until window` — exposed so an oracle can interpolate the SAME
     * double literals instead of trusting its own `power()` to agree
@@ -231,21 +287,88 @@ object Timeseries {
     * Values are assumed non-null (feed the q243 gap-filled grid).
     * Returns `(keyCol, bucketCol, valCol, ewma)`, ewma rounded 6 dp.
     */
-  def ewma(series: DataFrame, keyCol: String, bucketCol: String,
-      valCol: String, alpha: Double, window: Int): DataFrame = {
-    val ws = ewmaWeights(alpha, window)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
-    val x = col(valCol).cast("double")
-    def lagI(i: Int) = if (i == 0) x else lag(x, i).over(w)
+  /** The adjust=true weighted-lag ratio both smoothers share: fixed-
+    * order double sums of `ws(i) · lag(xe, i)` over the weights whose
+    * lags exist, divided by the matching weight sum.
+    */
+  private def ewmaRatio(xe: org.apache.spark.sql.Column,
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      ws: Seq[Double]): org.apache.spark.sql.Column = {
+    def lagI(i: Int) = if (i == 0) xe else lag(xe, i).over(w)
     val num = ws.zipWithIndex.map { case (wi, i) =>
       coalesce(lit(wi) * lagI(i), lit(0.0d))
     }.reduce(_ + _)
     val den = ws.zipWithIndex.map { case (wi, i) =>
       when(lagI(i).isNotNull, lit(wi)).otherwise(lit(0.0d))
     }.reduce(_ + _)
+    num / den
+  }
+
+  def ewma(series: DataFrame, keyCol: String, bucketCol: String,
+      valCol: String, alpha: Double, window: Int): DataFrame = {
+    val ws = ewmaWeights(alpha, window)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val x = col(valCol).cast("double")
     series.select(col(keyCol), col(bucketCol), x.as(valCol),
-      round((num / den).cast("decimal(30,12)"), 6)
+      round(ewmaRatio(x, w, ws).cast("decimal(30,12)"), 6)
         .cast("double").as("ewma"))
+  }
+
+  /** The mean lag of the TRUNCATED adjust=true weight vector —
+    * `c = Σ w_i·i / Σ w_i` over a full window. [[brownForecast]]'s
+    * trend divisor: the classical Brown factor α/(1−α) is this
+    * constant's UNtruncated limit, and using the exact truncated value
+    * instead makes the forecast EXACT on a linear series (spec-pinned)
+    * rather than biased by the dropped tail.
+    */
+  def ewmaMeanLag(alpha: Double, window: Int): Double = {
+    val ws = ewmaWeights(alpha, window)
+    ws.zipWithIndex.map { case (wi, i) => wi * i }.sum / ws.sum
+  }
+
+  /** Brown's double exponential smoothing (1956) — the level+trend
+    * one-step-ahead forecasting read of the monitor tier, built from
+    * the house smoother applied twice: `e1 = ewma(x)`,
+    * `e2 = ewma(e1)` (e1 UNROUNDED — rounding between passes would
+    * poison the trend at the 6th dp), then
+    *
+    *   level_t    = 2·e1_t − e2_t
+    *   trend_t    = (e1_t − e2_t) / c        (c = [[ewmaMeanLag]])
+    *   forecast_t = level_t + trend_t        (the t+1 prediction)
+    *
+    * On an exact linear series a + b·t (full windows): e1 lags the
+    * line by b·c, e2 by 2·b·c, so level = a + b·t and trend = b
+    * EXACTLY — the planted witness the spec pins. Only rows where BOTH
+    * smoothing passes have full windows are emitted
+    * (rn ≥ 2·window − 1, the q245 full-baseline stance — partial
+    * windows would mix per-row lag constants into c).
+    *
+    * Same execution shape as [[cusum]]: stacked window frames over ONE
+    * key exchange; emissions round through DECIMAL(30,12) (no .5
+    * boundary, no signed zero — trend crosses 0 on flat series).
+    * Returns `(keyCol, bucketCol, valCol, level, trend, forecast)`.
+    */
+  def brownForecast(series: DataFrame, keyCol: String, bucketCol: String,
+      valCol: String, alpha: Double, window: Int): DataFrame = {
+    val ws = ewmaWeights(alpha, window)
+    val c = ewmaMeanLag(alpha, window)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val x = col(valCol).cast("double")
+    val staged = series
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__e1", ewmaRatio(x, w, ws))
+    val staged2 = staged
+      .withColumn("__e2", ewmaRatio(col("__e1"), w, ws))
+    val level = lit(2.0d) * col("__e1") - col("__e2")
+    val trend = (col("__e1") - col("__e2")) / lit(c)
+    def r6(cc: org.apache.spark.sql.Column) =
+      round(cc.cast("decimal(30,12)"), 6).cast("double")
+    staged2
+      .where(col("__rn") >= 2 * window - 1)
+      .select(col(keyCol), col(bucketCol), x.as(valCol),
+        r6(level).as("level"),
+        r6(trend).as("trend"),
+        r6(level + trend).as("forecast"))
   }
 
   /** Two-sided CUSUM changepoint monitor (Page 1954) on a regular

@@ -148,6 +148,55 @@ class TimeseriesSpec extends AnyFunSuite {
       "constant series flagged anomalous")
   }
 
+  test("seasonalDecomposeMul: a planted line × phase-symmetric period-4 " +
+    "pattern is recovered exactly (trend = line, seasonal = pattern, " +
+    "resid = 1 on the interior)") {
+    // s must satisfy s0 = s2, s1 = s3 so the 2×4 MA of line·s is the
+    // line exactly on the interior (the cross terms cancel)
+    val s = Array(0.9, 1.1, 0.9, 1.1)
+    val series = (0L to 19L).map(t =>
+      ("k", t, (10.0 + t) * s((t % 4).toInt))).toDF("k", "b", "v")
+    val rows = ext.Timeseries.seasonalDecomposeMul(series, "k", "b", "v",
+        period = 4)
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    (2L to 17L).foreach { t =>
+      assert(math.abs(rows(t)._1.get - (10.0 + t)) < 1e-6, s"trend@$t")
+      assert(math.abs(rows(t)._2.get - s((t % 4).toInt)) < 1e-6,
+        s"seasonal@$t")
+      assert(math.abs(rows(t)._3.get - 1.0) < 1e-6, s"resid@$t")
+    }
+    // edges: trend/resid null, seasonal still joined
+    assert(rows(0L)._1.isEmpty && rows(0L)._3.isEmpty &&
+      rows(0L)._2.isDefined)
+    assert(rows(19L)._1.isEmpty)
+  }
+
+  test("brownForecast: an exact linear series yields level = the line, " +
+    "trend = the slope, forecast = the NEXT value — the truncated-c " +
+    "divisor makes it exact; a flat series forecasts itself with " +
+    "trend 0") {
+    val series = ((0L to 30L).map(t => ("lin", t, 5.0 + 2.0 * t)) ++
+      (0L to 30L).map(t => ("flat", t, 42.0))).toDF("k", "b", "v")
+    val rows = ext.Timeseries.brownForecast(series, "k", "b", "v",
+        alpha = 0.3, window = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // full-window rows only: rn >= 2·4 − 1 = 7 → buckets 6..30
+    assert(rows.keySet.map(_._2).min == 6L)
+    (6L to 30L).foreach { t =>
+      val (level, trend, fc) = rows(("lin", t))
+      assert(math.abs(level - (5.0 + 2.0 * t)) < 1e-6, s"level@$t")
+      assert(math.abs(trend - 2.0) < 1e-6, s"trend@$t")
+      assert(math.abs(fc - (5.0 + 2.0 * (t + 1))) < 1e-6, s"fc@$t")
+    }
+    (6L to 30L).foreach { t =>
+      assert(rows(("flat", t)) == ((42.0, 0.0, 42.0)))
+    }
+  }
+
   test("ewma: y_0 = x_0 (adjust=true short head), a constant series is " +
     "a fixed point, and a hand-computed two-term head matches") {
     val series = Seq(("k", 0L, 10.0), ("k", 1L, 20.0), ("k", 2L, 20.0),

@@ -98,8 +98,12 @@ object PlanDump {
         // SAME partitioning (one sort, no extra exchange). q246/q247
         // build artifacts in-query (omitted like q133 — the MaxScore
         // read side is dumped below); q248 is omitted like q43
-        // (iterative CC localCheckpoints inside).
-        "q249_ewma", "q250_cusum")
+        // (iterative CC localCheckpoints inside). q251 shows the q244
+        // window shape with ratio phase means; q252 the two stacked
+        // weighted-lag windows (e2 over the unrounded e1) on one
+        // exchange.
+        "q249_ewma", "q250_cusum", "q251_seasonal_decompose_mul",
+        "q252_brown_forecast")
       .foreach { q =>
       out.append(s"===== $q =====\n")
       out.append(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

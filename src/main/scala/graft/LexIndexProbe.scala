@@ -137,6 +137,28 @@ object LexIndexProbe {
             .queryExecution.toRdd.count()
         }
         println(f"$tag%4s seg read: ${mt}%7.1fs ${ms}%12d shuf $mr%9d rows")
+        // refresh-vs-compact witness (round 17): tombstone a slice, then
+        // time the stats-only refresh against the full fold on the SAME
+        // artifact — the claim is that the refresh is sidecar-sized
+        // (postings untouched) while compaction pays the corpus-sized
+        // rewrite, and that the GAP is what a 100 TB operator banks
+        val delIds = Tables.documents(spark, baseDir)
+          .where(col("doc_id") % 7 === 0).select(col("doc_id"))
+        val (dt, dsh, _) = measure {
+          Retrieval.deleteFromLexIndex(spark, idxPath, delIds,
+            delBatch = 2L)
+          0L
+        }
+        println(f"$tag%4s delete : ${dt}%7.1fs ${dsh}%12d shuf")
+        val (ft, fs2, _) = measure {
+          Retrieval.refreshLexStats(spark, idxPath)
+          0L
+        }
+        println(f"$tag%4s refresh: ${ft}%7.1fs ${fs2}%12d shuf")
+        val (ct, cs, _) = measure {
+          Retrieval.compactLexIndex(spark, idxPath)
+        }
+        println(f"$tag%4s compact: ${ct}%7.1fs ${cs}%12d shuf")
     }
     spark.stop()
   }

@@ -17,6 +17,26 @@ object QueriesAnalytics {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** The time-series tier's shared fixture series: per event_type,
+    * 6-hour-bucket MEANS of `value` (decimal-summed), bucketed through
+    * [[graft.ext.Timeseries.epochBucketUs]]'s GUARDED integer division —
+    * a pre-1970 timestamp raises instead of silently misbucketing
+    * (truncating `div` is floor division only for non-negative micros,
+    * and a negative bucket would split Spark's `pmod(bucket, period)`
+    * phases from the oracles' `bucket % period`, which goes negative).
+    * Replayed by the `se` CTE every q244–q252 oracle opens with.
+    */
+  private def series6h(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("__us"),
+        col("value"))
+      .select(col("event_type"),
+        Timeseries.epochBucketUs("__us", 21600L).as("bucket"),
+        col("value"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg((sum(col("value").cast("decimal(20,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("v"))
+
   /** q175/q176 oracle: the full training-layout chain (q173's plan,
     * q174's materialization, the copy_idx-salted md5 rank window, the
     * exclusive running token sum, writeShards' shard arithmetic) as one
@@ -3056,13 +3076,7 @@ object QueriesAnalytics {
     // exercised and both engines replay the same row adjacency.
     Q("q244_seasonal_decompose",
       (s, d) => {
-        val ev = t(s, d, "events")
-        val series = ev.select(col("event_type"),
-            expr("unix_micros(ts) div 21600000000").as("bucket"),
-            col("value"))
-          .groupBy(col("event_type"), col("bucket"))
-          .agg((sum(col("value").cast("decimal(20,12)")).cast("double") /
-            count(lit(1)).cast("double")).as("v"))
+        val series = series6h(s, d)
         ext.Timeseries.seasonalDecompose(series, "event_type", "bucket",
             "v", period = 4)
           .withColumn("v", round(col("v"), 6))
@@ -3108,13 +3122,7 @@ object QueriesAnalytics {
     // and the zero-variance degenerate branch.
     Q("q245_rolling_anomalies",
       (s, d) => {
-        val ev = t(s, d, "events")
-        val series = ev.select(col("event_type"),
-            expr("unix_micros(ts) div 21600000000").as("bucket"),
-            col("value"))
-          .groupBy(col("event_type"), col("bucket"))
-          .agg((sum(col("value").cast("decimal(20,12)")).cast("double") /
-            count(lit(1)).cast("double")).as("v"))
+        val series = series6h(s, d)
         ext.Timeseries.rollingAnomalies(series, "event_type", "bucket",
             "v", window = 8, zThresh = 2.0)
           .withColumn("v", round(col("v"), 6))
@@ -3165,13 +3173,7 @@ object QueriesAnalytics {
     // that could differ from math.pow in the last ulp.
     Q("q249_ewma",
       (s, d) => {
-        val ev = t(s, d, "events")
-        val series = ev.select(col("event_type"),
-            expr("unix_micros(ts) div 21600000000").as("bucket"),
-            col("value"))
-          .groupBy(col("event_type"), col("bucket"))
-          .agg((sum(col("value").cast("decimal(20,12)")).cast("double") /
-            count(lit(1)).cast("double")).as("v"))
+        val series = series6h(s, d)
         ext.Timeseries.ewma(series, "event_type", "bucket", "v",
             alpha = 0.3, window = 12)
           .withColumn("v", round(col("v"), 6))
@@ -3211,13 +3213,7 @@ object QueriesAnalytics {
     // after detection (flags persist while the shifted regime does).
     Q("q250_cusum",
       (s, d) => {
-        val ev = t(s, d, "events")
-        val series = ev.select(col("event_type"),
-            expr("unix_micros(ts) div 21600000000").as("bucket"),
-            col("value"))
-          .groupBy(col("event_type"), col("bucket"))
-          .agg((sum(col("value").cast("decimal(20,12)")).cast("double") /
-            count(lit(1)).cast("double")).as("v"))
+        val series = series6h(s, d)
         ext.Timeseries.cusum(series, "event_type", "bucket", "v",
             train = 8, kappa = 0.5, h = 4.0)
           .withColumn("v", round(col("v"), 6))
@@ -3256,33 +3252,31 @@ object QueriesAnalytics {
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                    AND CURRENT ROW)),
              s7 AS (SELECT event_type, bucket, v, mu0,
-                           CAST(pp - least(mp, CAST(0 AS DECIMAL(30,12)))
-                             AS DOUBLE) AS spd,
-                           CAST(pn - least(mn, CAST(0 AS DECIMAL(30,12)))
-                             AS DOUBLE) AS snd
+                           pp - least(mp, CAST(0 AS DECIMAL(30,12)))
+                             AS spd,
+                           pn - least(mn, CAST(0 AS DECIMAL(30,12)))
+                             AS snd
                     FROM s6)
             SELECT event_type, bucket, round(v, 6) AS v,
-                   round(mu0, 6) AS mu0,
-                   round(spd, 6) AS s_pos,
-                   round(snd, 6) AS s_neg,
-                   (spd > 4.0 OR snd > 4.0) AS is_change
+                   CAST(round(CAST(mu0 AS DECIMAL(30,12)), 6) AS DOUBLE)
+                     AS mu0,
+                   CAST(round(spd, 6) AS DOUBLE) AS s_pos,
+                   CAST(round(snd, 6) AS DOUBLE) AS s_neg,
+                   (CAST(spd AS DOUBLE) > 4.0 OR
+                    CAST(snd AS DOUBLE) > 4.0) AS is_change
             FROM s7 ORDER BY event_type, bucket""")),
 
     // MULTIPLICATIVE seasonal decomposition (round 17, closing the r16
     // "additive-only" gap): the q244 chain with ratios — same centered
     // 2x4 MA trend, seasonal = per-phase mean of v/trend re-normalized
-    // to average 1, resid = v/(trend*seasonal); zero-trend rows are
-    // excluded from the phase means (the series here is level-positive
-    // bucket means). Emissions round through DECIMAL(30,12).
+    // to average 1, resid = v/(trend*seasonal); rows whose trend is not
+    // STRICTLY positive are excluded from the phase means (a negative
+    // trend's v/trend ratio would skew the factors; the series here is
+    // level-positive bucket means). Emissions round through
+    // DECIMAL(30,12).
     Q("q251_seasonal_decompose_mul",
       (s, d) => {
-        val ev = t(s, d, "events")
-        val series = ev.select(col("event_type"),
-            expr("unix_micros(ts) div 21600000000").as("bucket"),
-            col("value"))
-          .groupBy(col("event_type"), col("bucket"))
-          .agg((sum(col("value").cast("decimal(20,12)")).cast("double") /
-            count(lit(1)).cast("double")).as("v"))
+        val series = series6h(s, d)
         ext.Timeseries.seasonalDecomposeMul(series, "event_type",
             "bucket", "v", period = 4)
           .withColumn("v", round(col("v"), 6))
@@ -3305,7 +3299,7 @@ object QueriesAnalytics {
              pm AS (SELECT event_type, phase,
                            CAST(sum(CAST(v / trend AS DECIMAL(30,12)))
                              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pm
-                    FROM tr WHERE trend IS NOT NULL AND trend <> 0.0
+                    FROM tr WHERE trend > 0.0
                     GROUP BY event_type, phase),
              gm AS (SELECT event_type,
                            CAST(sum(CAST(pm AS DECIMAL(30,12)))
@@ -3334,13 +3328,7 @@ object QueriesAnalytics {
     // weight literals and the decimal-routed rounds.
     Q("q252_brown_forecast",
       (s, d) => {
-        val ev = t(s, d, "events")
-        val series = ev.select(col("event_type"),
-            expr("unix_micros(ts) div 21600000000").as("bucket"),
-            col("value"))
-          .groupBy(col("event_type"), col("bucket"))
-          .agg((sum(col("value").cast("decimal(20,12)")).cast("double") /
-            count(lit(1)).cast("double")).as("v"))
+        val series = series6h(s, d)
         ext.Timeseries.brownForecast(series, "event_type", "bucket",
             "v", alpha = 0.3, window = 12)
           .withColumn("v", round(col("v"), 6))

@@ -37,6 +37,30 @@ import org.apache.spark.sql.functions._
   */
 object Timeseries {
 
+  /** GUARDED epoch bucketing — the one bucket definition the whole
+    * tier shares, over an already-projected epoch-micros LONG column
+    * named `usCol` (`div` needs a name, so callers project
+    * `unix_micros(ts)` first). INTEGER division (Spark `/` on longs is
+    * double division); `div` TRUNCATES — equal to floor division only
+    * for non-negative operands (DuckDB's `//` truncates identically, so
+    * oracle parity is not the issue): a pre-1970 timestamp would
+    * silently misbucket (bucket start AFTER the observation, breaking
+    * interpolation invariants, and `pmod(bucket, period)` phases would
+    * diverge from an oracle's `bucket % period`, which is negative for
+    * negative buckets), so non-negativity is ENFORCED in-plan. Every
+    * series-building caller (q243–q252) routes through this guard.
+    */
+  def epochBucketUs(usCol: String,
+      stepSeconds: Long): org.apache.spark.sql.Column = {
+    require(stepSeconds >= 1, s"stepSeconds must be >= 1: $stepSeconds")
+    val stepUs = stepSeconds * 1000000L
+    when(col(usCol) < 0, expr(
+      "CAST(raise_error('epochBucketUs: negative epoch micros " +
+        "(pre-1970 timestamp) - truncating division would " +
+        "misbucket') AS BIGINT)"))
+      .otherwise(expr(s"$usCol div ${stepUs}L"))
+  }
+
   /** Latest observation per (key, bucket): `(keyCol, __bucket, __us,
     * __v, n_obs)` — row_number over (micros desc, ord desc) = 1, with
     * the bucket's observation count riding along.
@@ -49,12 +73,8 @@ object Timeseries {
       unix_micros(col(tsCol)).as("__us"),
       col(valCol).cast("double").as("__v"),
       col(ordCol).as("__ord"))
-      // INTEGER division (Spark `/` on longs is double division). `div`
-      // TRUNCATES — equal to floor division only for non-negative
-      // operands (DuckDB's `//` truncates identically, so oracle parity
-      // is not the issue): a pre-1970 timestamp would silently misbucket
-      // (bucket start AFTER the observation, breaking the u_prev < t_b
-      // interpolation invariant), so the assumption is ENFORCED in-plan
+      // the epochBucket guard inlined on the already-projected micros
+      // (one unix_micros evaluation, same raise_error contract)
       .withColumn("__bucket",
         when(col("__us") < 0, expr(
           "CAST(raise_error('bucketReps: negative epoch micros " +
@@ -200,9 +220,9 @@ object Timeseries {
     * trend, seasonal = per-(key, phase) mean of the RATIOS v/trend
     * re-normalized so the key's seasonal factors average to 1 (the
     * multiplicative convention), resid = v / (trend · seasonal).
-    * Requires a positive series (a zero/negative trend row is excluded
-    * from the phase means and yields null seasonal arithmetic — the
-    * caller feeds level-positive metrics). Same plan shape as the
+    * Requires a positive series (a row whose trend is NOT strictly
+    * positive — null at the edges, zero, or negative — is excluded
+    * from the phase means; the caller feeds level-positive metrics). Same plan shape as the
     * additive form: one key-partitioned window pass, period-bounded
     * aggregates, broadcast joins back. Ratios are per-row doubles cast
     * DECIMAL(30,12) before the exact phase sums; emissions round
@@ -231,7 +251,7 @@ object Timeseries {
       .withColumn("__phase", pmod(col(bucketCol), lit(period.toLong)))
     val ratio = (col("__x") / col("__trend")).cast("decimal(30,12)")
     val phaseMeans = withTrend
-      .where(col("__trend").isNotNull && col("__trend") =!= 0.0d)
+      .where(col("__trend") > 0.0d)
       .groupBy(col(keyCol), col("__phase"))
       .agg((sum(ratio).cast("double") /
         count(lit(1)).cast("double")).as("__pm"))
@@ -422,15 +442,22 @@ object Timeseries {
     val run = prefixed
       .withColumn("__mp", min(col("__pp")).over(wRun))
       .withColumn("__mn", min(col("__pn")).over(wRun))
-    val sPos = (col("__pp") -
-      least(col("__mp"), lit(0).cast("decimal(30,12)"))).cast("double")
-    val sNeg = (col("__pn") -
-      least(col("__mn"), lit(0).cast("decimal(30,12)"))).cast("double")
+    // exact DECIMAL(30,12) S values; emissions round AT THE DECIMAL
+    // (round-through-decimal discipline — a 12 dp-exact value landing
+    // on a 6 dp .5 tie would round differently as a shortest-repr
+    // BigDecimal in Spark vs a binary double in DuckDB), the flag
+    // compares the unrounded value
+    val sPosD = col("__pp") -
+      least(col("__mp"), lit(0).cast("decimal(30,12)"))
+    val sNegD = col("__pn") -
+      least(col("__mn"), lit(0).cast("decimal(30,12)"))
     run.select(col(keyCol), col(bucketCol), x.as(valCol),
-      round(col("__mu0"), 6).as("mu0"),
-      round(sPos, 6).as("s_pos"),
-      round(sNeg, 6).as("s_neg"),
-      (sPos > h || sNeg > h).as("is_change"))
+      round(col("__mu0").cast("decimal(30,12)"), 6)
+        .cast("double").as("mu0"),
+      round(sPosD, 6).cast("double").as("s_pos"),
+      round(sNegD, 6).cast("double").as("s_neg"),
+      (sPosD.cast("double") > h || sNegD.cast("double") > h)
+        .as("is_change"))
   }
 
   def rollingAnomalies(series: DataFrame, keyCol: String,

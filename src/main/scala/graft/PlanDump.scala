@@ -163,6 +163,18 @@ object PlanDump {
         .queryExecution.explainString(
           org.apache.spark.sql.execution.SimpleMode))
       out.append("\n")
+      // round 18: the MaxScore read off the MULTI-SEGMENT (uncompacted)
+      // artifact — the identical pruning stack, with one extra
+      // vocab-bounded aggregate in the term-sidecar subtree (the
+      // envelope fold deriving the sound merged-stats max_impact from
+      // per-segment (max_tf, min_dl)); every postings scan stays
+      // dynamicpruning-routed on tbucket.
+      out.append("===== q253_maxscore_segmented (read side) =====\n")
+      out.append(graft.ext.Retrieval.bm25TopKMaxScore(idx2, qt, "q_id",
+          k = 10)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode))
+      out.append("\n")
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/plans.txt"), out.toString)
     println("WROTE /tmp/plans.txt")

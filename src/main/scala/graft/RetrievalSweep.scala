@@ -97,6 +97,46 @@ object RetrievalSweep {
       f"(${100.0 * agg.getLong(1) / math.max(agg.getLong(0), 1L)}%.1f%%); " +
       f"terms ${agg.getLong(3)}/${agg.getLong(2)} non-essential")
 
+    // multi-segment MaxScore (round 18): the same lossless gate over a
+    // 2-segment (build + append, UNCOMPACTED) artifact — the state a
+    // production index lives in, where pruning used to refuse. Bounds
+    // here are the envelope-folded (max_tf, min_dl) kind: sound but
+    // looser than single-segment exact maxima, so the honest question
+    // this row answers is how much skip-rate the envelope costs.
+    println(f"%nMaxScore on a SEGMENTED artifact (build+append, " +
+      "uncompacted, k = 10, lossless)")
+    val segDir = java.nio.file.Files
+      .createTempDirectory("graft_retrieval_sweep_seg").toString + "/idx"
+    Retrieval.saveLexIndex(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", segDir, nBuckets = 64, positional = false)
+    Retrieval.appendLexIndex(docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", segDir, batchId = 1L)
+    val segIdx = Retrieval.loadLexIndex(spark, segDir)
+    val tsp = System.nanoTime()
+    val plainSeg = Retrieval.bm25TopKFromIndex(segIdx, qt, "q_id", k = 10)
+      .localCheckpoint(true)
+    val dtPlainSeg = (System.nanoTime() - tsp) / 1e9
+    val tsm = System.nanoTime()
+    val prunedSeg = Retrieval.bm25TopKMaxScore(segIdx, qt, "q_id", k = 10)
+      .localCheckpoint(true)
+    val dtPrunedSeg = (System.nanoTime() - tsm) / 1e9
+    val diffSeg = prunedSeg.exceptAll(plainSeg).count() +
+      plainSeg.exceptAll(prunedSeg).count()
+    val aggSeg = Retrieval.maxScoreSplit(segIdx, qt, "q_id", k = 10).agg(
+      sum(col("dfreq")).as("df_all"),
+      sum(when(!col("__ess"), col("dfreq")).otherwise(lit(0L)))
+        .as("df_skipped"),
+      count(lit(1)).as("terms_all"),
+      sum(when(!col("__ess"), 1L).otherwise(0L)).as("terms_skipped"))
+      .head()
+    println(f"plain ${dtPlainSeg}%.2f s, maxscore ${dtPrunedSeg}%.2f s, " +
+      f"row diff $diffSeg (must be 0)")
+    println(f"kept-term postings rows ${aggSeg.getLong(0)}, skipped by " +
+      f"the essential split ${aggSeg.getLong(1)} " +
+      f"(${100.0 * aggSeg.getLong(1) /
+        math.max(aggSeg.getLong(0), 1L)}%.1f%%); " +
+      f"terms ${aggSeg.getLong(3)}/${aggSeg.getLong(2)} non-essential")
+
     // RM3 judged with the same protocol: the BM25 textbook qrels score
     // the UNexpanded QL baseline and the RM3-expanded runs across alpha
     // (alpha = 1 ≡ the original query reweighted — the no-op control)

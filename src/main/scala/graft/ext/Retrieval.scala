@@ -245,10 +245,12 @@ object Retrieval {
     * `terms` are parquet scans partitioned by `tbucket` — query-side
     * joins on (tbucket, term) dynamic-partition-prune them to the
     * buckets the query's terms actually hash into. `impactParams` is
-    * the (k1, b) the term sidecar's `max_impact` bounds were frozen at —
-    * present only when the artifact is SINGLE-segment (a merged df
-    * shifts idf, so segment bounds don't fold; compaction restores
-    * them), which is what [[bm25TopKMaxScore]] keys on.
+    * the (k1, b) the term sidecar's `max_impact` bounds were frozen at:
+    * EXACT per-term maxima on a single-segment artifact, and on a
+    * multi-segment one (round 18+) a still-SOUND bound re-derived at
+    * load from the per-segment (max_tf, min_dl) envelopes under the
+    * merged statistics — [[bm25TopKMaxScore]] serves either; only
+    * pre-envelope artifacts load with None.
     */
   final case class LexIndex(postings: DataFrame, terms: DataFrame,
       stats: DataFrame, idCol: String, nBuckets: Int, positional: Boolean,
@@ -364,12 +366,18 @@ object Retrieval {
       // contribution any of this segment's docs gives the term at the
       // FROZEN house (k1, b) — idf(dfreq, n_docs) · max over docs of
       // tfNorm(tf, dl, avgdl), the EXACT expression the index read
-      // evaluates per row, so no read contribution can exceed it.
-      // Meaningful only while the artifact is single-segment (a merged
-      // df shifts idf, so loadLexIndex's multi-segment terms fold drops
-      // the column; compaction re-derives it) — the bound also survives
-      // tombstones, because reads score with the same frozen sidecar.
-      // One model-sized driver read (the stats row) prices it.
+      // evaluates per row, so no read contribution can exceed it. EXACT
+      // only while the artifact is single-segment: merging shifts df/N
+      // (idf can GROW — a term rare in the union outscores its own
+      // segment) and avgdl, so per-segment max_impact values do NOT
+      // max-fold soundly. The terms sidecar therefore also carries the
+      // segment's per-term (max_tf, min_dl) ENVELOPE, from which
+      // loadLexIndex re-derives a sound bound under the MERGED
+      // statistics (tfNorm is increasing in tf and decreasing in dl, so
+      // tfNorm(max_tf, min_dl, avgdl_merged) dominates every row). The
+      // bounds also survive tombstones, because reads score with the
+      // same frozen sidecar. One model-sized driver read (the stats
+      // row) prices it.
       val stRow = stats.select(col("n_docs"), col("avgdl")).head()
       val segNDocs = stRow.getLong(0)
       val segAvgdl = stRow.getDouble(1)
@@ -390,7 +398,8 @@ object Retrieval {
       writerMode(post.join(dl, Seq(idCol))
           .groupBy(col("term"))
           .agg(count(lit(1)).as("dfreq"), sum(col("tf")).as("cf"),
-            maxTfNorm.as("__mt"))
+            maxTfNorm.as("__mt"),
+            max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
           .withColumn("max_impact",
             log(lit(1.0) +
               ((lit(segNDocs) - col("dfreq")).cast("double") + lit(0.5)) /
@@ -482,10 +491,72 @@ object Retrieval {
             col("n_docs").cast("double")).as("avgdl"),
           col("c_total"))
     val termsRaw = spark.read.parquet(s"$path/terms")
+    // impact-bound availability: a single segment serves its EXACT
+    // frozen max_impact column; a multi-segment artifact (round 18+)
+    // re-derives a SOUND bound under the merged statistics from the
+    // per-segment (max_tf, min_dl) envelopes — see the fold below.
+    // Either way every segment must be frozen at ONE (k1, b); older
+    // artifacts without the columns load with None and serve the
+    // unpruned reads.
+    val impactParams: Option[(Double, Double)] =
+      if (!statsRaw.columns.contains("impact_k1")) None
+      else if (!multi) {
+        if (!termsRaw.columns.contains("max_impact")) None
+        else {
+          val r = statsRaw.select(col("impact_k1"), col("impact_b")).head()
+          Some((r.getDouble(0), r.getDouble(1)))
+        }
+      } else if (!termsRaw.columns.contains("max_tf") ||
+          !termsRaw.columns.contains("min_dl")) None
+      else {
+        val kb = statsRaw.select(col("impact_k1"), col("impact_b"))
+          .distinct().collect()
+        if (kb.length != 1) None
+        else Some((kb.head.getDouble(0), kb.head.getDouble(1)))
+      }
     val terms =
       if (!multi) termsRaw
-      else termsRaw.groupBy(col("tbucket"), col("term"))
-        .agg(sum(col("dfreq")).as("dfreq"), sum(col("cf")).as("cf"))
+      else impactParams match {
+        case None =>
+          termsRaw.groupBy(col("tbucket"), col("term"))
+            .agg(sum(col("dfreq")).as("dfreq"), sum(col("cf")).as("cf"))
+        case Some((k1, b)) =>
+          // merged-stats MaxScore bound. Per-segment max_impact values
+          // do NOT max-fold (merged df/N can RAISE idf above any
+          // segment's — a term rare in the union outscores its own
+          // segment — and avgdl shifts tfNorm), so the fold re-derives
+          // the bound from first principles: every postings row of
+          // segment s with term t has tf ≤ max_tf(s,t) and
+          // dl ≥ min_dl(s,t); tfNorm(tf, dl, avgdl) is increasing in tf
+          // and decreasing in dl, hence the row's tfNorm at the MERGED
+          // avgdl is ≤ tfNorm(max_tf(s,t), min_dl(s,t), avgdl_merged),
+          // and its read contribution idf_merged(t) · tfNorm (idf > 0)
+          // is ≤ idf_merged(t) · max over segments of that envelope
+          // value — the max_impact emitted here. Lossless pruning
+          // survives appends; compaction merely tightens the bound back
+          // to exact. avgdl_merged/n_docs_merged are driver literals
+          // from the exact per-segment long sums (one segments-sized
+          // read), bit-identical to the stats fold's division.
+          val tot = statsRaw
+            .agg(sum(col("n_docs")).as("nd"), sum(col("c_total")).as("ct"))
+            .head()
+          val nDocsM = tot.getLong(0)
+          val avgdlM = tot.getLong(1).toDouble / nDocsM.toDouble
+          val segTn = (col("max_tf").cast("double") * lit(k1 + 1.0)) /
+            (col("max_tf").cast("double") +
+              lit(k1) * (lit(1.0 - b) +
+                lit(b) * col("min_dl").cast("double") / lit(avgdlM)))
+          termsRaw
+            .withColumn("__tn", segTn)
+            .groupBy(col("tbucket"), col("term"))
+            .agg(sum(col("dfreq")).as("dfreq"), sum(col("cf")).as("cf"),
+              max(col("__tn")).as("__mt"))
+            .withColumn("max_impact",
+              log(lit(1.0) +
+                ((lit(nDocsM) - col("dfreq")).cast("double") + lit(0.5)) /
+                  (col("dfreq").cast("double") + lit(0.5))) * col("__mt"))
+            .drop("__mt")
+      }
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasTombs =
@@ -505,16 +576,6 @@ object Retrieval {
     val forward =
       if (!cfg.getBoolean(3)) None
       else Some(tombFiltered(spark.read.parquet(s"$path/forward")))
-    // impact bounds are only sound on a SINGLE segment (frozen df);
-    // older artifacts without the columns simply load with None and
-    // serve the unpruned reads
-    val impactParams =
-      if (multi || !statsRaw.columns.contains("impact_k1") ||
-          !termsRaw.columns.contains("max_impact")) None
-      else {
-        val r = statsRaw.select(col("impact_k1"), col("impact_b")).head()
-        Some((r.getDouble(0), r.getDouble(1)))
-      }
     LexIndex(
       postings = postings,
       terms = terms,
@@ -666,7 +727,8 @@ object Retrieval {
       val termsTmp = s"$path.terms.refresh.tmp"
       live.groupBy(col("term"))
         .agg(count(lit(1)).as("dfreq"), sum(col("tf")).as("cf"),
-          maxTfNorm.as("__mt"))
+          maxTfNorm.as("__mt"),
+          max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
         .withColumn("max_impact",
           log(lit(1.0) +
             ((lit(nDocs) - col("dfreq")).cast("double") + lit(0.5)) /
@@ -887,9 +949,10 @@ object Retrieval {
       qIdCol: String, k: Int, maxDfFrac: Double = 1.0): DataFrame = {
     val (k1, b) = idx.impactParams.getOrElse(throw new
         IllegalArgumentException(
-      "bm25TopKMaxScore needs a SINGLE-segment artifact with frozen " +
-        "impact bounds (saveLexIndex round 17+, or compactLexIndex a " +
-        "segmented one) — this index has none"))
+      "bm25TopKMaxScore needs frozen impact bounds: a single-segment " +
+        "artifact with max_impact, or a segmented one whose term " +
+        "sidecars carry the (max_tf, min_dl) envelopes (saveLexIndex " +
+        "round 18+) — this index has neither; rebuild or compact it"))
     val kept = keptTerms(idx, qterms, qIdCol, maxDfFrac,
       withImpact = true)
     // seed: each query's RAREST kept term (min dfreq, tie term asc) —
@@ -971,9 +1034,15 @@ object Retrieval {
     * scoring aggregate and its shuffle seeing only essential-term rows
     * (measured 72–73% fewer on the bimodal-df corpus). At cluster
     * scale the aggregate's shuffle volume is the bottleneck the plain
-    * read pays per frequent term; a narrow re-scan is not. Requires a
-    * single-segment artifact whose frozen (impact_k1, impact_b) match
-    * this read's (k1, b); `requireAll`/`phrase` stay on the plain read.
+    * read pays per frequent term; a narrow re-scan is not. Requires an
+    * artifact whose frozen (impact_k1, impact_b) match this read's
+    * (k1, b) — single-segment (exact bounds) or segmented with the
+    * round-18 (max_tf, min_dl) envelopes (sound merged-stats bounds,
+    * folded at load; compaction tightens them back to exact);
+    * `requireAll`/`phrase` stay on the plain read. Like every read of
+    * an uncompacted index, a doc double-ingested WITHOUT an interleaved
+    * delete violates the append contract (its copies' rows double-count
+    * in scoring — in the plain and the pruned read identically).
     */
   def bm25TopKMaxScore(idx: LexIndex, qterms: DataFrame, qIdCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,

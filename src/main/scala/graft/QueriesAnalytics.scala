@@ -3527,6 +3527,122 @@ object QueriesAnalytics {
             SELECT rid, entity_id,
                    round(CAST(bs AS DOUBLE), 6) AS best_score,
                    rn = 1 AS is_canonical
-            FROM fin ORDER BY rid"""))
+            FROM fin ORDER BY rid""")),
+
+    // deterministic EM for Fellegi-Sunter m/u (round 18, the r17
+    // verdict's #2 ask): the q73 fixed-order-Lloyd discipline applied
+    // to linkage — 3 unrolled EM iterations over the agreement-PATTERN
+    // counts (the ≤ 2^F-row sufficient statistic, so the whole loop is
+    // pattern-bounded regardless of pair volume), per-pattern
+    // responsibilities as fixed-shape double expressions (left-to-right
+    // class-conditional products in field order), M-step sums exact
+    // DECIMAL(30,12). Kills the caller-calibrated-m crutch and the
+    // u-estimated fixture fragility q248 exposed. Fixture = the q242
+    // A/B twin (name-lev and bal-floor flags); one row per iteration so
+    // the oracle gates EVERY step, not just the fixed point.
+    Q("q254_linkage_em",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val bk = concat(col("c_nationkey").cast("string"), lit("|"),
+          upper(col("c_mktsegment")))
+        val a = cust.select(col("c_custkey").as("a_id"),
+          col("c_name").as("a_name"), col("c_acctbal").as("a_bal"),
+          bk.as("bk"))
+        val b = cust.select(col("c_custkey").as("b_id"),
+          expr("substring(c_name, 1, length(c_name) - 1)").as("b_name"),
+          (floor(col("c_acctbal") * lit(10.0d)) / lit(10.0d)).as("b_bal"),
+          bk.as("bk"))
+        val pairs = ext.Linkage.blockPairs(a, b, "bk")
+          .withColumn("f_name",
+            levenshtein(col("a_name"), col("b_name")) <= 1)
+          .withColumn("f_bal", col("a_bal") - col("b_bal") >= 0.0d &&
+            col("a_bal") - col("b_bal") < 0.1d)
+        val flags = Seq("name" -> col("f_name"), "bal" -> col("f_bal"))
+        def r6(c: org.apache.spark.sql.Column) =
+          round(c.cast("decimal(30,12)"), 6).cast("double")
+        ext.Linkage.emFit(pairs, flags, iters = 3)
+          .select(col("iter"), r6(col("lambda")).as("lambda"),
+            r6(col("m_name")).as("m_name"), r6(col("u_name")).as("u_name"),
+            r6(col("m_bal")).as("m_bal"), r6(col("u_bal")).as("u_bal"))
+          .orderBy(col("iter"))
+      },
+      Some {
+        val fields = Seq("name", "bal")
+        // one EM iteration as two CTEs: e<i> stages the class products
+        // and the responsibility off the PREVIOUS params row, p<i> the
+        // decimal M-step sums and the new params — the engine's exact
+        // expression shapes (left-to-right products, double ratio,
+        // DECIMAL(30,12) addends, double divisions)
+        def iterSql(i: Int): String = {
+          val prev = if (i == 1) "p0" else s"p${i - 1}"
+          val pm = fields.map(f =>
+            s"(CASE WHEN g_$f THEN m_$f ELSE 1.0 - m_$f END)")
+            .mkString(" * ")
+          val pu = fields.map(f =>
+            s"(CASE WHEN g_$f THEN u_$f ELSE 1.0 - u_$f END)")
+            .mkString(" * ")
+          val condAggs = fields.map(f =>
+            s"""sum(CAST(CASE WHEN g_$f THEN CAST(n AS DOUBLE) * r
+                        ELSE 0.0 END AS DECIMAL(30,12))) AS am_$f,
+                sum(CAST(CASE WHEN g_$f THEN CAST(n AS DOUBLE) * (1.0 - r)
+                        ELSE 0.0 END AS DECIMAL(30,12))) AS au_$f""")
+            .mkString(",\n                ")
+          val newParams = fields.map(f =>
+            s"""CAST(am_$f AS DOUBLE) / CAST(sr AS DOUBLE) AS m_$f,
+                CAST(au_$f AS DOUBLE) / CAST(snr AS DOUBLE) AS u_$f""")
+            .mkString(",\n                ")
+          s"""e$i AS (SELECT g_name, g_bal, n,
+                        (lambda * pm) / (lambda * pm + (1.0 - lambda) * pu)
+                          AS r
+                 FROM (SELECT pat.*, $pm AS pm, $pu AS pu, lambda
+                       FROM pat CROSS JOIN $prev)),
+             a$i AS (SELECT
+                  sum(CAST(CAST(n AS DOUBLE) * r AS DECIMAL(30,12)))
+                    AS sr,
+                  sum(CAST(CAST(n AS DOUBLE) * (1.0 - r)
+                    AS DECIMAL(30,12))) AS snr,
+                  sum(n) AS nn,
+                $condAggs
+                 FROM e$i),
+             p$i AS (SELECT CAST(sr AS DOUBLE) / CAST(nn AS DOUBLE)
+                              AS lambda,
+                $newParams
+                 FROM a$i)"""
+        }
+        def emit(i: Int): String = {
+          val cols = Seq("lambda") ++
+            fields.flatMap(f => Seq(s"m_$f", s"u_$f"))
+          val sel = cols.map(c =>
+            s"CAST(round(CAST($c AS DECIMAL(30,12)), 6) AS DOUBLE) AS $c")
+            .mkString(",\n                   ")
+          s"SELECT $i AS iter,\n                   $sel FROM p$i"
+        }
+        s"""WITH a AS (SELECT c_name AS a_name, c_acctbal AS a_bal,
+                            CAST(c_nationkey AS VARCHAR) || '|'
+                              || upper(c_mktsegment) AS bk
+                     FROM customer),
+             b AS (SELECT substring(c_name, 1, length(c_name) - 1)
+                            AS b_name,
+                          floor(c_acctbal * 10.0) / 10.0 AS b_bal,
+                          CAST(c_nationkey AS VARCHAR) || '|'
+                            || upper(c_mktsegment) AS bk
+                   FROM customer),
+             pr AS (SELECT levenshtein(a_name, b_name) <= 1 AS g_name,
+                           a_bal - b_bal >= 0.0
+                             AND a_bal - b_bal < 0.1 AS g_bal
+                    FROM a JOIN b USING (bk)),
+             pat AS (SELECT g_name, g_bal, count(*) AS n
+                     FROM pr GROUP BY g_name, g_bal),
+             p0 AS (SELECT 0.5 AS lambda,
+                           0.9 AS m_name, 0.1 AS u_name,
+                           0.9 AS m_bal, 0.1 AS u_bal),
+             ${iterSql(1)},
+             ${iterSql(2)},
+             ${iterSql(3)}
+            ${emit(1)}
+            UNION ALL ${emit(2)}
+            UNION ALL ${emit(3)}
+            ORDER BY iter"""
+      })
   )
 }

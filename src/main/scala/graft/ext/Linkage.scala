@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * same real-world entity despite typos and format drift".
   *
   *  - `m` = P(field agrees | records match): supplied per field (the
-  *    reviewer-calibrated parameters; EM training is deliberately out —
-  *    it is order-sensitive and not oracle-replayable).
+  *    reviewer-calibrated route), or TRAINED by [[emFit]] — a
+  *    deterministic fixed-iteration EM over the agreement-pattern
+  *    counts (round 18; the q73 fixed-order-Lloyd discipline applied
+  *    to linkage, fully oracle-replayable).
   *  - `u` = P(field agrees | records DON'T match): ESTIMATED from the
   *    candidate pairs themselves (the standard practical estimate —
   *    non-matches dominate blocked pairs, so the agreement rate over
@@ -103,6 +105,116 @@ object Linkage {
     }
     withU.withColumn("score", terms.reduce(_ + _))
       .drop(flags.map(f => s"u_${f._1}"): _*)
+  }
+
+  /** Agreement-PATTERN counts: the candidate pairs collapsed to one row
+    * per distinct flag vector — `(g_<field>... BOOLEAN, n)`, at most
+    * 2^|fields| rows. The sufficient statistic of the Fellegi–Sunter
+    * likelihood under conditional independence: every E/M quantity is a
+    * pattern-weighted sum, so [[emFit]]'s whole loop runs over this
+    * broadcast-sized frame no matter how many pairs the blocking
+    * produced — ONE aggregate over the pair stream prices the training.
+    */
+  def emPatternCounts(pairs: DataFrame,
+      flags: Seq[(String, Column)]): DataFrame =
+    pairs.groupBy(flags.map { case (f, c) =>
+        c.cast("boolean").as(s"g_$f") }: _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** DETERMINISTIC EM for the Fellegi–Sunter parameters (λ, m_f, u_f) —
+    * the training the tier previously excluded as "order-sensitive, not
+    * oracle-replayable", made replayable the q73 fixed-order-Lloyd way:
+    * a FIXED number of unrolled iterations over the pattern counts,
+    * every weighted sum an exact DECIMAL(30,12) aggregate, every
+    * per-pattern quantity a fixed-shape double expression an oracle
+    * replays verbatim (no convergence test, no data-dependent
+    * iteration count — determinism by construction).
+    *
+    * Model (Fellegi–Sunter 1969 under the standard conditional-
+    * independence assumption; the Splink/fastLink training loop):
+    *  - E-step per pattern γ:
+    *    `r = λ·Π_f t(m_f) / (λ·Π_f t(m_f) + (1−λ)·Π_f t(u_f))`,
+    *    `t(p) = γ_f ? p : 1−p`, products in the GIVEN field order
+    *    (left-to-right doubles — the rrfFuseN addend discipline);
+    *  - M-step: `λ' = Σ n·r / N`, `m_f' = Σ_{γ_f} n·r / Σ n·r`,
+    *    `u_f' = Σ_{γ_f} n·(1−r) / Σ n·(1−r)` — numerators and
+    *    denominators summed exactly as DECIMAL(30,12) (the house cast
+    *    scale both engines agree on), divisions in DOUBLE.
+    *
+    * Returns one row PER ITERATION — `(iter, lambda, m_<f>, u_<f>...)`,
+    * iter 1..iters, raw doubles (callers round for presentation) — so
+    * an oracle can gate EVERY iteration, not just the fixed point.
+    * Starting values must be in (0,1) with m0 ≠ u0 per field (the
+    * standard symmetric-start degeneracy); with them the E-step
+    * denominator is strictly positive, and the M-step denominators are
+    * positive whenever both classes carry mass — a fixture whose EM
+    * collapses a class to zero mass in `iters` steps is a modeling
+    * error this deliberately does not mask.
+    *
+    * Scale shape: one pattern-collapsing aggregate over the pairs
+    * (map-side combinable), then `iters` chained 1-row aggregates over
+    * the ≤ 2^F-row checkpointed pattern frame with the 1-row params
+    * broadcast back — nothing after the first aggregate touches pair
+    * volume. The trained m feed [[fsScores]] directly, replacing the
+    * caller-calibrated constants.
+    */
+  def emFit(pairs: DataFrame, flags: Seq[(String, Column)], iters: Int,
+      lambda0: Double = 0.5, m0: Double = 0.9,
+      u0: Double = 0.1): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(lambda0 > 0.0 && lambda0 < 1.0,
+      s"lambda0 must be in (0,1): $lambda0")
+    require(m0 > 0.0 && m0 < 1.0 && u0 > 0.0 && u0 < 1.0 && m0 != u0,
+      s"m0/u0 must be in (0,1) with m0 != u0: $m0, $u0")
+    val fields = flags.map(_._1)
+    val pat = emPatternCounts(pairs, flags).localCheckpoint(false)
+    var params: DataFrame = pat.sparkSession.range(1).select(
+      Seq(lit(lambda0).as("lambda")) ++
+        fields.flatMap(f => Seq(lit(m0).as(s"m_$f"),
+          lit(u0).as(s"u_$f"))): _*)
+    val perIter = (1 to iters).map { it =>
+      val joined = pat.crossJoin(broadcast(params))
+      // fixed left-to-right double products, staged once per class so
+      // the ratio reads them back verbatim (same values either way —
+      // the staging is for oracle-CTE parity, not arithmetic)
+      val prodM = fields.map(f =>
+        when(col(s"g_$f"), col(s"m_$f"))
+          .otherwise(lit(1.0d) - col(s"m_$f"))).reduce(_ * _)
+      val prodU = fields.map(f =>
+        when(col(s"g_$f"), col(s"u_$f"))
+          .otherwise(lit(1.0d) - col(s"u_$f"))).reduce(_ * _)
+      val scored = joined
+        .withColumn("__pm", prodM)
+        .withColumn("__pu", prodU)
+        .withColumn("__r",
+          (col("lambda") * col("__pm")) /
+            (col("lambda") * col("__pm") +
+              (lit(1.0d) - col("lambda")) * col("__pu")))
+      def dec(c: Column) = c.cast("decimal(30,12)")
+      val nd = col("n").cast("double")
+      val agg = scored.agg(
+        sum(dec(nd * col("__r"))).as("__sr"),
+        Seq(sum(dec(nd * (lit(1.0d) - col("__r")))).as("__snr"),
+          sum(col("n")).as("__n")) ++
+          fields.flatMap(f => Seq(
+            sum(dec(when(col(s"g_$f"), nd * col("__r"))
+              .otherwise(lit(0.0d)))).as(s"__am_$f"),
+            sum(dec(when(col(s"g_$f"), nd * (lit(1.0d) - col("__r")))
+              .otherwise(lit(0.0d)))).as(s"__au_$f"))): _*)
+      params = agg.select(
+        Seq((col("__sr").cast("double") / col("__n").cast("double"))
+          .as("lambda")) ++
+          fields.flatMap(f => Seq(
+            (col(s"__am_$f").cast("double") / col("__sr").cast("double"))
+              .as(s"m_$f"),
+            (col(s"__au_$f").cast("double") / col("__snr").cast("double"))
+              .as(s"u_$f"))): _*)
+        .localCheckpoint(false) // cut the chained-iteration plan depth
+      params.select(Seq(lit(it).as("iter")) ++
+        (Seq("lambda") ++ fields.flatMap(f => Seq(s"m_$f", s"u_$f")))
+          .map(col): _*)
+    }
+    perIter.reduce(_.unionByName(_))
   }
 
   /** One-to-one links above `minScore`: a pair survives iff it is the

@@ -126,6 +126,78 @@ class LinkageSpec extends AnyFunSuite {
     assert(rows(5L) == ((5L, None, true)))
   }
 
+  test("emFit: recovers planted (lambda, m, u) on a separable " +
+    "known-match fixture and is bit-deterministic across runs") {
+    // planted generative truth: 10% matches (20 of 200); matches agree
+    // on name w.p. 0.8 and bal w.p. 0.8 laid out as exact pattern
+    // multiplicities (16 TT, 4 TF); non-matches agree on each field
+    // w.p. 0.05 (9 TF, 9 FT, 162 FF). The (T,T) cell is pure match
+    // mass, so the mixture is well identified; EM's exact fixed point
+    // (reached by iter 30, verified against a reference NumPy-free
+    // implementation) is lambda 0.1439, m = (0.777, 0.707),
+    // u = (0.0388, 0.0271) — the match class absorbs part of the
+    // single-agreement mass, the standard FS behavior
+    val rows =
+      Seq.fill(16)((true, true)) ++  // match, both agree
+        Seq.fill(4)((true, false)) ++ // match, bal disagrees
+        Seq.fill(9)((true, false)) ++ // nonmatch name coincidences
+        Seq.fill(9)((false, true)) ++ // nonmatch bal coincidences
+        Seq.fill(162)((false, false))
+    val pairs = rows.toDF("f_name", "f_bal")
+    val flags = Seq("name" -> col("f_name"), "bal" -> col("f_bal"))
+    val fit = Linkage.emFit(pairs, flags, iters = 30)
+    val last = fit.where(col("iter") === 30).collect().head
+    val lambda = last.getDouble(1)
+    val mName = last.getDouble(2); val uName = last.getDouble(3)
+    val mBal = last.getDouble(4); val uBal = last.getDouble(5)
+    assert(math.abs(lambda - 0.1439) < 0.01, s"lambda=$lambda")
+    assert(math.abs(mName - 0.777) < 0.01, s"m_name=$mName")
+    assert(math.abs(mBal - 0.707) < 0.01, s"m_bal=$mBal")
+    assert(math.abs(uName - 0.0388) < 0.005, s"u_name=$uName")
+    assert(math.abs(uBal - 0.0271) < 0.005, s"u_bal=$uBal")
+    // monotone separation: every iteration's m_name stays above u_name
+    val all = fit.collect()
+    assert(all.forall(r => r.getDouble(2) > r.getDouble(3)))
+    // bit-determinism: a second run reproduces every iteration exactly
+    val fit2 = Linkage.emFit(pairs, flags, iters = 30).collect()
+      .map(_.toSeq).toSeq
+    assert(all.map(_.toSeq).toSeq == fit2)
+  }
+
+  test("emPatternCounts: collapses pairs to the 2^F sufficient " +
+    "statistic with exact multiplicities") {
+    val pairs = Seq((true, true), (true, true), (true, false),
+      (false, false)).toDF("f_a", "f_b")
+    val pat = Linkage.emPatternCounts(pairs,
+      Seq("a" -> col("f_a"), "b" -> col("f_b")))
+      .collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(pat == Map((true, true) -> 2L, (true, false) -> 1L,
+      (false, false) -> 1L))
+  }
+
+  test("emFit: trained m/u feed fsScores in place of calibrated " +
+    "constants — evidence signs follow the training") {
+    val rows =
+      Seq.fill(10)((true, true)) ++ Seq.fill(5)((true, false)) ++
+        Seq.fill(85)((false, false))
+    val pairs = rows.toDF("f_name", "f_bal")
+    val flags = Seq("name" -> col("f_name"), "bal" -> col("f_bal"))
+    val last = Linkage.emFit(pairs, flags, iters = 20)
+      .where(col("iter") === 20).collect().head
+    val m = Map("name" -> last.getDouble(2), "bal" -> last.getDouble(4))
+    // guard the fixture actually trained something usable
+    assert(m.values.forall(v => v > 0.0 && v < 1.0))
+    val rates = Linkage.agreementRates(pairs, flags)
+    val scored = Linkage.fsScores(pairs, flags, m, rates)
+      .select(col("f_name"), col("f_bal"),
+        col("score").cast("double").as("s")).distinct().collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getDouble(2))
+      .toMap
+    // full agreement scores above full disagreement
+    assert(scored((true, true)) > scored((false, false)))
+  }
+
   test("blockSizes: the pre-join audit reports exact pair volume per key") {
     val a2 = left.withColumn("bk", (col("a_id") % 2).cast("int"))
     val b2 = right.withColumn("bk", (col("b_id") % 2).cast("int"))

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.Timeseries
+
+/** The forecast tier judged by its own backtest (VERDICT r17 #4 — the
+  * RetrievalSweep discipline applied to forecasting): rolling-origin
+  * one-step MAE/sMAPE for the three house forecasters — EWMA (level
+  * only), Brown double smoothing (level+trend), and the Holt–Winters
+  * composition (level+trend+seasonal) — over planted DETERMINISTIC
+  * fixtures that isolate what each model can and cannot track, plus
+  * the real per-event_type 6 h series at the given scale dir. All
+  * models share (α = 0.3, window = 12, period = 4) and judge the SAME
+  * rn ≥ 23 trailing eval window (the q256 convention). Results in
+  * docs/SCALE.md.
+  *
+  * Run: `sbt "runMain graft.ForecastSweep [baseDir]"`.
+  */
+object ForecastSweep {
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.build("graft-forecast-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // planted fixtures — no RNG anywhere: the "zigzag" is the worst
+    // case for a trend-extrapolating smoother, the "step" the classic
+    // regime break, "seasonal" what only the seasonal model can track
+    val n = 200L
+    val season = Map(0 -> 4.0, 1 -> -1.0, 2 -> -3.0, 3 -> 0.0)
+    def planted(name: String, f: Long => Double): DataFrame =
+      (0L until n).map(t => (name, t, f(t))).toDF("k", "b", "v")
+    val fixtures = planted("line", t => 10.0 + 0.5 * t)
+      .unionByName(planted("seasonal",
+        t => 10.0 + 0.5 * t + season((t % 4).toInt)))
+      .unionByName(planted("step",
+        t => if (t < 100) 10.0 else 30.0))
+      .unionByName(planted("zigzag",
+        t => 20.0 + (if (t % 2 == 0) 2.0 else -2.0)))
+
+    def r6c(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(30,12)"), 6).cast("double")
+
+    def judge(series: DataFrame, keyCol: String, label: String): Unit = {
+      val act = series.select(col(keyCol), col("b"), r6c(col("v")).as("va"))
+      val wrn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol)).orderBy(col("b"))
+      val models: Seq[(String, DataFrame, String)] = Seq(
+        ("ewma", Timeseries.ewma(series, keyCol, "b", "v", 0.3, 12)
+          .withColumn("__rn", row_number().over(wrn))
+          .where(col("__rn") >= 23), "ewma"),
+        ("brown", Timeseries.brownForecast(series, keyCol, "b", "v",
+          0.3, 12), "forecast"),
+        ("hw", Timeseries.holtWinters(series, keyCol, "b", "v",
+          4, 0.3, 12), "forecast"))
+      println(s"\n$label")
+      println(f"${"series"}%10s ${"model"}%6s ${"n"}%5s ${"mae"}%12s " +
+        f"${"smape"}%10s")
+      models.foreach { case (name, fc, fcCol) =>
+        Timeseries.forecastMetrics(fc, keyCol, "b", fcCol, act, "va")
+          .orderBy(col(keyCol)).collect().foreach { r =>
+            println(f"${r.getString(0)}%10s $name%6s ${r.getLong(1)}%5d " +
+              f"${r.getDouble(2)}%12.6f ${r.getDouble(3)}%10.6f")
+          }
+      }
+    }
+
+    judge(fixtures, "k", "planted fixtures (n = 200, alpha 0.3, " +
+      "window 12, period 4)")
+
+    // the real series: per-event_type 6 h bucket means (the q256 frame)
+    val ev = Tables.load(spark, baseDir, "events")
+      .select(col("event_type").as("k"),
+        unix_micros(col("ts")).as("__us"), col("value"))
+      .select(col("k"), Timeseries.epochBucketUs("__us", 21600L).as("b"),
+        col("value"))
+      .groupBy(col("k"), col("b"))
+      .agg((sum(col("value").cast("decimal(20,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("v"))
+    judge(ev, "k", s"events 6h series ($baseDir)")
+
+    spark.stop()
+  }
+}

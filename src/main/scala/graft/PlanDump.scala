@@ -103,7 +103,14 @@ object PlanDump {
         // weighted-lag windows (e2 over the unrounded e1) on one
         // exchange.
         "q249_ewma", "q250_cusum", "q251_seasonal_decompose_mul",
-        "q252_brown_forecast")
+        "q252_brown_forecast",
+        // round 18: q255 stacks the q244 decomposition and the q252
+        // double-smoothing on ONE key exchange (trend window + rank +
+        // both weighted-lag stacks share the sort; phase means are
+        // period-bounded broadcast joins); q256 adds the three
+        // backtest joins — every leg series-bounded, actuals shifted
+        // one slot and equi-joined, one aggregate per model
+        "q255_holt_winters", "q256_forecast_backtest")
       .foreach { q =>
       out.append(s"===== $q =====\n")
       out.append(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

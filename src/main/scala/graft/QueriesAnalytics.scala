@@ -37,6 +37,34 @@ object QueriesAnalytics {
       .agg((sum(col("value").cast("decimal(20,12)")).cast("double") /
         count(lit(1)).cast("double")).as("v"))
 
+  /** [[series6h]]'s oracle replay — the `se` CTE every time-series
+    * oracle opens with (DuckDB `//` truncates like the guarded `div`;
+    * the fixture's timestamps are epoch-non-negative, which the engine
+    * side now ENFORCES).
+    */
+  private val se6hCte: String =
+    """se AS (SELECT event_type,
+                   epoch_us(ts) // 21600000000 AS bucket,
+                   CAST(sum(CAST(value AS DECIMAL(20,12)))
+                     AS DOUBLE) / CAST(count(*) AS DOUBLE) AS v
+            FROM events GROUP BY event_type, bucket)"""
+
+  /** The adjust=true weighted-lag EWMA ratio as SQL over column `x` —
+    * the q249/q252 oracle generator factored for reuse (q255/q256):
+    * the ENGINE's own double weight literals interpolated verbatim,
+    * fixed-order numerator and available-weight denominator.
+    */
+  private def ewmaRatioSql(x: String, ws: Seq[Double]): String = {
+    def lagE(i: Int) = if (i == 0) x else s"lag($x, $i) OVER w"
+    val num = ws.zipWithIndex.map { case (wi, i) =>
+      s"coalesce($wi * (${lagE(i)}), 0.0)"
+    }.mkString("\n                             + ")
+    val den = ws.zipWithIndex.map { case (wi, i) =>
+      s"CASE WHEN ${lagE(i)} IS NOT NULL THEN $wi ELSE 0.0 END"
+    }.mkString("\n                             + ")
+    s"(($num)\n                           / ($den))"
+  }
+
   /** q175/q176 oracle: the full training-layout chain (q173's plan,
     * q174's materialization, the copy_idx-salted md5 rank window, the
     * exclusive running token sum, writeShards' shard arithmetic) as one
@@ -3643,6 +3671,211 @@ object QueriesAnalytics {
             UNION ALL ${emit(2)}
             UNION ALL ${emit(3)}
             ORDER BY iter"""
+      }),
+
+    // Holt-Winters-style additive seasonal forecast (round 18, the r17
+    // verdict's #3 ask): q244's per-phase seasonal components (exact
+    // decimal means, UNROUNDED) deseasonalize the series, q252's Brown
+    // stacked-EWMA windows track the deseasonalized level+trend, and
+    // the one-step forecast re-adds the NEXT slot's seasonal — the
+    // decompose-then-forecast composition, deliberately NOT the
+    // textbook sequential triple recurrence (no closed window form);
+    // exact on a planted line + period pattern (spec-pinned). One key
+    // exchange carries the trend window, the rank, and both smoothing
+    // stacks; the oracle replays the entire chain with the engine's
+    // own weight literals.
+    Q("q255_holt_winters",
+      (s, d) => {
+        val series = series6h(s, d)
+        ext.Timeseries.holtWinters(series, "event_type", "bucket", "v",
+            period = 4, alpha = 0.3, window = 12)
+          .withColumn("v", round(col("v"), 6))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some {
+        val ws = ext.Timeseries.ewmaWeights(0.3, 12)
+        val c = ext.Timeseries.ewmaMeanLag(0.3, 12)
+        s"""WITH $se6hCte,
+           tr AS (SELECT event_type, bucket, v,
+                         (lag(v, 2) OVER w * 0.5 + lag(v, 1) OVER w
+                          + v + lead(v, 1) OVER w
+                          + lead(v, 2) OVER w * 0.5) / 4.0 AS trend,
+                         bucket % 4 AS phase
+                  FROM se
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+           pm AS (SELECT event_type, phase,
+                         CAST(sum(CAST(v - trend AS DECIMAL(30,12)))
+                           AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pm
+                  FROM tr WHERE trend IS NOT NULL
+                  GROUP BY event_type, phase),
+           gm AS (SELECT event_type,
+                         CAST(sum(CAST(pm AS DECIMAL(30,12)))
+                           AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gm
+                  FROM pm GROUP BY event_type),
+           sn AS (SELECT p.event_type, p.phase, p.pm - g.gm AS s
+                  FROM pm p JOIN gm g ON p.event_type = g.event_type),
+           ds AS (SELECT t.event_type, t.bucket, t.v, t.v - s.s AS d,
+                         row_number() OVER (PARTITION BY t.event_type
+                           ORDER BY t.bucket) AS rn
+                  FROM tr t LEFT JOIN sn s ON t.event_type = s.event_type
+                                          AND t.phase = s.phase),
+           s1 AS (SELECT event_type, bucket, v, d, rn,
+                         ${ewmaRatioSql("d", ws)} AS e1
+                  FROM ds
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+           s2 AS (SELECT event_type, bucket, v, rn, e1,
+                         ${ewmaRatioSql("e1", ws)} AS e2
+                  FROM s1
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+          SELECT s2.event_type, s2.bucket, round(s2.v, 6) AS v,
+                 CAST(round(CAST(2.0 * e1 - e2 AS DECIMAL(30,12)), 6)
+                   AS DOUBLE) AS level,
+                 CAST(round(CAST((e1 - e2) / $c AS DECIMAL(30,12)), 6)
+                   AS DOUBLE) AS trend,
+                 CAST(round(CAST(s.s AS DECIMAL(30,12)), 6)
+                   AS DOUBLE) AS seasonal_next,
+                 CAST(round(CAST((2.0 * e1 - e2) + (e1 - e2) / $c + s.s
+                   AS DECIMAL(30,12)), 6) AS DOUBLE) AS forecast
+          FROM s2 LEFT JOIN sn s ON s2.event_type = s.event_type
+                                AND (s2.bucket + 1) % 4 = s.phase
+          WHERE rn >= 23
+          ORDER BY s2.event_type, s2.bucket"""
+      }),
+
+    // rolling-origin forecast backtest (round 18, the r17 verdict's #4
+    // ask — the RetrievalSweep discipline for the forecast tier): every
+    // forecaster's emitted row t is already a prediction of t+1 from
+    // data ≤ t, so the backtest is one equi-join of each model's
+    // forecasts against the actuals shifted one slot back, judged per
+    // key as MAE and sMAPE over the SAME trailing eval window (rn ≥ 23
+    // — brown/hw's own full-window cut, applied to the EWMA leg too so
+    // the three models judge identical pairs). Inputs are the ROUNDED
+    // published emissions and 6 dp-rounded actuals — the deterministic
+    // values a dashboard would read. The oracle replays all three
+    // forecast chains and both metric sums.
+    Q("q256_forecast_backtest",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val series = series6h(s, d)
+        def r6(c: org.apache.spark.sql.Column) =
+          round(c.cast("decimal(30,12)"), 6).cast("double")
+        val act = series.select(col("event_type"), col("bucket"),
+          r6(col("v")).as("va"))
+        val wrn = Window.partitionBy(col("event_type"))
+          .orderBy(col("bucket"))
+        val ew = ext.Timeseries.ewma(series, "event_type", "bucket", "v",
+            alpha = 0.3, window = 12)
+          .withColumn("__rn", row_number().over(wrn))
+          .where(col("__rn") >= 23)
+        val br = ext.Timeseries.brownForecast(series, "event_type",
+          "bucket", "v", alpha = 0.3, window = 12)
+        val hw = ext.Timeseries.holtWinters(series, "event_type",
+          "bucket", "v", period = 4, alpha = 0.3, window = 12)
+        def bt(fc: DataFrame, fcCol: String, model: String) =
+          ext.Timeseries.forecastMetrics(fc, "event_type", "bucket",
+              fcCol, act, "va")
+            .withColumn("model", lit(model))
+        bt(ew, "ewma", "ewma")
+          .unionByName(bt(br, "forecast", "brown"))
+          .unionByName(bt(hw, "forecast", "hw"))
+          .select(col("model"), col("event_type"), col("n_eval"),
+            col("mae"), col("smape"))
+          .orderBy(col("model"), col("event_type"))
+      },
+      Some {
+        val ws = ext.Timeseries.ewmaWeights(0.3, 12)
+        val c = ext.Timeseries.ewmaMeanLag(0.3, 12)
+        def leg(model: String, cte: String): String =
+          s"""SELECT '$model' AS model, f.event_type,
+                count(*) AS n_eval,
+                CAST(round(CAST(CAST(sum(CAST(abs(f.f - a.va)
+                      AS DECIMAL(30,12))) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS DECIMAL(30,12)), 6)
+                  AS DOUBLE) AS mae,
+                CAST(round(CAST(CAST(sum(CAST(
+                      CASE WHEN abs(f.f) + abs(a.va) > 0.0
+                           THEN 2.0 * abs(f.f - a.va)
+                                / (abs(f.f) + abs(a.va))
+                           ELSE 0.0 END AS DECIMAL(30,12))) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS DECIMAL(30,12)), 6)
+                  AS DOUBLE) AS smape
+              FROM $cte f JOIN act a ON f.event_type = a.event_type
+                                    AND a.bucket - 1 = f.bucket
+              WHERE f.f IS NOT NULL
+              GROUP BY f.event_type"""
+        s"""WITH $se6hCte,
+           act AS (SELECT event_type, bucket,
+                          CAST(round(CAST(v AS DECIMAL(30,12)), 6)
+                            AS DOUBLE) AS va
+                   FROM se),
+           ew0 AS (SELECT event_type, bucket,
+                          ${ewmaRatioSql("v", ws)} AS ew,
+                          row_number() OVER (PARTITION BY event_type
+                            ORDER BY bucket) AS rn
+                   FROM se
+                   WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+           ewf AS (SELECT event_type, bucket,
+                          CAST(round(CAST(ew AS DECIMAL(30,12)), 6)
+                            AS DOUBLE) AS f
+                   FROM ew0 WHERE rn >= 23),
+           b1 AS (SELECT event_type, bucket, v,
+                         row_number() OVER (PARTITION BY event_type
+                           ORDER BY bucket) AS rn,
+                         ${ewmaRatioSql("v", ws)} AS e1
+                  FROM se
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+           b2 AS (SELECT event_type, bucket, v, rn, e1,
+                         ${ewmaRatioSql("e1", ws)} AS e2
+                  FROM b1
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+           bf AS (SELECT event_type, bucket,
+                         CAST(round(CAST((2.0 * e1 - e2) + (e1 - e2) / $c
+                           AS DECIMAL(30,12)), 6) AS DOUBLE) AS f
+                  FROM b2 WHERE rn >= 23),
+           tr AS (SELECT event_type, bucket, v,
+                         (lag(v, 2) OVER w * 0.5 + lag(v, 1) OVER w
+                          + v + lead(v, 1) OVER w
+                          + lead(v, 2) OVER w * 0.5) / 4.0 AS trend,
+                         bucket % 4 AS phase
+                  FROM se
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+           pm AS (SELECT event_type, phase,
+                         CAST(sum(CAST(v - trend AS DECIMAL(30,12)))
+                           AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pm
+                  FROM tr WHERE trend IS NOT NULL
+                  GROUP BY event_type, phase),
+           gm AS (SELECT event_type,
+                         CAST(sum(CAST(pm AS DECIMAL(30,12)))
+                           AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gm
+                  FROM pm GROUP BY event_type),
+           sn AS (SELECT p.event_type, p.phase, p.pm - g.gm AS s
+                  FROM pm p JOIN gm g ON p.event_type = g.event_type),
+           ds AS (SELECT t.event_type, t.bucket, t.v, t.v - s.s AS d,
+                         row_number() OVER (PARTITION BY t.event_type
+                           ORDER BY t.bucket) AS rn
+                  FROM tr t LEFT JOIN sn s ON t.event_type = s.event_type
+                                          AND t.phase = s.phase),
+           h1 AS (SELECT event_type, bucket, v, d, rn,
+                         ${ewmaRatioSql("d", ws)} AS e1
+                  FROM ds
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+           h2 AS (SELECT event_type, bucket, v, rn, e1,
+                         ${ewmaRatioSql("e1", ws)} AS e2
+                  FROM h1
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+           hf AS (SELECT h2.event_type, h2.bucket,
+                         CAST(round(CAST((2.0 * e1 - e2) + (e1 - e2) / $c
+                           + s.s AS DECIMAL(30,12)), 6) AS DOUBLE) AS f
+                  FROM h2 LEFT JOIN sn s ON h2.event_type = s.event_type
+                                        AND (h2.bucket + 1) % 4 = s.phase
+                  WHERE rn >= 23)
+          SELECT * FROM (
+            ${leg("ewma", "ewf")}
+            UNION ALL
+            ${leg("brown", "bf")}
+            UNION ALL
+            ${leg("hw", "hf")})
+          ORDER BY model, event_type"""
       })
   )
 }

@@ -153,7 +153,14 @@ object Timeseries {
     * key-keyed aggregate, broadcast joins back. Returns
     * `(keyCol, bucketCol, valCol, trend, seasonal, resid)` rounded 6 dp.
     */
-  def seasonalDecompose(series: DataFrame, keyCol: String,
+  /** The shared first stage of the decomposition family: the series
+    * projected to `(keyCol, bucketCol, __x, __trend, __phase)` with the
+    * centered-MA trend as an EXPLICIT fixed-order lag/lead sum (simple
+    * period-MA for odd periods, the textbook 2×period half-weighted MA
+    * for even; nulls at the series edges propagate — trend undefined
+    * there) and `__phase = bucket mod period`.
+    */
+  private def withCenteredTrend(series: DataFrame, keyCol: String,
       bucketCol: String, valCol: String, period: Int): DataFrame = {
     require(period >= 2, s"period must be >= 2: $period")
     val h = period / 2
@@ -171,10 +178,16 @@ object Timeseries {
         if (even && (i == -h || i == h)) term * lit(0.5d) else term
       }
     val trend = terms.reduce(_ + _) / lit(period.toDouble)
-    val withTrend = series.select(col(keyCol), col(bucketCol),
+    series.select(col(keyCol), col(bucketCol),
         col(valCol).cast("double").as("__x"))
       .withColumn("__trend", trend)
       .withColumn("__phase", pmod(col(bucketCol), lit(period.toLong)))
+  }
+
+  def seasonalDecompose(series: DataFrame, keyCol: String,
+      bucketCol: String, valCol: String, period: Int): DataFrame = {
+    val withTrend = withCenteredTrend(series, keyCol, bucketCol, valCol,
+      period)
     val det = (col("__x") - col("__trend")).cast("decimal(30,12)")
     val phaseMeans = withTrend
       .where(col("__trend").isNotNull)
@@ -231,24 +244,8 @@ object Timeseries {
     */
   def seasonalDecomposeMul(series: DataFrame, keyCol: String,
       bucketCol: String, valCol: String, period: Int): DataFrame = {
-    require(period >= 2, s"period must be >= 2: $period")
-    val h = period / 2
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
-    val even = period % 2 == 0
-    val x = col("__x")
-    val terms: Seq[org.apache.spark.sql.Column] =
-      (-h to h).map { i =>
-        val term =
-          if (i == 0) x
-          else if (i < 0) lag(x, -i).over(w)
-          else lead(x, i).over(w)
-        if (even && (i == -h || i == h)) term * lit(0.5d) else term
-      }
-    val trend = terms.reduce(_ + _) / lit(period.toDouble)
-    val withTrend = series.select(col(keyCol), col(bucketCol),
-        col(valCol).cast("double").as("__x"))
-      .withColumn("__trend", trend)
-      .withColumn("__phase", pmod(col(bucketCol), lit(period.toLong)))
+    val withTrend = withCenteredTrend(series, keyCol, bucketCol, valCol,
+      period)
     val ratio = (col("__x") / col("__trend")).cast("decimal(30,12)")
     val phaseMeans = withTrend
       .where(col("__trend") > 0.0d)
@@ -391,6 +388,87 @@ object Timeseries {
         r6(level + trend).as("forecast"))
   }
 
+  /** Holt–Winters-style ADDITIVE seasonal one-step-ahead forecast —
+    * the composition the r17 verdict asked for: the classical
+    * decomposition's per-phase seasonal components ([[seasonalDecompose]]'s
+    * chain, UNROUNDED) deseasonalize the series, Brown double smoothing
+    * ([[brownForecast]]'s stacked EWMA windows) tracks the
+    * deseasonalized level+trend, and the forecast re-adds the NEXT
+    * slot's seasonal component:
+    *
+    *   s(phase)    = per-(key, bucket mod period) mean of (v − trend),
+    *                 re-centered to sum to 0 (exact decimal means)
+    *   d_t         = v_t − s(phase(t))
+    *   e1 = EWMA(d), e2 = EWMA(e1)   (adjust=true, truncated window)
+    *   level_t     = 2·e1_t − e2_t
+    *   trend_t     = (e1_t − e2_t) / c      (c = [[ewmaMeanLag]])
+    *   forecast_t  = level_t + trend_t + s(phase(t+1))
+    *
+    * This deliberately differs from the textbook recurrent triple
+    * smoothing (whose seasonal state updates per step — a sequential
+    * recurrence with no closed window form): the seasonal component is
+    * FIT ONCE from the whole series (the q244 phase means) and the
+    * level/trend smoothing runs on the deseasonalized residual — the
+    * standard decompose-then-forecast composition, fully relational,
+    * and EXACT on a planted line + period-pattern series (the phase
+    * means recover the pattern exactly on the interior, d is exactly
+    * the line, Brown forecasts a line exactly — spec-pinned).
+    *
+    * Same execution shape as the pieces: one key exchange carries the
+    * trend window, the rank, and both smoothing stacks; the phase
+    * means are period-bounded broadcast joins. Emission only where
+    * both smoothing passes have full windows (rn ≥ 2·window − 1) and
+    * the slot's own seasonal exists; a missing NEXT-phase component
+    * (possible only when a phase never appears interior) nulls the
+    * forecast — left-join semantics both engines replay. Returns
+    * `(keyCol, bucketCol, valCol, level, trend, seasonal_next,
+    * forecast)` rounded through DECIMAL(30,12).
+    */
+  def holtWinters(series: DataFrame, keyCol: String, bucketCol: String,
+      valCol: String, period: Int, alpha: Double,
+      window: Int): DataFrame = {
+    val ws = ewmaWeights(alpha, window)
+    val c = ewmaMeanLag(alpha, window)
+    val withTrend = withCenteredTrend(series, keyCol, bucketCol, valCol,
+      period)
+    val det = (col("__x") - col("__trend")).cast("decimal(30,12)")
+    val phaseMeans = withTrend
+      .where(col("__trend").isNotNull)
+      .groupBy(col(keyCol), col("__phase"))
+      .agg((sum(det).cast("double") /
+        count(lit(1)).cast("double")).as("__pm"))
+    val grand = phaseMeans.groupBy(col(keyCol))
+      .agg((sum(col("__pm").cast("decimal(30,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("__gm"))
+    val seas = phaseMeans.join(broadcast(grand), Seq(keyCol))
+      .select(col(keyCol), col("__phase"),
+        (col("__pm") - col("__gm")).as("__s"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val staged = withTrend
+      .join(broadcast(seas), Seq(keyCol, "__phase"), "left")
+      .withColumn("__d", col("__x") - col("__s"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__e1", ewmaRatio(col("__d"), w, ws))
+    val staged2 = staged
+      .withColumn("__e2", ewmaRatio(col("__e1"), w, ws))
+    val seasNext = seas.select(col(keyCol),
+      col("__phase").as("__phase2"), col("__s").as("__sn"))
+    val level = lit(2.0d) * col("__e1") - col("__e2")
+    val trendB = (col("__e1") - col("__e2")) / lit(c)
+    def r6(cc: org.apache.spark.sql.Column) =
+      round(cc.cast("decimal(30,12)"), 6).cast("double")
+    staged2
+      .withColumn("__phase2",
+        pmod(col(bucketCol) + lit(1L), lit(period.toLong)))
+      .join(broadcast(seasNext), Seq(keyCol, "__phase2"), "left")
+      .where(col("__rn") >= 2 * window - 1)
+      .select(col(keyCol), col(bucketCol), col("__x").as(valCol),
+        r6(level).as("level"),
+        r6(trendB).as("trend"),
+        r6(col("__sn")).as("seasonal_next"),
+        r6(level + trendB + col("__sn")).as("forecast"))
+  }
+
   /** Two-sided CUSUM changepoint monitor (Page 1954) on a regular
     * series: per key, a baseline μ0 is trained on the first `train`
     * buckets (phase-I convention), and every LATER point accumulates
@@ -458,6 +536,55 @@ object Timeseries {
       round(sNegD, 6).cast("double").as("s_neg"),
       (sPosD.cast("double") > h || sNegD.cast("double") > h)
         .as("is_change"))
+  }
+
+  /** Rolling-origin ONE-STEP backtest of a forecaster — the in-engine
+    * judge the r17 verdict asked for (the RetrievalSweep discipline
+    * applied to the forecast tier): every emitted forecast row is, by
+    * the tier's construction, a prediction of bucket t+1 made from
+    * data ≤ t (ewma_t, brownForecast's forecast_t, holtWinters'
+    * forecast_t), so the backtest is one equi-join of the forecast
+    * frame against the actuals shifted one slot back — no refitting
+    * loop, the rolling origin is already materialized per row.
+    *
+    * Per key over the matched (forecast_t, actual_{t+1}) pairs with a
+    * non-null forecast:
+    *   mae   = Σ |f − a| / n            (decimal-exact sum)
+    *   smape = Σ 2|f − a| / (|f| + |a|) / n   (0 when both are 0 —
+    *           the standard convention; per-row doubles, decimal sum)
+    *
+    * Feed the ROUNDED emissions and a 6 dp-rounded actuals frame so
+    * the metric inputs are the deterministic published values. Returns
+    * `(keyCol, n_eval, mae, smape)` rounded through DECIMAL(30,12).
+    * Scale: both inputs are series-bounded; one equi-join on
+    * (key, bucket), one key-keyed aggregate.
+    */
+  def forecastMetrics(forecast: DataFrame, keyCol: String,
+      bucketCol: String, fcCol: String, actuals: DataFrame,
+      valCol: String): DataFrame = {
+    val f = forecast.select(col(keyCol).as("__k"),
+      col(bucketCol).cast("long").as("__fb"),
+      col(fcCol).cast("double").as("__f"))
+      .where(col("__f").isNotNull)
+    val at = actuals.select(col(keyCol).as("__k"),
+      (col(bucketCol).cast("long") - lit(1L)).as("__fb"),
+      col(valCol).cast("double").as("__a"))
+    val err = col("__f") - col("__a")
+    val sm = when(abs(col("__f")) + abs(col("__a")) > 0.0d,
+      lit(2.0d) * abs(err) / (abs(col("__f")) + abs(col("__a"))))
+      .otherwise(lit(0.0d))
+    def r6(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(30,12)"), 6).cast("double")
+    f.join(at, Seq("__k", "__fb"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(err).cast("decimal(30,12)")).as("__sae"),
+        sum(sm.cast("decimal(30,12)")).as("__ssm"))
+      .select(col("__k").as(keyCol), col("n_eval"),
+        r6(col("__sae").cast("double") / col("n_eval").cast("double"))
+          .as("mae"),
+        r6(col("__ssm").cast("double") / col("n_eval").cast("double"))
+          .as("smape"))
   }
 
   def rollingAnomalies(series: DataFrame, keyCol: String,

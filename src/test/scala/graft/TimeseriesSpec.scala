@@ -197,6 +197,78 @@ class TimeseriesSpec extends AnyFunSuite {
     }
   }
 
+  test("holtWinters: a planted line + period-4 additive pattern is " +
+    "forecast EXACTLY one step ahead — the phase means recover the " +
+    "pattern, the deseasonalized series is the line, Brown is exact " +
+    "on lines") {
+    val s = Map(0 -> 3.0, 1 -> -1.0, 2 -> -2.0, 3 -> 0.0) // sums to 0
+    val series = (0L to 39L)
+      .map(t => ("k", t, 10.0 + 2.0 * t + s((t % 4).toInt)))
+      .toDF("k", "b", "v")
+    val rows = ext.Timeseries.holtWinters(series, "k", "b", "v",
+        period = 4, alpha = 0.3, window = 4)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    // full-window rows only: rn >= 2·4 − 1 = 7 → buckets 6..39
+    assert(rows.keySet.min == 6L && rows.keySet.max == 39L)
+    (6L to 39L).foreach { t =>
+      val (level, trend, sn, fc) = rows(t)
+      assert(math.abs(level - (10.0 + 2.0 * t)) < 1e-6, s"level@$t")
+      assert(math.abs(trend - 2.0) < 1e-6, s"trend@$t")
+      assert(math.abs(sn - s(((t + 1) % 4).toInt)) < 1e-6, s"sn@$t")
+      assert(math.abs(fc -
+        (10.0 + 2.0 * (t + 1) + s(((t + 1) % 4).toInt))) < 1e-6,
+        s"fc@$t")
+    }
+  }
+
+  test("forecastMetrics: hand-computed MAE/sMAPE over shifted pairs, " +
+    "zero-zero pairs contribute 0 to sMAPE, null forecasts drop") {
+    val fc = Seq(("k", 0L, Some(10.0)), ("k", 1L, Some(12.0)),
+      ("k", 2L, Some(8.0)), ("k", 3L, None))
+      .toDF("k", "b", "f")
+    val act = Seq(("k", 0L, 99.0), ("k", 1L, 11.0), ("k", 2L, 12.0),
+      ("k", 3L, 10.0), ("k", 4L, 5.0)).toDF("k", "b", "va")
+    val r = ext.Timeseries.forecastMetrics(fc, "k", "b", "f", act, "va")
+      .collect().head
+    // pairs: (10,11) |e|=1, (12,12) 0, (8,10) 2 — bucket-3 forecast is
+    // null and drops; mae = 1.0
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 1.0)
+    // smape = (2/21 + 0 + 4/18)/3 = 0.105820 at 6 dp
+    assert(math.abs(r.getDouble(3) - 0.10582) < 1e-6)
+    // zero-zero convention: a (0, 0) pair scores 0, not NaN
+    val fz = Seq(("z", 0L, 0.0)).toDF("k", "b", "f")
+    val az = Seq(("z", 1L, 0.0)).toDF("k", "b", "va")
+    val rz = ext.Timeseries.forecastMetrics(fz, "k", "b", "f", az, "va")
+      .collect().head
+    assert(rz.getDouble(2) == 0.0 && rz.getDouble(3) == 0.0)
+  }
+
+  test("forecastMetrics: on a planted seasonal line the backtest ranks " +
+    "hw strictly below both smoothers — the tier's own judge sees the " +
+    "seasonal model win on seasonal data (brown actually trails ewma " +
+    "here: trend extrapolation of the seasonal wiggle overshoots)") {
+    val s = Map(0 -> 4.0, 1 -> -1.0, 2 -> -3.0, 3 -> 0.0)
+    val series = (0L to 60L)
+      .map(t => ("k", t, 10.0 + 0.5 * t + s((t % 4).toInt)))
+      .toDF("k", "b", "v")
+    def r6c(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(30,12)"), 6).cast("double")
+    val act = series.select(col("k"), col("b"), r6c(col("v")).as("va"))
+    def mae(fc: org.apache.spark.sql.DataFrame, fcCol: String): Double =
+      ext.Timeseries.forecastMetrics(fc, "k", "b", fcCol, act, "va")
+        .collect().head.getDouble(2)
+    val mEw = mae(Timeseries.ewma(series, "k", "b", "v", 0.3, 12), "ewma")
+    val mBr = mae(Timeseries.brownForecast(series, "k", "b", "v",
+      0.3, 12), "forecast")
+    val mHw = mae(Timeseries.holtWinters(series, "k", "b", "v",
+      4, 0.3, 12), "forecast")
+    assert(mHw < 1e-5, s"hw=$mHw")
+    assert(mHw < mBr && mHw < mEw, s"hw=$mHw brown=$mBr ewma=$mEw")
+  }
+
   test("ewma: y_0 = x_0 (adjust=true short head), a constant series is " +
     "a fixed point, and a hand-computed two-term head matches") {
     val series = Seq(("k", 0L, 10.0), ("k", 1L, 20.0), ("k", 2L, 20.0),

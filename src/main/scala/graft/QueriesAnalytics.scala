@@ -3876,6 +3876,100 @@ object QueriesAnalytics {
             UNION ALL
             ${leg("hw", "hf")})
           ORDER BY model, event_type"""
+      }),
+
+    // robust seasonal decomposition (round 18, the r17 verdict's #7
+    // ask): STL's outer bisquare-weight loop over the q244 chain — two
+    // FIXED re-weighting rounds, h = 6·mean|resid| per key (mean-AD,
+    // not the order-statistic MAD, for exact engine parity), weighted
+    // phase means with exact decimal numerator AND denominator; trend
+    // stays the fixed centered MA (robustness targets the seasonal
+    // means — the spec quantifies the outlier pull-out). The oracle
+    // replays round 0 and both re-weighting rounds as chained CTEs.
+    Q("q258_seasonal_decompose_robust",
+      (s, d) => {
+        val series = series6h(s, d)
+        ext.Timeseries.seasonalDecomposeRobust(series, "event_type",
+            "bucket", "v", period = 4, iters = 2)
+          .withColumn("v", round(col("v"), 6))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some {
+        def iterSql(i: Int): String = {
+          val prev = s"r${i - 1}"
+          val uu = s"(abs(r.resid) / (6.0 * m.mad))"
+          s"""md$i AS (SELECT event_type,
+                        CAST(sum(CAST(abs(resid) AS DECIMAL(30,12)))
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mad
+                      FROM $prev WHERE resid IS NOT NULL
+                      GROUP BY event_type),
+             w$i AS (SELECT r.event_type, r.bucket, r.v, r.trend,
+                            r.phase,
+                            CASE WHEN r.resid IS NULL THEN NULL
+                                 WHEN 6.0 * m.mad > 0.0
+                                      AND abs(r.resid) < 6.0 * m.mad
+                                 THEN (1.0 - $uu * $uu)
+                                      * (1.0 - $uu * $uu)
+                                 WHEN 6.0 * m.mad > 0.0 THEN 0.0
+                                 ELSE 1.0 END AS w
+                     FROM $prev r LEFT JOIN md$i m USING (event_type)),
+             pm$i AS (SELECT event_type, phase,
+                             CAST(sum(CAST(w * (v - trend)
+                               AS DECIMAL(30,12))) AS DOUBLE)
+                             / CAST(sum(CAST(w AS DECIMAL(30,12)))
+                               AS DOUBLE) AS pm
+                      FROM w$i WHERE trend IS NOT NULL
+                      GROUP BY event_type, phase),
+             gm$i AS (SELECT event_type,
+                             CAST(sum(CAST(pm AS DECIMAL(30,12)))
+                               AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                               AS gm
+                      FROM pm$i GROUP BY event_type),
+             r$i AS (SELECT w.event_type, w.bucket, w.v, w.trend,
+                            w.phase, w.w,
+                            p.pm - g.gm AS seas,
+                            (w.v - w.trend) - (p.pm - g.gm) AS resid
+                     FROM w$i w
+                     LEFT JOIN pm$i p ON w.event_type = p.event_type
+                                     AND w.phase = p.phase
+                     LEFT JOIN gm$i g ON w.event_type = g.event_type)"""
+        }
+        s"""WITH $se6hCte,
+           tr AS (SELECT event_type, bucket, v,
+                         (lag(v, 2) OVER w * 0.5 + lag(v, 1) OVER w
+                          + v + lead(v, 1) OVER w
+                          + lead(v, 2) OVER w * 0.5) / 4.0 AS trend,
+                         bucket % 4 AS phase
+                  FROM se
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+           pm0 AS (SELECT event_type, phase,
+                          CAST(sum(CAST(v - trend AS DECIMAL(30,12)))
+                            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pm
+                   FROM tr WHERE trend IS NOT NULL
+                   GROUP BY event_type, phase),
+           gm0 AS (SELECT event_type,
+                          CAST(sum(CAST(pm AS DECIMAL(30,12)))
+                            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gm
+                   FROM pm0 GROUP BY event_type),
+           r0 AS (SELECT t.event_type, t.bucket, t.v, t.trend, t.phase,
+                         p.pm - g.gm AS seas,
+                         (t.v - t.trend) - (p.pm - g.gm) AS resid
+                  FROM tr t
+                  LEFT JOIN pm0 p ON t.event_type = p.event_type
+                                 AND t.phase = p.phase
+                  LEFT JOIN gm0 g ON t.event_type = g.event_type),
+           ${iterSql(1)},
+           ${iterSql(2)}
+          SELECT event_type, bucket, round(v, 6) AS v,
+                 CAST(round(CAST(trend AS DECIMAL(30,12)), 6)
+                   AS DOUBLE) AS trend,
+                 CAST(round(CAST(seas AS DECIMAL(30,12)), 6)
+                   AS DOUBLE) AS seasonal,
+                 CAST(round(CAST(resid AS DECIMAL(30,12)), 6)
+                   AS DOUBLE) AS resid,
+                 CAST(round(CAST(w AS DECIMAL(30,12)), 6)
+                   AS DOUBLE) AS weight
+          FROM r2 ORDER BY event_type, bucket"""
       })
   )
 }

@@ -1017,7 +1017,68 @@ object QueriesRetrieval {
                                halfCorpusWhere)}
               SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
                      round(CAST(score AS DOUBLE), 6) AS score
-              FROM rk WHERE rank <= 10 ORDER BY q_id, rank"""))
+              FROM rk WHERE rank <= 10 ORDER BY q_id, rank""")),
+
+    // min-distance proximity scoring (round 18, the r17 verdict's #5
+    // ask — positions used to GATE (q230) but never SCORE): BM25 plus
+    // one more decimal addend λ·ln(1 + 1/δ), δ = the exact minimum
+    // distance between occurrences of two DISTINCT query terms,
+    // computed by one (query, doc)-windowed adjacent-gap scan over the
+    // exploded positions (the true min pair is always
+    // position-adjacent — an interior token would form a closer
+    // distinct pair with one end). Docs matching < 2 distinct terms
+    // boost by exactly 0. The oracle replays the position explode, the
+    // lag window, the min, and the boosted decimal sum.
+    Q("q257_bm25_proximity",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = artifactPath("lex_index_q257")
+        rmrf(new java.io.File(dir))
+        Retrieval.saveLexIndex(
+          docs.where(expr(halfCorpusWhere.stripPrefix("WHERE "))),
+          "doc_id", "text", dir, nBuckets = 64, positional = true)
+        val idx = Retrieval.loadLexIndex(s, dir)
+        Retrieval.bm25TopKProximity(idx,
+            qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10,
+            lambda = 1.0)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""WITH ${bm25Ctes("WHERE doc_id % 50 = 0",
+                               halfCorpusWhere)},
+              pos0 AS (SELECT doc_id,
+                              unnest(list_transform(range(1, len(tk) + 1),
+                                i -> {'p': i, 'term': tk[i]})) AS u
+                       FROM tk),
+              pp AS (SELECT doc_id, CAST(u.p AS INT) AS p,
+                            u.term AS term
+                     FROM pos0),
+              mp AS (SELECT q.q_id, p.doc_id, p.term, p.p
+                     FROM qt q JOIN pp p USING (term)),
+              wg AS (SELECT q_id, doc_id, term, p,
+                            lag(term) OVER (PARTITION BY q_id, doc_id
+                              ORDER BY p) AS pt,
+                            lag(p) OVER (PARTITION BY q_id, doc_id
+                              ORDER BY p) AS pq
+                     FROM mp),
+              gp AS (SELECT q_id, doc_id, p - pq AS g
+                     FROM wg WHERE pt IS NOT NULL AND pt <> term),
+              dm AS (SELECT q_id, doc_id, min(g) AS d
+                     FROM gp GROUP BY q_id, doc_id),
+              agp AS (SELECT ag.q_id, ag.doc_id,
+                             ag.score + coalesce(
+                               CAST(1.0 * ln(1.0 + 1.0 /
+                                 CAST(dm.d AS DOUBLE))
+                                 AS DECIMAL(20,12)),
+                               CAST(0 AS DECIMAL(20,12))) AS score
+                      FROM ag LEFT JOIN dm
+                        ON ag.q_id = dm.q_id AND ag.doc_id = dm.doc_id),
+              rkp AS (SELECT q_id, doc_id, score,
+                             row_number() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, doc_id) AS rank
+                      FROM agp)
+             SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+                    round(CAST(score AS DOUBLE), 6) AS score
+             FROM rkp WHERE rank <= 10 ORDER BY q_id, rank"""))
   )
 
   private lazy val artifactRoot: String =

@@ -1338,6 +1338,81 @@ object Retrieval {
       .distinct()
   }
 
+  /** BM25 with a MIN-DISTANCE proximity boost (Büttcher/Clarke/Lushman
+    * 2006's term-proximity idea in its minimal relational form), served
+    * from a POSITIONAL index — the round-18 answer to "positions only
+    * gate (q230), never score": the plain BM25 decimal sum plus ONE
+    * more DECIMAL(20,12) addend per (query, doc),
+    *
+    *   boost = λ · ln(1 + 1/δ),
+    *
+    * δ = the minimum distance between occurrences of two DISTINCT
+    * query terms in the doc. Computed exactly with one window pass:
+    * explode the matched terms' positions, sort within (query, doc),
+    * and take adjacent different-term gaps — the true minimum pair is
+    * always position-adjacent (any token strictly between the pair
+    * would form a closer distinct-term pair with one of its ends), so
+    * the lag-based gap scan IS the exact min over all occurrence
+    * pairs. Docs matching fewer than two distinct query terms carry no
+    * boost (δ undefined → addend exactly 0), so single-term queries
+    * reduce to the plain read.
+    *
+    * Adjacent terms at equal tf outrank scattered ones (spec-pinned) —
+    * the search-quality read the decontamination-oriented phrase
+    * filter cannot provide. Scale shape: the candidate join is the
+    * plain read's (DPP-pruned postings ⋈ broadcast kept terms, shared
+    * via a lazy local checkpoint so base scoring and the proximity
+    * window consume ONE pass); the position explode is bounded by the
+    * candidates' token occurrences — the inverted-index bound, never
+    * the corpus. Returns `(q_id, rank, idCol, score)`.
+    */
+  def bm25TopKProximity(idx: LexIndex, qterms: DataFrame, qIdCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      lambda: Double = 1.0): DataFrame = {
+    require(idx.positional,
+      "bm25TopKProximity needs a positional index (saveLexIndex with " +
+        "positional = true)")
+    val kept = keptTerms(idx, qterms, qIdCol, maxDfFrac = 1.0)
+    val rows = idx.postings
+      .join(broadcast(kept), Seq("tbucket", "term"))
+      .select(col("q_id"), col(idx.idCol), col("term"), col("pos"),
+        bm25Contribution(k1, b).as("__s"))
+      .localCheckpoint(false)
+    val base = rows
+      .groupBy(col("q_id"), col(idx.idCol))
+      .agg(sum(col("__s")).as("__bm"))
+    val pos = rows.select(col("q_id"), col(idx.idCol), col("term"),
+      explode(col("pos")).as("__p"))
+    // positions are unique within (query, doc) across kept terms (one
+    // token per position; kept terms are distinct per query), so the
+    // ordering is total and the lag deterministic
+    val wp = Window.partitionBy(col("q_id"), col(idx.idCol))
+      .orderBy(col("__p"))
+    val gaps = pos
+      .withColumn("__pt", lag(col("term"), 1).over(wp))
+      .withColumn("__pq", lag(col("__p"), 1).over(wp))
+      .where(col("__pt").isNotNull && col("__pt") =!= col("term"))
+      .select(col("q_id"), col(idx.idCol),
+        (col("__p") - col("__pq")).as("__g"))
+    val prox = gaps.groupBy(col("q_id"), col(idx.idCol))
+      .agg(min(col("__g")).as("__d"))
+    val boosted = base
+      .join(prox, Seq("q_id", idx.idCol), "left")
+      .select(col("q_id"), col(idx.idCol),
+        (col("__bm") + coalesce(
+          (lit(lambda) * log(lit(1.0) +
+            lit(1.0) / col("__d").cast("double")))
+            .cast("decimal(20,12)"),
+          lit(0).cast("decimal(20,12)"))).as("__score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("__score").desc, col(idx.idCol).asc)
+    boosted
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idx.idCol),
+        round(col("__score").cast("double"), 6).as("score"))
+  }
+
   /** Query-likelihood top-k with Dirichlet smoothing (Zhai & Lafferty) —
     * the second canonical lexical scorer, over the SAME postings
     * artifact as BM25: rank score per (query, doc) =

@@ -207,6 +207,93 @@ object Timeseries {
           (col("__pm") - col("__gm")), 6).as("resid"))
   }
 
+  /** ROBUST additive seasonal decomposition — [[seasonalDecompose]]
+    * with STL's outer robustness loop (Cleveland et al. 1990) applied
+    * to the SEASONAL means: a FIXED number of re-weighting rounds in
+    * which each point's bisquare weight
+    *
+    *   w = (1 − (|resid| / h)²)²  for |resid| < h, else 0,
+    *   h = 6 · mean(|resid|) per key
+    *
+    * down-weights outliers before the per-phase means are re-estimated
+    * as WEIGHTED means `Σ w·(v − trend) / Σ w` (both sums exact
+    * DECIMAL(30,12)); the grand re-centering stays the plain mean of
+    * the phase means. Two deliberate deviations from textbook STL,
+    * both for exact oracle replay: `h` uses the mean absolute residual
+    * (not 6·MAD-median — an order statistic whose interpolation is
+    * engine-divergence-prone), and the TREND stays the fixed centered
+    * MA (STL re-loess-es it; here robustness targets the seasonal
+    * means, so an outlier still perturbs its ±period/2 trend
+    * neighborhood — the spec quantifies what the weights do and don't
+    * recover). A zero-spread key (h = 0, perfect fit) keeps all
+    * weights 1; a phase whose weights all vanish yields the IEEE 0/0
+    * of the weighted mean — callers feed series where every phase
+    * keeps mass, the q244 stance.
+    *
+    * Scale shape: the q244 chain plus, per round, one key-sized
+    * aggregate (h), one broadcast join, and the re-run period-bounded
+    * phase means — all broadcast-sized; the series is traversed, never
+    * reshuffled. Returns `(keyCol, bucketCol, valCol, trend, seasonal,
+    * resid, weight)` rounded through DECIMAL(30,12); `weight` is the
+    * weight USED by the final re-estimation (null at the trend-null
+    * edges).
+    */
+  def seasonalDecomposeRobust(series: DataFrame, keyCol: String,
+      bucketCol: String, valCol: String, period: Int,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val base = withCenteredTrend(series, keyCol, bucketCol, valCol,
+      period).localCheckpoint(false)
+    val det = col("__x") - col("__trend")
+    def grandOf(pm: DataFrame): DataFrame =
+      pm.groupBy(col(keyCol))
+        .agg((sum(col("__pm").cast("decimal(30,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("__gm"))
+    def reseason(staged: DataFrame, pm: DataFrame): DataFrame =
+      staged.join(broadcast(pm), Seq(keyCol, "__phase"), "left")
+        .join(broadcast(grandOf(pm)), Seq(keyCol), "left")
+        .withColumn("__seas", col("__pm") - col("__gm"))
+        .withColumn("__resid", det - col("__seas"))
+        .drop("__pm", "__gm")
+    // round 0: the plain q244 estimate
+    val pm0 = base.where(col("__trend").isNotNull)
+      .groupBy(col(keyCol), col("__phase"))
+      .agg((sum(det.cast("decimal(30,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("__pm"))
+    var cur = reseason(base, pm0)
+    (1 to iters).foreach { _ =>
+      val mad = cur.where(col("__resid").isNotNull)
+        .groupBy(col(keyCol))
+        .agg((sum(abs(col("__resid")).cast("decimal(30,12)"))
+          .cast("double") / count(lit(1)).cast("double")).as("__mad"))
+      val hh = lit(6.0d) * col("__mad")
+      val u = abs(col("__resid")) / hh
+      val wExpr = when(col("__resid").isNull,
+          lit(null).cast("double"))
+        .when(hh > 0.0d && abs(col("__resid")) < hh,
+          (lit(1.0d) - u * u) * (lit(1.0d) - u * u))
+        .when(hh > 0.0d, lit(0.0d))
+        .otherwise(lit(1.0d))
+      val staged = cur.join(broadcast(mad), Seq(keyCol), "left")
+        .withColumn("__w", wExpr)
+        .drop("__mad", "__seas", "__resid")
+      val pm = staged.where(col("__trend").isNotNull)
+        .groupBy(col(keyCol), col("__phase"))
+        .agg((sum((col("__w") * det).cast("decimal(30,12)"))
+          .cast("double") /
+          sum(col("__w").cast("decimal(30,12)")).cast("double"))
+          .as("__pm"))
+      cur = reseason(staged, pm)
+    }
+    def r6(cc: org.apache.spark.sql.Column) =
+      round(cc.cast("decimal(30,12)"), 6).cast("double")
+    cur.select(col(keyCol), col(bucketCol), col("__x").as(valCol),
+      r6(col("__trend")).as("trend"),
+      r6(col("__seas")).as("seasonal"),
+      r6(col("__resid")).as("resid"),
+      r6(col("__w")).as("weight"))
+  }
+
   /** Trailing-window z-score anomaly detection on a regular series:
     * each point is judged against the mean/stddev of the `window`
     * points STRICTLY BEFORE it (the standard leak-free monitor — the

@@ -842,6 +842,57 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- min-distance proximity scoring (round 18) ----------------------
+
+  test("bm25TopKProximity: adjacent terms outrank scattered terms at " +
+    "equal tf (the plain read ties them); single-term matches carry " +
+    "exactly zero boost") {
+    val docs = Seq(
+      (1L, "alpha beta filler filler filler"),
+      (2L, "alpha filler filler filler beta"),
+      (3L, "alpha filler filler filler filler")).toDF("doc_id", "text")
+    val p = tmpIdx("lexidx_prox")
+    Retrieval.saveLexIndex(docs, "doc_id", "text", p, nBuckets = 8,
+      positional = true)
+    val idx = Retrieval.loadLexIndex(spark, p)
+    val q = Seq((1L, "alpha"), (1L, "beta")).toDF("q_id", "term")
+    def scoresOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(2) -> (r.getInt(1), r.getDouble(3)))
+        .toMap
+    val plain = scoresOf(Retrieval.bm25TopKFromIndex(idx, q, "q_id",
+      k = 3))
+    val prox = scoresOf(Retrieval.bm25TopKProximity(idx, q, "q_id",
+      k = 3))
+    // equal tf/dl → the PLAIN read ties docs 1 and 2 (rank by id)
+    assert(plain(1L)._2 == plain(2L)._2)
+    assert(plain(1L)._1 == 1 && plain(2L)._1 == 2)
+    // proximity separates them: δ = 1 → +ln 2, δ = 4 → +ln 1.25
+    assert(prox(1L)._1 == 1 && prox(2L)._1 == 2 && prox(3L)._1 == 3)
+    assert(math.abs((prox(1L)._2 - plain(1L)._2) - math.log(2.0)) < 1e-5)
+    assert(math.abs((prox(2L)._2 - plain(2L)._2) - math.log(1.25)) < 1e-5)
+    assert(prox(1L)._2 - prox(2L)._2 > 0.4) // ln2 − ln1.25 ≈ 0.47
+    // single-term match: boost is exactly 0 — scores identical
+    assert(prox(3L)._2 == plain(3L)._2)
+  }
+
+  test("bm25TopKProximity: a non-positional index is refused loudly; " +
+    "a single-term query reduces to the plain read") {
+    val p = tmpIdx("lexidx_prox_np")
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", p, nBuckets = 8,
+      positional = false)
+    val idx = Retrieval.loadLexIndex(spark, p)
+    val q = Seq((1L, "fox")).toDF("q_id", "term")
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKProximity(idx, q, "q_id", k = 3)
+    }
+    val pp = tmpIdx("lexidx_prox_p")
+    Retrieval.saveLexIndex(corpus, "doc_id", "text", pp, nBuckets = 8,
+      positional = true)
+    val pidx = Retrieval.loadLexIndex(spark, pp)
+    assert(rowsOf(Retrieval.bm25TopKProximity(pidx, q, "q_id", k = 5)) ==
+      rowsOf(Retrieval.bm25TopKFromIndex(pidx, q, "q_id", k = 5)))
+  }
+
   // ---- stats-only refresh (round 17) ----------------------------------
 
   test("refreshLexStats: delete → refresh serves the FRESH-BUILD " +

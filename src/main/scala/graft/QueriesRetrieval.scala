@@ -1078,7 +1078,88 @@ object QueriesRetrieval {
                       FROM agp)
              SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
                     round(CAST(score AS DOUBLE), 6) AS score
-             FROM rkp WHERE rank <= 10 ORDER BY q_id, rank"""))
+             FROM rkp WHERE rank <= 10 ORDER BY q_id, rank""")),
+
+    // BM25F multi-field scoring (round 18, completing the r17 verdict's
+    // #5 ask beyond min-window proximity): Robertson & Zaragoza's
+    // simple-BM25F — per (query, doc, term) the fields' tfs fold into
+    // ONE weighted, per-field-length-normalized pseudo-frequency BEFORE
+    // saturation (a term matching several fields cannot multiply its
+    // idf — the structural difference from per-field BM25 summed), idf
+    // document-level. Fields here are derived token slices (title =
+    // first 8 tokens at weight 2, body = the rest at weight 1, both
+    // b 0.75), so engine and oracle tokenize identically once. The
+    // oracle replays the per-field postings union, field lengths and
+    // avgdl, document-level df, the decimal field fold, and the
+    // saturated decimal term fold.
+    Q("q259_bm25f_fields",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tk = TextAnalysis.tokens(col("text"))
+        val fields = Seq(
+          Retrieval.Bm25fField("title", slice(tk, 1, 8), 2.0, 0.75),
+          Retrieval.Bm25fField("body", slice(tk, lit(9), size(tk)),
+            1.0, 0.75))
+        Retrieval.bm25fTopK(docs, "doc_id", fields,
+            qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""WITH tka AS (SELECT doc_id, $toksSql AS tk
+                          FROM documents),
+              fp AS (SELECT doc_id, 'title' AS field,
+                            unnest(tk[1:8]) AS term
+                     FROM tka
+                     UNION ALL
+                     SELECT doc_id, 'body', unnest(tk[9:]) FROM tka),
+              post AS (SELECT doc_id, field, term, count(*) AS tf
+                       FROM fp GROUP BY doc_id, field, term),
+              dlf AS (SELECT doc_id, field, sum(tf) AS dlf
+                      FROM post GROUP BY doc_id, field),
+              avgf AS (SELECT field,
+                              CAST(sum(dlf) AS DOUBLE)
+                                / CAST(count(*) AS DOUBLE) AS avgdlf
+                       FROM dlf GROUP BY field),
+              dfq AS (SELECT term, count(*) AS dfreq
+                      FROM (SELECT DISTINCT doc_id, term FROM post)
+                      GROUP BY term),
+              nn AS (SELECT count(*) AS n_docs
+                     FROM (SELECT DISTINCT doc_id FROM post)),
+              fcfg(field, w, b) AS (VALUES ('title', 2.0, 0.75),
+                                           ('body', 1.0, 0.75)),
+              qt AS (SELECT DISTINCT doc_id AS q_id,
+                            unnest(tk[1:8]) AS term
+                     FROM tka WHERE doc_id % 50 = 0),
+              cm AS (SELECT q.q_id, p.doc_id, p.term,
+                            CAST((c.w * CAST(p.tf AS DOUBLE)) /
+                                 (1.0 - c.b + c.b *
+                                  CAST(l.dlf AS DOUBLE) / a.avgdlf)
+                              AS DECIMAL(30,12)) AS comp
+                     FROM qt q
+                     JOIN post p USING (term)
+                     JOIN dlf l ON p.doc_id = l.doc_id
+                               AND p.field = l.field
+                     JOIN avgf a ON p.field = a.field
+                     JOIN fcfg c ON p.field = c.field),
+              tw AS (SELECT q_id, doc_id, term, sum(comp) AS tfw
+                     FROM cm GROUP BY q_id, doc_id, term),
+              sc AS (SELECT t.q_id, t.doc_id,
+                            CAST(ln(1.0 +
+                                   (CAST(nn.n_docs - d.dfreq AS DOUBLE)
+                                    + 0.5) /
+                                   (CAST(d.dfreq AS DOUBLE) + 0.5))
+                               * (CAST(t.tfw AS DOUBLE) /
+                                  (1.2 + CAST(t.tfw AS DOUBLE)))
+                              AS DECIMAL(20,12)) AS s
+                     FROM tw t JOIN dfq d USING (term) CROSS JOIN nn),
+              agf2 AS (SELECT q_id, doc_id, sum(s) AS score
+                       FROM sc GROUP BY q_id, doc_id),
+              rkf2 AS (SELECT q_id, doc_id, score,
+                              row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, doc_id) AS rank
+                       FROM agf2)
+             SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+                    round(CAST(score AS DOUBLE), 6) AS score
+             FROM rkf2 WHERE rank <= 10 ORDER BY q_id, rank"""))
   )
 
   private lazy val artifactRoot: String =

@@ -1413,6 +1413,102 @@ object Retrieval {
         round(col("__score").cast("double"), 6).as("score"))
   }
 
+  /** One field of a [[bm25fTopK]] document: `tokens` is the field's
+    * already-tokenized array column (callers slice/derive it — passing
+    * tokens, not raw text, keeps the engine and the oracle tokenizing
+    * exactly once and identically), `weight` the field boost, `b` the
+    * field's own length-normalization strength.
+    */
+  final case class Bm25fField(name: String, tokens: Column,
+      weight: Double, b: Double)
+
+  /** BM25F multi-field scoring (Robertson & Zaragoza's simple-BM25F —
+    * the field-weighted form behind Lucene's `BM25FQuery`/Elasticsearch
+    * `combined_fields`): per (query, doc, term) the fields' tfs fold
+    * into ONE weighted, field-length-normalized pseudo-frequency
+    * BEFORE saturation,
+    *
+    *   tfw(t, d)  = Σ_f  w_f · tf_f / (1 − b_f + b_f · dl_f/avgdl_f)
+    *   score(q,d) = Σ_t  idf(t) · tfw / (k1 + tfw)
+    *
+    * — structurally different from (and better than) per-field BM25
+    * summed: saturation applies to the COMBINED evidence, so a term
+    * matching in several fields cannot multiply its idf. idf is
+    * DOCUMENT-level (a doc contains t if any field does — the
+    * BM25F convention), fields carry their own avgdl. Per-field
+    * components are exact DECIMAL(30,12) addends (field fold), the
+    * per-term score a DECIMAL(20,12) addend (term fold) — both
+    * order-free, oracle-replayed verbatim; ranks tie-break on id.
+    *
+    * Scale shape: one union of per-field postings (each a tokenize +
+    * groupBy — map-side combinable), shared via a lazy local
+    * checkpoint across the dl/avgdl/df/N derivations and the scoring
+    * join; the scoring join is term-keyed against query-bounded terms
+    * (the inverted-index bound), field config and per-field avgdl are
+    * broadcast-sized. A degenerate single field at weight 1 reproduces
+    * plain BM25's ranking exactly (score × 1/(k1+1) — spec-pinned).
+    * Returns `(q_id, rank, idCol, score)`.
+    */
+  def bm25fTopK(docs: DataFrame, idCol: String, fields: Seq[Bm25fField],
+      qterms: DataFrame, qIdCol: String, k: Int,
+      k1: Double = 1.2): DataFrame = {
+    require(fields.nonEmpty, "bm25fTopK needs at least one field")
+    require(fields.map(_.name).distinct.size == fields.size,
+      s"duplicate field names: ${fields.map(_.name).mkString(",")}")
+    val perField = fields.map { f =>
+      docs.select(col(idCol), explode(f.tokens).as("term"))
+        .groupBy(col(idCol), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .select(col(idCol), lit(f.name).as("field"), col("term"),
+          col("tf"))
+    }
+    val post = perField.reduce(_.unionByName(_)).localCheckpoint(false)
+    val dlf = post.groupBy(col(idCol), col("field"))
+      .agg(sum(col("tf")).as("dlf"))
+    val avgf = dlf.groupBy(col("field"))
+      .agg((sum(col("dlf")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdlf"))
+    val dfq = post.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val nDocs = post.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val fcfg = fields.map(f => (f.name, f.weight, f.b))
+      .toDF("field", "__w", "__b")
+    val comp = qterms.select(col(qIdCol).as("q_id"), col("term"))
+      .join(post, Seq("term"))
+      .join(dlf, Seq(idCol, "field"))
+      .join(broadcast(avgf), Seq("field"))
+      .join(broadcast(fcfg), Seq("field"))
+      .select(col("q_id"), col(idCol), col("term"),
+        ((col("__w") * col("tf").cast("double")) /
+          (lit(1.0) - col("__b") + col("__b") *
+            col("dlf").cast("double") / col("avgdlf")))
+          .cast("decimal(30,12)").as("__c"))
+    val tfw = comp.groupBy(col("q_id"), col(idCol), col("term"))
+      .agg(sum(col("__c")).as("__tfw"))
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("dfreq")).cast("double") + lit(0.5)) /
+        (col("dfreq").cast("double") + lit(0.5)))
+    val scored = tfw
+      .join(dfq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("q_id"), col(idCol),
+        (idf * (col("__tfw").cast("double") /
+          (lit(k1) + col("__tfw").cast("double"))))
+          .cast("decimal(20,12)").as("__s"))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(col("__s")).as("__score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("__score").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol),
+        round(col("__score").cast("double"), 6).as("score"))
+  }
+
   /** Query-likelihood top-k with Dirichlet smoothing (Zhai & Lafferty) —
     * the second canonical lexical scorer, over the SAME postings
     * artifact as BM25: rank score per (query, doc) =

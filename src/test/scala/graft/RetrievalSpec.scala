@@ -893,6 +893,57 @@ class RetrievalSpec extends AnyFunSuite {
       rowsOf(Retrieval.bm25TopKFromIndex(pidx, q, "q_id", k = 5)))
   }
 
+  // ---- BM25F multi-field scoring (round 18) ----------------------------
+
+  test("bm25fTopK: a title hit outranks an equal body hit under field " +
+    "weights; matching BOTH fields folds before saturation (no idf " +
+    "double-count)") {
+    val docs = Seq(
+      (1L, "zebra filler", "aaa bbb ccc ddd"),
+      (2L, "other filler", "zebra bbb ccc ddd"),
+      (3L, "zebra filler", "zebra bbb ccc ddd")).toDF(
+      "doc_id", "title", "body")
+    val fields = Seq(
+      Retrieval.Bm25fField("title", split(col("title"), " "), 2.0, 0.75),
+      Retrieval.Bm25fField("body", split(col("body"), " "), 1.0, 0.75))
+    val q = Seq((1L, "zebra")).toDF("q_id", "term")
+    val rows = Retrieval.bm25fTopK(docs, "doc_id", fields, q, "q_id",
+        k = 3)
+      .collect().map(r => r.getLong(2) -> (r.getInt(1), r.getDouble(3)))
+      .toMap
+    // both-fields doc first, then title-only (w 2), then body-only
+    assert(rows(3L)._1 == 1 && rows(1L)._1 == 2 && rows(2L)._1 == 3,
+      rows.toString)
+    // saturation on the COMBINED tfw: doc 3's score is LESS than the
+    // sum of doc 1's and doc 2's (which a per-field-BM25 sum would
+    // roughly give), strictly more than either alone
+    assert(rows(3L)._2 < rows(1L)._2 + rows(2L)._2)
+    assert(rows(3L)._2 > rows(1L)._2 && rows(3L)._2 > rows(2L)._2)
+  }
+
+  test("bm25fTopK: a single field at weight 1 reproduces plain BM25 " +
+    "exactly up to the constant (k1+1) factor — same ranks, scores " +
+    "scaled") {
+    val fields = Seq(Retrieval.Bm25fField("text",
+      graft.ext.TextAnalysis.tokens(col("text")), 1.0, 0.75))
+    val q = Seq((1L, "fox"), (1L, "dog"), (2L, "quick"))
+      .toDF("q_id", "term")
+    val f = Retrieval.bm25fTopK(corpus, "doc_id", fields, q, "q_id",
+        k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getInt(1), r.getDouble(3))).toMap
+    val p = Retrieval.bm25TopK(corpus, "doc_id", "text", q, "q_id",
+        k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getInt(1), r.getDouble(3))).toMap
+    assert(f.keySet == p.keySet)
+    f.foreach { case (k2, (rank, score)) =>
+      assert(p(k2)._1 == rank, s"rank mismatch at $k2")
+      assert(math.abs(p(k2)._2 - 2.2 * score) < 1e-4,
+        s"score scale at $k2: plain=${p(k2)._2} f=$score")
+    }
+  }
+
   // ---- stats-only refresh (round 17) ----------------------------------
 
   test("refreshLexStats: delete → refresh serves the FRESH-BUILD " +

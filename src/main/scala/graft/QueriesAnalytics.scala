@@ -3878,6 +3878,73 @@ object QueriesAnalytics {
           ORDER BY model, event_type"""
       }),
 
+    // MULTIPLICATIVE Holt-Winters forecast (round 18): q255's twin for
+    // level-scaled seasonality — q251's ratio factor means (normalized
+    // to average 1, unrounded) deseasonalize by DIVISION, Brown tracks
+    // the deseasonalized level+trend, the forecast re-SCALES by the
+    // next phase's factor; the normalization constant cancels between
+    // the division and the re-scale, so a planted line x
+    // phase-symmetric pattern forecasts exactly (spec-pinned). Oracle
+    // replays the ratio decomposition, the d-series, both stacks, and
+    // the multiplicative re-compose.
+    Q("q260_holt_winters_mul",
+      (s, d) => {
+        val series = series6h(s, d)
+        ext.Timeseries.holtWintersMul(series, "event_type", "bucket",
+            "v", period = 4, alpha = 0.3, window = 12)
+          .withColumn("v", round(col("v"), 6))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some {
+        val ws = ext.Timeseries.ewmaWeights(0.3, 12)
+        val c = ext.Timeseries.ewmaMeanLag(0.3, 12)
+        s"""WITH $se6hCte,
+           tr AS (SELECT event_type, bucket, v,
+                         (lag(v, 2) OVER w * 0.5 + lag(v, 1) OVER w
+                          + v + lead(v, 1) OVER w
+                          + lead(v, 2) OVER w * 0.5) / 4.0 AS trend,
+                         bucket % 4 AS phase
+                  FROM se
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+           pm AS (SELECT event_type, phase,
+                         CAST(sum(CAST(v / trend AS DECIMAL(30,12)))
+                           AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pm
+                  FROM tr WHERE trend > 0.0
+                  GROUP BY event_type, phase),
+           gm AS (SELECT event_type,
+                         CAST(sum(CAST(pm AS DECIMAL(30,12)))
+                           AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gm
+                  FROM pm GROUP BY event_type),
+           sn AS (SELECT p.event_type, p.phase, p.pm / g.gm AS sf
+                  FROM pm p JOIN gm g ON p.event_type = g.event_type),
+           ds AS (SELECT t.event_type, t.bucket, t.v, t.v / s.sf AS d,
+                         row_number() OVER (PARTITION BY t.event_type
+                           ORDER BY t.bucket) AS rn
+                  FROM tr t LEFT JOIN sn s ON t.event_type = s.event_type
+                                          AND t.phase = s.phase),
+           s1 AS (SELECT event_type, bucket, v, d, rn,
+                         ${ewmaRatioSql("d", ws)} AS e1
+                  FROM ds
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+           s2 AS (SELECT event_type, bucket, v, rn, e1,
+                         ${ewmaRatioSql("e1", ws)} AS e2
+                  FROM s1
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+          SELECT s2.event_type, s2.bucket, round(s2.v, 6) AS v,
+                 CAST(round(CAST(2.0 * e1 - e2 AS DECIMAL(30,12)), 6)
+                   AS DOUBLE) AS level,
+                 CAST(round(CAST((e1 - e2) / $c AS DECIMAL(30,12)), 6)
+                   AS DOUBLE) AS trend,
+                 CAST(round(CAST(s.sf AS DECIMAL(30,12)), 6)
+                   AS DOUBLE) AS seasonal_next,
+                 CAST(round(CAST(((2.0 * e1 - e2) + (e1 - e2) / $c)
+                   * s.sf AS DECIMAL(30,12)), 6) AS DOUBLE) AS forecast
+          FROM s2 LEFT JOIN sn s ON s2.event_type = s.event_type
+                                AND (s2.bucket + 1) % 4 = s.phase
+          WHERE rn >= 23
+          ORDER BY s2.event_type, s2.bucket"""
+      }),
+
     // robust seasonal decomposition (round 18, the r17 verdict's #7
     // ask): STL's outer bisquare-weight loop over the q244 chain — two
     // FIXED re-weighting rounds, h = 6·mean|resid| per key (mean-AD,

@@ -475,6 +475,67 @@ object Timeseries {
         r6(level + trend).as("forecast"))
   }
 
+  /** [[holtWinters]]'s MULTIPLICATIVE twin — for series whose seasonal
+    * swing scales with the level (the q251 model v = L·s): seasonal
+    * FACTORS from [[seasonalDecomposeMul]]'s chain (per-phase ratio
+    * means re-normalized to average 1, UNROUNDED), deseasonalize by
+    * DIVISION d = v / s(phase), Brown level+trend on d, and the
+    * forecast re-SCALES: `forecast_t = (level_t + trend_t) ·
+    * s(phase(t+1))`. Exact on a planted line × phase-symmetric
+    * pattern (d is exactly a scaled line, Brown is exact on lines, the
+    * normalization constant cancels between d and the re-scale —
+    * spec-pinned). Same plan shape, contract, and emission rule as the
+    * additive form; requires the level-positive series the
+    * multiplicative model assumes (rows whose trend is not strictly
+    * positive are excluded from the factor means). Returns
+    * `(keyCol, bucketCol, valCol, level, trend, seasonal_next,
+    * forecast)` rounded through DECIMAL(30,12).
+    */
+  def holtWintersMul(series: DataFrame, keyCol: String,
+      bucketCol: String, valCol: String, period: Int, alpha: Double,
+      window: Int): DataFrame = {
+    val ws = ewmaWeights(alpha, window)
+    val c = ewmaMeanLag(alpha, window)
+    val withTrend = withCenteredTrend(series, keyCol, bucketCol, valCol,
+      period)
+    val ratio = (col("__x") / col("__trend")).cast("decimal(30,12)")
+    val phaseMeans = withTrend
+      .where(col("__trend") > 0.0d)
+      .groupBy(col(keyCol), col("__phase"))
+      .agg((sum(ratio).cast("double") /
+        count(lit(1)).cast("double")).as("__pm"))
+    val grand = phaseMeans.groupBy(col(keyCol))
+      .agg((sum(col("__pm").cast("decimal(30,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("__gm"))
+    val seas = phaseMeans.join(broadcast(grand), Seq(keyCol))
+      .select(col(keyCol), col("__phase"),
+        (col("__pm") / col("__gm")).as("__sf"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val staged = withTrend
+      .join(broadcast(seas), Seq(keyCol, "__phase"), "left")
+      .withColumn("__d", col("__x") / col("__sf"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__e1", ewmaRatio(col("__d"), w, ws))
+    val staged2 = staged
+      .withColumn("__e2", ewmaRatio(col("__e1"), w, ws))
+    val seasNext = seas.select(col(keyCol),
+      col("__phase").as("__phase2"), col("__sf").as("__sn"))
+    val level = lit(2.0d) * col("__e1") - col("__e2")
+    val trendB = (col("__e1") - col("__e2")) / lit(c)
+    def r6(cc: org.apache.spark.sql.Column) =
+      round(cc.cast("decimal(30,12)"), 6).cast("double")
+    staged2
+      .withColumn("__phase2",
+        pmod(col(bucketCol) + lit(1L), lit(period.toLong)))
+      .join(broadcast(seasNext), Seq(keyCol, "__phase2"), "left")
+      .where(col("__rn") >= 2 * window - 1)
+      .select(col(keyCol), col(bucketCol), col("__x").as(valCol),
+        r6(level).as("level"),
+        r6(trendB).as("trend"),
+        r6(col("__sn")).as("seasonal_next"),
+        r6((level + trendB) * col("__sn")).as("forecast"))
+  }
+
   /** Holt–Winters-style ADDITIVE seasonal one-step-ahead forecast —
     * the composition the r17 verdict asked for: the classical
     * decomposition's per-phase seasonal components ([[seasonalDecompose]]'s

@@ -277,6 +277,32 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(pc == rc)
   }
 
+  test("holtWintersMul: a planted line × phase-symmetric period-4 " +
+    "pattern is forecast EXACTLY one step ahead — the factor " +
+    "normalization constant cancels between the division and the " +
+    "re-scale") {
+    // phase-symmetric (s0 = s2, s1 = s3) so the 2×4 MA of line·s IS
+    // the line (the q251 witness); mean factor 1.05 ≠ 1 on purpose —
+    // the normalization must cancel
+    val s = Map(0 -> 1.2, 1 -> 0.9, 2 -> 1.2, 3 -> 0.9)
+    val series = (0L to 39L)
+      .map(t => ("k", t, (10.0 + 2.0 * t) * s((t % 4).toInt)))
+      .toDF("k", "b", "v")
+    val rows = ext.Timeseries.holtWintersMul(series, "k", "b", "v",
+        period = 4, alpha = 0.3, window = 4)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(5), r.getDouble(6))).toMap
+    assert(rows.keySet.min == 6L && rows.keySet.max == 39L)
+    val m = (1.2 + 0.9 + 1.2 + 0.9) / 4.0
+    (6L to 39L).foreach { t =>
+      val (sn, fc) = rows(t)
+      assert(math.abs(sn - s(((t + 1) % 4).toInt) / m) < 1e-6, s"sn@$t")
+      assert(math.abs(fc -
+        (10.0 + 2.0 * (t + 1)) * s(((t + 1) % 4).toInt)) < 1e-5,
+        s"fc@$t")
+    }
+  }
+
   test("forecastMetrics: hand-computed MAE/sMAPE over shifted pairs, " +
     "zero-zero pairs contribute 0 to sMAPE, null forecasts drop") {
     val fc = Seq(("k", 0L, Some(10.0)), ("k", 1L, Some(12.0)),

@@ -968,10 +968,16 @@ object Retrieval {
       .select(col("q_id"), col(idx.idCol))
     // full scores of the seed candidates: fetch each candidate doc's
     // postings for EVERY kept query term — join output and aggregate
-    // are candidate-bounded, the scan stays DPP-pruned by tbucket
+    // are candidate-bounded, the scan stays DPP-pruned by tbucket.
+    // The broadcast hint is LOAD-BEARING: the candidate side descends
+    // from a checkpointed RDD whose size Catalyst cannot estimate
+    // (defaults to huge), so without it Spark picks the POSTINGS file
+    // scan as the build side — broadcasting the corpus-sized relation
+    // and losing the tbucket DPP route (caught in the round-18 plan
+    // audit; the r17 dump showed the inverted build side)
     val candTerms = seedDocs.join(kept, Seq("q_id"))
     val seedScores = idx.postings
-      .join(candTerms, Seq("tbucket", "term", idx.idCol))
+      .join(broadcast(candTerms), Seq("tbucket", "term", idx.idCol))
       .select(col("q_id"), col(idx.idCol),
         bm25Contribution(k1, b).as("__s"))
       .groupBy(col("q_id"), col(idx.idCol))
@@ -1056,6 +1062,20 @@ object Retrieval {
     // not three times (blocks ContextCleaner-freed)
     val split = maxScoreSplit(idx, qterms, qIdCol, k, maxDfFrac)
       .localCheckpoint(false)
+    // STATIC partition pruning for the two postings scans below: their
+    // join build sides descend from the checkpoint, whose size
+    // Catalyst cannot estimate, so the DPP benefit heuristic never
+    // fires (round-18 plan audit — the committed r17 dump had no
+    // pruning here despite the claim). The whereCellIn discipline
+    // instead: one query-bounded driver read of the kept terms'
+    // distinct buckets (≤ min(nBuckets, kept terms) ints off the
+    // already-materialized checkpoint) becomes a `tbucket IN (…)`
+    // PartitionFilter the scans prune on at plan time — stronger than
+    // DPP and scale-independent.
+    val qBuckets = split.select(col("tbucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val postPruned = idx.postings
+      .where(col("tbucket").isInCollection(qBuckets))
     val ess = split.where(col("__ess"))
     // per-query θ and the non-essential bound mass (exact decimal)
     val qMeta = split.groupBy(col("q_id"))
@@ -1065,7 +1085,7 @@ object Retrieval {
           .otherwise(lit(0).cast("decimal(20,12)"))).as("__nes"))
     // phase 2: essential partial scores; a survivor must still be able
     // to reach θ with ALL non-essential bounds granted
-    val partial = idx.postings
+    val partial = postPruned
       .join(broadcast(ess.select(col("tbucket"), col("term"),
         col("q_id"), col("dfreq"), col("n_docs"), col("avgdl"))),
         Seq("tbucket", "term"))
@@ -1084,11 +1104,15 @@ object Retrieval {
         col("__ps") + col("__nes") >= col("__theta"))
       .select(col("q_id"), col(idx.idCol))
     // exact rescore through the one shared expression — bit-identical
-    // decimal addends to the plain read, so identical output
+    // decimal addends to the plain read, so identical output. The
+    // broadcast hint carries the same load as in maxScoreSplit's seed
+    // fetch: candidates × kept terms is query-bounded but
+    // size-unestimable (checkpointed ancestry), and without the hint
+    // the planner broadcast the POSTINGS side and dropped DPP
     val kept = split.select(col("tbucket"), col("term"), col("q_id"),
       col("dfreq"), col("n_docs"), col("avgdl"))
-    val fin = idx.postings
-      .join(cands.join(kept, Seq("q_id")),
+    val fin = postPruned
+      .join(broadcast(cands.join(kept, Seq("q_id"))),
         Seq("tbucket", "term", idx.idCol))
       .select(col("q_id"), col(idx.idCol),
         bm25Contribution(k1, b).as("__s"))

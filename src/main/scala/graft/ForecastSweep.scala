@@ -55,7 +55,10 @@ object ForecastSweep {
         ("brown", Timeseries.brownForecast(series, keyCol, "b", "v",
           0.3, 12), "forecast"),
         ("hw", Timeseries.holtWinters(series, keyCol, "b", "v",
-          4, 0.3, 12), "forecast"))
+          4, 0.3, 12), "forecast"),
+        ("snaive", Timeseries.seasonalNaive(series, keyCol, "b", "v", 4)
+          .withColumn("__rn", row_number().over(wrn))
+          .where(col("__rn") >= 23), "forecast"))
       println(s"\n$label")
       println(f"${"series"}%10s ${"model"}%6s ${"n"}%5s ${"mae"}%12s " +
         f"${"smape"}%10s")

@@ -3748,11 +3748,13 @@ object QueriesAnalytics {
     // data ≤ t, so the backtest is one equi-join of each model's
     // forecasts against the actuals shifted one slot back, judged per
     // key as MAE and sMAPE over the SAME trailing eval window (rn ≥ 23
-    // — brown/hw's own full-window cut, applied to the EWMA leg too so
-    // the three models judge identical pairs). Inputs are the ROUNDED
-    // published emissions and 6 dp-rounded actuals — the deterministic
-    // values a dashboard would read. The oracle replays all three
-    // forecast chains and both metric sums.
+    // — brown/hw's own full-window cut, applied to the EWMA and
+    // seasonal-naive legs too so all four models judge identical
+    // pairs; snaive is the no-model control any stateful forecaster
+    // must beat). Inputs are the ROUNDED published emissions and
+    // 6 dp-rounded actuals — the deterministic values a dashboard
+    // would read. The oracle replays all four forecast chains and
+    // both metric sums.
     Q("q256_forecast_backtest",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -3771,6 +3773,12 @@ object QueriesAnalytics {
           "bucket", "v", alpha = 0.3, window = 12)
         val hw = ext.Timeseries.holtWinters(series, "event_type",
           "bucket", "v", period = 4, alpha = 0.3, window = 12)
+        // the no-model control every stateful forecaster must beat —
+        // same rn cut as the EWMA leg (it emits one row per input row)
+        val sn = ext.Timeseries.seasonalNaive(series, "event_type",
+            "bucket", "v", period = 4)
+          .withColumn("__rn", row_number().over(wrn))
+          .where(col("__rn") >= 23)
         def bt(fc: DataFrame, fcCol: String, model: String) =
           ext.Timeseries.forecastMetrics(fc, "event_type", "bucket",
               fcCol, act, "va")
@@ -3778,6 +3786,7 @@ object QueriesAnalytics {
         bt(ew, "ewma", "ewma")
           .unionByName(bt(br, "forecast", "brown"))
           .unionByName(bt(hw, "forecast", "hw"))
+          .unionByName(bt(sn, "forecast", "snaive"))
           .select(col("model"), col("event_type"), col("n_eval"),
             col("mae"), col("smape"))
           .orderBy(col("model"), col("event_type"))
@@ -3868,13 +3877,22 @@ object QueriesAnalytics {
                            + s.s AS DECIMAL(30,12)), 6) AS DOUBLE) AS f
                   FROM h2 LEFT JOIN sn s ON h2.event_type = s.event_type
                                         AND (h2.bucket + 1) % 4 = s.phase
-                  WHERE rn >= 23)
+                  WHERE rn >= 23),
+           sf0 AS (SELECT event_type, bucket,
+                          CAST(round(CAST(lag(v, 3) OVER w
+                            AS DECIMAL(30,12)), 6) AS DOUBLE) AS f,
+                          row_number() OVER w AS rn
+                   FROM se
+                   WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+           snf AS (SELECT event_type, bucket, f FROM sf0 WHERE rn >= 23)
           SELECT * FROM (
             ${leg("ewma", "ewf")}
             UNION ALL
             ${leg("brown", "bf")}
             UNION ALL
-            ${leg("hw", "hf")})
+            ${leg("hw", "hf")}
+            UNION ALL
+            ${leg("snaive", "snf")})
           ORDER BY model, event_type"""
       }),
 

@@ -686,6 +686,31 @@ object Timeseries {
         .as("is_change"))
   }
 
+  /** Seasonal-naive one-step forecaster — THE standard backtest
+    * baseline (the "no-model" control of Hyndman & Athanasopoulos's
+    * forecasting canon): the prediction of bucket t+1 is the observed
+    * value at the same phase one period earlier,
+    * `forecast_t = v_{(t+1) − period}` = `lag(v, period − 1)` at row t
+    * (period 1 degenerates to the plain naive "tomorrow = today").
+    * Any stateful forecaster that cannot beat this on the backtest
+    * does not earn its states. Rows before the first full period
+    * carry a NULL forecast (no same-phase history;
+    * [[forecastMetrics]] drops them), so the emitted frame keeps one
+    * row per input row and composes with shared eval-window cuts. One
+    * lag over the key window — the cheapest plan in the tier. Returns
+    * `(keyCol, bucketCol, valCol, forecast)` rounded through
+    * DECIMAL(30,12).
+    */
+  def seasonalNaive(series: DataFrame, keyCol: String,
+      bucketCol: String, valCol: String, period: Int): DataFrame = {
+    require(period >= 1, s"period must be >= 1: $period")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val x = col(valCol).cast("double")
+    series.select(col(keyCol), col(bucketCol), x.as(valCol),
+      round(lag(x, period - 1).over(w).cast("decimal(30,12)"), 6)
+        .cast("double").as("forecast"))
+  }
+
   /** Rolling-origin ONE-STEP backtest of a forecaster — the in-engine
     * judge the r17 verdict asked for (the RetrievalSweep discipline
     * applied to the forecast tier): every emitted forecast row is, by

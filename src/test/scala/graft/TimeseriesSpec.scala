@@ -347,6 +347,35 @@ class TimeseriesSpec extends AnyFunSuite {
       4, 0.3, 12), "forecast")
     assert(mHw < 1e-5, s"hw=$mHw")
     assert(mHw < mBr && mHw < mEw, s"hw=$mHw brown=$mBr ewma=$mEw")
+    // the seasonal-naive control: on a slope-0.5 period-4 series its
+    // one-step error is exactly slope·period = 2.0 — hw beats it, and
+    // it beats both stateful non-seasonal smoothers here
+    val mSn = mae(Timeseries.seasonalNaive(series, "k", "b", "v", 4),
+      "forecast")
+    assert(math.abs(mSn - 2.0) < 1e-6, s"snaive=$mSn")
+    assert(mHw < mSn && mSn < mEw && mSn < mBr,
+      s"snaive=$mSn ewma=$mEw brown=$mBr")
+  }
+
+  test("seasonalNaive: lag(period-1) semantics — head rows null, " +
+    "pure seasonal series forecast exactly, period 1 = plain naive") {
+    val s = Map(0 -> 5.0, 1 -> 7.0, 2 -> 4.0, 3 -> 6.0)
+    val series = (0L to 11L).map(t => ("k", t, s((t % 4).toInt)))
+      .toDF("k", "b", "v")
+    val rows = ext.Timeseries.seasonalNaive(series, "k", "b", "v", 4)
+      .collect().map(r => r.getLong(1) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    // rows 0..2 have no same-phase history for t+1
+    assert(rows(0L).isEmpty && rows(2L).isEmpty)
+    // from row 3 on: forecast_t = v_{t+1-4} = the next bucket's value
+    (3L to 10L).foreach { t =>
+      assert(rows(t).contains(s(((t + 1) % 4).toInt)), s"t=$t")
+    }
+    val naive = ext.Timeseries.seasonalNaive(series, "k", "b", "v", 1)
+      .collect().map(r => r.getLong(1) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    // period 1: forecast_t = v_t (tomorrow = today), no null head
+    (0L to 11L).foreach(t => assert(naive(t).contains(s((t % 4).toInt))))
   }
 
   test("ewma: y_0 = x_0 (adjust=true short head), a constant series is " +

@@ -992,23 +992,19 @@ object QueriesRetrieval {
     // one segment's, and avgdl shifts tfNorm), so each segment now also
     // freezes a per-term (max_tf, min_dl) envelope and loadLexIndex
     // re-derives a SOUND bound under the MERGED statistics (tfNorm is
-    // monotone: increasing in tf, decreasing in dl). This query builds
-    // segment 0 (doc_id % 4 = 0), appends segment 1 (doc_id % 4 = 1),
-    // never compacts, and runs the pruned read over the 2-segment
-    // artifact; the oracle is the UNPRUNED one-pass chain over the
+    // monotone: increasing in tf, decreasing in dl). The read runs
+    // over the SHARED 2-segment artifact (segment 0 = doc_id % 4 = 0,
+    // appended segment 1 = doc_id % 4 = 1, never compacted — built
+    // lazily once per JVM, the q238 shared-artifact precedent: q235
+    // prices the append lifecycle, this query's subject is the
+    // segmented READ); the oracle is the UNPRUNED one-pass chain over the
     // union corpus — the exact q246 lossless gate, now on the segmented
     // state (RetrievalSpec additionally pins folded-bound ≥ exact-bound
     // term by term).
     Q("q253_maxscore_segmented",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val dir = artifactPath("lex_index_q253")
-        rmrf(new java.io.File(dir))
-        Retrieval.saveLexIndex(docs.where(col("doc_id") % 4 === 0),
-          "doc_id", "text", dir, nBuckets = 64, positional = false)
-        Retrieval.appendLexIndex(docs.where(col("doc_id") % 4 === 1),
-          "doc_id", "text", dir, batchId = 1L)
-        val idx = Retrieval.loadLexIndex(s, dir)
+        val idx = segLexIndex(s, d)
         Retrieval.bm25TopKMaxScore(idx,
             qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
           .orderBy(col("q_id"), col("rank"))
@@ -1032,12 +1028,8 @@ object QueriesRetrieval {
     Q("q257_bm25_proximity",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val dir = artifactPath("lex_index_q257")
-        rmrf(new java.io.File(dir))
-        Retrieval.saveLexIndex(
-          docs.where(expr(halfCorpusWhere.stripPrefix("WHERE "))),
-          "doc_id", "text", dir, nBuckets = 64, positional = true)
-        val idx = Retrieval.loadLexIndex(s, dir)
+        val idx = halfLexIndex(s, d, termVectors = false,
+          positional = true)
         Retrieval.bm25TopKProximity(idx,
             qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10,
             lambda = 1.0)
@@ -1095,12 +1087,20 @@ object QueriesRetrieval {
     Q("q259_bm25f_fields",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val tk = TextAnalysis.tokens(col("text"))
+        // tokenize ONCE into a lazily-checkpointed frame — both field
+        // slices and (via the union inside bm25fTopK) both per-field
+        // postings builds read it, instead of re-tokenizing the corpus
+        // per field (the explodeBigrams hoisting lesson)
+        val toks = docs
+          .select(col("doc_id"),
+            TextAnalysis.tokens(col("text")).as("__tk"))
+          .localCheckpoint(false)
         val fields = Seq(
-          Retrieval.Bm25fField("title", slice(tk, 1, 8), 2.0, 0.75),
-          Retrieval.Bm25fField("body", slice(tk, lit(9), size(tk)),
-            1.0, 0.75))
-        Retrieval.bm25fTopK(docs, "doc_id", fields,
+          Retrieval.Bm25fField("title", slice(col("__tk"), 1, 8),
+            2.0, 0.75),
+          Retrieval.Bm25fField("body",
+            slice(col("__tk"), lit(9), size(col("__tk"))), 1.0, 0.75))
+        Retrieval.bm25fTopK(toks, "doc_id", fields,
             qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
           .orderBy(col("q_id"), col("rank"))
       },
@@ -1179,18 +1179,44 @@ object QueriesRetrieval {
     * carry one, while q240 needs the forward twin.
     */
   private val sharedIdxDirs =
-    scala.collection.concurrent.TrieMap.empty[(String, Boolean), String]
+    scala.collection.concurrent.TrieMap.empty[(String, Boolean, Boolean),
+      String]
   private def halfLexIndex(s: SparkSession, d: String,
-      termVectors: Boolean): Retrieval.LexIndex = {
-    val dir = sharedIdxDirs.getOrElseUpdate((d, termVectors), {
+      termVectors: Boolean,
+      positional: Boolean = false): Retrieval.LexIndex = {
+    val dir = sharedIdxDirs.getOrElseUpdate((d, termVectors, positional), {
       val p = artifactPath(
-        s"lex_half_tv${termVectors}_${math.abs(d.hashCode)}")
+        s"lex_half_tv${termVectors}_pos${positional}_" +
+          s"${math.abs(d.hashCode)}")
       rmrf(new java.io.File(p))
       Retrieval.saveLexIndex(
         t(s, d, "documents").where(expr(halfCorpusWhere.stripPrefix(
           "WHERE "))),
-        "doc_id", "text", p, nBuckets = 64, positional = false,
+        "doc_id", "text", p, nBuckets = 64, positional = positional,
         termVectors = termVectors)
+      p
+    })
+    Retrieval.loadLexIndex(s, dir)
+  }
+
+  /** q253's SHARED 2-segment (build doc_id%4=0 + append doc_id%4=1,
+    * never compacted) half-corpus artifact — the q238 shared-artifact
+    * precedent: the query's subject is the segmented READ, and the
+    * append lifecycle is already priced by q235, so per-rep in-query
+    * rebuilds would only re-measure the build. Built lazily once per
+    * (sfDir) per JVM.
+    */
+  private val segIdxDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def segLexIndex(s: SparkSession, d: String): Retrieval.LexIndex = {
+    val dir = segIdxDirs.getOrElseUpdate(d, {
+      val p = artifactPath(s"lex_seg_${math.abs(d.hashCode)}")
+      rmrf(new java.io.File(p))
+      val docs = t(s, d, "documents")
+      Retrieval.saveLexIndex(docs.where(col("doc_id") % 4 === 0),
+        "doc_id", "text", p, nBuckets = 64, positional = false)
+      Retrieval.appendLexIndex(docs.where(col("doc_id") % 4 === 1),
+        "doc_id", "text", p, batchId = 1L)
       p
     })
     Retrieval.loadLexIndex(s, dir)

@@ -967,17 +967,21 @@ object Retrieval {
       .join(broadcast(seedTerm), Seq("tbucket", "term"))
       .select(col("q_id"), col(idx.idCol))
     // full scores of the seed candidates: fetch each candidate doc's
-    // postings for EVERY kept query term — join output and aggregate
-    // are candidate-bounded, the scan stays DPP-pruned by tbucket.
-    // The broadcast hint is LOAD-BEARING: the candidate side descends
-    // from a checkpointed RDD whose size Catalyst cannot estimate
-    // (defaults to huge), so without it Spark picks the POSTINGS file
-    // scan as the build side — broadcasting the corpus-sized relation
-    // and losing the tbucket DPP route (caught in the round-18 plan
-    // audit; the r17 dump showed the inverted build side)
-    val candTerms = seedDocs.join(kept, Seq("q_id"))
+    // postings for EVERY kept query term. Broadcast hints are
+    // LOAD-BEARING here (round-18 plan audit): without them Spark
+    // picks the POSTINGS file scan as the build side — the candidate
+    // legs descend from frames whose size Catalyst cannot estimate,
+    // so they default to huge and can never win the build-side choice.
+    // Shape: postings ⋈ broadcast(kept terms — query × terms, tiny)
+    // then a broadcast SEMI join on the bare (q_id, id) seed pairs —
+    // broadcasting the candidate set WITHOUT the ×|terms| row
+    // multiplication a (candidates ⋈ terms) build side would pay. The
+    // aggregate still sees only seed-candidate rows.
     val seedScores = idx.postings
-      .join(broadcast(candTerms), Seq("tbucket", "term", idx.idCol))
+      .join(broadcast(kept.select(col("tbucket"), col("term"),
+        col("q_id"), col("dfreq"), col("n_docs"), col("avgdl"))),
+        Seq("tbucket", "term"))
+      .join(broadcast(seedDocs), Seq("q_id", idx.idCol), "left_semi")
       .select(col("q_id"), col(idx.idCol),
         bm25Contribution(k1, b).as("__s"))
       .groupBy(col("q_id"), col(idx.idCol))
@@ -1104,16 +1108,18 @@ object Retrieval {
         col("__ps") + col("__nes") >= col("__theta"))
       .select(col("q_id"), col(idx.idCol))
     // exact rescore through the one shared expression — bit-identical
-    // decimal addends to the plain read, so identical output. The
-    // broadcast hint carries the same load as in maxScoreSplit's seed
-    // fetch: candidates × kept terms is query-bounded but
-    // size-unestimable (checkpointed ancestry), and without the hint
-    // the planner broadcast the POSTINGS side and dropped DPP
+    // decimal addends to the plain read, so identical output. Same
+    // join discipline as maxScoreSplit's seed fetch (round-18 plan
+    // audit): broadcast the TINY kept-terms frame and SEMI-join the
+    // bare (q_id, id) survivor pairs — without the hints the planner
+    // broadcast the POSTINGS side (the candidate legs' checkpointed
+    // ancestry defeats size estimation), and a (candidates ⋈ terms)
+    // build side would broadcast ×|terms| more rows than the pairs.
     val kept = split.select(col("tbucket"), col("term"), col("q_id"),
       col("dfreq"), col("n_docs"), col("avgdl"))
     val fin = postPruned
-      .join(broadcast(cands.join(kept, Seq("q_id"))),
-        Seq("tbucket", "term", idx.idCol))
+      .join(broadcast(kept), Seq("tbucket", "term"))
+      .join(broadcast(cands), Seq("q_id", idx.idCol), "left_semi")
       .select(col("q_id"), col(idx.idCol),
         bm25Contribution(k1, b).as("__s"))
       .groupBy(col("q_id"), col(idx.idCol))

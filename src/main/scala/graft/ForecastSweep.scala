@@ -74,6 +74,27 @@ object ForecastSweep {
     judge(fixtures, "k", "planted fixtures (n = 200, alpha 0.3, " +
       "window 12, period 4)")
 
+    // interval calibration (round 18): Brown's ±1.96σ intervals off the
+    // trailing-8 realized-error RMS, judged by empirical coverage vs
+    // the 95% nominal. On exact-fit fixtures σ = 0 and coverage = 1 by
+    // construction; the informative row is the real series.
+    def judgeIntervals(series: DataFrame, keyCol: String,
+        label: String): Unit = {
+      val act = series.select(col(keyCol), col("b"), r6c(col("v")).as("va"))
+      val br = Timeseries.brownForecast(series, keyCol, "b", "v", 0.3, 12)
+      val iv = Timeseries.forecastIntervals(br, keyCol, "b", "forecast",
+        act, "va", window = 8, z = 1.96)
+      println(s"\n$label (brown, trailing-8 RMS, z = 1.96)")
+      println(f"${"series"}%10s ${"n"}%5s ${"coverage"}%10s " +
+        f"${"avg_width"}%12s")
+      Timeseries.intervalCoverage(iv, keyCol).orderBy(col(keyCol))
+        .collect().foreach { r =>
+          println(f"${r.getString(0)}%10s ${r.getLong(1)}%5d " +
+            f"${r.getDouble(2)}%10.6f ${r.getDouble(3)}%12.6f")
+        }
+    }
+    judgeIntervals(fixtures, "k", "interval calibration — planted")
+
     // the real series: per-event_type 6 h bucket means (the q256 frame)
     val ev = Tables.load(spark, baseDir, "events")
       .select(col("event_type").as("k"),
@@ -84,6 +105,7 @@ object ForecastSweep {
       .agg((sum(col("value").cast("decimal(20,12)")).cast("double") /
         count(lit(1)).cast("double")).as("v"))
     judge(ev, "k", s"events 6h series ($baseDir)")
+    judgeIntervals(ev, "k", s"interval calibration — events ($baseDir)")
 
     spark.stop()
   }

@@ -65,6 +65,65 @@ object QueriesAnalytics {
     s"(($num)\n                           / ($den))"
   }
 
+  /** The q262/q263 shared oracle chain: the q256 Brown replay
+    * (alpha 0.3, window 12, rn ≥ 23) joined one slot forward against
+    * the rounded actuals, then the trailing-8 RMS error window and the
+    * ±1.96σ interval staged UNROUNDED in `iv` and published rounded in
+    * `fin` — [[graft.ext.Timeseries.forecastIntervals]]'s exact
+    * expression shapes (the `hit` compare reads the unrounded bounds;
+    * the emitted lo/hi round through DECIMAL(30,12)).
+    */
+  private def brownIntervalCtes: String = {
+    val ws = ext.Timeseries.ewmaWeights(0.3, 12)
+    val c = ext.Timeseries.ewmaMeanLag(0.3, 12)
+    s"""$se6hCte,
+       act AS (SELECT event_type, bucket,
+                      CAST(round(CAST(v AS DECIMAL(30,12)), 6)
+                        AS DOUBLE) AS va
+               FROM se),
+       b1 AS (SELECT event_type, bucket, v,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY bucket) AS rn,
+                     ${ewmaRatioSql("v", ws)} AS e1
+              FROM se
+              WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+       b2 AS (SELECT event_type, bucket, v, rn, e1,
+                     ${ewmaRatioSql("e1", ws)} AS e2
+              FROM b1
+              WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+       bf AS (SELECT event_type, bucket,
+                     CAST(round(CAST((2.0 * e1 - e2) + (e1 - e2) / $c
+                       AS DECIMAL(30,12)), 6) AS DOUBLE) AS f
+              FROM b2 WHERE rn >= 23),
+       j AS (SELECT f.event_type, f.bucket, f.f, a.va AS an
+             FROM bf f LEFT JOIN act a ON f.event_type = a.event_type
+                                      AND a.bucket - 1 = f.bucket
+             WHERE f.f IS NOT NULL),
+       wnd AS (SELECT event_type, bucket, f, an,
+                      sum(CAST((f - an) * (f - an) AS DECIMAL(30,12)))
+                        OVER tw AS se2,
+                      count(f - an) OVER tw AS ne
+               FROM j
+               WINDOW tw AS (PARTITION BY event_type ORDER BY bucket
+                             ROWS BETWEEN 8 PRECEDING
+                               AND 1 PRECEDING)),
+       iv AS (SELECT event_type, bucket, f, an,
+                     sqrt(CAST(se2 AS DOUBLE) / 8.0) AS sigma
+              FROM wnd WHERE ne = 8),
+       fin AS (SELECT event_type, bucket, f AS fc,
+                      CAST(round(CAST(sigma AS DECIMAL(30,12)), 6)
+                        AS DOUBLE) AS sigma,
+                      CAST(round(CAST(f - 1.96 * sigma
+                        AS DECIMAL(30,12)), 6) AS DOUBLE) AS lo,
+                      CAST(round(CAST(f + 1.96 * sigma
+                        AS DECIMAL(30,12)), 6) AS DOUBLE) AS hi,
+                      an AS actual_next,
+                      CASE WHEN an IS NULL THEN NULL
+                           ELSE an >= f - 1.96 * sigma
+                                AND an <= f + 1.96 * sigma END AS hit
+               FROM iv)"""
+  }
+
   /** q175/q176 oracle: the full training-layout chain (q173's plan,
     * q174's materialization, the copy_idx-salted md5 rank window, the
     * exclusive running token sum, writeShards' shard arithmetic) as one
@@ -4055,6 +4114,256 @@ object QueriesAnalytics {
                  CAST(round(CAST(w AS DECIMAL(30,12)), 6)
                    AS DOUBLE) AS weight
           FROM r2 ORDER BY event_type, bucket"""
-      })
+      }),
+
+    // EM-trained linkage END-TO-END (round 18, closing the loop q254
+    // opened): q254 trains the Fellegi-Sunter parameters but nothing
+    // consumed them — the q242/q248 scoring still read caller-calibrated
+    // m, the exact crutch EM was built to retire. This query composes
+    // the full trained pipeline relationally: flags computed ONCE into a
+    // checkpointed frame shared by emFit's pattern aggregate and the
+    // scoring pass, the final-iteration (m, u) row broadcast into
+    // fsScoresTrained — BOTH halves of the likelihood ratio trained (the
+    // EM u, not the all-pairs agreement rate), no constants anywhere —
+    // then mutual-best one-to-one links above log-odds 0. The oracle
+    // replays the q254 EM chain with ids carried and the trained scoring
+    // verbatim.
+    Q("q261_linkage_em_scored",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val bk = concat(col("c_nationkey").cast("string"), lit("|"),
+          upper(col("c_mktsegment")))
+        val a = cust.select(col("c_custkey").as("a_id"),
+          col("c_name").as("a_name"), col("c_acctbal").as("a_bal"),
+          bk.as("bk"))
+        val b = cust.select(col("c_custkey").as("b_id"),
+          expr("substring(c_name, 1, length(c_name) - 1)").as("b_name"),
+          (floor(col("c_acctbal") * lit(10.0d)) / lit(10.0d)).as("b_bal"),
+          bk.as("bk"))
+        val flagged = ext.Linkage.blockPairs(a, b, "bk")
+          .withColumn("f_name",
+            levenshtein(col("a_name"), col("b_name")) <= 1)
+          .withColumn("f_bal", col("a_bal") - col("b_bal") >= 0.0d &&
+            col("a_bal") - col("b_bal") < 0.1d)
+          .localCheckpoint(false)
+        val flags = Seq("name" -> col("f_name"), "bal" -> col("f_bal"))
+        val params = ext.Linkage.emFit(flagged, flags, iters = 3)
+          .where(col("iter") === 3)
+        val scored = ext.Linkage.fsScoresTrained(flagged, flags, params)
+        ext.Linkage.mutualBest(scored, "a_id", "b_id", minScore = 0.0)
+          .select(col("a_id"), col("b_id"),
+            round(col("score").cast("double"), 6).as("score"))
+          .orderBy(col("a_id"))
+      },
+      Some {
+        val fields = Seq("name", "bal")
+        // the q254 iteration CTEs verbatim (same fixture, same shapes)
+        def iterSql(i: Int): String = {
+          val prev = if (i == 1) "p0" else s"p${i - 1}"
+          val pm = fields.map(f =>
+            s"(CASE WHEN g_$f THEN m_$f ELSE 1.0 - m_$f END)")
+            .mkString(" * ")
+          val pu = fields.map(f =>
+            s"(CASE WHEN g_$f THEN u_$f ELSE 1.0 - u_$f END)")
+            .mkString(" * ")
+          val condAggs = fields.map(f =>
+            s"""sum(CAST(CASE WHEN g_$f THEN CAST(n AS DOUBLE) * r
+                        ELSE 0.0 END AS DECIMAL(30,12))) AS am_$f,
+                sum(CAST(CASE WHEN g_$f THEN CAST(n AS DOUBLE) * (1.0 - r)
+                        ELSE 0.0 END AS DECIMAL(30,12))) AS au_$f""")
+            .mkString(",\n                ")
+          val newParams = fields.map(f =>
+            s"""CAST(am_$f AS DOUBLE) / CAST(sr AS DOUBLE) AS m_$f,
+                CAST(au_$f AS DOUBLE) / CAST(snr AS DOUBLE) AS u_$f""")
+            .mkString(",\n                ")
+          s"""e$i AS (SELECT g_name, g_bal, n,
+                        (lambda * pm) / (lambda * pm + (1.0 - lambda) * pu)
+                          AS r
+                 FROM (SELECT pat.*, $pm AS pm, $pu AS pu, lambda
+                       FROM pat CROSS JOIN $prev)),
+             a$i AS (SELECT
+                  sum(CAST(CAST(n AS DOUBLE) * r AS DECIMAL(30,12)))
+                    AS sr,
+                  sum(CAST(CAST(n AS DOUBLE) * (1.0 - r)
+                    AS DECIMAL(30,12))) AS snr,
+                  sum(n) AS nn,
+                $condAggs
+                 FROM e$i),
+             p$i AS (SELECT CAST(sr AS DOUBLE) / CAST(nn AS DOUBLE)
+                              AS lambda,
+                $newParams
+                 FROM a$i)"""
+        }
+        val scoreTerms = fields.map(f =>
+          s"""CAST(CASE WHEN NOT (u_$f > 0.0 AND u_$f < 1.0
+                              AND m_$f > 0.0 AND m_$f < 1.0) THEN 0.0
+                   WHEN g_$f THEN ln(m_$f / u_$f)
+                   ELSE ln((1.0 - m_$f) / (1.0 - u_$f))
+                   END AS DECIMAL(20,12))""")
+          .mkString("\n                 + ")
+        s"""WITH a AS (SELECT c_custkey AS a_id, c_name AS a_name,
+                            c_acctbal AS a_bal,
+                            CAST(c_nationkey AS VARCHAR) || '|'
+                              || upper(c_mktsegment) AS bk
+                     FROM customer),
+             b AS (SELECT c_custkey AS b_id,
+                          substring(c_name, 1, length(c_name) - 1)
+                            AS b_name,
+                          floor(c_acctbal * 10.0) / 10.0 AS b_bal,
+                          CAST(c_nationkey AS VARCHAR) || '|'
+                            || upper(c_mktsegment) AS bk
+                   FROM customer),
+             pr AS (SELECT a.a_id, b.b_id,
+                           levenshtein(a_name, b_name) <= 1 AS g_name,
+                           a_bal - b_bal >= 0.0
+                             AND a_bal - b_bal < 0.1 AS g_bal
+                    FROM a JOIN b USING (bk)),
+             pat AS (SELECT g_name, g_bal, count(*) AS n
+                     FROM pr GROUP BY g_name, g_bal),
+             p0 AS (SELECT 0.5 AS lambda,
+                           0.9 AS m_name, 0.1 AS u_name,
+                           0.9 AS m_bal, 0.1 AS u_bal),
+             ${iterSql(1)},
+             ${iterSql(2)},
+             ${iterSql(3)},
+             sc AS (SELECT pr.a_id, pr.b_id,
+                           $scoreTerms AS score
+                    FROM pr CROSS JOIN p3),
+             rk AS (SELECT a_id, b_id, score,
+                           row_number() OVER (PARTITION BY a_id
+                             ORDER BY score DESC, b_id) AS ra,
+                           row_number() OVER (PARTITION BY b_id
+                             ORDER BY score DESC, a_id) AS rb
+                    FROM sc
+                    WHERE CAST(score AS DOUBLE) >= 0.0)
+            SELECT a_id, b_id, round(CAST(score AS DOUBLE), 6) AS score
+            FROM rk WHERE ra = 1 AND rb = 1
+            ORDER BY a_id"""
+      }),
+
+    // one-step prediction intervals (round 18): the calibration read the
+    // forecast tier lacked — q252's Brown forecasts bracketed by
+    // ±1.96·sigma with sigma the RMS of the trailing 8 REALIZED one-step
+    // errors (errors of forecasts whose actuals have arrived — leak-free
+    // by construction; RMS not centered variance, the fpp §5.5 mean-zero
+    // one-step model, so a biased forecaster widens its own intervals).
+    // Emitted only on full error windows; a key's final bucket row
+    // carries null actual_next/hit — it IS the production read. The
+    // oracle replays the Brown chain, the shifted join, the trailing
+    // window, and both the unrounded hit compare and the rounded bounds.
+    Q("q262_forecast_intervals",
+      (s, d) => {
+        val series = series6h(s, d)
+        def r6(c: org.apache.spark.sql.Column) =
+          round(c.cast("decimal(30,12)"), 6).cast("double")
+        val act = series.select(col("event_type"), col("bucket"),
+          r6(col("v")).as("va"))
+        val br = ext.Timeseries.brownForecast(series, "event_type",
+          "bucket", "v", alpha = 0.3, window = 12)
+        ext.Timeseries.forecastIntervals(br, "event_type", "bucket",
+            "forecast", act, "va", window = 8, z = 1.96)
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some(s"""WITH $brownIntervalCtes
+          SELECT event_type, bucket, fc, sigma, lo, hi, actual_next, hit
+          FROM fin ORDER BY event_type, bucket""")),
+
+    // empirical interval calibration (round 18): coverage = fraction of
+    // judged q262 rows whose actual landed inside [lo, hi] (compare to
+    // the 95% the z encodes) and the mean published interval width — the
+    // uncertainty twin of q256's point-error backtest, judged per key
+    // inside the engine.
+    Q("q263_interval_coverage",
+      (s, d) => {
+        val series = series6h(s, d)
+        def r6(c: org.apache.spark.sql.Column) =
+          round(c.cast("decimal(30,12)"), 6).cast("double")
+        val act = series.select(col("event_type"), col("bucket"),
+          r6(col("v")).as("va"))
+        val br = ext.Timeseries.brownForecast(series, "event_type",
+          "bucket", "v", alpha = 0.3, window = 12)
+        val iv = ext.Timeseries.forecastIntervals(br, "event_type",
+          "bucket", "forecast", act, "va", window = 8, z = 1.96)
+        ext.Timeseries.intervalCoverage(iv, "event_type")
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH $brownIntervalCtes
+          SELECT event_type, count(*) AS n_eval,
+                 CAST(round(CAST(CAST(sum(CAST(hit AS INT)) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS DECIMAL(30,12)), 6)
+                   AS DOUBLE) AS coverage,
+                 CAST(round(CAST(CAST(sum(CAST(hi - lo
+                       AS DECIMAL(30,12))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS DECIMAL(30,12)), 6)
+                   AS DOUBLE) AS avg_width
+          FROM fin WHERE hit IS NOT NULL
+          GROUP BY event_type ORDER BY event_type"""))
+  )
+
+  /** Round-18 second block (grouped inference). Split keeps the single
+    * `all` Seq under the JVM method-size ceiling headroom.
+    */
+  val all2: Seq[Q] = Seq(
+
+    // grouped OLS (round 18): per-key simple linear regression with the
+    // x axis CENTERED on each key's min bucket — at epoch-scale bucket
+    // indices the raw normal equations lose the answer to ~1e14 double
+    // cancellation; after the shift the x-side sums are small exact
+    // integers and the DECIMAL(30,12) sums carry full precision. Two
+    // map-combinable aggregates + a key-bounded broadcast join, no
+    // window anywhere. Degenerate contracts (n < 2, single distinct x,
+    // constant y, n = 2) are spec territory; the fixture exercises the
+    // main closed forms. Oracle replays the shift, all five decimal
+    // sums, and the double closed forms verbatim.
+    Q("q264_ols_by_key",
+      (s, d) => {
+        val series = series6h(s, d)
+        ext.Timeseries.olsFit(series, "event_type", "bucket", "v")
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH $se6hCte,
+           x0 AS (SELECT event_type, min(bucket) AS x0
+                  FROM se GROUP BY event_type),
+           st AS (SELECT s.event_type, s.bucket - x.x0 AS xs, s.v AS y,
+                         x.x0
+                  FROM se s JOIN x0 x USING (event_type)),
+           ag AS (SELECT event_type, count(*) AS n, min(x0) AS x00,
+                         sum(CAST(xs AS DECIMAL(30,12))) AS sx,
+                         sum(CAST(xs * xs AS DECIMAL(30,12))) AS sx2,
+                         sum(CAST(y AS DECIMAL(30,12))) AS sy,
+                         sum(CAST(CAST(xs AS DOUBLE) * y
+                           AS DECIMAL(30,12))) AS sxy,
+                         sum(CAST(y * y AS DECIMAL(30,12))) AS sy2
+                  FROM st GROUP BY event_type),
+           f AS (SELECT event_type, n, x00,
+                        CAST(sx AS DOUBLE) AS dsx,
+                        CAST(sy AS DOUBLE) AS dsy,
+                        CAST(sx2 AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                            / CAST(n AS DOUBLE) AS sxx,
+                        CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                            / CAST(n AS DOUBLE) AS vxy,
+                        CAST(sy2 AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                            / CAST(n AS DOUBLE) AS vyy
+                 FROM ag)
+          SELECT event_type, n, x00 AS x0,
+                 CAST(round(CAST(CASE WHEN n >= 2 AND sxx > 0.0
+                     THEN vxy / sxx END AS DECIMAL(30,12)), 6)
+                   AS DOUBLE) AS slope,
+                 CAST(round(CAST(CASE WHEN n >= 2 AND sxx > 0.0
+                     THEN (dsy - vxy / sxx * dsx) / CAST(n AS DOUBLE)
+                     END AS DECIMAL(30,12)), 6) AS DOUBLE) AS intercept,
+                 CAST(round(CAST(CASE WHEN n >= 2 AND sxx > 0.0
+                       AND vyy > 0.0
+                     THEN vxy / sxx * vxy / vyy END
+                   AS DECIMAL(30,12)), 6) AS DOUBLE) AS r2,
+                 CAST(round(CAST(CASE WHEN n >= 2 AND sxx > 0.0
+                       AND n > 2
+                     THEN sqrt(greatest(vyy - vxy / sxx * vxy, 0.0)
+                       / (CAST(n AS DOUBLE) - 2.0)) END
+                   AS DECIMAL(30,12)), 6) AS DOUBLE) AS resid_se
+          FROM f ORDER BY event_type"""))
   )
 }

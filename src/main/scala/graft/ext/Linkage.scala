@@ -107,6 +107,41 @@ object Linkage {
       .drop(flags.map(f => s"u_${f._1}"): _*)
   }
 
+  /** [[fsScores]] with EM-TRAINED parameters — the composition that
+    * retires the caller-calibrated-m crutch end-to-end: `params` is ONE
+    * row carrying `m_<field>` / `u_<field>` (an [[emFit]] output row —
+    * callers cut the final iteration), broadcast and read per pair
+    * exactly like [[agreementRates]]' u row; per-field terms are the
+    * same `agree ? ln(m/u) : ln((1−m)/(1−u))` DOUBLE expressions cast
+    * DECIMAL(20,12) and added in the GIVEN field order. Note the u here
+    * is the EM u (P(agree | non-match) under the fitted mixture), not
+    * the all-pairs agreement rate — the trained route replaces BOTH
+    * halves of the likelihood ratio. A field whose trained m or u sits
+    * outside (0,1) (a class collapsed to zero mass in `iters` steps)
+    * carries no evidence and contributes exactly 0 — the
+    * [[fsScores]] degenerate-u stance extended to both parameters.
+    * Returns the pair columns plus `score` (DECIMAL(20,12)).
+    */
+  def fsScoresTrained(pairs: DataFrame, flags: Seq[(String, Column)],
+      params: DataFrame): DataFrame = {
+    val fields = flags.map(_._1)
+    val p = params.select(
+      fields.flatMap(f => Seq(col(s"m_$f"), col(s"u_$f"))): _*)
+    val withP = pairs.crossJoin(broadcast(p))
+    val terms = flags.map { case (f, agree) =>
+      val mf = col(s"m_$f")
+      val uf = col(s"u_$f")
+      val informative = uf > 0.0d && uf < 1.0d &&
+        mf > 0.0d && mf < 1.0d
+      when(!informative, lit(0.0d))
+        .otherwise(when(agree, log(mf / uf))
+          .otherwise(log((lit(1.0d) - mf) / (lit(1.0d) - uf))))
+        .cast("decimal(20,12)")
+    }
+    withP.withColumn("score", terms.reduce(_ + _))
+      .drop(fields.flatMap(f => Seq(s"m_$f", s"u_$f")): _*)
+  }
+
   /** Agreement-PATTERN counts: the candidate pairs collapsed to one row
     * per distinct flag vector — `(g_<field>... BOOLEAN, n)`, at most
     * 2^|fields| rows. The sufficient statistic of the Fellegi–Sunter
@@ -155,8 +190,9 @@ object Linkage {
     * (map-side combinable), then `iters` chained 1-row aggregates over
     * the ≤ 2^F-row checkpointed pattern frame with the 1-row params
     * broadcast back — nothing after the first aggregate touches pair
-    * volume. The trained m feed [[fsScores]] directly, replacing the
-    * caller-calibrated constants.
+    * volume. The trained parameters feed [[fsScoresTrained]] directly
+    * (both the m and the u halves of the likelihood ratio), replacing
+    * the caller-calibrated constants.
     */
   def emFit(pairs: DataFrame, flags: Seq[(String, Column)], iters: Int,
       lambda0: Double = 0.5, m0: Double = 0.9,

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -758,6 +758,166 @@ object Timeseries {
           .as("mae"),
         r6(col("__ssm").cast("double") / col("n_eval").cast("double"))
           .as("smape"))
+  }
+
+  /** One-step PREDICTION INTERVALS for any of the tier's forecasters —
+    * the calibration read the point forecasts lack: the forecast
+    * emitted at bucket t (a prediction of t+1, the tier's shared
+    * contract) is bracketed by ±z·σ_t, where σ_t is the root-mean-
+    * square of the `window` most recent REALIZED one-step errors —
+    * errors of forecasts emitted strictly before t, whose actuals
+    * (≤ t) have arrived — so the interval is leak-free by
+    * construction: nothing later than the forecast's own origin is
+    * consulted. RMS rather than a centered variance is the standard
+    * mean-zero one-step error model (Hyndman & Athanasopoulos, fpp
+    * §5.5 "Prediction intervals"); it also means a BIASED forecaster
+    * widens its own intervals instead of hiding the bias inside a
+    * subtracted mean.
+    *
+    * `forecast` carries `(keyCol, bucketCol, fcCol)`; `actuals` the
+    * series `(keyCol, bucketCol, valCol)` — feed the ROUNDED published
+    * emissions on both sides, the [[forecastMetrics]] contract. Rows
+    * are emitted only where the trailing window holds exactly `window`
+    * realized errors (the q245 full-baseline stance; an interior
+    * actuals gap starves the windows it touches). Returns
+    * `(keyCol, bucketCol, fc, sigma, lo, hi, actual_next, hit)`:
+    * `actual_next` is the realized value the interval predicts (null
+    * on a key's final bucket — `hit` null there too; the row still
+    * serves, it IS the production read), `hit` whether it landed
+    * inside the UNROUNDED [lo, hi]. Squared errors are summed exact
+    * DECIMAL(30,12); σ/lo/hi round through DECIMAL(30,12) at 6 dp.
+    *
+    * Scale shape: the [[forecastMetrics]] equi-join plus ONE
+    * key-partitioned window pass — both inputs series-bounded, nothing
+    * corpus-sized anywhere.
+    */
+  def forecastIntervals(forecast: DataFrame, keyCol: String,
+      bucketCol: String, fcCol: String, actuals: DataFrame,
+      valCol: String, window: Int, z: Double): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    require(z > 0.0, s"z must be > 0: $z")
+    val f = forecast.select(col(keyCol).as("__k"),
+      col(bucketCol).cast("long").as("__b"),
+      col(fcCol).cast("double").as("__f"))
+      .where(col("__f").isNotNull)
+    val at = actuals.select(col(keyCol).as("__k"),
+      (col(bucketCol).cast("long") - lit(1L)).as("__b"),
+      col(valCol).cast("double").as("__a"))
+    val e = col("__f") - col("__a")
+    val w = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(-window, -1)
+    val staged = f.join(at, Seq("__k", "__b"), "left")
+      .withColumn("__se2", sum((e * e).cast("decimal(30,12)")).over(w))
+      .withColumn("__ne", count(e).over(w))
+      .where(col("__ne") === window)
+    val sigma = sqrt(col("__se2").cast("double") / lit(window.toDouble))
+    val lo = col("__f") - lit(z) * sigma
+    val hi = col("__f") + lit(z) * sigma
+    def r6(c: Column) =
+      round(c.cast("decimal(30,12)"), 6).cast("double")
+    staged.select(col("__k").as(keyCol), col("__b").as(bucketCol),
+      col("__f").as("fc"),
+      r6(sigma).as("sigma"), r6(lo).as("lo"), r6(hi).as("hi"),
+      col("__a").as("actual_next"),
+      when(col("__a").isNotNull,
+        col("__a") >= lo && col("__a") <= hi).as("hit"))
+  }
+
+  /** Empirical CALIBRATION of [[forecastIntervals]] — per key over the
+    * judged rows (non-null `hit`): `coverage = hits / n_eval` (compare
+    * to the nominal level z encodes — 1.96 ≈ 95%) and the mean interval
+    * width off the PUBLISHED rounded bounds, both decimal-summed. The
+    * interval twin of [[forecastMetrics]]: mae judges the point,
+    * coverage judges the uncertainty. Returns
+    * `(keyCol, n_eval, coverage, avg_width)` rounded through
+    * DECIMAL(30,12).
+    */
+  def intervalCoverage(intervals: DataFrame, keyCol: String): DataFrame = {
+    def r6(c: Column) =
+      round(c.cast("decimal(30,12)"), 6).cast("double")
+    intervals.where(col("hit").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("hit").cast("int")).as("__h"),
+        sum((col("hi") - col("lo")).cast("decimal(30,12)")).as("__w"))
+      .select(col(keyCol), col("n_eval"),
+        r6(col("__h").cast("double") / col("n_eval").cast("double"))
+          .as("coverage"),
+        r6(col("__w").cast("double") / col("n_eval").cast("double"))
+          .as("avg_width"))
+  }
+
+  /** Grouped simple linear regression (OLS) — the inference read the
+    * tier's trend machinery lacked: per key, fit `y ≈ intercept +
+    * slope·(x − x0)` over the (x, y) points by least squares, where
+    * `x0` is the key's MINIMUM x. Centering on x0 is not cosmetic: at
+    * epoch-scale bucket indices (x ~ 8·10⁴) the raw normal equations
+    * subtract ~10¹⁴-sized terms (`Σx² − (Σx)²/n`) and lose the answer
+    * to double cancellation; after the shift x' = x − x0 the x-side
+    * sums are small EXACT integers and the decimal sums carry full
+    * precision. The emitted intercept is the fitted value AT x0 (shift
+    * back with `intercept − slope·x0` if the raw-axis form is needed —
+    * that subtraction re-imports exactly the cancellation this contract
+    * avoids, which is why it is left to the caller who knows their x
+    * range).
+    *
+    * Sums (`Σx'`, `Σx'²` over longs; `Σy`, `Σx'y`, `Σy²` over doubles)
+    * are exact DECIMAL(30,12) aggregates; the closed forms run in
+    * DOUBLE:
+    *
+    *   sxx = Σx'² − (Σx')²/n        sxy = Σx'y − Σx'·Σy/n
+    *   syy = Σy² − (Σy)²/n
+    *   slope = sxy/sxx              intercept = (Σy − slope·Σx')/n
+    *   r2 = sxy²/(sxx·syy)          resid_se = √(max(0, syy −
+    *                                  slope·sxy)/(n − 2))
+    *
+    * Degenerate contracts, all explicit: a key with n < 2 or a single
+    * distinct x (sxx = 0) emits null slope/intercept/r2/resid_se with
+    * its n; a constant-y key (syy = 0) fits slope 0 exactly but r2 is
+    * NULL (0/0 — explained-variance of nothing is undefined, the
+    * textbook stance); n = 2 emits null resid_se (zero residual
+    * degrees of freedom). Returns `(keyCol, n, x0, slope, intercept,
+    * r2, resid_se)` rounded through DECIMAL(30,12) at 6 dp.
+    *
+    * Scale shape: two map-side-combinable key aggregates (min, then
+    * the five sums) with the key-bounded x0 frame broadcast back —
+    * no window, no sort, series-bounded throughout.
+    */
+  def olsFit(series: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x0 = series.groupBy(col(keyCol))
+      .agg(min(col(xCol).cast("long")).as("__x0"))
+    val staged = series.join(broadcast(x0), Seq(keyCol))
+      .withColumn("__xs", col(xCol).cast("long") - col("__x0"))
+      .withColumn("__y", col(yCol).cast("double"))
+    def dec(c: Column) = c.cast("decimal(30,12)")
+    val agg = staged.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"),
+        min(col("__x0")).as("__x00"),
+        sum(dec(col("__xs"))).as("__sx"),
+        sum(dec(col("__xs") * col("__xs"))).as("__sx2"),
+        sum(dec(col("__y"))).as("__sy"),
+        sum(dec(col("__xs").cast("double") * col("__y"))).as("__sxy"),
+        sum(dec(col("__y") * col("__y"))).as("__sy2"))
+    val n = col("__n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val sxx = col("__sx2").cast("double") - sx * sx / n
+    val sxy = col("__sxy").cast("double") - sx * sy / n
+    val syy = col("__sy2").cast("double") - sy * sy / n
+    val fit = col("__n") >= 2 && sxx > 0.0d
+    val slope = sxy / sxx
+    val intercept = (sy - slope * sx) / n
+    def r6(c: Column) =
+      round(c.cast("decimal(30,12)"), 6).cast("double")
+    agg.select(col(keyCol), col("__n").as("n"),
+      col("__x00").as("x0"),
+      r6(when(fit, slope)).as("slope"),
+      r6(when(fit, intercept)).as("intercept"),
+      r6(when(fit && syy > 0.0d, slope * sxy / syy)).as("r2"),
+      r6(when(fit && col("__n") > 2,
+        sqrt(greatest(syy - slope * sxy, lit(0.0d)) / (n - lit(2.0d)))))
+        .as("resid_se"))
   }
 
   def rollingAnomalies(series: DataFrame, keyCol: String,

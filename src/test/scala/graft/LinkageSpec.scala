@@ -198,6 +198,62 @@ class LinkageSpec extends AnyFunSuite {
     assert(scored((true, true)) > scored((false, false)))
   }
 
+  test("fsScoresTrained: hand-exact decimal scoring off a params row, " +
+    "with a degenerate trained parameter contributing exactly zero") {
+    val pairs = Seq((1L, 11L, true, false), (2L, 12L, false, true))
+      .toDF("a_id", "b_id", "f_name", "f_bal")
+    val fl = Seq("name" -> col("f_name"), "bal" -> col("f_bal"))
+    val params = Seq((0.8, 0.2, 0.6, 0.3))
+      .toDF("m_name", "u_name", "m_bal", "u_bal")
+    val sc = Linkage.fsScoresTrained(pairs, fl, params)
+      .select(col("a_id"), col("score").cast("double"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def d12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    // pair 1: name agrees, bal disagrees — decimal-summed addends
+    val s1 = d12(math.log(0.8 / 0.2)) + d12(math.log(0.4 / 0.7))
+    val s2 = d12(math.log(0.2 / 0.8)) + d12(math.log(0.6 / 0.3))
+    assert(d12(sc(1L)) == d12(s1.toDouble) && d12(sc(2L)) == d12(s2.toDouble))
+    // a trained u at the 1.0 boundary (class collapse) is evidence-free
+    val degenerate = Seq((0.8, 1.0, 0.6, 0.3))
+      .toDF("m_name", "u_name", "m_bal", "u_bal")
+    val sd = Linkage.fsScoresTrained(pairs, fl, degenerate)
+      .select(col("a_id"), col("score").cast("double"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d12(sd(1L)) == d12(d12(math.log(0.4 / 0.7)).toDouble))
+    // params columns do not leak into the output
+    val cols = Linkage.fsScoresTrained(pairs, fl, params).columns.toSet
+    assert(!cols.exists(c => c.startsWith("m_") || c.startsWith("u_")))
+  }
+
+  test("fsScoresTrained: the emFit final row drives scoring end-to-end " +
+    "relationally — full agreement ranks above everything, and the " +
+    "score matches a hand-recompute from the trained parameters") {
+    val rows =
+      Seq.fill(16)((true, true)) ++ Seq.fill(4)((true, false)) ++
+        Seq.fill(9)((true, false)) ++ Seq.fill(9)((false, true)) ++
+        Seq.fill(162)((false, false))
+    val pairs = rows.toDF("f_name", "f_bal")
+    val fl = Seq("name" -> col("f_name"), "bal" -> col("f_bal"))
+    val last = Linkage.emFit(pairs, fl, iters = 30)
+      .where(col("iter") === 30)
+    val p = last.collect().head
+    val (mn, un, mb, ub) =
+      (p.getDouble(2), p.getDouble(3), p.getDouble(4), p.getDouble(5))
+    val sc = Linkage.fsScoresTrained(pairs, fl, last)
+      .select(col("f_name"), col("f_bal"),
+        col("score").cast("double").as("s")).distinct().collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getDouble(2))
+      .toMap
+    def d12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val tt = d12(math.log(mn / un)) + d12(math.log(mb / ub))
+    assert(d12(sc((true, true))) == d12(tt.toDouble))
+    assert(sc((true, true)) > sc((true, false)) &&
+      sc((true, false)) > sc((false, false)))
+    assert(sc((false, true)) > sc((false, false)))
+  }
+
   test("blockSizes: the pre-join audit reports exact pair volume per key") {
     val a2 = left.withColumn("bk", (col("a_id") % 2).cast("int"))
     val b2 = right.withColumn("bk", (col("b_id") % 2).cast("int"))

@@ -357,6 +357,108 @@ class TimeseriesSpec extends AnyFunSuite {
       s"snaive=$mSn ewma=$mEw brown=$mBr")
   }
 
+  test("forecastIntervals: hand-exact trailing-RMS sigma, leak-free " +
+    "window, the final bucket emits with null actual_next/hit, and " +
+    "starved windows do not emit") {
+    // constant forecast 10; planted one-step errors +1/-1 alternating
+    // for the first 8 origins, then -2 (outside +-1.96): a_(t+1) = 10 - e_t
+    val fc = (0L to 9L).map(t => ("k", t, 10.0)).toDF("k", "b", "f")
+    val act = ((1L to 8L).map(t =>
+      ("k", t, if (t % 2 == 1) 9.0 else 11.0)) :+ (("k", 9L, 12.0)))
+      .toDF("k", "b", "va")
+    val rows = ext.Timeseries.forecastIntervals(fc, "k", "b", "f",
+        act, "va", window = 8, z = 1.96)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    // origins 0..7 have < 8 trailing realized errors — only 8, 9 emit
+    assert(rows.keySet == Set(8L, 9L))
+    val r8 = rows(8L)
+    assert(r8.getDouble(3) == 1.0) // sigma = RMS of eight +-1 errors
+    assert(r8.getDouble(4) == 8.04 && r8.getDouble(5) == 11.96)
+    assert(r8.getDouble(6) == 12.0 && !r8.getBoolean(7)) // 12 outside
+    val r9 = rows(9L)
+    // trailing errors at origin 9: seven +-1 plus the realized -2
+    val sig9 = BigDecimal(math.sqrt(11.0 / 8.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r9.getDouble(3) == sig9)
+    assert(r9.isNullAt(6) && r9.isNullAt(7)) // the production read row
+    // a key with fewer rows than the window emits nothing
+    val short = ext.Timeseries.forecastIntervals(
+      (0L to 4L).map(t => ("s", t, 1.0)).toDF("k", "b", "f"), "k", "b",
+      "f", (1L to 5L).map(t => ("s", t, 1.0)).toDF("k", "b", "va"),
+      "va", window = 8, z = 1.96)
+    assert(short.count() == 0)
+  }
+
+  test("intervalCoverage: counts judged rows only, coverage and width " +
+    "off the published bounds; an exact forecaster yields coverage 1 " +
+    "with zero-width intervals end-to-end") {
+    val fc = (0L to 9L).map(t => ("k", t, 10.0)).toDF("k", "b", "f")
+    val act = ((1L to 8L).map(t =>
+      ("k", t, if (t % 2 == 1) 9.0 else 11.0)) :+ (("k", 9L, 12.0)))
+      .toDF("k", "b", "va")
+    val iv = ext.Timeseries.forecastIntervals(fc, "k", "b", "f",
+      act, "va", window = 8, z = 1.96)
+    val cov = ext.Timeseries.intervalCoverage(iv, "k").collect().head
+    // bucket 9's null-hit row is excluded; the one judged row missed
+    assert(cov.getLong(1) == 1L && cov.getDouble(2) == 0.0)
+    assert(cov.getDouble(3) == 3.92) // 11.96 - 8.04
+    // composition: Brown on an exact line forecasts exactly — all
+    // residuals 0, sigma 0, lo = hi = fc, every judged row hits
+    val line = (0L to 60L).map(t => ("k", t, 10.0 + 0.5 * t))
+      .toDF("k", "b", "v")
+    def r6c(c: org.apache.spark.sql.Column) =
+      round(c.cast("decimal(30,12)"), 6).cast("double")
+    val actL = line.select(col("k"), col("b"), r6c(col("v")).as("va"))
+    val br = Timeseries.brownForecast(line, "k", "b", "v", 0.3, 12)
+    val ivL = ext.Timeseries.forecastIntervals(br, "k", "b", "forecast",
+      actL, "va", window = 8, z = 1.96)
+    val covL = ext.Timeseries.intervalCoverage(ivL, "k").collect().head
+    assert(covL.getDouble(2) == 1.0 && covL.getDouble(3) == 0.0,
+      s"coverage=${covL.getDouble(2)} width=${covL.getDouble(3)}")
+    assert(ivL.where(col("sigma") =!= 0.0).count() == 0)
+  }
+
+  test("olsFit: exact line recovered (slope/intercept-at-x0/r2/se), " +
+    "hand-computed 3-point fit, and every degenerate contract") {
+    val line = (10L to 19L).map(x => ("line", x, 3.0 + 0.25 * x))
+    val hand = Seq(("hand", 0L, 0.0), ("hand", 1L, 1.0), ("hand", 2L, 3.0))
+    val const = (0L to 4L).map(x => ("const", x, 7.0))
+    val single = Seq(("single", 5L, 2.0))
+    val two = Seq(("two", 0L, 1.0), ("two", 4L, 9.0))
+    val samex = Seq(("samex", 3L, 1.0), ("samex", 3L, 2.0))
+    val df = (line ++ hand ++ const ++ single ++ two ++ samex)
+      .toDF("k", "x", "y")
+    val r = ext.Timeseries.olsFit(df, "k", "x", "y")
+      .collect().map(row => row.getString(0) -> row).toMap
+    def d(row: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (row.isNullAt(i)) None else Some(row.getDouble(i))
+    // exact line: slope 0.25, intercept = fitted value AT x0 = 10
+    val l = r("line")
+    assert(l.getLong(1) == 10L && l.getLong(2) == 10L)
+    assert(d(l, 3).contains(0.25) && d(l, 4).contains(5.5))
+    assert(d(l, 5).contains(1.0) && d(l, 6).contains(0.0))
+    // hand fit over (0,0),(1,1),(2,3): sxx=2, sxy=3, syy=14/3
+    val h = r("hand")
+    assert(d(h, 3).contains(1.5))
+    assert(d(h, 4).contains(-0.166667))
+    assert(d(h, 5).contains(0.964286)) // 27/28
+    assert(d(h, 6).contains(0.408248)) // sqrt(1/6)
+    // constant y: slope 0 exactly, r2 NULL (0/0), zero residual se
+    val c = r("const")
+    assert(d(c, 3).contains(0.0) && d(c, 4).contains(7.0))
+    assert(d(c, 5).isEmpty && d(c, 6).contains(0.0))
+    // n = 1: nulls with the count
+    val s1 = r("single")
+    assert(s1.getLong(1) == 1L && d(s1, 3).isEmpty && d(s1, 4).isEmpty)
+    // n = 2: exact fit, r2 = 1, resid_se null (zero df)
+    val t2 = r("two")
+    assert(d(t2, 3).contains(2.0) && d(t2, 4).contains(1.0))
+    assert(d(t2, 5).contains(1.0) && d(t2, 6).isEmpty)
+    // single distinct x: sxx = 0 — nothing fittable
+    val sx = r("samex")
+    assert(sx.getLong(1) == 2L && d(sx, 3).isEmpty && d(sx, 5).isEmpty)
+  }
+
   test("seasonalNaive: lag(period-1) semantics — head rows null, " +
     "pure seasonal series forecast exactly, period 1 = plain naive") {
     val s = Map(0 -> 5.0, 1 -> 7.0, 2 -> 4.0, 3 -> 6.0)

@@ -110,7 +110,15 @@ object PlanDump {
         // period-bounded broadcast joins); q256 adds the three
         // backtest joins — every leg series-bounded, actuals shifted
         // one slot and equi-joined, one aggregate per model
-        "q255_holt_winters", "q256_forecast_backtest")
+        "q255_holt_winters", "q256_forecast_backtest",
+        // round 18 (cont.): q262 shows the interval read — the Brown
+        // stack, the shifted actuals equi-join, and the trailing-RMS
+        // window all riding key exchanges (series-bounded end to end);
+        // q264 the no-window OLS shape: two map-combinable hash
+        // aggregates with the key-bounded x0 frame broadcast between
+        // them. q261 is omitted like q43 (emFit localCheckpoints per
+        // iteration); q263 is q262 plus one key aggregate.
+        "q262_forecast_intervals", "q264_ols_by_key")
       .foreach { q =>
       out.append(s"===== $q =====\n")
       out.append(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

@@ -4366,4 +4366,94 @@ object QueriesAnalytics {
                    AS DECIMAL(30,12)), 6) AS DOUBLE) AS resid_se
           FROM f ORDER BY event_type"""))
   )
+
+  private lazy val artifactRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_artifacts_an").toString
+  private def artifactPath(name: String): String = s"$artifactRoot/$name"
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(); ()
+  }
+
+  /** Round-18 third block: the monitor tier's streamed kind. */
+  val all3: Seq[Q] = Seq(
+
+    // streamed bucket stats serving the monitor tier (round 18): the
+    // time-series tier was the last without a streaming kind. Triggers
+    // land per-(key, bucket) decimal-sum/count partials keyed by
+    // batch_id (at-least-once replay rewrites itself — exercised), one
+    // explicit compaction folds to the -1 epoch, and the CUSUM read
+    // serves off the folded means with ZERO event re-scan. Decimal sums
+    // are associative-exact, so the folded bucket mean is BIT-EQUAL to
+    // the one-pass mean — the oracle is the batch q250 chain VERBATIM
+    // over all events, the strongest gate a streamed kind can face.
+    Q("q265_cusum_streamed",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val dir = artifactPath("series_stats_q265")
+        rmrf(new java.io.File(dir))
+        def trigger(par: Int, batchId: Long) =
+          graft.streaming.StreamingIngest.seriesStatsBatch(
+            ev.where(col("event_id") % 3 === par), batchId, dir,
+            "event_type", "ts", "value", stepSeconds = 21600L)
+        trigger(0, 0L)
+        trigger(1, 1L)
+        trigger(1, 1L) // at-least-once replay rewrites its partition
+        trigger(2, 2L)
+        graft.streaming.StreamingIngest.compactSeriesStatsDir(s, dir,
+          "event_type", belowBatch = Some(2L))
+        val series = graft.streaming.StreamingIngest.currentSeries(s,
+          dir, "event_type")
+        ext.Timeseries.cusum(series, "event_type", "bucket", "v",
+            train = 8, kappa = 0.5, h = 4.0)
+          .withColumn("v", round(col("v"), 6))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some("""WITH se AS (SELECT event_type,
+                               epoch_us(ts) // 21600000000 AS bucket,
+                               CAST(sum(CAST(value AS DECIMAL(20,12)))
+                                 AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                                 AS v
+                        FROM events GROUP BY event_type, bucket),
+             s1 AS (SELECT event_type, bucket, v,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY bucket) AS rn
+                    FROM se),
+             s2 AS (SELECT *,
+                           sum(CASE WHEN rn <= 8
+                               THEN CAST(v AS DECIMAL(30,12)) END)
+                             OVER (PARTITION BY event_type) AS ts
+                    FROM s1),
+             s3 AS (SELECT event_type, bucket, v,
+                           CAST(ts AS DOUBLE) / 8.0 AS mu0
+                    FROM s2 WHERE rn > 8),
+             s4 AS (SELECT *,
+                           CAST(v - mu0 - 0.5 AS DECIMAL(30,12)) AS dp,
+                           CAST(mu0 - v - 0.5 AS DECIMAL(30,12)) AS dn
+                    FROM s3),
+             s5 AS (SELECT *, sum(dp) OVER w AS pp, sum(dn) OVER w AS pn
+                    FROM s4
+                    WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)),
+             s6 AS (SELECT *, min(pp) OVER w AS mp, min(pn) OVER w AS mn
+                    FROM s5
+                    WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)),
+             s7 AS (SELECT event_type, bucket, v, mu0,
+                           pp - least(mp, CAST(0 AS DECIMAL(30,12)))
+                             AS spd,
+                           pn - least(mn, CAST(0 AS DECIMAL(30,12)))
+                             AS snd
+                    FROM s6)
+            SELECT event_type, bucket, round(v, 6) AS v,
+                   CAST(round(CAST(mu0 AS DECIMAL(30,12)), 6) AS DOUBLE)
+                     AS mu0,
+                   CAST(round(spd, 6) AS DOUBLE) AS s_pos,
+                   CAST(round(snd, 6) AS DOUBLE) AS s_neg,
+                   (CAST(spd AS DOUBLE) > 4.0 OR
+                    CAST(snd AS DOUBLE) > 4.0) AS is_change
+            FROM s7 ORDER BY event_type, bucket"""))
+  )
 }

@@ -12,7 +12,7 @@ object SparkEntry {
 
   private lazy val catalog: Seq[QueriesCore.Q] =
     QueriesCore.all ++ QueriesExt.all ++ QueriesAnalytics.all ++
-      QueriesAnalytics.all2 ++
+      QueriesAnalytics.all2 ++ QueriesAnalytics.all3 ++
       QueriesSketches.all ++ QueriesGraph.all ++ QueriesRetrieval.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

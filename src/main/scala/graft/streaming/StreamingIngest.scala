@@ -1593,6 +1593,108 @@ object StreamingIngest {
       spark.read.parquet(s"$sketchDir/rk").drop("batch_id"), groupCols, k)
 
   // ------------------------------------------------------------------
+  // Streaming bucket-stats maintenance (the time-series monitor tier)
+  // ------------------------------------------------------------------
+
+  import graft.ext.Timeseries
+
+  /** Streaming bucket-stats maintenance — the monitor tier's streamed
+    * kind (q243–q264 served without event re-scans): each trigger
+    * lands its batch's per-(key, bucket) partial
+    * `(keyCol, bucket, s, cnt)` — `s` the exact decimal sum of the
+    * trigger's values under the SAME `DECIMAL(20,12)` term cast the
+    * batch series builder uses, `cnt` the count — as its batch_id
+    * partition via dynamic overwrite (at-least-once replay rewrites
+    * itself; the sketch-artifact contract). The merge is (SUM, SUM)
+    * per (key, bucket): decimal sums are associative-exact, so the
+    * folded bucket mean is BIT-EQUAL to the one-pass mean no matter
+    * how a bucket's events split across triggers — the q265 gate. Any
+    * tier read (ewma, cusum, Brown/HW forecasts, intervals, OLS)
+    * serves from [[currentSeries]]'s vocabulary-of-buckets-sized fold.
+    * Bucketing routes through the tier's guarded integer division
+    * (pre-1970 timestamps fail loudly at the lander, not silently at
+    * a later read).
+    */
+  def seriesStatsStream(events: DataFrame, statsDir: String,
+      checkpointDir: String, keyCol: String, tsCol: String,
+      valCol: String, stepSeconds: Long, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        seriesStatsBatch(batch, batchId, statsDir, keyCol, tsCol,
+          valCol, stepSeconds, compactEvery)
+      }
+      .start()
+
+  /** One trigger of [[seriesStatsStream]] — public so specs and the
+    * batch catalog drive exactly the production path.
+    */
+  def seriesStatsBatch(batch: DataFrame, batchId: Long, statsDir: String,
+      keyCol: String, tsCol: String, valCol: String, stepSeconds: Long,
+      compactEvery: Int = 0): Unit = {
+    if (batch.isEmpty) return
+    val partial = batch
+      .select(col(keyCol),
+        unix_micros(col(tsCol)).as("__us"),
+        col(valCol).cast("double").as("__v"))
+      .select(col(keyCol),
+        Timeseries.epochBucketUs("__us", stepSeconds).as("bucket"),
+        col("__v"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(sum(col("__v").cast("decimal(20,12)")).as("s"),
+        count(lit(1)).as("cnt"))
+    partial.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(statsDir)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compactSeriesStatsDir(batch.sparkSession, statsDir, keyCol,
+        belowBatch = Some(batchId))
+  }
+
+  /** The artifact's merged series `(keyCol, bucket, v)` — the exact
+    * per-bucket mean off the folded partials, the frame every
+    * [[graft.ext.Timeseries]] read takes. The fold is bucket-spine-
+    * sized (keys × buckets), never event-sized.
+    */
+  def currentSeries(spark: SparkSession, statsDir: String,
+      keyCol: String): DataFrame =
+    spark.read.parquet(statsDir).drop("batch_id")
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(sum(col("s")).as("__s"), sum(col("cnt")).as("__n"))
+      .select(col(keyCol), col("bucket"),
+        (col("__s").cast("double") / col("__n").cast("double")).as("v"))
+
+  /** Fold partials with `batch_id < belowBatch` (None = all) into the
+    * `-1` epoch by the stats' own merge — (SUM, SUM) per (key,
+    * bucket), commutative like the sketch partials, so the fold IS the
+    * merge and a previous `-1` epoch folds in with everything else.
+    * Crash-safe temp-then-swap; [[currentSeries]] is invariant across
+    * compaction (spec-pinned). Returns the compacted row count.
+    */
+  def compactSeriesStatsDir(spark: SparkSession, statsDir: String,
+      keyCol: String, belowBatch: Option[Long] = None): Long = {
+    val all = spark.read.parquet(statsDir)
+    val (fold, keep) = belowBatch match {
+      case Some(b) =>
+        (all.where(col("batch_id") < b), all.where(col("batch_id") >= b))
+      case None => (all, all.limit(0))
+    }
+    val folded = fold.drop("batch_id")
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(sum(col("s")).cast("decimal(30,12)").as("s"),
+        sum(col("cnt")).as("cnt"))
+    val tmp = s"$statsDir.compact.tmp"
+    folded.withColumn("batch_id", lit(-1L))
+      .unionByName(keep)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    graft.pipeline.Pipeline.swap(spark, tmp, statsDir)
+    spark.read.parquet(statsDir).count()
+  }
+
+  // ------------------------------------------------------------------
   // Streaming inverted-index maintenance (the retrieval tier's artifact)
   // ------------------------------------------------------------------
 

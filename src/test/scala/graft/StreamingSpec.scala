@@ -1415,6 +1415,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(n0 == 0L && rows(layoutDir).size == all.length)
   }
 
+  test("seriesStatsStream: folded bucket means are BIT-equal to the " +
+    "one-pass means with buckets split across triggers, replay " +
+    "rewrites not doubles, compaction folds to -1 invariantly, and a " +
+    "downstream cusum read off the fold equals the batch read") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("seriesstream")
+      .toString
+    val (srcD, stD, ckpt) = (s"$base/src", s"$base/stats", s"$base/ckpt")
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("ts", TimestampType), StructField("v", DoubleType)))
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // 60 s buckets; values 1/10th-exact so the decimal mean is the
+    // witness, bucket 3 (t in [180, 240)) SPLIT across the deliveries
+    def batchDf(r: Range) =
+      r.map(i => ("k", ts(60L * (i % 7) + i % 50), 0.1 * (i % 9)))
+        .toDF("k", "ts", "v")
+    def deliver(r: Range): Unit =
+      batchDf(r).coalesce(1).write.mode("append").parquet(srcD)
+    def runOnce(): Unit = {
+      val q = StreamingIngest.seriesStatsStream(
+        spark.readStream.schema(schema).parquet(srcD), stD, ckpt,
+        "k", "ts", "v", stepSeconds = 60L)
+      try q.processAllAvailable() finally q.stop()
+    }
+    deliver(1 to 400); runOnce()   // batch 0
+    deliver(401 to 700); runOnce() // batch 1
+    def series() = StreamingIngest.currentSeries(spark, stD, "k")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val merged = series()
+    // the one-pass batch mean, the exact same expression shapes
+    val onePass2 = batchDf(1 to 700)
+      .select($"k", unix_micros($"ts").as("__us"), $"v")
+      .select($"k", graft.ext.Timeseries.epochBucketUs("__us", 60L)
+        .as("bucket"), $"v")
+      .groupBy($"k", $"bucket")
+      .agg((sum($"v".cast("decimal(20,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("v"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(merged == onePass2) // bit-equal doubles, not approx
+    // at-least-once replay rewrites its batch_id partition
+    StreamingIngest.seriesStatsBatch(batchDf(401 to 700), 1L, stD,
+      "k", "ts", "v", 60L)
+    assert(series() == merged)
+    // compaction folds everything to -1 without changing the read
+    StreamingIngest.compactSeriesStatsDir(spark, stD, "k")
+    assert(spark.read.parquet(stD)
+      .select($"batch_id").distinct().as[Long].collect().toSeq ==
+      Seq(-1L))
+    assert(series() == merged)
+    // a monitor read off the fold ≡ the same read off the batch frame
+    val fromStream = graft.ext.Timeseries.cusum(
+      StreamingIngest.currentSeries(spark, stD, "k"), "k", "bucket",
+      "v", train = 3, kappa = 0.1, h = 1.0).collect()
+      .map(_.toSeq.toList).toSet
+    val fromBatch = graft.ext.Timeseries.cusum(
+      batchDf(1 to 700)
+        .select($"k", unix_micros($"ts").as("__us"), $"v")
+        .select($"k", graft.ext.Timeseries.epochBucketUs("__us", 60L)
+          .as("bucket"), $"v")
+        .groupBy($"k", $"bucket")
+        .agg((sum($"v".cast("decimal(20,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("v")),
+      "k", "bucket", "v", train = 3, kappa = 0.1, h = 1.0).collect()
+      .map(_.toSeq.toList).toSet
+    assert(fromStream == fromBatch)
+    // the guarded bucketing fails loudly on a pre-1970 timestamp
+    val bad = Seq(("k", ts(-60L), 1.0)).toDF("k", "ts", "v")
+    val e = intercept[Exception] {
+      StreamingIngest.seriesStatsBatch(bad, 9L, stD, "k", "ts", "v", 60L)
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("negative epoch micros"))
+  }
+
   test("streaming sketch maintenance: trigger partials merge to the " +
     "one-pass sketch, replay rewrites not doubles, compaction folds to " +
     "the -1 epoch without changing merged reads, empty trigger no-op") {

@@ -4364,7 +4364,48 @@ object QueriesAnalytics {
                      THEN sqrt(greatest(vyy - vxy / sxx * vxy, 0.0)
                        / (CAST(n AS DOUBLE) - 2.0)) END
                    AS DECIMAL(30,12)), 6) AS DOUBLE) AS resid_se
-          FROM f ORDER BY event_type"""))
+          FROM f ORDER BY event_type""")),
+
+    // rolling OLS slope (round 18): q264's windowed twin — the
+    // trend-drift monitor read. The window's x offsets are FIXED
+    // consecutive integers, so the regression collapses to a
+    // closed-form lag dot product (centered dyadic offsets / the
+    // constant W(W^2-1)/12) — no normal equations, no cancellation,
+    // the q249 fixed-order-lag plan. Oracle interpolates the engine's
+    // own offset literals (the ewmaWeights discipline) and replays the
+    // decimal window mean and the level re-compose.
+    Q("q266_rolling_slope",
+      (s, d) => {
+        val series = series6h(s, d)
+        ext.Timeseries.rollingSlope(series, "event_type", "bucket", "v",
+            window = 8)
+          .withColumn("v", round(col("v"), 6))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some {
+        val ds = ext.Timeseries.rollingSlopeOffsets(8)
+        val sxx = ext.Timeseries.rollingSlopeSxx(8)
+        val num = ds.zipWithIndex.map { case (dd, i) =>
+          if (i == 0) s"$dd * v" else s"$dd * lag(v, $i) OVER w"
+        }.mkString("\n                          + ")
+        s"""WITH $se6hCte,
+           st AS (SELECT event_type, bucket, v,
+                         row_number() OVER w AS rn,
+                         ($num) AS num,
+                         CAST(sum(CAST(v AS DECIMAL(30,12)))
+                           OVER (PARTITION BY event_type ORDER BY bucket
+                                 ROWS BETWEEN 7 PRECEDING AND CURRENT
+                                   ROW) AS DOUBLE) / 8.0 AS ybar
+                  FROM se
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+          SELECT event_type, bucket, round(v, 6) AS v,
+                 CAST(round(CAST(num / $sxx AS DECIMAL(30,12)), 6)
+                   AS DOUBLE) AS slope,
+                 CAST(round(CAST(ybar + num / $sxx * 3.5
+                   AS DECIMAL(30,12)), 6) AS DOUBLE) AS level
+          FROM st WHERE rn >= 8
+          ORDER BY event_type, bucket"""
+      })
   )
 
   private lazy val artifactRoot: String =

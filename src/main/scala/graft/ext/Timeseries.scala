@@ -920,6 +920,76 @@ object Timeseries {
         .as("resid_se"))
   }
 
+  /** ROLLING OLS slope + local level — [[olsFit]]'s windowed twin, the
+    * trend-drift monitor read ("is this metric drifting, right now?"):
+    * per key at each bucket, the least-squares slope over the `window`
+    * most recent observations (current row included). Because the
+    * window's x offsets are the FIXED consecutive integers
+    * 0, −1, …, −(W−1), the regression collapses to a closed-form lag
+    * dot product — no normal equations at all, hence none of the
+    * cancellation [[olsFit]] centers away:
+    *
+    *   slope_t = Σ_{i=0}^{W−1} d_i · y_{t−i} / s,
+    *   d_i = (W−1)/2 − i  (the centered offsets, Σ d_i = 0),
+    *   s   = W(W²−1)/12   (Σ d_i² — the constant sxx of consecutive
+    *                       integers)
+    *   level_t = ȳ + slope_t · (W−1)/2  (the fitted value AT bucket t;
+    *             ȳ the exact-decimal window mean)
+    *
+    * The d_i are half-integers (dyadic — exact doubles), summed in
+    * FIXED lag order like the EWMA stacks, so on a dyadic-valued
+    * linear series the slope is EXACT (spec-pinned). Rows are emitted
+    * only on full windows (rn ≥ W, the q245 stance); the constant-
+    * offset form assumes the DENSE regular series the whole tier
+    * contracts on (feed [[resample]]'s output when gaps are possible —
+    * a gapped series would silently regress against row positions, not
+    * time). Returns `(keyCol, bucketCol, valCol, slope, level)`
+    * rounded through DECIMAL(30,12) at 6 dp.
+    *
+    * Scale shape: one key-partitioned window carrying the lag reads
+    * and the decimal mean — the q249 plan.
+    */
+  def rollingSlope(series: DataFrame, keyCol: String, bucketCol: String,
+      valCol: String, window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    val wDef = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val x = col(valCol).cast("double")
+    val ds = rollingSlopeOffsets(window)
+    val s = rollingSlopeSxx(window)
+    def lagI(i: Int): Column = if (i == 0) x else lag(x, i).over(wDef)
+    val num = ds.zipWithIndex.map { case (d, i) => lit(d) * lagI(i) }
+      .reduce(_ + _)
+    val slope = num / lit(s)
+    val wMean = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(-(window - 1), 0)
+    val ybar = sum(x.cast("decimal(30,12)")).over(wMean).cast("double") /
+      lit(window.toDouble)
+    val level = ybar + slope * lit((window - 1).toDouble / 2.0)
+    def r6(c: Column) =
+      round(c.cast("decimal(30,12)"), 6).cast("double")
+    series
+      .withColumn("__rn", row_number().over(wDef))
+      .withColumn("__slope", slope)
+      .withColumn("__level", level)
+      .where(col("__rn") >= window)
+      .select(col(keyCol), col(bucketCol), x.as(valCol),
+        r6(col("__slope")).as("slope"),
+        r6(col("__level")).as("level"))
+  }
+
+  /** [[rollingSlope]]'s centered offsets d_i = (W−1)/2 − i — public so
+    * oracles interpolate the ENGINE's literals (the ewmaWeights
+    * discipline).
+    */
+  def rollingSlopeOffsets(window: Int): Seq[Double] =
+    (0 until window).map(i => (window - 1).toDouble / 2.0 - i)
+
+  /** [[rollingSlope]]'s constant Σ d_i² = W(W²−1)/12 as the engine's
+    * double literal.
+    */
+  def rollingSlopeSxx(window: Int): Double =
+    window.toDouble * (window.toDouble * window.toDouble - 1.0) / 12.0
+
   def rollingAnomalies(series: DataFrame, keyCol: String,
       bucketCol: String, valCol: String, window: Int,
       zThresh: Double): DataFrame = {

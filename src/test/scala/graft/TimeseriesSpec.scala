@@ -459,6 +459,33 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(sx.getLong(1) == 2L && d(sx, 3).isEmpty && d(sx, 5).isEmpty)
   }
 
+  test("rollingSlope: exact on a dyadic line (slope AND level), first " +
+    "difference at window 2, zero on a constant, full-window emission") {
+    val line = (0L to 20L).map(t => ("line", t, 10.0 + 0.25 * t))
+    val const = (0L to 10L).map(t => ("const", t, 7.5))
+    val df = (line ++ const).toDF("k", "b", "v")
+    val r = ext.Timeseries.rollingSlope(df, "k", "b", "v", window = 8)
+      .collect().map(row => (row.getString(0), row.getLong(1)) -> row)
+      .toMap
+    // emission starts at the 8th row (b = 7)
+    assert(!r.contains(("line", 6L)) && r.contains(("line", 7L)))
+    (7L to 20L).foreach { b =>
+      val row = r(("line", b))
+      assert(row.getDouble(3) == 0.25, s"slope at $b")
+      assert(row.getDouble(4) == 10.0 + 0.25 * b, s"level at $b")
+    }
+    (7L to 10L).foreach { b =>
+      assert(r(("const", b)).getDouble(3) == 0.0)
+      assert(r(("const", b)).getDouble(4) == 7.5)
+    }
+    // window 2 degenerates to the first difference (d = ±0.5, s = 0.5)
+    val two = Seq(("k", 0L, 1.0), ("k", 1L, 4.0), ("k", 2L, 2.0))
+      .toDF("k", "b", "v")
+    val fd = ext.Timeseries.rollingSlope(two, "k", "b", "v", window = 2)
+      .collect().map(row => row.getLong(1) -> row.getDouble(3)).toMap
+    assert(fd == Map(1L -> 3.0, 2L -> -2.0))
+  }
+
   test("seasonalNaive: lag(period-1) semantics — head rows null, " +
     "pure seasonal series forecast exactly, period 1 = plain naive") {
     val s = Map(0 -> 5.0, 1 -> 7.0, 2 -> 4.0, 3 -> 6.0)

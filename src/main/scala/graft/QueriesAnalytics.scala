@@ -4405,7 +4405,53 @@ object QueriesAnalytics {
                    AS DECIMAL(30,12)), 6) AS DOUBLE) AS level
           FROM st WHERE rn >= 8
           ORDER BY event_type, bucket"""
-      })
+      }),
+
+    // cross-correlation at lags (round 18): the lead-lag read across
+    // event types plus the ACF on the diagonal — Pearson r over the
+    // aligned (a_t, b_{t+lag}) pairs for every ordered key pair and
+    // lag 0..4, exact decimal sums, double closed form (parity by
+    // construction: both engines run the same expression over the same
+    // exact sums), r NULL on zero variance or < 2 pairs, n emitted so
+    // the caller judges overlap shrinkage. One lag-spine broadcast, one
+    // shifted-bucket equi-join, one (key_a, key_b, lag) aggregate.
+    Q("q267_cross_correlation",
+      (s, d) => {
+        val series = series6h(s, d)
+        ext.Timeseries.crossCorr(series, "event_type", "bucket", "v",
+            maxLag = 4)
+          .orderBy(col("key_a"), col("key_b"), col("lag"))
+      },
+      Some(s"""WITH $se6hCte,
+           lg AS (SELECT unnest(range(0, 5)) AS lag),
+           pr AS (SELECT a.event_type AS key_a, b.event_type AS key_b,
+                         l.lag, a.v AS xa, b.v AS xb
+                  FROM se a CROSS JOIN lg l
+                  JOIN se b ON b.bucket = a.bucket + l.lag),
+           ag AS (SELECT key_a, key_b, lag, count(*) AS n,
+                         sum(CAST(xa AS DECIMAL(30,12))) AS sx,
+                         sum(CAST(xb AS DECIMAL(30,12))) AS sy,
+                         sum(CAST(xa * xb AS DECIMAL(30,12))) AS sxy,
+                         sum(CAST(xa * xa AS DECIMAL(30,12))) AS sx2,
+                         sum(CAST(xb * xb AS DECIMAL(30,12))) AS sy2
+                  FROM pr GROUP BY key_a, key_b, lag),
+           f AS (SELECT key_a, key_b, lag, n,
+                        CAST(sx2 AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                            / CAST(n AS DOUBLE) AS sxx,
+                        CAST(sy2 AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                            / CAST(n AS DOUBLE) AS syy,
+                        CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                            / CAST(n AS DOUBLE) AS vxy
+                 FROM ag)
+          SELECT key_a, key_b, lag, n,
+                 CAST(round(CAST(CASE WHEN n >= 2 AND sxx > 0.0
+                       AND syy > 0.0
+                     THEN vxy / sqrt(sxx * syy) END
+                   AS DECIMAL(30,12)), 6) AS DOUBLE) AS r
+          FROM f ORDER BY key_a, key_b, lag"""))
   )
 
   private lazy val artifactRoot: String =

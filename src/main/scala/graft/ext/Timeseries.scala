@@ -990,6 +990,66 @@ object Timeseries {
   def rollingSlopeSxx(window: Int): Double =
     window.toDouble * (window.toDouble * window.toDouble - 1.0) / 12.0
 
+  /** Cross-correlation at lags — the lead-lag read ("errors lead
+    * clicks by two buckets") and, on the diagonal, the ACF: for every
+    * ORDERED key pair (key_a, key_b) and every lag 0..maxLag, the
+    * Pearson correlation over the aligned pairs (a_t, b_{t+lag}) —
+    * key_a = key_b rows are the autocorrelation function, where a
+    * seasonal series peaks at its period. Sums (Σx, Σy, Σxy, Σx², Σy²)
+    * are exact DECIMAL(30,12) aggregates per (key_a, key_b, lag); the
+    * closed form `r = sxy / √(sxx·syy)` runs in DOUBLE (both engines
+    * compute the same expression from the same exact sums, so parity
+    * is by construction); r is NULL when either side's window variance
+    * is 0 or fewer than 2 pairs align. `n` (the overlap, shrinking
+    * with lag) is emitted so a caller can judge significance. Assumes
+    * the tier's dense regular series (gaps silently shrink n — feed
+    * [[resample]]'s output when gaps are possible). Returns
+    * `(key_a, key_b, lag, n, r)` with r rounded through DECIMAL(30,12)
+    * at 6 dp.
+    *
+    * Scale shape: one broadcast of the (maxLag+1)-row lag spine, one
+    * equi-join on the shifted bucket (output = key² · lag ·
+    * series-bounded rows), one (key_a, key_b, lag) aggregate. Key
+    * cardinality is the caller's contract (the series is key-bounded
+    * by construction everywhere in this tier).
+    */
+  def crossCorr(series: DataFrame, keyCol: String, bucketCol: String,
+      valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0: $maxLag")
+    val a = series.select(col(keyCol).as("key_a"),
+      col(bucketCol).cast("long").as("__b"),
+      col(valCol).cast("double").as("__xa"))
+    val b = series.select(col(keyCol).as("key_b"),
+      col(bucketCol).cast("long").as("__tb"),
+      col(valCol).cast("double").as("__xb"))
+    val lags = series.sparkSession.range(0L, maxLag + 1L)
+      .select(col("id").as("lag"))
+    def dec(c: Column) = c.cast("decimal(30,12)")
+    val agg = a.crossJoin(broadcast(lags))
+      .withColumn("__tb", col("__b") + col("lag"))
+      .join(b, Seq("__tb"))
+      .groupBy(col("key_a"), col("key_b"), col("lag"))
+      .agg(count(lit(1)).as("__n"),
+        sum(dec(col("__xa"))).as("__sx"),
+        sum(dec(col("__xb"))).as("__sy"),
+        sum(dec(col("__xa") * col("__xb"))).as("__sxy"),
+        sum(dec(col("__xa") * col("__xa"))).as("__sx2"),
+        sum(dec(col("__xb") * col("__xb"))).as("__sy2"))
+    val n = col("__n").cast("double")
+    val sxx = col("__sx2").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double") / n
+    val syy = col("__sy2").cast("double") -
+      col("__sy").cast("double") * col("__sy").cast("double") / n
+    val sxy = col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double") / n
+    def r6(c: Column) =
+      round(c.cast("decimal(30,12)"), 6).cast("double")
+    agg.select(col("key_a"), col("key_b"), col("lag"),
+      col("__n").as("n"),
+      r6(when(col("__n") >= 2 && sxx > 0.0d && syy > 0.0d,
+        sxy / sqrt(sxx * syy))).as("r"))
+  }
+
   def rollingAnomalies(series: DataFrame, keyCol: String,
       bucketCol: String, valCol: String, window: Int,
       zThresh: Double): DataFrame = {

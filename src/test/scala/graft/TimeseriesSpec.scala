@@ -486,6 +486,36 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(fd == Map(1L -> 3.0, 2L -> -2.0))
   }
 
+  test("crossCorr: ACF peaks at the planted period, a shifted twin " +
+    "correlates exactly 1 at its lag, constants are null-r, and the " +
+    "overlap shrinks by lag") {
+    val pat = Map(0 -> 0.0, 1 -> 1.0, 2 -> 5.0)
+    val aRows = (0L to 29L).map(t => ("a", t, pat((t % 3).toInt)))
+    // b lags a by 2: b_(t+2) = a_t
+    val bRows = (0L to 29L).map(t => ("b", t, pat((((t - 2) % 3 + 3) % 3).toInt)))
+    val cRows = (0L to 29L).map(t => ("c", t, 4.0))
+    val df = (aRows ++ bRows ++ cRows).toDF("k", "b", "v")
+    val r = ext.Timeseries.crossCorr(df, "k", "b", "v", maxLag = 4)
+      .collect()
+      .map(row => (row.getString(0), row.getString(1), row.getLong(2)) ->
+        (row.getLong(3), if (row.isNullAt(4)) None
+         else Some(row.getDouble(4))))
+      .toMap
+    // the diagonal is the ACF: exact 1 at lag 0 and at the period 3
+    assert(r(("a", "a", 0L))._2.contains(1.0))
+    assert(r(("a", "a", 3L))._2.contains(1.0))
+    // off-period lags of a non-constant periodic pattern are < 1
+    assert(r(("a", "a", 1L))._2.exists(v => v < 1.0 && v > -1.0))
+    // the planted lead-lag: corr(a_t, b_(t+2)) = 1 exactly
+    assert(r(("a", "b", 2L))._2.contains(1.0))
+    assert(r(("a", "b", 0L))._2.exists(_ < 1.0))
+    // a constant key has zero variance — r null against everything
+    assert(r(("c", "c", 0L))._2.isEmpty)
+    assert(r(("a", "c", 1L))._2.isEmpty)
+    // overlap shrinks with lag: n(lag) = 30 - lag on the full spine
+    (0L to 4L).foreach(l => assert(r(("a", "a", l))._1 == 30L - l))
+  }
+
   test("seasonalNaive: lag(period-1) semantics — head rows null, " +
     "pure seasonal series forecast exactly, period 1 = plain naive") {
     val s = Map(0 -> 5.0, 1 -> 7.0, 2 -> 4.0, 3 -> 6.0)

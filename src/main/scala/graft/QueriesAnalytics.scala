@@ -4541,6 +4541,131 @@ object QueriesAnalytics {
                    CAST(round(snd, 6) AS DOUBLE) AS s_neg,
                    (CAST(spd AS DOUBLE) > 4.0 OR
                     CAST(snd AS DOUBLE) > 4.0) AS is_change
-            FROM s7 ORDER BY event_type, bucket"""))
+            FROM s7 ORDER BY event_type, bucket""")),
+
+    // cohort retention (round 18): users cohorted by first-activity
+    // bucket, each (cohort, age) cell = the cohort's users active age
+    // buckets later, denominator = the exact age-0 cohort size. Three
+    // aggregates + one cohort-bounded broadcast join — nothing
+    // event-ordered, flat at any event volume.
+    Q("q268_retention",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        ext.Behavior.retention(ev, "user_id", "ts", stepSeconds = 21600L)
+          .orderBy(col("cohort"), col("age"))
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id AS u,
+                                epoch_us(ts) // 21600000000 AS b
+                         FROM events),
+             coh AS (SELECT u, min(b) AS c FROM act GROUP BY u),
+             cells AS (SELECT c AS cohort, b - c AS age,
+                              count(*) AS n_active
+                       FROM act JOIN coh USING (u)
+                       GROUP BY c, b - c),
+             sz AS (SELECT c AS cohort, count(*) AS csize
+                    FROM coh GROUP BY c)
+            SELECT cohort, age, n_active,
+                   CAST(round(CAST(CAST(n_active AS DOUBLE)
+                       / CAST(csize AS DOUBLE) AS DECIMAL(30,12)), 6)
+                     AS DOUBLE) AS retained
+            FROM cells JOIN sz USING (cohort)
+            ORDER BY cohort, age""")),
+
+    // ordered funnel (round 18): per user, the first view, the first
+    // click STRICTLY after it, the first purchase strictly after that —
+    // k-1 unrolled min-after-t aggregates + user-bounded equi-joins, no
+    // per-user event ordering ever materialized. One row per user who
+    // entered the funnel; null times from the first missed step on.
+    Q("q269_funnel",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        ext.Behavior.funnel(ev, "user_id", "ts", "event_type",
+            Seq("view", "click", "purchase"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS us,
+                               event_type AS t
+                        FROM events),
+             s1 AS (SELECT u, min(us) AS us_1 FROM ev
+                    WHERE t = 'view' GROUP BY u),
+             s2 AS (SELECT e.u, min(e.us) AS us_2
+                    FROM ev e JOIN s1 ON e.u = s1.u
+                    WHERE e.t = 'click' AND e.us > s1.us_1
+                    GROUP BY e.u),
+             s3 AS (SELECT e.u, min(e.us) AS us_3
+                    FROM ev e JOIN s2 ON e.u = s2.u
+                    WHERE e.t = 'purchase' AND e.us > s2.us_2
+                    GROUP BY e.u)
+            SELECT s1.u AS user_id, us_1, us_2, us_3,
+                   (CASE WHEN us_1 IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN us_2 IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN us_3 IS NOT NULL THEN 1 ELSE 0 END)
+                     AS steps_completed
+            FROM s1 LEFT JOIN s2 ON s1.u = s2.u
+                    LEFT JOIN s3 ON s1.u = s3.u
+            ORDER BY user_id""")),
+
+    // Welch two-sample t per key (round 18): the experiment read —
+    // click-vs-view value comparison per user segment, one conditional-
+    // aggregate pass (exact decimal sums and sums-of-squares), Welch-
+    // Satterthwaite df, t/df null when either side has n < 2 or both
+    // variances vanish. No p-value by design (incomplete beta); df is
+    // emitted for callers with tables.
+    Q("q270_ab_welch",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("seg", col("user_id") % 4)
+        ext.Behavior.abWelch(ev, "seg", "event_type", "value",
+            a = "click", b = "view")
+          .orderBy(col("seg"))
+      },
+      Some("""WITH ev AS (SELECT user_id % 4 AS seg, event_type AS t,
+                               CAST(value AS DOUBLE) AS v
+                        FROM events
+                        WHERE event_type IN ('click', 'view')),
+             ag AS (SELECT seg,
+                           sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END)
+                             AS na,
+                           sum(CASE WHEN t = 'view' THEN 1 ELSE 0 END)
+                             AS nb,
+                           sum(CAST(CASE WHEN t = 'click' THEN v
+                               ELSE 0.0 END AS DECIMAL(30,12))) AS sa,
+                           sum(CAST(CASE WHEN t = 'view' THEN v
+                               ELSE 0.0 END AS DECIMAL(30,12))) AS sb,
+                           sum(CAST(CASE WHEN t = 'click' THEN v * v
+                               ELSE 0.0 END AS DECIMAL(30,12))) AS sa2,
+                           sum(CAST(CASE WHEN t = 'view' THEN v * v
+                               ELSE 0.0 END AS DECIMAL(30,12))) AS sb2
+                    FROM ev GROUP BY seg),
+             f AS (SELECT seg, na, nb,
+                          CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+                          CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+                          ((CAST(sa2 AS DOUBLE)
+                            - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                              / CAST(na AS DOUBLE))
+                           / (CAST(na AS DOUBLE) - 1.0))
+                            / CAST(na AS DOUBLE) AS qa,
+                          ((CAST(sb2 AS DOUBLE)
+                            - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                              / CAST(nb AS DOUBLE))
+                           / (CAST(nb AS DOUBLE) - 1.0))
+                            / CAST(nb AS DOUBLE) AS qb
+                   FROM ag)
+            SELECT seg, na AS n_a, nb AS n_b,
+                   CAST(round(CAST(CASE WHEN na >= 1 THEN ma END
+                     AS DECIMAL(30,12)), 6) AS DOUBLE) AS mean_a,
+                   CAST(round(CAST(CASE WHEN nb >= 1 THEN mb END
+                     AS DECIMAL(30,12)), 6) AS DOUBLE) AS mean_b,
+                   CAST(round(CAST(CASE WHEN na >= 2 AND nb >= 2
+                         AND qa + qb > 0.0
+                       THEN (ma - mb) / sqrt(qa + qb) END
+                     AS DECIMAL(30,12)), 6) AS DOUBLE) AS t,
+                   CAST(round(CAST(CASE WHEN na >= 2 AND nb >= 2
+                         AND qa + qb > 0.0
+                       THEN (qa + qb) * (qa + qb)
+                            / (qa * qa / (CAST(na AS DOUBLE) - 1.0)
+                               + qb * qb / (CAST(nb AS DOUBLE) - 1.0))
+                       END AS DECIMAL(30,12)), 6) AS DOUBLE) AS df
+            FROM f ORDER BY seg"""))
   )
 }

@@ -1,0 +1,156 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Behavioral / product-analytics reads over event streams — the
+  * cohort-retention, funnel, and experiment-comparison triad every
+  * warehouse team rebuilds by hand (reference scope: the engine's
+  * event tables; the methods are textbook — Kohavi et al. for the
+  * Welch read, standard product-analytics definitions for the other
+  * two). All three are pure aggregate programs: no windows beyond
+  * per-user, no event-ordered shuffles, every output frame
+  * key/cohort/step-bounded — the shapes that stay flat when the event
+  * volume grows 100×.
+  */
+object Behavior {
+
+  /** Cohort retention: users are cohorted by their FIRST activity
+    * bucket ([[Timeseries.epochBucketUs]]'s guarded division), and
+    * each (cohort, age) cell counts the cohort's users active `age`
+    * buckets later. `retained` is the fraction of the cohort-size
+    * cell (age 0 — every user is active in their own first bucket by
+    * construction, so the denominator is exact).
+    *
+    * Scale shape: one per-user min aggregate, one DISTINCT
+    * (user, bucket) cut, one (cohort, age) aggregate, and a
+    * cohort-bounded broadcast join for the denominator. Nothing
+    * event-ordered anywhere. Returns `(cohort, age, n_active,
+    * retained)` with retained rounded through DECIMAL(30,12) at 6 dp.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+      stepSeconds: Long): DataFrame = {
+    val act = events
+      .select(col(userCol).as("__u"),
+        unix_micros(col(tsCol)).as("__us"))
+      .select(col("__u"),
+        Timeseries.epochBucketUs("__us", stepSeconds).as("__b"))
+      .distinct()
+    val cohorts = act.groupBy(col("__u"))
+      .agg(min(col("__b")).as("__c"))
+    val cells = act.join(cohorts, Seq("__u"))
+      .groupBy(col("__c").as("cohort"),
+        (col("__b") - col("__c")).as("age"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cohorts.groupBy(col("__c").as("cohort"))
+      .agg(count(lit(1)).as("__size"))
+    def r6(c: Column) =
+      round(c.cast("decimal(30,12)"), 6).cast("double")
+    cells.join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("age"), col("n_active"),
+        r6(col("n_active").cast("double") / col("__size").cast("double"))
+          .as("retained"))
+  }
+
+  /** Ordered funnel: per user, the FIRST time each named step occurs
+    * STRICTLY AFTER the previous step's matched time (exact micros
+    * compare — simultaneous events do not satisfy "after", the
+    * unambiguous reading). Returns one row per user who completed
+    * step 1: `(userCol, us_1..us_k, steps_completed)` — `us_i` null
+    * from the first uncompleted step on (and everything after, by
+    * construction). A funnel summary is one aggregate over this frame.
+    *
+    * The step list is FIXED and small (the funnel definition), so the
+    * chain is k−1 unrolled per-user min aggregates + equi-joins —
+    * fully relational, oracle-replayable, and each join is
+    * user-bounded on one side. No per-user event ordering is ever
+    * materialized (the min-after-t aggregate does the work a sort
+    * would).
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, s"duplicate funnel steps: $steps")
+    val ev = events.select(col(userCol).as("__u"),
+      unix_micros(col(tsCol)).as("__us"),
+      col(typeCol).as("__t"))
+    val first = ev.where(col("__t") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__us")).as("us_1"))
+    val full = steps.toSeq.zipWithIndex.drop(1)
+      .foldLeft(first) { case (acc, (step, i)) =>
+        val prev = s"us_$i"
+        val cur = s"us_${i + 1}"
+        val nxt = ev.where(col("__t") === step)
+          .join(acc.select(col("__u"), col(prev)), Seq("__u"))
+          .where(col("__us") > col(prev))
+          .groupBy(col("__u")).agg(min(col("__us")).as(cur))
+        acc.join(nxt.select(col("__u"), col(cur)), Seq("__u"), "left")
+      }
+    val tsCols = (1 to steps.size).map(i => col(s"us_$i"))
+    val completed = tsCols.map(c => when(c.isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    full.select(col("__u").as(userCol) +: tsCols :+
+      completed.as("steps_completed"): _*)
+  }
+
+  /** Welch's two-sample t statistic per key — the experiment read
+    * (Welch 1947; the unequal-variance form A/B practice defaults
+    * to): for each key, compare `valCol` between the rows where
+    * `groupCol` equals `a` and those where it equals `b`:
+    *
+    *   t  = (x̄_a − x̄_b) / se,   se = √(s²_a/n_a + s²_b/n_b)
+    *   df = se⁴ / ((s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1))
+    *
+    * (Welch–Satterthwaite df). Sums and sums-of-squares are exact
+    * DECIMAL(30,12) conditional aggregates — ONE pass over the rows,
+    * no pivot, no second scan; sample variances and the closed forms
+    * run in DOUBLE. `t`/`df` are NULL when either side has n < 2 or
+    * both variances are 0 (no spread — a mean difference with zero
+    * within-group variance has no finite-sample t reading; the means
+    * still emit). Rows in neither group are ignored. No p-value is
+    * emitted — that needs the incomplete beta; at the event-scale n
+    * this serves, |t| against a normal quantile is the standing
+    * practice (df is emitted so a caller with tables can be exact).
+    * Returns `(keyCol, n_a, n_b, mean_a, mean_b, t, df)` rounded
+    * through DECIMAL(30,12) at 6 dp.
+    */
+  def abWelch(df: DataFrame, keyCol: String, groupCol: String,
+      valCol: String, a: String, b: String): DataFrame = {
+    require(a != b, s"the two groups must differ: $a")
+    def dec(c: Column) = c.cast("decimal(30,12)")
+    val x = col(valCol).cast("double")
+    val inA = col(groupCol) === a
+    val inB = col(groupCol) === b
+    val agg = df.where(inA || inB).groupBy(col(keyCol))
+      .agg(sum(inA.cast("long")).as("__na"),
+        sum(inB.cast("long")).as("__nb"),
+        sum(dec(when(inA, x).otherwise(lit(0.0d)))).as("__sa"),
+        sum(dec(when(inB, x).otherwise(lit(0.0d)))).as("__sb"),
+        sum(dec(when(inA, x * x).otherwise(lit(0.0d)))).as("__sa2"),
+        sum(dec(when(inB, x * x).otherwise(lit(0.0d)))).as("__sb2"))
+    val na = col("__na").cast("double")
+    val nb = col("__nb").cast("double")
+    val ma = col("__sa").cast("double") / na
+    val mb = col("__sb").cast("double") / nb
+    val va = (col("__sa2").cast("double") -
+      col("__sa").cast("double") * col("__sa").cast("double") / na) /
+      (na - lit(1.0d))
+    val vb = (col("__sb2").cast("double") -
+      col("__sb").cast("double") * col("__sb").cast("double") / nb) /
+      (nb - lit(1.0d))
+    val qa = va / na
+    val qb = vb / nb
+    val se2 = qa + qb
+    val ok = col("__na") >= 2 && col("__nb") >= 2 && se2 > 0.0d
+    val t = (ma - mb) / sqrt(se2)
+    val dfw = se2 * se2 /
+      (qa * qa / (na - lit(1.0d)) + qb * qb / (nb - lit(1.0d)))
+    def r6(c: Column) =
+      round(c.cast("decimal(30,12)"), 6).cast("double")
+    agg.select(col(keyCol), col("__na").as("n_a"), col("__nb").as("n_b"),
+      r6(when(col("__na") >= 1, ma)).as("mean_a"),
+      r6(when(col("__nb") >= 1, mb)).as("mean_b"),
+      r6(when(ok, t)).as("t"),
+      r6(when(ok, dfw)).as("df"))
+  }
+}

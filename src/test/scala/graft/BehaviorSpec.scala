@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Behavior
+
+/** Behavioral-read contracts the q268–q270 oracles can't see: the
+  * hand-countable retention matrix, the strictly-after funnel matching
+  * (simultaneous events do NOT advance a step), and Welch arithmetic
+  * against hand-computed values with every degenerate branch.
+  */
+class BehaviorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("retention: hand-countable cohort matrix with exact fractions") {
+    // 60 s buckets: u1 active {0,1,3}, u2 {0,2}, u3 {1,2}
+    val ev = Seq(
+      ("u1", 5L), ("u1", 10L), ("u1", 70L), ("u1", 190L),
+      ("u2", 20L), ("u2", 130L),
+      ("u3", 80L), ("u3", 125L)
+    ).map { case (u, s) => (u, ts(s)) }.toDF("user_id", "ts")
+    val rows = Behavior.retention(ev, "user_id", "ts", 60L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // cohort 0 = {u1, u2} (size 2), cohort 1 = {u3} (size 1)
+    assert(rows((0L, 0L)) == ((2L, 1.0)))
+    assert(rows((0L, 1L)) == ((1L, 0.5))) // u1 only
+    assert(rows((0L, 2L)) == ((1L, 0.5))) // u2 only
+    assert(rows((0L, 3L)) == ((1L, 0.5))) // u1 only
+    assert(rows((1L, 0L)) == ((1L, 1.0)))
+    assert(rows((1L, 1L)) == ((1L, 1.0))) // u3 at bucket 2
+    assert(rows.size == 6)
+    // duplicate events inside one bucket count a user once (DISTINCT)
+  }
+
+  test("funnel: strictly-after matching, simultaneous events do not " +
+    "advance, non-entrants are absent, later steps null from the " +
+    "first miss") {
+    val ev = Seq(
+      // u1 completes all three in order
+      ("u1", 10L, "view"), ("u1", 20L, "click"), ("u1", 30L, "purchase"),
+      // u2's only click PRECEDES the view — stops at step 1
+      ("u2", 9L, "click"), ("u2", 10L, "view"),
+      // u3's click is SIMULTANEOUS with the view — not strictly after
+      ("u3", 10L, "view"), ("u3", 10L, "click"),
+      // u4 never views — absent from the frame entirely
+      ("u4", 5L, "click"), ("u4", 6L, "purchase"),
+      // u5's purchase precedes the matched click — stops at step 2
+      ("u5", 10L, "view"), ("u5", 20L, "click"), ("u5", 15L, "purchase"),
+      // u6: min-after semantics pick the EARLIEST qualifying click
+      ("u6", 10L, "view"), ("u6", 12L, "click"), ("u6", 11L, "click")
+    ).map { case (u, s, t) => (u, ts(s), t) }
+      .toDF("user_id", "ts", "event_type")
+    val rows = Behavior.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))),
+          r.getInt(4))).toMap
+    assert(!rows.contains("u4"))
+    assert(rows("u1") ==
+      ((Seq(Some(10000000L), Some(20000000L), Some(30000000L)), 3)))
+    assert(rows("u2") == ((Seq(Some(10000000L), None, None), 1)))
+    assert(rows("u3") == ((Seq(Some(10000000L), None, None), 1)))
+    assert(rows("u5") ==
+      ((Seq(Some(10000000L), Some(20000000L), None), 2)))
+    assert(rows("u6")._1(1).contains(11000000L)) // min qualifying click
+    // duplicate step names are a caller error, failed loudly
+    intercept[IllegalArgumentException] {
+      Behavior.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "view"))
+    }
+  }
+
+  test("abWelch: hand-computed t and Welch df at 6 dp, with the n < 2, " +
+    "zero-spread, and missing-group degenerates and non-group rows " +
+    "ignored") {
+    val df = Seq(
+      // k1: A = {1,2,3}, B = {2,4} -> t = -0.866025, df = 32/19
+      ("k1", "a", 1.0), ("k1", "a", 2.0), ("k1", "a", 3.0),
+      ("k1", "b", 2.0), ("k1", "b", 4.0),
+      ("k1", "zzz", 99.0), // neither group — must not count
+      // k2: B is a singleton — means emit, t/df null
+      ("k2", "a", 1.0), ("k2", "a", 3.0), ("k2", "b", 5.0),
+      // k3: zero spread on both sides — no finite-sample t
+      ("k3", "a", 5.0), ("k3", "a", 5.0),
+      ("k3", "b", 7.0), ("k3", "b", 7.0)
+    ).toDF("k", "g", "v")
+    val rows = Behavior.abWelch(df, "k", "g", "v", "a", "b")
+      .collect().map(r => r.getString(0) -> r).toMap
+    def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val k1 = rows("k1")
+    assert(k1.getLong(1) == 3L && k1.getLong(2) == 2L)
+    assert(d(k1, 3).contains(2.0) && d(k1, 4).contains(3.0))
+    assert(d(k1, 5).contains(-0.866025)) // -1/sqrt(4/3) at 6 dp
+    assert(d(k1, 6).contains(BigDecimal(32.0 / 19.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    val k2 = rows("k2")
+    assert(d(k2, 3).contains(2.0) && d(k2, 4).contains(5.0))
+    assert(d(k2, 5).isEmpty && d(k2, 6).isEmpty)
+    val k3 = rows("k3")
+    assert(d(k3, 3).contains(5.0) && d(k3, 4).contains(7.0))
+    assert(d(k3, 5).isEmpty && d(k3, 6).isEmpty)
+  }
+}

@@ -118,7 +118,13 @@ object PlanDump {
         // aggregates with the key-bounded x0 frame broadcast between
         // them. q261 is omitted like q43 (emFit localCheckpoints per
         // iteration); q263 is q262 plus one key aggregate.
-        "q262_forecast_intervals", "q264_ols_by_key")
+        "q262_forecast_intervals", "q264_ols_by_key",
+        // round 18 behavioral tier: q268 is three hash aggregates and
+        // one cohort-bounded broadcast — no window, no event order;
+        // q269 the unrolled min-after-t chain (every join build side
+        // user-bounded); q270 ONE conditional-aggregate pass with the
+        // closed forms as pure projection.
+        "q268_retention", "q269_funnel", "q270_ab_welch")
       .foreach { q =>
       out.append(s"===== $q =====\n")
       out.append(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

@@ -4448,6 +4448,99 @@ object QueriesExt {
                       coalesce(text_clean, '') AS text_clean
                FROM base b LEFT JOIN kept USING (doc_id))"""
 
+  /** Round-18 block: MMR diversified re-ranking. Kept in this file for
+    * [[cosSql]]; a separate Seq keeps `all`'s method size untouched.
+    */
+  val all2: Seq[Q] = Seq(
+
+    // MMR diversified top-k (round 18): the redundancy-punishing
+    // re-rank (Carbonell & Goldstein 1998) over a brute-force top-10
+    // candidate run — greedy, order-sensitive BY DEFINITION, made
+    // oracle-replayable the emFit/q73 way: 4 unrolled steps, each an
+    // anti-join + selected-restricted max-sim + deterministic argmax
+    // window over 6 dp-rounded doubles. Candidate and sim frames are
+    // top-k-bounded (k, k² rows per query) so every step is broadcast-
+    // scale; m is config — the read never touches corpus volume.
+    Q("q271_mmr_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cand = Similarity.bruteForceTopK(
+            e.where(col("vec_id") % 50 === 0), e, "vec_id", "embedding",
+            k = 10)
+          .select(col("q_id"), col("c_id"), col("cos"))
+        val vecs = e.select(col("vec_id"), col("embedding"))
+        val ca = cand.select(col("q_id"), col("c_id"))
+          .join(vecs, col("c_id") === col("vec_id"))
+          .select(col("q_id"), col("c_id"), col("embedding").as("va"))
+        val cb = ca.select(col("q_id"), col("c_id").as("s_id"),
+          col("va").as("vb"))
+        val sims = ca.join(cb, Seq("q_id"))
+          .where(col("c_id") =!= col("s_id"))
+          .select(col("q_id"), col("c_id"), col("s_id"),
+            Similarity.cosine(col("va"), col("vb")).as("sim"))
+        Similarity.mmrSelect(cand, "q_id", "c_id", "cos", sims, "s_id",
+            "sim", m = 5, lambda = 0.7)
+          .orderBy(col("q_id"), col("ord"))
+      },
+      Some {
+        val lam = 0.7
+        val oneMinus = 1.0 - lam // the ENGINE's double literal
+        def step(j: Int): String = {
+          val prev = if (j == 2) "sel1" else s"sel${j - 1}"
+          s"""rem$j AS (SELECT c.* FROM cand c
+                  WHERE NOT EXISTS (SELECT 1 FROM $prev p
+                                    WHERE p.q_id = c.q_id
+                                      AND p.c_id = c.c_id)),
+             ss$j AS (SELECT m.q_id, m.c_id, m.sim
+                      FROM sims m JOIN $prev p
+                        ON m.q_id = p.q_id AND m.s_id = p.c_id),
+             ms$j AS (SELECT r.q_id, r.c_id, r.cos,
+                             coalesce(max(s.sim), 0.0) AS maxsim
+                      FROM rem$j r LEFT JOIN ss$j s
+                        ON s.q_id = r.q_id AND s.c_id = r.c_id
+                      GROUP BY r.q_id, r.c_id, r.cos),
+             pick$j AS (SELECT q_id, c_id, $j AS ord, cos,
+                               CAST(round(CAST(maxsim AS DECIMAL(30,12)),
+                                 6) AS DOUBLE) AS maxsim
+                        FROM (SELECT *,
+                                     row_number() OVER (PARTITION BY q_id
+                                       ORDER BY $lam * cos
+                                         - $oneMinus * maxsim DESC,
+                                       c_id) AS rn
+                              FROM ms$j) WHERE rn = 1),
+             sel$j AS (SELECT * FROM $prev
+                       UNION ALL SELECT * FROM pick$j)"""
+        }
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                     FROM embeddings WHERE vec_id % 50 = 0),
+             c AS (SELECT vec_id AS c_id, embedding AS c_vec
+                   FROM embeddings),
+             sc AS (SELECT q_id, c_id, ${cosSql("q_vec", "c_vec")} AS cos
+                    FROM c, q WHERE q_id <> c_id),
+             cand AS (SELECT q_id, c_id, cos
+                      FROM (SELECT *, row_number() OVER (PARTITION BY
+                              q_id ORDER BY cos DESC, c_id) AS rnk
+                            FROM sc) WHERE rnk <= 10),
+             cv AS (SELECT cand.q_id, cand.c_id, e.embedding AS v
+                    FROM cand JOIN embeddings e ON e.vec_id = cand.c_id),
+             sims AS (SELECT a.q_id, a.c_id, b.c_id AS s_id,
+                             ${cosSql("a.v", "b.v")} AS sim
+                      FROM cv a JOIN cv b ON a.q_id = b.q_id
+                                         AND a.c_id <> b.c_id),
+             sel1 AS (SELECT q_id, c_id, 1 AS ord, cos,
+                             CAST(NULL AS DOUBLE) AS maxsim
+                      FROM (SELECT *, row_number() OVER (PARTITION BY
+                              q_id ORDER BY cos DESC, c_id) AS rn
+                            FROM cand) WHERE rn = 1),
+             ${step(2)},
+             ${step(3)},
+             ${step(4)},
+             ${step(5)}
+            SELECT q_id, c_id, ord, cos, maxsim FROM sel5
+            ORDER BY q_id, ord"""
+      })
+  )
+
   private def cosSql(a: String, b: String): String = cosSqlN(a, b, 64)
 
   private def dotSqlN(x: String, y: String, dim: Int): String =

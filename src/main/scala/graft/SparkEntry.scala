@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private lazy val catalog: Seq[QueriesCore.Q] =
-    QueriesCore.all ++ QueriesExt.all ++ QueriesAnalytics.all ++
+    QueriesCore.all ++ QueriesExt.all ++ QueriesExt.all2 ++
+      QueriesAnalytics.all ++
       QueriesAnalytics.all2 ++ QueriesAnalytics.all3 ++
       QueriesSketches.all ++ QueriesGraph.all ++ QueriesRetrieval.all
 

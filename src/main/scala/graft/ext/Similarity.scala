@@ -2802,6 +2802,86 @@ object Similarity {
         .as("adc_cos"))
   }
 
+  /** MMR (maximal marginal relevance — Carbonell & Goldstein 1998)
+    * diversified re-ranking of a per-query candidate list: greedily
+    * select `m` items, the first by raw score, each next maximizing
+    *
+    *   mmr = λ·score − (1−λ)·max_{s ∈ selected} sim(cand, s)
+    *
+    * — the standard redundancy-punishing read (a near-duplicate of an
+    * already-selected result must beat it on relevance by the margin
+    * its similarity costs), equally the diversity-selection read a
+    * training-data pipeline wants over retrieved shards. The greedy
+    * loop is ORDER-SENSITIVE by definition, so it is made replayable
+    * the emFit/q73 way: a FIXED number of unrolled steps, each one
+    * anti-join (remaining) + left join against the selected-restricted
+    * sims + max aggregate + deterministic argmax window (mmr desc,
+    * id asc) — every quantity a fixed-shape double expression over
+    * 6 dp-rounded inputs, bit-replayable.
+    *
+    * `candidates` carries `(qIdCol, idCol, scoreCol)` (a top-k run —
+    * feed ROUNDED published scores); `sims` carries
+    * `(qIdCol, idCol, simIdCol, simCol)` — DIRECTED pairs looked up as
+    * sim(remaining = idCol, selected = simIdCol); supply the symmetric
+    * closure (cosine is symmetric — both directions of each unordered
+    * pair). A remaining candidate with NO sim row against the selected
+    * set scores maxsim 0 (unknown = orthogonal, the optimistic
+    * convention; a null sim from a zero-norm vector folds the same
+    * way). Returns `(qIdCol, idCol, ord, scoreCol, maxsim)` — ord
+    * 1..m in selection order, maxsim null on the ord-1 row (nothing
+    * selected yet), queries with fewer than m candidates simply stop
+    * early.
+    *
+    * Scale shape: the candidate and sim frames are top-k-bounded (k
+    * and k² rows per query), so every step is a broadcast-scale join;
+    * the unrolled plan is cut per step with lazy local checkpoints
+    * (the emFit discipline). m is a config constant — the read never
+    * touches corpus volume.
+    */
+  def mmrSelect(candidates: DataFrame, qIdCol: String, idCol: String,
+      scoreCol: String, sims: DataFrame, simIdCol: String,
+      simCol: String, m: Int, lambda: Double): DataFrame = {
+    require(m >= 1, s"m must be >= 1: $m")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0,1]: $lambda")
+    val cand = candidates.select(col(qIdCol), col(idCol),
+      col(scoreCol).cast("double").as(scoreCol))
+      .localCheckpoint(false)
+    val simsC = sims.select(col(qIdCol), col(idCol),
+      col(simIdCol), col(simCol).cast("double").as(simCol))
+      .localCheckpoint(false)
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("__mmr").desc, col(idCol).asc)
+    def r6(c: Column) = round(c.cast("decimal(30,12)"), 6).cast("double")
+    var selected = cand
+      .withColumn("__mmr", col(scoreCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(qIdCol), col(idCol), lit(1).as("ord"), col(scoreCol),
+        lit(null).cast("double").as("maxsim"))
+      .localCheckpoint(false)
+    (2 to m).foreach { j =>
+      val rem = cand.join(selected.select(col(qIdCol), col(idCol)),
+        Seq(qIdCol, idCol), "left_anti")
+      val selIds = selected.select(col(qIdCol), col(idCol).as(simIdCol))
+      val simsToSel = simsC.join(selIds, Seq(qIdCol, simIdCol))
+        .groupBy(col(qIdCol), col(idCol))
+        .agg(max(col(simCol)).as("__ms"))
+      val staged = rem.join(simsToSel, Seq(qIdCol, idCol), "left")
+        .withColumn("__maxsim", coalesce(col("__ms"), lit(0.0d)))
+        .withColumn("__mmr",
+          lit(lambda) * col(scoreCol) -
+            lit(1.0 - lambda) * col("__maxsim"))
+      val pick = staged
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col(qIdCol), col(idCol), lit(j).as("ord"), col(scoreCol),
+          r6(col("__maxsim")).as("maxsim"))
+      selected = selected.unionByName(pick).localCheckpoint(false)
+    }
+    selected
+  }
+
   /** Production PQ configuration, pinned by the round-8 AnnSweep
     * (docs/SCALE.md §PQ recall matrix): m = 8 subspaces × 8 dims with
     * k = 64-entry codebooks and overfetch 32 — the cheapest sweep point at

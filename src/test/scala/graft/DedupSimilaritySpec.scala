@@ -2163,4 +2163,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("mmrSelect: greedy diversity beats a higher-scored near-duplicate, " +
+    "missing sims are orthogonal, lambda 1 degenerates to score order, " +
+    "short queries stop early") {
+    // q: c2 is a near-dup (sim .95) of the top hit c1; c3/c4 diverse (.1)
+    val cand = Seq(
+      ("q", 1L, 0.9), ("q", 2L, 0.85), ("q", 3L, 0.8), ("q", 4L, 0.7),
+      ("p", 11L, 0.6), ("p", 12L, 0.5) // no sims at all
+    ).toDF("q_id", "c_id", "score")
+    val simPairs = Seq(
+      (1L, 2L, 0.95), (1L, 3L, 0.1), (1L, 4L, 0.1),
+      (2L, 3L, 0.1), (2L, 4L, 0.1), (3L, 4L, 0.1))
+    val sims = (simPairs ++ simPairs.map { case (a, b, s) => (b, a, s) })
+      .map { case (a, b, s) => ("q", a, b, s) }
+      .toDF("q_id", "c_id", "s_id", "sim")
+    val rows = Similarity.mmrSelect(cand, "q_id", "c_id", "score",
+        sims, "s_id", "sim", m = 6, lambda = 0.5)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(2)) ->
+        (r.getLong(1), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    // q's order: c1 (raw top), then c3 (0.5*.8-0.5*.1 = .35 beats the
+    // near-dup's 0.5*.85-0.5*.95 = -.05 and c4's .3), then c4, then c2
+    assert(rows(("q", 1)) == ((1L, None)))
+    assert(rows(("q", 2)) == ((3L, Some(0.1))))
+    assert(rows(("q", 3)) == ((4L, Some(0.1))))
+    assert(rows(("q", 4)) == ((2L, Some(0.95))))
+    // p has no sim rows: maxsim 0 (orthogonal), plain score order, and
+    // the query stops at its 2 candidates even though m = 6
+    assert(rows(("p", 1)) == ((11L, None)))
+    assert(rows(("p", 2)) == ((12L, Some(0.0))))
+    assert(!rows.contains(("q", 5)) && !rows.contains(("p", 3)))
+    // lambda 1: redundancy is free, selection = raw score order
+    val pure = Similarity.mmrSelect(cand.where($"q_id" === "q"), "q_id",
+        "c_id", "score", sims, "s_id", "sim", m = 4, lambda = 1.0)
+      .collect().map(r => r.getInt(2) -> r.getLong(1)).toMap
+    assert(pure == Map(1 -> 1L, 2 -> 2L, 3 -> 3L, 4 -> 4L))
+  }
 }

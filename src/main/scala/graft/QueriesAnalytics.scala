@@ -4666,6 +4666,61 @@ object QueriesAnalytics {
                             / (qa * qa / (CAST(na AS DOUBLE) - 1.0)
                                + qb * qb / (CAST(nb AS DOUBLE) - 1.0))
                        END AS DECIMAL(30,12)), 6) AS DOUBLE) AS df
-            FROM f ORDER BY seg"""))
+            FROM f ORDER BY seg""")),
+
+    // funnel summary with Wilson intervals (round 18): per step, users
+    // reached, conversion from the previous step, and the Wilson score
+    // interval on that rate (the binomial interval that behaves at
+    // small n and extreme p-hat) — ONE aggregate over the q269 funnel
+    // frame unpivoted by a literal step spine, no second scan; step 1
+    // and zero-trial steps carry null rate/bounds by contract.
+    Q("q272_funnel_summary",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val fn = ext.Behavior.funnel(ev, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        ext.Behavior.funnelSummary(fn, steps = 3, z = 1.96)
+          .orderBy(col("step"))
+      },
+      Some {
+        val z = 1.96
+        val z2 = z * z // the engine's double literal
+        val denom = s"(1.0 + $z2 / nd)"
+        val center = s"((p + $z2 / (2.0 * nd)) / $denom)"
+        val half = s"(($z * sqrt(p * (1.0 - p) / nd" +
+          s" + $z2 / (4.0 * nd * nd))) / $denom)"
+        def guarded(e: String) =
+          s"""CAST(round(CAST(CASE WHEN n IS NOT NULL AND n > 0
+                THEN $e END AS DECIMAL(30,12)), 6) AS DOUBLE)"""
+        s"""WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS us,
+                             event_type AS t
+                      FROM events),
+             s1 AS (SELECT u, min(us) AS us_1 FROM ev
+                    WHERE t = 'view' GROUP BY u),
+             s2 AS (SELECT e.u, min(e.us) AS us_2
+                    FROM ev e JOIN s1 ON e.u = s1.u
+                    WHERE e.t = 'click' AND e.us > s1.us_1
+                    GROUP BY e.u),
+             s3 AS (SELECT e.u, min(e.us) AS us_3
+                    FROM ev e JOIN s2 ON e.u = s2.u
+                    WHERE e.t = 'purchase' AND e.us > s2.us_2
+                    GROUP BY e.u),
+             ag AS (SELECT (SELECT count(*) FROM s1) AS n1,
+                           (SELECT count(*) FROM s2) AS n2,
+                           (SELECT count(*) FROM s3) AS n3),
+             raw AS (SELECT 1 AS step, n1 AS k,
+                            CAST(NULL AS BIGINT) AS n FROM ag
+                     UNION ALL SELECT 2, n2, n1 FROM ag
+                     UNION ALL SELECT 3, n3, n2 FROM ag),
+             f AS (SELECT step, k AS n_reached, n,
+                          CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                          CAST(n AS DOUBLE) AS nd
+                   FROM raw)
+            SELECT step, n_reached,
+                   ${guarded("p")} AS rate,
+                   ${guarded(s"$center - $half")} AS wilson_lo,
+                   ${guarded(s"$center + $half")} AS wilson_hi
+            FROM f ORDER BY step"""
+      })
   )
 }

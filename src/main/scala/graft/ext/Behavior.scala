@@ -93,6 +93,55 @@ object Behavior {
       completed.as("steps_completed"): _*)
   }
 
+  /** Funnel summary with Wilson score intervals — the read a funnel
+    * frame ([[funnel]]'s output) is usually consumed through: per
+    * step, how many users reached it, the conversion rate from the
+    * PREVIOUS step, and the Wilson 95-ish score interval on that rate
+    * (Wilson 1927 — the binomial interval that behaves at small n and
+    * extreme p̂, where the Wald interval collapses):
+    *
+    *   center = (p̂ + z²/2n) / (1 + z²/n)
+    *   half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+    *
+    * with n = the previous step's count (the trials) and k = this
+    * step's (the successes). Step 1 has no prior trial — rate and
+    * bounds are NULL by contract; a step whose previous count is 0
+    * likewise (0/0 is not a rate). The whole read is ONE aggregate
+    * over the funnel frame (k conditional counts) unpivoted to k rows
+    * by a literal step spine — no second scan. Returns
+    * `(step, n_reached, rate, wilson_lo, wilson_hi)` rounded through
+    * DECIMAL(30,12) at 6 dp.
+    */
+  def funnelSummary(funnelFrame: DataFrame, steps: Int,
+      z: Double): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1: $steps")
+    require(z > 0.0, s"z must be > 0: $z")
+    val agg = funnelFrame.agg(
+      count(when(col("us_1").isNotNull, lit(1))).as("n_1"),
+      (2 to steps).map(i =>
+        count(when(col(s"us_$i").isNotNull, lit(1))).as(s"n_$i")): _*)
+    val rows = (1 to steps).map { i =>
+      val prev = if (i == 1) lit(null).cast("long")
+        else col(s"n_${i - 1}")
+      agg.select(lit(i).as("step"), col(s"n_$i").as("n_reached"),
+        prev.as("__prev"))
+    }.reduce(_.unionByName(_))
+    val n = col("__prev").cast("double")
+    val p = col("n_reached").cast("double") / n
+    val z2 = z * z
+    val denom = lit(1.0d) + lit(z2) / n
+    val center = (p + lit(z2) / (lit(2.0d) * n)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0d) - p) / n +
+      lit(z2) / (lit(4.0d) * n * n))) / denom
+    val ok = col("__prev").isNotNull && col("__prev") > 0L
+    def r6(c: Column) =
+      round(c.cast("decimal(30,12)"), 6).cast("double")
+    rows.select(col("step"), col("n_reached"),
+      r6(when(ok, p)).as("rate"),
+      r6(when(ok, center - half)).as("wilson_lo"),
+      r6(when(ok, center + half)).as("wilson_hi"))
+  }
+
   /** Welch's two-sample t statistic per key — the experiment read
     * (Welch 1947; the unequal-variance form A/B practice defaults
     * to): for each key, compare `valCol` between the rows where

@@ -77,6 +77,56 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("funnelSummary: Wilson bounds bracket the rate, step 1 and " +
+    "zero-trial steps are null, k = 0 hits the exact Wilson lower " +
+    "bound of 0") {
+    def row(u: String, a: Option[Long], b: Option[Long], c: Option[Long]) =
+      (u, a, b, c)
+    val fn = Seq(
+      row("u1", Some(1L), Some(2L), Some(3L)),
+      row("u2", Some(1L), Some(2L), None),
+      row("u3", Some(1L), None, None),
+      row("u4", Some(1L), None, None)
+    ).toDF("user_id", "us_1", "us_2", "us_3")
+    val rows = Behavior.funnelSummary(fn, steps = 3, z = 1.96)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    // step 1: 4 entrants, no prior trial
+    assert(rows(1).getLong(1) == 4L && d(rows(1), 2).isEmpty &&
+      d(rows(1), 3).isEmpty)
+    // step 2: k = 2 of n = 4 — rate .5, Wilson recomputed with the
+    // same double arithmetic
+    val s2 = rows(2)
+    assert(s2.getLong(1) == 2L && d(s2, 2).contains(0.5))
+    val (z, n, p) = (1.96, 4.0, 0.5)
+    val z2 = z * z
+    val denom = 1.0 + z2 / n
+    val center = (p + z2 / (2.0 * n)) / denom
+    val half = (z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))) /
+      denom
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d(s2, 3).contains(r6(center - half)))
+    assert(d(s2, 4).contains(r6(center + half)))
+    assert(d(s2, 3).get < 0.5 && 0.5 < d(s2, 4).get)
+    // step 3: k = 1 of n = 2 — bounds bracket the rate
+    val s3 = rows(3)
+    assert(s3.getLong(1) == 1L && d(s3, 2).contains(0.5))
+    assert(d(s3, 3).get < 0.5 && 0.5 < d(s3, 4).get)
+    // k = 0: the Wilson lower bound is exactly 0 (center = half), and a
+    // zero-trial step is null
+    val dead = Seq(
+      ("u1", Some(1L), Option.empty[Long], Option.empty[Long]),
+      ("u2", Some(1L), Option.empty[Long], Option.empty[Long])
+    ).toDF("user_id", "us_1", "us_2", "us_3")
+    val dr = Behavior.funnelSummary(dead, steps = 3, z = 1.96)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(dr(2).getLong(1) == 0L && d(dr(2), 2).contains(0.0))
+    assert(d(dr(2), 3).contains(0.0)) // exact Wilson k=0 lower bound
+    assert(d(dr(3), 2).isEmpty) // n = 0 trials — not a rate
+  }
+
   test("abWelch: hand-computed t and Welch df at 6 dp, with the n < 2, " +
     "zero-spread, and missing-group degenerates and non-group rows " +
     "ignored") {

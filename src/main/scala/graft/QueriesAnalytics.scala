@@ -4721,6 +4721,80 @@ object QueriesAnalytics {
                    ${guarded(s"$center - $half")} AS wilson_lo,
                    ${guarded(s"$center + $half")} AS wilson_hi
             FROM f ORDER BY step"""
-      })
+      }),
+
+    // funnel conversion A/B (round 18): the q269 funnel's two
+    // conversion legs (view->click over all entrants, click->purchase
+    // over click-reachers) compared across even/odd user segments with
+    // the pooled two-proportion z — abWelch's binary-metric twin, one
+    // conditional-count pass per leg, z null when a side is empty or
+    // the pooled rate is degenerate. The funnel x experiment
+    // composition a growth team actually runs.
+    Q("q273_funnel_ab",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val fn = ext.Behavior.funnel(ev, "user_id", "ts", "event_type",
+            Seq("view", "click", "purchase"))
+          .withColumn("seg", (col("user_id") % 2).cast("string"))
+        val v2c = fn.select(lit("v2c").as("conv"), col("seg"),
+          col("us_2").isNotNull.as("succ"))
+        val c2p = fn.where(col("us_2").isNotNull)
+          .select(lit("c2p").as("conv"), col("seg"),
+            col("us_3").isNotNull.as("succ"))
+        ext.Behavior.abProportions(v2c.unionByName(c2p), "conv", "seg",
+            "succ", a = "0", b = "1")
+          .orderBy(col("conv"))
+      },
+      Some("""WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS us,
+                               event_type AS t
+                        FROM events),
+             s1 AS (SELECT u, min(us) AS us_1 FROM ev
+                    WHERE t = 'view' GROUP BY u),
+             s2 AS (SELECT e.u, min(e.us) AS us_2
+                    FROM ev e JOIN s1 ON e.u = s1.u
+                    WHERE e.t = 'click' AND e.us > s1.us_1
+                    GROUP BY e.u),
+             s3 AS (SELECT e.u, min(e.us) AS us_3
+                    FROM ev e JOIN s2 ON e.u = s2.u
+                    WHERE e.t = 'purchase' AND e.us > s2.us_2
+                    GROUP BY e.u),
+             fn AS (SELECT s1.u, CAST(s1.u % 2 AS VARCHAR) AS seg,
+                           us_1, us_2, us_3
+                    FROM s1 LEFT JOIN s2 ON s1.u = s2.u
+                            LEFT JOIN s3 ON s1.u = s3.u),
+             rws AS (SELECT 'v2c' AS conv, seg,
+                            us_2 IS NOT NULL AS succ FROM fn
+                     UNION ALL
+                     SELECT 'c2p', seg, us_3 IS NOT NULL FROM fn
+                     WHERE us_2 IS NOT NULL),
+             ag AS (SELECT conv,
+                           sum(CASE WHEN seg = '0' THEN 1 ELSE 0 END)
+                             AS na,
+                           sum(CASE WHEN seg = '1' THEN 1 ELSE 0 END)
+                             AS nb,
+                           sum(CASE WHEN seg = '0' AND succ
+                               THEN 1 ELSE 0 END) AS ka,
+                           sum(CASE WHEN seg = '1' AND succ
+                               THEN 1 ELSE 0 END) AS kb
+                    FROM rws GROUP BY conv),
+             f AS (SELECT conv, na, nb,
+                          CAST(ka AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+                          CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
+                          CAST(ka + kb AS DOUBLE)
+                            / CAST(na + nb AS DOUBLE) AS pp,
+                          CAST(na AS DOUBLE) AS nad,
+                          CAST(nb AS DOUBLE) AS nbd
+                   FROM ag)
+            SELECT conv, na AS n_a, nb AS n_b,
+                   CAST(round(CAST(CASE WHEN na >= 1 THEN pa END
+                     AS DECIMAL(30,12)), 6) AS DOUBLE) AS p_a,
+                   CAST(round(CAST(CASE WHEN nb >= 1 THEN pb END
+                     AS DECIMAL(30,12)), 6) AS DOUBLE) AS p_b,
+                   CAST(round(CAST(CASE WHEN na >= 1 AND nb >= 1
+                         AND pp > 0.0 AND pp < 1.0
+                       THEN (pa - pb) / sqrt(pp * (1.0 - pp)
+                         * (1.0 / nad + 1.0 / nbd)) END
+                     AS DECIMAL(30,12)), 6) AS DOUBLE) AS z
+            FROM f ORDER BY conv"""))
   )
 }

@@ -142,6 +142,51 @@ object Behavior {
       r6(when(ok, center + half)).as("wilson_hi"))
   }
 
+  /** Two-proportion z-test per key — [[abWelch]]'s binary-metric twin
+    * (conversion, retention, any success flag): for each key, compare
+    * the success RATE between groups `a` and `b` with the pooled
+    * z statistic
+    *
+    *   z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)),
+    *   p̂ = (k_a + k_b)/(n_a + n_b)  (the pooled rate — the
+    *       null-hypothesis variance, the textbook two-proportion form)
+    *
+    * from ONE conditional-count pass. `z` is NULL when either side has
+    * no trials or the pooled rate is 0 or 1 (no spread under the null
+    * — a difference with zero pooled variance has no z reading; the
+    * per-group rates still emit). Rows in neither group are ignored.
+    * Returns `(keyCol, n_a, n_b, p_a, p_b, z)` rounded through
+    * DECIMAL(30,12) at 6 dp.
+    */
+  def abProportions(df: DataFrame, keyCol: String, groupCol: String,
+      successCol: String, a: String, b: String): DataFrame = {
+    require(a != b, s"the two groups must differ: $a")
+    val inA = col(groupCol) === a
+    val inB = col(groupCol) === b
+    val s = col(successCol).cast("boolean")
+    val agg = df.where(inA || inB).groupBy(col(keyCol))
+      .agg(sum(inA.cast("long")).as("__na"),
+        sum(inB.cast("long")).as("__nb"),
+        sum((inA && s).cast("long")).as("__ka"),
+        sum((inB && s).cast("long")).as("__kb"))
+    val na = col("__na").cast("double")
+    val nb = col("__nb").cast("double")
+    val pa = col("__ka").cast("double") / na
+    val pb = col("__kb").cast("double") / nb
+    val pp = (col("__ka") + col("__kb")).cast("double") /
+      (col("__na") + col("__nb")).cast("double")
+    val z = (pa - pb) /
+      sqrt(pp * (lit(1.0d) - pp) * (lit(1.0d) / na + lit(1.0d) / nb))
+    val ok = col("__na") >= 1 && col("__nb") >= 1 &&
+      pp > 0.0d && pp < 1.0d
+    def r6(c: Column) =
+      round(c.cast("decimal(30,12)"), 6).cast("double")
+    agg.select(col(keyCol), col("__na").as("n_a"), col("__nb").as("n_b"),
+      r6(when(col("__na") >= 1, pa)).as("p_a"),
+      r6(when(col("__nb") >= 1, pb)).as("p_b"),
+      r6(when(ok, z)).as("z"))
+  }
+
   /** Welch's two-sample t statistic per key — the experiment read
     * (Welch 1947; the unequal-variance form A/B practice defaults
     * to): for each key, compare `valCol` between the rows where

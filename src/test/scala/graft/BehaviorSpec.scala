@@ -127,6 +127,41 @@ class BehaviorSpec extends AnyFunSuite {
     assert(d(dr(3), 2).isEmpty) // n = 0 trials — not a rate
   }
 
+  test("abProportions: hand-computed pooled z at 6 dp, degenerate " +
+    "pooled rates and empty sides null, non-group rows ignored") {
+    val df = Seq(
+      // k1: A 4/8, B 1/4 — pooled 5/12
+      ("k1", "a", true), ("k1", "a", true), ("k1", "a", true),
+      ("k1", "a", true), ("k1", "a", false), ("k1", "a", false),
+      ("k1", "a", false), ("k1", "a", false),
+      ("k1", "b", true), ("k1", "b", false), ("k1", "b", false),
+      ("k1", "b", false),
+      ("k1", "zzz", true), // neither group
+      // k2: every trial succeeds — pooled 1, no z
+      ("k2", "a", true), ("k2", "a", true), ("k2", "b", true),
+      // k3: no b trials
+      ("k3", "a", true), ("k3", "a", false)
+    ).toDF("k", "g", "s")
+    val rows = Behavior.abProportions(df, "k", "g", "s", "a", "b")
+      .collect().map(r => r.getString(0) -> r).toMap
+    def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val k1 = rows("k1")
+    assert(k1.getLong(1) == 8L && k1.getLong(2) == 4L)
+    assert(d(k1, 3).contains(0.5) && d(k1, 4).contains(0.25))
+    val (pa, pb, pp, na, nb) = (0.5, 0.25, 5.0 / 12.0, 8.0, 4.0)
+    val z = (pa - pb) /
+      math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d(k1, 5).contains(r6(z)))
+    val k2 = rows("k2")
+    assert(d(k2, 3).contains(1.0) && d(k2, 4).contains(1.0) &&
+      d(k2, 5).isEmpty)
+    val k3 = rows("k3")
+    assert(k3.getLong(2) == 0L && d(k3, 4).isEmpty && d(k3, 5).isEmpty)
+  }
+
   test("abWelch: hand-computed t and Welch df at 6 dp, with the n < 2, " +
     "zero-spread, and missing-group degenerates and non-group rows " +
     "ignored") {

@@ -4795,6 +4795,76 @@ object QueriesAnalytics {
                        THEN (pa - pb) / sqrt(pp * (1.0 - pp)
                          * (1.0 / nad + 1.0 / nbd)) END
                      AS DECIMAL(30,12)), 6) AS DOUBLE) AS z
-            FROM f ORDER BY conv"""))
+            FROM f ORDER BY conv""")),
+
+    // CUSUM change-point alerts (round 18): detection folded to the
+    // row an alerting pipeline pages on — per key, the FIRST bucket
+    // whose positive or negative statistic cleared the threshold and
+    // the direction ('both' when the two sides first fire on the same
+    // bucket; silent keys emit nothing — an alert read, not an
+    // inventory). One conditional aggregate over the q250 frame; the
+    // threshold compares the ROUNDED published statistics, mirrored.
+    Q("q274_cusum_alerts",
+      (s, d) => {
+        val series = series6h(s, d)
+        val mon = ext.Timeseries.cusum(series, "event_type", "bucket",
+          "v", train = 8, kappa = 0.5, h = 4.0)
+        ext.Timeseries.cusumChangepoints(mon, "event_type", "bucket",
+            h = 4.0)
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH se AS (SELECT event_type,
+                               epoch_us(ts) // 21600000000 AS bucket,
+                               CAST(sum(CAST(value AS DECIMAL(20,12)))
+                                 AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                                 AS v
+                        FROM events GROUP BY event_type, bucket),
+             s1 AS (SELECT event_type, bucket, v,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY bucket) AS rn
+                    FROM se),
+             s2 AS (SELECT *,
+                           sum(CASE WHEN rn <= 8
+                               THEN CAST(v AS DECIMAL(30,12)) END)
+                             OVER (PARTITION BY event_type) AS ts
+                    FROM s1),
+             s3 AS (SELECT event_type, bucket, v,
+                           CAST(ts AS DOUBLE) / 8.0 AS mu0
+                    FROM s2 WHERE rn > 8),
+             s4 AS (SELECT *,
+                           CAST(v - mu0 - 0.5 AS DECIMAL(30,12)) AS dp,
+                           CAST(mu0 - v - 0.5 AS DECIMAL(30,12)) AS dn
+                    FROM s3),
+             s5 AS (SELECT *, sum(dp) OVER w AS pp, sum(dn) OVER w AS pn
+                    FROM s4
+                    WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)),
+             s6 AS (SELECT *, min(pp) OVER w AS mp, min(pn) OVER w AS mn
+                    FROM s5
+                    WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)),
+             s7 AS (SELECT event_type, bucket,
+                           pp - least(mp, CAST(0 AS DECIMAL(30,12)))
+                             AS spd,
+                           pn - least(mn, CAST(0 AS DECIMAL(30,12)))
+                             AS snd
+                    FROM s6),
+             al AS (SELECT event_type,
+                           min(CASE WHEN CAST(round(spd, 6) AS DOUBLE)
+                               > 4.0 THEN bucket END) AS fu,
+                           min(CASE WHEN CAST(round(snd, 6) AS DOUBLE)
+                               > 4.0 THEN bucket END) AS fd
+                    FROM s7 GROUP BY event_type)
+            SELECT event_type,
+                   least(coalesce(fu, fd), coalesce(fd, fu))
+                     AS first_change,
+                   CASE WHEN fu = fd THEN 'both'
+                        WHEN fd IS NULL
+                             OR (fu IS NOT NULL AND fu < fd) THEN 'up'
+                        ELSE 'down' END AS direction
+            FROM al WHERE fu IS NOT NULL OR fd IS NOT NULL
+            ORDER BY event_type"""))
   )
 }

@@ -847,6 +847,39 @@ object Timeseries {
           .as("avg_width"))
   }
 
+  /** Change-point ALERT read off a [[cusum]] frame — detection
+    * (q250's per-bucket statistics) folded to the one row per key an
+    * alerting pipeline pages on: the FIRST bucket whose positive or
+    * negative statistic exceeded its threshold, with the direction —
+    * `up`, `down`, or `both` when the two sides first fire on the SAME
+    * bucket (possible after gaps or on oscillating series; collapsing
+    * it to one arbitrary side would hide half the alert). Keys that
+    * never fire emit nothing (an alert read, not an inventory — the
+    * caller joins against the key universe if absence matters).
+    * One conditional aggregate over the monitor frame: `(keyCol,
+    * first_change, direction)`.
+    */
+  def cusumChangepoints(monitor: DataFrame, keyCol: String,
+      bucketCol: String, h: Double): DataFrame = {
+    require(h > 0.0, s"h must be > 0: $h")
+    val b = col(bucketCol).cast("long")
+    val up = col("s_pos").cast("double") > h
+    val dn = col("s_neg").cast("double") > h
+    monitor
+      .groupBy(col(keyCol))
+      .agg(min(when(up, b)).as("__fu"), min(when(dn, b)).as("__fd"))
+      .where(col("__fu").isNotNull || col("__fd").isNotNull)
+      .select(col(keyCol),
+        // both coalesce legs are non-null after the filter, so `least`
+        // never sees a null — the engines' null conventions differ
+        least(coalesce(col("__fu"), col("__fd")),
+          coalesce(col("__fd"), col("__fu"))).as("first_change"),
+        when(col("__fu") === col("__fd"), lit("both"))
+          .otherwise(when(col("__fd").isNull ||
+              (col("__fu").isNotNull && col("__fu") < col("__fd")),
+            lit("up")).otherwise(lit("down"))).as("direction"))
+  }
+
   /** Grouped simple linear regression (OLS) — the inference read the
     * tier's trend machinery lacked: per key, fit `y ≈ intercept +
     * slope·(x − x0)` over the (x, y) points by least squares, where

@@ -516,6 +516,25 @@ class TimeseriesSpec extends AnyFunSuite {
     (0L to 4L).foreach(l => assert(r(("a", "a", l))._1 == 30L - l))
   }
 
+  test("cusumChangepoints: first clearing bucket per direction, 'both' " +
+    "on a same-bucket double fire, silent keys absent") {
+    val mon = Seq(
+      // A: up fires first at bucket 5
+      ("A", 4L, 1.0, 0.0), ("A", 5L, 9.0, 0.0), ("A", 6L, 9.0, 9.0),
+      // B: down at 3 precedes up at 7
+      ("B", 3L, 0.0, 8.0), ("B", 7L, 8.0, 8.0),
+      // C: both sides first clear on the SAME bucket
+      ("C", 4L, 9.0, 9.0),
+      // D: never fires
+      ("D", 2L, 1.0, 1.0)
+    ).toDF("k", "b", "s_pos", "s_neg")
+    val rows = ext.Timeseries.cusumChangepoints(mon, "k", "b", h = 4.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2))).toMap
+    assert(rows == Map("A" -> ((5L, "up")), "B" -> ((3L, "down")),
+      "C" -> ((4L, "both"))))
+  }
+
   test("seasonalNaive: lag(period-1) semantics — head rows null, " +
     "pure seasonal series forecast exactly, period 1 = plain naive") {
     val s = Map(0 -> 5.0, 1 -> 7.0, 2 -> 4.0, 3 -> 6.0)

@@ -750,6 +750,58 @@ object QueriesRetrieval {
                      JOIN idl ON nr.q_id = idl.q_id
              ORDER BY nr.q_id""")),
 
+    // average precision at k (round 18): the trec_eval MAP component
+    // completing q233's recall/RR/nDCG triad — per judged query,
+    // AP@k = sum of precisions at each hit's own rank over
+    // min(n_rel, k), binary relevance (rel > 0; graded gains are
+    // nDCG's job), zero-hit queries 0, the q233 fixture and
+    // conventions verbatim. One cumulative window over the run∩qrels
+    // hits, precisions decimal-summed.
+    Q("q275_avg_precision",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val run = Retrieval.bm25TopK(docs, "doc_id", "text",
+          qterms(docs, col("doc_id") % 50 === 0), "q_id", k = 10)
+        val qids = docs.where(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("q_id"))
+        val qrels = qids.select(col("q_id"), explode(array(
+            struct(col("q_id").as("doc_id"), lit(2).as("rel")),
+            struct((col("q_id") + 7).as("doc_id"), lit(1).as("rel"))))
+            .as("r"))
+          .select(col("q_id"), col("r.doc_id").as("doc_id"),
+            col("r.rel").as("rel"))
+        Retrieval.avgPrecision(run, qrels, "doc_id", k = 10)
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH ${bm25Ctes("WHERE doc_id % 50 = 0")},
+              run AS (SELECT q_id, doc_id, rank FROM rk WHERE rank <= 10),
+              qr AS (SELECT doc_id AS q_id, doc_id, 2 AS rel
+                     FROM documents WHERE doc_id % 50 = 0
+                     UNION ALL
+                     SELECT doc_id AS q_id, doc_id + 7 AS doc_id, 1 AS rel
+                     FROM documents WHERE doc_id % 50 = 0),
+              nr AS (SELECT q_id, count(*) AS n_rel FROM qr
+                     WHERE rel > 0 GROUP BY q_id),
+              hp AS (SELECT r.q_id, r.rank,
+                            count(*) OVER (PARTITION BY r.q_id
+                              ORDER BY r.rank
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS ch
+                     FROM run r JOIN qr
+                       ON r.q_id = qr.q_id AND r.doc_id = qr.doc_id
+                     WHERE qr.rel > 0),
+              ap AS (SELECT q_id,
+                            sum(CAST(CAST(ch AS DOUBLE)
+                              / CAST(rank AS DOUBLE)
+                              AS DECIMAL(20,12))) AS sp
+                     FROM hp GROUP BY q_id)
+             SELECT nr.q_id, nr.n_rel,
+                    round(coalesce(CAST(ap.sp AS DOUBLE), 0.0)
+                          / CAST(least(nr.n_rel, 10) AS DOUBLE), 6)
+                      AS ap_at_k
+             FROM nr LEFT JOIN ap ON nr.q_id = ap.q_id
+             ORDER BY nr.q_id""")),
+
     // lexical index APPEND (round 16): build segment 0 from the even
     // docs, append the odd docs as segment 1 (batch-only work — no old
     // row read), replay the append (at-least-once: dynamic overwrite

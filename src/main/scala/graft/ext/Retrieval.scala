@@ -1735,6 +1735,40 @@ object Retrieval {
       round(sum(col("ndcg_at_k").cast("decimal(20,12)")).cast("double") /
         count(lit(1)).cast("double"), 6).as("ndcg_at_k"))
 
+  /** Average precision at k — the trec_eval MAP component completing
+    * [[retrievalMetrics]]'s triad: per judged query,
+    * `AP@k = Σ_{hits with rank ≤ k} P@rank / min(n_rel, k)`, `P@r` the
+    * precision at the hit's own rank (cumulative hit count in run
+    * order / r), BINARY relevance (`rel > 0` — the trec AP convention;
+    * graded gains are nDCG's job). Zero-hit judged queries score 0,
+    * unjudged queries are excluded, the truncated denominator
+    * `min(n_rel, k)` keeps a perfect truncated run at exactly 1 — all
+    * the q233 conventions. One run∩qrels join, one per-query
+    * cumulative window in rank order, precisions decimal-summed.
+    * Returns `(q_id, n_rel, ap_at_k)`; macro-average with one more
+    * decimal-mean aggregate (the [[retrievalMetricsMacro]] shape) for
+    * MAP itself.
+    */
+  def avgPrecision(run: DataFrame, qrels: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val rels = qrels.where(col("rel") > 0)
+      .select(col("q_id"), col(idCol))
+    val nRel = rels.groupBy(col("q_id")).agg(count(lit(1)).as("n_rel"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hits = run.where(col("rank") <= k)
+      .join(rels, Seq("q_id", idCol))
+      .withColumn("__ch", count(lit(1)).over(w))
+      .groupBy(col("q_id"))
+      .agg(sum((col("__ch").cast("double") / col("rank").cast("double"))
+        .cast("decimal(20,12)")).as("__sp"))
+    nRel.join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_rel"),
+        round(coalesce(col("__sp").cast("double"), lit(0.0d)) /
+          least(col("n_rel"), lit(k.toLong)).cast("double"), 6)
+          .as("ap_at_k"))
+  }
+
   // ------------------------------------------------------------------
   // DSIR importance weighting
   // ------------------------------------------------------------------

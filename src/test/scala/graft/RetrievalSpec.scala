@@ -1066,4 +1066,32 @@ class RetrievalSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
     assert(segs2 == Set("batch_id=1", "batch_id=2"), segs2.mkString(","))
   }
+
+  test("avgPrecision: hand-exact AP at each hit's own rank, the " +
+    "min(n_rel, k) denominator, rel-0 rows not relevant, zero-hit " +
+    "zero, perfect truncated run exactly 1") {
+    val run = Seq(
+      ("q1", 101L, 1), ("q1", 102L, 2), ("q1", 103L, 3),
+      ("q1", 104L, 4), ("q1", 105L, 5),
+      ("q2", 201L, 1), ("q2", 202L, 2),
+      ("q3", 301L, 1),
+      ("q4", 401L, 1), ("q4", 402L, 2)
+    ).toDF("q_id", "doc_id", "rank")
+    val qrels = (Seq(("q1", 101L, 1), ("q1", 103L, 2), ("q1", 999L, 1)) ++
+      (1L to 8L).map(i => ("q2", 200L + i, 1)) ++
+      Seq(("q3", 888L, 1), ("q3", 301L, 0)) ++
+      Seq(("q4", 401L, 1), ("q4", 402L, 1))
+    ).toDF("q_id", "doc_id", "rel")
+    val r = Retrieval.avgPrecision(run, qrels, "doc_id", k = 5)
+      .collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    // q1: hits at rank 1 (P=1) and rank 3 (P=2/3) -> (1+2/3)/3
+    assert(r("q1") == ((3L, 0.555556)))
+    // q2: 8 relevant but k=5 truncates the denominator: 2/5
+    assert(r("q2") == ((8L, 0.4)))
+    // q3: the rel-0 row is NOT relevant; the only relevant doc missed
+    assert(r("q3") == ((1L, 0.0)))
+    // q4: perfect truncated run scores exactly 1
+    assert(r("q4") == ((2L, 1.0)))
+  }
 }

@@ -81,17 +81,23 @@ object ForecastSweep {
     def judgeIntervals(series: DataFrame, keyCol: String,
         label: String): Unit = {
       val act = series.select(col(keyCol), col("b"), r6c(col("v")).as("va"))
-      val br = Timeseries.brownForecast(series, keyCol, "b", "v", 0.3, 12)
-      val iv = Timeseries.forecastIntervals(br, keyCol, "b", "forecast",
-        act, "va", window = 8, z = 1.96)
-      println(s"\n$label (brown, trailing-8 RMS, z = 1.96)")
-      println(f"${"series"}%10s ${"n"}%5s ${"coverage"}%10s " +
-        f"${"avg_width"}%12s")
-      Timeseries.intervalCoverage(iv, keyCol).orderBy(col(keyCol))
-        .collect().foreach { r =>
-          println(f"${r.getString(0)}%10s ${r.getLong(1)}%5d " +
-            f"${r.getDouble(2)}%10.6f ${r.getDouble(3)}%12.6f")
-        }
+      val legs = Seq(
+        ("brown", Timeseries.brownForecast(series, keyCol, "b", "v",
+          0.3, 12)),
+        ("hw", Timeseries.holtWinters(series, keyCol, "b", "v",
+          4, 0.3, 12)))
+      println(s"\n$label (trailing-8 RMS, z = 1.96)")
+      println(f"${"series"}%10s ${"model"}%6s ${"n"}%5s " +
+        f"${"coverage"}%10s ${"avg_width"}%12s")
+      legs.foreach { case (name, fc) =>
+        val iv = Timeseries.forecastIntervals(fc, keyCol, "b",
+          "forecast", act, "va", window = 8, z = 1.96)
+        Timeseries.intervalCoverage(iv, keyCol).orderBy(col(keyCol))
+          .collect().foreach { r =>
+            println(f"${r.getString(0)}%10s $name%6s ${r.getLong(1)}%5d " +
+              f"${r.getDouble(2)}%10.6f ${r.getDouble(3)}%12.6f")
+          }
+      }
     }
     judgeIntervals(fixtures, "k", "interval calibration — planted")
 

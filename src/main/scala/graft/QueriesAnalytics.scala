@@ -4865,6 +4865,77 @@ object QueriesAnalytics {
                              OR (fu IS NOT NULL AND fu < fd) THEN 'up'
                         ELSE 'down' END AS direction
             FROM al WHERE fu IS NOT NULL OR fd IS NOT NULL
-            ORDER BY event_type"""))
+            ORDER BY event_type""")),
+
+    // sample ACF + PACF (round 18): the Box-Jenkins identification
+    // read — shared-mean/shared-variance sample autocorrelations
+    // (numerator over aligned pairs, denominator over ALL n, the
+    // estimator that keeps |rho| <= 1) and the Durbin-Levinson partial
+    // autocorrelations EXPANDED to closed forms for lags 1..3 (the
+    // unrolled-recursion discipline); constant keys and zero PACF
+    // denominators null. One mean broadcast + one window pass + one
+    // aggregate.
+    Q("q276_acf_pacf",
+      (s, d) => {
+        val series = series6h(s, d)
+        ext.Timeseries.acfPacf(series, "event_type", "bucket", "v",
+            maxLag = 3)
+          .orderBy(col("event_type"), col("lag"))
+      },
+      Some(s"""WITH $se6hCte,
+           mn AS (SELECT event_type,
+                         CAST(sum(CAST(v AS DECIMAL(30,12))) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) AS m
+                  FROM se GROUP BY event_type),
+           st AS (SELECT s.event_type, s.v AS x, m.m,
+                         lag(s.v, 1) OVER w AS l1,
+                         lag(s.v, 2) OVER w AS l2,
+                         lag(s.v, 3) OVER w AS l3
+                  FROM se s JOIN mn m ON s.event_type = m.event_type
+                  WINDOW w AS (PARTITION BY s.event_type
+                               ORDER BY s.bucket)),
+           ag AS (SELECT event_type,
+                         sum(CAST((x - m) * (x - m) AS DECIMAL(30,12)))
+                           AS d0,
+                         sum(CAST((x - m) * (l1 - m) AS DECIMAL(30,12)))
+                           AS d1,
+                         sum(CAST((x - m) * (l2 - m) AS DECIMAL(30,12)))
+                           AS d2,
+                         sum(CAST((x - m) * (l3 - m) AS DECIMAL(30,12)))
+                           AS d3
+                  FROM st GROUP BY event_type),
+           f AS (SELECT event_type,
+                        CASE WHEN CAST(d0 AS DOUBLE) > 0.0
+                             THEN CAST(d1 AS DOUBLE)
+                               / CAST(d0 AS DOUBLE) END AS r1,
+                        CASE WHEN CAST(d0 AS DOUBLE) > 0.0
+                             THEN CAST(d2 AS DOUBLE)
+                               / CAST(d0 AS DOUBLE) END AS r2,
+                        CASE WHEN CAST(d0 AS DOUBLE) > 0.0
+                             THEN CAST(d3 AS DOUBLE)
+                               / CAST(d0 AS DOUBLE) END AS r3
+                 FROM ag),
+           g AS (SELECT *,
+                        CASE WHEN 1.0 - r1 * r1 <> 0.0
+                             THEN (r2 - r1 * r1) / (1.0 - r1 * r1)
+                             END AS p22
+                 FROM f),
+           h AS (SELECT *, r1 - p22 * r1 AS p21 FROM g),
+           fin AS (SELECT event_type, 1 AS lag, r1 AS acf, r1 AS pacf
+                   FROM h
+                   UNION ALL
+                   SELECT event_type, 2, r2, p22 FROM h
+                   UNION ALL
+                   SELECT event_type, 3, r3,
+                          CASE WHEN 1.0 - p21 * r1 - p22 * r2 <> 0.0
+                               THEN (r3 - p21 * r2 - p22 * r1)
+                                 / (1.0 - p21 * r1 - p22 * r2) END
+                   FROM h)
+          SELECT event_type, lag,
+                 CAST(round(CAST(acf AS DECIMAL(30,12)), 6) AS DOUBLE)
+                   AS acf,
+                 CAST(round(CAST(pacf AS DECIMAL(30,12)), 6) AS DOUBLE)
+                   AS pacf
+          FROM fin ORDER BY event_type, lag"""))
   )
 }

@@ -847,6 +847,75 @@ object Timeseries {
           .as("avg_width"))
   }
 
+  /** Sample ACF + PACF per key — the Box–Jenkins identification read
+    * ([[crossCorr]]'s diagonal is the PAIRWISE Pearson form; this is
+    * the textbook SAMPLE autocorrelation, shared-mean/shared-variance):
+    *
+    *   ρ(h) = Σ_t (x_t − x̄)(x_{t−h} − x̄) / Σ_t (x_t − x̄)²
+    *
+    * (numerator over the n−h aligned pairs, denominator over ALL n —
+    * the standard estimator that keeps |ρ| ≤ 1 and the Toeplitz
+    * structure PACF needs), and the partial autocorrelations by the
+    * Durbin–Levinson closed forms, EXPANDED for the supported
+    * `maxLag ≤ 3` as fixed-shape double expressions an oracle replays
+    * verbatim (the unrolled-recursion discipline):
+    *
+    *   φ11 = ρ1
+    *   φ22 = (ρ2 − ρ1²)/(1 − ρ1²),   φ21 = ρ1 − φ22·ρ1
+    *   φ33 = (ρ3 − φ21·ρ2 − φ22·ρ1)/(1 − φ21·ρ1 − φ22·ρ2)
+    *
+    * A constant key (zero variance) emits null acf/pacf; a PACF step
+    * whose denominator is exactly 0 (|ρ1| = 1 — a perfectly linear
+    * lag-1 relation) emits null pacf at that and deeper lags. Returns
+    * `(keyCol, lag, acf, pacf)` for lag 1..maxLag, rounded through
+    * DECIMAL(30,12) at 6 dp. Dense-series contract as everywhere in
+    * the tier.
+    *
+    * Scale shape: one key-bounded mean broadcast (the olsFit shape),
+    * one key-partitioned window pass carrying the maxLag lag reads,
+    * one aggregate — series-bounded throughout.
+    */
+  def acfPacf(series: DataFrame, keyCol: String, bucketCol: String,
+      valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 3,
+      s"maxLag must be in 1..3 (deeper PACF needs the full recursion): " +
+        s"$maxLag")
+    val means = series.groupBy(col(keyCol))
+      .agg((sum(col(valCol).cast("double").cast("decimal(30,12)"))
+        .cast("double") / count(lit(1)).cast("double")).as("__m"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val x = col(valCol).cast("double")
+    def dec(c: Column) = c.cast("decimal(30,12)")
+    val staged = series.join(broadcast(means), Seq(keyCol))
+      .select(Seq(col(keyCol), x.as("__x"), col("__m")) ++
+        (1 to maxLag).map(h => lag(x, h).over(w).as(s"__l$h")): _*)
+    val agg = staged.groupBy(col(keyCol))
+      .agg(sum(dec((col("__x") - col("__m")) *
+          (col("__x") - col("__m")))).as("__d0"),
+        (1 to maxLag).map(h =>
+          sum(dec((col("__x") - col("__m")) *
+            (col(s"__l$h") - col("__m")))).as(s"__d$h")): _*)
+    val d0 = col("__d0").cast("double")
+    def r(h: Int): Column =
+      if (h > maxLag) lit(null).cast("double")
+      else when(d0 > 0.0d, col(s"__d$h").cast("double") / d0)
+    val r1 = r(1); val r2 = r(2); val r3 = r(3)
+    val p11 = r1
+    val den2 = lit(1.0d) - r1 * r1
+    val p22 = when(den2 =!= 0.0d, (r2 - r1 * r1) / den2)
+    val p21 = r1 - p22 * r1
+    val den3 = lit(1.0d) - p21 * r1 - p22 * r2
+    val p33 = when(den3 =!= 0.0d, (r3 - p21 * r2 - p22 * r1) / den3)
+    def r6(c: Column) =
+      round(c.cast("decimal(30,12)"), 6).cast("double")
+    val perLag = Seq((1, r1, p11), (2, r2, p22), (3, r3, p33))
+      .take(maxLag)
+    perLag.map { case (h, acfC, pacfC) =>
+      agg.select(col(keyCol), lit(h).as("lag"),
+        r6(acfC).as("acf"), r6(pacfC).as("pacf"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Change-point ALERT read off a [[cusum]] frame — detection
     * (q250's per-bucket statistics) folded to the one row per key an
     * alerting pipeline pages on: the FIRST bucket whose positive or

@@ -535,6 +535,38 @@ class TimeseriesSpec extends AnyFunSuite {
       "C" -> ((4L, "both"))))
   }
 
+  test("acfPacf: hand-exact alternating-series ACF/PACF, pacf(1) = " +
+    "acf(1), constant keys null, and the shared-denominator estimator " +
+    "keeps |rho| <= 1") {
+    // alternating +-1, n = 8: mean 0, d0 = 8, d1 = -7, d2 = 6, d3 = -5
+    val alt = (0L to 7L).map(t => ("alt", t, if (t % 2 == 0) 1.0 else -1.0))
+    val const = (0L to 7L).map(t => ("const", t, 3.0))
+    val df = (alt ++ const).toDF("k", "b", "v")
+    val rows = ext.Timeseries.acfPacf(df, "k", "b", "v", maxLag = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (q1, q2, q3) = (-7.0 / 8.0, 6.0 / 8.0, -5.0 / 8.0)
+    assert(rows(("alt", 1)) == ((Some(r6(q1)), Some(r6(q1)))))
+    val p22 = (q2 - q1 * q1) / (1.0 - q1 * q1)
+    assert(rows(("alt", 2))._1.contains(r6(q2)))
+    assert(rows(("alt", 2))._2.contains(r6(p22)))
+    val p21 = q1 - p22 * q1
+    val p33 = (q3 - p21 * q2 - p22 * q1) / (1.0 - p21 * q1 - p22 * q2)
+    assert(rows(("alt", 3))._2.contains(r6(p33)))
+    // shared denominator keeps every |acf| <= 1
+    (1 to 3).foreach(h =>
+      assert(rows(("alt", h))._1.exists(v => math.abs(v) <= 1.0)))
+    // zero variance: everything null
+    (1 to 3).foreach { h =>
+      assert(rows(("const", h)) == ((None, None)))
+    }
+  }
+
   test("seasonalNaive: lag(period-1) semantics — head rows null, " +
     "pure seasonal series forecast exactly, period 1 = plain naive") {
     val s = Map(0 -> 5.0, 1 -> 7.0, 2 -> 4.0, 3 -> 6.0)

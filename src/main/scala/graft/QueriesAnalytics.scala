@@ -4936,6 +4936,58 @@ object QueriesAnalytics {
                    AS acf,
                  CAST(round(CAST(pacf AS DECIMAL(30,12)), 6) AS DOUBLE)
                    AS pacf
-          FROM fin ORDER BY event_type, lag"""))
+          FROM fin ORDER BY event_type, lag""")),
+
+    // funnel step timing (round 18): how long converters took — per
+    // step the mean/min/max micros between matched occurrences (exact
+    // decimal sum of long deltas; median deliberately out — order
+    // statistics interpolate differently across engines, rank sketches
+    // cover that read). One conditional aggregate, the q272 shape.
+    Q("q277_funnel_timing",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val fn = ext.Behavior.funnel(ev, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        ext.Behavior.funnelTiming(fn, steps = 3)
+          .orderBy(col("step"))
+      },
+      Some("""WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS us,
+                               event_type AS t
+                        FROM events),
+             s1 AS (SELECT u, min(us) AS us_1 FROM ev
+                    WHERE t = 'view' GROUP BY u),
+             s2 AS (SELECT e.u, min(e.us) AS us_2
+                    FROM ev e JOIN s1 ON e.u = s1.u
+                    WHERE e.t = 'click' AND e.us > s1.us_1
+                    GROUP BY e.u),
+             s3 AS (SELECT e.u, min(e.us) AS us_3
+                    FROM ev e JOIN s2 ON e.u = s2.u
+                    WHERE e.t = 'purchase' AND e.us > s2.us_2
+                    GROUP BY e.u),
+             fn AS (SELECT s1.u, us_1, us_2, us_3
+                    FROM s1 LEFT JOIN s2 ON s1.u = s2.u
+                            LEFT JOIN s3 ON s1.u = s3.u),
+             ag AS (SELECT
+                      count(CASE WHEN us_2 IS NOT NULL THEN 1 END) AS n2,
+                      sum(CAST(us_2 - us_1 AS DECIMAL(30,12))) AS sd2,
+                      min(us_2 - us_1) AS mn2, max(us_2 - us_1) AS mx2,
+                      count(CASE WHEN us_3 IS NOT NULL THEN 1 END) AS n3,
+                      sum(CAST(us_3 - us_2 AS DECIMAL(30,12))) AS sd3,
+                      min(us_3 - us_2) AS mn3, max(us_3 - us_2) AS mx3
+                    FROM fn)
+            SELECT 2 AS step, n2 AS n_timed,
+                   CAST(round(CAST(CASE WHEN n2 > 0
+                       THEN CAST(sd2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                       END AS DECIMAL(30,12)), 6) AS DOUBLE) AS mean_us,
+                   mn2 AS min_us, mx2 AS max_us
+            FROM ag
+            UNION ALL
+            SELECT 3, n3,
+                   CAST(round(CAST(CASE WHEN n3 > 0
+                       THEN CAST(sd3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+                       END AS DECIMAL(30,12)), 6) AS DOUBLE),
+                   mn3, mx3
+            FROM ag
+            ORDER BY step"""))
   )
 }

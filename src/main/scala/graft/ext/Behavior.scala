@@ -142,6 +142,43 @@ object Behavior {
       r6(when(ok, center + half)).as("wilson_hi"))
   }
 
+  /** Funnel step TIMING — how long converters took: per step i ≥ 2,
+    * over the users who reached it, the mean / min / max of
+    * `us_i − us_{i−1}` (micros between the matched occurrences —
+    * positive by [[funnel]]'s strictly-after construction). Mean from
+    * an exact DECIMAL(30,12) sum of long deltas; median is
+    * deliberately NOT emitted (an order statistic — interpolation
+    * conventions diverge across engines; callers with a rank-sketch
+    * need read `Sketches.rkQuantiles` over the delta column). One
+    * conditional aggregate + the literal step spine, the
+    * [[funnelSummary]] shape. Returns `(step, n_timed, mean_us,
+    * min_us, max_us)` for steps 2..k (step 1 has no predecessor);
+    * a step nobody reached emits n_timed 0 with null stats.
+    */
+  def funnelTiming(funnelFrame: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 2, s"timing needs >= 2 steps: $steps")
+    def dec(c: Column) = c.cast("decimal(30,12)")
+    val agg = funnelFrame.agg(
+      count(when(col("us_2").isNotNull, lit(1))).as("n_2"),
+      (2 to steps).flatMap { i =>
+        val delta = col(s"us_$i") - col(s"us_${i - 1}")
+        (if (i == 2) Seq.empty
+         else Seq(count(when(col(s"us_$i").isNotNull, lit(1)))
+           .as(s"n_$i"))) ++
+          Seq(sum(dec(delta)).as(s"s_$i"),
+            min(delta).as(s"mn_$i"), max(delta).as(s"mx_$i"))
+      }: _*)
+    def r6(c: Column) =
+      round(c.cast("decimal(30,12)"), 6).cast("double")
+    (2 to steps).map { i =>
+      agg.select(lit(i).as("step"), col(s"n_$i").as("n_timed"),
+        r6(when(col(s"n_$i") > 0,
+          col(s"s_$i").cast("double") / col(s"n_$i").cast("double")))
+          .as("mean_us"),
+        col(s"mn_$i").as("min_us"), col(s"mx_$i").as("max_us"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Two-proportion z-test per key — [[abWelch]]'s binary-metric twin
     * (conversion, retention, any success flag): for each key, compare
     * the success RATE between groups `a` and `b` with the pooled

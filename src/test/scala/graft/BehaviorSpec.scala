@@ -127,6 +127,31 @@ class BehaviorSpec extends AnyFunSuite {
     assert(d(dr(3), 2).isEmpty) // n = 0 trials — not a rate
   }
 
+  test("funnelTiming: exact mean/min/max deltas per step, unreached " +
+    "steps emit n 0 with null stats, step 1 absent") {
+    val fn = Seq(
+      ("u1", Some(10L), Some(40L), Some(100L)),
+      ("u2", Some(20L), Some(30L), Option.empty[Long]),
+      ("u3", Some(5L), Option.empty[Long], Option.empty[Long])
+    ).toDF("user_id", "us_1", "us_2", "us_3")
+    val rows = Behavior.funnelTiming(fn, steps = 3)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(!rows.contains(1))
+    val s2 = rows(2) // deltas 30 and 10 -> mean 20, min 10, max 30
+    assert(s2.getLong(1) == 2L && s2.getDouble(2) == 20.0)
+    assert(s2.getLong(3) == 10L && s2.getLong(4) == 30L)
+    val s3 = rows(3) // one delta: 60
+    assert(s3.getLong(1) == 1L && s3.getDouble(2) == 60.0)
+    assert(s3.getLong(3) == 60L && s3.getLong(4) == 60L)
+    // a funnel where nobody clears step 3
+    val dead = Seq(("u1", Some(1L), Some(2L), Option.empty[Long]))
+      .toDF("user_id", "us_1", "us_2", "us_3")
+    val d3 = Behavior.funnelTiming(dead, steps = 3)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(d3(3).getLong(1) == 0L && d3(3).isNullAt(2) &&
+      d3(3).isNullAt(3) && d3(3).isNullAt(4))
+  }
+
   test("abProportions: hand-computed pooled z at 6 dp, degenerate " +
     "pooled rates and empty sides null, non-group rows ignored") {
     val df = Seq(

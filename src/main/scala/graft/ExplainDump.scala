@@ -1,0 +1,34 @@
+package graft
+
+/** Dump `.explain("formatted")` for named catalog queries into files —
+  * the plans/r18 before/after evidence. Usage:
+  *
+  *   tools/run_main.sh graft.ExplainDump <suffix> q242 q248 ...
+  *
+  * writes plans/r18/<query>_<suffix>.txt. Queries that build artifacts at
+  * DataFrame-construction time will run those build jobs (same stance as
+  * PlanDump); the dumped plan is the final read.
+  */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ExplainDump <suffix> <query>...")
+    val suffix = args.head
+    val names = args.tail.toSeq
+    val spark = GraftSession.build("graft-explain")
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = java.nio.file.Paths.get("plans/r18")
+    java.nio.file.Files.createDirectories(outDir)
+    names.foreach { n =>
+      val (full, fn) = SparkEntry.queries.collectFirst {
+        case (k, f) if k == n || k.takeWhile(_ != '_') == n => (k, f)
+      }.getOrElse(sys.error(s"unknown query $n"))
+      val df = fn(spark, d)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      java.nio.file.Files.writeString(outDir.resolve(s"${full}_$suffix.txt"), txt)
+      println(s"wrote plans/r18/${full}_$suffix.txt")
+    }
+    spark.stop()
+  }
+}

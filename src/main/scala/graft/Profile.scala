@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd,
+  SparkListenerJobStart, SparkListenerStageCompleted}
+
+/** Per-query job/stage profiler (guide §1: measure first). Runs the named
+  * catalog queries on SPARK_GRAFT_SF_DIR and prints, for each, the wall
+  * seconds split into Spark jobs (with descriptions/callsites) and the
+  * per-stage shuffle/input volumes — the empirical view the disabled UI
+  * would otherwise give. Usage:
+  *
+  *   SPARK_GRAFT_QUERIES=q242,q248 sbt "runMain graft.Profile"
+  *
+  * Reps: first run warms codegen, the second is reported (steady state —
+  * the bench's median-of-3 sees the same). Dev harness only: not part of
+  * the driver contract.
+  */
+object Profile {
+  private final case class JobRow(id: Int, desc: String, ms: Long,
+    stages: Int)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(args.toSeq)
+    require(names.nonEmpty, "name queries via SPARK_GRAFT_QUERIES or args")
+    val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption)
+      .getOrElse(2)
+    val spark = GraftSession.build("graft-profile")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[JobRow]()
+    val stageAgg = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("")
+        jobs.put(js.jobId, (js.time, desc, js.stageIds.size))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(jobs.remove(je.jobId)).foreach { case (t0, desc, n) =>
+          done.add(JobRow(je.jobId, desc, je.time - t0, n)); ()
+        }
+      }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val m = si.taskMetrics
+        if (si.completionTime.isDefined && m != null) {
+          val wall = si.completionTime.get - si.submissionTime.getOrElse(si.completionTime.get)
+          if (wall >= 50)
+            stageAgg.add(f"    stage ${si.stageId}%4d ${wall / 1000.0}%7.2fs " +
+              f"tasks=${si.numTasks}%4d in=${m.inputMetrics.bytesRead / 1e6}%8.1fMB " +
+              f"sRead=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
+              f"sWrite=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
+              f"exec=${m.executorRunTime / 1000.0}%8.1fs " +
+              f"gc=${m.jvmGCTime / 1000.0}%5.1fs  ${si.name.take(60)}")
+          ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    def cleanup(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+    }
+
+    names.foreach { n =>
+      val fn = SparkEntry.queries.collectFirst {
+        case (k, f) if k == n || k.startsWith(n + "_") || k.takeWhile(_ != '_') == n => f
+      }.getOrElse(sys.error(s"unknown query $n"))
+      (1 to reps).foreach { rep =>
+        done.clear(); stageAgg.clear()
+        val t0 = System.nanoTime()
+        spark.sparkContext.setJobDescription(s"$n rep$rep")
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.setJobDescription(null)
+        // listener events are async; give the bus a moment to drain
+        Thread.sleep(500)
+        if (rep == reps) {
+          println(f"===== $n rep$rep: $dt%.2f s =====")
+          val rows = done.toArray(Array.empty[JobRow]).sortBy(-_.ms)
+          val totalJobMs = rows.map(_.ms).sum
+          println(f"  jobs=${rows.length} sumJobWall=${totalJobMs / 1000.0}%.2f s " +
+            f"(gaps/driver=${dt - totalJobMs / 1000.0}%.2f s)")
+          rows.take(15).foreach { r =>
+            println(f"    job ${r.id}%4d ${r.ms / 1000.0}%7.2fs stages=${r.stages}%3d ${r.desc.take(80)}")
+          }
+          val sl = stageAgg.toArray(Array.empty[String])
+          if (sl.nonEmpty) { println("  slow stages (>=50ms):"); sl.foreach(println) }
+        }
+        cleanup()
+      }
+    }
+    spark.stop()
+  }
+}

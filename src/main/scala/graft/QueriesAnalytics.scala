@@ -3006,13 +3006,19 @@ object QueriesAnalytics {
         // flags computed ONCE into a lazily-checkpointed frame — the
         // u-estimation pass and the scoring pass share the levenshtein
         // work instead of each re-deriving the join (the a92302f
-        // shared-leg pattern; blocks are ContextCleaner-freed)
+        // shared-leg pattern; blocks are ContextCleaner-freed).
+        // Round 18 (guide §2.3 — project before materializing): only the
+        // ids and the boolean flags ride the checkpoint; the name/segment/
+        // balance payload columns are consumed by the flag expressions and
+        // never read again downstream (a checkpoint defeats Catalyst
+        // column pruning, so the projection must be explicit — measured
+        // 466 MB → ~30 MB of checkpointed blocks).
         val flagged = ext.Linkage.blockPairs(a, b, "bk")
-          .withColumn("f_name",
-            levenshtein(col("a_name"), col("b_name")) <= 1)
-          .withColumn("f_seg", lower(col("a_seg")) === lower(col("b_seg")))
-          .withColumn("f_bal", col("a_bal") - col("b_bal") >= 0.0d &&
-            col("a_bal") - col("b_bal") < 0.1d)
+          .select(col("a_id"), col("b_id"),
+            (levenshtein(col("a_name"), col("b_name")) <= 1).as("f_name"),
+            (lower(col("a_seg")) === lower(col("b_seg"))).as("f_seg"),
+            (col("a_bal") - col("b_bal") >= 0.0d &&
+              col("a_bal") - col("b_bal") < 0.1d).as("f_bal"))
           .localCheckpoint(false)
         val flags = Seq("name" -> col("f_name"), "seg" -> col("f_seg"),
           "bal" -> col("f_bal"))
@@ -3499,11 +3505,14 @@ object QueriesAnalytics {
           expr("substring(c_name, 1, length(c_name) - 1)").as("c_name2"),
           (floor(col("c_acctbal") * lit(10.0d)) / lit(10.0d)).as("c_bal"),
           bk.as("bk"))
+        // round 18 (guide §2.3): ids + flags only ride the checkpoints —
+        // the payload columns feed the flag expressions and nothing else,
+        // and a checkpoint defeats Catalyst column pruning (q242's edit)
         val fl1 = ext.Linkage.blockPairs(a, b, "bk")
-          .withColumn("f_name",
-            levenshtein(col("a_name"), col("b_name")) <= 1)
-          .withColumn("f_bal", col("a_bal") - col("b_bal") >= 0.0d &&
-            col("a_bal") - col("b_bal") < 0.1d)
+          .select(col("a_id"), col("b_id"),
+            (levenshtein(col("a_name"), col("b_name")) <= 1).as("f_name"),
+            (col("a_bal") - col("b_bal") >= 0.0d &&
+              col("a_bal") - col("b_bal") < 0.1d).as("f_bal"))
           .localCheckpoint(false)
         val flags1 = Seq("name" -> col("f_name"), "bal" -> col("f_bal"))
         val leg1 = ext.Linkage.fsScores(fl1, flags1,
@@ -3512,7 +3521,8 @@ object QueriesAnalytics {
           .select(col("a_id").as("ia"), col("b_id").as("ib"),
             col("score"))
         val fl2 = ext.Linkage.blockPairs(b, c, "bk")
-          .withColumn("f_bal", col("b_bal") === col("c_bal"))
+          .select(col("b_id"), col("c_id"),
+            (col("b_bal") === col("c_bal")).as("f_bal"))
           .localCheckpoint(false)
         val flags2 = Seq("bal" -> col("f_bal"))
         val leg2 = ext.Linkage.fsScores(fl2, flags2,
@@ -4140,11 +4150,13 @@ object QueriesAnalytics {
           expr("substring(c_name, 1, length(c_name) - 1)").as("b_name"),
           (floor(col("c_acctbal") * lit(10.0d)) / lit(10.0d)).as("b_bal"),
           bk.as("bk"))
+        // round 18 (guide §2.3): ids + flags only ride the checkpoint
+        // (the q242 projection edit — a checkpoint defeats column pruning)
         val flagged = ext.Linkage.blockPairs(a, b, "bk")
-          .withColumn("f_name",
-            levenshtein(col("a_name"), col("b_name")) <= 1)
-          .withColumn("f_bal", col("a_bal") - col("b_bal") >= 0.0d &&
-            col("a_bal") - col("b_bal") < 0.1d)
+          .select(col("a_id"), col("b_id"),
+            (levenshtein(col("a_name"), col("b_name")) <= 1).as("f_name"),
+            (col("a_bal") - col("b_bal") >= 0.0d &&
+              col("a_bal") - col("b_bal") < 0.1d).as("f_bal"))
           .localCheckpoint(false)
         val flags = Seq("name" -> col("f_name"), "bal" -> col("f_bal"))
         val params = ext.Linkage.emFit(flagged, flags, iters = 3)

@@ -42,9 +42,26 @@ object Linkage {
     * inputs (prefix them before calling). The join is the tier's only
     * pair-producing step — its volume is exactly
     * Σ_blocks |A_b| · |B_b|.
+    *
+    * The `a` side is hash-repartitioned on the block key to the session's
+    * shuffle-partition count BEFORE the join (round-18 profile finding:
+    * with a broadcast-joined `b`, the pair stage inherits the `a` SCAN's
+    * partitioning — a single small input split serialized the whole
+    * per-pair comparator work onto one task, 7.7 s on one core with 31
+    * idle; repartitioned, the same stage is 0.5 s). The repartition is
+    * pinned (`repartition(n, key)`) so AQE's byte-based coalescing cannot
+    * fold the compute-bound, byte-light pair stage back to one partition;
+    * `n` follows `spark.sql.shuffle.partitions` (scale-parameterized, not
+    * a local constant). Under a shuffle join the repartition already
+    * satisfies the join's distribution requirement on `a`, so no extra
+    * exchange is introduced at cluster scale — downstream per-pair work
+    * (edit distances, flag evaluation) is compute-bound, which is why
+    * parallelism, not bytes, governs this stage.
     */
-  def blockPairs(a: DataFrame, b: DataFrame, blockKey: String): DataFrame =
-    a.join(b, Seq(blockKey))
+  def blockPairs(a: DataFrame, b: DataFrame, blockKey: String): DataFrame = {
+    val n = a.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    a.repartition(n, col(blockKey)).join(b, Seq(blockKey))
+  }
 
   /** Per-block pair volume `(blockKey, n_a, n_b, pairs)` — the audit a
     * caller reads BEFORE paying the join when the key's skew is

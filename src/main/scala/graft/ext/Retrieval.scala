@@ -240,6 +240,33 @@ object Retrieval {
   val impactK1: Double = 1.2
   val impactB: Double = 0.75
 
+  /** Run independent Spark actions concurrently on a small thread pool
+    * (guide §2.6: actions are only sequential because driver code calls
+    * them sequentially; concurrent jobs back-fill each other's stragglers).
+    * Blocks until all finish; the first failure propagates after the pool
+    * drains (no orphaned half-written relation goes unnoticed).
+    */
+  private def runConcurrently(actions: Seq[() => Unit]): Unit = {
+    if (actions.size <= 1) { actions.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(actions.size, 4))
+    try {
+      val futures = actions.map(a =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = a()
+        }))
+      // get() rethrows the callable's exception (wrapped); unwrap the
+      // first so callers see the original failure
+      futures.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
+    } finally { pool.shutdown(); () }
+  }
+
   /** A loaded lexical index artifact: the three relations of
     * [[saveLexIndex]]'s layout plus the frozen config. `postings` and
     * `terms` are parquet scans partitioned by `tbucket` — query-side
@@ -338,8 +365,6 @@ object Retrieval {
     val positional = post0.columns.contains("pos")
     val post = post0.persist()
     try {
-      require(!post.isEmpty,
-        "lexical index build/append/compact over an empty postings set")
       val dl = docLengths(post, idCol)
       // stats BEFORE the artifact writes: (n_docs, avgdl, c_total) in the
       // exact arithmetic of corpusStats — c_total = Σ dl = Σ tf. avgdl is
@@ -377,59 +402,75 @@ object Retrieval {
       // tfNorm(max_tf, min_dl, avgdl_merged) dominates every row). The
       // bounds also survive tombstones, because reads score with the
       // same frozen sidecar. One model-sized driver read (the stats
-      // row) prices it.
+      // row) prices it — and doubles as the empty-input guard (round 18:
+      // the former separate `post.isEmpty` action was one whole extra
+      // job per segment write; n_docs == 0 is the same condition).
       val stRow = stats.select(col("n_docs"), col("avgdl")).head()
       val segNDocs = stRow.getLong(0)
+      require(segNDocs > 0,
+        "lexical index build/append/compact over an empty postings set")
       val segAvgdl = stRow.getDouble(1)
       val maxTfNorm = max(
         (col("tf").cast("double") * lit(impactK1 + 1.0)) /
           (col("tf").cast("double") +
             lit(impactK1) * (lit(1.0 - impactB) +
               lit(impactB) * col("dl").cast("double") / lit(segAvgdl))))
-      writerMode(post.join(dl, Seq(idCol))
-          .select(Seq(col("term"), col(idCol), col("tf"), col("dl"),
-            lit(batchId).as("batch_id"),
-            termBucket(col("term"), nBuckets).as("tbucket")) ++ posCols: _*)
-          .repartition(col("tbucket"))
-          .sortWithinPartitions(col("term"), col(idCol))
-          .write)
-        .partitionBy("batch_id", "tbucket")
-        .parquet(s"$path/postings")
-      writerMode(post.join(dl, Seq(idCol))
-          .groupBy(col("term"))
-          .agg(count(lit(1)).as("dfreq"), sum(col("tf")).as("cf"),
-            maxTfNorm.as("__mt"),
-            max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
-          .withColumn("max_impact",
-            log(lit(1.0) +
-              ((lit(segNDocs) - col("dfreq")).cast("double") + lit(0.5)) /
-                (col("dfreq").cast("double") + lit(0.5))) * col("__mt"))
-          .drop("__mt")
-          .withColumn("batch_id", lit(batchId))
-          .withColumn("tbucket", termBucket(col("term"), nBuckets))
-          .repartition(col("tbucket"))
-          .sortWithinPartitions(col("term"))
-          .write)
-        .partitionBy("batch_id", "tbucket")
-        .parquet(s"$path/terms")
-      // optional FORWARD sidecar (Lucene term vectors): the same
-      // (id, term, tf, dl) rows re-partitioned by doc bucket, so
-      // doc-keyed reads (RM3's feedback fetch, term-vector lookups)
-      // DPP-prune to the requested docs' buckets instead of passing the
-      // whole term-partitioned postings — the classical 2× storage for
-      // doc-addressability trade, off by default
-      if (termVectors)
-        writerMode(post.join(dl, Seq(idCol))
-            .select(col(idCol), col("term"), col("tf"), col("dl"),
+      // The four relation writes are INDEPENDENT jobs over the already-
+      // materialized postings cache (stats.head() above forced it), each
+      // bound for its own subdirectory. Round 18 (guide §2.6 — overlap
+      // independent jobs): submit them from a small thread pool so the
+      // tail of one write back-fills cores freed by another, instead of
+      // paying four sequential job walls. Job-group properties are
+      // thread-local and inherited, and concurrent actions on one
+      // SparkSession are supported; the cache is read-shared.
+      val writes = Seq[() => Unit](
+        () => writerMode(post.join(dl, Seq(idCol))
+            .select(Seq(col("term"), col(idCol), col("tf"), col("dl"),
               lit(batchId).as("batch_id"),
-              docBucket(col(idCol), nBuckets).as("dbucket"))
-            .repartition(col("dbucket"))
-            .sortWithinPartitions(col(idCol), col("term"))
+              termBucket(col("term"), nBuckets).as("tbucket")) ++ posCols: _*)
+            .repartition(col("tbucket"))
+            .sortWithinPartitions(col("term"), col(idCol))
             .write)
-          .partitionBy("batch_id", "dbucket")
-          .parquet(s"$path/forward")
-      writerMode(stats.write).partitionBy("batch_id")
-        .parquet(s"$path/stats")
+          .partitionBy("batch_id", "tbucket")
+          .parquet(s"$path/postings"),
+        () => writerMode(post.join(dl, Seq(idCol))
+            .groupBy(col("term"))
+            .agg(count(lit(1)).as("dfreq"), sum(col("tf")).as("cf"),
+              maxTfNorm.as("__mt"),
+              max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+            .withColumn("max_impact",
+              log(lit(1.0) +
+                ((lit(segNDocs) - col("dfreq")).cast("double") + lit(0.5)) /
+                  (col("dfreq").cast("double") + lit(0.5))) * col("__mt"))
+            .drop("__mt")
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("tbucket", termBucket(col("term"), nBuckets))
+            .repartition(col("tbucket"))
+            .sortWithinPartitions(col("term"))
+            .write)
+          .partitionBy("batch_id", "tbucket")
+          .parquet(s"$path/terms")) ++
+        // optional FORWARD sidecar (Lucene term vectors): the same
+        // (id, term, tf, dl) rows re-partitioned by doc bucket, so
+        // doc-keyed reads (RM3's feedback fetch, term-vector lookups)
+        // DPP-prune to the requested docs' buckets instead of passing the
+        // whole term-partitioned postings — the classical 2× storage for
+        // doc-addressability trade, off by default
+        (if (termVectors) Seq[() => Unit](
+          () => writerMode(post.join(dl, Seq(idCol))
+              .select(col(idCol), col("term"), col("tf"), col("dl"),
+                lit(batchId).as("batch_id"),
+                docBucket(col(idCol), nBuckets).as("dbucket"))
+              .repartition(col("dbucket"))
+              .sortWithinPartitions(col(idCol), col("term"))
+              .write)
+            .partitionBy("batch_id", "dbucket")
+            .parquet(s"$path/forward"))
+        else Nil) ++
+        Seq[() => Unit](
+          () => writerMode(stats.write).partitionBy("batch_id")
+            .parquet(s"$path/stats"))
+      runConcurrently(writes)
     } finally { post.unpersist(); () }
   }
 
@@ -470,8 +511,19 @@ object Retrieval {
       s"lexical index at $path predates the segmented artifact layout " +
         s"(stats sidecar missing ${missingCols.mkString(", ")}) — " +
         "rebuild it with saveLexIndex")
-    val segRows = statsRaw.select(col("id_col"), col("n_buckets"),
-      col("positional"), col("term_vectors"), col("batch_id")).collect()
+    // ONE segments-sized driver read serves every driver-side decision
+    // below (round 18: this used to be up to three separate jobs — the
+    // config collect, the impact-(k1,b) distinct, and the merged-stats
+    // aggregate; a load is on the critical path of every index read, so
+    // each extra job was a full job-overhead wall). n_docs/c_total are
+    // exact longs, so the merged avgdl computed here is bit-identical to
+    // the former aggregate's division.
+    val hasImpact = statsRaw.columns.contains("impact_k1")
+    val segCols = Seq(col("id_col"), col("n_buckets"),
+      col("positional"), col("term_vectors"), col("batch_id"),
+      col("n_docs"), col("c_total")) ++
+      (if (hasImpact) Seq(col("impact_k1"), col("impact_b")) else Nil)
+    val segRows = statsRaw.select(segCols: _*).collect()
     require(segRows.nonEmpty, s"empty lexical index stats at $path/stats")
     val cfg = segRows.head
     require(segRows.forall(r => r.getString(0) == cfg.getString(0) &&
@@ -481,15 +533,14 @@ object Retrieval {
       s"inconsistent segment configs in $path/stats")
     val idCol = cfg.getString(0)
     val multi = segRows.length > 1
+    val nDocsM = segRows.map(_.getLong(5)).sum
+    val cTotalM = segRows.map(_.getLong(6)).sum
     val stats =
       if (!multi) statsRaw
-      else statsRaw
-        .agg(sum(col("n_docs")).as("n_docs"),
-          sum(col("c_total")).as("c_total"))
-        .select(col("n_docs"),
-          (col("c_total").cast("double") /
-            col("n_docs").cast("double")).as("avgdl"),
-          col("c_total"))
+      else spark.range(1).select(
+        lit(nDocsM).as("n_docs"),
+        lit(cTotalM.toDouble / nDocsM.toDouble).as("avgdl"),
+        lit(cTotalM).as("c_total"))
     val termsRaw = spark.read.parquet(s"$path/terms")
     // impact-bound availability: a single segment serves its EXACT
     // frozen max_impact column; a multi-segment artifact (round 18+)
@@ -499,20 +550,15 @@ object Retrieval {
     // artifacts without the columns load with None and serve the
     // unpruned reads.
     val impactParams: Option[(Double, Double)] =
-      if (!statsRaw.columns.contains("impact_k1")) None
+      if (!hasImpact) None
       else if (!multi) {
         if (!termsRaw.columns.contains("max_impact")) None
-        else {
-          val r = statsRaw.select(col("impact_k1"), col("impact_b")).head()
-          Some((r.getDouble(0), r.getDouble(1)))
-        }
+        else Some((cfg.getDouble(7), cfg.getDouble(8)))
       } else if (!termsRaw.columns.contains("max_tf") ||
           !termsRaw.columns.contains("min_dl")) None
       else {
-        val kb = statsRaw.select(col("impact_k1"), col("impact_b"))
-          .distinct().collect()
-        if (kb.length != 1) None
-        else Some((kb.head.getDouble(0), kb.head.getDouble(1)))
+        val kb = segRows.map(r => (r.getDouble(7), r.getDouble(8))).distinct
+        if (kb.length != 1) None else Some(kb.head)
       }
     val terms =
       if (!multi) termsRaw
@@ -537,11 +583,9 @@ object Retrieval {
           // to exact. avgdl_merged/n_docs_merged are driver literals
           // from the exact per-segment long sums (one segments-sized
           // read), bit-identical to the stats fold's division.
-          val tot = statsRaw
-            .agg(sum(col("n_docs")).as("nd"), sum(col("c_total")).as("ct"))
-            .head()
-          val nDocsM = tot.getLong(0)
-          val avgdlM = tot.getLong(1).toDouble / nDocsM.toDouble
+          // nDocsM/cTotalM already read in the one segments-sized collect
+          // above — no extra driver job (round 18)
+          val avgdlM = cTotalM.toDouble / nDocsM.toDouble
           val segTn = (col("max_tf").cast("double") * lit(k1 + 1.0)) /
             (col("max_tf").cast("double") +
               lit(k1) * (lit(1.0 - b) +
@@ -655,11 +699,13 @@ object Retrieval {
   def deleteFromLexIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: DataFrame, delBatch: Long): Unit = {
     val statsRaw = spark.read.parquet(s"$path/stats")
-    val head = statsRaw.select(col("id_col")).head()
-    val idCol = head.getString(0)
+    // one segments-sized collect serves both the id column and the max
+    // segment (round 18: was two driver jobs).
     // batch_id is a PARTITION column on read — inferred int32, so cast
-    val maxSeg = statsRaw.agg(max(col("batch_id").cast("long")))
-      .head().getLong(0)
+    val segRows = statsRaw
+      .select(col("id_col"), col("batch_id").cast("long")).collect()
+    val idCol = segRows.head.getString(0)
+    val maxSeg = segRows.map(_.getLong(1)).max
     require(ids.columns.length == 1,
       s"ids must be a single-column frame, got ${ids.columns.mkString(",")}")
     ids.select(col(ids.columns.head).as(idCol))
@@ -699,9 +745,6 @@ object Retrieval {
       path: String): Unit = {
     val idx = loadLexIndex(spark, path) // tombstones already applied
     val idCol = idx.idCol
-    val cfgRow = spark.read.parquet(s"$path/stats")
-      .select(col("id_col"), col("n_buckets"), col("positional"),
-        col("term_vectors")).head()
     // live corpus stats in the exact fresh-build arithmetic: dl per doc
     // re-derived as Σ tf (identical to the denormalized column for any
     // doc-disjoint artifact, and THE definition a fresh build uses)
@@ -744,10 +787,12 @@ object Retrieval {
       spark.range(1).select(
         lit(nDocs).as("n_docs"), lit(avgdl).as("avgdl"),
         lit(cTotal).as("c_total"),
-        lit(cfgRow.getString(0)).as("id_col"),
-        lit(cfgRow.getInt(1)).as("n_buckets"),
-        lit(cfgRow.getBoolean(2)).as("positional"),
-        lit(cfgRow.getBoolean(3)).as("term_vectors"),
+        // config comes from the LexIndex just loaded — re-reading the
+        // stats sidecar here was one more driver job per refresh (round 18)
+        lit(idx.idCol).as("id_col"),
+        lit(idx.nBuckets).as("n_buckets"),
+        lit(idx.positional).as("positional"),
+        lit(idx.forward.isDefined).as("term_vectors"),
         lit(impactK1).as("impact_k1"), lit(impactB).as("impact_b"),
         lit(0L).as("batch_id"))
         .write.mode("overwrite").partitionBy("batch_id")
@@ -1221,16 +1266,22 @@ object Retrieval {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
     val fb = qlScoredFromIndex(idx, qterms, qIdCol, fbDocs, mu)
       .select(col("q_id"), col(idx.idCol), col("__score"))
-    val mx = fb.groupBy(col("q_id")).agg(max(col("__score")).as("__mx"))
-    val post = fb.join(broadcast(mx), Seq("q_id"))
+    // per-query max and softmax normalizer as WINDOW aggregates over the
+    // q_id partitioning the feedback frame already has from its top-k
+    // rank window (round 18, guide §2.4: a window keyed like the
+    // preceding aggregation adds no exchange) — this replaces two
+    // grouped aggregates and their two broadcast-join materializations
+    // with expressions inside the existing exchange. max/sum values are
+    // identical to the grouped forms (decimal sums are order-free).
+    val wq = Window.partitionBy(col("q_id"))
+    val smw = fb
+      .withColumn("__e",
+        exp(col("__score").cast("double") -
+          max(col("__score")).over(wq).cast("double"))
+          .cast("decimal(38,30)"))
       .select(col("q_id"), col(idx.idCol),
-        exp(col("__score").cast("double") - col("__mx").cast("double"))
-          .cast("decimal(38,30)").as("__e"))
-    val se = post.groupBy(col("q_id")).agg(sum(col("__e")).as("__se"))
-    val smw = post.join(broadcast(se), Seq("q_id"))
-      .select(col("q_id"), col(idx.idCol),
-        (col("__e").cast("double") / col("__se").cast("double"))
-          .as("__smw"))
+        (col("__e").cast("double") /
+          sum(col("__e")).over(wq).cast("double")).as("__smw"))
     // feedback docs' term vectors: off the FORWARD sidecar when the
     // artifact carries one (doc-bucketed — the broadcast join's dbucket
     // key DPP-prunes the scan to the feedback docs' buckets), else the
@@ -1261,11 +1312,14 @@ object Retrieval {
       .withColumn("__tr", row_number().over(wSel))
       .where(col("__tr") <= fbTerms)
       .select(col("q_id"), col("term"), col("__rw"))
-    val nrm = sel.groupBy(col("q_id")).agg(sum(col("__rw")).as("__srw"))
-    val rmw = sel.join(broadcast(nrm), Seq("q_id"))
+    // renormalization over the SELECTED terms as a window sum on the
+    // q_id partitioning the selection window just established (round 18,
+    // guide §2.4) — replaces a grouped aggregate + broadcast join
+    val rmw = sel
       .select(col("q_id"), col("term"),
-        (col("__rw").cast("double") / col("__srw").cast("double"))
-          .as("__rwn"))
+        (col("__rw").cast("double") /
+          sum(col("__rw")).over(Window.partitionBy(col("q_id")))
+            .cast("double")).as("__rwn"))
     val orig = qterms
       .select(col(qIdCol).as("q_id"), col("term"))
       .withColumn("__qlen",
@@ -1498,6 +1552,14 @@ object Retrieval {
     val avgf = dlf.groupBy(col("field"))
       .agg((sum(col("dlf")).cast("double") /
         count(lit(1)).cast("double")).as("avgdlf"))
+    // field length DENORMALIZED onto the postings rows by a window over
+    // (id, field) instead of re-joining the dlf aggregate into the
+    // matched leg (round 18, guide §2.4): the window pays one postings-
+    // sized exchange, the join it replaces paid that same exchange on the
+    // LARGER (query × postings) matched side plus the aggregate's own —
+    // same exact long sums, one fewer corpus-scale shuffle.
+    val postDl = post.withColumn("dlf",
+      sum(col("tf")).over(Window.partitionBy(col(idCol), col("field"))))
     val dfq = post.select(col(idCol), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
     val nDocs = post.select(col(idCol)).distinct()
@@ -1507,8 +1569,7 @@ object Retrieval {
     val fcfg = fields.map(f => (f.name, f.weight, f.b))
       .toDF("field", "__w", "__b")
     val comp = qterms.select(col(qIdCol).as("q_id"), col("term"))
-      .join(post, Seq("term"))
-      .join(dlf, Seq(idCol, "field"))
+      .join(postDl, Seq("term"))
       .join(broadcast(avgf), Seq("field"))
       .join(broadcast(fcfg), Seq("field"))
       .select(col("q_id"), col(idCol), col("term"),

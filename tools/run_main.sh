@@ -1,0 +1,21 @@
+#!/usr/bin/env bash
+# Direct-JVM runner for graft mains: skips sbt startup (~40 s) and the sbt
+# build lock. Compile first (sbt compile); then:
+#   tools/run_main.sh graft.Bench
+#   SPARK_GRAFT_QUERIES=q242 tools/run_main.sh graft.Profile
+set -euo pipefail
+MAIN="$1"; shift || true
+CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+ADD_OPENS=(
+  java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect
+  java.base/java.io java.base/java.net java.base/java.nio java.base/java.util
+  java.base/java.util.concurrent java.base/java.util.concurrent.atomic
+  java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action
+  java.base/sun.util.calendar
+)
+OPENS=()
+for p in "${ADD_OPENS[@]}"; do OPENS+=(--add-opens "$p=ALL-UNNAMED"); done
+exec java "${OPENS[@]}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "$CP" "$MAIN" "$@"

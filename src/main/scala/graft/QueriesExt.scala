@@ -16,6 +16,21 @@ object QueriesExt {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** `documents.doc_id` as a Dataset[Long], hash-spread to the session's
+    * shuffle parallelism when the scan is narrower (round 18,
+    * `Skew.spreadToParallelism`): every consumer below maps these ids
+    * through a compute-bound synthetic-media generator (AVI/WAV/PNG
+    * builders + decoders), which otherwise runs single-task on the tiny
+    * parquet's one input split (profiled: q157 lost 6.5 s to one core
+    * while 31 idled). At real input sizes the spread is a no-op.
+    */
+  private def docIds(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    graft.ops.Skew.spreadToParallelism(
+      t(s, d, "documents").select(col("doc_id")), col("doc_id")).as[Long]
+  }
+
   /** Per-JVM root for query-built artifacts (tokenizer vocab, ANN index
     * parquet). Each artifact query trains, saves, reloads, and serves within
     * one invocation, so the only cross-invocation requirement is that two
@@ -837,7 +852,7 @@ object QueriesExt {
     Q("q152_incremental_image_neardup",
       (s, d) => {
         import s.implicits._
-        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        val ids = docIds(s, d)
         val off = copyIdOffset(ids)
         val old = ids.map(id => Multimodal.MediaRow(id, "png",
           Multimodal.syntheticNoisePng(36, 24, id)))
@@ -1080,7 +1095,7 @@ object QueriesExt {
     Q("q104_media_decode",
       (s, d) => {
         import s.implicits._
-        val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+        val rows = docIds(s, d)
           .map { id =>
             Multimodal.MediaRow(id, "png",
               Multimodal.syntheticPng(
@@ -1105,7 +1120,7 @@ object QueriesExt {
     Q("q105_audio_decode",
       (s, d) => {
         import s.implicits._
-        val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+        val rows = docIds(s, d)
           .map { id =>
             Multimodal.MediaRow(id, "wav",
               Multimodal.syntheticWav(
@@ -1368,7 +1383,7 @@ object QueriesExt {
     Q("q115_video_meta",
       (s, d) => {
         import s.implicits._
-        val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+        val rows = docIds(s, d)
           .map { id =>
             Multimodal.MediaRow(id, "avi",
               Multimodal.syntheticAvi(
@@ -2166,7 +2181,7 @@ object QueriesExt {
     Q("q144_image_neardup",
       (s, d) => {
         import s.implicits._
-        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        val ids = docIds(s, d)
         // copy-id offset derived from the data, not a constant: a fixed
         // +1e6 would collide with real doc_ids once the table passes 1M
         // rows, silently corrupting the pair set at larger SFs
@@ -2280,7 +2295,7 @@ object QueriesExt {
     Q("q148_video_neardup",
       (s, d) => {
         import s.implicits._
-        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        val ids = docIds(s, d)
         val off = copyIdOffset(ids)
         val base = ids.map(id => Multimodal.MediaRow(id, "avi",
           Multimodal.syntheticNoiseAvi(72, 64, id)))
@@ -2745,7 +2760,7 @@ object QueriesExt {
         // even-id half (the q159 gate-halving precedent): the verdict
         // arithmetic is corpus-size-independent, and the in-query
         // synthesis of three media corpora dominates the bench line
-        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        val ids = docIds(s, d)
           .filter((id: Long) => id % 2 == 0)
         val off = copyIdOffset(ids)
         val copyIds = ids.filter((id: Long) =>
@@ -3244,7 +3259,7 @@ object QueriesExt {
     Q("q150_multimodal_asset_dedup",
       (s, d) => {
         import s.implicits._
-        val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        val ids = docIds(s, d)
         val off = copyIdOffset(ids)
         val copyIds = ids.filter((id: Long) =>
           id % 6 == 0 || id % 10 == 0 || id % 15 == 0)

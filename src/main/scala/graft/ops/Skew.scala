@@ -29,6 +29,29 @@ object Skew {
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Hash-repartition a compute-heavy frame to the session's shuffle
+    * parallelism WHEN its current partitioning is narrower — else pass it
+    * through untouched (round 18, guide §2.6 idle capacity): a small
+    * parquet input is one split (one row group — byte-range splitting
+    * cannot divide it), and any expensive per-row stage planned on top of
+    * the scan (tokenize+explode, synthetic media generation, pair
+    * comparators) then runs on ONE task with every other core idle.
+    * Profiled: q157's 6.5 s single-task generation stage; q242's 7.7 s
+    * single-task levenshtein stage.
+    *
+    * Scale story: at real input sizes the scan has ≥ `n` partitions and
+    * this is a no-op (no shuffle is ever added to a well-partitioned
+    * input); `n` follows `spark.sql.shuffle.partitions` — the session's
+    * parallelism knob, not a local constant. The repartition key is a
+    * deterministic hash of `key` (retry-safe, unlike round-robin on
+    * nondeterministic input). `df.rdd.getNumPartitions` plans the frame
+    * without running a job.
+    */
+  def spreadToParallelism(df: DataFrame, key: Column): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n, key)
+  }
+
   /** Top-N heaviest keys with their share — the diagnostic that decides
     * whether salting is worth it. ONE scan of `df`: the per-key counts are
     * materialized once (localCheckpoint — this is an eager profiling call,

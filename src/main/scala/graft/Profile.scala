@@ -82,8 +82,17 @@ object Profile {
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.setJobDescription(null)
-        // listener events are async; give the bus a moment to drain
-        Thread.sleep(500)
+        // listener events are async; drain the bus deterministically
+        // (round 19, advisor: a fixed sleep silently truncates the
+        // profile on a loaded host). listenerBus is private[spark] —
+        // reach it reflectively; fall back to the old sleep if the
+        // internals move.
+        try {
+          val m = spark.sparkContext.getClass.getMethod("listenerBus")
+          val bus = m.invoke(spark.sparkContext)
+          bus.getClass.getMethod("waitUntilEmpty")
+            .invoke(bus)
+        } catch { case _: Throwable => Thread.sleep(500) }
         if (rep == reps) {
           println(f"===== $n rep$rep: $dt%.2f s =====")
           val rows = done.toArray(Array.empty[JobRow]).sortBy(-_.ms)

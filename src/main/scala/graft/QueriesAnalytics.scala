@@ -4663,7 +4663,8 @@ object QueriesAnalytics {
                            / (CAST(nb AS DOUBLE) - 1.0))
                             / CAST(nb AS DOUBLE) AS qb
                    FROM ag)
-            SELECT seg, na AS n_a, nb AS n_b,
+            SELECT seg, CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
                    CAST(round(CAST(CASE WHEN na >= 1 THEN ma END
                      AS DECIMAL(30,12)), 6) AS DOUBLE) AS mean_a,
                    CAST(round(CAST(CASE WHEN nb >= 1 THEN mb END
@@ -4797,7 +4798,8 @@ object QueriesAnalytics {
                           CAST(na AS DOUBLE) AS nad,
                           CAST(nb AS DOUBLE) AS nbd
                    FROM ag)
-            SELECT conv, na AS n_a, nb AS n_b,
+            SELECT conv, CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
                    CAST(round(CAST(CASE WHEN na >= 1 THEN pa END
                      AS DECIMAL(30,12)), 6) AS DOUBLE) AS p_a,
                    CAST(round(CAST(CASE WHEN nb >= 1 THEN pb END

@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Skew
+
 /** Probabilistic record linkage — the Fellegi–Sunter model (1969; the
   * method behind Splink/dedupe.io) as a relational program: block
   * candidate pairs on a cheap key, compare fields, score each pair with
@@ -58,10 +60,13 @@ object Linkage {
     * (edit distances, flag evaluation) is compute-bound, which is why
     * parallelism, not bytes, governs this stage.
     */
-  def blockPairs(a: DataFrame, b: DataFrame, blockKey: String): DataFrame = {
-    val n = a.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    a.repartition(n, col(blockKey)).join(b, Seq(blockKey))
-  }
+  def blockPairs(a: DataFrame, b: DataFrame, blockKey: String): DataFrame =
+    // Width-guarded (round 19, advisor): spreadToParallelism only adds the
+    // pinned exchange when `a`'s planned partitioning is NARROWER than the
+    // session parallelism — an input already hash-partitioned (or simply
+    // wide enough) skips the redundant user exchange the optimizer would
+    // never elide. Same shuffle-free-input restriction as the helper.
+    Skew.spreadToParallelism(a, col(blockKey)).join(b, Seq(blockKey))
 
   /** Per-block pair volume `(blockKey, n_a, n_b, pairs)` — the audit a
     * caller reads BEFORE paying the join when the key's skew is

@@ -255,15 +255,20 @@ object Retrieval {
         pool.submit(new java.util.concurrent.Callable[Unit] {
           override def call(): Unit = a()
         }))
-      // get() rethrows the callable's exception (wrapped); unwrap the
-      // first so callers see the original failure
-      futures.foreach { f =>
-        try f.get()
+      // Await EVERY future before rethrowing (round 19, advisor): a
+      // fail-fast get() would propagate while sibling writes still run in
+      // the background — the caller's cleanup (unpersist, rethrow) would
+      // race half-written relations. Collect each outcome, then throw the
+      // first failure (unwrapped so callers see the original exception).
+      val outcomes = futures.map { f =>
+        try { f.get(); None }
         catch {
           case e: java.util.concurrent.ExecutionException =>
-            throw Option(e.getCause).getOrElse(e)
+            Some(Option(e.getCause).getOrElse(e: Throwable))
+          case e: InterruptedException => Some(e: Throwable)
         }
       }
+      outcomes.flatten.headOption.foreach(throw _)
     } finally { pool.shutdown(); () }
   }
 
@@ -466,11 +471,16 @@ object Retrieval {
               .write)
             .partitionBy("batch_id", "dbucket")
             .parquet(s"$path/forward"))
-        else Nil) ++
-        Seq[() => Unit](
-          () => writerMode(stats.write).partitionBy("batch_id")
-            .parquet(s"$path/stats"))
+        else Nil)
       runConcurrently(writes)
+      // Stats lands LAST, sequentially, as the segment's commit marker
+      // (round 19, advisor): loadLexIndex discovers segments through the
+      // stats rows, so a crash mid-write must never leave a loadable
+      // stats row pointing at missing postings — with stats after the
+      // three relation writes, a failed append leaves orphan files but
+      // no referenced segment.
+      writerMode(stats.write).partitionBy("batch_id")
+        .parquet(s"$path/stats")
     } finally { post.unpersist(); () }
   }
 

@@ -44,8 +44,16 @@ object Skew {
     * input); `n` follows `spark.sql.shuffle.partitions` — the session's
     * parallelism knob, not a local constant. The repartition key is a
     * deterministic hash of `key` (retry-safe, unlike round-robin on
-    * nondeterministic input). `df.rdd.getNumPartitions` plans the frame
-    * without running a job.
+    * nondeterministic input).
+    *
+    * RESTRICTION (round 19, advisor): the width probe
+    * (`df.rdd.getNumPartitions`) plans without running a job ONLY when
+    * `df` contains no exchange below it — with AQE on (the session
+    * default), materializing `.rdd` on a plan with exchanges EXECUTES the
+    * upstream query stages. Callers must pass a shuffle-free frame (a
+    * scan plus narrow ops — every current call site); for anything
+    * already shuffled the partitioning is the shuffle's own and this
+    * helper has nothing to fix anyway.
     */
   def spreadToParallelism(df: DataFrame, key: Column): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

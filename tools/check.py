@@ -35,6 +35,17 @@ def main():
         sql = oracles[name]
         try:
             oracle = con.execute(sql).fetchdf()
+            # type-faithful: the driver hashes TYPED values, so an oracle
+            # column whose DuckDB type has no Spark twin (HUGEINT = int128
+            # from sum(int)) hash-mismatches even when every cell compares
+            # equal through pandas (r18: q270/q273). Fail loud here.
+            wide = [r[0] for r in con.execute(f"DESCRIBE ({sql})").fetchall()
+                    if "HUGEINT" in str(r[1]).upper()]
+            if wide:
+                print(f"FAIL {name}: oracle emits HUGEINT col(s) {wide} — "
+                      f"CAST to BIGINT in the oracle SQL")
+                failures += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {str(e)[:300]}")
             failures += 1

@@ -1,11 +1,11 @@
 package graft
 
 /** Dump `.explain("formatted")` for named catalog queries into files —
-  * the plans/r18 before/after evidence. Usage:
+  * the plans/r19 before/after evidence (dir via SPARK_GRAFT_PLANS_DIR). Usage:
   *
   *   tools/run_main.sh graft.ExplainDump <suffix> q242 q248 ...
   *
-  * writes plans/r18/<query>_<suffix>.txt. Queries that build artifacts at
+  * writes plans/r19/<query>_<suffix>.txt. Queries that build artifacts at
   * DataFrame-construction time will run those build jobs (same stance as
   * PlanDump); the dumped plan is the final read.
   */
@@ -17,7 +17,8 @@ object ExplainDump {
     val spark = GraftSession.build("graft-explain")
     spark.sparkContext.setLogLevel("ERROR")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outDir = java.nio.file.Paths.get("plans/r18")
+    val outDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r19"))
     java.nio.file.Files.createDirectories(outDir)
     names.foreach { n =>
       val (full, fn) = SparkEntry.queries.collectFirst {
@@ -27,7 +28,7 @@ object ExplainDump {
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       java.nio.file.Files.writeString(outDir.resolve(s"${full}_$suffix.txt"), txt)
-      println(s"wrote plans/r18/${full}_$suffix.txt")
+      println(s"wrote plans/r19/${full}_$suffix.txt")
     }
     spark.stop()
   }

@@ -58,7 +58,8 @@ object Curation {
         s"no '$textCol' — pass spark.emptyDataFrame to skip decontamination " +
         "explicitly, or rename the eval text column")
     // 1. quality gate: per-row signals, keep-flag filter
-    val scored = TextAnalysis.withQuality(docs, textCol)
+    val scored = TextAnalysis.withQuality(
+      graft.ops.Skew.spreadToParallelism(docs, col(idCol)), textCol)
     val kept = scored.where(col("keep"))
     // 2. near-dedup keeping the highest-quality member (longest, then id)
     val deduped = Dedup.nearDedupBest(kept, idCol, textCol,

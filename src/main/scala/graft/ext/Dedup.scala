@@ -718,7 +718,8 @@ object Dedup {
     // sh feeds the signature build AND both verification join-backs; Spark
     // does not share subplans across join inputs, so cache it (one row per
     // document) — released below once the result is materialized.
-    val sh = shingleSets(df, idCol, textCol, shingleK)
+    val sh = shingleSets(graft.ops.Skew.spreadToParallelism(df, col(idCol)),
+        idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatureTable(sh, numHashes)
 

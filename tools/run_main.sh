@@ -5,7 +5,9 @@
 #   SPARK_GRAFT_QUERIES=q242 tools/run_main.sh graft.Profile
 set -euo pipefail
 MAIN="$1"; shift || true
-CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+# GRAFT_CLASSES overrides the class dir — lets an interleaved A/B run two
+# compiled trees back-to-back in one host-noise window.
+CP="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}:/opt/spark/jars/*"
 ADD_OPENS=(
   java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect
   java.base/java.io java.base/java.net java.base/java.nio java.base/java.util

@@ -364,7 +364,10 @@ object QueriesSketches {
         rmrf(new java.io.File(dir))
         def trigger(par: Int, batchId: Long) =
           graft.streaming.StreamingIngest.sketchBatch(
-            langShingles(docs.where(col("doc_id") % 2 === par)),
+            // exploded-shingle batch: heavy per-row hash work on a single
+            // input split — spread before the trigger (round 19, measured)
+            graft.ops.Skew.spreadToParallelism(
+              langShingles(docs.where(col("doc_id") % 2 === par)), col("g")),
             batchId, dir, Seq("lang"), "g", p = 8, d = 3, w = 256)
         trigger(0, 0L)
         trigger(1, 1L)
@@ -933,9 +936,13 @@ object QueriesSketches {
         val docs = t(s, d, "documents")
         val dir = artifactPath("ss_stream_q220")
         rmrf(new java.io.File(dir))
-        def toks(par: Int) = docs.where(col("doc_id") % 2 === par)
-          .select(col("lang"),
-            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        def toks(par: Int) = graft.ops.Skew.spreadToParallelism(
+          // exploded-token batch: heavy per-row hash work on a single
+          // input split — spread before the trigger (round 19, measured)
+          docs.where(col("doc_id") % 2 === par)
+            .select(col("lang"),
+              explode(TextAnalysis.tokens(col("text"))).as("tok")),
+          col("tok"))
         def trigger(par: Int, batchId: Long) =
           graft.streaming.StreamingIngest.sketchBatch(
             toks(par), batchId, dir, Seq("lang"), "tok",

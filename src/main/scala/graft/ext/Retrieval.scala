@@ -246,31 +246,11 @@ object Retrieval {
     * Blocks until all finish; the first failure propagates after the pool
     * drains (no orphaned half-written relation goes unnoticed).
     */
-  private def runConcurrently(actions: Seq[() => Unit]): Unit = {
-    if (actions.size <= 1) { actions.foreach(_.apply()); return }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(actions.size, 4))
-    try {
-      val futures = actions.map(a =>
-        pool.submit(new java.util.concurrent.Callable[Unit] {
-          override def call(): Unit = a()
-        }))
-      // Await EVERY future before rethrowing (round 19, advisor): a
-      // fail-fast get() would propagate while sibling writes still run in
-      // the background — the caller's cleanup (unpersist, rethrow) would
-      // race half-written relations. Collect each outcome, then throw the
-      // first failure (unwrapped so callers see the original exception).
-      val outcomes = futures.map { f =>
-        try { f.get(); None }
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            Some(Option(e.getCause).getOrElse(e: Throwable))
-          case e: InterruptedException => Some(e: Throwable)
-        }
-      }
-      outcomes.flatten.headOption.foreach(throw _)
-    } finally { pool.shutdown(); () }
-  }
+  private def runConcurrently(actions: Seq[() => Unit]): Unit =
+    // Round 19 (advisor): awaits EVERY future before rethrowing the first
+    // failure — a fail-fast get() would propagate while sibling writes
+    // still run in the background, racing the caller's cleanup.
+    graft.ops.Concurrent.runAll(actions)
 
   /** A loaded lexical index artifact: the three relations of
     * [[saveLexIndex]]'s layout plus the frozen config. `postings` and

@@ -1,0 +1,32 @@
+package graft.ops
+
+/** Run independent Spark actions concurrently on a small thread pool
+  * (guide §2.6: actions are only sequential because driver code calls
+  * them sequentially; concurrent jobs back-fill each other's stragglers).
+  * Blocks until ALL finish — every future is awaited before the first
+  * failure (unwrapped) is rethrown, so no orphaned background action can
+  * race the caller's cleanup. Job-group/description properties are
+  * thread-local and inherited by the pool threads at submit time.
+  */
+object Concurrent {
+  def runAll(actions: Seq[() => Unit], maxThreads: Int = 4): Unit = {
+    if (actions.size <= 1) { actions.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(actions.size, maxThreads))
+    try {
+      val futures = actions.map(a =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = a()
+        }))
+      val outcomes = futures.map { f =>
+        try { f.get(); None }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            Some(Option(e.getCause).getOrElse(e: Throwable))
+          case e: InterruptedException => Some(e: Throwable)
+        }
+      }
+      outcomes.flatten.headOption.foreach(throw _)
+    } finally { pool.shutdown(); () }
+  }
+}

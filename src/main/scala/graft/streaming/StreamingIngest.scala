@@ -1463,26 +1463,46 @@ object StreamingIngest {
       hist: Option[(String, Double, Double, Int)] = None,
       ssK: Int = 0, rk: Option[(String, String, Int)] = None): Unit = {
     if (batch.isEmpty) return
-    def land(partial: DataFrame, sub: String): Unit =
-      partial.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(s"$sketchDir/$sub")
-    land(Sketches.hllPartial(batch, groupCols, col(itemCol), p), "hll")
-    land(Sketches.cmsPartial(batch, groupCols, col(itemCol), d, w), "cms")
-    if (kmvK > 0)
-      land(Sketches.kmvPartial(batch, groupCols, col(itemCol), kmvK), "kmv")
-    hist.foreach { case (vc, lo, width, bins) =>
-      land(Sketches.histPartial(batch, groupCols, col(vc), lo, width, bins),
-        "hist")
-    }
-    if (ssK > 0)
-      land(Sketches.ssPartial(batch, groupCols, col(itemCol), ssK), "ss")
-    rk.foreach { case (idCol, vc, k) =>
-      land(Sketches.rkPartial(batch, groupCols, col(vc), col(idCol), k)
-        .drop("rnk"), "rk")
-    }
+    // Round 19 (guide §2.3/§2.6, profiled on q203): each sketch kind
+    // re-scanned the batch (0.9–1.2 s exec per kind per trigger), and the
+    // kinds' writes paid one sequential job wall each. The persist makes
+    // the batch ONE pass shared by all kinds, and the writes — independent
+    // jobs over the shared cache — overlap on a small pool. Same
+    // discipline as Retrieval.writeLexSegment. Deliberately NO spread
+    // here: a measured A/B showed spread wins only when the batch rows are
+    // compute-heavy (exploded shingles/tokens — q203/q220, spread at the
+    // call sites) and LOSES on cheap-row batches (q232: +1.5 s) — the
+    // round-18 lesson; callers that know their batch is heavy spread it
+    // before passing it in (width-guarded, so double-spreading no-ops).
+    val b = batch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def land(partial: DataFrame, sub: String): Unit =
+        partial.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$sketchDir/$sub")
+      val writes = Seq[() => Unit](
+        () => land(Sketches.hllPartial(b, groupCols, col(itemCol), p), "hll"),
+        () => land(Sketches.cmsPartial(b, groupCols, col(itemCol), d, w),
+          "cms")) ++
+        (if (kmvK > 0) Seq[() => Unit](() =>
+          land(Sketches.kmvPartial(b, groupCols, col(itemCol), kmvK), "kmv"))
+        else Nil) ++
+        hist.map { case (vc, lo, width, bins) => () =>
+          land(Sketches.histPartial(b, groupCols, col(vc), lo, width, bins),
+            "hist")
+        } ++
+        (if (ssK > 0) Seq[() => Unit](() =>
+          land(Sketches.ssPartial(b, groupCols, col(itemCol), ssK), "ss"))
+        else Nil) ++
+        rk.map { case (idCol, vc, k) => () =>
+          land(Sketches.rkPartial(b, groupCols, col(vc), col(idCol), k)
+            .drop("rnk"), "rk")
+        }
+      graft.ops.Concurrent.runAll(writes)
+    } finally { b.unpersist(); () }
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
       val spark = batch.sparkSession
       compactSketchDir(spark, s"$sketchDir/hll", groupCols, "hll",
@@ -1529,12 +1549,14 @@ object StreamingIngest {
     * one batch — the summed bound's associativity). Crash-safe
     * temp-then-swap; merged reads are invariant across compaction
     * (spec-pinned; for `ss` the INVARIANT read is the guarantee pair,
-    * with err never shrinking). Returns the compacted row count.
+    * with err never shrinking). Round 19: returns Unit — no caller
+    * consumed the old row count and computing it was one extra
+    * read-back job per compaction on the trigger path.
     */
   def compactSketchDir(spark: SparkSession, path: String,
       groupCols: Seq[String], kind: String,
       belowBatch: Option[Long] = None, kmvK: Int = 0,
-      ssK: Int = 0, rkK: Int = 0): Long = {
+      ssK: Int = 0, rkK: Int = 0): Unit = {
     val all = spark.read.parquet(path)
     val (fold, keep) = belowBatch match {
       case Some(b) =>
@@ -1563,7 +1585,7 @@ object StreamingIngest {
       .unionByName(keep)
       .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     graft.pipeline.Pipeline.swap(spark, tmp, path)
-    spark.read.parquet(path).count()
+    ()
   }
 
   /** The artifact's merged KMV minima table (all partials folded). */
@@ -1672,10 +1694,11 @@ object StreamingIngest {
     * bucket), commutative like the sketch partials, so the fold IS the
     * merge and a previous `-1` epoch folds in with everything else.
     * Crash-safe temp-then-swap; [[currentSeries]] is invariant across
-    * compaction (spec-pinned). Returns the compacted row count.
+    * compaction (spec-pinned). Round 19: returns Unit — the old row
+    * count had no consumer and cost one read-back job per compaction.
     */
   def compactSeriesStatsDir(spark: SparkSession, statsDir: String,
-      keyCol: String, belowBatch: Option[Long] = None): Long = {
+      keyCol: String, belowBatch: Option[Long] = None): Unit = {
     val all = spark.read.parquet(statsDir)
     val (fold, keep) = belowBatch match {
       case Some(b) =>
@@ -1691,7 +1714,7 @@ object StreamingIngest {
       .unionByName(keep)
       .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     graft.pipeline.Pipeline.swap(spark, tmp, statsDir)
-    spark.read.parquet(statsDir).count()
+    ()
   }
 
   // ------------------------------------------------------------------
@@ -1820,10 +1843,11 @@ object StreamingIngest {
 
   /** Fold partials with `batch_id < belowBatch` (None = all) into the
     * `-1` epoch — SUM merge, temp-then-swap, crash-safe like
-    * [[compactSketchDir]]. Returns the post-compaction row count.
+    * [[compactSketchDir]]. Round 19: returns Unit — the old row count
+    * had no consumer and cost one read-back job per compaction.
     */
   def compactPostingsDir(spark: SparkSession, path: String, idCol: String,
-      belowBatch: Option[Long] = None): Long = {
+      belowBatch: Option[Long] = None): Unit = {
     val all = spark.read.parquet(path)
     val (fold, keep) = belowBatch match {
       case Some(b) =>
@@ -1837,6 +1861,6 @@ object StreamingIngest {
       .unionByName(keep)
       .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     graft.pipeline.Pipeline.swap(spark, tmp, path)
-    spark.read.parquet(path).count()
+    ()
   }
 }

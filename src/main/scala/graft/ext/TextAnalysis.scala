@@ -603,17 +603,49 @@ object TextAnalysis {
     require(merges >= 1, s"need merges >= 1: $merges")
     var seqs = bpeWordSeqs(df, textCol)
     val rules = (1 to merges).map { step =>
-      val rule = bpeBestPair(seqs)
-      seqs = bpeApplyRule(seqs, rule)
-      rule.select(lit(step).as("step"), col("x"), col("y"))
+      val applied = bpeRoundFused(seqs)
+      seqs = applied.select(col("seq"), col("cnt"))
+      applied.select(lit(step).as("step"), col("x"), col("y")).limit(1)
     }
     // a corpus can exhaust its pairs before `merges` rounds (every word
     // one symbol): later rules are empty 1-row-less frames; the truthful
     // output simply carries fewer steps. The isEmpty probes read already-
-    // checkpointed 1-row frames (metadata-cheap).
+    // checkpointed frames (metadata-cheap).
     val nonEmpty = rules.takeWhile(!_.isEmpty)
     require(nonEmpty.nonEmpty, "bpeTrainRules: corpus has no adjacent pairs")
     nonEmpty.reduce(_ unionByName _)
+  }
+
+  /** One FUSED BPE training round (round 19, guide §1.2/§2.6 — q216/q106
+    * were driver-gap-bound: 65 jobs, 5.5 s of between-job planning): the
+    * round's argmax pair is computed on the BROADCAST side of the apply's
+    * crossJoin, so best-pair + apply materialize in ONE eager checkpoint
+    * job per merge round instead of two, and every applied row CARRIES the
+    * round's (x, y), so rule extraction is a limit-1 over the checkpoint's
+    * cached blocks rather than its own aggregation job. The argmax
+    * subquery is [[bpeBestPair]]'s verbatim (same deterministic
+    * count-desc/pair-asc tiebreak); an exhausted-pairs round yields an
+    * EMPTY frame (the empty broadcast side empties the cross join) —
+    * exactly the old two-step behavior the trainers' takeWhile stops on.
+    */
+  private def bpeRoundFused(seqs: DataFrame): DataFrame = {
+    val syms = split(trim(col("seq")), "  ")
+    val best = seqs.where(size(syms) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(syms) - 1),
+        j => struct(element_at(syms, j).as("x"),
+          element_at(syms, (j + 1).cast("int")).as("y")))).as("pr"))
+      .groupBy(col("pr.x").as("x"), col("pr.y").as("y"))
+      .agg(sum(col("cnt")).as("c"))
+      .orderBy(col("c").desc, col("x").asc, col("y").asc)
+      .limit(1)
+      .select(col("x"), col("y"))
+    seqs.crossJoin(broadcast(best))
+      .select(replace(col("seq"),
+        concat(lit(" "), col("x"), lit("  "), col("y"), lit(" ")),
+        concat(lit(" "), col("x"), col("y"), lit(" "))).as("seq"),
+        col("cnt"), col("x"), col("y"))
+      .localCheckpoint(true)
   }
 
   /** The distinct-word frequency table as spaced symbol strings — BPE
@@ -749,9 +781,9 @@ object TextAnalysis {
     require(merges >= 1, s"need merges >= 1: $merges")
     var seqs = bpeByteSeqs(df, textCol)
     val rules = (1 to merges).map { step =>
-      val rule = bpeBestPair(seqs)
-      seqs = bpeApplyRule(seqs, rule)
-      rule.select(lit(step).as("step"), col("x"), col("y"))
+      val applied = bpeRoundFused(seqs)
+      seqs = applied.select(col("seq"), col("cnt"))
+      applied.select(lit(step).as("step"), col("x"), col("y")).limit(1)
     }
     val nonEmpty = rules.takeWhile(!_.isEmpty)
     require(nonEmpty.nonEmpty, "bpeTrainRulesBytes: corpus has no adjacent pairs")

@@ -1291,6 +1291,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE fused round (r19): the broadcast-side argmax keeps the " +
+      "deterministic count-desc/(x,y)-asc tiebreak across rounds") {
+    // (a,b) and (c,d) both have weighted count 2 — the tie must resolve
+    // to (a,b) first ((x,y) ascending), then (c,d) in round 2. This pins
+    // the fused implementation's argmax subquery (computed inside the
+    // apply's crossJoin broadcast) to bpeBestPair's historical contract.
+    val docs = Seq((1L, "ab cd ab cd")).toDF("doc_id", "text")
+    val rules = TextAnalysis.bpeTrainRules(docs, "text", merges = 2)
+      .orderBy($"step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toList
+    assert(rules == List((1, "a", "b"), (2, "c", "d")))
+  }
+
   test("byte-level BPE: pre-tokens tile the text (counts are a true " +
       "budget), unicode/whitespace/case diverge from char-level exactly " +
       "where production tokenizers do") {
